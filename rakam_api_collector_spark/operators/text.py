@@ -1,0 +1,79 @@
+"""Text-analysis operators: tokenization, quality, language-ID,
+fingerprinting.
+
+All operators are built from JVM-side higher-order functions
+(``split`` / ``filter`` / ``transform`` / ``aggregate``) so they stay
+inside whole-stage codegen — no Python in the hot path. Each is a
+narrow per-row map: embarrassingly parallel, no shuffle, scales
+linearly with input splits.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Deliberately tiny, deterministic stopword lists — the lang-id operator
+# must produce identical answers in Spark and the DuckDB oracle, so the
+# heuristic is a pure function of these constants.
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "it", "you", "that"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "es", "se", "no"],
+    "de": ["der", "die", "und", "das", "ist", "ich", "nicht", "ein", "zu", "mit"],
+    "fr": ["le", "la", "de", "et", "les", "des", "est", "un", "une", "dans"],
+}
+
+TOKEN_SPLIT_RE = "[^a-z0-9]+"
+
+
+def tokens(text: Column) -> Column:
+    """Lowercased alphanumeric tokens (empty strings dropped)."""
+    return F.filter(F.split(F.lower(text), TOKEN_SPLIT_RE), lambda t: t != "")
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens(text))
+
+
+def distinct_token_count(text: Column) -> Column:
+    return F.size(F.array_distinct(tokens(text)))
+
+
+def type_token_ratio(text: Column) -> Column:
+    """Lexical diversity: distinct tokens / total tokens (0 for empty)."""
+    n = token_count(text)
+    return F.when(n > 0, distinct_token_count(text).cast("double") / n) \
+            .otherwise(F.lit(0.0))
+
+
+def avg_token_length(text: Column) -> Column:
+    """Mean token length in characters (0 for empty docs)."""
+    n = token_count(text)
+    total_chars = F.length(F.array_join(tokens(text), ""))
+    return F.when(n > 0, total_chars.cast("double") / n).otherwise(F.lit(0.0))
+
+
+def stopword_hits(text: Column, lang: str) -> Column:
+    """Count of tokens belonging to ``lang``'s stopword list."""
+    words = STOPWORDS[lang]
+    return F.size(F.filter(tokens(text), lambda t: t.isin(*words)))
+
+
+def lang_id(text: Column) -> Column:
+    """Deterministic n-gram-style language heuristic: argmax of stopword
+    hit counts with a fixed tie-break order (en, es, de, fr); no hits →
+    'und'. Matches the oracle SQL expression token for token."""
+    hits = {lang: stopword_hits(text, lang) for lang in STOPWORDS}
+    best = F.greatest(*hits.values())
+    expr = F.lit("und")
+    # build the CASE in reverse so earlier langs win ties
+    for lang in reversed(list(STOPWORDS)):
+        expr = F.when((hits[lang] == best) & (best > 0), lang).otherwise(expr)
+    return expr
+
+
+def fingerprint(text: Column) -> Column:
+    """Document fingerprint: 64-bit hash of the token-normalized text —
+    the batch analog of the reference's shard checksum
+    (InMemoryOrcStorageManager.java:234-242)."""
+    return F.xxhash64(F.array_join(tokens(text), " "))

@@ -1,0 +1,447 @@
+"""Declared correctness queries DQ-1..25 (SURVEY.md §2.14).
+
+Each query pins one operator family from the reference inventory
+(SURVEY.md §2.1-§2.13) — the ingestion-semantics ones map to real
+reference code paths (file:line cited per query), the classic
+relational ones pin the Spark-SQL-supplied surface the reference lacks.
+
+Implementation style: declarative DataFrame API so Catalyst owns the
+physical plan (pushdown, pruning, join strategy, partial aggregation).
+Explicit ``broadcast()`` hints mark dimension tables; everything else is
+left to AQE, which is the configuration that survives a 100× scale-up.
+
+Float determinism vs the oracle: double sums are accumulated as
+DECIMAL(18,6) (exact, order-independent — both engines agree bit-for-bit)
+and only then cast to double and rounded, so hash comparison never
+depends on floating-point reduction order across 32 (or 1000) partitions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from rakam_api_collector_spark.tables import load_table
+
+
+def _dec_sum(col, alias: str, scale: int = 4):
+    """Exact decimal sum of a double expr, surfaced as a rounded double."""
+    return F.round(F.sum(col.cast("decimal(18,6)")).cast("double"), scale).alias(alias)
+
+
+# --- §2.3 projections / filters -------------------------------------------
+
+def dq01_projection(spark: SparkSession, sf: str) -> DataFrame:
+    """P1 column exclusion (FabricJsonDeserializer.java:78,205-206)."""
+    return (load_table(spark, sf, "events")
+            .select("event_id", "event_type")
+            .orderBy("event_id").limit(100))
+
+
+def dq02_whitelist(spark: SparkSession, sf: str) -> DataFrame:
+    """P2 collection whitelist (KafkaRealTimeWorker.java:103-104,352-354)."""
+    return (load_table(spark, sf, "events")
+            .filter(F.col("event_type").isin("click", "view"))
+            .select("event_id", "event_type")
+            .orderBy("event_id").limit(100))
+
+
+def dq03_late_split(spark: SparkSession, sf: str) -> DataFrame:
+    """P3/ST3 event-time real-time vs historical split
+    (KafkaRealTimeWorker.java:356-359): day window relative to max ts."""
+    events = load_table(spark, sf, "events")
+    max_ts = events.agg(F.max("ts").alias("max_ts"))
+    return (events.crossJoin(F.broadcast(max_ts))
+            .select(F.when(F.col("ts") >= F.col("max_ts") - F.expr("INTERVAL 1 DAY"), "rt")
+                    .otherwise("hist").alias("bucket"))
+            .groupBy("bucket").agg(F.count("*").alias("n"))
+            .orderBy("bucket"))
+
+
+def dq04_sink_envelope(spark: SparkSession, sf: str) -> DataFrame:
+    """P6/K2 sink projection/envelope reshaping
+    (connector/s3/S3DatabaseHandler.java:149-221)."""
+    return (load_table(spark, sf, "events")
+            .select("event_id",
+                    F.concat(F.col("event_type"), F.lit(":"),
+                             F.col("user_id").cast("string")).alias("env"))
+            .orderBy("event_id").limit(100))
+
+
+# --- §2.4 routing ----------------------------------------------------------
+
+def dq05_route_fanout(spark: SparkSession, sf: str) -> DataFrame:
+    """R1 per-collection routing counts
+    (JsonMessageEventTransformer.java:36-64)."""
+    return (load_table(spark, sf, "events")
+            .groupBy("event_type").agg(F.count("*").alias("n"))
+            .orderBy("event_type"))
+
+
+# --- §2.5 aggregations ------------------------------------------------------
+
+def dq06_max_offset(spark: SparkSession, sf: str) -> DataFrame:
+    """A1 max-offset per partition (kafka/KafkaUtil.java:81-106)."""
+    return (load_table(spark, sf, "events")
+            .groupBy((F.col("user_id") % 16).alias("part"))
+            .agg(F.max("event_id").alias("max_off"))
+            .orderBy("part"))
+
+
+def dq07_zone_map(spark: SparkSession, sf: str) -> DataFrame:
+    """A3 per-column min/max stats (InMemoryOrcStorageManager.java:188-207)."""
+    return load_table(spark, sf, "lineitem").agg(
+        F.min("l_shipdate").alias("mn"),
+        F.max("l_shipdate").alias("mx"),
+        F.count("*").alias("n"))
+
+
+def dq08_hash_agg(spark: SparkSession, sf: str) -> DataFrame:
+    """Hash aggregation, TPC-H Q1 shape (absent in reference — §2.5)."""
+    li = load_table(spark, sf, "lineitem")
+    return (li.groupBy("l_returnflag", "l_linestatus")
+            .agg(_dec_sum(F.col("l_quantity"), "sum_qty"),
+                 _dec_sum(F.col("l_extendedprice"), "sum_price"),
+                 F.round(F.sum(F.col("l_discount").cast("decimal(18,6)")).cast("double")
+                         / F.count("*"), 4).alias("avg_disc"),
+                 F.count("*").alias("n"))
+            .orderBy("l_returnflag", "l_linestatus"))
+
+
+def dq09_distinct_agg(spark: SparkSession, sf: str) -> DataFrame:
+    """Distinct aggregation (§2.5 absent-in-reference surface)."""
+    return load_table(spark, sf, "orders").agg(
+        F.countDistinct("o_custkey").alias("n"))
+
+
+def dq10_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    """Grouping sets / ROLLUP (§2.5)."""
+    return (load_table(spark, sf, "orders")
+            .rollup("o_orderpriority", "o_orderstatus")
+            .agg(F.count("*").alias("n"))
+            .orderBy(F.col("o_orderpriority").asc_nulls_first(),
+                     F.col("o_orderstatus").asc_nulls_first()))
+
+
+def dq11_sum_cents(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact integer aggregation: count + sum of bigint cents (§2.5)."""
+    return load_table(spark, sf, "orders").agg(
+        F.count("*").alias("n"),
+        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long")).alias("cents"))
+
+
+# --- §2.6 joins -------------------------------------------------------------
+
+def dq12_join_dim(spark: SparkSession, sf: str) -> DataFrame:
+    """Inner equi-join against a broadcast dimension (§2.6)."""
+    customer = load_table(spark, sf, "customer")
+    nation = load_table(spark, sf, "nation")
+    return (customer.join(F.broadcast(nation),
+                          customer.c_nationkey == nation.n_nationkey)
+            .groupBy("n_name").agg(F.count("*").alias("c"))
+            .orderBy("n_name"))
+
+
+def dq13_multi_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Multi-join, TPC-H Q3 shape (§2.6). customer is the small side of
+    the first join (broadcast); orders⋈lineitem shuffles on orderkey."""
+    customer = load_table(spark, sf, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING")
+    orders = load_table(spark, sf, "orders")
+    lineitem = load_table(spark, sf, "lineitem")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (orders.join(F.broadcast(customer),
+                        orders.o_custkey == customer.c_custkey)
+            .join(lineitem, lineitem.l_orderkey == orders.o_orderkey)
+            .groupBy("o_orderkey")
+            .agg(_dec_sum(rev, "rev"))
+            .orderBy(F.desc("rev"), "o_orderkey").limit(10))
+
+
+def dq14_semi_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Left semi join (IN subquery) (§2.6)."""
+    customer = load_table(spark, sf, "customer")
+    orders = load_table(spark, sf, "orders")
+    return (customer.join(orders, customer.c_custkey == orders.o_custkey,
+                          "left_semi")
+            .agg(F.count("*").alias("n")))
+
+
+def dq14_anti_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Left anti join (NOT IN; o_custkey has no nulls so semantics align)."""
+    customer = load_table(spark, sf, "customer")
+    orders = load_table(spark, sf, "orders")
+    return (customer.join(orders, customer.c_custkey == orders.o_custkey,
+                          "left_anti")
+            .agg(F.count("*").alias("n")))
+
+
+def dq15_outer_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Left outer join null handling (§2.6)."""
+    customer = load_table(spark, sf, "customer")
+    orders = load_table(spark, sf, "orders")
+    return (customer.join(orders, customer.c_custkey == orders.o_custkey,
+                          "left")
+            .filter(F.col("o_orderkey").isNull())
+            .agg(F.count("*").alias("n")))
+
+
+# --- §2.7 window functions ---------------------------------------------------
+
+def dq16_window(spark: SparkSession, sf: str) -> DataFrame:
+    """row_number window, top-2 per user (§2.7)."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (load_table(spark, sf, "events")
+            .select("user_id", "event_id", F.row_number().over(w).alias("rnk"))
+            .filter(F.col("rnk") <= 2)
+            .orderBy("user_id", "rnk").limit(100))
+
+
+def dq17_dedup_first(spark: SparkSession, sf: str) -> DataFrame:
+    """ST6 dedup semantics: first event per (user, second)
+    (Deduplicator.java:26-88, AvroDuplicateHandler.java:82-119)."""
+    w = Window.partitionBy("user_id", F.date_trunc("second", F.col("ts"))) \
+              .orderBy("event_id")
+    return (load_table(spark, sf, "events")
+            .select(F.row_number().over(w).alias("rn"))
+            .filter(F.col("rn") == 1)
+            .agg(F.count("*").alias("n")))
+
+
+# --- §2.8 sorts / top-k ------------------------------------------------------
+
+def dq18_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Global top-k: Spark plans TakeOrderedAndProject — per-partition
+    heap then driver merge, no full sort (§2.8)."""
+    return (load_table(spark, sf, "orders")
+            .select("o_orderkey", "o_totalprice")
+            .orderBy(F.desc("o_totalprice"), "o_orderkey").limit(20))
+
+
+def dq19_truncate(spark: SparkSession, sf: str) -> DataFrame:
+    """T2 VARCHAR 100-char truncation (FabricJsonDeserializer.java:324-330)."""
+    return (load_table(spark, sf, "documents")
+            .select("doc_id", F.substring("text", 1, 100).alias("t"))
+            .orderBy("doc_id").limit(50))
+
+
+# --- §2.10 scalar functions ---------------------------------------------------
+
+def dq20_safe_cast(spark: SparkSession, sf: str) -> DataFrame:
+    """D6/F1 safe cast (catch→null) (FabricJsonDeserializer.java:313-495)."""
+    return (load_table(spark, sf, "events")
+            .filter(F.expr("try_cast(props AS double)").isNull())
+            .agg(F.count("*").alias("n")))
+
+
+def dq21_set_ops(spark: SparkSession, sf: str) -> DataFrame:
+    """Set operations (§2.9): INTERSECT."""
+    customer = load_table(spark, sf, "customer").select("c_nationkey")
+    supplier = load_table(spark, sf, "supplier") \
+        .select(F.col("s_nationkey").alias("c_nationkey"))
+    return customer.intersect(supplier).orderBy("c_nationkey")
+
+
+def dq22_array_funcs(spark: SparkSession, sf: str) -> DataFrame:
+    """F6 map/array functions over the embeddings table (§2.10)."""
+    return (load_table(spark, sf, "embeddings")
+            .select("vec_id",
+                    F.round(F.element_at("embedding", 1).cast("double"), 4)
+                    .alias("e0"),
+                    F.size("embedding").alias("n_dims"))
+            .orderBy("vec_id").limit(50))
+
+
+def dq23_hash(spark: SparkSession, sf: str) -> DataFrame:
+    """F8 xxhash64 checksum (InMemoryOrcStorageManager.java:234-242).
+    Hash values are engine-specific; the count of distinct hashes is
+    engine-independent (== #distinct inputs, collision-free at this n)."""
+    return (load_table(spark, sf, "events")
+            .agg(F.countDistinct(F.xxhash64("event_type")).alias("n")))
+
+
+def dq24_scalars(spark: SparkSession, sf: str) -> DataFrame:
+    """Scalar function sample: string/math/date (§2.10)."""
+    return (load_table(spark, sf, "events")
+            .orderBy("event_id").limit(100)
+            .select(F.upper("event_type").alias("et"),
+                    F.length("event_type").alias("len"),
+                    (F.abs(F.col("value")) > 0.5).alias("big"),
+                    F.year("ts").alias("yr")))
+
+
+def dq25_udf_shape(spark: SparkSession, sf: str) -> DataFrame:
+    """§2.13: the computation a pandas UDF would express, in plain ops
+    — avg doc length per language (exact int sum → double divide)."""
+    return (load_table(spark, sf, "documents")
+            .groupBy("lang")
+            .agg(F.round(F.sum("n_chars").cast("double") / F.count("*"), 4)
+                 .alias("avg_chars"),
+                 F.count("*").alias("n"))
+            .orderBy("lang"))
+
+
+QUERIES = {
+    "dq01_projection": dq01_projection,
+    "dq02_whitelist": dq02_whitelist,
+    "dq03_late_split": dq03_late_split,
+    "dq04_sink_envelope": dq04_sink_envelope,
+    "dq05_route_fanout": dq05_route_fanout,
+    "dq06_max_offset": dq06_max_offset,
+    "dq07_zone_map": dq07_zone_map,
+    "dq08_hash_agg": dq08_hash_agg,
+    "dq09_distinct_agg": dq09_distinct_agg,
+    "dq10_rollup": dq10_rollup,
+    "dq11_sum_cents": dq11_sum_cents,
+    "dq12_join_dim": dq12_join_dim,
+    "dq13_multi_join": dq13_multi_join,
+    "dq14_semi_join": dq14_semi_join,
+    "dq14_anti_join": dq14_anti_join,
+    "dq15_outer_join": dq15_outer_join,
+    "dq16_window": dq16_window,
+    "dq17_dedup_first": dq17_dedup_first,
+    "dq18_topk": dq18_topk,
+    "dq19_truncate": dq19_truncate,
+    "dq20_safe_cast": dq20_safe_cast,
+    "dq21_set_ops": dq21_set_ops,
+    "dq22_array_funcs": dq22_array_funcs,
+    "dq23_hash": dq23_hash,
+    "dq24_scalars": dq24_scalars,
+    "dq25_udf_shape": dq25_udf_shape,
+}
+
+# DuckDB oracle SQL — identical aliases & result types by construction.
+ORACLE = {
+    "dq01_projection": """
+        SELECT event_id, event_type FROM events ORDER BY event_id LIMIT 100
+    """,
+    "dq02_whitelist": """
+        SELECT event_id, event_type FROM events
+        WHERE event_type IN ('click', 'view') ORDER BY event_id LIMIT 100
+    """,
+    "dq03_late_split": """
+        SELECT CASE WHEN ts >= (SELECT max(ts) - INTERVAL 1 DAY FROM events)
+                    THEN 'rt' ELSE 'hist' END AS bucket,
+               count(*) AS n
+        FROM events GROUP BY 1 ORDER BY 1
+    """,
+    "dq04_sink_envelope": """
+        SELECT event_id,
+               concat(event_type, ':', CAST(user_id AS VARCHAR)) AS env
+        FROM events ORDER BY event_id LIMIT 100
+    """,
+    "dq05_route_fanout": """
+        SELECT event_type, count(*) AS n FROM events
+        GROUP BY event_type ORDER BY event_type
+    """,
+    "dq06_max_offset": """
+        SELECT user_id % 16 AS part, max(event_id) AS max_off
+        FROM events GROUP BY 1 ORDER BY 1
+    """,
+    "dq07_zone_map": """
+        SELECT min(l_shipdate) AS mn, max(l_shipdate) AS mx, count(*) AS n
+        FROM lineitem
+    """,
+    "dq08_hash_agg": """
+        SELECT l_returnflag, l_linestatus,
+               round(CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_qty,
+               round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_price,
+               round(CAST(sum(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) / count(*), 4) AS avg_disc,
+               count(*) AS n
+        FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    "dq09_distinct_agg": """
+        SELECT count(DISTINCT o_custkey) AS n FROM orders
+    """,
+    "dq10_rollup": """
+        SELECT o_orderpriority, o_orderstatus, count(*) AS n
+        FROM orders GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+        ORDER BY 1 NULLS FIRST, 2 NULLS FIRST
+    """,
+    "dq11_sum_cents": """
+        SELECT count(*) AS n,
+               CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS cents
+        FROM orders
+    """,
+    "dq12_join_dim": """
+        SELECT n_name, count(*) AS c
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY 1 ORDER BY 1
+    """,
+    "dq13_multi_join": """
+        SELECT o_orderkey,
+               round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE), 4) AS rev
+        FROM customer
+        JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        WHERE c_mktsegment = 'BUILDING'
+        GROUP BY o_orderkey ORDER BY rev DESC, o_orderkey LIMIT 10
+    """,
+    "dq14_semi_join": """
+        SELECT count(*) AS n FROM customer
+        WHERE c_custkey IN (SELECT o_custkey FROM orders)
+    """,
+    "dq14_anti_join": """
+        SELECT count(*) AS n FROM customer
+        WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+    """,
+    "dq15_outer_join": """
+        SELECT count(*) AS n
+        FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+        WHERE o.o_orderkey IS NULL
+    """,
+    "dq16_window": """
+        SELECT user_id, event_id, rnk FROM (
+          SELECT user_id, event_id,
+                 CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS INTEGER) AS rnk
+          FROM events)
+        WHERE rnk <= 2 ORDER BY user_id, rnk LIMIT 100
+    """,
+    "dq17_dedup_first": """
+        SELECT count(*) AS n FROM (
+          SELECT row_number() OVER (
+                   PARTITION BY user_id, date_trunc('second', ts)
+                   ORDER BY event_id) AS rn
+          FROM events) WHERE rn = 1
+    """,
+    "dq18_topk": """
+        SELECT o_orderkey, o_totalprice FROM orders
+        ORDER BY o_totalprice DESC, o_orderkey LIMIT 20
+    """,
+    "dq19_truncate": """
+        SELECT doc_id, substring(text, 1, 100) AS t
+        FROM documents ORDER BY doc_id LIMIT 50
+    """,
+    "dq20_safe_cast": """
+        SELECT count(*) AS n FROM events
+        WHERE try_cast(props AS DOUBLE) IS NULL
+    """,
+    "dq21_set_ops": """
+        SELECT c_nationkey FROM customer
+        INTERSECT
+        SELECT s_nationkey FROM supplier
+        ORDER BY 1
+    """,
+    "dq22_array_funcs": """
+        SELECT vec_id,
+               round(CAST(embedding[1] AS DOUBLE), 4) AS e0,
+               CAST(len(embedding) AS INTEGER) AS n_dims
+        FROM embeddings ORDER BY vec_id LIMIT 50
+    """,
+    "dq23_hash": """
+        SELECT count(DISTINCT hash(event_type)) AS n FROM events
+    """,
+    "dq24_scalars": """
+        SELECT upper(event_type) AS et,
+               CAST(length(event_type) AS INTEGER) AS len,
+               abs(value) > 0.5 AS big,
+               CAST(year(ts) AS INTEGER) AS yr
+        FROM events ORDER BY event_id LIMIT 100
+    """,
+    "dq25_udf_shape": """
+        SELECT lang,
+               round(CAST(sum(n_chars) AS DOUBLE) / count(*), 4) AS avg_chars,
+               count(*) AS n
+        FROM documents GROUP BY lang ORDER BY lang
+    """,
+}
