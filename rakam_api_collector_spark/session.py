@@ -53,6 +53,9 @@ def get_spark(app_name: str = "rakam_api_collector_spark",
         # headroom at sf0.1 while staying executor-safe at scale.
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.session.timeZone", "UTC")
+        # fixture events.parquet uses TIMESTAMP(NANOS); scan as BIGINT
+        # nanos and convert in tables.load_table (Spark has no nanos type).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # files: 128 MB split target — the parquet scan granularity that
         # keeps 100 TB ≈ 800k tasks, the sweet spot for 1000 executors.

@@ -8,6 +8,7 @@ footers carry the schema, Spark's catalog carries the views.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 TABLES = (
     "region", "nation", "customer", "supplier", "part",
@@ -16,8 +17,19 @@ TABLES = (
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Columnar parquet scan; Catalyst prunes columns / pushes filters."""
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    """Columnar parquet scan; Catalyst prunes columns / pushes filters.
+
+    ``events.parquet`` stores ``ts`` as parquet TIMESTAMP(NANOS), which
+    Spark's vectorized reader rejects. With
+    ``spark.sql.legacy.parquet.nanosAsLong=true`` (set in session.py) the
+    column scans as epoch-nanos BIGINT; ``ts div 1000`` floors to micros,
+    matching DuckDB's own nanos→micros truncation exactly (the fixture has
+    no sub-micro precision, so this is lossless).
+    """
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return df
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:
