@@ -1,0 +1,58 @@
+"""Benchmark harness: runs the full query registry at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric", "value", "unit", "queries": {name: sec}, "sf"}.
+
+The metric is total wall-clock over all registered queries (collect()
+included — the driver's 2× gate compares this against BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from rakam_api_collector_spark.session import get_spark
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+
+    import __spark_entry__ as entry_mod
+    qs = entry_mod.queries()
+
+    spark = get_spark("bench")
+    # JVM/codegen warm-up so q1 doesn't absorb startup cost.
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    timings: dict[str, float] = {}
+    total = 0.0
+    for name in sorted(qs):
+        t0 = time.perf_counter()
+        try:
+            qs[name](spark, sf_dir).collect()
+            dt = time.perf_counter() - t0
+        except Exception as e:  # a failing query must not kill the bench
+            print(f"bench: {name} failed: {e}", file=sys.stderr)
+            dt = float("nan")
+        timings[name] = round(dt, 4)
+        if dt == dt:
+            total += dt
+
+    print(json.dumps({
+        "metric": "query_suite_wall_sec",
+        "value": round(total, 4),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }))
+
+
+if __name__ == "__main__":
+    main()
