@@ -1,0 +1,186 @@
+"""Batch envelope ingestion: parse → route → infer → evolve → typed tables.
+
+The Spark-first re-expression of the reference's
+``MessageEventTransformer.createPageTable`` pipeline
+(JsonMessageEventTransformer.java:36-64, MessageEventTransformer.java:44-93):
+
+1. **Partial-parse route (D4)** — ``get_json_object`` pulls only
+   project/collection, the Jackson-level pruning the reference does in
+   KafkaDecoupleMessage.java:46-114.
+2. **Single typed parse (D1/D2)** — ``from_json(..., map<string,variant>)``
+   keeps JSON token types (number vs string vs bool) in a binary columnar
+   encoding; one JVM pass, no Python.
+3. **Key normalization** — lowercase fold with first-occurrence-wins via
+   ``map_from_entries(reverse(...))`` under LAST_WIN dedup (java:193,
+   249-256). Exact duplicate JSON keys are last-wins on the fast path
+   (Jackson collapses them before Spark sees the map); pass
+   ``first_wins_duplicates=True`` for reference-exact first-wins via an
+   Arrow-batched normalizer.
+4. **Inference (D5)** — only *first occurrences of unseen fields* ever
+   reach the driver (≤ one short row per new column per batch); the data
+   itself never collects.
+5. **Evolution (K5)** — catalog ``add_columns`` is add-only; the returned
+   order is authoritative and the output ``select`` follows it
+   (FabricJsonDeserializer.java:266-301), missing columns null-fill.
+6. **_shard_time (P1)** — injected as a per-batch constant
+   (PageReader.java:55-81); ``lit``/``current_timestamp`` folds to a
+   constant, the RLE-block analog.
+
+Scale: step 2 is one codegen'd projection over the raw bytes; the
+per-collection loop touches only metadata (the reference loops per table
+the same way). 100 collections → 100 DataFrames sharing one scan via
+cache or a partitioned write (sinks.py).
+"""
+
+from __future__ import annotations
+
+import json
+from collections.abc import Iterator
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from rakam_api_collector_spark.ingest.catalog import Catalog
+from rakam_api_collector_spark.ingest.rules import conversion_expr, infer_type
+
+# routing keys never become user columns (FabricJsonDeserializer.java:78,206)
+HIDDEN = ("_project", "_collection", "_shard_time")
+
+FORMATS = {
+    # {"project": p, "collection": c, "properties": {...}}
+    # (RakamJsonDeserializer.java:123-159); numeric _time → null (:363-377)
+    "rakam": {"project": "$.project", "collection": "$.collection",
+              "data": "$.properties", "numeric_timestamps": False},
+    # {"id":…, "metadata":{…}, "data": {"_project": p, "_collection": c, ...}}
+    # (FabricJsonDeserializer.java:62-79); numeric _time = epoch millis
+    "fabric": {"project": "$.data._project", "collection": "$.data._collection",
+               "data": "$.data", "numeric_timestamps": True},
+}
+
+
+def _first_wins_normalizer(df: DataFrame, col: str) -> DataFrame:
+    """Reference-exact duplicate-key semantics (first occurrence wins,
+    TestKafkaJsonDeserializer.java:76-93): re-serialize each JSON object
+    keeping the first value per lowercased key. Arrow-batched; only for
+    compat runs — the fast path never touches Python."""
+    def norm(batches: Iterator) -> Iterator:
+        for pdf in batches:
+            def fix(s):
+                if s is None:
+                    return None
+                try:
+                    pairs = json.loads(
+                        s, object_pairs_hook=lambda ps: ps)
+                except ValueError:
+                    return None
+                out: dict[str, Any] = {}
+                for k, val in pairs:
+                    out.setdefault(k.lower(), val)
+                return json.dumps(out)
+            pdf[col] = pdf[col].map(fix)
+            yield pdf
+    return df.mapInPandas(norm, df.schema)
+
+
+def ingest_batch(spark: SparkSession, raw: DataFrame, fmt: str,
+                 catalog: Catalog, value_col: str = "value",
+                 shard_time=None, first_wins_duplicates: bool = False,
+                 time_field: str = "_time",
+                 ) -> dict[tuple[str, str], DataFrame]:
+    """Ingest one batch of envelope JSON strings into typed, evolved
+    per-collection DataFrames keyed by (project, collection).
+
+    Parse errors and records missing project/collection are dropped —
+    the reference's log-and-skip poison-pill policy (ST11,
+    JsonMessageEventTransformer.java:44-60).
+    """
+    cfg = FORMATS[fmt]
+    spark.conf.set("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
+
+    routed = raw.select(
+        F.lower(F.get_json_object(value_col, cfg["project"])).alias("_project"),
+        F.get_json_object(value_col, cfg["collection"]).alias("_collection"),
+        F.get_json_object(value_col, cfg["data"]).alias("_data"),
+        F.monotonically_increasing_id().alias("_seq"),
+    ).filter(
+        F.col("_project").isNotNull() & F.col("_collection").isNotNull()
+        & (F.length("_collection") <= 100)     # java:95-103 validation
+        & F.col("_data").isNotNull())
+
+    if first_wins_duplicates:
+        routed = _first_wins_normalizer(routed, "_data")
+
+    # lowercase-fold keys, first case-variant wins (reverse + LAST_WIN)
+    parsed = routed.withColumn("_m", F.map_from_entries(F.reverse(F.expr(
+        "transform(map_entries(from_json(_data, 'map<string,variant>')),"
+        " e -> struct(lower(e.key) as key, e.value as value))"))))
+    # cached: the fan-out below re-reads this once per collection; callers
+    # unpersist via parsed.unpersist() on any returned frame's lineage or
+    # let it age out (sinks.write_collections handles it).
+    parsed = parsed.filter(F.col("_m").isNotNull()).cache()
+
+    pairs = [(r["_project"], r["_collection"]) for r in
+             parsed.select("_project", "_collection").distinct().collect()]
+    out: dict[tuple[str, str], DataFrame] = {}
+    for project, collection in sorted(pairs):
+        df_c = parsed.filter((F.col("_project") == project)
+                             & (F.col("_collection") == collection))
+        cols = catalog.get_columns(project, collection)
+        if cols is None:
+            cols = catalog.create_table(project, collection)
+        cols = _evolve(df_c, catalog, project, collection, cols, time_field)
+        out[(project, collection)] = _project_typed(
+            df_c, cols, cfg["numeric_timestamps"], shard_time)
+    return out
+
+
+def _evolve(df_c: DataFrame, catalog: Catalog, project: str, collection: str,
+            cols: list[T.StructField], time_field: str) -> list[T.StructField]:
+    """Discover unseen fields, infer from first non-null occurrence,
+    append via the catalog (add-only). Only first-occurrence samples are
+    collected — bounded by #new columns, not #rows."""
+    known = {f.name for f in cols} | set(HIDDEN)
+    # _m's entries are reversed (the first-wins normalization trick), so
+    # recover in-object encounter order as size-1-pos: column append order
+    # must match the record's field order (TestKafkaJsonDeserializer
+    # ordering pins).
+    ents = (df_c.select(
+                "_seq", F.size("_m").alias("_sz"),
+                F.posexplode(F.map_entries("_m")).alias("_rpos", "_e"))
+            .select("_seq",
+                    (F.col("_sz") - 1 - F.col("_rpos")).alias("_pos"),
+                    F.col("_e.key").alias("_key"),
+                    F.col("_e.value").alias("_val"))
+            .filter(~F.col("_key").isin(*known))
+            .filter(~F.expr("is_variant_null(_val)"))
+            .withColumn("_js", F.to_json("_val"))
+            .filter(~F.col("_js").isin("[]", "{}")))   # defer empties
+    firsts = (ents.groupBy("_key")
+              .agg(F.min_by("_js", F.struct("_seq", "_pos")).alias("_js"),
+                   F.min(F.struct("_seq", "_pos")).alias("_ord"))
+              .collect())
+    new_fields = []
+    for row in sorted(firsts, key=lambda r: (r["_ord"]["_seq"], r["_ord"]["_pos"])):
+        dtype = infer_type(json.loads(row["_js"]),
+                           is_time_field=(row["_key"] == time_field))
+        if dtype is not None:
+            new_fields.append(T.StructField(row["_key"], dtype))
+    if new_fields:
+        return catalog.add_columns(project, collection, new_fields)
+    return cols
+
+
+def _project_typed(df_c: DataFrame, cols: list[T.StructField],
+                   numeric_timestamps: bool, shard_time) -> DataFrame:
+    exprs = []
+    for f in cols:
+        if f.name == "_shard_time":
+            c = (F.lit(shard_time).cast("timestamp") if shard_time is not None
+                 else F.current_timestamp())   # constant-folded: RLE analog
+        else:
+            c = conversion_expr(F.element_at("_m", f.name), f.dataType,
+                                numeric_timestamps=numeric_timestamps)
+        exprs.append(c.alias(f.name))
+    return df_c.select(*exprs)

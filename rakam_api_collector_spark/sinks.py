@@ -1,0 +1,90 @@
+"""Sinks: columnar table writes + gzip NDJSON envelope export (§2.12).
+
+K1 (Raptor ORC page sink → RaptorDatabaseHandler.java:312-339) becomes a
+partitioned columnar write: parquet (default) or ORC with snappy, shard
+sizing via ``maxRecordsPerFile`` (the 1M-row shard cap analog,
+InMemoryOrcStorageManager.java:77,141-143). Zone-map min/max stats are
+parquet/ORC footer stats — free.
+
+K2 (S3 gzip NDJSON sink → S3DatabaseHandler.java:141-299) becomes
+``to_json`` envelope rows written as gzip text; object sizing via
+``maxRecordsPerFile``, UUID part filenames are Spark-native (F7).
+
+K5 (metadata writer) is the Catalog — add-only evolution recorded at
+ingest time; reads re-order to catalog order with null back-fill, which
+is exactly the reference's metastore-ordered remap
+(FabricJsonDeserializer.java:266-301).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from rakam_api_collector_spark.ingest.catalog import Catalog
+
+SHARD_MAX_ROWS = 1_000_000   # reference maxShardRows envelope (§6)
+
+
+def table_path(base: str, project: str, collection: str) -> str:
+    return f"{base}/{project}/{collection}"
+
+
+def write_collections(tables: dict[tuple[str, str], DataFrame], base: str,
+                      fmt: str = "parquet", partition_by_day: bool = True,
+                      max_records_per_file: int = SHARD_MAX_ROWS) -> None:
+    """Append each typed collection batch to its table directory,
+    day-partitioned on _time (R3's day index becomes physical layout —
+    partition pruning replaces the historical day→indexes map)."""
+    for (project, collection), df in tables.items():
+        out = df
+        if partition_by_day and "_time" in df.columns:
+            out = df.withColumn("_day", F.to_date("_time"))
+        writer = (out.write.mode("append").format(fmt)
+                  .option("compression", "snappy")
+                  .option("maxRecordsPerFile", max_records_per_file))
+        if partition_by_day and "_time" in df.columns:
+            writer = writer.partitionBy("_day")
+        writer.save(table_path(base, project, collection))
+
+
+def read_collection(spark: SparkSession, base: str, project: str,
+                    collection: str, catalog: Catalog) -> DataFrame:
+    """Read a collection re-projected to the catalog's authoritative
+    order; columns added after older files were written null-fill
+    (add-only evolution made this a pure metadata operation)."""
+    df = (spark.read.option("mergeSchema", "true")
+          .parquet(table_path(base, project, collection)))
+    cols = catalog.get_columns(project, collection) or []
+    exprs = []
+    for f in cols:
+        if f.name in df.columns:
+            exprs.append(F.col(f.name))
+        else:
+            exprs.append(F.lit(None).cast(f.dataType).alias(f.name))
+    return df.select(*exprs)
+
+
+def write_ndjson_envelope(df: DataFrame, project: str, collection: str,
+                          path: str,
+                          max_records_per_file: int = SHARD_MAX_ROWS) -> None:
+    """Gzip NDJSON export with the reference envelope
+    ``{"_time":…, "$schema": project, "$table": collection, "_user":…,
+    "properties": {non-null user fields}}`` (S3DatabaseHandler.java:149-221).
+    ``to_json`` drops null fields, reproducing the non-null-only
+    properties map (and F6's duplicate-key elimination — Spark maps are
+    already unique)."""
+    user_cols = [c for c in df.columns
+                 if c not in ("_time", "_user", "_shard_time")]
+    envelope = F.to_json(F.struct(
+        F.date_format("_time", "yyyy-MM-dd'T'HH:mm:ss.SSS").alias("_time"),
+        F.lit(project).alias("$schema"),
+        F.lit(collection).alias("$table"),
+        F.col("_user").alias("_user"),
+        F.struct(*[F.col(c) for c in user_cols]).alias("properties"),
+    ))
+    (df.select(envelope.alias("value"))
+       .write.mode("append")
+       .option("compression", "gzip")
+       .option("maxRecordsPerFile", max_records_per_file)
+       .text(path))

@@ -1,0 +1,11 @@
+"""Streaming lifecycle: micro-batch ingestion, late split, historical
+replay, stateful dedup (SURVEY.md §2.11).
+"""
+
+from rakam_api_collector_spark.streaming.latesplit import split_late
+from rakam_api_collector_spark.streaming.pipeline import (
+    start_historical_stream,
+    start_ingest_stream,
+)
+
+__all__ = ["split_late", "start_historical_stream", "start_ingest_stream"]

@@ -1,0 +1,143 @@
+"""Structured Streaming ingestion pipeline (§3.1 lifecycle, ST1-ST12).
+
+The reference's hand-rolled loop —
+``poll → BasicMemoryBuffer → classify → historical handoff → convert →
+MiddlewareBuffer → async commit → offset commit`` — collapses onto
+Spark Structured Streaming:
+
+- S1 poll + ST1 trigger → ``readStream`` + ``Trigger.ProcessingTime``
+  (15 s default, StreamConfig.java:14-15); size caps via
+  ``maxFilesPerTrigger`` / ``maxOffsetsPerTrigger``.
+- ST6 TTL dedup → ``withWatermark`` + ``dropDuplicatesWithinWatermark``
+  on the partial-parsed ``(_user, _time)`` key (Deduplicator.java:26-88;
+  the 1-month RocksDB TTL becomes the watermark delay, and the RocksDB
+  state store provider is the literal same engine).
+- ST3/ST4 late split → latesplit.split_late inside ``foreachBatch``;
+  the historical Kafka topic (K3) becomes a spool directory drained by a
+  second slow-trigger query (ST5/S2, KafkaHistoricalWorker.java:157-219).
+- R1 fan-out + K1/K5 → ingest_batch + write_collections per micro-batch.
+- ST7 checkpoint → ``checkpointLocation`` (stronger than the reference's
+  commitSync: file-sink commits are exactly-once).
+- ST8 backpressure / ST9 retry / ST10 limiter → Spark-native (unified
+  memory manager, task retries) — deliberately no custom code.
+
+The file source here stands in for Kafka: swap
+``spark.readStream.format("kafka")…selectExpr("CAST(value AS STRING)")``
+for the text source and nothing downstream changes. (No Kafka broker or
+connector jar ships in this environment, so the tested source is files —
+the semantics exercised are source-independent.)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from rakam_api_collector_spark.ingest.batch import FORMATS, ingest_batch
+from rakam_api_collector_spark.ingest.catalog import Catalog
+from rakam_api_collector_spark.sinks import write_collections
+from rakam_api_collector_spark.streaming.latesplit import split_late
+
+
+def _event_time_expr(fmt: str, time_field: str = "_time") -> Column:
+    """Partial-parse event time for watermarking/dedup (D4): only the
+    time field is extracted pre-parse (KafkaDecoupleMessage.java:46-114)."""
+    cfg = FORMATS[fmt]
+    root = cfg["data"].removeprefix("$.")
+    raw = F.get_json_object("value", f"$.{root}.{time_field}" if root
+                            else f"$.{time_field}")
+    if cfg["numeric_timestamps"]:
+        return (F.when(raw.rlike(r"^-?\d+$"),
+                       F.timestamp_millis(raw.cast("long")))
+                .otherwise(raw.try_cast("timestamp")))
+    return raw.try_cast("timestamp")
+
+
+def start_ingest_stream(spark: SparkSession, source_dir: str, fmt: str,
+                        catalog: Catalog, table_base: str, checkpoint: str,
+                        historical_dir: str | None = None,
+                        dedup: bool = True,
+                        dedup_ttl: str = "30 days",
+                        outdated_day_index: int = 1,
+                        now=None,
+                        trigger: dict | None = None,
+                        time_field: str = "_time",
+                        shard_time=None,
+                        max_files_per_trigger: int | None = None):
+    """Start the real-time ingestion query over a text-file source of
+    envelope JSON lines. Returns the StreamingQuery.
+
+    ``trigger`` defaults to availableNow (drain-and-stop, for tests);
+    pass {"processingTime": "15 seconds"} for the reference cadence.
+    """
+    reader = spark.readStream.format("text")
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    raw = reader.load(source_dir)
+
+    stream = raw.withColumn("_event_time", _event_time_expr(fmt, time_field))
+    if dedup:
+        # ST6: key = (_user, _time) (Deduplicator.java:26-88); records with
+        # a null key are never deduped (AvroDuplicateHandler.java:93-97) —
+        # a unique surrogate keeps them distinct.
+        cfg = FORMATS[fmt]
+        root = cfg["data"].removeprefix("$.")
+        user = F.get_json_object(
+            "value", f"$.{root}._user" if root else "$._user")
+        stream = (stream
+                  .withColumn("_dk_user", F.coalesce(
+                      user, F.concat(F.lit("\0nulluser\0"), F.expr("uuid()"))))
+                  .withColumn("_dk_time", F.coalesce(
+                      F.col("_event_time").cast("string"),
+                      F.concat(F.lit("\0nulltime\0"), F.expr("uuid()"))))
+                  .withWatermark("_event_time", dedup_ttl)
+                  .dropDuplicatesWithinWatermark(["_dk_user", "_dk_time"]))
+
+    def process(batch: DataFrame, epoch_id: int) -> None:
+        batch = batch.select("value", "_event_time").cache()
+        try:
+            rt, hist = split_late(batch, time_col="_event_time",
+                                  outdated_day_index=outdated_day_index,
+                                  now=now)
+            if historical_dir is not None:
+                # K3 historical handoff: raw envelopes spooled for the
+                # slow-cadence worker; written before the hot path commits,
+                # mirroring BatchRecords.java:44-67's gating.
+                hist.select("value").write.mode("append").text(historical_dir)
+                hot = rt
+            else:
+                hot = batch
+            tables = ingest_batch(spark, hot.select("value"), fmt, catalog,
+                                  shard_time=shard_time,
+                                  time_field=time_field)
+            write_collections(tables, table_base)
+        finally:
+            batch.unpersist()
+
+    writer = (stream.writeStream
+              .foreachBatch(process)
+              .option("checkpointLocation", checkpoint))
+    trig = trigger or {"availableNow": True}
+    return writer.trigger(**trig).start()
+
+
+def start_historical_stream(spark: SparkSession, historical_dir: str,
+                            fmt: str, catalog: Catalog, table_base: str,
+                            checkpoint: str, trigger: dict | None = None,
+                            time_field: str = "_time", shard_time=None):
+    """ST5: drain the historical spool in big, low-frequency batches
+    (reference: 30 min cadence or 500k-record lag,
+    KafkaHistoricalWorker.java:157-219) into the same tables — no late
+    split, no dedup (already done on the hot path)."""
+    raw = spark.readStream.format("text").load(historical_dir)
+
+    def process(batch: DataFrame, epoch_id: int) -> None:
+        tables = ingest_batch(spark, batch, fmt, catalog,
+                              shard_time=shard_time, time_field=time_field)
+        write_collections(tables, table_base)
+
+    writer = (raw.writeStream
+              .foreachBatch(process)
+              .option("checkpointLocation", checkpoint))
+    trig = trigger or {"availableNow": True}
+    return writer.trigger(**trig).start()

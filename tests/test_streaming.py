@@ -1,0 +1,177 @@
+"""Streaming lifecycle tests (ST1-ST7): late split + re-promotion,
+stateful dedup, end-state parity stream-vs-batch, historical replay.
+Mirrors the reference stress shape (KafkaStressTest.java:107-137) at
+test scale.
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+from pyspark.sql import functions as F
+
+from rakam_api_collector_spark.ingest import Catalog, ingest_batch
+from rakam_api_collector_spark.sinks import read_collection
+from rakam_api_collector_spark.streaming import (
+    split_late,
+    start_historical_stream,
+    start_ingest_stream,
+)
+from tests.test_ingest import fabric
+
+NOW = "2020-06-01"
+SHARD_T = "2020-06-01 00:00:00"
+
+
+# --- ST3/ST4 late split ------------------------------------------------------
+
+def _ts_df(spark, ts_list):
+    return spark.createDataFrame([(t,) for t in ts_list], ["_time"]) \
+        .select(F.col("_time").cast("timestamp"))
+
+
+def test_split_late_day_window(spark):
+    rt, hist = split_late(
+        _ts_df(spark, ["2020-06-01 10:00:00", "2020-05-31 09:00:00",
+                       "2020-05-29 08:00:00", None]),
+        now=NOW, outdated_day_index=1)
+    assert rt.count() == 2          # today + yesterday
+    assert hist.count() == 2        # old day + null time
+
+
+def test_split_late_repromotion(spark):
+    """An old day with >N records and >25% of the batch is a backfill
+    and stays real-time (KafkaRealTimeWorker.java:370-384)."""
+    old_bulk = ["2020-05-01 00:00:00"] * 30
+    fresh = ["2020-06-01 00:00:00"] * 10
+    stray = ["2020-04-01 00:00:00"] * 5
+    rt, hist = split_late(_ts_df(spark, old_bulk + fresh + stray),
+                          now=NOW, promote_min_records=20,
+                          promote_min_fraction=0.25)
+    assert rt.count() == 40         # fresh + promoted bulk day
+    assert hist.count() == 5        # stray old day below both thresholds
+
+
+# --- end-to-end stream -------------------------------------------------------
+
+def _write_lines(path: Path, lines: list[str], name: str = "batch.json"):
+    path.mkdir(parents=True, exist_ok=True)
+    (path / name).write_text("\n".join(lines) + "\n")
+
+
+def test_stream_end_state_matches_batch(spark, tmp_path):
+    """SURVEY §7 Phase 2 exit test: the streaming pipeline over the same
+    envelopes produces the same end state as batch ingest_batch."""
+    lines = [fabric("t", {"_time": "2020-06-01T10:00:0%d" % i,
+                          "_user": f"u{i}", "v": i}) for i in range(5)]
+    src = tmp_path / "src"
+    _write_lines(src, lines)
+
+    stream_cat = Catalog()
+    q = start_ingest_stream(
+        spark, str(src), "fabric", stream_cat,
+        table_base=str(tmp_path / "stream_tables"),
+        checkpoint=str(tmp_path / "ckpt"),
+        now=NOW, shard_time=SHARD_T, dedup=True)
+    q.awaitTermination(120)
+
+    batch_cat = Catalog()
+    raw = spark.createDataFrame([(ln,) for ln in lines], ["value"])
+    batch_out = ingest_batch(spark, raw, "fabric", batch_cat,
+                             shard_time=SHARD_T)
+
+    streamed = read_collection(spark, str(tmp_path / "stream_tables"),
+                               "testproject", "t", stream_cat) \
+        .drop("_day").orderBy("v")
+    batched = batch_out[("testproject", "t")].orderBy("v")
+    assert streamed.columns == batched.columns
+    assert [r.asDict() for r in streamed.collect()] == \
+           [r.asDict() for r in batched.collect()]
+
+
+def test_stream_dedup_drops_duplicate_user_time(spark, tmp_path):
+    """ST6: duplicate (_user, _time) keys are dropped across the stream;
+    null-keyed records are never deduped (AvroDuplicateHandler.java:93-97)."""
+    dup = fabric("t", {"_time": "2020-06-01T10:00:00", "_user": "u1", "v": 1})
+    nulls = fabric("t", {"_time": "2020-06-01T11:00:00", "v": 9})
+    lines = [dup, dup, dup, nulls, nulls,
+             fabric("t", {"_time": "2020-06-01T10:00:00", "_user": "u2",
+                          "v": 2})]
+    src = tmp_path / "src"
+    _write_lines(src, lines)
+
+    cat = Catalog()
+    q = start_ingest_stream(
+        spark, str(src), "fabric", cat,
+        table_base=str(tmp_path / "tables"),
+        checkpoint=str(tmp_path / "ckpt"),
+        now=NOW, shard_time=SHARD_T, dedup=True)
+    q.awaitTermination(120)
+
+    df = read_collection(spark, str(tmp_path / "tables"),
+                         "testproject", "t", cat)
+    # 3 dups → 1; u2 kept; 2 null-user records both kept
+    assert df.count() == 4
+    assert df.filter(F.col("_user") == "u1").count() == 1
+    assert df.filter(F.col("_user").isNull()).count() == 2
+
+
+def test_stream_late_split_spools_historical_and_replays(spark, tmp_path):
+    """ST3 + ST5: late records bypass the hot tables into the spool; the
+    historical worker then lands them in the same tables."""
+    fresh = fabric("t", {"_time": "2020-06-01T10:00:00", "_user": "a", "v": 1})
+    late = fabric("t", {"_time": "2020-01-15T10:00:00", "_user": "b", "v": 2})
+    src = tmp_path / "src"
+    _write_lines(src, [fresh, late])
+
+    cat = Catalog()
+    hist_dir = tmp_path / "hist"
+    hist_dir.mkdir()
+    q = start_ingest_stream(
+        spark, str(src), "fabric", cat,
+        table_base=str(tmp_path / "tables"),
+        checkpoint=str(tmp_path / "ckpt"),
+        historical_dir=str(hist_dir),
+        now=NOW, shard_time=SHARD_T, dedup=False)
+    q.awaitTermination(120)
+
+    hot = read_collection(spark, str(tmp_path / "tables"),
+                          "testproject", "t", cat)
+    assert [r["v"] for r in hot.collect()] == [1.0]
+
+    spooled = [json.loads(ln) for f in hist_dir.glob("*.txt")
+               for ln in f.read_text().splitlines()]
+    assert len(spooled) == 1 and spooled[0]["data"]["v"] == 2
+
+    q2 = start_historical_stream(
+        spark, str(hist_dir), "fabric", cat,
+        table_base=str(tmp_path / "tables"),
+        checkpoint=str(tmp_path / "ckpt_hist"), shard_time=SHARD_T)
+    q2.awaitTermination(120)
+
+    merged = read_collection(spark, str(tmp_path / "tables"),
+                             "testproject", "t", cat)
+    assert sorted(r["v"] for r in merged.collect()) == [1.0, 2.0]
+
+
+def test_stream_checkpoint_no_reprocessing(spark, tmp_path):
+    """ST7: restarting the query with the same checkpoint does not
+    re-ingest already-committed files; new files still flow."""
+    src = tmp_path / "src"
+    _write_lines(src, [fabric("t", {"_time": "2020-06-01T10:00:00",
+                                    "_user": "a", "v": 1})], "one.json")
+    cat = Catalog(path=str(tmp_path / "cat.json"))
+    kw = dict(table_base=str(tmp_path / "tables"),
+              checkpoint=str(tmp_path / "ckpt"),
+              now=NOW, shard_time=SHARD_T, dedup=False)
+    start_ingest_stream(spark, str(src), "fabric", cat, **kw) \
+        .awaitTermination(120)
+    _write_lines(src, [fabric("t", {"_time": "2020-06-01T11:00:00",
+                                    "_user": "b", "v": 2})], "two.json")
+    start_ingest_stream(spark, str(src), "fabric", cat, **kw) \
+        .awaitTermination(120)
+
+    df = read_collection(spark, str(tmp_path / "tables"),
+                         "testproject", "t", cat)
+    assert sorted(r["v"] for r in df.collect()) == [1.0, 2.0]
