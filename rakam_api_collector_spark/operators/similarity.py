@@ -1,0 +1,115 @@
+"""Embedding similarity search: exact top-k + LSH-bucketed ANN.
+
+Exact path: broadcast the (small) query set against the corpus — a
+broadcast nested-loop the optimizer keeps map-side, so the corpus is
+scanned once with no shuffle; per-pair cosine is a JVM ``zip_with`` +
+``aggregate`` fold (no UDF, stays in codegen). Top-k per query is a
+window over the (|queries| × k)-bounded candidate set.
+
+ANN path (the 100 TB design): random-hyperplane LSH (Charikar'02) —
+``tables`` independent hash tables of ``bits``-bit sign signatures;
+query and corpus bucket-join per table, exact cosine only within
+buckets. Recall for vectors at angle θ per table ≈ (1 - θ/π)^bits;
+multiple tables OR together. Hyperplanes are seeded-deterministic and
+shipped as literal arrays (broadcast-variable analog).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0.0), lambda acc, x: acc + x)
+
+
+def l2_norm(v: Column) -> Column:
+    return F.sqrt(F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def _as_double(col: str | Column) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.transform(c, lambda x: x.cast("double"))
+
+
+def cosine_topk(corpus: DataFrame, queries: DataFrame, id_col: str,
+                vec_col: str, k: int = 10,
+                exclude_self: bool = True) -> DataFrame:
+    """Exact brute-force cosine top-k: returns (q, neighbor, cos, rnk).
+    Vectors are cast float→double element-wise before arithmetic so
+    results are reproducible against double-precision oracles."""
+    c = corpus.select(F.col(id_col).alias("neighbor"),
+                      _as_double(vec_col).alias("_cv"))
+    q = queries.select(F.col(id_col).alias("q"),
+                       _as_double(vec_col).alias("_qv"))
+    pairs = c.join(F.broadcast(q),
+                   F.col("neighbor") != F.col("q") if exclude_self
+                   else F.lit(True))
+    scored = pairs.select(
+        "q", "neighbor", cosine(F.col("_qv"), F.col("_cv")).alias("cos"))
+    w = Window.partitionBy("q").orderBy(F.desc("cos"), F.asc("neighbor"))
+    return (scored.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= k))
+
+
+def random_hyperplanes(dim: int, bits: int, tables: int,
+                       seed: int = 42) -> list[list[list[float]]]:
+    """Deterministic Gaussian hyperplanes [tables][bits][dim]."""
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((tables, bits, dim)).tolist()
+
+
+def _bucket_expr(vec: Column, planes: list[list[float]]) -> Column:
+    """Sign-bit signature of ``vec`` against one table's hyperplanes,
+    packed into a long."""
+    bits = []
+    for i, plane in enumerate(planes):
+        p = F.array(*[F.lit(float(x)) for x in plane])
+        bits.append(F.when(dot(vec, p) >= 0,
+                           F.shiftleft(F.lit(1).cast("long"), i))
+                    .otherwise(F.lit(0).cast("long")))
+    out = F.lit(0).cast("long")
+    for b in bits:
+        out = out.bitwiseOR(b)
+    return out
+
+
+def ann_lsh_topk(corpus: DataFrame, queries: DataFrame, id_col: str,
+                 vec_col: str, k: int = 10, bits: int = 12,
+                 tables: int = 8, dim: int | None = None,
+                 seed: int = 42, exclude_self: bool = True) -> DataFrame:
+    """Approximate top-k: per-table signature bucket join, exact cosine
+    on candidates only. Corpus signatures are one narrow projection —
+    at scale they'd be precomputed and bucket-partitioned on write."""
+    if dim is None:
+        dim = len(corpus.select(vec_col).first()[0])
+    planes = random_hyperplanes(dim, bits, tables, seed)
+
+    def sigs(df: DataFrame, idname: str) -> DataFrame:
+        v = _as_double(vec_col)
+        table_arr = F.array(*[
+            F.struct(F.lit(t).alias("tbl"),
+                     _bucket_expr(v, planes[t]).alias("sig"))
+            for t in range(tables)])
+        return (df.select(F.col(id_col).alias(idname), v.alias(f"_{idname}v"),
+                          F.explode(table_arr).alias("_t"))
+                .select(idname, f"_{idname}v", "_t.tbl", "_t.sig"))
+
+    cs, qs = sigs(corpus, "neighbor"), sigs(queries, "q")
+    cand = (cs.join(F.broadcast(qs), ["tbl", "sig"])
+            .filter(F.col("neighbor") != F.col("q") if exclude_self
+                    else F.lit(True))
+            .select("q", "_qv", "neighbor", "_neighborv")
+            .distinct())
+    scored = cand.select(
+        "q", "neighbor", cosine(F.col("_qv"), F.col("_neighborv")).alias("cos"))
+    w = Window.partitionBy("q").orderBy(F.desc("cos"), F.asc("neighbor"))
+    return (scored.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= k))

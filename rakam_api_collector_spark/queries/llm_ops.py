@@ -22,6 +22,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from rakam_api_collector_spark.operators import dedup as D
+from rakam_api_collector_spark.operators import multimodal as M
+from rakam_api_collector_spark.operators import similarity as S
 from rakam_api_collector_spark.operators import text as T
 from rakam_api_collector_spark.tables import load_table
 
@@ -91,6 +94,122 @@ def llm06_quality(spark: SparkSession, sf: str) -> DataFrame:
             .orderBy("source"))
 
 
+# --- deduplication -----------------------------------------------------------
+# The fixture corpus has no natural near-dups (max 3-gram Jaccard ≈ 0.03),
+# so the dedup queries build a deterministic perturbed corpus both engines
+# can construct identically: originals (doc_id < 120) ∪ copies with the
+# first two tokens dropped (doc_id + 10000) — each copy is ≈0.9-Jaccard
+# similar to its original.
+
+_PERTURB_LIMIT = 120
+_JACCARD_T = 0.5
+
+
+def _perturbed_corpus(spark: SparkSession, sf: str) -> DataFrame:
+    docs = (load_table(spark, sf, "documents")
+            .filter(F.col("doc_id") < _PERTURB_LIMIT)
+            .select("doc_id", "text"))
+    toks = T.tokens(F.col("text"))
+    pert = docs.select(
+        (F.col("doc_id") + 10000).alias("doc_id"),
+        F.array_join(F.slice(toks, 3, F.greatest(F.size(toks) - 2, F.lit(0))),
+                     " ").alias("text"))
+    return docs.unionByName(pert)
+
+
+def llm07_exact_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact dedup (hash groupBy, first-id-wins) on a corpus where every
+    text appears twice: originals survive (operators/dedup.py:exact_dedup)."""
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    doubled = docs.unionByName(
+        docs.select((F.col("doc_id") + 10000).alias("doc_id"), "text"))
+    kept = D.exact_dedup(doubled, ["text"], order_cols=["doc_id"])
+    return kept.agg(F.count("*").alias("n"),
+                    F.sum("doc_id").alias("id_sum"))
+
+
+def llm08_jaccard_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact n-gram-Jaccard near-dup pairs via inverted-index join —
+    never all-pairs (operators/dedup.py:ngram_jaccard_pairs)."""
+    corpus = _perturbed_corpus(spark, sf)
+    return (D.ngram_jaccard_pairs(corpus, "doc_id", "text",
+                                  n=3, threshold=_JACCARD_T)
+            .select("a", "b", F.round("jac", 4).alias("jac"))
+            .orderBy("a", "b"))
+
+
+def llm09_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
+    """MinHash-LSH banded bucket join + exact verification; output equals
+    the exact pair set (miss probability ≈ 1e-8 at these parameters), so
+    it shares llm08's oracle (operators/dedup.py:minhash_lsh_pairs)."""
+    corpus = _perturbed_corpus(spark, sf)
+    return (D.minhash_lsh_pairs(corpus, "doc_id", "text",
+                                n=3, threshold=_JACCARD_T,
+                                num_perm=128, bands=64)
+            .select("a", "b", F.round("jac", 4).alias("jac"))
+            .orderBy("a", "b"))
+
+
+def llm10_simhash(spark: SparkSession, sf: str) -> DataFrame:
+    """SimHash chunk-banded candidates (engine-specific hash values → no
+    SQL oracle; determinism pinned in tests/test_llm_ops.py). Returns
+    perturbed-pair candidates at Hamming ≤ 16."""
+    corpus = _perturbed_corpus(spark, sf)
+    return (D.simhash_candidates(corpus, "doc_id", "text")
+            .filter(F.col("hamming") <= 16)
+            .orderBy("a", "b"))
+
+
+# --- similarity search -------------------------------------------------------
+
+def llm11_knn_cosine(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact brute-force cosine top-10 for 5 query vectors: broadcast
+    nested-loop + JVM fold dot product (operators/similarity.py)."""
+    emb = load_table(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return (S.cosine_topk(emb, queries, "vec_id", "embedding", k=10)
+            .select("q", "neighbor", "rnk",
+                    F.round("cos", 4).alias("cos"))
+            .orderBy("q", "rnk"))
+
+
+def llm12_ann_lsh(spark: SparkSession, sf: str) -> DataFrame:
+    """Random-hyperplane LSH ANN (the 100 TB path; recall < 1 by design →
+    no SQL oracle; recall vs exact is pinned in tests/test_llm_ops.py)."""
+    emb = load_table(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return (S.ann_lsh_topk(emb, queries, "vec_id", "embedding",
+                           k=10, bits=6, tables=12)
+            .select("q", "neighbor", "rnk", F.round("cos", 4).alias("cos"))
+            .orderBy("q", "rnk"))
+
+
+# --- multimodal --------------------------------------------------------------
+
+def llm13_multimodal_meta(spark: SparkSession, sf: str) -> DataFrame:
+    """Binary payload + metadata struct plumbing: byte length through the
+    blob column (operators/multimodal.py:attach_blob)."""
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    blobbed = M.attach_blob(docs, "text")
+    return (blobbed.select("doc_id",
+                           F.col("meta.n_bytes").alias("n_bytes"),
+                           F.col("meta.mime").alias("mime"))
+            .orderBy("doc_id").limit(200))
+
+
+def llm14_decode_features(spark: SparkSession, sf: str) -> DataFrame:
+    """Arrow-batched mapInPandas feature extraction; feature[0] is the
+    payload byte length, which the oracle recomputes — the Python batch
+    path itself is what's under test (operators/multimodal.py)."""
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    blobbed = M.attach_blob(docs, "text")
+    feats = M.decode_features(blobbed, "doc_id")
+    return (feats.select(F.col("id").alias("doc_id"),
+                         F.element_at("features", 1).alias("f_len"),
+                         F.element_at("features", 2).alias("f_first"))
+            .orderBy("doc_id").limit(200))
+
+
 QUERIES = {
     "llm01_token_count": llm01_token_count,
     "llm02_ttr": llm02_ttr,
@@ -98,11 +217,51 @@ QUERIES = {
     "llm04_lang_id": llm04_lang_id,
     "llm05_fingerprint": llm05_fingerprint,
     "llm06_quality": llm06_quality,
+    "llm07_exact_dedup": llm07_exact_dedup,
+    "llm08_jaccard_pairs": llm08_jaccard_pairs,
+    "llm09_minhash_lsh": llm09_minhash_lsh,
+    "llm10_simhash": llm10_simhash,
+    "llm11_knn_cosine": llm11_knn_cosine,
+    "llm12_ann_lsh": llm12_ann_lsh,
+    "llm13_multimodal_meta": llm13_multimodal_meta,
+    "llm14_decode_features": llm14_decode_features,
 }
 
 _SW = {k: ", ".join(f"'{w}'" for w in v) for k, v in T.STOPWORDS.items()}
 _HITS = {k: f"len(list_filter(t, x -> list_contains([{v}], x)))"
          for k, v in _SW.items()}
+
+# DuckDB mirror of the perturbed near-dup corpus + 3-gram shingle sets
+_DUCK_CORPUS = f"""
+  base AS (SELECT doc_id, text FROM documents WHERE doc_id < {_PERTURB_LIMIT}),
+  btoks AS (SELECT doc_id, {_DUCK_TOKS} AS t FROM base),
+  corpus AS (
+    SELECT doc_id, text FROM base
+    UNION ALL
+    SELECT doc_id + 10000 AS doc_id,
+           array_to_string(list_slice(t, 3, len(t)), ' ') AS text
+    FROM btoks),
+  ctoks AS (SELECT doc_id, {_DUCK_TOKS} AS t FROM corpus),
+  shingles AS (
+    SELECT doc_id,
+           CASE WHEN len(t) >= 3
+                THEN list_distinct(list_transform(
+                       generate_series(1, len(t) - 2),
+                       i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+                ELSE [array_to_string(t, ' ')] END AS s
+    FROM ctoks)
+"""
+
+_DUCK_JACCARD_PAIRS = f"""
+    WITH {_DUCK_CORPUS}
+    SELECT a.doc_id AS a, b.doc_id AS b,
+           round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                 / len(list_distinct(list_concat(a.s, b.s))), 4) AS jac
+    FROM shingles a JOIN shingles b ON a.doc_id < b.doc_id
+    WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+          / len(list_distinct(list_concat(a.s, b.s))) >= {_JACCARD_T}
+    ORDER BY a, b
+"""
 
 ORACLE = {
     "llm01_token_count": f"""
@@ -155,5 +314,49 @@ ORACLE = {
                round(CAST(sum(CAST(sw_ratio AS DECIMAL(18,9))) AS DOUBLE) / count(*), 4) AS avg_sw_ratio,
                count(*) AS n
         FROM per_doc GROUP BY source ORDER BY source
+    """,
+    "llm07_exact_dedup": """
+        WITH doubled AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL
+          SELECT doc_id + 10000 AS doc_id, text FROM documents),
+        kept AS (SELECT min(doc_id) AS doc_id FROM doubled GROUP BY text)
+        SELECT count(*) AS n, sum(doc_id) AS id_sum FROM kept
+    """,
+    "llm08_jaccard_pairs": _DUCK_JACCARD_PAIRS,
+    # llm09 shares llm08's oracle: the LSH+verify output equals the exact
+    # pair set at these band parameters (miss prob ≈ 1e-8).
+    "llm09_minhash_lsh": _DUCK_JACCARD_PAIRS,
+    # llm10_simhash / llm12_ann_lsh: engine-specific hash family / recall
+    # < 1 — deliberately no SQL oracle (driver records rows-only; accuracy
+    # pinned in tests/test_llm_ops.py instead).
+    "llm11_knn_cosine": """
+        WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5),
+        scored AS (
+          SELECT q.vec_id AS q, e.vec_id AS neighbor,
+                 list_cosine_similarity(
+                   CAST(q.embedding AS DOUBLE[]),
+                   CAST(e.embedding AS DOUBLE[])) AS cos
+          FROM q JOIN embeddings e ON e.vec_id <> q.vec_id),
+        ranked AS (
+          SELECT q, neighbor,
+                 CAST(row_number() OVER (PARTITION BY q
+                       ORDER BY cos DESC, neighbor) AS INTEGER) AS rnk,
+                 round(cos, 4) AS cos
+          FROM scored)
+        SELECT q, neighbor, rnk, cos FROM ranked
+        WHERE rnk <= 10 ORDER BY q, rnk
+    """,
+    "llm13_multimodal_meta": """
+        SELECT doc_id,
+               CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+               'text/plain' AS mime
+        FROM documents ORDER BY doc_id LIMIT 200
+    """,
+    "llm14_decode_features": """
+        SELECT doc_id,
+               CAST(octet_length(encode(text)) AS DOUBLE) AS f_len,
+               CAST(ascii(substring(text, 1, 1)) AS DOUBLE) AS f_first
+        FROM documents ORDER BY doc_id LIMIT 200
     """,
 }

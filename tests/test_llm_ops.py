@@ -1,0 +1,110 @@
+"""Accuracy pins for the non-oracle LLM-pipeline operators.
+
+llm10 (SimHash) and llm12 (ANN-LSH) deliberately have no SQL oracle —
+their hash families are engine-specific and recall < 1 by design.  These
+tests pin what the oracle can't: determinism across runs, candidate
+recall against the exact computation, and the mapInPandas batch path.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from rakam_api_collector_spark.operators import dedup as D
+from rakam_api_collector_spark.operators import multimodal as M
+from rakam_api_collector_spark.operators import similarity as S
+from rakam_api_collector_spark.tables import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    """Originals ∪ near-dup perturbations (first two tokens dropped) —
+    the same construction as queries/llm_ops.py:_perturbed_corpus."""
+    from rakam_api_collector_spark.operators.text import tokens
+    docs = (load_table(spark, SF, "documents")
+            .filter(F.col("doc_id") < 40).select("doc_id", "text"))
+    t = tokens(F.col("text"))
+    pert = docs.select(
+        (F.col("doc_id") + 10000).alias("doc_id"),
+        F.array_join(F.slice(t, 3, F.greatest(F.size(t) - 2, F.lit(0))),
+                     " ").alias("text"))
+    return docs.unionByName(pert).cache()
+
+
+def test_minhash_lsh_equals_exact(spark, corpus):
+    exact = {(r.a, r.b) for r in
+             D.ngram_jaccard_pairs(corpus, "doc_id", "text",
+                                   n=3, threshold=0.5).collect()}
+    lsh = {(r.a, r.b) for r in
+           D.minhash_lsh_pairs(corpus, "doc_id", "text", n=3,
+                               threshold=0.5, num_perm=128,
+                               bands=64).collect()}
+    # r=2, b=64 → miss prob at s=0.5 is (1 - 0.25)^64 ≈ 1e-8: equality.
+    assert lsh == exact
+    # every planted perturbation pair must be found (plus any natural dups)
+    assert {(i, i + 10000) for i in range(40)} <= exact
+
+
+def test_simhash_deterministic_and_recall(spark, corpus):
+    c1 = {(r.a, r.b) for r in
+          D.simhash_candidates(corpus, "doc_id", "text")
+          .filter(F.col("hamming") <= 16).collect()}
+    c2 = {(r.a, r.b) for r in
+          D.simhash_candidates(corpus, "doc_id", "text")
+          .filter(F.col("hamming") <= 16).collect()}
+    assert c1 == c2  # xxhash64-based: same input → same candidates
+    # pigeonhole contract: any pair at true Hamming ≤ chunks-1 (=3) shares
+    # a 16-bit chunk and MUST surface.  (Short docs where dropping two
+    # tokens moves >20% of the weight legitimately drift past the band.)
+    sh = {r.doc_id: r.sh for r in corpus.select(
+        "doc_id", D.simhash64(F.col("text")).alias("sh")).collect()}
+    guaranteed = {(i, i + 10000) for i in range(40)
+                  if bin(sh[i] ^ sh[i + 10000]).count("1") <= 3}
+    assert len(guaranteed) >= 20  # corpus sanity: perturbation is mild
+    assert guaranteed <= c1
+
+
+def test_ann_lsh_recall_vs_exact(spark):
+    emb = load_table(spark, SF, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    exact = {(r.q, r.neighbor) for r in
+             S.cosine_topk(emb, queries, "vec_id", "embedding",
+                           k=5).collect()}
+    # bits sized to corpus: 2^4 buckets over 500 vectors keeps candidate
+    # lists fat enough for high recall (measured 0.90 here; bits grows
+    # with log(corpus) at scale, trading recall per table for tables).
+    ann = {(r.q, r.neighbor) for r in
+           S.ann_lsh_topk(emb, queries, "vec_id", "embedding",
+                          k=5, bits=4, tables=16).collect()}
+    recall = len(ann & exact) / len(exact)
+    assert recall >= 0.7, f"ANN recall {recall:.2f} below floor"
+
+
+def test_ann_lsh_deterministic(spark):
+    emb = load_table(spark, SF, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    runs = [tuple(sorted((r.q, r.neighbor, r.rnk) for r in
+                         S.ann_lsh_topk(emb, queries, "vec_id",
+                                        "embedding", k=5, bits=6,
+                                        tables=12).collect()))
+            for _ in range(2)]
+    assert runs[0] == runs[1]
+
+
+def test_decode_features_batch_path(spark):
+    docs = (load_table(spark, SF, "documents")
+            .filter(F.col("doc_id") < 50).select("doc_id", "text"))
+    blobbed = M.attach_blob(docs, "text")
+    feats = {r.id: r.features for r in
+             M.decode_features(blobbed, "doc_id").collect()}
+    raw = {r.doc_id: r.text for r in docs.collect()}
+    assert set(feats) == set(raw)
+    for did, text in raw.items():
+        b = text.encode("utf-8")
+        f = feats[did]
+        assert len(f) == M.FEATURE_DIM
+        assert f[0] == float(len(b)) and f[1] == float(b[0])
+        assert f[5] == float(min(b)) and f[6] == float(max(b))
