@@ -68,6 +68,10 @@ def ngram_jaccard_pairs(docs: DataFrame, id_col: str, text_col: str,
         freq = (sh.groupBy("_sh").agg(F.count("*").alias("_f"))
                 .filter(F.col("_f") <= max_shingle_freq).select("_sh"))
         sh = sh.join(freq, "_sh")
+    # the inverted index feeds three branches (self-join ×2 + sizes);
+    # materialize once instead of re-tokenizing per branch
+    sh = sh.cache()
+    sh.count()
     sizes = sh.groupBy("_id").agg(F.count("*").alias("_sz"))
 
     a, b = sh.alias("a"), sh.alias("b")
@@ -84,15 +88,25 @@ def ngram_jaccard_pairs(docs: DataFrame, id_col: str, text_col: str,
             .select(F.col("ia").alias("a"), F.col("ib").alias("b"), "jac"))
 
 
-def minhash_signature(text: Column, num_perm: int = 128,
-                      n: int = 3) -> Column:
-    """num_perm MinHash values: min over shingles of xxhash64(seed, sh)
-    per seeded permutation — one nested JVM transform, no UDF."""
-    sh = token_shingles(text, n)
-    seeds = F.array(*[F.lit(i) for i in range(num_perm)])
-    return F.transform(
-        seeds, lambda s: F.array_min(
-            F.transform(sh, lambda x: F.xxhash64(s, x))))
+def minhash_signatures(docs: DataFrame, id_col: str, text_col: str,
+                       num_perm: int = 128, n: int = 3) -> DataFrame:
+    """(_id, _shset, _sig): per-doc shingle set + num_perm MinHash values.
+
+    Shingles are exploded once and each permutation is a
+    ``min(xxhash64(seed, shingle))`` aggregate — num_perm partial-min
+    aggregations in a single scan with map-side combine (shuffles one
+    row of num_perm longs per doc), instead of num_perm array passes
+    inside one giant codegen'd expression."""
+    sh = docs.select(F.col(id_col).alias("_id"),
+                     F.explode(token_shingles(F.col(text_col), n))
+                     .alias("_sh"))
+    aggs = [F.min(F.xxhash64(F.lit(i), "_sh")).alias(f"_h{i}")
+            for i in range(num_perm)]
+    return (sh.groupBy("_id")
+            .agg(F.collect_set("_sh").alias("_shset"), *aggs)
+            .select("_id", "_shset",
+                    F.array(*[f"_h{i}" for i in range(num_perm)])
+                    .alias("_sig")))
 
 
 def minhash_lsh_pairs(docs: DataFrame, id_col: str, text_col: str,
@@ -106,13 +120,12 @@ def minhash_lsh_pairs(docs: DataFrame, id_col: str, text_col: str,
     overwhelming probability while never forming the cross product.
     """
     r = num_perm // bands
-    # cached: referenced three times below (buckets + both verify sides);
-    # at corpus scale this materialization is the "signature table" you'd
-    # persist anyway.
-    sig = docs.select(F.col(id_col).alias("_id"),
-                      token_shingles(F.col(text_col), n).alias("_shset"),
-                      minhash_signature(F.col(text_col), num_perm, n)
-                      .alias("_sig")).cache()
+    # eagerly materialized: referenced four times below (both bucket-join
+    # sides + both verify sides), and a lazy cache would let every branch
+    # recompute the signature lineage on the first action. At corpus
+    # scale this is the signature table you'd persist to storage anyway.
+    sig = minhash_signatures(docs, id_col, text_col, num_perm, n).cache()
+    sig.count()
     band_arr = F.array(*[
         F.struct(F.lit(bi).alias("band"),
                  F.xxhash64(F.slice("_sig", bi * r + 1, r)).alias("bh"))
@@ -175,7 +188,8 @@ def simhash_candidates(docs: DataFrame, id_col: str, text_col: str,
                  .bitwiseAND(F.lit((1 << w) - 1)).alias("ck"))
         for ci in range(chunks)])
     buckets = (sh.select("_id", "_sh", F.explode(chunk_arr).alias("_c"))
-               .select("_id", "_sh", "_c.chunk", "_c.ck"))
+               .select("_id", "_sh", "_c.chunk", "_c.ck")).cache()
+    buckets.count()   # the 64-aggregate simhash runs once, not per side
     a, b = buckets.alias("a"), buckets.alias("b")
     return (a.join(b, (F.col("a.chunk") == F.col("b.chunk"))
                    & (F.col("a.ck") == F.col("b.ck"))

@@ -66,19 +66,28 @@ def random_hyperplanes(dim: int, bits: int, tables: int,
     return rng.standard_normal((tables, bits, dim)).tolist()
 
 
-def _bucket_expr(vec: Column, planes: list[list[float]]) -> Column:
-    """Sign-bit signature of ``vec`` against one table's hyperplanes,
-    packed into a long."""
-    bits = []
-    for i, plane in enumerate(planes):
-        p = F.array(*[F.lit(float(x)) for x in plane])
-        bits.append(F.when(dot(vec, p) >= 0,
-                           F.shiftleft(F.lit(1).cast("long"), i))
-                    .otherwise(F.lit(0).cast("long")))
-    out = F.lit(0).cast("long")
-    for b in bits:
-        out = out.bitwiseOR(b)
-    return out
+def _signatures_udf(planes_flat: "np.ndarray", tables: int, bits: int):
+    """Arrow-batched sign-signature computation: one numpy matmul per
+    batch ((batch × dim) @ (dim × tables·bits)), sign bits packed into
+    one long per table. ~1000× fewer expression nodes than unrolled JVM
+    folds, and the matmul is the realistic vectorized path at scale."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    weights = np.ascontiguousarray(planes_flat.T)      # (dim, tables*bits)
+    packer = (1 << np.arange(bits, dtype=np.int64))    # bit i ← plane i
+
+    def sigs(vecs):
+        m = np.asarray(vecs.tolist(), dtype=np.float64)      # (n, dim)
+        signs = (m @ weights) >= 0                           # (n, t*b)
+        per_tbl = signs.reshape(len(m), tables, bits)
+        packed = (per_tbl * packer).sum(axis=2)              # (n, tables)
+        return pd.Series(list(packed))
+
+    # `from __future__ import annotations` stringifies hints, which
+    # pandas_udf's signature inspection rejects — attach real objects.
+    sigs.__annotations__ = {"vecs": pd.Series, "return": pd.Series}
+    return pandas_udf(sigs, "array<long>")
 
 
 def ann_lsh_topk(corpus: DataFrame, queries: DataFrame, id_col: str,
@@ -90,17 +99,15 @@ def ann_lsh_topk(corpus: DataFrame, queries: DataFrame, id_col: str,
     at scale they'd be precomputed and bucket-partitioned on write."""
     if dim is None:
         dim = len(corpus.select(vec_col).first()[0])
-    planes = random_hyperplanes(dim, bits, tables, seed)
+    planes = np.asarray(random_hyperplanes(dim, bits, tables, seed))
+    sig_udf = _signatures_udf(planes.reshape(tables * bits, dim),
+                              tables, bits)
 
     def sigs(df: DataFrame, idname: str) -> DataFrame:
         v = _as_double(vec_col)
-        table_arr = F.array(*[
-            F.struct(F.lit(t).alias("tbl"),
-                     _bucket_expr(v, planes[t]).alias("sig"))
-            for t in range(tables)])
-        return (df.select(F.col(id_col).alias(idname), v.alias(f"_{idname}v"),
-                          F.explode(table_arr).alias("_t"))
-                .select(idname, f"_{idname}v", "_t.tbl", "_t.sig"))
+        return df.select(F.col(id_col).alias(idname),
+                         v.alias(f"_{idname}v"),
+                         F.posexplode(sig_udf(v)).alias("tbl", "sig"))
 
     cs, qs = sigs(corpus, "neighbor"), sigs(queries, "q")
     cand = (cs.join(F.broadcast(qs), ["tbl", "sig"])

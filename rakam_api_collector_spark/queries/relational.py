@@ -281,6 +281,42 @@ def dq25_udf_shape(spark: SparkSession, sf: str) -> DataFrame:
             .orderBy("lang"))
 
 
+def dq26_epoch_conversions(spark: SparkSession, sf: str) -> DataFrame:
+    """F2 epoch-day / epoch-millis conversions (KafkaRealTimeWorker.java:333,
+    KafkaDecoupleMessage.java:113: dayIndex = epochMillis / 86_400_000)."""
+    return (load_table(spark, sf, "events")
+            .orderBy("event_id").limit(100)
+            .select("event_id",
+                    F.unix_millis("ts").alias("ep_ms"),
+                    (F.unix_millis("ts") / F.lit(86_400_000))
+                    .cast("long").alias("day_idx"),
+                    F.datediff(F.to_date("ts"), F.lit("2024-01-01"))
+                    .alias("day_diff")))
+
+
+def dq27_json_encode(spark: SparkSession, sf: str) -> DataFrame:
+    """F3 JSON re-encode of nested values (FabricJsonDeserializer.java:
+    424,442,477: non-scalars inside maps/arrays serialize to JSON text).
+    Parse props, re-encode a constructed nested struct deterministically."""
+    ev = load_table(spark, sf, "events").orderBy("event_id").limit(100)
+    k = F.get_json_object("props", "$.k").cast("long")
+    return ev.select(
+        "event_id",
+        F.to_json(F.struct(k.alias("k"),
+                           F.array(k, k + 1).alias("ks"))).alias("js"))
+
+
+def dq28_date_format(spark: SparkSession, sf: str) -> DataFrame:
+    """F4 sink-side timestamp formatting (S3DatabaseHandler.java:72,240-243:
+    BASIC_ISO_DATE object keys + ISO-instant envelope strings)."""
+    return (load_table(spark, sf, "events")
+            .orderBy("event_id").limit(100)
+            .select("event_id",
+                    F.date_format("ts", "yyyyMMdd").alias("basic_iso"),
+                    F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss.SSS")
+                    .alias("iso_ts")))
+
+
 QUERIES = {
     "dq01_projection": dq01_projection,
     "dq02_whitelist": dq02_whitelist,
@@ -308,6 +344,9 @@ QUERIES = {
     "dq23_hash": dq23_hash,
     "dq24_scalars": dq24_scalars,
     "dq25_udf_shape": dq25_udf_shape,
+    "dq26_epoch_conversions": dq26_epoch_conversions,
+    "dq27_json_encode": dq27_json_encode,
+    "dq28_date_format": dq28_date_format,
 }
 
 # DuckDB oracle SQL — identical aliases & result types by construction.
@@ -443,5 +482,27 @@ ORACLE = {
                round(CAST(sum(n_chars) AS DOUBLE) / count(*), 4) AS avg_chars,
                count(*) AS n
         FROM documents GROUP BY lang ORDER BY lang
+    """,
+    "dq26_epoch_conversions": """
+        SELECT event_id,
+               epoch_ms(ts) AS ep_ms,
+               epoch_ms(ts) // 86400000 AS day_idx,
+               CAST(datediff('day', DATE '2024-01-01', CAST(ts AS DATE))
+                    AS INTEGER) AS day_diff
+        FROM events ORDER BY event_id LIMIT 100
+    """,
+    "dq27_json_encode": """
+        SELECT event_id,
+               concat('{"k":', k, ',"ks":[', k, ',', k + 1, ']}') AS js
+        FROM (SELECT event_id,
+                     CAST(json_extract(props, '$.k') AS BIGINT) AS k
+              FROM events ORDER BY event_id LIMIT 100)
+        ORDER BY event_id
+    """,
+    "dq28_date_format": """
+        SELECT event_id,
+               strftime(ts, '%Y%m%d') AS basic_iso,
+               strftime(ts, '%Y-%m-%dT%H:%M:%S.%g') AS iso_ts
+        FROM events ORDER BY event_id LIMIT 100
     """,
 }
