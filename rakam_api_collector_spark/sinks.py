@@ -18,12 +18,58 @@ is exactly the reference's metastore-ordered remap
 
 from __future__ import annotations
 
+from typing import Protocol
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from rakam_api_collector_spark.ingest.catalog import Catalog
 
 SHARD_MAX_ROWS = 1_000_000   # reference maxShardRows envelope (§6)
+
+
+class DatabaseHandler(Protocol):
+    """K4 sink plugin SPI (DatabaseHandler.java:13-30): the three-method
+    contract every target implements — schema read, add-only evolution,
+    batch insert. ``insert`` returns a zero-arg commit callable (the
+    ``Inserter.commit()`` analog), so the committer can buffer multiple
+    batches per table and commit once (TargetConnectorCommitter.java:
+    58-68), under commit_with_retry (ST9)."""
+
+    def get_columns(self, project: str, collection: str
+                    ) -> list[T.StructField] | None: ...
+
+    def add_columns(self, project: str, collection: str,
+                    fields: list[T.StructField]) -> list[T.StructField]: ...
+
+    def insert(self, project: str, collection: str, df: DataFrame): ...
+
+
+class ParquetDatabaseHandler:
+    """K1-analog plugin: catalog-backed parquet/ORC tables via
+    write_collections (the default target, CustomDatabaseHandler.java's
+    role filled by the columnar sink)."""
+
+    def __init__(self, catalog: Catalog, base: str,
+                 fmt: str = "parquet") -> None:
+        self.catalog = catalog
+        self.base = base
+        self.fmt = fmt
+
+    def get_columns(self, project, collection):
+        return self.catalog.get_columns(project, collection)
+
+    def add_columns(self, project, collection, fields):
+        if self.catalog.get_columns(project, collection) is None:
+            return self.catalog.create_table(project, collection, fields)
+        return self.catalog.add_columns(project, collection, fields)
+
+    def insert(self, project, collection, df):
+        def commit() -> None:
+            write_collections({(project, collection): df}, self.base,
+                              fmt=self.fmt)
+        return commit
 
 
 def table_path(base: str, project: str, collection: str) -> str:

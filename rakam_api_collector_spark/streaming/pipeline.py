@@ -63,7 +63,8 @@ def start_ingest_stream(spark: SparkSession, source_dir: str, fmt: str,
                         trigger: dict | None = None,
                         time_field: str = "_time",
                         shard_time=None,
-                        max_files_per_trigger: int | None = None):
+                        max_files_per_trigger: int | None = None,
+                        stats=None, error_monitor=None):
     """Start the real-time ingestion query over a text-file source of
     envelope JSON lines. Returns the StreamingQuery.
 
@@ -111,6 +112,25 @@ def start_ingest_stream(spark: SparkSession, source_dir: str, fmt: str,
                                   shard_time=shard_time,
                                   time_field=time_field)
             write_collections(tables, table_base)
+            if stats is not None or error_monitor is not None:
+                # A2 per-collection counters + ST11 kill-switch; opt-in
+                # because the counts are extra actions per micro-batch
+                n_in = hot.count()
+                n_ok = 0
+                for (project, collection), df in tables.items():
+                    n = df.count()
+                    n_ok += n
+                    if stats is not None:
+                        stats.add(project, collection, n)
+                if error_monitor is not None:
+                    error_monitor.record(ok=n_ok, failed=max(n_in - n_ok, 0))
+                    if error_monitor.should_kill():
+                        # the reference exits the process
+                        # (KafkaUtil.java:162-166); failing the batch
+                        # fails the StreamingQuery, the driver's analog
+                        raise RuntimeError(
+                            "error-rate kill-switch tripped (ST11): "
+                            ">40% of records failed parsing in 5 min")
         finally:
             batch.unpersist()
 
