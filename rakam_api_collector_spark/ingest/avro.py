@@ -269,6 +269,82 @@ def decode_bulk_stream(buf: bytes, get_columns) -> Iterator[tuple[str, str, list
             yield project, collection, vals
 
 
+# ----------------------------------------------------- distributed bulk scan
+
+def read_bulk_objects(spark, path: str) -> DataFrame:
+    """S4: load bulk objects as (path, content) — one Spark task per
+    object via the binaryFile source. The reference streams each S3
+    object on the worker thread (AvroMessageEventTransformer.java:90-99);
+    here each ~256 MB object is an independent task, so a backfill of
+    10⁵ objects fans out across the cluster instead of serializing."""
+    return (spark.read.format("binaryFile").load(path)
+            .select("path", "content"))
+
+
+def bulk_collections(objects: DataFrame, get_columns
+                     ) -> list[tuple[str, str]]:
+    """Discovery pass: the distinct (project, collection) pairs present
+    in a set of bulk objects. Avro binary carries no section
+    byte-lengths, so walking past a section requires its schema —
+    ``get_columns`` (picklable, as in decode_bulk_collection) supplies
+    it. Runs on executors; only the distinct names reach the driver."""
+    import pandas as pd
+
+    def scan(batches: Iterator) -> Iterator:
+        for pdf in batches:
+            names: set[tuple[str, str]] = set()
+            for raw in pdf["content"]:
+                names.update((p, c) for p, c, _ in
+                             decode_bulk_stream(bytes(raw), get_columns))
+            out = sorted(names)
+            yield pd.DataFrame({"project": [p for p, _ in out],
+                                "collection": [c for _, c in out]})
+
+    return sorted({(r["project"], r["collection"]) for r in
+                   (objects.select("content")
+                    .mapInPandas(scan, "project string, collection string")
+                    .collect())})
+
+
+def decode_bulk_collection(objects: DataFrame, project: str, collection: str,
+                           get_columns) -> DataFrame:
+    """D7/S4: typed rows of ONE collection from bulk objects,
+    distributed (one task per object batch). The full stream is decoded
+    (Avro carries no section byte-lengths to skip by), but only the
+    target collection's rows materialize; other sections still need
+    their schema from ``get_columns`` to be walked past.
+
+    ``get_columns`` must be a *picklable* callable
+    (project, collection) -> list[StructField] | None — e.g. a dict
+    lookup built from Catalog state, shipped to executors as a closure
+    (broadcast-variable analog)."""
+    fields = get_columns(project, collection)
+    if fields is None:
+        raise KeyError(f"unknown collection {project}.{collection}")
+    out_schema = T.StructType(fields)
+    names = [f.name for f in fields]
+    ts_cols = [f.name for f in fields
+               if isinstance(f.dataType, T.TimestampType)]
+    date_cols = [f.name for f in fields if isinstance(f.dataType, T.DateType)]
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+        for pdf in batches:
+            rows = []
+            for raw in pdf["content"]:
+                for p, c, vals in decode_bulk_stream(bytes(raw), get_columns):
+                    if p == project and c == collection:
+                        rows.append(vals)
+            out = pd.DataFrame(rows, columns=names)
+            for col in ts_cols:
+                out[col] = pd.to_datetime(out[col], unit="ms")
+            for col in date_cols:
+                out[col] = pd.to_datetime(out[col], unit="D").dt.date
+            yield out
+
+    return objects.select("content").mapInPandas(run, out_schema)
+
+
 # ------------------------------------------------------------- test encoder
 
 def encode_value(dtype: T.DataType, value) -> bytes:

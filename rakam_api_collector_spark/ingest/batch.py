@@ -121,66 +121,101 @@ def ingest_batch(spark: SparkSession, raw: DataFrame, fmt: str,
     # let it age out (sinks.write_collections handles it).
     parsed = parsed.filter(F.col("_m").isNotNull()).cache()
 
+    # ONE discovery job for the whole batch (all collections): at 100
+    # collections a per-collection loop means 100+ driver-sequenced jobs
+    # per micro-batch — the design that does NOT survive scale-up.
+    new_by_coll = _discover_new_fields(parsed, catalog, time_field)
+
+    # identical (name, type) columns across collections share one Column
+    # object: plan building is driver py4j calls, and 100 collections ×
+    # 20 fields of per-collection construction is tens of seconds of
+    # pure driver latency without this
+    expr_cache: dict[tuple[str, str], F.Column] = {}
+
     pairs = [(r["_project"], r["_collection"]) for r in
              parsed.select("_project", "_collection").distinct().collect()]
     out: dict[tuple[str, str], DataFrame] = {}
     for project, collection in sorted(pairs):
-        df_c = parsed.filter((F.col("_project") == project)
-                             & (F.col("_collection") == collection))
         cols = catalog.get_columns(project, collection)
         if cols is None:
             cols = catalog.create_table(project, collection)
-        cols = _evolve(df_c, catalog, project, collection, cols, time_field)
+        new_fields = new_by_coll.get((project, collection))
+        if new_fields:
+            cols = catalog.add_columns(project, collection, new_fields)
+        df_c = parsed.filter((F.col("_project") == project)
+                             & (F.col("_collection") == collection))
         out[(project, collection)] = _project_typed(
-            df_c, cols, cfg["numeric_timestamps"], shard_time)
+            df_c, cols, cfg["numeric_timestamps"], shard_time, expr_cache)
     return out
 
 
-def _evolve(df_c: DataFrame, catalog: Catalog, project: str, collection: str,
-            cols: list[T.StructField], time_field: str) -> list[T.StructField]:
-    """Discover unseen fields, infer from first non-null occurrence,
-    append via the catalog (add-only). Only first-occurrence samples are
-    collected — bounded by #new columns, not #rows."""
-    known = {f.name for f in cols} | set(HIDDEN)
+def _discover_new_fields(parsed: DataFrame, catalog: Catalog,
+                         time_field: str
+                         ) -> dict[tuple[str, str], list[T.StructField]]:
+    """One batch-wide job discovering unseen fields for EVERY collection:
+    explode entries once, drop known (collection, key) pairs via a
+    broadcast anti-join against the catalog snapshot, take the first
+    non-null occurrence per key. Rows reaching the driver are bounded by
+    #new columns across the batch, never #records."""
+    spark = parsed.sparkSession
+    known_rows = [(p, c, f.name)
+                  for (p, c) in catalog.tables()
+                  for f in catalog.get_columns(p, c)]
+    known = spark.createDataFrame(
+        known_rows or [("", "", "")],
+        "_project string, _collection string, _key string")
+
     # _m's entries are reversed (the first-wins normalization trick), so
     # recover in-object encounter order as size-1-pos: column append order
     # must match the record's field order (TestKafkaJsonDeserializer
     # ordering pins).
-    ents = (df_c.select(
-                "_seq", F.size("_m").alias("_sz"),
+    ents = (parsed.select(
+                "_project", "_collection", "_seq",
+                F.size("_m").alias("_sz"),
                 F.posexplode(F.map_entries("_m")).alias("_rpos", "_e"))
-            .select("_seq",
+            .select("_project", "_collection", "_seq",
                     (F.col("_sz") - 1 - F.col("_rpos")).alias("_pos"),
                     F.col("_e.key").alias("_key"),
                     F.col("_e.value").alias("_val"))
-            .filter(~F.col("_key").isin(*known))
+            .filter(~F.col("_key").isin(*HIDDEN))
             .filter(~F.expr("is_variant_null(_val)"))
+            .join(F.broadcast(known),
+                  ["_project", "_collection", "_key"], "left_anti")
             .withColumn("_js", F.to_json("_val"))
             .filter(~F.col("_js").isin("[]", "{}")))   # defer empties
-    firsts = (ents.groupBy("_key")
+    firsts = (ents.groupBy("_project", "_collection", "_key")
               .agg(F.min_by("_js", F.struct("_seq", "_pos")).alias("_js"),
                    F.min(F.struct("_seq", "_pos")).alias("_ord"))
               .collect())
-    new_fields = []
-    for row in sorted(firsts, key=lambda r: (r["_ord"]["_seq"], r["_ord"]["_pos"])):
+    out: dict[tuple[str, str], list[T.StructField]] = {}
+    for row in sorted(firsts,
+                      key=lambda r: (r["_ord"]["_seq"], r["_ord"]["_pos"])):
         dtype = infer_type(json.loads(row["_js"]),
                            is_time_field=(row["_key"] == time_field))
         if dtype is not None:
-            new_fields.append(T.StructField(row["_key"], dtype))
-    if new_fields:
-        return catalog.add_columns(project, collection, new_fields)
-    return cols
+            out.setdefault((row["_project"], row["_collection"]),
+                           []).append(T.StructField(row["_key"], dtype))
+    return out
 
 
 def _project_typed(df_c: DataFrame, cols: list[T.StructField],
-                   numeric_timestamps: bool, shard_time) -> DataFrame:
+                   numeric_timestamps: bool, shard_time,
+                   expr_cache: dict | None = None) -> DataFrame:
     exprs = []
+    if expr_cache is None:
+        expr_cache = {}
     for f in cols:
         if f.name == "_shard_time":
             c = (F.lit(shard_time).cast("timestamp") if shard_time is not None
                  else F.current_timestamp())   # constant-folded: RLE analog
-        else:
+            exprs.append(c.alias(f.name))
+            continue
+        key = (f.name, f.dataType.simpleString())
+        c = expr_cache.get(key)
+        if c is None:
             c = conversion_expr(F.element_at("_m", f.name), f.dataType,
-                                numeric_timestamps=numeric_timestamps)
-        exprs.append(c.alias(f.name))
+                                numeric_timestamps=numeric_timestamps
+                                ).alias(f.name)
+            expr_cache[key] = c
+        exprs.append(c)
     return df_c.select(*exprs)

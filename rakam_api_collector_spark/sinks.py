@@ -78,20 +78,45 @@ def table_path(base: str, project: str, collection: str) -> str:
 
 def write_collections(tables: dict[tuple[str, str], DataFrame], base: str,
                       fmt: str = "parquet", partition_by_day: bool = True,
-                      max_records_per_file: int = SHARD_MAX_ROWS) -> None:
+                      max_records_per_file: int = SHARD_MAX_ROWS,
+                      max_concurrent: int = 16,
+                      coalesce_to: int | None = None) -> None:
     """Append each typed collection batch to its table directory,
     day-partitioned on _time (R3's day index becomes physical layout —
-    partition pruning replaces the historical day→indexes map)."""
-    for (project, collection), df in tables.items():
+    partition pruning replaces the historical day→indexes map).
+
+    Writes launch concurrently from a thread pool: the Spark scheduler
+    overlaps the independent jobs, so 100 collections cost ~the longest
+    write, not the sum — the reference's async per-table committer
+    (TargetConnectorCommitter.java:41-76) by other means. Thread count
+    mirrors its IO_OPS_RATE-style cap."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    def write_one(item):
+        (project, collection), df = item
         out = df
+        if coalesce_to:
+            # many-small-collections micro-batches: N tasks × M day
+            # partitions explodes into tiny files without this; large
+            # per-collection batches should leave it unset and let
+            # maxRecordsPerFile size the shards
+            out = out.coalesce(coalesce_to)
         if partition_by_day and "_time" in df.columns:
-            out = df.withColumn("_day", F.to_date("_time"))
+            out = out.withColumn("_day", F.to_date("_time"))
         writer = (out.write.mode("append").format(fmt)
                   .option("compression", "snappy")
                   .option("maxRecordsPerFile", max_records_per_file))
         if partition_by_day and "_time" in df.columns:
             writer = writer.partitionBy("_day")
         writer.save(table_path(base, project, collection))
+
+    if len(tables) <= 1:
+        for item in tables.items():
+            write_one(item)
+        return
+    with ThreadPoolExecutor(min(max_concurrent, len(tables))) as pool:
+        # list() propagates the first failure (commit must not be silent)
+        list(pool.map(write_one, tables.items()))
 
 
 def read_collection(spark: SparkSession, base: str, project: str,

@@ -101,6 +101,49 @@ def test_bulk_pointer_roundtrip():
     assert (size, key) == (12345, "bucket/2024/01/x.avro")
 
 
+KV = [T.StructField("k", T.StringType()), T.StructField("v", T.LongType())]
+
+
+def test_bulk_scan_distributed(spark, tmp_path):
+    """S4 end-to-end: bulk objects on disk → binaryFile scan →
+    per-collection typed frames (one task per object)."""
+    from rakam_api_collector_spark.ingest.avro import (
+        bulk_collections, decode_bulk_collection, read_bulk_objects)
+
+    # defined in-function: cloudpickle ships it by value (executors
+    # cannot import the test module)
+    cols = {"events": FIELDS, "kv": KV}
+
+    def _lookup(p, c, _cols=cols):
+        return _cols.get(c)
+    obj1 = A.encode_bulk_stream("proj", [
+        ("events", FIELDS, len(FIELDS), [ROW]),
+        ("kv", KV, 2, [["a", 1], ["b", 2]]),
+    ])
+    obj2 = A.encode_bulk_stream("proj", [
+        ("kv", KV, 1, [["c"]]),                    # lagging writer prefix
+        ("events", FIELDS, len(FIELDS), [ROW, ROW]),
+    ])
+    d = tmp_path / "bulk"
+    d.mkdir()
+    (d / "a.bin").write_bytes(obj1)
+    (d / "b.bin").write_bytes(obj2)
+
+    objects = read_bulk_objects(spark, str(d))
+    assert objects.count() == 2
+    assert bulk_collections(objects, _lookup) == \
+        [("proj", "events"), ("proj", "kv")]
+
+    ev = decode_bulk_collection(objects, "proj", "events", _lookup)
+    assert ev.count() == 3
+    assert ev.schema.fieldNames() == [f.name for f in FIELDS]
+    assert all(r["n"] == -42 for r in ev.collect())
+
+    kv = decode_bulk_collection(objects, "proj", "kv", _lookup)
+    got = sorted((r["k"], r["v"]) for r in kv.collect())
+    assert got == [("a", 1), ("b", 2), ("c", None)]
+
+
 def test_dispatch_and_spark_decode(spark):
     msgs = [
         (A.encode_stream_record(FIELDS, ROW, collection="clicks"),),
