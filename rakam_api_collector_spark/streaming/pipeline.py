@@ -64,13 +64,24 @@ def start_ingest_stream(spark: SparkSession, source_dir: str, fmt: str,
                         time_field: str = "_time",
                         shard_time=None,
                         max_files_per_trigger: int | None = None,
-                        stats=None, error_monitor=None):
+                        stats=None, error_monitor=None,
+                        rocksdb_state: bool = True):
     """Start the real-time ingestion query over a text-file source of
     envelope JSON lines. Returns the StreamingQuery.
 
     ``trigger`` defaults to availableNow (drain-and-stop, for tests);
     pass {"processingTime": "15 seconds"} for the reference cadence.
     """
+    if dedup and rocksdb_state:
+        # ST6 parity: the reference's dedup store IS RocksDB (TtlDB,
+        # Deduplicator.java:26-46); Spark's RocksDB state store keeps
+        # dedup state off-heap and incrementally checkpointed, which is
+        # what makes a 1-month TTL key space viable on executors.
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider")
+
     reader = spark.readStream.format("text")
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
