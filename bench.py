@@ -44,6 +44,9 @@ def main() -> None:
         timings[name] = round(dt, 4)
         if dt == dt:
             total += dt
+        # queries are independent: drop any operator-internal cached
+        # intermediates so one query's working set can't skew the next
+        spark.catalog.clearCache()
 
     print(json.dumps({
         "metric": "query_suite_wall_sec",

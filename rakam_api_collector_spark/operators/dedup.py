@@ -1,6 +1,7 @@
 """Deduplication operators for large text corpora.
 
-Four families, all shuffle-on-key or bucket-join — never all-pairs:
+Five families, all shuffle-on-key or bucket-join — never an unbounded
+cross product:
 
 - **exact_dedup** — hash groupBy/window; the batch form of the
   reference's (user, time) dedup (Deduplicator.java:26-88).
@@ -13,6 +14,9 @@ Four families, all shuffle-on-key or bucket-join — never all-pairs:
 - **simhash64** — 64-bit SimHash fingerprint; near-dup = small Hamming
   distance, found via chunk-banding (Charikar'02; pigeonhole: d ≤ 3 →
   some 16-bit chunk equal).
+- **embedding_cosine_pairs** — semantic near-dup over an embedding
+  column: random-hyperplane LSH buckets (similarity.py) prune the pair
+  space, exact cosine verifies candidates.
 
 Everything is built from JVM higher-order functions on token arrays —
 no Python in any hot path.
@@ -154,7 +158,11 @@ def simhash64(text: Column, n: int = 1) -> Column:
     """64-bit SimHash over (n-)token features: bit i is the sign of
     Σ_tokens (±1 per token's xxhash64 bit i). Entirely JVM; the 64-bit
     loop is unrolled in Python (shift amounts must be literals), yielding
-    one wide codegen'd expression — linear in tokens, no shuffle."""
+    one wide codegen'd expression — linear in tokens, no shuffle.
+
+    Column-expression form for embedding in arbitrary projections; the
+    signature *table* build (simhash_signatures) uses the cheaper
+    explode + 64-aggregate plan instead."""
     feats = tokens(text) if n == 1 else token_shingles(text, n)
     hashes = F.transform(feats, lambda t: F.xxhash64(t))
 
@@ -175,13 +183,75 @@ def simhash64(text: Column, n: int = 1) -> Column:
     return out
 
 
+def simhash_signatures(docs: DataFrame, id_col: str, text_col: str,
+                       n: int = 1) -> DataFrame:
+    """(_id, _sh): SimHash via one token explode + 64 sum aggregates
+    (map-side partial, one shuffled row per doc) — identical values to
+    simhash64 but a ~64× smaller expression tree."""
+    feats = tokens(F.col(text_col)) if n == 1 \
+        else token_shingles(F.col(text_col), n)
+    tok = docs.select(F.col(id_col).alias("_id"),
+                      F.explode(feats).alias("_t"))
+    h = F.xxhash64("_t")
+    aggs = [F.sum(F.shiftright(h, i).bitwiseAND(F.lit(1)) * 2 - 1)
+            .alias(f"_b{i}") for i in range(64)]
+    packed = F.lit(0).cast("long")
+    for i in range(64):
+        packed = packed.bitwiseOR(
+            F.when(F.col(f"_b{i}") > 0,
+                   F.lit(1 << i if i < 63 else -(1 << 63)).cast("long"))
+            .otherwise(F.lit(0).cast("long")))
+    return tok.groupBy("_id").agg(*aggs).select("_id", packed.alias("_sh"))
+
+
+def embedding_cosine_pairs(docs: DataFrame, id_col: str, vec_col: str,
+                           threshold: float = 0.9, bits: int = 8,
+                           tables: int = 16, exact: bool = False,
+                           seed: int = 42) -> DataFrame:
+    """Semantic near-dup pairs (a < b, cos ≥ threshold) over an
+    embedding column.
+
+    Default path: random-hyperplane LSH self-bucket-join (one task per
+    (table, signature) bucket) + exact cosine verification — the pair
+    space is pruned to bucket-local candidates, never |corpus|².
+    ``exact=True`` instead broadcasts one side whole (exact recall,
+    usable when the corpus fits the broadcast budget — e.g. the oracle
+    path at fixture scale)."""
+    from rakam_api_collector_spark.operators import similarity as S
+
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    base = docs.select(F.col(id_col).alias("_id"), v.alias("_v"))
+    if exact:
+        a = base.select(F.col("_id").alias("a"), F.col("_v").alias("_va"))
+        b = base.select(F.col("_id").alias("b"), F.col("_v").alias("_vb"))
+        cand = a.join(F.broadcast(b), F.col("a") < F.col("b"))
+    else:
+        dim = len(base.select("_v").first()[0])
+        planes = __import__("numpy").asarray(
+            S.random_hyperplanes(dim, bits, tables, seed))
+        sig_udf = S._signatures_udf(planes.reshape(tables * bits, dim),
+                                    tables, bits)
+        sigs = base.select("_id", "_v",
+                           F.posexplode(sig_udf(F.col("_v")))
+                           .alias("tbl", "sig"))
+        sa = sigs.select(F.col("_id").alias("a"), F.col("_v").alias("_va"),
+                         "tbl", "sig")
+        sb = sigs.select(F.col("_id").alias("b"), F.col("_v").alias("_vb"),
+                         "tbl", "sig")
+        cand = (sa.join(sb, ["tbl", "sig"])
+                .filter(F.col("a") < F.col("b"))
+                .select("a", "_va", "b", "_vb").distinct())
+    return (cand.select("a", "b",
+                        S.cosine(F.col("_va"), F.col("_vb")).alias("cos"))
+            .filter(F.col("cos") >= threshold))
+
+
 def simhash_candidates(docs: DataFrame, id_col: str, text_col: str,
                        chunks: int = 4) -> DataFrame:
     """Near-dup candidate pairs = equal 16-bit SimHash chunk (pigeonhole
     for Hamming ≤ chunks-1); returns (a, b, hamming) for ranking."""
     w = 64 // chunks
-    sh = docs.select(F.col(id_col).alias("_id"),
-                     simhash64(F.col(text_col)).alias("_sh"))
+    sh = simhash_signatures(docs, id_col, text_col)
     chunk_arr = F.array(*[
         F.struct(F.lit(ci).alias("chunk"),
                  F.shiftright("_sh", ci * w)

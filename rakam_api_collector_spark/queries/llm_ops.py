@@ -160,6 +160,21 @@ def llm10_simhash(spark: SparkSession, sf: str) -> DataFrame:
             .orderBy("a", "b"))
 
 
+def llm15_embed_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (operators/dedup.py:
+    embedding_cosine_pairs). Oracle path uses the exact broadcast join;
+    the LSH-bucketed scale path shares the operator and is recall-pinned
+    in tests/test_llm_ops.py. Rounded-then-filtered so engine FP noise
+    at the threshold cannot flip membership."""
+    emb = (load_table(spark, sf, "embeddings")
+           .filter(F.col("vec_id") < 150))
+    pairs = D.embedding_cosine_pairs(emb, "vec_id", "embedding",
+                                     threshold=0.0, exact=True)
+    return (pairs.select("a", "b", F.round("cos", 4).alias("cos"))
+            .filter(F.col("cos") >= 0.3)
+            .orderBy("a", "b"))
+
+
 # --- similarity search -------------------------------------------------------
 
 def llm11_knn_cosine(spark: SparkSession, sf: str) -> DataFrame:
@@ -221,6 +236,7 @@ QUERIES = {
     "llm08_jaccard_pairs": llm08_jaccard_pairs,
     "llm09_minhash_lsh": llm09_minhash_lsh,
     "llm10_simhash": llm10_simhash,
+    "llm15_embed_dedup": llm15_embed_dedup,
     "llm11_knn_cosine": llm11_knn_cosine,
     "llm12_ann_lsh": llm12_ann_lsh,
     "llm13_multimodal_meta": llm13_multimodal_meta,
@@ -330,6 +346,15 @@ ORACLE = {
     # llm10_simhash / llm12_ann_lsh: engine-specific hash family / recall
     # < 1 — deliberately no SQL oracle (driver records rows-only; accuracy
     # pinned in tests/test_llm_ops.py instead).
+    "llm15_embed_dedup": """
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                   FROM embeddings WHERE vec_id < 150),
+        scored AS (
+          SELECT a.vec_id AS a, b.vec_id AS b,
+                 round(list_cosine_similarity(a.v, b.v), 4) AS cos
+          FROM e a JOIN e b ON a.vec_id < b.vec_id)
+        SELECT a, b, cos FROM scored WHERE cos >= 0.3 ORDER BY a, b
+    """,
     "llm11_knn_cosine": """
         WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5),
         scored AS (

@@ -62,6 +62,7 @@ def main() -> int:
             sdf = fn(spark, sf_dir)
             scols = sdf.columns
             srows = [tuple(r) for r in sdf.collect()]
+            spark.catalog.clearCache()   # queries are independent
         except Exception as e:
             print(f"FAIL {name}: spark error: {str(e)[:300]}")
             n_fail += 1

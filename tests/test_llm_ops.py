@@ -94,6 +94,21 @@ def test_ann_lsh_deterministic(spark):
     assert runs[0] == runs[1]
 
 
+def test_embedding_dedup_lsh_vs_exact(spark):
+    emb = (load_table(spark, SF, "embeddings")
+           .filter(F.col("vec_id") < 150).cache())
+    exact = {(r.a, r.b) for r in
+             D.embedding_cosine_pairs(emb, "vec_id", "embedding",
+                                      threshold=0.3, exact=True).collect()}
+    lsh = {(r.a, r.b) for r in
+           D.embedding_cosine_pairs(emb, "vec_id", "embedding",
+                                    threshold=0.3, bits=6,
+                                    tables=24).collect()}
+    assert lsh <= exact                    # verification: no false pairs
+    recall = len(lsh & exact) / len(exact)
+    assert recall >= 0.5, f"LSH pair recall {recall:.2f} below floor"
+
+
 def test_decode_features_batch_path(spark):
     docs = (load_table(spark, SF, "documents")
             .filter(F.col("doc_id") < 50).select("doc_id", "text"))

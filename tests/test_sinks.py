@@ -60,6 +60,46 @@ def test_day_partitioned_layout(spark, tmp_path):
     assert days == {"_day=2020-05-30", "_day=2020-05-31"}
 
 
+def test_envelope_datasource_roundtrip(spark, tmp_path):
+    """K4: the sink's gzip NDJSON output reads back through the custom
+    Python DataSource, one task per file."""
+    from pyspark.sql import functions as F
+
+    from rakam_api_collector_spark.sinks import write_ndjson_envelope
+    from rakam_api_collector_spark.sources.envelope import EnvelopeDataSource
+
+    df = spark.createDataFrame(
+        [("2024-01-01 10:00:00", "u1", 5, "x"),
+         ("2024-01-02 11:30:00", "u2", 7, None)],
+        "t: string, _user: string, n: bigint, s: string",
+    ).select(F.col("t").cast("timestamp").alias("_time"), "_user", "n", "s")
+    out = str(tmp_path / "spool")
+    write_ndjson_envelope(df, "proj", "ev", out)
+
+    spark.dataSource.register(EnvelopeDataSource)
+    back = (spark.read.format("rakam_envelope")
+            .option("path", out).load())
+    rows = {r["_user"]: r for r in back.collect()}
+    assert len(rows) == 2
+    assert rows["u1"]["project"] == "proj" and rows["u1"]["collection"] == "ev"
+    assert rows["u1"]["_time"].startswith("2024-01-01T10:00:00")
+    import json as _json
+    props = _json.loads(rows["u1"]["properties"])
+    assert props == {"n": 5, "s": "x"}
+    assert _json.loads(rows["u2"]["properties"]) == {"n": 7}  # nulls dropped
+
+
+def test_orc_sink_roundtrip(spark, tmp_path):
+    """K1: the ORC format path (the reference's Raptor target is ORC)."""
+    from rakam_api_collector_spark.sinks import write_collections
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "x: bigint, s: string")
+    write_collections({("p", "ev"): df}, str(tmp_path), fmt="orc",
+                      partition_by_day=False)
+    got = spark.read.orc(str(tmp_path / "p" / "ev"))
+    assert sorted((r["x"], r["s"]) for r in got.collect()) == \
+        [(1, "a"), (2, "b")]
+
+
 def test_ndjson_envelope_format(spark, tmp_path):
     """Envelope matches S3DatabaseHandler.java:149-221: _time, $schema,
     $table, _user at top level; non-null user fields under properties."""
