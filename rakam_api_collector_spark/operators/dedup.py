@@ -231,16 +231,20 @@ def embedding_cosine_pairs(docs: DataFrame, id_col: str, vec_col: str,
             S.random_hyperplanes(dim, bits, tables, seed))
         sig_udf = S._signatures_udf(planes.reshape(tables * bits, dim),
                                     tables, bits)
-        sigs = base.select("_id", "_v",
+        # narrow bucket join (ids + signature longs only); vectors join
+        # back per distinct surviving pair — embeddings never ride
+        # through the candidate-dedup shuffle
+        sigs = base.select("_id",
                            F.posexplode(sig_udf(F.col("_v")))
                            .alias("tbl", "sig"))
-        sa = sigs.select(F.col("_id").alias("a"), F.col("_v").alias("_va"),
-                         "tbl", "sig")
-        sb = sigs.select(F.col("_id").alias("b"), F.col("_v").alias("_vb"),
-                         "tbl", "sig")
-        cand = (sa.join(sb, ["tbl", "sig"])
-                .filter(F.col("a") < F.col("b"))
-                .select("a", "_va", "b", "_vb").distinct())
+        sa = sigs.select(F.col("_id").alias("a"), "tbl", "sig")
+        sb = sigs.select(F.col("_id").alias("b"), "tbl", "sig")
+        ids = (sa.join(sb, ["tbl", "sig"])
+               .filter(F.col("a") < F.col("b"))
+               .select("a", "b").distinct())
+        va = base.select(F.col("_id").alias("a"), F.col("_v").alias("_va"))
+        vb = base.select(F.col("_id").alias("b"), F.col("_v").alias("_vb"))
+        cand = ids.join(va, "a").join(vb, "b")
     return (cand.select("a", "b",
                         S.cosine(F.col("_va"), F.col("_vb")).alias("cos"))
             .filter(F.col("cos") >= threshold))

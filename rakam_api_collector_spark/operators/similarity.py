@@ -106,17 +106,25 @@ def ann_lsh_topk(corpus: DataFrame, queries: DataFrame, id_col: str,
     def sigs(df: DataFrame, idname: str) -> DataFrame:
         v = _as_double(vec_col)
         return df.select(F.col(id_col).alias(idname),
-                         v.alias(f"_{idname}v"),
                          F.posexplode(sig_udf(v)).alias("tbl", "sig"))
 
+    # candidate discovery stays NARROW — (id, tbl, sig) only — so the
+    # dedup shuffle moves longs, not embedding payloads; vectors join
+    # back once per *distinct* candidate pair (queries broadcast, corpus
+    # vectors shuffled only for rows that survived bucketing)
     cs, qs = sigs(corpus, "neighbor"), sigs(queries, "q")
     cand = (cs.join(F.broadcast(qs), ["tbl", "sig"])
             .filter(F.col("neighbor") != F.col("q") if exclude_self
                     else F.lit(True))
-            .select("q", "_qv", "neighbor", "_neighborv")
+            .select("q", "neighbor")
             .distinct())
-    scored = cand.select(
-        "q", "neighbor", cosine(F.col("_qv"), F.col("_neighborv")).alias("cos"))
+    qv = queries.select(F.col(id_col).alias("q"),
+                        _as_double(vec_col).alias("_qv"))
+    cv = corpus.select(F.col(id_col).alias("neighbor"),
+                       _as_double(vec_col).alias("_cv"))
+    scored = (cand.join(F.broadcast(qv), "q").join(cv, "neighbor")
+              .select("q", "neighbor",
+                      cosine(F.col("_qv"), F.col("_cv")).alias("cos")))
     w = Window.partitionBy("q").orderBy(F.desc("cos"), F.asc("neighbor"))
     return (scored.withColumn("rnk", F.row_number().over(w))
             .filter(F.col("rnk") <= k))

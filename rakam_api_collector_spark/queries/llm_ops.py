@@ -194,7 +194,7 @@ def llm12_ann_lsh(spark: SparkSession, sf: str) -> DataFrame:
     emb = load_table(spark, sf, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
     return (S.ann_lsh_topk(emb, queries, "vec_id", "embedding",
-                           k=10, bits=6, tables=12)
+                           k=10, bits=6, tables=12, dim=64)
             .select("q", "neighbor", "rnk", F.round("cos", 4).alias("cos"))
             .orderBy("q", "rnk"))
 

@@ -1,0 +1,66 @@
+"""Bootstrap wiring (ServiceStarter analog): config → running pipeline."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from rakam_api_collector_spark import app
+from rakam_api_collector_spark.ingest.catalog import Catalog
+from rakam_api_collector_spark.sinks import read_collection
+
+
+def _envelope(i: int, coll: str = "ev") -> str:
+    return json.dumps({"id": i, "metadata": {}, "data": {
+        "_project": "p", "_collection": coll, "_user": f"u{i}",
+        "_time": 1704067200000 + i * 1000, "x": float(i)}})
+
+
+def test_file_source_end_to_end(spark, tmp_path):
+    src = tmp_path / "in"
+    src.mkdir()
+    (src / "batch0.txt").write_text(
+        "\n".join(_envelope(i) for i in range(10)))
+
+    cfg = {
+        "format": "fabric",
+        "source": {"type": "file", "path": str(src)},
+        "target": {"type": "parquet", "base": str(tmp_path / "tables")},
+        "catalog_path": str(tmp_path / "catalog.json"),
+        "checkpoint": str(tmp_path / "ckpt"),
+        "dedup": False,
+        "shard_time": "2024-01-02 00:00:00",
+        "now": "2024-01-01",
+    }
+    queries = app.start(spark, cfg)
+    for q in queries:
+        q.awaitTermination(120)
+
+    cat = Catalog(cfg["catalog_path"])       # persisted metastore state
+    assert ("p", "ev") in cat.tables()
+    got = read_collection(spark, cfg["target"]["base"], "p", "ev", cat)
+    rows = sorted((r["_user"], r["x"]) for r in got.collect())
+    assert len(rows) == 10 and rows[0] == ("u0", 0.0)
+
+
+def test_bad_config_rejected(spark, tmp_path):
+    base = {"source": {"type": "file", "path": str(tmp_path)},
+            "target": {"base": str(tmp_path)},
+            "checkpoint": str(tmp_path / "c")}
+    with pytest.raises(ValueError, match="unknown format"):
+        app.start(spark, {**base, "format": "protobuf"})
+    with pytest.raises(ValueError, match="unknown source"):
+        app.start(spark, {**base, "source": {"type": "pulsar"}})
+    with pytest.raises(ValueError, match="unknown target"):
+        app.start(spark, {**base, "target": {"type": "delta", "base": "x"}})
+
+
+def test_kafka_source_gated(spark, tmp_path):
+    with pytest.raises(RuntimeError, match="connector jar is absent"):
+        app.start(spark, {
+            "format": "fabric",
+            "source": {"type": "kafka", "brokers": ["b:9092"],
+                       "topics": ["t"]},
+            "target": {"type": "parquet", "base": str(tmp_path)},
+            "checkpoint": str(tmp_path / "c")})
