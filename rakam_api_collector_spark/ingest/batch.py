@@ -178,14 +178,22 @@ def _discover_new_fields(parsed: DataFrame, catalog: Catalog,
                     F.col("_e.key").alias("_key"),
                     F.col("_e.value").alias("_val"))
             .filter(~F.col("_key").isin(*HIDDEN))
-            .filter(~F.expr("is_variant_null(_val)"))
             .join(F.broadcast(known),
                   ["_project", "_collection", "_key"], "left_anti")
-            .withColumn("_js", F.to_json("_val"))
-            .filter(~F.col("_js").isin("[]", "{}")))   # defer empties
+            # defer null / empty-array / empty-object occurrences
+            # (java:505-506,536-540; an all-null array carries no element
+            # type either — ARRAY<VOID>), checked on the variant schema
+            # so values need no JSON re-encode here
+            .filter(~F.schema_of_variant("_val")
+                    .isin("VOID", "ARRAY<VOID>", "OBJECT<>")))
+    # min_by carries the raw variant; only the ≤ #new-columns winners are
+    # JSON-encoded — a cold catalog no longer re-encodes every entry of
+    # every record in the batch
     firsts = (ents.groupBy("_project", "_collection", "_key")
-              .agg(F.min_by("_js", F.struct("_seq", "_pos")).alias("_js"),
+              .agg(F.min_by("_val", F.struct("_seq", "_pos")).alias("_v"),
                    F.min(F.struct("_seq", "_pos")).alias("_ord"))
+              .select("_project", "_collection", "_key",
+                      F.to_json("_v").alias("_js"), "_ord")
               .collect())
     out: dict[tuple[str, str], list[T.StructField]] = {}
     for row in sorted(firsts,

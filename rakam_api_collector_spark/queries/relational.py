@@ -317,6 +317,22 @@ def dq28_date_format(spark: SparkSession, sf: str) -> DataFrame:
                     .alias("iso_ts")))
 
 
+def dq29_envelope_parse(spark: SparkSession, sf: str) -> DataFrame:
+    """D1/D2-shaped JSON payload extraction as a query: pull a typed
+    field out of a JSON-string column with safe-cast semantics and
+    aggregate it (the per-record parse the envelope readers do,
+    RakamJsonDeserializer.java:107-160)."""
+    ev = load_table(spark, sf, "events")
+    k = F.get_json_object("props", "$.k").try_cast("long")
+    return (ev.select("event_type", k.alias("k"))
+            .groupBy("event_type")
+            .agg(F.sum("k").alias("k_sum"),
+                 F.count("k").alias("k_n"),
+                 F.min("k").alias("k_min"),
+                 F.max("k").alias("k_max"))
+            .orderBy("event_type"))
+
+
 QUERIES = {
     "dq01_projection": dq01_projection,
     "dq02_whitelist": dq02_whitelist,
@@ -347,6 +363,7 @@ QUERIES = {
     "dq26_epoch_conversions": dq26_epoch_conversions,
     "dq27_json_encode": dq27_json_encode,
     "dq28_date_format": dq28_date_format,
+    "dq29_envelope_parse": dq29_envelope_parse,
 }
 
 # DuckDB oracle SQL — identical aliases & result types by construction.
@@ -504,5 +521,14 @@ ORACLE = {
                strftime(ts, '%Y%m%d') AS basic_iso,
                strftime(ts, '%Y-%m-%dT%H:%M:%S.%g') AS iso_ts
         FROM events ORDER BY event_id LIMIT 100
+    """,
+    "dq29_envelope_parse": """
+        SELECT event_type,
+               sum(k) AS k_sum, count(k) AS k_n,
+               min(k) AS k_min, max(k) AS k_max
+        FROM (SELECT event_type,
+                     TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+              FROM events)
+        GROUP BY event_type ORDER BY event_type
     """,
 }

@@ -99,8 +99,11 @@ def write_collections(tables: dict[tuple[str, str], DataFrame], base: str,
             # many-small-collections micro-batches: N tasks × M day
             # partitions explodes into tiny files without this; large
             # per-collection batches should leave it unset and let
-            # maxRecordsPerFile size the shards
-            out = out.coalesce(coalesce_to)
+            # maxRecordsPerFile size the shards. repartition (NOT
+            # coalesce): coalesce would pull the upstream typed
+            # projection into coalesce_to tasks, serializing the
+            # expensive conversion; the exchange keeps it wide.
+            out = out.repartition(coalesce_to)
         if partition_by_day and "_time" in df.columns:
             out = out.withColumn("_day", F.to_date("_time"))
         writer = (out.write.mode("append").format(fmt)
