@@ -92,25 +92,61 @@ def ngram_jaccard_pairs(docs: DataFrame, id_col: str, text_col: str,
             .select(F.col("ia").alias("a"), F.col("ib").alias("b"), "jac"))
 
 
-def minhash_signatures(docs: DataFrame, id_col: str, text_col: str,
-                       num_perm: int = 128, n: int = 3) -> DataFrame:
-    """(_id, _shset, _sig): per-doc shingle set + num_perm MinHash values.
+def _rand_odd_uint64(rng, shape) -> "object":
+    import numpy as np
+    return (rng.integers(0, 1 << 63, shape, dtype=np.uint64) << 1) | 1
 
-    Shingles are exploded once and each permutation is a
-    ``min(xxhash64(seed, shingle))`` aggregate — num_perm partial-min
-    aggregations in a single scan with map-side combine (shuffles one
-    row of num_perm longs per doc), instead of num_perm array passes
-    inside one giant codegen'd expression."""
+
+def _minhash_bands_udf(num_perm: int, bands: int, seed: int = 7):
+    """Arrow-batched MinHash + banding from per-doc shingle-hash lists.
+
+    Permutations are multiply-add universal hashes over the base
+    ``xxhash64(shingle)`` (h_i(x) = a_i·x + b_i mod 2⁶⁴, a_i odd — the
+    datasketch-style family); each band hash is a multiply-accumulate of
+    its r signature lanes. One numpy pass replaces a 128-min-aggregate
+    codegen'd plan whose *compilation alone* costs seconds; at corpus
+    scale the vectorized batch path is also the faster steady state."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    r = num_perm // bands
+    rng = np.random.default_rng(seed)
+    A = _rand_odd_uint64(rng, num_perm)[:, None]       # (perm, 1)
+    B = rng.integers(0, 1 << 63, num_perm, dtype=np.uint64)[:, None]
+    M = _rand_odd_uint64(rng, r)                       # band mixer
+
+    def bands_of(hash_lists: pd.Series) -> pd.Series:
+        out = []
+        for hl in hash_lists:
+            x = np.asarray(hl, dtype=np.int64).view(np.uint64)[None, :]
+            with np.errstate(over="ignore"):
+                sig = (A * x + B).min(axis=1)          # (perm,)
+                bh = (sig.reshape(bands, r) * M).sum(axis=1,
+                                                     dtype=np.uint64)
+            out.append(bh.view(np.int64))
+        return pd.Series(out)
+
+    bands_of.__annotations__ = {"hash_lists": pd.Series,
+                                "return": pd.Series}
+    return pandas_udf(bands_of, "array<long>")
+
+
+def minhash_signatures(docs: DataFrame, id_col: str, text_col: str,
+                       num_perm: int = 128, n: int = 3,
+                       bands: int = 64) -> DataFrame:
+    """(_id, _shset, _bands): per-doc shingle set + banded MinHash band
+    hashes. Shingles are hashed JVM-side (one xxhash64 per shingle);
+    signatures and band hashes come from one Arrow-batched numpy pass
+    (_minhash_bands_udf) — the signature table you'd persist at scale."""
     sh = docs.select(F.col(id_col).alias("_id"),
                      F.explode(token_shingles(F.col(text_col), n))
                      .alias("_sh"))
-    aggs = [F.min(F.xxhash64(F.lit(i), "_sh")).alias(f"_h{i}")
-            for i in range(num_perm)]
+    udf = _minhash_bands_udf(num_perm, bands)
     return (sh.groupBy("_id")
-            .agg(F.collect_set("_sh").alias("_shset"), *aggs)
-            .select("_id", "_shset",
-                    F.array(*[f"_h{i}" for i in range(num_perm)])
-                    .alias("_sig")))
+            .agg(F.collect_set("_sh").alias("_shset"),
+                 F.collect_list(F.xxhash64("_sh")).alias("_hx"))
+            .select("_id", "_shset", udf("_hx").alias("_bands")))
 
 
 def minhash_lsh_pairs(docs: DataFrame, id_col: str, text_col: str,
@@ -123,19 +159,15 @@ def minhash_lsh_pairs(docs: DataFrame, id_col: str, text_col: str,
     verified output equals the exact ngram_jaccard_pairs result with
     overwhelming probability while never forming the cross product.
     """
-    r = num_perm // bands
     # eagerly materialized: referenced four times below (both bucket-join
     # sides + both verify sides), and a lazy cache would let every branch
     # recompute the signature lineage on the first action. At corpus
     # scale this is the signature table you'd persist to storage anyway.
-    sig = minhash_signatures(docs, id_col, text_col, num_perm, n).cache()
+    sig = minhash_signatures(docs, id_col, text_col, num_perm, n,
+                             bands).cache()
     sig.count()
-    band_arr = F.array(*[
-        F.struct(F.lit(bi).alias("band"),
-                 F.xxhash64(F.slice("_sig", bi * r + 1, r)).alias("bh"))
-        for bi in range(bands)])
-    buckets = (sig.select("_id", F.explode(band_arr).alias("_b"))
-               .select("_id", "_b.band", "_b.bh"))
+    buckets = (sig.select("_id", F.posexplode("_bands")
+                          .alias("band", "bh")))
 
     a, b = buckets.alias("a"), buckets.alias("b")
     cand = (a.join(b, (F.col("a.band") == F.col("b.band"))
@@ -183,25 +215,46 @@ def simhash64(text: Column, n: int = 1) -> Column:
     return out
 
 
+def _simhash_udf():
+    """Arrow-batched SimHash packing from per-doc token-hash lists —
+    bit-identical to the simhash64 column expression (bit i set iff
+    Σ_tokens ±1 on xxhash64 bit i is positive), without the 64-aggregate
+    codegen'd plan whose compilation costs seconds."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    shifts = np.arange(64, dtype=np.uint64)
+    powers = np.uint64(1) << shifts
+
+    def pack(hash_lists: pd.Series) -> pd.Series:
+        out = np.empty(len(hash_lists), dtype=np.int64)
+        for j, hl in enumerate(hash_lists):
+            x = np.asarray(hl, dtype=np.int64).view(np.uint64)
+            bits = ((x[:, None] >> shifts) & np.uint64(1)).astype(np.int64)
+            pos = (2 * bits - 1).sum(axis=0) > 0
+            with np.errstate(over="ignore"):
+                out[j] = (powers * pos).sum(dtype=np.uint64).astype(
+                    np.int64, casting="unsafe")
+        return pd.Series(out)
+
+    pack.__annotations__ = {"hash_lists": pd.Series, "return": pd.Series}
+    return pandas_udf(pack, "long")
+
+
 def simhash_signatures(docs: DataFrame, id_col: str, text_col: str,
                        n: int = 1) -> DataFrame:
-    """(_id, _sh): SimHash via one token explode + 64 sum aggregates
-    (map-side partial, one shuffled row per doc) — identical values to
-    simhash64 but a ~64× smaller expression tree."""
+    """(_id, _sh): SimHash via one token explode + hash collect + numpy
+    bit-count pass — identical values to simhash64 (pinned in
+    tests/test_llm_ops.py) with a constant-size plan."""
     feats = tokens(F.col(text_col)) if n == 1 \
         else token_shingles(F.col(text_col), n)
     tok = docs.select(F.col(id_col).alias("_id"),
                       F.explode(feats).alias("_t"))
-    h = F.xxhash64("_t")
-    aggs = [F.sum(F.shiftright(h, i).bitwiseAND(F.lit(1)) * 2 - 1)
-            .alias(f"_b{i}") for i in range(64)]
-    packed = F.lit(0).cast("long")
-    for i in range(64):
-        packed = packed.bitwiseOR(
-            F.when(F.col(f"_b{i}") > 0,
-                   F.lit(1 << i if i < 63 else -(1 << 63)).cast("long"))
-            .otherwise(F.lit(0).cast("long")))
-    return tok.groupBy("_id").agg(*aggs).select("_id", packed.alias("_sh"))
+    udf = _simhash_udf()
+    return (tok.groupBy("_id")
+            .agg(F.collect_list(F.xxhash64("_t")).alias("_hx"))
+            .select("_id", udf("_hx").alias("_sh")))
 
 
 def embedding_cosine_pairs(docs: DataFrame, id_col: str, vec_col: str,

@@ -39,21 +39,33 @@ def _as_double(col: str | Column) -> Column:
     return F.transform(c, lambda x: x.cast("double"))
 
 
+def _unit(df: DataFrame, id_col: str, id_alias: str, vec_col: str,
+          out: str) -> DataFrame:
+    """(id_alias, out): vectors cast to double and scaled to unit norm
+    once per row — every downstream pair then costs a single dot fold
+    instead of dot + two norm folds (|pairs| ≫ |rows|)."""
+    return (df.select(F.col(id_col).alias(id_alias),
+                      _as_double(vec_col).alias("_v"))
+            .withColumn("_n", l2_norm(F.col("_v")))
+            .select(id_alias,
+                    F.transform("_v", lambda x: x / F.col("_n"))
+                    .alias(out)))
+
+
 def cosine_topk(corpus: DataFrame, queries: DataFrame, id_col: str,
                 vec_col: str, k: int = 10,
                 exclude_self: bool = True) -> DataFrame:
     """Exact brute-force cosine top-k: returns (q, neighbor, cos, rnk).
-    Vectors are cast float→double element-wise before arithmetic so
-    results are reproducible against double-precision oracles."""
-    c = corpus.select(F.col(id_col).alias("neighbor"),
-                      _as_double(vec_col).alias("_cv"))
-    q = queries.select(F.col(id_col).alias("q"),
-                       _as_double(vec_col).alias("_qv"))
+    Vectors are cast float→double element-wise and pre-normalized before
+    arithmetic so results are reproducible against double-precision
+    oracles and each pair costs one fold."""
+    c = _unit(corpus, id_col, "neighbor", vec_col, "_cv")
+    q = _unit(queries, id_col, "q", vec_col, "_qv")
     pairs = c.join(F.broadcast(q),
                    F.col("neighbor") != F.col("q") if exclude_self
                    else F.lit(True))
     scored = pairs.select(
-        "q", "neighbor", cosine(F.col("_qv"), F.col("_cv")).alias("cos"))
+        "q", "neighbor", dot(F.col("_qv"), F.col("_cv")).alias("cos"))
     w = Window.partitionBy("q").orderBy(F.desc("cos"), F.asc("neighbor"))
     return (scored.withColumn("rnk", F.row_number().over(w))
             .filter(F.col("rnk") <= k))
@@ -118,13 +130,11 @@ def ann_lsh_topk(corpus: DataFrame, queries: DataFrame, id_col: str,
                     else F.lit(True))
             .select("q", "neighbor")
             .distinct())
-    qv = queries.select(F.col(id_col).alias("q"),
-                        _as_double(vec_col).alias("_qv"))
-    cv = corpus.select(F.col(id_col).alias("neighbor"),
-                       _as_double(vec_col).alias("_cv"))
+    qv = _unit(queries, id_col, "q", vec_col, "_qv")
+    cv = _unit(corpus, id_col, "neighbor", vec_col, "_cv")
     scored = (cand.join(F.broadcast(qv), "q").join(cv, "neighbor")
               .select("q", "neighbor",
-                      cosine(F.col("_qv"), F.col("_cv")).alias("cos")))
+                      dot(F.col("_qv"), F.col("_cv")).alias("cos")))
     w = Window.partitionBy("q").orderBy(F.desc("cos"), F.asc("neighbor"))
     return (scored.withColumn("rnk", F.row_number().over(w))
             .filter(F.col("rnk") <= k))
