@@ -337,7 +337,7 @@ ORACLE = {
           UNION ALL
           SELECT doc_id + 10000 AS doc_id, text FROM documents),
         kept AS (SELECT min(doc_id) AS doc_id FROM doubled GROUP BY text)
-        SELECT count(*) AS n, sum(doc_id) AS id_sum FROM kept
+        SELECT count(*) AS n, CAST(sum(doc_id) AS BIGINT) AS id_sum FROM kept
     """,
     "llm08_jaccard_pairs": _DUCK_JACCARD_PAIRS,
     # llm09 shares llm08's oracle: the LSH+verify output equals the exact

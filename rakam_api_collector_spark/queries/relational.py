@@ -524,7 +524,7 @@ ORACLE = {
     """,
     "dq29_envelope_parse": """
         SELECT event_type,
-               sum(k) AS k_sum, count(k) AS k_n,
+               CAST(sum(k) AS BIGINT) AS k_sum, count(k) AS k_n,
                min(k) AS k_min, max(k) AS k_max
         FROM (SELECT event_type,
                      TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k

@@ -21,22 +21,24 @@ from rakam_api_collector_spark.session import get_spark
 from rakam_api_collector_spark.tables import TABLES
 
 
+def _canon_val(v):
+    # Type-tag non-float scalars: the driver hashes Arrow-rendered values, so
+    # a DuckDB HUGEINT (arrow decimal128) must NOT compare equal to a Spark
+    # BIGINT even when both stringify to "26". Floats stay untagged (float32
+    # vs float64 is a representation, not a semantic, difference).
+    if v is None:
+        return "null"
+    if isinstance(v, float):
+        return f"{v:.10g}"
+    if isinstance(v, list):
+        return "[" + ", ".join(_canon_val(x) for x in v) + "]"
+    return f"{type(v).__name__}:{v}"
+
+
 def canon(cols: list[str], rows: list[tuple]) -> tuple[list[str], list[tuple]]:
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     cols_sorted = [cols[i] for i in order]
-    out = []
-    for r in rows:
-        vals = []
-        for i in order:
-            v = r[i]
-            if isinstance(v, float):
-                v = f"{v:.10g}"
-            elif isinstance(v, list):
-                v = str([f"{x:.10g}" if isinstance(x, float) else x for x in v])
-            else:
-                v = str(v)
-            vals.append(v)
-        out.append(tuple(vals))
+    out = [tuple(_canon_val(r[i]) for i in order) for r in rows]
     return cols_sorted, sorted(out)
 
 
@@ -75,7 +77,10 @@ def main() -> int:
         try:
             res = con.sql(oracles[name])
             dcols = list(res.columns)
-            drows = [tuple(r) for r in res.fetchall()]
+            # Fetch through Arrow, like the driver, so HUGEINT/DECIMAL column
+            # types survive to the comparison instead of collapsing to int.
+            tbl = res.fetch_arrow_table()
+            drows = [tuple(d[c] for c in dcols) for d in tbl.to_pylist()]
         except Exception as e:
             print(f"FAIL {name}: duckdb error: {str(e)[:300]}")
             n_fail += 1
