@@ -65,30 +65,51 @@ def _first_wins_normalizer(df: DataFrame, col: str) -> DataFrame:
     TestKafkaJsonDeserializer.java:76-93): re-serialize each JSON object
     keeping the first value per lowercased key. Arrow-batched; only for
     compat runs — the fast path never touches Python."""
+    def first_wins_pairs(ps: list[tuple[str, Any]]) -> dict[str, Any]:
+        # object_pairs_hook runs innermost-first, so nested object values
+        # are already dicts by the time the enclosing object is built —
+        # nested structure survives (a pair-list hook would re-serialize
+        # {"x":{"y":3}} as [["x",[["y",3]]]] and mis-type it as ARRAY).
+        out: dict[str, Any] = {}
+        for k, val in ps:
+            out.setdefault(k.lower(), val)
+        return out
+
     def norm(batches: Iterator) -> Iterator:
         for pdf in batches:
             def fix(s):
                 if s is None:
                     return None
                 try:
-                    pairs = json.loads(
-                        s, object_pairs_hook=lambda ps: ps)
+                    obj = json.loads(s, object_pairs_hook=first_wins_pairs)
                 except ValueError:
                     return None
-                out: dict[str, Any] = {}
-                for k, val in pairs:
-                    out.setdefault(k.lower(), val)
-                return json.dumps(out)
+                return json.dumps(obj)
             pdf[col] = pdf[col].map(fix)
             yield pdf
     return df.mapInPandas(norm, df.schema)
+
+
+class IngestResult(dict):
+    """``{(project, collection): DataFrame}`` plus an ``unpersist()`` handle
+    for the shared parsed-batch cache the collection frames fan out from.
+    Callers that consume the frames (write, count) should call
+    ``unpersist()`` afterwards — on a long-running stream, leaked per-batch
+    caches accumulate storage blocks until LRU eviction churns the pool."""
+
+    def __init__(self, tables: dict, cached: DataFrame):
+        super().__init__(tables)
+        self._cached = cached
+
+    def unpersist(self) -> None:
+        self._cached.unpersist()
 
 
 def ingest_batch(spark: SparkSession, raw: DataFrame, fmt: str,
                  catalog: Catalog, value_col: str = "value",
                  shard_time=None, first_wins_duplicates: bool = False,
                  time_field: str = "_time",
-                 ) -> dict[tuple[str, str], DataFrame]:
+                 ) -> "IngestResult":
     """Ingest one batch of envelope JSON strings into typed, evolved
     per-collection DataFrames keyed by (project, collection).
 
@@ -106,7 +127,8 @@ def ingest_batch(spark: SparkSession, raw: DataFrame, fmt: str,
         F.monotonically_increasing_id().alias("_seq"),
     ).filter(
         F.col("_project").isNotNull() & F.col("_collection").isNotNull()
-        & (F.length("_collection") <= 100)     # java:95-103 validation
+        & (F.length("_collection") > 0)        # java:95-103 validation:
+        & (F.length("_collection") <= 100)     # empty or >100 chars dropped
         & F.col("_data").isNotNull())
 
     if first_wins_duplicates:
@@ -116,9 +138,9 @@ def ingest_batch(spark: SparkSession, raw: DataFrame, fmt: str,
     parsed = routed.withColumn("_m", F.map_from_entries(F.reverse(F.expr(
         "transform(map_entries(from_json(_data, 'map<string,variant>')),"
         " e -> struct(lower(e.key) as key, e.value as value))"))))
-    # cached: the fan-out below re-reads this once per collection; callers
-    # unpersist via parsed.unpersist() on any returned frame's lineage or
-    # let it age out (sinks.write_collections handles it).
+    # cached: the fan-out below re-reads this once per collection. The
+    # returned IngestResult.unpersist() releases it; streaming callers
+    # MUST call it per micro-batch or cached batches pile up.
     parsed = parsed.filter(F.col("_m").isNotNull()).cache()
 
     # ONE discovery job for the whole batch (all collections): at 100
@@ -146,7 +168,7 @@ def ingest_batch(spark: SparkSession, raw: DataFrame, fmt: str,
                              & (F.col("_collection") == collection))
         out[(project, collection)] = _project_typed(
             df_c, cols, cfg["numeric_timestamps"], shard_time, expr_cache)
-    return out
+    return IngestResult(out, parsed)
 
 
 def _discover_new_fields(parsed: DataFrame, catalog: Catalog,

@@ -107,6 +107,7 @@ def start_ingest_stream(spark: SparkSession, source_dir: str, fmt: str,
 
     def process(batch: DataFrame, epoch_id: int) -> None:
         batch = batch.select("value", "_event_time").cache()
+        tables = None
         try:
             rt, hist = split_late(batch, time_col="_event_time",
                                   outdated_day_index=outdated_day_index,
@@ -143,6 +144,8 @@ def start_ingest_stream(spark: SparkSession, source_dir: str, fmt: str,
                             "error-rate kill-switch tripped (ST11): "
                             ">40% of records failed parsing in 5 min")
         finally:
+            if tables is not None:
+                tables.unpersist()
             batch.unpersist()
 
     writer = (stream.writeStream
@@ -165,7 +168,10 @@ def start_historical_stream(spark: SparkSession, historical_dir: str,
     def process(batch: DataFrame, epoch_id: int) -> None:
         tables = ingest_batch(spark, batch, fmt, catalog,
                               shard_time=shard_time, time_field=time_field)
-        write_collections(tables, table_base)
+        try:
+            write_collections(tables, table_base)
+        finally:
+            tables.unpersist()
 
     writer = (raw.writeStream
               .foreachBatch(process)

@@ -83,6 +83,7 @@ def main() -> None:
     tables = ingest_batch(spark, rt.select("value"), "fabric", catalog,
                           shard_time="2024-02-01 00:00:00")
     write_collections(tables, out_dir, coalesce_to=2)
+    tables.unpersist()
     wall = time.perf_counter() - t0
 
     n_tables = len(tables)

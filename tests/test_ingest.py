@@ -124,6 +124,26 @@ def test_duplicate_json_key_first_wins_compat(spark):
     assert row["testcolumn"] == "1"
 
 
+def test_first_wins_compat_preserves_nested_objects(spark):
+    """The first-wins normalizer must not corrupt nested object values:
+    {"x":{"y":3}} stays an object (→ MAP column), not an array of pairs."""
+    line = ('{"id":"1","metadata":{},"data":{"_project":"testproject",'
+            '"_collection":"t","dup":"1","dup":"2","x":{"y":3,"Y":4}}}')
+    out, cat = ingest(spark, [line], first_wins_duplicates=True)
+    [row] = rows_of(out[("testproject", "t")])
+    assert row["dup"] == "1"
+    field = {f.name: f for f in cat.get_columns("testproject", "t")}["x"]
+    assert isinstance(field.dataType, T.MapType)
+    assert row["x"] == {"y": 3.0}    # nested first-wins on lowercased key
+
+
+def test_empty_collection_name_dropped(spark):
+    """checkCollectionValid rejects empty names
+    (FabricJsonDeserializer.java:95-103)."""
+    out, _ = ingest(spark, [fabric("", {"a": 1}), fabric("ok", {"a": 1})])
+    assert set(out) == {("testproject", "ok")}
+
+
 def test_envelope_key_order_independence(spark):
     """_project/_collection after the data fields → same result
     (TestKafkaFabricJsonDeserializer.java:62-85)."""

@@ -155,6 +155,28 @@ def test_stream_late_split_spools_historical_and_replays(spark, tmp_path):
     assert sorted(r["v"] for r in merged.collect()) == [1.0, 2.0]
 
 
+def test_stream_leaves_no_cached_batches(spark, tmp_path):
+    """Each micro-batch's parsed cache must be unpersisted — a leaked
+    cache per batch accumulates storage blocks on a long-running stream."""
+    src = tmp_path / "src"
+    for i in range(3):
+        _write_lines(src, [fabric("t", {"_time": "2020-06-01T10:00:00",
+                                        "_user": f"u{i}", "v": i})],
+                     f"b{i}.json")
+    before = set(spark.sparkContext._jsc.sc().getPersistentRDDs()
+                 .keySet().toString().strip("Set()").split(", "))
+    q = start_ingest_stream(
+        spark, str(src), "fabric", Catalog(),
+        table_base=str(tmp_path / "tables"),
+        checkpoint=str(tmp_path / "ckpt"),
+        now=NOW, shard_time=SHARD_T, dedup=False,
+        trigger={"availableNow": True}, max_files_per_trigger=1)
+    q.awaitTermination(120)
+    after = set(spark.sparkContext._jsc.sc().getPersistentRDDs()
+                .keySet().toString().strip("Set()").split(", "))
+    assert after <= before, f"stream leaked cached RDDs: {after - before}"
+
+
 def test_stream_checkpoint_no_reprocessing(spark, tmp_path):
     """ST7: restarting the query with the same checkpoint does not
     re-ingest already-committed files; new files still flow."""
