@@ -47,41 +47,53 @@ def start(spark: SparkSession, cfg: dict) -> list:
     hist = cfg.get("historical") or {}
     queries = []
 
+    source_path = None
+    source_stream = None
+    hist_stream = None
     if src["type"] == "file":
-        queries.append(start_ingest_stream(
-            spark, src["path"], fmt, catalog, tgt["base"],
-            checkpoint=cfg["checkpoint"],
-            historical_dir=hist.get("dir"),
-            dedup=cfg.get("dedup", True),
-            outdated_day_index=cfg.get("outdated_day_index", 1),
-            trigger=cfg.get("trigger"),
-            shard_time=cfg.get("shard_time"),
-            now=cfg.get("now")))
+        source_path = src["path"]
     elif src["type"] == "kafka":
         from rakam_api_collector_spark.sources.kafka import (
-            kafka_available, realtime_reader)
+            historical_reader, kafka_available, realtime_reader)
         if not kafka_available(spark):
             raise RuntimeError("kafka source configured but the "
                                "spark-sql-kafka connector jar is absent")
-        # value bytes → string envelope lines, then the same pipeline
-        # the file source feeds; wiring kept out of this environment
-        # because .load() requires a broker to connect to.
-        realtime_reader(spark, src["brokers"], src["topics"],
-                        offset=src.get("offset", "latest"))
-        raise NotImplementedError(
-            "kafka wiring requires a broker; use the file source here")
+        # value bytes → string envelope lines → the identical pipeline
+        # the file source feeds (KafkaRealTimeWorker.java:145-222)
+        source_stream = realtime_reader(
+            spark, src["brokers"], src["topics"],
+            offset=src.get("offset", "latest")).load()
+        if src.get("historical_topic"):
+            # S2: the historical topic is the spool (30-min cadence,
+            # KafkaHistoricalWorker.java:157-219)
+            hist_stream = historical_reader(
+                spark, src["brokers"], src["historical_topic"]).load()
     elif src["type"] == "kinesis":
         from rakam_api_collector_spark.sources.kinesis import kinesis_reader
-        kinesis_reader(spark, src["stream"], src["region"], src["app"])
-        raise NotImplementedError(
-            "kinesis wiring requires the connector; use the file source")
+        # kinesis_reader raises RuntimeError when no connector is present
+        source_stream = kinesis_reader(
+            spark, src["stream"], src["region"], src["app"]).load()
     else:
         raise ValueError(f"unknown source type {src['type']!r}")
 
-    if hist.get("dir"):
+    queries.append(start_ingest_stream(
+        spark, source_path, fmt, catalog, tgt["base"],
+        checkpoint=cfg["checkpoint"],
+        historical_dir=hist.get("dir"),
+        dedup=cfg.get("dedup", True),
+        outdated_day_index=cfg.get("outdated_day_index", 1),
+        trigger=cfg.get("trigger"),
+        shard_time=cfg.get("shard_time"),
+        now=cfg.get("now"),
+        source_stream=source_stream))
+
+    if hist.get("dir") or hist_stream is not None:
         queries.append(start_historical_stream(
-            spark, hist["dir"], fmt, catalog, tgt["base"],
-            checkpoint=hist["checkpoint"],
-            trigger=hist.get("trigger"),
-            shard_time=cfg.get("shard_time")))
+            spark, hist.get("dir"), fmt, catalog, tgt["base"],
+            checkpoint=hist.get("checkpoint", cfg["checkpoint"] + "_hist"),
+            trigger=hist.get("trigger",
+                             None if hist_stream is None
+                             else {"processingTime": "30 minutes"}),
+            shard_time=cfg.get("shard_time"),
+            source_stream=hist_stream))
     return queries

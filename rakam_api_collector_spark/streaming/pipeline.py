@@ -65,9 +65,16 @@ def start_ingest_stream(spark: SparkSession, source_dir: str, fmt: str,
                         shard_time=None,
                         max_files_per_trigger: int | None = None,
                         stats=None, error_monitor=None,
-                        rocksdb_state: bool = True):
-    """Start the real-time ingestion query over a text-file source of
-    envelope JSON lines. Returns the StreamingQuery.
+                        rocksdb_state: bool = True,
+                        source_stream: DataFrame | None = None):
+    """Start the real-time ingestion query over a source of envelope JSON
+    lines. Returns the StreamingQuery.
+
+    The default source is a text-file directory (``source_dir``); pass
+    ``source_stream`` (any streaming DataFrame with a ``value`` column —
+    e.g. ``sources.kafka.realtime_reader(...).load()``) to feed the same
+    downstream pipeline from a connector source; its ``value`` is cast to
+    string, the Kafka byte-payload decode (KafkaRealTimeWorker.java:145-222).
 
     ``trigger`` defaults to availableNow (drain-and-stop, for tests);
     pass {"processingTime": "15 seconds"} for the reference cadence.
@@ -82,10 +89,15 @@ def start_ingest_stream(spark: SparkSession, source_dir: str, fmt: str,
             "org.apache.spark.sql.execution.streaming.state."
             "RocksDBStateStoreProvider")
 
-    reader = spark.readStream.format("text")
-    if max_files_per_trigger:
-        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    raw = reader.load(source_dir)
+    if source_stream is not None:
+        raw = source_stream.select(
+            F.col("value").cast("string").alias("value"))
+    else:
+        reader = spark.readStream.format("text")
+        if max_files_per_trigger:
+            reader = reader.option("maxFilesPerTrigger",
+                                   max_files_per_trigger)
+        raw = reader.load(source_dir)
 
     stream = raw.withColumn("_event_time", _event_time_expr(fmt, time_field))
     if dedup:
@@ -155,15 +167,22 @@ def start_ingest_stream(spark: SparkSession, source_dir: str, fmt: str,
     return writer.trigger(**trig).start()
 
 
-def start_historical_stream(spark: SparkSession, historical_dir: str,
+def start_historical_stream(spark: SparkSession, historical_dir: str | None,
                             fmt: str, catalog: Catalog, table_base: str,
                             checkpoint: str, trigger: dict | None = None,
-                            time_field: str = "_time", shard_time=None):
+                            time_field: str = "_time", shard_time=None,
+                            source_stream: DataFrame | None = None):
     """ST5: drain the historical spool in big, low-frequency batches
     (reference: 30 min cadence or 500k-record lag,
     KafkaHistoricalWorker.java:157-219) into the same tables — no late
-    split, no dedup (already done on the hot path)."""
-    raw = spark.readStream.format("text").load(historical_dir)
+    split, no dedup (already done on the hot path). ``source_stream``
+    substitutes a connector stream (e.g. the historical Kafka topic,
+    ``sources.kafka.historical_reader(...).load()``) for the spool dir."""
+    if source_stream is not None:
+        raw = source_stream.select(
+            F.col("value").cast("string").alias("value"))
+    else:
+        raw = spark.readStream.format("text").load(historical_dir)
 
     def process(batch: DataFrame, epoch_id: int) -> None:
         tables = ingest_batch(spark, batch, fmt, catalog,

@@ -155,6 +155,32 @@ def test_stream_late_split_spools_historical_and_replays(spark, tmp_path):
     assert sorted(r["v"] for r in merged.collect()) == [1.0, 2.0]
 
 
+def test_injected_source_stream_feeds_pipeline(spark, tmp_path):
+    """The connector entry point: a streaming DataFrame with a binary
+    ``value`` column (the Kafka wire shape) injected via source_stream
+    flows through the identical downstream pipeline."""
+    lines = [fabric("t", {"_time": "2020-06-01T10:00:0%d" % i,
+                          "_user": f"u{i}", "v": i}) for i in range(3)]
+    src = tmp_path / "src"
+    _write_lines(src, lines)
+    # simulate the kafka reader's value:binary column
+    kafka_shaped = (spark.readStream.format("text").load(str(src))
+                    .select(F.encode("value", "utf-8").alias("value")))
+
+    cat = Catalog()
+    q = start_ingest_stream(
+        spark, None, "fabric", cat,
+        table_base=str(tmp_path / "tables"),
+        checkpoint=str(tmp_path / "ckpt"),
+        now=NOW, shard_time=SHARD_T, dedup=True,
+        source_stream=kafka_shaped)
+    q.awaitTermination(120)
+
+    df = read_collection(spark, str(tmp_path / "tables"),
+                         "testproject", "t", cat)
+    assert sorted(r["v"] for r in df.collect()) == [0.0, 1.0, 2.0]
+
+
 def test_stream_leaves_no_cached_batches(spark, tmp_path):
     """Each micro-batch's parsed cache must be unpersisted — a leaked
     cache per batch accumulates storage blocks on a long-running stream."""
