@@ -109,6 +109,7 @@ def ingest_batch(spark: SparkSession, raw: DataFrame, fmt: str,
                  catalog: Catalog, value_col: str = "value",
                  shard_time=None, first_wins_duplicates: bool = False,
                  time_field: str = "_time",
+                 compat: str = "spark", struct_objects: bool = False,
                  ) -> "IngestResult":
     """Ingest one batch of envelope JSON strings into typed, evolved
     per-collection DataFrames keyed by (project, collection).
@@ -146,7 +147,8 @@ def ingest_batch(spark: SparkSession, raw: DataFrame, fmt: str,
     # ONE discovery job for the whole batch (all collections): at 100
     # collections a per-collection loop means 100+ driver-sequenced jobs
     # per micro-batch — the design that does NOT survive scale-up.
-    new_by_coll = _discover_new_fields(parsed, catalog, time_field)
+    new_by_coll = _discover_new_fields(parsed, catalog, time_field,
+                                       struct_objects)
 
     # identical (name, type) columns across collections share one Column
     # object: plan building is driver py4j calls, and 100 collections ×
@@ -167,12 +169,13 @@ def ingest_batch(spark: SparkSession, raw: DataFrame, fmt: str,
         df_c = parsed.filter((F.col("_project") == project)
                              & (F.col("_collection") == collection))
         out[(project, collection)] = _project_typed(
-            df_c, cols, cfg["numeric_timestamps"], shard_time, expr_cache)
+            df_c, cols, cfg["numeric_timestamps"], shard_time, expr_cache,
+            compat)
     return IngestResult(out, parsed)
 
 
 def _discover_new_fields(parsed: DataFrame, catalog: Catalog,
-                         time_field: str
+                         time_field: str, struct_objects: bool = False,
                          ) -> dict[tuple[str, str], list[T.StructField]]:
     """One batch-wide job discovering unseen fields for EVERY collection:
     explode entries once, drop known (collection, key) pairs via a
@@ -221,7 +224,8 @@ def _discover_new_fields(parsed: DataFrame, catalog: Catalog,
     for row in sorted(firsts,
                       key=lambda r: (r["_ord"]["_seq"], r["_ord"]["_pos"])):
         dtype = infer_type(json.loads(row["_js"]),
-                           is_time_field=(row["_key"] == time_field))
+                           is_time_field=(row["_key"] == time_field),
+                           struct_objects=struct_objects)
         if dtype is not None:
             out.setdefault((row["_project"], row["_collection"]),
                            []).append(T.StructField(row["_key"], dtype))
@@ -230,7 +234,8 @@ def _discover_new_fields(parsed: DataFrame, catalog: Catalog,
 
 def _project_typed(df_c: DataFrame, cols: list[T.StructField],
                    numeric_timestamps: bool, shard_time,
-                   expr_cache: dict | None = None) -> DataFrame:
+                   expr_cache: dict | None = None,
+                   compat: str = "spark") -> DataFrame:
     exprs = []
     if expr_cache is None:
         expr_cache = {}
@@ -244,8 +249,8 @@ def _project_typed(df_c: DataFrame, cols: list[T.StructField],
         c = expr_cache.get(key)
         if c is None:
             c = conversion_expr(F.element_at("_m", f.name), f.dataType,
-                                numeric_timestamps=numeric_timestamps
-                                ).alias(f.name)
+                                numeric_timestamps=numeric_timestamps,
+                                compat=compat).alias(f.name)
             expr_cache[key] = c
         exprs.append(c)
     return df_c.select(*exprs)

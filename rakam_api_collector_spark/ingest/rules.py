@@ -50,8 +50,18 @@ def _scalar_type(value) -> T.DataType | None:
     return None
 
 
-def infer_type(value, is_time_field: bool = False) -> T.DataType | None:
-    """First-non-null-occurrence inference; None = defer (no column yet)."""
+def infer_type(value, is_time_field: bool = False,
+               struct_objects: bool = False) -> T.DataType | None:
+    """First-non-null-occurrence inference; None = defer (no column yet).
+
+    ``struct_objects=True`` infers nested JSON objects as first-class
+    ``StructType`` (recursively typed leaves) — what Spark can express
+    that the reference cannot (it throws "Nested properties are not
+    supported", FabricJsonDeserializer.java:303-310, or flattens to MAP
+    at inference, java:565-598). Off by default: MAP columns evolve
+    add-only for free, while struct field sets are frozen at first
+    occurrence — the scale-safe default for 100 TB streaming corpora.
+    """
     if is_time_field:                     # configured time field (java:500-502)
         return T.TimestampType()
     if value is None:
@@ -60,6 +70,9 @@ def infer_type(value, is_time_field: bool = False) -> T.DataType | None:
         if not value:
             return None                   # empty array → defer
         head = value[0]
+        if struct_objects and isinstance(head, dict):
+            elem = infer_type(head, struct_objects=True)
+            return T.ArrayType(elem) if elem else T.ArrayType(T.StringType())
         if isinstance(head, (list, dict)):
             return T.ArrayType(T.StringType())   # nested → JSON strings
         elem = _scalar_type(head)
@@ -67,6 +80,15 @@ def infer_type(value, is_time_field: bool = False) -> T.DataType | None:
     if isinstance(value, dict):           # java:565-598
         if not value:
             return None                   # empty object → defer
+        if struct_objects:
+            # nested keys keep their case: top-level lowering is identifier
+            # folding for COLUMN names; nested keys are payload content and
+            # must match the JSON during from_json extraction
+            fields = []
+            for k, nested in value.items():
+                ft = infer_type(nested, struct_objects=True)
+                fields.append(T.StructField(k, ft or T.StringType()))
+            return T.StructType(fields)
         head = next(iter(value.values()))
         if isinstance(head, (list, dict)) or head is None:
             return T.MapType(T.StringType(), T.StringType())
@@ -81,7 +103,8 @@ def _is_number(sch: Column) -> Column:
 
 def conversion_expr(v: Column, dtype: T.DataType,
                     numeric_timestamps: bool = True,
-                    truncate_strings: int | None = 100) -> Column:
+                    truncate_strings: int | None = 100,
+                    compat: str = "spark") -> Column:
     """Typed extraction of a variant value with catch→null semantics.
 
     ``numeric_timestamps``: Fabric accepts epoch-millis numbers for
@@ -89,7 +112,14 @@ def conversion_expr(v: Column, dtype: T.DataType,
     (RakamJsonDeserializer.java:363-377) — numbers become null there.
     ``truncate_strings``: VARCHAR values hard-truncate at 100 chars
     (FabricJsonDeserializer.java:324-330); None disables (non-compat).
+    ``compat``: 'spark' (default) converts DECIMAL columns properly and
+    base64-decodes BINARY; 'reference' reproduces the reference's
+    behavior exactly — every JSON-ingested DECIMAL value is null (the
+    TODO at FabricJsonDeserializer.java:352-354) and BINARY is null
+    (no VARBINARY case on the JSON path; Avro-only, AvroUtil.java:52-53).
     """
+    if compat not in ("spark", "reference"):
+        raise ValueError(f"unknown compat mode {compat!r}")
     sch = F.schema_of_variant(v)
 
     if isinstance(dtype, T.StringType):
@@ -122,11 +152,29 @@ def conversion_expr(v: Column, dtype: T.DataType,
                      .when(sch == "STRING", from_str))
         return F.when(sch == "STRING", from_str)
 
-    if isinstance(dtype, (T.ArrayType, T.MapType)):
+    if isinstance(dtype, T.DecimalType):
+        if compat == "reference":
+            # reference-exact: DECIMAL never converts
+            # (FabricJsonDeserializer.java:352-354 writes null always)
+            return F.lit(None).cast(dtype)
+        return F.when(_is_number(sch),
+                      F.try_variant_get(v, "$", dtype.simpleString()))
+
+    if isinstance(dtype, T.BinaryType):
+        if compat == "reference":
+            return F.lit(None).cast(dtype)   # Avro-path-only type
+        # JSON convention: base64 text; malformed → null, not error
+        return F.when(sch == "STRING",
+                      F.try_to_binary(F.try_variant_get(v, "$", "string"),
+                                      F.lit("base64")))
+
+    if isinstance(dtype, (T.ArrayType, T.MapType, T.StructType)):
         # JSON round-trip so element/value mismatches null out per-entry
         # (java:453-485 per-element writes) and nested values JSON-encode
-        # into STRING slots (java:470-478).
-        kind = "ARRAY" if isinstance(dtype, T.ArrayType) else "OBJECT"
+        # into STRING slots (java:470-478). Struct columns (spark-mode
+        # nested inference) take the same path: unknown nested keys are
+        # dropped, missing ones null-fill.
+        kind = ("ARRAY" if isinstance(dtype, T.ArrayType) else "OBJECT")
         return F.when(sch.startswith(kind),
                       F.from_json(F.to_json(v), dtype))
 

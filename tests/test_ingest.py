@@ -144,6 +144,67 @@ def test_empty_collection_name_dropped(spark):
     assert set(out) == {("testproject", "ok")}
 
 
+def _decimal_catalog():
+    cat = Catalog()
+    cat.create_table("testproject", "t")
+    cat.add_columns("testproject", "t", [
+        T.StructField("amt", T.DecimalType(18, 4)),
+        T.StructField("blob", T.BinaryType())])
+    return cat
+
+
+def test_decimal_binary_spark_mode(spark):
+    """compat='spark': DECIMAL converts properly; BINARY base64-decodes;
+    mismatched tokens → null, never error."""
+    import decimal
+    cat = _decimal_catalog()
+    out, _ = ingest(spark, [
+        fabric("t", {"amt": 12.5, "blob": "aGVsbG8="}),       # valid
+        fabric("t", {"amt": "NaNope", "blob": "!!!"})],       # both null
+        catalog=cat)
+    rows = sorted(rows_of(out[("testproject", "t")]),
+                  key=lambda r: r["amt"] is None)
+    assert rows[0]["amt"] == decimal.Decimal("12.5000")
+    assert bytes(rows[0]["blob"]) == b"hello"
+    assert rows[1]["amt"] is None and rows[1]["blob"] is None
+
+
+def test_decimal_binary_reference_mode(spark):
+    """compat='reference': JSON DECIMAL is always null (the reference's
+    TODO, FabricJsonDeserializer.java:352-354); BINARY is Avro-only."""
+    cat = _decimal_catalog()
+    out, _ = ingest(spark, [fabric("t", {"amt": 12.5, "blob": "aGVsbG8="})],
+                    catalog=cat, compat="reference")
+    [row] = rows_of(out[("testproject", "t")])
+    assert row["amt"] is None and row["blob"] is None
+
+
+def test_struct_objects_inference(spark):
+    """struct_objects=True: nested objects become first-class typed
+    StructType columns (what Spark can do that the reference rejects,
+    FabricJsonDeserializer.java:303-310); unknown nested keys in later
+    records drop, missing ones null-fill."""
+    cat = Catalog()
+    out1, _ = ingest(spark, [
+        fabric("t", {"ctx": {"ua": "firefox", "Build": 42,
+                             "geo": {"lat": 1.5}}})],
+        catalog=cat, struct_objects=True)
+    field = {f.name: f for f in cat.get_columns("testproject", "t")}["ctx"]
+    assert isinstance(field.dataType, T.StructType)
+    assert isinstance(field.dataType["Build"].dataType, T.DoubleType)
+    assert isinstance(field.dataType["geo"].dataType, T.StructType)
+    [row] = rows_of(out1[("testproject", "t")])
+    assert row["ctx"]["ua"] == "firefox" and row["ctx"]["Build"] == 42.0
+    assert row["ctx"]["geo"]["lat"] == 1.5
+
+    out2, _ = ingest(spark, [
+        fabric("t", {"ctx": {"ua": "chrome", "extra": "dropped"}})],
+        catalog=cat, struct_objects=True)
+    [row2] = rows_of(out2[("testproject", "t")])
+    assert row2["ctx"]["ua"] == "chrome" and row2["ctx"]["Build"] is None
+    assert "extra" not in row2["ctx"].asDict()
+
+
 def test_envelope_key_order_independence(spark):
     """_project/_collection after the data fields → same result
     (TestKafkaFabricJsonDeserializer.java:62-85)."""
