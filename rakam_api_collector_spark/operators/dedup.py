@@ -56,7 +56,7 @@ def token_shingles(text: Column, n: int = 3) -> Column:
 
 def ngram_jaccard_pairs(docs: DataFrame, id_col: str, text_col: str,
                         n: int = 3, threshold: float = 0.5,
-                        max_shingle_freq: int | None = None) -> DataFrame:
+                        max_shingle_freq: int | None = 10_000) -> DataFrame:
     """Exact Jaccard-similar pairs (a < b) via inverted index: explode
     shingles, self-join on shingle (only co-shingled pairs ever meet),
     count common, Jaccard = common / (|A| + |B| - common).
@@ -64,7 +64,9 @@ def ngram_jaccard_pairs(docs: DataFrame, id_col: str, text_col: str,
     ``max_shingle_freq`` drops shingles appearing in more than that many
     docs (stop-shingles): at corpus scale a shingle shared by 10⁶ docs
     creates 10¹² pairs — pruning it changes Jaccard by at most
-    1/|smallest doc|, standard practice; None keeps exactness."""
+    1/|smallest doc|, standard practice. The default caps the worst
+    per-shingle fan-out at ~10⁸ pairs (one stop-shingle's bucket);
+    pass ``None`` only for oracle-exactness paths."""
     sh = docs.select(F.col(id_col).alias("_id"),
                      F.explode(token_shingles(F.col(text_col), n))
                      .alias("_sh"))
@@ -134,37 +136,51 @@ def _minhash_bands_udf(num_perm: int, bands: int, seed: int = 7):
 
 def minhash_signatures(docs: DataFrame, id_col: str, text_col: str,
                        num_perm: int = 128, n: int = 3,
-                       bands: int = 64) -> DataFrame:
-    """(_id, _shset, _bands): per-doc shingle set + banded MinHash band
-    hashes. Shingles are hashed JVM-side (one xxhash64 per shingle);
-    signatures and band hashes come from one Arrow-batched numpy pass
-    (_minhash_bands_udf) — the signature table you'd persist at scale."""
+                       bands: int = 64,
+                       max_shingle_freq: int | None = None) -> DataFrame:
+    """(_id, _bands): per-doc banded MinHash band hashes — deliberately
+    NARROW (two columns, one array of ``bands`` longs) because this is
+    the signature table that rides every downstream shuffle and, at
+    scale, gets persisted (see signature_store). Shingles are hashed
+    JVM-side (one xxhash64 per shingle); signatures and band hashes come
+    from one Arrow-batched numpy pass (_minhash_bands_udf).
+
+    ``max_shingle_freq`` drops stop-shingles (appearing in more docs
+    than the cap) before signing — at corpus scale a universal shingle
+    floods every band bucket."""
     sh = docs.select(F.col(id_col).alias("_id"),
                      F.explode(token_shingles(F.col(text_col), n))
                      .alias("_sh"))
+    if max_shingle_freq:
+        freq = (sh.groupBy("_sh").agg(F.count("*").alias("_f"))
+                .filter(F.col("_f") <= max_shingle_freq).select("_sh"))
+        sh = sh.join(freq, "_sh")
     udf = _minhash_bands_udf(num_perm, bands)
     return (sh.groupBy("_id")
-            .agg(F.collect_set("_sh").alias("_shset"),
-                 F.collect_list(F.xxhash64("_sh")).alias("_hx"))
-            .select("_id", "_shset", udf("_hx").alias("_bands")))
+            .agg(F.collect_list(F.xxhash64("_sh")).alias("_hx"))
+            .select("_id", udf("_hx").alias("_bands")))
 
 
 def minhash_lsh_pairs(docs: DataFrame, id_col: str, text_col: str,
                       n: int = 3, threshold: float = 0.5,
-                      num_perm: int = 128, bands: int = 64) -> DataFrame:
+                      num_perm: int = 128, bands: int = 64,
+                      max_shingle_freq: int | None = 10_000) -> DataFrame:
     """Near-dup pairs via banded MinHash-LSH + exact verification.
 
     rows-per-band r = num_perm // bands; candidate recall at similarity s
     is 1 - (1 - s^r)^bands (r=2, b=64, s=0.5 → miss ≈ 1e-8), so the
     verified output equals the exact ngram_jaccard_pairs result with
     overwhelming probability while never forming the cross product.
-    """
-    # eagerly materialized: referenced four times below (both bucket-join
-    # sides + both verify sides), and a lazy cache would let every branch
-    # recompute the signature lineage on the first action. At corpus
-    # scale this is the signature table you'd persist to storage anyway.
+
+    Scale shape: candidate discovery moves only (_id, band, bh) longs;
+    exact-Jaccard verification recomputes shingle sets for *candidate
+    docs only* (a semi-join of the source table against the candidate id
+    set — typically tiny and broadcast), so the full corpus's shingle
+    sets never ride a shuffle or sit in cache."""
+    # eagerly materialized: both bucket-join sides read it, and a lazy
+    # cache would let each side recompute the signature lineage.
     sig = minhash_signatures(docs, id_col, text_col, num_perm, n,
-                             bands).cache()
+                             bands, max_shingle_freq).cache()
     sig.count()
     buckets = (sig.select("_id", F.posexplode("_bands")
                           .alias("band", "bh")))
@@ -174,10 +190,21 @@ def minhash_lsh_pairs(docs: DataFrame, id_col: str, text_col: str,
                    & (F.col("a.bh") == F.col("b.bh"))
                    & (F.col("a._id") < F.col("b._id")))
             .select(F.col("a._id").alias("ia"), F.col("b._id").alias("ib"))
-            .distinct())
+            .distinct()
+            .cache())
 
-    sa = sig.select(F.col("_id").alias("ia"), F.col("_shset").alias("_seta"))
-    sb = sig.select(F.col("_id").alias("ib"), F.col("_shset").alias("_setb"))
+    ids = (cand.select(F.col("ia").alias("_id"))
+           .unionByName(cand.select(F.col("ib").alias("_id")))
+           .distinct())
+    need = (docs.select(F.col(id_col).alias("_id"),
+                        F.col(text_col).alias("_t"))
+            .join(ids, "_id", "left_semi"))
+    sets = (need.select("_id", token_shingles(F.col("_t"), n)
+                        .alias("_shset"))
+            .cache())
+
+    sa = sets.select(F.col("_id").alias("ia"), F.col("_shset").alias("_seta"))
+    sb = sets.select(F.col("_id").alias("ib"), F.col("_shset").alias("_setb"))
     return (cand.join(sa, "ia").join(sb, "ib")
             .withColumn("jac",
                         F.size(F.array_intersect("_seta", "_setb")) /
@@ -301,6 +328,68 @@ def embedding_cosine_pairs(docs: DataFrame, id_col: str, vec_col: str,
     return (cand.select("a", "b",
                         S.cosine(F.col("_va"), F.col("_vb")).alias("cos"))
             .filter(F.col("cos") >= threshold))
+
+
+def connected_components(pairs: DataFrame, a: str = "a", b: str = "b",
+                         max_iter: int = 20) -> DataFrame:
+    """(node, cluster_id) connected components of a near-dup pair graph
+    via min-label propagation: every node starts labeled with its own id;
+    each round a node takes the min of its own and its neighbors' labels;
+    at the fixed point cluster_id == min doc id in the component.
+
+    Scale shape: each round is one equi-join (edges × labels, both
+    shuffled on node id) + one groupBy min — never a cross product — and
+    the number of rounds is the component *diameter*, which for near-dup
+    graphs is small (copies cluster around a common original; the
+    reference pipeline analog is transitive pair closure). Labels are
+    ``localCheckpoint``-ed every round so the plan stays constant-size
+    across iterations; on a real cluster use a reliable checkpoint dir.
+    Early-stops when no label changes.
+    """
+    edges = (pairs.select(F.col(a).alias("s"), F.col(b).alias("d"))
+             .unionByName(
+                 pairs.select(F.col(b).alias("s"), F.col(a).alias("d")))
+             .localCheckpoint())
+    # initial labels stay LAZY and undeduplicated — the first round's
+    # min-agg absorbs both (an extra distinct + checkpoint here costs a
+    # full materialization for nothing)
+    labels = edges.select(F.col("s").alias("node"),
+                          F.col("s").alias("label"))
+    # Convergence via a one-stage aggregate instead of a labels⨝labels
+    # join: min-propagation only ever DECREASES labels, so the label sum
+    # is strictly monotone until the fixed point — equal consecutive
+    # sums ⇔ no label changed. decimal(38,0) so 100 TB id sums can't
+    # wrap.
+    prev_sum = None
+    for _ in range(max_iter):
+        msgs = (edges.join(labels, edges["s"] == labels["node"])
+                .select(F.col("d").alias("node"), "label"))
+        labels = (msgs.unionByName(labels)
+                  .groupBy("node").agg(F.min("label").alias("label"))
+                  .localCheckpoint())
+        cur_sum = labels.agg(
+            F.sum(F.col("label").cast("decimal(38,0)"))).first()[0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    return labels.select("node", F.col("label").alias("cluster_id"))
+
+
+def dedup_verdict(docs: DataFrame, id_col: str, pairs: DataFrame,
+                  a: str = "a", b: str = "b",
+                  max_iter: int = 20) -> DataFrame:
+    """(id, cluster_id, keep): per-document survivor verdict — the step
+    that turns a pair report into a pipeline stage. Documents in no pair
+    are their own singleton cluster (keep=true); within a component the
+    min doc id survives. Left join back to the full corpus so every
+    input document gets exactly one verdict row."""
+    cc = connected_components(pairs, a, b, max_iter)
+    lab = F.coalesce("cluster_id", F.col(id_col))
+    return (docs.select(id_col)
+            .join(cc, F.col(id_col) == F.col("node"), "left")
+            .select(F.col(id_col),
+                    lab.alias("cluster_id"),
+                    (lab == F.col(id_col)).alias("keep")))
 
 
 def simhash_candidates(docs: DataFrame, id_col: str, text_col: str,

@@ -133,7 +133,8 @@ def llm08_jaccard_pairs(spark: SparkSession, sf: str) -> DataFrame:
     never all-pairs (operators/dedup.py:ngram_jaccard_pairs)."""
     corpus = _perturbed_corpus(spark, sf)
     return (D.ngram_jaccard_pairs(corpus, "doc_id", "text",
-                                  n=3, threshold=_JACCARD_T)
+                                  n=3, threshold=_JACCARD_T,
+                                  max_shingle_freq=None)
             .select("a", "b", F.round("jac", 4).alias("jac"))
             .orderBy("a", "b"))
 
@@ -148,6 +149,41 @@ def llm09_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
                                 num_perm=128, bands=64)
             .select("a", "b", F.round("jac", 4).alias("jac"))
             .orderBy("a", "b"))
+
+
+def _perturbed_corpus3(spark: SparkSession, sf: str) -> DataFrame:
+    """Three-level perturbed corpus: originals ∪ drop-2-token copies
+    (+10000) ∪ drop-4-token copies (+20000). Short documents give chain
+    structure (orig~copy1 and copy1~copy2 above threshold while
+    orig~copy2 falls below), so cluster resolution must be transitive."""
+    docs = (load_table(spark, sf, "documents")
+            .filter(F.col("doc_id") < _PERTURB_LIMIT)
+            .select("doc_id", "text"))
+    toks = T.tokens(F.col("text"))
+
+    def dropped(k: int, offset: int) -> DataFrame:
+        return docs.select(
+            (F.col("doc_id") + offset).alias("doc_id"),
+            F.array_join(
+                F.slice(toks, k + 1,
+                        F.greatest(F.size(toks) - k, F.lit(0))),
+                " ").alias("text"))
+
+    return docs.unionByName(dropped(2, 10000)).unionByName(
+        dropped(4, 20000))
+
+
+def llm16_dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
+    """Dedup cluster resolution: exact-Jaccard pairs → connected
+    components (min-label propagation, operators/dedup.py:
+    connected_components) → per-doc (cluster_id, keep) verdict. The
+    oracle computes the same transitive closure with a recursive CTE."""
+    corpus = _perturbed_corpus3(spark, sf)
+    pairs = D.ngram_jaccard_pairs(corpus, "doc_id", "text",
+                                  n=3, threshold=_JACCARD_T,
+                                  max_shingle_freq=None)
+    return (D.dedup_verdict(corpus, "doc_id", pairs)
+            .orderBy("doc_id"))
 
 
 def llm10_simhash(spark: SparkSession, sf: str) -> DataFrame:
@@ -236,6 +272,7 @@ QUERIES = {
     "llm08_jaccard_pairs": llm08_jaccard_pairs,
     "llm09_minhash_lsh": llm09_minhash_lsh,
     "llm10_simhash": llm10_simhash,
+    "llm16_dedup_clusters": llm16_dedup_clusters,
     "llm15_embed_dedup": llm15_embed_dedup,
     "llm11_knn_cosine": llm11_knn_cosine,
     "llm12_ann_lsh": llm12_ann_lsh,
@@ -277,6 +314,52 @@ _DUCK_JACCARD_PAIRS = f"""
     WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
           / len(list_distinct(list_concat(a.s, b.s))) >= {_JACCARD_T}
     ORDER BY a, b
+"""
+
+# Three-level corpus (orig, drop-2 at +10000, drop-4 at +20000) + shingles
+_DUCK_CORPUS3 = f"""
+  base AS (SELECT doc_id, text FROM documents WHERE doc_id < {_PERTURB_LIMIT}),
+  btoks AS (SELECT doc_id, {_DUCK_TOKS} AS t FROM base),
+  corpus AS (
+    SELECT doc_id, text FROM base
+    UNION ALL
+    SELECT doc_id + 10000 AS doc_id,
+           array_to_string(list_slice(t, 3, len(t)), ' ') AS text
+    FROM btoks
+    UNION ALL
+    SELECT doc_id + 20000 AS doc_id,
+           array_to_string(list_slice(t, 5, len(t)), ' ') AS text
+    FROM btoks),
+  ctoks AS (SELECT doc_id, {_DUCK_TOKS} AS t FROM corpus),
+  shingles AS (
+    SELECT doc_id,
+           CASE WHEN len(t) >= 3
+                THEN list_distinct(list_transform(
+                       generate_series(1, len(t) - 2),
+                       i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+                ELSE [array_to_string(t, ' ')] END AS s
+    FROM ctoks)
+"""
+
+# Cluster resolution oracle: same pair predicate as the Spark side, then
+# transitive closure via a recursive CTE; cluster_id = min reachable id.
+_DUCK_CLUSTERS = f"""
+    WITH RECURSIVE
+    {_DUCK_CORPUS3},
+    pairs AS (
+      SELECT a.doc_id AS a, b.doc_id AS b
+      FROM shingles a JOIN shingles b ON a.doc_id < b.doc_id
+      WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+            / len(list_distinct(list_concat(a.s, b.s))) >= {_JACCARD_T}),
+    edges AS (SELECT a AS s, b AS d FROM pairs
+              UNION SELECT b AS s, a AS d FROM pairs),
+    reach(node, lab) AS (
+      SELECT doc_id AS node, doc_id AS lab FROM corpus
+      UNION
+      SELECT e.d AS node, r.lab FROM reach r JOIN edges e ON e.s = r.node)
+    SELECT node AS doc_id, min(lab) AS cluster_id,
+           (min(lab) = node) AS keep
+    FROM reach GROUP BY node ORDER BY doc_id
 """
 
 ORACLE = {
@@ -343,6 +426,7 @@ ORACLE = {
     # llm09 shares llm08's oracle: the LSH+verify output equals the exact
     # pair set at these band parameters (miss prob ≈ 1e-8).
     "llm09_minhash_lsh": _DUCK_JACCARD_PAIRS,
+    "llm16_dedup_clusters": _DUCK_CLUSTERS,
     # llm10_simhash / llm12_ann_lsh: engine-specific hash family / recall
     # < 1 — deliberately no SQL oracle (driver records rows-only; accuracy
     # pinned in tests/test_llm_ops.py instead).

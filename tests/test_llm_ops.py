@@ -123,3 +123,32 @@ def test_decode_features_batch_path(spark):
         assert len(f) == M.FEATURE_DIM
         assert f[0] == float(len(b)) and f[1] == float(b[0])
         assert f[5] == float(min(b)) and f[6] == float(max(b))
+
+
+def test_connected_components_chain_transitivity(spark):
+    # a-b, b-c, plus isolated pair d-e: min-label must propagate across
+    # the chain (a,b,c all cluster to 1) even though (1,3) is no pair.
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 9)], "a long, b long")
+    got = {r.node: r.cluster_id
+           for r in D.connected_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 7: 7, 9: 7}
+
+
+def test_dedup_verdict_singletons_and_survivors(spark):
+    docs = spark.createDataFrame([(i,) for i in range(1, 6)],
+                                 "doc_id long")
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], "a long, b long")
+    rows = {r.doc_id: (r.cluster_id, r.keep)
+            for r in D.dedup_verdict(docs, "doc_id", pairs).collect()}
+    assert rows == {1: (1, True), 2: (1, False), 3: (1, False),
+                    4: (4, True), 5: (5, True)}
+
+
+def test_connected_components_deep_chain(spark):
+    # diameter 8: convergence loop must iterate past a couple of rounds
+    pairs = spark.createDataFrame([(i, i + 1) for i in range(1, 9)],
+                                  "a long, b long")
+    got = {r.node: r.cluster_id
+           for r in D.connected_components(pairs).collect()}
+    assert got == {i: 1 for i in range(1, 10)}

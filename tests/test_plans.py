@@ -102,3 +102,31 @@ def test_jaccard_no_cartesian(spark):
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan \
         or "BroadcastHashJoin" in plan      # inverted-index equi-join
+
+
+def test_dedup_verdict_no_cartesian(spark):
+    # cluster resolution: the label-propagation rounds and the final
+    # corpus⨝clusters verdict must all be equi-joins
+    from rakam_api_collector_spark.operators.dedup import dedup_verdict
+    docs = (load_table(spark, SF, "documents")
+            .filter(F.col("doc_id") < 30).select("doc_id"))
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (7, 9)],
+                                  "a long, b long")
+    plan = plan_of(dedup_verdict(docs, "doc_id", pairs))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_minhash_signature_table_is_narrow(spark):
+    # the signature table that rides shuffles / persists at scale must
+    # carry only (_id, _bands) — shingle sets stay out of it; exact
+    # verification semi-joins the source docs down to candidates instead
+    from rakam_api_collector_spark.operators.dedup import (
+        minhash_lsh_pairs, minhash_signatures)
+    docs = (load_table(spark, SF, "documents")
+            .filter(F.col("doc_id") < 40).select("doc_id", "text"))
+    assert minhash_signatures(docs, "doc_id", "text").columns == \
+        ["_id", "_bands"]
+    plan = plan_of(minhash_lsh_pairs(docs, "doc_id", "text"))
+    assert "CartesianProduct" not in plan
+    assert "LeftSemi" in plan               # verify path prunes to cands
