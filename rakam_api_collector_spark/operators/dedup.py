@@ -99,7 +99,8 @@ def _rand_odd_uint64(rng, shape) -> "object":
     return (rng.integers(0, 1 << 63, shape, dtype=np.uint64) << 1) | 1
 
 
-def _minhash_bands_udf(num_perm: int, bands: int, seed: int = 7):
+def _minhash_bands_udf(num_perm: int, bands: int, seed: int = 7,
+                       with_sig: bool = False):
     """Arrow-batched MinHash + banding from per-doc shingle-hash lists.
 
     Permutations are multiply-add universal hashes over the base
@@ -107,7 +108,11 @@ def _minhash_bands_udf(num_perm: int, bands: int, seed: int = 7):
     datasketch-style family); each band hash is a multiply-accumulate of
     its r signature lanes. One numpy pass replaces a 128-min-aggregate
     codegen'd plan whose *compilation alone* costs seconds; at corpus
-    scale the vectorized batch path is also the faster steady state."""
+    scale the vectorized batch path is also the faster steady state.
+
+    ``with_sig=True`` additionally returns the raw signature lanes
+    (struct<sig, bands>) — the persisted-store form, where lane
+    agreement later estimates Jaccard without any text."""
     import numpy as np
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
@@ -118,16 +123,25 @@ def _minhash_bands_udf(num_perm: int, bands: int, seed: int = 7):
     B = rng.integers(0, 1 << 63, num_perm, dtype=np.uint64)[:, None]
     M = _rand_odd_uint64(rng, r)                       # band mixer
 
+    def compute(hl):
+        x = np.asarray(hl, dtype=np.int64).view(np.uint64)[None, :]
+        with np.errstate(over="ignore"):
+            sig = (A * x + B).min(axis=1)              # (perm,)
+            bh = (sig.reshape(bands, r) * M).sum(axis=1, dtype=np.uint64)
+        return sig.view(np.int64), bh.view(np.int64)
+
+    if with_sig:
+        def sig_bands_of(hash_lists: pd.Series) -> pd.DataFrame:
+            rows = [compute(hl) for hl in hash_lists]
+            return pd.DataFrame({"sig": [s for s, _ in rows],
+                                 "bands": [b for _, b in rows]})
+        sig_bands_of.__annotations__ = {"hash_lists": pd.Series,
+                                        "return": pd.DataFrame}
+        return pandas_udf(sig_bands_of,
+                          "struct<sig: array<long>, bands: array<long>>")
+
     def bands_of(hash_lists: pd.Series) -> pd.Series:
-        out = []
-        for hl in hash_lists:
-            x = np.asarray(hl, dtype=np.int64).view(np.uint64)[None, :]
-            with np.errstate(over="ignore"):
-                sig = (A * x + B).min(axis=1)          # (perm,)
-                bh = (sig.reshape(bands, r) * M).sum(axis=1,
-                                                     dtype=np.uint64)
-            out.append(bh.view(np.int64))
-        return pd.Series(out)
+        return pd.Series([compute(hl)[1] for hl in hash_lists])
 
     bands_of.__annotations__ = {"hash_lists": pd.Series,
                                 "return": pd.Series}
@@ -137,8 +151,10 @@ def _minhash_bands_udf(num_perm: int, bands: int, seed: int = 7):
 def minhash_signatures(docs: DataFrame, id_col: str, text_col: str,
                        num_perm: int = 128, n: int = 3,
                        bands: int = 64,
-                       max_shingle_freq: int | None = None) -> DataFrame:
-    """(_id, _bands): per-doc banded MinHash band hashes — deliberately
+                       max_shingle_freq: int | None = None,
+                       with_sig: bool = False) -> DataFrame:
+    """(_id, _bands) — or (_id, _sig, _bands) with ``with_sig=True``:
+    per-doc banded MinHash band hashes — deliberately
     NARROW (two columns, one array of ``bands`` longs) because this is
     the signature table that rides every downstream shuffle and, at
     scale, gets persisted (see signature_store). Shingles are hashed
@@ -155,10 +171,15 @@ def minhash_signatures(docs: DataFrame, id_col: str, text_col: str,
         freq = (sh.groupBy("_sh").agg(F.count("*").alias("_f"))
                 .filter(F.col("_f") <= max_shingle_freq).select("_sh"))
         sh = sh.join(freq, "_sh")
+    hx = sh.groupBy("_id").agg(F.collect_list(F.xxhash64("_sh"))
+                               .alias("_hx"))
+    if with_sig:
+        udf = _minhash_bands_udf(num_perm, bands, with_sig=True)
+        return hx.select("_id", udf("_hx").alias("_s")) \
+                 .select("_id", F.col("_s.sig").alias("_sig"),
+                         F.col("_s.bands").alias("_bands"))
     udf = _minhash_bands_udf(num_perm, bands)
-    return (sh.groupBy("_id")
-            .agg(F.collect_list(F.xxhash64("_sh")).alias("_hx"))
-            .select("_id", udf("_hx").alias("_bands")))
+    return hx.select("_id", udf("_hx").alias("_bands"))
 
 
 def minhash_lsh_pairs(docs: DataFrame, id_col: str, text_col: str,

@@ -211,6 +211,40 @@ def llm15_embed_dedup(spark: SparkSession, sf: str) -> DataFrame:
             .orderBy("a", "b"))
 
 
+def llm17_incremental_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Persisted-signature incremental dedup (operators/sigstore.py):
+    batch 1 = docs [0,40); batch 2 = docs [40,60) ∪ perturbed copies of
+    [0,20). Batch 2 is deduped against batch 1's PERSISTED signatures
+    (no batch-1 text re-read) plus greedily within itself. All true
+    pairs in this corpus have Jaccard ≥ 0.95 and non-pairs < 0.2, so
+    the store's lane-agreement estimate agrees with the oracle's exact
+    Jaccard at threshold 0.5 with ≥ 8σ margin."""
+    import tempfile
+
+    from rakam_api_collector_spark.operators.sigstore import MinHashStore
+
+    docs = (load_table(spark, sf, "documents")
+            .filter(F.col("doc_id") < 60).select("doc_id", "text"))
+    b1 = docs.filter(F.col("doc_id") < 40)
+    toks = T.tokens(F.col("text"))
+    copies = (docs.filter(F.col("doc_id") < 20)
+              .select((F.col("doc_id") + 10000).alias("doc_id"),
+                      F.array_join(
+                          F.slice(toks, 3,
+                                  F.greatest(F.size(toks) - 2, F.lit(0))),
+                          " ").alias("text")))
+    b2 = docs.filter(F.col("doc_id") >= 40).unionByName(copies)
+
+    store = MinHashStore(spark, tempfile.mkdtemp(prefix="sigstore_"),
+                         threshold=_JACCARD_T)
+    v1 = store.ingest(b1, "doc_id", "text")
+    v2 = store.ingest(b2, "doc_id", "text")
+    return (v1.select(F.lit(1).alias("batch"), "doc_id", "keep")
+            .unionByName(
+                v2.select(F.lit(2).alias("batch"), "doc_id", "keep"))
+            .orderBy("batch", "doc_id"))
+
+
 # --- similarity search -------------------------------------------------------
 
 def llm11_knn_cosine(spark: SparkSession, sf: str) -> DataFrame:
@@ -273,6 +307,7 @@ QUERIES = {
     "llm09_minhash_lsh": llm09_minhash_lsh,
     "llm10_simhash": llm10_simhash,
     "llm16_dedup_clusters": llm16_dedup_clusters,
+    "llm17_incremental_dedup": llm17_incremental_dedup,
     "llm15_embed_dedup": llm15_embed_dedup,
     "llm11_knn_cosine": llm11_knn_cosine,
     "llm12_ann_lsh": llm12_ann_lsh,
@@ -427,6 +462,55 @@ ORACLE = {
     # pair set at these band parameters (miss prob ≈ 1e-8).
     "llm09_minhash_lsh": _DUCK_JACCARD_PAIRS,
     "llm16_dedup_clusters": _DUCK_CLUSTERS,
+    # Incremental store: greedy semantics replayed with exact Jaccard —
+    # batch-1 docs drop iff a smaller batch-1 near-dup exists; batch-2
+    # docs drop iff a SURVIVING batch-1 near-dup or a smaller batch-2
+    # near-dup exists. Estimate-vs-exact agreement argued at the query.
+    "llm17_incremental_dedup": f"""
+        WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id < 60),
+        btoks AS (SELECT doc_id, {_DUCK_TOKS} AS t FROM base),
+        tagged AS (
+          SELECT 1 AS batch, doc_id, text FROM base WHERE doc_id < 40
+          UNION ALL
+          SELECT 2 AS batch, doc_id, text FROM base WHERE doc_id >= 40
+          UNION ALL
+          SELECT 2 AS batch, doc_id + 10000 AS doc_id,
+                 array_to_string(list_slice(t, 3, len(t)), ' ') AS text
+          FROM btoks WHERE doc_id < 20),
+        ctoks AS (SELECT batch, doc_id, {_DUCK_TOKS} AS t FROM tagged),
+        shingles AS (
+          SELECT batch, doc_id,
+                 CASE WHEN len(t) >= 3
+                      THEN list_distinct(list_transform(
+                             generate_series(1, len(t) - 2),
+                             i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+                      ELSE [array_to_string(t, ' ')] END AS s
+          FROM ctoks),
+        nbr AS (
+          SELECT a.doc_id AS a, a.batch AS ab, b.doc_id AS b, b.batch AS bb
+          FROM shingles a JOIN shingles b ON a.doc_id <> b.doc_id
+          WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                / len(list_distinct(list_concat(a.s, b.s))) >= {_JACCARD_T}),
+        v1 AS (
+          SELECT doc_id,
+                 NOT EXISTS (SELECT 1 FROM nbr
+                             WHERE nbr.a = t.doc_id AND nbr.bb = 1
+                               AND nbr.b < t.doc_id) AS keep
+          FROM tagged t WHERE batch = 1),
+        v2 AS (
+          SELECT doc_id,
+                 NOT (EXISTS (SELECT 1 FROM nbr JOIN v1 ON v1.doc_id = nbr.b
+                              WHERE nbr.a = t.doc_id AND nbr.bb = 1
+                                AND v1.keep)
+                      OR EXISTS (SELECT 1 FROM nbr
+                                 WHERE nbr.a = t.doc_id AND nbr.bb = 2
+                                   AND nbr.b < t.doc_id)) AS keep
+          FROM tagged t WHERE batch = 2)
+        SELECT CAST(1 AS INTEGER) AS batch, doc_id, keep FROM v1
+        UNION ALL
+        SELECT CAST(2 AS INTEGER) AS batch, doc_id, keep FROM v2
+        ORDER BY batch, doc_id
+    """,
     # llm10_simhash / llm12_ann_lsh: engine-specific hash family / recall
     # < 1 — deliberately no SQL oracle (driver records rows-only; accuracy
     # pinned in tests/test_llm_ops.py instead).
