@@ -45,8 +45,11 @@ def main() -> None:
         if dt == dt:
             total += dt
         # queries are independent: drop any operator-internal cached
-        # intermediates so one query's working set can't skew the next
+        # intermediates so one query's working set can't skew the next;
+        # gc releases checkpointed RDDs still pinned by dead DataFrames
         spark.catalog.clearCache()
+        import gc
+        gc.collect()
 
     print(json.dumps({
         "metric": "query_suite_wall_sec",

@@ -179,16 +179,26 @@ class AvroRowDecoder:
 TYPE_STREAM0, TYPE_STREAM1, TYPE_STREAM_WITH_COLLECTION, TYPE_BULK = 0, 1, 2, 3
 
 
-def dispatch_record_type(df: DataFrame, value_col: str = "value") -> DataFrame:
-    """P5 first-byte dispatch (KinesisRecordProcessor.java:79-99): tags
-    each binary record 'stream' / 'bulk' / 'ignore' JVM-side so the two
-    decode paths consume disjoint filtered frames."""
+def dispatch_record_type(df: DataFrame, value_col: str = "value",
+                         source: str = "kafka") -> DataFrame:
+    """P5 first-byte dispatch: tags each binary record 'stream' / 'bulk'
+    / 'ignore' JVM-side so the two decode paths consume disjoint
+    filtered frames.
+
+    The two sources disagree on first-byte 1: Kafka treats 0/1 as
+    stream-with-partition-key-collection, while the Kinesis processor
+    logs type 1 as an obsolete bulk format and skips it
+    (KinesisRecordProcessor.java:79-99) — ``source="kinesis"`` maps it
+    to 'ignore' accordingly."""
+    stream_types = ((TYPE_STREAM0, TYPE_STREAM_WITH_COLLECTION)
+                    if source == "kinesis" else
+                    (TYPE_STREAM0, TYPE_STREAM1,
+                     TYPE_STREAM_WITH_COLLECTION))
     first = F.substring(F.col(value_col), 1, 1)
     return df.withColumn(
         "_record_kind",
-        F.when(first.isin(*[F.lit(bytes([t])) for t in
-                            (TYPE_STREAM0, TYPE_STREAM1,
-                             TYPE_STREAM_WITH_COLLECTION)]), "stream")
+        F.when(first.isin(*[F.lit(bytes([t])) for t in stream_types]),
+               "stream")
          .when(first == F.lit(bytes([TYPE_BULK])), "bulk")
          .otherwise("ignore"))
 

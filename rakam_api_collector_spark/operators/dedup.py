@@ -42,16 +42,44 @@ def exact_dedup(df: DataFrame, key_cols: list[str],
     return df.dropDuplicates(key_cols)
 
 
-def token_shingles(text: Column, n: int = 3) -> Column:
-    """Distinct n-token shingles (space-joined), JVM-side:
-    transform over a sequence of start offsets."""
-    t = tokens(text)
+def shingles_from_tokens(t: Column, n: int = 3) -> Column:
+    """Distinct n-token shingles (space-joined) from an ALREADY
+    MATERIALIZED token-array column. ``t`` must be a plain column
+    reference, not the tokenizer expression: Catalyst does not eliminate
+    common subexpressions inside higher-order-function lambdas, so an
+    inlined ``tokens(text)`` here would re-run the regex split once per
+    shingle position — O(tokens²) per document."""
     return F.when(
         F.size(t) >= n,
         F.array_distinct(F.transform(
             F.sequence(F.lit(0), F.size(t) - n),
             lambda i: F.array_join(F.slice(t, i + 1, n), " ")))
     ).otherwise(F.array(F.array_join(t, " ")))
+
+
+def token_shingles(text: Column, n: int = 3) -> Column:
+    """Expression-form shingles straight from text — convenient for
+    one-shot projections; operators that explode shingles should
+    two-step through a materialized token column instead (see
+    shingles_from_tokens)."""
+    return shingles_from_tokens(tokens(text), n)
+
+
+def _exploded_shingles(docs: DataFrame, id_col: str, text_col: str,
+                       n: int, max_shingle_freq: int | None) -> DataFrame:
+    """(_id, _sh) inverted-index rows, with tokens materialized once per
+    row and the stop-shingle cap applied as a broadcast anti-join: the
+    over-represented shingle list is tiny by construction (shingles in
+    > max_shingle_freq docs), so the cap never shuffles the index."""
+    sh = (docs.select(F.col(id_col).alias("_id"),
+                      tokens(F.col(text_col)).alias("_t"))
+          .select("_id", F.explode(shingles_from_tokens(F.col("_t"), n))
+                  .alias("_sh")))
+    if max_shingle_freq:
+        stop = (sh.groupBy("_sh").agg(F.count("*").alias("_f"))
+                .filter(F.col("_f") > max_shingle_freq).select("_sh"))
+        sh = sh.join(F.broadcast(stop), "_sh", "left_anti")
+    return sh
 
 
 def ngram_jaccard_pairs(docs: DataFrame, id_col: str, text_col: str,
@@ -67,13 +95,7 @@ def ngram_jaccard_pairs(docs: DataFrame, id_col: str, text_col: str,
     1/|smallest doc|, standard practice. The default caps the worst
     per-shingle fan-out at ~10⁸ pairs (one stop-shingle's bucket);
     pass ``None`` only for oracle-exactness paths."""
-    sh = docs.select(F.col(id_col).alias("_id"),
-                     F.explode(token_shingles(F.col(text_col), n))
-                     .alias("_sh"))
-    if max_shingle_freq:
-        freq = (sh.groupBy("_sh").agg(F.count("*").alias("_f"))
-                .filter(F.col("_f") <= max_shingle_freq).select("_sh"))
-        sh = sh.join(freq, "_sh")
+    sh = _exploded_shingles(docs, id_col, text_col, n, max_shingle_freq)
     # the inverted index feeds three branches (self-join ×2 + sizes);
     # materialize once instead of re-tokenizing per branch
     sh = sh.cache()
@@ -164,13 +186,7 @@ def minhash_signatures(docs: DataFrame, id_col: str, text_col: str,
     ``max_shingle_freq`` drops stop-shingles (appearing in more docs
     than the cap) before signing — at corpus scale a universal shingle
     floods every band bucket."""
-    sh = docs.select(F.col(id_col).alias("_id"),
-                     F.explode(token_shingles(F.col(text_col), n))
-                     .alias("_sh"))
-    if max_shingle_freq:
-        freq = (sh.groupBy("_sh").agg(F.count("*").alias("_f"))
-                .filter(F.col("_f") <= max_shingle_freq).select("_sh"))
-        sh = sh.join(freq, "_sh")
+    sh = _exploded_shingles(docs, id_col, text_col, n, max_shingle_freq)
     hx = sh.groupBy("_id").agg(F.collect_list(F.xxhash64("_sh"))
                                .alias("_hx"))
     if with_sig:
@@ -220,8 +236,9 @@ def minhash_lsh_pairs(docs: DataFrame, id_col: str, text_col: str,
     need = (docs.select(F.col(id_col).alias("_id"),
                         F.col(text_col).alias("_t"))
             .join(ids, "_id", "left_semi"))
-    sets = (need.select("_id", token_shingles(F.col("_t"), n)
-                        .alias("_shset"))
+    sets = (need.select("_id", tokens(F.col("_t")).alias("_tk"))
+            .select("_id", shingles_from_tokens(F.col("_tk"), n)
+                    .alias("_shset"))
             .cache())
 
     sa = sets.select(F.col("_id").alias("ia"), F.col("_shset").alias("_seta"))
@@ -295,10 +312,15 @@ def simhash_signatures(docs: DataFrame, id_col: str, text_col: str,
     """(_id, _sh): SimHash via one token explode + hash collect + numpy
     bit-count pass — identical values to simhash64 (pinned in
     tests/test_llm_ops.py) with a constant-size plan."""
-    feats = tokens(F.col(text_col)) if n == 1 \
-        else token_shingles(F.col(text_col), n)
-    tok = docs.select(F.col(id_col).alias("_id"),
-                      F.explode(feats).alias("_t"))
+    if n == 1:
+        tok = docs.select(F.col(id_col).alias("_id"),
+                          F.explode(tokens(F.col(text_col))).alias("_t"))
+    else:
+        tok = (docs.select(F.col(id_col).alias("_id"),
+                           tokens(F.col(text_col)).alias("_tk"))
+               .select("_id",
+                       F.explode(shingles_from_tokens(F.col("_tk"), n))
+                       .alias("_t")))
     udf = _simhash_udf()
     return (tok.groupBy("_id")
             .agg(F.collect_list(F.xxhash64("_t")).alias("_hx"))

@@ -114,7 +114,10 @@ def _perturbed_corpus(spark: SparkSession, sf: str) -> DataFrame:
         (F.col("doc_id") + 10000).alias("doc_id"),
         F.array_join(F.slice(toks, 3, F.greatest(F.size(toks) - 2, F.lit(0))),
                      " ").alias("text"))
-    return docs.unionByName(pert)
+    # fixture-level cache: the dedup operators scan their input twice
+    # (sign + verify); caching the SYNTHESIS is query-local hygiene, not
+    # an operator requirement — operators never cache their corpus input
+    return docs.unionByName(pert).cache()
 
 
 def llm07_exact_dedup(spark: SparkSession, sf: str) -> DataFrame:
@@ -170,7 +173,7 @@ def _perturbed_corpus3(spark: SparkSession, sf: str) -> DataFrame:
                 " ").alias("text"))
 
     return docs.unionByName(dropped(2, 10000)).unionByName(
-        dropped(4, 20000))
+        dropped(4, 20000)).cache()
 
 
 def llm16_dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
@@ -224,7 +227,8 @@ def llm17_incremental_dedup(spark: SparkSession, sf: str) -> DataFrame:
     from rakam_api_collector_spark.operators.sigstore import MinHashStore
 
     docs = (load_table(spark, sf, "documents")
-            .filter(F.col("doc_id") < 60).select("doc_id", "text"))
+            .filter(F.col("doc_id") < 60).select("doc_id", "text")
+            .cache())   # feeds b1, b2, and the perturbed copies
     b1 = docs.filter(F.col("doc_id") < 40)
     toks = T.tokens(F.col("text"))
     copies = (docs.filter(F.col("doc_id") < 20)

@@ -48,7 +48,17 @@ def get_spark(app_name: str = "rakam_api_collector_spark",
         .config("spark.default.parallelism", str(n))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # coalesce to the advisory size, not to parallelism: the Spark
+        # docs' recommended setting — post-shuffle stages get as few
+        # tasks as the data needs (1 at bench scale, thousands at 100 TB)
+        # instead of always fanning out to shuffle.partitions.
+        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
+                "false")
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64m")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # object-store-style deployment: no data-local executors exist,
+        # so never hold task slots waiting for locality.
+        .config("spark.locality.wait", "0")
         # dims (region/nation/supplier/...) must broadcast; 64 MB gives
         # headroom at sf0.1 while staying executor-safe at scale.
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))

@@ -160,6 +160,15 @@ def test_dispatch_and_spark_decode(spark):
              A.dispatch_record_type(df).select("_record_kind").collect()]
     assert kinds == ["stream", "stream", "stream", "bulk", "ignore", "stream"]
 
+    # Kinesis flavor: first-byte 1 is an obsolete bulk format the
+    # reference skips (KinesisRecordProcessor.java:79-99)
+    obsolete = spark.createDataFrame(
+        [(b"\x01payload",)] + msgs[:1], df.schema)
+    kkinds = [r["_record_kind"] for r in
+              A.dispatch_record_type(obsolete, source="kinesis")
+              .select("_record_kind").collect()]
+    assert kkinds == ["ignore", "stream"]
+
     stream = (A.dispatch_record_type(df)
               .filter(F.col("_record_kind") == "stream").select("value"))
     typed = A.decode_stream_records(stream, FIELDS,
