@@ -1,4 +1,4 @@
-"""Embedding similarity search: exact top-k + LSH-bucketed ANN.
+"""Embedding similarity search: exact top-k, LSH-bucketed ANN, IVF ANN.
 
 Exact path: broadcast the (small) query set against the corpus — a
 broadcast nested-loop the optimizer keeps map-side, so the corpus is
@@ -130,6 +130,83 @@ def ann_lsh_topk(corpus: DataFrame, queries: DataFrame, id_col: str,
                     else F.lit(True))
             .select("q", "neighbor")
             .distinct())
+    qv = _unit(queries, id_col, "q", vec_col, "_qv")
+    cv = _unit(corpus, id_col, "neighbor", vec_col, "_cv")
+    scored = (cand.join(F.broadcast(qv), "q").join(cv, "neighbor")
+              .select("q", "neighbor",
+                      dot(F.col("_qv"), F.col("_cv")).alias("cos")))
+    w = Window.partitionBy("q").orderBy(F.desc("cos"), F.asc("neighbor"))
+    return (scored.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= k))
+
+
+def _cells_udf(cents: "np.ndarray", nprobe: int):
+    """Arrow-batched cell selection against unit centroids: one matmul
+    per batch, argmax (nprobe=1 → int cell) or top-nprobe cells ordered
+    (score desc, cell asc) so ties are deterministic."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    weights = np.ascontiguousarray(cents.T)            # (dim, n_cells)
+    idx = np.arange(cents.shape[0])
+
+    def cells(vecs):
+        m = np.asarray(vecs.tolist(), dtype=np.float64)
+        scores = m @ weights                           # (n, n_cells)
+        if nprobe == 1:
+            return pd.Series(scores.argmax(axis=1).astype("int32"))
+        out = []
+        for row in scores:
+            order = np.lexsort((idx, -row))            # desc score, asc cell
+            out.append(order[:nprobe].astype("int32"))
+        return pd.Series(out)
+
+    cells.__annotations__ = {"vecs": pd.Series,
+                             "return": pd.Series}
+    return pandas_udf(cells, "int" if nprobe == 1 else "array<int>")
+
+
+def ivf_topk(corpus: DataFrame, queries: DataFrame, id_col: str,
+             vec_col: str, k: int = 10, n_cells: int = 16,
+             nprobe: int = 4, exclude_self: bool = True) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: partition the corpus into
+    ``n_cells`` Voronoi cells around unit centroids, probe only the
+    ``nprobe`` best cells per query, exact cosine within probed cells.
+
+    Centroids here are the first ``n_cells`` corpus vectors by id —
+    deterministic, so the result is exactly reproducible by a SQL oracle
+    (an IVF index is approximate by construction but not random). At
+    scale centroids come from sampled k-means and are a persisted model
+    artifact; cell assignment is one narrow matmul pass and the cell id
+    becomes the partition key on write, so a query's probe touches
+    nprobe/n_cells of the corpus (the IVF-flat layout, Johnson et al.,
+    "Billion-scale similarity search with GPUs", 2017).
+
+    Cell assignment is scale-invariant in the input vector (argmax of
+    dot against UNIT centroids), so raw vectors feed the assignment UDF
+    and normalization happens only in final scoring."""
+    cents_rows = (corpus.filter(F.col(id_col) < n_cells)
+                  .select(F.col(id_col).alias("_cid"),
+                          _as_double(vec_col).alias("_v"))
+                  .collect())                          # bounded by n_cells
+    cents = np.asarray([r._v for r in
+                        sorted(cents_rows, key=lambda r: r._cid)])
+    cents /= np.linalg.norm(cents, axis=1, keepdims=True)
+
+    assign = _cells_udf(cents, 1)
+    probe = _cells_udf(cents, nprobe)
+    corpus_cells = corpus.select(
+        F.col(id_col).alias("neighbor"),
+        assign(_as_double(vec_col)).alias("cell"))
+    probes = queries.select(
+        F.col(id_col).alias("q"),
+        F.explode(probe(_as_double(vec_col))).alias("cell"))
+    # a vector lives in exactly one cell and probes are distinct cells,
+    # so (q, neighbor) pairs are already unique — no distinct() shuffle
+    cand = (corpus_cells.join(F.broadcast(probes), "cell")
+            .filter(F.col("neighbor") != F.col("q") if exclude_self
+                    else F.lit(True))
+            .select("q", "neighbor"))
     qv = _unit(queries, id_col, "q", vec_col, "_qv")
     cv = _unit(corpus, id_col, "neighbor", vec_col, "_cv")
     scored = (cand.join(F.broadcast(qv), "q").join(cv, "neighbor")

@@ -1,0 +1,73 @@
+"""Temporal operators: as-of (nearest-prior) join.
+
+Spark has no ASOF JOIN; the naive encoding (range join + keep latest)
+explodes to |left| × |right-rows-before| intermediate pairs. This
+implementation is the scale-correct composition: tag both sides, union,
+and run ONE window pass per key ordered by time — each input row is
+touched once, the only shuffle is the partitionBy(key) exchange, and
+peak state per task is one row of carried right-side values (the
+running `last(..., ignorenulls=True)`), independent of how many right
+rows precede a left row.
+
+Reference parity: the reference engine has no as-of operator (it is an
+ingestion engine); this extends the query surface for the time-series /
+feature-backfill shapes a training-data pipeline needs (e.g. "attach
+the latest profile snapshot at event time"). Semantics match DuckDB's
+``ASOF LEFT JOIN ... ON l.key = r.key AND r.ts <= l.ts`` (backward,
+inclusive), which is the oracle used in dq31.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(left: DataFrame, right: DataFrame, key_cols: list[str],
+              ts_col: str, value_cols: list[str],
+              direction: str = "backward",
+              strict: bool = False) -> DataFrame:
+    """Left as-of join: every left row, plus ``value_cols`` from the
+    right row with the greatest ``ts_col`` ≤ left's (per ``key_cols``);
+    unmatched left rows keep nulls. ``direction="forward"`` matches the
+    smallest right ts ≥ left's instead. ``strict=True`` excludes equal
+    timestamps.
+
+    Right-side ``value_cols`` must not collide with left column names
+    (alias before calling). Rows of the right side sharing (key, ts)
+    should be pre-deduplicated — which one wins is otherwise unspecified
+    (last in union order), as in other engines.
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward: {direction}")
+
+    lcols = left.columns
+    l_tag = left.select(
+        *lcols,
+        *[F.lit(None).cast(right.schema[c].dataType).alias(c)
+          for c in value_cols],
+        F.lit(1).alias("_side"))
+    r_tag = right.select(
+        *[F.col(c) if c in (ts_col, *key_cols)
+          else F.lit(None).cast(left.schema[c].dataType).alias(c)
+          for c in lcols],
+        *value_cols,
+        F.lit(0).alias("_side"))
+    u = l_tag.unionByName(r_tag)
+
+    # backward: right rows sort before left at equal ts (inclusive) —
+    # strict flips the tie order so an equal-ts right row is not yet
+    # visible. forward mirrors with a reversed frame.
+    tie = F.asc("_side") if not strict else F.desc("_side")
+    if direction == "backward":
+        w = (Window.partitionBy(*key_cols).orderBy(F.asc(ts_col), tie)
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    else:
+        w = (Window.partitionBy(*key_cols).orderBy(F.desc(ts_col), tie)
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+
+    carried = [F.last(c, ignorenulls=True).over(w).alias(c)
+               for c in value_cols]
+    return (u.select(*lcols, "_side", *carried)
+            .filter(F.col("_side") == 1)
+            .drop("_side"))

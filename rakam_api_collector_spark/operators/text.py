@@ -39,6 +39,23 @@ def distinct_token_count(text: Column) -> Column:
     return F.size(F.array_distinct(tokens(text)))
 
 
+# BPE-ish pre-tokenizer: letter runs, digit runs, and single
+# non-alphanumeric marks — the GPT-2-style pre-split shape (the real BPE
+# merge table is model-specific; counts over this pre-split are the
+# standard cheap token estimate). Kept RE2-compatible so the DuckDB
+# oracle runs the identical pattern.
+BPE_ISH_RE = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
+
+
+def bpe_ish_tokens(text: Column) -> Column:
+    """Lowercased BPE-style pre-tokens (letter/digit runs + marks)."""
+    return F.regexp_extract_all(F.lower(text), F.lit(BPE_ISH_RE), 0)
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    return F.size(bpe_ish_tokens(text))
+
+
 def type_token_ratio(text: Column) -> Column:
     """Lexical diversity: distinct tokens / total tokens (0 for empty)."""
     n = token_count(text)

@@ -41,6 +41,17 @@ def llm01_token_count(spark: SparkSession, sf: str) -> DataFrame:
             .orderBy("doc_id").limit(200))
 
 
+def llm18_bpe_tokens(spark: SparkSession, sf: str) -> DataFrame:
+    """BPE-ish regex pre-tokenizer counts vs whitespace counts per doc
+    (operators/text.py:bpe_ish_tokens) — the cheap sequence-length
+    estimate a training pipeline budgets with."""
+    return (load_table(spark, sf, "documents")
+            .select("doc_id",
+                    T.bpe_ish_token_count(F.col("text")).alias("n_bpe"),
+                    T.token_count(F.col("text")).alias("n_ws"))
+            .orderBy("doc_id").limit(200))
+
+
 def llm02_ttr(spark: SparkSession, sf: str) -> DataFrame:
     """Type-token ratio (lexical diversity) per document."""
     return (load_table(spark, sf, "documents")
@@ -273,6 +284,20 @@ def llm12_ann_lsh(spark: SparkSession, sf: str) -> DataFrame:
             .orderBy("q", "rnk"))
 
 
+def llm19_ivf_ann(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF ANN (operators/similarity.py:ivf_topk): Voronoi cells around
+    deterministic centroids, nprobe-cell probe, exact cosine within
+    probed cells. Approximate-but-deterministic, so fully
+    oracle-checkable (unlike the randomized-recall LSH path)."""
+    emb = load_table(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return (S.ivf_topk(emb, queries, "vec_id", "embedding",
+                       k=10, n_cells=16, nprobe=4)
+            .select("q", "neighbor", "rnk",
+                    F.round("cos", 4).alias("cos"))
+            .orderBy("q", "rnk"))
+
+
 # --- multimodal --------------------------------------------------------------
 
 def llm13_multimodal_meta(spark: SparkSession, sf: str) -> DataFrame:
@@ -301,6 +326,7 @@ def llm14_decode_features(spark: SparkSession, sf: str) -> DataFrame:
 
 QUERIES = {
     "llm01_token_count": llm01_token_count,
+    "llm18_bpe_tokens": llm18_bpe_tokens,
     "llm02_ttr": llm02_ttr,
     "llm03_avg_token_len": llm03_avg_token_len,
     "llm04_lang_id": llm04_lang_id,
@@ -315,6 +341,7 @@ QUERIES = {
     "llm15_embed_dedup": llm15_embed_dedup,
     "llm11_knn_cosine": llm11_knn_cosine,
     "llm12_ann_lsh": llm12_ann_lsh,
+    "llm19_ivf_ann": llm19_ivf_ann,
     "llm13_multimodal_meta": llm13_multimodal_meta,
     "llm14_decode_features": llm14_decode_features,
 }
@@ -404,6 +431,13 @@ _DUCK_CLUSTERS = f"""
 ORACLE = {
     "llm01_token_count": f"""
         SELECT doc_id, CAST(len({_DUCK_TOKS}) AS INTEGER) AS n_tok
+        FROM documents ORDER BY doc_id LIMIT 200
+    """,
+    "llm18_bpe_tokens": f"""
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(lower(text),
+                        '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS INTEGER) AS n_bpe,
+               CAST(len({_DUCK_TOKS}) AS INTEGER) AS n_ws
         FROM documents ORDER BY doc_id LIMIT 200
     """,
     "llm02_ttr": f"""
@@ -535,6 +569,50 @@ ORACLE = {
                    CAST(q.embedding AS DOUBLE[]),
                    CAST(e.embedding AS DOUBLE[])) AS cos
           FROM q JOIN embeddings e ON e.vec_id <> q.vec_id),
+        ranked AS (
+          SELECT q, neighbor,
+                 CAST(row_number() OVER (PARTITION BY q
+                       ORDER BY cos DESC, neighbor) AS INTEGER) AS rnk,
+                 round(cos, 4) AS cos
+          FROM scored)
+        SELECT q, neighbor, rnk, cos FROM ranked
+        WHERE rnk <= 10 ORDER BY q, rnk
+    """,
+    # IVF replica: same deterministic centroids (vec_id < 16, unit-
+    # normalized), argmax-cell assignment and top-4 probes with (score
+    # desc, cell asc) tie order, exact cosine within probed cells.
+    "llm19_ivf_ann": """
+        WITH emb AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        cents AS (
+          SELECT vec_id AS cell,
+                 list_transform(v, x -> x / sqrt(list_inner_product(v, v)))
+                   AS cv
+          FROM emb WHERE vec_id < 16),
+        cell_scores AS (
+          SELECT e.vec_id, c.cell, list_inner_product(e.v, c.cv) AS d
+          FROM emb e CROSS JOIN cents c),
+        assign AS (
+          SELECT vec_id, cell FROM (
+            SELECT vec_id, cell,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY d DESC, cell) AS rn
+            FROM cell_scores) WHERE rn = 1),
+        probes AS (
+          SELECT vec_id AS q, cell FROM (
+            SELECT vec_id, cell,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY d DESC, cell) AS rn
+            FROM cell_scores WHERE vec_id < 5) WHERE rn <= 4),
+        cand AS (
+          SELECT p.q, a.vec_id AS neighbor
+          FROM probes p JOIN assign a USING (cell)
+          WHERE a.vec_id <> p.q),
+        scored AS (
+          SELECT cand.q, cand.neighbor,
+                 list_cosine_similarity(qe.v, ne.v) AS cos
+          FROM cand JOIN emb qe ON qe.vec_id = cand.q
+                    JOIN emb ne ON ne.vec_id = cand.neighbor),
         ranked AS (
           SELECT q, neighbor,
                  CAST(row_number() OVER (PARTITION BY q

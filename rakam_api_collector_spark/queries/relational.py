@@ -333,6 +333,47 @@ def dq29_envelope_parse(spark: SparkSession, sf: str) -> DataFrame:
             .orderBy("event_type"))
 
 
+def dq30_tumbling_window(spark: SparkSession, sf: str) -> DataFrame:
+    """ST-family batch shape of the streaming windowed aggregation: the
+    same F.window("1 hour") expression drives readStream + watermark in
+    streaming/pipeline.py; epoch-aligned tumbling windows match DuckDB's
+    time_bucket. Window start surfaced as a formatted string so the
+    tz-aware Spark timestamp and naive DuckDB timestamp hash alike."""
+    ev = load_table(spark, sf, "events")
+    return (ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+            .agg(F.count("*").alias("n"),
+                 _dec_sum(F.col("value"), "val_sum"))
+            .select(F.date_format("w.start", "yyyy-MM-dd HH:mm:ss")
+                    .alias("ws"),
+                    "event_type", "n", "val_sum")
+            .orderBy("ws", "event_type"))
+
+
+def dq31_asof_join(spark: SparkSession, sf: str) -> DataFrame:
+    """As-of join (operators/temporal.py): each click event picks up the
+    latest prior-or-equal view by the same user — one window pass over a
+    union, single shuffle on user_id, no range-join explosion. Right
+    side deduped to unique (user_id, ts) keeping the max event_id so
+    ties are deterministic in both engines."""
+    from rakam_api_collector_spark.operators.temporal import asof_join
+
+    ev = load_table(spark, sf, "events")
+    clicks = (ev.filter(F.col("event_type") == "click")
+              .select("event_id", "user_id", "ts"))
+    w = Window.partitionBy("user_id", "ts").orderBy(F.desc("view_id"))
+    views = (ev.filter(F.col("event_type") == "view")
+             .select("user_id", "ts",
+                     F.col("event_id").alias("view_id"),
+                     F.col("value").alias("view_value"))
+             .withColumn("_rn", F.row_number().over(w))
+             .filter(F.col("_rn") == 1).drop("_rn"))
+    return (asof_join(clicks, views, ["user_id"], "ts",
+                      ["view_id", "view_value"])
+            .select("event_id", "user_id", "view_id",
+                    F.round("view_value", 4).alias("view_value"))
+            .orderBy("event_id"))
+
+
 QUERIES = {
     "dq01_projection": dq01_projection,
     "dq02_whitelist": dq02_whitelist,
@@ -364,6 +405,8 @@ QUERIES = {
     "dq27_json_encode": dq27_json_encode,
     "dq28_date_format": dq28_date_format,
     "dq29_envelope_parse": dq29_envelope_parse,
+    "dq30_tumbling_window": dq30_tumbling_window,
+    "dq31_asof_join": dq31_asof_join,
 }
 
 # DuckDB oracle SQL — identical aliases & result types by construction.
@@ -530,5 +573,29 @@ ORACLE = {
                      TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
               FROM events)
         GROUP BY event_type ORDER BY event_type
+    """,
+    "dq30_tumbling_window": """
+        SELECT strftime(time_bucket(INTERVAL 1 HOUR, ts),
+                        '%Y-%m-%d %H:%M:%S') AS ws,
+               event_type, count(*) AS n,
+               round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4)
+                 AS val_sum
+        FROM events GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    "dq31_asof_join": """
+        WITH clicks AS (
+          SELECT event_id, user_id, ts FROM events
+          WHERE event_type = 'click'),
+        views AS (
+          SELECT user_id, ts, view_id, view_value FROM (
+            SELECT user_id, ts, event_id AS view_id, value AS view_value,
+                   row_number() OVER (PARTITION BY user_id, ts
+                                      ORDER BY event_id DESC) AS rn
+            FROM events WHERE event_type = 'view') WHERE rn = 1)
+        SELECT c.event_id, c.user_id, v.view_id,
+               round(v.view_value, 4) AS view_value
+        FROM clicks c ASOF LEFT JOIN views v
+          ON c.user_id = v.user_id AND v.ts <= c.ts
+        ORDER BY c.event_id
     """,
 }

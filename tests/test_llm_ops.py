@@ -94,6 +94,26 @@ def test_ann_lsh_deterministic(spark):
     assert runs[0] == runs[1]
 
 
+def test_ivf_recall_and_cell_partition(spark):
+    emb = load_table(spark, SF, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    exact = {(r.q, r.neighbor) for r in
+             S.cosine_topk(emb, queries, "vec_id", "embedding",
+                           k=5).collect()}
+    # probing 8/16 cells scans half the corpus; near neighbors
+    # concentrate in the query's own cells so recall runs far higher
+    ivf = {(r.q, r.neighbor) for r in
+           S.ivf_topk(emb, queries, "vec_id", "embedding",
+                      k=5, n_cells=16, nprobe=8).collect()}
+    recall = len(ivf & exact) / len(exact)
+    assert recall >= 0.7, f"IVF recall {recall:.2f} below floor"
+    # deterministic: two runs agree exactly (no randomness anywhere)
+    again = {(r.q, r.neighbor) for r in
+             S.ivf_topk(emb, queries, "vec_id", "embedding",
+                        k=5, n_cells=16, nprobe=8).collect()}
+    assert ivf == again
+
+
 def test_embedding_dedup_lsh_vs_exact(spark):
     emb = (load_table(spark, SF, "embeddings")
            .filter(F.col("vec_id") < 150).cache())
