@@ -66,19 +66,27 @@ def token_shingles(text: Column, n: int = 3) -> Column:
 
 
 def _exploded_shingles(docs: DataFrame, id_col: str, text_col: str,
-                       n: int, max_shingle_freq: int | None) -> DataFrame:
-    """(_id, _sh) inverted-index rows, with tokens materialized once per
-    row and the stop-shingle cap applied as a broadcast anti-join: the
-    over-represented shingle list is tiny by construction (shingles in
-    > max_shingle_freq docs), so the cap never shuffles the index."""
+                       n: int, max_shingle_freq: int | None,
+                       hashed: bool = False) -> DataFrame:
+    """(_id, _sh) — or (_id, _h) with ``hashed=True`` — inverted-index
+    rows, with tokens materialized once per row and the stop-shingle cap
+    applied as a broadcast anti-join: the over-represented shingle list
+    is tiny by construction (shingles in > max_shingle_freq docs), so
+    the cap never shuffles the index. Consumers that only need shingle
+    *identity* (MinHash) take the hashed form — every downstream
+    exchange then moves longs, not shingle strings."""
     sh = (docs.select(F.col(id_col).alias("_id"),
                       tokens(F.col(text_col)).alias("_t"))
           .select("_id", F.explode(shingles_from_tokens(F.col("_t"), n))
                   .alias("_sh")))
+    key = "_sh"
+    if hashed:
+        sh = sh.select("_id", F.xxhash64("_sh").alias("_h"))
+        key = "_h"
     if max_shingle_freq:
-        stop = (sh.groupBy("_sh").agg(F.count("*").alias("_f"))
-                .filter(F.col("_f") > max_shingle_freq).select("_sh"))
-        sh = sh.join(F.broadcast(stop), "_sh", "left_anti")
+        stop = (sh.groupBy(key).agg(F.count("*").alias("_f"))
+                .filter(F.col("_f") > max_shingle_freq).select(key))
+        sh = sh.join(F.broadcast(stop), key, "left_anti")
     return sh
 
 
@@ -186,9 +194,9 @@ def minhash_signatures(docs: DataFrame, id_col: str, text_col: str,
     ``max_shingle_freq`` drops stop-shingles (appearing in more docs
     than the cap) before signing — at corpus scale a universal shingle
     floods every band bucket."""
-    sh = _exploded_shingles(docs, id_col, text_col, n, max_shingle_freq)
-    hx = sh.groupBy("_id").agg(F.collect_list(F.xxhash64("_sh"))
-                               .alias("_hx"))
+    sh = _exploded_shingles(docs, id_col, text_col, n, max_shingle_freq,
+                            hashed=True)
+    hx = sh.groupBy("_id").agg(F.collect_list("_h").alias("_hx"))
     if with_sig:
         udf = _minhash_bands_udf(num_perm, bands, with_sig=True)
         return hx.select("_id", udf("_hx").alias("_s")) \
@@ -201,7 +209,8 @@ def minhash_signatures(docs: DataFrame, id_col: str, text_col: str,
 def minhash_lsh_pairs(docs: DataFrame, id_col: str, text_col: str,
                       n: int = 3, threshold: float = 0.5,
                       num_perm: int = 128, bands: int = 64,
-                      max_shingle_freq: int | None = 10_000) -> DataFrame:
+                      max_shingle_freq: int | None = 10_000,
+                      broadcast_verify: bool = True) -> DataFrame:
     """Near-dup pairs via banded MinHash-LSH + exact verification.
 
     rows-per-band r = num_perm // bands; candidate recall at similarity s
@@ -212,8 +221,11 @@ def minhash_lsh_pairs(docs: DataFrame, id_col: str, text_col: str,
     Scale shape: candidate discovery moves only (_id, band, bh) longs;
     exact-Jaccard verification recomputes shingle sets for *candidate
     docs only* (a semi-join of the source table against the candidate id
-    set — typically tiny and broadcast), so the full corpus's shingle
-    sets never ride a shuffle or sit in cache."""
+    set), so the full corpus's shingle sets never ride a shuffle or sit
+    in cache. ``broadcast_verify`` hints the candidate id/shingle-set
+    frames into broadcast joins — right when candidates ≪ corpus (the
+    usual case); pass False on a candidate-heavy corpus to let AQE pick
+    the join strategy from runtime sizes."""
     # eagerly materialized: both bucket-join sides read it, and a lazy
     # cache would let each side recompute the signature lineage.
     sig = minhash_signatures(docs, id_col, text_col, num_perm, n,
@@ -230,9 +242,10 @@ def minhash_lsh_pairs(docs: DataFrame, id_col: str, text_col: str,
             .distinct()
             .cache())
 
-    ids = (cand.select(F.col("ia").alias("_id"))
-           .unionByName(cand.select(F.col("ib").alias("_id")))
+    ids = (cand.select(F.explode(F.array("ia", "ib")).alias("_id"))
            .distinct())
+    if broadcast_verify:
+        ids = F.broadcast(ids)
     need = (docs.select(F.col(id_col).alias("_id"),
                         F.col(text_col).alias("_t"))
             .join(ids, "_id", "left_semi"))
@@ -243,6 +256,8 @@ def minhash_lsh_pairs(docs: DataFrame, id_col: str, text_col: str,
 
     sa = sets.select(F.col("_id").alias("ia"), F.col("_shset").alias("_seta"))
     sb = sets.select(F.col("_id").alias("ib"), F.col("_shset").alias("_setb"))
+    if broadcast_verify:
+        sa, sb = F.broadcast(sa), F.broadcast(sb)
     return (cand.join(sa, "ia").join(sb, "ib")
             .withColumn("jac",
                         F.size(F.array_intersect("_seta", "_setb")) /

@@ -9,15 +9,16 @@ no text from previously ingested documents is ever re-read.
 
 Layout under ``path/``:
 
-- ``sigs/``    — one row per document: (_id, _sig array<num_perm longs>).
-- ``buckets/`` — one row per (doc, band): (_id, band, bh). This is the
-  table the band join hits. With ``bucket_table`` set it is written as a
-  catalog table ``CLUSTERED BY (bh)`` (``bucketBy`` + ``saveAsTable``)
-  so the store side of the join is pre-shuffled on disk — the per-batch
-  join then shuffles only the new batch. Without a durable metastore
-  (this environment) the plain-parquet layout is used and the store
-  side shuffles at read, which is still one shuffle of (long, int,
-  long) rows, never of text.
+- ``sigs/``    — one row per document: (_id, _sig array<num_perm longs>,
+  _bands array<bands longs>).
+- ``buckets/`` — one row per (doc, band): (_id, band, bh), written ONLY
+  with ``bucket_table`` set: then it is a catalog table ``CLUSTERED BY
+  (bh)`` (``bucketBy`` + ``saveAsTable``) so the store side of the join
+  is pre-shuffled on disk — the per-batch join then shuffles only the
+  new batch. Without a durable metastore, bucket rows are derived from
+  ``sigs/`` by a ``posexplode`` at read, which costs the same as
+  scanning a plain buckets parquet (one shuffle of (long, int, long)
+  rows at the join, never text) and halves the write jobs per batch.
 
 Verification is the *estimate* path: est_jac = fraction of agreeing
 signature lanes (sd ≈ sqrt(s(1-s)/num_perm) ≈ 0.03 at num_perm=128) —
@@ -36,19 +37,15 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import (ArrayType, IntegerType, LongType,
-                               StructField, StructType)
+from pyspark.sql.types import (ArrayType, LongType, StructField,
+                               StructType)
 
 from rakam_api_collector_spark.operators.dedup import minhash_signatures
 
 _SIGS_SCHEMA = StructType([
     StructField("_id", LongType()),
     StructField("_sig", ArrayType(LongType())),
-])
-_BUCKETS_SCHEMA = StructType([
-    StructField("_id", LongType()),
-    StructField("band", IntegerType()),
-    StructField("bh", LongType()),
+    StructField("_bands", ArrayType(LongType())),
 ])
 
 
@@ -91,22 +88,22 @@ class MinHashStore:
         if self.bucket_table and self.spark.catalog.tableExists(
                 self.bucket_table):
             return self.spark.table(self.bucket_table)
-        return self._read_or_empty("buckets", _BUCKETS_SCHEMA)
+        return self.stored_sigs().select(
+            "_id", F.posexplode("_bands").alias("band", "bh"))
 
     def append(self, sigs: DataFrame) -> None:
-        """Persist (_id, _sig, _bands) rows: doc-wide sigs + exploded,
-        band-keyed buckets."""
-        (sigs.select("_id", "_sig")
+        """Persist (_id, _sig, _bands) rows; with ``bucket_table`` also
+        materialize the exploded band-keyed bucket table pre-shuffled
+        on bh (otherwise buckets are derived at read)."""
+        (sigs.select("_id", "_sig", "_bands")
          .write.mode("append").parquet(f"{self.path}/sigs"))
-        buckets = sigs.select(
-            "_id", F.posexplode("_bands").alias("band", "bh"))
         if self.bucket_table:
+            buckets = sigs.select(
+                "_id", F.posexplode("_bands").alias("band", "bh"))
             (buckets.write.mode("append")
              .bucketBy(self.num_buckets, "bh").sortBy("bh")
              .option("path", f"{self.path}/buckets")
              .format("parquet").saveAsTable(self.bucket_table))
-        else:
-            buckets.write.mode("append").parquet(f"{self.path}/buckets")
 
     # -- dedup --------------------------------------------------------------
 
@@ -141,7 +138,7 @@ class MinHashStore:
                       .select("_id", "_old"))
         cand = store_cand.unionByName(batch_cand).distinct()
 
-        sig_all = (self.stored_sigs()
+        sig_all = (self.stored_sigs().select("_id", "_sig")
                    .unionByName(new_sigs.select("_id", "_sig"))
                    .select(F.col("_id").alias("_old"),
                            F.col("_sig").alias("_so")))
