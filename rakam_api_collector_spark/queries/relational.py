@@ -374,6 +374,36 @@ def dq31_asof_join(spark: SparkSession, sf: str) -> DataFrame:
             .orderBy("event_id"))
 
 
+def dq32_salted_agg(spark: SparkSession, sf: str) -> DataFrame:
+    """Salted two-phase aggregation (operators/skew.py): event_type is
+    the hot-key shape (5 values over the whole table); results are
+    identical to a plain GROUP BY — the salt only rebalances phase 1."""
+    from rakam_api_collector_spark.operators.skew import salted_agg
+
+    ev = load_table(spark, sf, "events")
+    out = salted_agg(
+        ev, ["event_type"],
+        {"n": (F.count("*"), F.sum("n")),
+         "val_sum": (F.sum(F.col("value").cast("decimal(18,6)")),
+                     F.sum("val_sum")),
+         "mx": (F.max("event_id"), F.max("mx"))},
+        salt=16)
+    return (out.select("event_type", "n",
+                       F.round(F.col("val_sum").cast("double"), 4)
+                       .alias("val_sum"), "mx")
+            .orderBy("event_type"))
+
+
+def dq33_percentile(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact interpolated percentiles per group — Spark ``percentile``
+    and DuckDB ``quantile_cont`` share linear-interpolation semantics."""
+    ev = load_table(spark, sf, "events")
+    return (ev.groupBy("event_type")
+            .agg(F.round(F.expr("percentile(value, 0.5)"), 4).alias("p50"),
+                 F.round(F.expr("percentile(value, 0.95)"), 4).alias("p95"))
+            .orderBy("event_type"))
+
+
 QUERIES = {
     "dq01_projection": dq01_projection,
     "dq02_whitelist": dq02_whitelist,
@@ -407,6 +437,8 @@ QUERIES = {
     "dq29_envelope_parse": dq29_envelope_parse,
     "dq30_tumbling_window": dq30_tumbling_window,
     "dq31_asof_join": dq31_asof_join,
+    "dq32_salted_agg": dq32_salted_agg,
+    "dq33_percentile": dq33_percentile,
 }
 
 # DuckDB oracle SQL — identical aliases & result types by construction.
@@ -597,5 +629,18 @@ ORACLE = {
         FROM clicks c ASOF LEFT JOIN views v
           ON c.user_id = v.user_id AND v.ts <= c.ts
         ORDER BY c.event_id
+    """,
+    "dq32_salted_agg": """
+        SELECT event_type, count(*) AS n,
+               round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4)
+                 AS val_sum,
+               max(event_id) AS mx
+        FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    "dq33_percentile": """
+        SELECT event_type,
+               round(quantile_cont(value, 0.5), 4) AS p50,
+               round(quantile_cont(value, 0.95), 4) AS p95
+        FROM events GROUP BY event_type ORDER BY event_type
     """,
 }

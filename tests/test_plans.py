@@ -130,3 +130,22 @@ def test_minhash_signature_table_is_narrow(spark):
     plan = plan_of(minhash_lsh_pairs(docs, "doc_id", "text"))
     assert "CartesianProduct" not in plan
     assert "LeftSemi" in plan               # verify path prunes to cands
+
+
+def test_salted_agg_two_phase_exchanges(spark):
+    """Salting splits the hot key across reducers: exactly two exchanges
+    (salted phase-1, merge phase-2), each preceded by a HashAggregate —
+    and the result matches the plain groupBy bit-for-bit."""
+    plan = plan_of(R.dq32_salted_agg(spark, SF), "simple")
+    assert plan.count("Exchange hashpartitioning") == 2
+    assert "_salt" in plan
+
+    from pyspark.sql import functions as F
+    ev = load_table(spark, SF, "events")
+    plain = {r.event_type: (r.n, r.mx) for r in
+             ev.groupBy("event_type")
+             .agg(F.count("*").alias("n"), F.max("event_id").alias("mx"))
+             .collect()}
+    salted = {r.event_type: (r.n, r.mx) for r in
+              R.dq32_salted_agg(spark, SF).collect()}
+    assert {k: v for k, v in salted.items()} == plain
