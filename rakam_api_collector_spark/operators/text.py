@@ -10,7 +10,7 @@ linearly with input splits.
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # Deliberately tiny, deterministic stopword lists — the lang-id operator
@@ -94,3 +94,29 @@ def fingerprint(text: Column) -> Column:
     the batch analog of the reference's shard checksum
     (InMemoryOrcStorageManager.java:234-242)."""
     return F.xxhash64(F.array_join(tokens(text), " "))
+
+
+def tfidf_topk(docs: DataFrame, id_col: str, text_col: str,
+               k: int = 3) -> DataFrame:
+    """(id, term, rnk, tfidf): top-k characteristic terms per document.
+
+    tf = in-doc term count; idf = ln((N+1)/(df+1)) + 1 (smoothed,
+    scikit-learn's convention). Two aggregations (doc-term counts, then
+    document frequency) + one join on term and a per-doc top-k window.
+    At scale the term-df table is Zipf-skewed but small relative to the
+    corpus (vocabulary ≪ tokens); the join shuffles on term and AQE
+    picks broadcast when the vocabulary fits."""
+    toks = (docs.select(F.col(id_col).alias("_id"),
+                        F.explode(tokens(F.col(text_col))).alias("term")))
+    tf = toks.groupBy("_id", "term").agg(F.count("*").alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n = docs.agg(F.count("*").alias("_n"))
+    scored = (tf.join(df_, "term").crossJoin(F.broadcast(n))
+              .withColumn(
+                  "tfidf",
+                  F.col("tf") * (F.log((F.col("_n") + 1)
+                                       / (F.col("df") + 1)) + 1)))
+    w = Window.partitionBy("_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (scored.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= k)
+            .select(F.col("_id").alias(id_col), "term", "rnk", "tfidf"))

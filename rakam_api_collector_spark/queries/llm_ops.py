@@ -52,6 +52,17 @@ def llm18_bpe_tokens(spark: SparkSession, sf: str) -> DataFrame:
             .orderBy("doc_id").limit(200))
 
 
+def llm20_tfidf(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document (operators/text.py:tfidf_topk)
+    over the first 100 docs."""
+    docs = (load_table(spark, sf, "documents")
+            .filter(F.col("doc_id") < 100).select("doc_id", "text"))
+    return (T.tfidf_topk(docs, "doc_id", "text", k=3)
+            .select("doc_id", "term", "rnk",
+                    F.round("tfidf", 4).alias("tfidf"))
+            .orderBy("doc_id", "rnk"))
+
+
 def llm02_ttr(spark: SparkSession, sf: str) -> DataFrame:
     """Type-token ratio (lexical diversity) per document."""
     return (load_table(spark, sf, "documents")
@@ -327,6 +338,7 @@ def llm14_decode_features(spark: SparkSession, sf: str) -> DataFrame:
 QUERIES = {
     "llm01_token_count": llm01_token_count,
     "llm18_bpe_tokens": llm18_bpe_tokens,
+    "llm20_tfidf": llm20_tfidf,
     "llm02_ttr": llm02_ttr,
     "llm03_avg_token_len": llm03_avg_token_len,
     "llm04_lang_id": llm04_lang_id,
@@ -432,6 +444,30 @@ ORACLE = {
     "llm01_token_count": f"""
         SELECT doc_id, CAST(len({_DUCK_TOKS}) AS INTEGER) AS n_tok
         FROM documents ORDER BY doc_id LIMIT 200
+    """,
+    "llm20_tfidf": f"""
+        WITH docs AS (
+          SELECT doc_id, text FROM documents WHERE doc_id < 100),
+        toks AS (
+          SELECT doc_id, unnest({_DUCK_TOKS}) AS term FROM docs),
+        tf AS (
+          SELECT doc_id, term, count(*) AS tf
+          FROM toks GROUP BY doc_id, term),
+        dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        n AS (SELECT count(*) AS n_docs FROM docs),
+        scored AS (
+          SELECT tf.doc_id, tf.term,
+                 tf.tf * (ln((n.n_docs + 1.0) / (dfreq.df + 1.0)) + 1.0)
+                   AS tfidf
+          FROM tf JOIN dfreq USING (term) CROSS JOIN n),
+        ranked AS (
+          SELECT doc_id, term,
+                 CAST(row_number() OVER (PARTITION BY doc_id
+                       ORDER BY tfidf DESC, term) AS INTEGER) AS rnk,
+                 round(tfidf, 4) AS tfidf
+          FROM scored)
+        SELECT doc_id, term, rnk, tfidf FROM ranked
+        WHERE rnk <= 3 ORDER BY doc_id, rnk
     """,
     "llm18_bpe_tokens": f"""
         SELECT doc_id,

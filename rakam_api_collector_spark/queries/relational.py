@@ -404,6 +404,44 @@ def dq33_percentile(spark: SparkSession, sf: str) -> DataFrame:
             .orderBy("event_type"))
 
 
+def dq34_range_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Range (band) join: classify each event's value into a small band
+    dimension via BETWEEN. The band table broadcasts, so the range
+    predicate is a map-side BroadcastNestedLoopJoin scan — the correct
+    100 TB plan for fact × tiny-interval-dim (an interval tree or
+    DuckDB-style IEJoin only pays off when BOTH sides are large)."""
+    bands = spark.createDataFrame(
+        [(i, i / 10.0, (i + 1) / 10.0) for i in range(10)],
+        "band int, lo double, hi double")
+    ev = load_table(spark, sf, "events")
+    return (ev.join(F.broadcast(bands),
+                    (F.col("value") >= F.col("lo"))
+                    & (F.col("value") < F.col("hi")), "inner")
+            .groupBy("band").agg(F.count("*").alias("n"),
+                                 _dec_sum(F.col("value"), "val_sum"))
+            .orderBy("band"))
+
+
+def dq35_sessionize(spark: SparkSession, sf: str) -> DataFrame:
+    """Sessionization (30-min inactivity gap) in batch form: lag +
+    conditional cumsum over (user, ts) — one shuffle on user_id. The
+    streaming form of the same semantics runs applyInPandasWithState
+    (streaming/sessions.py); this query pins the session-boundary
+    logic against a SQL oracle."""
+    ev = load_table(spark, sf, "events").select("user_id", "ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - \
+        F.lag(F.col("ts").cast("long")).over(w)
+    sess = (ev.withColumn("_new", F.when(gap.isNull() | (gap > 1800), 1)
+                          .otherwise(0))
+            .withColumn("session_seq", F.sum("_new").over(w)))
+    return (sess.groupBy("user_id", "session_seq")
+            .agg(F.count("*").alias("n_events"),
+                 F.min("event_id").alias("first_event"),
+                 F.max("event_id").alias("last_event"))
+            .orderBy("user_id", "session_seq"))
+
+
 QUERIES = {
     "dq01_projection": dq01_projection,
     "dq02_whitelist": dq02_whitelist,
@@ -439,6 +477,8 @@ QUERIES = {
     "dq31_asof_join": dq31_asof_join,
     "dq32_salted_agg": dq32_salted_agg,
     "dq33_percentile": dq33_percentile,
+    "dq34_range_join": dq34_range_join,
+    "dq35_sessionize": dq35_sessionize,
 }
 
 # DuckDB oracle SQL — identical aliases & result types by construction.
@@ -642,5 +682,37 @@ ORACLE = {
                round(quantile_cont(value, 0.5), 4) AS p50,
                round(quantile_cont(value, 0.95), 4) AS p95
         FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    "dq34_range_join": """
+        WITH bands AS (
+          SELECT i AS band, i / 10.0 AS lo, (i + 1) / 10.0 AS hi
+          FROM generate_series(0, 9) t(i))
+        SELECT CAST(band AS INTEGER) AS band, count(*) AS n,
+               round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4)
+                 AS val_sum
+        FROM events JOIN bands ON value >= lo AND value < hi
+        GROUP BY band ORDER BY band
+    """,
+    "dq35_sessionize": """
+        WITH g AS (
+          SELECT user_id, event_id, ts,
+                 CASE WHEN epoch(ts) - lag(epoch(ts)) OVER
+                        (PARTITION BY user_id ORDER BY ts, event_id)
+                        > 1800
+                      OR lag(ts) OVER
+                        (PARTITION BY user_id ORDER BY ts, event_id)
+                        IS NULL
+                      THEN 1 ELSE 0 END AS new_s
+          FROM events),
+        s AS (
+          SELECT user_id, event_id,
+                 CAST(sum(new_s) OVER (PARTITION BY user_id
+                        ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+          FROM g)
+        SELECT user_id, session_seq, count(*) AS n_events,
+               min(event_id) AS first_event, max(event_id) AS last_event
+        FROM s GROUP BY user_id, session_seq
+        ORDER BY user_id, session_seq
     """,
 }
