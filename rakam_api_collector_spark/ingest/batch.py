@@ -132,6 +132,15 @@ def ingest_batch(spark: SparkSession, raw: DataFrame, fmt: str,
         F.lower(F.get_json_object(value_col, cfg["project"])).alias("_project"),
         F.get_json_object(value_col, cfg["collection"]).alias("_collection"),
         F.get_json_object(value_col, cfg["data"]).alias("_data"),
+        # First-wins ORDER contract: (partition index, row-in-partition).
+        # Within one partition this is exact arrival order; across
+        # partitions it is partition-layout order, not global arrival
+        # order. For the streaming file source (one file per partition,
+        # listing-ordered) and Kafka (one topic-partition per split,
+        # offset-ordered — the only order the reference has either,
+        # KafkaRealTimeWorker poll order) this matches the reference's
+        # semantics; a batch spanning shuffled inputs has no defined
+        # arrival order for either engine.
         F.monotonically_increasing_id().alias("_seq"),
     ).filter(
         F.col("_project").isNotNull() & F.col("_collection").isNotNull()

@@ -442,6 +442,39 @@ def dq35_sessionize(spark: SparkSession, sf: str) -> DataFrame:
             .orderBy("user_id", "session_seq"))
 
 
+def dq36_approx_distinct(spark: SparkSession, sf: str) -> DataFrame:
+    """HLL++ sketch pinned to a tolerance the oracle can check exactly:
+    the output carries the exact distinct count plus a boolean
+    ``within_5pct`` comparing the sketch against it — the oracle
+    recomputes the exact count and asserts the boolean, so a sketch
+    drifting out of tolerance hash-fails the gate."""
+    ev = load_table(spark, sf, "events")
+    return (ev.groupBy("event_type")
+            .agg(F.countDistinct("user_id").alias("exact_n"),
+                 F.approx_count_distinct("user_id", 0.01).alias("_a"))
+            .select("event_type", "exact_n",
+                    (F.abs(F.col("_a") - F.col("exact_n"))
+                     <= F.col("exact_n") * 0.05).alias("within_5pct"))
+            .orderBy("event_type"))
+
+
+def dq37_hash_split(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic train/test split (operators/sampling.py): md5
+    bucket of the key, pure function of the row — reproducible across
+    engines and partitionings, which seeded sample() is not."""
+    from rakam_api_collector_spark.operators.sampling import hash_split
+
+    orders = load_table(spark, sf, "orders")
+    train, test = hash_split(orders, "o_orderkey", frac_pct=10)
+    agg = [F.count("*").alias("n"),
+           F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long"))
+           .alias("cents")]
+    return (train.agg(*agg).select(F.lit("train").alias("part"), "*")
+            .unionByName(
+                test.agg(*agg).select(F.lit("test").alias("part"), "*"))
+            .orderBy("part"))
+
+
 QUERIES = {
     "dq01_projection": dq01_projection,
     "dq02_whitelist": dq02_whitelist,
@@ -479,6 +512,8 @@ QUERIES = {
     "dq33_percentile": dq33_percentile,
     "dq34_range_join": dq34_range_join,
     "dq35_sessionize": dq35_sessionize,
+    "dq36_approx_distinct": dq36_approx_distinct,
+    "dq37_hash_split": dq37_hash_split,
 }
 
 # DuckDB oracle SQL — identical aliases & result types by construction.
@@ -714,5 +749,26 @@ ORACLE = {
                min(event_id) AS first_event, max(event_id) AS last_event
         FROM s GROUP BY user_id, session_seq
         ORDER BY user_id, session_seq
+    """,
+    "dq36_approx_distinct": """
+        SELECT event_type, count(DISTINCT user_id) AS exact_n,
+               TRUE AS within_5pct
+        FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    "dq37_hash_split": """
+        WITH b AS (
+          SELECT o_totalprice,
+                 CAST('0x' || substring(
+                        md5(CAST(o_orderkey AS VARCHAR)), 1, 8)
+                      AS UBIGINT) % 100 AS bucket
+          FROM orders),
+        s AS (
+          SELECT CASE WHEN bucket < 10 THEN 'train' ELSE 'test' END AS part,
+                 o_totalprice
+          FROM b)
+        SELECT part, count(*) AS n,
+               CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM s GROUP BY part ORDER BY part
     """,
 }
