@@ -486,6 +486,81 @@ def dq37_hash_split(spark: SparkSession, sf: str) -> DataFrame:
             .orderBy("part"))
 
 
+def dq38_cube(spark: SparkSession, sf: str) -> DataFrame:
+    """CUBE over (event_type, day) with an explicit grouping-set id.
+
+    Scale shape: Spark plans CUBE as one Expand (4 grouping sets) into a
+    single partial+final hash aggregate — one shuffle total, identical
+    to the rollup path (dq10); no per-grouping-set re-scan."""
+    ev = (load_table(spark, sf, "events")
+          .select("event_type", F.to_date("ts").alias("day")))
+    return (ev.cube("event_type", "day")
+            .agg(F.count("*").alias("n"),
+                 (F.grouping("event_type") * 2 + F.grouping("day"))
+                 .cast("int").alias("gid"))
+            .select("event_type", "day", "n", "gid")
+            .orderBy(F.col("gid"), F.col("event_type"), F.col("day")))
+
+
+def dq39_pivot(spark: SparkSession, sf: str) -> DataFrame:
+    """Pivot event_type → columns of per-day counts, expressed as
+    conditional aggregates over a STATIC value list.
+
+    Deliberately NOT ``df.groupBy(...).pivot(...)``: with a known value
+    list, ``pivot`` still plans a pre-aggregate on (day, type) plus a
+    ``pivotfirst`` aggregate — two shuffles — and without the list it
+    adds a distinct-values discovery job and a data-dependent schema.
+    count(CASE WHEN ...) per value is one partial+final aggregate, one
+    shuffle, static schema — the pivot plan you want at 100 TB."""
+    ev = load_table(spark, sf, "events")
+    types = ["click", "error", "purchase", "signup", "view"]
+    return (ev.groupBy(F.to_date("ts").alias("day"))
+            .agg(*[F.count(F.when(F.col("event_type") == t, 1)).alias(t)
+                   for t in types])
+            .orderBy("day"))
+
+
+def dq40_window_analytics(spark: SparkSession, sf: str) -> DataFrame:
+    """Analytic-window battery: lag / lead / dense_rank / ntile /
+    cume_dist over one window spec — Spark evaluates all five in a
+    single Window physical operator (one sort per partition, no
+    re-shuffle per function). The ORDER BY includes the unique
+    o_orderkey so every function is deterministic."""
+    from pyspark.sql.window import Window
+
+    orders = load_table(spark, sf, "orders")
+    w = (Window.partitionBy("o_orderpriority")
+         .orderBy("o_orderdate", "o_orderkey"))
+    return (orders.select(
+                "o_orderpriority", "o_orderkey",
+                F.lag("o_totalprice").over(w).alias("prev_price"),
+                F.lead("o_totalprice").over(w).alias("next_price"),
+                F.dense_rank().over(w).alias("drnk"),
+                F.ntile(4).over(w).alias("quartile"),
+                F.round(F.cume_dist().over(w), 6).alias("cd"))
+            .filter(F.col("o_orderkey") % 37 == 0)
+            .orderBy("o_orderpriority", "o_orderkey"))
+
+
+def dq41_approx_quantile(spark: SparkSession, sf: str) -> DataFrame:
+    """KLL/GK-style approx percentile pinned against the exact value —
+    same gate pattern as dq36: the boolean tolerance check is what the
+    oracle asserts, so sketch drift fails the hash gate. The approx
+    path is the 100 TB plan (mergeable sketch, no full sort); the exact
+    interpolated percentile is the oracle-checkable anchor."""
+    li = load_table(spark, sf, "lineitem")
+    return (li.groupBy("l_linestatus")
+            .agg(F.expr("percentile(l_extendedprice, 0.5)").alias("_ex"),
+                 F.expr("approx_percentile(l_extendedprice, 0.5, 10000)")
+                 .alias("_ap"))
+            .select("l_linestatus",
+                    F.round("_ex", 4).alias("p50_exact"),
+                    (F.abs(F.col("_ap") - F.col("_ex"))
+                     <= F.greatest(F.col("_ex") * 0.01, F.lit(0.01)))
+                    .alias("within_1pct"))
+            .orderBy("l_linestatus"))
+
+
 QUERIES = {
     "dq01_projection": dq01_projection,
     "dq02_whitelist": dq02_whitelist,
@@ -525,6 +600,10 @@ QUERIES = {
     "dq35_sessionize": dq35_sessionize,
     "dq36_approx_distinct": dq36_approx_distinct,
     "dq37_hash_split": dq37_hash_split,
+    "dq38_cube": dq38_cube,
+    "dq39_pivot": dq39_pivot,
+    "dq40_window_analytics": dq40_window_analytics,
+    "dq41_approx_quantile": dq41_approx_quantile,
 }
 
 # DuckDB oracle SQL — identical aliases & result types by construction.
@@ -765,6 +844,43 @@ ORACLE = {
         SELECT event_type, count(DISTINCT user_id) AS exact_n,
                TRUE AS within_5pct
         FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    "dq38_cube": """
+        SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n,
+               CAST(GROUPING(event_type) * 2 + GROUPING(CAST(ts AS DATE))
+                    AS INTEGER) AS gid
+        FROM events
+        GROUP BY CUBE(event_type, CAST(ts AS DATE))
+        ORDER BY gid, event_type NULLS LAST, day NULLS LAST
+    """,
+    "dq39_pivot": """
+        SELECT CAST(ts AS DATE) AS day,
+               count(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+               count(CASE WHEN event_type = 'error' THEN 1 END) AS error,
+               count(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+               count(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
+               count(CASE WHEN event_type = 'view' THEN 1 END) AS view
+        FROM events GROUP BY 1 ORDER BY day
+    """,
+    "dq40_window_analytics": """
+        SELECT * FROM (
+          SELECT o_orderpriority, o_orderkey,
+                 lag(o_totalprice) OVER w AS prev_price,
+                 lead(o_totalprice) OVER w AS next_price,
+                 CAST(dense_rank() OVER w AS INTEGER) AS drnk,
+                 CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+                 round(cume_dist() OVER w, 6) AS cd
+          FROM orders
+          WINDOW w AS (PARTITION BY o_orderpriority
+                       ORDER BY o_orderdate, o_orderkey))
+        WHERE o_orderkey % 37 = 0
+        ORDER BY o_orderpriority, o_orderkey
+    """,
+    "dq41_approx_quantile": """
+        SELECT l_linestatus,
+               round(quantile_cont(l_extendedprice, 0.5), 4) AS p50_exact,
+               TRUE AS within_1pct
+        FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus
     """,
     "dq37_hash_split": """
         WITH b AS (

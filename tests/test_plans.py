@@ -149,3 +149,31 @@ def test_salted_agg_two_phase_exchanges(spark):
     salted = {r.event_type: (r.n, r.mx) for r in
               R.dq32_salted_agg(spark, SF).collect()}
     assert {k: v for k, v in salted.items()} == plain
+
+
+def test_cube_single_expand_single_shuffle(spark):
+    """CUBE(a, b) must plan as ONE Expand feeding ONE partial+final
+    aggregate pair — not a per-grouping-set re-scan or union."""
+    plan = plan_of(R.dq38_cube(spark, SF), "simple")
+    assert plan.count("Expand") == 1
+    assert plan.count("Scan parquet") == 1
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_pivot_static_schema_no_value_discovery(spark):
+    """With an explicit pivot value list the plan is a single aggregate
+    over one scan — no distinct-values job, no second exchange."""
+    df = R.dq39_pivot(spark, SF)
+    assert df.columns == ["day", "click", "error", "purchase",
+                          "signup", "view"]
+    plan = plan_of(df, "simple")
+    assert plan.count("Scan parquet") == 1
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_window_battery_single_window_operator(spark):
+    """All five analytic functions share one window spec → exactly one
+    Window node (one sort per partition), not one per function."""
+    plan = plan_of(R.dq40_window_analytics(spark, SF), "simple")
+    assert plan.count("Window") == 1
+    assert plan.count("Exchange hashpartitioning") == 1
