@@ -89,6 +89,23 @@ def lang_id(text: Column) -> Column:
     return expr
 
 
+def repetition_ratio(t: Column, n: int = 2) -> Column:
+    """Within-document repeated-n-gram fraction (the Gopher-style
+    repetition quality signal): 1 - distinct_ngrams / total_ngrams over
+    an ALREADY MATERIALIZED token array (no CSE inside HOF lambdas —
+    see operators/chunks.py). 0.0 for docs with < n tokens. Pure
+    per-row map: no shuffle, stays in whole-stage codegen."""
+    last = F.size(t) - (n - 1)
+    grams = F.transform(
+        F.sequence(F.lit(1), last),
+        lambda i: F.array_join(F.slice(t, i, n), " "))
+    return F.when(
+        last >= 1,
+        F.lit(1.0) - F.size(F.array_distinct(grams)) /
+        F.size(grams).cast("double")
+    ).otherwise(F.lit(0.0))
+
+
 def fingerprint(text: Column) -> Column:
     """Document fingerprint: 64-bit hash of the token-normalized text —
     the batch analog of the reference's shard checksum

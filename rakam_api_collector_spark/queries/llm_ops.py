@@ -335,6 +335,119 @@ def llm14_decode_features(spark: SparkSession, sf: str) -> DataFrame:
             .orderBy("doc_id").limit(200))
 
 
+# --- corpus curation ---------------------------------------------------------
+# The fixture corpus is clean by construction, so the curation queries
+# inject their target artifacts deterministically (same expression in
+# Spark and the DuckDB oracle): synthetic PII spans, a shared
+# boilerplate block, benchmark-overlapping copies. The OPERATORS are
+# generic; the injection is fixture scaffolding.
+
+def llm21_pii_redact(spark: SparkSession, sf: str) -> DataFrame:
+    """PII scrub (operators/scrub.py): count + redact emails, phones,
+    IPv4s with RE2-safe patterns (linear-time matching — a 100 TB scrub
+    cannot risk catastrophic backtracking). Pure per-row map."""
+    from rakam_api_collector_spark.operators import scrub
+
+    docs = (load_table(spark, sf, "documents")
+            .filter(F.col("doc_id") < 200))
+    s = F.concat(
+        F.col("text"),
+        F.lit(" reach user"), F.col("doc_id").cast("string"),
+        F.lit("@mail.example.org or call 555-010-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        F.lit(" from 10.0."), (F.col("doc_id") % 256).cast("string"),
+        F.lit(".7"))
+    return (docs.select(
+                "doc_id",
+                scrub.pii_count(s, "email").cast("int").alias("n_email"),
+                scrub.pii_count(s, "phone").cast("int").alias("n_phone"),
+                scrub.pii_count(s, "ipv4").cast("int").alias("n_ipv4"),
+                scrub.redact(s).alias("redacted"))
+            .orderBy("doc_id"))
+
+
+def llm22_chunk_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Cross-document chunk dedup (operators/chunks.py) — the "remove
+    boilerplate blocks shared across the corpus" pass. Every doc gets
+    the same 10-token boilerplate suffix; chunking is over the full
+    token stream, so which chunks go cross-document depends on each
+    body's length mod stride — a non-trivial verdict the oracle
+    replicates chunk-for-chunk."""
+    from rakam_api_collector_spark.operators.chunks import chunk_dedup
+
+    docs = (load_table(spark, sf, "documents")
+            .filter(F.col("doc_id") < 150)
+            .select("doc_id",
+                    F.concat(F.col("text"), F.lit(_BOILER))
+                    .alias("text")))
+    return (chunk_dedup(docs, "doc_id", "text", size=5)
+            .orderBy("doc_id"))
+
+
+def llm23_contamination(spark: SparkSession, sf: str) -> DataFrame:
+    """Benchmark-contamination screen (operators/chunks.py): corpus =
+    drop-2-token copies of docs [0,120) at +10000 (contaminated) ∪
+    clean docs [120,200); benchmark = originals [0,120). A corpus doc
+    is flagged when any of its 5-grams appears in the benchmark."""
+    from rakam_api_collector_spark.operators.chunks import (
+        contamination_screen)
+
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    bench = docs.filter(F.col("doc_id") < _PERTURB_LIMIT)
+    toks = T.tokens(F.col("text"))
+    copies = bench.select(
+        (F.col("doc_id") + 10000).alias("doc_id"),
+        F.array_join(
+            F.slice(toks, 3, F.greatest(F.size(toks) - 2, F.lit(0))),
+            " ").alias("text"))
+    corpus = copies.unionByName(
+        docs.filter((F.col("doc_id") >= 120) & (F.col("doc_id") < 200)))
+    return (contamination_screen(corpus, bench, "doc_id", "text", n=5)
+            .orderBy("doc_id"))
+
+
+def llm24_stratified_split(spark: SparkSession, sf: str) -> DataFrame:
+    """Stratification audit of the deterministic hash split
+    (operators/sampling.py): per-(source, part) counts. The md5 split
+    is a pure row function, so each stratum's fraction concentrates at
+    frac_pct independently — no per-stratum sampling pass needed."""
+    from rakam_api_collector_spark.operators.sampling import hash_split
+
+    docs = load_table(spark, sf, "documents")
+    train, test = hash_split(docs, "doc_id", frac_pct=20)
+    return (train.withColumn("part", F.lit("train"))
+            .unionByName(test.withColumn("part", F.lit("test")))
+            .groupBy("source", "part").agg(F.count("*").alias("n"))
+            .orderBy("source", "part"))
+
+
+def llm25_repetition(spark: SparkSession, sf: str) -> DataFrame:
+    """Within-doc repeated-bigram ratio (Gopher-style repetition
+    signal, operators/text.py:repetition_ratio) aggregated per source.
+    Decimal-summed mean so the result is shuffle-order-independent."""
+    docs = load_table(spark, sf, "documents")
+    # two-step: materialize the token array, THEN the ratio — no CSE
+    # inside HOF lambdas (see operators/chunks.py docstring)
+    per_doc = (docs.select("source", "doc_id",
+                           T.tokens(F.col("text")).alias("_tk"))
+               .select("source", "doc_id",
+                       T.repetition_ratio(F.col("_tk"), 2).alias("rep")))
+    return (per_doc.groupBy("source")
+            .agg(F.round(F.sum(F.col("rep").cast("decimal(18,9)"))
+                         .cast("double") / F.count("*"), 4)
+                 .alias("avg_rep"),
+                 F.round(F.max("rep"), 4).alias("max_rep"),
+                 F.count("*").alias("n"))
+            .orderBy("source"))
+
+
+_BOILER = (" copyright license terms apply all rights reserved "
+           "worldwide legal notice")
+
+from rakam_api_collector_spark.operators.scrub import (  # noqa: E402
+    PII_PATTERNS as _PII)
+
+
 QUERIES = {
     "llm01_token_count": llm01_token_count,
     "llm18_bpe_tokens": llm18_bpe_tokens,
@@ -356,6 +469,11 @@ QUERIES = {
     "llm19_ivf_ann": llm19_ivf_ann,
     "llm13_multimodal_meta": llm13_multimodal_meta,
     "llm14_decode_features": llm14_decode_features,
+    "llm21_pii_redact": llm21_pii_redact,
+    "llm22_chunk_dedup": llm22_chunk_dedup,
+    "llm23_contamination": llm23_contamination,
+    "llm24_stratified_split": llm24_stratified_split,
+    "llm25_repetition": llm25_repetition,
 }
 
 _SW = {k: ", ".join(f"'{w}'" for w in v) for k, v in T.STOPWORDS.items()}
@@ -669,5 +787,117 @@ ORACLE = {
                CAST(octet_length(encode(text)) AS DOUBLE) AS f_len,
                CAST(ascii(substring(text, 1, 1)) AS DOUBLE) AS f_first
         FROM documents ORDER BY doc_id LIMIT 200
+    """,
+    # RE2 evaluates the same patterns Spark's Java regex does here (no
+    # lookaround/backrefs by construction — operators/scrub.py); the
+    # 'g' flag matches Spark's replace-all default.
+    "llm21_pii_redact": f"""
+        WITH inj AS (
+          SELECT doc_id,
+                 text || ' reach user' || doc_id ||
+                 '@mail.example.org or call 555-010-' ||
+                 lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ||
+                 ' from 10.0.' || (doc_id % 256) || '.7' AS s
+          FROM documents WHERE doc_id < 200)
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(s, '{_PII["email"]}'))
+                    AS INTEGER) AS n_email,
+               CAST(len(regexp_extract_all(s, '{_PII["phone"]}'))
+                    AS INTEGER) AS n_phone,
+               CAST(len(regexp_extract_all(s, '{_PII["ipv4"]}'))
+                    AS INTEGER) AS n_ipv4,
+               regexp_replace(regexp_replace(regexp_replace(
+                   s, '{_PII["email"]}', '<EMAIL>', 'g'),
+                   '{_PII["phone"]}', '<PHONE>', 'g'),
+                   '{_PII["ipv4"]}', '<IP>', 'g') AS redacted
+        FROM inj ORDER BY doc_id
+    """,
+    "llm22_chunk_dedup": f"""
+        WITH docs AS (
+          SELECT doc_id, text || '{_BOILER}' AS text
+          FROM documents WHERE doc_id < 150),
+        toks AS (SELECT doc_id, {_DUCK_TOKS} AS t FROM docs),
+        chunks AS (
+          SELECT doc_id, i AS pos,
+                 array_to_string(list_slice(t, i * 5 + 1, i * 5 + 5),
+                                 ' ') AS chunk
+          FROM toks,
+               unnest(range(0, CAST(ceil(len(t) / 5.0) AS INTEGER)))
+                 u(i)),
+        freq AS (
+          SELECT chunk, count(DISTINCT doc_id) AS docs_n
+          FROM chunks GROUP BY chunk),
+        flagged AS (
+          SELECT c.doc_id, c.pos, c.chunk, f.docs_n > 1 AS dropped
+          FROM chunks c JOIN freq f USING (chunk))
+        SELECT doc_id,
+               count(*) AS n_chunks,
+               CAST(sum(CASE WHEN dropped THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_dropped,
+               coalesce(string_agg(CASE WHEN NOT dropped THEN chunk END,
+                                   ' ' ORDER BY pos), '') AS kept_text
+        FROM flagged GROUP BY doc_id ORDER BY doc_id
+    """,
+    "llm23_contamination": f"""
+        WITH base AS (
+          SELECT doc_id, text FROM documents
+          WHERE doc_id < {_PERTURB_LIMIT}),
+        btoks AS (SELECT doc_id, {_DUCK_TOKS} AS t FROM base),
+        corpus AS (
+          SELECT doc_id + 10000 AS doc_id,
+                 array_to_string(list_slice(t, 3, len(t)), ' ') AS text
+          FROM btoks
+          UNION ALL
+          SELECT doc_id, text FROM documents
+          WHERE doc_id >= 120 AND doc_id < 200),
+        cg AS (
+          SELECT doc_id, unnest(list_distinct(
+                   [array_to_string(list_slice(t, i, i + 4), ' ')
+                    for i in range(1, len(t) - 3)])) AS g
+          FROM (SELECT doc_id, {_DUCK_TOKS} AS t FROM corpus)),
+        bg AS (
+          SELECT DISTINCT unnest(list_distinct(
+                   [array_to_string(list_slice(t, i, i + 4), ' ')
+                    for i in range(1, len(t) - 3)])) AS g
+          FROM btoks),
+        hits AS (
+          SELECT cg.doc_id, count(*) AS n_hits
+          FROM cg JOIN bg USING (g) GROUP BY cg.doc_id)
+        SELECT c.doc_id,
+               coalesce(h.n_hits, 0) AS n_hits,
+               coalesce(h.n_hits, 0) > 0 AS contaminated
+        FROM corpus c LEFT JOIN hits h USING (doc_id)
+        ORDER BY c.doc_id
+    """,
+    "llm24_stratified_split": """
+        WITH b AS (
+          SELECT source,
+                 CAST('0x' || substring(
+                        md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                      AS UBIGINT) % 100 AS bucket
+          FROM documents)
+        SELECT source,
+               CASE WHEN bucket < 20 THEN 'train' ELSE 'test' END AS part,
+               count(*) AS n
+        FROM b GROUP BY source, part ORDER BY source, part
+    """,
+    "llm25_repetition": f"""
+        WITH toks AS (
+          SELECT source, doc_id, {_DUCK_TOKS} AS t FROM documents),
+        per_doc AS (
+          SELECT source,
+                 CASE WHEN len(t) >= 2 THEN
+                   1.0 - CAST(len(list_distinct(
+                           [t[i] || ' ' || t[i + 1]
+                            for i in range(1, len(t))])) AS DOUBLE)
+                         / (len(t) - 1)
+                 ELSE 0.0 END AS rep
+          FROM toks)
+        SELECT source,
+               round(CAST(sum(CAST(rep AS DECIMAL(18,9))) AS DOUBLE)
+                     / count(*), 4) AS avg_rep,
+               round(max(rep), 4) AS max_rep,
+               count(*) AS n
+        FROM per_doc GROUP BY source ORDER BY source
     """,
 }
