@@ -441,6 +441,24 @@ def llm25_repetition(spark: SparkSession, sf: str) -> DataFrame:
             .orderBy("source"))
 
 
+def llm26_kmeans(spark: SparkSession, sf: str) -> DataFrame:
+    """Lloyd k-means (operators/clustering.py): deterministic init
+    (vec_id 0..3), ONE assignment+update round, final assignment.
+    Per-cluster sizes + decimal-summed inertia. The oracle replays the
+    identical unrolled iteration in SQL — exact match is possible
+    because centroids round to 6 places between steps and distance
+    folds run in index order in both engines."""
+    from rakam_api_collector_spark.operators.clustering import kmeans
+
+    emb = load_table(spark, sf, "embeddings")
+    res = kmeans(emb, "vec_id", "embedding", k=4, iters=1)
+    return (res.groupBy("cluster")
+            .agg(F.count("*").alias("n"),
+                 F.round(F.sum(F.col("dist").cast("decimal(38,12)"))
+                         .cast("double"), 4).alias("inertia"))
+            .orderBy("cluster"))
+
+
 _BOILER = (" copyright license terms apply all rights reserved "
            "worldwide legal notice")
 
@@ -474,6 +492,7 @@ QUERIES = {
     "llm23_contamination": llm23_contamination,
     "llm24_stratified_split": llm24_stratified_split,
     "llm25_repetition": llm25_repetition,
+    "llm26_kmeans": llm26_kmeans,
 }
 
 _SW = {k: ", ".join(f"'{w}'" for w in v) for k, v in T.STOPWORDS.items()}
@@ -899,5 +918,52 @@ ORACLE = {
                round(max(rep), 4) AS max_rep,
                count(*) AS n
         FROM per_doc GROUP BY source ORDER BY source
+    """,
+    # Unrolled replay of kmeans(k=4, iters=1): init -> assign -> exact
+    # decimal per-dim means rounded to 6 -> final assign. Distance
+    # list_sum folds in index order, matching Spark's aggregate fold.
+    "llm26_kmeans": """
+        WITH e AS (
+          SELECT vec_id,
+                 [CAST(x AS DOUBLE) for x in embedding] AS v
+          FROM embeddings),
+        init AS (
+          SELECT vec_id AS cl, [round(x, 6) for x in v] AS c
+          FROM e WHERE vec_id < 4),
+        d0 AS (
+          SELECT e.vec_id, i.cl,
+                 list_sum([(e.v[j] - i.c[j]) * (e.v[j] - i.c[j])
+                           for j in range(1, len(e.v) + 1)]) AS d
+          FROM e CROSS JOIN init i),
+        a0 AS (
+          SELECT vec_id, cl, d FROM (
+            SELECT vec_id, cl, d,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY d, cl) AS rn
+            FROM d0) WHERE rn = 1),
+        upd AS (
+          SELECT cl, j,
+                 round(CAST(sum(CAST(val AS DECIMAL(28,12))) AS DOUBLE)
+                       / count(*), 6) AS m
+          FROM (SELECT a0.cl, unnest(e.v) AS val,
+                       generate_subscripts(e.v, 1) AS j
+                FROM a0 JOIN e USING (vec_id))
+          GROUP BY cl, j),
+        c1 AS (SELECT cl, list(m ORDER BY j) AS c FROM upd GROUP BY cl),
+        d1 AS (
+          SELECT e.vec_id, c1.cl,
+                 list_sum([(e.v[j] - c1.c[j]) * (e.v[j] - c1.c[j])
+                           for j in range(1, len(e.v) + 1)]) AS d
+          FROM e CROSS JOIN c1),
+        a1 AS (
+          SELECT vec_id, cl, d FROM (
+            SELECT vec_id, cl, d,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY d, cl) AS rn
+            FROM d1) WHERE rn = 1)
+        SELECT CAST(cl AS INTEGER) AS cluster, count(*) AS n,
+               round(CAST(sum(CAST(d AS DECIMAL(38,12))) AS DOUBLE), 4)
+                 AS inertia
+        FROM a1 GROUP BY cl ORDER BY cluster
     """,
 }
