@@ -441,6 +441,34 @@ def llm25_repetition(spark: SparkSession, sf: str) -> DataFrame:
             .orderBy("source"))
 
 
+def llm27_surprisal(spark: SparkSession, sf: str) -> DataFrame:
+    """Unigram-LM surprisal quality score: per-doc mean of
+    -ln p(token) under the corpus's own unigram distribution — the
+    cheap perplexity proxy pipelines use before a real LM pass.
+
+    Scale shape: one explode + one vocab-sized aggregate; the frequency
+    table joins back BROADCAST (a vocabulary is ≪ corpus); the total-
+    token scalar rides the plan as a 1-row broadcast cross join. Per-
+    token ln() values are cast to DECIMAL(18,9) before the per-doc sum
+    so engine libm noise (≤1 ulp) and shuffle order cannot move the
+    rounded result."""
+    docs = (load_table(spark, sf, "documents")
+            .select("doc_id", T.tokens(F.col("text")).alias("_tk")))
+    toks = docs.select("doc_id", F.explode("_tk").alias("tok"))
+    freq = toks.groupBy("tok").agg(F.count("*").alias("c"))
+    tot = toks.agg(F.count("*").alias("t"))
+    per_tok = (toks.join(F.broadcast(freq), "tok")
+               .crossJoin(F.broadcast(tot))
+               .select("doc_id",
+                       (-F.log(F.col("c").cast("double") / F.col("t")))
+                       .cast("decimal(18,9)").alias("s")))
+    return (per_tok.groupBy("doc_id")
+            .agg(F.count("*").alias("n_tok"),
+                 F.round(F.sum("s").cast("double") / F.count("*"), 4)
+                 .alias("avg_surprisal"))
+            .orderBy("doc_id").limit(200))
+
+
 def llm26_kmeans(spark: SparkSession, sf: str) -> DataFrame:
     """Lloyd k-means (operators/clustering.py): deterministic init
     (vec_id 0..3), ONE assignment+update round, final assignment.
@@ -493,6 +521,7 @@ QUERIES = {
     "llm24_stratified_split": llm24_stratified_split,
     "llm25_repetition": llm25_repetition,
     "llm26_kmeans": llm26_kmeans,
+    "llm27_surprisal": llm27_surprisal,
 }
 
 _SW = {k: ", ".join(f"'{w}'" for w in v) for k, v in T.STOPWORDS.items()}
@@ -918,6 +947,20 @@ ORACLE = {
                round(max(rep), 4) AS max_rep,
                count(*) AS n
         FROM per_doc GROUP BY source ORDER BY source
+    """,
+    "llm27_surprisal": f"""
+        WITH toks AS (
+          SELECT doc_id, unnest({_DUCK_TOKS}) AS tok FROM documents),
+        freq AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+        tot AS (SELECT count(*) AS t FROM toks),
+        per_tok AS (
+          SELECT doc_id,
+                 CAST(-ln(CAST(c AS DOUBLE) / t) AS DECIMAL(18,9)) AS s
+          FROM toks JOIN freq USING (tok) CROSS JOIN tot)
+        SELECT doc_id, count(*) AS n_tok,
+               round(CAST(sum(s) AS DOUBLE) / count(*), 4)
+                 AS avg_surprisal
+        FROM per_tok GROUP BY doc_id ORDER BY doc_id LIMIT 200
     """,
     # Unrolled replay of kmeans(k=4, iters=1): init -> assign -> exact
     # decimal per-dim means rounded to 6 -> final assign. Distance

@@ -561,6 +561,65 @@ def dq41_approx_quantile(spark: SparkSession, sf: str) -> DataFrame:
             .orderBy("l_linestatus"))
 
 
+def dq42_funnel(spark: SparkSession, sf: str) -> DataFrame:
+    """Ordered funnel (signup → click → purchase), the event-analytics
+    query the reference's collector feeds downstream.
+
+    Scale shape: ONE shuffle — events filtered to the funnel types,
+    collected per user into a sorted (ts, type) array, then each stage
+    time is an order-insensitive HOF pass over that array (t1 = min
+    signup ts; t2 = min click ts ≥ t1; t3 = min purchase ts ≥ t2).
+    No per-stage joins: a 3-stage funnel over 100 TB is still one
+    exchange of (user, small-array) rows. The HOF passes use min-over-
+    filter rather than a sequential fold so equal-timestamp events
+    can't order-flip the verdict."""
+    ev = (load_table(spark, sf, "events")
+          .filter(F.col("event_type").isin("signup", "click", "purchase"))
+          .select("user_id", "ts", "event_type"))
+    per_user = (ev.groupBy("user_id")
+                .agg(F.collect_list(F.struct("ts", "event_type"))
+                     .alias("_ev")))
+
+    def stage_min(events, typ, after):
+        hits = F.filter(
+            events, lambda e: (e["event_type"] == typ)
+            & (F.lit(True) if after is None else e["ts"] >= after))
+        return F.array_min(F.transform(hits, lambda e: e["ts"]))
+
+    staged = (per_user
+              .withColumn("t1", stage_min(F.col("_ev"), "signup", None))
+              .withColumn("t2", stage_min(F.col("_ev"), "click",
+                                          F.col("t1")))
+              .withColumn("t3", stage_min(F.col("_ev"), "purchase",
+                                          F.col("t2"))))
+    return staged.agg(
+        F.count(F.col("t1")).alias("n_signup"),
+        F.count(F.col("t2")).alias("n_then_click"),
+        F.count(F.col("t3")).alias("n_then_purchase"))
+
+
+def dq43_retention(spark: SparkSession, sf: str) -> DataFrame:
+    """Cohort retention: users grouped by first-active day, retained-at
+    day +1/+3/+7 counts. Two aggregations, NO Expand: per-(user,
+    cohort) presence flags first (one shuffle on user), then a plain
+    sum per cohort — the multi-countDistinct formulation would expand
+    every (user, day) row 4× before its shuffle."""
+    ev = load_table(spark, sf, "events")
+    ud = (ev.select("user_id", F.to_date("ts").alias("d")).distinct())
+    first = ud.groupBy("user_id").agg(F.min("d").alias("d0"))
+    flags = (ud.join(first, "user_id")
+             .groupBy("user_id", "d0")
+             .agg(*[F.max((F.datediff(F.col("d"), F.col("d0")) == k)
+                          .cast("int")).alias(f"f{k}")
+                    for k in (1, 3, 7)]))
+    return (flags.groupBy("d0")
+            .agg(F.count("*").alias("n_users"),
+                 F.sum("f1").alias("r1"),
+                 F.sum("f3").alias("r3"),
+                 F.sum("f7").alias("r7"))
+            .orderBy("d0"))
+
+
 QUERIES = {
     "dq01_projection": dq01_projection,
     "dq02_whitelist": dq02_whitelist,
@@ -604,6 +663,8 @@ QUERIES = {
     "dq39_pivot": dq39_pivot,
     "dq40_window_analytics": dq40_window_analytics,
     "dq41_approx_quantile": dq41_approx_quantile,
+    "dq42_funnel": dq42_funnel,
+    "dq43_retention": dq43_retention,
 }
 
 # DuckDB oracle SQL — identical aliases & result types by construction.
@@ -881,6 +942,45 @@ ORACLE = {
                round(quantile_cont(l_extendedprice, 0.5), 4) AS p50_exact,
                TRUE AS within_1pct
         FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus
+    """,
+    "dq42_funnel": """
+        WITH f AS (
+          SELECT user_id, ts, event_type FROM events
+          WHERE event_type IN ('signup', 'click', 'purchase')),
+        t1 AS (
+          SELECT user_id, min(ts) AS t1 FROM f
+          WHERE event_type = 'signup' GROUP BY user_id),
+        t2 AS (
+          SELECT f.user_id, min(f.ts) AS t2
+          FROM f JOIN t1 USING (user_id)
+          WHERE f.event_type = 'click' AND f.ts >= t1.t1
+          GROUP BY f.user_id),
+        t3 AS (
+          SELECT f.user_id, min(f.ts) AS t3
+          FROM f JOIN t2 USING (user_id)
+          WHERE f.event_type = 'purchase' AND f.ts >= t2.t2
+          GROUP BY f.user_id)
+        SELECT (SELECT count(*) FROM t1) AS n_signup,
+               (SELECT count(*) FROM t2) AS n_then_click,
+               (SELECT count(*) FROM t3) AS n_then_purchase
+    """,
+    "dq43_retention": """
+        WITH ud AS (
+          SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+        first AS (
+          SELECT user_id, min(d) AS d0 FROM ud GROUP BY user_id),
+        flags AS (
+          SELECT ud.user_id, f.d0,
+                 max(CASE WHEN ud.d - f.d0 = 1 THEN 1 ELSE 0 END) AS f1,
+                 max(CASE WHEN ud.d - f.d0 = 3 THEN 1 ELSE 0 END) AS f3,
+                 max(CASE WHEN ud.d - f.d0 = 7 THEN 1 ELSE 0 END) AS f7
+          FROM ud JOIN first f USING (user_id)
+          GROUP BY ud.user_id, f.d0)
+        SELECT d0, count(*) AS n_users,
+               CAST(sum(f1) AS BIGINT) AS r1,
+               CAST(sum(f3) AS BIGINT) AS r3,
+               CAST(sum(f7) AS BIGINT) AS r7
+        FROM flags GROUP BY d0 ORDER BY d0
     """,
     "dq37_hash_split": """
         WITH b AS (
