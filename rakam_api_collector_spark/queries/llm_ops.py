@@ -469,6 +469,39 @@ def llm27_surprisal(spark: SparkSession, sf: str) -> DataFrame:
             .orderBy("doc_id").limit(200))
 
 
+def llm28_quantize(spark: SparkSession, sf: str) -> DataFrame:
+    """Int8 embedding quantization audit (operators/similarity.py:
+    quantize_int8): per label, exact integer L1 mass of the quantized
+    vectors plus decimal-summed mean reconstruction error. The L1 sums
+    are integers — any rounding divergence between engines would show
+    up whole, not as FP noise."""
+    from rakam_api_collector_spark.operators.similarity import (
+        dequantize, quantize_int8)
+
+    emb = load_table(spark, sf, "embeddings")
+    qs = (emb.select("label",
+                     F.transform("embedding",
+                                 lambda x: x.cast("double")).alias("_v"),
+                     quantize_int8(F.col("embedding")).alias("_qs")))
+    per = qs.select(
+        "label",
+        F.aggregate(F.transform(F.col("_qs.q"), F.abs),
+                    F.lit(0).cast("long"),
+                    lambda a, x: a + x).alias("l1"),
+        (F.aggregate(
+            F.zip_with(F.col("_v"), dequantize(F.col("_qs")),
+                       lambda a, b: F.abs(a - b)),
+            F.lit(0.0), lambda a, x: a + x)
+         / F.size("_v")).alias("err"))
+    return (per.groupBy("label")
+            .agg(F.count("*").alias("n"),
+                 F.sum("l1").alias("l1_sum"),
+                 F.round(F.sum(F.col("err").cast("decimal(18,12)"))
+                         .cast("double") / F.count("*"), 6)
+                 .alias("avg_err"))
+            .orderBy("label"))
+
+
 def llm26_kmeans(spark: SparkSession, sf: str) -> DataFrame:
     """Lloyd k-means (operators/clustering.py): deterministic init
     (vec_id 0..3), ONE assignment+update round, final assignment.
@@ -522,6 +555,7 @@ QUERIES = {
     "llm25_repetition": llm25_repetition,
     "llm26_kmeans": llm26_kmeans,
     "llm27_surprisal": llm27_surprisal,
+    "llm28_quantize": llm28_quantize,
 }
 
 _SW = {k: ", ".join(f"'{w}'" for w in v) for k, v in T.STOPWORDS.items()}
@@ -961,6 +995,33 @@ ORACLE = {
                round(CAST(sum(s) AS DOUBLE) / count(*), 4)
                  AS avg_surprisal
         FROM per_tok GROUP BY doc_id ORDER BY doc_id LIMIT 200
+    """,
+    "llm28_quantize": """
+        WITH e AS (
+          SELECT label, [CAST(x AS DOUBLE) for x in embedding] AS v
+          FROM embeddings),
+        sc AS (
+          SELECT label, v,
+                 list_max([abs(x) for x in v]) / 127.0 AS scale
+          FROM e),
+        qq AS (
+          SELECT label, v, scale,
+                 CASE WHEN scale > 0
+                      THEN [CAST(round(x / scale) AS INTEGER) for x in v]
+                      ELSE [0 for x in v] END AS q
+          FROM sc),
+        per AS (
+          SELECT label,
+                 list_sum([abs(x) for x in q]) AS l1,
+                 list_sum([abs(v[i] - q[i] * scale)
+                           for i in range(1, len(v) + 1)]) / len(v)
+                   AS err
+          FROM qq)
+        SELECT label, count(*) AS n,
+               CAST(sum(l1) AS BIGINT) AS l1_sum,
+               round(CAST(sum(CAST(err AS DECIMAL(18,12))) AS DOUBLE)
+                     / count(*), 6) AS avg_err
+        FROM per GROUP BY label ORDER BY label
     """,
     # Unrolled replay of kmeans(k=4, iters=1): init -> assign -> exact
     # decimal per-dim means rounded to 6 -> final assign. Distance
