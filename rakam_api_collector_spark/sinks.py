@@ -122,6 +122,58 @@ def write_collections(tables: dict[tuple[str, str], DataFrame], base: str,
         list(pool.map(write_one, tables.items()))
 
 
+def write_collections_grouped(result, base: str, fmt: str = "parquet",
+                              partition_by_day: bool = True,
+                              max_records_per_file: int = SHARD_MAX_ROWS,
+                              ) -> None:
+    """Write an ``IngestResult`` as ONE job per (project, schema-group)
+    instead of one per collection: the group frame (which carries
+    ``_collection``) writes with dynamic partitioning on
+    ``(_collection, _day)`` under ``base/project/``.
+
+    At 100 same-shape collections per micro-batch this is 1 write job
+    vs 100 — job-scheduling and commit overhead scale with #distinct
+    schemas. The directory layout becomes Hive-partition style
+    (``base/project/_collection=x/_day=y``); ``read_collection_grouped``
+    reads it back with partition pruning, so a per-collection read
+    still scans only that collection's files. Choose this layout for
+    many-small-collections streams; the per-table layout
+    (``write_collections``) when downstream consumers expect
+    ``base/project/collection`` directories."""
+    for project, _collections, df in result.groups:
+        out = df
+        if partition_by_day and "_time" in df.columns:
+            out = out.withColumn("_day", F.to_date("_time"))
+            parts = ["_collection", "_day"]
+        else:
+            parts = ["_collection"]
+        (out.write.mode("append").format(fmt)
+         .option("compression", "snappy")
+         .option("maxRecordsPerFile", max_records_per_file)
+         .partitionBy(*parts)
+         .save(f"{base}/{project}"))
+
+
+def read_collection_grouped(spark: SparkSession, base: str, project: str,
+                            collection: str, catalog: Catalog) -> DataFrame:
+    """Read one collection from the grouped (Hive-partitioned) layout:
+    the ``_collection`` filter prunes to that partition's files before
+    any row is read (pinned in tests/test_sinks.py). Columns re-project
+    to catalog order with null-fill, as in ``read_collection``."""
+    df = (spark.read.option("mergeSchema", "true")
+          .option("basePath", f"{base}/{project}")
+          .parquet(f"{base}/{project}")
+          .filter(F.col("_collection") == collection))
+    cols = catalog.get_columns(project, collection) or []
+    exprs = []
+    for f in cols:
+        if f.name in df.columns:
+            exprs.append(F.col(f.name))
+        else:
+            exprs.append(F.lit(None).cast(f.dataType).alias(f.name))
+    return df.select(*exprs)
+
+
 def read_collection(spark: SparkSession, base: str, project: str,
                     collection: str, catalog: Catalog) -> DataFrame:
     """Read a collection re-projected to the catalog's authoritative
