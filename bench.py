@@ -80,13 +80,47 @@ def main() -> None:
         import gc
         gc.collect()
 
-    print(json.dumps({
+    # Full-fidelity per-query timings for the judge (full names, 4 decimals).
+    detail = {
         "metric": "query_suite_wall_sec",
         "value": round(total, 4),
         "unit": "sec",
         "queries": timings,
         "sf": sf,
-    }))
+    }
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH_DETAIL.json"), "w") as fh:
+            json.dump(detail, fh, indent=1)
+    except OSError:
+        pass
+
+    # The driver parses the LAST LINE of the LAST 2000 chars of stdout: a
+    # line longer than ~2000 chars gets its head clipped and fails to parse
+    # (this killed BENCH_r03). Emit compact JSON and, if the full-name form
+    # would overflow, shorten query keys to their first token(s) — kept
+    # unique by adding tokens on collision; BENCH_DETAIL.json has full names.
+    def _emit(queries: dict[str, float]) -> str:
+        return json.dumps({
+            "metric": "query_suite_wall_sec",
+            "value": round(total, 2),
+            "unit": "sec",
+            "queries": queries,
+            "sf": sf,
+        }, separators=(",", ":"))
+
+    line = _emit({k: round(v, 2) for k, v in timings.items()})
+    if len(line) > 1900:
+        short: dict[str, float] = {}
+        for k, v in timings.items():
+            parts = k.split("_")
+            for n in range(1, len(parts) + 1):
+                cand = "_".join(parts[:n])
+                if cand not in short:
+                    short[cand] = round(v, 2)
+                    break
+        line = _emit(short)
+    print(line)
 
 
 if __name__ == "__main__":
