@@ -18,6 +18,9 @@ def _configure(spark: SparkSession) -> SparkSession:
     (session.py sets these when we own the builder)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # naive timestamp[us] parquet must scan as TIMESTAMP, not NTZ
+    # (unix_millis / long casts reject NTZ; oracle is UTC-naive).
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     return spark
 
 

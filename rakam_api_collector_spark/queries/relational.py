@@ -287,8 +287,10 @@ def dq26_epoch_conversions(spark: SparkSession, sf: str) -> DataFrame:
     return (load_table(spark, sf, "events")
             .orderBy("event_id").limit(100)
             .select("event_id",
-                    F.unix_millis("ts").alias("ep_ms"),
-                    (F.unix_millis("ts") / F.lit(86_400_000))
+                    F.unix_millis(F.col("ts").cast("timestamp"))
+                    .alias("ep_ms"),
+                    (F.unix_millis(F.col("ts").cast("timestamp"))
+                     / F.lit(86_400_000))
                     .cast("long").alias("day_idx"),
                     F.datediff(F.to_date("ts"), F.lit("2024-01-01"))
                     .alias("day_diff")))
@@ -430,8 +432,8 @@ def dq35_sessionize(spark: SparkSession, sf: str) -> DataFrame:
     logic against a SQL oracle."""
     ev = load_table(spark, sf, "events").select("user_id", "ts", "event_id")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.col("ts").cast("long") - \
-        F.lag(F.col("ts").cast("long")).over(w)
+    ts_sec = F.col("ts").cast("timestamp").cast("long")
+    gap = ts_sec - F.lag(ts_sec).over(w)
     sess = (ev.withColumn("_new", F.when(gap.isNull() | (gap > 1800), 1)
                           .otherwise(0))
             .withColumn("session_seq", F.sum("_new").over(w)))

@@ -66,6 +66,11 @@ def get_spark(app_name: str = "rakam_api_collector_spark",
         # fixture events.parquet uses TIMESTAMP(NANOS); scan as BIGINT
         # nanos and convert in tables.load_table (Spark has no nanos type).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # fixtures also appear as naive timestamp[us] (isAdjustedToUTC=
+        # false); read those as session-TZ TIMESTAMP, not TIMESTAMP_NTZ —
+        # NTZ rejects unix_millis/long casts and the DuckDB oracle treats
+        # naive parquet timestamps as plain TIMESTAMP anyway (UTC session).
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # files: 128 MB split target — the parquet scan granularity that
         # keeps 100 TB ≈ 800k tasks, the sweet spot for 1000 executors.

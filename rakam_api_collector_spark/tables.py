@@ -27,8 +27,14 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     no sub-micro precision, so this is lossless).
     """
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+    ts_type = dict(df.dtypes).get("ts")
+    if name == "events" and ts_type == "bigint":
         df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    elif ts_type == "timestamp_ntz":
+        # Belt-and-braces: if a driver-owned session left NTZ inference
+        # on, normalize to session-TZ TIMESTAMP (UTC) so epoch math
+        # (unix_millis, long casts) works and semantics match the oracle.
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 
