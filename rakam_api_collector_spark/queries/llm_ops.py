@@ -212,13 +212,32 @@ def llm16_dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def llm10_simhash(spark: SparkSession, sf: str) -> DataFrame:
-    """SimHash chunk-banded candidates (engine-specific hash values → no
-    SQL oracle; determinism pinned in tests/test_llm_ops.py). Returns
-    perturbed-pair candidates at Hamming ≤ 16."""
+    """SimHash chunk-banded candidate generation with an IN-BAND accuracy
+    gate (dq36 pattern): the hash family is engine-specific, so instead
+    of emitting raw candidates the query emits booleans the oracle can
+    assert — recall over the constructed true near-dup pairs
+    (doc, doc+10000 head-perturbed copy; measured 0.87-0.93, floored at
+    0.75) and a fan-out bound pinning that chunk-banding produced
+    candidate pairs, not an all-pairs blow-up (≤ 20 per true pair vs
+    28k possible). A hash-family, banding-join, or Hamming-filter
+    regression flips a boolean and hash-fails the driver gate.
+    Pair-level determinism stays pinned in tests/test_llm_ops.py."""
     corpus = _perturbed_corpus(spark, sf)
-    return (D.simhash_candidates(corpus, "doc_id", "text")
-            .filter(F.col("hamming") <= 16)
-            .orderBy("a", "b"))
+    cands = (D.simhash_candidates(corpus, "doc_id", "text")
+             .filter(F.col("hamming") <= 16)
+             .select("a", "b").cache())
+    true_pairs = (load_table(spark, sf, "documents")
+                  .filter(F.col("doc_id") < _PERTURB_LIMIT)
+                  .select(F.col("doc_id").alias("a"),
+                          (F.col("doc_id") + 10000).alias("b")))
+    n_true = true_pairs.count()          # 120 by construction
+    n_found = true_pairs.join(cands, ["a", "b"], "left_semi").count()
+    n_cand = cands.count()
+    return spark.createDataFrame(
+        [(n_true,
+          n_found >= int(n_true * 0.75),
+          n_cand <= n_true * 20)],
+        "n_true bigint, recall_ok boolean, fanout_ok boolean")
 
 
 def llm15_embed_dedup(spark: SparkSession, sf: str) -> DataFrame:
@@ -285,14 +304,31 @@ def llm11_knn_cosine(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def llm12_ann_lsh(spark: SparkSession, sf: str) -> DataFrame:
-    """Random-hyperplane LSH ANN (the 100 TB path; recall < 1 by design →
-    no SQL oracle; recall vs exact is pinned in tests/test_llm_ops.py)."""
+    """Random-hyperplane LSH ANN with an IN-BAND recall gate (dq36
+    pattern): ANN results are engine-specific (recall < 1 by design), so
+    the query joins the ANN top-10 against the exact brute-force top-10
+    and emits, per query vector, the result count and a recall boolean
+    the oracle asserts (bits=6 × tables=48 measures 8-10/10 at sf0.01;
+    floored at 5/10 — a banding-join or signature regression collapses
+    recall to ~0 and hash-fails the gate). The fixture embeddings are
+    near-isotropic (top cosine ≈ 0.37 at dim 64), so table count is
+    sized for candidate coverage at this corpus size; at scale ``bits``
+    grows with log(n) as documented in operators/similarity.py."""
     emb = load_table(spark, sf, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
-    return (S.ann_lsh_topk(emb, queries, "vec_id", "embedding",
-                           k=10, bits=6, tables=12, dim=64)
-            .select("q", "neighbor", "rnk", F.round("cos", 4).alias("cos"))
-            .orderBy("q", "rnk"))
+    ann = (S.ann_lsh_topk(emb, queries, "vec_id", "embedding",
+                          k=10, bits=6, tables=48, dim=64)
+           .select("q", "neighbor"))
+    exact = (S.cosine_topk(emb, queries, "vec_id", "embedding", k=10)
+             .select("q", "neighbor"))
+    hits = (ann.join(exact, ["q", "neighbor"])
+            .groupBy("q").agg(F.count("*").alias("_hits")))
+    return (queries.select(F.col("vec_id").alias("q"))
+            .join(ann.groupBy("q").agg(F.count("*").alias("n_ann")), "q")
+            .join(hits, "q", "left")
+            .select("q", "n_ann",
+                    (F.coalesce("_hits", F.lit(0)) >= 5).alias("recall_ok"))
+            .orderBy("q"))
 
 
 def llm19_ivf_ann(spark: SparkSession, sf: str) -> DataFrame:
@@ -785,9 +821,18 @@ ORACLE = {
         SELECT CAST(2 AS INTEGER) AS batch, doc_id, keep FROM v2
         ORDER BY batch, doc_id
     """,
-    # llm10_simhash / llm12_ann_lsh: engine-specific hash family / recall
-    # < 1 — deliberately no SQL oracle (driver records rows-only; accuracy
-    # pinned in tests/test_llm_ops.py instead).
+    # llm10 / llm12 emit in-band accuracy booleans (dq36 pattern): the
+    # engine-specific hash values never cross the oracle boundary — only
+    # recall/fan-out verdicts the oracle asserts TRUE.
+    "llm10_simhash": f"""
+        SELECT count(*) AS n_true, true AS recall_ok, true AS fanout_ok
+        FROM documents WHERE doc_id < {_PERTURB_LIMIT}
+    """,
+    "llm12_ann_lsh": """
+        SELECT vec_id AS q, CAST(10 AS BIGINT) AS n_ann,
+               true AS recall_ok
+        FROM embeddings WHERE vec_id < 5 ORDER BY q
+    """,
     "llm15_embed_dedup": """
         WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
                    FROM embeddings WHERE vec_id < 150),

@@ -1,9 +1,11 @@
-"""Accuracy pins for the non-oracle LLM-pipeline operators.
+"""Accuracy pins for the engine-specific LLM-pipeline operators.
 
-llm10 (SimHash) and llm12 (ANN-LSH) deliberately have no SQL oracle —
-their hash families are engine-specific and recall < 1 by design.  These
-tests pin what the oracle can't: determinism across runs, candidate
-recall against the exact computation, and the mapInPandas batch path.
+llm10 (SimHash) and llm12 (ANN-LSH) have engine-specific hash families
+with recall < 1 by design, so their registry queries emit in-band
+accuracy booleans the oracle asserts (dq36 pattern).  These tests pin
+what neither the oracle nor the booleans cover: determinism across
+runs, pair-level candidate recall against the exact computation, the
+mapInPandas batch path, and that the gate queries' booleans are true.
 """
 
 from __future__ import annotations
@@ -172,3 +174,18 @@ def test_connected_components_deep_chain(spark):
     got = {r.node: r.cluster_id
            for r in D.connected_components(pairs).collect()}
     assert got == {i: 1 for i in range(1, 10)}
+
+
+def test_llm10_gate_booleans_true(spark):
+    from rakam_api_collector_spark.queries.llm_ops import llm10_simhash
+    rows = llm10_simhash(spark, SF).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.n_true == 120 and r.recall_ok and r.fanout_ok
+
+
+def test_llm12_gate_booleans_true(spark):
+    from rakam_api_collector_spark.queries.llm_ops import llm12_ann_lsh
+    rows = llm12_ann_lsh(spark, SF).collect()
+    assert [r.q for r in rows] == [0, 1, 2, 3, 4]
+    assert all(r.n_ann == 10 and r.recall_ok for r in rows)
