@@ -7,7 +7,7 @@ KafkaStreamSourceModule.java:26-60). Here the same selections are one
 config dict:
 
     {
-      "format": "fabric" | "rakam",              # deserializer choice
+      "format": "fabric" | "rakam" | "avro",     # deserializer choice
       "source": {"type": "file", "path": …}      # tested source
               | {"type": "kafka", "brokers": […], "topics": […], …}
               | {"type": "kinesis", "stream": …, "region": …, "app": …},
@@ -17,6 +17,10 @@ config dict:
       "historical": {"dir": …, "checkpoint": …},  # ST5 (optional)
       "dedup": true,                              # ST6
       "outdated_day_index": 1,                    # ST3 window
+      # avro-only (KafkaAvroMessageTransformer.java:33-57 hot path):
+      "project": …,                               # schemas come from catalog
+      "default_collection": …,                    # for type-0/1 frames
+      "bulk_base": …,                             # S4 object-store root
     }
 
 ``start`` returns the running StreamingQuery list (realtime first).
@@ -31,6 +35,7 @@ from pyspark.sql import SparkSession
 
 from rakam_api_collector_spark.ingest.catalog import Catalog
 from rakam_api_collector_spark.streaming.pipeline import (
+    start_avro_historical_stream, start_avro_ingest_stream,
     start_historical_stream, start_ingest_stream)
 
 
@@ -38,10 +43,14 @@ def start(spark: SparkSession, cfg: dict) -> list:
     src = cfg["source"]
     tgt = cfg["target"]
     fmt = cfg.get("format", "fabric")
-    if fmt not in ("fabric", "rakam"):
+    if fmt not in ("fabric", "rakam", "avro"):
         raise ValueError(f"unknown format {fmt!r}")
     if tgt.get("type", "parquet") not in ("parquet", "orc"):
         raise ValueError(f"unknown target type {tgt.get('type')!r}")
+    if fmt == "avro" and "project" not in cfg:
+        # Avro schemas come from the catalog, keyed by project — there is
+        # no wire-level project field (AvroUtil.java:30-73)
+        raise ValueError("avro format requires 'project' in config")
 
     catalog = Catalog(cfg.get("catalog_path"))
     hist = cfg.get("historical") or {}
@@ -50,6 +59,7 @@ def start(spark: SparkSession, cfg: dict) -> list:
     source_path = None
     source_stream = None
     hist_stream = None
+    kin = src["type"] == "kinesis"
     if src["type"] == "file":
         source_path = src["path"]
     elif src["type"] == "kafka":
@@ -58,8 +68,9 @@ def start(spark: SparkSession, cfg: dict) -> list:
         if not kafka_available(spark):
             raise RuntimeError("kafka source configured but the "
                                "spark-sql-kafka connector jar is absent")
-        # value bytes → string envelope lines → the identical pipeline
-        # the file source feeds (KafkaRealTimeWorker.java:145-222)
+        # value bytes → the identical pipeline the file source feeds
+        # (KafkaRealTimeWorker.java:145-222); JSON formats cast value to
+        # string downstream, avro consumes the bytes as-is
         source_stream = realtime_reader(
             spark, src["brokers"], src["topics"],
             offset=src.get("offset", "latest")).load()
@@ -68,13 +79,46 @@ def start(spark: SparkSession, cfg: dict) -> list:
             # KafkaHistoricalWorker.java:157-219)
             hist_stream = historical_reader(
                 spark, src["brokers"], src["historical_topic"]).load()
-    elif src["type"] == "kinesis":
+    elif kin:
         from rakam_api_collector_spark.sources.kinesis import kinesis_reader
         # kinesis_reader raises RuntimeError when no connector is present
         source_stream = kinesis_reader(
             spark, src["stream"], src["region"], src["app"]).load()
     else:
         raise ValueError(f"unknown source type {src['type']!r}")
+
+    if fmt == "avro":
+        # deserializer selection parity: KafkaStreamSourceModule.java:26-60
+        # binds the AVRO vs JSON transformer per config key
+        queries.append(start_avro_ingest_stream(
+            spark, source_path, catalog, tgt["base"],
+            checkpoint=cfg["checkpoint"],
+            project=cfg["project"],
+            default_collection=cfg.get("default_collection"),
+            historical_dir=hist.get("dir"),
+            dedup=cfg.get("dedup", True),
+            outdated_day_index=cfg.get("outdated_day_index", 1),
+            trigger=cfg.get("trigger"),
+            shard_time=cfg.get("shard_time"),
+            now=cfg.get("now"),
+            source="kinesis" if kin else "kafka",
+            bulk_base=cfg.get("bulk_base"),
+            source_stream=source_stream))
+        if hist.get("dir") or hist_stream is not None:
+            queries.append(start_avro_historical_stream(
+                spark, hist.get("dir"), catalog, tgt["base"],
+                checkpoint=hist.get("checkpoint",
+                                    cfg["checkpoint"] + "_hist"),
+                project=cfg["project"],
+                default_collection=cfg.get("default_collection"),
+                trigger=hist.get("trigger",
+                                 None if hist_stream is None
+                                 else {"processingTime": "30 minutes"}),
+                shard_time=cfg.get("shard_time"),
+                source="kinesis" if kin else "kafka",
+                bulk_base=cfg.get("bulk_base"),
+                source_stream=hist_stream))
+        return queries
 
     queries.append(start_ingest_stream(
         spark, source_path, fmt, catalog, tgt["base"],

@@ -203,6 +203,92 @@ def dispatch_record_type(df: DataFrame, value_col: str = "value",
          .otherwise("ignore"))
 
 
+def extract_stream_routing(df: DataFrame, get_columns, project: str,
+                           default_collection: str | None = None,
+                           value_col: str = "value",
+                           source: str = "kafka") -> DataFrame:
+    """D4 partial-parse router for the Avro wire (streaming-safe).
+
+    Tags each framed binary record with ``(_kind, _collection, _user,
+    _time_ms)`` WITHOUT a full decode: the catalog seeds every table
+    with ``[_shard_time, _time, _user]`` (catalog._seed_fields,
+    MessageEventTransformer.java:48-53), so the router decodes only the
+    shortest prefix covering ``_time``/``_user`` — the Avro analog of
+    the JSON path's get_json_object routing keys
+    (KafkaDecoupleMessage.java:46-114). The framed bytes pass through
+    untouched for the per-collection typed decode downstream.
+
+    Unknown collections and corrupt frames drop (log-and-skip, ST11);
+    bulk pointers (type 3) tag ``_kind='bulk'`` with null keys — null
+    keys are never deduped (AvroDuplicateHandler.java:93-97).
+
+    ``get_columns`` must be picklable; it ships to executors at stream
+    start, so the Avro path requires pre-registered schemas (the
+    reference's metastore contract — AvroUtil.java:30-73 generates
+    writer schemas from the store, never from the wire)."""
+    stream_types = ((TYPE_STREAM0, TYPE_STREAM_WITH_COLLECTION)
+                    if source == "kinesis" else
+                    (TYPE_STREAM0, TYPE_STREAM1,
+                     TYPE_STREAM_WITH_COLLECTION))
+    out_schema = ("_kind string, _collection string, _user string, "
+                  "_time_ms long, value binary")
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+        decoders: dict[str, tuple[AvroRowDecoder, int, int, int]] = {}
+
+        def routing_decoder(coll):
+            hit = decoders.get(coll)
+            if hit is None:
+                fields = get_columns(project, coll)
+                if fields is None:
+                    decoders[coll] = hit = (None, 0, 0, 0)
+                else:
+                    names = [f.name for f in fields]
+                    iu = names.index("_user") if "_user" in names else -1
+                    it = names.index("_time") if "_time" in names else -1
+                    k = max(iu, it) + 1
+                    decoders[coll] = hit = (AvroRowDecoder(fields[:k]),
+                                            iu, it, k)
+            return hit
+
+        for pdf in batches:
+            rows = []
+            for raw in pdf["_v"]:
+                buf = bytes(raw)
+                try:
+                    kind = buf[0]
+                    if kind == TYPE_BULK:
+                        rows.append(["bulk", None, None, None, buf])
+                        continue
+                    if kind not in stream_types:
+                        continue
+                    if kind == TYPE_STREAM_WITH_COLLECTION:
+                        coll, pos = _read_str(buf, 1)
+                    else:
+                        coll, pos = default_collection, 1
+                    dec, iu, it, k = routing_decoder(coll)
+                    if dec is None:
+                        continue
+                    # n_cols unset → a body ending early null-fills
+                    # (trailing-missing tolerance, java:88-94)
+                    vals, _ = dec.decode(buf, pos)
+                    user = vals[iu] if iu >= 0 else None
+                    tms = vals[it] if it >= 0 else None
+                    rows.append([
+                        "stream", coll,
+                        None if user is None else str(user),
+                        None if tms is None else int(tms), buf])
+                except (IndexError, UnicodeDecodeError, struct.error):
+                    continue
+            yield pd.DataFrame(
+                rows, columns=["_kind", "_collection", "_user",
+                               "_time_ms", "value"])
+
+    return (df.select(F.col(value_col).alias("_v"))
+            .mapInPandas(run, out_schema))
+
+
 def parse_bulk_pointer(buf: bytes) -> tuple[int, str]:
     """Type-3 record: [1B type][8B big-endian size][UTF-8 object key]
     (AvroMessageEventTransformer.java:92-95)."""

@@ -117,6 +117,20 @@ def conversion_expr(v: Column, dtype: T.DataType,
     behavior exactly — every JSON-ingested DECIMAL value is null (the
     TODO at FabricJsonDeserializer.java:352-354) and BINARY is null
     (no VARBINARY case on the JSON path; Avro-only, AvroUtil.java:52-53).
+
+    TIME compat — DECIDED, wontfix (SURVEY §7 open item): the reference
+    parses TIME strings as ``LocalTime.parse(...).getSecond()``
+    (FabricJsonDeserializer.java:340-348) — seconds-of-MINUTE (0-59),
+    not seconds-of-day — and stores that INT
+    (StorageTypeConverter.java:59-61), so "12:34:56" persists as 56.
+    Spark has no TIME type and this engine's catalog never creates one
+    (time-like strings infer as TIMESTAMP or stay STRING, rules.py
+    :53-97), so there is no column a reference-faithful branch could
+    target; reproducing the bug would mean inventing a TIME column kind
+    solely to store data-losing values no reader could interpret. A
+    user migrating a reference table whose TIME column holds such INTs
+    ingests them unchanged as plain integers — lossless relative to
+    what the reference actually stored.
     """
     if compat not in ("spark", "reference"):
         raise ValueError(f"unknown compat mode {compat!r}")

@@ -14,6 +14,17 @@ K5 (metadata writer) is the Catalog — add-only evolution recorded at
 ingest time; reads re-order to catalog order with null back-fill, which
 is exactly the reference's metastore-ordered remap
 (FabricJsonDeserializer.java:266-301).
+
+Transactional positioning: the reference's Raptor sink registers shards
+in a MySQL transaction (RaptorDatabaseHandler.java:312-339) so
+concurrent writers can't double-commit. Here, streaming exactly-once
+comes from Structured Streaming's epoch-committed file sink
+(checkpointLocation, ST7) — equivalent single-writer guarantees. The
+multi-writer metadata transaction has no plain-parquet equivalent by
+design: on a cluster you'd point ``write_collections`` at a
+transactional table format (Delta/Iceberg, ``.format("delta")`` is a
+drop-in here); this environment ships neither, so the positioning is
+documented rather than stubbed.
 """
 
 from __future__ import annotations

@@ -167,6 +167,207 @@ def start_ingest_stream(spark: SparkSession, source_dir: str, fmt: str,
     return writer.trigger(**trig).start()
 
 
+def _decode_avro_frames(spark: SparkSession, frames: DataFrame,
+                        get_columns, project: str,
+                        default_collection: str | None,
+                        bulk_base: str | None
+                        ) -> dict[tuple[str, str], DataFrame]:
+    """Typed tables from one micro-batch of routed Avro frames
+    (columns ``_kind, _collection, value``): per-collection stream
+    decode plus bulk-pointer resolution. Only collection NAMES and
+    bulk POINTERS reach the driver (both bounded: #collections,
+    #pointed-to objects per batch — each pointer names a ~256 MB
+    object, the reference fetches the same list on its worker thread,
+    AvroMessageEventTransformer.java:87-99); record data stays
+    distributed end to end."""
+    from rakam_api_collector_spark.ingest.avro import (
+        decode_bulk_collection, decode_stream_records, parse_bulk_pointer,
+        read_bulk_objects)
+
+    tables: dict[tuple[str, str], DataFrame] = {}
+
+    colls = [r[0] for r in (frames.filter(F.col("_kind") == "stream")
+                            .select("_collection").distinct().collect())]
+    for coll in sorted(c for c in colls if c is not None):
+        fields = get_columns(project, coll)
+        if fields is None:
+            continue
+        typed = decode_stream_records(
+            frames.filter((F.col("_kind") == "stream")
+                          & (F.col("_collection") == coll))
+            .select("value"),
+            fields, default_collection=coll)
+        tables[(project, coll)] = typed.select(*[f.name for f in fields])
+
+    ptrs = (frames.filter(F.col("_kind") == "bulk")
+            .select("value").collect())
+    if ptrs:
+        if bulk_base is None:
+            raise ValueError("bulk pointer received but no bulk_base "
+                             "configured")
+        paths = [f"{bulk_base}/{parse_bulk_pointer(bytes(r.value))[1]}"
+                 for r in ptrs]
+        objects = read_bulk_objects(spark, paths)
+        from rakam_api_collector_spark.ingest.avro import bulk_collections
+        for p, c in bulk_collections(objects, get_columns):
+            typed = decode_bulk_collection(objects, p, c, get_columns)
+            if (p, c) in tables:
+                tables[(p, c)] = tables[(p, c)].unionByName(typed)
+            else:
+                tables[(p, c)] = typed
+    return tables
+
+
+def start_avro_ingest_stream(spark: SparkSession, source_dir: str | None,
+                             catalog: Catalog, table_base: str,
+                             checkpoint: str, project: str,
+                             default_collection: str | None = None,
+                             historical_dir: str | None = None,
+                             dedup: bool = True,
+                             dedup_ttl: str = "30 days",
+                             outdated_day_index: int = 1,
+                             now=None,
+                             trigger: dict | None = None,
+                             shard_time=None, source: str = "kafka",
+                             bulk_base: str | None = None,
+                             source_stream: DataFrame | None = None,
+                             rocksdb_state: bool = True):
+    """Avro twin of ``start_ingest_stream`` — the reference's per-config
+    deserializer selection (KafkaStreamSourceModule.java:26-60 binds
+    AVRO vs JSON; KafkaAvroMessageTransformer.java:33-57 is the Avro
+    hot path). Identical lifecycle: partial-parse routing keys →
+    watermark + TTL dedup (ST6) → late split (ST3) with raw-frame spool
+    (K3) → per-collection typed decode → day-partitioned sinks (K1).
+
+    The default source is a directory of framed binary records (one
+    record per file, the binaryFile streaming source); pass
+    ``source_stream`` (any streaming DataFrame with a binary ``value``
+    column, e.g. ``sources.kafka.realtime_reader(...).load()``) to feed
+    from a connector. Unlike the JSON path there is NO type inference:
+    schemas come from the catalog only (AvroUtil.java:30-73 derives
+    writer schemas from the metastore, never the wire)."""
+    from rakam_api_collector_spark.ingest.avro import extract_stream_routing
+
+    if dedup and rocksdb_state:
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider")
+
+    if source_stream is not None:
+        raw = source_stream.select(F.col("value"))
+    else:
+        # binaryFile's fixed schema must be stated explicitly for a
+        # streaming source (no inference pass on a stream)
+        raw = (spark.readStream
+               .schema("path string, modificationTime timestamp, "
+                       "length long, content binary")
+               .format("binaryFile").load(source_dir)
+               .select(F.col("content").alias("value")))
+
+    get_columns = catalog.get_columns
+    routed = extract_stream_routing(raw, get_columns, project,
+                                    default_collection=default_collection,
+                                    source=source)
+    stream = routed.withColumn("_event_time",
+                               F.timestamp_millis("_time_ms"))
+    if dedup:
+        # ST6 on the decoded (_user, _time) key; null keys get a unique
+        # surrogate and are never deduped (AvroDuplicateHandler.java:93-97)
+        stream = (stream
+                  .withColumn("_dk_user", F.coalesce(
+                      F.col("_user"),
+                      F.concat(F.lit("\0nulluser\0"), F.expr("uuid()"))))
+                  .withColumn("_dk_time", F.coalesce(
+                      F.col("_time_ms").cast("string"),
+                      F.concat(F.lit("\0nulltime\0"), F.expr("uuid()"))))
+                  .withWatermark("_event_time", dedup_ttl)
+                  .dropDuplicatesWithinWatermark(["_dk_user", "_dk_time"]))
+
+    def process(batch: DataFrame, epoch_id: int) -> None:
+        batch = (batch.select("_kind", "_collection", "value",
+                              "_event_time").cache())
+        tables = None
+        try:
+            rt, hist = split_late(batch, time_col="_event_time",
+                                  outdated_day_index=outdated_day_index,
+                                  now=now)
+            if historical_dir is not None:
+                # K3: spool raw FRAMES (not typed rows) for the slow
+                # worker — parquet with a single binary column, the
+                # file-system analog of the historical Kafka topic
+                hist.select("value").write.mode("append") \
+                    .parquet(historical_dir)
+                hot = rt
+            else:
+                hot = batch
+            tables = _decode_avro_frames(
+                spark, hot, get_columns, project, default_collection,
+                bulk_base)
+            if shard_time is not None:
+                tables = {k: df.withColumn(
+                    "_shard_time", F.coalesce(
+                        "_shard_time", F.lit(shard_time).cast("timestamp")))
+                    for k, df in tables.items()}
+            write_collections(tables, table_base)
+        finally:
+            batch.unpersist()
+
+    writer = (stream.writeStream
+              .foreachBatch(process)
+              .option("checkpointLocation", checkpoint))
+    trig = trigger or {"availableNow": True}
+    return writer.trigger(**trig).start()
+
+
+def start_avro_historical_stream(spark: SparkSession, historical_dir: str,
+                                 catalog: Catalog, table_base: str,
+                                 checkpoint: str, project: str,
+                                 default_collection: str | None = None,
+                                 trigger: dict | None = None,
+                                 shard_time=None, source: str = "kafka",
+                                 bulk_base: str | None = None,
+                                 source_stream: DataFrame | None = None):
+    """ST5 for the Avro path: drain the raw-frame parquet spool written
+    by ``start_avro_ingest_stream`` (or a historical Kafka topic via
+    ``source_stream``) into the same tables — no late split, no dedup
+    (already done on the hot path), mirroring
+    KafkaHistoricalWorker.java:157-219."""
+    from pyspark.sql import types as T
+
+    from rakam_api_collector_spark.ingest.avro import extract_stream_routing
+
+    if source_stream is not None:
+        raw = source_stream.select(F.col("value"))
+    else:
+        raw = (spark.readStream
+               .schema(T.StructType([T.StructField("value",
+                                                   T.BinaryType())]))
+               .format("parquet").load(historical_dir))
+
+    get_columns = catalog.get_columns
+    routed = extract_stream_routing(raw, get_columns, project,
+                                    default_collection=default_collection,
+                                    source=source)
+
+    def process(batch: DataFrame, epoch_id: int) -> None:
+        tables = _decode_avro_frames(
+            spark, batch.select("_kind", "_collection", "value"),
+            get_columns, project, default_collection, bulk_base)
+        if shard_time is not None:
+            tables = {k: df.withColumn(
+                "_shard_time", F.coalesce(
+                    "_shard_time", F.lit(shard_time).cast("timestamp")))
+                for k, df in tables.items()}
+        write_collections(tables, table_base)
+
+    writer = (routed.writeStream
+              .foreachBatch(process)
+              .option("checkpointLocation", checkpoint))
+    trig = trigger or {"availableNow": True}
+    return writer.trigger(**trig).start()
+
+
 def start_historical_stream(spark: SparkSession, historical_dir: str | None,
                             fmt: str, catalog: Catalog, table_base: str,
                             checkpoint: str, trigger: dict | None = None,

@@ -1,0 +1,159 @@
+"""End-to-end Avro streaming ingestion — reference parity for the
+per-config deserializer selection (KafkaStreamSourceModule.java:26-60)
+and the Avro hot path (KafkaAvroMessageTransformer.java:33-57): framed
+binary records → partial-parse routing keys → TTL dedup → late split +
+raw-frame spool → per-collection typed decode → day-partitioned tables.
+
+Uses the wire-faithful encoder (ingest/avro.py encode_*) to drive real
+framed bytes through app.start(format="avro") and the stream starters.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from rakam_api_collector_spark import app
+from rakam_api_collector_spark.ingest import Catalog
+from rakam_api_collector_spark.ingest import avro as A
+from rakam_api_collector_spark.sinks import read_collection
+from rakam_api_collector_spark.streaming import (
+    start_avro_historical_stream,
+    start_avro_ingest_stream,
+)
+
+NOW = "2020-06-01"
+SHARD_T = "2020-06-01 00:00:00"
+EXTRA = [T.StructField("v", T.DoubleType())]
+
+
+def _ms(iso: str) -> int:
+    return int(dt.datetime.fromisoformat(iso + "+00:00").timestamp() * 1000)
+
+
+def _mk_catalog(path) -> tuple[Catalog, list[T.StructField]]:
+    cat = Catalog(str(path))
+    fields = cat.create_table("p1", "t", EXTRA)
+    return cat, fields
+
+
+def _frame(fields, user, iso, v, collection="t"):
+    # wire order = catalog order: [_shard_time, _time, _user, v]
+    values = [None, None if iso is None else _ms(iso), user, v]
+    if collection is None:
+        return A.encode_stream_record(fields, values)
+    return A.encode_stream_record(fields, values, collection=collection)
+
+
+def _write_frames(dirpath, frames):
+    dirpath.mkdir(parents=True, exist_ok=True)
+    for i, fr in enumerate(frames):
+        (dirpath / f"r{i:04d}.bin").write_bytes(fr)
+
+
+def test_avro_app_end_to_end_with_dedup(spark, tmp_path):
+    """app.start(format='avro') over a directory of framed records:
+    duplicate (_user, _time) dropped (ST6), null-user records never
+    deduped, unknown first bytes skipped, typed rows land
+    day-partitioned with _shard_time backfilled."""
+    cat, fields = _mk_catalog(tmp_path / "catalog.json")
+    frames = [
+        _frame(fields, "u0", "2020-06-01T10:00:00", 0.0),
+        _frame(fields, "u0", "2020-06-01T10:00:00", 0.0),     # dup
+        _frame(fields, "u1", "2020-06-01T10:00:01", 1.0,
+               collection=None),                               # type-0
+        _frame(fields, None, "2020-06-01T11:00:00", 9.0),
+        _frame(fields, None, "2020-06-01T11:00:00", 9.0),      # null: kept
+        b"\x07garbage",                                        # ignored
+    ]
+    src = tmp_path / "src"
+    _write_frames(src, frames)
+
+    qs = app.start(spark, {
+        "format": "avro",
+        "project": "p1",
+        "default_collection": "t",
+        "source": {"type": "file", "path": str(src)},
+        "target": {"type": "parquet", "base": str(tmp_path / "tables")},
+        "catalog_path": str(tmp_path / "catalog.json"),
+        "checkpoint": str(tmp_path / "ckpt"),
+        "shard_time": SHARD_T,
+        "now": NOW,
+        "dedup": True,
+    })
+    for q in qs:
+        q.awaitTermination(120)
+
+    df = read_collection(spark, str(tmp_path / "tables"), "p1", "t", cat)
+    rows = df.collect()
+    assert sorted(r["v"] for r in rows) == [0.0, 1.0, 9.0, 9.0]
+    assert df.filter(F.col("_user") == "u0").count() == 1
+    assert df.filter(F.col("_user").isNull()).count() == 2
+    # _shard_time backfilled where the wire had null
+    assert all(r["_shard_time"] is not None for r in rows)
+    assert {r["_time"].date().isoformat() for r in rows} == {"2020-06-01"}
+
+
+def test_avro_late_split_spools_and_replays(spark, tmp_path):
+    """ST3 + ST5 on the Avro path: an outdated record spools as a RAW
+    frame (parquet binary), the historical stream decodes it into the
+    same table; the hot record lands immediately."""
+    cat, fields = _mk_catalog(tmp_path / "catalog.json")
+    frames = [
+        _frame(fields, "u0", "2020-06-01T10:00:00", 1.0),
+        _frame(fields, "u1", "2020-05-01T10:00:00", 2.0),      # 31 days late
+    ]
+    src = tmp_path / "src"
+    _write_frames(src, frames)
+    hist_dir = tmp_path / "hist"
+
+    q = start_avro_ingest_stream(
+        spark, str(src), cat, str(tmp_path / "tables"),
+        checkpoint=str(tmp_path / "ckpt"), project="p1",
+        historical_dir=str(hist_dir), now=NOW, shard_time=SHARD_T)
+    q.awaitTermination(120)
+
+    hot = read_collection(spark, str(tmp_path / "tables"), "p1", "t", cat)
+    assert [r["v"] for r in hot.collect()] == [1.0]
+
+    q2 = start_avro_historical_stream(
+        spark, str(hist_dir), cat, str(tmp_path / "tables"),
+        checkpoint=str(tmp_path / "ckpt_hist"), project="p1",
+        shard_time=SHARD_T)
+    q2.awaitTermination(120)
+
+    merged = read_collection(spark, str(tmp_path / "tables"), "p1", "t", cat)
+    assert sorted(r["v"] for r in merged.collect()) == [1.0, 2.0]
+
+
+def test_avro_bulk_pointer_resolution(spark, tmp_path):
+    """S4/D7 in-stream: a type-3 pointer record resolves against
+    bulk_base, the pointed-to multi-record object decodes with the
+    prefix-schema (colCount) path, and bulk rows merge with stream rows
+    of the same collection."""
+    cat, fields = _mk_catalog(tmp_path / "catalog.json")
+    bulk_rows = [[None, _ms("2020-06-01T09:00:00"), "b1", 10.0],
+                 [None, _ms("2020-06-01T09:00:01"), "b2", 11.0]]
+    obj = A.encode_bulk_stream("p1", [("t", fields, 4, bulk_rows)])
+    bulk_base = tmp_path / "bulk"
+    bulk_base.mkdir()
+    (bulk_base / "obj1").write_bytes(obj)
+
+    frames = [
+        _frame(fields, "u0", "2020-06-01T10:00:00", 1.0),
+        A.encode_bulk_pointer("obj1", len(obj)),
+    ]
+    src = tmp_path / "src"
+    _write_frames(src, frames)
+
+    q = start_avro_ingest_stream(
+        spark, str(src), cat, str(tmp_path / "tables"),
+        checkpoint=str(tmp_path / "ckpt"), project="p1",
+        bulk_base=str(bulk_base), now=NOW, shard_time=SHARD_T)
+    q.awaitTermination(120)
+
+    df = read_collection(spark, str(tmp_path / "tables"), "p1", "t", cat)
+    assert sorted(r["v"] for r in df.collect()) == [1.0, 10.0, 11.0]
+    assert sorted(r["_user"] for r in df.collect()) == ["b1", "b2", "u0"]
