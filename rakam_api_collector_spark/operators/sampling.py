@@ -35,3 +35,37 @@ def hash_split(df: DataFrame, key: str, frac_pct: int = 10,
     into the scan stage, and each row's assignment is permanent."""
     b = hash_bucket(F.col(key), buckets)
     return df.filter(b < frac_pct), df.filter(b >= frac_pct)
+
+
+def uniform_unit(key: Column) -> Column:
+    """Deterministic u ∈ [0,1): first 8 md5 hex digits / 2³² — the
+    cross-engine-reproducible uniform (module docstring rationale)."""
+    return (F.conv(F.substring(F.md5(key.cast("string")), 1, 8), 16, 10)
+            .cast("double") / F.lit(float(1 << 32)))
+
+
+def mixture_sample(df: DataFrame, key: str, group_col: str,
+                   weights: dict[str, float]) -> DataFrame:
+    """Deterministic domain-mixture downsampling: keep the LARGEST
+    corpus whose group shares match ``weights`` without upsampling —
+    total T = min_g(n_g / w_g), per-group keep rate w_g·T / n_g, row
+    kept iff ``uniform_unit(key) < rate`` (exact in expectation,
+    hash-stable row selection). Groups absent from ``weights`` drop.
+
+    Scale: one group-count aggregate (rows = #groups) broadcast back;
+    the keep predicate is row-local, so at 100 TB this is a scan +
+    filter with NO data shuffle — the canonical mixture-reweighting
+    step before sequence packing."""
+    wmap = F.create_map(*[F.lit(x) for kv in weights.items() for x in kv])
+    counts = (df.groupBy(group_col).agg(F.count("*").alias("_n"))
+              .withColumn("_w", wmap[F.col(group_col)].cast("double"))
+              .filter(F.col("_w").isNotNull()))
+    t = counts.agg(F.min(F.col("_n") / F.col("_w")).alias("_t"))
+    rates = (counts.crossJoin(F.broadcast(t))
+             .select(group_col,
+                     F.least(F.lit(1.0),
+                             F.col("_w") * F.col("_t") / F.col("_n"))
+                     .alias("_rate")))
+    return (df.join(F.broadcast(rates), group_col)
+            .filter(uniform_unit(F.col(key)) < F.col("_rate"))
+            .drop("_rate"))

@@ -137,3 +137,29 @@ def tfidf_topk(docs: DataFrame, id_col: str, text_col: str,
     return (scored.withColumn("rnk", F.row_number().over(w))
             .filter(F.col("rnk") <= k)
             .select(F.col("_id").alias(id_col), "term", "rnk", "tfidf"))
+
+
+def vocab_coverage(docs: DataFrame, text_col: str, k: int = 1000
+                   ) -> DataFrame:
+    """(term, n, rnk, cum_share): top-k vocabulary by corpus frequency
+    with cumulative coverage share — the vocabulary-build / tokenizer-
+    training precursor (how much of the corpus do the top-k types
+    cover).
+
+    Scale: term counts shuffle once with map-side combine; the rank
+    window then runs over the AGGREGATED term table (vocabulary-sized,
+    Zipf — ≪ corpus), so the single-partition ranking step touches
+    #distinct-terms rows only, the standard shape for vocab builds."""
+    toks = docs.select(F.explode(tokens(F.col(text_col))).alias("term"))
+    counts = toks.groupBy("term").agg(F.count("*").alias("n"))
+    total = counts.agg(F.sum("n").alias("_tot"))
+    w = Window.orderBy(F.desc("n"), F.asc("term"))
+    return (counts
+            .withColumn("rnk", F.row_number().over(w))
+            .withColumn("_cum", F.sum("n").over(
+                w.rowsBetween(Window.unboundedPreceding, 0)))
+            .filter(F.col("rnk") <= k)
+            .crossJoin(F.broadcast(total))
+            .select("term", "n", "rnk",
+                    F.round(F.col("_cum") / F.col("_tot"), 6)
+                    .alias("cum_share")))

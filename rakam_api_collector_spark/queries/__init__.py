@@ -12,9 +12,10 @@ rest behind them; every query keeps its entry (bench + pytest run all
 72) — only the position changes round to round.
 
 Round-5 window: the 22 llm dedup/similarity/curation queries that had
-never produced a driver-oracle row (llm05-17, llm19, llm21-28), then
-the two freshly fixed TIMESTAMP_NTZ queries (dq26, dq35), then a
-rotation of queries green in r3/r4.
+never produced a driver-oracle row (llm05-17, llm19, llm21-28), the
+two freshly fixed TIMESTAMP_NTZ queries (dq26, dq35), the three new
+packing/mixture/vocab queries (llm29-31), then a rotation of queries
+green in r3/r4.
 """
 
 from __future__ import annotations
@@ -37,13 +38,16 @@ _WINDOW = [
     "llm28_quantize",
     # fixed this round — need green evidence again (2)
     "dq26_epoch_conversions", "dq35_sessionize",
-    # rotation of r3/r4-green queries (26)
+    # new this round — no prior evidence (3)
+    "llm29_pack_sequences", "llm30_mixture_sample",
+    "llm31_vocab_coverage",
+    # rotation of r3/r4-green queries (23)
     "llm01_token_count", "llm02_ttr", "llm03_avg_token_len",
     "llm04_lang_id", "llm18_bpe_tokens", "llm20_tfidf",
-    "dq01_projection", "dq03_late_split", "dq05_route_fanout",
+    "dq03_late_split", "dq05_route_fanout",
     "dq08_hash_agg", "dq12_join_dim", "dq13_multi_join",
     "dq14_semi_join", "dq14_anti_join", "dq15_outer_join",
-    "dq16_window", "dq17_dedup_first", "dq18_topk", "dq20_safe_cast",
+    "dq16_window", "dq17_dedup_first",
     "dq29_envelope_parse", "dq30_tumbling_window", "dq31_asof_join",
     "dq32_salted_agg", "dq34_range_join", "dq36_approx_distinct",
     "dq42_funnel",

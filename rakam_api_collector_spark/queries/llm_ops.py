@@ -563,6 +563,48 @@ def llm26_kmeans(spark: SparkSession, sf: str) -> DataFrame:
             .orderBy("cluster"))
 
 
+# --- packing / mixing / vocabulary ------------------------------------------
+
+_MIX_WEIGHTS = {"en": 0.4, "zh": 0.2, "es": 0.2, "de": 0.1, "fr": 0.1}
+
+
+def llm29_pack_sequences(spark: SparkSession, sf: str) -> DataFrame:
+    """Concat-and-chunk sequence packing (operators/packing.py): each
+    document's training-sequence id and in-sequence token offset at a
+    256-token budget, packed per language (the sharded form that
+    parallelizes at scale)."""
+    from rakam_api_collector_spark.operators.packing import pack_sequences
+
+    docs = load_table(spark, sf, "documents")
+    return (pack_sequences(docs, "doc_id", "text",
+                           budget=256, part_col="lang")
+            .orderBy("doc_id"))
+
+
+def llm30_mixture_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic domain-mixture downsampling (operators/sampling.py
+    :mixture_sample): largest no-upsampling corpus matching the target
+    lang shares, rows selected by md5-uniform threshold — per-lang kept
+    vs total counts. Hash-stable: the oracle recomputes the identical
+    selection, so a one-row divergence hash-fails."""
+    from rakam_api_collector_spark.operators.sampling import mixture_sample
+
+    docs = load_table(spark, sf, "documents")
+    kept = mixture_sample(docs, "doc_id", "lang", _MIX_WEIGHTS)
+    return (kept.groupBy("lang").agg(F.count("*").alias("n_kept"))
+            .join(docs.groupBy("lang").agg(F.count("*").alias("n_total")),
+                  "lang")
+            .orderBy("lang"))
+
+
+def llm31_vocab_coverage(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-50 vocabulary with cumulative corpus coverage
+    (operators/text.py:vocab_coverage) — the tokenizer-training /
+    vocab-build precursor."""
+    docs = load_table(spark, sf, "documents")
+    return T.vocab_coverage(docs, "text", k=50).orderBy("rnk")
+
+
 _BOILER = (" copyright license terms apply all rights reserved "
            "worldwide legal notice")
 
@@ -599,6 +641,9 @@ QUERIES = {
     "llm26_kmeans": llm26_kmeans,
     "llm27_surprisal": llm27_surprisal,
     "llm28_quantize": llm28_quantize,
+    "llm29_pack_sequences": llm29_pack_sequences,
+    "llm30_mixture_sample": llm30_mixture_sample,
+    "llm31_vocab_coverage": llm31_vocab_coverage,
 }
 
 _SW = {k: ", ".join(f"'{w}'" for w in v) for k, v in T.STOPWORDS.items()}
@@ -1121,5 +1166,58 @@ ORACLE = {
                round(CAST(sum(CAST(d AS DECIMAL(38,12))) AS DOUBLE), 4)
                  AS inertia
         FROM a1 GROUP BY cl ORDER BY cluster
+    """,
+    "llm29_pack_sequences": f"""
+        WITH d AS (
+          SELECT doc_id, lang,
+                 CAST(len({_DUCK_TOKS}) AS INTEGER) AS n_tok
+          FROM documents),
+        b AS (
+          SELECT doc_id, lang, n_tok,
+                 CAST(COALESCE(SUM(n_tok) OVER (
+                     PARTITION BY lang ORDER BY doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0) AS BIGINT) AS bef
+          FROM d)
+        SELECT doc_id, lang, n_tok,
+               CAST(bef // 256 AS BIGINT) AS seq_id,
+               CAST(bef % 256 AS BIGINT) AS seq_off
+        FROM b ORDER BY doc_id
+    """,
+    "llm30_mixture_sample": """
+        WITH w(lang, wt) AS (VALUES
+          ('en', 0.4), ('zh', 0.2), ('es', 0.2), ('de', 0.1), ('fr', 0.1)),
+        c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+        cw AS (SELECT c.lang, c.n, CAST(w.wt AS DOUBLE) AS wt
+               FROM c JOIN w USING (lang)),
+        t AS (SELECT min(CAST(n AS DOUBLE) / wt) AS t FROM cw),
+        r AS (SELECT lang, n,
+                     LEAST(1.0, wt * t.t / CAST(n AS DOUBLE)) AS rate
+              FROM cw, t),
+        kept AS (
+          SELECT d.lang FROM documents d JOIN r USING (lang)
+          WHERE CAST('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)
+                     AS UBIGINT) / 4294967296.0 < r.rate)
+        SELECT k.lang, CAST(k.n_kept AS BIGINT) AS n_kept,
+               CAST(c.n AS BIGINT) AS n_total
+        FROM (SELECT lang, count(*) AS n_kept FROM kept GROUP BY lang) k
+        JOIN c USING (lang) ORDER BY lang
+    """,
+    "llm31_vocab_coverage": f"""
+        WITH toks AS (
+          SELECT unnest({_DUCK_TOKS}) AS term FROM documents),
+        c AS (SELECT term, count(*) AS n FROM toks GROUP BY term),
+        tot AS (SELECT sum(n) AS t FROM c),
+        r AS (
+          SELECT term, n,
+                 CAST(row_number() OVER (ORDER BY n DESC, term)
+                      AS INTEGER) AS rnk,
+                 SUM(n) OVER (ORDER BY n DESC, term
+                              ROWS UNBOUNDED PRECEDING) AS cum
+          FROM c)
+        SELECT term, n, rnk,
+               round(CAST(cum AS DOUBLE) / CAST(tot.t AS DOUBLE), 6)
+                 AS cum_share
+        FROM r, tot WHERE rnk <= 50 ORDER BY rnk
     """,
 }

@@ -177,3 +177,29 @@ def test_window_battery_single_window_operator(spark):
     plan = plan_of(R.dq40_window_analytics(spark, SF), "simple")
     assert plan.count("Window") == 1
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_mixture_sample_broadcast_no_data_shuffle(spark):
+    """mixture_sample's keep predicate must be row-local: the fact side
+    joins the (#groups)-row rate table by BROADCAST — no SortMergeJoin,
+    no Exchange of document rows (the only aggregate runs on the
+    count side)."""
+    from rakam_api_collector_spark.operators.sampling import mixture_sample
+    docs = load_table(spark, SF, "documents")
+    kept = mixture_sample(docs, "doc_id", "lang",
+                          {"en": 0.5, "de": 0.5})
+    plan = plan_of(kept, "simple")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_pack_sequences_single_shuffle(spark):
+    """Per-part packing is ONE hash exchange (the window partition) over
+    the scan — the prefix sum adds no extra shuffle."""
+    from rakam_api_collector_spark.operators.packing import pack_sequences
+    docs = load_table(spark, SF, "documents")
+    packed = pack_sequences(docs, "doc_id", "text",
+                            budget=256, part_col="lang")
+    plan = plan_of(packed, "simple")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("Window") == 1
