@@ -218,9 +218,13 @@ def extract_stream_routing(df: DataFrame, get_columns, project: str,
     (KafkaDecoupleMessage.java:46-114). The framed bytes pass through
     untouched for the per-collection typed decode downstream.
 
-    Unknown collections and corrupt frames drop (log-and-skip, ST11);
-    bulk pointers (type 3) tag ``_kind='bulk'`` with null keys — null
-    keys are never deduped (AvroDuplicateHandler.java:93-97).
+    Unknown collections and undecodable frames tag ``_kind='corrupt'``
+    (dropped by the typed decode, counted by the ST11 error monitor —
+    the poison-pill accounting); unrecognized first bytes skip silently
+    (the reference logs obsolete types and moves on,
+    KinesisRecordProcessor.java:79-99). Bulk pointers (type 3) tag
+    ``_kind='bulk'``; null routing keys are never deduped
+    (AvroDuplicateHandler.java:93-97).
 
     ``get_columns`` must be picklable; it ships to executors at stream
     start, so the Avro path requires pre-registered schemas (the
@@ -268,7 +272,8 @@ def extract_stream_routing(df: DataFrame, get_columns, project: str,
                     else:
                         coll, pos = default_collection, 1
                     dec, iu, it, k = routing_decoder(coll)
-                    if dec is None:
+                    if dec is None:              # unknown collection
+                        rows.append(["corrupt", None, None, None, buf])
                         continue
                     # n_cols unset → a body ending early null-fills
                     # (trailing-missing tolerance, java:88-94)
@@ -280,7 +285,7 @@ def extract_stream_routing(df: DataFrame, get_columns, project: str,
                         None if user is None else str(user),
                         None if tms is None else int(tms), buf])
                 except (IndexError, UnicodeDecodeError, struct.error):
-                    continue
+                    rows.append(["corrupt", None, None, None, buf])
             yield pd.DataFrame(
                 rows, columns=["_kind", "_collection", "_user",
                                "_time_ms", "value"])

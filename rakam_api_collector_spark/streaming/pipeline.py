@@ -167,37 +167,75 @@ def start_ingest_stream(spark: SparkSession, source_dir: str, fmt: str,
     return writer.trigger(**trig).start()
 
 
+class AvroBatchResult(dict):
+    """``{(project, collection): DataFrame}`` plus an ``unpersist()``
+    handle over the per-schema-group decoded caches — the Avro analog
+    of ingest.batch.IngestResult (leaked per-batch caches accumulate
+    forever on a long-running stream)."""
+
+    def __init__(self, *a, **kw) -> None:
+        super().__init__(*a, **kw)
+        self._caches: list[DataFrame] = []
+
+    def unpersist(self) -> None:
+        for df in self._caches:
+            df.unpersist()
+
+
 def _decode_avro_frames(spark: SparkSession, frames: DataFrame,
                         get_columns, project: str,
                         default_collection: str | None,
-                        bulk_base: str | None
-                        ) -> dict[tuple[str, str], DataFrame]:
+                        bulk_base: str | None) -> AvroBatchResult:
     """Typed tables from one micro-batch of routed Avro frames
-    (columns ``_kind, _collection, value``): per-collection stream
-    decode plus bulk-pointer resolution. Only collection NAMES and
-    bulk POINTERS reach the driver (both bounded: #collections,
-    #pointed-to objects per batch — each pointer names a ~256 MB
-    object, the reference fetches the same list on its worker thread,
-    AvroMessageEventTransformer.java:87-99); record data stays
-    distributed end to end."""
-    from rakam_api_collector_spark.ingest.avro import (
-        decode_bulk_collection, decode_stream_records, parse_bulk_pointer,
-        read_bulk_objects)
+    (columns ``_kind, _collection, value``).
 
-    tables: dict[tuple[str, str], DataFrame] = {}
+    Collections are grouped by SCHEMA SIGNATURE and each group decodes
+    in ONE mapInPandas pass (the decoder emits ``_collection`` in-band,
+    so the per-collection split is a JVM filter over the cached decoded
+    frame) — plans scale with #schemas, not #collections, exactly the
+    R1 fan-out rule the JSON path follows (ingest/batch.py). A
+    100-collection micro-batch is 1 Python pass + 100 cheap filters,
+    not 100 Python passes.
+
+    Only collection NAMES and bulk POINTERS reach the driver (both
+    bounded: #collections, #pointed-to objects per batch — each pointer
+    names a ~256 MB object, the reference fetches the same list on its
+    worker thread, AvroMessageEventTransformer.java:87-99); record data
+    stays distributed end to end. Caller must ``unpersist()`` the
+    result after writing."""
+    from rakam_api_collector_spark.ingest.avro import (
+        bulk_collections, decode_bulk_collection, decode_stream_records,
+        parse_bulk_pointer, read_bulk_objects)
+
+    tables = AvroBatchResult()
 
     colls = [r[0] for r in (frames.filter(F.col("_kind") == "stream")
                             .select("_collection").distinct().collect())]
+    groups: dict[tuple, list[str]] = {}
     for coll in sorted(c for c in colls if c is not None):
         fields = get_columns(project, coll)
         if fields is None:
             continue
+        sig = tuple((f.name, f.dataType.simpleString()) for f in fields)
+        groups.setdefault(sig, []).append(coll)
+
+    for sig, group in groups.items():
+        fields = get_columns(project, group[0])
         typed = decode_stream_records(
             frames.filter((F.col("_kind") == "stream")
-                          & (F.col("_collection") == coll))
+                          & F.col("_collection").isin(group))
             .select("value"),
-            fields, default_collection=coll)
-        tables[(project, coll)] = typed.select(*[f.name for f in fields])
+            fields, default_collection=default_collection)
+        if len(group) > 1:
+            # cache the group's single decode so the per-collection
+            # writes don't re-run the Python stage (the JSON path
+            # caches its parsed batch the same way, batch.py:166)
+            typed = typed.cache()
+            tables._caches.append(typed)
+        names = [f.name for f in fields]
+        for coll in group:
+            tables[(project, coll)] = (
+                typed.filter(F.col("_collection") == coll).select(*names))
 
     ptrs = (frames.filter(F.col("_kind") == "bulk")
             .select("value").collect())
@@ -208,7 +246,6 @@ def _decode_avro_frames(spark: SparkSession, frames: DataFrame,
         paths = [f"{bulk_base}/{parse_bulk_pointer(bytes(r.value))[1]}"
                  for r in ptrs]
         objects = read_bulk_objects(spark, paths)
-        from rakam_api_collector_spark.ingest.avro import bulk_collections
         for p, c in bulk_collections(objects, get_columns):
             typed = decode_bulk_collection(objects, p, c, get_columns)
             if (p, c) in tables:
@@ -231,6 +268,7 @@ def start_avro_ingest_stream(spark: SparkSession, source_dir: str | None,
                              shard_time=None, source: str = "kafka",
                              bulk_base: str | None = None,
                              source_stream: DataFrame | None = None,
+                             stats=None, error_monitor=None,
                              rocksdb_state: bool = True):
     """Avro twin of ``start_ingest_stream`` — the reference's per-config
     deserializer selection (KafkaStreamSourceModule.java:26-60 binds
@@ -304,13 +342,35 @@ def start_avro_ingest_stream(spark: SparkSession, source_dir: str | None,
             tables = _decode_avro_frames(
                 spark, hot, get_columns, project, default_collection,
                 bulk_base)
+            out = tables
             if shard_time is not None:
-                tables = {k: df.withColumn(
+                out = {k: df.withColumn(
                     "_shard_time", F.coalesce(
                         "_shard_time", F.lit(shard_time).cast("timestamp")))
                     for k, df in tables.items()}
-            write_collections(tables, table_base)
+            write_collections(out, table_base)
+            if stats is not None or error_monitor is not None:
+                # A2 counters + ST11 kill-switch, as on the JSON path.
+                # Deserialization failures are tagged _kind='corrupt' at
+                # routing (extract_stream_routing), so the failure count
+                # is exact — the reference's per-message poison-pill
+                # accounting (KafkaUtil.java:150-166)
+                n_bad = hot.filter(F.col("_kind") == "corrupt").count()
+                n_ok = 0
+                for (p, c), df in tables.items():
+                    n = df.count()
+                    if stats is not None:
+                        stats.add(p, c, n)
+                    n_ok += n
+                if error_monitor is not None:
+                    error_monitor.record(ok=n_ok, failed=n_bad)
+                    if error_monitor.should_kill():
+                        raise RuntimeError(
+                            "error-rate kill-switch tripped (ST11): "
+                            ">40% of records failed parsing in 5 min")
         finally:
+            if tables is not None:
+                tables.unpersist()
             batch.unpersist()
 
     writer = (stream.writeStream
@@ -354,12 +414,16 @@ def start_avro_historical_stream(spark: SparkSession, historical_dir: str,
         tables = _decode_avro_frames(
             spark, batch.select("_kind", "_collection", "value"),
             get_columns, project, default_collection, bulk_base)
-        if shard_time is not None:
-            tables = {k: df.withColumn(
-                "_shard_time", F.coalesce(
-                    "_shard_time", F.lit(shard_time).cast("timestamp")))
-                for k, df in tables.items()}
-        write_collections(tables, table_base)
+        try:
+            out = tables
+            if shard_time is not None:
+                out = {k: df.withColumn(
+                    "_shard_time", F.coalesce(
+                        "_shard_time", F.lit(shard_time).cast("timestamp")))
+                    for k, df in tables.items()}
+            write_collections(out, table_base)
+        finally:
+            tables.unpersist()
 
     writer = (routed.writeStream
               .foreachBatch(process)

@@ -157,3 +157,86 @@ def test_avro_bulk_pointer_resolution(spark, tmp_path):
     df = read_collection(spark, str(tmp_path / "tables"), "p1", "t", cat)
     assert sorted(r["v"] for r in df.collect()) == [1.0, 10.0, 11.0]
     assert sorted(r["_user"] for r in df.collect()) == ["b1", "b2", "u0"]
+
+
+def test_avro_corrupt_frames_counted_by_monitor(spark, tmp_path):
+    """ST11 on the Avro path: truncated/garbled record bodies tag
+    _kind='corrupt' at routing and feed the error monitor exactly;
+    stats count decoded rows per collection (A2)."""
+    from rakam_api_collector_spark.streaming.committer import (
+        ErrorRateMonitor, IngestStats)
+
+    cat, fields = _mk_catalog(tmp_path / "catalog.json")
+    good = _frame(fields, "u0", "2020-06-01T10:00:00", 1.0)
+    truncated = good[:6]                       # body cut mid-varint
+    unknown_coll = _frame(fields, "u1", "2020-06-01T10:00:01", 2.0,
+                          collection="nope")
+    src = tmp_path / "src"
+    _write_frames(src, [good, truncated, unknown_coll])
+
+    stats = IngestStats()
+    mon = ErrorRateMonitor(min_records=1000)   # count, don't kill
+    q = start_avro_ingest_stream(
+        spark, str(src), cat, str(tmp_path / "tables"),
+        checkpoint=str(tmp_path / "ckpt"), project="p1",
+        now=NOW, shard_time=SHARD_T, stats=stats, error_monitor=mon)
+    q.awaitTermination(120)
+
+    assert stats.total_records() == 1
+    ok = sum(e[1] for e in mon._events)
+    failed = sum(e[2] for e in mon._events)
+    assert (ok, failed) == (1, 2)
+
+
+def test_avro_kinesis_source_skips_type1(spark, tmp_path):
+    """Kinesis first-byte dispatch parity: type-1 frames are the
+    obsolete bulk format and skip silently (no corrupt tag, no row) —
+    KinesisRecordProcessor.java:79-99."""
+    from rakam_api_collector_spark.ingest.avro import (
+        TYPE_STREAM1, encode_record, extract_stream_routing)
+
+    cat, fields = _mk_catalog(tmp_path / "catalog.json")
+    t1 = bytes([TYPE_STREAM1]) + encode_record(
+        fields, [None, _ms("2020-06-01T10:00:00"), "u9", 5.0])
+    t2 = _frame(fields, "u0", "2020-06-01T10:00:00", 1.0)
+    df = spark.createDataFrame([(t1,), (t2,)], "value binary")
+
+    kin = extract_stream_routing(df, cat.get_columns, "p1",
+                                 default_collection="t",
+                                 source="kinesis").collect()
+    assert [(r._kind, r._user) for r in kin] == [("stream", "u0")]
+
+    kafka = extract_stream_routing(df, cat.get_columns, "p1",
+                                   default_collection="t",
+                                   source="kafka").collect()
+    assert sorted(r._user for r in kafka) == ["u0", "u9"]
+
+
+def test_avro_decode_groups_by_schema_not_collection(spark, tmp_path):
+    """R1 fan-out rule on the Avro path: N same-schema collections
+    decode in ONE cached Python pass (plans scale with #schemas, not
+    #collections); the per-collection tables are filters over it."""
+    from rakam_api_collector_spark.streaming.pipeline import (
+        _decode_avro_frames)
+
+    cat = Catalog(str(tmp_path / "catalog.json"))
+    fields = None
+    for c in ("a", "b", "c"):
+        fields = cat.create_table("p1", c)
+    frames = [
+        A.encode_stream_record(
+            fields, [None, _ms("2020-06-01T10:00:00"), f"u{i}"],
+            collection=c)
+        for i, c in enumerate(("a", "b", "c"))]
+    df = spark.createDataFrame(
+        [("stream", c, f) for c, f in zip(("a", "b", "c"), frames)],
+        "_kind string, _collection string, value binary")
+
+    tables = _decode_avro_frames(spark, df, cat.get_columns, "p1",
+                                 None, None)
+    try:
+        assert set(tables) == {("p1", c) for c in ("a", "b", "c")}
+        assert len(tables._caches) == 1          # one decode, cached
+        assert {r._user for r in tables[("p1", "b")].collect()} == {"u1"}
+    finally:
+        tables.unpersist()
