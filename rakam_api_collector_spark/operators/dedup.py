@@ -450,6 +450,27 @@ def dedup_verdict(docs: DataFrame, id_col: str, pairs: DataFrame,
                     (lab == F.col(id_col)).alias("keep")))
 
 
+def dedup_verdict_best(docs: DataFrame, id_col: str, score_col: str,
+                       pairs: DataFrame, a: str = "a", b: str = "b",
+                       max_iter: int = 20) -> DataFrame:
+    """(id, cluster_id, keep): survivor verdict keeping the BEST-scored
+    document per near-dup cluster (ties → lowest id) instead of the
+    min-id — what a curation pipeline actually wants: when a perturbed
+    copy scores higher than its original (cleaner text, fewer artifacts)
+    the copy survives. One extra window over the clustered rows
+    (partitioned by cluster — bounded by cluster size, not corpus);
+    singleton clusters never enter the window via the pair-less
+    fast path."""
+    cc = connected_components(pairs, a, b, max_iter)
+    scored = (docs.select(id_col, score_col)
+              .join(cc, F.col(id_col) == F.col("node"), "left")
+              .withColumn("_cl", F.coalesce("cluster_id", F.col(id_col))))
+    w = Window.partitionBy("_cl").orderBy(F.desc(score_col), F.asc(id_col))
+    return (scored
+            .select(F.col(id_col), F.col("_cl").alias("cluster_id"),
+                    (F.row_number().over(w) == 1).alias("keep")))
+
+
 def simhash_candidates(docs: DataFrame, id_col: str, text_col: str,
                        chunks: int = 4) -> DataFrame:
     """Near-dup candidate pairs = equal 16-bit SimHash chunk (pigeonhole

@@ -38,10 +38,10 @@ _WINDOW = [
     "llm28_quantize",
     # fixed this round — need green evidence again (2)
     "dq26_epoch_conversions", "dq35_sessionize",
-    # new this round — no prior evidence (3)
+    # new this round — no prior evidence (4)
     "llm29_pack_sequences", "llm30_mixture_sample",
-    "llm31_vocab_coverage",
-    # rotation of r3/r4-green queries (23)
+    "llm31_vocab_coverage", "llm32_dedup_keep_best",
+    # rotation of r3/r4-green queries (22)
     "llm01_token_count", "llm02_ttr", "llm03_avg_token_len",
     "llm04_lang_id", "llm18_bpe_tokens", "llm20_tfidf",
     "dq03_late_split", "dq05_route_fanout",
@@ -50,7 +50,6 @@ _WINDOW = [
     "dq16_window", "dq17_dedup_first",
     "dq29_envelope_parse", "dq30_tumbling_window", "dq31_asof_join",
     "dq32_salted_agg", "dq34_range_join", "dq36_approx_distinct",
-    "dq42_funnel",
 ]
 
 assert len(_WINDOW) == 50 and len(set(_WINDOW)) == 50, len(_WINDOW)

@@ -563,6 +563,22 @@ def llm26_kmeans(spark: SparkSession, sf: str) -> DataFrame:
             .orderBy("cluster"))
 
 
+def llm32_dedup_keep_best(spark: SparkSession, sf: str) -> DataFrame:
+    """Quality-aware dedup survivor selection (operators/dedup.py:
+    dedup_verdict_best): llm16's transitive near-dup clusters, but the
+    HIGHEST-token-count document survives each cluster (ties → lowest
+    id) instead of the min-id — the curation-grade keep rule. The
+    oracle replays the same transitive closure (recursive CTE) and the
+    same score window."""
+    corpus = _perturbed_corpus3(spark, sf)
+    scored = corpus.withColumn("score", T.token_count(F.col("text")))
+    pairs = D.ngram_jaccard_pairs(corpus, "doc_id", "text",
+                                  n=3, threshold=_JACCARD_T,
+                                  max_shingle_freq=None)
+    return (D.dedup_verdict_best(scored, "doc_id", "score", pairs)
+            .orderBy("doc_id"))
+
+
 # --- packing / mixing / vocabulary ------------------------------------------
 
 _MIX_WEIGHTS = {"en": 0.4, "zh": 0.2, "es": 0.2, "de": 0.1, "fr": 0.1}
@@ -644,6 +660,7 @@ QUERIES = {
     "llm29_pack_sequences": llm29_pack_sequences,
     "llm30_mixture_sample": llm30_mixture_sample,
     "llm31_vocab_coverage": llm31_vocab_coverage,
+    "llm32_dedup_keep_best": llm32_dedup_keep_best,
 }
 
 _SW = {k: ", ".join(f"'{w}'" for w in v) for k, v in T.STOPWORDS.items()}
@@ -1219,5 +1236,33 @@ ORACLE = {
                round(CAST(cum AS DOUBLE) / CAST(tot.t AS DOUBLE), 6)
                  AS cum_share
         FROM r, tot WHERE rnk <= 50 ORDER BY rnk
+    """,
+    "llm32_dedup_keep_best": f"""
+        WITH RECURSIVE
+        {_DUCK_CORPUS3},
+        pairs AS (
+          SELECT a.doc_id AS a, b.doc_id AS b
+          FROM shingles a JOIN shingles b ON a.doc_id < b.doc_id
+          WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                / len(list_distinct(list_concat(a.s, b.s)))
+                >= {_JACCARD_T}),
+        edges AS (SELECT a AS s, b AS d FROM pairs
+                  UNION SELECT b AS s, a AS d FROM pairs),
+        reach(node, lab) AS (
+          SELECT doc_id AS node, doc_id AS lab FROM corpus
+          UNION
+          SELECT e.d AS node, r.lab FROM reach r
+          JOIN edges e ON e.s = r.node),
+        cl AS (SELECT node AS doc_id, min(lab) AS cluster_id
+               FROM reach GROUP BY node),
+        sc AS (SELECT doc_id, len(t) AS score FROM ctoks),
+        ranked AS (
+          SELECT cl.doc_id, cl.cluster_id,
+                 row_number() OVER (PARTITION BY cl.cluster_id
+                                    ORDER BY sc.score DESC, cl.doc_id)
+                   AS rn
+          FROM cl JOIN sc USING (doc_id))
+        SELECT doc_id, cluster_id, (rn = 1) AS keep
+        FROM ranked ORDER BY doc_id
     """,
 }

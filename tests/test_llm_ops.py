@@ -189,3 +189,25 @@ def test_llm12_gate_booleans_true(spark):
     rows = llm12_ann_lsh(spark, SF).collect()
     assert [r.q for r in rows] == [0, 1, 2, 3, 4]
     assert all(r.n_ann == 10 and r.recall_ok for r in rows)
+
+
+def test_dedup_verdict_best_keeps_highest_score(spark):
+    docs = spark.createDataFrame(
+        [(1, 5.0), (2, 9.0), (3, 7.0), (4, 1.0), (5, 2.0)],
+        "doc_id long, score double")
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], "a long, b long")
+    rows = {r.doc_id: (r.cluster_id, r.keep) for r in
+            D.dedup_verdict_best(docs, "doc_id", "score", pairs).collect()}
+    # cluster {1,2,3}: doc 2 scores highest → survives; 4 and 5 are
+    # singletons and always survive
+    assert rows == {1: (1, False), 2: (1, True), 3: (1, False),
+                    4: (4, True), 5: (5, True)}
+
+
+def test_dedup_verdict_best_tie_breaks_lowest_id(spark):
+    docs = spark.createDataFrame(
+        [(7, 3.0), (9, 3.0)], "doc_id long, score double")
+    pairs = spark.createDataFrame([(7, 9)], "a long, b long")
+    rows = {r.doc_id: r.keep for r in
+            D.dedup_verdict_best(docs, "doc_id", "score", pairs).collect()}
+    assert rows == {7: True, 9: False}
