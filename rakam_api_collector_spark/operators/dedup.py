@@ -153,25 +153,48 @@ def _minhash_bands_udf(num_perm: int, bands: int, seed: int = 7,
     B = rng.integers(0, 1 << 63, num_perm, dtype=np.uint64)[:, None]
     M = _rand_odd_uint64(rng, r)                       # band mixer
 
-    def compute(hl):
-        x = np.asarray(hl, dtype=np.int64).view(np.uint64)[None, :]
+    # Whole-batch vectorization: one (perm × hashes) multiply-add per
+    # CHUNK of docs with a segment-min (np.minimum.reduceat) at doc
+    # boundaries — numerically identical to the per-doc form but ~5-10×
+    # faster (a per-doc loop pays numpy dispatch overhead on thousands
+    # of ~50-element matrices per Arrow batch). CHUNK bounds the
+    # intermediate at perm × CHUNK × 8 B ≈ 64 MB.
+    CHUNK = 1 << 16
+
+    def compute_batch(hls):
+        n_docs = len(hls)
+        sig = np.empty((n_docs, num_perm), dtype=np.uint64)
+        lens = np.fromiter((len(h) for h in hls), dtype=np.int64,
+                           count=n_docs)
+        arrs = [np.asarray(h, dtype=np.int64) for h in hls]
+        i = 0
+        while i < n_docs:
+            j, tot = i, 0
+            while j < n_docs and (tot == 0 or tot + lens[j] <= CHUNK):
+                tot += lens[j]
+                j += 1
+            seg = np.concatenate(arrs[i:j]).view(np.uint64)
+            bounds = np.concatenate(([0], np.cumsum(lens[i:j - 1])))
+            with np.errstate(over="ignore"):
+                v = A * seg[None, :] + B               # (perm, tot)
+            sig[i:j] = np.minimum.reduceat(v, bounds, axis=1).T
+            i = j
         with np.errstate(over="ignore"):
-            sig = (A * x + B).min(axis=1)              # (perm,)
-            bh = (sig.reshape(bands, r) * M).sum(axis=1, dtype=np.uint64)
+            bh = (sig.reshape(n_docs, bands, r)
+                  * M[None, None, :]).sum(axis=2, dtype=np.uint64)
         return sig.view(np.int64), bh.view(np.int64)
 
     if with_sig:
         def sig_bands_of(hash_lists: pd.Series) -> pd.DataFrame:
-            rows = [compute(hl) for hl in hash_lists]
-            return pd.DataFrame({"sig": [s for s, _ in rows],
-                                 "bands": [b for _, b in rows]})
+            sig, bh = compute_batch(list(hash_lists))
+            return pd.DataFrame({"sig": list(sig), "bands": list(bh)})
         sig_bands_of.__annotations__ = {"hash_lists": pd.Series,
                                         "return": pd.DataFrame}
         return pandas_udf(sig_bands_of,
                           "struct<sig: array<long>, bands: array<long>>")
 
     def bands_of(hash_lists: pd.Series) -> pd.Series:
-        return pd.Series([compute(hl)[1] for hl in hash_lists])
+        return pd.Series(list(compute_batch(list(hash_lists))[1]))
 
     bands_of.__annotations__ = {"hash_lists": pd.Series,
                                 "return": pd.Series}
