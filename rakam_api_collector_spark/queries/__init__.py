@@ -9,13 +9,26 @@ Ordering matters: the driver's correctness gate checks the FIRST 50
 registry entries per round. The registry therefore leads with the
 queries that most need fresh driver evidence this round and rotates the
 rest behind them; every query keeps its entry (bench + pytest run all
-72) — only the position changes round to round.
+76) — only the position changes round to round.
 
-Round-5 window: the 22 llm dedup/similarity/curation queries that had
-never produced a driver-oracle row (llm05-17, llm19, llm21-28), the
-two freshly fixed TIMESTAMP_NTZ queries (dq26, dq35), the three new
-packing/mixture/vocab queries (llm29-31), then a rotation of queries
-green in r3/r4.
+Rotation invariant: **every query's driver evidence is at most one
+round old.** With 76 queries and a 50-slot window the cadence is two
+rounds; each round's window = (all queries without a green row from
+the previous round) + (everything modified this round) + fill.
+
+Window history:
+- r4: dq01-dq43 relational family (llm05-17/19/21-28 never yet run).
+- r5: the 22 never-driver-verified llm queries (llm05-17, llm19,
+  llm21-28), freshly fixed dq26/dq35, four new queries (llm29-32),
+  plus a rotation of r3/r4-green queries. All 50 green.
+- r6 (current): the 26 queries with no r5 row (dq01/02/04/06/07,
+  dq09-11, dq18-25, dq27/28, dq33, dq37-43), the queries modified in
+  r6 (llm12 multi-probe LSH, llm14 real PNG decode, llm32 singleton
+  fast path), llm29-31 (one round of evidence), regression-prone
+  families (llm09/16/17, dq26/35, llm10), and dedup/similarity fill.
+  Out-of-window queries (llm01-08, llm11, llm13, llm15, llm18-28
+  minus the above, dq03/05/08, dq12-17, dq29-32, dq34/36) all carry
+  r5 green evidence — due back in r7.
 """
 
 from __future__ import annotations
@@ -25,31 +38,30 @@ from rakam_api_collector_spark.queries import llm_ops, relational
 _ALL_QUERIES = {**relational.QUERIES, **llm_ops.QUERIES}
 _ALL_ORACLE = {**relational.ORACLE, **llm_ops.ORACLE}
 
-# First 50 = this round's driver-checked window.
+# First 50 = this round's driver-checked window (see docstring history).
 _WINDOW = [
-    # never-driver-verified llm family (22)
-    "llm05_fingerprint", "llm06_quality", "llm07_exact_dedup",
-    "llm08_jaccard_pairs", "llm09_minhash_lsh", "llm10_simhash",
-    "llm11_knn_cosine", "llm12_ann_lsh", "llm13_multimodal_meta",
-    "llm14_decode_features", "llm15_embed_dedup", "llm16_dedup_clusters",
-    "llm17_incremental_dedup", "llm19_ivf_ann", "llm21_pii_redact",
-    "llm22_chunk_dedup", "llm23_contamination", "llm24_stratified_split",
-    "llm25_repetition", "llm26_kmeans", "llm27_surprisal",
-    "llm28_quantize",
-    # fixed this round — need green evidence again (2)
-    "dq26_epoch_conversions", "dq35_sessionize",
-    # new this round — no prior evidence (4)
-    "llm29_pack_sequences", "llm30_mixture_sample",
-    "llm31_vocab_coverage", "llm32_dedup_keep_best",
-    # rotation of r3/r4-green queries (22)
-    "llm01_token_count", "llm02_ttr", "llm03_avg_token_len",
-    "llm04_lang_id", "llm18_bpe_tokens", "llm20_tfidf",
-    "dq03_late_split", "dq05_route_fanout",
-    "dq08_hash_agg", "dq12_join_dim", "dq13_multi_join",
-    "dq14_semi_join", "dq14_anti_join", "dq15_outer_join",
-    "dq16_window", "dq17_dedup_first",
-    "dq29_envelope_parse", "dq30_tumbling_window", "dq31_asof_join",
-    "dq32_salted_agg", "dq34_range_join", "dq36_approx_distinct",
+    # 26 queries with no round-5 driver row — rotate back first
+    "dq01_projection", "dq02_whitelist", "dq04_sink_envelope",
+    "dq06_max_offset", "dq07_zone_map", "dq09_distinct_agg",
+    "dq10_rollup", "dq11_sum_cents", "dq18_topk", "dq19_truncate",
+    "dq20_safe_cast", "dq21_set_ops", "dq22_array_funcs", "dq23_hash",
+    "dq24_scalars", "dq25_udf_shape", "dq27_json_encode",
+    "dq28_date_format", "dq33_percentile", "dq37_hash_split",
+    "dq38_cube", "dq39_pivot", "dq40_window_analytics",
+    "dq41_approx_quantile", "dq42_funnel", "dq43_retention",
+    # modified in round 6 — must carry fresh evidence
+    "llm12_ann_lsh", "llm14_decode_features", "llm32_dedup_keep_best",
+    "llm13_multimodal_meta", "dq03_late_split",
+    # one round of evidence only (new in r5)
+    "llm29_pack_sequences", "llm30_mixture_sample", "llm31_vocab_coverage",
+    # regression-prone families: heavy dedup/ANN + previously broken ts
+    "llm09_minhash_lsh", "llm16_dedup_clusters", "llm17_incremental_dedup",
+    "dq26_epoch_conversions", "dq35_sessionize", "llm10_simhash",
+    "llm07_exact_dedup", "llm08_jaccard_pairs", "llm15_embed_dedup",
+    "llm11_knn_cosine", "llm19_ivf_ann", "llm28_quantize",
+    "llm26_kmeans",
+    # round-5 bench regressions to watch (llm27 1.30x, llm01/02 ~1.35x)
+    "llm27_surprisal", "llm01_token_count", "llm02_ttr",
 ]
 
 assert len(_WINDOW) == 50 and len(set(_WINDOW)) == 50, len(_WINDOW)

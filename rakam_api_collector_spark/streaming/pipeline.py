@@ -327,16 +327,24 @@ def start_avro_ingest_stream(spark: SparkSession, source_dir: str | None,
                               "_event_time").cache())
         tables = None
         try:
-            rt, hist = split_late(batch, time_col="_event_time",
-                                  outdated_day_index=outdated_day_index,
-                                  now=now)
             if historical_dir is not None:
                 # K3: spool raw FRAMES (not typed rows) for the slow
                 # worker — parquet with a single binary column, the
-                # file-system analog of the historical Kafka topic
+                # file-system analog of the historical Kafka topic.
+                # Only well-formed stream records are late-split: bulk
+                # pointers carry no event time and must resolve on the
+                # realtime path (the reference fetches bulk objects
+                # immediately, AvroMessageEventTransformer.java:87-99),
+                # and corrupt frames stay hot so ST11 accounting sees
+                # them — neither ever enters the spool.
+                rt, hist = split_late(
+                    batch.filter(F.col("_kind") == "stream"),
+                    time_col="_event_time",
+                    outdated_day_index=outdated_day_index, now=now)
                 hist.select("value").write.mode("append") \
                     .parquet(historical_dir)
-                hot = rt
+                hot = batch.filter(F.col("_kind") != "stream") \
+                    .unionByName(rt)
             else:
                 hot = batch
             tables = _decode_avro_frames(
@@ -354,8 +362,11 @@ def start_avro_ingest_stream(spark: SparkSession, source_dir: str | None,
                 # Deserialization failures are tagged _kind='corrupt' at
                 # routing (extract_stream_routing), so the failure count
                 # is exact — the reference's per-message poison-pill
-                # accounting (KafkaUtil.java:150-166)
-                n_bad = hot.filter(F.col("_kind") == "corrupt").count()
+                # accounting (KafkaUtil.java:150-166). Counted on the
+                # PRE-SPLIT batch: corrupt frames never divert to the
+                # spool (they stay hot), but counting the full batch
+                # keeps the invariant independent of routing details.
+                n_bad = batch.filter(F.col("_kind") == "corrupt").count()
                 n_ok = 0
                 for (p, c), df in tables.items():
                     n = df.count()

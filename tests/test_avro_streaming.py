@@ -188,6 +188,78 @@ def test_avro_corrupt_frames_counted_by_monitor(spark, tmp_path):
     assert (ok, failed) == (1, 2)
 
 
+def test_avro_corrupt_counted_with_historical_dir(spark, tmp_path):
+    """Corrupt frames have null _event_time; they must NOT divert to the
+    raw-frame spool when historical_dir is set — they stay on the hot
+    path where ST11 accounting sees them, and only late STREAM records
+    spool (split_late runs on _kind=='stream' rows only)."""
+    from rakam_api_collector_spark.streaming.committer import (
+        ErrorRateMonitor, IngestStats)
+
+    cat, fields = _mk_catalog(tmp_path / "catalog.json")
+    good = _frame(fields, "u0", "2020-06-01T10:00:00", 1.0)
+    late = _frame(fields, "u1", "2020-05-01T10:00:00", 2.0)  # 31 days late
+    truncated = good[:6]                        # body cut mid-varint
+    src = tmp_path / "src"
+    _write_frames(src, [good, late, truncated])
+    hist_dir = tmp_path / "hist"
+
+    stats = IngestStats()
+    mon = ErrorRateMonitor(min_records=1000)    # count, don't kill
+    q = start_avro_ingest_stream(
+        spark, str(src), cat, str(tmp_path / "tables"),
+        checkpoint=str(tmp_path / "ckpt"), project="p1",
+        historical_dir=str(hist_dir), now=NOW, shard_time=SHARD_T,
+        stats=stats, error_monitor=mon)
+    q.awaitTermination(120)
+
+    # the corrupt frame was counted even though historical_dir is set
+    assert sum(e[2] for e in mon._events) == 1
+    # only the late STREAM frame reached the spool
+    spooled = spark.read.parquet(str(hist_dir)).collect()
+    assert len(spooled) == 1 and bytes(spooled[0].value) == late
+    hot = read_collection(spark, str(tmp_path / "tables"), "p1", "t", cat)
+    assert [r["v"] for r in hot.collect()] == [1.0]
+
+
+def test_avro_bulk_stays_hot_with_historical_dir(spark, tmp_path):
+    """Bulk pointers (type 3, null _event_time) resolve on the REALTIME
+    path even when historical_dir is set — the reference fetches bulk
+    objects immediately (AvroMessageEventTransformer.java:87-99); they
+    never wait on the slow-trigger historical stream."""
+    cat, fields = _mk_catalog(tmp_path / "catalog.json")
+    bulk_rows = [[None, _ms("2020-06-01T09:00:00"), "b1", 10.0]]
+    obj = A.encode_bulk_stream("p1", [("t", fields, 4, bulk_rows)])
+    bulk_base = tmp_path / "bulk"
+    bulk_base.mkdir()
+    (bulk_base / "obj1").write_bytes(obj)
+
+    frames = [
+        _frame(fields, "u0", "2020-06-01T10:00:00", 1.0),
+        A.encode_bulk_pointer("obj1", len(obj)),
+    ]
+    src = tmp_path / "src"
+    _write_frames(src, frames)
+    hist_dir = tmp_path / "hist"
+
+    q = start_avro_ingest_stream(
+        spark, str(src), cat, str(tmp_path / "tables"),
+        checkpoint=str(tmp_path / "ckpt"), project="p1",
+        historical_dir=str(hist_dir), bulk_base=str(bulk_base),
+        now=NOW, shard_time=SHARD_T)
+    q.awaitTermination(120)
+
+    # bulk row landed immediately, without running the historical stream
+    df = read_collection(spark, str(tmp_path / "tables"), "p1", "t", cat)
+    assert sorted(r["v"] for r in df.collect()) == [1.0, 10.0]
+    # nothing hot-path spooled (no late records in this corpus)
+    import os
+    spool_files = [f for f in os.listdir(hist_dir)
+                   if f.endswith(".parquet")] if hist_dir.exists() else []
+    if spool_files:
+        assert spark.read.parquet(str(hist_dir)).count() == 0
+
+
 def test_avro_kinesis_source_skips_type1(spark, tmp_path):
     """Kinesis first-byte dispatch parity: type-1 frames are the
     obsolete bulk format and skip silently (no corrupt tag, no row) —
