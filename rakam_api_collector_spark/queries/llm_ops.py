@@ -366,16 +366,31 @@ def llm13_multimodal_meta(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def llm14_decode_features(spark: SparkSession, sf: str) -> DataFrame:
-    """Arrow-batched mapInPandas feature extraction; feature[0] is the
-    payload byte length, which the oracle recomputes — the Python batch
-    path itself is what's under test (operators/multimodal.py)."""
-    docs = load_table(spark, sf, "documents").select("doc_id", "text")
-    blobbed = M.attach_blob(docs, "text")
-    feats = M.decode_features(blobbed, "doc_id")
-    return (feats.select(F.col("id").alias("doc_id"),
-                         F.element_at("features", 1).alias("f_len"),
-                         F.element_at("features", 2).alias("f_first"))
-            .orderBy("doc_id").limit(200))
+    """REAL image decode, end to end: per-doc deterministic PNGs
+    (``px[i] = (doc_id*31 + i*7) % 256``, dimensions varying per doc,
+    gray for even ids / RGB for odd, every scanline filter type 0-4 in
+    the stream) are encoded then decoded by the stdlib-zlib PNG codec
+    (operators/multimodal.py png_encode/png_decode, public PNG spec),
+    and the decoded pixel statistics come back Arrow-batched. The
+    oracle recomputes the stats from the closed-form pixel rule alone —
+    no PNG on the oracle side — so any codec defect (wrong unfilter,
+    wrong scanline order, wrong channel interleave) breaks the match;
+    ``px_wsum`` (position-weighted sum) pins ordering, not just the
+    value multiset."""
+    docs = (load_table(spark, sf, "documents")
+            .select("doc_id").filter(F.col("doc_id") < 200))
+    spec = docs.select(
+        "doc_id",
+        (F.col("doc_id") % 9 + 8).alias("w"),
+        (F.col("doc_id") % 7 + 5).alias("h"),
+        F.when(F.col("doc_id") % 2 == 0, 1).otherwise(3).alias("c"))
+    blobbed = M.synthesize_png(spec, "doc_id", "w", "h", "c")
+    stats = M.decode_image(blobbed, "id")
+    return (stats.select(F.col("id").alias("doc_id"),
+                         "width", "height", "channels",
+                         "n_samples", "px_sum", "px_wsum",
+                         "px_min", "px_max")
+            .orderBy("doc_id"))
 
 
 # --- corpus curation ---------------------------------------------------------
@@ -978,11 +993,35 @@ ORACLE = {
                'text/plain' AS mime
         FROM documents ORDER BY doc_id LIMIT 200
     """,
+    # Recomputes the decoded-pixel stats from the closed-form rule
+    # px[i] = (doc_id*31 + i*7) % 256 — no PNG decoder on this side, so
+    # the match certifies the Spark-side encode→decode round trip
+    # against independent arithmetic. Max samples = 16*11*3 = 528.
     "llm14_decode_features": """
+        WITH docs AS (
+          SELECT doc_id,
+                 doc_id % 9 + 8 AS width,
+                 doc_id % 7 + 5 AS height,
+                 CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 3 END AS channels
+          FROM documents WHERE doc_id < 200),
+        ser AS (SELECT unnest(generate_series(0, 527)) AS i),
+        samples AS (
+          SELECT d.doc_id, d.width, d.height, d.channels, ser.i,
+                 (d.doc_id * 31 + ser.i * 7) % 256 AS px
+          FROM docs d CROSS JOIN ser
+          WHERE ser.i < d.width * d.height * d.channels)
         SELECT doc_id,
-               CAST(octet_length(encode(text)) AS DOUBLE) AS f_len,
-               CAST(ascii(substring(text, 1, 1)) AS DOUBLE) AS f_first
-        FROM documents ORDER BY doc_id LIMIT 200
+               CAST(width AS INTEGER) AS width,
+               CAST(height AS INTEGER) AS height,
+               CAST(channels AS INTEGER) AS channels,
+               CAST(COUNT(*) AS BIGINT) AS n_samples,
+               CAST(SUM(px) AS BIGINT) AS px_sum,
+               CAST(SUM(i * px) AS BIGINT) AS px_wsum,
+               CAST(MIN(px) AS INTEGER) AS px_min,
+               CAST(MAX(px) AS INTEGER) AS px_max
+        FROM samples
+        GROUP BY doc_id, width, height, channels
+        ORDER BY doc_id
     """,
     # RE2 evaluates the same patterns Spark's Java regex does here (no
     # lookaround/backrefs by construction — operators/scrub.py); the

@@ -1,0 +1,111 @@
+"""PNG codec + multimodal decode plumbing (operators/multimodal.py).
+
+The decode path is pinned to the PUBLIC PNG SPEC two independent ways:
+(1) a hand-assembled PNG whose filtered scanline bytes were derived by
+hand from the spec's filter definitions (so the unfilter code is tested
+against the spec, not against this repo's own encoder), and (2) the
+llm14 oracle, which recomputes decoded-pixel statistics from the
+closed-form pixel rule with no PNG code on the oracle side.
+"""
+
+from __future__ import annotations
+
+import binascii
+import struct
+import zlib
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from rakam_api_collector_spark.operators import multimodal as M
+
+
+def _chunk(tag: bytes, body: bytes) -> bytes:
+    return (struct.pack(">I", len(body)) + tag + body
+            + struct.pack(">I", binascii.crc32(tag + body) & 0xFFFFFFFF))
+
+
+def _png(width, height, ctype, filtered_stream) -> bytes:
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, ctype, 0, 0, 0)
+    return (b"\x89PNG\r\n\x1a\n" + _chunk(b"IHDR", ihdr)
+            + _chunk(b"IDAT", zlib.compress(bytes(filtered_stream)))
+            + _chunk(b"IEND", b""))
+
+
+def test_png_decode_matches_spec_hand_filtered():
+    """4x4 gray image; each scanline uses a different filter type with
+    filtered bytes derived BY HAND from the spec (§9.2 Sub, Up,
+    Average, Paeth) — decoding must reproduce the plaintext rows."""
+    rows = [[10, 20, 30, 40], [15, 25, 35, 45],
+            [20, 30, 40, 50], [25, 35, 45, 55]]
+    # ft=1 Sub:  10, then +10 deltas           -> [10,10,10,10]
+    # ft=2 Up:   row - prev                    -> [5,5,5,5]
+    # ft=3 Avg:  20-(0+15)//2=13; 30-(20+25)//2=8; 8; 8
+    # ft=4 Paeth: predictors 20,30,40,50 (up)  -> [5,5,5,5]
+    stream = bytes([1, 10, 10, 10, 10,
+                    2, 5, 5, 5, 5,
+                    3, 13, 8, 8, 8,
+                    4, 5, 5, 5, 5])
+    w, h, c, px = M.png_decode(_png(4, 4, 0, stream))
+    assert (w, h, c) == (4, 4, 1)
+    assert list(px) == [v for row in rows for v in row]
+
+
+def test_png_roundtrip_all_shapes():
+    """Encoder cycles filter types 0-4; decode must invert every one,
+    across gray/GA/RGB/RGBA and degenerate 1x1."""
+    for wd, ht, ch in [(8, 5, 1), (16, 11, 3), (3, 7, 4), (1, 1, 1),
+                       (9, 6, 2), (2, 10, 3)]:
+        n = wd * ht * ch
+        px = ((np.arange(n) * 7 + 13) % 256).astype(np.uint8).tobytes()
+        w2, h2, c2, px2 = M.png_decode(M.png_encode(px, wd, ht, ch))
+        assert (w2, h2, c2, px2) == (wd, ht, ch, px)
+
+
+def test_png_decode_rejects_malformed():
+    with pytest.raises(ValueError, match="signature"):
+        M.png_decode(b"\x00" * 32)
+    good = M.png_encode(bytes(4), 2, 2, 1)
+    bad_crc = bytearray(good)
+    bad_crc[-5] ^= 0xFF                       # corrupt IEND CRC
+    with pytest.raises(ValueError, match="CRC"):
+        M.png_decode(bytes(bad_crc))
+    # 16-bit depth is out of scope and must fail loudly, not garble
+    ihdr = struct.pack(">IIBBBBB", 1, 1, 16, 0, 0, 0, 0)
+    deep = (b"\x89PNG\r\n\x1a\n" + _chunk(b"IHDR", ihdr)
+            + _chunk(b"IDAT", zlib.compress(b"\x00\x00\x00"))
+            + _chunk(b"IEND", b""))
+    with pytest.raises(ValueError, match="bit depth"):
+        M.png_decode(deep)
+
+
+def test_decode_image_stats_distributed(spark):
+    """decode_image over a blob column: stats match a direct numpy
+    computation on the same synthetic pixels; blob never appears in the
+    output schema (narrowest-columns rule)."""
+    spec = spark.createDataFrame(
+        [(i, 4 + i % 3, 3 + i % 2, [1, 3, 4][i % 3]) for i in range(12)],
+        "doc_id long, w int, h int, c int")
+    blobs = M.synthesize_png(spec, "doc_id", "w", "h", "c")
+    out = M.decode_image(blobs, "id").orderBy("id")
+    assert "blob" not in out.columns
+    for r in out.collect():
+        n = r.width * r.height * r.channels
+        arr = (r.id * 31 + np.arange(n) * 7) % 256
+        assert r.n_samples == n
+        assert r.px_sum == int(arr.sum())
+        assert r.px_wsum == int((np.arange(n) * arr).sum())
+        assert (r.px_min, r.px_max) == (int(arr.min()), int(arr.max()))
+
+
+def test_attach_blob_and_byte_features(spark):
+    """Codec-free byte-statistics path still works (decode_features)."""
+    docs = spark.createDataFrame([(1, "ab"), (2, "")],
+                                 "doc_id long, text string")
+    blobbed = M.attach_blob(docs, "text")
+    meta = {r.doc_id: r.meta.n_bytes for r in blobbed.collect()}
+    assert meta == {1: 2, 2: 0}
+    feats = {r.id: r.features
+             for r in M.decode_features(blobbed, "doc_id").collect()}
+    assert feats[1][0] == 2.0 and feats[2] == [0.0] * M.FEATURE_DIM
