@@ -127,26 +127,46 @@ def _signatures_udf(planes_flat: "np.ndarray", tables: int, bits: int):
 def ann_lsh_topk(corpus: DataFrame, queries: DataFrame, id_col: str,
                  vec_col: str, k: int = 10, bits: int = 12,
                  tables: int = 8, dim: int | None = None,
-                 seed: int = 42, exclude_self: bool = True) -> DataFrame:
+                 seed: int = 42, exclude_self: bool = True,
+                 probe_radius: int = 0) -> DataFrame:
     """Approximate top-k: per-table signature bucket join, exact cosine
     on candidates only. Corpus signatures are one narrow projection —
-    at scale they'd be precomputed and bucket-partitioned on write."""
+    at scale they'd be precomputed and bucket-partitioned on write.
+
+    ``probe_radius=1`` enables multi-probe LSH (Lv et al., VLDB'07):
+    each query probes its exact bucket PLUS every Hamming-1 bucket
+    (``bits`` single-bit flips) per table. A near neighbor differs from
+    the query in ≥0 signature bits with probability p^b + b·p^(b-1)(1-p)
+    instead of p^b (p = 1 - θ/π), so equal recall needs ~4-5× fewer
+    tables — the corpus-side signature volume (the expensive side: n
+    rows × tables) shrinks by the same factor, while the probe fan-out
+    lands on the tiny broadcast query side. Probing is a JVM array of
+    ``sig XOR (1<<j)`` — no extra Python work."""
+    if probe_radius not in (0, 1):
+        raise ValueError("probe_radius supports 0 (exact bucket) or 1 "
+                         "(all single-bit flips)")
     if dim is None:
         dim = len(corpus.select(vec_col).first()[0])
     planes = np.asarray(random_hyperplanes(dim, bits, tables, seed))
     sig_udf = _signatures_udf(planes.reshape(tables * bits, dim),
                               tables, bits)
 
-    def sigs(df: DataFrame, idname: str) -> DataFrame:
+    def sigs(df: DataFrame, idname: str, radius: int = 0) -> DataFrame:
         v = _as_double(vec_col)
-        return df.select(F.col(id_col).alias(idname),
+        base = df.select(F.col(id_col).alias(idname),
                          F.posexplode(sig_udf(v)).alias("tbl", "sig"))
+        if radius == 0:
+            return base
+        flips = F.array(F.col("sig"), *[
+            F.col("sig").bitwiseXOR(F.lit(1 << j)) for j in range(bits)])
+        return base.select(idname, "tbl", F.explode(flips).alias("sig"))
 
     # candidate discovery stays NARROW — (id, tbl, sig) only — so the
     # dedup shuffle moves longs, not embedding payloads; vectors join
     # back once per *distinct* candidate pair (queries broadcast, corpus
     # vectors shuffled only for rows that survived bucketing)
-    cs, qs = sigs(corpus, "neighbor"), sigs(queries, "q")
+    cs = sigs(corpus, "neighbor")
+    qs = sigs(queries, "q", probe_radius)
     cand = (cs.join(F.broadcast(qs), ["tbl", "sig"])
             .filter(F.col("neighbor") != F.col("q") if exclude_self
                     else F.lit(True))

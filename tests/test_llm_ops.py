@@ -85,6 +85,34 @@ def test_ann_lsh_recall_vs_exact(spark):
     assert recall >= 0.7, f"ANN recall {recall:.2f} below floor"
 
 
+def test_ann_lsh_multiprobe_beats_single_probe(spark):
+    """Hamming-1 multi-probe must dominate exact-bucket probing at equal
+    table count: its candidate set is a strict superset (the exact
+    bucket is always probe 0), so recall can only go up — the property
+    that lets llm12 run 12 tables instead of 48."""
+    import pytest
+
+    emb = load_table(spark, SF, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    exact = {(r.q, r.neighbor) for r in
+             S.cosine_topk(emb, queries, "vec_id", "embedding",
+                           k=5).collect()}
+
+    def recall(radius):
+        ann = {(r.q, r.neighbor) for r in
+               S.ann_lsh_topk(emb, queries, "vec_id", "embedding", k=5,
+                              bits=6, tables=6,
+                              probe_radius=radius).collect()}
+        return len(ann & exact) / len(exact)
+
+    r0, r1 = recall(0), recall(1)
+    assert r1 >= r0, f"multi-probe recall {r1:.2f} < single {r0:.2f}"
+    assert r1 >= 0.7, f"multi-probe recall {r1:.2f} below floor at 6 tables"
+    with pytest.raises(ValueError, match="probe_radius"):
+        S.ann_lsh_topk(emb, queries, "vec_id", "embedding",
+                       probe_radius=2).collect()
+
+
 def test_ann_lsh_deterministic(spark):
     emb = load_table(spark, SF, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
