@@ -480,18 +480,26 @@ def dedup_verdict_best(docs: DataFrame, id_col: str, score_col: str,
     document per near-dup cluster (ties → lowest id) instead of the
     min-id — what a curation pipeline actually wants: when a perturbed
     copy scores higher than its original (cleaner text, fewer artifacts)
-    the copy survives. One extra window over the clustered rows
-    (partitioned by cluster — bounded by cluster size, not corpus);
-    singleton clusters never enter the window via the pair-less
-    fast path."""
+    the copy survives. The row_number window runs ONLY over documents
+    that appear in a connected component (bounded by the near-dup pair
+    report, a tiny fraction of the corpus); singletons take the
+    pair-less fast path — a null cluster label after the left join maps
+    straight to keep=true with no window state or sort. Both branches
+    reuse the same join exchange."""
     cc = connected_components(pairs, a, b, max_iter)
-    scored = (docs.select(id_col, score_col)
-              .join(cc, F.col(id_col) == F.col("node"), "left")
-              .withColumn("_cl", F.coalesce("cluster_id", F.col(id_col))))
-    w = Window.partitionBy("_cl").orderBy(F.desc(score_col), F.asc(id_col))
-    return (scored
-            .select(F.col(id_col), F.col("_cl").alias("cluster_id"),
+    labeled = (docs.select(id_col, score_col)
+               .join(cc, F.col(id_col) == F.col("node"), "left")
+               .select(id_col, score_col, "cluster_id"))
+    w = Window.partitionBy("cluster_id").orderBy(F.desc(score_col),
+                                                F.asc(id_col))
+    best = (labeled.filter(F.col("cluster_id").isNotNull())
+            .select(F.col(id_col), F.col("cluster_id"),
                     (F.row_number().over(w) == 1).alias("keep")))
+    singles = (labeled.filter(F.col("cluster_id").isNull())
+               .select(F.col(id_col),
+                       F.col(id_col).alias("cluster_id"),
+                       F.lit(True).alias("keep")))
+    return best.unionByName(singles)
 
 
 def simhash_candidates(docs: DataFrame, id_col: str, text_col: str,

@@ -117,6 +117,29 @@ def test_dedup_verdict_no_cartesian(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_dedup_verdict_best_window_only_over_clustered(spark):
+    # the survivor window must be fed by the isNotNull(cluster_id)
+    # branch only — singletons bypass it (pair-less fast path), so the
+    # window's sort state is bounded by the pair report, not the corpus
+    from rakam_api_collector_spark.operators.dedup import dedup_verdict_best
+    docs = (load_table(spark, SF, "documents")
+            .filter(F.col("doc_id") < 30).select(
+                "doc_id", F.length("text").alias("score")))
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (7, 9)],
+                                  "a long, b long")
+    out = dedup_verdict_best(docs, "doc_id", "score", pairs)
+    plan = plan_of(out)
+    assert plan.count("Window (") == 1 and "Union" in plan
+    # correctness of the split: every doc gets exactly one verdict row,
+    # singletons keep=true, one survivor per cluster
+    rows = {r.doc_id: (r.cluster_id, r.keep) for r in out.collect()}
+    assert len(rows) == 30
+    assert all(keep for did, (cl, keep) in rows.items()
+               if did not in {1, 2, 3, 7, 9})
+    assert sum(rows[d][1] for d in (1, 2, 3)) == 1
+    assert sum(rows[d][1] for d in (7, 9)) == 1
+
+
 def test_minhash_signature_table_is_narrow(spark):
     # the signature table that rides shuffles / persists at scale must
     # carry only (_id, _bands) — shingle sets stay out of it; exact
