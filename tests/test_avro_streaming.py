@@ -284,6 +284,88 @@ def test_avro_kinesis_source_skips_type1(spark, tmp_path):
     assert sorted(r._user for r in kafka) == ["u0", "u9"]
 
 
+def test_avro_stream_vs_batch_end_state_parity(spark, tmp_path):
+    """End-state parity: the SAME encoded corpus (multi-collection,
+    multi-schema, late data, a bulk pointer) ingested through (a) the
+    streaming path — hot stream + historical replay of the spool — and
+    (b) one batch pass over the routed frames must leave IDENTICAL
+    tables: same schema, same rows, per collection. The JSON path pins
+    this; this is the Avro twin."""
+    from rakam_api_collector_spark.streaming.pipeline import (
+        _decode_avro_frames)
+
+    cat = Catalog(str(tmp_path / "catalog.json"))
+    f_t = cat.create_table("p1", "t", EXTRA)            # v double
+    f_s = cat.create_table("p1", "s", [
+        T.StructField("label", T.StringType()),
+        T.StructField("v", T.DoubleType())])
+
+    bulk_rows = [[None, _ms("2020-06-01T08:00:00"), "b1", 7.0]]
+    obj = A.encode_bulk_stream("p1", [("t", f_t, 4, bulk_rows)])
+    bulk_base = tmp_path / "bulk"
+    bulk_base.mkdir()
+    (bulk_base / "obj1").write_bytes(obj)
+
+    frames = [
+        _frame(f_t, "u0", "2020-06-01T10:00:00", 1.0),
+        _frame(f_t, "u1", "2020-05-01T10:00:00", 2.0),   # 31 days late
+        A.encode_stream_record(
+            f_s, [None, _ms("2020-06-01T10:00:02"), "u2", "x", 3.0],
+            collection="s"),
+        A.encode_stream_record(
+            f_s, [None, _ms("2020-04-20T10:00:02"), "u3", "y", 4.0],
+            collection="s"),                             # late
+        A.encode_bulk_pointer("obj1", len(obj)),
+    ]
+    src = tmp_path / "src"
+    _write_frames(src, frames)
+
+    # (a) streaming: hot + spool replay
+    sbase = tmp_path / "tables_stream"
+    q = start_avro_ingest_stream(
+        spark, str(src), cat, str(sbase),
+        checkpoint=str(tmp_path / "ckpt"), project="p1",
+        historical_dir=str(tmp_path / "hist"), bulk_base=str(bulk_base),
+        now=NOW, shard_time=SHARD_T)
+    q.awaitTermination(120)
+    q2 = start_avro_historical_stream(
+        spark, str(tmp_path / "hist"), cat, str(sbase),
+        checkpoint=str(tmp_path / "ckpt_hist"), project="p1",
+        shard_time=SHARD_T)
+    q2.awaitTermination(120)
+
+    # (b) batch: one routed decode over the same frames
+    from rakam_api_collector_spark.ingest.avro import extract_stream_routing
+    from rakam_api_collector_spark.sinks import write_collections
+    bbase = tmp_path / "tables_batch"
+    raw = spark.createDataFrame([(f,) for f in frames], "value binary")
+    routed = extract_stream_routing(raw, cat.get_columns, "p1")
+    tables = _decode_avro_frames(spark, routed, cat.get_columns, "p1",
+                                 None, str(bulk_base))
+    try:
+        out = {k: df.withColumn(
+            "_shard_time", F.coalesce(
+                "_shard_time", F.lit(SHARD_T).cast("timestamp")))
+            for k, df in tables.items()}
+        write_collections(out, str(bbase))
+    finally:
+        tables.unpersist()
+
+    for coll in ("t", "s"):
+        a = read_collection(spark, str(sbase), "p1", coll, cat)
+        b = read_collection(spark, str(bbase), "p1", coll, cat)
+        assert a.schema == b.schema, coll
+        key = [f.name for f in a.schema.fields]
+        ra = sorted(map(tuple, a.collect()))
+        rb = sorted(map(tuple, b.collect()))
+        assert ra == rb, f"{coll}: stream {ra} != batch {rb} ({key})"
+    # sanity on content: t = hot + late + bulk, s = hot + late
+    t_rows = read_collection(spark, str(sbase), "p1", "t", cat).collect()
+    assert sorted(r["v"] for r in t_rows) == [1.0, 2.0, 7.0]
+    s_rows = read_collection(spark, str(sbase), "p1", "s", cat).collect()
+    assert sorted(r["label"] for r in s_rows) == ["x", "y"]
+
+
 def test_avro_decode_groups_by_schema_not_collection(spark, tmp_path):
     """R1 fan-out rule on the Avro path: N same-schema collections
     decode in ONE cached Python pass (plans scale with #schemas, not
