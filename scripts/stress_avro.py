@@ -104,6 +104,12 @@ def main() -> None:
     routed.unpersist()
 
     n_tables = len(tables)
+    # R1 fan-out rule, asserted: all collections share one schema here,
+    # so the decode ran as ONE cached Python pass — plans (and Spark
+    # jobs) scale with #schemas, not #collections.
+    n_schema_groups = len(tables._caches) or 1
+    assert n_schema_groups == 1, \
+        f"expected 1 schema-group decode pass, got {n_schema_groups}"
     shutil.rmtree(out_dir, ignore_errors=True)
     print(json.dumps({
         "metric": "avro_ingest_records_per_sec",
@@ -111,6 +117,7 @@ def main() -> None:
         "unit": "records/sec",
         "records": n,
         "collections": n_tables,
+        "schema_groups": n_schema_groups,
         "wall_sec": round(wall, 2),
     }))
 

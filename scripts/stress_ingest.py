@@ -87,6 +87,12 @@ def main() -> None:
     wall = time.perf_counter() - t0
 
     n_tables = len(tables)
+    # R1 fan-out rule, asserted: all collections here evolve to the same
+    # schema, so typed projection built ONE group plan — plans scale
+    # with #distinct schemas, not #collections.
+    n_schema_groups = len(tables.groups)
+    assert n_schema_groups == 1, \
+        f"expected 1 schema group, got {n_schema_groups}"
     shutil.rmtree(out_dir, ignore_errors=True)
     print(json.dumps({
         "metric": "ingest_records_per_sec",
@@ -94,6 +100,7 @@ def main() -> None:
         "unit": "records/sec",
         "records": n,
         "collections": n_tables,
+        "schema_groups": n_schema_groups,
         "wall_sec": round(wall, 2),
     }))
 
