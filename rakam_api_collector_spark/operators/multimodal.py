@@ -321,3 +321,231 @@ def frame_sample_plan(n_frames: Column, every: int = 30) -> Column:
     """Frame indexes a video sampler would extract (plumbing only):
     sequence(0, n_frames-1, every) — the real decoder consumes this."""
     return F.sequence(F.lit(0), n_frames - 1, F.lit(every))
+
+
+# --- WAV codec (public spec: RIFF/WAVE, Microsoft/IBM 1991) ------------------
+# 16-bit little-endian PCM only (format tag 1); other encodings
+# (float32, ADPCM, ...) raise ValueError — at deployment a libav-backed
+# decoder replaces wav_decode in the same mapInPandas stage.
+
+
+def wav_encode(samples: bytes, sample_rate: int, channels: int) -> bytes:
+    """Minimal RIFF/WAVE writer: ``samples`` is the interleaved int16-LE
+    PCM byte buffer (len = n_frames * channels * 2)."""
+    if len(samples) % (2 * channels):
+        raise ValueError("sample buffer not a whole number of frames")
+    block_align = channels * 2
+    fmt = struct.pack("<HHIIHH", 1, channels, sample_rate,
+                      sample_rate * block_align, block_align, 16)
+    body = (b"WAVE"
+            + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(samples)) + samples)
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def wav_decode(data: bytes) -> tuple[int, int, bytes]:
+    """Decode RIFF/WAVE → (sample_rate, channels, int16-LE PCM bytes).
+
+    Walks the chunk list (chunks are word-aligned per the RIFF spec, so
+    odd-sized chunks carry a pad byte) and requires format tag 1 /
+    16-bit; unknown chunks (LIST, fact, ...) are skipped."""
+    if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+    pos, rate, channels, pcm = 12, None, None, None
+    while pos + 8 <= len(data):
+        tag = data[pos:pos + 4]
+        (length,) = struct.unpack("<I", data[pos + 4:pos + 8])
+        body = data[pos + 8:pos + 8 + length]
+        pos += 8 + length + (length & 1)          # word alignment pad
+        if tag == b"fmt ":
+            fmt_tag, channels, rate, _, _, bits = struct.unpack(
+                "<HHIIHH", body[:16])
+            if fmt_tag != 1:
+                raise ValueError(f"unsupported WAV format tag {fmt_tag}")
+            if bits != 16:
+                raise ValueError(f"unsupported bit depth {bits}")
+        elif tag == b"data":
+            pcm = body
+    if rate is None or pcm is None:
+        raise ValueError("missing fmt or data chunk")
+    if len(pcm) % (2 * channels):
+        raise ValueError("data chunk not a whole number of frames")
+    return rate, channels, pcm
+
+
+AUDIO_STATS_TYPE = T.StructType([
+    T.StructField("id", T.LongType()),
+    T.StructField("sample_rate", T.IntegerType()),
+    T.StructField("channels", T.IntegerType()),
+    T.StructField("n_frames", T.LongType()),
+    T.StructField("amp_sum", T.LongType()),
+    T.StructField("amp_sqsum", T.LongType()),
+    T.StructField("amp_min", T.IntegerType()),
+    T.StructField("amp_max", T.IntegerType()),
+])
+
+
+def decode_audio(df: DataFrame, id_col: str,
+                 blob_col: str = "blob") -> DataFrame:
+    """Arrow-batched WAV decode → per-clip sample statistics (exact
+    integers: sum, sum of squares — the energy term an audio-quality
+    filter thresholds on — min, max). Same shape as ``decode_image``:
+    blob selected only here, one mapInPandas pass, narrow output."""
+
+    def stats(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+        for pdf in batches:
+            rows = []
+            for i, blob in zip(pdf["_id"], pdf["_blob"]):
+                rate, ch, pcm = wav_decode(bytes(blob))
+                arr = np.frombuffer(pcm, dtype="<i2").astype(np.int64)
+                rows.append((
+                    int(i), rate, ch, arr.size // ch, int(arr.sum()),
+                    int((arr * arr).sum()), int(arr.min()),
+                    int(arr.max())))
+            yield pd.DataFrame(rows, columns=[f.name for f in
+                                              AUDIO_STATS_TYPE.fields])
+
+    narrow = df.select(F.col(id_col).cast("long").alias("_id"),
+                       F.col(blob_col).alias("_blob"))
+    return narrow.mapInPandas(stats, AUDIO_STATS_TYPE)
+
+
+def synthesize_wav(df: DataFrame, id_col: str, rate_col: str,
+                   ch_col: str, frames_col: str,
+                   blob_col: str = "blob") -> DataFrame:
+    """Deterministic WAV fixture generator (Arrow-batched): interleaved
+    sample stream ``s[i] = ((id*37 + i*11) % 4001) - 2000`` over
+    ``n_frames*channels`` samples — closed-form, so a SQL oracle can
+    recompute the decoded statistics with no WAV code of its own."""
+    out_schema = T.StructType([
+        T.StructField("id", T.LongType()),
+        T.StructField(blob_col, T.BinaryType()),
+    ])
+
+    def build(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+        for pdf in batches:
+            rows = []
+            for i, rate, ch, nf in zip(pdf["_id"], pdf["_rate"],
+                                       pdf["_ch"], pdf["_nf"]):
+                i, rate, ch, nf = int(i), int(rate), int(ch), int(nf)
+                n = nf * ch
+                s = (((i * 37 + np.arange(n) * 11) % 4001) - 2000) \
+                    .astype("<i2").tobytes()
+                rows.append((i, wav_encode(s, rate, ch)))
+            yield pd.DataFrame(rows, columns=["id", blob_col])
+
+    narrow = df.select(F.col(id_col).cast("long").alias("_id"),
+                       F.col(rate_col).cast("int").alias("_rate"),
+                       F.col(ch_col).cast("int").alias("_ch"),
+                       F.col(frames_col).cast("int").alias("_nf"))
+    return narrow.mapInPandas(build, out_schema)
+
+
+# --- video container: length-prefixed PNG frame stream -----------------------
+# A minimal seekable container (magic + frame count + [u32 len | PNG]*)
+# standing in for MP4/MKV: frame SAMPLING (the expensive part a training
+# pipeline cares about — decode only every k-th frame, never the whole
+# stream) is real; a libav demuxer would replace _iter_frames only.
+
+_VID_MAGIC = b"VID0"
+
+
+def pack_video(frames: list[bytes]) -> bytes:
+    out = bytearray(_VID_MAGIC + struct.pack("<I", len(frames)))
+    for fr in frames:
+        out += struct.pack("<I", len(fr)) + fr
+    return bytes(out)
+
+
+def _iter_frames(data: bytes):
+    """Yield (frame_idx, frame_bytes) lazily — sampling skips payloads
+    by length prefix without touching (or decoding) them."""
+    if data[:4] != _VID_MAGIC:
+        raise ValueError("not a VID0 container")
+    (n,) = struct.unpack("<I", data[4:8])
+    pos = 8
+    for idx in range(n):
+        (ln,) = struct.unpack("<I", data[pos:pos + 4])
+        yield idx, data[pos + 4:pos + 4 + ln]
+        pos += 4 + ln
+
+
+VIDEO_FRAME_STATS_TYPE = T.StructType([
+    T.StructField("id", T.LongType()),
+    T.StructField("frame_idx", T.IntegerType()),
+    T.StructField("width", T.IntegerType()),
+    T.StructField("height", T.IntegerType()),
+    T.StructField("px_sum", T.LongType()),
+    T.StructField("px_min", T.IntegerType()),
+    T.StructField("px_max", T.IntegerType()),
+])
+
+
+def sample_video_frames(df: DataFrame, id_col: str,
+                        blob_col: str = "blob",
+                        every: int = 30) -> DataFrame:
+    """Decode every ``every``-th frame of a packed video column → one
+    stats row per SAMPLED frame (frames between sample points are
+    skipped by length prefix, never decoded — the property that makes
+    frame sampling cheap at scale). One mapInPandas pass; output rows
+    fan out (one per sampled frame), ids/indexes only plus exact
+    integer pixel stats."""
+
+    def sample(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+        for pdf in batches:
+            rows = []
+            for i, blob in zip(pdf["_id"], pdf["_blob"]):
+                for idx, fr in _iter_frames(bytes(blob)):
+                    if idx % every:
+                        continue
+                    w, h, c, px = png_decode(fr)
+                    arr = np.frombuffer(px, dtype=np.uint8) \
+                        .astype(np.int64)
+                    rows.append((int(i), idx, w, h, int(arr.sum()),
+                                 int(arr.min()), int(arr.max())))
+            yield pd.DataFrame(rows, columns=[f.name for f in
+                                              VIDEO_FRAME_STATS_TYPE.fields])
+
+    narrow = df.select(F.col(id_col).cast("long").alias("_id"),
+                       F.col(blob_col).alias("_blob"))
+    return narrow.mapInPandas(sample, VIDEO_FRAME_STATS_TYPE)
+
+
+def synthesize_video(df: DataFrame, id_col: str, frames_col: str,
+                     w_col: str, h_col: str,
+                     blob_col: str = "blob") -> DataFrame:
+    """Deterministic video fixtures: gray PNG frames with
+    ``px[f][i] = (id*31 + f*13 + i*7) % 256`` — closed-form per
+    (frame, position), SQL-oracle-recomputable."""
+    out_schema = T.StructType([
+        T.StructField("id", T.LongType()),
+        T.StructField(blob_col, T.BinaryType()),
+    ])
+
+    def build(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+        for pdf in batches:
+            rows = []
+            for i, nf, w, h in zip(pdf["_id"], pdf["_nf"], pdf["_w"],
+                                   pdf["_h"]):
+                i, nf, w, h = int(i), int(nf), int(w), int(h)
+                frames = []
+                for f in range(nf):
+                    px = ((i * 31 + f * 13 + np.arange(w * h) * 7)
+                          % 256).astype(np.uint8).tobytes()
+                    frames.append(png_encode(px, w, h, 1))
+                rows.append((i, pack_video(frames)))
+            yield pd.DataFrame(rows, columns=["id", blob_col])
+
+    narrow = df.select(F.col(id_col).cast("long").alias("_id"),
+                       F.col(frames_col).cast("int").alias("_nf"),
+                       F.col(w_col).cast("int").alias("_w"),
+                       F.col(h_col).cast("int").alias("_h"))
+    return narrow.mapInPandas(build, out_schema)

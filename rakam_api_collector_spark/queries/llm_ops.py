@@ -598,6 +598,53 @@ def llm32_dedup_keep_best(spark: SparkSession, sf: str) -> DataFrame:
             .orderBy("doc_id"))
 
 
+def llm33_audio_features(spark: SparkSession, sf: str) -> DataFrame:
+    """REAL audio decode, end to end: per-doc deterministic 16-bit PCM
+    WAV clips (``s[i] = ((doc_id*37 + i*11) % 4001) - 2000``, varying
+    rate/channels/length) are written then decoded by the stdlib
+    RIFF/WAVE codec (operators/multimodal.py wav_encode/wav_decode) and
+    the decoded sample statistics come back Arrow-batched. The oracle
+    recomputes the stats from the closed-form sample rule alone, so a
+    codec defect (wrong chunk walk, endianness, interleave) breaks the
+    match. ``amp_sqsum`` is the exact-integer energy term an
+    audio-quality filter thresholds on."""
+    docs = (load_table(spark, sf, "documents")
+            .select("doc_id").filter(F.col("doc_id") < 200))
+    spec = docs.select(
+        "doc_id",
+        ((F.col("doc_id") % 3) * 4000 + 8000).alias("rate"),
+        (F.col("doc_id") % 2 + 1).alias("ch"),
+        (F.col("doc_id") % 100 + 50).alias("nf"))
+    blobbed = M.synthesize_wav(spec, "doc_id", "rate", "ch", "nf")
+    stats = M.decode_audio(blobbed, "id")
+    return (stats.select(F.col("id").alias("doc_id"), "sample_rate",
+                         "channels", "n_frames", "amp_sum", "amp_sqsum",
+                         "amp_min", "amp_max")
+            .orderBy("doc_id"))
+
+
+def llm34_video_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """REAL frame sampling over a packed video column: every 10th PNG
+    frame of each per-doc synthetic video decodes to pixel stats;
+    frames between sample points are skipped by length prefix, never
+    decoded (operators/multimodal.py sample_video_frames — the cheap
+    path at scale). Pixels follow a closed form over (frame, position),
+    so the oracle recomputes the sampled-frame stats arithmetically."""
+    docs = (load_table(spark, sf, "documents")
+            .select("doc_id").filter(F.col("doc_id") < 60))
+    spec = docs.select(
+        "doc_id",
+        (F.col("doc_id") % 40 + 20).alias("nf"),
+        (F.col("doc_id") % 5 + 4).alias("w"),
+        (F.col("doc_id") % 4 + 3).alias("h"))
+    vids = M.synthesize_video(spec, "doc_id", "nf", "w", "h")
+    frames = M.sample_video_frames(vids, "id", every=10)
+    return (frames.select(F.col("id").alias("doc_id"), "frame_idx",
+                          "width", "height", "px_sum", "px_min",
+                          "px_max")
+            .orderBy("doc_id", "frame_idx"))
+
+
 # --- packing / mixing / vocabulary ------------------------------------------
 
 _MIX_WEIGHTS = {"en": 0.4, "zh": 0.2, "es": 0.2, "de": 0.1, "fr": 0.1}
@@ -680,6 +727,8 @@ QUERIES = {
     "llm30_mixture_sample": llm30_mixture_sample,
     "llm31_vocab_coverage": llm31_vocab_coverage,
     "llm32_dedup_keep_best": llm32_dedup_keep_best,
+    "llm33_audio_features": llm33_audio_features,
+    "llm34_video_sample": llm34_video_sample,
 }
 
 _SW = {k: ", ".join(f"'{w}'" for w in v) for k, v in T.STOPWORDS.items()}
@@ -1307,5 +1356,61 @@ ORACLE = {
           FROM cl JOIN sc USING (doc_id))
         SELECT doc_id, cluster_id, (rn = 1) AS keep
         FROM ranked ORDER BY doc_id
+    """,
+    # Recomputes decoded WAV sample stats from the closed-form rule
+    # s[i] = ((doc_id*37 + i*11) % 4001) - 2000 — no WAV code on this
+    # side. Max samples = 149 frames * 2 channels = 298.
+    "llm33_audio_features": """
+        WITH docs AS (
+          SELECT doc_id,
+                 (doc_id % 3) * 4000 + 8000 AS sample_rate,
+                 doc_id % 2 + 1 AS channels,
+                 doc_id % 100 + 50 AS n_frames
+          FROM documents WHERE doc_id < 200),
+        ser AS (SELECT unnest(generate_series(0, 297)) AS i),
+        samples AS (
+          SELECT d.doc_id, d.sample_rate, d.channels, d.n_frames,
+                 ((d.doc_id * 37 + ser.i * 11) % 4001) - 2000 AS s
+          FROM docs d CROSS JOIN ser
+          WHERE ser.i < d.n_frames * d.channels)
+        SELECT doc_id,
+               CAST(sample_rate AS INTEGER) AS sample_rate,
+               CAST(channels AS INTEGER) AS channels,
+               CAST(n_frames AS BIGINT) AS n_frames,
+               CAST(SUM(s) AS BIGINT) AS amp_sum,
+               CAST(SUM(s * s) AS BIGINT) AS amp_sqsum,
+               CAST(MIN(s) AS INTEGER) AS amp_min,
+               CAST(MAX(s) AS INTEGER) AS amp_max
+        FROM samples
+        GROUP BY doc_id, sample_rate, channels, n_frames
+        ORDER BY doc_id
+    """,
+    # Sampled-frame pixel stats from px[f][i] = (doc_id*31 + f*13 +
+    # i*7) % 256, frames f % 10 = 0 only (the sampler's contract).
+    # Max frames = 59, max pixels/frame = 8*6 = 48.
+    "llm34_video_sample": """
+        WITH docs AS (
+          SELECT doc_id,
+                 doc_id % 40 + 20 AS nf,
+                 doc_id % 5 + 4 AS w,
+                 doc_id % 4 + 3 AS h
+          FROM documents WHERE doc_id < 60),
+        fr AS (SELECT unnest(generate_series(0, 59)) AS f),
+        px AS (SELECT unnest(generate_series(0, 47)) AS i),
+        samples AS (
+          SELECT d.doc_id, fr.f, d.w, d.h,
+                 (d.doc_id * 31 + fr.f * 13 + px.i * 7) % 256 AS p
+          FROM docs d CROSS JOIN fr CROSS JOIN px
+          WHERE fr.f < d.nf AND fr.f % 10 = 0 AND px.i < d.w * d.h)
+        SELECT doc_id,
+               CAST(f AS INTEGER) AS frame_idx,
+               CAST(w AS INTEGER) AS width,
+               CAST(h AS INTEGER) AS height,
+               CAST(SUM(p) AS BIGINT) AS px_sum,
+               CAST(MIN(p) AS INTEGER) AS px_min,
+               CAST(MAX(p) AS INTEGER) AS px_max
+        FROM samples
+        GROUP BY doc_id, f, w, h
+        ORDER BY doc_id, frame_idx
     """,
 }

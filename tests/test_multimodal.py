@@ -99,6 +99,51 @@ def test_decode_image_stats_distributed(spark):
         assert (r.px_min, r.px_max) == (int(arr.min()), int(arr.max()))
 
 
+def test_wav_decode_matches_spec_hand_assembled():
+    """Hand-built RIFF stream with an unknown LIST chunk (must skip), an
+    odd-length chunk (word-alignment pad), and int16-LE samples written
+    by hand — decode must walk chunks per the RIFF spec."""
+    pcm = struct.pack("<4h", 100, -200, 300, -32768)
+    fmt = struct.pack("<HHIIHH", 1, 2, 8000, 32000, 4, 16)
+    odd = b"zzz"                                  # 3 bytes → 1 pad byte
+    body = (b"WAVE"
+            + b"LIST" + struct.pack("<I", len(odd)) + odd + b"\x00"
+            + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(pcm)) + pcm)
+    rate, ch, out = M.wav_decode(
+        b"RIFF" + struct.pack("<I", len(body)) + body)
+    assert (rate, ch) == (8000, 2)
+    assert struct.unpack("<4h", out) == (100, -200, 300, -32768)
+
+
+def test_wav_roundtrip_and_rejects():
+    s = np.arange(-500, 500, 7, dtype="<i2").tobytes()
+    rate, ch, out = M.wav_decode(M.wav_encode(s, 16000, 1))
+    assert (rate, ch, out) == (16000, 1, s)
+    with pytest.raises(ValueError, match="RIFF"):
+        M.wav_decode(b"\x00" * 64)
+    # float32 WAV (format tag 3) must fail loudly
+    fmt = struct.pack("<HHIIHH", 3, 1, 8000, 32000, 4, 32)
+    body = (b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", 4) + b"\x00" * 4)
+    with pytest.raises(ValueError, match="format tag"):
+        M.wav_decode(b"RIFF" + struct.pack("<I", len(body)) + body)
+
+
+def test_video_sampler_skips_undecodable_frames(spark):
+    """The sampler must never decode unsampled frames: a container
+    whose off-stride frames are GARBAGE (undecodable as PNG) still
+    samples fine — proof of the skip-by-length-prefix contract."""
+    good = M.png_encode(bytes(range(6)), 3, 2, 1)
+    frames = [good if idx % 3 == 0 else b"not-a-png" for idx in range(7)]
+    df = spark.createDataFrame([(1, M.pack_video(frames))],
+                               "vid long, blob binary")
+    out = M.sample_video_frames(df, "vid", every=3).collect()
+    assert [r.frame_idx for r in out] == [0, 3, 6]
+    assert all((r.width, r.height) == (3, 2) for r in out)
+    assert out[0].px_sum == sum(range(6))
+
+
 def test_attach_blob_and_byte_features(spark):
     """Codec-free byte-statistics path still works (decode_features)."""
     docs = spark.createDataFrame([(1, "ab"), (2, "")],
