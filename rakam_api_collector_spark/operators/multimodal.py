@@ -445,6 +445,46 @@ def synthesize_wav(df: DataFrame, id_col: str, rate_col: str,
     return narrow.mapInPandas(build, out_schema)
 
 
+def resize_image(df: DataFrame, id_col: str, out_w: int, out_h: int,
+                 blob_col: str = "blob") -> DataFrame:
+    """Arrow-batched PNG resize (nearest-neighbor): decode → index-map
+    sample → re-encode, emitting (id, width, height, channels, blob).
+
+    Nearest-neighbor with the standard floor map
+    ``src = (dst * src_extent) // dst_extent`` — deterministic integer
+    arithmetic, so decoded output pixels are SQL-oracle-recomputable
+    from a closed-form input (llm35). The gather is one numpy fancy-
+    index per image (no Python pixel loop); bilinear/Lanczos would slot
+    into the same stage via a codec library at deployment."""
+    out_schema = T.StructType([
+        T.StructField("id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField(blob_col, T.BinaryType()),
+    ])
+
+    def resize(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+        for pdf in batches:
+            rows = []
+            for i, blob in zip(pdf["_id"], pdf["_blob"]):
+                w, h, c, px = png_decode(bytes(blob))
+                arr = np.frombuffer(px, dtype=np.uint8).reshape(h, w, c)
+                ys = (np.arange(out_h) * h) // out_h
+                xs = (np.arange(out_w) * w) // out_w
+                out = np.ascontiguousarray(arr[ys][:, xs])
+                rows.append((int(i), out_w, out_h, c,
+                             png_encode(out.tobytes(), out_w, out_h, c)))
+            yield pd.DataFrame(rows, columns=["id", "width", "height",
+                                              "channels", blob_col])
+
+    narrow = df.select(F.col(id_col).cast("long").alias("_id"),
+                       F.col(blob_col).alias("_blob"))
+    return narrow.mapInPandas(resize, out_schema)
+
+
 # --- video container: length-prefixed PNG frame stream -----------------------
 # A minimal seekable container (magic + frame count + [u32 len | PNG]*)
 # standing in for MP4/MKV: frame SAMPLING (the expensive part a training

@@ -9,10 +9,10 @@ Ordering matters: the driver's correctness gate checks the FIRST 50
 registry entries per round. The registry therefore leads with the
 queries that most need fresh driver evidence this round and rotates the
 rest behind them; every query keeps its entry (bench + pytest run all
-78) — only the position changes round to round.
+79) — only the position changes round to round.
 
 Rotation invariant: **every query's driver evidence is at most one
-round old.** With 78 queries and a 50-slot window the cadence is two
+round old.** With 79 queries and a 50-slot window the cadence is two
 rounds; each round's window = (all queries without a green row from
 the previous round) + (everything modified this round) + fill.
 
@@ -24,13 +24,13 @@ Window history:
 - r6 (current): the 26 queries with no r5 row (dq01/02/04/06/07,
   dq09-11, dq18-25, dq27/28, dq33, dq37-43), the queries modified in
   r6 (llm12 multi-probe LSH, llm14 real PNG decode, llm32 singleton
-  fast path), the NEW real audio/video decode queries (llm33/34),
+  fast path), the NEW real audio/video/resize queries (llm33-35),
   llm29-31 (one round of evidence), regression-prone families
   (llm09/16/17, dq26/35, llm10), and dedup/similarity fill.
   Out-of-window queries (llm01-06, llm18, llm20-25, dq05/08,
   dq12-17, dq29-32, dq34/36) all carry r5 green evidence — due back
   in r7. (llm01/02's bench-regression watch moved to bench.py's
-  >1.2x min-of-2 rule to free their slots for llm33/34.)
+  >1.2x min-of-2 rule to free slots for llm33-35.)
 """
 
 from __future__ import annotations
@@ -62,11 +62,9 @@ _WINDOW = [
     "llm07_exact_dedup", "llm08_jaccard_pairs", "llm15_embed_dedup",
     "llm11_knn_cosine", "llm19_ivf_ann", "llm28_quantize",
     "llm26_kmeans",
-    # round-5 bench regression to watch (llm27 1.30x; llm01/02 are
-    # covered by bench.py's regression min-of-2 instead of a slot)
-    "llm27_surprisal",
-    # new in r6 — no prior evidence
-    "llm33_audio_features", "llm34_video_sample",
+    # new in r6 — no prior evidence (r5 bench-regression watch for
+    # llm27/llm01/llm02 moved to bench.py's >1.2x min-of-2 rule)
+    "llm33_audio_features", "llm34_video_sample", "llm35_resize_image",
 ]
 
 assert len(_WINDOW) == 50 and len(set(_WINDOW)) == 50, len(_WINDOW)

@@ -598,6 +598,31 @@ def llm32_dedup_keep_best(spark: SparkSession, sf: str) -> DataFrame:
             .orderBy("doc_id"))
 
 
+def llm35_resize_image(spark: SparkSession, sf: str) -> DataFrame:
+    """REAL image resize: the llm14 synthetic PNGs are decoded, resized
+    to 5x4 by nearest-neighbor (floor index map, one numpy gather —
+    operators/multimodal.py:resize_image), re-encoded as PNG, then
+    decoded AGAIN for stats — so the oracle's closed-form recomputation
+    of the resized pixel stream certifies decode → resample → encode →
+    decode end to end. The index map is exact integer arithmetic:
+    ``src = (dst * src_extent) // dst_extent``."""
+    docs = (load_table(spark, sf, "documents")
+            .select("doc_id").filter(F.col("doc_id") < 200))
+    spec = docs.select(
+        "doc_id",
+        (F.col("doc_id") % 9 + 8).alias("w"),
+        (F.col("doc_id") % 7 + 5).alias("h"),
+        F.when(F.col("doc_id") % 2 == 0, 1).otherwise(3).alias("c"))
+    blobbed = M.synthesize_png(spec, "doc_id", "w", "h", "c")
+    resized = M.resize_image(blobbed, "id", out_w=5, out_h=4)
+    stats = M.decode_image(resized, "id")
+    return (stats.select(F.col("id").alias("doc_id"),
+                         "width", "height", "channels",
+                         "n_samples", "px_sum", "px_wsum",
+                         "px_min", "px_max")
+            .orderBy("doc_id"))
+
+
 def llm33_audio_features(spark: SparkSession, sf: str) -> DataFrame:
     """REAL audio decode, end to end: per-doc deterministic 16-bit PCM
     WAV clips (``s[i] = ((doc_id*37 + i*11) % 4001) - 2000``, varying
@@ -729,6 +754,7 @@ QUERIES = {
     "llm32_dedup_keep_best": llm32_dedup_keep_best,
     "llm33_audio_features": llm33_audio_features,
     "llm34_video_sample": llm34_video_sample,
+    "llm35_resize_image": llm35_resize_image,
 }
 
 _SW = {k: ", ".join(f"'{w}'" for w in v) for k, v in T.STOPWORDS.items()}
@@ -1383,6 +1409,40 @@ ORACLE = {
                CAST(MAX(s) AS INTEGER) AS amp_max
         FROM samples
         GROUP BY doc_id, sample_rate, channels, n_frames
+        ORDER BY doc_id
+    """,
+    # Resized-pixel stats recomputed from the llm14 closed form through
+    # the nearest-neighbor index map: output sample i (row-major,
+    # channel-interleaved over a 5x4xC image) maps to input position
+    # ((y*h)//4 * w + (x*w)//5) * c + ch where y = i // (5c),
+    # x = (i % (5c)) // c, ch = i % c. No image code on this side.
+    "llm35_resize_image": """
+        WITH docs AS (
+          SELECT doc_id,
+                 doc_id % 9 + 8 AS w,
+                 doc_id % 7 + 5 AS h,
+                 CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 3 END AS c
+          FROM documents WHERE doc_id < 200),
+        ser AS (SELECT unnest(generate_series(0, 59)) AS i),
+        samples AS (
+          SELECT d.doc_id, d.c, ser.i,
+                 (d.doc_id * 31 +
+                  ((((ser.i // (5 * d.c)) * d.h // 4) * d.w
+                    + ((ser.i % (5 * d.c)) // d.c) * d.w // 5) * d.c
+                   + ser.i % d.c) * 7) % 256 AS px
+          FROM docs d CROSS JOIN ser
+          WHERE ser.i < 20 * d.c)
+        SELECT doc_id,
+               CAST(5 AS INTEGER) AS width,
+               CAST(4 AS INTEGER) AS height,
+               CAST(c AS INTEGER) AS channels,
+               CAST(COUNT(*) AS BIGINT) AS n_samples,
+               CAST(SUM(px) AS BIGINT) AS px_sum,
+               CAST(SUM(i * px) AS BIGINT) AS px_wsum,
+               CAST(MIN(px) AS INTEGER) AS px_min,
+               CAST(MAX(px) AS INTEGER) AS px_max
+        FROM samples
+        GROUP BY doc_id, c
         ORDER BY doc_id
     """,
     # Sampled-frame pixel stats from px[f][i] = (doc_id*31 + f*13 +

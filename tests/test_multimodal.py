@@ -144,6 +144,26 @@ def test_video_sampler_skips_undecodable_frames(spark):
     assert out[0].px_sum == sum(range(6))
 
 
+def test_resize_image_nearest_neighbor(spark):
+    """Resize must apply the floor index map exactly, preserve channel
+    count, and survive upscale (index map repeats source pixels)."""
+    # 2x2 RGB with distinct corner colors
+    px = bytes([255, 0, 0,  0, 255, 0,
+                0, 0, 255,  9, 9, 9])
+    df = spark.createDataFrame([(7, M.png_encode(px, 2, 2, 3))],
+                               "img long, blob binary")
+    up = M.resize_image(df, "img", out_w=4, out_h=4).collect()[0]
+    assert (up.width, up.height, up.channels) == (4, 4, 3)
+    w2, h2, c2, out = M.png_decode(bytes(up.blob))
+    arr = np.frombuffer(out, dtype=np.uint8).reshape(4, 4, 3)
+    # floor map: dst 0,1 -> src 0; dst 2,3 -> src 1
+    assert list(arr[0, 0]) == [255, 0, 0] and list(arr[0, 3]) == [0, 255, 0]
+    assert list(arr[3, 0]) == [0, 0, 255] and list(arr[3, 3]) == [9, 9, 9]
+    down = M.resize_image(df, "img", out_w=1, out_h=1).collect()[0]
+    _, _, _, one = M.png_decode(bytes(down.blob))
+    assert list(one) == [255, 0, 0]          # floor map picks (0,0)
+
+
 def test_attach_blob_and_byte_features(spark):
     """Codec-free byte-statistics path still works (decode_features)."""
     docs = spark.createDataFrame([(1, "ab"), (2, "")],
