@@ -1,0 +1,55 @@
+"""Property-based codec tests (hypothesis): any pixel/sample buffer of
+any supported shape must round-trip the PNG and WAV codecs byte-exact,
+and the video container must preserve frame boundaries. Driver-less and
+Spark-less: pins the pure codec layer under randomized inputs beyond
+the deterministic fixtures in test_multimodal.py.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from rakam_api_collector_spark.operators import multimodal as M
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    w=st.integers(1, 24),
+    h=st.integers(1, 24),
+    c=st.sampled_from([1, 2, 3, 4]),
+    seed=st.integers(0, 2**31 - 1),
+    cycle=st.booleans(),
+)
+def test_png_roundtrip_property(w, h, c, seed, cycle):
+    rng = np.random.default_rng(seed)
+    px = rng.integers(0, 256, size=w * h * c, dtype=np.uint8).tobytes()
+    out = M.png_decode(M.png_encode(px, w, h, c, filter_cycle=cycle))
+    assert out == (w, h, c, px)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    n_frames=st.integers(0, 500),
+    ch=st.sampled_from([1, 2]),
+    rate=st.sampled_from([8000, 16000, 44100]),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_wav_roundtrip_property(n_frames, ch, rate, seed):
+    rng = np.random.default_rng(seed)
+    s = rng.integers(-32768, 32768, size=n_frames * ch,
+                     dtype=np.int64).astype("<i2").tobytes()
+    assert M.wav_decode(M.wav_encode(s, rate, ch)) == (rate, ch, s)
+
+
+@settings(max_examples=30, deadline=None)
+@given(lengths=st.lists(st.integers(0, 200), max_size=12),
+       seed=st.integers(0, 2**31 - 1))
+def test_video_container_preserves_frames(lengths, seed):
+    rng = np.random.default_rng(seed)
+    frames = [rng.integers(0, 256, size=n, dtype=np.uint8).tobytes()
+              for n in lengths]
+    out = list(M._iter_frames(M.pack_video(frames)))
+    assert [idx for idx, _ in out] == list(range(len(frames)))
+    assert [fr for _, fr in out] == frames
