@@ -244,8 +244,8 @@ IMAGE_STATS_TYPE = T.StructType([
 ])
 
 
-def decode_image(df: DataFrame, id_col: str,
-                 blob_col: str = "blob") -> DataFrame:
+def decode_image(df: DataFrame, id_col: str, blob_col: str = "blob",
+                 skip_invalid: bool = False) -> DataFrame:
     """Arrow-batched PNG decode → per-image pixel statistics.
 
     One ``mapInPandas`` pass; per image: dimensions, channel count, and
@@ -253,6 +253,12 @@ def decode_image(df: DataFrame, id_col: str,
     position-weighted sum — which pins scanline order and unfiltering,
     not just the value multiset — min, max). Blob bytes never leave the
     stage; the output is a narrow 9-column frame.
+
+    ``skip_invalid=True`` is the poison-pill mode for dirty corpora
+    (ST11 analog): undecodable blobs drop instead of failing the job,
+    and the caller accounts for them as n_in − n_out (the same
+    drop-and-count contract as the ingest error monitor). The default
+    fails fast — correct for trusted fixtures.
 
     At 100 TB this is the canonical decode shape: the blob column is
     selected only here, partitions stay bounded by
@@ -265,7 +271,12 @@ def decode_image(df: DataFrame, id_col: str,
         for pdf in batches:
             rows = []
             for i, blob in zip(pdf["_id"], pdf["_blob"]):
-                w, h, c, px = png_decode(bytes(blob))
+                try:
+                    w, h, c, px = png_decode(bytes(blob))
+                except (ValueError, struct.error, zlib.error):
+                    if skip_invalid:
+                        continue
+                    raise
                 arr = np.frombuffer(px, dtype=np.uint8).astype(np.int64)
                 rows.append((
                     int(i), w, h, c, int(arr.size), int(arr.sum()),

@@ -144,6 +144,19 @@ def test_video_sampler_skips_undecodable_frames(spark):
     assert out[0].px_sum == sum(range(6))
 
 
+def test_decode_image_skip_invalid(spark):
+    """Poison-pill mode: undecodable blobs drop (accounted as
+    n_in - n_out by the caller, the ST11 contract); default fails."""
+    good = M.png_encode(bytes(range(4)), 2, 2, 1)
+    truncated = good[:20]
+    df = spark.createDataFrame(
+        [(1, good), (2, b"junk"), (3, truncated)], "i long, blob binary")
+    out = M.decode_image(df, "i", skip_invalid=True).collect()
+    assert [r.id for r in out] == [1]
+    with pytest.raises(Exception):
+        M.decode_image(df, "i").collect()
+
+
 def test_resize_image_nearest_neighbor(spark):
     """Resize must apply the floor index map exactly, preserve channel
     count, and survive upscale (index map repeats source pixels)."""

@@ -140,6 +140,16 @@ def test_dedup_verdict_best_window_only_over_clustered(spark):
     assert sum(rows[d][1] for d in (7, 9)) == 1
 
 
+def test_multimodal_chain_no_intermediate_shuffle(spark):
+    # synthesize -> resize -> decode is three back-to-back Python
+    # stages with NO Exchange between them (blob bytes never shuffle);
+    # the only Exchange is the final presentation orderBy
+    from rakam_api_collector_spark.queries.llm_ops import llm35_resize_image
+    plan = plan_of(llm35_resize_image(spark, SF))
+    assert plan.count("MapInPandas (") == 3
+    assert plan.count("Exchange (") <= 1
+
+
 def test_minhash_signature_table_is_narrow(spark):
     # the signature table that rides shuffles / persists at scale must
     # carry only (_id, _bands) — shingle sets stay out of it; exact
