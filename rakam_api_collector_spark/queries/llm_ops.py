@@ -287,8 +287,12 @@ def llm17_incremental_dedup(spark: SparkSession, sf: str) -> DataFrame:
                           " ").alias("text")))
     b2 = docs.filter(F.col("doc_id") >= 40).unionByName(copies)
 
+    # max_shingle_freq=None: the stop-shingle cap (the operator's scale
+    # default) adds a frequency-count aggregate + broadcast join per
+    # signing that is a no-op at this corpus size (no shingle nears the
+    # cap) — same exact-path setting llm16/llm32 use for oracle parity.
     store = MinHashStore(spark, tempfile.mkdtemp(prefix="sigstore_"),
-                         threshold=_JACCARD_T)
+                         threshold=_JACCARD_T, max_shingle_freq=None)
     v1 = store.ingest(b1, "doc_id", "text")
     v2 = store.ingest(b2, "doc_id", "text")
     return (v1.select(F.lit(1).alias("batch"), "doc_id", "keep")
