@@ -9,10 +9,10 @@ Ordering matters: the driver's correctness gate checks the FIRST 50
 registry entries per round. The registry therefore leads with the
 queries that most need fresh driver evidence this round and rotates the
 rest behind them; every query keeps its entry (bench + pytest run all
-79) — only the position changes round to round.
+80) — only the position changes round to round.
 
 Rotation invariant: **every query's driver evidence is at most one
-round old.** With 79 queries and a 50-slot window the cadence is two
+round old.** With 80 queries and a 50-slot window the cadence is two
 rounds; each round's window = (all queries without a green row from
 the previous round) + (everything modified this round) + fill.
 
@@ -24,7 +24,8 @@ Window history:
 - r6 (current): the 26 queries with no r5 row (dq01/02/04/06/07,
   dq09-11, dq18-25, dq27/28, dq33, dq37-43), the queries modified in
   r6 (llm12 multi-probe LSH, llm14 real PNG decode, llm32 singleton
-  fast path), the NEW real audio/video/resize queries (llm33-35),
+  fast path), the NEW real audio/video/resize queries (llm33-35) and
+  dq44_grouping_sets,
   llm29-31 (one round of evidence), regression-prone families
   (llm09/16/17, dq26/35, llm10), and dedup/similarity fill.
   Out-of-window queries (llm01-06, llm18, llm20-25, dq05/08,
@@ -61,10 +62,10 @@ _WINDOW = [
     "dq26_epoch_conversions", "dq35_sessionize", "llm10_simhash",
     "llm07_exact_dedup", "llm08_jaccard_pairs", "llm15_embed_dedup",
     "llm11_knn_cosine", "llm19_ivf_ann", "llm28_quantize",
-    "llm26_kmeans",
     # new in r6 — no prior evidence (r5 bench-regression watch for
-    # llm27/llm01/llm02 moved to bench.py's >1.2x min-of-2 rule)
+    # llm26/27/01/02 moved to bench.py's >1.2x min-of-2 rule)
     "llm33_audio_features", "llm34_video_sample", "llm35_resize_image",
+    "dq44_grouping_sets",
 ]
 
 assert len(_WINDOW) == 50 and len(set(_WINDOW)) == 50, len(_WINDOW)

@@ -504,6 +504,31 @@ def dq38_cube(spark: SparkSession, sf: str) -> DataFrame:
             .orderBy(F.col("gid"), F.col("event_type"), F.col("day")))
 
 
+def dq44_grouping_sets(spark: SparkSession, sf: str) -> DataFrame:
+    """Explicit GROUPING SETS ((event_type, day), (event_type), ()) —
+    the hand-picked-sets sibling of rollup (dq10) and cube (dq38),
+    completing the multi-grouping family.
+
+    Scale shape: identical to CUBE — one Expand over the chosen sets
+    into a single partial+final hash aggregate, one shuffle, no
+    per-set re-scan; the ``(event_type, day)`` leaf is the dominant
+    row volume and the super-aggregates ride the same exchange."""
+    ev = (load_table(spark, sf, "events")
+          .select("event_type", F.to_date("ts").alias("day"), "value"))
+    ev.createOrReplaceTempView("_ev44")
+    return spark.sql("""
+        SELECT event_type, day,
+               count(*) AS n,
+               round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4)
+                 AS val_sum,
+               CAST(grouping(event_type) * 2 + grouping(day)
+                    AS INT) AS gid
+        FROM _ev44
+        GROUP BY GROUPING SETS ((event_type, day), (event_type), ())
+        ORDER BY gid, event_type, day
+    """)
+
+
 def dq39_pivot(spark: SparkSession, sf: str) -> DataFrame:
     """Pivot event_type → columns of per-day counts, expressed as
     conditional aggregates over a STATIC value list.
@@ -667,6 +692,7 @@ QUERIES = {
     "dq41_approx_quantile": dq41_approx_quantile,
     "dq42_funnel": dq42_funnel,
     "dq43_retention": dq43_retention,
+    "dq44_grouping_sets": dq44_grouping_sets,
 }
 
 # DuckDB oracle SQL — identical aliases & result types by construction.
@@ -983,6 +1009,18 @@ ORACLE = {
                CAST(sum(f3) AS BIGINT) AS r3,
                CAST(sum(f7) AS BIGINT) AS r7
         FROM flags GROUP BY d0 ORDER BY d0
+    """,
+    "dq44_grouping_sets": """
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               count(*) AS n,
+               round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4)
+                 AS val_sum,
+               CAST(GROUPING(event_type) * 2 + GROUPING(CAST(ts AS DATE))
+                    AS INTEGER) AS gid
+        FROM events
+        GROUP BY GROUPING SETS ((event_type, CAST(ts AS DATE)),
+                                (event_type), ())
+        ORDER BY gid, event_type NULLS LAST, day NULLS LAST
     """,
     "dq37_hash_split": """
         WITH b AS (

@@ -191,6 +191,12 @@ def test_cube_single_expand_single_shuffle(spark):
     assert plan.count("Expand") == 1
     assert plan.count("Scan parquet") == 1
     assert plan.count("Exchange hashpartitioning") == 1
+    # explicit GROUPING SETS plans identically (dq44): one Expand over
+    # the three chosen sets, one scan, one aggregation shuffle
+    gs = plan_of(R.dq44_grouping_sets(spark, SF), "simple")
+    assert gs.count("Expand") == 1
+    assert gs.count("Scan parquet") == 1
+    assert gs.count("Exchange hashpartitioning") == 1
 
 
 def test_pivot_static_schema_no_value_discovery(spark):
