@@ -24,14 +24,14 @@ Window history:
 - r6 (current): the 26 queries with no r5 row (dq01/02/04/06/07,
   dq09-11, dq18-25, dq27/28, dq33, dq37-43), the queries modified in
   r6 (llm12 multi-probe LSH, llm14 real PNG decode, llm32 singleton
-  fast path), the NEW real audio/video/resize queries (llm33-35) and
-  dq44_grouping_sets,
-  llm29-31 (one round of evidence), regression-prone families
-  (llm09/16/17, dq26/35, llm10), and dedup/similarity fill.
-  Out-of-window queries (llm01-06, llm18, llm20-25, dq05/08,
-  dq12-17, dq29-32, dq34/36) all carry r5 green evidence — due back
-  in r7. (llm01/02's bench-regression watch moved to bench.py's
-  >1.2x min-of-2 rule to free slots for llm33-35.)
+  fast path), the NEW queries (llm33-35 real audio/video/resize,
+  dq44 grouping sets), llm29-31 (one round of evidence),
+  regression-prone families (llm09/16/17, dq26/35, llm10), and
+  dedup/similarity fill. Out-of-window (30 queries, all r5-green,
+  due back in r7): llm01-06, llm18, llm20-27, dq05/08, dq12-17
+  (semi+anti), dq29-32, dq34/36. (The bench-regression watch for
+  llm01/02/26/27 moved to bench.py's >1.2x min-of-2 rule to free
+  slots for the new queries.)
 """
 
 from __future__ import annotations
