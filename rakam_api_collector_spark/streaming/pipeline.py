@@ -269,7 +269,8 @@ def start_avro_ingest_stream(spark: SparkSession, source_dir: str | None,
                              bulk_base: str | None = None,
                              source_stream: DataFrame | None = None,
                              stats=None, error_monitor=None,
-                             rocksdb_state: bool = True):
+                             rocksdb_state: bool = True,
+                             errors_dir: str | None = None):
     """Avro twin of ``start_ingest_stream`` — the reference's per-config
     deserializer selection (KafkaStreamSourceModule.java:26-60 binds
     AVRO vs JSON; KafkaAvroMessageTransformer.java:33-57 is the Avro
@@ -283,7 +284,13 @@ def start_avro_ingest_stream(spark: SparkSession, source_dir: str | None,
     column, e.g. ``sources.kafka.realtime_reader(...).load()``) to feed
     from a connector. Unlike the JSON path there is NO type inference:
     schemas come from the catalog only (AvroUtil.java:30-73 derives
-    writer schemas from the metastore, never the wire)."""
+    writer schemas from the metastore, never the wire).
+
+    ``errors_dir`` adds a dead-letter spool beyond the reference's
+    drop-and-count (KafkaUtil.java:150-166): corrupt frames are written
+    per micro-batch as parquet rows (value, n_bytes, first_byte) so
+    poison pills can be replayed/diagnosed after a decoder fix instead
+    of being lost; counting (ST11) is unchanged."""
     from rakam_api_collector_spark.ingest.avro import extract_stream_routing
 
     if dedup and rocksdb_state:
@@ -347,6 +354,15 @@ def start_avro_ingest_stream(spark: SparkSession, source_dir: str | None,
                     .unionByName(rt)
             else:
                 hot = batch
+            if errors_dir is not None:
+                # dead-letter spool: raw frame + cheap forensics cols;
+                # stays hot-path-exact because corrupt never spools
+                (batch.filter(F.col("_kind") == "corrupt")
+                 .select("value",
+                         F.octet_length("value").alias("n_bytes"),
+                         F.hex(F.substring("value", 1, 1))
+                         .alias("first_byte_hex"))
+                 .write.mode("append").parquet(errors_dir))
             tables = _decode_avro_frames(
                 spark, hot, get_columns, project, default_collection,
                 bulk_base)

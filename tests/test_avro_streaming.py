@@ -210,7 +210,8 @@ def test_avro_corrupt_counted_with_historical_dir(spark, tmp_path):
         spark, str(src), cat, str(tmp_path / "tables"),
         checkpoint=str(tmp_path / "ckpt"), project="p1",
         historical_dir=str(hist_dir), now=NOW, shard_time=SHARD_T,
-        stats=stats, error_monitor=mon)
+        stats=stats, error_monitor=mon,
+        errors_dir=str(tmp_path / "errors"))
     q.awaitTermination(120)
 
     # the corrupt frame was counted even though historical_dir is set
@@ -220,6 +221,11 @@ def test_avro_corrupt_counted_with_historical_dir(spark, tmp_path):
     assert len(spooled) == 1 and bytes(spooled[0].value) == late
     hot = read_collection(spark, str(tmp_path / "tables"), "p1", "t", cat)
     assert [r["v"] for r in hot.collect()] == [1.0]
+    # dead-letter spool: the corrupt frame is replayable, not lost
+    dead = spark.read.parquet(str(tmp_path / "errors")).collect()
+    assert len(dead) == 1 and bytes(dead[0].value) == truncated
+    assert dead[0].n_bytes == len(truncated)
+    assert dead[0].first_byte_hex == f"{truncated[0]:02X}"
 
 
 def test_avro_bulk_stays_hot_with_historical_dir(spark, tmp_path):
