@@ -66,7 +66,8 @@ def start_ingest_stream(spark: SparkSession, source_dir: str, fmt: str,
                         max_files_per_trigger: int | None = None,
                         stats=None, error_monitor=None,
                         rocksdb_state: bool = True,
-                        source_stream: DataFrame | None = None):
+                        source_stream: DataFrame | None = None,
+                        errors_dir: str | None = None):
     """Start the real-time ingestion query over a source of envelope JSON
     lines. Returns the StreamingQuery.
 
@@ -78,6 +79,12 @@ def start_ingest_stream(spark: SparkSession, source_dir: str, fmt: str,
 
     ``trigger`` defaults to availableNow (drain-and-stop, for tests);
     pass {"processingTime": "15 seconds"} for the reference cadence.
+
+    ``errors_dir`` adds a dead-letter spool beyond the reference's
+    drop-and-count: envelopes the router/parser would reject (missing
+    project/collection/data, collection name empty or >100 chars,
+    unparseable JSON body) are written per micro-batch as parquet
+    (value, n_bytes) for replay/diagnosis; ST11 counting is unchanged.
     """
     if dedup and rocksdb_state:
         # ST6 parity: the reference's dedup store IS RocksDB (TtlDB,
@@ -132,6 +139,23 @@ def start_ingest_stream(spark: SparkSession, source_dir: str, fmt: str,
                 hot = rt
             else:
                 hot = batch
+            if errors_dir is not None:
+                # dead-letter spool: same validation predicate the
+                # router/parser applies (ingest/batch.py routing filter
+                # + from_json null ⇒ row would be dropped there)
+                cfg = FORMATS[fmt]
+                proj = F.lower(F.get_json_object("value", cfg["project"]))
+                coll = F.get_json_object("value", cfg["collection"])
+                data = F.get_json_object("value", cfg["data"])
+                bad = (proj.isNull() | coll.isNull()
+                       | (F.length(coll) == 0) | (F.length(coll) > 100)
+                       | data.isNull()
+                       | F.expr("from_json(get_json_object(value, "
+                                f"'{cfg['data']}'), "
+                                "'map<string,variant>')").isNull())
+                (hot.filter(bad)
+                 .select("value", F.octet_length("value").alias("n_bytes"))
+                 .write.mode("append").parquet(errors_dir))
             tables = ingest_batch(spark, hot.select("value"), fmt, catalog,
                                   shard_time=shard_time,
                                   time_field=time_field)

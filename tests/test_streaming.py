@@ -90,6 +90,36 @@ def test_stream_end_state_matches_batch(spark, tmp_path):
            [r.asDict() for r in batched.collect()]
 
 
+def test_stream_dead_letter_spool(spark, tmp_path):
+    """errors_dir: envelopes the router/parser would drop (unparseable
+    body, >100-char collection name) land in the dead-letter spool as
+    replayable raw values; valid rows ingest normally."""
+    good = fabric("t", {"_time": "2020-06-01T10:00:00",
+                        "_user": "u1", "v": 1})
+    not_json = '{"id": 1, "metadata": {}, "data": {broken'
+    long_coll = fabric("c" * 101, {"_time": "2020-06-01T10:00:01",
+                                   "_user": "u2", "v": 2})
+    lines = [good, not_json, long_coll]
+    src = tmp_path / "src"
+    _write_lines(src, lines)
+
+    cat = Catalog()
+    q = start_ingest_stream(
+        spark, str(src), "fabric", cat,
+        table_base=str(tmp_path / "tables"),
+        checkpoint=str(tmp_path / "ckpt"),
+        now=NOW, shard_time=SHARD_T, dedup=False,
+        errors_dir=str(tmp_path / "errors"))
+    q.awaitTermination(120)
+
+    ok = read_collection(spark, str(tmp_path / "tables"),
+                         "testproject", "t", cat)
+    assert [r["v"] for r in ok.collect()] == [1.0]
+    dead = spark.read.parquet(str(tmp_path / "errors")).collect()
+    assert sorted(r.value for r in dead) == sorted([not_json, long_coll])
+    assert all(r.n_bytes == len(r.value.encode()) for r in dead)
+
+
 def test_stream_dedup_drops_duplicate_user_time(spark, tmp_path):
     """ST6: duplicate (_user, _time) keys are dropped across the stream;
     null-keyed records are never deduped (AvroDuplicateHandler.java:93-97)."""
