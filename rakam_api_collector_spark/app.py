@@ -103,7 +103,8 @@ def start(spark: SparkSession, cfg: dict) -> list:
             now=cfg.get("now"),
             source="kinesis" if kin else "kafka",
             bulk_base=cfg.get("bulk_base"),
-            source_stream=source_stream))
+            source_stream=source_stream,
+            errors_dir=cfg.get("errors_dir")))
         if hist.get("dir") or hist_stream is not None:
             queries.append(start_avro_historical_stream(
                 spark, hist.get("dir"), catalog, tgt["base"],
@@ -129,7 +130,8 @@ def start(spark: SparkSession, cfg: dict) -> list:
         trigger=cfg.get("trigger"),
         shard_time=cfg.get("shard_time"),
         now=cfg.get("now"),
-        source_stream=source_stream))
+        source_stream=source_stream,
+        errors_dir=cfg.get("errors_dir")))
 
     if hist.get("dir") or hist_stream is not None:
         queries.append(start_historical_stream(
