@@ -118,7 +118,8 @@ def start(spark: SparkSession, cfg: dict) -> list:
                 shard_time=cfg.get("shard_time"),
                 source="kinesis" if kin else "kafka",
                 bulk_base=cfg.get("bulk_base"),
-                source_stream=hist_stream))
+                source_stream=hist_stream,
+                errors_dir=cfg.get("errors_dir")))
         return queries
 
     queries.append(start_ingest_stream(

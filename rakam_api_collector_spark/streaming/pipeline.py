@@ -438,12 +438,20 @@ def start_avro_historical_stream(spark: SparkSession, historical_dir: str,
                                  trigger: dict | None = None,
                                  shard_time=None, source: str = "kafka",
                                  bulk_base: str | None = None,
-                                 source_stream: DataFrame | None = None):
+                                 source_stream: DataFrame | None = None,
+                                 stats=None, error_monitor=None,
+                                 errors_dir: str | None = None):
     """ST5 for the Avro path: drain the raw-frame parquet spool written
     by ``start_avro_ingest_stream`` (or a historical Kafka topic via
     ``source_stream``) into the same tables — no late split, no dedup
     (already done on the hot path), mirroring
-    KafkaHistoricalWorker.java:157-219."""
+    KafkaHistoricalWorker.java:157-219.
+
+    The hot path never spools corrupt frames, but a historical TOPIC
+    (``source_stream``) can deliver them, so the same A2/ST11
+    accounting and dead-letter options apply here: corrupt frames
+    count against ``error_monitor``, spool to ``errors_dir`` when set,
+    and are never silently dropped."""
     from pyspark.sql import types as T
 
     from rakam_api_collector_spark.ingest.avro import extract_stream_routing
@@ -462,9 +470,12 @@ def start_avro_historical_stream(spark: SparkSession, historical_dir: str,
                                     source=source)
 
     def process(batch: DataFrame, epoch_id: int) -> None:
+        batch = batch.select("_kind", "_collection", "value")
+        if error_monitor is not None or errors_dir is not None:
+            batch = batch.cache()
         tables = _decode_avro_frames(
-            spark, batch.select("_kind", "_collection", "value"),
-            get_columns, project, default_collection, bulk_base)
+            spark, batch, get_columns, project, default_collection,
+            bulk_base)
         try:
             out = tables
             if shard_time is not None:
@@ -473,8 +484,30 @@ def start_avro_historical_stream(spark: SparkSession, historical_dir: str,
                         "_shard_time", F.lit(shard_time).cast("timestamp")))
                     for k, df in tables.items()}
             write_collections(out, table_base)
+            if errors_dir is not None:
+                (batch.filter(F.col("_kind") == "corrupt")
+                 .select("value",
+                         F.octet_length("value").alias("n_bytes"),
+                         F.hex(F.substring("value", 1, 1))
+                         .alias("first_byte_hex"))
+                 .write.mode("append").parquet(errors_dir))
+            if stats is not None or error_monitor is not None:
+                n_bad = batch.filter(F.col("_kind") == "corrupt").count()
+                n_ok = 0
+                for (p, c), df in tables.items():
+                    n = df.count()
+                    if stats is not None:
+                        stats.add(p, c, n)
+                    n_ok += n
+                if error_monitor is not None:
+                    error_monitor.record(ok=n_ok, failed=n_bad)
+                    if error_monitor.should_kill():
+                        raise RuntimeError(
+                            "error-rate kill-switch tripped (ST11): "
+                            ">40% of records failed parsing in 5 min")
         finally:
             tables.unpersist()
+            batch.unpersist()
 
     writer = (routed.writeStream
               .foreachBatch(process)

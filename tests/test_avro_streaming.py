@@ -266,6 +266,38 @@ def test_avro_bulk_stays_hot_with_historical_dir(spark, tmp_path):
         assert spark.read.parquet(str(hist_dir)).count() == 0
 
 
+def test_avro_historical_stream_accounts_corrupt(spark, tmp_path):
+    """A historical TOPIC can deliver corrupt frames (the hot-path
+    spool never does): the historical stream must count them (ST11)
+    and dead-letter them when errors_dir is set — never drop silently."""
+    from rakam_api_collector_spark.streaming.committer import (
+        ErrorRateMonitor, IngestStats)
+
+    cat, fields = _mk_catalog(tmp_path / "catalog.json")
+    good = _frame(fields, "u0", "2020-05-01T10:00:00", 2.0)
+    truncated = good[:6]
+    # simulate a historical-topic payload landing in the spool layout
+    hist_dir = tmp_path / "hist"
+    spark.createDataFrame([(good,), (truncated,)], "value binary") \
+        .write.parquet(str(hist_dir))
+
+    stats = IngestStats()
+    mon = ErrorRateMonitor(min_records=1000)
+    q = start_avro_historical_stream(
+        spark, str(hist_dir), cat, str(tmp_path / "tables"),
+        checkpoint=str(tmp_path / "ckpt_h"), project="p1",
+        shard_time=SHARD_T, stats=stats, error_monitor=mon,
+        errors_dir=str(tmp_path / "errors"))
+    q.awaitTermination(120)
+
+    df = read_collection(spark, str(tmp_path / "tables"), "p1", "t", cat)
+    assert [r["v"] for r in df.collect()] == [2.0]
+    assert stats.total_records() == 1
+    assert sum(e[2] for e in mon._events) == 1
+    dead = spark.read.parquet(str(tmp_path / "errors")).collect()
+    assert len(dead) == 1 and bytes(dead[0].value) == truncated
+
+
 def test_avro_kinesis_source_skips_type1(spark, tmp_path):
     """Kinesis first-byte dispatch parity: type-1 frames are the
     obsolete bulk format and skip silently (no corrupt tag, no row) —
