@@ -142,5 +142,6 @@ def start(spark: SparkSession, cfg: dict) -> list:
                              None if hist_stream is None
                              else {"processingTime": "30 minutes"}),
             shard_time=cfg.get("shard_time"),
-            source_stream=hist_stream))
+            source_stream=hist_stream,
+            errors_dir=cfg.get("errors_dir")))
     return queries

@@ -396,12 +396,14 @@ AUDIO_STATS_TYPE = T.StructType([
 ])
 
 
-def decode_audio(df: DataFrame, id_col: str,
-                 blob_col: str = "blob") -> DataFrame:
+def decode_audio(df: DataFrame, id_col: str, blob_col: str = "blob",
+                 skip_invalid: bool = False) -> DataFrame:
     """Arrow-batched WAV decode → per-clip sample statistics (exact
     integers: sum, sum of squares — the energy term an audio-quality
     filter thresholds on — min, max). Same shape as ``decode_image``:
-    blob selected only here, one mapInPandas pass, narrow output."""
+    blob selected only here, one mapInPandas pass, narrow output;
+    ``skip_invalid`` drops undecodable clips (caller accounts
+    n_in − n_out, the ST11 contract)."""
 
     def stats(batches: Iterator) -> Iterator:
         import numpy as np
@@ -409,8 +411,16 @@ def decode_audio(df: DataFrame, id_col: str,
         for pdf in batches:
             rows = []
             for i, blob in zip(pdf["_id"], pdf["_blob"]):
-                rate, ch, pcm = wav_decode(bytes(blob))
+                try:
+                    rate, ch, pcm = wav_decode(bytes(blob))
+                except (ValueError, struct.error):
+                    if skip_invalid:
+                        continue
+                    raise
                 arr = np.frombuffer(pcm, dtype="<i2").astype(np.int64)
+                if arr.size == 0:       # zero-frame clip: all stats 0
+                    rows.append((int(i), rate, ch, 0, 0, 0, 0, 0))
+                    continue
                 rows.append((
                     int(i), rate, ch, arr.size // ch, int(arr.sum()),
                     int((arr * arr).sum()), int(arr.min()),
@@ -538,13 +548,16 @@ VIDEO_FRAME_STATS_TYPE = T.StructType([
 
 def sample_video_frames(df: DataFrame, id_col: str,
                         blob_col: str = "blob",
-                        every: int = 30) -> DataFrame:
+                        every: int = 30,
+                        skip_invalid: bool = False) -> DataFrame:
     """Decode every ``every``-th frame of a packed video column → one
     stats row per SAMPLED frame (frames between sample points are
     skipped by length prefix, never decoded — the property that makes
     frame sampling cheap at scale). One mapInPandas pass; output rows
     fan out (one per sampled frame), ids/indexes only plus exact
-    integer pixel stats."""
+    integer pixel stats. ``skip_invalid`` drops undecodable sampled
+    frames (and whole containers with a broken index) instead of
+    failing the job."""
 
     def sample(batches: Iterator) -> Iterator:
         import numpy as np
@@ -552,10 +565,21 @@ def sample_video_frames(df: DataFrame, id_col: str,
         for pdf in batches:
             rows = []
             for i, blob in zip(pdf["_id"], pdf["_blob"]):
-                for idx, fr in _iter_frames(bytes(blob)):
+                try:
+                    frames = list(_iter_frames(bytes(blob)))
+                except (ValueError, struct.error):
+                    if skip_invalid:
+                        continue
+                    raise
+                for idx, fr in frames:
                     if idx % every:
                         continue
-                    w, h, c, px = png_decode(fr)
+                    try:
+                        w, h, c, px = png_decode(fr)
+                    except (ValueError, struct.error, zlib.error):
+                        if skip_invalid:
+                            continue
+                        raise
                     arr = np.frombuffer(px, dtype=np.uint8) \
                         .astype(np.int64)
                     rows.append((int(i), idx, w, h, int(arr.sum()),

@@ -520,13 +520,16 @@ def start_historical_stream(spark: SparkSession, historical_dir: str | None,
                             fmt: str, catalog: Catalog, table_base: str,
                             checkpoint: str, trigger: dict | None = None,
                             time_field: str = "_time", shard_time=None,
-                            source_stream: DataFrame | None = None):
+                            source_stream: DataFrame | None = None,
+                            errors_dir: str | None = None):
     """ST5: drain the historical spool in big, low-frequency batches
     (reference: 30 min cadence or 500k-record lag,
     KafkaHistoricalWorker.java:157-219) into the same tables — no late
     split, no dedup (already done on the hot path). ``source_stream``
     substitutes a connector stream (e.g. the historical Kafka topic,
-    ``sources.kafka.historical_reader(...).load()``) for the spool dir."""
+    ``sources.kafka.historical_reader(...).load()``) for the spool dir;
+    such a topic can carry envelopes the parser would drop, so
+    ``errors_dir`` dead-letters them exactly as on the realtime path."""
     if source_stream is not None:
         raw = source_stream.select(
             F.col("value").cast("string").alias("value"))
@@ -534,6 +537,20 @@ def start_historical_stream(spark: SparkSession, historical_dir: str | None,
         raw = spark.readStream.format("text").load(historical_dir)
 
     def process(batch: DataFrame, epoch_id: int) -> None:
+        if errors_dir is not None:
+            cfg = FORMATS[fmt]
+            proj = F.lower(F.get_json_object("value", cfg["project"]))
+            coll = F.get_json_object("value", cfg["collection"])
+            data = F.get_json_object("value", cfg["data"])
+            bad = (proj.isNull() | coll.isNull()
+                   | (F.length(coll) == 0) | (F.length(coll) > 100)
+                   | data.isNull()
+                   | F.expr("from_json(get_json_object(value, "
+                            f"'{cfg['data']}'), "
+                            "'map<string,variant>')").isNull())
+            (batch.filter(bad)
+             .select("value", F.octet_length("value").alias("n_bytes"))
+             .write.mode("append").parquet(errors_dir))
         tables = ingest_batch(spark, batch, fmt, catalog,
                               shard_time=shard_time, time_field=time_field)
         try:

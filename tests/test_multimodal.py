@@ -177,6 +177,30 @@ def test_resize_image_nearest_neighbor(spark):
     assert list(one) == [255, 0, 0]          # floor map picks (0,0)
 
 
+def test_audio_video_skip_invalid(spark):
+    """skip_invalid parity on the audio and video stages: bad clips /
+    bad SAMPLED frames drop; defaults fail fast."""
+    s = np.arange(-100, 100, 5, dtype="<i2").tobytes()
+    adf = spark.createDataFrame(
+        [(1, M.wav_encode(s, 8000, 1)), (2, b"not-wav")],
+        "i long, blob binary")
+    out = M.decode_audio(adf, "i", skip_invalid=True).collect()
+    assert [r.id for r in out] == [1]
+    with pytest.raises(Exception):
+        M.decode_audio(adf, "i").collect()
+
+    good = M.png_encode(bytes(range(4)), 2, 2, 1)
+    vids = spark.createDataFrame(
+        [(1, M.pack_video([good, b"junk", good])),   # junk IS sampled
+         (2, b"not-a-container")],
+        "i long, blob binary")
+    out = M.sample_video_frames(vids, "i", every=1,
+                                skip_invalid=True).collect()
+    assert [(r.id, r.frame_idx) for r in out] == [(1, 0), (1, 2)]
+    with pytest.raises(Exception):
+        M.sample_video_frames(vids, "i", every=1).collect()
+
+
 def test_attach_blob_and_byte_features(spark):
     """Codec-free byte-statistics path still works (decode_features)."""
     docs = spark.createDataFrame([(1, "ab"), (2, "")],
