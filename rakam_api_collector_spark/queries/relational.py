@@ -547,6 +547,28 @@ def dq39_pivot(spark: SparkSession, sf: str) -> DataFrame:
             .orderBy("day"))
 
 
+def dq45_range_frame(spark: SparkSession, sf: str) -> DataFrame:
+    """RANGE-framed moving aggregate — the value-based frame the
+    ROWS-framed battery (dq40) doesn't cover: per user, the count and
+    exact-decimal sum of events in the trailing 1-hour window of each
+    event (RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW over epoch
+    seconds). One Window operator, one shuffle on user_id; peer rows
+    (equal timestamps) aggregate identically by RANGE semantics, so
+    the result is deterministic without a unique tiebreaker."""
+    ev = (load_table(spark, sf, "events")
+          .select("user_id", "ts", "value",
+                  F.unix_timestamp("ts").alias("_sec"))
+          .filter(F.col("user_id") % 29 == 0))
+    w = (Window.partitionBy("user_id").orderBy("_sec")
+         .rangeBetween(-3600, Window.currentRow))
+    return (ev.select(
+                "user_id", "ts",
+                F.count("*").over(w).alias("n_1h"),
+                F.round(F.sum(F.col("value").cast("decimal(18,6)"))
+                        .over(w).cast("double"), 4).alias("sum_1h"))
+            .orderBy("user_id", "ts"))
+
+
 def dq40_window_analytics(spark: SparkSession, sf: str) -> DataFrame:
     """Analytic-window battery: lag / lead / dense_rank / ntile /
     cume_dist over one window spec — Spark evaluates all five in a
@@ -693,6 +715,7 @@ QUERIES = {
     "dq42_funnel": dq42_funnel,
     "dq43_retention": dq43_retention,
     "dq44_grouping_sets": dq44_grouping_sets,
+    "dq45_range_frame": dq45_range_frame,
 }
 
 # DuckDB oracle SQL — identical aliases & result types by construction.
@@ -1009,6 +1032,20 @@ ORACLE = {
                CAST(sum(f3) AS BIGINT) AS r3,
                CAST(sum(f7) AS BIGINT) AS r7
         FROM flags GROUP BY d0 ORDER BY d0
+    """,
+    "dq45_range_frame": """
+        WITH ev AS (
+          SELECT user_id, ts, value,
+                 CAST(epoch(ts) AS BIGINT) AS _sec
+          FROM events WHERE user_id % 29 = 0)
+        SELECT user_id, ts,
+               CAST(count(*) OVER w AS BIGINT) AS n_1h,
+               round(CAST(sum(CAST(value AS DECIMAL(18,6))) OVER w
+                          AS DOUBLE), 4) AS sum_1h
+        FROM ev
+        WINDOW w AS (PARTITION BY user_id ORDER BY _sec
+                     RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+        ORDER BY user_id, ts
     """,
     "dq44_grouping_sets": """
         SELECT event_type, CAST(ts AS DATE) AS day,
