@@ -569,6 +569,41 @@ def dq45_range_frame(spark: SparkSession, sf: str) -> DataFrame:
             .orderBy("user_id", "ts"))
 
 
+def dq46_stats_agg(spark: SparkSession, sf: str) -> DataFrame:
+    """Statistical aggregates — sample variance/stddev of price and the
+    price↔quantity correlation per return flag. Computed from EXACT
+    decimal sums (n, Σx, Σx², Σxy) rather than the engines' one-pass
+    builtin implementations (``var_samp``/``corr`` use numerically
+    stable streaming algorithms whose low-order bits differ per
+    engine/partitioning); the decimal route is order-independent and
+    bit-identical cross-engine, then one double division at the end.
+    Same single-shuffle map-side-combine plan as any hash aggregate."""
+    li = (load_table(spark, sf, "lineitem")
+          .select("l_returnflag",
+                  F.col("l_extendedprice").cast("decimal(18,6)").alias("x"),
+                  F.col("l_quantity").cast("decimal(18,6)").alias("y")))
+    agg = li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"))
+    n = F.col("n").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    syy = F.col("syy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    var = (sxx - sx * sx / n) / (n - 1)
+    cov = (sxy - sx * sy / n) / (n - 1)
+    vy = (syy - sy * sy / n) / (n - 1)
+    return (agg.select(
+                "l_returnflag", "n",
+                F.round(var, 4).alias("var_price"),
+                F.round(F.sqrt(var), 4).alias("std_price"),
+                F.round(cov / F.sqrt(var * vy), 6).alias("corr_pq"))
+            .orderBy("l_returnflag"))
+
+
 def dq40_window_analytics(spark: SparkSession, sf: str) -> DataFrame:
     """Analytic-window battery: lag / lead / dense_rank / ntile /
     cume_dist over one window spec — Spark evaluates all five in a
@@ -716,6 +751,7 @@ QUERIES = {
     "dq43_retention": dq43_retention,
     "dq44_grouping_sets": dq44_grouping_sets,
     "dq45_range_frame": dq45_range_frame,
+    "dq46_stats_agg": dq46_stats_agg,
 }
 
 # DuckDB oracle SQL — identical aliases & result types by construction.
@@ -1032,6 +1068,40 @@ ORACLE = {
                CAST(sum(f3) AS BIGINT) AS r3,
                CAST(sum(f7) AS BIGINT) AS r7
         FROM flags GROUP BY d0 ORDER BY d0
+    """,
+    "dq46_stats_agg": """
+        WITH a AS (
+          SELECT l_returnflag,
+                 count(*) AS n,
+                 sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS sx,
+                 sum(CAST(l_quantity AS DECIMAL(18,6))) AS sy,
+                 sum(CAST(l_extendedprice AS DECIMAL(30,6))
+                     * CAST(l_extendedprice AS DECIMAL(30,6))) AS sxx,
+                 sum(CAST(l_quantity AS DECIMAL(30,6))
+                     * CAST(l_quantity AS DECIMAL(30,6))) AS syy,
+                 sum(CAST(l_extendedprice AS DECIMAL(30,6))
+                     * CAST(l_quantity AS DECIMAL(30,6))) AS sxy
+          FROM lineitem GROUP BY l_returnflag)
+        SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+               round((CAST(sxx AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+                        / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1), 4)
+                 AS var_price,
+               round(sqrt((CAST(sxx AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+                        / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1)), 4)
+                 AS std_price,
+               round(((CAST(sxy AS DOUBLE)
+                       - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)
+                         / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1))
+                     / sqrt(((CAST(sxx AS DOUBLE)
+                       - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+                         / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1))
+                      * ((CAST(syy AS DOUBLE)
+                       - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)
+                         / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1))), 6)
+                 AS corr_pq
+        FROM a ORDER BY l_returnflag
     """,
     "dq45_range_frame": """
         WITH ev AS (
