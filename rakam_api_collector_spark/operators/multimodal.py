@@ -433,6 +433,51 @@ def decode_audio(df: DataFrame, id_col: str, blob_col: str = "blob",
     return narrow.mapInPandas(stats, AUDIO_STATS_TYPE)
 
 
+def resample_audio(df: DataFrame, id_col: str, out_rate: int,
+                   blob_col: str = "blob") -> DataFrame:
+    """Arrow-batched WAV resample (nearest-frame / zero-order hold):
+    decode → frame index-map gather → re-encode at ``out_rate``,
+    emitting (id, sample_rate, channels, n_frames, blob).
+
+    The frame map is the same exact integer rule as image resize:
+    ``src_frame = (dst_frame * in_rate) // out_rate`` with
+    ``n_out = ceil(n_in * out_rate / in_rate)`` — deterministic, so a
+    SQL oracle can recompute resampled sample stats from a closed-form
+    input. All channels of a frame move together (interleave
+    preserved); one numpy fancy-index per clip. A band-limited
+    resampler (polyphase/sinc) would slot into the same stage via
+    scipy at deployment."""
+    out_schema = T.StructType([
+        T.StructField("id", T.LongType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("n_frames", T.LongType()),
+        T.StructField(blob_col, T.BinaryType()),
+    ])
+
+    def resample(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+        for pdf in batches:
+            rows = []
+            for i, blob in zip(pdf["_id"], pdf["_blob"]):
+                in_rate, ch, pcm = wav_decode(bytes(blob))
+                frames = np.frombuffer(pcm, dtype="<i2").reshape(-1, ch)
+                n_in = frames.shape[0]
+                n_out = -(-n_in * out_rate // in_rate)   # ceil
+                idx = (np.arange(n_out) * in_rate) // out_rate
+                out = np.ascontiguousarray(frames[idx])
+                rows.append((int(i), out_rate, ch, n_out,
+                             wav_encode(out.tobytes(), out_rate, ch)))
+            yield pd.DataFrame(rows, columns=["id", "sample_rate",
+                                              "channels", "n_frames",
+                                              blob_col])
+
+    narrow = df.select(F.col(id_col).cast("long").alias("_id"),
+                       F.col(blob_col).alias("_blob"))
+    return narrow.mapInPandas(resample, out_schema)
+
+
 def synthesize_wav(df: DataFrame, id_col: str, rate_col: str,
                    ch_col: str, frames_col: str,
                    blob_col: str = "blob") -> DataFrame:

@@ -9,10 +9,10 @@ Ordering matters: the driver's correctness gate checks the FIRST 50
 registry entries per round. The registry therefore leads with the
 queries that most need fresh driver evidence this round and rotates the
 rest behind them; every query keeps its entry (bench + pytest run all
-82) — only the position changes round to round.
+83) — only the position changes round to round.
 
 Rotation invariant: **every query's driver evidence is at most one
-round old.** With 82 queries and a 50-slot window the cadence is two
+round old.** With 83 queries and a 50-slot window the cadence is two
 rounds; each round's window = (all queries without a green row from
 the previous round) + (everything modified this round) + fill.
 
@@ -24,11 +24,11 @@ Window history:
 - r6 (current): the 26 queries with no r5 row (dq01/02/04/06/07,
   dq09-11, dq18-25, dq27/28, dq33, dq37-43), the queries modified in
   r6 (llm12 multi-probe LSH, llm14 real PNG decode, llm32 singleton
-  fast path), the NEW queries (llm33-35 real audio/video/resize,
+  fast path), the NEW queries (llm33-36 real audio/video/resize/resample,
   dq44 grouping sets, dq45 range frame, dq46 stats agg), llm29-31 (one round of evidence),
   regression-prone families (llm09/16/17, dq26/35, llm10), and
-  dedup/similarity fill. Out-of-window (32 queries, all r5-green,
-  due back in r7): llm01-06, llm18, llm19, llm20-28, dq05/08, dq12-17
+  dedup/similarity fill. Out-of-window (33 queries, all r5-green,
+  due back in r7): llm01-06, llm11, llm18-28, dq05/08, dq12-17
   (semi+anti), dq29-32, dq34/36. (The bench-regression watch for
   llm01/02/26/27 moved to bench.py's >1.2x min-of-2 rule to free
   slots for the new queries.)
@@ -61,11 +61,11 @@ _WINDOW = [
     "llm09_minhash_lsh", "llm16_dedup_clusters", "llm17_incremental_dedup",
     "dq26_epoch_conversions", "dq35_sessionize", "llm10_simhash",
     "llm07_exact_dedup", "llm08_jaccard_pairs", "llm15_embed_dedup",
-    "llm11_knn_cosine",
     # new in r6 — no prior evidence (r5 bench-regression watch for
     # llm26/27/01/02 moved to bench.py's >1.2x min-of-2 rule)
     "llm33_audio_features", "llm34_video_sample", "llm35_resize_image",
     "dq44_grouping_sets", "dq45_range_frame", "dq46_stats_agg",
+    "llm36_audio_resample",
 ]
 
 assert len(_WINDOW) == 50 and len(set(_WINDOW)) == 50, len(_WINDOW)

@@ -401,6 +401,31 @@ def llm14_decode_features(spark: SparkSession, sf: str) -> DataFrame:
             .orderBy("doc_id"))
 
 
+def llm36_audio_resample(spark: SparkSession, sf: str) -> DataFrame:
+    """REAL audio resample, end to end: the llm33 synthetic WAV clips
+    (mixed 8/12/16 kHz) are decoded, zero-order-hold resampled to
+    4 kHz (frame map ``src = (dst*in_rate) // 4000``, interleave
+    preserved — operators/multimodal.py:resample_audio), re-encoded,
+    then decoded AGAIN for stats; the oracle recomputes the resampled
+    sample stream arithmetically through the frame map, certifying
+    decode → resample → encode → decode with no audio code on the
+    oracle side."""
+    docs = (load_table(spark, sf, "documents")
+            .select("doc_id").filter(F.col("doc_id") < 200))
+    spec = docs.select(
+        "doc_id",
+        ((F.col("doc_id") % 3) * 4000 + 8000).alias("rate"),
+        (F.col("doc_id") % 2 + 1).alias("ch"),
+        (F.col("doc_id") % 100 + 50).alias("nf"))
+    blobbed = M.synthesize_wav(spec, "doc_id", "rate", "ch", "nf")
+    resampled = M.resample_audio(blobbed, "id", out_rate=4000)
+    stats = M.decode_audio(resampled, "id")
+    return (stats.select(F.col("id").alias("doc_id"), "sample_rate",
+                         "channels", "n_frames", "amp_sum", "amp_sqsum",
+                         "amp_min", "amp_max")
+            .orderBy("doc_id"))
+
+
 # --- corpus curation ---------------------------------------------------------
 # The fixture corpus is clean by construction, so the curation queries
 # inject their target artifacts deterministically (same expression in
@@ -759,6 +784,7 @@ QUERIES = {
     "llm33_audio_features": llm33_audio_features,
     "llm34_video_sample": llm34_video_sample,
     "llm35_resize_image": llm35_resize_image,
+    "llm36_audio_resample": llm36_audio_resample,
 }
 
 _SW = {k: ", ".join(f"'{w}'" for w in v) for k, v in T.STOPWORDS.items()}
@@ -1447,6 +1473,43 @@ ORACLE = {
                CAST(MAX(px) AS INTEGER) AS px_max
         FROM samples
         GROUP BY doc_id, c
+        ORDER BY doc_id
+    """,
+    # Resampled WAV stats recomputed through the zero-order-hold frame
+    # map: out sample i (interleaved over n_out frames x ch) has frame
+    # f = i // ch, channel c = i % ch, source frame g = (f*in_rate) //
+    # 4000, source sample index g*ch + c, value ((doc_id*37 +
+    # (g*ch+c)*11) % 4001) - 2000. n_out = ceil(nf*4000/in_rate);
+    # max samples = ceil(149*4000/8000) * 2 = 150.
+    "llm36_audio_resample": """
+        WITH docs AS (
+          SELECT doc_id,
+                 (doc_id % 3) * 4000 + 8000 AS in_rate,
+                 doc_id % 2 + 1 AS channels,
+                 doc_id % 100 + 50 AS nf
+          FROM documents WHERE doc_id < 200),
+        d2 AS (
+          SELECT *, (nf * 4000 + in_rate - 1) // in_rate AS n_out
+          FROM docs),
+        ser AS (SELECT unnest(generate_series(0, 149)) AS i),
+        samples AS (
+          SELECT d.doc_id, d.channels, d.n_out,
+                 ((d.doc_id * 37 +
+                   (((ser.i // d.channels) * d.in_rate // 4000)
+                    * d.channels + ser.i % d.channels) * 11) % 4001)
+                 - 2000 AS s
+          FROM d2 d CROSS JOIN ser
+          WHERE ser.i < d.n_out * d.channels)
+        SELECT doc_id,
+               CAST(4000 AS INTEGER) AS sample_rate,
+               CAST(channels AS INTEGER) AS channels,
+               CAST(n_out AS BIGINT) AS n_frames,
+               CAST(SUM(s) AS BIGINT) AS amp_sum,
+               CAST(SUM(s * s) AS BIGINT) AS amp_sqsum,
+               CAST(MIN(s) AS INTEGER) AS amp_min,
+               CAST(MAX(s) AS INTEGER) AS amp_max
+        FROM samples
+        GROUP BY doc_id, channels, n_out
         ORDER BY doc_id
     """,
     # Sampled-frame pixel stats from px[f][i] = (doc_id*31 + f*13 +

@@ -177,6 +177,30 @@ def test_resize_image_nearest_neighbor(spark):
     assert list(one) == [255, 0, 0]          # floor map picks (0,0)
 
 
+def test_resample_audio_frame_map(spark):
+    """Zero-order-hold resample: frame map src=(dst*in)//out, all
+    channels of a frame move together, ceil-length output; upsample
+    repeats frames per the same map."""
+    frames = np.array([[100, -100], [200, -200], [300, -300]],
+                      dtype="<i2")                    # 3 frames, stereo
+    df = spark.createDataFrame(
+        [(1, M.wav_encode(frames.tobytes(), 6000, 2))],
+        "i long, blob binary")
+    # downsample 6000 -> 4000: n_out = ceil(3*4000/6000) = 2,
+    # src frames = (0*6000)//4000=0, (1*6000)//4000=1
+    down = M.resample_audio(df, "i", out_rate=4000).collect()[0]
+    assert (down.sample_rate, down.channels, down.n_frames) == (4000, 2, 2)
+    _, _, pcm = M.wav_decode(bytes(down.blob))
+    assert np.frombuffer(pcm, dtype="<i2").reshape(-1, 2).tolist() == \
+        [[100, -100], [200, -200]]
+    # upsample 6000 -> 12000: n_out = 6, each src frame twice
+    up = M.resample_audio(df, "i", out_rate=12000).collect()[0]
+    _, _, pcm = M.wav_decode(bytes(up.blob))
+    got = np.frombuffer(pcm, dtype="<i2").reshape(-1, 2).tolist()
+    assert got == [[100, -100], [100, -100], [200, -200],
+                   [200, -200], [300, -300], [300, -300]]
+
+
 def test_audio_video_skip_invalid(spark):
     """skip_invalid parity on the audio and video stages: bad clips /
     bad SAMPLED frames drop; defaults fail fast."""
