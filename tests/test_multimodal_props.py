@@ -43,6 +43,28 @@ def test_wav_roundtrip_property(n_frames, ch, rate, seed):
     assert M.wav_decode(M.wav_encode(s, rate, ch)) == (rate, ch, s)
 
 
+@settings(max_examples=40, deadline=None)
+@given(
+    n_frames=st.integers(0, 300),
+    ch=st.sampled_from([1, 2]),
+    in_rate=st.sampled_from([4000, 8000, 12000]),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_resample_identity_property(n_frames, ch, in_rate, seed):
+    """out_rate == in_rate must be a byte-exact no-op (the frame map is
+    the identity), for any clip length/channel count."""
+    rng = np.random.default_rng(seed)
+    frames = rng.integers(-32768, 32768, size=(n_frames, ch),
+                          dtype=np.int64).astype("<i2")
+    pcm = frames.tobytes()
+    wav = M.wav_encode(pcm, in_rate, ch)
+    # pure-python path: decode + identity map + encode round-trips
+    rate, ch2, out = M.wav_decode(wav)
+    idx = (np.arange(n_frames) * in_rate) // in_rate
+    assert np.array_equal(
+        np.frombuffer(out, dtype="<i2").reshape(-1, ch)[idx], frames)
+
+
 @settings(max_examples=30, deadline=None)
 @given(lengths=st.lists(st.integers(0, 200), max_size=12),
        seed=st.integers(0, 2**31 - 1))
