@@ -97,9 +97,12 @@ def main() -> None:
         pass
     heavy = sorted((k for k, v in timings.items() if v == v),
                    key=lambda k: -timings[k])[:10]
-    regressed = [k for k, v in timings.items()
-                 if v == v and k in prev and prev[k] > 0
-                 and v > 1.2 * prev[k] and k not in heavy][:12]
+    # cap keeps the WORST regressions, not alphabetical order
+    regressed = sorted(
+        (k for k, v in timings.items()
+         if v == v and k in prev and prev[k] > 0
+         and v > 1.2 * prev[k] and k not in heavy),
+        key=lambda k: -(timings[k] / prev[k]))[:12]
     for name in heavy + regressed:
         again = run_once(name)
         if again == again:

@@ -181,6 +181,10 @@ def png_decode(data: bytes) -> tuple[int, int, int, bytes]:
         if tag == b"IHDR":
             width, height, depth, ctype, comp, filt, interlace = \
                 struct.unpack(">IIBBBBB", body)
+            if width == 0 or height == 0:
+                # spec §11.2.2: zero dimensions are invalid; rejecting
+                # here also keeps downstream stat reductions nonempty
+                raise ValueError("zero image dimension")
             if depth != 8:
                 raise ValueError(f"unsupported bit depth {depth}")
             if ctype not in _CHANNELS_OF_CTYPE:
@@ -375,6 +379,11 @@ def wav_decode(data: bytes) -> tuple[int, int, bytes]:
                 raise ValueError(f"unsupported WAV format tag {fmt_tag}")
             if bits != 16:
                 raise ValueError(f"unsupported bit depth {bits}")
+            if channels == 0:
+                # invalid per spec; also guards the frame-size modulo
+                # below from ZeroDivisionError so skip_invalid callers
+                # see the ValueError they catch
+                raise ValueError("zero channel count")
         elif tag == b"data":
             pcm = body
     if rate is None or pcm is None:
@@ -433,6 +442,20 @@ def decode_audio(df: DataFrame, id_col: str, blob_col: str = "blob",
     return narrow.mapInPandas(stats, AUDIO_STATS_TYPE)
 
 
+def resample_pcm(pcm: bytes, channels: int, in_rate: int,
+                 out_rate: int) -> tuple[int, bytes]:
+    """Pure zero-order-hold resample of an interleaved int16-LE buffer:
+    (n_out_frames, resampled_pcm). Frame map
+    ``src = (dst * in_rate) // out_rate``, ``n_out =
+    ceil(n_in * out_rate / in_rate)``; identity when rates match."""
+    import numpy as np
+    frames = np.frombuffer(pcm, dtype="<i2").reshape(-1, channels)
+    n_in = frames.shape[0]
+    n_out = -(-n_in * out_rate // in_rate)               # ceil
+    idx = (np.arange(n_out) * in_rate) // out_rate
+    return n_out, np.ascontiguousarray(frames[idx]).tobytes()
+
+
 def resample_audio(df: DataFrame, id_col: str, out_rate: int,
                    blob_col: str = "blob") -> DataFrame:
     """Arrow-batched WAV resample (nearest-frame / zero-order hold):
@@ -456,19 +479,14 @@ def resample_audio(df: DataFrame, id_col: str, out_rate: int,
     ])
 
     def resample(batches: Iterator) -> Iterator:
-        import numpy as np
         import pandas as pd
         for pdf in batches:
             rows = []
             for i, blob in zip(pdf["_id"], pdf["_blob"]):
                 in_rate, ch, pcm = wav_decode(bytes(blob))
-                frames = np.frombuffer(pcm, dtype="<i2").reshape(-1, ch)
-                n_in = frames.shape[0]
-                n_out = -(-n_in * out_rate // in_rate)   # ceil
-                idx = (np.arange(n_out) * in_rate) // out_rate
-                out = np.ascontiguousarray(frames[idx])
+                n_out, out = resample_pcm(pcm, ch, in_rate, out_rate)
                 rows.append((int(i), out_rate, ch, n_out,
-                             wav_encode(out.tobytes(), out_rate, ch)))
+                             wav_encode(out, out_rate, ch)))
             yield pd.DataFrame(rows, columns=["id", "sample_rate",
                                               "channels", "n_frames",
                                               blob_col])
@@ -567,17 +585,24 @@ def pack_video(frames: list[bytes]) -> bytes:
     return bytes(out)
 
 
-def _iter_frames(data: bytes):
-    """Yield (frame_idx, frame_bytes) lazily — sampling skips payloads
-    by length prefix without touching (or decoding) them."""
+def _frame_offsets(data: bytes):
+    """Yield (frame_idx, offset, length) lazily — the index walk only
+    reads length prefixes, never frame payloads, so a sampler slices
+    (copies) exactly the frames it decodes."""
     if data[:4] != _VID_MAGIC:
         raise ValueError("not a VID0 container")
     (n,) = struct.unpack("<I", data[4:8])
     pos = 8
     for idx in range(n):
         (ln,) = struct.unpack("<I", data[pos:pos + 4])
-        yield idx, data[pos + 4:pos + 4 + ln]
+        yield idx, pos + 4, ln
         pos += 4 + ln
+
+
+def _iter_frames(data: bytes):
+    """Yield (frame_idx, frame_bytes) for every frame."""
+    for idx, off, ln in _frame_offsets(data):
+        yield idx, data[off:off + ln]
 
 
 VIDEO_FRAME_STATS_TYPE = T.StructType([
@@ -610,17 +635,19 @@ def sample_video_frames(df: DataFrame, id_col: str,
         for pdf in batches:
             rows = []
             for i, blob in zip(pdf["_id"], pdf["_blob"]):
+                data = bytes(blob)
                 try:
-                    frames = list(_iter_frames(bytes(blob)))
+                    # walk offsets only (no payload copies); unsampled
+                    # frames are never sliced or decoded
+                    sampled = [(idx, off, ln) for idx, off, ln
+                               in _frame_offsets(data) if idx % every == 0]
                 except (ValueError, struct.error):
                     if skip_invalid:
                         continue
                     raise
-                for idx, fr in frames:
-                    if idx % every:
-                        continue
+                for idx, off, ln in sampled:
                     try:
-                        w, h, c, px = png_decode(fr)
+                        w, h, c, px = png_decode(data[off:off + ln])
                     except (ValueError, struct.error, zlib.error):
                         if skip_invalid:
                             continue

@@ -53,6 +53,42 @@ def _event_time_expr(fmt: str, time_field: str = "_time") -> Column:
     return raw.try_cast("timestamp")
 
 
+def _envelope_reject_predicate(fmt: str) -> Column:
+    """True for envelope rows the router/parser will drop
+    (ingest/batch.py routing filter + from_json map parse): missing
+    project/collection/data, collection name empty or >100 chars
+    (java:95-103 validation), or unparseable JSON body. The single
+    definition both dead-letter spools use, so they cannot drift from
+    what the parser actually rejects."""
+    cfg = FORMATS[fmt]
+    proj = F.lower(F.get_json_object("value", cfg["project"]))
+    coll = F.get_json_object("value", cfg["collection"])
+    data = F.get_json_object("value", cfg["data"])
+    return (proj.isNull() | coll.isNull()
+            | (F.length(coll) == 0) | (F.length(coll) > 100)
+            | data.isNull()
+            | F.expr("from_json(get_json_object(value, "
+                     f"'{cfg['data']}'), "
+                     "'map<string,variant>')").isNull())
+
+
+def _spool_dead_letters(bad: DataFrame, errors_dir: str) -> None:
+    """Append rejected envelope rows (string ``value``) as replayable
+    parquet."""
+    (bad.select("value", F.octet_length("value").alias("n_bytes"))
+     .write.mode("append").parquet(errors_dir))
+
+
+def _spool_corrupt_frames(batch: DataFrame, errors_dir: str) -> None:
+    """Append ``_kind=='corrupt'`` binary frames as replayable parquet
+    with cheap forensics columns."""
+    (batch.filter(F.col("_kind") == "corrupt")
+     .select("value",
+             F.octet_length("value").alias("n_bytes"),
+             F.hex(F.substring("value", 1, 1)).alias("first_byte_hex"))
+     .write.mode("append").parquet(errors_dir))
+
+
 def start_ingest_stream(spark: SparkSession, source_dir: str, fmt: str,
                         catalog: Catalog, table_base: str, checkpoint: str,
                         historical_dir: str | None = None,
@@ -128,7 +164,18 @@ def start_ingest_stream(spark: SparkSession, source_dir: str, fmt: str,
         batch = batch.select("value", "_event_time").cache()
         tables = None
         try:
-            rt, hist = split_late(batch, time_col="_event_time",
+            if errors_dir is not None:
+                # dead-letter spool, on the PRE-SPLIT batch: malformed
+                # envelopes carry a null event time, so split_late would
+                # route them historical — spooling first keeps the
+                # per-micro-batch contract and lets the split below
+                # exclude them from the valid-late spool
+                bad = _envelope_reject_predicate(fmt)
+                _spool_dead_letters(batch.filter(bad), errors_dir)
+                splittable = batch.filter(~bad)
+            else:
+                splittable = batch
+            rt, hist = split_late(splittable, time_col="_event_time",
                                   outdated_day_index=outdated_day_index,
                                   now=now)
             if historical_dir is not None:
@@ -138,32 +185,19 @@ def start_ingest_stream(spark: SparkSession, source_dir: str, fmt: str,
                 hist.select("value").write.mode("append").text(historical_dir)
                 hot = rt
             else:
-                hot = batch
-            if errors_dir is not None:
-                # dead-letter spool: same validation predicate the
-                # router/parser applies (ingest/batch.py routing filter
-                # + from_json null ⇒ row would be dropped there)
-                cfg = FORMATS[fmt]
-                proj = F.lower(F.get_json_object("value", cfg["project"]))
-                coll = F.get_json_object("value", cfg["collection"])
-                data = F.get_json_object("value", cfg["data"])
-                bad = (proj.isNull() | coll.isNull()
-                       | (F.length(coll) == 0) | (F.length(coll) > 100)
-                       | data.isNull()
-                       | F.expr("from_json(get_json_object(value, "
-                                f"'{cfg['data']}'), "
-                                "'map<string,variant>')").isNull())
-                (hot.filter(bad)
-                 .select("value", F.octet_length("value").alias("n_bytes"))
-                 .write.mode("append").parquet(errors_dir))
+                hot = splittable
             tables = ingest_batch(spark, hot.select("value"), fmt, catalog,
                                   shard_time=shard_time,
                                   time_field=time_field)
             write_collections(tables, table_base)
             if stats is not None or error_monitor is not None:
                 # A2 per-collection counters + ST11 kill-switch; opt-in
-                # because the counts are extra actions per micro-batch
+                # because the counts are extra actions per micro-batch.
+                # Dead-lettered rows never reach `hot`, so they are
+                # added back into the failure count explicitly.
                 n_in = hot.count()
+                n_dead = (batch.filter(bad).count()
+                          if errors_dir is not None else 0)
                 n_ok = 0
                 for (project, collection), df in tables.items():
                     n = df.count()
@@ -171,7 +205,8 @@ def start_ingest_stream(spark: SparkSession, source_dir: str, fmt: str,
                     if stats is not None:
                         stats.add(project, collection, n)
                 if error_monitor is not None:
-                    error_monitor.record(ok=n_ok, failed=max(n_in - n_ok, 0))
+                    error_monitor.record(
+                        ok=n_ok, failed=max(n_in - n_ok, 0) + n_dead)
                     if error_monitor.should_kill():
                         # the reference exits the process
                         # (KafkaUtil.java:162-166); failing the batch
@@ -381,12 +416,7 @@ def start_avro_ingest_stream(spark: SparkSession, source_dir: str | None,
             if errors_dir is not None:
                 # dead-letter spool: raw frame + cheap forensics cols;
                 # stays hot-path-exact because corrupt never spools
-                (batch.filter(F.col("_kind") == "corrupt")
-                 .select("value",
-                         F.octet_length("value").alias("n_bytes"),
-                         F.hex(F.substring("value", 1, 1))
-                         .alias("first_byte_hex"))
-                 .write.mode("append").parquet(errors_dir))
+                _spool_corrupt_frames(batch, errors_dir)
             tables = _decode_avro_frames(
                 spark, hot, get_columns, project, default_collection,
                 bulk_base)
@@ -471,7 +501,10 @@ def start_avro_historical_stream(spark: SparkSession, historical_dir: str,
 
     def process(batch: DataFrame, epoch_id: int) -> None:
         batch = batch.select("_kind", "_collection", "value")
-        if error_monitor is not None or errors_dir is not None:
+        if (stats is not None or error_monitor is not None
+                or errors_dir is not None):
+            # any accounting/spool option re-reads the batch beyond the
+            # decode pass — cache so counts don't re-run routing
             batch = batch.cache()
         tables = _decode_avro_frames(
             spark, batch, get_columns, project, default_collection,
@@ -485,14 +518,8 @@ def start_avro_historical_stream(spark: SparkSession, historical_dir: str,
                     for k, df in tables.items()}
             write_collections(out, table_base)
             if errors_dir is not None:
-                (batch.filter(F.col("_kind") == "corrupt")
-                 .select("value",
-                         F.octet_length("value").alias("n_bytes"),
-                         F.hex(F.substring("value", 1, 1))
-                         .alias("first_byte_hex"))
-                 .write.mode("append").parquet(errors_dir))
+                _spool_corrupt_frames(batch, errors_dir)
             if stats is not None or error_monitor is not None:
-                n_bad = batch.filter(F.col("_kind") == "corrupt").count()
                 n_ok = 0
                 for (p, c), df in tables.items():
                     n = df.count()
@@ -500,6 +527,8 @@ def start_avro_historical_stream(spark: SparkSession, historical_dir: str,
                         stats.add(p, c, n)
                     n_ok += n
                 if error_monitor is not None:
+                    n_bad = batch.filter(
+                        F.col("_kind") == "corrupt").count()
                     error_monitor.record(ok=n_ok, failed=n_bad)
                     if error_monitor.should_kill():
                         raise RuntimeError(
@@ -538,19 +567,8 @@ def start_historical_stream(spark: SparkSession, historical_dir: str | None,
 
     def process(batch: DataFrame, epoch_id: int) -> None:
         if errors_dir is not None:
-            cfg = FORMATS[fmt]
-            proj = F.lower(F.get_json_object("value", cfg["project"]))
-            coll = F.get_json_object("value", cfg["collection"])
-            data = F.get_json_object("value", cfg["data"])
-            bad = (proj.isNull() | coll.isNull()
-                   | (F.length(coll) == 0) | (F.length(coll) > 100)
-                   | data.isNull()
-                   | F.expr("from_json(get_json_object(value, "
-                            f"'{cfg['data']}'), "
-                            "'map<string,variant>')").isNull())
-            (batch.filter(bad)
-             .select("value", F.octet_length("value").alias("n_bytes"))
-             .write.mode("append").parquet(errors_dir))
+            _spool_dead_letters(
+                batch.filter(_envelope_reject_predicate(fmt)), errors_dir)
         tables = ingest_batch(spark, batch, fmt, catalog,
                               shard_time=shard_time, time_field=time_field)
         try:

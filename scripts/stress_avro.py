@@ -107,9 +107,9 @@ def main() -> None:
     # R1 fan-out rule, asserted: all collections share one schema here,
     # so the decode ran as ONE cached Python pass — plans (and Spark
     # jobs) scale with #schemas, not #collections.
-    n_schema_groups = len(tables._caches) or 1
+    n_schema_groups = len(tables._caches)
     assert n_schema_groups == 1, \
-        f"expected 1 schema-group decode pass, got {n_schema_groups}"
+        f"expected 1 cached schema-group decode pass, got {n_schema_groups}"
     shutil.rmtree(out_dir, ignore_errors=True)
     print(json.dumps({
         "metric": "avro_ingest_records_per_sec",

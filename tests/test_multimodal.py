@@ -116,6 +116,28 @@ def test_wav_decode_matches_spec_hand_assembled():
     assert struct.unpack("<4h", out) == (100, -200, 300, -32768)
 
 
+def test_codecs_reject_degenerate_headers(spark):
+    """channels=0 WAV and zero-dimension PNG must raise ValueError (not
+    ZeroDivisionError / numpy reduction errors), so skip_invalid
+    poison-pill modes actually drop them instead of killing the job."""
+    fmt = struct.pack("<HHIIHH", 1, 0, 8000, 0, 0, 16)   # channels=0
+    body = (b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", 4) + b"\x00" * 4)
+    zero_ch = b"RIFF" + struct.pack("<I", len(body)) + body
+    with pytest.raises(ValueError, match="channel"):
+        M.wav_decode(zero_ch)
+    ihdr = struct.pack(">IIBBBBB", 0, 4, 8, 0, 0, 0, 0)   # width=0
+    zero_w = (b"\x89PNG\r\n\x1a\n" + _chunk(b"IHDR", ihdr)
+              + _chunk(b"IDAT", zlib.compress(b"")) + _chunk(b"IEND", b""))
+    with pytest.raises(ValueError, match="dimension"):
+        M.png_decode(zero_w)
+    # end-to-end: poison-pill mode survives both
+    adf = spark.createDataFrame([(1, zero_ch)], "i long, blob binary")
+    assert M.decode_audio(adf, "i", skip_invalid=True).collect() == []
+    idf = spark.createDataFrame([(1, zero_w)], "i long, blob binary")
+    assert M.decode_image(idf, "i", skip_invalid=True).collect() == []
+
+
 def test_wav_roundtrip_and_rejects():
     s = np.arange(-500, 500, 7, dtype="<i2").tobytes()
     rate, ch, out = M.wav_decode(M.wav_encode(s, 16000, 1))

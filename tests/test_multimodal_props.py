@@ -48,21 +48,25 @@ def test_wav_roundtrip_property(n_frames, ch, rate, seed):
     n_frames=st.integers(0, 300),
     ch=st.sampled_from([1, 2]),
     in_rate=st.sampled_from([4000, 8000, 12000]),
+    out_rate=st.sampled_from([4000, 8000, 12000]),
     seed=st.integers(0, 2**31 - 1),
 )
-def test_resample_identity_property(n_frames, ch, in_rate, seed):
-    """out_rate == in_rate must be a byte-exact no-op (the frame map is
-    the identity), for any clip length/channel count."""
+def test_resample_pcm_properties(n_frames, ch, in_rate, out_rate, seed):
+    """resample_pcm (the core resample_audio uses): identity when rates
+    match; otherwise ceil-length output whose every frame equals the
+    source frame named by the floor map, for any length/channels."""
     rng = np.random.default_rng(seed)
     frames = rng.integers(-32768, 32768, size=(n_frames, ch),
                           dtype=np.int64).astype("<i2")
     pcm = frames.tobytes()
-    wav = M.wav_encode(pcm, in_rate, ch)
-    # pure-python path: decode + identity map + encode round-trips
-    rate, ch2, out = M.wav_decode(wav)
-    idx = (np.arange(n_frames) * in_rate) // in_rate
-    assert np.array_equal(
-        np.frombuffer(out, dtype="<i2").reshape(-1, ch)[idx], frames)
+    n_out, out = M.resample_pcm(pcm, ch, in_rate, out_rate)
+    if in_rate == out_rate:
+        assert (n_out, out) == (n_frames, pcm)       # byte-exact no-op
+    else:
+        assert n_out == -(-n_frames * out_rate // in_rate)
+        got = np.frombuffer(out, dtype="<i2").reshape(-1, ch)
+        src = (np.arange(n_out) * in_rate) // out_rate
+        assert np.array_equal(got, frames[src])
 
 
 @settings(max_examples=30, deadline=None)

@@ -120,6 +120,43 @@ def test_stream_dead_letter_spool(spark, tmp_path):
     assert all(r.n_bytes == len(r.value.encode()) for r in dead)
 
 
+def test_stream_dead_letter_with_historical_split(spark, tmp_path):
+    """Malformed envelopes carry a null event time; with BOTH
+    historical_dir and errors_dir set they must be dead-lettered on the
+    hot path per micro-batch — never diverted into the valid-late
+    spool — and must still count as failures for ST11."""
+    from rakam_api_collector_spark.streaming.committer import (
+        ErrorRateMonitor)
+
+    good = fabric("t", {"_time": "2020-06-01T10:00:00",
+                        "_user": "u1", "v": 1})
+    late = fabric("t", {"_time": "2020-05-01T10:00:00",
+                        "_user": "u2", "v": 2})          # 31 days late
+    not_json = '{"id": 1, "metadata": {}, "data": {broken'
+    src = tmp_path / "src"
+    _write_lines(src, [good, late, not_json])
+
+    cat = Catalog()
+    mon = ErrorRateMonitor(min_records=1000)
+    q = start_ingest_stream(
+        spark, str(src), "fabric", cat,
+        table_base=str(tmp_path / "tables"),
+        checkpoint=str(tmp_path / "ckpt"),
+        now=NOW, shard_time=SHARD_T, dedup=False,
+        historical_dir=str(tmp_path / "hist"),
+        errors_dir=str(tmp_path / "errors"), error_monitor=mon)
+    q.awaitTermination(120)
+
+    dead = spark.read.parquet(str(tmp_path / "errors")).collect()
+    assert [r.value for r in dead] == [not_json]
+    spooled = spark.read.text(str(tmp_path / "hist")).collect()
+    assert [r.value for r in spooled] == [late]      # only the VALID late
+    ok = read_collection(spark, str(tmp_path / "tables"),
+                         "testproject", "t", cat)
+    assert [r["v"] for r in ok.collect()] == [1.0]
+    assert sum(e[2] for e in mon._events) == 1       # dead row counted
+
+
 def test_stream_dedup_drops_duplicate_user_time(spark, tmp_path):
     """ST6: duplicate (_user, _time) keys are dropped across the stream;
     null-keyed records are never deduped (AvroDuplicateHandler.java:93-97)."""
