@@ -371,8 +371,18 @@ def wav_decode(data: bytes) -> tuple[int, int, bytes]:
         tag = data[pos:pos + 4]
         (length,) = struct.unpack("<I", data[pos + 4:pos + 8])
         body = data[pos + 8:pos + 8 + length]
+        if len(body) != length:
+            # truncated chunk: the slice silently shortens, which would
+            # otherwise yield plausible stats from partial audio when the
+            # remainder happens to be frame-aligned — reject instead so
+            # skip_invalid / dead-letter accounting (ST11) sees it
+            raise ValueError(
+                f"truncated {tag!r} chunk: declared {length}, "
+                f"got {len(body)} bytes")
         pos += 8 + length + (length & 1)          # word alignment pad
         if tag == b"fmt ":
+            if len(body) < 16:
+                raise ValueError(f"fmt chunk too short: {len(body)} bytes")
             fmt_tag, channels, rate, _, _, bits = struct.unpack(
                 "<HHIIHH", body[:16])
             if fmt_tag != 1:

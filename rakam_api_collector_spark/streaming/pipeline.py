@@ -72,21 +72,31 @@ def _envelope_reject_predicate(fmt: str) -> Column:
                      "'map<string,variant>')").isNull())
 
 
-def _spool_dead_letters(bad: DataFrame, errors_dir: str) -> None:
-    """Append rejected envelope rows (string ``value``) as replayable
-    parquet."""
+def _spool_dead_letters(bad: DataFrame, errors_dir: str,
+                        epoch_id: int) -> None:
+    """Write rejected envelope rows (string ``value``) as replayable
+    parquet under ``errors_dir/epoch_id=<N>/`` with overwrite.
+
+    foreachBatch offers at-least-once semantics: a retried micro-batch
+    re-runs ``process`` with the SAME epoch_id, so keying the spool by
+    epoch and overwriting makes the write idempotent — a replayed epoch
+    replaces its own rows instead of appending duplicates. Readers use
+    ``spark.read.parquet(errors_dir)`` and get ``epoch_id`` back as a
+    discovered partition column."""
     (bad.select("value", F.octet_length("value").alias("n_bytes"))
-     .write.mode("append").parquet(errors_dir))
+     .write.mode("overwrite").parquet(f"{errors_dir}/epoch_id={epoch_id}"))
 
 
-def _spool_corrupt_frames(batch: DataFrame, errors_dir: str) -> None:
-    """Append ``_kind=='corrupt'`` binary frames as replayable parquet
-    with cheap forensics columns."""
+def _spool_corrupt_frames(batch: DataFrame, errors_dir: str,
+                          epoch_id: int) -> None:
+    """Write ``_kind=='corrupt'`` binary frames as replayable parquet
+    with cheap forensics columns, epoch-keyed + overwrite for the same
+    at-least-once idempotence as ``_spool_dead_letters``."""
     (batch.filter(F.col("_kind") == "corrupt")
      .select("value",
              F.octet_length("value").alias("n_bytes"),
              F.hex(F.substring("value", 1, 1)).alias("first_byte_hex"))
-     .write.mode("append").parquet(errors_dir))
+     .write.mode("overwrite").parquet(f"{errors_dir}/epoch_id={epoch_id}"))
 
 
 def start_ingest_stream(spark: SparkSession, source_dir: str, fmt: str,
@@ -171,7 +181,8 @@ def start_ingest_stream(spark: SparkSession, source_dir: str, fmt: str,
                 # per-micro-batch contract and lets the split below
                 # exclude them from the valid-late spool
                 bad = _envelope_reject_predicate(fmt)
-                _spool_dead_letters(batch.filter(bad), errors_dir)
+                _spool_dead_letters(batch.filter(bad), errors_dir,
+                                    epoch_id)
                 splittable = batch.filter(~bad)
             else:
                 splittable = batch
@@ -416,7 +427,7 @@ def start_avro_ingest_stream(spark: SparkSession, source_dir: str | None,
             if errors_dir is not None:
                 # dead-letter spool: raw frame + cheap forensics cols;
                 # stays hot-path-exact because corrupt never spools
-                _spool_corrupt_frames(batch, errors_dir)
+                _spool_corrupt_frames(batch, errors_dir, epoch_id)
             tables = _decode_avro_frames(
                 spark, hot, get_columns, project, default_collection,
                 bulk_base)
@@ -518,7 +529,7 @@ def start_avro_historical_stream(spark: SparkSession, historical_dir: str,
                     for k, df in tables.items()}
             write_collections(out, table_base)
             if errors_dir is not None:
-                _spool_corrupt_frames(batch, errors_dir)
+                _spool_corrupt_frames(batch, errors_dir, epoch_id)
             if stats is not None or error_monitor is not None:
                 n_ok = 0
                 for (p, c), df in tables.items():
@@ -568,7 +579,8 @@ def start_historical_stream(spark: SparkSession, historical_dir: str | None,
     def process(batch: DataFrame, epoch_id: int) -> None:
         if errors_dir is not None:
             _spool_dead_letters(
-                batch.filter(_envelope_reject_predicate(fmt)), errors_dir)
+                batch.filter(_envelope_reject_predicate(fmt)), errors_dir,
+                epoch_id)
         tables = ingest_batch(spark, batch, fmt, catalog,
                               shard_time=shard_time, time_field=time_field)
         try:

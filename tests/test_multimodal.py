@@ -152,6 +152,26 @@ def test_wav_roundtrip_and_rejects():
         M.wav_decode(b"RIFF" + struct.pack("<I", len(body)) + body)
 
 
+def test_wav_decode_rejects_truncated_chunks():
+    """A truncated data chunk must fail decode even when the remaining
+    bytes happen to be frame-aligned (would otherwise yield plausible
+    stats from partial audio), and a short fmt chunk must fail before
+    the struct unpack."""
+    s = np.arange(0, 64, dtype="<i2").tobytes()      # 128 bytes PCM
+    wav = M.wav_encode(s, 8000, 1)
+    # chop 2 bytes off the end: data declares 128 but only 126 remain —
+    # still a whole number of mono frames, so only the length check
+    # catches it
+    with pytest.raises(ValueError, match="truncated"):
+        M.wav_decode(wav[:-2])
+    # fmt chunk body shorter than the canonical 16 bytes
+    fmt = struct.pack("<HHII", 1, 1, 8000, 16000)    # 12 bytes only
+    body = (b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", 0))
+    with pytest.raises(ValueError, match="fmt chunk too short"):
+        M.wav_decode(b"RIFF" + struct.pack("<I", len(body)) + body)
+
+
 def test_video_sampler_skips_undecodable_frames(spark):
     """The sampler must never decode unsampled frames: a container
     whose off-stride frames are GARBAGE (undecodable as PNG) still

@@ -157,6 +157,29 @@ def test_stream_dead_letter_with_historical_split(spark, tmp_path):
     assert sum(e[2] for e in mon._events) == 1       # dead row counted
 
 
+def test_dead_letter_spool_idempotent_per_epoch(spark, tmp_path):
+    """foreachBatch is at-least-once: a retried micro-batch re-runs with
+    the SAME epoch_id. The spool is epoch-keyed with overwrite, so a
+    replay must replace its own rows (no duplicates) while distinct
+    epochs accumulate, and readers get epoch_id back as a partition
+    column."""
+    from rakam_api_collector_spark.streaming.pipeline import (
+        _spool_dead_letters)
+
+    errors = str(tmp_path / "errors")
+    bad0 = spark.createDataFrame([("oops-a",), ("oops-b",)], ["value"])
+    _spool_dead_letters(bad0, errors, epoch_id=0)
+    _spool_dead_letters(bad0, errors, epoch_id=0)     # simulated retry
+    bad1 = spark.createDataFrame([("oops-c",)], ["value"])
+    _spool_dead_letters(bad1, errors, epoch_id=1)
+
+    dead = spark.read.parquet(errors)
+    rows = dead.collect()
+    assert sorted(r.value for r in rows) == ["oops-a", "oops-b", "oops-c"]
+    assert "epoch_id" in dead.columns
+    assert sorted(int(r.epoch_id) for r in rows) == [0, 0, 1]
+
+
 def test_stream_dedup_drops_duplicate_user_time(spark, tmp_path):
     """ST6: duplicate (_user, _time) keys are dropped across the stream;
     null-keyed records are never deduped (AvroDuplicateHandler.java:93-97)."""
