@@ -319,20 +319,22 @@ def llm12_ann_lsh(spark: SparkSession, sf: str) -> DataFrame:
     pattern): ANN results are engine-specific (recall < 1 by design), so
     the query joins the ANN top-10 against the exact brute-force top-10
     and emits, per query vector, the result count and a recall boolean
-    the oracle asserts (bits=6 × tables=12 with Hamming-1 multi-probe
-    measures 9-10/10 at sf0.01; floored at 5/10 — a banding-join or
-    signature regression collapses recall to ~0 and hash-fails the
-    gate). Multi-probe (Lv et al., VLDB'07) is what keeps the table
-    count honest on this fixture: the embeddings are near-isotropic
-    (top cosine ≈ 0.37 at dim 64), which single-probe LSH could only
-    cover with ~48 tables — 4× the corpus-side signature volume; on a
-    real clustered corpus 8-12 tables suffice either way, and ``bits``
-    grows with log(n) as documented in operators/similarity.py."""
+    the oracle asserts (bits=6 × tables=8 with query-directed
+    multi-probe measures 9-10/10 at sf0.01 and sf0.1; floored at 5/10 —
+    a banding-join or signature regression collapses recall to ~0 and
+    hash-fails the gate). Query-directed multi-probe (Lv et al.,
+    VLDB'07: flip subsets of the probe_bits=3 lowest-|margin| sign
+    bits) is what keeps the table count honest on this fixture: the
+    embeddings are near-isotropic (top cosine ≈ 0.37 at dim 64), which
+    single-probe LSH could only cover with ~48 tables — 6× the
+    corpus-side signature volume; on a real clustered corpus 8 tables
+    suffice either way, and ``bits`` grows with log(n) as documented in
+    operators/similarity.py."""
     emb = load_table(spark, sf, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
     ann = (S.ann_lsh_topk(emb, queries, "vec_id", "embedding",
-                          k=10, bits=6, tables=12, dim=64,
-                          probe_radius=1)
+                          k=10, bits=6, tables=8, dim=64,
+                          probe_bits=3)
            .select("q", "neighbor"))
     exact = (S.cosine_topk(emb, queries, "vec_id", "embedding", k=10)
              .select("q", "neighbor"))

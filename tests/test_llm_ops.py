@@ -113,6 +113,37 @@ def test_ann_lsh_multiprobe_beats_single_probe(spark):
                        probe_radius=2).collect()
 
 
+def test_ann_lsh_query_directed_probing(spark):
+    """Query-directed probing (probe_bits=3 → 8 probes/table) must hold
+    recall within a whisker of exhaustive Hamming-1 (bits+1=7 probes)
+    at equal tables, because the flipped bits are chosen where the
+    margin |q·w| is smallest — the only flips that matter. It must also
+    include the exact bucket (subset 0), so recall ≥ single-probe."""
+    import pytest
+
+    emb = load_table(spark, SF, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    exact = {(r.q, r.neighbor) for r in
+             S.cosine_topk(emb, queries, "vec_id", "embedding",
+                           k=5).collect()}
+
+    def recall(**kw):
+        ann = {(r.q, r.neighbor) for r in
+               S.ann_lsh_topk(emb, queries, "vec_id", "embedding", k=5,
+                              bits=6, tables=6, **kw).collect()}
+        return len(ann & exact) / len(exact)
+
+    single = recall()
+    directed = recall(probe_bits=3)
+    exhaustive = recall(probe_radius=1)
+    assert directed >= single, (directed, single)
+    assert directed >= exhaustive - 0.1, (directed, exhaustive)
+    assert directed >= 0.7, f"directed recall {directed:.2f} below floor"
+    with pytest.raises(ValueError, match="probe_bits"):
+        S.ann_lsh_topk(emb, queries, "vec_id", "embedding",
+                       bits=6, probe_bits=7).collect()
+
+
 def test_ann_lsh_deterministic(spark):
     emb = load_table(spark, SF, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)

@@ -94,6 +94,25 @@ def test_knn_broadcasts_queries_no_shuffle_of_corpus(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_ann_lsh_never_shuffles_corpus(spark):
+    """llm12's 100 TB shape: ONE corpus scan computes signatures and the
+    unit vector together, the bucket join broadcasts the tiny probe
+    side, and cosine scores inline on the map side — the corpus is
+    never hash-exchanged. The only shuffles are the narrow scored-pair
+    dedup groupBy and the per-query top-k window."""
+    from rakam_api_collector_spark.operators import similarity as S
+    emb = load_table(spark, SF, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    plan = plan_of(S.ann_lsh_topk(emb, q, "vec_id", "embedding", k=10,
+                                  bits=6, tables=8, dim=64,
+                                  probe_bits=3), mode="simple")
+    assert plan.count("BroadcastHashJoin") == 1
+    assert "SortMergeJoin" not in plan
+    assert plan.count("Exchange hashpartitioning") == 2
+    # exactly one parquet scan of the corpus feeds the whole ANN plan
+    assert plan.count("Scan parquet") == 2      # corpus + query subset
+
+
 def test_jaccard_no_cartesian(spark):
     from rakam_api_collector_spark.operators.dedup import ngram_jaccard_pairs
     docs = (load_table(spark, SF, "documents")
