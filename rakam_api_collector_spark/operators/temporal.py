@@ -1,4 +1,4 @@
-"""Temporal operators: as-of (nearest-prior) join.
+"""Temporal operators: as-of (nearest-prior) join, bucketed band join.
 
 Spark has no ASOF JOIN; the naive encoding (range join + keep latest)
 explodes to |left| × |right-rows-before| intermediate pairs. This
@@ -71,3 +71,45 @@ def asof_join(left: DataFrame, right: DataFrame, key_cols: list[str],
     return (u.select(*lcols, "_side", *carried)
             .filter(F.col("_side") == 1)
             .drop("_side"))
+
+
+def band_join(fact: DataFrame, intervals: DataFrame, value_col: str,
+              lo_col: str, hi_col: str, bucket_width: float,
+              how: str = "inner") -> DataFrame:
+    """Bucketed range (band) join: ``fact`` rows matched to ``intervals``
+    rows where ``lo <= value < hi``, as a hash equi-join instead of a
+    nested-loop predicate scan.
+
+    Each interval is exploded onto the coarse buckets it covers
+    (``floor(lo/w) .. floor(hi/w)``, a superset — the residual BETWEEN
+    filters exact), and each fact row computes ONE bucket key. The
+    interval×bucket table broadcasts; the join is a map-side
+    BroadcastHashJoin probing |covering buckets| per fact row via hash,
+    where a BroadcastNestedLoopJoin evaluates the range predicate
+    against EVERY interval. Cost is O(|fact| + |intervals|·span/w)
+    rather than O(|fact|·|intervals|) — the difference between a
+    10-band demo and a 100k-interval dimension at 100 TB. Pick
+    ``bucket_width`` near the median interval width so most intervals
+    cover 1-2 buckets.
+
+    Intervals are half-open [lo, hi). Fact rows whose value matches no
+    interval are dropped for ``how="inner"``, kept with null interval
+    columns for ``how="left"``."""
+    iv = intervals.withColumn(
+        "_band_bucket",
+        F.explode(F.sequence(
+            F.floor(F.col(lo_col) / bucket_width),
+            F.floor(F.col(hi_col) / bucket_width))))
+    f = fact.withColumn(
+        "_band_bucket", F.floor(F.col(value_col) / bucket_width))
+    in_band = ((F.col(value_col) >= F.col(lo_col))
+               & (F.col(value_col) < F.col(hi_col)))
+    if how == "inner":
+        return (f.join(F.broadcast(iv), "_band_bucket")
+                .filter(in_band).drop("_band_bucket"))
+    if how != "left":
+        raise ValueError(f"how must be inner|left: {how}")
+    return (f.join(F.broadcast(iv),
+                   (f["_band_bucket"] == iv["_band_bucket"]) & in_band,
+                   "left")
+            .drop("_band_bucket"))

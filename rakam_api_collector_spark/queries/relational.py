@@ -407,18 +407,19 @@ def dq33_percentile(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def dq34_range_join(spark: SparkSession, sf: str) -> DataFrame:
-    """Range (band) join: classify each event's value into a small band
-    dimension via BETWEEN. The band table broadcasts, so the range
-    predicate is a map-side BroadcastNestedLoopJoin scan — the correct
-    100 TB plan for fact × tiny-interval-dim (an interval tree or
-    DuckDB-style IEJoin only pays off when BOTH sides are large)."""
+    """Range (band) join via operators/temporal.py:band_join — each
+    interval exploded onto covering coarse buckets (broadcast), each
+    fact row hashed to ONE bucket, residual BETWEEN map-side. A hash
+    probe per row instead of a nested-loop predicate against every
+    interval: O(|fact|) not O(|fact|·|bands|), which is what survives
+    a 100k-interval dimension at 100 TB."""
+    from rakam_api_collector_spark.operators.temporal import band_join
+
     bands = spark.createDataFrame(
         [(i, i / 10.0, (i + 1) / 10.0) for i in range(10)],
         "band int, lo double, hi double")
     ev = load_table(spark, sf, "events")
-    return (ev.join(F.broadcast(bands),
-                    (F.col("value") >= F.col("lo"))
-                    & (F.col("value") < F.col("hi")), "inner")
+    return (band_join(ev, bands, "value", "lo", "hi", bucket_width=0.1)
             .groupBy("band").agg(F.count("*").alias("n"),
                                  _dec_sum(F.col("value"), "val_sum"))
             .orderBy("band"))

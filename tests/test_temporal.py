@@ -70,3 +70,44 @@ def test_single_shuffle_no_join(spark):
             ._jdf.queryExecution().executedPlan().toString())
     assert "Join" not in plan
     assert plan.count("Exchange") == 1
+
+
+# --- band_join ---------------------------------------------------------------
+
+def _band_fixtures(spark):
+    fact = spark.createDataFrame(
+        [(1, 0.05), (2, 0.1), (3, 0.35), (4, 0.999), (5, 5.0)],
+        "fid long, value double")
+    # unaligned, varied-width intervals incl. one spanning many buckets
+    bands = spark.createDataFrame(
+        [(0, 0.0, 0.1), (1, 0.1, 0.4), (2, 0.4, 1.0)],
+        "band int, lo double, hi double")
+    return fact, bands
+
+
+def test_band_join_inner_half_open(spark):
+    from rakam_api_collector_spark.operators.temporal import band_join
+    fact, bands = _band_fixtures(spark)
+    out = {r.fid: r.band for r in
+           band_join(fact, bands, "value", "lo", "hi", 0.1).collect()}
+    # 0.1 is excluded from band 0 (half-open) and included in band 1;
+    # 5.0 matches nothing and is dropped
+    assert out == {1: 0, 2: 1, 3: 1, 4: 2}
+
+
+def test_band_join_left_keeps_unmatched(spark):
+    from rakam_api_collector_spark.operators.temporal import band_join
+    fact, bands = _band_fixtures(spark)
+    rows = band_join(fact, bands, "value", "lo", "hi", 0.1,
+                     how="left").collect()
+    out = {r.fid: r.band for r in rows}
+    assert out[5] is None and len(rows) == 5
+
+
+def test_band_join_is_hash_join_not_nested_loop(spark):
+    from rakam_api_collector_spark.operators.temporal import band_join
+    fact, bands = _band_fixtures(spark)
+    plan = (band_join(fact, bands, "value", "lo", "hi", 0.1)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
