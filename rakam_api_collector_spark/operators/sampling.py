@@ -17,7 +17,7 @@ not needed, pass ``hash_expr=F.xxhash64(...)``-style overrides.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -69,3 +69,31 @@ def mixture_sample(df: DataFrame, key: str, group_col: str,
     return (df.join(F.broadcast(rates), group_col)
             .filter(uniform_unit(F.col(key)) < F.col("_rate"))
             .drop("_rate"))
+
+
+def training_order(df: DataFrame, key: str, n_shards: int,
+                   seed: int = 0) -> DataFrame:
+    """Deterministic global training-order shuffle + sharding: adds
+    ``shard`` (which output file/worker the row belongs to) and ``pos``
+    (its position within that shard). The order is a pure function of
+    (seed, key) — reproducible across runs, engines, and input
+    partitionings, and re-seedable per epoch (seed = epoch number gives
+    a fresh permutation with zero state).
+
+    Shard assignment is the md5 bucket of the seeded key; within-shard
+    order is the full md5 (key as tie-break against the ~2⁻³² truncated-
+    digest collisions). Scale shape: shard assignment is row-local; the
+    ONLY shuffle is the partitionBy(shard) window exchange — rows move
+    once, straight to the executor that writes their shard, and no
+    global total order is ever materialized (a global orderBy would add
+    a range exchange for an ordering no trainer needs: shards are the
+    unit of consumption)."""
+    h = F.md5(F.concat_ws(":", F.lit(str(seed)),
+                          F.col(key).cast("string")))
+    shard = (F.conv(F.substring(h, 1, 8), 16, 10)
+             .cast("long") % n_shards).cast("int")
+    w = (Window.partitionBy("shard")
+         .orderBy(F.col("_h"), F.col(key)))
+    return (df.withColumn("_h", h).withColumn("shard", shard)
+            .withColumn("pos", F.row_number().over(w))
+            .drop("_h"))

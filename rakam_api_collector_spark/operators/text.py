@@ -89,6 +89,19 @@ def lang_id(text: Column) -> Column:
     return expr
 
 
+def bigrams(t: Column) -> Column:
+    """Adjacent token pairs ``"w1 w2"`` over an ALREADY MATERIALIZED
+    token array (same no-CSE-inside-HOF rule as repetition_ratio).
+    Docs with < 2 tokens yield an empty array. Pure per-row map —
+    zip(tokens[:-1], tokens[1:]) as a JVM ``zip_with``, no shuffle."""
+    n = F.size(t)
+    return F.when(
+        n >= 2,
+        F.zip_with(F.slice(t, 1, n - 1), F.slice(t, 2, n - 1),
+                   lambda a, b: F.concat_ws(" ", a, b))
+    ).otherwise(F.array().cast("array<string>"))
+
+
 def repetition_ratio(t: Column, n: int = 2) -> Column:
     """Within-document repeated-n-gram fraction (the Gopher-style
     repetition quality signal): 1 - distinct_ngrams / total_ngrams over

@@ -9,10 +9,10 @@ Ordering matters: the driver's correctness gate checks the FIRST 50
 registry entries per round. The registry therefore leads with the
 queries that most need fresh driver evidence this round and rotates the
 rest behind them; every query keeps its entry (bench + pytest run all
-83) — only the position changes round to round.
+86) — only the position changes round to round.
 
 Rotation invariant: **every query's driver evidence is at most one
-round old.** With 83 queries and a 50-slot window the cadence is two
+round old.** With 86 queries and a 50-slot window the cadence is two
 rounds; each round's window = (all queries without a green row from
 the previous round) + (everything modified this round) + fill.
 
@@ -21,17 +21,20 @@ Window history:
 - r5: the 22 never-driver-verified llm queries (llm05-17, llm19,
   llm21-28), freshly fixed dq26/dq35, four new queries (llm29-32),
   plus a rotation of r3/r4-green queries. All 50 green.
-- r6 (current): the 26 queries with no r5 row (dq01/02/04/06/07,
-  dq09-11, dq18-25, dq27/28, dq33, dq37-43), the queries modified in
-  r6 (llm12 multi-probe LSH, llm14 real PNG decode, llm32 singleton
-  fast path), the NEW queries (llm33-36 real audio/video/resize/resample,
-  dq44 grouping sets, dq45 range frame, dq46 stats agg), llm29-31 (one round of evidence),
-  regression-prone families (llm09/16/17, dq26/35, llm10), and
-  dedup/similarity fill. Out-of-window (33 queries, all r5-green,
-  due back in r7): llm01-06, llm11, llm18-28, dq05/08, dq12-17
-  (semi+anti), dq29-32, dq34/36. (The bench-regression watch for
-  llm01/02/26/27 moved to bench.py's >1.2x min-of-2 rule to free
-  slots for the new queries.)
+- r6: the 26 queries with no r5 row, r6-modified (llm12/14/32, llm13,
+  dq03), new llm33-36 + dq44-46, llm29-31, regression-prone fill.
+  All 50 green.
+- r7 (current): the 33 queries with no r6 row (llm01-06, llm11,
+  llm18-28, dq05/08, dq12-17 semi+anti, dq29-32, dq34/36 — all
+  r5-green, due back per the invariant), the queries modified in r7
+  (llm12 query-directed multi-probe + single-scan ANN; dq34 bucketed
+  band_join — already in the stale set; llm33/llm36 whose WAV decode
+  gained truncated-chunk rejection), the NEW queries (llm37 bigram
+  LM, llm38 training order, llm39 curriculum bins), and heavy
+  regression-prone fill (llm09/10/14-17/32/34, dq03/26/35).
+  Out-of-window (36 queries, all r6-green, due back in r8):
+  dq01/02/04/06/07, dq09-11, dq18-25, dq27/28, dq33, dq37-46,
+  llm07/08, llm13, llm29-31, llm35.
 """
 
 from __future__ import annotations
@@ -43,29 +46,28 @@ _ALL_ORACLE = {**relational.ORACLE, **llm_ops.ORACLE}
 
 # First 50 = this round's driver-checked window (see docstring history).
 _WINDOW = [
-    # 26 queries with no round-5 driver row — rotate back first
-    "dq01_projection", "dq02_whitelist", "dq04_sink_envelope",
-    "dq06_max_offset", "dq07_zone_map", "dq09_distinct_agg",
-    "dq10_rollup", "dq11_sum_cents", "dq18_topk", "dq19_truncate",
-    "dq20_safe_cast", "dq21_set_ops", "dq22_array_funcs", "dq23_hash",
-    "dq24_scalars", "dq25_udf_shape", "dq27_json_encode",
-    "dq28_date_format", "dq33_percentile", "dq37_hash_split",
-    "dq38_cube", "dq39_pivot", "dq40_window_analytics",
-    "dq41_approx_quantile", "dq42_funnel", "dq43_retention",
-    # modified in round 6 — must carry fresh evidence
-    "llm12_ann_lsh", "llm14_decode_features", "llm32_dedup_keep_best",
-    "llm13_multimodal_meta", "dq03_late_split",
-    # one round of evidence only (new in r5)
-    "llm29_pack_sequences", "llm30_mixture_sample", "llm31_vocab_coverage",
-    # regression-prone families: heavy dedup/ANN + previously broken ts
-    "llm09_minhash_lsh", "llm16_dedup_clusters", "llm17_incremental_dedup",
-    "dq26_epoch_conversions", "dq35_sessionize", "llm10_simhash",
-    "llm07_exact_dedup", "llm08_jaccard_pairs", "llm15_embed_dedup",
-    # new in r6 — no prior evidence (r5 bench-regression watch for
-    # llm26/27/01/02 moved to bench.py's >1.2x min-of-2 rule)
-    "llm33_audio_features", "llm34_video_sample", "llm35_resize_image",
-    "dq44_grouping_sets", "dq45_range_frame", "dq46_stats_agg",
-    "llm36_audio_resample",
+    # 33 queries with no round-6 driver row — rotate back first
+    "dq05_route_fanout", "dq08_hash_agg", "dq12_join_dim",
+    "dq13_multi_join", "dq14_anti_join", "dq14_semi_join",
+    "dq15_outer_join", "dq16_window", "dq17_dedup_first",
+    "dq29_envelope_parse", "dq30_tumbling_window", "dq31_asof_join",
+    "dq32_salted_agg", "dq34_range_join", "dq36_approx_distinct",
+    "llm01_token_count", "llm02_ttr", "llm03_avg_token_len",
+    "llm04_lang_id", "llm05_fingerprint", "llm06_quality",
+    "llm11_knn_cosine", "llm18_bpe_tokens", "llm19_ivf_ann",
+    "llm20_tfidf", "llm21_pii_redact", "llm22_chunk_dedup",
+    "llm23_contamination", "llm24_stratified_split", "llm25_repetition",
+    "llm26_kmeans", "llm27_surprisal", "llm28_quantize",
+    # modified in round 7 — must carry fresh evidence (dq34 is above)
+    "llm12_ann_lsh", "llm33_audio_features", "llm36_audio_resample",
+    # new in round 7 — no prior evidence
+    "llm37_bigram_lm", "llm38_training_order", "llm39_curriculum_bins",
+    # regression-prone heavy fill (all r6-green)
+    "llm09_minhash_lsh", "llm10_simhash", "llm14_decode_features",
+    "llm15_embed_dedup", "llm16_dedup_clusters",
+    "llm17_incremental_dedup", "llm32_dedup_keep_best",
+    "llm34_video_sample", "dq03_late_split", "dq26_epoch_conversions",
+    "dq35_sessionize",
 ]
 
 assert len(_WINDOW) == 50 and len(set(_WINDOW)) == 50, len(_WINDOW)

@@ -19,7 +19,7 @@ Determinism rules shared with the oracle:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from rakam_api_collector_spark.operators import dedup as D
@@ -743,6 +743,92 @@ def llm31_vocab_coverage(spark: SparkSession, sf: str) -> DataFrame:
     return T.vocab_coverage(docs, "text", k=50).orderBy("rnk")
 
 
+def llm37_bigram_lm(spark: SparkSession, sf: str) -> DataFrame:
+    """Count-based bigram language model with add-1 smoothing: train on
+    docs with doc_id % 5 != 0, score the held-out fifth by mean
+    ln P(w_i | w_{i-1}) — the step up from llm27's unigram surprisal
+    and the classic cheap-LM quality filter.
+
+    P(w2|w1) = (c(w1 w2) + 1) / (c(w1) + V); c(w1) is the bigram-head
+    marginal (so probabilities per head sum to 1 over the vocab) and V
+    the train-side distinct-unigram count, riding the plan as a 1-row
+    broadcast. Scale shape: bigram/head counts are one explode + two
+    map-side-combine aggregates; the model tables join back on token
+    keys (vocabulary ≪ corpus — AQE broadcasts them when they fit);
+    per-bigram ln() is DECIMAL-summed per doc (llm27 rule) so shuffle
+    order cannot move the rounded mean."""
+    docs = (load_table(spark, sf, "documents")
+            .select("doc_id", T.tokens(F.col("text")).alias("_tk")))
+    bg = docs.select("doc_id", F.explode(T.bigrams(F.col("_tk")))
+              .alias("bg"))
+    train_bg = bg.filter(F.col("doc_id") % 5 != 0)
+    c12 = train_bg.groupBy("bg").agg(F.count("*").alias("c12"))
+    c1 = (train_bg.select(F.split_part(F.col("bg"), F.lit(" "), F.lit(1))
+                  .alias("w1"))
+          .groupBy("w1").agg(F.count("*").alias("c1")))
+    v = (docs.filter(F.col("doc_id") % 5 != 0)
+         .select(F.explode("_tk").alias("tok"))
+         .agg(F.countDistinct("tok").alias("v")))
+    ev = (bg.filter(F.col("doc_id") % 5 == 0)
+          .withColumn("w1", F.split_part(F.col("bg"), F.lit(" "),
+                                         F.lit(1))))
+    per = (ev.join(c12, "bg", "left").join(c1, "w1", "left")
+           .crossJoin(F.broadcast(v))
+           .select("doc_id",
+                   F.log((F.coalesce("c12", F.lit(0)) + 1).cast("double")
+                         / (F.coalesce("c1", F.lit(0)) + F.col("v")))
+                   .cast("decimal(18,9)").alias("s")))
+    return (per.groupBy("doc_id")
+            .agg(F.count("*").alias("n_bg"),
+                 F.round(F.sum("s").cast("double") / F.count("*"), 4)
+                 .alias("avg_ln_p"))
+            .orderBy("doc_id").limit(200))
+
+
+def llm38_training_order(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic training-order shuffle + sharding
+    (operators/sampling.py:training_order): every doc gets a (shard,
+    pos) pure-function-of-(seed, doc_id) — the reproducible global
+    permutation a trainer consumes, re-seedable per epoch. One
+    partitionBy(shard) window shuffle, no global sort."""
+    from rakam_api_collector_spark.operators.sampling import (
+        training_order)
+
+    docs = load_table(spark, sf, "documents").select("doc_id")
+    return (training_order(docs, "doc_id", n_shards=8, seed=42)
+            .orderBy("shard", "pos").limit(400))
+
+
+def llm39_curriculum_bins(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-language curriculum quartiles: docs ranked by a quality
+    score (stopword ratio, llm06's signal) WITHIN their predicted
+    language, cut into ntile(4) bins, with per-(lang, bin) stats — the
+    easy→hard schedule built per domain.
+
+    Scale shape: ntile's window partitions by language, so the sort is
+    per-partition parallel, never a global total order (an unpartitioned
+    ntile would serialize on one task — the per-domain framing is also
+    what keeps the plan scalable; a very skewed domain would range-split
+    via the same salting used in dq32). Ordering ties break on doc_id,
+    making bin assignment fully deterministic cross-engine."""
+    docs = load_table(spark, sf, "documents")
+    ntok = T.token_count(F.col("text"))
+    scored = docs.select(
+        "doc_id", T.lang_id(F.col("text")).alias("lang"),
+        ntok.alias("ntok"),
+        F.when(ntok > 0,
+               T.stopword_hits(F.col("text"), "en").cast("double") / ntok)
+        .otherwise(F.lit(0.0)).alias("score"))
+    w = Window.partitionBy("lang").orderBy("score", "doc_id")
+    binned = scored.withColumn("bin", F.ntile(4).over(w))
+    return (binned.groupBy("lang", "bin")
+            .agg(F.count("*").alias("n_docs"),
+                 F.round(F.min("score"), 4).alias("min_score"),
+                 F.round(F.max("score"), 4).alias("max_score"),
+                 F.sum("ntok").alias("tok_sum"))
+            .orderBy("lang", "bin"))
+
+
 _BOILER = (" copyright license terms apply all rights reserved "
            "worldwide legal notice")
 
@@ -787,6 +873,9 @@ QUERIES = {
     "llm34_video_sample": llm34_video_sample,
     "llm35_resize_image": llm35_resize_image,
     "llm36_audio_resample": llm36_audio_resample,
+    "llm37_bigram_lm": llm37_bigram_lm,
+    "llm38_training_order": llm38_training_order,
+    "llm39_curriculum_bins": llm39_curriculum_bins,
 }
 
 _SW = {k: ", ".join(f"'{w}'" for w in v) for k, v in T.STOPWORDS.items()}
@@ -1541,5 +1630,82 @@ ORACLE = {
         FROM samples
         GROUP BY doc_id, f, w, h
         ORDER BY doc_id, frame_idx
+    """,
+    "llm37_bigram_lm": f"""
+        WITH docs AS (SELECT doc_id, {_DUCK_TOKS} AS t FROM documents),
+        bg AS (
+          SELECT doc_id,
+                 unnest(list_transform(
+                   list_zip(t[1:length(t)-1], t[2:]),
+                   p -> p[1] || ' ' || p[2])) AS bg
+          FROM docs),
+        train_bg AS (SELECT bg, split_part(bg, ' ', 1) AS w1
+                     FROM bg WHERE doc_id % 5 <> 0),
+        c12 AS (SELECT bg, count(*) AS c12 FROM train_bg GROUP BY bg),
+        c1 AS (SELECT w1, count(*) AS c1 FROM train_bg GROUP BY w1),
+        v AS (SELECT count(DISTINCT tok) AS v
+              FROM (SELECT unnest(t) AS tok FROM docs
+                    WHERE doc_id % 5 <> 0)),
+        ev AS (SELECT doc_id, bg, split_part(bg, ' ', 1) AS w1
+               FROM bg WHERE doc_id % 5 = 0),
+        per AS (
+          SELECT ev.doc_id,
+                 CAST(ln(CAST(coalesce(c12.c12, 0) + 1 AS DOUBLE)
+                         / (coalesce(c1.c1, 0) + v.v))
+                      AS DECIMAL(18,9)) AS s
+          FROM ev LEFT JOIN c12 USING (bg) LEFT JOIN c1 USING (w1)
+          CROSS JOIN v)
+        SELECT doc_id, count(*) AS n_bg,
+               round(CAST(sum(s) AS DOUBLE) / count(*), 4) AS avg_ln_p
+        FROM per GROUP BY doc_id ORDER BY doc_id LIMIT 200
+    """,
+    "llm38_training_order": """
+        WITH h AS (
+          SELECT doc_id,
+                 md5('42:' || CAST(doc_id AS VARCHAR)) AS h
+          FROM documents),
+        sharded AS (
+          SELECT doc_id, h,
+                 CAST(CAST('0x' || substring(h, 1, 8) AS UBIGINT) % 8
+                      AS INTEGER) AS shard
+          FROM h)
+        SELECT doc_id, shard,
+               CAST(row_number() OVER (PARTITION BY shard
+                     ORDER BY h, doc_id) AS INTEGER) AS pos
+        FROM sharded ORDER BY shard, pos LIMIT 400
+    """,
+    "llm39_curriculum_bins": f"""
+        WITH toks AS (SELECT doc_id, {_DUCK_TOKS} AS t FROM documents),
+        scored AS (
+          SELECT doc_id,
+                 CASE WHEN greatest({_HITS['en']}, {_HITS['es']},
+                                    {_HITS['de']}, {_HITS['fr']}) = 0
+                        THEN 'und'
+                      WHEN {_HITS['en']} = greatest({_HITS['en']},
+                             {_HITS['es']}, {_HITS['de']}, {_HITS['fr']})
+                        THEN 'en'
+                      WHEN {_HITS['es']} = greatest({_HITS['en']},
+                             {_HITS['es']}, {_HITS['de']}, {_HITS['fr']})
+                        THEN 'es'
+                      WHEN {_HITS['de']} = greatest({_HITS['en']},
+                             {_HITS['es']}, {_HITS['de']}, {_HITS['fr']})
+                        THEN 'de'
+                      ELSE 'fr' END AS lang,
+                 len(t) AS ntok,
+                 CASE WHEN len(t) > 0
+                      THEN CAST({_HITS['en']} AS DOUBLE) / len(t)
+                      ELSE 0.0 END AS score
+          FROM toks),
+        binned AS (
+          SELECT lang, ntok, score,
+                 ntile(4) OVER (PARTITION BY lang
+                                ORDER BY score, doc_id) AS bin
+          FROM scored)
+        SELECT lang, CAST(bin AS INTEGER) AS bin,
+               count(*) AS n_docs,
+               round(min(score), 4) AS min_score,
+               round(max(score), 4) AS max_score,
+               CAST(sum(ntok) AS BIGINT) AS tok_sum
+        FROM binned GROUP BY lang, bin ORDER BY lang, bin
     """,
 }
