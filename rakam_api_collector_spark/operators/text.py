@@ -89,6 +89,24 @@ def lang_id(text: Column) -> Column:
     return expr
 
 
+def symbol_ratio(text: Column) -> Column:
+    """Symbol-to-word ratio (Gopher rule family): count of characters
+    outside [a-z0-9] and whitespace (after lowercasing) per token.
+    0.0 for token-less docs. RE2-compatible pattern so the DuckDB
+    oracle runs it verbatim."""
+    n = token_count(text)
+    syms = F.length(F.regexp_replace(F.lower(text), r"[a-z0-9\s]", ""))
+    return F.when(n > 0, syms.cast("double") / n).otherwise(F.lit(0.0))
+
+
+def digit_token_fraction(t: Column) -> Column:
+    """Fraction of tokens that are pure digit runs, over an ALREADY
+    MATERIALIZED token array. 0.0 for empty docs."""
+    n = F.size(t)
+    digits = F.size(F.filter(t, lambda x: x.rlike("^[0-9]+$")))
+    return F.when(n > 0, digits.cast("double") / n).otherwise(F.lit(0.0))
+
+
 def bigrams(t: Column) -> Column:
     """Adjacent token pairs ``"w1 w2"`` over an ALREADY MATERIALIZED
     token array (same no-CSE-inside-HOF rule as repetition_ratio).

@@ -9,10 +9,10 @@ Ordering matters: the driver's correctness gate checks the FIRST 50
 registry entries per round. The registry therefore leads with the
 queries that most need fresh driver evidence this round and rotates the
 rest behind them; every query keeps its entry (bench + pytest run all
-86) — only the position changes round to round.
+88) — only the position changes round to round.
 
 Rotation invariant: **every query's driver evidence is at most one
-round old.** With 86 queries and a 50-slot window the cadence is two
+round old.** With 88 queries and a 50-slot window the cadence is two
 rounds; each round's window = (all queries without a green row from
 the previous round) + (everything modified this round) + fill.
 
@@ -30,11 +30,12 @@ Window history:
   (llm12 query-directed multi-probe + single-scan ANN; dq34 bucketed
   band_join — already in the stale set; llm33/llm36 whose WAV decode
   gained truncated-chunk rejection), the NEW queries (llm37 bigram
-  LM, llm38 training order, llm39 curriculum bins), and heavy
-  regression-prone fill (llm09/10/14-17/32/34, dq03/26/35).
-  Out-of-window (36 queries, all r6-green, due back in r8):
-  dq01/02/04/06/07, dq09-11, dq18-25, dq27/28, dq33, dq37-46,
-  llm07/08, llm13, llm29-31, llm35.
+  LM, llm38 training order, llm39 curriculum bins, llm40 Gopher
+  quality rules, llm41 head truncation), and heavy regression-prone
+  fill (llm09/10/14-17/32, dq26/35).
+  Out-of-window (38 queries, all r6-green, due back in r8):
+  dq01-04 (dq03 late split), dq06/07, dq09-11, dq18-25, dq27/28,
+  dq33, dq37-46, llm07/08, llm13, llm29-31, llm34/35.
 """
 
 from __future__ import annotations
@@ -62,12 +63,12 @@ _WINDOW = [
     "llm12_ann_lsh", "llm33_audio_features", "llm36_audio_resample",
     # new in round 7 — no prior evidence
     "llm37_bigram_lm", "llm38_training_order", "llm39_curriculum_bins",
+    "llm40_quality_rules", "llm41_head_truncate",
     # regression-prone heavy fill (all r6-green)
     "llm09_minhash_lsh", "llm10_simhash", "llm14_decode_features",
     "llm15_embed_dedup", "llm16_dedup_clusters",
     "llm17_incremental_dedup", "llm32_dedup_keep_best",
-    "llm34_video_sample", "dq03_late_split", "dq26_epoch_conversions",
-    "dq35_sessionize",
+    "dq26_epoch_conversions", "dq35_sessionize",
 ]
 
 assert len(_WINDOW) == 50 and len(set(_WINDOW)) == 50, len(_WINDOW)

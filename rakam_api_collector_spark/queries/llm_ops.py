@@ -829,6 +829,58 @@ def llm39_curriculum_bins(spark: SparkSession, sf: str) -> DataFrame:
             .orderBy("lang", "bin"))
 
 
+def llm40_quality_rules(spark: SparkSession, sf: str) -> DataFrame:
+    """Gopher-style hard quality rules (Rae et al. 2021, Appendix A —
+    public rule family) as one row-local verdict pass: doc length in
+    tokens, mean word length, symbol-to-word ratio, stopword floor, and
+    digit-token fraction, each a boolean plus the conjunction. Pure
+    map over the scan (no shuffle but the final order-for-display) —
+    at 100 TB this is a scan-speed filter that typically removes
+    10-30% of raw web text before any expensive stage."""
+    docs = load_table(spark, sf, "documents")
+    tk = T.tokens(F.col("text"))
+    scored = docs.select(
+        "doc_id", tk.alias("_tk"),
+        T.avg_token_length(F.col("text")).alias("_awl"),
+        T.symbol_ratio(F.col("text")).alias("_sym"),
+        T.stopword_hits(F.col("text"), "en").alias("_sw"))
+    n = F.size("_tk")
+    rules = scored.select(
+        "doc_id",
+        ((n >= 20) & (n <= 100000)).alias("ok_len"),
+        ((F.col("_awl") >= 3.0) & (F.col("_awl") <= 10.0))
+        .alias("ok_word_len"),
+        (F.col("_sym") <= 0.1).alias("ok_symbols"),
+        (F.col("_sw") >= 2).alias("ok_stopwords"),
+        (T.digit_token_fraction(F.col("_tk")) <= 0.2).alias("ok_digits"))
+    return (rules.select(
+        "doc_id", "ok_len", "ok_word_len", "ok_symbols",
+        "ok_stopwords", "ok_digits",
+        (F.col("ok_len") & F.col("ok_word_len") & F.col("ok_symbols")
+         & F.col("ok_stopwords") & F.col("ok_digits")).alias("pass"))
+        .orderBy("doc_id").limit(200))
+
+
+def llm41_head_truncate(spark: SparkSession, sf: str) -> DataFrame:
+    """Token-budget head truncation (the max-sequence-length cap before
+    packing): keep the first 30 tokens, report before/after counts and
+    the md5 of the truncated text so the oracle pins the content, not
+    just the lengths. Row-local map — no shuffle."""
+    max_tok = 30
+    docs = load_table(spark, sf, "documents")
+    t = T.tokens(F.col("text"))
+    out = docs.select(
+        "doc_id", t.alias("_tk"),
+        F.size(t).alias("n_before"))
+    return (out.select(
+        "doc_id", "n_before",
+        F.least(F.col("n_before"), F.lit(max_tok)).alias("n_after"),
+        (F.col("n_before") > max_tok).alias("truncated"),
+        F.md5(F.array_join(F.slice(F.col("_tk"), 1, max_tok), " "))
+        .alias("text_md5"))
+        .orderBy("doc_id").limit(200))
+
+
 _BOILER = (" copyright license terms apply all rights reserved "
            "worldwide legal notice")
 
@@ -876,6 +928,8 @@ QUERIES = {
     "llm37_bigram_lm": llm37_bigram_lm,
     "llm38_training_order": llm38_training_order,
     "llm39_curriculum_bins": llm39_curriculum_bins,
+    "llm40_quality_rules": llm40_quality_rules,
+    "llm41_head_truncate": llm41_head_truncate,
 }
 
 _SW = {k: ", ".join(f"'{w}'" for w in v) for k, v in T.STOPWORDS.items()}
@@ -1707,5 +1761,47 @@ ORACLE = {
                round(max(score), 4) AS max_score,
                CAST(sum(ntok) AS BIGINT) AS tok_sum
         FROM binned GROUP BY lang, bin ORDER BY lang, bin
+    """,
+    "llm40_quality_rules": f"""
+        WITH toks AS (SELECT doc_id, text, {_DUCK_TOKS} AS t
+                      FROM documents),
+        scored AS (
+          SELECT doc_id, len(t) AS n,
+                 CASE WHEN len(t) > 0
+                      THEN CAST(length(array_to_string(t, '')) AS DOUBLE)
+                           / len(t) ELSE 0.0 END AS awl,
+                 CASE WHEN len(t) > 0
+                      THEN CAST(length(regexp_replace(lower(text),
+                             '[a-z0-9\\s]', '', 'g')) AS DOUBLE) / len(t)
+                      ELSE 0.0 END AS sym,
+                 {_HITS['en']} AS sw,
+                 CASE WHEN len(t) > 0
+                      THEN CAST(len(list_filter(t,
+                             x -> regexp_full_match(x, '[0-9]+')))
+                           AS DOUBLE) / len(t)
+                      ELSE 0.0 END AS digit_frac
+          FROM toks),
+        rules AS (
+          SELECT doc_id,
+                 (n >= 20 AND n <= 100000) AS ok_len,
+                 (awl >= 3.0 AND awl <= 10.0) AS ok_word_len,
+                 (sym <= 0.1) AS ok_symbols,
+                 (sw >= 2) AS ok_stopwords,
+                 (digit_frac <= 0.2) AS ok_digits
+          FROM scored)
+        SELECT doc_id, ok_len, ok_word_len, ok_symbols, ok_stopwords,
+               ok_digits,
+               (ok_len AND ok_word_len AND ok_symbols AND ok_stopwords
+                AND ok_digits) AS pass
+        FROM rules ORDER BY doc_id LIMIT 200
+    """,
+    "llm41_head_truncate": f"""
+        WITH toks AS (SELECT doc_id, {_DUCK_TOKS} AS t FROM documents)
+        SELECT doc_id,
+               CAST(len(t) AS INTEGER) AS n_before,
+               CAST(least(len(t), 30) AS INTEGER) AS n_after,
+               (len(t) > 30) AS truncated,
+               md5(array_to_string(t[1:30], ' ')) AS text_md5
+        FROM toks ORDER BY doc_id LIMIT 200
     """,
 }

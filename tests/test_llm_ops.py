@@ -270,3 +270,33 @@ def test_dedup_verdict_best_tie_breaks_lowest_id(spark):
     rows = {r.doc_id: r.keep for r in
             D.dedup_verdict_best(docs, "doc_id", "score", pairs).collect()}
     assert rows == {7: True, 9: False}
+
+
+def test_symbol_ratio_and_digit_fraction(spark):
+    from rakam_api_collector_spark.operators import text as T
+
+    df = spark.createDataFrame(
+        [("ab cd!? e#", ), ("12 x 34 y", ), ("", )], ["text"])
+    rows = df.select(
+        F.round(T.symbol_ratio(F.col("text")), 4).alias("sym"),
+        F.round(T.digit_token_fraction(T.tokens(F.col("text"))), 4)
+        .alias("dig")).collect()
+    # 'ab cd!? e#': 3 symbols (!, ?, #) over 3 tokens; no digit tokens
+    assert (rows[0].sym, rows[0].dig) == (1.0, 0.0)
+    # '12 x 34 y': 0 symbols, 2 of 4 tokens are digit runs
+    assert (rows[1].sym, rows[1].dig) == (0.0, 0.5)
+    assert (rows[2].sym, rows[2].dig) == (0.0, 0.0)
+
+
+def test_quality_rules_and_truncate_row_local(spark):
+    """llm40/llm41 are scan-speed stages: no Exchange before the
+    display sort."""
+    from rakam_api_collector_spark.queries.llm_ops import (
+        llm40_quality_rules, llm41_head_truncate)
+
+    for q in (llm40_quality_rules, llm41_head_truncate):
+        plan = q(spark, SF)._jdf.queryExecution().executedPlan().toString()
+        # TakeOrderedAndProject handles the orderBy+limit without a
+        # full exchange; the verdict computation itself is map-side
+        assert "TakeOrderedAndProject" in plan, q.__name__
+        assert "Exchange hashpartitioning" not in plan, q.__name__
