@@ -351,6 +351,25 @@ def dq30_tumbling_window(spark: SparkSession, sf: str) -> DataFrame:
             .orderBy("ws", "event_type"))
 
 
+def dq47_sliding_window(spark: SparkSession, sf: str) -> DataFrame:
+    """Hopping (sliding) event-time window: 1-hour windows every 15
+    minutes — each event lands in 4 overlapping buckets. The same
+    F.window(ts, "1 hour", "15 minutes") expression drives streaming
+    rate metrics with watermarks; the batch form pins the bucket
+    math (epoch-aligned starts, inclusive-exclusive bounds) against a
+    generate_series replay in the oracle. Scale shape: the 4× row
+    expansion happens map-side inside the window generator, then ONE
+    map-side-combine aggregate — never a self-join of shifted copies."""
+    ev = load_table(spark, sf, "events")
+    return (ev.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"))
+            .agg(F.count("*").alias("n"),
+                 _dec_sum(F.col("value"), "val_sum"))
+            .select(F.date_format("w.start", "yyyy-MM-dd HH:mm:ss")
+                    .alias("ws"),
+                    "n", "val_sum")
+            .orderBy("ws"))
+
+
 def dq31_asof_join(spark: SparkSession, sf: str) -> DataFrame:
     """As-of join (operators/temporal.py): each click event picks up the
     latest prior-or-equal view by the same user — one window pass over a
@@ -738,6 +757,7 @@ QUERIES = {
     "dq29_envelope_parse": dq29_envelope_parse,
     "dq30_tumbling_window": dq30_tumbling_window,
     "dq31_asof_join": dq31_asof_join,
+    "dq47_sliding_window": dq47_sliding_window,
     "dq32_salted_agg": dq32_salted_agg,
     "dq33_percentile": dq33_percentile,
     "dq34_range_join": dq34_range_join,
@@ -927,6 +947,21 @@ ORACLE = {
                round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4)
                  AS val_sum
         FROM events GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    "dq47_sliding_window": """
+        WITH buckets AS (
+          SELECT time_bucket(INTERVAL 15 MINUTE, ts)
+                   - k.k * INTERVAL 15 MINUTE AS ws,
+                 value
+          FROM events
+          CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS k) k),
+        agg AS (
+          SELECT ws, count(*) AS n,
+                 round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE),
+                       4) AS val_sum
+          FROM buckets GROUP BY ws)
+        SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS ws, n, val_sum
+        FROM agg ORDER BY ws
     """,
     "dq31_asof_join": """
         WITH clicks AS (

@@ -261,3 +261,32 @@ def test_pack_sequences_single_shuffle(spark):
     plan = plan_of(packed, "simple")
     assert plan.count("Exchange hashpartitioning") == 1
     assert plan.count("Window") == 1
+
+
+def test_runtime_bloom_filter_reaches_fact_side(spark):
+    """100 TB regime pin: when the dim side is too big to broadcast (at
+    scale, any fact×fact join), Catalyst injects a runtime bloom filter
+    built from the selective side's join keys onto the probe-side scan
+    (`might_contain`), so fact rows that cannot match are dropped at
+    scan time instead of shuffling. At sf0.1 the dims broadcast and the
+    optimizer correctly skips the bloom (a broadcast join IS a perfect
+    filter); this test forces the shuffle-join regime to pin that the
+    session config keeps the feature live."""
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = load_table(spark, "/root/testdata/sf0.1", "lineitem")
+        o = (load_table(spark, "/root/testdata/sf0.1", "orders")
+             .filter(F.col("o_orderpriority") == "1-URGENT"))
+        j = (li.join(o, li.l_orderkey == o.o_orderkey)
+             .groupBy("l_linestatus").count())
+        plan = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "might_contain" in plan
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
