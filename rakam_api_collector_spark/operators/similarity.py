@@ -199,13 +199,15 @@ def ann_lsh_topk(corpus: DataFrame, queries: DataFrame, id_col: str,
                          "(all single-bit flips)")
     if probe_bits is not None and not (0 < probe_bits <= bits):
         raise ValueError("probe_bits must be in (0, bits]")
+    if probe_bits is not None and probe_radius != 0:
+        raise ValueError("probe_bits and probe_radius are mutually "
+                         "exclusive probing modes — pass one")
     if dim is None:
         dim = len(corpus.select(vec_col).first()[0])
     planes = np.asarray(random_hyperplanes(dim, bits, tables, seed))
     flat = planes.reshape(tables * bits, dim)
     sig_udf = _signatures_udf(flat, tables, bits)
 
-    v = _as_double(vec_col)
     # single corpus scan: signatures + unit vector together; posexplode
     # replicates the vector tables× in the map-side stream only (never
     # shuffled — the bucket join below broadcasts the other side)

@@ -89,13 +89,20 @@ def lang_id(text: Column) -> Column:
     return expr
 
 
+# Characters that do NOT count as symbols: alphanumerics + explicit
+# whitespace escapes. Enumerated (no \s shorthand) because Java regex
+# \s includes \x0B while RE2's does not — the explicit class means the
+# DuckDB oracle runs the IDENTICAL character set.
+SYMBOL_KEEP_RE = r"[a-z0-9 \t\n\f\r\x0B]"
+
+
 def symbol_ratio(text: Column) -> Column:
     """Symbol-to-word ratio (Gopher rule family): count of characters
     outside [a-z0-9] and whitespace (after lowercasing) per token.
     0.0 for token-less docs. RE2-compatible pattern so the DuckDB
     oracle runs it verbatim."""
     n = token_count(text)
-    syms = F.length(F.regexp_replace(F.lower(text), r"[a-z0-9\s]", ""))
+    syms = F.length(F.regexp_replace(F.lower(text), SYMBOL_KEEP_RE, ""))
     return F.when(n > 0, syms.cast("double") / n).otherwise(F.lit(0.0))
 
 

@@ -1822,7 +1822,7 @@ ORACLE = {
                            / len(t) ELSE 0.0 END AS awl,
                  CASE WHEN len(t) > 0
                       THEN CAST(length(regexp_replace(lower(text),
-                             '[a-z0-9\\s]', '', 'g')) AS DOUBLE) / len(t)
+                             '[a-z0-9 \\t\\n\\f\\r\\x0B]', '', 'g')) AS DOUBLE) / len(t)
                       ELSE 0.0 END AS sym,
                  {_HITS['en']} AS sw,
                  CASE WHEN len(t) > 0
@@ -1864,7 +1864,7 @@ ORACLE = {
                            / len(t) ELSE 0.0 END AS awl,
                  CASE WHEN len(t) > 0
                       THEN CAST(length(regexp_replace(lower(text),
-                             '[a-z0-9\\s]', '', 'g')) AS DOUBLE) / len(t)
+                             '[a-z0-9 \\t\\n\\f\\r\\x0B]', '', 'g')) AS DOUBLE) / len(t)
                       ELSE 0.0 END AS sym,
                  {_HITS['en']} AS sw,
                  CASE WHEN len(t) > 0

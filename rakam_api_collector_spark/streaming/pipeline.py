@@ -73,30 +73,45 @@ def _envelope_reject_predicate(fmt: str) -> Column:
 
 
 def _spool_dead_letters(bad: DataFrame, errors_dir: str,
-                        epoch_id: int) -> None:
+                        epoch_id: int, stream: str = "realtime") -> None:
     """Write rejected envelope rows (string ``value``) as replayable
-    parquet under ``errors_dir/epoch_id=<N>/`` with overwrite.
+    parquet under ``errors_dir/stream=<name>/epoch_id=<N>/`` with
+    overwrite.
 
     foreachBatch offers at-least-once semantics: a retried micro-batch
     re-runs ``process`` with the SAME epoch_id, so keying the spool by
     epoch and overwriting makes the write idempotent — a replayed epoch
-    replaces its own rows instead of appending duplicates. Readers use
-    ``spark.read.parquet(errors_dir)`` and get ``epoch_id`` back as a
-    discovered partition column."""
+    replaces its own rows instead of appending duplicates. ``stream``
+    namespaces the epoch counter: the realtime and historical queries
+    each run their own checkpoint (both start at epoch 0), so sharing
+    one ``errors_dir`` without the stream key would let one stream's
+    epoch-0 overwrite clobber the other's. Empty batches skip the
+    write — no per-trigger empty partition dirs. Readers use
+    ``spark.read.parquet(errors_dir)`` and get ``stream`` and
+    ``epoch_id`` back as discovered partition columns. (A spool
+    populated by the pre-epoch append-mode layout has flat files at the
+    base level; move them into e.g. ``stream=legacy/epoch_id=0/``
+    before pointing the partition-discovery reader at the dir.)"""
+    if bad.isEmpty():
+        return
     (bad.select("value", F.octet_length("value").alias("n_bytes"))
-     .write.mode("overwrite").parquet(f"{errors_dir}/epoch_id={epoch_id}"))
+     .write.mode("overwrite")
+     .parquet(f"{errors_dir}/stream={stream}/epoch_id={epoch_id}"))
 
 
 def _spool_corrupt_frames(batch: DataFrame, errors_dir: str,
-                          epoch_id: int) -> None:
+                          epoch_id: int, stream: str = "realtime") -> None:
     """Write ``_kind=='corrupt'`` binary frames as replayable parquet
-    with cheap forensics columns, epoch-keyed + overwrite for the same
-    at-least-once idempotence as ``_spool_dead_letters``."""
-    (batch.filter(F.col("_kind") == "corrupt")
-     .select("value",
-             F.octet_length("value").alias("n_bytes"),
-             F.hex(F.substring("value", 1, 1)).alias("first_byte_hex"))
-     .write.mode("overwrite").parquet(f"{errors_dir}/epoch_id={epoch_id}"))
+    with cheap forensics columns — same stream/epoch keying, overwrite
+    idempotence, and empty-batch skip as ``_spool_dead_letters``."""
+    bad = batch.filter(F.col("_kind") == "corrupt")
+    if bad.isEmpty():
+        return
+    (bad.select("value",
+                F.octet_length("value").alias("n_bytes"),
+                F.hex(F.substring("value", 1, 1)).alias("first_byte_hex"))
+     .write.mode("overwrite")
+     .parquet(f"{errors_dir}/stream={stream}/epoch_id={epoch_id}"))
 
 
 def start_ingest_stream(spark: SparkSession, source_dir: str, fmt: str,
@@ -529,7 +544,8 @@ def start_avro_historical_stream(spark: SparkSession, historical_dir: str,
                     for k, df in tables.items()}
             write_collections(out, table_base)
             if errors_dir is not None:
-                _spool_corrupt_frames(batch, errors_dir, epoch_id)
+                _spool_corrupt_frames(batch, errors_dir, epoch_id,
+                                      stream="historical")
             if stats is not None or error_monitor is not None:
                 n_ok = 0
                 for (p, c), df in tables.items():
@@ -580,7 +596,7 @@ def start_historical_stream(spark: SparkSession, historical_dir: str | None,
         if errors_dir is not None:
             _spool_dead_letters(
                 batch.filter(_envelope_reject_predicate(fmt)), errors_dir,
-                epoch_id)
+                epoch_id, stream="historical")
         tables = ingest_batch(spark, batch, fmt, catalog,
                               shard_time=shard_time, time_field=time_field)
         try:

@@ -276,7 +276,8 @@ def test_symbol_ratio_and_digit_fraction(spark):
     from rakam_api_collector_spark.operators import text as T
 
     df = spark.createDataFrame(
-        [("ab cd!? e#", ), ("12 x 34 y", ), ("", )], ["text"])
+        [("ab cd!? e#", ), ("12 x 34 y", ), ("", ), ("a\x0bb", )],
+        ["text"])
     rows = df.select(
         F.round(T.symbol_ratio(F.col("text")), 4).alias("sym"),
         F.round(T.digit_token_fraction(T.tokens(F.col("text"))), 4)
@@ -286,6 +287,9 @@ def test_symbol_ratio_and_digit_fraction(spark):
     # '12 x 34 y': 0 symbols, 2 of 4 tokens are digit runs
     assert (rows[1].sym, rows[1].dig) == (0.0, 0.5)
     assert (rows[2].sym, rows[2].dig) == (0.0, 0.0)
+    # vertical tab is whitespace in BOTH engines' pattern (the explicit
+    # \x0B in SYMBOL_KEEP_RE — Java \s and RE2 \s disagree on it)
+    assert rows[3].sym == 0.0
 
 
 def test_quality_rules_and_truncate_row_local(spark):

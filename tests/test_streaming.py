@@ -172,12 +172,23 @@ def test_dead_letter_spool_idempotent_per_epoch(spark, tmp_path):
     _spool_dead_letters(bad0, errors, epoch_id=0)     # simulated retry
     bad1 = spark.createDataFrame([("oops-c",)], ["value"])
     _spool_dead_letters(bad1, errors, epoch_id=1)
+    # the historical stream runs its OWN epoch counter from 0: sharing
+    # one errors_dir (app.py default wiring) must not clobber the
+    # realtime stream's epoch-0 rows
+    badh = spark.createDataFrame([("oops-hist",)], ["value"])
+    _spool_dead_letters(badh, errors, epoch_id=0, stream="historical")
+    # an empty batch writes nothing (no per-trigger empty dirs)
+    _spool_dead_letters(bad1.limit(0), errors, epoch_id=2)
 
     dead = spark.read.parquet(errors)
     rows = dead.collect()
-    assert sorted(r.value for r in rows) == ["oops-a", "oops-b", "oops-c"]
-    assert "epoch_id" in dead.columns
-    assert sorted(int(r.epoch_id) for r in rows) == [0, 0, 1]
+    assert sorted(r.value for r in rows) == [
+        "oops-a", "oops-b", "oops-c", "oops-hist"]
+    assert "epoch_id" in dead.columns and "stream" in dead.columns
+    assert sorted(int(r.epoch_id) for r in rows) == [0, 0, 0, 1]
+    assert dead.filter("epoch_id = 2").count() == 0
+    import os
+    assert not os.path.exists(f"{errors}/stream=realtime/epoch_id=2")
 
 
 def test_stream_dedup_drops_duplicate_user_time(spark, tmp_path):
