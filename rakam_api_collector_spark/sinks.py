@@ -19,12 +19,13 @@ Transactional positioning: the reference's Raptor sink registers shards
 in a MySQL transaction (RaptorDatabaseHandler.java:312-339) so
 concurrent writers can't double-commit. Here, streaming exactly-once
 comes from Structured Streaming's epoch-committed file sink
-(checkpointLocation, ST7) — equivalent single-writer guarantees. The
-multi-writer metadata transaction has no plain-parquet equivalent by
-design: on a cluster you'd point ``write_collections`` at a
-transactional table format (Delta/Iceberg, ``.format("delta")`` is a
-drop-in here); this environment ships neither, so the positioning is
-documented rather than stubbed.
+(checkpointLocation, ST7) — equivalent single-writer guarantees. For
+the multi-writer / crash-visibility half, ``manifest.ManifestedTable``
+implements the same protocol on plain parquet: private batch dirs,
+atomic manifest-rename as the commit point, idempotent batch ids,
+orphan invisibility. On a cluster a transactional table format
+(Delta/Iceberg, ``.format("delta")`` is a drop-in) implements the full
+version of the same idea.
 """
 
 from __future__ import annotations
