@@ -71,3 +71,23 @@ def test_invalid_batch_id_and_empty_table(spark, tmp_path):
     with pytest.raises(FileNotFoundError):
         t.read(spark)
     assert t.committed() == [] and t.orphans() == []
+
+
+def test_manifested_handler_speaks_sink_spi(spark, tmp_path):
+    """K4 SPI parity: insert() buffers, the returned callable commits
+    atomically, and an epoch-keyed retry of the whole commit is
+    idempotent — the streaming committer can drive it exactly like
+    ParquetDatabaseHandler."""
+    from rakam_api_collector_spark.ingest.catalog import Catalog
+    from rakam_api_collector_spark.manifest import ManifestedTable
+    from rakam_api_collector_spark.sinks import ManifestedDatabaseHandler
+
+    h = ManifestedDatabaseHandler(Catalog(), str(tmp_path))
+    df = _df(spark, [1, 2])
+    commit = h.insert("proj", "events", df, batch_id="epoch-7")
+    t = ManifestedTable(str(tmp_path), "proj", "events")
+    assert t.committed() == []               # nothing visible pre-commit
+    commit()
+    commit()                                 # at-least-once retry
+    assert sorted(r.id for r in t.read(spark).collect()) == [1, 2]
+    assert [m["batch"] for m in t.committed()] == ["epoch-7"]
