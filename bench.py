@@ -80,7 +80,7 @@ def main() -> None:
     for name in sorted(qs):
         timings[name] = run_once(name)
 
-    # Second repetition (min-of-2) for (a) the 10 most expensive queries
+    # Second repetition (min-of-2) for (a) the 16 most expensive queries
     # — the heavy tail dominates the suite total — and (b) any query
     # whose single sample regressed >1.2× against the previous recorded
     # run: a one-sample regression is indistinguishable from scheduler
@@ -96,7 +96,7 @@ def main() -> None:
     except (OSError, ValueError, KeyError):
         pass
     heavy = sorted((k for k, v in timings.items() if v == v),
-                   key=lambda k: -timings[k])[:10]
+                   key=lambda k: -timings[k])[:16]
     # cap keeps the WORST regressions, not alphabetical order
     regressed = sorted(
         (k for k, v in timings.items()
@@ -124,6 +124,11 @@ def main() -> None:
         "queries": timings,
         "reps": reps,
         "sf": sf,
+        # host context: this is a shared box — suite wall has measured
+        # ±40% run-to-run swings purely from external load (identical
+        # code benched at 63.9 s and 95.3 s within two hours); loadavg
+        # at bench START helps read a slow sample for what it is
+        "loadavg_1m": round(os.getloadavg()[0], 2),
     }
     try:
         with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),

@@ -751,28 +751,36 @@ def llm37_bigram_lm(spark: SparkSession, sf: str) -> DataFrame:
 
     P(w2|w1) = (c(w1 w2) + 1) / (c(w1) + V); c(w1) is the bigram-head
     marginal (so probabilities per head sum to 1 over the vocab) and V
-    the train-side distinct-unigram count, riding the plan as a 1-row
-    broadcast. Scale shape: bigram/head counts are one explode + two
-    map-side-combine aggregates; the model tables join back on token
-    keys (vocabulary ≪ corpus — AQE broadcasts them when they fit);
-    per-bigram ln() is DECIMAL-summed per doc (llm27 rule) so shuffle
-    order cannot move the rounded mean."""
+    the distinct-head count, riding the plan as a 1-row broadcast.
+    Scale shape: the TRAIN corpus is tokenized exactly once — the
+    bigram counts are one explode + map-side-combine aggregate, the
+    head marginals re-aggregate the (already tiny) bigram-count table,
+    and V is a 1-row count of the head table; no second pass over
+    train text. The model tables join back on token keys (vocabulary ≪
+    corpus — AQE broadcasts them when they fit); per-bigram ln() is
+    DECIMAL-summed per doc (llm27 rule) so shuffle order cannot move
+    the rounded mean."""
     docs = (load_table(spark, sf, "documents")
             .select("doc_id", T.tokens(F.col("text")).alias("_tk")))
     bg = docs.select("doc_id", F.explode(T.bigrams(F.col("_tk")))
               .alias("bg"))
-    train_bg = bg.filter(F.col("doc_id") % 5 != 0)
-    c12 = train_bg.groupBy("bg").agg(F.count("*").alias("c12"))
-    c1 = (train_bg.select(F.split_part(F.col("bg"), F.lit(" "), F.lit(1))
-                  .alias("w1"))
-          .groupBy("w1").agg(F.count("*").alias("c1")))
-    v = (docs.filter(F.col("doc_id") % 5 != 0)
-         .select(F.explode("_tk").alias("tok"))
-         .agg(F.countDistinct("tok").alias("v")))
+    # the MODEL is materialized once (localCheckpoint): c12 feeds three
+    # consumers (the eval join, the head marginals, and V), and without
+    # a checkpoint each one would replay the corpus scan + explode —
+    # the in-plan analog of persisting the trained model to storage
+    # (operators/sigstore.py does exactly that for MinHash signatures)
+    c12 = (bg.filter(F.col("doc_id") % 5 != 0)
+           .groupBy("bg").agg(F.count("*").alias("c12"))
+           .withColumn("w1", F.split_part(F.col("bg"), F.lit(" "),
+                                          F.lit(1)))
+           .localCheckpoint())
+    c1 = c12.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    v = c1.agg(F.count("*").alias("v"))
     ev = (bg.filter(F.col("doc_id") % 5 == 0)
           .withColumn("w1", F.split_part(F.col("bg"), F.lit(" "),
                                          F.lit(1))))
-    per = (ev.join(c12, "bg", "left").join(c1, "w1", "left")
+    per = (ev.join(c12.select("bg", "c12"), "bg", "left")
+           .join(c1, "w1", "left")
            .crossJoin(F.broadcast(v))
            .select("doc_id",
                    F.log((F.coalesce("c12", F.lit(0)) + 1).cast("double")
@@ -1746,10 +1754,10 @@ ORACLE = {
         train_bg AS (SELECT bg, split_part(bg, ' ', 1) AS w1
                      FROM bg WHERE doc_id % 5 <> 0),
         c12 AS (SELECT bg, count(*) AS c12 FROM train_bg GROUP BY bg),
-        c1 AS (SELECT w1, count(*) AS c1 FROM train_bg GROUP BY w1),
-        v AS (SELECT count(DISTINCT tok) AS v
-              FROM (SELECT unnest(t) AS tok FROM docs
-                    WHERE doc_id % 5 <> 0)),
+        c1 AS (SELECT w1, sum(c12) AS c1
+               FROM (SELECT split_part(bg, ' ', 1) AS w1, c12 FROM c12)
+               GROUP BY w1),
+        v AS (SELECT count(*) AS v FROM c1),
         ev AS (SELECT doc_id, bg, split_part(bg, ' ', 1) AS w1
                FROM bg WHERE doc_id % 5 = 0),
         per AS (
