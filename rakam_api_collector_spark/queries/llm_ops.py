@@ -886,33 +886,32 @@ def llm42_curation_e2e(spark: SparkSession, sf: str) -> DataFrame:
     pin every stage's row math at once; a regression in any stage moves
     at least one aggregate.
 
-    Scale shape: rules + truncation are row-local; dedup is one
-    shuffle on the normalized-text hash; accounting is one map-side-
-    combine aggregate. The whole pipeline is a single Catalyst plan —
-    no intermediate materialization."""
+    Scale shape: the rule battery runs row-local over exactly TWO
+    corpus scans — one conditional aggregate for the in/after-rules
+    funnel counts, one window-dedup pass (row_number over the
+    normalized text, min doc_id survives — no self-join back) for the
+    survivor stats. Checkpointing the scored corpus to share one scan
+    would cost a full materialization at 100 TB; two scans of
+    column-pruned parquet are cheaper."""
     docs = load_table(spark, sf, "documents").select(
         "doc_id", "source", "text")
     staged = _gopher_rules(docs, "source")
+    funnel = staged.groupBy("source").agg(
+        F.count("*").alias("n_in"),
+        F.count_if("pass").alias("n_rules"))
     passed = staged.filter("pass").select(
         "doc_id", "source",
-        F.array_join("_tk", " ").alias("_norm"), F.size("_tk").alias("_n"))
-    keep = (passed.groupBy("_norm")
-            .agg(F.min("doc_id").alias("doc_id")))
-    deduped = passed.join(keep, ["_norm", "doc_id"])
-    final = deduped.select(
-        "source", F.least(F.col("_n"), F.lit(30)).alias("_ntok"))
-    per_source_in = docs.groupBy("source").agg(
-        F.count("*").alias("n_in"))
-    per_source_rules = passed.groupBy("source").agg(
-        F.count("*").alias("n_rules"))
-    per_source_out = final.groupBy("source").agg(
+        F.array_join("_tk", " ").alias("_norm"),
+        F.size("_tk").alias("_n"))
+    w = Window.partitionBy("_norm").orderBy("doc_id")
+    surv = (passed.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1))
+    per_source_out = surv.groupBy("source").agg(
         F.count("*").alias("n_dedup"),
-        F.sum("_ntok").alias("tok_sum"))
-    return (per_source_in
-            .join(per_source_rules, "source", "left")
+        F.sum(F.least(F.col("_n"), F.lit(30))).alias("tok_sum"))
+    return (funnel
             .join(per_source_out, "source", "left")
-            .select("source", "n_in",
-                    F.coalesce("n_rules", F.lit(0)).alias("n_rules"),
+            .select("source", "n_in", "n_rules",
                     F.coalesce("n_dedup", F.lit(0)).alias("n_dedup"),
                     F.coalesce("tok_sum", F.lit(0)).alias("tok_sum"))
             .orderBy("source"))
