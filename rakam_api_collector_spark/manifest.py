@@ -6,33 +6,35 @@ counts, and table version move atomically), so a crashed writer leaves
 no half-visible data and concurrent writers cannot double-commit.
 Structured Streaming's epoch-committed file sink gives the same
 guarantee for a SINGLE writer; this module adds the multi-writer /
-crash-visibility half on plain parquet, the same protocol simplified
-that Delta/Iceberg implement in full:
+crash-visibility half on plain parquet — the version-file protocol that
+Delta (_delta_log) and Iceberg (metadata pointer) implement in full:
 
 1. Each batch writes its files under a private directory
    ``<table>/_batches/<batch_id>/`` — invisible to readers.
-2. The commit point is ONE atomic rename: a manifest JSON (batch id,
-   row count, format, timestamp) moves from a temp name into
-   ``<table>/_manifests/<batch_id>.json``.
-3. Readers list the manifest directory and read ONLY manifested batch
-   directories. Orphans from crashed writers are never seen (and can be
-   GC'd by comparing ``_batches/`` against ``_manifests/``).
+2. The table state is a VERSION FILE ``<table>/_versions/v<N>.json``
+   listing every live batch. Commit = atomically creating version N+1
+   (``os.link`` create-if-absent — POSIX's compare-and-swap; an object
+   store uses a conditional put). Two writers racing to N+1: one wins,
+   the other re-reads the new state and retries on N+2 — optimistic
+   concurrency, serialized history, no lost updates.
+3. Readers load the highest version file and read ONLY its batches.
+   Crashed writers leave orphan batch dirs no version references.
 
 Caller-supplied ``batch_id`` doubles as an idempotency key: a retried
-write with the same id overwrites its own batch dir and re-publishes
-the same manifest — exactly-once visibility under at-least-once
-execution (the same rule the dead-letter spool uses per epoch).
-Concurrent writers use distinct ids and never touch each other's files;
-"commit" is the POSIX-atomic rename, standing in for Raptor's MySQL
-transaction. On an object store without atomic rename, step 2 becomes a
-conditional put (If-None-Match) — same protocol, different primitive.
+write with the same id overwrites its own batch dir and REPLACES the id
+in the next version's live set — exactly-once visibility under
+at-least-once execution (the same rule the dead-letter spool uses per
+epoch).
 
-Scale notes: one manifest per micro-batch is metadata-tiny, but a
-long-lived table accumulates batch directories; the deployment answer
-is periodic compaction (rewrite N manifested batches as one, publish
-the compacted manifest, then drop the old ones) — the analog of
-Raptor's shard organizer. Readers union per-batch scans, so day
-partition pruning still applies inside every batch directory.
+The version history is also what makes maintenance transactional:
+``compact()`` rewrites the live batches as one and publishes a version
+where the inputs are swapped for the output in a single commit (readers
+see either the old set or the new set, never both), and ``gc()``
+deletes batch dirs no retained version references — the shard-organizer
+analog. Scale notes: a version file is metadata-tiny (one JSON row per
+live batch); very long histories prune via ``gc(keep_versions=…)``.
+Readers union per-batch scans, so day partition pruning still applies
+inside every batch directory.
 """
 
 from __future__ import annotations
@@ -46,22 +48,81 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+class CommitConflict(RuntimeError):
+    """Raised when the optimistic-concurrency retry budget is exhausted."""
+
+
 class ManifestedTable:
     """Atomically-committed parquet/ORC table at ``base/project/collection``."""
 
-    def __init__(self, base: str, project: str, collection: str) -> None:
+    def __init__(self, base: str, project: str, collection: str,
+                 max_commit_retries: int = 20) -> None:
         self.table_dir = f"{base}/{project}/{collection}"
         self.batches_dir = f"{self.table_dir}/_batches"
-        self.manifests_dir = f"{self.table_dir}/_manifests"
+        self.versions_dir = f"{self.table_dir}/_versions"
+        self.max_commit_retries = max_commit_retries
+
+    # -- version protocol ---------------------------------------------------
+
+    def _version_numbers(self) -> list[int]:
+        try:
+            names = os.listdir(self.versions_dir)
+        except FileNotFoundError:
+            return []
+        return sorted(int(n[1:-5]) for n in names
+                      if n.startswith("v") and n.endswith(".json"))
+
+    def current_version(self) -> int:
+        """Highest committed version; 0 = empty table."""
+        ns = self._version_numbers()
+        return ns[-1] if ns else 0
+
+    def _read_version(self, n: int) -> dict:
+        if n == 0:
+            return {"version": 0, "batches": []}
+        with open(f"{self.versions_dir}/v{n:010d}.json") as f:
+            return json.load(f)
+
+    def _try_commit(self, next_n: int, state: dict) -> bool:
+        """Atomic create-if-absent of version ``next_n``. True on win;
+        False if another writer committed it first."""
+        os.makedirs(self.versions_dir, exist_ok=True)
+        tmp = f"{self.versions_dir}/.tmp-{uuid.uuid4().hex}.json"
+        with open(tmp, "w") as f:
+            json.dump(state, f)
+        try:
+            # link() fails with EEXIST if the target exists — the POSIX
+            # compare-and-swap this protocol rides on (conditional put
+            # on an object store)
+            os.link(tmp, f"{self.versions_dir}/v{next_n:010d}.json")
+            return True
+        except FileExistsError:
+            return False
+        finally:
+            os.unlink(tmp)
+
+    def _commit(self, mutate) -> dict:
+        """OCC loop: read current state, apply ``mutate(live_batches) ->
+        new_batches``, try to publish; on a race, re-read and retry."""
+        for _ in range(self.max_commit_retries):
+            n = self.current_version()
+            live = self._read_version(n)["batches"]
+            state = {"version": n + 1, "parent": n,
+                     "committed_at": time.time(),
+                     "batches": mutate(list(live))}
+            if self._try_commit(n + 1, state):
+                return state
+        raise CommitConflict(
+            f"lost {self.max_commit_retries} consecutive version races "
+            f"under {self.table_dir}")
 
     # -- write --------------------------------------------------------------
 
     def write(self, df: DataFrame, batch_id: str | None = None,
               fmt: str = "parquet", partition_by_day: bool = True) -> str:
-        """Write one batch and commit it via atomic manifest publish.
-        Returns the batch id. Re-running with the same ``batch_id``
-        (an at-least-once retry) replaces the batch instead of
-        duplicating it."""
+        """Write one batch and commit it atomically. Returns the batch
+        id. Re-running with the same ``batch_id`` (an at-least-once
+        retry) replaces the batch instead of duplicating it."""
         bid = batch_id or uuid.uuid4().hex
         if "/" in bid or bid.startswith("."):
             raise ValueError(f"invalid batch_id: {bid!r}")
@@ -72,45 +133,22 @@ class ManifestedTable:
         if partition_by_day and "_day" in out.columns:
             writer = writer.partitionBy("_day")
         writer.save(f"{self.batches_dir}/{bid}")
+        entry = {"batch": bid, "rows": out.count(), "format": fmt}
 
-        manifest = {
-            "batch": bid,
-            "rows": out.count(),
-            "format": fmt,
-            "committed_at": time.time(),
-        }
-        os.makedirs(self.manifests_dir, exist_ok=True)
-        tmp = f"{self.manifests_dir}/.tmp-{bid}-{uuid.uuid4().hex}.json"
-        with open(tmp, "w") as f:
-            json.dump(manifest, f)
-        # THE commit point: on POSIX rename is atomic and replaces any
-        # prior manifest for the same batch id (idempotent retry)
-        os.rename(tmp, f"{self.manifests_dir}/{bid}.json")
+        def mutate(live):
+            return [b for b in live if b["batch"] != bid] + [entry]
+
+        self._commit(mutate)
         return bid
 
     # -- read ---------------------------------------------------------------
 
     def committed(self) -> list[dict]:
-        """Manifests of committed batches, oldest first."""
-        try:
-            names = sorted(n for n in os.listdir(self.manifests_dir)
-                           if n.endswith(".json") and not n.startswith("."))
-        except FileNotFoundError:
-            return []
-        out = []
-        for n in names:
-            with open(f"{self.manifests_dir}/{n}") as f:
-                out.append(json.load(f))
-        return out
+        """Live batch manifests of the current version."""
+        return self._read_version(self.current_version())["batches"]
 
-    def read(self, spark: SparkSession) -> DataFrame:
-        """Union of all COMMITTED batches — uncommitted/orphaned batch
-        directories are invisible, the Raptor-transaction reader
-        guarantee. Raises if nothing is committed (no schema to give)."""
-        manifests = self.committed()
-        if not manifests:
-            raise FileNotFoundError(
-                f"no committed batches under {self.table_dir}")
+    def _read_batches(self, spark: SparkSession,
+                      manifests: list[dict]) -> DataFrame:
         dfs = []
         for m in manifests:
             path = f"{self.batches_dir}/{m['batch']}"
@@ -121,11 +159,72 @@ class ManifestedTable:
             df = df.unionByName(d, allowMissingColumns=True)
         return df
 
+    def read(self, spark: SparkSession) -> DataFrame:
+        """Union of the current version's batches — uncommitted or
+        orphaned batch directories are invisible, the Raptor-transaction
+        reader guarantee. Raises if nothing is committed."""
+        manifests = self.committed()
+        if not manifests:
+            raise FileNotFoundError(
+                f"no committed batches under {self.table_dir}")
+        return self._read_batches(spark, manifests)
+
+    # -- maintenance --------------------------------------------------------
+
+    def compact(self, spark: SparkSession, fmt: str = "parquet") -> str:
+        """Rewrite the current live set as ONE batch and publish a
+        version swapping inputs for output atomically — readers see the
+        old set or the new set, never both (the shard-organizer analog).
+        Batches committed concurrently DURING the rewrite survive: the
+        swap only removes the inputs it actually read."""
+        inputs = self.committed()
+        if not inputs:
+            raise FileNotFoundError(f"nothing to compact in {self.table_dir}")
+        bid = f"compact-{uuid.uuid4().hex}"
+        df = self._read_batches(spark, inputs)
+        df.write.mode("overwrite").format(fmt) \
+            .save(f"{self.batches_dir}/{bid}")
+        entry = {"batch": bid, "rows": df.count(), "format": fmt}
+        consumed = {b["batch"] for b in inputs}
+
+        def mutate(live):
+            return [b for b in live if b["batch"] not in consumed] + [entry]
+
+        self._commit(mutate)
+        return bid
+
     def orphans(self) -> list[str]:
-        """Batch dirs with no manifest — crashed writers, GC candidates."""
+        """Batch dirs the CURRENT version does not reference — crashed
+        writers and compacted-away inputs. GC candidates (subject to
+        reader grace / version retention — see gc())."""
         try:
             dirs = set(os.listdir(self.batches_dir))
         except FileNotFoundError:
             return []
-        committed = {m["batch"] for m in self.committed()}
-        return sorted(d for d in dirs if d not in committed)
+        live = {m["batch"] for m in self.committed()}
+        return sorted(d for d in dirs if d not in live)
+
+    def gc(self, keep_versions: int = 2) -> list[str]:
+        """Delete batch dirs referenced by NONE of the newest
+        ``keep_versions`` versions, then prune older version files.
+        The retention window is the reader grace period: an in-flight
+        reader pinned to a retained version still finds its files."""
+        import shutil
+
+        ns = self._version_numbers()
+        kept = ns[-keep_versions:] if keep_versions else []
+        referenced: set[str] = set()
+        for n in kept:
+            referenced |= {b["batch"] for b in self._read_version(n)["batches"]}
+        removed = []
+        try:
+            dirs = sorted(os.listdir(self.batches_dir))
+        except FileNotFoundError:
+            dirs = []
+        for d in dirs:
+            if d not in referenced:
+                shutil.rmtree(f"{self.batches_dir}/{d}")
+                removed.append(d)
+        for n in ns[:-keep_versions] if keep_versions else ns:
+            os.unlink(f"{self.versions_dir}/v{n:010d}.json")
+        return removed

@@ -21,9 +21,10 @@ concurrent writers can't double-commit. Here, streaming exactly-once
 comes from Structured Streaming's epoch-committed file sink
 (checkpointLocation, ST7) — equivalent single-writer guarantees. For
 the multi-writer / crash-visibility half, ``manifest.ManifestedTable``
-implements the same protocol on plain parquet: private batch dirs,
-atomic manifest-rename as the commit point, idempotent batch ids,
-orphan invisibility. On a cluster a transactional table format
+implements the same protocol on plain parquet: private batch dirs, a
+version-file commit (atomic create-if-absent as compare-and-swap,
+optimistic-concurrency retries), idempotent batch ids, orphan
+invisibility, transactional compaction, and version-retention GC. On a cluster a transactional table format
 (Delta/Iceberg, ``.format("delta")`` is a drop-in) implements the full
 version of the same idea.
 """

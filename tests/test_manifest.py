@@ -91,3 +91,43 @@ def test_manifested_handler_speaks_sink_spi(spark, tmp_path):
     commit()                                 # at-least-once retry
     assert sorted(r.id for r in t.read(spark).collect()) == [1, 2]
     assert [m["batch"] for m in t.committed()] == ["epoch-7"]
+
+
+def test_version_history_and_compaction(spark, tmp_path):
+    """compact() swaps N live batches for one in a single version
+    commit; gc() removes unreferenced dirs only outside the retention
+    window."""
+    t = ManifestedTable(str(tmp_path), "proj", "events")
+    for i in range(3):
+        t.write(_df(spark, [i]), batch_id=f"b{i}")
+    assert t.current_version() == 3
+    cid = t.compact(spark)
+    assert [m["batch"] for m in t.committed()] == [cid]
+    assert sorted(r.id for r in t.read(spark).collect()) == [0, 1, 2]
+    # old batches are orphans of the current version but still protected
+    # by the retention window (a reader on version 3 needs them)
+    assert t.orphans() == ["b0", "b1", "b2"]
+    removed = t.gc(keep_versions=2)          # keeps v3 (b0-b2) and v4
+    assert removed == []
+    removed = t.gc(keep_versions=1)          # only v4 (compacted) kept
+    assert removed == ["b0", "b1", "b2"]
+    assert sorted(r.id for r in t.read(spark).collect()) == [0, 1, 2]
+
+
+def test_concurrent_writers_both_commit(spark, tmp_path):
+    """Optimistic concurrency: racing writers serialize — both batches
+    end up live, versions advance one at a time, no lost update."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    t = ManifestedTable(str(tmp_path), "proj", "events")
+
+    def write_one(i):
+        ManifestedTable(str(tmp_path), "proj", "events").write(
+            _df(spark, [i]), batch_id=f"w{i}")
+
+    with ThreadPoolExecutor(8) as ex:
+        list(ex.map(write_one, range(8)))
+    assert t.current_version() == 8
+    assert sorted(m["batch"] for m in t.committed()) == [
+        f"w{i}" for i in range(8)]
+    assert sorted(r.id for r in t.read(spark).collect()) == list(range(8))
