@@ -144,6 +144,33 @@ def repetition_ratio(t: Column, n: int = 2) -> Column:
     ).otherwise(F.lit(0.0))
 
 
+def compression_ratio_udf(level: int = 6):
+    """Arrow-batched zlib compression ratio (compressed/raw bytes) — the
+    CCNet/Gopher-family redundancy signal: repetitive boilerplate
+    compresses far below ~0.4 while natural prose sits higher. This is
+    the one text signal that genuinely needs Python (no Catalyst
+    compression expression), so it runs as a pandas_udf: stdlib zlib
+    per Arrow batch, no per-row Python call overhead beyond the loop,
+    and deterministic for a fixed (text, level) across platforms (zlib
+    output is spec-stable for a given level/strategy). Empty docs → 0.0
+    by convention."""
+    import pandas as pd
+    import zlib
+
+    from pyspark.sql.functions import pandas_udf
+
+    def ratio(texts):
+        out = []
+        for t in texts:
+            raw = (t or "").encode("utf-8")
+            out.append(len(zlib.compress(raw, level)) / len(raw)
+                       if raw else 0.0)
+        return pd.Series(out)
+
+    ratio.__annotations__ = {"texts": pd.Series, "return": pd.Series}
+    return pandas_udf(ratio, "double")
+
+
 def fingerprint(text: Column) -> Column:
     """Document fingerprint: 64-bit hash of the token-normalized text —
     the batch analog of the reference's shard checksum

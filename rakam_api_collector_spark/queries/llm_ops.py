@@ -937,6 +937,34 @@ def llm41_head_truncate(spark: SparkSession, sf: str) -> DataFrame:
         .orderBy("doc_id").limit(200))
 
 
+def llm43_compression_ratio(spark: SparkSession, sf: str) -> DataFrame:
+    """zlib compression-ratio quality signal (the CCNet/Gopher-family
+    redundancy filter) with an IN-BAND gate (dq36/llm10 pattern): zlib
+    byte counts are not SQL-reproducible, so the oracle asserts
+    engine-computed booleans — every ratio lands in (0, 1.5], and
+    doubling a document (text+text) strictly lowers its per-byte ratio
+    for every doc ≥ 100 chars (the information-theoretic property the
+    filter exploits: redundancy compresses). A broken codec path or a
+    ratio computed on the wrong column collapses a boolean and
+    hash-fails the gate. One mapInPandas-free pandas_udf stage, two
+    row-local ratio columns, one aggregate — no shuffle beyond it."""
+    ratio = T.compression_ratio_udf()
+    docs = load_table(spark, sf, "documents").select(
+        "source", "text", F.length("text").alias("_len"))
+    scored = docs.select(
+        "source", "_len",
+        ratio(F.col("text")).alias("_r1"),
+        ratio(F.concat(F.col("text"), F.col("text"))).alias("_r2"))
+    return (scored.groupBy("source")
+            .agg(F.count("*").alias("n"),
+                 (F.count_if((F.col("_r1") > 0) & (F.col("_r1") <= 1.5))
+                  == F.count("*")).alias("in_range_ok"),
+                 (F.count_if((F.col("_len") >= 100)
+                             & ~(F.col("_r2") < F.col("_r1"))) == 0)
+                 .alias("doubling_ok"))
+            .orderBy("source"))
+
+
 _BOILER = (" copyright license terms apply all rights reserved "
            "worldwide legal notice")
 
@@ -987,6 +1015,7 @@ QUERIES = {
     "llm40_quality_rules": llm40_quality_rules,
     "llm41_head_truncate": llm41_head_truncate,
     "llm42_curation_e2e": llm42_curation_e2e,
+    "llm43_compression_ratio": llm43_compression_ratio,
 }
 
 _SW = {k: ", ".join(f"'{w}'" for w in v) for k, v in T.STOPWORDS.items()}
@@ -1906,5 +1935,10 @@ ORACLE = {
         LEFT JOIN src_rules r ON i.source = r.source
         LEFT JOIN src_out o ON i.source = o.source
         ORDER BY i.source
+    """,
+    "llm43_compression_ratio": """
+        SELECT source, count(*) AS n,
+               true AS in_range_ok, true AS doubling_ok
+        FROM documents GROUP BY source ORDER BY source
     """,
 }

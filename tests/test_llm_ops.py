@@ -304,3 +304,22 @@ def test_quality_rules_and_truncate_row_local(spark):
         # full exchange; the verdict computation itself is map-side
         assert "TakeOrderedAndProject" in plan, q.__name__
         assert "Exchange hashpartitioning" not in plan, q.__name__
+
+
+def test_compression_ratio_signal(spark):
+    """Repetitive text must compress materially better than high-entropy
+    text, and the in-band doubling property must hold."""
+    import random
+
+    from rakam_api_collector_spark.operators import text as T
+
+    rng = random.Random(3)
+    noisy = " ".join("".join(rng.choice("abcdefghijklmnop")
+                             for _ in range(8)) for _ in range(60))
+    repetitive = "the cat sat on the mat " * 25
+    df = spark.createDataFrame([(repetitive,), (noisy,)], ["text"])
+    ratio = T.compression_ratio_udf()
+    r_rep, r_noise = [r.r for r in df.select(
+        ratio(F.col("text")).alias("r")).collect()]
+    assert r_rep < 0.2 < r_noise
+    assert 0 < r_rep and r_noise <= 1.5
