@@ -128,7 +128,8 @@ def start_ingest_stream(spark: SparkSession, source_dir: str, fmt: str,
                         stats=None, error_monitor=None,
                         rocksdb_state: bool = True,
                         source_stream: DataFrame | None = None,
-                        errors_dir: str | None = None):
+                        errors_dir: str | None = None,
+                        manifested: bool = False):
     """Start the real-time ingestion query over a source of envelope JSON
     lines. Returns the StreamingQuery.
 
@@ -146,6 +147,12 @@ def start_ingest_stream(spark: SparkSession, source_dir: str, fmt: str,
     project/collection/data, collection name empty or >100 chars,
     unparseable JSON body) are written per micro-batch as parquet
     (value, n_bytes) for replay/diagnosis; ST11 counting is unchanged.
+
+    ``manifested=True`` commits each collection's micro-batch through
+    ``manifest.ManifestedTable`` (version-file protocol, epoch id as the
+    idempotency key) instead of the plain append sink — the Raptor
+    shard-registry analog; read the tables back with
+    ``ManifestedTable(...).read(spark)``.
     """
     if dedup and rocksdb_state:
         # ST6 parity: the reference's dedup store IS RocksDB (TtlDB,
@@ -215,7 +222,22 @@ def start_ingest_stream(spark: SparkSession, source_dir: str, fmt: str,
             tables = ingest_batch(spark, hot.select("value"), fmt, catalog,
                                   shard_time=shard_time,
                                   time_field=time_field)
-            write_collections(tables, table_base)
+            if manifested:
+                # K1 Raptor-transaction analog: each collection commits
+                # this micro-batch through the version-file protocol
+                # with the EPOCH as the idempotency key, so a replayed
+                # foreachBatch (at-least-once) replaces its own batch
+                # instead of appending duplicates — exactly-once
+                # VISIBILITY even for readers outside Spark's file-sink
+                # metadata (manifest.py; RaptorDatabaseHandler.java:
+                # 312-339)
+                from rakam_api_collector_spark.manifest import (
+                    ManifestedTable)
+                for (project, collection), df in tables.items():
+                    ManifestedTable(table_base, project, collection) \
+                        .write(df, batch_id=f"epoch-{epoch_id}")
+            else:
+                write_collections(tables, table_base)
             if stats is not None or error_monitor is not None:
                 # A2 per-collection counters + ST11 kill-switch; opt-in
                 # because the counts are extra actions per micro-batch.

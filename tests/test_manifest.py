@@ -131,3 +131,32 @@ def test_concurrent_writers_both_commit(spark, tmp_path):
     assert sorted(m["batch"] for m in t.committed()) == [
         f"w{i}" for i in range(8)]
     assert sorted(r.id for r in t.read(spark).collect()) == list(range(8))
+
+
+def test_streaming_with_manifested_sink(spark, tmp_path):
+    """End-to-end: the realtime stream commits micro-batches through the
+    version-file protocol — tables come back via ManifestedTable.read,
+    one version per epoch per collection, epoch-keyed batch ids."""
+    from rakam_api_collector_spark.ingest.catalog import Catalog
+    from rakam_api_collector_spark.manifest import ManifestedTable
+    from rakam_api_collector_spark.streaming import start_ingest_stream
+    from tests.test_ingest import fabric
+    from tests.test_streaming import NOW, SHARD_T, _write_lines
+
+    lines = [fabric("t", {"_time": "2020-06-01T10:00:00",
+                          "_user": "u1", "v": 1}),
+             fabric("t", {"_time": "2020-06-01T10:00:01",
+                          "_user": "u2", "v": 2})]
+    src = tmp_path / "src"
+    _write_lines(src, lines)
+    q = start_ingest_stream(
+        spark, str(src), "fabric", Catalog(),
+        table_base=str(tmp_path / "tables"),
+        checkpoint=str(tmp_path / "ckpt"),
+        now=NOW, shard_time=SHARD_T, dedup=False, manifested=True)
+    q.awaitTermination(120)
+
+    t = ManifestedTable(str(tmp_path / "tables"), "testproject", "t")
+    rows = t.read(spark).collect()
+    assert sorted(r["v"] for r in rows) == [1.0, 2.0]
+    assert [m["batch"] for m in t.committed()] == ["epoch-0"]
