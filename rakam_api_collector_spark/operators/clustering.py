@@ -95,8 +95,20 @@ def kmeans(emb: DataFrame, id_col: str, vec_col: str, *, k: int = 8,
                                                        6))
                          .alias("_v")).collect())
         init = [list(r["_v"]) for r in first]
+    cents = kmeans_centroids(emb, id_col, vec_col, init=init,
+                             iters=iters)
+    return assign_clusters(emb, id_col, vec_col, cents)
+
+
+def kmeans_centroids(emb: DataFrame, id_col: str, vec_col: str, *,
+                     init: list[list[float]], iters: int = 2
+                     ) -> list[list[float]]:
+    """The trained model half of kmeans: run the assignment+update
+    rounds and return the final centroid list (k x dim driver state) —
+    the persisted artifact an IVF index builds its cells from
+    (similarity.py:ivf_topk(centroids=...))."""
     cents = init
     for _ in range(iters):
         assigned = _with_assignment(emb, id_col, vec_col, cents)
         cents = update_centroids(assigned, old=cents)
-    return assign_clusters(emb, id_col, vec_col, cents)
+    return cents

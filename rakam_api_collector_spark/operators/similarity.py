@@ -274,48 +274,55 @@ def _cells_udf(cents: "np.ndarray", nprobe: int):
 
 def ivf_topk(corpus: DataFrame, queries: DataFrame, id_col: str,
              vec_col: str, k: int = 10, n_cells: int = 16,
-             nprobe: int = 4, exclude_self: bool = True) -> DataFrame:
+             nprobe: int = 4, exclude_self: bool = True,
+             centroids: "np.ndarray | None" = None) -> DataFrame:
     """IVF (inverted-file) approximate top-k: partition the corpus into
     ``n_cells`` Voronoi cells around unit centroids, probe only the
     ``nprobe`` best cells per query, exact cosine within probed cells.
 
-    Centroids here are the first ``n_cells`` corpus vectors by id —
+    Default centroids are the first ``n_cells`` corpus vectors by id —
     deterministic, so the result is exactly reproducible by a SQL oracle
-    (an IVF index is approximate by construction but not random). At
-    scale centroids come from sampled k-means and are a persisted model
+    (an IVF index is approximate by construction but not random). Pass
+    ``centroids`` (an (n_cells, dim) array, e.g. the driver-state
+    output of ``operators/clustering.py:kmeans``) for the trained
+    variant used at scale, where centroids are a persisted model
     artifact; cell assignment is one narrow matmul pass and the cell id
     becomes the partition key on write, so a query's probe touches
     nprobe/n_cells of the corpus (the IVF-flat layout, Johnson et al.,
     "Billion-scale similarity search with GPUs", 2017).
 
-    Cell assignment is scale-invariant in the input vector (argmax of
-    dot against UNIT centroids), so raw vectors feed the assignment UDF
-    and normalization happens only in final scoring."""
-    cents_rows = (corpus.filter(F.col(id_col) < n_cells)
-                  .select(F.col(id_col).alias("_cid"),
-                          _as_double(vec_col).alias("_v"))
-                  .collect())                          # bounded by n_cells
-    cents = np.asarray([r._v for r in
-                        sorted(cents_rows, key=lambda r: r._cid)])
-    cents /= np.linalg.norm(cents, axis=1, keepdims=True)
+    Same single-scan shape as ann_lsh_topk: the corpus scan computes
+    the cell id and unit vector together, the probe side broadcasts
+    with its unit query vectors attached, cosine scores inline — the
+    corpus never shuffles; the only exchange is the per-query top-k
+    window. Cell assignment is scale-invariant (argmax of dot against
+    UNIT centroids), so assigning from the unit vector is identical to
+    assigning from the raw one."""
+    if centroids is None:
+        cents_rows = (corpus.filter(F.col(id_col) < n_cells)
+                      .select(F.col(id_col).alias("_cid"),
+                              _as_double(vec_col).alias("_v"))
+                      .collect())                      # bounded by n_cells
+        centroids = np.asarray([r._v for r in
+                                sorted(cents_rows, key=lambda r: r._cid)])
+    cents = np.asarray(centroids, dtype=np.float64)
+    if cents.shape[0] != n_cells:
+        raise ValueError(f"centroids rows {cents.shape[0]} != {n_cells}")
+    cents = cents / np.linalg.norm(cents, axis=1, keepdims=True)
 
     assign = _cells_udf(cents, 1)
     probe = _cells_udf(cents, nprobe)
-    corpus_cells = corpus.select(
-        F.col(id_col).alias("neighbor"),
-        assign(_as_double(vec_col)).alias("cell"))
-    probes = queries.select(
-        F.col(id_col).alias("q"),
-        F.explode(probe(_as_double(vec_col))).alias("cell"))
-    # a vector lives in exactly one cell and probes are distinct cells,
-    # so (q, neighbor) pairs are already unique — no distinct() shuffle
-    cand = (corpus_cells.join(F.broadcast(probes), "cell")
-            .filter(F.col("neighbor") != F.col("q") if exclude_self
-                    else F.lit(True))
-            .select("q", "neighbor"))
+    corpus_cells = (_unit(corpus, id_col, "neighbor", vec_col, "_cv")
+                    .select("neighbor", "_cv",
+                            assign(F.col("_cv")).alias("cell")))
     qv = _unit(queries, id_col, "q", vec_col, "_qv")
-    cv = _unit(corpus, id_col, "neighbor", vec_col, "_cv")
-    scored = (cand.join(F.broadcast(qv), "q").join(cv, "neighbor")
+    probes = qv.select(
+        "q", "_qv", F.explode(probe(F.col("_qv"))).alias("cell"))
+    # a vector lives in exactly one cell and probes are distinct cells,
+    # so (q, neighbor) pairs are already unique — no dedup shuffle
+    scored = (corpus_cells.join(F.broadcast(probes), "cell")
+              .filter(F.col("neighbor") != F.col("q") if exclude_self
+                      else F.lit(True))
               .select("q", "neighbor",
                       dot(F.col("_qv"), F.col("_cv")).alias("cos")))
     w = Window.partitionBy("q").orderBy(F.desc("cos"), F.asc("neighbor"))

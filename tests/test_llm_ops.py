@@ -323,3 +323,37 @@ def test_compression_ratio_signal(spark):
         ratio(F.col("text")).alias("r")).collect()]
     assert r_rep < 0.2 < r_noise
     assert 0 < r_rep and r_noise <= 1.5
+
+
+def test_ivf_trained_centroids_and_no_corpus_shuffle(spark):
+    """ivf_topk(centroids=...) accepts a trained k-means model; recall
+    holds, and the plan keeps the llm12-style single-scan shape: the
+    corpus is never hash-exchanged (one broadcast join + the top-k
+    window's narrow exchange)."""
+    import numpy as np
+
+    from rakam_api_collector_spark.operators.clustering import (
+        kmeans_centroids)
+
+    emb = load_table(spark, SF, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    exact = {(r.q, r.neighbor) for r in
+             S.cosine_topk(emb, queries, "vec_id", "embedding",
+                           k=5).collect()}
+    init = [list(r.embedding) for r in
+            emb.orderBy("vec_id").limit(16).collect()]
+    cents = np.asarray(kmeans_centroids(
+        emb, "vec_id", "embedding", init=init, iters=2))
+    ann = S.ivf_topk(emb, queries, "vec_id", "embedding",
+                     k=5, n_cells=16, nprobe=8, centroids=cents)
+    # plan BEFORE collect: post-collect AQE strings print the initial
+    # plan too, double-counting operators
+    plan = ann._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("BroadcastHashJoin") == 1
+    assert "SortMergeJoin" not in plan
+    got = {(r.q, r.neighbor) for r in ann.collect()}
+    recall = len(got & exact) / len(exact)
+    assert recall >= 0.7, f"trained-IVF recall {recall:.2f}"
+    with pytest.raises(ValueError, match="centroids rows"):
+        S.ivf_topk(emb, queries, "vec_id", "embedding",
+                   n_cells=16, centroids=cents[:4])
