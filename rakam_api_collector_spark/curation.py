@@ -1,0 +1,153 @@
+"""Composable curation pipeline: the training-data stages as one API.
+
+The operators under ``operators/`` are the primitives; this module is
+the user-facing composition a pipeline team actually runs — the batch
+analog of the reference's source→transform→sink chain
+(StreamWorkerContext → TargetConnectorCommitter), re-aimed at corpus
+curation:
+
+    from rakam_api_collector_spark import curation as C
+    pipe = C.CurationPipeline([
+        C.gopher_filter(),
+        C.exact_dedup(),
+        C.minhash_dedup(threshold=0.8),
+        C.head_truncate(2048),
+        C.mixture({"web": 0.6, "code": 0.4}),
+        C.training_order(n_shards=1024, seed=0),
+    ])
+    curated = pipe.run(docs)                  # one lazy DataFrame
+    curated, funnel = pipe.run(docs, audit=True)
+
+Every stage is a pure ``DataFrame -> DataFrame`` function over a frame
+with at least (``doc_id``, ``text``); stages that add columns document
+them. ``run`` folds the stages into ONE lazy plan — Catalyst sees the
+whole pipeline, so filters combine, row-local stages fuse into the scan
+stage, and nothing materializes until the caller writes. ``audit=True``
+additionally counts rows after each stage (one action per stage — the
+per-stage numbers a data-governance review wants; skip it in
+production and read counts off the sink instead).
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from rakam_api_collector_spark.operators import text as T
+
+Stage = Callable[[DataFrame], DataFrame]
+
+
+def gopher_filter(min_tokens: int = 20, max_tokens: int = 100_000,
+                  min_word_len: float = 3.0, max_word_len: float = 10.0,
+                  max_symbol_ratio: float = 0.1, min_stopwords: int = 2,
+                  max_digit_frac: float = 0.2,
+                  text_col: str = "text") -> Stage:
+    """Row-local hard quality rules (Rae et al. 2021) — the scan-speed
+    pre-filter. Same rule battery the llm40/llm42 oracle queries pin."""
+    def stage(df: DataFrame) -> DataFrame:
+        tk = T.tokens(F.col(text_col))
+        n = F.size(tk)
+        awl = T.avg_token_length(F.col(text_col))
+        return df.filter(
+            (n >= min_tokens) & (n <= max_tokens)
+            & (awl >= min_word_len) & (awl <= max_word_len)
+            & (T.symbol_ratio(F.col(text_col)) <= max_symbol_ratio)
+            & (T.stopword_hits(F.col(text_col), "en") >= min_stopwords)
+            & (T.digit_token_fraction(tk) <= max_digit_frac))
+    return stage
+
+
+def exact_dedup(id_col: str = "doc_id", text_col: str = "text") -> Stage:
+    """Keep the min-id document per token-normalized text — one window
+    shuffle on the normalized key, no self-join."""
+    def stage(df: DataFrame) -> DataFrame:
+        norm = F.array_join(T.tokens(F.col(text_col)), " ")
+        w = Window.partitionBy("_cur_norm").orderBy(id_col)
+        return (df.withColumn("_cur_norm", norm)
+                .withColumn("_cur_rn", F.row_number().over(w))
+                .filter(F.col("_cur_rn") == 1)
+                .drop("_cur_norm", "_cur_rn"))
+    return stage
+
+
+def minhash_dedup(threshold: float = 0.8, n: int = 3,
+                  num_perm: int = 128, bands: int = 64,
+                  id_col: str = "doc_id",
+                  text_col: str = "text") -> Stage:
+    """Near-dup removal: banded MinHash-LSH candidate discovery, exact
+    verify, transitive clusters, min-id survivor
+    (operators/dedup.py end to end)."""
+    from rakam_api_collector_spark.operators.dedup import (
+        dedup_verdict, minhash_lsh_pairs)
+
+    def stage(df: DataFrame) -> DataFrame:
+        pairs = minhash_lsh_pairs(df, id_col, text_col, n=n,
+                                  threshold=threshold,
+                                  num_perm=num_perm, bands=bands)
+        verdict = dedup_verdict(df, id_col, pairs)
+        keep = verdict.filter("keep").select(id_col)
+        return df.join(keep, id_col, "left_semi")
+    return stage
+
+
+def head_truncate(max_tokens: int, text_col: str = "text") -> Stage:
+    """Token-budget cap: keep the first ``max_tokens`` tokens (row
+    local). Rewrites ``text`` as the space-joined kept tokens and adds
+    ``n_tokens``."""
+    def stage(df: DataFrame) -> DataFrame:
+        tk = T.tokens(F.col(text_col))
+        kept = F.slice(tk, 1, max_tokens)
+        return (df.withColumn("n_tokens",
+                              F.least(F.size(tk), F.lit(max_tokens)))
+                .withColumn(text_col, F.array_join(kept, " ")))
+    return stage
+
+
+def mixture(weights: dict[str, float], group_col: str = "source",
+            key_col: str = "doc_id") -> Stage:
+    """Deterministic domain-mixture downsampling
+    (operators/sampling.py:mixture_sample) — broadcast rate table, row
+    local keep, zero data shuffle."""
+    from rakam_api_collector_spark.operators.sampling import (
+        mixture_sample)
+
+    def stage(df: DataFrame) -> DataFrame:
+        return mixture_sample(df, key_col, group_col, weights)
+    return stage
+
+
+def training_order(n_shards: int, seed: int = 0,
+                   key_col: str = "doc_id") -> Stage:
+    """Deterministic global shuffle + sharding
+    (operators/sampling.py:training_order): adds (shard, pos)."""
+    from rakam_api_collector_spark.operators import sampling
+
+    def stage(df: DataFrame) -> DataFrame:
+        return sampling.training_order(df, key_col, n_shards, seed=seed)
+    return stage
+
+
+class CurationPipeline:
+    """Fold a stage list into one lazy plan; optionally audit counts."""
+
+    def __init__(self, stages: list[Stage]) -> None:
+        self.stages = list(stages)
+
+    def run(self, docs: DataFrame, audit: bool = False):
+        """Without ``audit``: the composed lazy DataFrame. With it:
+        ``(df, funnel)`` where funnel is ``[(stage_name, rows_after)]``
+        prefixed by ``("input", rows_in)`` — each count is an action."""
+        df = docs
+        if not audit:
+            for stage in self.stages:
+                df = stage(df)
+            return df
+        funnel = [("input", docs.count())]
+        for stage in self.stages:
+            df = stage(df)
+            name = getattr(stage, "__qualname__", repr(stage))
+            funnel.append((name.split(".")[0], df.count()))
+        return df, funnel

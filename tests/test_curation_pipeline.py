@@ -1,0 +1,72 @@
+"""CurationPipeline: the composed training-data path — stage fusion,
+determinism, funnel audit, and end-state equivalence with the staged
+operators run one by one."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from rakam_api_collector_spark import curation as C
+from rakam_api_collector_spark.tables import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def _docs(spark):
+    return (load_table(spark, SF, "documents")
+            .select("doc_id", "text", "source")
+            .filter(F.col("doc_id") < 120))
+
+
+def test_pipeline_composes_and_is_deterministic(spark):
+    pipe = C.CurationPipeline([
+        C.gopher_filter(),
+        C.exact_dedup(),
+        C.head_truncate(30),
+        C.training_order(n_shards=4, seed=1),
+    ])
+    docs = _docs(spark)
+    a = {(r.doc_id, r.shard, r.pos, r.n_tokens)
+         for r in pipe.run(docs).collect()}
+    b = {(r.doc_id, r.shard, r.pos, r.n_tokens)
+         for r in pipe.run(docs.repartition(7)).collect()}
+    assert a == b and len(a) > 0
+    assert all(n <= 30 for (_, _, _, n) in a)
+
+
+def test_pipeline_audit_funnel_counts(spark):
+    docs = _docs(spark)
+    pipe = C.CurationPipeline([C.gopher_filter(), C.exact_dedup()])
+    df, funnel = pipe.run(docs, audit=True)
+    names = [n for n, _ in funnel]
+    counts = [c for _, c in funnel]
+    assert names[0] == "input" and counts[0] == docs.count()
+    assert counts[0] >= counts[1] >= counts[2]   # filters only remove
+    assert counts[2] == df.count()
+    # each stage equals running its operator alone on the prior output
+    manual = C.exact_dedup()(C.gopher_filter()(docs))
+    assert counts[2] == manual.count()
+
+
+def test_pipeline_minhash_and_mixture_stages(spark):
+    from rakam_api_collector_spark.operators.text import tokens
+
+    docs = _docs(spark).filter(F.col("doc_id") < 40)
+    t = tokens(F.col("text"))
+    pert = docs.select((F.col("doc_id") + 10000).alias("doc_id"),
+                       F.array_join(F.slice(t, 3, F.greatest(
+                           F.size(t) - 2, F.lit(0))), " ").alias("text"),
+                       "source")
+    corpus = docs.unionByName(pert)
+    out = C.CurationPipeline([
+        C.minhash_dedup(threshold=0.5),
+    ]).run(corpus)
+    ids = {r.doc_id for r in out.collect()}
+    # every planted near-dup collapses to its min-id original; natural
+    # dups among the originals may collapse too (hence >=, not ==)
+    assert all(i < 10000 for i in ids) and 38 <= len(ids) <= 40
+
+    weights = {"src0": 0.5, "src1": 0.5}
+    mixed = C.CurationPipeline([C.mixture(weights)]).run(_docs(spark))
+    srcs = {r.source for r in mixed.collect()}
+    assert srcs <= set(weights)
