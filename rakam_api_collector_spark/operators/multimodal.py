@@ -93,13 +93,14 @@ def decode_features(df: DataFrame, id_col: str, blob_col: str = "blob",
 
 # --- PNG codec (public spec: ISO/IEC 15948 / RFC 2083) ----------------------
 # 8-bit depth, non-interlaced, color types 0 (gray) / 2 (RGB) /
-# 4 (gray+alpha) / 6 (RGBA). Palette (3), 16-bit, and Adam7 interlace
-# raise ValueError — the deployment path for those is a native codec in
-# the same mapInPandas stage.
+# 3 (palette, PLTE expanded to RGB) / 4 (gray+alpha) / 6 (RGBA).
+# 16-bit depth and Adam7 interlace raise ValueError — the deployment
+# path for those is a native codec in the same mapInPandas stage.
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 _CTYPE_OF_CHANNELS = {1: 0, 2: 4, 3: 2, 4: 6}
-_CHANNELS_OF_CTYPE = {0: 1, 2: 3, 4: 2, 6: 4}
+# bytes-per-pixel DURING unfiltering (palette pixels are 1-byte indices)
+_CHANNELS_OF_CTYPE = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
 
 
 def _png_chunk(tag: bytes, body: bytes) -> bytes:
@@ -160,15 +161,38 @@ def png_encode(pixels: bytes, width: int, height: int,
             + _png_chunk(b"IEND", b""))
 
 
+def png_encode_palette(indices: bytes, width: int, height: int,
+                       palette: bytes) -> bytes:
+    """Minimal palette-PNG writer (color type 3): ``indices`` is one
+    byte per pixel into ``palette`` (RGB triples, ≤ 256 entries).
+    Fixture-side counterpart for the type-3 decode path."""
+    if len(indices) != width * height:
+        raise ValueError("index buffer does not match dimensions")
+    if len(palette) % 3 or not 0 < len(palette) <= 768:
+        raise ValueError(f"invalid palette length {len(palette)}")
+    raw = bytearray()
+    for y in range(height):
+        raw.append(0)                                   # filter None
+        raw.extend(indices[y * width:(y + 1) * width])
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 3, 0, 0, 0)
+    return (_PNG_SIG + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"PLTE", palette)
+            + _png_chunk(b"IDAT", zlib.compress(bytes(raw), 6))
+            + _png_chunk(b"IEND", b""))
+
+
 def png_decode(data: bytes) -> tuple[int, int, int, bytes]:
     """Decode a PNG byte string → (width, height, channels, pixels).
 
     Walks the chunk stream (CRC-verified), inflates the concatenated
     IDAT payload, and reverses per-scanline filtering (types 0-4).
-    ``pixels`` is the channel-interleaved 8-bit sample buffer."""
+    Palette images (color type 3) are expanded through PLTE to RGB, so
+    callers always receive real samples. ``pixels`` is the
+    channel-interleaved 8-bit sample buffer."""
     if data[:8] != _PNG_SIG:
         raise ValueError("not a PNG: bad signature")
     pos, width, height, channels = 8, None, None, None
+    ctype, palette = None, None
     idat = bytearray()
     while pos + 12 <= len(data):
         (length,) = struct.unpack(">I", data[pos:pos + 4])
@@ -194,6 +218,10 @@ def png_decode(data: bytes) -> tuple[int, int, int, bytes]:
             if interlace != 0:
                 raise ValueError("Adam7 interlace not supported")
             channels = _CHANNELS_OF_CTYPE[ctype]
+        elif tag == b"PLTE":
+            if length % 3 or length == 0 or length > 768:
+                raise ValueError(f"invalid PLTE length {length}")
+            palette = body
         elif tag == b"IDAT":
             idat += body
         elif tag == b"IEND":
@@ -232,6 +260,17 @@ def png_decode(data: bytes) -> tuple[int, int, int, bytes]:
             raise ValueError(f"unknown filter type {ft}")
         out[y * stride:(y + 1) * stride] = rec
         prev = bytes(rec)
+    if ctype == 3:
+        # palette expansion: each decoded byte indexes PLTE -> RGB
+        if palette is None:
+            raise ValueError("palette image missing PLTE chunk")
+        n_entries = len(palette) // 3
+        import numpy as np
+        idx = np.frombuffer(bytes(out), dtype=np.uint8)
+        if int(idx.max(initial=0)) >= n_entries:
+            raise ValueError("palette index out of range")
+        rgb = np.frombuffer(palette, dtype=np.uint8).reshape(-1, 3)[idx]
+        return width, height, 3, rgb.tobytes()
     return width, height, channels, bytes(out)
 
 

@@ -277,3 +277,39 @@ def test_attach_blob_and_byte_features(spark):
     feats = {r.id: r.features
              for r in M.decode_features(blobbed, "doc_id").collect()}
     assert feats[1][0] == 2.0 and feats[2] == [0.0] * M.FEATURE_DIM
+
+
+def test_palette_png_decode_and_rejects():
+    """Color type 3: indices expand through PLTE to RGB; missing PLTE
+    and out-of-range indices fail decode."""
+    palette = bytes([255, 0, 0,  0, 255, 0,  0, 0, 255])   # R,G,B
+    idx = bytes([0, 1, 2, 2, 1, 0])                        # 3x2
+    w, h, ch, px = M.png_decode(M.png_encode_palette(idx, 3, 2, palette))
+    assert (w, h, ch) == (3, 2, 3)
+    assert px == bytes([255, 0, 0, 0, 255, 0, 0, 0, 255,
+                        0, 0, 255, 0, 255, 0, 255, 0, 0])
+    # out-of-range index
+    with pytest.raises(ValueError, match="palette index"):
+        M.png_decode(M.png_encode_palette(bytes([3] * 6), 3, 2, palette))
+    # missing PLTE: hand-build type-3 PNG without the chunk
+    import struct as st
+    import zlib as zl
+    raw = bytes([0, 0, 0])                                  # 1 row, 2 px
+    ihdr = st.pack(">IIBBBBB", 2, 1, 8, 3, 0, 0, 0)
+    blob = (M._PNG_SIG + M._png_chunk(b"IHDR", ihdr)
+            + M._png_chunk(b"IDAT", zl.compress(raw))
+            + M._png_chunk(b"IEND", b""))
+    with pytest.raises(ValueError, match="missing PLTE"):
+        M.png_decode(blob)
+
+
+def test_palette_png_through_decode_image(spark):
+    palette = bytes(range(0, 30))                           # 10 entries
+    idx = bytes([9, 0, 5, 5])                               # 2x2
+    df = spark.createDataFrame(
+        [(1, M.png_encode_palette(idx, 2, 2, palette))], ["id", "blob"])
+    row = M.decode_image(df, "id").collect()[0]
+    assert (row.width, row.height, row.channels) == (2, 2, 3)
+    exp = [palette[i * 3 + c] for i in idx for c in range(3)]
+    assert row.px_sum == sum(exp)
+    assert row.px_min == min(exp) and row.px_max == max(exp)
