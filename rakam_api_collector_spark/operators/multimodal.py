@@ -7,8 +7,8 @@ through Python row objects one at a time.
 
 The image path is REAL for PNG: ``png_decode``/``png_encode`` implement
 the public PNG specification (ISO/IEC 15948 / RFC 2083 — signature,
-IHDR/IDAT/IEND chunks, zlib-inflated scanlines, filter types 0-4
-including the Paeth predictor) with only stdlib ``zlib``/``struct`` +
+IHDR/PLTE/IDAT/IEND chunks, zlib-inflated scanlines, filter types 0-4
+including the Paeth predictor, palette expansion, Adam7 interlace) with only stdlib ``zlib``/``struct`` +
 numpy, and ``decode_image`` runs it Arrow-batched over a blob column.
 Other containers (JPEG/libav) would need codec libraries this
 environment doesn't ship; at deployment they'd slot into the same
@@ -94,8 +94,9 @@ def decode_features(df: DataFrame, id_col: str, blob_col: str = "blob",
 # --- PNG codec (public spec: ISO/IEC 15948 / RFC 2083) ----------------------
 # 8-bit depth, non-interlaced, color types 0 (gray) / 2 (RGB) /
 # 3 (palette, PLTE expanded to RGB) / 4 (gray+alpha) / 6 (RGBA).
-# 16-bit depth and Adam7 interlace raise ValueError — the deployment
-# path for those is a native codec in the same mapInPandas stage.
+# Adam7 interlace is decoded (7-pass scatter, spec §8.2). 16-bit
+# depth raises ValueError — the deployment path is a native codec in
+# the same mapInPandas stage.
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 _CTYPE_OF_CHANNELS = {1: 0, 2: 4, 3: 2, 4: 6}
@@ -181,6 +182,90 @@ def png_encode_palette(indices: bytes, width: int, height: int,
             + _png_chunk(b"IEND", b""))
 
 
+# Adam7 pass geometry (spec §8.2): (x0, y0, dx, dy) per pass
+_ADAM7 = [(0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+          (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2)]
+
+
+def _unfilter(raw: bytes, offset: int, width: int, height: int,
+              bpp: int) -> tuple[bytes, int]:
+    """Reverse scanline filtering (spec §9) for a (sub-)image of
+    ``width``×``height`` pixels at ``bpp`` bytes per pixel, starting at
+    ``offset`` in the inflated stream. Returns (samples, next_offset)."""
+    stride = width * bpp
+    need = (stride + 1) * height
+    if offset + need > len(raw):
+        raise ValueError("scanline buffer size mismatch")
+    out = bytearray(stride * height)
+    prev = bytes(stride)
+    for y in range(height):
+        base = offset + y * (stride + 1)
+        ft = raw[base]
+        line = raw[base + 1:base + 1 + stride]
+        rec = bytearray(stride)
+        if ft == 0:                                     # None
+            rec[:] = line
+        elif ft == 1:                                   # Sub
+            for x in range(stride):
+                rec[x] = (line[x] + (rec[x - bpp] if x >= bpp
+                                     else 0)) & 0xFF
+        elif ft == 2:                                   # Up
+            for x in range(stride):
+                rec[x] = (line[x] + prev[x]) & 0xFF
+        elif ft == 3:                                   # Average
+            for x in range(stride):
+                rec[x] = (line[x] + ((rec[x - bpp] if x >= bpp
+                                      else 0) + prev[x]) // 2) & 0xFF
+        elif ft == 4:                                   # Paeth
+            for x in range(stride):
+                rec[x] = (line[x] + _paeth(
+                    rec[x - bpp] if x >= bpp else 0, prev[x],
+                    prev[x - bpp] if x >= bpp else 0)) & 0xFF
+        else:
+            raise ValueError(f"unknown filter type {ft}")
+        out[y * stride:(y + 1) * stride] = rec
+        prev = bytes(rec)
+    return bytes(out), offset + need
+
+
+def png_encode_adam7(pixels: bytes, width: int, height: int,
+                     channels: int, filter_cycle: bool = True) -> bytes:
+    """Adam7-interlaced PNG writer: each of the 7 passes is an
+    independently-filtered sub-image (spec §8.2). ``filter_cycle``
+    varies the filter type per pass scanline so decode exercises every
+    unfilter path inside the interlaced geometry too."""
+    if channels not in _CTYPE_OF_CHANNELS:
+        raise ValueError(f"unsupported channel count {channels}")
+    if len(pixels) != width * height * channels:
+        raise ValueError("pixel buffer does not match dimensions")
+    raw = bytearray()
+    for x0, y0, dx, dy in _ADAM7:
+        pw = (width - x0 + dx - 1) // dx
+        ph = (height - y0 + dy - 1) // dy
+        if pw <= 0 or ph <= 0:
+            continue
+        sub = bytearray()
+        for j in range(ph):
+            y = y0 + j * dy
+            for i in range(pw):
+                x = x0 + i * dx
+                sub += pixels[(y * width + x) * channels:
+                              (y * width + x + 1) * channels]
+        # reuse the plain encoder's filter logic on the pass sub-image,
+        # then strip its wrapper down to the filtered scanline stream
+        body = png_encode(bytes(sub), pw, ph, channels,
+                          filter_cycle=filter_cycle)
+        # extract the IDAT payload (single chunk by construction)
+        idat_at = body.index(b"IDAT") - 4
+        (ln,) = struct.unpack(">I", body[idat_at:idat_at + 4])
+        raw += zlib.decompress(body[idat_at + 8:idat_at + 8 + ln])
+    ihdr = struct.pack(">IIBBBBB", width, height, 8,
+                       _CTYPE_OF_CHANNELS[channels], 0, 0, 1)
+    return (_PNG_SIG + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(bytes(raw), 6))
+            + _png_chunk(b"IEND", b""))
+
+
 def png_decode(data: bytes) -> tuple[int, int, int, bytes]:
     """Decode a PNG byte string → (width, height, channels, pixels).
 
@@ -192,7 +277,7 @@ def png_decode(data: bytes) -> tuple[int, int, int, bytes]:
     if data[:8] != _PNG_SIG:
         raise ValueError("not a PNG: bad signature")
     pos, width, height, channels = 8, None, None, None
-    ctype, palette = None, None
+    ctype, palette, interlace = None, None, 0
     idat = bytearray()
     while pos + 12 <= len(data):
         (length,) = struct.unpack(">I", data[pos:pos + 4])
@@ -215,8 +300,8 @@ def png_decode(data: bytes) -> tuple[int, int, int, bytes]:
                 raise ValueError(f"unsupported color type {ctype}")
             if comp != 0 or filt != 0:
                 raise ValueError("nonstandard compression/filter method")
-            if interlace != 0:
-                raise ValueError("Adam7 interlace not supported")
+            if interlace not in (0, 1):
+                raise ValueError(f"unknown interlace method {interlace}")
             channels = _CHANNELS_OF_CTYPE[ctype]
         elif tag == b"PLTE":
             if length % 3 or length == 0 or length > 768:
@@ -230,36 +315,32 @@ def png_decode(data: bytes) -> tuple[int, int, int, bytes]:
         raise ValueError("missing IHDR or IDAT")
     raw = zlib.decompress(bytes(idat))
     stride = width * channels
-    if len(raw) != (stride + 1) * height:
-        raise ValueError("scanline buffer size mismatch")
-    out = bytearray(stride * height)
-    prev = bytes(stride)
-    for y in range(height):
-        ft = raw[y * (stride + 1)]
-        line = raw[y * (stride + 1) + 1:(y + 1) * (stride + 1)]
-        rec = bytearray(stride)
-        if ft == 0:                                     # None
-            rec[:] = line
-        elif ft == 1:                                   # Sub
-            for x in range(stride):
-                rec[x] = (line[x] + (rec[x - channels] if x >= channels
-                                     else 0)) & 0xFF
-        elif ft == 2:                                   # Up
-            for x in range(stride):
-                rec[x] = (line[x] + prev[x]) & 0xFF
-        elif ft == 3:                                   # Average
-            for x in range(stride):
-                rec[x] = (line[x] + ((rec[x - channels] if x >= channels
-                                      else 0) + prev[x]) // 2) & 0xFF
-        elif ft == 4:                                   # Paeth
-            for x in range(stride):
-                rec[x] = (line[x] + _paeth(
-                    rec[x - channels] if x >= channels else 0, prev[x],
-                    prev[x - channels] if x >= channels else 0)) & 0xFF
-        else:
-            raise ValueError(f"unknown filter type {ft}")
-        out[y * stride:(y + 1) * stride] = rec
-        prev = bytes(rec)
+    if interlace == 0:
+        samples, end = _unfilter(raw, 0, width, height, channels)
+        if end != len(raw):
+            raise ValueError("scanline buffer size mismatch")
+        out = bytearray(samples)
+    else:
+        # Adam7: 7 independently-filtered sub-images, scattered back on
+        # the pass grid (spec §8.2); empty passes contribute no bytes
+        out = bytearray(stride * height)
+        offset = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (width - x0 + dx - 1) // dx
+            ph = (height - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue
+            sub, offset = _unfilter(raw, offset, pw, ph, channels)
+            for j in range(ph):
+                row = sub[j * pw * channels:(j + 1) * pw * channels]
+                y = y0 + j * dy
+                for i in range(pw):
+                    x = x0 + i * dx
+                    out[(y * width + x) * channels:
+                        (y * width + x + 1) * channels] = \
+                        row[i * channels:(i + 1) * channels]
+        if offset != len(raw):
+            raise ValueError("scanline buffer size mismatch")
     if ctype == 3:
         # palette expansion: each decoded byte indexes PLTE -> RGB
         if palette is None:

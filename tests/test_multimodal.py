@@ -313,3 +313,18 @@ def test_palette_png_through_decode_image(spark):
     exp = [palette[i * 3 + c] for i in idx for c in range(3)]
     assert row.px_sum == sum(exp)
     assert row.px_min == min(exp) and row.px_max == max(exp)
+
+
+def test_adam7_interlaced_decode_matches_plain():
+    """Adam7 decode must reproduce exactly the pixels the plain encoding
+    carries, across channel counts, non-multiple-of-8 dims, degenerate
+    1-pixel rows/columns (empty passes), and with per-pass filtering."""
+    for wd, ht, ch in [(8, 8, 1), (13, 7, 3), (1, 1, 1), (5, 3, 4),
+                       (2, 9, 2), (9, 1, 1), (1, 9, 1), (16, 11, 3)]:
+        n = wd * ht * ch
+        px = ((np.arange(n) * 7 + 3) % 256).astype(np.uint8).tobytes()
+        assert M.png_decode(M.png_encode_adam7(px, wd, ht, ch)) \
+            == (wd, ht, ch, px), (wd, ht, ch)
+        # interlaced and plain encodings of the same pixels agree
+        assert M.png_decode(M.png_encode(px, wd, ht, ch)) \
+            == M.png_decode(M.png_encode_adam7(px, wd, ht, ch))
