@@ -94,9 +94,11 @@ def decode_features(df: DataFrame, id_col: str, blob_col: str = "blob",
 # --- PNG codec (public spec: ISO/IEC 15948 / RFC 2083) ----------------------
 # 8-bit depth, non-interlaced, color types 0 (gray) / 2 (RGB) /
 # 3 (palette, PLTE expanded to RGB) / 4 (gray+alpha) / 6 (RGBA).
-# Adam7 interlace is decoded (7-pass scatter, spec §8.2). 16-bit
-# depth raises ValueError — the deployment path is a native codec in
-# the same mapInPandas stage.
+# Adam7 interlace is decoded (7-pass scatter, spec §8.2), and 16-bit
+# depth decodes with the high byte emitted per sample (the standard
+# 8-bit rendering reduction), keeping downstream stats uniform. Bit
+# depths 1/2/4 raise ValueError — the deployment path is a native
+# codec in the same mapInPandas stage.
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 _CTYPE_OF_CHANNELS = {1: 0, 2: 4, 3: 2, 4: 6}
@@ -294,8 +296,10 @@ def png_decode(data: bytes) -> tuple[int, int, int, bytes]:
                 # spec §11.2.2: zero dimensions are invalid; rejecting
                 # here also keeps downstream stat reductions nonempty
                 raise ValueError("zero image dimension")
-            if depth != 8:
+            if depth not in (8, 16):
                 raise ValueError(f"unsupported bit depth {depth}")
+            if depth == 16 and ctype == 3:
+                raise ValueError("palette images are 8-bit indexed")
             if ctype not in _CHANNELS_OF_CTYPE:
                 raise ValueError(f"unsupported color type {ctype}")
             if comp != 0 or filt != 0:
@@ -314,9 +318,10 @@ def png_decode(data: bytes) -> tuple[int, int, int, bytes]:
     if width is None or not idat:
         raise ValueError("missing IHDR or IDAT")
     raw = zlib.decompress(bytes(idat))
-    stride = width * channels
+    bpp = channels * (depth // 8)              # filter unit, spec §9.2
+    stride = width * bpp
     if interlace == 0:
-        samples, end = _unfilter(raw, 0, width, height, channels)
+        samples, end = _unfilter(raw, 0, width, height, bpp)
         if end != len(raw):
             raise ValueError("scanline buffer size mismatch")
         out = bytearray(samples)
@@ -330,17 +335,22 @@ def png_decode(data: bytes) -> tuple[int, int, int, bytes]:
             ph = (height - y0 + dy - 1) // dy
             if pw <= 0 or ph <= 0:
                 continue
-            sub, offset = _unfilter(raw, offset, pw, ph, channels)
+            sub, offset = _unfilter(raw, offset, pw, ph, bpp)
             for j in range(ph):
-                row = sub[j * pw * channels:(j + 1) * pw * channels]
+                row = sub[j * pw * bpp:(j + 1) * pw * bpp]
                 y = y0 + j * dy
                 for i in range(pw):
                     x = x0 + i * dx
-                    out[(y * width + x) * channels:
-                        (y * width + x + 1) * channels] = \
-                        row[i * channels:(i + 1) * channels]
+                    out[(y * width + x) * bpp:
+                        (y * width + x + 1) * bpp] = \
+                        row[i * bpp:(i + 1) * bpp]
         if offset != len(raw):
             raise ValueError("scanline buffer size mismatch")
+    if depth == 16:
+        # emit the high byte of each big-endian 16-bit sample — the
+        # spec's own 16→8 rendering reduction; exact 16-bit stats would
+        # swap this slice for a dtype=">u2" view at deployment
+        out = bytearray(bytes(out)[0::2])
     if ctype == 3:
         # palette expansion: each decoded byte indexes PLTE -> RGB
         if palette is None:

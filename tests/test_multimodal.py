@@ -71,13 +71,13 @@ def test_png_decode_rejects_malformed():
     bad_crc[-5] ^= 0xFF                       # corrupt IEND CRC
     with pytest.raises(ValueError, match="CRC"):
         M.png_decode(bytes(bad_crc))
-    # 16-bit depth is out of scope and must fail loudly, not garble
+    # 16-bit depth decodes (high-byte reduction): a 1x1 sample 0xAB00
+    # comes back as the single byte 0xAB
     ihdr = struct.pack(">IIBBBBB", 1, 1, 16, 0, 0, 0, 0)
     deep = (b"\x89PNG\r\n\x1a\n" + _chunk(b"IHDR", ihdr)
-            + _chunk(b"IDAT", zlib.compress(b"\x00\x00\x00"))
+            + _chunk(b"IDAT", zlib.compress(b"\x00\xab\x00"))
             + _chunk(b"IEND", b""))
-    with pytest.raises(ValueError, match="bit depth"):
-        M.png_decode(deep)
+    assert M.png_decode(deep) == (1, 1, 1, b"\xab")
 
 
 def test_decode_image_stats_distributed(spark):
@@ -328,3 +328,41 @@ def test_adam7_interlaced_decode_matches_plain():
         # interlaced and plain encodings of the same pixels agree
         assert M.png_decode(M.png_encode(px, wd, ht, ch)) \
             == M.png_decode(M.png_encode_adam7(px, wd, ht, ch))
+
+
+def test_16bit_png_decodes_to_high_bytes():
+    """Depth 16: filtering operates on 2-byte-per-sample units and the
+    decoder emits each big-endian sample's high byte (the spec's 16->8
+    rendering reduction); filtered 16-bit scanlines must unfilter at
+    the 2-byte unit, not per byte."""
+    s16 = ((np.arange(4 * 3 * 1) * 4097 + 11) % 65536)
+    be = s16.astype(">u2").tobytes()
+    stride = 4 * 2
+    raw = bytearray()
+    for y in range(3):
+        # Sub filter at bpp=2 exercises the unit-width subtlety
+        raw.append(1)
+        line = be[y * stride:(y + 1) * stride]
+        raw.extend((line[x] - (line[x - 2] if x >= 2 else 0)) & 0xFF
+                   for x in range(stride))
+    ihdr = struct.pack(">IIBBBBB", 4, 3, 16, 0, 0, 0, 0)
+    blob = (b"\x89PNG\r\n\x1a\n" + _chunk(b"IHDR", ihdr)
+            + _chunk(b"IDAT", zlib.compress(bytes(raw)))
+            + _chunk(b"IEND", b""))
+    w, h, c, px = M.png_decode(blob)
+    assert (w, h, c) == (4, 3, 1)
+    assert list(px) == list((s16 >> 8).astype(np.uint8))
+    # 16-bit palette is invalid per spec and must fail loudly
+    ihdr3 = struct.pack(">IIBBBBB", 2, 1, 16, 3, 0, 0, 0)
+    bad = (b"\x89PNG\r\n\x1a\n" + _chunk(b"IHDR", ihdr3)
+           + _chunk(b"IDAT", zlib.compress(b"\x00" * 5))
+           + _chunk(b"IEND", b""))
+    with pytest.raises(ValueError, match="8-bit indexed"):
+        M.png_decode(bad)
+    # depths 1/2/4 stay out of scope
+    ihdr1 = struct.pack(">IIBBBBB", 2, 1, 4, 0, 0, 0, 0)
+    low = (b"\x89PNG\r\n\x1a\n" + _chunk(b"IHDR", ihdr1)
+           + _chunk(b"IDAT", zlib.compress(b"\x00\x00"))
+           + _chunk(b"IEND", b""))
+    with pytest.raises(ValueError, match="bit depth"):
+        M.png_decode(low)
