@@ -492,11 +492,17 @@ def wav_decode(data: bytes) -> tuple[int, int, bytes]:
     """Decode RIFF/WAVE → (sample_rate, channels, int16-LE PCM bytes).
 
     Walks the chunk list (chunks are word-aligned per the RIFF spec, so
-    odd-sized chunks carry a pad byte) and requires format tag 1 /
-    16-bit; unknown chunks (LIST, fact, ...) are skipped."""
+    odd-sized chunks carry a pad byte); unknown chunks (LIST, fact, ...)
+    are skipped. Format tag 1 (integer PCM) at 8/16/24 bits: 16-bit
+    passes through; 8-bit unsigned maps to ``(v - 128) << 8`` and
+    24-bit keeps its top 16 bits — both the standard depth reductions,
+    so every caller sees one uniform int16 sample stream (the same
+    normalize-at-the-edge rule as the PNG 16→8 path). Float/ADPCM
+    formats raise."""
     if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE file")
     pos, rate, channels, pcm = 12, None, None, None
+    bits = None
     while pos + 8 <= len(data):
         tag = data[pos:pos + 4]
         (length,) = struct.unpack("<I", data[pos + 4:pos + 8])
@@ -517,7 +523,7 @@ def wav_decode(data: bytes) -> tuple[int, int, bytes]:
                 "<HHIIHH", body[:16])
             if fmt_tag != 1:
                 raise ValueError(f"unsupported WAV format tag {fmt_tag}")
-            if bits != 16:
+            if bits not in (8, 16, 24):
                 raise ValueError(f"unsupported bit depth {bits}")
             if channels == 0:
                 # invalid per spec; also guards the frame-size modulo
@@ -528,8 +534,20 @@ def wav_decode(data: bytes) -> tuple[int, int, bytes]:
             pcm = body
     if rate is None or pcm is None:
         raise ValueError("missing fmt or data chunk")
-    if len(pcm) % (2 * channels):
+    bytes_per = bits // 8
+    if len(pcm) % (bytes_per * channels):
         raise ValueError("data chunk not a whole number of frames")
+    if bits == 8:
+        import numpy as np
+        u8 = np.frombuffer(pcm, dtype=np.uint8).astype(np.int16)
+        pcm = ((u8 - 128) << 8).astype("<i2").tobytes()
+    elif bits == 24:
+        import numpy as np
+        b = np.frombuffer(pcm, dtype=np.uint8).reshape(-1, 3)
+        # little-endian: top 16 bits are the upper two bytes
+        pcm = (b[:, 1].astype(np.uint16)
+               | (b[:, 2].astype(np.uint16) << 8)) \
+            .astype("<u2").view("<i2").tobytes()
     return rate, channels, pcm
 
 

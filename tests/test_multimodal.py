@@ -366,3 +366,32 @@ def test_16bit_png_decodes_to_high_bytes():
            + _chunk(b"IEND", b""))
     with pytest.raises(ValueError, match="bit depth"):
         M.png_decode(low)
+
+
+def test_wav_8_and_24_bit_decode_to_int16():
+    """8-bit unsigned maps to (v-128)<<8 and 24-bit keeps its top 16
+    bits (sign intact) — the depth reductions that keep decode_audio's
+    stats uniform across real-world WAV depths."""
+    def wav(bits, pcm, ch=1, rate=8000):
+        block = ch * bits // 8
+        fmt = struct.pack("<HHIIHH", 1, ch, rate, rate * block, block,
+                          bits)
+        body = (b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+                + b"data" + struct.pack("<I", len(pcm)) + pcm)
+        return b"RIFF" + struct.pack("<I", len(body)) + body
+
+    r, c, out = M.wav_decode(wav(8, bytes([0, 128, 255, 200])))
+    assert (r, c) == (8000, 1)
+    assert np.frombuffer(out, "<i2").tolist() == [
+        -32768, 0, 32512, (200 - 128) << 8]
+    s24 = [0x7FFFFF, -0x800000, 0x123456, -0x000100]
+    pcm24 = b"".join(int(v & 0xFFFFFF).to_bytes(3, "little")
+                     for v in s24)
+    r, c, out = M.wav_decode(wav(24, pcm24))
+    assert np.frombuffer(out, "<i2").tolist() == [v >> 8 for v in s24]
+    # frame alignment is depth-aware: 4 bytes is not a whole number of
+    # 24-bit mono frames
+    with pytest.raises(ValueError, match="whole number"):
+        M.wav_decode(wav(24, b"\x00" * 4))
+    with pytest.raises(ValueError, match="bit depth"):
+        M.wav_decode(wav(32, b"\x00" * 4))
