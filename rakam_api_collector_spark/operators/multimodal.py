@@ -10,10 +10,13 @@ the public PNG specification (ISO/IEC 15948 / RFC 2083 — signature,
 IHDR/PLTE/IDAT/IEND chunks, zlib-inflated scanlines, filter types 0-4
 including the Paeth predictor, palette expansion, Adam7 interlace) with only stdlib ``zlib``/``struct`` +
 numpy, and ``decode_image`` runs it Arrow-batched over a blob column.
-Other containers (JPEG/libav) would need codec libraries this
-environment doesn't ship; at deployment they'd slot into the same
-``mapInPandas`` stage (same schema, same batch shape) via PIL/opencv.
-``decode_features`` remains the codec-free byte-statistics path.
+Baseline JPEG is REAL too (operators/jpeg.py — T.81 marker walk,
+stream-parsed Huffman/quant tables, IDCT, chroma subsampling);
+``decode_image_bytes`` sniffs the container so mixed PNG/JPEG blob
+columns decode in one pass. Video containers (MP4/MKV) would need
+demuxers this environment doesn't ship; at deployment they slot into
+the same ``mapInPandas`` stage via libav. ``decode_features`` remains
+the codec-free byte-statistics path.
 
 At 100 TB: payloads dominate row size, so stages select the narrowest
 columns (never carry the blob past the stage that needs it), and
@@ -365,6 +368,19 @@ def png_decode(data: bytes) -> tuple[int, int, int, bytes]:
     return width, height, channels, bytes(out)
 
 
+def decode_image_bytes(data: bytes) -> tuple[int, int, int, bytes]:
+    """Container-sniffing image decode: PNG by signature, baseline JPEG
+    by SOI (operators/jpeg.py) — so ``decode_image``/``resize_image``
+    consume mixed-container blob columns. Unknown containers raise into
+    the skip_invalid/dead-letter path."""
+    if data[:8] == _PNG_SIG:
+        return png_decode(data)
+    if data[:2] == b"\xff\xd8":
+        from rakam_api_collector_spark.operators.jpeg import jpeg_decode
+        return jpeg_decode(data)
+    raise ValueError("unknown image container")
+
+
 IMAGE_STATS_TYPE = T.StructType([
     T.StructField("id", T.LongType()),
     T.StructField("width", T.IntegerType()),
@@ -406,7 +422,7 @@ def decode_image(df: DataFrame, id_col: str, blob_col: str = "blob",
             rows = []
             for i, blob in zip(pdf["_id"], pdf["_blob"]):
                 try:
-                    w, h, c, px = png_decode(bytes(blob))
+                    w, h, c, px = decode_image_bytes(bytes(blob))
                 except (ValueError, struct.error, zlib.error):
                     if skip_invalid:
                         continue
@@ -712,7 +728,7 @@ def resize_image(df: DataFrame, id_col: str, out_w: int, out_h: int,
         for pdf in batches:
             rows = []
             for i, blob in zip(pdf["_id"], pdf["_blob"]):
-                w, h, c, px = png_decode(bytes(blob))
+                w, h, c, px = decode_image_bytes(bytes(blob))
                 arr = np.frombuffer(px, dtype=np.uint8).reshape(h, w, c)
                 ys = (np.arange(out_h) * h) // out_h
                 xs = (np.arange(out_w) * w) // out_w

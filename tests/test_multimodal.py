@@ -395,3 +395,43 @@ def test_wav_8_and_24_bit_decode_to_int16():
         M.wav_decode(wav(24, b"\x00" * 4))
     with pytest.raises(ValueError, match="bit depth"):
         M.wav_decode(wav(32, b"\x00" * 4))
+
+
+def test_jpeg_codec_and_mixed_container_decode(spark):
+    """Real baseline JPEG (operators/jpeg.py): uniform blocks decode
+    exactly (closed form: only the quantized DC survives), smooth
+    content round-trips within ±2 at q95 in 4:4:4 AND 4:2:0, the stream
+    is deterministic, and decode_image consumes PNG and JPEG blobs in
+    the same column via container sniffing."""
+    from rakam_api_collector_spark.operators import jpeg as J
+
+    # closed-form: uniform gray decodes to exactly the input value
+    assert J.jpeg_decode(J.jpeg_encode(bytes([100] * 64), 8, 8, 1)) \
+        == (8, 8, 1, bytes([100] * 64))
+    # smooth gradient bound, both subsampling modes + gray
+    for ch, sub in [(1, False), (3, False), (3, True)]:
+        W, H = 24, 17
+        base = np.linspace(0, 255, W * H * ch).astype(np.uint8).tobytes()
+        blob = J.jpeg_encode(base, W, H, ch, quality=95, subsample=sub)
+        assert blob == J.jpeg_encode(base, W, H, ch, quality=95,
+                                     subsample=sub)
+        w, h, c, out = J.jpeg_decode(blob)
+        assert (w, h, c) == (W, H, ch)
+        err = np.abs(np.frombuffer(out, np.uint8).astype(int)
+                     - np.frombuffer(base, np.uint8).astype(int))
+        assert err.max() <= 2, (ch, sub, err.max())
+    # progressive must fail loudly, not garble
+    prog = bytearray(J.jpeg_encode(bytes(64), 8, 8, 1))
+    prog[prog.index(b"\xff\xc0") + 1] = 0xC2
+    with pytest.raises(ValueError, match="baseline"):
+        J.jpeg_decode(bytes(prog))
+
+    # mixed-container column through decode_image
+    gray = bytes([7] * 64)
+    df = spark.createDataFrame(
+        [(1, M.png_encode(gray, 8, 8, 1)),
+         (2, J.jpeg_encode(gray, 8, 8, 1))], ["id", "blob"])
+    rows = {r.id: r for r in M.decode_image(df, "id").collect()}
+    assert rows[1].px_sum == 7 * 64
+    assert rows[2].px_sum == 7 * 64           # uniform JPEG is exact
+    assert rows[1].width == rows[2].width == 8

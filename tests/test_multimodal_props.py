@@ -79,3 +79,53 @@ def test_video_container_preserves_frames(lengths, seed):
     out = list(M._iter_frames(M.pack_video(frames)))
     assert [idx for idx, _ in out] == list(range(len(frames)))
     assert [fr for _, fr in out] == frames
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=40),
+    st.integers(min_value=1, max_value=40),
+    st.sampled_from([1, 3]),
+    st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_jpeg_uniform_images_decode_exactly(w, h, ch, seed):
+    """Property: a UNIFORM image has only a DC coefficient, which the
+    Annex-K table quantizes and reconstructs to within the same value
+    after rounding — so uniform JPEGs of any geometry decode exactly
+    (including edge-replicated padding blocks)."""
+    from rakam_api_collector_spark.operators import jpeg as J
+
+    v = seed % 256
+    px = bytes([v] * (w * h * ch))
+    got = J.jpeg_decode(J.jpeg_encode(px, w, h, ch, quality=90))
+    assert got[:3] == (w, h, ch)
+    vals = set(got[3])
+    # DC quantization can move the plateau by at most 1 code value
+    assert all(abs(x - v) <= 1 for x in vals), (w, h, ch, v, vals)
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    st.integers(min_value=8, max_value=32),
+    st.integers(min_value=8, max_value=32),
+    st.integers(min_value=0, max_value=2**31 - 1),
+    st.booleans(),
+)
+def test_jpeg_smooth_roundtrip_bounded(w, h, seed, sub):
+    """Property: low-frequency content (2-D linear ramp with random
+    orientation) survives q95 encode/decode within a small absolute
+    error in 4:4:4 and 4:2:0."""
+    import numpy as np
+
+    from rakam_api_collector_spark.operators import jpeg as J
+
+    rng = np.random.default_rng(seed)
+    gx, gy, off = rng.uniform(-3, 3), rng.uniform(-3, 3), rng.uniform(0, 255)
+    yy, xx = np.mgrid[0:h, 0:w]
+    plane = np.clip(off + gx * xx + gy * yy, 0, 255)
+    px = np.repeat(plane[..., None], 3, axis=2).astype(np.uint8).tobytes()
+    got = J.jpeg_decode(J.jpeg_encode(px, w, h, 3, quality=95,
+                                      subsample=sub))
+    err = np.abs(np.frombuffer(got[3], np.uint8).astype(int)
+                 - np.frombuffer(px, np.uint8).astype(int))
+    assert err.max() <= 6, (w, h, seed, sub, err.max())
