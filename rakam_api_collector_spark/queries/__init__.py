@@ -9,10 +9,10 @@ Ordering matters: the driver's correctness gate checks the FIRST 50
 registry entries per round. The registry therefore leads with the
 queries that most need fresh driver evidence this round and rotates the
 rest behind them; every query keeps its entry (bench + pytest run all
-91) — only the position changes round to round.
+92) — only the position changes round to round.
 
 Rotation invariant: **every query's driver evidence is at most one
-round old.** With 91 queries and a 50-slot window the cadence is two
+round old.** With 92 queries and a 50-slot window the cadence is two
 rounds; each round's window = (all queries without a green row from
 the previous round) + (everything modified this round) + fill.
 
@@ -32,11 +32,12 @@ Window history:
   gained truncated-chunk rejection), the NEW queries (llm37 bigram
   LM, llm38 training order, llm39 curriculum bins, llm40 Gopher
   quality rules, llm41 head truncation, llm42 end-to-end curation
-  funnel, dq47 sliding window, llm43 compression-ratio signal), and
-  heavy regression-prone fill (llm09/10/14-17).
-  Out-of-window (41 queries, all r6-green, due back in r8):
+  funnel, dq47 sliding window, llm43 compression-ratio signal,
+  llm44 real JPEG decode gate), and heavy regression-prone fill
+  (llm09/10/14/16/17).
+  Out-of-window (42 queries, all r6-green, due back in r8):
   dq01-04 (dq03 late split), dq06/07, dq09-11, dq18-28, dq33, dq35,
-  dq37-46, llm07/08, llm13, llm29-32, llm34/35.
+  dq37-46, llm07/08, llm13, llm15, llm29-32, llm34/35.
 """
 
 from __future__ import annotations
@@ -66,11 +67,10 @@ _WINDOW = [
     "llm37_bigram_lm", "llm38_training_order", "llm39_curriculum_bins",
     "llm40_quality_rules", "llm41_head_truncate",
     "llm42_curation_e2e", "dq47_sliding_window",
-    "llm43_compression_ratio",
+    "llm43_compression_ratio", "llm44_jpeg_decode",
     # regression-prone heavy fill (all r6-green)
     "llm09_minhash_lsh", "llm10_simhash", "llm14_decode_features",
-    "llm15_embed_dedup", "llm16_dedup_clusters",
-    "llm17_incremental_dedup",
+    "llm16_dedup_clusters", "llm17_incremental_dedup",
 ]
 
 assert len(_WINDOW) == 50 and len(set(_WINDOW)) == 50, len(_WINDOW)

@@ -21,6 +21,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T_
 
 from rakam_api_collector_spark.operators import dedup as D
 from rakam_api_collector_spark.operators import multimodal as M
@@ -965,6 +966,58 @@ def llm43_compression_ratio(spark: SparkSession, sf: str) -> DataFrame:
             .orderBy("source"))
 
 
+def llm44_jpeg_decode(spark: SparkSession, sf: str) -> DataFrame:
+    """REAL JPEG decode end to end with an IN-BAND accuracy gate
+    (llm43 pattern — a lossy codec's exact bytes are engine-specific,
+    so the oracle asserts engine-computed booleans): per doc a smooth
+    closed-form ramp image (gradient derived from doc_id, gray for
+    even ids / RGB 4:2:0 for odd) is encoded by operators/jpeg.py at
+    q95, decoded back, and compared pixel-for-pixel against the same
+    closed form — dims must match exactly and max abs error stay ≤ 6
+    (DCT quantization + chroma subsampling headroom). A Huffman/IDCT/
+    upsampling defect blows the bound and hash-fails the gate. One
+    mapInPandas pass; blobs never leave the stage."""
+    out_t = T_.StructType([
+        T_.StructField("doc_id", T_.LongType()),
+        T_.StructField("width", T_.IntegerType()),
+        T_.StructField("height", T_.IntegerType()),
+        T_.StructField("channels", T_.IntegerType()),
+        T_.StructField("dims_ok", T_.BooleanType()),
+        T_.StructField("err_ok", T_.BooleanType()),
+    ])
+
+    def roundtrip(batches):
+        import numpy as np
+        import pandas as pd
+
+        from rakam_api_collector_spark.operators import jpeg as J
+        for pdf in batches:
+            rows = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                w, h = 8 + i % 17, 8 + i % 11
+                ch = 1 if i % 2 == 0 else 3
+                gx, gy = (i % 5) - 2, (i % 3) - 1
+                yy, xx = np.mgrid[0:h, 0:w]
+                plane = np.clip(100 + gx * xx + gy * yy, 0, 255)
+                px = np.repeat(plane[..., None], ch, axis=2) \
+                    .astype(np.uint8).tobytes()
+                blob = J.jpeg_encode(px, w, h, ch, quality=95,
+                                     subsample=(ch == 3))
+                dw, dh, dc, out = J.jpeg_decode(blob)
+                err = np.abs(
+                    np.frombuffer(out, np.uint8).astype(int)
+                    - np.frombuffer(px, np.uint8).astype(int)).max()
+                rows.append((i, dw, dh, dc,
+                             (dw, dh, dc) == (w, h, ch),
+                             bool(err <= 6)))
+            yield pd.DataFrame(rows, columns=[f.name for f in out_t])
+
+    docs = (load_table(spark, sf, "documents")
+            .select("doc_id").filter(F.col("doc_id") < 200))
+    return docs.mapInPandas(roundtrip, out_t).orderBy("doc_id")
+
+
 _BOILER = (" copyright license terms apply all rights reserved "
            "worldwide legal notice")
 
@@ -1016,6 +1069,7 @@ QUERIES = {
     "llm41_head_truncate": llm41_head_truncate,
     "llm42_curation_e2e": llm42_curation_e2e,
     "llm43_compression_ratio": llm43_compression_ratio,
+    "llm44_jpeg_decode": llm44_jpeg_decode,
 }
 
 _SW = {k: ", ".join(f"'{w}'" for w in v) for k, v in T.STOPWORDS.items()}
@@ -1940,5 +1994,14 @@ ORACLE = {
         SELECT source, count(*) AS n,
                true AS in_range_ok, true AS doubling_ok
         FROM documents GROUP BY source ORDER BY source
+    """,
+    "llm44_jpeg_decode": """
+        SELECT doc_id,
+               CAST(8 + doc_id % 17 AS INTEGER) AS width,
+               CAST(8 + doc_id % 11 AS INTEGER) AS height,
+               CAST(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 3 END
+                    AS INTEGER) AS channels,
+               true AS dims_ok, true AS err_ok
+        FROM documents WHERE doc_id < 200 ORDER BY doc_id
     """,
 }
