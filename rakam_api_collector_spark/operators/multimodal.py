@@ -821,7 +821,8 @@ def sample_video_frames(df: DataFrame, id_col: str,
                     raise
                 for idx, off, ln in sampled:
                     try:
-                        w, h, c, px = png_decode(data[off:off + ln])
+                        w, h, c, px = decode_image_bytes(
+                            data[off:off + ln])
                     except (ValueError, struct.error, zlib.error):
                         if skip_invalid:
                             continue
