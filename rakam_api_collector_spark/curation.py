@@ -32,7 +32,7 @@ from __future__ import annotations
 
 from typing import Callable
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from rakam_api_collector_spark.operators import text as T
@@ -40,36 +40,33 @@ from rakam_api_collector_spark.operators import text as T
 Stage = Callable[[DataFrame], DataFrame]
 
 
-def gopher_filter(min_tokens: int = 20, max_tokens: int = 100_000,
-                  min_word_len: float = 3.0, max_word_len: float = 10.0,
-                  max_symbol_ratio: float = 0.1, min_stopwords: int = 2,
-                  max_digit_frac: float = 0.2,
-                  text_col: str = "text") -> Stage:
+def gopher_filter(text_col: str = "text", **thresholds) -> Stage:
     """Row-local hard quality rules (Rae et al. 2021) — the scan-speed
-    pre-filter. Same rule battery the llm40/llm42 oracle queries pin."""
+    pre-filter. LITERALLY the battery the llm40/llm42 oracle queries
+    pin: signals and thresholds come from operators/text.py
+    (gopher_signals / gopher_verdicts / GOPHER_THRESHOLDS), so the
+    pipeline cannot drift from the oracle-verified behavior. Override
+    individual thresholds by keyword (e.g. ``min_tokens=50``)."""
     def stage(df: DataFrame) -> DataFrame:
-        tk = T.tokens(F.col(text_col))
-        n = F.size(tk)
-        awl = T.avg_token_length(F.col(text_col))
-        return df.filter(
-            (n >= min_tokens) & (n <= max_tokens)
-            & (awl >= min_word_len) & (awl <= max_word_len)
-            & (T.symbol_ratio(F.col(text_col)) <= max_symbol_ratio)
-            & (T.stopword_hits(F.col(text_col), "en") >= min_stopwords)
-            & (T.digit_token_fraction(tk) <= max_digit_frac))
+        verdicts = T.gopher_verdicts(
+            T.gopher_signals(F.col(text_col)), **thresholds)
+        keep = None
+        for cond in verdicts.values():
+            keep = cond if keep is None else (keep & cond)
+        return df.filter(keep)
     return stage
 
 
 def exact_dedup(id_col: str = "doc_id", text_col: str = "text") -> Stage:
     """Keep the min-id document per token-normalized text — one window
     shuffle on the normalized key, no self-join."""
+    from rakam_api_collector_spark.operators import dedup as D
+
     def stage(df: DataFrame) -> DataFrame:
         norm = F.array_join(T.tokens(F.col(text_col)), " ")
-        w = Window.partitionBy("_cur_norm").orderBy(id_col)
-        return (df.withColumn("_cur_norm", norm)
-                .withColumn("_cur_rn", F.row_number().over(w))
-                .filter(F.col("_cur_rn") == 1)
-                .drop("_cur_norm", "_cur_rn"))
+        return (D.exact_dedup(df.withColumn("_cur_norm", norm),
+                              ["_cur_norm"], [id_col])
+                .drop("_cur_norm"))
     return stage
 
 

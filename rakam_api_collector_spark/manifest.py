@@ -21,10 +21,11 @@ Delta (_delta_log) and Iceberg (metadata pointer) implement in full:
    Crashed writers leave orphan batch dirs no version references.
 
 Caller-supplied ``batch_id`` doubles as an idempotency key: a retried
-write with the same id overwrites its own batch dir and REPLACES the id
-in the next version's live set — exactly-once visibility under
-at-least-once execution (the same rule the dead-letter spool uses per
-epoch).
+write with the same id lands in a FRESH physical directory and the
+commit swaps it in for the id's previous entry — exactly-once
+visibility under at-least-once execution (the same rule the
+dead-letter spool uses per epoch) without ever deleting files a
+pinned reader may still be scanning.
 
 The version history is also what makes maintenance transactional:
 ``compact()`` rewrites the live batches as one and publishes a version
@@ -122,18 +123,27 @@ class ManifestedTable:
               fmt: str = "parquet", partition_by_day: bool = True) -> str:
         """Write one batch and commit it atomically. Returns the batch
         id. Re-running with the same ``batch_id`` (an at-least-once
-        retry) replaces the batch instead of duplicating it."""
+        retry) replaces the batch instead of duplicating it — by
+        writing a FRESH physical directory and swapping it in at
+        commit, so a reader pinned to the current version never sees
+        its files deleted mid-scan (the previous physical dir becomes
+        an orphan for gc())."""
         bid = batch_id or uuid.uuid4().hex
         if "/" in bid or bid.startswith("."):
             raise ValueError(f"invalid batch_id: {bid!r}")
+        pdir = f"{bid}--{uuid.uuid4().hex[:8]}"
         out = df
         if partition_by_day and "_time" in df.columns:
             out = out.withColumn("_day", F.to_date("_time"))
         writer = out.write.mode("overwrite").format(fmt)
         if partition_by_day and "_day" in out.columns:
             writer = writer.partitionBy("_day")
-        writer.save(f"{self.batches_dir}/{bid}")
-        entry = {"batch": bid, "rows": out.count(), "format": fmt}
+        path = f"{self.batches_dir}/{pdir}"
+        writer.save(path)
+        # row count read back from the just-written footers (metadata
+        # scan), not by re-running the batch's whole lineage
+        rows = df.sparkSession.read.format(fmt).load(path).count()
+        entry = {"batch": bid, "dir": pdir, "rows": rows, "format": fmt}
 
         def mutate(live):
             return [b for b in live if b["batch"] != bid] + [entry]
@@ -147,11 +157,15 @@ class ManifestedTable:
         """Live batch manifests of the current version."""
         return self._read_version(self.current_version())["batches"]
 
+    @staticmethod
+    def _dir_of(m: dict) -> str:
+        return m.get("dir", m["batch"])
+
     def _read_batches(self, spark: SparkSession,
                       manifests: list[dict]) -> DataFrame:
         dfs = []
         for m in manifests:
-            path = f"{self.batches_dir}/{m['batch']}"
+            path = f"{self.batches_dir}/{self._dir_of(m)}"
             dfs.append(spark.read.option("basePath", path)
                        .format(m["format"]).load(path))
         df = dfs[0]
@@ -182,9 +196,10 @@ class ManifestedTable:
             raise FileNotFoundError(f"nothing to compact in {self.table_dir}")
         bid = f"compact-{uuid.uuid4().hex}"
         df = self._read_batches(spark, inputs)
-        df.write.mode("overwrite").format(fmt) \
-            .save(f"{self.batches_dir}/{bid}")
-        entry = {"batch": bid, "rows": df.count(), "format": fmt}
+        path = f"{self.batches_dir}/{bid}"
+        df.write.mode("overwrite").format(fmt).save(path)
+        rows = spark.read.format(fmt).load(path).count()
+        entry = {"batch": bid, "dir": bid, "rows": rows, "format": fmt}
         consumed = {b["batch"] for b in inputs}
 
         def mutate(live):
@@ -201,30 +216,42 @@ class ManifestedTable:
             dirs = set(os.listdir(self.batches_dir))
         except FileNotFoundError:
             return []
-        live = {m["batch"] for m in self.committed()}
+        live = {self._dir_of(m) for m in self.committed()}
         return sorted(d for d in dirs if d not in live)
 
-    def gc(self, keep_versions: int = 2) -> list[str]:
+    def gc(self, keep_versions: int = 2,
+           grace_seconds: float = 3600.0) -> list[str]:
         """Delete batch dirs referenced by NONE of the newest
         ``keep_versions`` versions, then prune older version files.
-        The retention window is the reader grace period: an in-flight
-        reader pinned to a retained version still finds its files."""
+        The retention window is the reader grace period (an in-flight
+        reader pinned to a retained version still finds its files), and
+        ``grace_seconds`` protects IN-FLIGHT WRITERS: a directory
+        younger than the grace is a write() that has not yet published
+        its version — deleting it would lose the batch the moment the
+        writer commits (the same mtime-grace rule Delta/Iceberg vacuum
+        applies). Pass 0 only when no writer can be active."""
         import shutil
 
         ns = self._version_numbers()
         kept = ns[-keep_versions:] if keep_versions else []
         referenced: set[str] = set()
         for n in kept:
-            referenced |= {b["batch"] for b in self._read_version(n)["batches"]}
+            referenced |= {self._dir_of(b)
+                           for b in self._read_version(n)["batches"]}
         removed = []
         try:
             dirs = sorted(os.listdir(self.batches_dir))
         except FileNotFoundError:
             dirs = []
+        now = time.time()
         for d in dirs:
-            if d not in referenced:
-                shutil.rmtree(f"{self.batches_dir}/{d}")
-                removed.append(d)
+            full = f"{self.batches_dir}/{d}"
+            if d in referenced:
+                continue
+            if now - os.path.getmtime(full) < grace_seconds:
+                continue                       # possible in-flight writer
+            shutil.rmtree(full)
+            removed.append(d)
         for n in ns[:-keep_versions] if keep_versions else ns:
             os.unlink(f"{self.versions_dir}/v{n:010d}.json")
         return removed

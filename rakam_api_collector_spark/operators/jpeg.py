@@ -369,7 +369,25 @@ def jpeg_encode(pixels: bytes, width: int, height: int, channels: int,
 def jpeg_decode(data: bytes) -> tuple[int, int, int, bytes]:
     """Decode baseline JPEG → (width, height, channels, pixels).
     channels is 1 (grayscale scan) or 3 (RGB after YCbCr conversion);
-    subsampled chroma (factors ≤ 2) is nearest-neighbor upsampled."""
+    subsampled chroma (factors ≤ 2) is nearest-neighbor upsampled.
+
+    Malformed input ALWAYS surfaces as ValueError (struct/index/lookup
+    failures on truncated or inconsistent streams are wrapped), so the
+    skip_invalid / dead-letter paths in decode_image and the video
+    sampler catch everything a poison-pill blob can throw."""
+    try:
+        return _jpeg_decode_impl(data)
+    except (ValueError, struct.error):
+        raise
+    except (IndexError, KeyError, RuntimeError,
+            OverflowError) as e:
+        # RuntimeError covers PEP-479-converted StopIteration from
+        # generator contexts; all mean the same thing here
+        raise ValueError(f"malformed JPEG: {type(e).__name__}: {e}") \
+            from None
+
+
+def _jpeg_decode_impl(data: bytes) -> tuple[int, int, int, bytes]:
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG: bad SOI")
     pos = 2
@@ -411,8 +429,12 @@ def jpeg_decode(data: bytes) -> tuple[int, int, int, bytes]:
             while i < len(body):
                 tc = body[i]
                 bits = list(body[i + 1:i + 17])
+                if len(bits) != 16:
+                    raise ValueError("truncated DHT bits")
                 n = sum(bits)
                 vals = list(body[i + 17:i + 17 + n])
+                if len(vals) != n:
+                    raise ValueError("truncated DHT values")
                 htables[tc] = _decode_table(bits, vals)
                 i += 17 + n
         elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 (baseline/ext seq)
@@ -436,12 +458,19 @@ def jpeg_decode(data: bytes) -> tuple[int, int, int, bytes]:
         elif marker == 0xDA:                   # SOS
             if comps is None:
                 raise ValueError("SOS before SOF")
+            if not body:
+                raise ValueError("empty SOS segment")
             ns = body[0]
             scan = []
             for c in range(ns):
-                cs, tt = body[1 + c * 2:3 + c * 2]
-                comp = next(x for x in comps if x["id"] == cs)
-                scan.append({**comp, "dc": tt >> 4, "ac": tt & 0xF})
+                seg = body[1 + c * 2:3 + c * 2]
+                if len(seg) != 2:
+                    raise ValueError("truncated SOS component spec")
+                cs, tt = seg
+                matches = [x for x in comps if x["id"] == cs]
+                if not matches:
+                    raise ValueError(f"SOS names unknown component {cs}")
+                scan.append({**matches[0], "dc": tt >> 4, "ac": tt & 0xF})
             pos += seglen
             return _decode_scan(data, pos, scan, qtables, htables,
                                 width, height, restart_interval)
@@ -467,7 +496,8 @@ def _decode_scan(data, pos, scan, qtables, htables, width, height,
             if restart_interval and mcu_count and \
                     mcu_count % restart_interval == 0:
                 reader.align()
-                if (data[reader.pos] == 0xFF
+                if (reader.pos + 1 < len(data)
+                        and data[reader.pos] == 0xFF
                         and 0xD0 <= data[reader.pos + 1] <= 0xD7):
                     reader.pos += 2
                     preds = [0] * len(scan)
@@ -482,6 +512,9 @@ def _decode_scan(data, pos, scan, qtables, htables, width, height,
                     for bx in range(c["h"]):
                         coef = np.zeros(64, dtype=np.int64)
                         t = _huff_decode(reader, dct)
+                        if t > 16:
+                            raise ValueError(
+                                f"DC magnitude category {t} invalid")
                         diff = _extend(reader.bits(t), t) if t else 0
                         preds[ci] += diff
                         coef[0] = preds[ci]

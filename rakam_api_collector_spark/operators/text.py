@@ -178,6 +178,48 @@ def fingerprint(text: Column) -> Column:
     return F.xxhash64(F.array_join(tokens(text), " "))
 
 
+# Gopher-style hard quality rules (Rae et al. 2021, Appendix A): the
+# ONE definition of signals and thresholds — queries/llm_ops (llm40/42
+# oracle gates) and curation.gopher_filter both build from these, so
+# the pinned oracle behavior and the user-facing pipeline cannot drift.
+GOPHER_THRESHOLDS = {
+    "min_tokens": 20, "max_tokens": 100_000,
+    "min_word_len": 3.0, "max_word_len": 10.0,
+    "max_symbol_ratio": 0.1, "min_stopwords": 2,
+    "max_digit_frac": 0.2,
+}
+
+
+def gopher_signals(text: Column) -> dict[str, Column]:
+    """The five row-local quality signals the rule battery thresholds."""
+    tk = tokens(text)
+    return {
+        "n_tok": F.size(tk),
+        "avg_word_len": avg_token_length(text),
+        "symbol_ratio": symbol_ratio(text),
+        "stopword_hits": stopword_hits(text, "en"),
+        "digit_frac": digit_token_fraction(tk),
+    }
+
+
+def gopher_verdicts(sig: dict[str, Column], **overrides) -> dict[str, Column]:
+    """Named boolean verdicts over (possibly pre-materialized) signal
+    columns; thresholds default to GOPHER_THRESHOLDS."""
+    p = {**GOPHER_THRESHOLDS, **overrides}
+    unknown = set(overrides) - set(GOPHER_THRESHOLDS)
+    if unknown:
+        raise ValueError(f"unknown gopher thresholds: {sorted(unknown)}")
+    return {
+        "ok_len": (sig["n_tok"] >= p["min_tokens"])
+        & (sig["n_tok"] <= p["max_tokens"]),
+        "ok_word_len": (sig["avg_word_len"] >= p["min_word_len"])
+        & (sig["avg_word_len"] <= p["max_word_len"]),
+        "ok_symbols": sig["symbol_ratio"] <= p["max_symbol_ratio"],
+        "ok_stopwords": sig["stopword_hits"] >= p["min_stopwords"],
+        "ok_digits": sig["digit_frac"] <= p["max_digit_frac"],
+    }
+
+
 def tfidf_topk(docs: DataFrame, id_col: str, text_col: str,
                k: int = 3) -> DataFrame:
     """(id, term, rnk, tfidf): top-k characteristic terms per document.

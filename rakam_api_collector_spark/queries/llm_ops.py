@@ -839,24 +839,21 @@ def llm39_curriculum_bins(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def _gopher_rules(docs: DataFrame, *extra_cols: str) -> DataFrame:
-    """(doc_id, *extra_cols, _tk, ok_*, pass): the shared Gopher rule
-    battery — ONE definition so llm40's verdict report and llm42's
-    pipeline filter cannot drift."""
-    tk = T.tokens(F.col("text"))
+    """(doc_id, *extra_cols, _tk, ok_*, pass): the Gopher rule battery,
+    built from the SINGLE definition in operators/text.py
+    (gopher_signals/gopher_verdicts + GOPHER_THRESHOLDS) that
+    curation.gopher_filter also uses — the oracle-pinned verdicts and
+    the user-facing pipeline filter cannot drift. Signals materialize
+    once in the first select; verdicts threshold the aliased columns."""
+    sig = T.gopher_signals(F.col("text"))
     scored = docs.select(
-        "doc_id", *extra_cols, tk.alias("_tk"),
-        T.avg_token_length(F.col("text")).alias("_awl"),
-        T.symbol_ratio(F.col("text")).alias("_sym"),
-        T.stopword_hits(F.col("text"), "en").alias("_sw"))
-    n = F.size("_tk")
+        "doc_id", *extra_cols, T.tokens(F.col("text")).alias("_tk"),
+        *[c.alias(f"_sig_{name}") for name, c in sig.items()])
+    verdicts = T.gopher_verdicts(
+        {name: F.col(f"_sig_{name}") for name in sig})
     rules = scored.select(
         "doc_id", *extra_cols, "_tk",
-        ((n >= 20) & (n <= 100000)).alias("ok_len"),
-        ((F.col("_awl") >= 3.0) & (F.col("_awl") <= 10.0))
-        .alias("ok_word_len"),
-        (F.col("_sym") <= 0.1).alias("ok_symbols"),
-        (F.col("_sw") >= 2).alias("ok_stopwords"),
-        (T.digit_token_fraction(F.col("_tk")) <= 0.2).alias("ok_digits"))
+        *[c.alias(name) for name, c in verdicts.items()])
     return rules.withColumn(
         "pass",
         F.col("ok_len") & F.col("ok_word_len") & F.col("ok_symbols")

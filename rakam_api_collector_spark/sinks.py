@@ -85,27 +85,14 @@ class ParquetDatabaseHandler:
         return commit
 
 
-class ManifestedDatabaseHandler:
-    """K1/K4 plugin with Raptor-transaction commit semantics: inserts
-    buffer until the committer fires the returned callable, and the
-    commit itself is ``ManifestedTable.write`` — private batch dir plus
-    atomic manifest publish, idempotent per (collection, batch_id).
-    Pass the streaming epoch as ``batch_id`` inside ``foreachBatch`` to
-    get exactly-once visibility under at-least-once retries."""
-
-    def __init__(self, catalog: Catalog, base: str,
-                 fmt: str = "parquet") -> None:
-        self.catalog = catalog
-        self.base = base
-        self.fmt = fmt
-
-    def get_columns(self, project, collection):
-        return self.catalog.get_columns(project, collection)
-
-    def add_columns(self, project, collection, fields):
-        if self.catalog.get_columns(project, collection) is None:
-            return self.catalog.create_table(project, collection, fields)
-        return self.catalog.add_columns(project, collection, fields)
+class ManifestedDatabaseHandler(ParquetDatabaseHandler):
+    """K1/K4 plugin with Raptor-transaction commit semantics: same
+    catalog behavior as ParquetDatabaseHandler (subclassed — one
+    add-only-evolution implementation), but the commit callable is
+    ``ManifestedTable.write`` — private batch dir plus atomic manifest
+    publish, idempotent per (collection, batch_id). Pass a
+    namespaced streaming epoch as ``batch_id`` inside ``foreachBatch``
+    to get exactly-once visibility under at-least-once retries."""
 
     def insert(self, project, collection, df, batch_id=None):
         from rakam_api_collector_spark.manifest import ManifestedTable

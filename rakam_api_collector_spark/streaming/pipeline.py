@@ -224,18 +224,35 @@ def start_ingest_stream(spark: SparkSession, source_dir: str, fmt: str,
                                   time_field=time_field)
             if manifested:
                 # K1 Raptor-transaction analog: each collection commits
-                # this micro-batch through the version-file protocol
-                # with the EPOCH as the idempotency key, so a replayed
-                # foreachBatch (at-least-once) replaces its own batch
-                # instead of appending duplicates — exactly-once
-                # VISIBILITY even for readers outside Spark's file-sink
-                # metadata (manifest.py; RaptorDatabaseHandler.java:
-                # 312-339)
+                # this micro-batch through the version-file protocol.
+                # The idempotency key is (checkpoint namespace, epoch):
+                # a replayed foreachBatch from the SAME checkpoint is a
+                # true at-least-once retry and replaces its batch, but
+                # a fresh checkpoint (new stream incarnation) or a
+                # second query on the same table gets its own namespace
+                # and APPENDS — epochs alone would silently clobber
+                # history across incarnations. Per-collection commits
+                # overlap from a thread pool like write_collections
+                # (manifest.py; RaptorDatabaseHandler.java:312-339).
+                from concurrent.futures import ThreadPoolExecutor
+                from hashlib import md5 as _md5
+
                 from rakam_api_collector_spark.manifest import (
                     ManifestedTable)
-                for (project, collection), df in tables.items():
+                ns = _md5(checkpoint.encode()).hexdigest()[:8]
+
+                def commit_one(item):
+                    (project, collection), df = item
                     ManifestedTable(table_base, project, collection) \
-                        .write(df, batch_id=f"epoch-{epoch_id}")
+                        .write(df, batch_id=f"{ns}-epoch-{epoch_id}")
+
+                if len(tables) <= 1:
+                    for item in tables.items():
+                        commit_one(item)
+                else:
+                    with ThreadPoolExecutor(
+                            min(16, len(tables))) as pool:
+                        list(pool.map(commit_one, tables.items()))
             else:
                 write_collections(tables, table_base)
             if stats is not None or error_monitor is not None:

@@ -104,13 +104,17 @@ def test_version_history_and_compaction(spark, tmp_path):
     cid = t.compact(spark)
     assert [m["batch"] for m in t.committed()] == [cid]
     assert sorted(r.id for r in t.read(spark).collect()) == [0, 1, 2]
-    # old batches are orphans of the current version but still protected
+    # old batches are orphans of the current version (physical dirs are
+    # id--suffix since retries land in fresh dirs) but still protected
     # by the retention window (a reader on version 3 needs them)
-    assert t.orphans() == ["b0", "b1", "b2"]
+    orphan_ids = sorted(d.split("--")[0] for d in t.orphans())
+    assert orphan_ids == ["b0", "b1", "b2"]
     removed = t.gc(keep_versions=2)          # keeps v3 (b0-b2) and v4
     assert removed == []
-    removed = t.gc(keep_versions=1)          # only v4 (compacted) kept
-    assert removed == ["b0", "b1", "b2"]
+    # grace window first: young dirs are possible in-flight writers
+    assert t.gc(keep_versions=1) == []
+    removed = t.gc(keep_versions=1, grace_seconds=0)
+    assert sorted(d.split("--")[0] for d in removed) == ["b0", "b1", "b2"]
     assert sorted(r.id for r in t.read(spark).collect()) == [0, 1, 2]
 
 
@@ -159,4 +163,22 @@ def test_streaming_with_manifested_sink(spark, tmp_path):
     t = ManifestedTable(str(tmp_path / "tables"), "testproject", "t")
     rows = t.read(spark).collect()
     assert sorted(r["v"] for r in rows) == [1.0, 2.0]
-    assert [m["batch"] for m in t.committed()] == ["epoch-0"]
+    # batch id = checkpoint-namespaced epoch: a fresh checkpoint is a
+    # new incarnation that appends instead of clobbering history
+    batches = [m["batch"] for m in t.committed()]
+    assert len(batches) == 1 and batches[0].endswith("-epoch-0")
+    assert len(batches[0].split("-epoch-")[0]) == 8
+
+
+def test_retry_does_not_disturb_pinned_reader(spark, tmp_path):
+    """The fix for in-place overwrite: a replayed batch id lands in a
+    FRESH physical dir and swaps at commit, so a reader whose plan was
+    built against the previous version still scans intact files."""
+    t = ManifestedTable(str(tmp_path), "proj", "events")
+    t.write(_df(spark, [1, 2]), batch_id="e0")
+    pinned = t.read(spark)                   # plan bound to v1's dir
+    t.write(_df(spark, [7, 8, 9]), batch_id="e0")   # replayed epoch
+    # pinned reader still sees version-1 data, files untouched
+    assert sorted(r.id for r in pinned.collect()) == [1, 2]
+    # a fresh reader sees the replacement
+    assert sorted(r.id for r in t.read(spark).collect()) == [7, 8, 9]
