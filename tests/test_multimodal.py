@@ -435,3 +435,35 @@ def test_jpeg_codec_and_mixed_container_decode(spark):
     assert rows[1].px_sum == 7 * 64
     assert rows[2].px_sum == 7 * 64           # uniform JPEG is exact
     assert rows[1].width == rows[2].width == 8
+
+
+def test_codec_fuzz_error_types_are_catchable():
+    """Poison-pill contract across ALL codecs: random byte corruption
+    must surface only as ValueError / struct.error / zlib.error — the
+    exact tuple decode_image/decode_audio/sample_video_frames catch in
+    skip_invalid mode. Any other exception type would kill the Spark
+    task instead of dead-lettering the blob."""
+    import random
+
+    from rakam_api_collector_spark.operators import jpeg as J
+
+    rng = random.Random(5)
+    caught = (ValueError, struct.error, zlib.error)
+
+    def fuzz(blob, decode, n=250):
+        for _ in range(n):
+            b = bytearray(blob)
+            for _ in range(rng.randint(1, 6)):
+                b[rng.randrange(len(b))] = rng.randrange(256)
+            try:
+                decode(bytes(b))
+            except caught:
+                pass
+        # any other exception type propagates and fails the test
+
+    px = ((np.arange(16 * 11 * 3) * 7) % 256).astype(np.uint8).tobytes()
+    fuzz(M.png_encode(px, 16, 11, 3), M.png_decode)
+    fuzz(M.png_encode_adam7(px, 16, 11, 3), M.png_decode)
+    fuzz(M.wav_encode(np.arange(-300, 300, 3, dtype="<i2").tobytes(),
+                      8000, 2), M.wav_decode)
+    fuzz(J.jpeg_encode(px, 16, 11, 3, quality=90), J.jpeg_decode)
