@@ -357,3 +357,26 @@ def test_ivf_trained_centroids_and_no_corpus_shuffle(spark):
     with pytest.raises(ValueError, match="centroids rows"):
         S.ivf_topk(emb, queries, "vec_id", "embedding",
                    n_cells=16, centroids=cents[:4])
+
+
+def test_ivf_index_partition_pruning(spark, tmp_path):
+    """build_ivf_index materializes the cell-partitioned layout; a
+    search's probed-cell union becomes a PartitionFilter on the scan
+    (unprobed cells' files never open) and results equal the in-memory
+    ivf_topk with the same centroids."""
+    import re
+
+    emb = load_table(spark, SF, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    path = str(tmp_path / "ivf")
+    S.build_ivf_index(emb, "vec_id", "embedding", path, n_cells=16)
+    got_df = S.ivf_index_topk(spark, path, q, "vec_id", "embedding",
+                              k=10, nprobe=4)
+    got = {(r.q, r.neighbor, r.rnk) for r in got_df.collect()}
+    mem = {(r.q, r.neighbor, r.rnk) for r in
+           S.ivf_topk(emb, q, "vec_id", "embedding", k=10,
+                      n_cells=16, nprobe=4).collect()}
+    assert got == mem and len(got) == 50
+    plan = got_df._jdf.queryExecution().executedPlan().toString()
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "INSET" in m.group(1)       # physical cell pruning
