@@ -467,3 +467,30 @@ def test_codec_fuzz_error_types_are_catchable():
     fuzz(M.wav_encode(np.arange(-300, 300, 3, dtype="<i2").tobytes(),
                       8000, 2), M.wav_decode)
     fuzz(J.jpeg_encode(px, 16, 11, 3, quality=90), J.jpeg_decode)
+
+
+def test_interlaced_palette_png_decodes():
+    """Feature composition: an Adam7-interlaced palette (type 3) PNG —
+    index scanlines unfilter per pass at bpp=1, scatter on the pass
+    grid, then expand through PLTE to RGB."""
+    W, H = 9, 5
+    idx = bytes(((np.arange(W * H) * 3) % 5).astype(np.uint8))
+    palette = bytes(range(15))
+    raw = bytearray()
+    for x0, y0, dx, dy in M._ADAM7:
+        pw = (W - x0 + dx - 1) // dx
+        ph = (H - y0 + dy - 1) // dy
+        if pw <= 0 or ph <= 0:
+            continue
+        for j in range(ph):
+            raw.append(0)
+            y = y0 + j * dy
+            for k in range(pw):
+                raw.append(idx[y * W + x0 + k * dx])
+    ihdr = struct.pack(">IIBBBBB", W, H, 8, 3, 0, 0, 1)
+    blob = (b"\x89PNG\r\n\x1a\n" + _chunk(b"IHDR", ihdr)
+            + _chunk(b"PLTE", palette)
+            + _chunk(b"IDAT", zlib.compress(bytes(raw)))
+            + _chunk(b"IEND", b""))
+    exp = b"".join(palette[j * 3:(j + 1) * 3] for j in idx)
+    assert M.png_decode(blob) == (W, H, 3, exp)
