@@ -38,6 +38,14 @@ Window history:
   Out-of-window (42 queries, all r6-green, due back in r8):
   dq01-04 (dq03 late split), dq06/07, dq09-11, dq18-28, dq33, dq35,
   dq37-46, llm07/08, llm13, llm15, llm29-32, llm34/35.
+
+CAPACITY NOTE for round 8+: with 92 queries and a 50-slot window, 42
+must rotate back each round, leaving only 8 slots for new/modified/
+fill. The invariant stays satisfiable while total queries ≤ 100
+(two-round cadence); past that, either consolidate near-duplicate
+queries or split the check across rounds explicitly (and say so in
+the README table). Prefer deepening existing queries over adding new
+ones from here.
 """
 
 from __future__ import annotations
