@@ -114,6 +114,38 @@ def _spool_corrupt_frames(batch: DataFrame, errors_dir: str,
      .parquet(f"{errors_dir}/stream={stream}/epoch_id={epoch_id}"))
 
 
+def _commit_tables(tables, table_base: str, manifested: bool,
+                   checkpoint: str, epoch_id: int) -> None:
+    """Per-micro-batch table commit, shared by the JSON and Avro
+    realtime paths. Plain mode appends via write_collections; manifested
+    mode commits each collection through the version-file protocol with
+    a (checkpoint-namespace, epoch) idempotency key — a replayed
+    foreachBatch from the SAME checkpoint replaces its batch, while a
+    fresh checkpoint (new incarnation) or a second query appends.
+    Per-collection commits overlap from a thread pool either way
+    (manifest.py; RaptorDatabaseHandler.java:312-339)."""
+    if not manifested:
+        write_collections(tables, table_base)
+        return
+    from concurrent.futures import ThreadPoolExecutor
+    from hashlib import md5 as _md5
+
+    from rakam_api_collector_spark.manifest import ManifestedTable
+    ns = _md5(checkpoint.encode()).hexdigest()[:8]
+
+    def commit_one(item):
+        (project, collection), df = item
+        ManifestedTable(table_base, project, collection) \
+            .write(df, batch_id=f"{ns}-epoch-{epoch_id}")
+
+    if len(tables) <= 1:
+        for item in tables.items():
+            commit_one(item)
+    else:
+        with ThreadPoolExecutor(min(16, len(tables))) as pool:
+            list(pool.map(commit_one, tables.items()))
+
+
 def start_ingest_stream(spark: SparkSession, source_dir: str, fmt: str,
                         catalog: Catalog, table_base: str, checkpoint: str,
                         historical_dir: str | None = None,
@@ -222,39 +254,8 @@ def start_ingest_stream(spark: SparkSession, source_dir: str, fmt: str,
             tables = ingest_batch(spark, hot.select("value"), fmt, catalog,
                                   shard_time=shard_time,
                                   time_field=time_field)
-            if manifested:
-                # K1 Raptor-transaction analog: each collection commits
-                # this micro-batch through the version-file protocol.
-                # The idempotency key is (checkpoint namespace, epoch):
-                # a replayed foreachBatch from the SAME checkpoint is a
-                # true at-least-once retry and replaces its batch, but
-                # a fresh checkpoint (new stream incarnation) or a
-                # second query on the same table gets its own namespace
-                # and APPENDS — epochs alone would silently clobber
-                # history across incarnations. Per-collection commits
-                # overlap from a thread pool like write_collections
-                # (manifest.py; RaptorDatabaseHandler.java:312-339).
-                from concurrent.futures import ThreadPoolExecutor
-                from hashlib import md5 as _md5
-
-                from rakam_api_collector_spark.manifest import (
-                    ManifestedTable)
-                ns = _md5(checkpoint.encode()).hexdigest()[:8]
-
-                def commit_one(item):
-                    (project, collection), df = item
-                    ManifestedTable(table_base, project, collection) \
-                        .write(df, batch_id=f"{ns}-epoch-{epoch_id}")
-
-                if len(tables) <= 1:
-                    for item in tables.items():
-                        commit_one(item)
-                else:
-                    with ThreadPoolExecutor(
-                            min(16, len(tables))) as pool:
-                        list(pool.map(commit_one, tables.items()))
-            else:
-                write_collections(tables, table_base)
+            _commit_tables(tables, table_base, manifested,
+                           checkpoint, epoch_id)
             if stats is not None or error_monitor is not None:
                 # A2 per-collection counters + ST11 kill-switch; opt-in
                 # because the counts are extra actions per micro-batch.
@@ -394,7 +395,8 @@ def start_avro_ingest_stream(spark: SparkSession, source_dir: str | None,
                              source_stream: DataFrame | None = None,
                              stats=None, error_monitor=None,
                              rocksdb_state: bool = True,
-                             errors_dir: str | None = None):
+                             errors_dir: str | None = None,
+                             manifested: bool = False):
     """Avro twin of ``start_ingest_stream`` — the reference's per-config
     deserializer selection (KafkaStreamSourceModule.java:26-60 binds
     AVRO vs JSON; KafkaAvroMessageTransformer.java:33-57 is the Avro
@@ -491,7 +493,8 @@ def start_avro_ingest_stream(spark: SparkSession, source_dir: str | None,
                     "_shard_time", F.coalesce(
                         "_shard_time", F.lit(shard_time).cast("timestamp")))
                     for k, df in tables.items()}
-            write_collections(out, table_base)
+            _commit_tables(out, table_base, manifested, checkpoint,
+                           epoch_id)
             if stats is not None or error_monitor is not None:
                 # A2 counters + ST11 kill-switch, as on the JSON path.
                 # Deserialization failures are tagged _kind='corrupt' at

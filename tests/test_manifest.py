@@ -182,3 +182,29 @@ def test_retry_does_not_disturb_pinned_reader(spark, tmp_path):
     assert sorted(r.id for r in pinned.collect()) == [1, 2]
     # a fresh reader sees the replacement
     assert sorted(r.id for r in t.read(spark).collect()) == [7, 8, 9]
+
+
+def test_avro_streaming_with_manifested_sink(spark, tmp_path):
+    """The Avro realtime twin commits through the same shared
+    _commit_tables path: version-file tables, namespaced epoch ids."""
+    from rakam_api_collector_spark.manifest import ManifestedTable
+    from rakam_api_collector_spark.streaming import (
+        start_avro_ingest_stream)
+    from tests.test_avro_streaming import (
+        NOW, SHARD_T, _frame, _mk_catalog, _write_frames)
+
+    cat, fields = _mk_catalog(tmp_path / "cat")
+    frames = [_frame(fields, f"u{i}", "2020-06-01T10:00:00", float(i))
+              for i in range(2)]
+    src = tmp_path / "src"
+    _write_frames(src, frames)
+    q = start_avro_ingest_stream(
+        spark, str(src), cat, table_base=str(tmp_path / "tables"),
+        checkpoint=str(tmp_path / "ckpt"), project="p1",
+        now=NOW, shard_time=SHARD_T, dedup=False, manifested=True)
+    q.awaitTermination(120)
+
+    t = ManifestedTable(str(tmp_path / "tables"), "p1", "t")
+    rows = t.read(spark).collect()
+    assert sorted(r["v"] for r in rows) == [0.0, 1.0]
+    assert t.committed()[0]["batch"].endswith("-epoch-0")
