@@ -208,3 +208,14 @@ def test_avro_streaming_with_manifested_sink(spark, tmp_path):
     rows = t.read(spark).collect()
     assert sorted(r["v"] for r in rows) == [0.0, 1.0]
     assert t.committed()[0]["batch"].endswith("-epoch-0")
+
+
+def test_manifest_orc_format(spark, tmp_path):
+    """fmt is carried per batch in the manifest, so a table can mix
+    parquet and ORC batches and read() resolves each correctly."""
+    t = ManifestedTable(str(tmp_path), "proj", "events")
+    t.write(_df(spark, [1]), batch_id="p1", fmt="parquet")
+    t.write(_df(spark, [2]), batch_id="o1", fmt="orc")
+    assert sorted(r.id for r in t.read(spark).collect()) == [1, 2]
+    fmts = {m["batch"]: m["format"] for m in t.committed()}
+    assert fmts == {"p1": "parquet", "o1": "orc"}
