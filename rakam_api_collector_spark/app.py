@@ -104,7 +104,8 @@ def start(spark: SparkSession, cfg: dict) -> list:
             source="kinesis" if kin else "kafka",
             bulk_base=cfg.get("bulk_base"),
             source_stream=source_stream,
-            errors_dir=cfg.get("errors_dir")))
+            errors_dir=cfg.get("errors_dir"),
+            manifested=cfg.get("manifested", False)))
         if hist.get("dir") or hist_stream is not None:
             queries.append(start_avro_historical_stream(
                 spark, hist.get("dir"), catalog, tgt["base"],
@@ -132,7 +133,8 @@ def start(spark: SparkSession, cfg: dict) -> list:
         shard_time=cfg.get("shard_time"),
         now=cfg.get("now"),
         source_stream=source_stream,
-        errors_dir=cfg.get("errors_dir")))
+        errors_dir=cfg.get("errors_dir"),
+        manifested=cfg.get("manifested", False)))
 
     if hist.get("dir") or hist_stream is not None:
         queries.append(start_historical_stream(
