@@ -494,3 +494,76 @@ def test_interlaced_palette_png_decodes():
             + _chunk(b"IEND", b""))
     exp = b"".join(palette[j * 3:(j + 1) * 3] for j in idx)
     assert M.png_decode(blob) == (W, H, 3, exp)
+
+
+def test_jpeg_422_decode(spark):
+    """The asymmetric-factor upsample path (4:2:2 — luma 2×1): a
+    hand-rolled 4:2:2 stream built from the codec's own primitives must
+    decode within ±1 on smooth content, including non-multiple-of-MCU
+    dims (20×9)."""
+    from rakam_api_collector_spark.operators import jpeg as J
+
+    def encode_422(pixels, W, H, quality=95):
+        img = (np.frombuffer(pixels, np.uint8).astype(np.float64)
+               .reshape(H, W, 3))
+        r, g, b = img[..., 0], img[..., 1], img[..., 2]
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+
+        def havg(p):
+            if p.shape[1] % 2:
+                p = np.pad(p, ((0, 0), (0, 1)), mode="edge")
+            return p.reshape(p.shape[0], p.shape[1] // 2, 2).mean(axis=2)
+
+        def grid(p, mh, mw):
+            ph, pw = -(-p.shape[0] // mh) * mh, -(-p.shape[1] // mw) * mw
+            pp = np.pad(p, ((0, ph - p.shape[0]), (0, pw - p.shape[1])),
+                        mode="edge")
+            return pp.reshape(ph // 8, 8, pw // 8, 8).transpose(0, 2, 1, 3)
+
+        qs = [J._scale_q(J._Q_LUMA, quality),
+              J._scale_q(J._Q_CHROMA, quality)]
+        out = bytearray(b"\xff\xd8")
+        for tid, q in enumerate(qs):
+            body = bytes([tid]) + bytes(int(v) for v in
+                                        q.flatten()[J._ZIGZAG])
+            out += b"\xff\xdb" + struct.pack(">H", len(body) + 2) + body
+        sof = struct.pack(">BHHB", 8, H, W, 3)
+        sof += bytes([1, 0x21, 0, 2, 0x11, 1, 3, 0x11, 1])
+        out += b"\xff\xc0" + struct.pack(">H", len(sof) + 2) + sof
+        for tc, tb in [(0x00, J._DC_LUMA), (0x10, J._AC_LUMA),
+                       (0x01, J._DC_CHROMA), (0x11, J._AC_CHROMA)]:
+            body = bytes([tc]) + bytes(tb[0]) + bytes(tb[1])
+            out += b"\xff\xc4" + struct.pack(">H", len(body) + 2) + body
+        sos = bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0])
+        out += b"\xff\xda" + struct.pack(">H", len(sos) + 2) + sos
+        luma = grid(y, 8, 16)
+        cbg, crg = grid(havg(cb), 8, 8), grid(havg(cr), 8, 8)
+        dc = [J._canonical_codes(*J._DC_LUMA)] + \
+            [J._canonical_codes(*J._DC_CHROMA)] * 2
+        ac = [J._canonical_codes(*J._AC_LUMA)] + \
+            [J._canonical_codes(*J._AC_CHROMA)] * 2
+        qsel = [qs[0], qs[1], qs[1]]
+        w = J._BitWriter()
+        preds = [0, 0, 0]
+        for my in range(luma.shape[0]):
+            for mx in range(luma.shape[1] // 2):
+                for bx in range(2):
+                    preds[0] = J._encode_component(
+                        [luma[my, mx * 2 + bx]], qsel[0], dc[0], ac[0],
+                        w, preds[0])
+                for ci, gr in ((1, cbg), (2, crg)):
+                    preds[ci] = J._encode_component(
+                        [gr[my, mx]], qsel[ci], dc[ci], ac[ci], w,
+                        preds[ci])
+        out += w.flush() + b"\xff\xd9"
+        return bytes(out)
+
+    for W, H in [(16, 8), (20, 9), (8, 8)]:
+        base = np.linspace(0, 255, W * H * 3).astype(np.uint8).tobytes()
+        dw, dh, dc_, px = J.jpeg_decode(encode_422(base, W, H))
+        assert (dw, dh, dc_) == (W, H, 3)
+        err = np.abs(np.frombuffer(px, np.uint8).astype(int)
+                     - np.frombuffer(base, np.uint8).astype(int))
+        assert err.max() <= 1, (W, H, err.max())
