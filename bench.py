@@ -82,19 +82,40 @@ def main() -> None:
 
     # Second repetition (min-of-2) for (a) the 16 most expensive queries
     # — the heavy tail dominates the suite total — and (b) any query
-    # whose single sample regressed >1.2× against the previous recorded
-    # run: a one-sample regression is indistinguishable from scheduler
-    # noise, so it earns a second sample before being reported (capped
-    # at 12 extra reps to bound bench runtime).
+    # whose single sample regressed >1.2× against the PRIOR ROUND's
+    # committed closing numbers (highest BENCH_r*.json; fallback
+    # BENCH_DETAIL.json): anchoring to the last intra-round run let a
+    # slow round-over-round creep evade the rerun rule, because the
+    # drifted predecessor became the yardstick. A one-sample regression
+    # is indistinguishable from scheduler noise, so it earns a second
+    # sample before being reported (capped at 12 extra reps to bound
+    # bench runtime).
     reps: dict[str, int] = {k: 1 for k in timings}
+    # prev[full_query_name] -> prior-round seconds; the driver's
+    # BENCH_r{N}.json stores the stdout line under "parsed" with SHORT
+    # names (the "llm12" prefix of "llm12_ann_lsh"), so match on the
+    # prefix before the second underscore.
     prev: dict[str, float] = {}
-    try:
-        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                               "BENCH_DETAIL.json")) as fh:
-            prev = {k: v for k, v in json.load(fh)["queries"].items()
-                    if isinstance(v, (int, float))}
-    except (OSError, ValueError, KeyError):
-        pass
+    here = os.path.dirname(os.path.abspath(__file__))
+    rounds = sorted(
+        (f for f in os.listdir(here)
+         if re.fullmatch(r"BENCH_r\d+\.json", f)),
+        key=lambda f: int(re.search(r"\d+", f).group()))
+    for anchor in ([os.path.join(here, rounds[-1])] if rounds else []) + \
+            [os.path.join(here, "BENCH_DETAIL.json")]:
+        try:
+            with open(anchor) as fh:
+                doc = json.load(fh)
+            by_name = (doc.get("parsed") or doc)["queries"]
+            by_name = {k: v for k, v in by_name.items()
+                       if isinstance(v, (int, float))}
+            prev = {full: by_name[key]
+                    for full in timings
+                    for key in (full.split("_", 1)[0], full)
+                    if key in by_name}
+            break
+        except (OSError, ValueError, KeyError, TypeError):
+            continue
     heavy = sorted((k for k, v in timings.items() if v == v),
                    key=lambda k: -timings[k])[:16]
     # cap keeps the WORST regressions, not alphabetical order

@@ -100,11 +100,45 @@ def random_hyperplanes(dim: int, bits: int, tables: int,
     return rng.standard_normal((tables, bits, dim)).tolist()
 
 
+def _sig_matrix(m: "np.ndarray", weights: "np.ndarray",
+                packer: "np.ndarray", tables: int, bits: int):
+    """(n, dim) → (n, tables) packed sign signatures: one matmul, sign
+    bits packed into one long per table (bit i ← plane i)."""
+    signs = (m @ weights) >= 0                           # (n, t*b)
+    per_tbl = signs.reshape(len(m), tables, bits)
+    return (per_tbl * packer).sum(axis=2)                # (n, tables)
+
+
+def _probe_cube(m: "np.ndarray", weights: "np.ndarray",
+                packer: "np.ndarray", tables: int, bits: int,
+                probe_bits: int):
+    """(n, dim) → (n, tables, 2^probe_bits) query-directed multi-probe
+    signatures (Lv et al., VLDB'07 §4): per table, the exact bucket plus
+    every subset of flips over the ``probe_bits`` LOWEST-|margin| planes
+    — the planes whose projection was closest to zero, i.e. exactly the
+    sign bits a true near neighbor is most likely to differ on.
+    2^probe_bits probe signatures per table instead of bits+1 exhaustive
+    Hamming-1 probes, with nearly all of the Hamming-1 recall mass
+    (high-margin flips almost never rescue a neighbor)."""
+    proj = (m @ weights).reshape(len(m), tables, bits)
+    packed = ((proj >= 0) * packer).sum(axis=2)          # (n, t)
+    order = np.argsort(np.abs(proj), axis=2)[:, :, :probe_bits]
+    # perturbation masks over the probe_bits lowest-margin bit *slots*:
+    # all 2^probe_bits subsets, exact bucket (mask 0) first
+    subsets = np.arange(1 << probe_bits)
+    # flip masks: for subset s, XOR of (1<<order[..., j]) for j in s
+    flips = np.zeros((len(m), tables, len(subsets)), dtype=np.int64)
+    for j in range(probe_bits):
+        bitmask = ((subsets >> j) & 1).astype(bool)      # (2^pb,)
+        flips[:, :, bitmask] ^= (1 << order[:, :, j])[:, :, None]
+    return packed[:, :, None] ^ flips                    # (n, t, 2^pb)
+
+
 def _signatures_udf(planes_flat: "np.ndarray", tables: int, bits: int):
     """Arrow-batched sign-signature computation: one numpy matmul per
-    batch ((batch × dim) @ (dim × tables·bits)), sign bits packed into
-    one long per table. ~1000× fewer expression nodes than unrolled JVM
-    folds, and the matmul is the realistic vectorized path at scale."""
+    batch ((batch × dim) @ (dim × tables·bits)) via _sig_matrix.
+    ~1000× fewer expression nodes than unrolled JVM folds, and the
+    matmul is the realistic vectorized path at scale."""
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
@@ -113,10 +147,8 @@ def _signatures_udf(planes_flat: "np.ndarray", tables: int, bits: int):
 
     def sigs(vecs):
         m = np.asarray(vecs.tolist(), dtype=np.float64)      # (n, dim)
-        signs = (m @ weights) >= 0                           # (n, t*b)
-        per_tbl = signs.reshape(len(m), tables, bits)
-        packed = (per_tbl * packer).sum(axis=2)              # (n, tables)
-        return pd.Series(list(packed))
+        return pd.Series(list(_sig_matrix(m, weights, packer,
+                                          tables, bits)))
 
     # `from __future__ import annotations` stringifies hints, which
     # pandas_udf's signature inspection rejects — attach real objects.
@@ -126,36 +158,18 @@ def _signatures_udf(planes_flat: "np.ndarray", tables: int, bits: int):
 
 def _probe_sigs_udf(planes_flat: "np.ndarray", tables: int, bits: int,
                     probe_bits: int):
-    """Arrow-batched query-directed multi-probe signatures (Lv et al.,
-    VLDB'07 §4): per table, emit the exact bucket plus every subset of
-    flips over the ``probe_bits`` LOWEST-|margin| planes — the planes
-    whose projection was closest to zero, i.e. exactly the sign bits a
-    true near neighbor is most likely to differ on. 2^probe_bits probe
-    signatures per table instead of bits+1 exhaustive Hamming-1 probes,
-    with nearly all of the Hamming-1 recall mass (high-margin flips
-    almost never rescue a neighbor). One matmul + argsort per batch."""
+    """Arrow-batched query-directed multi-probe signatures — _probe_cube
+    per batch; one matmul + argsort."""
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
     weights = np.ascontiguousarray(planes_flat.T)      # (dim, tables*bits)
     packer = (1 << np.arange(bits, dtype=np.int64))
-    # perturbation masks over the probe_bits lowest-margin bit *slots*:
-    # all 2^probe_bits subsets, exact bucket (mask 0) first
-    subsets = np.arange(1 << probe_bits)
 
     def probes(vecs):
         m = np.asarray(vecs.tolist(), dtype=np.float64)
-        proj = (m @ weights).reshape(len(m), tables, bits)
-        packed = ((proj >= 0) * packer).sum(axis=2)          # (n, t)
-        order = np.argsort(np.abs(proj), axis=2)[:, :, :probe_bits]
-        # flip masks: for subset s, XOR of (1<<order[..., j]) for j in s
-        flips = np.zeros((len(m), tables, len(subsets)), dtype=np.int64)
-        for j in range(probe_bits):
-            bitmask = ((subsets >> j) & 1).astype(bool)      # (2^pb,)
-            flips[:, :, bitmask] ^= (
-                1 << order[:, :, j])[:, :, None]
-        out = packed[:, :, None] ^ flips                     # (n, t, 2^pb)
-        return pd.Series(list(out))
+        return pd.Series(list(_probe_cube(m, weights, packer,
+                                          tables, bits, probe_bits)))
 
     probes.__annotations__ = {"vecs": pd.Series, "return": pd.Series}
     return pandas_udf(probes, "array<array<long>>")
@@ -193,7 +207,15 @@ def ann_lsh_topk(corpus: DataFrame, queries: DataFrame, id_col: str,
     the per-query top-k window — both move narrow scored pairs, never
     embedding payloads. This assumes the per-batch query set fits a
     broadcast (the stated small-query-set design); for huge query sets
-    drop the broadcast hint and Spark falls back to a shuffle join."""
+    drop the broadcast hint and Spark falls back to a shuffle join.
+
+    (Measured dead end, kept out on purpose: computing query-side probe
+    signatures driver-side from a bounded collect and shipping them as
+    a local relation was ~0.3 s SLOWER per call at bench scale — the
+    eager collect job is not overlapped with anything, while the
+    distributed probe build it replaces rides the same job as the
+    broadcast exchange. Interleaved A/B, min-of-5: 1.33 s distributed
+    vs 1.62 s collected.)"""
     if probe_radius not in (0, 1):
         raise ValueError("probe_radius supports 0 (exact bucket) or 1 "
                          "(all single-bit flips)")

@@ -338,14 +338,16 @@ def llm12_ann_lsh(spark: SparkSession, sf: str) -> DataFrame:
                           probe_bits=3)
            .select("q", "neighbor"))
     exact = (S.cosine_topk(emb, queries, "vec_id", "embedding", k=10)
-             .select("q", "neighbor"))
-    hits = (ann.join(exact, ["q", "neighbor"])
-            .groupBy("q").agg(F.count("*").alias("_hits")))
-    return (queries.select(F.col("vec_id").alias("q"))
-            .join(ann.groupBy("q").agg(F.count("*").alias("n_ann")), "q")
-            .join(hits, "q", "left")
-            .select("q", "n_ann",
-                    (F.coalesce("_hits", F.lit(0)) >= 5).alias("recall_ok"))
+             .select("q", "neighbor").withColumn("_hit", F.lit(1)))
+    # single reference to the ANN subtree: the left join marks exact
+    # hits on each ANN row, so one groupBy produces both n_ann and the
+    # hit count (the old two-groupBy shape executed the whole LSH
+    # pipeline twice — ReuseExchange does not span the pandas_udf scan)
+    return (ann.join(exact, ["q", "neighbor"], "left")
+            .groupBy("q")
+            .agg(F.count("*").alias("n_ann"),
+                 F.coalesce(F.sum("_hit"), F.lit(0)).alias("_hits"))
+            .select("q", "n_ann", (F.col("_hits") >= 5).alias("recall_ok"))
             .orderBy("q"))
 
 
