@@ -17,6 +17,10 @@ config dict:
       "historical": {"dir": …, "checkpoint": …},  # ST5 (optional)
       "dedup": true,                              # ST6
       "outdated_day_index": 1,                    # ST3 window
+      "layout": "per-table" | "grouped",          # K1 sink layout (JSON
+                                                  # path): per-collection
+                                                  # dirs vs one write job
+                                                  # per schema group
       # avro-only (KafkaAvroMessageTransformer.java:33-57 hot path):
       "project": …,                               # schemas come from catalog
       "default_collection": …,                    # for type-0/1 frames
@@ -134,7 +138,8 @@ def start(spark: SparkSession, cfg: dict) -> list:
         now=cfg.get("now"),
         source_stream=source_stream,
         errors_dir=cfg.get("errors_dir"),
-        manifested=cfg.get("manifested", False)))
+        manifested=cfg.get("manifested", False),
+        layout=cfg.get("layout", "per-table")))
 
     if hist.get("dir") or hist_stream is not None:
         queries.append(start_historical_stream(

@@ -179,6 +179,14 @@ def write_collections_grouped(result, base: str, fmt: str = "parquet",
             parts = ["_collection", "_day"]
         else:
             parts = ["_collection"]
+        # REBALANCE on the partition keys before the dynamic-partition
+        # write: without it every task opens a writer per (_collection,
+        # _day) combo it sees — T tasks × P combos file handles and
+        # T×P output files. Rebalanced, each combo lands in ~one task
+        # (AQE splits a skewed combo across tasks instead of letting it
+        # straggle, which plain repartition(cols) would not), so files
+        # scale with #combos and maxRecordsPerFile, not #tasks.
+        out = out.hint("rebalance", *parts)
         (out.write.mode("append").format(fmt)
          .option("compression", "snappy")
          .option("maxRecordsPerFile", max_records_per_file)

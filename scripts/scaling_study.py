@@ -1,0 +1,200 @@
+"""Operator scaling study — measured evidence for the 100 TB claims.
+
+Correctness runs at sf0.01 prove operators right; this harness proves
+they SCALE: each headline operator runs against its sf0.1 input
+amplified in-plan ×1 / ×4 / ×16 (crossJoin with a broadcast K-row
+range; keys shifted per replica so join/group cardinality scales with
+the data), and the per-operator scaling exponent
+``log(wall_x16 / wall_x4) / log 4`` is reported — ~1.0 means linear
+work growth (what a shuffle-on-key / map-side plan must show), ~2.0
+would expose an all-pairs or recursive blow-up hiding behind small
+fixtures. The two largest points are used so per-query fixed overhead
+(job scheduling, Python worker spin-up) doesn't flatter the exponent.
+
+Similarity workloads are amplified into DISJOINT problem spaces so the
+matching structure stays constant per replica instead of exploding
+quadratically across replicas:
+
+- text (MinHash / exact dedup): every token is suffixed with the
+  replica id, giving replica-disjoint vocabularies — cross-replica
+  Jaccard is 0 by construction, so pairs scale ×K, not ×K².
+- embeddings (LSH ANN): each replica applies its own deterministic
+  per-dimension sign flip — an orthogonal transform, so intra-replica
+  cosines (and the true-neighbor structure) are preserved exactly
+  while cross-replica directions decorrelate; replica 0 is the
+  identity so the fixed query vectors keep their true neighbors.
+
+Amplification happens in-plan, so parquet IO does not scale with K —
+the study isolates operator compute/shuffle scaling (IO scaling is the
+cluster's problem; operator scaling is this repo's).
+
+Usage: python scripts/scaling_study.py [op ...]   (default: all)
+Prints one JSON line per operator; paste the table into STRESS.md.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+import rakam_api_collector_spark.operators.dedup as D
+import rakam_api_collector_spark.operators.similarity as S
+import rakam_api_collector_spark.operators.text as T
+from rakam_api_collector_spark.session import get_spark
+from rakam_api_collector_spark.tables import load_table
+
+SF_DIR = "/root/testdata/sf0.1"
+SCALES = (1, 4, 16)
+
+
+def amplified(spark, df: DataFrame, k: int,
+              shifts: dict[str, int]) -> DataFrame:
+    """×k replicas with per-replica key shifts; keeps `_rep` for
+    further per-replica transforms."""
+    reps = F.broadcast(spark.range(k).withColumnRenamed("id", "_rep"))
+    out = df.crossJoin(reps)
+    for c, stride in shifts.items():
+        out = out.withColumn(c, F.col(c) + F.col("_rep") * F.lit(stride))
+    return out
+
+
+def rep_tokens(text_col: str) -> F.Column:
+    """Replica-disjoint vocabulary: every token suffixed with _rep."""
+    return F.array_join(
+        F.transform(T.tokens(F.col(text_col)),
+                    lambda x: F.concat(x, F.lit("·"),
+                                       F.col("_rep").cast("string"))),
+        " ")
+
+
+def rep_signs(vec_col: str) -> F.Column:
+    """Per-replica orthogonal transform: deterministic sign flip per
+    dimension; replica 0 is the identity."""
+    return F.transform(
+        F.col(vec_col),
+        lambda x, i: x * F.when(F.col("_rep") == 0, F.lit(1.0))
+        .otherwise(F.when(F.pmod(F.hash(F.col("_rep"), i), 2) == 0,
+                          F.lit(1.0)).otherwise(F.lit(-1.0))))
+
+
+def op_agg_q1(spark, k: int) -> DataFrame:
+    """TPC-H Q1 shape (dq08): map-side-combine hash agg — shuffle rows
+    stay at #groups regardless of K."""
+    li = amplified(spark, load_table(spark, SF_DIR, "lineitem"), k,
+                   {"l_orderkey": 10_000_000})
+    return (li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(F.sum("l_quantity").alias("sum_qty"),
+                 F.sum("l_extendedprice").alias("sum_base"),
+                 F.avg("l_discount").alias("avg_disc"),
+                 F.count("*").alias("n")))
+
+
+def op_join_orders(spark, k: int) -> DataFrame:
+    """Fact-fact shuffle join: both sides ×K with aligned key shifts, so
+    matches scale ×K (disjoint replica key ranges)."""
+    li = amplified(spark, load_table(spark, SF_DIR, "lineitem"), k,
+                   {"l_orderkey": 10_000_000})
+    orders = amplified(spark, load_table(spark, SF_DIR, "orders"), k,
+                       {"o_orderkey": 10_000_000})
+    return (li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .groupBy("o_orderpriority")
+            .agg(F.count("*").alias("n"),
+                 F.sum("l_extendedprice").alias("rev")))
+
+
+def op_window_dedup(spark, k: int) -> DataFrame:
+    """Window + dedup-first (dq16/17 shape): one shuffle on the
+    partition key; keys ×K so partition count scales, size doesn't."""
+    ev = amplified(spark, load_table(spark, SF_DIR, "events"), k,
+                   {"user_id": 1_000_000})
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), "event_id")
+    return (ev.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .groupBy("event_type").agg(F.count("*").alias("n"),
+                                       F.sum("value").alias("sv")))
+
+
+def op_exact_dedup(spark, k: int) -> DataFrame:
+    """Exact dedup (llm07 shape): hash-groupBy on content key."""
+    docs = amplified(spark, load_table(spark, SF_DIR, "documents"), k,
+                     {"doc_id": 10_000_000})
+    docs = docs.withColumn("text", rep_tokens("text"))
+    return (docs.groupBy(F.xxhash64("text").alias("h"))
+            .agg(F.min("doc_id").alias("keep"),
+                 F.count("*").alias("copies"))
+            .groupBy().agg(F.count("*").alias("groups"),
+                           F.sum("copies").alias("docs")))
+
+
+def op_minhash(spark, k: int) -> DataFrame:
+    """MinHash-LSH near-dup pairs (llm09 shape) over replica-disjoint
+    vocabularies: banded candidates scale ×K."""
+    docs = amplified(spark, load_table(spark, SF_DIR, "documents"), k,
+                     {"doc_id": 10_000_000})
+    docs = docs.select("doc_id", rep_tokens("text").alias("text"))
+    return (D.minhash_lsh_pairs(docs, "doc_id", "text", n=3,
+                                threshold=0.5, num_perm=128, bands=64)
+            .groupBy().agg(F.count("*").alias("pairs")))
+
+
+def op_ann_lsh(spark, k: int) -> DataFrame:
+    """LSH ANN (llm12 shape): corpus ×K under per-replica orthogonal
+    transforms, fixed 5-query probe side — the corpus-signature side is
+    what scales at 100 TB."""
+    base = load_table(spark, SF_DIR, "embeddings")
+    corpus = (amplified(spark, base, k, {"vec_id": 10_000_000})
+              .select("vec_id", rep_signs("embedding").alias("embedding")))
+    queries = base.filter(F.col("vec_id") < 5)
+    return (S.ann_lsh_topk(corpus, queries, "vec_id", "embedding",
+                           k=10, bits=6, tables=8, dim=64, probe_bits=3)
+            .groupBy().agg(F.count("*").alias("hits")))
+
+
+OPS = {
+    "agg_q1": (op_agg_q1, "lineitem", 600_000),
+    "join_orders": (op_join_orders, "lineitem+orders", 750_000),
+    "window_dedup": (op_window_dedup, "events", 100_000),
+    "exact_dedup": (op_exact_dedup, "documents", 5_000),
+    "minhash_pairs": (op_minhash, "documents", 5_000),
+    "ann_lsh": (op_ann_lsh, "embeddings", 2_000),
+}
+
+
+def main() -> None:
+    names = sys.argv[1:] or list(OPS)
+    spark = get_spark("scaling_study")
+    spark.sparkContext.setLogLevel("ERROR")
+    # warm: scan machinery, python workers, codegen
+    for t in ("lineitem", "orders", "events", "documents", "embeddings"):
+        load_table(spark, SF_DIR, t).count()
+
+    for name in names:
+        fn, base_table, base_rows = OPS[name]
+        walls: dict[int, float] = {}
+        for k in SCALES:
+            best = math.inf
+            for _ in range(2):                       # min-of-2 vs noise
+                t0 = time.perf_counter()
+                fn(spark, k).collect()
+                best = min(best, time.perf_counter() - t0)
+            walls[k] = round(best, 2)
+        exp = round(math.log(walls[16] / walls[4]) / math.log(4), 2)
+        print(json.dumps({
+            "op": name,
+            "base": f"{base_table}@sf0.1 ({base_rows} rows)",
+            "wall_sec": {f"x{k}": walls[k] for k in SCALES},
+            "rows_per_sec_x16": round(base_rows * 16 / walls[16], 0),
+            "scaling_exponent": exp,
+        }), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -256,6 +256,47 @@ def test_stream_late_split_spools_historical_and_replays(spark, tmp_path):
     assert sorted(r["v"] for r in merged.collect()) == [1.0, 2.0]
 
 
+def test_stream_grouped_layout_commit(spark, tmp_path):
+    """layout='grouped' commits one write job per schema group into the
+    Hive-partitioned layout; collections read back (partition-pruned)
+    with the same rows and dedup/late-split semantics intact."""
+    import pytest
+
+    from rakam_api_collector_spark.sinks import read_collection_grouped
+
+    lines = []
+    for c in ("a", "b", "c"):
+        lines += [fabric(c, {"_time": "2020-06-01T10:00:0%d" % i,
+                             "_user": f"u_{c}{i}", "v": i})
+                  for i in range(3)]
+    # a duplicate (same _user/_time) that dedup must drop
+    lines.append(fabric("a", {"_time": "2020-06-01T10:00:00",
+                              "_user": "u_a0", "v": 99}))
+    src = tmp_path / "src"
+    _write_lines(src, lines)
+    cat = Catalog()
+    q = start_ingest_stream(
+        spark, str(src), "fabric", cat,
+        table_base=str(tmp_path / "tables"),
+        checkpoint=str(tmp_path / "ckpt"),
+        now=NOW, shard_time=SHARD_T, dedup=True,
+        layout="grouped")
+    q.awaitTermination(120)
+
+    for c in ("a", "b", "c"):
+        df = read_collection_grouped(spark, str(tmp_path / "tables"),
+                                     "testproject", c, cat)
+        assert sorted(r["v"] for r in df.collect()) == [0.0, 1.0, 2.0]
+
+    with pytest.raises(ValueError, match="grouped"):
+        start_ingest_stream(
+            spark, str(src), "fabric", cat,
+            table_base=str(tmp_path / "t2"),
+            checkpoint=str(tmp_path / "c2"),
+            now=NOW, shard_time=SHARD_T,
+            layout="grouped", manifested=True)
+
+
 def test_injected_source_stream_feeds_pipeline(spark, tmp_path):
     """The connector entry point: a streaming DataFrame with a binary
     ``value`` column (the Kafka wire shape) injected via source_stream
