@@ -750,23 +750,46 @@ def resize_image(df: DataFrame, id_col: str, out_w: int, out_h: int,
 # stream) is real; a libav demuxer would replace _iter_frames only.
 
 _VID_MAGIC = b"VID0"
+_VID_MAGIC_TIMED = b"VID1"
 
 
-def pack_video(frames: list[bytes]) -> bytes:
-    out = bytearray(_VID_MAGIC + struct.pack("<I", len(frames)))
+def pack_video(frames: list[bytes], fps_milli: int | None = None) -> bytes:
+    """Pack frames into the minimal container. Without ``fps_milli``
+    the untimed ``VID0`` layout (magic + u32 n + [u32 len | frame]*);
+    with it the timed ``VID1`` layout that inserts a u32 frame rate in
+    milli-fps after the magic, so time-based samplers can translate
+    wall-clock sample instants to frame indexes without decoding."""
+    if fps_milli is None:
+        out = bytearray(_VID_MAGIC + struct.pack("<I", len(frames)))
+    else:
+        if fps_milli <= 0:
+            raise ValueError("fps_milli must be positive")
+        out = bytearray(_VID_MAGIC_TIMED
+                        + struct.pack("<II", fps_milli, len(frames)))
     for fr in frames:
         out += struct.pack("<I", len(fr)) + fr
     return bytes(out)
+
+
+def _video_header(data: bytes) -> tuple[int | None, int, int]:
+    """(fps_milli or None, frame_count, payload_offset) for either
+    container generation."""
+    if data[:4] == _VID_MAGIC:
+        (n,) = struct.unpack("<I", data[4:8])
+        return None, n, 8
+    if data[:4] == _VID_MAGIC_TIMED:
+        fps_milli, n = struct.unpack("<II", data[4:12])
+        if fps_milli <= 0:
+            raise ValueError("timed container with non-positive fps")
+        return fps_milli, n, 12
+    raise ValueError("not a VID0/VID1 container")
 
 
 def _frame_offsets(data: bytes):
     """Yield (frame_idx, offset, length) lazily — the index walk only
     reads length prefixes, never frame payloads, so a sampler slices
     (copies) exactly the frames it decodes."""
-    if data[:4] != _VID_MAGIC:
-        raise ValueError("not a VID0 container")
-    (n,) = struct.unpack("<I", data[4:8])
-    pos = 8
+    _, n, pos = _video_header(data)
     for idx in range(n):
         (ln,) = struct.unpack("<I", data[pos:pos + 4])
         yield idx, pos + 4, ln
@@ -839,12 +862,103 @@ def sample_video_frames(df: DataFrame, id_col: str,
     return narrow.mapInPandas(sample, VIDEO_FRAME_STATS_TYPE)
 
 
+VIDEO_TIMED_STATS_TYPE = T.StructType(
+    [T.StructField("id", T.LongType()),
+     T.StructField("sample_ms", T.LongType())]
+    + VIDEO_FRAME_STATS_TYPE.fields[1:])
+
+
+def _time_sample_indices(n_frames: int, fps_milli: int,
+                         every_ms: int) -> list[tuple[int, int]]:
+    """(sample_ms, frame_idx) pairs for instants 0, every_ms, 2*every_ms…
+    while the mapped frame exists. The frame shown at instant t is
+    ``floor(t_ms * fps_milli / 1_000_000)`` — pure int64 arithmetic so
+    a SQL oracle recomputes the exact same indexes."""
+    out = []
+    j = 0
+    while True:
+        t_ms = j * every_ms
+        idx = (t_ms * fps_milli) // 1_000_000
+        if idx >= n_frames:
+            return out
+        out.append((t_ms, idx))
+        j += 1
+
+
+def sample_video_frames_by_time(df: DataFrame, id_col: str,
+                                blob_col: str = "blob",
+                                every_ms: int = 1000,
+                                skip_invalid: bool = False) -> DataFrame:
+    """Time-based frame sampling over timed (VID1) video columns — the
+    form a training pipeline actually specifies ("one frame every N
+    seconds"), independent of each video's frame rate. One row per
+    sample INSTANT (a slow-fps video can repeat a frame across
+    instants); each distinct frame decodes exactly once per container
+    and unsampled frames are skipped by length prefix, never decoded.
+    Untimed VID0 containers fail decode (or drop under
+    ``skip_invalid`` — the ST11 accounting path)."""
+    if every_ms <= 0:
+        raise ValueError("every_ms must be positive")
+
+    def sample(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+        for pdf in batches:
+            rows = []
+            for i, blob in zip(pdf["_id"], pdf["_blob"]):
+                data = bytes(blob)
+                try:
+                    fps_milli, _, _ = _video_header(data)
+                    if fps_milli is None:
+                        raise ValueError(
+                            "time sampling needs a timed (VID1) container")
+                    offsets = {idx: (off, ln) for idx, off, ln
+                               in _frame_offsets(data)}
+                except (ValueError, struct.error):
+                    if skip_invalid:
+                        continue
+                    raise
+                instants = _time_sample_indices(len(offsets), fps_milli,
+                                                every_ms)
+                decoded: dict[int, tuple] = {}
+                for _, idx in instants:
+                    if idx in decoded:
+                        continue
+                    off, ln = offsets[idx]
+                    try:
+                        w, h, c, px = decode_image_bytes(
+                            data[off:off + ln])
+                    except (ValueError, struct.error, zlib.error):
+                        if not skip_invalid:
+                            raise
+                        decoded[idx] = None
+                        continue
+                    arr = np.frombuffer(px, dtype=np.uint8) \
+                        .astype(np.int64)
+                    decoded[idx] = (w, h, int(arr.sum()),
+                                    int(arr.min()), int(arr.max()))
+                for t_ms, idx in instants:
+                    st = decoded[idx]
+                    if st is None:
+                        continue
+                    rows.append((int(i), t_ms, idx) + st)
+            yield pd.DataFrame(rows, columns=[f.name for f in
+                                              VIDEO_TIMED_STATS_TYPE.fields])
+
+    narrow = df.select(F.col(id_col).cast("long").alias("_id"),
+                       F.col(blob_col).alias("_blob"))
+    return narrow.mapInPandas(sample, VIDEO_TIMED_STATS_TYPE)
+
+
 def synthesize_video(df: DataFrame, id_col: str, frames_col: str,
                      w_col: str, h_col: str,
-                     blob_col: str = "blob") -> DataFrame:
+                     blob_col: str = "blob",
+                     fps_milli_col: str | None = None) -> DataFrame:
     """Deterministic video fixtures: gray PNG frames with
     ``px[f][i] = (id*31 + f*13 + i*7) % 256`` — closed-form per
-    (frame, position), SQL-oracle-recomputable."""
+    (frame, position), SQL-oracle-recomputable. With ``fps_milli_col``
+    the container is the timed VID1 layout (per-row frame rate in
+    milli-fps) so time-based samplers can be exercised."""
     out_schema = T.StructType([
         T.StructField("id", T.LongType()),
         T.StructField(blob_col, T.BinaryType()),
@@ -855,19 +969,26 @@ def synthesize_video(df: DataFrame, id_col: str, frames_col: str,
         import pandas as pd
         for pdf in batches:
             rows = []
-            for i, nf, w, h in zip(pdf["_id"], pdf["_nf"], pdf["_w"],
-                                   pdf["_h"]):
+            fps_series = (pdf["_fps"] if "_fps" in pdf.columns
+                          else [None] * len(pdf))
+            for i, nf, w, h, fps in zip(pdf["_id"], pdf["_nf"],
+                                        pdf["_w"], pdf["_h"],
+                                        fps_series):
                 i, nf, w, h = int(i), int(nf), int(w), int(h)
                 frames = []
                 for f in range(nf):
                     px = ((i * 31 + f * 13 + np.arange(w * h) * 7)
                           % 256).astype(np.uint8).tobytes()
                     frames.append(png_encode(px, w, h, 1))
-                rows.append((i, pack_video(frames)))
+                blob = pack_video(
+                    frames, None if fps is None else int(fps))
+                rows.append((i, blob))
             yield pd.DataFrame(rows, columns=["id", blob_col])
 
-    narrow = df.select(F.col(id_col).cast("long").alias("_id"),
-                       F.col(frames_col).cast("int").alias("_nf"),
-                       F.col(w_col).cast("int").alias("_w"),
-                       F.col(h_col).cast("int").alias("_h"))
-    return narrow.mapInPandas(build, out_schema)
+    cols = [F.col(id_col).cast("long").alias("_id"),
+            F.col(frames_col).cast("int").alias("_nf"),
+            F.col(w_col).cast("int").alias("_w"),
+            F.col(h_col).cast("int").alias("_h")]
+    if fps_milli_col is not None:
+        cols.append(F.col(fps_milli_col).cast("int").alias("_fps"))
+    return df.select(*cols).mapInPandas(build, out_schema)

@@ -9,10 +9,10 @@ Ordering matters: the driver's correctness gate checks the FIRST 50
 registry entries per round. The registry therefore leads with the
 queries that most need fresh driver evidence this round and rotates the
 rest behind them; every query keeps its entry (bench + pytest run all
-92) — only the position changes round to round.
+93) — only the position changes round to round.
 
 Rotation invariant: **every query's driver evidence is at most one
-round old.** With 92 queries and a 50-slot window the cadence is two
+round old.** With 93 queries and a 50-slot window the cadence is two
 rounds; each round's window = (all queries without a green row from
 the previous round) + (everything modified this round) + fill.
 
@@ -33,13 +33,13 @@ Window history:
   LM, llm38 training order, llm39 curriculum bins, llm40 Gopher
   quality rules, llm41 head truncation, llm42 end-to-end curation
   funnel, dq47 sliding window, llm43 compression-ratio signal,
-  llm44 real JPEG decode gate), and heavy regression-prone fill
-  (llm09/10/14/16/17).
-  Out-of-window (42 queries, all r6-green, due back in r8):
+  llm44 real JPEG decode gate, llm45 timestamp-based video
+  sampling), and heavy regression-prone fill (llm09/10/16/17).
+  Out-of-window (43 queries, all r6-green, due back in r8):
   dq01-04 (dq03 late split), dq06/07, dq09-11, dq18-28, dq33, dq35,
-  dq37-46, llm07/08, llm13, llm15, llm29-32, llm34/35.
+  dq37-46, llm07/08, llm13, llm14, llm15, llm29-32, llm34/35.
 
-CAPACITY NOTE for round 8+: with 92 queries and a 50-slot window, 42
+CAPACITY NOTE for round 8+: with 93 queries and a 50-slot window, 43
 must rotate back each round, leaving only 8 slots for new/modified/
 fill. The invariant stays satisfiable while total queries ≤ 100
 (two-round cadence); past that, either consolidate near-duplicate
@@ -76,8 +76,9 @@ _WINDOW = [
     "llm40_quality_rules", "llm41_head_truncate",
     "llm42_curation_e2e", "dq47_sliding_window",
     "llm43_compression_ratio", "llm44_jpeg_decode",
+    "llm45_video_time_sample",
     # regression-prone heavy fill (all r6-green)
-    "llm09_minhash_lsh", "llm10_simhash", "llm14_decode_features",
+    "llm09_minhash_lsh", "llm10_simhash",
     "llm16_dedup_clusters", "llm17_incremental_dedup",
 ]
 

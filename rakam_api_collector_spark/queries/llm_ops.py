@@ -704,6 +704,33 @@ def llm34_video_sample(spark: SparkSession, sf: str) -> DataFrame:
             .orderBy("doc_id", "frame_idx"))
 
 
+def llm45_video_time_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """TIME-based frame sampling — "one frame every 7 s" — over timed
+    (VID1) videos whose per-doc frame rates differ (0.5/1.0/1.5 fps),
+    the form a training pipeline actually specifies. The sampled frame
+    for instant t is floor(t_ms * fps_milli / 1e6), pure int64
+    arithmetic (operators/multimodal.py sample_video_frames_by_time),
+    so the oracle recomputes the exact indexes and the closed-form
+    pixel stats with no media code. Unsampled frames are skipped by
+    length prefix, never decoded; each distinct frame decodes once
+    even when slow fps repeats it across instants."""
+    docs = (load_table(spark, sf, "documents")
+            .select("doc_id").filter(F.col("doc_id") < 50))
+    spec = docs.select(
+        "doc_id",
+        (F.col("doc_id") % 30 + 10).alias("nf"),
+        (F.col("doc_id") % 5 + 4).alias("w"),
+        (F.col("doc_id") % 4 + 3).alias("h"),
+        ((F.col("doc_id") % 3 + 1) * 500).alias("fpsm"))
+    vids = M.synthesize_video(spec, "doc_id", "nf", "w", "h",
+                              fps_milli_col="fpsm")
+    frames = M.sample_video_frames_by_time(vids, "id", every_ms=7000)
+    return (frames.select(F.col("id").alias("doc_id"), "sample_ms",
+                          "frame_idx", "width", "height", "px_sum",
+                          "px_min", "px_max")
+            .orderBy("doc_id", "sample_ms"))
+
+
 # --- packing / mixing / vocabulary ------------------------------------------
 
 _MIX_WEIGHTS = {"en": 0.4, "zh": 0.2, "es": 0.2, "de": 0.1, "fr": 0.1}
@@ -1069,6 +1096,7 @@ QUERIES = {
     "llm42_curation_e2e": llm42_curation_e2e,
     "llm43_compression_ratio": llm43_compression_ratio,
     "llm44_jpeg_decode": llm44_jpeg_decode,
+    "llm45_video_time_sample": llm45_video_time_sample,
 }
 
 _SW = {k: ", ".join(f"'{w}'" for w in v) for k, v in T.STOPWORDS.items()}
@@ -2002,5 +2030,42 @@ ORACLE = {
                     AS INTEGER) AS channels,
                true AS dims_ok, true AS err_ok
         FROM documents WHERE doc_id < 200 ORDER BY doc_id
+    """,
+    # Sample instants t = 0, 7000, 14000… ms; frame shown at t is
+    # floor(t * fps_milli / 1e6) (the sampler's int64 contract); pixel
+    # p[f][i] = (doc_id*31 + f*13 + i*7) % 256. Max j: duration up to
+    # 39 frames / 0.5 fps = 78 s → j ≤ 12; max pixels/frame 8*6 = 48.
+    "llm45_video_time_sample": """
+        WITH docs AS (
+          SELECT doc_id,
+                 doc_id % 30 + 10 AS nf,
+                 doc_id % 5 + 4 AS w,
+                 doc_id % 4 + 3 AS h,
+                 (doc_id % 3 + 1) * 500 AS fpsm
+          FROM documents WHERE doc_id < 50),
+        js AS (SELECT unnest(generate_series(0, 40)) AS j),
+        px AS (SELECT unnest(generate_series(0, 47)) AS i),
+        inst AS (
+          SELECT d.doc_id, j.j * 7000 AS sample_ms,
+                 (j.j * 7000 * d.fpsm) // 1000000 AS f,
+                 d.w, d.h
+          FROM docs d CROSS JOIN js j
+          WHERE (j.j * 7000 * d.fpsm) // 1000000 < d.nf),
+        samples AS (
+          SELECT t.doc_id, t.sample_ms, t.f, t.w, t.h,
+                 (t.doc_id * 31 + t.f * 13 + px.i * 7) % 256 AS p
+          FROM inst t CROSS JOIN px
+          WHERE px.i < t.w * t.h)
+        SELECT doc_id,
+               CAST(sample_ms AS BIGINT) AS sample_ms,
+               CAST(f AS INTEGER) AS frame_idx,
+               CAST(w AS INTEGER) AS width,
+               CAST(h AS INTEGER) AS height,
+               CAST(SUM(p) AS BIGINT) AS px_sum,
+               CAST(MIN(p) AS INTEGER) AS px_min,
+               CAST(MAX(p) AS INTEGER) AS px_max
+        FROM samples
+        GROUP BY doc_id, sample_ms, f, w, h
+        ORDER BY doc_id, sample_ms
     """,
 }

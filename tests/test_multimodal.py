@@ -186,6 +186,69 @@ def test_video_sampler_skips_undecodable_frames(spark):
     assert out[0].px_sum == sum(range(6))
 
 
+def test_timed_video_header_roundtrip():
+    """VID1 carries fps_milli; VID0 stays headerless; both index walks
+    agree on frame offsets."""
+    frames = [M.png_encode(bytes(range(6)), 3, 2, 1) for _ in range(3)]
+    v0, v1 = M.pack_video(frames), M.pack_video(frames, fps_milli=1500)
+    assert M._video_header(v0) == (None, 3, 8)
+    assert M._video_header(v1) == (1500, 3, 12)
+    assert ([ln for _, _, ln in M._frame_offsets(v0)]
+            == [ln for _, _, ln in M._frame_offsets(v1)])
+    with pytest.raises(ValueError, match="fps_milli"):
+        M.pack_video(frames, fps_milli=0)
+
+
+def test_time_sample_indices_arithmetic():
+    """The instant→frame map is floor(t_ms*fps_milli/1e6), so 0.5 fps
+    at 7 s stride hits frames 0,3,7,10… and a stride shorter than one
+    frame duration repeats the frame across instants."""
+    assert M._time_sample_indices(12, 500, 7000) == [
+        (0, 0), (7000, 3), (14000, 7), (21000, 10)]
+    # 1 fps sampled every 400 ms: frames repeat until the next second
+    assert M._time_sample_indices(2, 1000, 400) == [
+        (0, 0), (400, 0), (800, 0), (1200, 1), (1600, 1)]
+    assert M._time_sample_indices(0, 1000, 400) == []
+
+
+def test_timed_video_sampler_skips_unsampled_and_decodes_once(spark):
+    """Time-based sampling must never decode unsampled frames (garbage
+    off-sample frames are fine) and must emit one row per sample
+    INSTANT, repeating a slow-fps frame's stats rather than re-decoding
+    it."""
+    good = M.png_encode(bytes(range(6)), 3, 2, 1)
+    # 0.5 fps, sampled every 7 s → frames 0, 3 sampled (of 5); others garbage
+    frames = [good if idx in (0, 3) else b"junk" for idx in range(5)]
+    df = spark.createDataFrame(
+        [(1, M.pack_video(frames, fps_milli=500))], "vid long, blob binary")
+    out = M.sample_video_frames_by_time(df, "vid", every_ms=7000).collect()
+    assert [(r.sample_ms, r.frame_idx) for r in out] == [(0, 0), (7000, 3)]
+    # stride below frame duration: same frame repeats per instant
+    df2 = spark.createDataFrame(
+        [(2, M.pack_video([good, good], fps_milli=1000))],
+        "vid long, blob binary")
+    out2 = M.sample_video_frames_by_time(df2, "vid", every_ms=400).collect()
+    assert [(r.sample_ms, r.frame_idx) for r in out2] == [
+        (0, 0), (400, 0), (800, 0), (1200, 1), (1600, 1)]
+    assert all(r.px_sum == sum(range(6)) for r in out2)
+
+
+def test_timed_sampler_rejects_untimed_container(spark):
+    """An untimed VID0 blob cannot be time-sampled: default fails, and
+    skip_invalid drops the container (ST11 accounting path)."""
+    good = M.png_encode(bytes(range(6)), 3, 2, 1)
+    timed = M.pack_video([good], fps_milli=1000)
+    df = spark.createDataFrame(
+        [(1, M.pack_video([good])), (2, timed)], "vid long, blob binary")
+    with pytest.raises(Exception, match="VID1|timed"):
+        M.sample_video_frames_by_time(df, "vid", every_ms=500).collect()
+    out = M.sample_video_frames_by_time(
+        df, "vid", every_ms=500, skip_invalid=True).collect()
+    # the VID0 row drops; the timed row keeps both its instants (1 fps
+    # every 500 ms → frame 0 at t=0 and t=500)
+    assert [(r.id, r.sample_ms) for r in out] == [(2, 0), (2, 500)]
+
+
 def test_decode_image_skip_invalid(spark):
     """Poison-pill mode: undecodable blobs drop (accounted as
     n_in - n_out by the caller, the ST11 contract); default fails."""
