@@ -197,31 +197,43 @@ def _unfilter(raw: bytes, offset: int, width: int, height: int,
     """Reverse scanline filtering (spec §9) for a (sub-)image of
     ``width``×``height`` pixels at ``bpp`` bytes per pixel, starting at
     ``offset`` in the inflated stream. Returns (samples, next_offset)."""
+    import numpy as np
+
     stride = width * bpp
     need = (stride + 1) * height
     if offset + need > len(raw):
         raise ValueError("scanline buffer size mismatch")
     out = bytearray(stride * height)
-    prev = bytes(stride)
+    prev = bytearray(stride)
     for y in range(height):
         base = offset + y * (stride + 1)
         ft = raw[base]
         line = raw[base + 1:base + 1 + stride]
-        rec = bytearray(stride)
+        # Filters 0-2 have no cross-byte sequential dependency a numpy
+        # op can't express: None copies, Up is one uint8 add (wrapping
+        # = the spec's mod 256), Sub is a per-channel running sum
+        # (cumsum mod 256). Average/Paeth stay per-byte — each byte
+        # needs the RECONSTRUCTED left neighbor through a nonlinear
+        # floor/predictor, a true scan dependency.
         if ft == 0:                                     # None
-            rec[:] = line
+            rec = bytearray(line)
         elif ft == 1:                                   # Sub
-            for x in range(stride):
-                rec[x] = (line[x] + (rec[x - bpp] if x >= bpp
-                                     else 0)) & 0xFF
+            arr = np.frombuffer(line, np.uint8).astype(np.int64)
+            rec_np = np.empty(stride, np.uint8)
+            for c in range(bpp):
+                rec_np[c::bpp] = np.cumsum(arr[c::bpp]) & 0xFF
+            rec = bytearray(rec_np.tobytes())
         elif ft == 2:                                   # Up
-            for x in range(stride):
-                rec[x] = (line[x] + prev[x]) & 0xFF
+            rec = bytearray((np.frombuffer(line, np.uint8)
+                             + np.frombuffer(bytes(prev), np.uint8))
+                            .tobytes())
         elif ft == 3:                                   # Average
+            rec = bytearray(stride)
             for x in range(stride):
                 rec[x] = (line[x] + ((rec[x - bpp] if x >= bpp
                                       else 0) + prev[x]) // 2) & 0xFF
         elif ft == 4:                                   # Paeth
+            rec = bytearray(stride)
             for x in range(stride):
                 rec[x] = (line[x] + _paeth(
                     rec[x - bpp] if x >= bpp else 0, prev[x],
@@ -229,7 +241,7 @@ def _unfilter(raw: bytes, offset: int, width: int, height: int,
         else:
             raise ValueError(f"unknown filter type {ft}")
         out[y * stride:(y + 1) * stride] = rec
-        prev = bytes(rec)
+        prev = rec
     return bytes(out), offset + need
 
 

@@ -156,8 +156,11 @@ class MinHashStore:
         appends surviving signatures to the store. The verdict is
         materialized (the store append is a side effect, so laziness
         would double-run the batch)."""
+        # cache() with no forcing count: the verdict's localCheckpoint
+        # job is the first action and populates the cache as it runs,
+        # so signing costs zero extra jobs — the append below then
+        # reads signatures from cache. One fewer Spark job per batch.
         sigs = self.signatures(docs, id_col, text_col).cache()
-        sigs.count()
         best = (self._matches(sigs)
                 .groupBy("_id")
                 .agg(F.max_by("matched_id", "est_jac").alias("matched_id"),
