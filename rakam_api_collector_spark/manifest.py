@@ -173,15 +173,41 @@ class ManifestedTable:
             df = df.unionByName(d, allowMissingColumns=True)
         return df
 
-    def read(self, spark: SparkSession) -> DataFrame:
-        """Union of the current version's batches — uncommitted or
+    def read(self, spark: SparkSession,
+             version: int | None = None) -> DataFrame:
+        """Union of a committed version's batches — uncommitted or
         orphaned batch directories are invisible, the Raptor-transaction
-        reader guarantee. Raises if nothing is committed."""
-        manifests = self.committed()
+        reader guarantee. ``version`` time-travels to an older snapshot
+        (files survive until gc() drops the version from retention, so
+        a pinned historical read stays consistent — the Delta/Iceberg
+        ``versionAsOf`` semantics). Raises if nothing is committed or
+        the requested version is unknown/pruned."""
+        if version is None:
+            version = self.current_version()
+        elif version not in self._version_numbers():
+            raise FileNotFoundError(
+                f"version {version} not committed (or gc-pruned) "
+                f"under {self.table_dir}")
+        manifests = self._read_version(version)["batches"]
         if not manifests:
             raise FileNotFoundError(
                 f"no committed batches under {self.table_dir}")
         return self._read_batches(spark, manifests)
+
+    def history(self) -> list[dict]:
+        """Commit log, oldest first: (version, parent, committed_at,
+        n_batches, rows) per retained version — the audit surface the
+        reference keeps in its MySQL shard/table-version tables."""
+        out = []
+        for n in self._version_numbers():
+            v = self._read_version(n)
+            out.append({"version": v["version"],
+                        "parent": v.get("parent"),
+                        "committed_at": v.get("committed_at"),
+                        "n_batches": len(v["batches"]),
+                        "rows": sum(b.get("rows", 0)
+                                    for b in v["batches"])})
+        return out
 
     # -- maintenance --------------------------------------------------------
 

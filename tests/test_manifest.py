@@ -219,3 +219,35 @@ def test_manifest_orc_format(spark, tmp_path):
     assert sorted(r.id for r in t.read(spark).collect()) == [1, 2]
     fmts = {m["batch"]: m["format"] for m in t.committed()}
     assert fmts == {"p1": "parquet", "o1": "orc"}
+
+
+def test_time_travel_and_history(spark, tmp_path):
+    """read(version=N) pins a historical snapshot (versionAsOf
+    semantics): a pre-compaction version still reads its original
+    batches while they remain in retention; history() is the audit log
+    (version, parent, batch count, rows); pruned/unknown versions
+    raise."""
+    t = ManifestedTable(str(tmp_path), "proj", "events")
+    t.write(_df(spark, [1]), batch_id="b1")
+    t.write(_df(spark, [2, 3]), batch_id="b2")
+    # v1 = {b1}, v2 = {b1,b2}
+    assert sorted(r.id for r in t.read(spark, version=1).collect()) == [1]
+    assert sorted(r.id for r in t.read(spark).collect()) == [1, 2, 3]
+    cid = t.compact(spark)
+    # v3 = {compact}; v2 still reads the ORIGINAL batches
+    assert sorted(r.id for r in t.read(spark, version=2).collect()) == [1, 2, 3]
+    hist = t.history()
+    assert [h["version"] for h in hist] == [1, 2, 3]
+    assert [h["parent"] for h in hist] == [0, 1, 2]
+    assert [h["n_batches"] for h in hist] == [1, 2, 1]
+    assert [h["rows"] for h in hist] == [1, 3, 3]
+    with pytest.raises(FileNotFoundError, match="version 9"):
+        t.read(spark, version=9)
+    # gc to the current version only: v1/v2 prune, their dirs go, and a
+    # time-travel read of a pruned version now fails fast
+    t.gc(keep_versions=1, grace_seconds=0)
+    assert [h["version"] for h in t.history()] == [3]
+    with pytest.raises(FileNotFoundError, match="version 2"):
+        t.read(spark, version=2)
+    assert sorted(r.id for r in t.read(spark).collect()) == [1, 2, 3]
+    assert t.committed()[0]["batch"] == cid
