@@ -53,6 +53,75 @@ class CommitConflict(RuntimeError):
     """Raised when the optimistic-concurrency retry budget is exhausted."""
 
 
+def _json_stat(v):
+    """Footer statistic → JSON-storable value (numbers kept, datetimes
+    and other rich types stringified, bytes dropped)."""
+    if isinstance(v, bool) or v is None:
+        return None
+    if isinstance(v, (int, float, str)):
+        return v
+    if isinstance(v, bytes):
+        return None
+    return str(v)
+
+
+def _footer_stats(path: str, fmt: str,
+                  max_cols: int = 32) -> dict | None:
+    """Batch-level zone map from parquet FOOTERS only (no data pages
+    read): {col: [min, max]} across every row group of every file the
+    batch wrote. The reference's Raptor registry stores the same
+    per-shard min/max rows in MySQL for shard pruning
+    (RaptorDatabaseHandler.java — K1's per-shard stats); here they ride
+    the manifest entry so read() can skip whole batch directories.
+    ORC batches return None (never pruned, always read)."""
+    if fmt != "parquet":
+        return None
+    import pyarrow.parquet as pq
+
+    mins: dict = {}
+    maxs: dict = {}
+    for root, _, files in os.walk(path):
+        for fn in files:
+            if not fn.endswith(".parquet"):
+                continue
+            md = pq.ParquetFile(os.path.join(root, fn)).metadata
+            for rg in range(md.num_row_groups):
+                grp = md.row_group(rg)
+                for ci in range(grp.num_columns):
+                    col = grp.column(ci)
+                    st = col.statistics
+                    if st is None or not st.has_min_max:
+                        continue
+                    lo, hi = _json_stat(st.min), _json_stat(st.max)
+                    if lo is None or hi is None:
+                        continue
+                    name = col.path_in_schema
+                    if name not in mins and len(mins) >= max_cols:
+                        continue
+                    mins[name] = lo if name not in mins \
+                        else min(mins[name], lo)
+                    maxs[name] = hi if name not in maxs \
+                        else max(maxs[name], hi)
+    return {c: [mins[c], maxs[c]] for c in mins} or None
+
+
+def _batch_overlaps(manifest: dict, prune: dict) -> bool:
+    """True unless some pruned column's stored [min, max] is disjoint
+    from the requested (lo, hi) interval (None bound = unbounded). A
+    batch with no stats for the column is kept — pruning is only ever
+    an optimization, never a correctness filter."""
+    stats = manifest.get("stats") or {}
+    for col, (lo, hi) in prune.items():
+        if col not in stats:
+            continue
+        bmin, bmax = stats[col]
+        if lo is not None and bmax < lo:
+            return False
+        if hi is not None and bmin > hi:
+            return False
+    return True
+
+
 class ManifestedTable:
     """Atomically-committed parquet/ORC table at ``base/project/collection``."""
 
@@ -144,6 +213,9 @@ class ManifestedTable:
         # scan), not by re-running the batch's whole lineage
         rows = df.sparkSession.read.format(fmt).load(path).count()
         entry = {"batch": bid, "dir": pdir, "rows": rows, "format": fmt}
+        stats = _footer_stats(path, fmt)
+        if stats:
+            entry["stats"] = stats
 
         def mutate(live):
             return [b for b in live if b["batch"] != bid] + [entry]
@@ -174,14 +246,24 @@ class ManifestedTable:
         return df
 
     def read(self, spark: SparkSession,
-             version: int | None = None) -> DataFrame:
+             version: int | None = None,
+             prune: dict | None = None) -> DataFrame:
         """Union of a committed version's batches — uncommitted or
         orphaned batch directories are invisible, the Raptor-transaction
         reader guarantee. ``version`` time-travels to an older snapshot
         (files survive until gc() drops the version from retention, so
         a pinned historical read stays consistent — the Delta/Iceberg
         ``versionAsOf`` semantics). Raises if nothing is committed or
-        the requested version is unknown/pruned."""
+        the requested version is unknown/pruned.
+
+        ``prune={col: (lo, hi)}`` skips whole batch directories whose
+        manifest zone map ([min, max] from write-time parquet footers)
+        is disjoint from the interval (None bound = unbounded) — the
+        Raptor per-shard min/max shard-pruning analog, one metadata
+        lookup instead of opening any pruned batch's files. Pruning is
+        an OPTIMIZATION on the batch list, not a row filter: callers
+        still apply their predicate; batches without stats always
+        read."""
         if version is None:
             version = self.current_version()
         elif version not in self._version_numbers():
@@ -192,6 +274,13 @@ class ManifestedTable:
         if not manifests:
             raise FileNotFoundError(
                 f"no committed batches under {self.table_dir}")
+        if prune:
+            kept = [m for m in manifests if _batch_overlaps(m, prune)]
+            if not kept:
+                # every batch pruned: preserve the schema, scan nothing
+                return (self._read_batches(spark, manifests[:1])
+                        .filter(F.lit(False)))
+            manifests = kept
         return self._read_batches(spark, manifests)
 
     def history(self) -> list[dict]:
@@ -226,6 +315,9 @@ class ManifestedTable:
         df.write.mode("overwrite").format(fmt).save(path)
         rows = spark.read.format(fmt).load(path).count()
         entry = {"batch": bid, "dir": bid, "rows": rows, "format": fmt}
+        stats = _footer_stats(path, fmt)
+        if stats:
+            entry["stats"] = stats
         consumed = {b["batch"] for b in inputs}
 
         def mutate(live):

@@ -251,3 +251,46 @@ def test_time_travel_and_history(spark, tmp_path):
         t.read(spark, version=2)
     assert sorted(r.id for r in t.read(spark).collect()) == [1, 2, 3]
     assert t.committed()[0]["batch"] == cid
+
+
+def test_zone_map_pruning_skips_batch_dirs(spark, tmp_path):
+    """write() records per-batch column min/max from parquet footers
+    (the Raptor per-shard stats analog); read(prune=) drops whole batch
+    directories whose zone map is disjoint from the interval — pinned
+    by inputFiles(), so pruned batches' files are never even listed
+    into the scan. ORC batches carry no stats and always survive."""
+    t = ManifestedTable(str(tmp_path), "proj", "events")
+    t.write(_df(spark, [1, 5]), batch_id="lo")
+    t.write(_df(spark, [100, 140]), batch_id="hi")
+    t.write(_df(spark, [1000]), batch_id="orc", fmt="orc")
+    stats = {m["batch"]: m.get("stats") for m in t.committed()}
+    assert stats["lo"]["id"] == [1, 5]
+    assert stats["hi"]["id"] == [100, 140]
+    assert stats["orc"] is None
+
+    pruned = t.read(spark, prune={"id": (90, None)})
+    assert sorted(r.id for r in pruned.collect()) == [100, 140, 1000]
+    files = pruned.inputFiles()
+    assert not any("/lo--" in f for f in files)   # zone-disjoint: skipped
+    assert any("/hi--" in f for f in files)
+    assert any("/orc--" in f for f in files)      # no stats: never pruned
+
+    # pruning is metadata-only, NOT a row filter: the stats-less ORC
+    # batch survives any interval, so its rows still come back
+    leftover = t.read(spark, prune={"id": (5000, 9000)})
+    assert sorted(r.id for r in leftover.collect()) == [1000]
+
+    # all-parquet table, every batch disjoint → empty result with the
+    # schema preserved and nothing scanned
+    t2 = ManifestedTable(str(tmp_path), "proj", "pq_only")
+    t2.write(_df(spark, [1]), batch_id="a")
+    t2.write(_df(spark, [2]), batch_id="b")
+    none = t2.read(spark, prune={"id": (5000, 9000)})
+    assert none.columns == ["id", "_time", "_day"]
+    assert none.count() == 0
+
+    # compaction folds the union back into one batch whose stats span it
+    t.compact(spark)
+    merged = t.committed()
+    assert len(merged) == 1
+    assert merged[0]["stats"]["id"] == [1, 1000]
