@@ -387,6 +387,26 @@ def build_ivf_index(corpus: DataFrame, id_col: str, vec_col: str,
     os.replace(tmp, f"{path}/_centroids.json")
 
 
+def append_to_ivf_index(corpus: DataFrame, id_col: str, vec_col: str,
+                        path: str) -> None:
+    """Incremental index maintenance: assign NEW vectors to cells with
+    the index's PERSISTED centroids and append them partition-wise —
+    the ingest path never re-reads or rewrites existing index files
+    (the sigstore incremental rule applied to ANN). Cell membership
+    stays exactly what build-time assignment would give, so searches
+    over the grown index keep the nprobe/n_cells read fraction.
+    Centroid drift is the operator's responsibility: retrain + rebuild
+    when the corpus distribution moves (the IVF-flat convention)."""
+    import json
+
+    with open(f"{path}/_centroids.json") as f:
+        cents = np.asarray(json.load(f), dtype=np.float64)
+    assign = _cells_udf(cents, 1)
+    (_unit(corpus, id_col, "neighbor", vec_col, "_cv")
+     .withColumn("cell", assign(F.col("_cv")))
+     .write.mode("append").partitionBy("cell").parquet(path))
+
+
 def ivf_index_topk(spark, path: str, queries: DataFrame, id_col: str,
                    vec_col: str, k: int = 10, nprobe: int = 4,
                    exclude_self: bool = True) -> DataFrame:

@@ -380,3 +380,46 @@ def test_ivf_index_partition_pruning(spark, tmp_path):
     plan = got_df._jdf.queryExecution().executedPlan().toString()
     m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
     assert m and "INSET" in m.group(1)       # physical cell pruning
+
+
+def test_ivf_index_incremental_append(spark, tmp_path):
+    """append_to_ivf_index grows the index with the persisted centroids
+    and never rewrites existing files: searching the grown index equals
+    in-memory ivf_topk over the UNION corpus with the original (first
+    16 by id) centroids, and the build-time files survive untouched."""
+    import os
+
+    emb = load_table(spark, SF, "embeddings")
+    first = emb.filter(F.col("vec_id") < 50)
+    rest = emb.filter(F.col("vec_id") >= 50)
+    path = str(tmp_path / "ivf")
+    S.build_ivf_index(first, "vec_id", "embedding", path, n_cells=16)
+
+    def _files():
+        out = {}
+        for root, _, fns in os.walk(path):
+            for fn in fns:
+                if fn.endswith(".parquet"):
+                    full = os.path.join(root, fn)
+                    out[full] = os.path.getmtime(full)
+        return out
+
+    before = _files()
+    S.append_to_ivf_index(rest, "vec_id", "embedding", path)
+    after = _files()
+    assert set(before) <= set(after) and len(after) > len(before)
+    assert all(after[f] == before[f] for f in before)   # untouched
+
+    q = emb.filter(F.col("vec_id") < 5)
+    got = {(r.q, r.neighbor, r.rnk) for r in
+           S.ivf_index_topk(spark, path, q, "vec_id", "embedding",
+                            k=10, nprobe=4).collect()}
+    cents_rows = (first.filter(F.col("vec_id") < 16)
+                  .select("vec_id", "embedding").collect())
+    import numpy as np
+    cents = np.asarray([[float(x) for x in r.embedding] for r in
+                        sorted(cents_rows, key=lambda r: r.vec_id)])
+    mem = {(r.q, r.neighbor, r.rnk) for r in
+           S.ivf_topk(emb, q, "vec_id", "embedding", k=10,
+                      n_cells=16, nprobe=4, centroids=cents).collect()}
+    assert got == mem and len(got) == 50
