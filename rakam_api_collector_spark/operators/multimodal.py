@@ -497,9 +497,10 @@ def frame_sample_plan(n_frames: Column, every: int = 30) -> Column:
 
 
 # --- WAV codec (public spec: RIFF/WAVE, Microsoft/IBM 1991) ------------------
-# 16-bit little-endian PCM only (format tag 1); other encodings
-# (float32, ADPCM, ...) raise ValueError — at deployment a libav-backed
-# decoder replaces wav_decode in the same mapInPandas stage.
+# Integer PCM (format tag 1, 8/16/24-bit) plus ITU-T G.711 companded
+# audio (tags 6/7, A-law/mu-law); other encodings (float32, ADPCM, ...)
+# raise ValueError — at deployment a libav-backed decoder replaces
+# wav_decode in the same mapInPandas stage.
 
 
 def wav_encode(samples: bytes, sample_rate: int, channels: int) -> bytes:
@@ -516,6 +517,80 @@ def wav_encode(samples: bytes, sample_rate: int, channels: int) -> bytes:
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
+# --- ITU-T G.711 companding (μ-law / A-law), clean-room from the
+# public recommendation's segment layout: 8-bit code = sign | 3-bit
+# segment | 4-bit mantissa; μ-law is biased (+0x84) and bit-inverted,
+# A-law is even-bit-inverted (XOR 0x55) with sign-set = positive.
+
+def _g711_decode_tables():
+    import numpy as np
+
+    u = np.arange(256, dtype=np.int32) ^ 0xFF
+    t = (((u & 0x0F) << 3) + 0x84) << ((u & 0x70) >> 4)
+    ulaw = np.where(u & 0x80, 0x84 - t, t - 0x84).astype(np.int16)
+
+    a = np.arange(256, dtype=np.int32) ^ 0x55
+    seg = (a & 0x70) >> 4
+    t = (a & 0x0F) << 4
+    mag = np.where(seg == 0, t + 8,
+                   np.where(seg == 1, t + 0x108,
+                            (t + 0x108) << np.maximum(seg - 1, 0)))
+    alaw = np.where(a & 0x80, mag, -mag).astype(np.int16)
+    return ulaw, alaw
+
+
+_ULAW_TABLE, _ALAW_TABLE = _g711_decode_tables()
+
+
+def ulaw_encode(samples: "bytes | bytearray") -> bytes:
+    """int16-LE PCM → μ-law bytes (vectorized segment search)."""
+    import numpy as np
+
+    x = np.frombuffer(samples, dtype="<i2").astype(np.int32)
+    sign = np.where(x < 0, 0x80, 0)
+    mag = np.minimum(np.abs(x), 32635) + 0x84
+    exp = np.clip(np.floor(np.log2(mag)).astype(np.int32) - 7, 0, 7)
+    mant = (mag >> (exp + 3)) & 0x0F
+    return ((~(sign | (exp << 4) | mant)) & 0xFF) \
+        .astype(np.uint8).tobytes()
+
+
+def alaw_encode(samples: "bytes | bytearray") -> bytes:
+    """int16-LE PCM → A-law bytes (13-bit input per the spec)."""
+    import numpy as np
+
+    x = np.frombuffer(samples, dtype="<i2").astype(np.int32) >> 3
+    mask = np.where(x >= 0, 0xD5, 0x55)
+    mag = np.where(x >= 0, x, -x - 1)
+    # segment = index of first threshold ≥ mag (8 = clip)
+    thresholds = np.array([0x1F, 0x3F, 0x7F, 0xFF, 0x1FF, 0x3FF,
+                           0x7FF, 0xFFF], dtype=np.int32)
+    seg = np.searchsorted(thresholds, mag, side="left").astype(np.int32)
+    clipped = seg >= 8
+    seg = np.minimum(seg, 7)
+    aval = (seg << 4) | ((mag >> np.where(seg < 2, 1, seg)) & 0x0F)
+    return (np.where(clipped, 0x7F, aval) ^ mask) \
+        .astype(np.uint8).tobytes()
+
+
+def wav_encode_g711(encoded: bytes, sample_rate: int, channels: int,
+                    law: str) -> bytes:
+    """RIFF/WAVE writer for G.711 payloads: ``encoded`` is the
+    interleaved μ-law ('ulaw') or A-law ('alaw') byte stream (one byte
+    per sample), written with the matching format tag (7 / 6) at 8
+    bits per sample."""
+    fmt_tag = {"ulaw": 7, "alaw": 6}[law]
+    if len(encoded) % channels:
+        raise ValueError("sample buffer not a whole number of frames")
+    fmt = struct.pack("<HHIIHH", fmt_tag, channels, sample_rate,
+                      sample_rate * channels, channels, 8)
+    body = (b"WAVE"
+            + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(encoded)) + encoded
+            + (b"\x00" if len(encoded) & 1 else b""))
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
 def wav_decode(data: bytes) -> tuple[int, int, bytes]:
     """Decode RIFF/WAVE → (sample_rate, channels, int16-LE PCM bytes).
 
@@ -525,12 +600,13 @@ def wav_decode(data: bytes) -> tuple[int, int, bytes]:
     passes through; 8-bit unsigned maps to ``(v - 128) << 8`` and
     24-bit keeps its top 16 bits — both the standard depth reductions,
     so every caller sees one uniform int16 sample stream (the same
-    normalize-at-the-edge rule as the PNG 16→8 path). Float/ADPCM
-    formats raise."""
+    normalize-at-the-edge rule as the PNG 16→8 path). Format tags 6/7
+    (ITU-T G.711 A-law/μ-law at 8 bits) expand through the companding
+    tables to the same int16 stream. Float/ADPCM formats raise."""
     if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE file")
     pos, rate, channels, pcm = 12, None, None, None
-    bits = None
+    bits = fmt_tag = None
     while pos + 8 <= len(data):
         tag = data[pos:pos + 4]
         (length,) = struct.unpack("<I", data[pos + 4:pos + 8])
@@ -549,9 +625,13 @@ def wav_decode(data: bytes) -> tuple[int, int, bytes]:
                 raise ValueError(f"fmt chunk too short: {len(body)} bytes")
             fmt_tag, channels, rate, _, _, bits = struct.unpack(
                 "<HHIIHH", body[:16])
-            if fmt_tag != 1:
+            if fmt_tag not in (1, 6, 7):
                 raise ValueError(f"unsupported WAV format tag {fmt_tag}")
-            if bits not in (8, 16, 24):
+            if fmt_tag in (6, 7):
+                if bits != 8:
+                    raise ValueError(
+                        f"G.711 requires 8 bits/sample, got {bits}")
+            elif bits not in (8, 16, 24):
                 raise ValueError(f"unsupported bit depth {bits}")
             if channels == 0:
                 # invalid per spec; also guards the frame-size modulo
@@ -565,7 +645,12 @@ def wav_decode(data: bytes) -> tuple[int, int, bytes]:
     bytes_per = bits // 8
     if len(pcm) % (bytes_per * channels):
         raise ValueError("data chunk not a whole number of frames")
-    if bits == 8:
+    if fmt_tag in (6, 7):
+        import numpy as np
+        table = _ALAW_TABLE if fmt_tag == 6 else _ULAW_TABLE
+        pcm = table[np.frombuffer(pcm, dtype=np.uint8)] \
+            .astype("<i2").tobytes()
+    elif bits == 8:
         import numpy as np
         u8 = np.frombuffer(pcm, dtype=np.uint8).astype(np.int16)
         pcm = ((u8 - 128) << 8).astype("<i2").tobytes()

@@ -630,3 +630,76 @@ def test_jpeg_422_decode(spark):
         err = np.abs(np.frombuffer(px, np.uint8).astype(int)
                      - np.frombuffer(base, np.uint8).astype(int))
         assert err.max() <= 1, (W, H, err.max())
+
+
+def test_g711_tables_match_spec_landmarks():
+    """Decode tables pin the public G.711 landmarks: μ-law spans
+    ±32124 with both zero codes (0xFF = +0, 0x7F = -0) decoding to 0,
+    A-law spans ±32256 with minimum magnitude 8 (no true zero), and
+    both tables are monotone within each sign half."""
+    u, a = M._ULAW_TABLE, M._ALAW_TABLE
+    assert (int(u.min()), int(u.max())) == (-32124, 32124)
+    assert u[0xFF] == 0 and u[0x7F] == 0
+    assert (int(a.min()), int(a.max())) == (-32256, 32256)
+    assert int(np.abs(a).min()) == 8
+    # sign-half monotonicity: decoded magnitude grows with the code's
+    # (segment, mantissa) ordinal
+    for table, xor in ((u, 0xFF), (a, 0x55)):
+        pos = sorted(int(table[c]) for c in range(256)
+                     if (c ^ xor) & 0x80 == (0x80 if table is a else 0))
+        assert pos == sorted(set(pos)) or len(set(pos)) >= 127
+
+
+def test_g711_code_roundtrip_identity():
+    """encode(decode(code)) == code for every A-law code and every
+    μ-law code except 0x7F (-0, whose canonical re-encoding is the +0
+    code 0xFF) — the involution property that pins encoder and decoder
+    against each other."""
+    codes = np.arange(256, dtype=np.uint8)
+    ru = np.frombuffer(M.ulaw_encode(
+        M._ULAW_TABLE[codes].astype("<i2").tobytes()), np.uint8)
+    ra = np.frombuffer(M.alaw_encode(
+        M._ALAW_TABLE[codes].astype("<i2").tobytes()), np.uint8)
+    assert all(ra[c] == c for c in range(256))
+    assert all(ru[c] == c for c in range(256) if c != 0x7F)
+    assert ru[0x7F] == 0xFF
+
+
+def test_wav_decode_g711_formats(spark):
+    """WAV files with format tags 7 (μ-law) and 6 (A-law) decode to the
+    expanded int16 stream; G.711 at a non-8-bit depth raises; the
+    quantization error of a full encode→wav→decode trip is bounded by
+    the largest segment step."""
+    s = np.linspace(-30000, 30000, 101).astype("<i2").tobytes()
+    for law, table in (("ulaw", M._ULAW_TABLE), ("alaw", M._ALAW_TABLE)):
+        enc = M.ulaw_encode(s) if law == "ulaw" else M.alaw_encode(s)
+        wav = M.wav_encode_g711(enc, 8000, 1, law)
+        rate, ch, pcm = M.wav_decode(wav)
+        assert (rate, ch) == (8000, 1)
+        got = np.frombuffer(pcm, "<i2")
+        want = table[np.frombuffer(enc, np.uint8)]
+        assert np.array_equal(got, want)
+        err = np.abs(got.astype(int)
+                     - np.frombuffer(s, "<i2").astype(int))
+        assert err.max() <= 1024            # top-segment step bound
+    # non-8-bit G.711 is invalid
+    body = (b"WAVE" + b"fmt "
+            + struct.pack("<I", 16)
+            + struct.pack("<HHIIHH", 7, 1, 8000, 16000, 2, 16)
+            + b"data" + struct.pack("<I", 0))
+    with pytest.raises(ValueError, match="8 bits"):
+        M.wav_decode(b"RIFF" + struct.pack("<I", len(body)) + body)
+
+
+def test_decode_audio_g711_through_spark(spark):
+    """decode_audio consumes a μ-law clip like any PCM clip — the
+    expansion happens inside the same mapInPandas stage, stats are over
+    the expanded int16 stream."""
+    s = np.int16([0, 1000, -1000, 30000]).tobytes()
+    wav = M.wav_encode_g711(M.ulaw_encode(s), 8000, 1, "ulaw")
+    df = spark.createDataFrame([(1, wav)], "clip long, blob binary")
+    out = M.decode_audio(df, "clip").collect()[0]
+    want = M._ULAW_TABLE[np.frombuffer(M.ulaw_encode(s), np.uint8)]
+    assert out.n_frames == 4
+    assert out.amp_sum == int(want.astype(int).sum())
+    assert out.amp_min == int(want.min()) and out.amp_max == int(want.max())
