@@ -129,3 +129,41 @@ def test_jpeg_smooth_roundtrip_bounded(w, h, seed, sub):
     err = np.abs(np.frombuffer(got[3], np.uint8).astype(int)
                  - np.frombuffer(px, np.uint8).astype(int))
     assert err.max() <= 6, (w, h, seed, sub, err.max())
+
+
+@settings(max_examples=80, deadline=None)
+@given(
+    samples=st.lists(st.integers(-32768, 32767), min_size=2,
+                     max_size=300),
+    law=st.sampled_from(["ulaw", "alaw"]),
+    ch=st.integers(1, 2))
+def test_g711_wav_roundtrip_property(samples, law, ch):
+    """Any int16 stream encode→wav→decode trip: the decoded stream
+    equals the companding table's expansion of the code bytes exactly,
+    and the end-to-end quantization error is bounded by the top-segment
+    step (1024) plus A-law's >>3 input truncation — under clipping the
+    error is |x| - table_max."""
+    if len(samples) % ch:
+        samples = samples + [0]
+    src = np.asarray(samples, dtype="<i2")
+    enc = (M.ulaw_encode if law == "ulaw" else M.alaw_encode)(src.tobytes())
+    rate, c2, pcm = M.wav_decode(M.wav_encode_g711(enc, 8000, ch, law))
+    assert (rate, c2) == (8000, ch)
+    table = M._ULAW_TABLE if law == "ulaw" else M._ALAW_TABLE
+    got = np.frombuffer(pcm, "<i2")
+    assert np.array_equal(got, table[np.frombuffer(enc, np.uint8)])
+    lim = int(np.abs(table).max())           # clip point of the law
+    err = np.abs(got.astype(int)
+                 - np.clip(src.astype(int), -lim, lim))
+    assert err.max() <= 1032
+    # decode→encode is idempotent on the code stream (A-law exactly;
+    # mu-law up to the -0 → +0 canonicalization)
+    re_enc = np.frombuffer(
+        (M.ulaw_encode if law == "ulaw" else M.alaw_encode)(pcm),
+        np.uint8)
+    first = np.frombuffer(enc, np.uint8)
+    if law == "alaw":
+        assert np.array_equal(re_enc, first)
+    else:
+        fixed = np.where(first == 0x7F, 0xFF, first)
+        assert np.array_equal(re_enc, fixed)
