@@ -53,16 +53,46 @@ class CommitConflict(RuntimeError):
     """Raised when the optimistic-concurrency retry budget is exhausted."""
 
 
-def _json_stat(v):
-    """Footer statistic → JSON-storable value (numbers kept, datetimes
-    and other rich types stringified, bytes dropped)."""
-    if isinstance(v, bool) or v is None:
+def _canon_stat(v):
+    """Canonicalize a footer statistic (or a caller's prune bound) to a
+    JSON-storable value whose PYTHON comparison order matches the
+    column's true order — the property zone-map pruning rides on.
+
+    - bool/None/bytes → None (no zone map for these)
+    - int/float → as-is (numeric order)
+    - str → as-is (both sides compare with the same str ordering)
+    - Decimal → float, WIDENED one ulp outward by the caller (numeric
+      order, never narrower than the true interval)
+    - datetime/date → ISO string with a space separator (fixed-width
+      date prefix ⇒ lexical order = chronological order, and str-vs-str
+      comparison on both sides)
+    Anything else → None (unknown ordering — safer to keep the batch
+    than to prune on a stringified type whose lexical order diverges
+    from its real order, e.g. Decimal('9') > Decimal('10') as strings).
+    """
+    import datetime as _dt
+    import decimal as _dec
+
+    if isinstance(v, bool) or v is None or isinstance(v, bytes):
         return None
     if isinstance(v, (int, float, str)):
         return v
-    if isinstance(v, bytes):
-        return None
-    return str(v)
+    if isinstance(v, _dec.Decimal):
+        return float(v)
+    if isinstance(v, (_dt.datetime, _dt.date)):
+        return v.isoformat(sep=" ") if isinstance(v, _dt.datetime) \
+            else v.isoformat()
+    return None
+
+
+def _widen(v, lo_side: bool):
+    """One-ulp outward widening for float-canonicalized stats, so a
+    lossy Decimal→float rounding can never shrink the true interval."""
+    import math
+
+    if isinstance(v, float):
+        return math.nextafter(v, -math.inf if lo_side else math.inf)
+    return v
 
 
 def _footer_stats(path: str, fmt: str,
@@ -73,51 +103,80 @@ def _footer_stats(path: str, fmt: str,
     per-shard min/max rows in MySQL for shard pruning
     (RaptorDatabaseHandler.java — K1's per-shard stats); here they ride
     the manifest entry so read() can skip whole batch directories.
-    ORC batches return None (never pruned, always read)."""
+    ORC batches return None (never pruned, always read).
+
+    A column qualifies only if EVERY row group of EVERY file carries
+    min/max for it — one stats-less chunk (all-null chunk, writer with
+    statistics disabled) means the aggregate would not cover the whole
+    batch, and pruning on partial coverage silently loses rows."""
     if fmt != "parquet":
         return None
     import pyarrow.parquet as pq
 
     mins: dict = {}
     maxs: dict = {}
+    chunks_seen: dict = {}
+    total_chunks = 0
     for root, _, files in os.walk(path):
         for fn in files:
             if not fn.endswith(".parquet"):
                 continue
             md = pq.ParquetFile(os.path.join(root, fn)).metadata
             for rg in range(md.num_row_groups):
+                total_chunks += 1
                 grp = md.row_group(rg)
                 for ci in range(grp.num_columns):
                     col = grp.column(ci)
-                    st = col.statistics
-                    if st is None or not st.has_min_max:
+                    try:
+                        st = col.statistics
+                        if st is None or not st.has_min_max:
+                            continue
+                        lo = _widen(_canon_stat(st.min), True)
+                        hi = _widen(_canon_stat(st.max), False)
+                    except Exception:
+                        # pyarrow can't extract stats for every
+                        # physical type (e.g. INT96 timestamps) —
+                        # such a chunk counts as stats-less, which
+                        # drops the column from coverage below
                         continue
-                    lo, hi = _json_stat(st.min), _json_stat(st.max)
                     if lo is None or hi is None:
                         continue
                     name = col.path_in_schema
                     if name not in mins and len(mins) >= max_cols:
                         continue
+                    chunks_seen[name] = chunks_seen.get(name, 0) + 1
                     mins[name] = lo if name not in mins \
                         else min(mins[name], lo)
                     maxs[name] = hi if name not in maxs \
                         else max(maxs[name], hi)
-    return {c: [mins[c], maxs[c]] for c in mins} or None
+    return {c: [mins[c], maxs[c]] for c in mins
+            if chunks_seen[c] == total_chunks} or None
 
 
 def _batch_overlaps(manifest: dict, prune: dict) -> bool:
     """True unless some pruned column's stored [min, max] is disjoint
     from the requested (lo, hi) interval (None bound = unbounded). A
     batch with no stats for the column is kept — pruning is only ever
-    an optimization, never a correctness filter."""
+    an optimization, never a correctness filter. Bounds pass through
+    the same canonicalization as write-time stats (datetime/date →
+    ISO string, Decimal → float), so callers prune timestamps with
+    datetime objects directly; a bound whose canonical type still
+    differs from the stored stat's type keeps the batch."""
     stats = manifest.get("stats") or {}
     for col, (lo, hi) in prune.items():
         if col not in stats:
             continue
         bmin, bmax = stats[col]
-        if lo is not None and bmax < lo:
+        lo, hi = _canon_stat(lo), _canon_stat(hi)
+        num = (int, float)
+
+        def _comparable(bound, stat):
+            return (isinstance(bound, num) and isinstance(stat, num)) \
+                or (isinstance(bound, str) and isinstance(stat, str))
+
+        if lo is not None and _comparable(lo, bmax) and bmax < lo:
             return False
-        if hi is not None and bmin > hi:
+        if hi is not None and _comparable(hi, bmin) and bmin > hi:
             return False
     return True
 
@@ -277,8 +336,10 @@ class ManifestedTable:
         if prune:
             kept = [m for m in manifests if _batch_overlaps(m, prune)]
             if not kept:
-                # every batch pruned: preserve the schema, scan nothing
-                return (self._read_batches(spark, manifests[:1])
+                # every batch pruned: keep the full union schema (later
+                # batches may carry evolved columns) behind an
+                # always-false filter — nothing is scanned
+                return (self._read_batches(spark, manifests)
                         .filter(F.lit(False)))
             manifests = kept
         return self._read_batches(spark, manifests)

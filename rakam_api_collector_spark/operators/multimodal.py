@@ -522,7 +522,14 @@ def wav_encode(samples: bytes, sample_rate: int, channels: int) -> bytes:
 # segment | 4-bit mantissa; μ-law is biased (+0x84) and bit-inverted,
 # A-law is even-bit-inverted (XOR 0x55) with sign-set = positive.
 
+from functools import lru_cache
+
+
+@lru_cache(maxsize=1)
 def _g711_decode_tables():
+    """(μ-law, A-law) int16 expansion tables, built lazily so importing
+    the module keeps the file's deferred-numpy convention (Column-only
+    helpers stay importable without numpy on the driver)."""
     import numpy as np
 
     u = np.arange(256, dtype=np.int32) ^ 0xFF
@@ -537,9 +544,6 @@ def _g711_decode_tables():
                             (t + 0x108) << np.maximum(seg - 1, 0)))
     alaw = np.where(a & 0x80, mag, -mag).astype(np.int16)
     return ulaw, alaw
-
-
-_ULAW_TABLE, _ALAW_TABLE = _g711_decode_tables()
 
 
 def ulaw_encode(samples: "bytes | bytearray") -> bytes:
@@ -647,7 +651,8 @@ def wav_decode(data: bytes) -> tuple[int, int, bytes]:
         raise ValueError("data chunk not a whole number of frames")
     if fmt_tag in (6, 7):
         import numpy as np
-        table = _ALAW_TABLE if fmt_tag == 6 else _ULAW_TABLE
+        ulaw_t, alaw_t = _g711_decode_tables()
+        table = alaw_t if fmt_tag == 6 else ulaw_t
         pcm = table[np.frombuffer(pcm, dtype=np.uint8)] \
             .astype("<i2").tobytes()
     elif bits == 8:
@@ -1077,8 +1082,10 @@ def synthesize_video(df: DataFrame, id_col: str, frames_col: str,
                     px = ((i * 31 + f * 13 + np.arange(w * h) * 7)
                           % 256).astype(np.uint8).tobytes()
                     frames.append(png_encode(px, w, h, 1))
+                # Arrow→pandas renders a null int as NaN (the column
+                # arrives float64), so null-check with isna, not `is None`
                 blob = pack_video(
-                    frames, None if fps is None else int(fps))
+                    frames, None if pd.isna(fps) else int(fps))
                 rows.append((i, blob))
             yield pd.DataFrame(rows, columns=["id", blob_col])
 

@@ -396,7 +396,13 @@ def append_to_ivf_index(corpus: DataFrame, id_col: str, vec_col: str,
     stays exactly what build-time assignment would give, so searches
     over the grown index keep the nprobe/n_cells read fraction.
     Centroid drift is the operator's responsibility: retrain + rebuild
-    when the corpus distribution moves (the IVF-flat convention)."""
+    when the corpus distribution moves (the IVF-flat convention).
+
+    Appends are at-least-once (plain ``mode("append")``): a retried
+    append lands the same vectors twice. ``ivf_index_topk`` collapses
+    duplicate (q, neighbor) pairs before ranking so retries degrade
+    storage, never result correctness; run periodic rebuilds (or an
+    exact-dedup pass on ids) to reclaim the space."""
     import json
 
     with open(f"{path}/_centroids.json") as f:
@@ -432,7 +438,13 @@ def ivf_index_topk(spark, path: str, queries: DataFrame, id_col: str,
               .filter(F.col("neighbor") != F.col("q") if exclude_self
                       else F.lit(True))
               .select("q", "neighbor",
-                      dot(F.col("_qv"), F.col("_cv")).alias("cos")))
+                      dot(F.col("_qv"), F.col("_cv")).alias("cos"))
+              # duplicate ids (an at-least-once append retry) score the
+              # identical cosine — collapse them so a duplicate cannot
+              # occupy two of the k result slots; same max-under-dedup
+              # rule as ann_lsh_topk, and the groupBy rides the shuffle
+              # the top-k window needs anyway
+              .groupBy("q", "neighbor").agg(F.max("cos").alias("cos")))
     w = Window.partitionBy("q").orderBy(F.desc("cos"), F.asc("neighbor"))
     return (scored.withColumn("rnk", F.row_number().over(w))
             .filter(F.col("rnk") <= k))

@@ -423,3 +423,29 @@ def test_ivf_index_incremental_append(spark, tmp_path):
            S.ivf_topk(emb, q, "vec_id", "embedding", k=10,
                       n_cells=16, nprobe=4, centroids=cents).collect()}
     assert got == mem and len(got) == 50
+
+
+def test_ivf_index_duplicate_append_does_not_corrupt_topk(spark, tmp_path):
+    """An at-least-once retry of append_to_ivf_index lands the same
+    vectors twice; the search must still return each neighbor in ONE
+    rank slot (duplicate pairs collapse before the top-k window), with
+    the same result as the un-duplicated index."""
+    emb = load_table(spark, SF, "embeddings")
+    first = emb.filter(F.col("vec_id") < 80)
+    rest = emb.filter(F.col("vec_id") >= 80)
+    path = str(tmp_path / "ivf")
+    S.build_ivf_index(first, "vec_id", "embedding", path, n_cells=16)
+    S.append_to_ivf_index(rest, "vec_id", "embedding", path)
+    q = emb.filter(F.col("vec_id") < 3)
+    clean = S.ivf_index_topk(spark, path, q, "vec_id", "embedding",
+                             k=10, nprobe=4).collect()
+    S.append_to_ivf_index(rest, "vec_id", "embedding", path)  # retry
+    dup = S.ivf_index_topk(spark, path, q, "vec_id", "embedding",
+                           k=10, nprobe=4).collect()
+    assert {(r.q, r.neighbor, r.rnk) for r in dup} \
+        == {(r.q, r.neighbor, r.rnk) for r in clean}
+    for rows in (clean, dup):
+        per_q = {}
+        for r in rows:
+            per_q.setdefault(r.q, []).append(r.neighbor)
+        assert all(len(v) == len(set(v)) == 10 for v in per_q.values())

@@ -294,3 +294,65 @@ def test_zone_map_pruning_skips_batch_dirs(spark, tmp_path):
     merged = t.committed()
     assert len(merged) == 1
     assert merged[0]["stats"]["id"] == [1, 1000]
+
+
+def test_zone_map_rich_types_and_partial_stats(spark, tmp_path):
+    """Review-hardening pins over Spark-written files: (1) a column
+    with ANY stats-less chunk (the all-null 'maybe' file, pyarrow's
+    unextractable decimal stats, INT96 timestamps) is dropped from the
+    zone map entirely — partial coverage must never prune; (2) pruning
+    with Decimal/datetime bounds on stats-less columns is a safe no-op
+    (no TypeError, batches kept)."""
+    from datetime import datetime
+    from decimal import Decimal
+
+    t = ManifestedTable(str(tmp_path), "proj", "events")
+    df = spark.createDataFrame(
+        [(1, Decimal("9.00"), datetime(2024, 3, 1, 10), 5.0),
+         (2, Decimal("10.00"), datetime(2024, 3, 2, 10), None)],
+        "id long, amt decimal(10,2), _time timestamp, maybe double")
+    t.write(df, batch_id="b1")
+    stats = t.committed()[0]["stats"]
+    assert stats["id"] == [1, 2]
+    # 'maybe' is null in the 2024-03-02 day-partition file → one chunk
+    # without min/max → the column must not appear at all; decimals
+    # (pyarrow can't extract) and INT96 timestamps (no stats) likewise
+    assert "maybe" not in stats
+    assert "amt" not in stats and "_time" not in stats
+
+    # rich-typed bounds on stats-less columns: no crash, nothing pruned
+    got = t.read(spark, prune={"amt": (Decimal("99.0"), None),
+                               "_time": (datetime(2030, 1, 1), None)})
+    assert sorted(r.id for r in got.collect()) == [1, 2]
+
+
+def test_zone_map_canonicalization_orders():
+    """The pure comparator layer: Decimal bounds canonicalize to
+    NUMERIC floats (lexical str order would invert 9.00 > 10.00 and
+    mis-prune), datetimes to ISO strings whose lexical order is
+    chronological, float widening only ever grows the interval, and a
+    bound/stat type mismatch keeps the batch."""
+    from datetime import datetime
+    from decimal import Decimal
+
+    from rakam_api_collector_spark.manifest import (_batch_overlaps,
+                                                    _canon_stat, _widen)
+
+    assert _canon_stat(Decimal("9.00")) == 9.0
+    assert _canon_stat(Decimal("10.00")) == 10.0   # numeric, not '10'<'9'
+    a = _canon_stat(datetime(2024, 3, 1, 10, 0, 0))
+    b = _canon_stat(datetime(2024, 3, 1, 10, 0, 0, 500))
+    c = _canon_stat(datetime(2024, 3, 2))
+    assert a < b < c                                # lexical == chrono
+    assert _widen(9.0, True) < 9.0 < _widen(9.0, False)
+    assert _widen(7, True) == 7                     # ints untouched
+
+    m = {"stats": {"x": [10.0, 20.0], "s": ["b", "d"]}}
+    assert not _batch_overlaps(m, {"x": (Decimal("25"), None)})
+    assert _batch_overlaps(m, {"x": (Decimal("15"), None)})
+    assert not _batch_overlaps(m, {"s": (None, "a")})
+    assert _batch_overlaps(m, {"s": ("c", None)})
+    # type-mismatched bound (datetime vs numeric stat): keep the batch
+    assert _batch_overlaps(m, {"x": (datetime(2030, 1, 1), None)})
+    # unknown column: keep
+    assert _batch_overlaps(m, {"zzz": (0, 1)})

@@ -637,7 +637,7 @@ def test_g711_tables_match_spec_landmarks():
     ±32124 with both zero codes (0xFF = +0, 0x7F = -0) decoding to 0,
     A-law spans ±32256 with minimum magnitude 8 (no true zero), and
     both tables are monotone within each sign half."""
-    u, a = M._ULAW_TABLE, M._ALAW_TABLE
+    u, a = M._g711_decode_tables()
     assert (int(u.min()), int(u.max())) == (-32124, 32124)
     assert u[0xFF] == 0 and u[0x7F] == 0
     assert (int(a.min()), int(a.max())) == (-32256, 32256)
@@ -657,9 +657,9 @@ def test_g711_code_roundtrip_identity():
     against each other."""
     codes = np.arange(256, dtype=np.uint8)
     ru = np.frombuffer(M.ulaw_encode(
-        M._ULAW_TABLE[codes].astype("<i2").tobytes()), np.uint8)
+        M._g711_decode_tables()[0][codes].astype("<i2").tobytes()), np.uint8)
     ra = np.frombuffer(M.alaw_encode(
-        M._ALAW_TABLE[codes].astype("<i2").tobytes()), np.uint8)
+        M._g711_decode_tables()[1][codes].astype("<i2").tobytes()), np.uint8)
     assert all(ra[c] == c for c in range(256))
     assert all(ru[c] == c for c in range(256) if c != 0x7F)
     assert ru[0x7F] == 0xFF
@@ -671,7 +671,7 @@ def test_wav_decode_g711_formats(spark):
     quantization error of a full encode→wav→decode trip is bounded by
     the largest segment step."""
     s = np.linspace(-30000, 30000, 101).astype("<i2").tobytes()
-    for law, table in (("ulaw", M._ULAW_TABLE), ("alaw", M._ALAW_TABLE)):
+    for law, table in zip(("ulaw", "alaw"), M._g711_decode_tables()):
         enc = M.ulaw_encode(s) if law == "ulaw" else M.alaw_encode(s)
         wav = M.wav_encode_g711(enc, 8000, 1, law)
         rate, ch, pcm = M.wav_decode(wav)
@@ -699,7 +699,21 @@ def test_decode_audio_g711_through_spark(spark):
     wav = M.wav_encode_g711(M.ulaw_encode(s), 8000, 1, "ulaw")
     df = spark.createDataFrame([(1, wav)], "clip long, blob binary")
     out = M.decode_audio(df, "clip").collect()[0]
-    want = M._ULAW_TABLE[np.frombuffer(M.ulaw_encode(s), np.uint8)]
+    want = M._g711_decode_tables()[0][np.frombuffer(M.ulaw_encode(s), np.uint8)]
     assert out.n_frames == 4
     assert out.amp_sum == int(want.astype(int).sum())
     assert out.amp_min == int(want.min()) and out.amp_max == int(want.max())
+
+
+def test_synthesize_video_null_fps_yields_untimed_container(spark):
+    """A null fps_milli row must produce an untimed VID0 container (the
+    per-row opt-out), not crash: Arrow→pandas delivers null ints as
+    NaN, which the builder must null-check with isna."""
+    spec = spark.createDataFrame(
+        [(1, 2, 3, 2, 1000), (2, 2, 3, 2, None)],
+        "doc_id long, nf int, w int, h int, fpsm int")
+    vids = M.synthesize_video(spec, "doc_id", "nf", "w", "h",
+                              fps_milli_col="fpsm").collect()
+    blobs = {r.id: bytes(r.blob) for r in vids}
+    assert M._video_header(blobs[1])[:2] == (1000, 2)
+    assert M._video_header(blobs[2])[:2] == (None, 2)
