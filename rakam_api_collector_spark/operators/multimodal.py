@@ -497,10 +497,11 @@ def frame_sample_plan(n_frames: Column, every: int = 30) -> Column:
 
 
 # --- WAV codec (public spec: RIFF/WAVE, Microsoft/IBM 1991) ------------------
-# Integer PCM (format tag 1, 8/16/24-bit) plus ITU-T G.711 companded
-# audio (tags 6/7, A-law/mu-law); other encodings (float32, ADPCM, ...)
-# raise ValueError — at deployment a libav-backed decoder replaces
-# wav_decode in the same mapInPandas stage.
+# Integer PCM (format tag 1, 8/16/24-bit), ITU-T G.711 companded audio
+# (tags 6/7, A-law/mu-law), and IMA/DVI ADPCM (tag 0x11); other
+# encodings (float32, MPEG, ...) raise ValueError — at deployment a
+# libav-backed decoder replaces wav_decode in the same mapInPandas
+# stage.
 
 
 def wav_encode(samples: bytes, sample_rate: int, channels: int) -> bytes:
@@ -595,22 +596,172 @@ def wav_encode_g711(encoded: bytes, sample_rate: int, channels: int,
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
+# --- IMA/DVI ADPCM (public IMA Digital Audio spec, rev 3.00 1992) ----------
+# 4-bit differential codes; 89-entry step table, per-code index deltas.
+
+_IMA_STEPS = [
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34,
+    37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143,
+    157, 173, 190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494,
+    544, 598, 658, 724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552,
+    1707, 1878, 2066, 2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428,
+    4871, 5358, 5894, 6484, 7132, 7845, 8630, 9493, 10442, 11487,
+    12635, 13899, 15289, 16818, 18500, 20350, 22385, 24623, 27086,
+    29794, 32767]
+_IMA_INDEX_DELTA = [-1, -1, -1, -1, 2, 4, 6, 8]
+
+
+def _ima_step(predictor: int, index: int,
+              nibble: int) -> tuple[int, int]:
+    """One IMA ADPCM decode step → (new_predictor, new_index)."""
+    step = _IMA_STEPS[index]
+    diff = step >> 3
+    if nibble & 1:
+        diff += step >> 2
+    if nibble & 2:
+        diff += step >> 1
+    if nibble & 4:
+        diff += step
+    predictor = predictor - diff if nibble & 8 else predictor + diff
+    predictor = max(-32768, min(32767, predictor))
+    index = max(0, min(88, index + _IMA_INDEX_DELTA[nibble & 7]))
+    return predictor, index
+
+
+def _ima_adpcm_decode(data: bytes, channels: int,
+                      block_align: int) -> bytes:
+    """WAV IMA ADPCM (format tag 0x11) blocks → interleaved int16-LE.
+    Each block: per-channel 4-byte header (int16 predictor, step index,
+    reserved), then per-channel 4-byte nibble groups round-robin; the
+    header predictor is emitted as the block's first sample. Inherently
+    sequential (predictor feedback) — a native codec replaces this at
+    deployment, the container walk and block math are the real part."""
+    if block_align < 4 * channels or block_align % 4:
+        raise ValueError(f"bad ADPCM block align {block_align}")
+    if len(data) % block_align:
+        raise ValueError("data chunk not a whole number of ADPCM blocks")
+    out = bytearray()
+    for b0 in range(0, len(data), block_align):
+        preds, idxs = [], []
+        for c in range(channels):
+            p, i = struct.unpack_from("<hBx", data, b0 + 4 * c)
+            if i > 88:
+                raise ValueError(f"ADPCM step index {i} out of range")
+            preds.append(p)
+            idxs.append(i)
+        frames = [list(preds)]                  # header predictors
+        body = data[b0 + 4 * channels:b0 + block_align]
+        # per-channel 4-byte groups, round-robin; 8 nibbles per group
+        for g0 in range(0, len(body), 4 * channels):
+            group_frames = [[0] * channels for _ in range(8)]
+            for c in range(channels):
+                chunk = body[g0 + 4 * c:g0 + 4 * c + 4]
+                for bi, byte in enumerate(chunk):
+                    for half, nib in ((0, byte & 0x0F), (1, byte >> 4)):
+                        preds[c], idxs[c] = _ima_step(
+                            preds[c], idxs[c], nib)
+                        group_frames[bi * 2 + half][c] = preds[c]
+            frames.extend(group_frames)
+        for fr in frames:
+            out += struct.pack(f"<{channels}h", *fr)
+    return bytes(out)
+
+
+def _ima_adpcm_encode(samples: bytes, channels: int,
+                      samples_per_block: int) -> tuple[bytes, int]:
+    """int16-LE interleaved PCM → (ADPCM block stream, block_align).
+    Fixture-side encoder: quantizes each diff against the decoder's own
+    reconstruction so the streams stay in sync (the standard feedback
+    encoder). Pads the final block with repeats of the last sample."""
+    if samples_per_block < 1 or (samples_per_block - 1) % 8:
+        raise ValueError("samples_per_block must be 1 + multiple of 8")
+    import numpy as np
+
+    x = np.frombuffer(samples, dtype="<i2").astype(np.int32)
+    if len(x) % channels:
+        raise ValueError("sample buffer not a whole number of frames")
+    frames = x.reshape(-1, channels)
+    n = len(frames)
+    if n == 0:
+        raise ValueError("empty sample buffer")
+    pad = (-n) % samples_per_block
+    if pad:
+        frames = np.vstack([frames, np.repeat(frames[-1:], pad, axis=0)])
+    block_align = 4 * channels + (samples_per_block - 1) // 2 * channels
+    out = bytearray()
+    idxs = [0] * channels
+    for b0 in range(0, len(frames), samples_per_block):
+        block = frames[b0:b0 + samples_per_block]
+        preds = [int(block[0, c]) for c in range(channels)]
+        for c in range(channels):
+            out += struct.pack("<hBx", preds[c], idxs[c])
+        nibbles: list[list[int]] = [[] for _ in range(channels)]
+        for fi in range(1, samples_per_block):
+            for c in range(channels):
+                target = int(block[fi, c])
+                step = _IMA_STEPS[idxs[c]]
+                diff = target - preds[c]
+                nib = 8 if diff < 0 else 0
+                diff = abs(diff)
+                if diff >= step:
+                    nib |= 4
+                    diff -= step
+                if diff >= step >> 1:
+                    nib |= 2
+                    diff -= step >> 1
+                if diff >= step >> 2:
+                    nib |= 1
+                preds[c], idxs[c] = _ima_step(preds[c], idxs[c], nib)
+                nibbles[c].append(nib)
+        for g in range(0, samples_per_block - 1, 8):
+            for c in range(channels):
+                eight = nibbles[c][g:g + 8]
+                for lo, hi in zip(eight[::2], eight[1::2]):
+                    out.append(lo | (hi << 4))
+    return bytes(out), block_align
+
+
+def wav_encode_adpcm(samples: bytes, sample_rate: int, channels: int,
+                     samples_per_block: int = 505) -> bytes:
+    """RIFF/WAVE writer for IMA ADPCM (format tag 0x11): encodes the
+    int16-LE PCM stream into blocks, writing the extended fmt chunk
+    (wSamplesPerBlock) and the fact chunk (true per-channel sample
+    count) compressed formats require."""
+    import numpy as np
+
+    n_frames = len(np.frombuffer(samples, dtype="<i2")) // channels
+    adpcm, block_align = _ima_adpcm_encode(samples, channels,
+                                           samples_per_block)
+    fmt = struct.pack(
+        "<HHIIHHHH", 0x11, channels, sample_rate,
+        sample_rate * block_align // samples_per_block, block_align,
+        4, 2, samples_per_block)
+    body = (b"WAVE"
+            + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"fact" + struct.pack("<II", 4, n_frames)
+            + b"data" + struct.pack("<I", len(adpcm)) + adpcm
+            + (b"\x00" if len(adpcm) & 1 else b""))
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
 def wav_decode(data: bytes) -> tuple[int, int, bytes]:
     """Decode RIFF/WAVE → (sample_rate, channels, int16-LE PCM bytes).
 
     Walks the chunk list (chunks are word-aligned per the RIFF spec, so
-    odd-sized chunks carry a pad byte); unknown chunks (LIST, fact, ...)
-    are skipped. Format tag 1 (integer PCM) at 8/16/24 bits: 16-bit
-    passes through; 8-bit unsigned maps to ``(v - 128) << 8`` and
-    24-bit keeps its top 16 bits — both the standard depth reductions,
-    so every caller sees one uniform int16 sample stream (the same
+    odd-sized chunks carry a pad byte); unknown chunks (LIST, ...) are
+    skipped. Format tag 1 (integer PCM) at 8/16/24 bits: 16-bit passes
+    through; 8-bit unsigned maps to ``(v - 128) << 8`` and 24-bit keeps
+    its top 16 bits — both the standard depth reductions, so every
+    caller sees one uniform int16 sample stream (the same
     normalize-at-the-edge rule as the PNG 16→8 path). Format tags 6/7
     (ITU-T G.711 A-law/μ-law at 8 bits) expand through the companding
-    tables to the same int16 stream. Float/ADPCM formats raise."""
+    tables, and tag 0x11 (IMA ADPCM at 4 bits) decodes block-wise with
+    the fact chunk truncating encoder padding. Float and other
+    compressed formats raise."""
     if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE file")
     pos, rate, channels, pcm = 12, None, None, None
-    bits = fmt_tag = None
+    bits = fmt_tag = block_align = fact_frames = None
     while pos + 8 <= len(data):
         tag = data[pos:pos + 4]
         (length,) = struct.unpack("<I", data[pos + 4:pos + 8])
@@ -627,14 +778,18 @@ def wav_decode(data: bytes) -> tuple[int, int, bytes]:
         if tag == b"fmt ":
             if len(body) < 16:
                 raise ValueError(f"fmt chunk too short: {len(body)} bytes")
-            fmt_tag, channels, rate, _, _, bits = struct.unpack(
+            fmt_tag, channels, rate, _, block_align, bits = struct.unpack(
                 "<HHIIHH", body[:16])
-            if fmt_tag not in (1, 6, 7):
+            if fmt_tag not in (1, 6, 7, 0x11):
                 raise ValueError(f"unsupported WAV format tag {fmt_tag}")
             if fmt_tag in (6, 7):
                 if bits != 8:
                     raise ValueError(
                         f"G.711 requires 8 bits/sample, got {bits}")
+            elif fmt_tag == 0x11:
+                if bits != 4:
+                    raise ValueError(
+                        f"IMA ADPCM requires 4 bits/sample, got {bits}")
             elif bits not in (8, 16, 24):
                 raise ValueError(f"unsupported bit depth {bits}")
             if channels == 0:
@@ -642,10 +797,18 @@ def wav_decode(data: bytes) -> tuple[int, int, bytes]:
                 # below from ZeroDivisionError so skip_invalid callers
                 # see the ValueError they catch
                 raise ValueError("zero channel count")
+        elif tag == b"fact" and length >= 4:
+            (fact_frames,) = struct.unpack("<I", body[:4])
         elif tag == b"data":
             pcm = body
     if rate is None or pcm is None:
         raise ValueError("missing fmt or data chunk")
+    if fmt_tag == 0x11:
+        pcm = _ima_adpcm_decode(pcm, channels, block_align)
+        if fact_frames is not None:
+            # encoder block padding past the true stream length
+            pcm = pcm[:fact_frames * 2 * channels]
+        return rate, channels, pcm
     bytes_per = bits // 8
     if len(pcm) % (bytes_per * channels):
         raise ValueError("data chunk not a whole number of frames")

@@ -717,3 +717,62 @@ def test_synthesize_video_null_fps_yields_untimed_container(spark):
     blobs = {r.id: bytes(r.blob) for r in vids}
     assert M._video_header(blobs[1])[:2] == (1000, 2)
     assert M._video_header(blobs[2])[:2] == (None, 2)
+
+
+def test_ima_adpcm_decode_matches_spec_hand_derived():
+    """One block derived BY HAND from the IMA spec: predictor 100 at
+    step index 0 (step 7), nibbles 0..7 → diffs 0,1,3,4,7,12,20,41 with
+    index walking 0,0,0,0,2,6,12,20 — pins the step table, diff
+    formula, clamping, and low-nibble-first packing against the spec,
+    not this repo's encoder."""
+    block = (struct.pack("<hBx", 100, 0)
+             + bytes([0x10, 0x32, 0x54, 0x76]))
+    pcm = M._ima_adpcm_decode(block, 1, len(block))
+    got = list(np.frombuffer(pcm, "<i2"))
+    assert got == [100, 100, 101, 104, 108, 115, 127, 147, 188]
+    with pytest.raises(ValueError, match="step index"):
+        M._ima_adpcm_decode(struct.pack("<hBx", 0, 89) + bytes(4), 1, 8)
+    with pytest.raises(ValueError, match="block align"):
+        M._ima_adpcm_decode(bytes(8), 1, 3)
+
+
+def test_wav_adpcm_roundtrip_and_fact_truncation():
+    """encode→wav→decode: the fact chunk truncates block padding to the
+    true sample count, stereo channels stay independent, and the
+    quantization error of a slew-limited signal is small relative to
+    full scale. A 4-bit depth mismatch raises."""
+    t = np.arange(2000)
+    x = (3000 * np.sin(t / 30) + 500 * np.sin(t / 7)).astype("<i2")
+    rate, ch, pcm = M.wav_decode(
+        M.wav_encode_adpcm(x.tobytes(), 8000, 1, samples_per_block=505))
+    got = np.frombuffer(pcm, "<i2")
+    assert (rate, ch, len(got)) == (8000, 1, 2000)   # fact-truncated
+    assert np.abs(got.astype(int) - x.astype(int)).max() < 1500
+    # stereo: right = -left must decode to mirrored streams
+    x2 = np.stack([x, -x], axis=1).reshape(-1).astype("<i2")
+    _, c2, p2 = M.wav_decode(
+        M.wav_encode_adpcm(x2.tobytes(), 8000, 2, samples_per_block=249))
+    g2 = np.frombuffer(p2, "<i2").reshape(-1, 2)
+    assert c2 == 2 and len(g2) == 2000
+    assert np.abs(g2[:, 0].astype(int) - x.astype(int)).max() < 1500
+    assert np.abs(g2[:, 1].astype(int) + x.astype(int)).max() < 1500
+    # ADPCM fmt with wrong bit depth
+    fmt = struct.pack("<HHIIHH", 0x11, 1, 8000, 4000, 256, 8)
+    body = (b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", 0))
+    with pytest.raises(ValueError, match="4 bits"):
+        M.wav_decode(b"RIFF" + struct.pack("<I", len(body)) + body)
+
+
+def test_decode_audio_adpcm_through_spark(spark):
+    """decode_audio consumes an ADPCM clip in the same mapInPandas
+    stage; stats equal a local decode of the same blob."""
+    x = (np.cumsum(np.random.default_rng(7).integers(-80, 81, 800))
+         .clip(-30000, 30000)).astype("<i2")
+    wav = M.wav_encode_adpcm(x.tobytes(), 16000, 1, samples_per_block=401)
+    want = np.frombuffer(M.wav_decode(wav)[2], "<i2").astype(int)
+    df = spark.createDataFrame([(9, wav)], "clip long, blob binary")
+    out = M.decode_audio(df, "clip").collect()[0]
+    assert out.sample_rate == 16000 and out.n_frames == 800
+    assert out.amp_sum == int(want.sum())
+    assert (out.amp_min, out.amp_max) == (int(want.min()), int(want.max()))
