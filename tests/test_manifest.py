@@ -356,3 +356,54 @@ def test_zone_map_canonicalization_orders():
     assert _batch_overlaps(m, {"x": (datetime(2030, 1, 1), None)})
     # unknown column: keep
     assert _batch_overlaps(m, {"zzz": (0, 1)})
+
+
+def test_clustered_write_and_compact_disjoint_file_ranges(spark, tmp_path):
+    """cluster_by range-partitions + sorts so the written files carry
+    DISJOINT key ranges (pinned from the parquet footers) — the layout
+    that makes row-group pruning and the batch zone map maximally
+    selective; compact(cluster_by=) is the OPTIMIZE form over a messy
+    multi-batch table."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    def file_ranges(bdir, col="id"):
+        out = []
+        for root, _, fns in os.walk(bdir):
+            for fn in fns:
+                if not fn.endswith(".parquet"):
+                    continue
+                md = pq.ParquetFile(os.path.join(root, fn)).metadata
+                los, his = [], []
+                for rg in range(md.num_row_groups):
+                    g = md.row_group(rg)
+                    for ci in range(g.num_columns):
+                        c = g.column(ci)
+                        if c.path_in_schema == col and c.statistics:
+                            los.append(c.statistics.min)
+                            his.append(c.statistics.max)
+                if los:
+                    out.append((min(los), max(his)))
+        return sorted(out)
+
+    t = ManifestedTable(str(tmp_path), "proj", "events")
+    # interleaved ids across two messy batches
+    t.write(_df(spark, list(range(0, 100, 2))), batch_id="even")
+    t.write(_df(spark, list(range(1, 100, 2))), batch_id="odd")
+    cid = t.compact(spark, cluster_by=["id"], n_files=4)
+    assert sorted(r.id for r in t.read(spark).collect()) == list(range(100))
+    ranges = file_ranges(f"{t.batches_dir}/{cid}")
+    assert len(ranges) >= 3                      # actually split
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 < lo2                         # disjoint, ordered
+    # clustered direct write: same property without a compaction
+    t2 = ManifestedTable(str(tmp_path), "proj", "direct")
+    bid = t2.write(_df(spark, list(range(50))[::-1]), batch_id="c1",
+                   cluster_by=["id"], n_files=3)
+    d = next(m["dir"] for m in t2.committed() if m["batch"] == bid)
+    r2 = file_ranges(f"{t2.batches_dir}/{d}")
+    assert len(r2) >= 2
+    for (lo1, hi1), (lo2, hi2) in zip(r2, r2[1:]):
+        assert hi1 < lo2
+    assert t2.committed()[0]["stats"]["id"] == [0, 49]
