@@ -527,9 +527,17 @@ def test_codec_fuzz_error_types_are_catchable():
     px = ((np.arange(16 * 11 * 3) * 7) % 256).astype(np.uint8).tobytes()
     fuzz(M.png_encode(px, 16, 11, 3), M.png_decode)
     fuzz(M.png_encode_adam7(px, 16, 11, 3), M.png_decode)
-    fuzz(M.wav_encode(np.arange(-300, 300, 3, dtype="<i2").tobytes(),
-                      8000, 2), M.wav_decode)
+    pcm = np.arange(-300, 300, 3, dtype="<i2").tobytes()
+    fuzz(M.wav_encode(pcm, 8000, 2), M.wav_decode)
     fuzz(J.jpeg_encode(px, 16, 11, 3, quality=90), J.jpeg_decode)
+    # compressed WAV variants walk extra code paths (companding tables,
+    # ADPCM block headers/step indexes, fact truncation)
+    fuzz(M.wav_encode_g711(M.ulaw_encode(pcm), 8000, 1, "ulaw"),
+         M.wav_decode)
+    fuzz(M.wav_encode_g711(M.alaw_encode(pcm), 8000, 1, "alaw"),
+         M.wav_decode)
+    fuzz(M.wav_encode_adpcm(pcm, 8000, 2, samples_per_block=49),
+         M.wav_decode)
 
 
 def test_interlaced_palette_png_decodes():
