@@ -95,35 +95,42 @@ def _widen(v, lo_side: bool):
     return v
 
 
-def _footer_stats(path: str, fmt: str,
-                  max_cols: int = 32) -> dict | None:
-    """Batch-level zone map from parquet FOOTERS only (no data pages
-    read): {col: [min, max]} across every row group of every file the
-    batch wrote. The reference's Raptor registry stores the same
-    per-shard min/max rows in MySQL for shard pruning
-    (RaptorDatabaseHandler.java — K1's per-shard stats); here they ride
-    the manifest entry so read() can skip whole batch directories.
-    ORC batches return None (never pruned, always read).
+def _footer_stats(path: str, fmt: str, max_cols: int = 32,
+                  max_files: int = 64) -> tuple[dict | None, list | None]:
+    """Zone maps from parquet FOOTERS only (no data pages read), at two
+    granularities: (batch_stats, file_stats).
 
-    A column qualifies only if EVERY row group of EVERY file carries
-    min/max for it — one stats-less chunk (all-null chunk, writer with
-    statistics disabled) means the aggregate would not cover the whole
-    batch, and pruning on partial coverage silently loses rows."""
+    - batch_stats: {col: [min, max]} across every row group of every
+      file — the manifest-entry zone map read() uses to skip whole
+      batch directories (the Raptor per-shard min/max analog,
+      RaptorDatabaseHandler.java — K1's per-shard stats).
+    - file_stats: [{"path": rel, "stats": {col: [min, max]}}...] — the
+      Delta-style per-file skipping granularity; with range-clustered
+      writes the files carry disjoint ranges, so a key-range read opens
+      ~1 file. Omitted (None) past ``max_files`` to bound manifest
+      size — batch-level pruning still applies.
+
+    ORC returns (None, None) (never pruned, always read). A column
+    qualifies at a granularity only if EVERY row group in its scope
+    carries min/max — one stats-less chunk (all-null chunk, writer
+    with statistics disabled, pyarrow-unextractable physical type)
+    means partial coverage, and pruning on partial coverage silently
+    loses rows."""
     if fmt != "parquet":
-        return None
+        return None, None
     import pyarrow.parquet as pq
 
-    mins: dict = {}
-    maxs: dict = {}
-    chunks_seen: dict = {}
-    total_chunks = 0
+    per_file: list = []
     for root, _, files in os.walk(path):
         for fn in files:
             if not fn.endswith(".parquet"):
                 continue
-            md = pq.ParquetFile(os.path.join(root, fn)).metadata
+            full = os.path.join(root, fn)
+            mins: dict = {}
+            maxs: dict = {}
+            chunks_seen: dict = {}
+            md = pq.ParquetFile(full).metadata
             for rg in range(md.num_row_groups):
-                total_chunks += 1
                 grp = md.row_group(rg)
                 for ci in range(grp.num_columns):
                     col = grp.column(ci)
@@ -134,10 +141,6 @@ def _footer_stats(path: str, fmt: str,
                         lo = _widen(_canon_stat(st.min), True)
                         hi = _widen(_canon_stat(st.max), False)
                     except Exception:
-                        # pyarrow can't extract stats for every
-                        # physical type (e.g. INT96 timestamps) —
-                        # such a chunk counts as stats-less, which
-                        # drops the column from coverage below
                         continue
                     if lo is None or hi is None:
                         continue
@@ -149,20 +152,33 @@ def _footer_stats(path: str, fmt: str,
                         else min(mins[name], lo)
                     maxs[name] = hi if name not in maxs \
                         else max(maxs[name], hi)
-    return {c: [mins[c], maxs[c]] for c in mins
-            if chunks_seen[c] == total_chunks} or None
+            fstats = {c: [mins[c], maxs[c]] for c in mins
+                      if chunks_seen[c] == md.num_row_groups}
+            per_file.append({"path": os.path.relpath(full, path),
+                             "stats": fstats})
+    if not per_file:
+        return None, None
+    # batch level: a column must be fully covered in EVERY file
+    batch: dict = {}
+    common = set(per_file[0]["stats"])
+    for f in per_file[1:]:
+        common &= set(f["stats"])
+    for c in common:
+        batch[c] = [min(f["stats"][c][0] for f in per_file),
+                    max(f["stats"][c][1] for f in per_file)]
+    files = per_file if len(per_file) <= max_files else None
+    return (batch or None), files
 
 
-def _batch_overlaps(manifest: dict, prune: dict) -> bool:
+def _stats_overlap(stats: dict, prune: dict) -> bool:
     """True unless some pruned column's stored [min, max] is disjoint
     from the requested (lo, hi) interval (None bound = unbounded). A
-    batch with no stats for the column is kept — pruning is only ever
+    scope with no stats for the column is kept — pruning is only ever
     an optimization, never a correctness filter. Bounds pass through
     the same canonicalization as write-time stats (datetime/date →
     ISO string, Decimal → float), so callers prune timestamps with
     datetime objects directly; a bound whose canonical type still
-    differs from the stored stat's type keeps the batch."""
-    stats = manifest.get("stats") or {}
+    differs from the stored stat's type keeps the scope."""
     for col, (lo, hi) in prune.items():
         if col not in stats:
             continue
@@ -179,6 +195,10 @@ def _batch_overlaps(manifest: dict, prune: dict) -> bool:
         if hi is not None and _comparable(hi, bmin) and bmin > hi:
             return False
     return True
+
+
+def _batch_overlaps(manifest: dict, prune: dict) -> bool:
+    return _stats_overlap(manifest.get("stats") or {}, prune)
 
 
 class ManifestedTable:
@@ -293,9 +313,11 @@ class ManifestedTable:
         # scan), not by re-running the batch's whole lineage
         rows = df.sparkSession.read.format(fmt).load(path).count()
         entry = {"batch": bid, "dir": pdir, "rows": rows, "format": fmt}
-        stats = _footer_stats(path, fmt)
+        stats, files = _footer_stats(path, fmt)
         if stats:
             entry["stats"] = stats
+        if files:
+            entry["files"] = files
 
         def mutate(live):
             return [b for b in live if b["batch"] != bid] + [entry]
@@ -313,13 +335,30 @@ class ManifestedTable:
     def _dir_of(m: dict) -> str:
         return m.get("dir", m["batch"])
 
-    def _read_batches(self, spark: SparkSession,
-                      manifests: list[dict]) -> DataFrame:
+    def _read_batches(self, spark: SparkSession, manifests: list[dict],
+                      prune: dict | None = None) -> DataFrame | None:
+        """Union the batches' scans; with ``prune`` and per-file zone
+        maps in the manifest, each batch's scan lists ONLY the files
+        whose [min, max] overlap the interval (basePath keeps partition
+        columns) — file-level skipping on top of batch-level. Returns
+        None when pruning leaves nothing."""
         dfs = []
         for m in manifests:
             path = f"{self.batches_dir}/{self._dir_of(m)}"
+            target: str | list[str] = path
+            files = m.get("files")
+            if prune and files:
+                keep = [f for f in files
+                        if _stats_overlap(f["stats"], prune)]
+                if not keep:
+                    continue
+                if len(keep) < len(files):
+                    target = [os.path.join(path, f["path"])
+                              for f in keep]
             dfs.append(spark.read.option("basePath", path)
-                       .format(m["format"]).load(path))
+                       .format(m["format"]).load(target))
+        if not dfs:
+            return None
         df = dfs[0]
         for d in dfs[1:]:
             df = df.unionByName(d, allowMissingColumns=True)
@@ -340,9 +379,12 @@ class ManifestedTable:
         manifest zone map ([min, max] from write-time parquet footers)
         is disjoint from the interval (None bound = unbounded) — the
         Raptor per-shard min/max shard-pruning analog, one metadata
-        lookup instead of opening any pruned batch's files. Pruning is
-        an OPTIMIZATION on the batch list, not a row filter: callers
-        still apply their predicate; batches without stats always
+        lookup instead of opening any pruned batch's files — and then
+        skips individual FILES inside surviving batches via the
+        per-file zone maps (Delta-style file skipping; with cluster_by
+        layouts a key-range read opens ~1 file). Pruning is an
+        OPTIMIZATION on the scan list, not a row filter: callers still
+        apply their predicate; batches/files without stats always
         read."""
         if version is None:
             version = self.current_version()
@@ -356,13 +398,14 @@ class ManifestedTable:
                 f"no committed batches under {self.table_dir}")
         if prune:
             kept = [m for m in manifests if _batch_overlaps(m, prune)]
-            if not kept:
-                # every batch pruned: keep the full union schema (later
+            got = self._read_batches(spark, kept, prune) if kept else None
+            if got is None:
+                # everything pruned: keep the full union schema (later
                 # batches may carry evolved columns) behind an
                 # always-false filter — nothing is scanned
                 return (self._read_batches(spark, manifests)
                         .filter(F.lit(False)))
-            manifests = kept
+            return got
         return self._read_batches(spark, manifests)
 
     def history(self) -> list[dict]:
@@ -402,9 +445,11 @@ class ManifestedTable:
         df.write.mode("overwrite").format(fmt).save(path)
         rows = spark.read.format(fmt).load(path).count()
         entry = {"batch": bid, "dir": bid, "rows": rows, "format": fmt}
-        stats = _footer_stats(path, fmt)
+        stats, files = _footer_stats(path, fmt)
         if stats:
             entry["stats"] = stats
+        if files:
+            entry["files"] = files
         consumed = {b["batch"] for b in inputs}
 
         def mutate(live):

@@ -407,3 +407,35 @@ def test_clustered_write_and_compact_disjoint_file_ranges(spark, tmp_path):
     for (lo1, hi1), (lo2, hi2) in zip(r2, r2[1:]):
         assert hi1 < lo2
     assert t2.committed()[0]["stats"]["id"] == [0, 49]
+
+
+def test_file_level_zone_map_pruning(spark, tmp_path):
+    """Per-file zone maps: a clustered batch's key-range read lists
+    ONLY the overlapping file(s) into the scan (pinned by
+    inputFiles()), day-partition columns survive the explicit file
+    list via basePath, and results stay exact."""
+    t = ManifestedTable(str(tmp_path), "proj", "events")
+    bid = t.write(_df(spark, list(range(100))), batch_id="c1",
+                  cluster_by=["id"], n_files=4)
+    m = t.committed()[0]
+    assert len(m["files"]) == 4
+    assert all(f["stats"]["id"] for f in m["files"])
+
+    narrow = t.read(spark, prune={"id": (10, 12)})
+    assert sorted(r.id for r in narrow.collect()
+                  if 10 <= r.id <= 12) == [10, 11, 12]
+    assert len(narrow.inputFiles()) == 1          # 3 of 4 files skipped
+    assert "_day" in narrow.columns               # basePath keeps it
+    assert narrow.select("_day").distinct().count() == 1
+
+    # unbounded side + full span: all files read, nothing lost
+    full = t.read(spark, prune={"id": (None, None)})
+    assert full.count() == 100
+
+    # a second unclustered batch joins the scan untouched (its files
+    # all overlap), batch-level pruning still applies to disjoint ones
+    t.write(_df(spark, [500]), batch_id="far")
+    got = t.read(spark, prune={"id": (480, None)})
+    assert sorted(r.id for r in got.collect()) == [500]
+    assert len(got.inputFiles()) >= 1
+    assert not any(f"/{m['dir']}/" in f for f in got.inputFiles())
