@@ -93,6 +93,65 @@ def cosine_topk(corpus: DataFrame, queries: DataFrame, id_col: str,
             .filter(F.col("rnk") <= k))
 
 
+def cosine_topk_blocked(corpus: DataFrame, queries: DataFrame,
+                        id_col: str, vec_col: str, k: int = 10,
+                        exclude_self: bool = True) -> DataFrame:
+    """Exact cosine top-k, blocked form — the scale path: the query
+    set (small by design, same bound as cosine_topk's broadcast)
+    ships into an Arrow-batched corpus scan; each batch scores with
+    ONE numpy matmul and emits only its LOCAL top-k per query, so the
+    global top-k window receives ≤ #batches × |queries| × k narrow
+    rows instead of |corpus| × |queries| scored pairs. Same results
+    as cosine_topk up to float summation order (matmul accumulates
+    SIMD-blocked; the fold accumulates sequentially) — use
+    cosine_topk where bit-exact oracle parity of the cosine VALUES
+    matters, this form where the top-k SET is the product."""
+    import pandas as pd
+    from pyspark.sql import types as T_
+
+    q_rows = (queries.select(F.col(id_col).cast("long").alias("_id"),
+                             _as_double(vec_col).alias("_v"))
+              .collect())                      # bounded: the query set
+    q_ids = np.asarray([r._id for r in q_rows], dtype=np.int64)
+    qm = np.asarray([r._v for r in q_rows], dtype=np.float64)
+    qm = qm / np.linalg.norm(qm, axis=1, keepdims=True)
+
+    out_t = T_.StructType([
+        T_.StructField("q", T_.LongType()),
+        T_.StructField("neighbor", T_.LongType()),
+        T_.StructField("cos", T_.DoubleType()),
+    ])
+
+    def score(batches):
+        for pdf in batches:
+            ids = pdf["_id"].to_numpy(dtype=np.int64)
+            m = np.asarray(pdf["_v"].tolist(), dtype=np.float64)
+            m = m / np.linalg.norm(m, axis=1, keepdims=True)
+            s = m @ qm.T                       # (n, nq)
+            rows = []
+            for j in range(len(q_ids)):
+                col = s[:, j]
+                nbr = ids
+                if exclude_self:
+                    keep = nbr != q_ids[j]
+                    col, nbr = col[keep], nbr[keep]
+                if not len(col):
+                    continue
+                # local top-k with deterministic ties (cos desc,
+                # neighbor asc) — global top-k ⊆ union of local top-ks
+                order = np.lexsort((nbr, -col))[:k]
+                rows.extend((int(q_ids[j]), int(nbr[i]), float(col[i]))
+                            for i in order)
+            yield pd.DataFrame(rows, columns=["q", "neighbor", "cos"])
+
+    narrow = corpus.select(F.col(id_col).cast("long").alias("_id"),
+                           _as_double(vec_col).alias("_v"))
+    scored = narrow.mapInPandas(score, out_t)
+    w = Window.partitionBy("q").orderBy(F.desc("cos"), F.asc("neighbor"))
+    return (scored.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= k))
+
+
 def random_hyperplanes(dim: int, bits: int, tables: int,
                        seed: int = 42) -> list[list[list[float]]]:
     """Deterministic Gaussian hyperplanes [tables][bits][dim]."""

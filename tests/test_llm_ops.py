@@ -449,3 +449,25 @@ def test_ivf_index_duplicate_append_does_not_corrupt_topk(spark, tmp_path):
         for r in rows:
             per_q.setdefault(r.q, []).append(r.neighbor)
         assert all(len(v) == len(set(v)) == 10 for v in per_q.values())
+
+
+def test_cosine_topk_blocked_matches_fold_form(spark):
+    """The blocked exact top-k (numpy matmul + per-batch partial
+    top-k) must return the identical (q, neighbor, rnk) set as the
+    JVM-fold cosine_topk — partial selection per batch is lossless
+    because the global top-k is a subset of the union of local
+    top-ks; ties break identically (cos desc, neighbor asc)."""
+    emb = load_table(spark, SF, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 7)
+    fold = {(r.q, r.neighbor, r.rnk) for r in
+            S.cosine_topk(emb, queries, "vec_id", "embedding",
+                          k=8).collect()}
+    blocked = {(r.q, r.neighbor, r.rnk) for r in
+               S.cosine_topk_blocked(emb, queries, "vec_id",
+                                     "embedding", k=8).collect()}
+    assert blocked == fold and len(fold) == 56
+    # exclude_self=False keeps the query itself at rank 1
+    with_self = S.cosine_topk_blocked(emb, queries, "vec_id",
+                                      "embedding", k=3,
+                                      exclude_self=False).collect()
+    assert all(r.neighbor == r.q for r in with_self if r.rnk == 1)
