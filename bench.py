@@ -27,6 +27,7 @@ def main() -> None:
     import __spark_entry__ as entry_mod
     qs = entry_mod.queries()
 
+    loadavg_start = round(os.getloadavg()[0], 2)
     spark = get_spark("bench")
     # Warm-state benchmarking: pre-warm every fixed cost a query would
     # otherwise absorb exactly once per session — none of this work is
@@ -147,8 +148,12 @@ def main() -> None:
         "sf": sf,
         # host context: this is a shared box — suite wall has measured
         # ±40% run-to-run swings purely from external load (identical
-        # code benched at 63.9 s and 95.3 s within two hours); loadavg
-        # at bench START helps read a slow sample for what it is
+        # code benched at 63.9 s and 95.3 s within two hours). _start
+        # is sampled BEFORE the session spins up (external load);
+        # _1m at the end is dominated by the bench's own 32-core
+        # bursts — read _start to judge whether a slow run was the
+        # box, not the code
+        "loadavg_start": loadavg_start,
         "loadavg_1m": round(os.getloadavg()[0], 2),
     }
     try:
