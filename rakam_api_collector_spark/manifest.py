@@ -63,9 +63,11 @@ def _canon_stat(v):
     - str → as-is (both sides compare with the same str ordering)
     - Decimal → float, WIDENED one ulp outward by the caller (numeric
       order, never narrower than the true interval)
-    - datetime/date → ISO string with a space separator (fixed-width
-      date prefix ⇒ lexical order = chronological order, and str-vs-str
-      comparison on both sides)
+    - datetime → tz-aware instants normalize to UTC then drop the
+      offset; the emitted naive ISO string (space separator,
+      fixed-width date prefix) compares lexically = chronologically on
+      both sides. Naive datetimes are taken as already-UTC — mixing
+      naive bounds against tz-aware data assumes that convention.
     Anything else → None (unknown ordering — safer to keep the batch
     than to prune on a stringified type whose lexical order diverges
     from its real order, e.g. Decimal('9') > Decimal('10') as strings).
@@ -79,9 +81,12 @@ def _canon_stat(v):
         return v
     if isinstance(v, _dec.Decimal):
         return float(v)
-    if isinstance(v, (_dt.datetime, _dt.date)):
-        return v.isoformat(sep=" ") if isinstance(v, _dt.datetime) \
-            else v.isoformat()
+    if isinstance(v, _dt.datetime):
+        if v.tzinfo is not None:
+            v = v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+        return v.isoformat(sep=" ")
+    if isinstance(v, _dt.date):
+        return v.isoformat()
     return None
 
 
@@ -183,7 +188,11 @@ def _stats_overlap(stats: dict, prune: dict) -> bool:
         if col not in stats:
             continue
         bmin, bmax = stats[col]
-        lo, hi = _canon_stat(lo), _canon_stat(hi)
+        # widen canonicalized bounds OUTWARD: a Decimal bound above
+        # 2^53 can round past the true value under float conversion,
+        # and pruning must never be narrower than the caller asked
+        lo = _widen(_canon_stat(lo), True)
+        hi = _widen(_canon_stat(hi), False)
         num = (int, float)
 
         def _comparable(bound, stat):
@@ -312,7 +321,8 @@ class ManifestedTable:
         # row count read back from the just-written footers (metadata
         # scan), not by re-running the batch's whole lineage
         rows = df.sparkSession.read.format(fmt).load(path).count()
-        entry = {"batch": bid, "dir": pdir, "rows": rows, "format": fmt}
+        entry = {"batch": bid, "dir": pdir, "rows": rows, "format": fmt,
+                 "schema": json.loads(out.schema.json())}
         stats, files = _footer_stats(path, fmt)
         if stats:
             entry["stats"] = stats
@@ -399,14 +409,34 @@ class ManifestedTable:
         if prune:
             kept = [m for m in manifests if _batch_overlaps(m, prune)]
             got = self._read_batches(spark, kept, prune) if kept else None
+            # union a zero-row frame carrying the version's FULL column
+            # set (from manifest-stored schemas — no file access), so
+            # the result schema is identical for EVERY prune interval,
+            # including ones that drop the batches holding evolved
+            # columns or drop everything
+            empty = self._empty_of(spark, manifests)
             if got is None:
-                # everything pruned: keep the full union schema (later
-                # batches may carry evolved columns) behind an
-                # always-false filter — nothing is scanned
-                return (self._read_batches(spark, manifests)
-                        .filter(F.lit(False)))
-            return got
+                return empty
+            return got.unionByName(empty, allowMissingColumns=True)
         return self._read_batches(spark, manifests)
+
+    def _empty_of(self, spark: SparkSession,
+                  manifests: list[dict]) -> DataFrame:
+        """Zero-row DataFrame with the union schema of the batches —
+        built from the schemas stored in the manifest entries; falls
+        back to an always-false filtered scan for pre-schema manifests
+        (metadata-only either way)."""
+        from pyspark.sql.types import StructType
+
+        schemas = [m.get("schema") for m in manifests]
+        if schemas and all(s is not None for s in schemas):
+            dfs = [spark.createDataFrame([], StructType.fromJson(s))
+                   for s in schemas]
+            df = dfs[0]
+            for d in dfs[1:]:
+                df = df.unionByName(d, allowMissingColumns=True)
+            return df
+        return self._read_batches(spark, manifests).filter(F.lit(False))
 
     def history(self) -> list[dict]:
         """Commit log, oldest first: (version, parent, committed_at,
@@ -444,7 +474,8 @@ class ManifestedTable:
         path = f"{self.batches_dir}/{bid}"
         df.write.mode("overwrite").format(fmt).save(path)
         rows = spark.read.format(fmt).load(path).count()
-        entry = {"batch": bid, "dir": bid, "rows": rows, "format": fmt}
+        entry = {"batch": bid, "dir": bid, "rows": rows, "format": fmt,
+                 "schema": json.loads(df.schema.json())}
         stats, files = _footer_stats(path, fmt)
         if stats:
             entry["stats"] = stats

@@ -636,8 +636,13 @@ def _ima_adpcm_decode(data: bytes, channels: int,
     header predictor is emitted as the block's first sample. Inherently
     sequential (predictor feedback) — a native codec replaces this at
     deployment, the container walk and block math are the real part."""
-    if block_align < 4 * channels or block_align % 4:
-        raise ValueError(f"bad ADPCM block align {block_align}")
+    # the round-robin walk consumes 4 bytes per channel per group, so
+    # the body must be a whole number of 4·ch groups — anything else
+    # would silently zero-fill the short channels instead of failing
+    if block_align < 4 * channels \
+            or (block_align - 4 * channels) % (4 * channels):
+        raise ValueError(f"bad ADPCM block align {block_align} "
+                         f"for {channels} channel(s)")
     if len(data) % block_align:
         raise ValueError("data chunk not a whole number of ADPCM blocks")
     out = bytearray()

@@ -105,16 +105,11 @@ def cosine_topk_blocked(corpus: DataFrame, queries: DataFrame,
     as cosine_topk up to float summation order (matmul accumulates
     SIMD-blocked; the fold accumulates sequentially) — use
     cosine_topk where bit-exact oracle parity of the cosine VALUES
-    matters, this form where the top-k SET is the product."""
+    matters, this form where the top-k SET is the product. Ids must
+    be long-castable and non-null (the numpy id vectors require it;
+    the fold form has no such constraint)."""
     import pandas as pd
     from pyspark.sql import types as T_
-
-    q_rows = (queries.select(F.col(id_col).cast("long").alias("_id"),
-                             _as_double(vec_col).alias("_v"))
-              .collect())                      # bounded: the query set
-    q_ids = np.asarray([r._id for r in q_rows], dtype=np.int64)
-    qm = np.asarray([r._v for r in q_rows], dtype=np.float64)
-    qm = qm / np.linalg.norm(qm, axis=1, keepdims=True)
 
     out_t = T_.StructType([
         T_.StructField("q", T_.LongType()),
@@ -122,8 +117,27 @@ def cosine_topk_blocked(corpus: DataFrame, queries: DataFrame,
         T_.StructField("cos", T_.DoubleType()),
     ])
 
+    q_rows = (queries.select(F.col(id_col).cast("long").alias("_id"),
+                             _as_double(vec_col).alias("_v"))
+              .collect())                      # bounded: the query set
+    if not q_rows:
+        # empty query set: empty result, stable schema (the fold form's
+        # behavior)
+        return (corpus.sparkSession.createDataFrame([], out_t)
+                .withColumn("rnk", F.lit(0).cast("int")))
+    if any(r._id is None for r in q_rows):
+        raise ValueError(f"{id_col} must be long-castable and non-null "
+                         "for the blocked top-k")
+    q_ids = np.asarray([r._id for r in q_rows], dtype=np.int64)
+    qm = np.asarray([r._v for r in q_rows], dtype=np.float64)
+    qm = qm / np.linalg.norm(qm, axis=1, keepdims=True)
+
     def score(batches):
         for pdf in batches:
+            if pdf["_id"].isna().any():
+                raise ValueError(
+                    "corpus ids must be long-castable and non-null "
+                    "for the blocked top-k")
             ids = pdf["_id"].to_numpy(dtype=np.int64)
             m = np.asarray(pdf["_v"].tolist(), dtype=np.float64)
             m = m / np.linalg.norm(m, axis=1, keepdims=True)

@@ -471,3 +471,17 @@ def test_cosine_topk_blocked_matches_fold_form(spark):
                                       "embedding", k=3,
                                       exclude_self=False).collect()
     assert all(r.neighbor == r.q for r in with_self if r.rnk == 1)
+
+
+def test_cosine_topk_blocked_degenerate_inputs(spark):
+    """Empty query set → empty result with the stable schema (the fold
+    form's behavior); null ids fail loudly instead of crashing inside
+    numpy."""
+    emb = load_table(spark, SF, "embeddings")
+    none = S.cosine_topk_blocked(
+        emb, emb.filter(F.lit(False)), "vec_id", "embedding", k=5)
+    assert none.columns == ["q", "neighbor", "cos", "rnk"]
+    assert none.count() == 0
+    bad = emb.limit(3).withColumn("vec_id", F.lit(None).cast("long"))
+    with pytest.raises(ValueError, match="non-null"):
+        S.cosine_topk_blocked(emb, bad, "vec_id", "embedding")

@@ -439,3 +439,50 @@ def test_file_level_zone_map_pruning(spark, tmp_path):
     assert sorted(r.id for r in got.collect()) == [500]
     assert len(got.inputFiles()) >= 1
     assert not any(f"/{m['dir']}/" in f for f in got.inputFiles())
+
+
+def test_prune_schema_stable_and_boundary_bounds(spark, tmp_path):
+    """Review-hardening pins: (1) read(prune=) returns the SAME union
+    schema for every prune interval — evolved columns survive even
+    when their batch is pruned (schemas ride the manifest, no file
+    access); (2) a bound exactly equal to a stat boundary keeps the
+    batch, including a Decimal bound above 2^53 whose float conversion
+    rounds past the int stat (bounds widen outward)."""
+    from decimal import Decimal
+
+    from rakam_api_collector_spark.manifest import _stats_overlap
+
+    t = ManifestedTable(str(tmp_path), "proj", "events")
+    t.write(_df(spark, [1, 5]), batch_id="lo")
+    t.write(_df(spark, [100]).withColumn("extra", F.lit("x")),
+            batch_id="hi")
+    # prune away the batch that carries 'extra' — column must survive
+    got = t.read(spark, prune={"id": (None, 50)})
+    assert "extra" in got.columns
+    assert sorted(r.id for r in got.collect()) == [1, 5]
+    assert all(r.extra is None for r in got.collect())
+    # all pruned: same schema again
+    none = t.read(spark, prune={"id": (5000, None)})
+    assert "extra" in none.columns and none.count() == 0
+
+    # boundary equality: inclusive on both sides
+    assert _stats_overlap({"id": [1, 5]}, {"id": (5, None)})
+    assert _stats_overlap({"id": [1, 5]}, {"id": (None, 1)})
+    # giant int stat vs Decimal bound at the same value: float
+    # rounding must not prune the batch that holds the exact match
+    big = 99999999999999999
+    assert _stats_overlap({"id": [1, big]}, {"id": (Decimal(big), None)})
+
+
+def test_canon_stat_timezone_normalization():
+    """tz-aware datetimes canonicalize to UTC-naive strings so aware
+    stats and naive-or-offset bounds compare on one clock."""
+    from datetime import datetime, timedelta, timezone
+
+    from rakam_api_collector_spark.manifest import _canon_stat
+
+    utc = _canon_stat(datetime(2024, 3, 1, 10, tzinfo=timezone.utc))
+    plus5 = _canon_stat(datetime(2024, 3, 1, 15,
+                                 tzinfo=timezone(timedelta(hours=5))))
+    naive = _canon_stat(datetime(2024, 3, 1, 10))
+    assert utc == plus5 == naive == "2024-03-01 10:00:00"

@@ -784,3 +784,11 @@ def test_decode_audio_adpcm_through_spark(spark):
     assert out.sample_rate == 16000 and out.n_frames == 800
     assert out.amp_sum == int(want.sum())
     assert (out.amp_min, out.amp_max) == (int(want.min()), int(want.max()))
+
+
+def test_adpcm_rejects_misaligned_multichannel_block():
+    """A stereo block_align that is not a whole number of 4-byte
+    per-channel groups must raise (the walk would otherwise zero-fill
+    the short channel — plausible silence instead of an error)."""
+    with pytest.raises(ValueError, match="block align"):
+        M._ima_adpcm_decode(bytes(20), 2, 20)   # 20-8=12, not %8
