@@ -324,3 +324,28 @@ def test_sliding_window_is_generator_not_join(spark):
     plan = plan_of(dq47_sliding_window(spark, SF), mode="simple")
     assert "Join" not in plan
     assert plan.count("Scan parquet") == 1
+
+
+def test_blocked_topk_single_scan_single_exchange(spark):
+    """cosine_topk_blocked: ONE corpus scan feeding ONE exchange (the
+    per-query rank window) — the |corpus|×|queries| scored-pair
+    materialization of the fold form never appears, because each Arrow
+    batch pre-selects its local top-k. A second scan or a join-shaped
+    exchange here would mean the blocked form regressed to all-pairs."""
+    from rakam_api_collector_spark.operators import similarity as S
+
+    emb = load_table(spark, SF, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    import re
+
+    plan = plan_of(S.cosine_topk_blocked(emb, q, "vec_id", "embedding",
+                                         k=10))
+    # formatted mode lists each node once in the tree and once in the
+    # details — count the numbered detail entries
+    scans = re.findall(r"^\(\d+\) Scan parquet", plan, re.M)
+    exchanges = re.findall(r"^\(\d+\) Exchange", plan, re.M)
+    assert len(scans) == 1 and len(exchanges) == 1, plan
+    # the partial WindowGroupLimit must sit before the exchange: each
+    # map task forwards at most k rows per query
+    assert "row_number(), 10, Partial" in plan
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan
