@@ -312,6 +312,7 @@ class ManifestedTable:
         out = df
         if partition_by_day and "_time" in df.columns:
             out = out.withColumn("_day", F.to_date("_time"))
+        self._check_evolution(out, replacing=bid)
         out = self._clustered(out, cluster_by, n_files)
         writer = out.write.mode("overwrite").format(fmt)
         if partition_by_day and "_day" in out.columns:
@@ -335,11 +336,43 @@ class ManifestedTable:
         self._commit(mutate)
         return bid
 
+    def _check_evolution(self, out: DataFrame,
+                         replacing: str | None = None) -> None:
+        """Add-only schema evolution (the reference metastore's rule,
+        `ingest/catalog.py` semantics at the table-commit layer): a new
+        batch may ADD columns, but a column shared with any live batch
+        must keep its exact type — a silent int→string flip would fail
+        only at read time, in whichever reader happens to union the
+        two. Type COERCION is the ingest layer's job (ingest/rules.py);
+        by the time data reaches the sink its types are settled."""
+        have = {}
+        for m in self.committed():
+            if m["batch"] == replacing:
+                continue    # a replayed batch may carry a corrected type
+            for f in (m.get("schema") or {}).get("fields", []):
+                have.setdefault(f["name"], (f["type"], m["batch"]))
+        for f in json.loads(out.schema.json())["fields"]:
+            prior = have.get(f["name"])
+            if prior is not None and prior[0] != f["type"]:
+                raise ValueError(
+                    f"schema evolution conflict on column "
+                    f"{f['name']!r}: batch {prior[1]!r} committed type "
+                    f"{prior[0]}, new batch has {f['type']} — evolution "
+                    f"is add-only; coerce upstream (ingest/rules.py)")
+
     # -- read ---------------------------------------------------------------
 
     def committed(self) -> list[dict]:
         """Live batch manifests of the current version."""
         return self._read_version(self.current_version())["batches"]
+
+    def rows(self, version: int | None = None) -> int:
+        """Row count from manifest metadata alone — no file access (the
+        write path already counted each batch from its footers)."""
+        if version is None:
+            version = self.current_version()
+        return sum(m.get("rows", 0)
+                   for m in self._read_version(version)["batches"])
 
     @staticmethod
     def _dir_of(m: dict) -> str:

@@ -486,3 +486,33 @@ def test_canon_stat_timezone_normalization():
                                  tzinfo=timezone(timedelta(hours=5))))
     naive = _canon_stat(datetime(2024, 3, 1, 10))
     assert utc == plus5 == naive == "2024-03-01 10:00:00"
+
+
+def test_metadata_row_count_and_add_only_evolution(spark, tmp_path):
+    """rows() answers from manifest metadata with no file access;
+    a type-flipping batch is rejected at WRITE time (add-only
+    evolution, the metastore rule) while an idempotent replay of the
+    same batch id may carry a corrected type."""
+    import shutil
+
+    t = ManifestedTable(str(tmp_path), "proj", "events")
+    t.write(_df(spark, [1, 2]), batch_id="b1")
+    t.write(_df(spark, [3]), batch_id="b2")
+    assert t.rows() == 3
+    assert t.rows(version=1) == 2
+    # metadata-only: counting works even with the data dirs gone
+    shutil.rmtree(t.batches_dir)
+    assert t.rows() == 3
+
+    t2 = ManifestedTable(str(tmp_path), "proj", "typed")
+    t2.write(_df(spark, [1]).withColumn("v", F.lit(1).cast("long")),
+             batch_id="b1")
+    with pytest.raises(ValueError, match="add-only"):
+        t2.write(_df(spark, [2]).withColumn("v", F.lit("s")),
+                 batch_id="b2")
+    # adding a NEW column stays legal
+    t2.write(_df(spark, [2]).withColumn("w", F.lit("s")), batch_id="b3")
+    # same-batch-id replay may correct its own type
+    t2.write(_df(spark, [9]).withColumn("w", F.lit(2).cast("int")),
+             batch_id="b3")
+    assert sorted(r.id for r in t2.read(spark).collect()) == [1, 9]
