@@ -168,6 +168,12 @@ def test_streaming_with_manifested_sink(spark, tmp_path):
     batches = [m["batch"] for m in t.committed()]
     assert len(batches) == 1 and batches[0].endswith("-epoch-0")
     assert len(batches[0].split("-epoch-")[0]) == 8
+    # streaming epochs ride the same write path, so their manifest
+    # entries carry the schema and zone-map metadata too
+    m = t.committed()[0]
+    assert {f["name"] for f in m["schema"]["fields"]} >= {"v", "_time"}
+    assert m["rows"] == 2 and t.rows() == 2
+    assert "v" in (m.get("stats") or {})
 
 
 def test_retry_does_not_disturb_pinned_reader(spark, tmp_path):
