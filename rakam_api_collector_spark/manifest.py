@@ -522,6 +522,89 @@ class ManifestedTable:
         self._commit(mutate)
         return bid
 
+    def delete_where(self, spark: SparkSession, condition,
+                     prune: dict | None = None,
+                     fmt: str = "parquet") -> dict:
+        """Copy-on-write delete — the takedown/right-to-erasure
+        operation a training corpus needs: batches whose zone map
+        proves they CANNOT contain matching rows are left byte-
+        untouched; every other batch is rewritten without the matching
+        rows and swapped in atomically (one version commit — readers
+        see all-old or all-new). A rewrite that removes nothing is
+        discarded (no churn); a rewrite that removes everything drops
+        the batch from the version. Old versions still read the
+        original data until gc() ages them out — deletion becomes
+        PERMANENT only after gc, which is the auditable two-step
+        (tombstone then vacuum) Delta/Iceberg use.
+
+        ``condition`` is a pyspark Column; ``prune`` is the same
+        {col: (lo, hi)} interval map read() takes and should cover the
+        condition (it is an optimization — rewriting extra batches is
+        correct, skipping a matching batch is not, so zone maps only
+        SKIP batches proven disjoint). Returns {"rewritten", "kept",
+        "dropped", "rows_deleted"}."""
+        inputs = self.committed()
+        kept, rewritten, dropped, deleted = 0, 0, 0, 0
+        replacements: dict[str, dict | None] = {}
+        for m in inputs:
+            if prune and not _batch_overlaps(m, prune):
+                kept += 1
+                continue
+            src = self._read_batches(spark, [m])
+            # delete only rows where the condition is TRUE: a NULL
+            # evaluation must KEEP the row (filter(~cond) alone would
+            # silently drop NULL-evaluating rows), and a batch missing
+            # a condition column cannot match at all
+            try:
+                out = src.filter(~F.coalesce(condition, F.lit(False)))
+            except Exception:
+                kept += 1                  # column absent in this batch
+                continue
+            # count BEFORE writing: a no-match batch skips the rewrite
+            # entirely (no churn, no orphan) and a fully-matched batch
+            # drops without writing an empty directory
+            rows = out.count()
+            if rows == m.get("rows"):
+                kept += 1
+                continue
+            deleted += m.get("rows", 0) - rows
+            if rows == 0:
+                dropped += 1
+                replacements[m["batch"]] = None
+                continue
+            pdir = f"{m['batch']}--{uuid.uuid4().hex[:8]}"
+            path = f"{self.batches_dir}/{pdir}"
+            writer = out.write.mode("overwrite").format(fmt)
+            if "_day" in out.columns:
+                writer = writer.partitionBy("_day")
+            writer.save(path)
+            entry = {"batch": m["batch"], "dir": pdir, "rows": rows,
+                     "format": fmt,
+                     "schema": json.loads(out.schema.json())}
+            stats, files = _footer_stats(path, fmt)
+            if stats:
+                entry["stats"] = stats
+            if files:
+                entry["files"] = files
+            replacements[m["batch"]] = entry
+            rewritten += 1
+
+        def mutate(live):
+            out_live = []
+            for b in live:
+                if b["batch"] in replacements:
+                    rep = replacements[b["batch"]]
+                    if rep is not None:
+                        out_live.append(rep)
+                else:
+                    out_live.append(b)     # concurrent commits survive
+            return out_live
+
+        if replacements:
+            self._commit(mutate)
+        return {"rewritten": rewritten, "kept": kept,
+                "dropped": dropped, "rows_deleted": deleted}
+
     def orphans(self) -> list[str]:
         """Batch dirs the CURRENT version does not reference — crashed
         writers and compacted-away inputs. GC candidates (subject to

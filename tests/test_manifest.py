@@ -522,3 +522,55 @@ def test_metadata_row_count_and_add_only_evolution(spark, tmp_path):
     t2.write(_df(spark, [9]).withColumn("w", F.lit(2).cast("int")),
              batch_id="b3")
     assert sorted(r.id for r in t2.read(spark).collect()) == [1, 9]
+
+
+def test_delete_where_copy_on_write(spark, tmp_path):
+    """Takedown semantics: zone-map-disjoint batches stay byte-
+    untouched, matching batches rewrite without the rows in ONE
+    version commit, a fully-matched batch drops, a no-match rewrite is
+    discarded, NULL-evaluating conditions KEEP rows, and the previous
+    version still time-travels to the pre-delete data until gc."""
+    import os
+
+    t = ManifestedTable(str(tmp_path), "proj", "events")
+    t.write(_df(spark, list(range(10))), batch_id="lo")
+    t.write(_df(spark, list(range(100, 110))), batch_id="hi")
+    t.write(_df(spark, [55]), batch_id="solo")
+
+    def mtimes(d):
+        out = {}
+        for root, _, fns in os.walk(f"{t.batches_dir}/{d}"):
+            for fn in fns:
+                p = os.path.join(root, fn)
+                out[p] = os.path.getmtime(p)
+        return out
+
+    hi_dir = next(m["dir"] for m in t.committed() if m["batch"] == "hi")
+    before = mtimes(hi_dir)
+    res = t.delete_where(spark, (F.col("id") >= 5) & (F.col("id") <= 7),
+                         prune={"id": (5, 7)})
+    assert res == {"rewritten": 1, "kept": 2, "dropped": 0,
+                   "rows_deleted": 3}       # hi and solo both pruned
+    assert mtimes(hi_dir) == before          # zone-disjoint: untouched
+    got = sorted(r.id for r in t.read(spark).collect())
+    assert got == [0, 1, 2, 3, 4, 8, 9, 55] + list(range(100, 110))
+    # pre-delete snapshot still reads the original rows
+    pre = sorted(r.id for r in t.read(spark, version=3).collect())
+    assert 5 in pre and len(pre) == 21
+
+    # full-batch match drops the batch; stats on the rewritten batch
+    # reflect the post-delete range
+    res2 = t.delete_where(spark, F.col("id") == 55, prune={"id": (55, 55)})
+    assert res2["dropped"] == 1 and res2["rows_deleted"] == 1
+    lo_entry = next(m for m in t.committed() if m["batch"] == "lo")
+    assert lo_entry["stats"]["id"] == [0, 9]
+    assert {m["batch"] for m in t.committed()} == {"lo", "hi"}
+
+    # NULL-evaluating condition keeps rows; missing column keeps batch
+    t.write(_df(spark, [200]).withColumn("tag", F.lit("x")),
+            batch_id="tagged")
+    res3 = t.delete_where(spark, F.col("tag") == "zzz")
+    assert res3["rows_deleted"] == 0
+    assert t.rows() == 7 + 10 + 1
+    # no-match rewrites were discarded, not swapped in
+    assert {m["batch"] for m in t.committed()} == {"lo", "hi", "tagged"}
