@@ -308,20 +308,34 @@ class ManifestedTable:
         bid = batch_id or uuid.uuid4().hex
         if "/" in bid or bid.startswith("."):
             raise ValueError(f"invalid batch_id: {bid!r}")
-        pdir = f"{bid}--{uuid.uuid4().hex[:8]}"
         out = df
         if partition_by_day and "_time" in df.columns:
             out = out.withColumn("_day", F.to_date("_time"))
         self._check_evolution(out, replacing=bid)
         out = self._clustered(out, cluster_by, n_files)
-        writer = out.write.mode("overwrite").format(fmt)
-        if partition_by_day and "_day" in out.columns:
-            writer = writer.partitionBy("_day")
+        entry = self._write_batch_files(out, bid, fmt)
+
+        def mutate(live):
+            return [b for b in live if b["batch"] != bid] + [entry]
+
+        self._commit(mutate)
+        return bid
+
+    def _write_batch_files(self, out: DataFrame, bid: str,
+                           fmt: str, rows: int | None = None) -> dict:
+        """Write one batch's files to a fresh physical dir and build
+        its manifest entry (schema + zone maps) — NO commit; callers
+        fold the entry into their own version commit."""
+        pdir = f"{bid}--{uuid.uuid4().hex[:8]}"
         path = f"{self.batches_dir}/{pdir}"
+        writer = out.write.mode("overwrite").format(fmt)
+        if "_day" in out.columns:
+            writer = writer.partitionBy("_day")
         writer.save(path)
-        # row count read back from the just-written footers (metadata
-        # scan), not by re-running the batch's whole lineage
-        rows = df.sparkSession.read.format(fmt).load(path).count()
+        if rows is None:
+            # row count read back from the just-written footers
+            # (metadata scan), not by re-running the batch's lineage
+            rows = out.sparkSession.read.format(fmt).load(path).count()
         entry = {"batch": bid, "dir": pdir, "rows": rows, "format": fmt,
                  "schema": json.loads(out.schema.json())}
         stats, files = _footer_stats(path, fmt)
@@ -329,12 +343,7 @@ class ManifestedTable:
             entry["stats"] = stats
         if files:
             entry["files"] = files
-
-        def mutate(live):
-            return [b for b in live if b["batch"] != bid] + [entry]
-
-        self._commit(mutate)
-        return bid
+        return entry
 
     def _check_evolution(self, out: DataFrame,
                          replacing: str | None = None) -> None:
@@ -572,21 +581,8 @@ class ManifestedTable:
                 dropped += 1
                 replacements[m["batch"]] = None
                 continue
-            pdir = f"{m['batch']}--{uuid.uuid4().hex[:8]}"
-            path = f"{self.batches_dir}/{pdir}"
-            writer = out.write.mode("overwrite").format(fmt)
-            if "_day" in out.columns:
-                writer = writer.partitionBy("_day")
-            writer.save(path)
-            entry = {"batch": m["batch"], "dir": pdir, "rows": rows,
-                     "format": fmt,
-                     "schema": json.loads(out.schema.json())}
-            stats, files = _footer_stats(path, fmt)
-            if stats:
-                entry["stats"] = stats
-            if files:
-                entry["files"] = files
-            replacements[m["batch"]] = entry
+            replacements[m["batch"]] = self._write_batch_files(
+                out, m["batch"], fmt, rows=rows)
             rewritten += 1
 
         def mutate(live):
@@ -604,6 +600,90 @@ class ManifestedTable:
             self._commit(mutate)
         return {"rewritten": rewritten, "kept": kept,
                 "dropped": dropped, "rows_deleted": deleted}
+
+    def upsert(self, spark: SparkSession, updates: DataFrame, key: str,
+               batch_id: str | None = None,
+               fmt: str = "parquet") -> dict:
+        """Copy-on-write MERGE on ``key``: live rows whose key appears
+        in ``updates`` are replaced, new keys insert — the Delta MERGE
+        WHEN MATCHED THEN UPDATE / WHEN NOT MATCHED THEN INSERT shape.
+        The updates' key [min, max] (one bounded aggregate) prunes via
+        each batch's zone map, so key-disjoint batches stay byte-
+        untouched; overlapping batches rewrite via a LEFT ANTI join
+        against the update keys; the updates land as one new batch.
+        All swaps plus the insert publish in ONE version commit.
+        Retrying with the same ``batch_id`` is idempotent: the already-
+        replaced keys anti-join to nothing and the new batch swaps for
+        its previous incarnation. Returns {"rewritten", "kept",
+        "dropped", "rows_replaced", "batch"}."""
+        bid = batch_id or uuid.uuid4().hex
+        bounds = updates.agg(
+            F.min(F.col(key)).alias("_lo"),
+            F.max(F.col(key)).alias("_hi"),
+            F.count(F.lit(1)).alias("_n"),
+            F.count(key).alias("_nk")).collect()[0]
+        if bounds._n == 0:
+            return {"rewritten": 0, "kept": len(self.committed()),
+                    "dropped": 0, "rows_replaced": 0, "batch": None}
+        if bounds._nk != bounds._n:
+            raise ValueError(f"upsert key {key!r} must be non-null")
+        prune = {key: (bounds._lo, bounds._hi)}
+        upd_keys = updates.select(F.col(key)).distinct()
+
+        inputs = self.committed()
+        kept, rewritten, dropped, replaced = 0, 0, 0, 0
+        replacements: dict[str, dict | None] = {}
+        for m in inputs:
+            if m["batch"] == bid:
+                continue           # the retry's own prior incarnation
+            if not _batch_overlaps(m, prune):
+                kept += 1
+                continue
+            src = self._read_batches(spark, [m])
+            if key not in src.columns:
+                kept += 1
+                continue
+            out = src.join(F.broadcast(upd_keys), key, "left_anti")
+            rows = out.count()
+            if rows == m.get("rows"):
+                kept += 1
+                continue
+            replaced += m.get("rows", 0) - rows
+            if rows == 0:
+                dropped += 1
+                replacements[m["batch"]] = None
+                continue
+            replacements[m["batch"]] = self._write_batch_files(
+                out, m["batch"], fmt, rows=rows)
+            rewritten += 1
+
+        # the updates batch itself, folded into the SAME commit as the
+        # rewrites — no intermediate version ever shows an old and a
+        # new row for the same key
+        upd = updates
+        if "/" in bid or bid.startswith("."):
+            raise ValueError(f"invalid batch_id: {bid!r}")
+        if "_time" in upd.columns:
+            upd = upd.withColumn("_day", F.to_date("_time"))
+        self._check_evolution(upd, replacing=bid)
+        new_entry = self._write_batch_files(upd, bid, fmt)
+
+        def mutate(live):
+            out_live = []
+            for b in live:
+                if b["batch"] == bid:
+                    continue               # retry replaces its own batch
+                if b["batch"] in replacements:
+                    rep = replacements[b["batch"]]
+                    if rep is not None:
+                        out_live.append(rep)
+                else:
+                    out_live.append(b)
+            return out_live + [new_entry]
+
+        self._commit(mutate)
+        return {"rewritten": rewritten, "kept": kept, "dropped": dropped,
+                "rows_replaced": replaced, "batch": bid}
 
     def orphans(self) -> list[str]:
         """Batch dirs the CURRENT version does not reference — crashed

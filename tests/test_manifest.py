@@ -574,3 +574,53 @@ def test_delete_where_copy_on_write(spark, tmp_path):
     assert t.rows() == 7 + 10 + 1
     # no-match rewrites were discarded, not swapped in
     assert {m["batch"] for m in t.committed()} == {"lo", "hi", "tagged"}
+
+
+def test_upsert_merge_on_key(spark, tmp_path):
+    """MERGE semantics in one version commit: matched keys replace,
+    new keys insert, key-range-disjoint batches stay byte-untouched,
+    the pre-upsert snapshot time-travels, and a same-batch-id retry is
+    idempotent (no duplicate keys ever)."""
+    import os
+
+    t = ManifestedTable(str(tmp_path), "proj", "events")
+    t.write(_df(spark, list(range(10))), batch_id="lo")
+    t.write(_df(spark, list(range(100, 105))), batch_id="hi")
+    hi_dir = next(m["dir"] for m in t.committed() if m["batch"] == "hi")
+
+    def mtimes(d):
+        out = {}
+        for root, _, fns in os.walk(f"{t.batches_dir}/{d}"):
+            for fn in fns:
+                p = os.path.join(root, fn)
+                out[p] = os.path.getmtime(p)
+        return out
+
+    before = mtimes(hi_dir)
+    updates = _df(spark, [3, 7, 42], day="2024-05-05T00:00:00")
+    res = t.upsert(spark, updates, "id", batch_id="u1")
+    assert res["rewritten"] == 1 and res["kept"] == 1
+    assert res["rows_replaced"] == 2 and res["batch"] == "u1"
+    assert mtimes(hi_dir) == before
+
+    got = {r.id: str(r._day) for r in t.read(spark).collect()}
+    assert sorted(got) == list(range(10)) + [42] + list(range(100, 105))
+    assert len(got) == 16                      # no duplicate keys
+    assert got[3] == "2024-05-05" and got[7] == "2024-05-05"
+    assert got[42] == "2024-05-05" and got[0] == "2024-03-01"
+    # pre-upsert snapshot
+    pre = {r.id: str(r._day) for r in
+           t.read(spark, version=2).collect()}
+    assert pre[3] == "2024-03-01" and 42 not in pre
+
+    # retry with the same batch id: state unchanged, still 16 keys
+    t.upsert(spark, updates, "id", batch_id="u1")
+    again = {r.id for r in t.read(spark).collect()}
+    assert len(again) == 16
+
+    # null keys rejected; empty updates are a no-op
+    with pytest.raises(ValueError, match="non-null"):
+        t.upsert(spark, _df(spark, [1]).withColumn(
+            "id", F.lit(None).cast("long")), "id")
+    res0 = t.upsert(spark, _df(spark, []), "id")
+    assert res0["batch"] is None and res0["rows_replaced"] == 0
