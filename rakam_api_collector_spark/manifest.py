@@ -614,8 +614,14 @@ class ManifestedTable:
         All swaps plus the insert publish in ONE version commit.
         Retrying with the same ``batch_id`` is idempotent: the already-
         replaced keys anti-join to nothing and the new batch swaps for
-        its previous incarnation. Returns {"rewritten", "kept",
-        "dropped", "rows_replaced", "batch"}."""
+        its previous incarnation. Concurrency caveat: a WRITER that
+        commits the same key between this upsert's snapshot and its
+        commit is not conflict-detected (the OCC protocol serializes
+        version swaps, not key ownership) — the key then appears in
+        both batches until the next upsert/compact; full Delta-style
+        serializability would add read-set conflict checks at commit.
+        Returns {"rewritten", "kept", "dropped", "rows_replaced",
+        "batch"}."""
         bid = batch_id or uuid.uuid4().hex
         bounds = updates.agg(
             F.min(F.col(key)).alias("_lo"),
