@@ -311,25 +311,40 @@ class ManifestedTable:
         out = df
         if partition_by_day and "_time" in df.columns:
             out = out.withColumn("_day", F.to_date("_time"))
-        self._check_evolution(out, replacing=bid)
+        fields = json.loads(out.schema.json())["fields"]
+        # fail fast before writing files; re-validated inside the OCC
+        # loop below against each attempt's ACTUAL live set, closing
+        # the window where two concurrent writers both pass a
+        # snapshot-time check and commit conflicting types
+        self._check_evolution(self.committed(), fields, replacing=bid)
         out = self._clustered(out, cluster_by, n_files)
-        entry = self._write_batch_files(out, bid, fmt)
+        entry = self._write_batch_files(
+            out, bid, fmt,
+            partition=partition_by_day and "_day" in out.columns)
 
         def mutate(live):
+            self._check_evolution(live, fields, replacing=bid)
             return [b for b in live if b["batch"] != bid] + [entry]
 
         self._commit(mutate)
         return bid
 
-    def _write_batch_files(self, out: DataFrame, bid: str,
-                           fmt: str, rows: int | None = None) -> dict:
+    def _write_batch_files(self, out: DataFrame, bid: str, fmt: str,
+                           rows: int | None = None,
+                           partition: bool | None = None) -> dict:
         """Write one batch's files to a fresh physical dir and build
         its manifest entry (schema + zone maps) — NO commit; callers
-        fold the entry into their own version commit."""
+        fold the entry into their own version commit. ``partition``
+        defaults to "_day is present" (the rewrite paths reproduce the
+        layout they read); write() passes its partition_by_day intent
+        so an explicit opt-out is honored even when the caller's frame
+        carries its own _day column."""
         pdir = f"{bid}--{uuid.uuid4().hex[:8]}"
         path = f"{self.batches_dir}/{pdir}"
         writer = out.write.mode("overwrite").format(fmt)
-        if "_day" in out.columns:
+        if partition is None:
+            partition = "_day" in out.columns
+        if partition:
             writer = writer.partitionBy("_day")
         writer.save(path)
         if rows is None:
@@ -345,22 +360,25 @@ class ManifestedTable:
             entry["files"] = files
         return entry
 
-    def _check_evolution(self, out: DataFrame,
+    @staticmethod
+    def _check_evolution(live: list[dict], fields: list[dict],
                          replacing: str | None = None) -> None:
         """Add-only schema evolution (the reference metastore's rule,
         `ingest/catalog.py` semantics at the table-commit layer): a new
         batch may ADD columns, but a column shared with any live batch
         must keep its exact type — a silent int→string flip would fail
         only at read time, in whichever reader happens to union the
-        two. Type COERCION is the ingest layer's job (ingest/rules.py);
-        by the time data reaches the sink its types are settled."""
+        two. Validated against a CALLER-SUPPLIED live set so commit
+        loops can re-check each OCC attempt. Type COERCION is the
+        ingest layer's job (ingest/rules.py); by the time data reaches
+        the sink its types are settled."""
         have = {}
-        for m in self.committed():
+        for m in live:
             if m["batch"] == replacing:
                 continue    # a replayed batch may carry a corrected type
             for f in (m.get("schema") or {}).get("fields", []):
                 have.setdefault(f["name"], (f["type"], m["batch"]))
-        for f in json.loads(out.schema.json())["fields"]:
+        for f in fields:
             prior = have.get(f["name"])
             if prior is not None and prior[0] != f["type"]:
                 raise ValueError(
@@ -368,6 +386,88 @@ class ManifestedTable:
                     f"{f['name']!r}: batch {prior[1]!r} committed type "
                     f"{prior[0]}, new batch has {f['type']} — evolution "
                     f"is add-only; coerce upstream (ingest/rules.py)")
+
+    def _cow_rewrite(self, spark: SparkSession, inputs: list[dict],
+                     transform, prune: dict | None,
+                     fmt: str) -> tuple[dict, dict, dict]:
+        """Shared copy-on-write engine for delete_where/upsert: for
+        each input batch either skip it (zone-map-disjoint, or
+        ``transform`` returns None) or rewrite it without its matched
+        rows. Returns (replacements, orig_dirs, counters) —
+        replacements maps batch id → new entry (None = drop), and
+        orig_dirs records each touched batch's snapshot directory so
+        the commit can detect a concurrent replacement instead of
+        silently losing the rewrite."""
+        kept = rewritten = dropped = removed = 0
+        replacements: dict[str, dict | None] = {}
+        orig_dirs: dict[str, str] = {}
+        for m in inputs:
+            if prune and not _batch_overlaps(m, prune):
+                kept += 1
+                continue
+            src = self._read_batches(spark, [m])
+            out = transform(src)
+            if out is None:
+                kept += 1
+                continue
+            rows = out.count()
+            if rows == m.get("rows"):
+                kept += 1
+                continue
+            removed += m.get("rows", 0) - rows
+            orig_dirs[m["batch"]] = self._dir_of(m)
+            if rows == 0:
+                dropped += 1
+                replacements[m["batch"]] = None
+                continue
+            replacements[m["batch"]] = self._write_batch_files(
+                out, m["batch"], fmt, rows=rows)
+            rewritten += 1
+        return replacements, orig_dirs, {
+            "rewritten": rewritten, "kept": kept, "dropped": dropped,
+            "removed": removed}
+
+    def _swap_mutate(self, replacements: dict, orig_dirs: dict,
+                     extra: dict | None = None,
+                     extra_fields: list[dict] | None = None):
+        """Mutate callback swapping rewritten batches in by IDENTITY:
+        a touched batch whose directory changed since the snapshot (a
+        concurrent compact/retry replaced it) raises CommitConflict —
+        losing a takedown or resurrecting pre-delete data silently is
+        never acceptable. ``extra`` appends a new batch in the same
+        commit (upsert's insert), re-validating schema evolution
+        against each attempt's live set."""
+
+        def mutate(live):
+            seen: set[str] = set()
+            out_live = []
+            for b in live:
+                bid = b["batch"]
+                if bid in replacements:
+                    if self._dir_of(b) != orig_dirs.get(bid):
+                        raise CommitConflict(
+                            f"batch {bid!r} was replaced concurrently "
+                            f"— re-run against the new table state")
+                    seen.add(bid)
+                    rep = replacements[bid]
+                    if rep is not None:
+                        out_live.append(rep)
+                elif extra is not None and bid == extra["batch"]:
+                    continue               # retry replaces its own batch
+                else:
+                    out_live.append(b)
+            gone = set(replacements) - seen
+            if gone:
+                raise CommitConflict(
+                    f"batches {sorted(gone)} left the live set "
+                    f"concurrently — re-run against the new table state")
+            if extra is not None:
+                self._check_evolution(out_live, extra_fields or [],
+                                      replacing=extra["batch"])
+                out_live = out_live + [extra]
+            return out_live
+
+        return mutate
 
     # -- read ---------------------------------------------------------------
 
@@ -513,20 +613,24 @@ class ManifestedTable:
         bid = f"compact-{uuid.uuid4().hex}"
         df = self._clustered(self._read_batches(spark, inputs),
                              cluster_by, n_files)
-        path = f"{self.batches_dir}/{bid}"
-        df.write.mode("overwrite").format(fmt).save(path)
-        rows = spark.read.format(fmt).load(path).count()
-        entry = {"batch": bid, "dir": bid, "rows": rows, "format": fmt,
-                 "schema": json.loads(df.schema.json())}
-        stats, files = _footer_stats(path, fmt)
-        if stats:
-            entry["stats"] = stats
-        if files:
-            entry["files"] = files
-        consumed = {b["batch"] for b in inputs}
+        entry = self._write_batch_files(df, bid, fmt)
+        consumed = {b["batch"]: self._dir_of(b) for b in inputs}
 
         def mutate(live):
-            return [b for b in live if b["batch"] not in consumed] + [entry]
+            out_live = []
+            for b in live:
+                if b["batch"] in consumed:
+                    # identity check: a consumed input replaced
+                    # concurrently (delete/upsert/retry) holds data
+                    # the compacted output was NOT built from —
+                    # removing it would resurrect the pre-rewrite rows
+                    if self._dir_of(b) != consumed[b["batch"]]:
+                        raise CommitConflict(
+                            f"batch {b['batch']!r} was replaced during "
+                            f"compaction — re-run compact()")
+                    continue
+                out_live.append(b)
+            return out_live + [entry]
 
         self._commit(mutate)
         return bid
@@ -550,56 +654,36 @@ class ManifestedTable:
         {col: (lo, hi)} interval map read() takes and should cover the
         condition (it is an optimization — rewriting extra batches is
         correct, skipping a matching batch is not, so zone maps only
-        SKIP batches proven disjoint). Returns {"rewritten", "kept",
-        "dropped", "rows_deleted"}."""
-        inputs = self.committed()
-        kept, rewritten, dropped, deleted = 0, 0, 0, 0
-        replacements: dict[str, dict | None] = {}
-        for m in inputs:
-            if prune and not _batch_overlaps(m, prune):
-                kept += 1
-                continue
-            src = self._read_batches(spark, [m])
+        SKIP batches proven disjoint). A batch a concurrent commit
+        replaced mid-delete raises CommitConflict rather than silently
+        losing the erasure. Returns {"rewritten", "kept", "dropped",
+        "rows_deleted"}."""
+        from pyspark.errors import AnalysisException
+
+        def transform(src):
             # delete only rows where the condition is TRUE: a NULL
             # evaluation must KEEP the row (filter(~cond) alone would
             # silently drop NULL-evaluating rows), and a batch missing
-            # a condition column cannot match at all
+            # a condition column cannot match at all (unresolved-column
+            # AnalysisException only — a genuine failure must surface,
+            # not masquerade as a completed takedown)
             try:
-                out = src.filter(~F.coalesce(condition, F.lit(False)))
-            except Exception:
-                kept += 1                  # column absent in this batch
-                continue
-            # count BEFORE writing: a no-match batch skips the rewrite
-            # entirely (no churn, no orphan) and a fully-matched batch
-            # drops without writing an empty directory
-            rows = out.count()
-            if rows == m.get("rows"):
-                kept += 1
-                continue
-            deleted += m.get("rows", 0) - rows
-            if rows == 0:
-                dropped += 1
-                replacements[m["batch"]] = None
-                continue
-            replacements[m["batch"]] = self._write_batch_files(
-                out, m["batch"], fmt, rows=rows)
-            rewritten += 1
+                return src.filter(~F.coalesce(condition, F.lit(False)))
+            except AnalysisException as e:
+                get_cls = getattr(e, "getCondition", None) \
+                    or getattr(e, "getErrorClass", None)
+                cls = (get_cls() if get_cls else None) or str(e)
+                if "UNRESOLVED_COLUMN" in cls:
+                    return None
+                raise
 
-        def mutate(live):
-            out_live = []
-            for b in live:
-                if b["batch"] in replacements:
-                    rep = replacements[b["batch"]]
-                    if rep is not None:
-                        out_live.append(rep)
-                else:
-                    out_live.append(b)     # concurrent commits survive
-            return out_live
-
+        replacements, orig_dirs, counters = self._cow_rewrite(
+            spark, self.committed(), transform, prune, fmt)
         if replacements:
-            self._commit(mutate)
-        return {"rewritten": rewritten, "kept": kept,
-                "dropped": dropped, "rows_deleted": deleted}
+            self._commit(self._swap_mutate(replacements, orig_dirs))
+        return {"rewritten": counters["rewritten"],
+                "kept": counters["kept"], "dropped": counters["dropped"],
+                "rows_deleted": counters["removed"]}
 
     def upsert(self, spark: SparkSession, updates: DataFrame, key: str,
                batch_id: str | None = None,
@@ -614,82 +698,71 @@ class ManifestedTable:
         All swaps plus the insert publish in ONE version commit.
         Retrying with the same ``batch_id`` is idempotent: the already-
         replaced keys anti-join to nothing and the new batch swaps for
-        its previous incarnation. Concurrency caveat: a WRITER that
-        commits the same key between this upsert's snapshot and its
+        its previous incarnation. Updates must carry UNIQUE, non-null
+        keys (Delta MERGE's multiple-source-match error), and the
+        updates frame is localCheckpointed first so every evaluation
+        (bounds, per-batch anti-joins, the insert) sees one immutable
+        snapshot. A batch a concurrent commit replaced mid-merge
+        raises CommitConflict. Concurrency caveat: a writer that
+        INSERTS the same key between this upsert's snapshot and its
         commit is not conflict-detected (the OCC protocol serializes
-        version swaps, not key ownership) — the key then appears in
-        both batches until the next upsert/compact; full Delta-style
+        version swaps, not key ownership); full Delta-style
         serializability would add read-set conflict checks at commit.
         Returns {"rewritten", "kept", "dropped", "rows_replaced",
         "batch"}."""
         bid = batch_id or uuid.uuid4().hex
+        if "/" in bid or bid.startswith("."):
+            raise ValueError(f"invalid batch_id: {bid!r}")
+        updates = updates.localCheckpoint()
         bounds = updates.agg(
             F.min(F.col(key)).alias("_lo"),
             F.max(F.col(key)).alias("_hi"),
             F.count(F.lit(1)).alias("_n"),
-            F.count(key).alias("_nk")).collect()[0]
+            F.count(key).alias("_nk"),
+            F.countDistinct(key).alias("_nd")).collect()[0]
         if bounds._n == 0:
             return {"rewritten": 0, "kept": len(self.committed()),
                     "dropped": 0, "rows_replaced": 0, "batch": None}
         if bounds._nk != bounds._n:
             raise ValueError(f"upsert key {key!r} must be non-null")
-        prune = {key: (bounds._lo, bounds._hi)}
+        if bounds._nd != bounds._n:
+            raise ValueError(
+                f"updates carry duplicate {key!r} values — a MERGE "
+                f"source must match each key at most once")
+        # the internal prune is CORRECTNESS-bearing (a wrongly skipped
+        # batch keeps its old row alongside the new one), so only
+        # numeric keys prune — datetime/str canonicalization depends on
+        # conventions (session tz) a caller may not follow
+        lo, hi = _canon_stat(bounds._lo), _canon_stat(bounds._hi)
+        prune = ({key: (bounds._lo, bounds._hi)}
+                 if isinstance(lo, (int, float))
+                 and isinstance(hi, (int, float)) else None)
         upd_keys = updates.select(F.col(key)).distinct()
 
-        inputs = self.committed()
-        kept, rewritten, dropped, replaced = 0, 0, 0, 0
-        replacements: dict[str, dict | None] = {}
-        for m in inputs:
-            if m["batch"] == bid:
-                continue           # the retry's own prior incarnation
-            if not _batch_overlaps(m, prune):
-                kept += 1
-                continue
-            src = self._read_batches(spark, [m])
+        def transform(src):
             if key not in src.columns:
-                kept += 1
-                continue
-            out = src.join(F.broadcast(upd_keys), key, "left_anti")
-            rows = out.count()
-            if rows == m.get("rows"):
-                kept += 1
-                continue
-            replaced += m.get("rows", 0) - rows
-            if rows == 0:
-                dropped += 1
-                replacements[m["batch"]] = None
-                continue
-            replacements[m["batch"]] = self._write_batch_files(
-                out, m["batch"], fmt, rows=rows)
-            rewritten += 1
+                return None
+            return src.join(F.broadcast(upd_keys), key, "left_anti")
+
+        inputs = [m for m in self.committed() if m["batch"] != bid]
+        replacements, orig_dirs, counters = self._cow_rewrite(
+            spark, inputs, transform, prune, fmt)
 
         # the updates batch itself, folded into the SAME commit as the
         # rewrites — no intermediate version ever shows an old and a
         # new row for the same key
         upd = updates
-        if "/" in bid or bid.startswith("."):
-            raise ValueError(f"invalid batch_id: {bid!r}")
         if "_time" in upd.columns:
             upd = upd.withColumn("_day", F.to_date("_time"))
-        self._check_evolution(upd, replacing=bid)
+        fields = json.loads(upd.schema.json())["fields"]
+        self._check_evolution(self.committed(), fields, replacing=bid)
         new_entry = self._write_batch_files(upd, bid, fmt)
-
-        def mutate(live):
-            out_live = []
-            for b in live:
-                if b["batch"] == bid:
-                    continue               # retry replaces its own batch
-                if b["batch"] in replacements:
-                    rep = replacements[b["batch"]]
-                    if rep is not None:
-                        out_live.append(rep)
-                else:
-                    out_live.append(b)
-            return out_live + [new_entry]
-
-        self._commit(mutate)
-        return {"rewritten": rewritten, "kept": kept, "dropped": dropped,
-                "rows_replaced": replaced, "batch": bid}
+        self._commit(self._swap_mutate(replacements, orig_dirs,
+                                       extra=new_entry,
+                                       extra_fields=fields))
+        return {"rewritten": counters["rewritten"],
+                "kept": counters["kept"], "dropped": counters["dropped"],
+                "rows_replaced": counters["removed"], "batch": bid}
 
     def orphans(self) -> list[str]:
         """Batch dirs the CURRENT version does not reference — crashed

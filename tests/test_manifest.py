@@ -399,7 +399,8 @@ def test_clustered_write_and_compact_disjoint_file_ranges(spark, tmp_path):
     t.write(_df(spark, list(range(1, 100, 2))), batch_id="odd")
     cid = t.compact(spark, cluster_by=["id"], n_files=4)
     assert sorted(r.id for r in t.read(spark).collect()) == list(range(100))
-    ranges = file_ranges(f"{t.batches_dir}/{cid}")
+    cdir = next(m["dir"] for m in t.committed() if m["batch"] == cid)
+    ranges = file_ranges(f"{t.batches_dir}/{cdir}")
     assert len(ranges) >= 3                      # actually split
     for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
         assert hi1 < lo2                         # disjoint, ordered
@@ -624,3 +625,58 @@ def test_upsert_merge_on_key(spark, tmp_path):
             "id", F.lit(None).cast("long")), "id")
     res0 = t.upsert(spark, _df(spark, []), "id")
     assert res0["batch"] is None and res0["rows_replaced"] == 0
+
+
+def test_cow_swap_detects_concurrent_replacement(spark, tmp_path):
+    """The rewrite commit swaps by IDENTITY: a touched batch whose
+    directory changed since the snapshot (concurrent compact/retry),
+    or that left the live set entirely, raises CommitConflict instead
+    of silently losing a takedown or resurrecting pre-delete data."""
+    from rakam_api_collector_spark.manifest import CommitConflict
+
+    t = ManifestedTable(str(tmp_path), "proj", "events")
+    t.write(_df(spark, [1, 2]), batch_id="b1")
+    m = t.committed()[0]
+    mut = t._swap_mutate({"b1": None}, {"b1": m["dir"]})
+    assert mut([dict(m)]) == []                     # clean swap drops it
+    with pytest.raises(CommitConflict, match="replaced concurrently"):
+        mut([{**m, "dir": "b1--deadbeef"}])
+    with pytest.raises(CommitConflict, match="left the live set"):
+        mut([])
+
+
+def test_upsert_rejects_duplicate_source_keys_and_string_keys_work(
+        spark, tmp_path):
+    """Duplicate keys in the MERGE source are rejected up front (the
+    Delta multiple-source-match rule); a STRING key disables the
+    internal zone-map prune (correctness-bearing there) but the merge
+    itself stays exact."""
+    t = ManifestedTable(str(tmp_path), "proj", "events")
+    t.write(_df(spark, [1]).withColumn("k", F.lit("a")), batch_id="b1")
+    dup = (_df(spark, [8, 9])
+           .withColumn("k", F.lit("x")))            # both rows key 'x'
+    with pytest.raises(ValueError, match="duplicate"):
+        t.upsert(spark, dup, "k")
+    upd = _df(spark, [7]).withColumn("k", F.lit("a"))
+    res = t.upsert(spark, upd, "k", batch_id="u1")
+    assert res["rows_replaced"] == 1 and res["dropped"] == 1
+    rows = {r.k: r.id for r in t.read(spark).collect()}
+    assert rows == {"a": 7}
+
+
+def test_write_type_conflict_checked_inside_commit(spark, tmp_path):
+    """The evolution check re-runs inside the OCC mutate against each
+    attempt's live set, so a conflicting type cannot slip in between
+    the pre-flight check and the version swap."""
+    t = ManifestedTable(str(tmp_path), "proj", "events")
+    t.write(_df(spark, [1]).withColumn("v", F.lit(1).cast("long")),
+            batch_id="b1")
+    good = _df(spark, [2]).withColumn("v", F.lit("s"))
+    # simulate the race: hand the mutate a live set that gained the
+    # conflicting column after the pre-flight snapshot
+    import json as _json
+    fields = _json.loads(
+        good.withColumn("_day", F.to_date("_time")).schema.json()
+    )["fields"]
+    with pytest.raises(ValueError, match="add-only"):
+        t._check_evolution(t.committed(), fields, replacing="b2")
