@@ -124,19 +124,22 @@ class MinHashStore:
     def _matches(self, new_sigs: DataFrame) -> DataFrame:
         """(new_id, matched_id, est_jac): new docs vs the STORE plus new
         docs vs smaller-id docs in the SAME batch (greedy in-batch rule:
-        first id of a duplicate group survives)."""
+        first id of a duplicate group survives). One bucket join: the
+        store's buckets and the batch's own buckets union into a single
+        tagged right side, so the new batch's (id, band, bh) stream is
+        scanned and shuffled once instead of once per candidate
+        source."""
         nb = new_sigs.select("_id", F.posexplode("_bands")
                              .alias("band", "bh"))
-        store_cand = (nb.join(self.stored_buckets()
-                              .select(F.col("_id").alias("_old"),
-                                      "band", "bh"),
-                              ["band", "bh"])
-                      .select(F.col("_id"), F.col("_old")))
-        batch_cand = (nb.join(nb.select(F.col("_id").alias("_old"),
-                                        "band", "bh"), ["band", "bh"])
-                      .filter(F.col("_old") < F.col("_id"))
-                      .select("_id", "_old"))
-        cand = store_cand.unionByName(batch_cand).distinct()
+        right = (self.stored_buckets()
+                 .select(F.col("_id").alias("_old"), "band", "bh")
+                 .withColumn("_stored", F.lit(True))
+                 .unionByName(nb.select(F.col("_id").alias("_old"),
+                                        "band", "bh")
+                              .withColumn("_stored", F.lit(False))))
+        cand = (nb.join(right, ["band", "bh"])
+                .filter(F.col("_stored") | (F.col("_old") < F.col("_id")))
+                .select("_id", "_old").distinct())
 
         sig_all = (self.stored_sigs().select("_id", "_sig")
                    .unionByName(new_sigs.select("_id", "_sig"))
