@@ -158,6 +158,20 @@ def op_ann_lsh(spark, k: int) -> DataFrame:
             .groupBy().agg(F.count("*").alias("hits")))
 
 
+def op_exact_topk_blocked(spark, k: int) -> DataFrame:
+    """Blocked exact cosine top-k (llm12's gate / the exact-pass scale
+    shape): corpus ×K under per-replica orthogonal transforms, fixed
+    5-query side — per-batch matmul + local top-k keeps the window
+    input at batches×|q|×k rows, so wall must scale with the scan."""
+    base = load_table(spark, SF_DIR, "embeddings")
+    corpus = (amplified(spark, base, k, {"vec_id": 10_000_000})
+              .select("vec_id", rep_signs("embedding").alias("embedding")))
+    queries = base.filter(F.col("vec_id") < 5)
+    return (S.cosine_topk_blocked(corpus, queries, "vec_id",
+                                  "embedding", k=10)
+            .groupBy().agg(F.count("*").alias("hits")))
+
+
 OPS = {
     "agg_q1": (op_agg_q1, "lineitem", 600_000),
     "join_orders": (op_join_orders, "lineitem+orders", 750_000),
@@ -165,6 +179,7 @@ OPS = {
     "exact_dedup": (op_exact_dedup, "documents", 5_000),
     "minhash_pairs": (op_minhash, "documents", 5_000),
     "ann_lsh": (op_ann_lsh, "embeddings", 2_000),
+    "exact_topk_blocked": (op_exact_topk_blocked, "embeddings", 2_000),
 }
 
 
