@@ -53,6 +53,50 @@ class CommitConflict(RuntimeError):
     """Raised when the optimistic-concurrency retry budget is exhausted."""
 
 
+def run_maintenance(spark: SparkSession, base: str,
+                    min_batches: int = 8,
+                    cluster_by: dict | None = None,
+                    keep_versions: int = 2,
+                    grace_seconds: float = 3600.0) -> list[dict]:
+    """The shard-organizer sweep (the reference runs this as a periodic
+    daemon over its Raptor shard registry): walk every
+    ``base/<project>/<collection>`` table, compact any whose live batch
+    count reached ``min_batches`` — streaming commits one batch per
+    epoch per collection, so small batches accrete continuously —
+    optionally range-clustering per collection (``cluster_by
+    = {collection: [cols]}``), then gc aged versions/orphans. A table
+    whose compaction loses a concurrency race is reported and skipped
+    (the next sweep retries); per-table reports list batches before,
+    the compacted batch id, and dirs removed."""
+    reports = []
+    try:
+        projects = sorted(os.listdir(base))
+    except FileNotFoundError:
+        return reports
+    for proj in projects:
+        pdir = os.path.join(base, proj)
+        if not os.path.isdir(pdir):
+            continue
+        for coll in sorted(os.listdir(pdir)):
+            if not os.path.isdir(os.path.join(pdir, coll, "_versions")):
+                continue
+            t = ManifestedTable(base, proj, coll)
+            n = len(t.committed())
+            report = {"project": proj, "collection": coll, "batches": n}
+            if n >= min_batches:
+                keys = (cluster_by or {}).get(coll)
+                try:
+                    report["compacted"] = t.compact(
+                        spark, cluster_by=keys)
+                except CommitConflict:
+                    report["conflict"] = True
+            report["gc_removed"] = len(
+                t.gc(keep_versions=keep_versions,
+                     grace_seconds=grace_seconds))
+            reports.append(report)
+    return reports
+
+
 def _canon_stat(v):
     """Canonicalize a footer statistic (or a caller's prune bound) to a
     JSON-storable value whose PYTHON comparison order matches the

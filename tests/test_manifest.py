@@ -680,3 +680,36 @@ def test_write_type_conflict_checked_inside_commit(spark, tmp_path):
     )["fields"]
     with pytest.raises(ValueError, match="add-only"):
         t._check_evolution(t.committed(), fields, replacing="b2")
+
+
+def test_run_maintenance_shard_organizer_sweep(spark, tmp_path):
+    """The periodic sweep compacts only tables that accreted enough
+    epoch batches, leaves small tables alone, clusters where told, and
+    gc's the consumed inputs once outside the grace window — the
+    reference's shard-organizer daemon as one idempotent function."""
+    from rakam_api_collector_spark.manifest import run_maintenance
+
+    big = ManifestedTable(str(tmp_path), "p1", "events")
+    for i in range(4):
+        big.write(_df(spark, [i]), batch_id=f"e{i}")
+    small = ManifestedTable(str(tmp_path), "p1", "tiny")
+    small.write(_df(spark, [99]), batch_id="only")
+
+    reports = run_maintenance(spark, str(tmp_path), min_batches=3,
+                              cluster_by={"events": ["id"]},
+                              keep_versions=1, grace_seconds=0)
+    by_coll = {r["collection"]: r for r in reports}
+    assert by_coll["events"]["batches"] == 4
+    assert by_coll["events"]["compacted"].startswith("compact-")
+    assert by_coll["events"]["gc_removed"] == 4   # consumed inputs gone
+    assert "compacted" not in by_coll["tiny"]
+    assert sorted(r.id for r in big.read(spark).collect()) == [0, 1, 2, 3]
+    assert sorted(r.id for r in small.read(spark).collect()) == [99]
+    # idempotent: second sweep finds 1 batch each, nothing to do
+    again = {r["collection"]: r for r in
+             run_maintenance(spark, str(tmp_path), min_batches=3,
+                             keep_versions=1, grace_seconds=0)}
+    assert again["events"]["batches"] == 1
+    assert "compacted" not in again["events"]
+    # empty base: no-op
+    assert run_maintenance(spark, str(tmp_path / "nope")) == []
