@@ -81,18 +81,26 @@ def run_maintenance(spark: SparkSession, base: str,
             if not os.path.isdir(os.path.join(pdir, coll, "_versions")):
                 continue
             t = ManifestedTable(base, proj, coll)
-            n = len(t.committed())
-            report = {"project": proj, "collection": coll, "batches": n}
-            if n >= min_batches:
-                keys = (cluster_by or {}).get(coll)
-                try:
-                    report["compacted"] = t.compact(
-                        spark, cluster_by=keys)
-                except CommitConflict:
-                    report["conflict"] = True
-            report["gc_removed"] = len(
-                t.gc(keep_versions=keep_versions,
-                     grace_seconds=grace_seconds))
+            report = {"project": proj, "collection": coll}
+            # per-table fault isolation: a daemon sweep must not let
+            # one bad table (corrupt file, bad cluster key, races)
+            # starve every table sorting after it
+            try:
+                n = len(t.committed())
+                report["batches"] = n
+                if n >= min_batches:
+                    keys = (cluster_by or {}).get(
+                        f"{proj}/{coll}", (cluster_by or {}).get(coll))
+                    try:
+                        report["compacted"] = t.compact(
+                            spark, cluster_by=keys)
+                    except CommitConflict:
+                        report["conflict"] = True
+                report["gc_removed"] = len(
+                    t.gc(keep_versions=keep_versions,
+                         grace_seconds=grace_seconds))
+            except Exception as e:  # noqa: BLE001 — reported, not fatal
+                report["error"] = f"{type(e).__name__}: {e}"
             reports.append(report)
     return reports
 
@@ -848,10 +856,19 @@ class ManifestedTable:
             full = f"{self.batches_dir}/{d}"
             if d in referenced:
                 continue
-            if now - os.path.getmtime(full) < grace_seconds:
-                continue                       # possible in-flight writer
-            shutil.rmtree(full)
+            # a CONCURRENT sweep may win the race on any path between
+            # our listing and our delete — losing that race is success
+            # (the garbage is gone), not an abort of the rest
+            try:
+                if now - os.path.getmtime(full) < grace_seconds:
+                    continue                   # possible in-flight writer
+                shutil.rmtree(full)
+            except FileNotFoundError:
+                continue
             removed.append(d)
         for n in ns[:-keep_versions] if keep_versions else ns:
-            os.unlink(f"{self.versions_dir}/v{n:010d}.json")
+            try:
+                os.unlink(f"{self.versions_dir}/v{n:010d}.json")
+            except FileNotFoundError:
+                pass                           # concurrent sweep pruned it
         return removed

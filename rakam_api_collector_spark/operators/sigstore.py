@@ -131,15 +131,38 @@ class MinHashStore:
         source."""
         nb = new_sigs.select("_id", F.posexplode("_bands")
                              .alias("band", "bh"))
-        right = (self.stored_buckets()
-                 .select(F.col("_id").alias("_old"), "band", "bh")
-                 .withColumn("_stored", F.lit(True))
-                 .unionByName(nb.select(F.col("_id").alias("_old"),
-                                        "band", "bh")
-                              .withColumn("_stored", F.lit(False))))
-        cand = (nb.join(right, ["band", "bh"])
-                .filter(F.col("_stored") | (F.col("_old") < F.col("_id")))
-                .select("_id", "_old").distinct())
+        if self.bucket_table and self.spark.catalog.tableExists(
+                self.bucket_table):
+            # bucketed catalog store: keep the store join SEPARATE so
+            # the bucketed scan's HashPartitioning(bh) satisfies the
+            # join distribution and only the tiny batch side shuffles —
+            # a union would erase that partitioning and re-shuffle the
+            # ever-growing store every batch
+            store_cand = (nb.join(self.stored_buckets()
+                                  .select(F.col("_id").alias("_old"),
+                                          "band", "bh"),
+                                  ["band", "bh"])
+                          .select("_id", "_old"))
+            batch_cand = (nb.join(nb.select(F.col("_id").alias("_old"),
+                                            "band", "bh"),
+                                  ["band", "bh"])
+                          .filter(F.col("_old") < F.col("_id"))
+                          .select("_id", "_old"))
+            cand = store_cand.unionByName(batch_cand).distinct()
+        else:
+            # derived store buckets (a plain parquet scan with no
+            # useful partitioning): one tagged union join scans and
+            # shuffles the batch's bucket stream once
+            right = (self.stored_buckets()
+                     .select(F.col("_id").alias("_old"), "band", "bh")
+                     .withColumn("_stored", F.lit(True))
+                     .unionByName(nb.select(F.col("_id").alias("_old"),
+                                            "band", "bh")
+                                  .withColumn("_stored", F.lit(False))))
+            cand = (nb.join(right, ["band", "bh"])
+                    .filter(F.col("_stored")
+                            | (F.col("_old") < F.col("_id")))
+                    .select("_id", "_old").distinct())
 
         sig_all = (self.stored_sigs().select("_id", "_sig")
                    .unionByName(new_sigs.select("_id", "_sig"))

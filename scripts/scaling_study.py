@@ -145,14 +145,19 @@ def op_minhash(spark, k: int) -> DataFrame:
             .groupBy().agg(F.count("*").alias("pairs")))
 
 
-def op_ann_lsh(spark, k: int) -> DataFrame:
-    """LSH ANN (llm12 shape): corpus ×K under per-replica orthogonal
-    transforms, fixed 5-query probe side — the corpus-signature side is
-    what scales at 100 TB."""
+def _embedding_workload(spark, k: int):
+    """Shared ANN/exact-top-k inputs: corpus ×K under per-replica
+    orthogonal transforms, fixed 5-query probe side."""
     base = load_table(spark, SF_DIR, "embeddings")
     corpus = (amplified(spark, base, k, {"vec_id": 10_000_000})
               .select("vec_id", rep_signs("embedding").alias("embedding")))
-    queries = base.filter(F.col("vec_id") < 5)
+    return corpus, base.filter(F.col("vec_id") < 5)
+
+
+def op_ann_lsh(spark, k: int) -> DataFrame:
+    """LSH ANN (llm12 shape) — the corpus-signature side is what
+    scales at 100 TB."""
+    corpus, queries = _embedding_workload(spark, k)
     return (S.ann_lsh_topk(corpus, queries, "vec_id", "embedding",
                            k=10, bits=6, tables=8, dim=64, probe_bits=3)
             .groupBy().agg(F.count("*").alias("hits")))
@@ -160,13 +165,9 @@ def op_ann_lsh(spark, k: int) -> DataFrame:
 
 def op_exact_topk_blocked(spark, k: int) -> DataFrame:
     """Blocked exact cosine top-k (llm12's gate / the exact-pass scale
-    shape): corpus ×K under per-replica orthogonal transforms, fixed
-    5-query side — per-batch matmul + local top-k keeps the window
-    input at batches×|q|×k rows, so wall must scale with the scan."""
-    base = load_table(spark, SF_DIR, "embeddings")
-    corpus = (amplified(spark, base, k, {"vec_id": 10_000_000})
-              .select("vec_id", rep_signs("embedding").alias("embedding")))
-    queries = base.filter(F.col("vec_id") < 5)
+    shape): per-batch matmul + local top-k keeps the window input at
+    batches×|q|×k rows, so wall must scale with the scan."""
+    corpus, queries = _embedding_workload(spark, k)
     return (S.cosine_topk_blocked(corpus, queries, "vec_id",
                                   "embedding", k=10)
             .groupBy().agg(F.count("*").alias("hits")))

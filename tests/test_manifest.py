@@ -713,3 +713,28 @@ def test_run_maintenance_shard_organizer_sweep(spark, tmp_path):
     assert "compacted" not in again["events"]
     # empty base: no-op
     assert run_maintenance(spark, str(tmp_path / "nope")) == []
+
+
+def test_maintenance_isolates_per_table_failures(spark, tmp_path):
+    """A bad cluster key (or any per-table failure) is reported on that
+    table and the sweep continues — one sick table must not starve the
+    tables sorting after it. cluster_by accepts project-scoped keys."""
+    from rakam_api_collector_spark.manifest import run_maintenance
+
+    bad = ManifestedTable(str(tmp_path), "p1", "aaa")
+    for i in range(3):
+        bad.write(_df(spark, [i]), batch_id=f"b{i}")
+    good = ManifestedTable(str(tmp_path), "p1", "zzz")
+    for i in range(3):
+        good.write(_df(spark, [i]), batch_id=f"b{i}")
+
+    reports = run_maintenance(
+        spark, str(tmp_path), min_batches=3,
+        cluster_by={"aaa": ["no_such_column"], "p1/zzz": ["id"]},
+        keep_versions=1, grace_seconds=0)
+    by_coll = {r["collection"]: r for r in reports}
+    assert "error" in by_coll["aaa"]          # reported, not fatal
+    assert by_coll["zzz"]["compacted"].startswith("compact-")
+    assert sorted(r.id for r in good.read(spark).collect()) == [0, 1, 2]
+    # the failed table is untouched and still readable
+    assert sorted(r.id for r in bad.read(spark).collect()) == [0, 1, 2]
