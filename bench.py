@@ -98,9 +98,28 @@ def main() -> None:
     # prefix before the second underscore.
     prev: dict[str, float] = {}
     here = os.path.dirname(os.path.abspath(__file__))
+    # Anchor explicitly to round N-1, never the CURRENT round: the
+    # driver writes BENCH_r{N}.json mid-round, so "highest file" would
+    # silently re-anchor to this round's own numbers. The current round
+    # is (VERDICT.md's round) + 1 — the judge stamps it per round —
+    # overridable via SPARK_GRAFT_BENCH_ANCHOR_ROUND; files from that
+    # round or later are excluded from anchoring.
+    cur_round = None
+    env_r = os.environ.get("SPARK_GRAFT_BENCH_ANCHOR_ROUND")
+    if env_r and env_r.isdigit():
+        cur_round = int(env_r) + 1
+    else:
+        try:
+            with open(os.path.join(here, "VERDICT.md")) as fh:
+                m = re.search(r"round\s+(\d+)", fh.readline())
+            cur_round = int(m.group(1)) + 1 if m else None
+        except OSError:
+            cur_round = None
     rounds = sorted(
         (f for f in os.listdir(here)
-         if re.fullmatch(r"BENCH_r\d+\.json", f)),
+         if re.fullmatch(r"BENCH_r\d+\.json", f)
+         and (cur_round is None
+              or int(re.search(r"\d+", f).group()) < cur_round)),
         key=lambda f: int(re.search(r"\d+", f).group()))
     for anchor in ([os.path.join(here, rounds[-1])] if rounds else []) + \
             [os.path.join(here, "BENCH_DETAIL.json")]:

@@ -227,6 +227,47 @@ def _footer_stats(path: str, fmt: str, max_cols: int = 32,
     return (batch or None), files
 
 
+def _tz_normalize_prune(spark: SparkSession | None,
+                        prune: dict | None) -> dict | None:
+    """Normalize a caller's prune bounds to the UTC-instant convention
+    the stored zone maps use (parquet footer timestamps are UTC
+    instants; _canon_stat emits them as naive UTC ISO strings).
+
+    Spark renders and filters timestamps in the SESSION time zone, so
+    a caller who passes the same naive datetime they use in their row
+    filter means a session-local instant, not a UTC one. Interpreting
+    it as UTC on a non-UTC session could prune a batch that contains
+    matching rows — silent data loss, because prune callers rely on
+    their predicate running over the pruned scan. Naive datetime
+    bounds are therefore converted FROM the active session time zone
+    TO UTC here (a no-op on UTC sessions); tz-aware bounds already
+    normalize inside _canon_stat. An unresolvable session zone keeps
+    the bound unconverted (the documented already-UTC convention)."""
+    import datetime as _dt
+
+    if not prune or not any(
+            isinstance(b, _dt.datetime) and b.tzinfo is None
+            for lo_hi in prune.values() for b in lo_hi):
+        return prune
+    tz = None
+    if spark is not None:
+        try:
+            from zoneinfo import ZoneInfo
+            tz = ZoneInfo(spark.conf.get("spark.sql.session.timeZone"))
+        except Exception:  # noqa: BLE001 — unresolvable zone: keep UTC
+            tz = None
+    if tz is None:
+        return prune
+
+    def conv(b):
+        if isinstance(b, _dt.datetime) and b.tzinfo is None:
+            return (b.replace(tzinfo=tz)
+                    .astimezone(_dt.timezone.utc).replace(tzinfo=None))
+        return b
+
+    return {c: (conv(lo), conv(hi)) for c, (lo, hi) in prune.items()}
+
+
 def _stats_overlap(stats: dict, prune: dict) -> bool:
     """True unless some pruned column's stored [min, max] is disjoint
     from the requested (lo, hi) interval (None bound = unbounded). A
@@ -600,6 +641,7 @@ class ManifestedTable:
         if not manifests:
             raise FileNotFoundError(
                 f"no committed batches under {self.table_dir}")
+        prune = _tz_normalize_prune(spark, prune)
         if prune:
             kept = [m for m in manifests if _batch_overlaps(m, prune)]
             got = self._read_batches(spark, kept, prune) if kept else None
@@ -709,25 +751,46 @@ class ManifestedTable:
         SKIP batches proven disjoint). A batch a concurrent commit
         replaced mid-delete raises CommitConflict rather than silently
         losing the erasure. Returns {"rewritten", "kept", "dropped",
-        "rows_deleted"}."""
-        from pyspark.errors import AnalysisException
+        "rows_deleted"}.
+
+        A batch MISSING a condition column is evaluated exactly the
+        way read() presents it: read() unions batches with
+        allowMissingColumns=True, so readers see the absent column as
+        NULL — and a condition that can be TRUE on NULL (isNull(),
+        coalesce defaults, NOT-IN shapes) must therefore match those
+        rows here too. The missing columns are added to the batch as
+        typed NULL literals (types from the live manifests' stored
+        schemas) before evaluating, then dropped again before the
+        rewrite is written, so an erasure predicate sees the same
+        logical table readers do while the stored batch keeps its own
+        physical schema."""
+        from pyspark.sql.types import StructType
+
+        prune = _tz_normalize_prune(spark, prune)
+        # union column set of the current version, as read() builds it
+        union_fields: dict[str, object] = {}
+        for m in self.committed():
+            for fld in (m.get("schema") or {}).get("fields", []):
+                if fld["name"] not in union_fields:
+                    union_fields[fld["name"]] = StructType.fromJson(
+                        {"type": "struct", "fields": [fld]})[0].dataType
 
         def transform(src):
             # delete only rows where the condition is TRUE: a NULL
             # evaluation must KEEP the row (filter(~cond) alone would
-            # silently drop NULL-evaluating rows), and a batch missing
-            # a condition column cannot match at all (unresolved-column
-            # AnalysisException only — a genuine failure must surface,
-            # not masquerade as a completed takedown)
-            try:
-                return src.filter(~F.coalesce(condition, F.lit(False)))
-            except AnalysisException as e:
-                get_cls = getattr(e, "getCondition", None) \
-                    or getattr(e, "getErrorClass", None)
-                cls = (get_cls() if get_cls else None) or str(e)
-                if "UNRESOLVED_COLUMN" in cls:
-                    return None
-                raise
+            # silently drop NULL-evaluating rows). Columns this batch
+            # lacks are presented as typed NULLs (read()'s union
+            # semantics); a column NO live batch carries is a genuine
+            # caller error and surfaces as the unresolved-column
+            # AnalysisException — it must not masquerade as a
+            # completed takedown.
+            added = [c for c in union_fields if c not in src.columns]
+            probe = src
+            for c in added:
+                probe = probe.withColumn(
+                    c, F.lit(None).cast(union_fields[c]))
+            out = probe.filter(~F.coalesce(condition, F.lit(False)))
+            return out.drop(*added) if added else out
 
         replacements, orig_dirs, counters = self._cow_rewrite(
             spark, self.committed(), transform, prune, fmt)

@@ -643,10 +643,10 @@ def _ima_adpcm_decode(data: bytes, channels: int,
             or (block_align - 4 * channels) % (4 * channels):
         raise ValueError(f"bad ADPCM block align {block_align} "
                          f"for {channels} channel(s)")
-    if len(data) % block_align:
-        raise ValueError("data chunk not a whole number of ADPCM blocks")
+
     out = bytearray()
-    for b0 in range(0, len(data), block_align):
+
+    def decode_block(b0: int, limit: int) -> None:
         preds, idxs = [], []
         for c in range(channels):
             p, i = struct.unpack_from("<hBx", data, b0 + 4 * c)
@@ -655,9 +655,10 @@ def _ima_adpcm_decode(data: bytes, channels: int,
             preds.append(p)
             idxs.append(i)
         frames = [list(preds)]                  # header predictors
-        body = data[b0 + 4 * channels:b0 + block_align]
+        body = data[b0 + 4 * channels:limit]
         # per-channel 4-byte groups, round-robin; 8 nibbles per group
-        for g0 in range(0, len(body), 4 * channels):
+        for g0 in range(0, len(body) - len(body) % (4 * channels),
+                        4 * channels):
             group_frames = [[0] * channels for _ in range(8)]
             for c in range(channels):
                 chunk = body[g0 + 4 * c:g0 + 4 * c + 4]
@@ -668,7 +669,22 @@ def _ima_adpcm_decode(data: bytes, channels: int,
                         group_frames[bi * 2 + half][c] = preds[c]
             frames.extend(group_frames)
         for fr in frames:
-            out += struct.pack(f"<{channels}h", *fr)
+            out.extend(struct.pack(f"<{channels}h", *fr))
+
+    n_full = len(data) // block_align
+    for b0 in range(0, n_full * block_align, block_align):
+        decode_block(b0, b0 + block_align)
+    # real-world IMA WAVs commonly carry a truncated FINAL block (the
+    # fact chunk records the true sample count); decode its header +
+    # whatever whole round-robin nibble groups are present and let the
+    # caller's fact-chunk truncation trim the output. A tail too short
+    # to even hold the per-channel headers is corrupt, not truncated.
+    tail = len(data) - n_full * block_align
+    if tail:
+        if tail < 4 * channels:
+            raise ValueError(
+                "ADPCM data chunk tail shorter than the block header")
+        decode_block(n_full * block_align, len(data))
     return bytes(out)
 
 

@@ -134,6 +134,9 @@ def cosine_topk_blocked(corpus: DataFrame, queries: DataFrame,
 
     def score(batches):
         for pdf in batches:
+            if not len(pdf):
+                continue    # empty Arrow batch: norm(axis=1) on a
+            #                 (0,)-shaped matrix would raise AxisError
             if pdf["_id"].isna().any():
                 raise ValueError(
                     "corpus ids must be long-castable and non-null "

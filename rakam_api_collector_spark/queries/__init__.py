@@ -24,7 +24,7 @@ Window history:
 - r6: the 26 queries with no r5 row, r6-modified (llm12/14/32, llm13,
   dq03), new llm33-36 + dq44-46, llm29-31, regression-prone fill.
   All 50 green.
-- r7 (current): the 33 queries with no r6 row (llm01-06, llm11,
+- r7: the 33 queries with no r6 row (llm01-06, llm11,
   llm18-28, dq05/08, dq12-17 semi+anti, dq29-32, dq34/36 — all
   r5-green, due back per the invariant), the queries modified in r7
   (llm12 query-directed multi-probe + single-scan ANN; dq34 bucketed
@@ -35,9 +35,18 @@ Window history:
   funnel, dq47 sliding window, llm43 compression-ratio signal,
   llm44 real JPEG decode gate, llm45 timestamp-based video
   sampling), and heavy regression-prone fill (llm09/10/16/17).
-  Out-of-window (43 queries, all r6-green, due back in r8):
-  dq01-04 (dq03 late split), dq06/07, dq09-11, dq18-28, dq33, dq35,
-  dq37-46, llm07/08, llm13, llm14, llm15, llm29-32, llm34/35.
+  All 50 green.
+- r8 (current): the 43 queries with no r7 row (dq01-04, dq06/07,
+  dq09-11, dq18-28, dq33, dq35, dq37-46, llm07/08, llm13-15,
+  llm29-32, llm34/35 — all r6-green, due back per the invariant),
+  the queries modified in r8 (llm12, whose correctness gate reverts
+  to the fold-form cosine for oracle determinism; llm17, whose
+  ingest protocol folds the verdict/append actions; llm33/llm36,
+  whose IMA-ADPCM decode gained truncated-final-block support), and
+  heavy regression-prone fill (llm09/10/16).
+  Out-of-window (43 queries, all r7-green, due back in r9):
+  dq05/08, dq12-17 (semi+anti), dq29-32, dq34, dq36, dq47,
+  llm01-06, llm11, llm18-28, llm37-45.
 
 CAPACITY NOTE for round 8+: with 93 queries and a 50-slot window, 43
 must rotate back each round, leaving only 8 slots for new/modified/
@@ -57,29 +66,28 @@ _ALL_ORACLE = {**relational.ORACLE, **llm_ops.ORACLE}
 
 # First 50 = this round's driver-checked window (see docstring history).
 _WINDOW = [
-    # 33 queries with no round-6 driver row — rotate back first
-    "dq05_route_fanout", "dq08_hash_agg", "dq12_join_dim",
-    "dq13_multi_join", "dq14_anti_join", "dq14_semi_join",
-    "dq15_outer_join", "dq16_window", "dq17_dedup_first",
-    "dq29_envelope_parse", "dq30_tumbling_window", "dq31_asof_join",
-    "dq32_salted_agg", "dq34_range_join", "dq36_approx_distinct",
-    "llm01_token_count", "llm02_ttr", "llm03_avg_token_len",
-    "llm04_lang_id", "llm05_fingerprint", "llm06_quality",
-    "llm11_knn_cosine", "llm18_bpe_tokens", "llm19_ivf_ann",
-    "llm20_tfidf", "llm21_pii_redact", "llm22_chunk_dedup",
-    "llm23_contamination", "llm24_stratified_split", "llm25_repetition",
-    "llm26_kmeans", "llm27_surprisal", "llm28_quantize",
-    # modified in round 7 — must carry fresh evidence (dq34 is above)
-    "llm12_ann_lsh", "llm33_audio_features", "llm36_audio_resample",
-    # new in round 7 — no prior evidence
-    "llm37_bigram_lm", "llm38_training_order", "llm39_curriculum_bins",
-    "llm40_quality_rules", "llm41_head_truncate",
-    "llm42_curation_e2e", "dq47_sliding_window",
-    "llm43_compression_ratio", "llm44_jpeg_decode",
-    "llm45_video_time_sample",
-    # regression-prone heavy fill (all r6-green)
-    "llm09_minhash_lsh", "llm10_simhash",
-    "llm16_dedup_clusters", "llm17_incremental_dedup",
+    # 43 queries with no round-7 driver row — rotate back first
+    "dq01_projection", "dq02_whitelist", "dq03_late_split",
+    "dq04_sink_envelope", "dq06_max_offset", "dq07_zone_map",
+    "dq09_distinct_agg", "dq10_rollup", "dq11_sum_cents",
+    "dq18_topk", "dq19_truncate", "dq20_safe_cast",
+    "dq21_set_ops", "dq22_array_funcs", "dq23_hash",
+    "dq24_scalars", "dq25_udf_shape", "dq26_epoch_conversions",
+    "dq27_json_encode", "dq28_date_format", "dq33_percentile",
+    "dq35_sessionize", "dq37_hash_split", "dq38_cube",
+    "dq39_pivot", "dq40_window_analytics", "dq41_approx_quantile",
+    "dq42_funnel", "dq43_retention", "dq44_grouping_sets",
+    "dq45_range_frame", "dq46_stats_agg",
+    "llm07_exact_dedup", "llm08_jaccard_pairs", "llm13_multimodal_meta",
+    "llm14_decode_features", "llm15_embed_dedup",
+    "llm29_pack_sequences", "llm30_mixture_sample",
+    "llm31_vocab_coverage", "llm32_dedup_keep_best",
+    "llm34_video_sample", "llm35_resize_image",
+    # modified in round 8 — must carry fresh evidence
+    "llm12_ann_lsh", "llm17_incremental_dedup",
+    "llm33_audio_features", "llm36_audio_resample",
+    # regression-prone heavy fill (all r7-green)
+    "llm09_minhash_lsh", "llm10_simhash", "llm16_dedup_clusters",
 ]
 
 assert len(_WINDOW) == 50 and len(set(_WINDOW)) == 50, len(_WINDOW)

@@ -337,12 +337,14 @@ def llm12_ann_lsh(spark: SparkSession, sf: str) -> DataFrame:
                           k=10, bits=6, tables=8, dim=64,
                           probe_bits=3)
            .select("q", "neighbor"))
-    # blocked exact top-k for the gate: only the top-10 SET matters
-    # here (llm11 keeps the fold form whose cosine VALUES are
-    # oracle-hashed); per-batch partial top-k keeps the window input
-    # at batches×|q|×k rows — the scale shape for an exact pass
-    exact = (S.cosine_topk_blocked(emb, queries, "vec_id", "embedding",
-                                   k=10)
+    # fold-form exact top-k for the gate: the blocked form's matmul
+    # accumulates in SIMD-blocked order, so a near-tie at the rank-10
+    # boundary could flip the exact SET nondeterministically vs this
+    # in-band oracle on other data/scales — the gate keeps the fold
+    # form (sequential summation, same as llm11's oracle-hashed path);
+    # cosine_topk_blocked stays the measured scale path (pytest parity
+    # test + scaling study)
+    exact = (S.cosine_topk(emb, queries, "vec_id", "embedding", k=10)
              .select("q", "neighbor").withColumn("_hit", F.lit(1)))
     # single reference to the ANN subtree: the left join marks exact
     # hits on each ANN row, so one groupBy produces both n_ann and the

@@ -71,6 +71,13 @@ def get_spark(app_name: str = "rakam_api_collector_spark",
         # NTZ rejects unix_millis/long casts and the DuckDB oracle treats
         # naive parquet timestamps as plain TIMESTAMP anyway (UTC session).
         .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+        # write timestamps as TIMESTAMP_MICROS, not the deprecated
+        # INT96: INT96 column chunks carry NO min/max statistics, which
+        # kills both parquet row-group predicate pushdown and the
+        # manifest's timestamp zone maps (a time-ranged read would scan
+        # every batch); micros is also what every other engine (DuckDB,
+        # Trino, Iceberg) reads natively.
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # files: 128 MB split target — the parquet scan granularity that
         # keeps 100 TB ≈ 800k tasks, the sweet spot for 1000 executors.

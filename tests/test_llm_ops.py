@@ -482,6 +482,12 @@ def test_cosine_topk_blocked_degenerate_inputs(spark):
         emb, emb.filter(F.lit(False)), "vec_id", "embedding", k=5)
     assert none.columns == ["q", "neighbor", "cos", "rnk"]
     assert none.count() == 0
+    # empty CORPUS (or any zero-row Arrow batch reaching score()) must
+    # yield an empty result, not an AxisError inside numpy
+    empty_corpus = S.cosine_topk_blocked(
+        emb.filter(F.lit(False)).repartition(4), emb.limit(2),
+        "vec_id", "embedding", k=5)
+    assert empty_corpus.count() == 0
     bad = emb.limit(3).withColumn("vec_id", F.lit(None).cast("long"))
     with pytest.raises(ValueError, match="non-null"):
         S.cosine_topk_blocked(emb, bad, "vec_id", "embedding")

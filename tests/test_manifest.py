@@ -324,12 +324,18 @@ def test_zone_map_rich_types_and_partial_stats(spark, tmp_path):
     # without min/max → the column must not appear at all; decimals
     # (pyarrow can't extract) and INT96 timestamps (no stats) likewise
     assert "maybe" not in stats
-    assert "amt" not in stats and "_time" not in stats
+    assert "amt" not in stats
+    # timestamps write as TIMESTAMP_MICROS (not stats-less INT96), so
+    # _time DOES carry a zone map — canonicalized to naive-UTC ISO
+    assert stats["_time"] == ["2024-03-01 10:00:00",
+                              "2024-03-02 10:00:00"]
 
     # rich-typed bounds on stats-less columns: no crash, nothing pruned
-    got = t.read(spark, prune={"amt": (Decimal("99.0"), None),
-                               "_time": (datetime(2030, 1, 1), None)})
+    got = t.read(spark, prune={"amt": (Decimal("99.0"), None)})
     assert sorted(r.id for r in got.collect()) == [1, 2]
+    # ... while a disjoint bound on the stats-carrying timestamp prunes
+    assert t.read(spark,
+                  prune={"_time": (datetime(2030, 1, 1), None)}).count() == 0
 
 
 def test_zone_map_canonicalization_orders():
@@ -738,3 +744,76 @@ def test_maintenance_isolates_per_table_failures(spark, tmp_path):
     assert sorted(r.id for r in good.read(spark).collect()) == [0, 1, 2]
     # the failed table is untouched and still readable
     assert sorted(r.id for r in bad.read(spark).collect()) == [0, 1, 2]
+
+
+def test_delete_where_missing_column_matches_null_semantics(spark, tmp_path):
+    """A batch MISSING a condition column must be evaluated the way
+    read() presents it — the column as NULL — so a NULL-matching
+    takedown (isNull, NOT-IN shapes) erases those rows instead of
+    silently skipping the batch (an incomplete right-to-erasure).
+    Non-matching conditions still leave the batch byte-untouched."""
+    import os
+
+    t = ManifestedTable(str(tmp_path), "proj", "events")
+    t.write(_df(spark, [1, 2, 3]), batch_id="untagged")
+    t.write(_df(spark, [10, 11]).withColumn("tag", F.lit("keep")),
+            batch_id="tagged")
+    # readers see untagged rows with tag IS NULL
+    assert (t.read(spark).filter(F.col("tag").isNull()).count()) == 3
+
+    # a non-NULL-matching predicate: untagged batch stays byte-identical
+    udir = next(m["dir"] for m in t.committed()
+                if m["batch"] == "untagged")
+    full = f"{t.batches_dir}/{udir}"
+    before = {os.path.join(r, fn): os.path.getmtime(os.path.join(r, fn))
+              for r, _, fns in os.walk(full) for fn in fns}
+    res0 = t.delete_where(spark, F.col("tag") == "zzz")
+    assert res0["rows_deleted"] == 0
+    after = {os.path.join(r, fn): os.path.getmtime(os.path.join(r, fn))
+             for r, _, fns in os.walk(full) for fn in fns}
+    assert after == before
+
+    # the NULL-matching erasure: rows the reader sees as tag-NULL go
+    res = t.delete_where(spark, F.col("tag").isNull())
+    assert res["rows_deleted"] == 3 and res["dropped"] == 1
+    got = t.read(spark)
+    assert sorted(r.id for r in got.collect()) == [10, 11]
+    assert got.filter(F.col("tag").isNull()).count() == 0
+    # the rewritten/kept batch does NOT persist a materialized column
+    # it never had — only 'tagged' remains and it owns tag physically
+    assert {m["batch"] for m in t.committed()} == {"tagged"}
+
+    # a column NO live batch carries is a caller error, not a no-op
+    with pytest.raises(Exception):
+        t.delete_where(spark, F.col("nope").isNull())
+
+
+def test_prune_timestamp_bounds_use_session_timezone(spark, tmp_path):
+    """read(prune=) on a non-UTC session: a caller passes the SAME
+    naive datetimes they use in their row predicate (session-local
+    instants). Interpreting them as UTC would prune the batch holding
+    the matching rows — silent data loss; the bounds must convert
+    session tz → UTC before meeting the stored (UTC) zone maps."""
+    t = ManifestedTable(str(tmp_path), "proj", "events")
+    # one instant: 2024-03-01 02:00 UTC == 2024-02-29 18:00 LA
+    t.write(_df(spark, [7], day="2024-03-01T02:00:00"), batch_id="b")
+    tz_before = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone",
+                       "America/Los_Angeles")
+        lo = datetime.fromisoformat("2024-02-29T17:00:00")
+        hi = datetime.fromisoformat("2024-02-29T19:00:00")
+        # row predicate as SQL literals — parsed in the SESSION zone,
+        # the same instants the caller's naive prune bounds mean
+        got = (t.read(spark, prune={"_time": (lo, hi)})
+               .filter(F.expr("_time BETWEEN '2024-02-29 17:00:00' "
+                              "AND '2024-02-29 19:00:00'")))
+        assert [r.id for r in got.collect()] == [7]
+        # disjoint local interval still prunes (no regression to
+        # never-pruning): 10pm-11pm LA == 6-7am UTC next day
+        lo2 = datetime.fromisoformat("2024-02-29T22:00:00")
+        hi2 = datetime.fromisoformat("2024-02-29T23:00:00")
+        pruned = t.read(spark, prune={"_time": (lo2, hi2)})
+        assert pruned.count() == 0 and not pruned.inputFiles()
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", tz_before)

@@ -792,3 +792,32 @@ def test_adpcm_rejects_misaligned_multichannel_block():
     the short channel — plausible silence instead of an error)."""
     with pytest.raises(ValueError, match="block align"):
         M._ima_adpcm_decode(bytes(20), 2, 20)   # 20-8=12, not %8
+
+
+def test_adpcm_truncated_final_block_decodes_prefix():
+    """Real-world IMA WAVs commonly carry a truncated FINAL block (the
+    fact chunk records the true sample count): the decoder must emit
+    the header + whatever whole nibble groups are present — an exact
+    prefix of the full-block decode — instead of rejecting the file.
+    A tail too short to even hold the block header is corrupt."""
+    import numpy as np
+
+    x = (np.sin(np.linspace(0, 40, 2000)) * 12000).astype("<i2")
+    blocks, ba = M._ima_adpcm_encode(x.tobytes(), 1, 505)
+    full = np.frombuffer(M._ima_adpcm_decode(blocks, 1, ba), dtype="<i2")
+    part = np.frombuffer(
+        M._ima_adpcm_decode(blocks[:-100], 1, ba), dtype="<i2")
+    assert len(part) < len(full)
+    assert np.array_equal(part, full[:len(part)])
+    # stereo: a partial trailing GROUP (< 4·ch bytes) is ignored, whole
+    # groups decode
+    x2 = np.repeat(x[:992], 2).astype("<i2")
+    blocks2, ba2 = M._ima_adpcm_encode(x2.tobytes(), 2, 249)
+    full2 = np.frombuffer(M._ima_adpcm_decode(blocks2, 2, ba2), dtype="<i2")
+    part2 = np.frombuffer(
+        M._ima_adpcm_decode(blocks2[:-3], 2, ba2), dtype="<i2")
+    assert len(part2) < len(full2)
+    assert np.array_equal(part2, full2[:len(part2)])
+    # shorter than the per-channel headers: corrupt, not truncated
+    with pytest.raises(ValueError, match="tail"):
+        M._ima_adpcm_decode(blocks + bytes(2), 1, ba)
