@@ -17,6 +17,13 @@ config dict:
       "historical": {"dir": …, "checkpoint": …},  # ST5 (optional)
       "dedup": true,                              # ST6
       "outdated_day_index": 1,                    # ST3 window
+      "manifested": true,                         # K1 version protocol
+      "maintenance": {"every_epochs": 16, …},     # shard-organizer
+                                                  # daemon cadence
+                                                  # (manifest.
+                                                  # MaintenanceHook
+                                                  # kwargs; requires
+                                                  # manifested)
       "layout": "per-table" | "grouped",          # K1 sink layout (JSON
                                                   # path): per-collection
                                                   # dirs vs one write job
@@ -109,7 +116,8 @@ def start(spark: SparkSession, cfg: dict) -> list:
             bulk_base=cfg.get("bulk_base"),
             source_stream=source_stream,
             errors_dir=cfg.get("errors_dir"),
-            manifested=cfg.get("manifested", False)))
+            manifested=cfg.get("manifested", False),
+            maintenance=cfg.get("maintenance")))
         if hist.get("dir") or hist_stream is not None:
             queries.append(start_avro_historical_stream(
                 spark, hist.get("dir"), catalog, tgt["base"],
@@ -139,7 +147,8 @@ def start(spark: SparkSession, cfg: dict) -> list:
         source_stream=source_stream,
         errors_dir=cfg.get("errors_dir"),
         manifested=cfg.get("manifested", False),
-        layout=cfg.get("layout", "per-table")))
+        layout=cfg.get("layout", "per-table"),
+        maintenance=cfg.get("maintenance")))
 
     if hist.get("dir") or hist_stream is not None:
         queries.append(start_historical_stream(

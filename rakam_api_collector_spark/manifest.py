@@ -105,6 +105,82 @@ def run_maintenance(spark: SparkSession, base: str,
     return reports
 
 
+class MaintenanceHook:
+    """Every-N-epochs scheduler around :func:`run_maintenance` — the
+    reference runs its shard organizer as a periodic DAEMON, not a hand
+    tool, so a long-running stream must not accrete one batch per epoch
+    per collection until an operator intervenes. The manifested sink
+    calls :meth:`after_epoch` at the end of every committed micro-batch;
+    each ``every_epochs``-th epoch triggers a sweep over ``base``.
+
+    The sweep runs on a daemon thread by default (Spark schedules jobs
+    from concurrent threads fine, and the reference's organizer is
+    async to ingest) so compaction cost never lands inside a batch's
+    trigger budget; non-overlapping by construction — a sweep still
+    running when the next trigger epoch arrives is simply skipped
+    (``skipped_overlap`` counts them). ``inline=True`` runs the sweep
+    synchronously inside foreachBatch — deterministic for tests and for
+    availableNow catch-up runs. Replayed epochs re-trigger at most one
+    extra sweep, which is idempotent (compaction below ``min_batches``
+    no-ops; concurrent sweeps race safely via the OCC protocol).
+
+    ``reports`` keeps the last ``max_reports`` sweep reports (newest
+    last) — the observability surface tests and operators read."""
+
+    def __init__(self, spark: SparkSession, base: str,
+                 every_epochs: int = 16, inline: bool = False,
+                 min_batches: int = 8, cluster_by: dict | None = None,
+                 keep_versions: int = 2, grace_seconds: float = 3600.0,
+                 max_reports: int = 64) -> None:
+        if every_epochs < 1:
+            raise ValueError(f"every_epochs must be >= 1, "
+                             f"got {every_epochs}")
+        self.spark = spark
+        self.base = base
+        self.every_epochs = every_epochs
+        self.inline = inline
+        self.sweep_kwargs = {"min_batches": min_batches,
+                             "cluster_by": cluster_by,
+                             "keep_versions": keep_versions,
+                             "grace_seconds": grace_seconds}
+        self.max_reports = max_reports
+        self.reports: list[dict] = []
+        self.skipped_overlap = 0
+        self._worker = None
+
+    def after_epoch(self, epoch_id: int) -> None:
+        if (epoch_id + 1) % self.every_epochs:
+            return
+        if self.inline:
+            self._sweep(epoch_id)
+            return
+        if self._worker is not None and self._worker.is_alive():
+            self.skipped_overlap += 1
+            return
+        import threading
+
+        self._worker = threading.Thread(
+            target=self._sweep, args=(epoch_id,), daemon=True,
+            name=f"manifest-maintenance-{epoch_id}")
+        self._worker.start()
+
+    def wait(self, timeout: float | None = None) -> None:
+        """Block until an in-flight background sweep finishes (tests,
+        orderly shutdown)."""
+        if self._worker is not None:
+            self._worker.join(timeout)
+
+    def _sweep(self, epoch_id: int) -> None:
+        report = {"epoch": epoch_id, "swept_at": time.time()}
+        try:
+            report["tables"] = run_maintenance(
+                self.spark, self.base, **self.sweep_kwargs)
+        except Exception as e:  # noqa: BLE001 — a daemon must not die
+            report["error"] = f"{type(e).__name__}: {e}"
+        self.reports.append(report)
+        del self.reports[:-self.max_reports]
+
+
 def _canon_stat(v):
     """Canonicalize a footer statistic (or a caller's prune bound) to a
     JSON-storable value whose PYTHON comparison order matches the
@@ -522,14 +598,28 @@ class ManifestedTable:
 
     def _swap_mutate(self, replacements: dict, orig_dirs: dict,
                      extra: dict | None = None,
-                     extra_fields: list[dict] | None = None):
+                     extra_fields: list[dict] | None = None,
+                     snapshot_dirs: dict | None = None,
+                     conflict_prune: dict | None = None):
         """Mutate callback swapping rewritten batches in by IDENTITY:
         a touched batch whose directory changed since the snapshot (a
         concurrent compact/retry replaced it) raises CommitConflict —
         losing a takedown or resurrecting pre-delete data silently is
         never acceptable. ``extra`` appends a new batch in the same
         commit (upsert's insert), re-validating schema evolution
-        against each attempt's live set."""
+        against each attempt's live set.
+
+        ``snapshot_dirs`` ({batch id → dir} for EVERY input the DML
+        read) + ``conflict_prune`` ({key: (lo, hi)} canonical bounds)
+        add the Delta-style write-write conflict check: a batch the
+        snapshot never saw (added concurrently) or whose directory
+        changed since (replaced concurrently) whose zone map OVERLAPS
+        the DML's key range — or that carries no stats for the key,
+        which cannot be proven disjoint — raises CommitConflict
+        instead of committing a lost update (e.g. a MERGE landing
+        beside a concurrent insert of the same key would otherwise
+        leave two live rows for one key). Key-DISJOINT concurrent
+        writes still commit."""
 
         def mutate(live):
             seen: set[str] = set()
@@ -548,6 +638,15 @@ class ManifestedTable:
                 elif extra is not None and bid == extra["batch"]:
                     continue               # retry replaces its own batch
                 else:
+                    if conflict_prune is not None \
+                            and snapshot_dirs is not None \
+                            and snapshot_dirs.get(bid) != self._dir_of(b) \
+                            and _stats_overlap(b.get("stats") or {},
+                                               conflict_prune):
+                        raise CommitConflict(
+                            f"batch {bid!r} committed concurrently and "
+                            f"overlaps this DML's key range — re-run "
+                            f"against the new table state")
                     out_live.append(b)
             gone = set(replacements) - seen
             if gone:
@@ -750,7 +849,11 @@ class ManifestedTable:
         correct, skipping a matching batch is not, so zone maps only
         SKIP batches proven disjoint). A batch a concurrent commit
         replaced mid-delete raises CommitConflict rather than silently
-        losing the erasure. Returns {"rewritten", "kept", "dropped",
+        losing the erasure; a batch APPENDED concurrently is NOT a
+        conflict — the serialization order is delete-then-insert
+        (Delta's WriteSerializable rule for blind appends), so its
+        rows legitimately survive; re-run the delete if the predicate
+        must also cover them. Returns {"rewritten", "kept", "dropped",
         "rows_deleted"}.
 
         A batch MISSING a condition column is evaluated exactly the
@@ -802,7 +905,8 @@ class ManifestedTable:
 
     def upsert(self, spark: SparkSession, updates: DataFrame, key: str,
                batch_id: str | None = None,
-               fmt: str = "parquet") -> dict:
+               fmt: str = "parquet",
+               extended_key_pruning: bool = False) -> dict:
         """Copy-on-write MERGE on ``key``: live rows whose key appears
         in ``updates`` are replaced, new keys insert — the Delta MERGE
         WHEN MATCHED THEN UPDATE / WHEN NOT MATCHED THEN INSERT shape.
@@ -818,11 +922,26 @@ class ManifestedTable:
         updates frame is localCheckpointed first so every evaluation
         (bounds, per-batch anti-joins, the insert) sees one immutable
         snapshot. A batch a concurrent commit replaced mid-merge
-        raises CommitConflict. Concurrency caveat: a writer that
-        INSERTS the same key between this upsert's snapshot and its
-        commit is not conflict-detected (the OCC protocol serializes
-        version swaps, not key ownership); full Delta-style
-        serializability would add read-set conflict checks at commit.
+        raises CommitConflict — and so does a batch COMMITTED
+        CONCURRENTLY (added or replaced since this merge's snapshot)
+        whose zone map overlaps the updates' key range, the
+        Delta-style write-write conflict check: without it, a racing
+        insert of the same key would land beside this merge's row and
+        leave two live rows for one key (a lost update). Key-disjoint
+        concurrent writes still commit; a concurrent batch with no
+        stats for the key cannot be proven disjoint and conflicts
+        conservatively.
+
+        ``extended_key_pruning=True`` opts string/date/timestamp keys
+        into the zone-map prune (numeric keys always prune). The
+        canonical conventions: strings compare in code-point order
+        (parquet min/max are order-preserving supersets even when
+        truncated, and UTF-8 byte order equals code-point order);
+        dates as ISO strings; naive datetime bounds mean
+        SESSION-time-zone instants and convert to UTC before meeting
+        the stored (UTC) stats. Off by default because a caller whose
+        data predates these conventions (e.g. pre-micros INT96 stats,
+        exotic collations) must not silently mis-prune a MERGE.
         Returns {"rewritten", "kept", "dropped", "rows_replaced",
         "batch"}."""
         bid = batch_id or uuid.uuid4().hex
@@ -845,13 +964,24 @@ class ManifestedTable:
                 f"updates carry duplicate {key!r} values — a MERGE "
                 f"source must match each key at most once")
         # the internal prune is CORRECTNESS-bearing (a wrongly skipped
-        # batch keeps its old row alongside the new one), so only
-        # numeric keys prune — datetime/str canonicalization depends on
-        # conventions (session tz) a caller may not follow
+        # batch keeps its old row alongside the new one): numeric keys
+        # always prune; str/date/datetime keys prune only under the
+        # opt-in canonical conventions (see docstring) — naive datetime
+        # bounds are session-local instants, normalized to UTC
         lo, hi = _canon_stat(bounds._lo), _canon_stat(bounds._hi)
-        prune = ({key: (bounds._lo, bounds._hi)}
-                 if isinstance(lo, (int, float))
-                 and isinstance(hi, (int, float)) else None)
+        if isinstance(lo, (int, float)) and isinstance(hi, (int, float)):
+            prune = {key: (bounds._lo, bounds._hi)}
+        elif extended_key_pruning and isinstance(lo, str) \
+                and isinstance(hi, str):
+            prune = _tz_normalize_prune(
+                spark, {key: (bounds._lo, bounds._hi)})
+        else:
+            prune = None
+        # the write-write conflict range is NOT an optimization: with
+        # un-canonicalizable bounds every concurrent batch conflicts
+        # (unbounded interval — cannot be proven key-disjoint)
+        conflict_prune = prune if prune is not None \
+            else {key: (None, None)}
         upd_keys = updates.select(F.col(key)).distinct()
 
         def transform(src):
@@ -860,6 +990,7 @@ class ManifestedTable:
             return src.join(F.broadcast(upd_keys), key, "left_anti")
 
         inputs = [m for m in self.committed() if m["batch"] != bid]
+        snapshot_dirs = {m["batch"]: self._dir_of(m) for m in inputs}
         replacements, orig_dirs, counters = self._cow_rewrite(
             spark, inputs, transform, prune, fmt)
 
@@ -874,7 +1005,9 @@ class ManifestedTable:
         new_entry = self._write_batch_files(upd, bid, fmt)
         self._commit(self._swap_mutate(replacements, orig_dirs,
                                        extra=new_entry,
-                                       extra_fields=fields))
+                                       extra_fields=fields,
+                                       snapshot_dirs=snapshot_dirs,
+                                       conflict_prune=conflict_prune))
         return {"rewritten": counters["rewritten"],
                 "kept": counters["kept"], "dropped": counters["dropped"],
                 "rows_replaced": counters["removed"], "batch": bid}

