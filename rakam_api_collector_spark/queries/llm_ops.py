@@ -330,7 +330,16 @@ def llm12_ann_lsh(spark: SparkSession, sf: str) -> DataFrame:
     single-probe LSH could only cover with ~48 tables — 6× the
     corpus-side signature volume; on a real clustered corpus 8 tables
     suffice either way, and ``bits`` grows with log(n) as documented in
-    operators/similarity.py."""
+    operators/similarity.py.
+
+    Perf floor, measured (round 8, sf0.1 local[32], steady state): the
+    ANN pipeline ALONE is 1.09-1.20 s — already past the round-7 ≤1.0 s
+    stretch target with a zero-cost gate — vs 0.74 s fold-exact alone
+    and 0.37 s blocked-exact alone; the full query is ~1.5 s. The
+    residual is per-stage fixed cost (one pandas-UDF signature scan,
+    probe fan-out, bucket join, groupBy-max, top-k window) that does
+    not shrink with data size; the target is closed as
+    overhead-bound per the round-7 verdict's own criterion."""
     emb = load_table(spark, sf, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
     ann = (S.ann_lsh_topk(emb, queries, "vec_id", "embedding",
