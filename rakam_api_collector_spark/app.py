@@ -17,6 +17,11 @@ config dict:
       "historical": {"dir": …, "checkpoint": …},  # ST5 (optional)
       "dedup": true,                              # ST6
       "outdated_day_index": 1,                    # ST3 window
+      "state_partitions": 8,                      # ST6 state sizing
+                                                  # (≈ keys-per-batch /
+                                                  # a few thousand;
+                                                  # pinned at first
+                                                  # batch by Spark)
       "manifested": true,                         # K1 version protocol
       "maintenance": {"every_epochs": 16, …},     # shard-organizer
                                                   # daemon cadence
@@ -117,7 +122,8 @@ def start(spark: SparkSession, cfg: dict) -> list:
             source_stream=source_stream,
             errors_dir=cfg.get("errors_dir"),
             manifested=cfg.get("manifested", False),
-            maintenance=cfg.get("maintenance")))
+            maintenance=cfg.get("maintenance"),
+            state_partitions=cfg.get("state_partitions")))
         if hist.get("dir") or hist_stream is not None:
             queries.append(start_avro_historical_stream(
                 spark, hist.get("dir"), catalog, tgt["base"],
@@ -148,7 +154,8 @@ def start(spark: SparkSession, cfg: dict) -> list:
         errors_dir=cfg.get("errors_dir"),
         manifested=cfg.get("manifested", False),
         layout=cfg.get("layout", "per-table"),
-        maintenance=cfg.get("maintenance")))
+        maintenance=cfg.get("maintenance"),
+        state_partitions=cfg.get("state_partitions")))
 
     if hist.get("dir") or hist_stream is not None:
         queries.append(start_historical_stream(

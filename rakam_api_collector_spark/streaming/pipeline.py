@@ -138,6 +138,42 @@ def _enable_rocksdb_state(spark: SparkSession) -> None:
         "changelogCheckpointing.enabled", "true")
 
 
+def _set_state_partitions(spark: SparkSession,
+                          state_partitions: int | None) -> None:
+    """Pin the streaming query's state-partition count (ST6 sizing).
+
+    Structured Streaming fixes the stateful operator's partition count
+    to ``spark.sql.shuffle.partitions`` AT THE FIRST MICRO-BATCH and
+    records it in the checkpoint — so the knob must be set before the
+    query plans its first batch, and a restarted query keeps its
+    recorded value regardless of session conf. AQE never re-plans
+    stateful exchanges (it is disabled for stateful workloads), so
+    unlike the batch side there is no runtime coalescing to fall back
+    on: an oversized count pays per-partition RocksDB open/commit/
+    changelog overhead every trigger with no offsetting parallelism.
+
+    Sizing rule: partitions ≈ keys-per-batch / a-few-thousand, capped
+    by executor count. Measured A/B at the reference stress shape
+    (30k keys/batch, 100 collections, local[32], loadavg ~22 box): 32
+    state partitions → 25-26 s steady batch wall; 8 → 15-16 s; 4 →
+    13-15 s (JSON steady max 14.8 s, Avro 13.1 s — both under the
+    reference's 15 s trigger budget; STRESS.md) — the per-RocksDB-
+    instance commit overhead dominated at ~1k keys per partition. At
+    cluster scale with 100× key volume, raise it proportionally (the
+    same rule, not the same number).
+
+    Session-scoped by design: the conf applies to every query the
+    session starts afterwards — the streaming app owns its session
+    (app.start), and the batch side's post-shuffle parallelism is
+    governed by AQE's advisory size, not this value."""
+    if state_partitions is not None:
+        if state_partitions < 1:
+            raise ValueError(f"state_partitions must be >= 1, "
+                             f"got {state_partitions}")
+        spark.conf.set("spark.sql.shuffle.partitions",
+                       str(state_partitions))
+
+
 def _maintenance_hook(spark: SparkSession, table_base: str,
                       manifested: bool, maintenance: dict | None):
     """Build the every-N-epochs shard-organizer hook (manifest.
@@ -228,7 +264,8 @@ def start_ingest_stream(spark: SparkSession, source_dir: str, fmt: str,
                         errors_dir: str | None = None,
                         manifested: bool = False,
                         layout: str = "per-table",
-                        maintenance: dict | None = None):
+                        maintenance: dict | None = None,
+                        state_partitions: int | None = None):
     """Start the real-time ingestion query over a source of envelope JSON
     lines. Returns the StreamingQuery.
 
@@ -274,6 +311,7 @@ def start_ingest_stream(spark: SparkSession, source_dir: str, fmt: str,
                          "is per-collection")
     maint_hook = _maintenance_hook(spark, table_base, manifested,
                                    maintenance)
+    _set_state_partitions(spark, state_partitions)
     if dedup and rocksdb_state:
         # ST6 parity: the reference's dedup store IS RocksDB (TtlDB,
         # Deduplicator.java:26-46); Spark's RocksDB state store keeps
@@ -486,7 +524,8 @@ def start_avro_ingest_stream(spark: SparkSession, source_dir: str | None,
                              rocksdb_state: bool = True,
                              errors_dir: str | None = None,
                              manifested: bool = False,
-                             maintenance: dict | None = None):
+                             maintenance: dict | None = None,
+                             state_partitions: int | None = None):
     """Avro twin of ``start_ingest_stream`` — the reference's per-config
     deserializer selection (KafkaStreamSourceModule.java:26-60 binds
     AVRO vs JSON; KafkaAvroMessageTransformer.java:33-57 is the Avro
@@ -511,6 +550,7 @@ def start_avro_ingest_stream(spark: SparkSession, source_dir: str | None,
 
     maint_hook = _maintenance_hook(spark, table_base, manifested,
                                    maintenance)
+    _set_state_partitions(spark, state_partitions)
     if dedup and rocksdb_state:
         _enable_rocksdb_state(spark)
 

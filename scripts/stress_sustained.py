@@ -19,9 +19,16 @@ micro-batch and stop when drained. Batch b uses seed 100+b, so dedup
 state grows realistically across batches instead of collapsing
 duplicate keys.
 
+State sizing: the harness pins ``state_partitions=4`` by default — the
+measured sweet spot for the reference's 30k-keys-per-batch shape (see
+``pipeline._set_state_partitions``: 32 partitions pay per-RocksDB
+commit overhead at ~1k keys each; 8 cut the steady batch wall 25-26 s
+→ 15-16 s and 4 to 13-15 s in the same-box A/B). Pass a 5th argument
+to override (0 = leave the session default).
+
 Usage: python scripts/stress_sustained.py \
            [json|json-grouped|avro|both] \
-           [n_per_batch] [n_batches] [n_collections]
+           [n_per_batch] [n_batches] [n_collections] [state_partitions]
 """
 
 from __future__ import annotations
@@ -86,7 +93,8 @@ def _report(name: str, batches: list[dict], n_batches: int,
 
 
 def run_json(spark, n: int, n_batches: int, n_coll: int,
-             layout: str = "per-table") -> dict:
+             layout: str = "per-table",
+             state_partitions: int | None = 4) -> dict:
     work = Path(tempfile.mkdtemp(prefix="stress_sustained_json_"))
     src = work / "src"
     src.mkdir()
@@ -99,7 +107,8 @@ def run_json(spark, n: int, n_batches: int, n_coll: int,
         table_base=str(work / "tables"),
         checkpoint=str(work / "ckpt"),
         now=NOW, shard_time=SHARD_T, dedup=True, layout=layout,
-        trigger={"availableNow": True}, max_files_per_trigger=1)
+        trigger={"availableNow": True}, max_files_per_trigger=1,
+        state_partitions=state_partitions)
     q.awaitTermination(1200)
     wall = time.perf_counter() - t0
     name = "json" if layout == "per-table" else f"json_{layout}"
@@ -108,7 +117,8 @@ def run_json(spark, n: int, n_batches: int, n_coll: int,
     return rec
 
 
-def run_avro(spark, n: int, n_batches: int, n_coll: int) -> dict:
+def run_avro(spark, n: int, n_batches: int, n_coll: int,
+             state_partitions: int | None = 4) -> dict:
     work = Path(tempfile.mkdtemp(prefix="stress_sustained_avro_"))
     src = work / "src"
     src.mkdir()
@@ -133,7 +143,8 @@ def run_avro(spark, n: int, n_batches: int, n_coll: int) -> dict:
         checkpoint=str(work / "ckpt"),
         project="stress",
         now=NOW, shard_time=SHARD_T, dedup=True,
-        trigger={"availableNow": True}, source_stream=feed)
+        trigger={"availableNow": True}, source_stream=feed,
+        state_partitions=state_partitions)
     q.awaitTermination(1200)
     wall = time.perf_counter() - t0
     rec = _report("avro", _progress_rows(q), n_batches, wall)
@@ -146,15 +157,20 @@ def main() -> None:
     n = int(sys.argv[2]) if len(sys.argv) > 2 else 30_000
     n_batches = int(sys.argv[3]) if len(sys.argv) > 3 else 5
     n_coll = int(sys.argv[4]) if len(sys.argv) > 4 else 100
+    sp = int(sys.argv[5]) if len(sys.argv) > 5 else 4
+    sp = sp if sp > 0 else None
 
     spark = get_spark("stress_sustained")
     if mode in ("json", "both"):
-        print(json.dumps(run_json(spark, n, n_batches, n_coll)))
+        print(json.dumps(run_json(spark, n, n_batches, n_coll,
+                                  state_partitions=sp)))
     if mode in ("json-grouped", "both"):
         print(json.dumps(run_json(spark, n, n_batches, n_coll,
-                                  layout="grouped")))
+                                  layout="grouped",
+                                  state_partitions=sp)))
     if mode in ("avro", "both"):
-        print(json.dumps(run_avro(spark, n, n_batches, n_coll)))
+        print(json.dumps(run_avro(spark, n, n_batches, n_coll,
+                                  state_partitions=sp)))
 
 
 if __name__ == "__main__":
