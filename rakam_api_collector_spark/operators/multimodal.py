@@ -497,11 +497,12 @@ def frame_sample_plan(n_frames: Column, every: int = 30) -> Column:
 
 
 # --- WAV codec (public spec: RIFF/WAVE, Microsoft/IBM 1991) ------------------
-# Integer PCM (format tag 1, 8/16/24-bit), ITU-T G.711 companded audio
-# (tags 6/7, A-law/mu-law), and IMA/DVI ADPCM (tag 0x11); other
-# encodings (float32, MPEG, ...) raise ValueError — at deployment a
-# libav-backed decoder replaces wav_decode in the same mapInPandas
-# stage.
+# Integer PCM (format tag 1, 8/16/24-bit), IEEE float PCM (tag 3,
+# 32/64-bit), ITU-T G.711 companded audio (tags 6/7, A-law/mu-law),
+# IMA/DVI ADPCM (tag 0x11), and WAVE_FORMAT_EXTENSIBLE (0xFFFE)
+# wrapping any of those via the SubFormat GUID; compressed encodings
+# (MPEG, ...) raise ValueError — at deployment a libav-backed decoder
+# replaces wav_decode in the same mapInPandas stage.
 
 
 def wav_encode(samples: bytes, sample_rate: int, channels: int) -> bytes:
@@ -515,6 +516,41 @@ def wav_encode(samples: bytes, sample_rate: int, channels: int) -> bytes:
     body = (b"WAVE"
             + b"fmt " + struct.pack("<I", len(fmt)) + fmt
             + b"data" + struct.pack("<I", len(samples)) + samples)
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def wav_encode_float(samples, sample_rate: int, channels: int,
+                     bits: int = 32, extensible: bool = False) -> bytes:
+    """RIFF/WAVE writer for IEEE float PCM (format tag 3): ``samples``
+    is a float sequence/ndarray of interleaved [-1, 1] samples. With
+    ``extensible=True`` the fmt chunk is WAVE_FORMAT_EXTENSIBLE
+    (0xFFFE) carrying the float SubFormat GUID — the layout most DAWs
+    emit for >2-channel or high-resolution files. A ``fact`` chunk
+    records the frame count as the spec requires for non-PCM tags."""
+    import numpy as np
+
+    if bits not in (32, 64):
+        raise ValueError(f"IEEE float WAV requires 32/64 bits, got {bits}")
+    x = np.asarray(samples, dtype="<f4" if bits == 32 else "<f8")
+    if x.size % channels:
+        raise ValueError("sample buffer not a whole number of frames")
+    data = x.tobytes()
+    block_align = channels * bits // 8
+    if extensible:
+        guid = struct.pack("<H", 3) + (
+            b"\x00\x00\x00\x00\x10\x00\x80\x00\x00\xaa\x00\x38\x9b\x71")
+        fmt = struct.pack("<HHIIHHHHI", 0xFFFE, channels, sample_rate,
+                          sample_rate * block_align, block_align, bits,
+                          22, bits, (1 << channels) - 1) + guid
+    else:
+        fmt = struct.pack("<HHIIHHH", 3, channels, sample_rate,
+                          sample_rate * block_align, block_align, bits,
+                          0)
+    fact = struct.pack("<I", x.size // channels)
+    body = (b"WAVE"
+            + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"fact" + struct.pack("<I", len(fact)) + fact
+            + b"data" + struct.pack("<I", len(data)) + data)
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
@@ -776,9 +812,11 @@ def wav_decode(data: bytes) -> tuple[int, int, bytes]:
     caller sees one uniform int16 sample stream (the same
     normalize-at-the-edge rule as the PNG 16→8 path). Format tags 6/7
     (ITU-T G.711 A-law/μ-law at 8 bits) expand through the companding
-    tables, and tag 0x11 (IMA ADPCM at 4 bits) decodes block-wise with
-    the fact chunk truncating encoder padding. Float and other
-    compressed formats raise."""
+    tables, tag 3 (IEEE float, 32/64-bit) clamps to [-1, 1] and scales
+    to int16 full scale, tag 0xFFFE (EXTENSIBLE) unwraps the SubFormat
+    GUID to its classic tag, and tag 0x11 (IMA ADPCM at 4 bits)
+    decodes block-wise with the fact chunk truncating encoder padding.
+    Compressed formats (MPEG, ...) raise."""
     if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE file")
     pos, rate, channels, pcm = 12, None, None, None
@@ -801,9 +839,26 @@ def wav_decode(data: bytes) -> tuple[int, int, bytes]:
                 raise ValueError(f"fmt chunk too short: {len(body)} bytes")
             fmt_tag, channels, rate, _, block_align, bits = struct.unpack(
                 "<HHIIHH", body[:16])
-            if fmt_tag not in (1, 6, 7, 0x11):
+            if fmt_tag == 0xFFFE:
+                # WAVE_FORMAT_EXTENSIBLE: the real coding lives in the
+                # SubFormat GUID ({tag:04x}-0000-0010-8000-00AA00389B71,
+                # first two bytes little-endian = the classic tag);
+                # wValidBitsPerSample/dwChannelMask precede it
+                if len(body) < 40:
+                    raise ValueError(
+                        f"extensible fmt chunk too short: {len(body)}")
+                if body[26:40] != (b"\x00\x00\x00\x00\x10\x00\x80\x00"
+                                   b"\x00\xaa\x00\x38\x9b\x71"):
+                    raise ValueError("non-standard extensible SubFormat "
+                                     "GUID")
+                (fmt_tag,) = struct.unpack("<H", body[24:26])
+            if fmt_tag not in (1, 3, 6, 7, 0x11):
                 raise ValueError(f"unsupported WAV format tag {fmt_tag}")
-            if fmt_tag in (6, 7):
+            if fmt_tag == 3:
+                if bits not in (32, 64):
+                    raise ValueError(
+                        f"IEEE float requires 32/64 bits, got {bits}")
+            elif fmt_tag in (6, 7):
                 if bits != 8:
                     raise ValueError(
                         f"G.711 requires 8 bits/sample, got {bits}")
@@ -833,7 +888,17 @@ def wav_decode(data: bytes) -> tuple[int, int, bytes]:
     bytes_per = bits // 8
     if len(pcm) % (bytes_per * channels):
         raise ValueError("data chunk not a whole number of frames")
-    if fmt_tag in (6, 7):
+    if fmt_tag == 3:
+        import numpy as np
+        # IEEE float [-1, 1] → int16 full scale: clamp (float WAVs may
+        # legally exceed ±1 pre-master) then symmetric 32767 scaling,
+        # round-half-even — the same normalize-at-the-edge rule as the
+        # other depths so every caller sees one int16 stream
+        x = np.frombuffer(pcm, dtype="<f4" if bits == 32 else "<f8")
+        x = np.nan_to_num(x, nan=0.0, posinf=1.0, neginf=-1.0)
+        pcm = (np.rint(np.clip(x, -1.0, 1.0) * 32767.0)
+               .astype("<i2").tobytes())
+    elif fmt_tag in (6, 7):
         import numpy as np
         ulaw_t, alaw_t = _g711_decode_tables()
         table = alaw_t if fmt_tag == 6 else ulaw_t

@@ -821,3 +821,58 @@ def test_adpcm_truncated_final_block_decodes_prefix():
     # shorter than the per-channel headers: corrupt, not truncated
     with pytest.raises(ValueError, match="tail"):
         M._ima_adpcm_decode(blocks + bytes(2), 1, ba)
+
+
+def test_wav_float_decode_and_extensible():
+    """IEEE float WAV (format tag 3) and the WAVE_FORMAT_EXTENSIBLE
+    (0xFFFE) wrapper: float samples clamp to [-1, 1] and scale to
+    int16 full scale; a float encoding of an int16 stream round-trips
+    exactly; NaN maps to silence; a non-standard SubFormat GUID is
+    rejected, not misread."""
+    import numpy as np
+
+    x16 = (np.sin(np.linspace(0, 20, 1000)) * 20000).astype("<i2")
+    f = x16.astype(np.float64) / 32767.0
+    for bits in (32, 64):
+        rate, ch, pcm = M.wav_decode(
+            M.wav_encode_float(f, 16000, 1, bits=bits))
+        assert (rate, ch) == (16000, 1)
+        got = np.frombuffer(pcm, dtype="<i2")
+        assert np.array_equal(got, x16), bits
+    # extensible wrapper, stereo float32
+    st = np.repeat(f[:200], 2)
+    rate, ch, pcm = M.wav_decode(
+        M.wav_encode_float(st, 8000, 2, extensible=True))
+    assert (rate, ch) == (8000, 2)
+    assert np.array_equal(np.frombuffer(pcm, dtype="<i2"),
+                          np.repeat(x16[:200], 2))
+    # out-of-range samples clamp, NaN becomes silence
+    weird = np.array([2.0, -3.0, float("nan"), 0.5], dtype=np.float32)
+    _, _, pcm = M.wav_decode(M.wav_encode_float(weird, 8000, 1))
+    assert list(np.frombuffer(pcm, dtype="<i2")) == \
+        [32767, -32767, 0, 16384]
+    # corrupt SubFormat GUID: fail loudly
+    blob = bytearray(M.wav_encode_float(f[:8], 8000, 1, extensible=True))
+    i = blob.index(b"\x9b\x71")
+    blob[i:i + 2] = b"\x00\x00"
+    with pytest.raises(ValueError, match="SubFormat"):
+        M.wav_decode(bytes(blob))
+    # odd float bit depth: fail loudly
+    with pytest.raises(ValueError, match="32/64"):
+        M.wav_encode_float(f[:8], 8000, 1, bits=16)
+
+
+def test_decode_audio_float_through_spark(spark):
+    """decode_audio consumes float WAVs through the same mapInPandas
+    stage — stats equal the integer-PCM encoding of the same signal."""
+    import numpy as np
+
+    x16 = (np.sin(np.linspace(0, 9, 480)) * 12000).astype("<i2")
+    rows = [(1, M.wav_encode(x16.tobytes(), 8000, 1)),
+            (2, M.wav_encode_float(
+                x16.astype(np.float64) / 32767.0, 8000, 1))]
+    df = spark.createDataFrame(rows, "id long, blob binary")
+    got = {r.id: r for r in M.decode_audio(df, "id").collect()}
+    assert got[1].n_frames == got[2].n_frames == 480
+    for fld in ("amp_sum", "amp_sqsum", "amp_min", "amp_max"):
+        assert getattr(got[1], fld) == getattr(got[2], fld), fld
