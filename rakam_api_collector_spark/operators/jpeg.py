@@ -1,20 +1,33 @@
-"""Baseline JPEG codec (public spec: ITU-T T.81 / ISO 10918-1).
+"""Baseline + progressive JPEG codec (public spec: ITU-T T.81 /
+ISO 10918-1).
 
-Pure stdlib + numpy implementation of baseline sequential DCT JPEG:
+Pure stdlib + numpy implementation of Huffman-coded DCT JPEG:
 
-- ``jpeg_decode``: SOI / APPn / COM / DQT / DHT / SOF0 / SOS / EOI
+- ``jpeg_decode``: SOI / APPn / COM / DQT / DHT / SOF0-2 / SOS / EOI
   marker walk, entropy-coded segment with 0xFF00 byte unstuffing,
   canonical Huffman decode (tables read FROM THE STREAM, so any
-  baseline encoder's tables work), DC prediction, AC run-length /
-  ZRL / EOB, dequantization, inverse zigzag, float64 IDCT (exact
-  8×8 DCT-III matrix), level shift + clip, and BT.601 YCbCr→RGB with
+  encoder's tables work), DC prediction, AC run-length / ZRL / EOB,
+  dequantization, inverse zigzag, float64 IDCT (exact 8×8 DCT-III
+  matrix), level shift + clip, and BT.601 YCbCr→RGB with
   nearest-neighbor chroma upsampling for subsampled scans (h,v ≤ 2 —
   covers 4:4:4, 4:2:2, 4:2:0). Restart markers (DRI/RSTn) are
-  honored. Progressive (SOF2) and arithmetic coding raise.
-- ``jpeg_encode``: grayscale or YCbCr 4:4:4 fixture writer — standard
-  Annex-K quantization tables scaled by ``quality``, standard Huffman
-  tables, interleaved single scan. Encoder output always embeds its
-  tables, so decode never depends on out-of-band state.
+  honored. PROGRESSIVE (SOF2) streams decode fully: multi-scan
+  spectral selection and successive approximation per spec Annex G —
+  DC first/refinement scans (interleaved or not), per-component AC
+  band scans with EOB-run accumulation, and the AC refinement
+  correction-bit walk — coefficients accumulate across scans and
+  reconstruct once at EOI. Arithmetic coding (SOF9/10) still raises.
+- ``jpeg_encode``: grayscale or YCbCr 4:4:4 / 4:2:0 fixture writer —
+  standard Annex-K quantization tables scaled by ``quality``,
+  standard Huffman tables, interleaved single scan.
+- ``jpeg_encode_progressive``: the progressive fixture twin — a
+  libjpeg-style scan script (DC first at Al=1, per-component AC bands
+  1-5 / 6-63 at Al=1, AC refinements to Al=0, DC refinement), or
+  spectral-selection-only with ``spectral_only=True``. Because both
+  encoders quantize identically, a progressive stream must decode to
+  the EXACT same pixels as the baseline stream of the same image —
+  the cross-check the tests pin (no matched encode/decode bug can
+  fake it, since the baseline decoder is oracle-verified by llm44).
 
 JPEG is lossy: tests pin closed-form-computable cases exactly (a
 uniform block decodes to its quantized DC value), bound round-trip
@@ -396,6 +409,8 @@ def _jpeg_decode_impl(data: bytes) -> tuple[int, int, int, bytes]:
     comps = None
     width = height = None
     restart_interval = 0
+    progressive = False
+    coefs = None                    # progressive: per-comp (r, c, 64)
     while pos + 4 <= len(data):
         if data[pos] != 0xFF:
             raise ValueError("marker expected")
@@ -437,7 +452,8 @@ def _jpeg_decode_impl(data: bytes) -> tuple[int, int, int, bytes]:
                     raise ValueError("truncated DHT values")
                 htables[tc] = _decode_table(bits, vals)
                 i += 17 + n
-        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 (baseline/ext seq)
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1/2
+            progressive = marker == 0xC2
             precision, height, width, nc = struct.unpack(
                 ">BHHB", body[:6])
             if precision != 8:
@@ -450,9 +466,10 @@ def _jpeg_decode_impl(data: bytes) -> tuple[int, int, int, bytes]:
             if any(c["h"] > 2 or c["v"] > 2 or c["h"] < 1 or c["v"] < 1
                    for c in comps):
                 raise ValueError("sampling factors beyond 2 unsupported")
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
-            raise ValueError("only baseline sequential JPEG supported")
+            raise ValueError(
+                "only baseline/progressive Huffman JPEG supported")
         elif marker == 0xDD:                   # DRI
             (restart_interval,) = struct.unpack(">H", body[:2])
         elif marker == 0xDA:                   # SOS
@@ -467,14 +484,36 @@ def _jpeg_decode_impl(data: bytes) -> tuple[int, int, int, bytes]:
                 if len(seg) != 2:
                     raise ValueError("truncated SOS component spec")
                 cs, tt = seg
-                matches = [x for x in comps if x["id"] == cs]
+                matches = [i for i, x in enumerate(comps)
+                           if x["id"] == cs]
                 if not matches:
                     raise ValueError(f"SOS names unknown component {cs}")
-                scan.append({**matches[0], "dc": tt >> 4, "ac": tt & 0xF})
+                scan.append({**comps[matches[0]], "ci": matches[0],
+                             "dc": tt >> 4, "ac": tt & 0xF})
             pos += seglen
-            return _decode_scan(data, pos, scan, qtables, htables,
-                                width, height, restart_interval)
+            if not progressive:
+                return _decode_scan(data, pos, scan, qtables, htables,
+                                    width, height, restart_interval)
+            spec = body[1 + 2 * ns:4 + 2 * ns]
+            if len(spec) != 3:
+                raise ValueError("truncated SOS spectral spec")
+            ss, se, ahal = spec
+            hmax = max(x["h"] for x in comps)
+            vmax = max(x["v"] for x in comps)
+            mcus_x = -(-width // (8 * hmax))
+            mcus_y = -(-height // (8 * vmax))
+            if coefs is None:
+                coefs = [np.zeros((mcus_y * x["v"], mcus_x * x["h"], 64),
+                                  dtype=np.int32) for x in comps]
+            pos = _decode_progressive_scan(
+                data, pos, scan, coefs, htables, width, height,
+                hmax, vmax, mcus_x, mcus_y, restart_interval,
+                ss, se, ahal >> 4, ahal & 0xF)
+            continue
         pos += seglen
+    if progressive and coefs is not None:
+        return _progressive_reconstruct(comps, coefs, qtables,
+                                        width, height)
     raise ValueError("no SOS marker found")
 
 
@@ -540,19 +579,25 @@ def _decode_scan(data, pos, scan, qtables, htables, width, height,
                         x0 = (mx * c["h"] + bx) * 8
                         planes[ci][y0:y0 + 8, x0:x0 + 8] = px
             mcu_count += 1
-    # upsample to full res, crop, convert
+    return _assemble(scan, planes, width, height, hmax, vmax)
+
+
+def _assemble(comps, planes, width, height, hmax, vmax):
+    """Upsample each component plane to full resolution, crop to the
+    frame, and convert (shared by the baseline and progressive
+    reconstruction paths)."""
     full = []
-    for ci, c in enumerate(scan):
+    for ci, c in enumerate(comps):
         p = planes[ci]
         if c["h"] != hmax or c["v"] != vmax:
             p = np.repeat(np.repeat(p, vmax // c["v"], axis=0),
                           hmax // c["h"], axis=1)
         full.append(p[:height, :width])
-    if len(scan) == 1:
+    if len(comps) == 1:
         out = np.clip(np.round(full[0]), 0, 255).astype(np.uint8)
         return width, height, 1, out.tobytes()
-    if len(scan) != 3:
-        raise ValueError(f"unsupported component count {len(scan)}")
+    if len(comps) != 3:
+        raise ValueError(f"unsupported component count {len(comps)}")
     y, cb, cr = full
     r = y + 1.402 * (cr - 128.0)
     g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
@@ -560,3 +605,477 @@ def _decode_scan(data, pos, scan, qtables, htables, width, height,
     rgb = np.stack([r, g, b], axis=-1)
     out = np.clip(np.round(rgb), 0, 255).astype(np.uint8)
     return width, height, 3, out.tobytes()
+
+
+# ---------------------------------------------------------------------------
+# progressive decoding (spec Annex G: spectral selection + successive
+# approximation; coefficient state accumulates across scans)
+
+def _nonil_blocks(c, width, height, hmax, vmax) -> tuple[int, int]:
+    """Block-grid dims of a NON-INTERLEAVED scan over one component:
+    ceil(ceil(dim·f/fmax) / 8) per axis (spec A.1.1 component dims +
+    A.2.2 non-interleaved data unit count)."""
+    cw = -(-width * c["h"] // hmax)
+    ch = -(-height * c["v"] // vmax)
+    return -(-cw // 8), -(-ch // 8)
+
+
+def _decode_progressive_scan(data, pos, scan, coefs, htables,
+                             width, height, hmax, vmax, mcus_x, mcus_y,
+                             restart_interval, ss, se, ah, al):
+    if ss == 0 and se == 0:
+        dc = True
+    elif 1 <= ss <= se <= 63:
+        dc = False
+        if len(scan) != 1:
+            raise ValueError("progressive AC scan must name exactly "
+                             "one component")
+    else:
+        raise ValueError(f"bad spectral selection {ss}..{se}")
+    reader = _BitReader(data, pos)
+    preds = {c["ci"]: 0 for c in scan}
+    eobrun = 0
+    p1, m1 = 1 << al, -(1 << al)
+
+    def table(c, ac: bool):
+        key = (0x10 | c["ac"]) if ac else c["dc"]
+        t = htables.get(key)
+        if t is None:
+            raise ValueError(f"missing Huffman table {key:#x}")
+        return t
+
+    def refine_bit(cf, k):
+        """Correction bit for an already-nonzero coefficient
+        (G.1.2.3): move it one step away from zero iff the bit is set
+        and this approximation pass hasn't touched it yet."""
+        if reader.bit() and not (int(cf[k]) & p1):
+            cf[k] += p1 if cf[k] >= 0 else m1
+
+    def dc_first(c, cf):
+        t = _huff_decode(reader, table(c, False))
+        if t > 16:
+            raise ValueError(f"DC magnitude category {t} invalid")
+        diff = _extend(reader.bits(t), t) if t else 0
+        preds[c["ci"]] += diff
+        cf[0] = preds[c["ci"]] << al
+
+    def dc_refine(cf):
+        if reader.bit():
+            cf[0] = int(cf[0]) | p1     # two's complement: works for <0
+
+    def ac_first(c, cf):
+        nonlocal eobrun
+        if eobrun:
+            eobrun -= 1
+            return
+        act = table(c, True)
+        k = ss
+        while k <= se:
+            rs = _huff_decode(reader, act)
+            r, s = rs >> 4, rs & 0xF
+            if s == 0:
+                if r == 15:                      # ZRL
+                    k += 16
+                    continue
+                eobrun = (1 << r) - 1            # this block is one of
+                if r:                            # the (1<<r)+bits run
+                    eobrun += reader.bits(r)
+                break
+            k += r
+            if k > se:
+                raise ValueError("AC run past band end")
+            cf[k] = _extend(reader.bits(s), s) << al
+            k += 1
+
+    def ac_refine(c, cf):
+        nonlocal eobrun
+        k = ss
+        if eobrun == 0:
+            act = table(c, True)
+            while k <= se:
+                rs = _huff_decode(reader, act)
+                r, s = rs >> 4, rs & 0xF
+                if s == 0:
+                    if r < 15:
+                        eobrun = 1 << r
+                        if r:
+                            eobrun += reader.bits(r)
+                        break
+                    val = 0                      # ZRL: 16 still-zero taps
+                elif s == 1:
+                    # newly-significant: sign bit right after the code
+                    val = p1 if reader.bit() else m1
+                else:
+                    raise ValueError(
+                        "AC refinement magnitude must be 1")
+                # walk: correction bits over already-nonzero taps, run
+                # countdown over still-zero taps, place val at the end
+                while k <= se:
+                    if cf[k] != 0:
+                        refine_bit(cf, k)
+                        k += 1
+                        continue
+                    if r == 0:
+                        if val:
+                            cf[k] = val
+                        k += 1
+                        break
+                    r -= 1
+                    k += 1
+        if eobrun:
+            # inside an EOB run every remaining nonzero tap of the band
+            # still carries its correction bit
+            while k <= se:
+                if cf[k] != 0:
+                    refine_bit(cf, k)
+                k += 1
+            eobrun -= 1
+
+    def do_block(c, cf):
+        if dc:
+            dc_first(c, cf) if ah == 0 else dc_refine(cf)
+        else:
+            ac_first(c, cf) if ah == 0 else ac_refine(c, cf)
+
+    mcu = 0
+
+    def maybe_restart():
+        nonlocal mcu, eobrun
+        mcu += 1
+        if restart_interval and mcu % restart_interval == 0:
+            reader.align()
+            if (reader.pos + 1 < len(data) and data[reader.pos] == 0xFF
+                    and 0xD0 <= data[reader.pos + 1] <= 0xD7):
+                reader.pos += 2
+                for ci in preds:
+                    preds[ci] = 0
+                eobrun = 0
+
+    if len(scan) > 1:
+        # interleaved (DC scans only): MCU walk over every component's
+        # h×v blocks, exactly the sequential MCU geometry
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                for c in scan:
+                    cf = coefs[c["ci"]]
+                    for by in range(c["v"]):
+                        for bx in range(c["h"]):
+                            do_block(c, cf[my * c["v"] + by,
+                                           mx * c["h"] + bx])
+                maybe_restart()
+    else:
+        # non-interleaved: the component's own block raster; one block
+        # is one restart-counted unit
+        c = scan[0]
+        bw, bh = _nonil_blocks(c, width, height, hmax, vmax)
+        cf = coefs[c["ci"]]
+        for by in range(bh):
+            for bx in range(bw):
+                do_block(c, cf[by, bx])
+                maybe_restart()
+    return reader.pos
+
+
+def _progressive_reconstruct(comps, coefs, qtables, width, height):
+    """All scans consumed: dequantize + IDCT every component's
+    coefficient grid in one vectorized pass, then the shared
+    upsample/crop/convert tail."""
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    planes = []
+    for ci, c in enumerate(comps):
+        q = qtables.get(c["tq"])
+        if q is None:
+            raise ValueError(f"missing quantization table {c['tq']}")
+        cf = coefs[ci]
+        rows, cols = cf.shape[:2]
+        nat = np.zeros((rows, cols, 64), dtype=np.float64)
+        nat[..., _ZIGZAG] = cf
+        b8 = nat.reshape(rows, cols, 8, 8) * q
+        # broadcasted matmul, NOT einsum: same per-block summation
+        # order as the baseline path, so a progressive stream decodes
+        # BIT-identically to its baseline twin (einsum's reassociated
+        # sums can land the other side of a .5 rounding boundary)
+        px = _DCT.T @ b8 @ _DCT + 128.0
+        planes.append(px.transpose(0, 2, 1, 3)
+                      .reshape(rows * 8, cols * 8))
+    return _assemble(comps, planes, width, height, hmax, vmax)
+
+
+# ---------------------------------------------------------------------------
+# progressive encoder (fixture twin): libjpeg-style scan script, or
+# spectral-selection-only. Tables are FLAT canonical Huffman tables
+# covering every symbol a progressive scan can emit (incl. EOBn runs,
+# which the Annex-K sequential tables lack) — valid, deliberately
+# unoptimized, and embedded in the stream like everything else.
+
+_DC_PROG = ([0, 0, 0, 12] + [0] * 12, list(range(12)))
+_AC_PROG = ([0] * 7 + [176] + [0] * 8,
+            [(r << 4) | s for r in range(16) for s in range(11)])
+
+
+def _coef_grids(pixels, width, height, channels, quality, subsample):
+    """Per-component quantized zigzag coefficient grids + frame
+    geometry, shared quantization with jpeg_encode (identical
+    coefficients => progressive and baseline decode to identical
+    pixels)."""
+    img = np.frombuffer(pixels, dtype=np.uint8).astype(np.float64)
+    img = img.reshape(height, width, channels)
+    if channels == 3:
+        r, g, b = img[..., 0], img[..., 1], img[..., 2]
+        planes = [0.299 * r + 0.587 * g + 0.114 * b,
+                  -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0,
+                  0.5 * r - 0.418688 * g - 0.081312 * b + 128.0]
+    else:
+        planes = [img[..., 0]]
+    sub = subsample and channels == 3
+    qs = [_scale_q(_Q_LUMA, quality)]
+    if channels == 3:
+        qs.append(_scale_q(_Q_CHROMA, quality))
+    qsel = [qs[0]] + [qs[-1]] * (channels - 1)
+
+    def grid(blocks, q):
+        # broadcasted matmul (same summation order as jpeg_encode's
+        # per-block form) so np.round(d/q) quantizes IDENTICALLY —
+        # einsum's reassociated sums can flip a coefficient sitting on
+        # a .5 boundary and break the progressive==baseline pixel pin
+        d = _DCT @ (blocks - 128.0) @ _DCT.T
+        coef = np.round(d / q).astype(np.int64)
+        return coef.reshape(coef.shape[0], coef.shape[1], 64)[..., _ZIGZAG]
+
+    if not sub:
+        grids = [grid(_block_grid(p), qsel[ci])
+                 for ci, p in enumerate(planes)]
+        factors = [(1, 1)] * channels
+    else:
+        def half(p):
+            if p.shape[0] % 2 or p.shape[1] % 2:
+                p = np.pad(p, ((0, p.shape[0] % 2), (0, p.shape[1] % 2)),
+                           mode="edge")
+            return p.reshape(p.shape[0] // 2, 2,
+                             p.shape[1] // 2, 2).mean(axis=(1, 3))
+        grids = [grid(_block_grid(planes[0], mult=16), qsel[0])]
+        grids += [grid(_block_grid(half(p), mult=8), qsel[ci + 1])
+                  for ci, p in enumerate(planes[1:])]
+        factors = [(2, 2)] + [(1, 1)] * (channels - 1)
+    return grids, factors, qs
+
+
+def _enc_dc_scan(w, grids, factors, al, refine: bool):
+    """Interleaved DC scan over every component (first pass codes the
+    point-transformed diffs; refinement emits one raw bit per block)."""
+    dc_codes = _canonical_codes(*_DC_PROG)
+    hmax = max(h for h, _ in factors)
+    vmax = max(v for _, v in factors)
+    rows0, cols0 = grids[0].shape[:2]
+    mcus_y, mcus_x = rows0 // factors[0][1], cols0 // factors[0][0]
+    preds = [0] * len(grids)
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            for ci, g in enumerate(grids):
+                h, v = factors[ci]
+                for by in range(v):
+                    for bx in range(h):
+                        c0 = int(g[my * v + by, mx * h + bx, 0])
+                        if refine:
+                            w.write((c0 >> al) & 1, 1)
+                            continue
+                        vpt = c0 >> al          # arithmetic shift (spec)
+                        diff = vpt - preds[ci]
+                        preds[ci] = vpt
+                        t, mag = _magnitude(diff)
+                        code, ln = dc_codes[t]
+                        w.write(code, ln)
+                        if t:
+                            w.write(mag, t)
+
+
+def _enc_ac_first_scan(w, grid, bw, bh, ss, se, al):
+    ac_codes = _canonical_codes(*_AC_PROG)
+    eobrun = 0
+
+    def flush_eob():
+        nonlocal eobrun
+        if eobrun:
+            r = eobrun.bit_length() - 1
+            code, ln = ac_codes[r << 4]
+            w.write(code, ln)
+            if r:
+                w.write(eobrun - (1 << r), r)
+            eobrun = 0
+
+    for by in range(bh):
+        for bx in range(bw):
+            band = grid[by, bx, ss:se + 1]
+            # AC point transform is sign-magnitude (spec G.1.2.1)
+            vals = [int(v) >> al if v >= 0 else -((-int(v)) >> al)
+                    for v in band]
+            nz = [i for i, v in enumerate(vals) if v]
+            if not nz:
+                eobrun += 1
+                if eobrun == 0x7FFF:
+                    flush_eob()
+                continue
+            flush_eob()
+            run = 0
+            for i in range(nz[-1] + 1):
+                if vals[i] == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    code, ln = ac_codes[0xF0]
+                    w.write(code, ln)
+                    run -= 16
+                t, mag = _magnitude(vals[i])
+                code, ln = ac_codes[(run << 4) | t]
+                w.write(code, ln)
+                w.write(mag, t)
+                run = 0
+            if nz[-1] < se - ss:
+                eobrun = 1
+    flush_eob()
+
+
+def _enc_ac_refine_scan(w, grid, bw, bh, ss, se, al):
+    """AC successive-approximation refinement (spec G.1.2.3): newly
+    significant taps code as (run, 1)+sign; already-significant taps
+    ride as correction bits in position order; blocks with nothing new
+    join an EOB run whose buffered correction bits follow the EOBn
+    code."""
+    ac_codes = _canonical_codes(*_AC_PROG)
+    eobrun = 0
+    pending: list[int] = []
+
+    def flush_eob():
+        nonlocal eobrun, pending
+        if eobrun:
+            r = eobrun.bit_length() - 1
+            code, ln = ac_codes[r << 4]
+            w.write(code, ln)
+            if r:
+                w.write(eobrun - (1 << r), r)
+            eobrun = 0
+        for b in pending:
+            w.write(b, 1)
+        pending = []
+
+    for by in range(bh):
+        for bx in range(bw):
+            band = grid[by, bx, ss:se + 1]
+            a = [abs(int(v)) >> al for v in band]
+            sgn = [int(v) > 0 for v in band]
+            new = [i for i, x in enumerate(a) if x == 1]
+            if not new:
+                pending.extend(x & 1 for x in a if x > 1)
+                eobrun += 1
+                if eobrun == 0x7FFF:
+                    flush_eob()
+                continue
+            flush_eob()
+            k = 0
+            for kn in new:
+                r = sum(1 for i in range(k, kn) if a[i] == 0)
+                while r > 15:
+                    code, ln = ac_codes[0xF0]
+                    w.write(code, ln)
+                    z = 0
+                    while z < 16:           # 16 still-zero taps, with
+                        if a[k] == 0:       # corrections interleaved in
+                            z += 1          # position order (the walk
+                        elif a[k] > 1:      # the decoder replays)
+                            w.write(a[k] & 1, 1)
+                        k += 1
+                    r -= 16
+                code, ln = ac_codes[(r << 4) | 1]
+                w.write(code, ln)
+                w.write(1 if sgn[kn] else 0, 1)
+                while k < kn:
+                    if a[k] > 1:
+                        w.write(a[k] & 1, 1)
+                    k += 1
+                k = kn + 1
+            if k <= se - ss:
+                pending.extend(a[i] & 1
+                               for i in range(k, se - ss + 1) if a[i] > 1)
+                eobrun = 1
+    flush_eob()
+
+
+def jpeg_encode_progressive(pixels: bytes, width: int, height: int,
+                            channels: int, quality: int = 90,
+                            subsample: bool = False,
+                            spectral_only: bool = False) -> bytes:
+    """Progressive JPEG fixture writer (gray or YCbCr, 4:4:4 / 4:2:0).
+    Default scan script exercises the full Annex-G surface: DC first at
+    Al=1, per-component AC bands 1-5 and 6-63 at Al=1, AC refinements
+    to Al=0, then DC refinement. ``spectral_only=True`` emits the
+    simpler spectral-selection-only script (every scan at Ah=Al=0).
+    Quantization is IDENTICAL to jpeg_encode, so both streams decode
+    to the same pixels."""
+    if channels not in (1, 3):
+        raise ValueError("jpeg_encode_progressive supports 1 or 3 "
+                         "channels")
+    if len(pixels) != width * height * channels:
+        raise ValueError("pixel buffer does not match dimensions")
+    grids, factors, qs = _coef_grids(pixels, width, height, channels,
+                                     quality, subsample)
+    hmax = max(h for h, _ in factors)
+    vmax = max(v for _, v in factors)
+
+    out = bytearray(b"\xff\xd8")                                # SOI
+    for tid, q in enumerate(qs):                                # DQT
+        body = bytes([tid]) + bytes(int(v) for v in q.flatten()[_ZIGZAG])
+        out += b"\xff\xdb" + struct.pack(">H", len(body) + 2) + body
+    sof = struct.pack(">BHHB", 8, height, width, channels)      # SOF2
+    for cid in range(channels):
+        h, v = factors[cid]
+        sof += bytes([cid + 1, (h << 4) | v, 0 if cid == 0 else 1])
+    out += b"\xff\xc2" + struct.pack(">H", len(sof) + 2) + sof
+    for tc, (bits, vals) in ((0x00, _DC_PROG), (0x10, _AC_PROG)):
+        body = bytes([tc]) + bytes(bits) + bytes(vals)          # DHT
+        out += b"\xff\xc4" + struct.pack(">H", len(body) + 2) + body
+
+    def sos(comp_ids, ss, se, ah, al, emit):
+        nonlocal out
+        hdr = bytes([len(comp_ids)])
+        for cid in comp_ids:
+            hdr += bytes([cid + 1, 0x00])       # DC table 0 / AC table 0
+        hdr += bytes([ss, se, (ah << 4) | al])
+        out += b"\xff\xda" + struct.pack(">H", len(hdr) + 2) + hdr
+        w = _BitWriter()
+        emit(w)
+        out += w.flush()
+
+    all_ids = list(range(channels))
+    comp_geom = []
+    for ci in range(channels):
+        c = {"h": factors[ci][0], "v": factors[ci][1]}
+        comp_geom.append(_nonil_blocks(c, width, height, hmax, vmax))
+
+    if spectral_only:
+        sos(all_ids, 0, 0, 0, 0,
+            lambda w: _enc_dc_scan(w, grids, factors, 0, False))
+        for ci in range(channels):
+            bw, bh = comp_geom[ci]
+            sos([ci], 1, 63, 0, 0,
+                lambda w, ci=ci, bw=bw, bh=bh: _enc_ac_first_scan(
+                    w, grids[ci], bw, bh, 1, 63, 0))
+    else:
+        sos(all_ids, 0, 0, 0, 1,
+            lambda w: _enc_dc_scan(w, grids, factors, 1, False))
+        for ci in range(channels):
+            bw, bh = comp_geom[ci]
+            for lo, hi in ((1, 5), (6, 63)):
+                sos([ci], lo, hi, 0, 1,
+                    lambda w, ci=ci, bw=bw, bh=bh, lo=lo, hi=hi:
+                    _enc_ac_first_scan(w, grids[ci], bw, bh, lo, hi, 1))
+        for ci in range(channels):
+            bw, bh = comp_geom[ci]
+            for lo, hi in ((1, 5), (6, 63)):
+                sos([ci], lo, hi, 1, 0,
+                    lambda w, ci=ci, bw=bw, bh=bh, lo=lo, hi=hi:
+                    _enc_ac_refine_scan(w, grids[ci], bw, bh, lo, hi, 0))
+        sos(all_ids, 0, 0, 1, 0,
+            lambda w: _enc_dc_scan(w, grids, factors, 0, True))
+    out += b"\xff\xd9"                                          # EOI
+    return bytes(out)

@@ -144,8 +144,15 @@ def test_wav_roundtrip_and_rejects():
     assert (rate, ch, out) == (16000, 1, s)
     with pytest.raises(ValueError, match="RIFF"):
         M.wav_decode(b"\x00" * 64)
-    # float32 WAV (format tag 3) must fail loudly
+    # float32 WAV (format tag 3) now decodes: one 0.0 sample → silence
     fmt = struct.pack("<HHIIHH", 3, 1, 8000, 32000, 4, 32)
+    body = (b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", 4) + b"\x00" * 4)
+    assert M.wav_decode(
+        b"RIFF" + struct.pack("<I", len(body)) + body) == \
+        (8000, 1, b"\x00\x00")
+    # a genuinely compressed tag (MPEG layer 3 = 0x55) must fail loudly
+    fmt = struct.pack("<HHIIHH", 0x55, 1, 8000, 32000, 4, 16)
     body = (b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
             + b"data" + struct.pack("<I", 4) + b"\x00" * 4)
     with pytest.raises(ValueError, match="format tag"):
@@ -483,10 +490,16 @@ def test_jpeg_codec_and_mixed_container_decode(spark):
         err = np.abs(np.frombuffer(out, np.uint8).astype(int)
                      - np.frombuffer(base, np.uint8).astype(int))
         assert err.max() <= 2, (ch, sub, err.max())
-    # progressive must fail loudly, not garble
+    # arithmetic coding must fail loudly, not garble
+    arith = bytearray(J.jpeg_encode(bytes(64), 8, 8, 1))
+    arith[arith.index(b"\xff\xc0") + 1] = 0xC9
+    with pytest.raises(ValueError, match="baseline/progressive"):
+        J.jpeg_decode(bytes(arith))
+    # a sequential scan mislabeled SOF2 has an invalid spectral range
+    # for a progressive scan (Ss=0, Se=63) — error, not garbage
     prog = bytearray(J.jpeg_encode(bytes(64), 8, 8, 1))
     prog[prog.index(b"\xff\xc0") + 1] = 0xC2
-    with pytest.raises(ValueError, match="baseline"):
+    with pytest.raises(ValueError, match="spectral"):
         J.jpeg_decode(bytes(prog))
 
     # mixed-container column through decode_image
@@ -876,3 +889,49 @@ def test_decode_audio_float_through_spark(spark):
     assert got[1].n_frames == got[2].n_frames == 480
     for fld in ("amp_sum", "amp_sqsum", "amp_min", "amp_max"):
         assert getattr(got[1], fld) == getattr(got[2], fld), fld
+
+
+def test_jpeg_progressive_decodes_identical_to_baseline(spark):
+    """Progressive JPEG (SOF2, spec Annex G): both scan scripts —
+    spectral-selection-only and the full successive-approximation
+    libjpeg-style script (DC@Al=1, AC bands @Al=1, AC refinements,
+    DC refinement) — must decode BIT-identically to the baseline
+    stream of the same image, because both encoders quantize
+    identically and the baseline decoder is the oracle-verified one
+    (llm44). Covers gray/RGB, odd dims, 4:2:0, flat blocks (EOB runs),
+    impulse content (ZRL), and noise (dense refinement bits)."""
+    from rakam_api_collector_spark.operators import jpeg as J
+
+    rng = np.random.default_rng(4242)
+    shapes = [(16, 16, 1, False), (21, 13, 3, False), (24, 24, 3, True),
+              (37, 29, 3, True), (61, 8, 1, False)]
+    contents = [
+        lambda h, w, c: rng.integers(0, 256, (h, w, c)),        # noise
+        lambda h, w, c: np.full((h, w, c), 77),                 # flat
+        lambda h, w, c: _impulses(rng, h, w, c),                # ZRL
+    ]
+    for w, h, ch, sub in shapes:
+        for make in contents:
+            px = np.ascontiguousarray(
+                make(h, w, ch).astype(np.uint8)).tobytes()
+            for q in (25, 85):
+                base = J.jpeg_decode(
+                    J.jpeg_encode(px, w, h, ch, quality=q, subsample=sub))
+                for so in (False, True):
+                    prog = J.jpeg_decode(J.jpeg_encode_progressive(
+                        px, w, h, ch, quality=q, subsample=sub,
+                        spectral_only=so))
+                    assert prog == base, (w, h, ch, sub, q, so)
+    # progressive streams flow through the Spark decode stage untouched
+    px = rng.integers(0, 256, (16, 16, 3)).astype(np.uint8).tobytes()
+    blob = J.jpeg_encode_progressive(px, 16, 16, 3)
+    df = spark.createDataFrame([(5, blob)], "id long, blob binary")
+    out = M.decode_image(df, "id").collect()[0]
+    assert (out.width, out.height, out.channels) == (16, 16, 3)
+
+
+def _impulses(rng, h, w, c):
+    img = np.full((h, w, c), 128)
+    for _ in range(8):
+        img[rng.integers(0, h), rng.integers(0, w)] = rng.integers(0, 256)
+    return img
