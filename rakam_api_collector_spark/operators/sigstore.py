@@ -246,8 +246,12 @@ class MinHashStore:
          .write.mode("overwrite")
          .parquet(f"{self.path}/sigs/_ingest={ingest_id}"))
         sigs.unpersist()
-        this = (self._read_or_empty("sigs", _SIGS_SCHEMA)
-                .filter(F.col("_ingest") == ingest_id))
+        # read back the exact partition directory — no discovery walk
+        # over the whole (growing) store just to prune back to one dir
+        this = self.spark.read.schema(
+            StructType([f for f in _SIGS_SCHEMA
+                        if f.name != "_ingest"])).parquet(
+            f"{self.path}/sigs/_ingest={ingest_id}")
         if self.bucket_table:
             # bucket rows for the survivors, from the just-written
             # parquet (a pruned scan — no recompute of the match DAG)
