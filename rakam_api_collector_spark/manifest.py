@@ -53,11 +53,100 @@ class CommitConflict(RuntimeError):
     """Raised when the optimistic-concurrency retry budget is exhausted."""
 
 
+class MetadataStore:
+    """Filesystem seam for the manifest PROTOCOL — version files,
+    directory listings, and gc deletes (the reference keeps this state
+    in its MySQL shard registry; Delta keeps it in _delta_log).
+
+    The default :class:`LocalMetadataStore` speaks POSIX. An
+    object-store deployment implements the same six operations with:
+    ``list`` → ListObjectsV2 (delimiter '/'), ``read`` → GET,
+    ``put_if_absent`` → conditional PUT (``If-None-Match: *`` — the
+    compare-and-swap the POSIX ``os.link`` create-if-absent maps to),
+    ``delete``/``delete_tree`` → DeleteObject(s), ``mtime`` →
+    LastModified, ``is_dir`` → prefix-exists. Spark and pyarrow DATA
+    reads/writes resolve their paths through their own Hadoop/Arrow
+    filesystems and are deliberately NOT behind this seam — only the
+    transaction metadata is."""
+
+    def list(self, d: str) -> list[str]:
+        raise NotImplementedError
+
+    def is_dir(self, path: str) -> bool:
+        raise NotImplementedError
+
+    def read(self, path: str) -> str:
+        raise NotImplementedError
+
+    def put_if_absent(self, path: str, content: str) -> bool:
+        """Atomic create-if-absent. True on win; False if the path
+        already exists (another writer committed first)."""
+        raise NotImplementedError
+
+    def delete(self, path: str) -> None:
+        """Remove one file; missing is success (a concurrent sweep
+        winning the race means the garbage is gone)."""
+        raise NotImplementedError
+
+    def delete_tree(self, d: str) -> None:
+        raise NotImplementedError
+
+    def mtime(self, path: str) -> float:
+        raise NotImplementedError
+
+
+class LocalMetadataStore(MetadataStore):
+    """POSIX implementation (the default): create-if-absent rides
+    ``os.link``'s EEXIST semantics."""
+
+    def list(self, d: str) -> list[str]:
+        try:
+            return os.listdir(d)
+        except FileNotFoundError:
+            return []
+
+    def is_dir(self, path: str) -> bool:
+        return os.path.isdir(path)
+
+    def read(self, path: str) -> str:
+        with open(path) as f:
+            return f.read()
+
+    def put_if_absent(self, path: str, content: str) -> bool:
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        tmp = os.path.join(os.path.dirname(path),
+                           f".tmp-{uuid.uuid4().hex}.json")
+        with open(tmp, "w") as f:
+            f.write(content)
+        try:
+            os.link(tmp, path)
+            return True
+        except FileExistsError:
+            return False
+        finally:
+            os.unlink(tmp)
+
+    def delete(self, path: str) -> None:
+        try:
+            os.unlink(path)
+        except FileNotFoundError:
+            pass
+
+    def delete_tree(self, d: str) -> None:
+        import shutil
+
+        shutil.rmtree(d)
+
+    def mtime(self, path: str) -> float:
+        return os.path.getmtime(path)
+
+
 def run_maintenance(spark: SparkSession, base: str,
                     min_batches: int = 8,
                     cluster_by: dict | None = None,
                     keep_versions: int = 2,
-                    grace_seconds: float = 3600.0) -> list[dict]:
+                    grace_seconds: float = 3600.0,
+                    meta: "MetadataStore | None" = None) -> list[dict]:
     """The shard-organizer sweep (the reference runs this as a periodic
     daemon over its Raptor shard registry): walk every
     ``base/<project>/<collection>`` table, compact any whose live batch
@@ -69,18 +158,15 @@ def run_maintenance(spark: SparkSession, base: str,
     (the next sweep retries); per-table reports list batches before,
     the compacted batch id, and dirs removed."""
     reports = []
-    try:
-        projects = sorted(os.listdir(base))
-    except FileNotFoundError:
-        return reports
-    for proj in projects:
+    meta = meta or LocalMetadataStore()
+    for proj in sorted(meta.list(base)):
         pdir = os.path.join(base, proj)
-        if not os.path.isdir(pdir):
+        if not meta.is_dir(pdir):
             continue
-        for coll in sorted(os.listdir(pdir)):
-            if not os.path.isdir(os.path.join(pdir, coll, "_versions")):
+        for coll in sorted(meta.list(pdir)):
+            if not meta.is_dir(os.path.join(pdir, coll, "_versions")):
                 continue
-            t = ManifestedTable(base, proj, coll)
+            t = ManifestedTable(base, proj, coll, meta=meta)
             report = {"project": proj, "collection": coll}
             # per-table fault isolation: a daemon sweep must not let
             # one bad table (corrupt file, bad cluster key, races)
@@ -383,19 +469,21 @@ class ManifestedTable:
     """Atomically-committed parquet/ORC table at ``base/project/collection``."""
 
     def __init__(self, base: str, project: str, collection: str,
-                 max_commit_retries: int = 20) -> None:
+                 max_commit_retries: int = 20,
+                 meta: MetadataStore | None = None) -> None:
         self.table_dir = f"{base}/{project}/{collection}"
         self.batches_dir = f"{self.table_dir}/_batches"
         self.versions_dir = f"{self.table_dir}/_versions"
         self.max_commit_retries = max_commit_retries
+        # the metadata seam: version files, listings, and gc deletes go
+        # through here (MetadataStore docstring maps each op to its
+        # object-store equivalent); Spark/pyarrow data paths do not
+        self.meta = meta or LocalMetadataStore()
 
     # -- version protocol ---------------------------------------------------
 
     def _version_numbers(self) -> list[int]:
-        try:
-            names = os.listdir(self.versions_dir)
-        except FileNotFoundError:
-            return []
+        names = self.meta.list(self.versions_dir)
         return sorted(int(n[1:-5]) for n in names
                       if n.startswith("v") and n.endswith(".json"))
 
@@ -407,26 +495,17 @@ class ManifestedTable:
     def _read_version(self, n: int) -> dict:
         if n == 0:
             return {"version": 0, "batches": []}
-        with open(f"{self.versions_dir}/v{n:010d}.json") as f:
-            return json.load(f)
+        return json.loads(
+            self.meta.read(f"{self.versions_dir}/v{n:010d}.json"))
 
     def _try_commit(self, next_n: int, state: dict) -> bool:
         """Atomic create-if-absent of version ``next_n``. True on win;
-        False if another writer committed it first."""
-        os.makedirs(self.versions_dir, exist_ok=True)
-        tmp = f"{self.versions_dir}/.tmp-{uuid.uuid4().hex}.json"
-        with open(tmp, "w") as f:
-            json.dump(state, f)
-        try:
-            # link() fails with EEXIST if the target exists — the POSIX
-            # compare-and-swap this protocol rides on (conditional put
-            # on an object store)
-            os.link(tmp, f"{self.versions_dir}/v{next_n:010d}.json")
-            return True
-        except FileExistsError:
-            return False
-        finally:
-            os.unlink(tmp)
+        False if another writer committed it first (the POSIX os.link
+        EEXIST / object-store conditional-put compare-and-swap, behind
+        MetadataStore.put_if_absent)."""
+        return self.meta.put_if_absent(
+            f"{self.versions_dir}/v{next_n:010d}.json",
+            json.dumps(state))
 
     def _commit(self, mutate) -> dict:
         """OCC loop: read current state, apply ``mutate(live_batches) ->
@@ -1016,9 +1095,8 @@ class ManifestedTable:
         """Batch dirs the CURRENT version does not reference — crashed
         writers and compacted-away inputs. GC candidates (subject to
         reader grace / version retention — see gc())."""
-        try:
-            dirs = set(os.listdir(self.batches_dir))
-        except FileNotFoundError:
+        dirs = set(self.meta.list(self.batches_dir))
+        if not dirs:
             return []
         live = {self._dir_of(m) for m in self.committed()}
         return sorted(d for d in dirs if d not in live)
@@ -1034,8 +1112,6 @@ class ManifestedTable:
         its version — deleting it would lose the batch the moment the
         writer commits (the same mtime-grace rule Delta/Iceberg vacuum
         applies). Pass 0 only when no writer can be active."""
-        import shutil
-
         ns = self._version_numbers()
         kept = ns[-keep_versions:] if keep_versions else []
         referenced: set[str] = set()
@@ -1043,12 +1119,8 @@ class ManifestedTable:
             referenced |= {self._dir_of(b)
                            for b in self._read_version(n)["batches"]}
         removed = []
-        try:
-            dirs = sorted(os.listdir(self.batches_dir))
-        except FileNotFoundError:
-            dirs = []
         now = time.time()
-        for d in dirs:
+        for d in sorted(self.meta.list(self.batches_dir)):
             full = f"{self.batches_dir}/{d}"
             if d in referenced:
                 continue
@@ -1056,15 +1128,13 @@ class ManifestedTable:
             # our listing and our delete — losing that race is success
             # (the garbage is gone), not an abort of the rest
             try:
-                if now - os.path.getmtime(full) < grace_seconds:
+                if now - self.meta.mtime(full) < grace_seconds:
                     continue                   # possible in-flight writer
-                shutil.rmtree(full)
+                self.meta.delete_tree(full)
             except FileNotFoundError:
                 continue
             removed.append(d)
         for n in ns[:-keep_versions] if keep_versions else ns:
-            try:
-                os.unlink(f"{self.versions_dir}/v{n:010d}.json")
-            except FileNotFoundError:
-                pass                           # concurrent sweep pruned it
+            # delete() treats missing as success (concurrent sweep)
+            self.meta.delete(f"{self.versions_dir}/v{n:010d}.json")
         return removed

@@ -49,12 +49,16 @@ Window history:
   llm01-06, llm11, llm18-28, llm37-45.
 
 CAPACITY NOTE for round 8+: with 93 queries and a 50-slot window, 43
-must rotate back each round, leaving only 8 slots for new/modified/
+must rotate back each round, leaving only 7 slots for new/modified/
 fill. The invariant stays satisfiable while total queries ≤ 100
 (two-round cadence); past that, either consolidate near-duplicate
 queries or split the check across rounds explicitly (and say so in
 the README table). Prefer deepening existing queries over adding new
-ones from here.
+ones from here. Round 8 chose STOP-GROWTH: zero new queries (new
+capability — progressive JPEG, float WAV, manifest conflict
+detection, maintenance scheduling — landed as pytest-pinned
+deepening of existing surfaces), keeping the registry at 93 and the
+two-round cadence exactly satisfiable.
 """
 
 from __future__ import annotations
