@@ -146,7 +146,8 @@ def run_maintenance(spark: SparkSession, base: str,
                     cluster_by: dict | None = None,
                     keep_versions: int = 2,
                     grace_seconds: float = 3600.0,
-                    meta: "MetadataStore | None" = None) -> list[dict]:
+                    meta: "MetadataStore | None" = None,
+                    parallelism: int = 8) -> list[dict]:
     """The shard-organizer sweep (the reference runs this as a periodic
     daemon over its Raptor shard registry): walk every
     ``base/<project>/<collection>`` table, compact any whose live batch
@@ -156,39 +157,56 @@ def run_maintenance(spark: SparkSession, base: str,
     = {collection: [cols]}``), then gc aged versions/orphans. A table
     whose compaction loses a concurrency race is reported and skipped
     (the next sweep retries); per-table reports list batches before,
-    the compacted batch id, and dirs removed."""
-    reports = []
+    the compacted batch id, and dirs removed.
+
+    Per-table compactions overlap across a ``parallelism``-wide thread
+    pool (the same fan-out shape as the streaming commit path — Spark
+    schedules concurrent jobs fine, and each table's commit is
+    independent): sequential sweeps over a many-collection stream were
+    measured at ~1 s/table, long enough for an every-N-epochs daemon
+    sweep to outlive the epochs that scheduled it. Reports stay in
+    sorted table order regardless of completion order."""
     meta = meta or LocalMetadataStore()
+    tables = []
     for proj in sorted(meta.list(base)):
         pdir = os.path.join(base, proj)
         if not meta.is_dir(pdir):
             continue
         for coll in sorted(meta.list(pdir)):
-            if not meta.is_dir(os.path.join(pdir, coll, "_versions")):
-                continue
-            t = ManifestedTable(base, proj, coll, meta=meta)
-            report = {"project": proj, "collection": coll}
-            # per-table fault isolation: a daemon sweep must not let
-            # one bad table (corrupt file, bad cluster key, races)
-            # starve every table sorting after it
-            try:
-                n = len(t.committed())
-                report["batches"] = n
-                if n >= min_batches:
-                    keys = (cluster_by or {}).get(
-                        f"{proj}/{coll}", (cluster_by or {}).get(coll))
-                    try:
-                        report["compacted"] = t.compact(
-                            spark, cluster_by=keys)
-                    except CommitConflict:
-                        report["conflict"] = True
-                report["gc_removed"] = len(
-                    t.gc(keep_versions=keep_versions,
-                         grace_seconds=grace_seconds))
-            except Exception as e:  # noqa: BLE001 — reported, not fatal
-                report["error"] = f"{type(e).__name__}: {e}"
-            reports.append(report)
-    return reports
+            if meta.is_dir(os.path.join(pdir, coll, "_versions")):
+                tables.append((proj, coll))
+
+    def sweep_one(key):
+        proj, coll = key
+        t = ManifestedTable(base, proj, coll, meta=meta)
+        report = {"project": proj, "collection": coll}
+        # per-table fault isolation: a daemon sweep must not let one
+        # bad table (corrupt file, bad cluster key, races) starve
+        # every table sorting after it
+        try:
+            n = len(t.committed())
+            report["batches"] = n
+            if n >= min_batches:
+                keys = (cluster_by or {}).get(
+                    f"{proj}/{coll}", (cluster_by or {}).get(coll))
+                try:
+                    report["compacted"] = t.compact(
+                        spark, cluster_by=keys)
+                except CommitConflict:
+                    report["conflict"] = True
+            report["gc_removed"] = len(
+                t.gc(keep_versions=keep_versions,
+                     grace_seconds=grace_seconds))
+        except Exception as e:  # noqa: BLE001 — reported, not fatal
+            report["error"] = f"{type(e).__name__}: {e}"
+        return report
+
+    if len(tables) <= 1 or parallelism <= 1:
+        return [sweep_one(k) for k in tables]
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(min(parallelism, len(tables))) as pool:
+        return list(pool.map(sweep_one, tables))
 
 
 class MaintenanceHook:
@@ -217,6 +235,7 @@ class MaintenanceHook:
                  every_epochs: int = 16, inline: bool = False,
                  min_batches: int = 8, cluster_by: dict | None = None,
                  keep_versions: int = 2, grace_seconds: float = 3600.0,
+                 parallelism: int = 8,
                  max_reports: int = 64) -> None:
         if every_epochs < 1:
             raise ValueError(f"every_epochs must be >= 1, "
@@ -228,7 +247,8 @@ class MaintenanceHook:
         self.sweep_kwargs = {"min_batches": min_batches,
                              "cluster_by": cluster_by,
                              "keep_versions": keep_versions,
-                             "grace_seconds": grace_seconds}
+                             "grace_seconds": grace_seconds,
+                             "parallelism": parallelism}
         self.max_reports = max_reports
         self.reports: list[dict] = []
         self.skipped_overlap = 0

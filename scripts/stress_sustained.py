@@ -94,7 +94,8 @@ def _report(name: str, batches: list[dict], n_batches: int,
 
 def run_json(spark, n: int, n_batches: int, n_coll: int,
              layout: str = "per-table",
-             state_partitions: int | None = 4) -> dict:
+             state_partitions: int | None = 4,
+             manifested: bool = False) -> dict:
     work = Path(tempfile.mkdtemp(prefix="stress_sustained_json_"))
     src = work / "src"
     src.mkdir()
@@ -102,17 +103,45 @@ def run_json(spark, n: int, n_batches: int, n_coll: int,
         lines = make_envelopes(n, n_coll, seed=100 + b)
         (src / f"batch_{b}.txt").write_text("\n".join(lines) + "\n")
     t0 = time.perf_counter()
+    # manifested mode runs the FULL transactional path: version-file
+    # commits per collection per epoch plus the scheduled
+    # shard-organizer sweep (background thread, reference-daemon shape)
+    # default grace period: gc must never race the stream's in-flight
+    # writers (grace 0 is only safe when sweeps run inline). Cadence:
+    # compact when ~4+ small batches accrete, sweep every 3rd epoch —
+    # one compaction wave per ~6 epochs per table, not every sweep
+    # (write amplification vs read amplification, the classic knob).
+    maint = ({"every_epochs": 3, "min_batches": 4} if manifested
+             else None)
     q = start_ingest_stream(
         spark, str(src), "fabric", Catalog(),
         table_base=str(work / "tables"),
         checkpoint=str(work / "ckpt"),
         now=NOW, shard_time=SHARD_T, dedup=True, layout=layout,
         trigger={"availableNow": True}, max_files_per_trigger=1,
-        state_partitions=state_partitions)
+        state_partitions=state_partitions,
+        manifested=manifested, maintenance=maint)
     q.awaitTermination(1200)
     wall = time.perf_counter() - t0
     name = "json" if layout == "per-table" else f"json_{layout}"
+    if manifested:
+        name = "json_manifested"
     rec = _report(name, _progress_rows(q), n_batches, wall)
+    if manifested and q.maintenance is not None:
+        q.maintenance.wait(120)
+        rec["maintenance_sweeps"] = len(q.maintenance.reports)
+        rec["sweeps_with_compaction"] = sum(
+            1 for rep in q.maintenance.reports
+            for tr in rep.get("tables", []) if "compacted" in tr)
+        from rakam_api_collector_spark.manifest import ManifestedTable
+        counts = []
+        base = work / "tables"
+        for proj in sorted(p.name for p in base.iterdir()):
+            for coll in sorted(c.name for c in (base / proj).iterdir()):
+                counts.append(len(ManifestedTable(
+                    str(base), proj, coll).committed()))
+        rec["max_live_batches_per_collection"] = max(counts)
+        rec["n_collections"] = len(counts)
     shutil.rmtree(work, ignore_errors=True)
     return rec
 
@@ -168,6 +197,10 @@ def main() -> None:
         print(json.dumps(run_json(spark, n, n_batches, n_coll,
                                   layout="grouped",
                                   state_partitions=sp)))
+    if mode in ("json-manifested",):
+        print(json.dumps(run_json(spark, n, n_batches, n_coll,
+                                  state_partitions=sp,
+                                  manifested=True)))
     if mode in ("avro", "both"):
         print(json.dumps(run_avro(spark, n, n_batches, n_coll,
                                   state_partitions=sp)))
