@@ -90,6 +90,34 @@ def minhash_dedup(threshold: float = 0.8, n: int = 3,
     return stage
 
 
+def semantic_dedup(threshold: float = 0.92, k: int = 16,
+                   id_col: str = "doc_id",
+                   vec_col: str = "embedding",
+                   centroids: list[list[float]] | None = None) -> Stage:
+    """SemDeDup stage (Abbas et al. 2023): drop documents whose
+    EMBEDDINGS are near-identical within a k-means cluster, keeping
+    the min-id member of each semantic duplicate group — the
+    meaning-level complement to minhash_dedup's surface-level n-gram
+    match (a paraphrase dedups here, not there). Requires the frame to
+    carry ``vec_col``; pass trained ``centroids`` to skip
+    re-clustering per batch."""
+    from rakam_api_collector_spark.operators.dedup import (
+        dedup_verdict, semantic_dedup_pairs)
+
+    def stage(df: DataFrame) -> DataFrame:
+        if vec_col not in df.columns:
+            raise ValueError(
+                f"semantic_dedup needs an embedding column "
+                f"{vec_col!r}; the frame has {df.columns}")
+        pairs = semantic_dedup_pairs(df, id_col, vec_col,
+                                     threshold=threshold, k=k,
+                                     centroids=centroids)
+        verdict = dedup_verdict(df, id_col, pairs)
+        keep = verdict.filter("keep").select(id_col)
+        return df.join(keep, id_col, "left_semi")
+    return stage
+
+
 def head_truncate(max_tokens: int, text_col: str = "text") -> Stage:
     """Token-budget cap: keep the first ``max_tokens`` tokens (row
     local). Rewrites ``text`` as the space-joined kept tokens and adds

@@ -411,6 +411,56 @@ def embedding_cosine_pairs(docs: DataFrame, id_col: str, vec_col: str,
             .filter(F.col("cos") >= threshold))
 
 
+def semantic_dedup_pairs(docs: DataFrame, id_col: str, vec_col: str,
+                         threshold: float = 0.92, k: int = 16,
+                         iters: int = 2,
+                         centroids: list[list[float]] | None = None
+                         ) -> DataFrame:
+    """SemDeDup-shaped semantic near-dup pairs (Abbas et al. 2023,
+    arXiv:2303.09540, public paper): k-means-cluster the embedding
+    space, then compare cosines WITHIN clusters only — pairs (a < b,
+    cluster, cos ≥ threshold).
+
+    This is the scale path for semantic dedup at corpus size: the
+    cluster id plays the bucket role (one shuffle on a k-ary key; the
+    pair space is Σ n_c², bounded by cluster granularity — raise ``k``
+    as the corpus grows, exactly as the paper does at 100 k clusters),
+    and the assignment itself is map-only with the k×dim centroid
+    literal riding inside the plan (operators/clustering.py). True
+    near-duplicates embed near-identically, so they land in the same
+    cluster with overwhelming probability — cross-cluster misses at
+    Voronoi boundaries are the approximation SemDeDup accepts by
+    construction (embedding_cosine_pairs' hyperplane-LSH path is the
+    alternative when table-based recall control matters more).
+
+    ``centroids`` reuses a trained model (kmeans_centroids /
+    the persisted IVF index's cells) instead of re-clustering —
+    the incremental-batch shape."""
+    from rakam_api_collector_spark.operators import clustering as C
+    from rakam_api_collector_spark.operators import similarity as S
+
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    base = docs.select(F.col(id_col).alias("_id"), v.alias("_v"))
+    if centroids is None:
+        first = (base.orderBy("_id").limit(k)
+                 .select(F.transform(F.col("_v"),
+                                     lambda x: F.round(x, 6))
+                         .alias("_c")).collect())     # bounded: k rows
+        centroids = C.kmeans_centroids(
+            base, "_id", "_v", init=[list(r["_c"]) for r in first],
+            iters=iters)
+    assigned = C._with_assignment(base, "_id", "_v", centroids)
+    a = assigned.select(F.col("_id").alias("a"), "cluster",
+                        F.col("_v").alias("_va"))
+    b = assigned.select(F.col("_id").alias("b"), "cluster",
+                        F.col("_v").alias("_vb"))
+    return (a.join(b, "cluster")
+            .filter(F.col("a") < F.col("b"))
+            .select("a", "b", "cluster",
+                    S.cosine(F.col("_va"), F.col("_vb")).alias("cos"))
+            .filter(F.col("cos") >= threshold))
+
+
 def connected_components(pairs: DataFrame, a: str = "a", b: str = "b",
                          max_iter: int = 20) -> DataFrame:
     """(node, cluster_id) connected components of a near-dup pair graph

@@ -70,3 +70,56 @@ def test_pipeline_minhash_and_mixture_stages(spark):
     mixed = C.CurationPipeline([C.mixture(weights)]).run(_docs(spark))
     srcs = {r.source for r in mixed.collect()}
     assert srcs <= set(weights)
+
+
+def test_semantic_dedup_stage_and_operator(spark):
+    """SemDeDup (Abbas et al. 2023): cluster-scoped embedding near-dup
+    removal. Ground truth: (1) every pair the operator reports is a
+    TRUE cos >= tau pair (checked against the exact all-pairs path —
+    no false positives, identical cosines); (2) planted exact copies
+    (identical embeddings, higher ids) are always caught (identical
+    vectors assign to identical clusters deterministically); (3) the
+    stage keeps the min-id member per semantic group and is
+    partitioning-invariant."""
+    import pytest
+    from rakam_api_collector_spark.operators import dedup as D
+
+    emb = (load_table(spark, SF, "embeddings")
+           .filter(F.col("vec_id") < 120)
+           .select("vec_id", "embedding"))
+    copies = emb.filter(F.col("vec_id") < 15).select(
+        (F.col("vec_id") + 10000).alias("vec_id"), "embedding")
+    corpus = emb.unionByName(copies)
+
+    pairs = D.semantic_dedup_pairs(corpus, "vec_id", "embedding",
+                                   threshold=0.9, k=8).collect()
+    exact = {(r.a, r.b): r.cos
+             for r in D.embedding_cosine_pairs(
+                 corpus, "vec_id", "embedding",
+                 threshold=0.9, exact=True).collect()}
+    assert pairs, "no pairs found at all"
+    for r in pairs:
+        assert (r.a, r.b) in exact            # no false positive
+        assert abs(r.cos - exact[(r.a, r.b)]) < 1e-9
+    found = {(r.a, r.b) for r in pairs}
+    assert all((i, i + 10000) in found for i in range(15))
+
+    # the stage: copies drop, originals survive, embedding col required
+    docs = (load_table(spark, SF, "documents")
+            .filter(F.col("doc_id") < 120).select("doc_id", "text"))
+    with_vecs = docs.join(
+        corpus.select(F.col("vec_id").alias("doc_id"), "embedding"),
+        "doc_id")
+    planted = with_vecs.unionByName(
+        with_vecs.filter(F.col("doc_id") < 15)
+        .select((F.col("doc_id") + 10000).alias("doc_id"),
+                "text", "embedding"))
+    pipe = C.CurationPipeline([C.semantic_dedup(threshold=0.9, k=8)])
+    kept = {r.doc_id for r in pipe.run(planted).collect()}
+    kept2 = {r.doc_id
+             for r in pipe.run(planted.repartition(5)).collect()}
+    assert kept == kept2
+    assert all(i + 10000 not in kept for i in range(15))
+    assert all(i in kept for i in range(15))     # min-id survives
+    with pytest.raises(ValueError, match="embedding"):
+        pipe.run(docs)
