@@ -167,3 +167,52 @@ def test_g711_wav_roundtrip_property(samples, law, ch):
     else:
         fixed = np.where(first == 0x7F, 0xFF, first)
         assert np.array_equal(re_enc, fixed)
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    w=st.integers(8, 40),
+    h=st.integers(8, 40),
+    c=st.sampled_from([1, 3]),
+    q=st.sampled_from([20, 60, 90]),
+    sub=st.booleans(),
+    spectral_only=st.booleans(),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_jpeg_progressive_identity_property(w, h, c, q, sub,
+                                            spectral_only, seed):
+    """Any image, any quality, either scan script: the progressive
+    stream decodes BIT-identically to the baseline stream of the same
+    pixels (shared quantization; the baseline decoder is the
+    oracle-verified path)."""
+    from rakam_api_collector_spark.operators import jpeg as J
+
+    rng = np.random.default_rng(seed)
+    px = rng.integers(0, 256, size=w * h * c, dtype=np.uint8).tobytes()
+    sub = sub and c == 3
+    base = J.jpeg_decode(J.jpeg_encode(px, w, h, c, quality=q,
+                                       subsample=sub))
+    prog = J.jpeg_decode(J.jpeg_encode_progressive(
+        px, w, h, c, quality=q, subsample=sub,
+        spectral_only=spectral_only))
+    assert prog == base
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    n=st.integers(1, 400),
+    ch=st.sampled_from([1, 2]),
+    bits=st.sampled_from([32, 64]),
+    ext=st.booleans(),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_wav_float_int16_equivalence_property(n, ch, bits, ext, seed):
+    """A float encoding of any int16 stream decodes back to the exact
+    int16 stream, through plain and extensible containers."""
+    rng = np.random.default_rng(seed)
+    x = rng.integers(-32767, 32768, size=n * ch).astype("<i2")
+    f = x.astype(np.float64) / 32767.0
+    rate, c2, pcm = M.wav_decode(
+        M.wav_encode_float(f, 8000, ch, bits=bits, extensible=ext))
+    assert (rate, c2) == (8000, ch)
+    assert np.array_equal(np.frombuffer(pcm, dtype="<i2"), x)
