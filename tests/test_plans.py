@@ -349,3 +349,31 @@ def test_blocked_topk_single_scan_single_exchange(spark):
     # map task forwards at most k rows per query
     assert "row_number(), 10, Partial" in plan
     assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+
+
+def test_semantic_dedup_cluster_join_no_cartesian(spark):
+    """semantic_dedup_pairs (SemDeDup shape): the pair space is the
+    CLUSTER-scoped self-join — the plan must show a hash/merge join on
+    the cluster key and no BroadcastNestedLoopJoin/CartesianProduct
+    (which is exactly what an all-pairs cosine pass would produce);
+    the centroid assignment is map-only (centroid literals inside the
+    plan, no extra scan of a centroid table)."""
+    from rakam_api_collector_spark.operators.dedup import (
+        semantic_dedup_pairs)
+
+    emb = (load_table(spark, SF, "embeddings")
+           .filter(F.col("vec_id") < 100)
+           .select("vec_id", "embedding"))
+    # pretrained centroids: the plan under audit is the per-batch
+    # assignment+pair phase (training is a separate, sampled job)
+    from rakam_api_collector_spark.operators.clustering import (
+        kmeans_centroids)
+    init = [list(r.embedding) for r in emb.orderBy("vec_id")
+            .limit(4).collect()]
+    cents = kmeans_centroids(emb, "vec_id", "embedding", init=init,
+                             iters=1)
+    plan = plan_of(semantic_dedup_pairs(
+        emb, "vec_id", "embedding", threshold=0.9, centroids=cents))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "cluster" in plan                 # the join key is the cluster
