@@ -872,6 +872,51 @@ class ManifestedTable:
             return df
         return self._read_batches(spark, manifests).filter(F.lit(False))
 
+    def changes_since(self, spark: SparkSession,
+                      version: int) -> tuple[DataFrame | None, int]:
+        """Incremental read (the Delta Change-Data-Feed append shape):
+        ``(appended_rows, current_version)`` — the union of batches
+        present in the CURRENT version but not in ``version``, i.e.
+        everything a downstream consumer has not seen yet. Returns
+        ``(None, current)`` when nothing new landed. Drive it as a
+        polling cursor::
+
+            cur = 0
+            while True:
+                df, cur = t.changes_since(spark, cur)
+                if df is not None: process(df)
+
+        Append-only semantics: a batch REWRITTEN by upsert/delete_where
+        (same id, new dir) reappears in full — the consumer sees the
+        post-DML rows again and must be idempotent on the batch id
+        (exactly the at-least-once contract the streaming sink's
+        epoch-keyed writes already assume); a batch compacted away does
+        NOT reappear (compaction moves data, it does not change it).
+        Physically this is metadata diff + a pruned union scan — no
+        data is read for batches the cursor already covered."""
+        cur = self.current_version()
+        if version == cur:
+            return None, cur
+        if version not in (0, *self._version_numbers()):
+            raise FileNotFoundError(
+                f"cursor version {version} not committed (or gc-pruned) "
+                f"under {self.table_dir}")
+        seen = {(m["batch"], self._dir_of(m))
+                for m in self._read_version(version)["batches"]}
+        seen_ids = {b for b, _ in seen}
+        fresh = []
+        for m in self._read_version(cur)["batches"]:
+            key = (m["batch"], self._dir_of(m))
+            if key in seen:
+                continue
+            if m["batch"].startswith("compact-") \
+                    and m["batch"] not in seen_ids:
+                continue           # moved data, not new data
+            fresh.append(m)
+        if not fresh:
+            return None, cur
+        return self._read_batches(spark, fresh), cur
+
     def history(self) -> list[dict]:
         """Commit log, oldest first: (version, parent, committed_at,
         n_batches, rows) per retained version — the audit surface the

@@ -1053,3 +1053,42 @@ def test_metadata_store_seam_object_store_shape(spark, tmp_path):
                            meta=store, grace_seconds=0)
     assert [r["collection"] for r in reps] == ["events"]
     assert "compacted" in reps[0]
+
+
+def test_changes_since_incremental_read(spark, tmp_path):
+    """The Delta-CDF-append analog: a version cursor yields exactly the
+    batches the consumer has not seen — new appends show once,
+    compaction (moved data) never reappears, a DML rewrite reappears
+    post-DML (at-least-once on the batch id), and a gc-pruned cursor
+    fails fast instead of silently replaying everything."""
+    t = ManifestedTable(str(tmp_path), "proj", "events")
+    df0, cur = ManifestedTable(str(tmp_path), "proj",
+                               "events").changes_since(spark, 0)
+    assert df0 is None and cur == 0
+
+    t.write(_df(spark, [1, 2]), batch_id="b1")
+    df1, cur = t.changes_since(spark, 0)
+    assert sorted(r.id for r in df1.collect()) == [1, 2] and cur == 1
+    # caught up: nothing new
+    dfx, cur2 = t.changes_since(spark, cur)
+    assert dfx is None and cur2 == cur
+
+    t.write(_df(spark, [3]), batch_id="b2")
+    t.write(_df(spark, [4]), batch_id="b3")
+    df2, cur = t.changes_since(spark, cur)
+    assert sorted(r.id for r in df2.collect()) == [3, 4] and cur == 3
+
+    # compaction is movement, not change
+    t.compact(spark)
+    df3, cur = t.changes_since(spark, cur)
+    assert df3 is None and cur == 4
+
+    # a DML rewrite re-emits the surviving rows of the touched batch
+    t.delete_where(spark, F.col("id") == 3, prune={"id": (3, 3)})
+    df4, cur = t.changes_since(spark, cur)
+    assert sorted(r.id for r in df4.collect()) == [1, 2, 4]
+    # (the compacted batch was rewritten without id 3 — at-least-once)
+
+    # unknown / gc-pruned cursor fails fast
+    with pytest.raises(FileNotFoundError, match="cursor"):
+        t.changes_since(spark, 99)
