@@ -1092,3 +1092,43 @@ def test_changes_since_incremental_read(spark, tmp_path):
     # unknown / gc-pruned cursor fails fast
     with pytest.raises(FileNotFoundError, match="cursor"):
         t.changes_since(spark, 99)
+
+
+def test_maintenance_hook_background_and_overlap(spark, tmp_path):
+    """The daemon half of MaintenanceHook: an every-N-epochs trigger
+    runs the sweep on a background thread, a sweep still running when
+    the next trigger epoch lands is skipped (never stacked), and
+    wait() joins for orderly shutdown. Inline mode is covered by the
+    stream test; this pins the async contract itself."""
+    import threading
+    import time as _time
+
+    from rakam_api_collector_spark.manifest import MaintenanceHook
+
+    t = ManifestedTable(str(tmp_path), "proj", "events")
+    t.write(_df(spark, [1]), batch_id="b1")
+    t.write(_df(spark, [2]), batch_id="b2")
+
+    hook = MaintenanceHook(spark, str(tmp_path), every_epochs=2,
+                           min_batches=2, grace_seconds=0.0)
+    hook.after_epoch(0)                      # (0+1) % 2 != 0: no fire
+    assert hook.reports == [] and hook._worker is None
+
+    hook.after_epoch(1)                      # fires on the 2nd epoch
+    hook.wait(60)
+    assert len(hook.reports) == 1
+    swept = hook.reports[0]["tables"]
+    assert swept[0]["collection"] == "events"
+    assert "compacted" in swept[0]
+    assert len(t.committed()) == 1           # 2 batches -> 1
+
+    # overlap: a sweep still running means the next trigger is skipped
+    blocker = threading.Thread(target=_time.sleep, args=(5,),
+                               daemon=True)
+    blocker.start()
+    hook._worker = blocker
+    hook.after_epoch(3)
+    assert hook.skipped_overlap == 1 and len(hook.reports) == 1
+
+    with pytest.raises(ValueError, match="every_epochs"):
+        MaintenanceHook(spark, str(tmp_path), every_epochs=0)
