@@ -334,6 +334,43 @@ def _widen(v, lo_side: bool):
     return v
 
 
+def _one_file_stats(md, max_cols: int = 32) -> dict:
+    """{col: [min, max]} from ONE parquet file's footer metadata — a
+    column qualifies only if EVERY row group carries min/max (one
+    stats-less chunk means partial coverage, and pruning on partial
+    coverage silently loses rows). Shared by the driver-side batch
+    walk (_footer_stats) and the DataSource writer's executor-side
+    per-task stats (datasource.py), so both sides canonicalize and
+    widen identically."""
+    mins: dict = {}
+    maxs: dict = {}
+    chunks_seen: dict = {}
+    for rg in range(md.num_row_groups):
+        grp = md.row_group(rg)
+        for ci in range(grp.num_columns):
+            col = grp.column(ci)
+            try:
+                st = col.statistics
+                if st is None or not st.has_min_max:
+                    continue
+                lo = _widen(_canon_stat(st.min), True)
+                hi = _widen(_canon_stat(st.max), False)
+            except Exception:
+                continue
+            if lo is None or hi is None:
+                continue
+            name = col.path_in_schema
+            if name not in mins and len(mins) >= max_cols:
+                continue
+            chunks_seen[name] = chunks_seen.get(name, 0) + 1
+            mins[name] = lo if name not in mins \
+                else min(mins[name], lo)
+            maxs[name] = hi if name not in maxs \
+                else max(maxs[name], hi)
+    return {c: [mins[c], maxs[c]] for c in mins
+            if chunks_seen[c] == md.num_row_groups}
+
+
 def _footer_stats(path: str, fmt: str, max_cols: int = 32,
                   max_files: int = 64) -> tuple[dict | None, list | None]:
     """Zone maps from parquet FOOTERS only (no data pages read), at two
@@ -365,36 +402,16 @@ def _footer_stats(path: str, fmt: str, max_cols: int = 32,
             if not fn.endswith(".parquet"):
                 continue
             full = os.path.join(root, fn)
-            mins: dict = {}
-            maxs: dict = {}
-            chunks_seen: dict = {}
             md = pq.ParquetFile(full).metadata
-            for rg in range(md.num_row_groups):
-                grp = md.row_group(rg)
-                for ci in range(grp.num_columns):
-                    col = grp.column(ci)
-                    try:
-                        st = col.statistics
-                        if st is None or not st.has_min_max:
-                            continue
-                        lo = _widen(_canon_stat(st.min), True)
-                        hi = _widen(_canon_stat(st.max), False)
-                    except Exception:
-                        continue
-                    if lo is None or hi is None:
-                        continue
-                    name = col.path_in_schema
-                    if name not in mins and len(mins) >= max_cols:
-                        continue
-                    chunks_seen[name] = chunks_seen.get(name, 0) + 1
-                    mins[name] = lo if name not in mins \
-                        else min(mins[name], lo)
-                    maxs[name] = hi if name not in maxs \
-                        else max(maxs[name], hi)
-            fstats = {c: [mins[c], maxs[c]] for c in mins
-                      if chunks_seen[c] == md.num_row_groups}
+            if md.num_rows == 0:
+                # a zero-row file (empty upstream partition) has no
+                # stats and no rows to lose: keeping it would void the
+                # batch zone map (stats must cover EVERY listed file)
+                # and always survive file pruning — drop it from the
+                # scan list instead
+                continue
             per_file.append({"path": os.path.relpath(full, path),
-                             "stats": fstats})
+                             "stats": _one_file_stats(md, max_cols)})
     if not per_file:
         return None, None
     # batch level: a column must be fully covered in EVERY file
@@ -780,24 +797,27 @@ class ManifestedTable:
 
     def _read_batches(self, spark: SparkSession, manifests: list[dict],
                       prune: dict | None = None) -> DataFrame | None:
-        """Union the batches' scans; with ``prune`` and per-file zone
-        maps in the manifest, each batch's scan lists ONLY the files
-        whose [min, max] overlap the interval (basePath keeps partition
-        columns) — file-level skipping on top of batch-level. Returns
-        None when pruning leaves nothing."""
+        """Union the batches' scans. A manifest-listed file set is
+        AUTHORITATIVE when present: only those files are scanned (the
+        DataSource stream writer re-uses one epoch dir across retry
+        attempts, so unlisted files in a batch dir may be dead attempt
+        garbage, and zero-row upstream partitions are never listed at
+        all); ``prune`` then drops listed files whose [min, max] zone
+        map is disjoint from the interval (basePath keeps partition
+        columns) — file-level skipping on top of batch-level. Batches
+        with no file list (ORC, >max_files) scan their whole dir.
+        Returns None when pruning leaves nothing."""
         dfs = []
         for m in manifests:
             path = f"{self.batches_dir}/{self._dir_of(m)}"
             target: str | list[str] = path
             files = m.get("files")
-            if prune and files:
+            if files is not None:
                 keep = [f for f in files
-                        if _stats_overlap(f["stats"], prune)]
+                        if not prune or _stats_overlap(f["stats"], prune)]
                 if not keep:
                     continue
-                if len(keep) < len(files):
-                    target = [os.path.join(path, f["path"])
-                              for f in keep]
+                target = [os.path.join(path, f["path"]) for f in keep]
             dfs.append(spark.read.option("basePath", path)
                        .format(m["format"]).load(target))
         if not dfs:
@@ -872,47 +892,82 @@ class ManifestedTable:
             return df
         return self._read_batches(spark, manifests).filter(F.lit(False))
 
+    def appended_between(self, from_v: int, to_v: int) -> list[dict]:
+        """Manifest entries a cursor at ``from_v`` has not seen by
+        ``to_v`` — the metadata half of :meth:`changes_since`, shared
+        with the streaming DataSource (datasource.py).
+
+        This walks EVERY version transition in ``(from_v, to_v]``
+        rather than diffing the two endpoints: an endpoint diff loses
+        data when a compaction folds in a batch the cursor never saw
+        (append b2 at v+1, compact at v+2 → the compact- output looks
+        like pure moved data and b2's rows would silently vanish).
+        Per-step, a compact- batch whose id is NEW against the
+        PREVIOUS version is skipped (it moves rows that version
+        already presented); everything else fresh is collected, and a
+        batch rewritten again later in the window collapses to its
+        final dir so one result never unions two copies of the same
+        batch id. The walk needs each intermediate version retained —
+        a gc-pruned gap raises instead of guessing (the same
+        cannot-resume-without-data-loss honesty as a pruned cursor)."""
+        if to_v == from_v:
+            return []
+        if from_v > to_v:
+            raise FileNotFoundError(
+                f"cursor version {from_v} is ahead of version {to_v} "
+                f"under {self.table_dir}")
+        known = set(self._version_numbers())
+        for v in range(from_v, to_v + 1):
+            if v != 0 and v not in known:
+                raise FileNotFoundError(
+                    f"version {v} not committed (or gc-pruned) under "
+                    f"{self.table_dir} — incremental read cannot "
+                    f"cover ({from_v}, {to_v}] without data loss")
+        out: dict[str, dict] = {}
+        prev = self._read_version(from_v)["batches"]
+        for v in range(from_v + 1, to_v + 1):
+            prev_keys = {(m["batch"], self._dir_of(m)) for m in prev}
+            prev_ids = {b for b, _ in prev_keys}
+            cur = self._read_version(v)["batches"]
+            for m in cur:
+                if (m["batch"], self._dir_of(m)) in prev_keys:
+                    continue
+                if m["batch"].startswith("compact-") \
+                        and m["batch"] not in prev_ids:
+                    continue       # moved data, not new data
+                out[m["batch"]] = m
+            prev = cur
+        return list(out.values())
+
     def changes_since(self, spark: SparkSession,
                       version: int) -> tuple[DataFrame | None, int]:
         """Incremental read (the Delta Change-Data-Feed append shape):
-        ``(appended_rows, current_version)`` — the union of batches
-        present in the CURRENT version but not in ``version``, i.e.
-        everything a downstream consumer has not seen yet. Returns
-        ``(None, current)`` when nothing new landed. Drive it as a
-        polling cursor::
+        ``(appended_rows, current_version)`` — every batch appended (or
+        rewritten) after ``version`` that the cursor has not seen,
+        computed by the per-transition walk of
+        :meth:`appended_between`. Returns ``(None, current)`` when
+        nothing new landed. Drive it as a polling cursor::
 
             cur = 0
             while True:
                 df, cur = t.changes_since(spark, cur)
                 if df is not None: process(df)
 
-        Append-only semantics: a batch REWRITTEN by upsert/delete_where
+        Append-feed semantics: a batch REWRITTEN by upsert/delete_where
         (same id, new dir) reappears in full — the consumer sees the
         post-DML rows again and must be idempotent on the batch id
         (exactly the at-least-once contract the streaming sink's
-        epoch-keyed writes already assume); a batch compacted away does
-        NOT reappear (compaction moves data, it does not change it).
+        epoch-keyed writes already assume); a compaction's output never
+        reappears (it moves rows an already-walked version presented);
+        rows appended and then fully erased inside one polling window
+        still surface once (the feed reports appends, not deletes — a
+        takedown pipeline consumes snapshots, not this feed).
         Physically this is metadata diff + a pruned union scan — no
         data is read for batches the cursor already covered."""
         cur = self.current_version()
         if version == cur:
             return None, cur
-        if version not in (0, *self._version_numbers()):
-            raise FileNotFoundError(
-                f"cursor version {version} not committed (or gc-pruned) "
-                f"under {self.table_dir}")
-        seen = {(m["batch"], self._dir_of(m))
-                for m in self._read_version(version)["batches"]}
-        seen_ids = {b for b, _ in seen}
-        fresh = []
-        for m in self._read_version(cur)["batches"]:
-            key = (m["batch"], self._dir_of(m))
-            if key in seen:
-                continue
-            if m["batch"].startswith("compact-") \
-                    and m["batch"] not in seen_ids:
-                continue           # moved data, not new data
-            fresh.append(m)
+        fresh = self.appended_between(version, cur)
         if not fresh:
             return None, cur
         return self._read_batches(spark, fresh), cur
