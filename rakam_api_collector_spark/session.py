@@ -83,6 +83,9 @@ def get_spark(app_name: str = "rakam_api_collector_spark",
         # keeps 100 TB ≈ 800k tasks, the sweet spot for 1000 executors.
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         .config("spark.sql.parquet.filterPushdown", "true")
+        # lets Python DataSources (datasource.py's format("manifest"))
+        # receive pushFilters() — zone-map pruning at the source
+        .config("spark.sql.python.filterPushdown.enabled", "true")
         .config("spark.sql.shuffle.spill.compress", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
