@@ -1,0 +1,350 @@
+"""Clean-room ISO BMFF (MP4) demux for the video sampling operators.
+
+Replaces the synthetic ``VID0/VID1`` stand-in with the real container:
+the sample table machinery of ISO/IEC 14496-12 (public spec) — box
+walk ``moov → trak → mdia → minf → stbl``, sample timing from ``stts``
+runs, sizes from ``stsz``, chunk layout from ``stsc``, chunk offsets
+from ``stco``/``co64`` — resolved into absolute ``(offset, size,
+start)`` triples so a sampler slices exactly the frames it decodes and
+never touches the rest of ``mdat`` (the property that makes video
+frame-sampling cheap at 100 TB: the demux walk reads a few KB of
+metadata per file regardless of payload size).
+
+Codec scope is honest: sample payloads decode through the repo's own
+image decoders (``decode_image_bytes`` sniffs PNG/JPEG), i.e. this
+speaks Motion-JPEG-in-MP4 (``jpeg`` sample entries, the classic
+QuickTime/ISO pairing) and the same container around PNG payloads; an
+AVC/HEVC track demuxes fine but raises at frame decode, where a libav
+swap-in would take over. The muxer exists for fixtures and as the
+write half of the pair — one video track, explicit per-sample
+durations (exercising multi-run ``stts``), configurable samples-per-
+chunk (exercising multi-entry ``stsc``), and ``co64`` when offsets
+need 64 bits.
+
+Reference parity note: the reference pipeline has no media handling at
+all; this module is part of the beyond-reference multimodal family
+(SURVEY.md LLM-operator table, llm34/llm45 machinery).
+"""
+
+from __future__ import annotations
+
+import struct
+from bisect import bisect_right
+
+_FTYP = b"ftyp"
+
+
+def is_mp4(data: bytes) -> bool:
+    """ISO BMFF sniff: first box is ``ftyp`` (size ≥ 16, 4cc at 4:8)."""
+    return len(data) >= 12 and data[4:8] == _FTYP
+
+
+def _boxes(data: bytes, start: int, end: int):
+    """Yield (fourcc, body_start, body_end) for the box sequence in
+    [start, end). Validates sizes so a truncated/corrupt stream raises
+    ValueError instead of looping or over-reading."""
+    pos = start
+    while pos < end:
+        if pos + 8 > end:
+            raise ValueError("truncated box header")
+        (size,) = struct.unpack(">I", data[pos:pos + 4])
+        four = data[pos + 4:pos + 8]
+        body = pos + 8
+        if size == 1:                       # 64-bit largesize
+            if pos + 16 > end:
+                raise ValueError("truncated largesize box")
+            (size,) = struct.unpack(">Q", data[pos + 8:pos + 16])
+            body = pos + 16
+        elif size == 0:                     # box extends to end
+            size = end - pos
+        if size < body - pos or pos + size > end:
+            raise ValueError(f"box {four!r} size {size} out of bounds")
+        yield four, body, pos + size
+        pos += size
+
+
+def _child(data: bytes, start: int, end: int, four: bytes):
+    for f, b, e in _boxes(data, start, end):
+        if f == four:
+            return b, e
+    return None
+
+
+def _fullbox(data: bytes, body: int) -> tuple[int, int]:
+    """(version, payload_start) of a FullBox."""
+    return data[body], body + 4
+
+
+class Mp4Track:
+    """The resolved video track: ``timescale`` (ticks/second),
+    ``codingname`` (sample-entry 4cc, e.g. b'jpeg'), ``samples`` —
+    ``[(abs_offset, size, start_ticks)]`` in decode order — and
+    ``duration_ticks`` (sum of all stts deltas)."""
+
+    __slots__ = ("timescale", "codingname", "samples", "duration_ticks")
+
+    def __init__(self, timescale: int, codingname: bytes,
+                 samples: list[tuple[int, int, int]],
+                 duration_ticks: int) -> None:
+        self.timescale = timescale
+        self.codingname = codingname
+        self.samples = samples
+        self.duration_ticks = duration_ticks
+
+    def start_ms(self) -> list[int]:
+        """Per-sample presentation start in exact integer ms."""
+        ts = self.timescale
+        return [(s[2] * 1000) // ts for s in self.samples]
+
+    def duration_ms(self) -> int:
+        """Track end in exact integer ms (sampling instants stop
+        strictly before this)."""
+        return (self.duration_ticks * 1000) // self.timescale
+
+
+def demux_video_track(data: bytes) -> Mp4Track:
+    """Parse the first ``vide``-handler track's sample table.
+
+    Walks exactly the boxes the sample table needs; unknown siblings
+    are skipped by size (the spec's forward-compat rule). Raises
+    ValueError on missing/inconsistent tables — the ST11 accounting
+    paths catch that and route the row to skip/dead-letter."""
+    if not is_mp4(data):
+        raise ValueError("not an ISO BMFF stream (no ftyp)")
+    moov = _child(data, 0, len(data), b"moov")
+    if moov is None:
+        raise ValueError("no moov box")
+    for four, tb, te in _boxes(data, *moov):
+        if four != b"trak":
+            continue
+        mdia = _child(data, tb, te, b"mdia")
+        if mdia is None:
+            continue
+        hdlr = _child(data, *mdia, b"hdlr")
+        if hdlr is None:
+            continue
+        _, p = _fullbox(data, hdlr[0])
+        if data[p + 4:p + 8] != b"vide":
+            continue
+        mdhd = _child(data, *mdia, b"mdhd")
+        if mdhd is None:
+            raise ValueError("video trak without mdhd")
+        ver, p = _fullbox(data, mdhd[0])
+        timescale = struct.unpack(
+            ">I", data[p + (16 if ver == 1 else 8):][:4])[0]
+        if timescale <= 0:
+            raise ValueError("non-positive mdhd timescale")
+        minf = _child(data, *mdia, b"minf")
+        stbl = minf and _child(data, *minf, b"stbl")
+        if not stbl:
+            raise ValueError("video trak without stbl")
+        return Mp4Track(timescale, *_sample_table(data, *stbl))
+    raise ValueError("no video (vide handler) track")
+
+
+def _sample_table(data: bytes, sb: int, se: int):
+    need = {}
+    for four, b, e in _boxes(data, sb, se):
+        if four in (b"stsd", b"stts", b"stsc", b"stsz", b"stco", b"co64"):
+            need[four] = (b, e)
+    for box in (b"stsd", b"stts", b"stsc", b"stsz"):
+        if box not in need:
+            raise ValueError(f"sample table missing {box!r}")
+    if b"stco" not in need and b"co64" not in need:
+        raise ValueError("sample table missing stco/co64")
+
+    # stsd: the codingname of sample description 1
+    _, p = _fullbox(data, need[b"stsd"][0])
+    (n_desc,) = struct.unpack(">I", data[p:p + 4])
+    if n_desc < 1:
+        raise ValueError("empty stsd")
+    codingname = data[p + 8:p + 12]
+
+    # stsz: per-sample sizes (or one constant size)
+    _, p = _fullbox(data, need[b"stsz"][0])
+    const_size, n_samples = struct.unpack(">II", data[p:p + 8])
+    if const_size:
+        sizes = [const_size] * n_samples
+    else:
+        sizes = list(struct.unpack(
+            f">{n_samples}I", data[p + 8:p + 8 + 4 * n_samples]))
+
+    # stts: decode-time deltas as (count, delta) runs → start ticks
+    _, p = _fullbox(data, need[b"stts"][0])
+    (n_runs,) = struct.unpack(">I", data[p:p + 4])
+    starts: list[int] = []
+    t = 0
+    for i in range(n_runs):
+        cnt, delta = struct.unpack(">II", data[p + 4 + 8 * i:][:8])
+        for _ in range(cnt):
+            starts.append(t)
+            t += delta
+    if len(starts) != n_samples:
+        raise ValueError(
+            f"stts covers {len(starts)} samples, stsz has {n_samples}")
+
+    # stco/co64: chunk offsets
+    if b"stco" in need:
+        _, p = _fullbox(data, need[b"stco"][0])
+        (n_chunks,) = struct.unpack(">I", data[p:p + 4])
+        offsets = struct.unpack(
+            f">{n_chunks}I", data[p + 4:p + 4 + 4 * n_chunks])
+    else:
+        _, p = _fullbox(data, need[b"co64"][0])
+        (n_chunks,) = struct.unpack(">I", data[p:p + 4])
+        offsets = struct.unpack(
+            f">{n_chunks}Q", data[p + 4:p + 4 + 8 * n_chunks])
+
+    # stsc: (first_chunk, samples_per_chunk, desc_idx) runs — resolve
+    # each sample to (absolute offset, size, start)
+    _, p = _fullbox(data, need[b"stsc"][0])
+    (n_sc,) = struct.unpack(">I", data[p:p + 4])
+    sc = [struct.unpack(">III", data[p + 4 + 12 * i:][:12])
+          for i in range(n_sc)]
+    if sc and sc[0][0] != 1:
+        raise ValueError("stsc must start at chunk 1")
+    samples: list[tuple[int, int, int]] = []
+    si = 0
+    for ci in range(len(offsets)):
+        chunk_no = ci + 1
+        per = 0
+        for first, cnt, _desc in sc:
+            if first <= chunk_no:
+                per = cnt
+            else:
+                break
+        off = offsets[ci]
+        for _ in range(per):
+            if si >= n_samples:
+                break
+            samples.append((off, sizes[si], starts[si]))
+            off += sizes[si]
+            si += 1
+    if si != n_samples:
+        raise ValueError(
+            f"chunk layout covers {si} samples, stsz has {n_samples}")
+    end = max((o + s for o, s, _ in samples), default=0)
+    if end > len(data):
+        raise ValueError("sample extends past end of stream")
+    return codingname, samples, t
+
+
+def sample_index_at_ms(starts_ms: list[int], t_ms: int) -> int:
+    """Index of the frame PRESENTED at instant ``t_ms`` — the last
+    sample whose start ≤ t (−1 before the first). Pure integer
+    bisection over exact-ms starts, so an oracle recomputes it."""
+    return bisect_right(starts_ms, t_ms) - 1
+
+
+# -- muxer (fixtures + the write half) ---------------------------------------
+
+
+def _box(four: bytes, payload: bytes) -> bytes:
+    return struct.pack(">I", 8 + len(payload)) + four + payload
+
+
+def _fbox(four: bytes, version: int, flags: int, payload: bytes) -> bytes:
+    return _box(four, struct.pack(">B3s", version,
+                                  flags.to_bytes(3, "big")) + payload)
+
+
+def mux_video_mp4(frames: list[bytes],
+                  durations_ticks: list[int] | None = None,
+                  timescale: int = 1000,
+                  codingname: bytes | None = None,
+                  samples_per_chunk: int = 1,
+                  force_co64: bool = False) -> bytes:
+    """One-video-track ISO BMFF file around already-encoded frames.
+
+    ``durations_ticks`` gives each sample's stts delta (default: 1000
+    ticks each → 1 fps at the default millisecond timescale); runs of
+    equal durations compress into stts entries exactly as the spec
+    intends. ``codingname`` defaults by sniffing frame 0 (JPEG SOI →
+    b'jpeg', PNG signature → b'png '). ``samples_per_chunk`` groups
+    frames into shared chunks to exercise real stsc resolution."""
+    if not frames:
+        raise ValueError("mux needs at least one frame")
+    durs = durations_ticks or [1000] * len(frames)
+    if len(durs) != len(frames) or any(d <= 0 for d in durs):
+        raise ValueError("need one positive duration per frame")
+    if codingname is None:
+        codingname = b"jpeg" if frames[0][:2] == b"\xff\xd8" else b"png "
+    if len(codingname) != 4:
+        raise ValueError("codingname must be 4 bytes")
+    if samples_per_chunk < 1:
+        raise ValueError("samples_per_chunk must be ≥ 1")
+
+    ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 0x200) + b"isom")
+    mdat_payload = b"".join(frames)
+    mdat = _box(b"mdat", mdat_payload)
+    mdat_body = len(ftyp) + 8                 # abs offset of frame 0
+
+    # chunk offsets: frames grouped samples_per_chunk at a time
+    sizes = [len(f) for f in frames]
+    chunk_offs: list[int] = []
+    pos = mdat_body
+    for i, sz in enumerate(sizes):
+        if i % samples_per_chunk == 0:
+            chunk_offs.append(pos)
+        pos += sz
+
+    # stts runs
+    runs: list[tuple[int, int]] = []
+    for d in durs:
+        if runs and runs[-1][1] == d:
+            runs[-1] = (runs[-1][0] + 1, d)
+        else:
+            runs.append((1, d))
+    stts = _fbox(b"stts", 0, 0, struct.pack(">I", len(runs))
+                 + b"".join(struct.pack(">II", c, d) for c, d in runs))
+
+    # VisualSampleEntry (86 bytes): reserved/dref-index, pre-defined,
+    # w/h unknown (0 — our demux never reads them), 72dpi, depth 24
+    entry = (struct.pack(">I", 86) + codingname
+             + b"\0" * 6 + struct.pack(">H", 1)
+             + b"\0" * 16
+             + struct.pack(">HH", 0, 0)
+             + struct.pack(">II", 0x00480000, 0x00480000)
+             + struct.pack(">I", 0) + struct.pack(">H", 1)
+             + b"\0" * 32
+             + struct.pack(">Hh", 24, -1))
+    stsd = _fbox(b"stsd", 0, 0, struct.pack(">I", 1) + entry)
+
+    stsz = _fbox(b"stsz", 0, 0, struct.pack(">II", 0, len(sizes))
+                 + b"".join(struct.pack(">I", s) for s in sizes))
+    stsc = _fbox(b"stsc", 0, 0, struct.pack(">I", 1)
+                 + struct.pack(">III", 1, samples_per_chunk, 1))
+    if force_co64 or (chunk_offs and chunk_offs[-1] > 0xFFFFFFFF):
+        stco = _fbox(b"co64", 0, 0, struct.pack(">I", len(chunk_offs))
+                     + b"".join(struct.pack(">Q", o) for o in chunk_offs))
+    else:
+        stco = _fbox(b"stco", 0, 0, struct.pack(">I", len(chunk_offs))
+                     + b"".join(struct.pack(">I", o) for o in chunk_offs))
+
+    duration = sum(durs)
+    stbl = _box(b"stbl", stsd + stts + stsc + stsz + stco)
+    dref = _fbox(b"dref", 0, 0, struct.pack(">I", 1)
+                 + _fbox(b"url ", 0, 1, b""))
+    dinf = _box(b"dinf", dref)
+    vmhd = _fbox(b"vmhd", 0, 1, struct.pack(">HHHH", 0, 0, 0, 0))
+    minf = _box(b"minf", vmhd + dinf + stbl)
+    hdlr = _fbox(b"hdlr", 0, 0, struct.pack(">I", 0) + b"vide"
+                 + b"\0" * 12 + b"video\0")
+    mdhd = _fbox(b"mdhd", 0, 0, struct.pack(
+        ">IIII", 0, 0, timescale, duration)
+        + struct.pack(">HH", 0x55C4, 0))      # language 'und'
+    mdia = _box(b"mdia", mdhd + hdlr + minf)
+    tkhd = _fbox(b"tkhd", 0, 7, struct.pack(">IIIII", 0, 0, 1, 0, duration)
+                 + b"\0" * 8 + struct.pack(">hhhh", 0, 0, 0, 0)
+                 + struct.pack(">9i", 0x10000, 0, 0, 0, 0x10000, 0,
+                               0, 0, 0x40000000)
+                 + struct.pack(">II", 0, 0))
+    trak = _box(b"trak", tkhd + mdia)
+    mvhd = _fbox(b"mvhd", 0, 0, struct.pack(
+        ">IIII", 0, 0, timescale, duration)
+        + struct.pack(">IH", 0x00010000, 0x0100) + b"\0" * 10
+        + struct.pack(">9i", 0x10000, 0, 0, 0, 0x10000, 0,
+                      0, 0, 0x40000000)
+        + b"\0" * 24 + struct.pack(">I", 2))
+    moov = _box(b"moov", mvhd + trak)
+    return ftyp + mdat + moov

@@ -1094,11 +1094,15 @@ def resize_image(df: DataFrame, id_col: str, out_w: int, out_h: int,
     return narrow.mapInPandas(resize, out_schema)
 
 
-# --- video container: length-prefixed PNG frame stream -----------------------
-# A minimal seekable container (magic + frame count + [u32 len | PNG]*)
-# standing in for MP4/MKV: frame SAMPLING (the expensive part a training
-# pipeline cares about — decode only every k-th frame, never the whole
-# stream) is real; a libav demuxer would replace _iter_frames only.
+# --- video containers --------------------------------------------------------
+# Real ISO BMFF (MP4) demux lives in operators/mp4.py (sample tables:
+# stts/stsc/stsz/stco/co64 → absolute frame offsets; Motion-JPEG or PNG
+# payloads decode through decode_image_bytes). The minimal VID0/VID1
+# container (magic + frame count + [u32 len | PNG]*) remains as the
+# oracle-recomputable fixture format for the driver-checked queries.
+# Both route through the same samplers: frame SAMPLING (the expensive
+# part a training pipeline cares about — decode only the sampled
+# frames, never the whole stream) slices by table/prefix offsets.
 
 _VID_MAGIC = b"VID0"
 _VID_MAGIC_TIMED = b"VID1"
@@ -1138,8 +1142,16 @@ def _video_header(data: bytes) -> tuple[int | None, int, int]:
 
 def _frame_offsets(data: bytes):
     """Yield (frame_idx, offset, length) lazily — the index walk only
-    reads length prefixes, never frame payloads, so a sampler slices
-    (copies) exactly the frames it decodes."""
+    reads container metadata (MP4 sample tables / VID length
+    prefixes), never frame payloads, so a sampler slices (copies)
+    exactly the frames it decodes."""
+    from rakam_api_collector_spark.operators import mp4 as _mp4
+
+    if _mp4.is_mp4(data):
+        for idx, (off, ln, _start) in enumerate(
+                _mp4.demux_video_track(data).samples):
+            yield idx, off, ln
+        return
     _, n, pos = _video_header(data)
     for idx in range(n):
         (ln,) = struct.unpack("<I", data[pos:pos + 4])
@@ -1245,8 +1257,10 @@ def sample_video_frames_by_time(df: DataFrame, id_col: str,
     seconds"), independent of each video's frame rate. One row per
     sample INSTANT (a slow-fps video can repeat a frame across
     instants); each distinct frame decodes exactly once per container
-    and unsampled frames are skipped by length prefix, never decoded.
-    Untimed VID0 containers fail decode (or drop under
+    and unsampled frames are skipped by table/prefix offset, never
+    decoded. Accepts real MP4 (ISO BMFF — per-sample stts starts, so
+    variable-duration tracks map exactly) and the timed VID1 fixture
+    layout; untimed VID0 containers fail decode (or drop under
     ``skip_invalid`` — the ST11 accounting path)."""
     if every_ms <= 0:
         raise ValueError("every_ms must be positive")
@@ -1259,18 +1273,39 @@ def sample_video_frames_by_time(df: DataFrame, id_col: str,
             for i, blob in zip(pdf["_id"], pdf["_blob"]):
                 data = bytes(blob)
                 try:
-                    fps_milli, _, _ = _video_header(data)
-                    if fps_milli is None:
-                        raise ValueError(
-                            "time sampling needs a timed (VID1) container")
-                    offsets = {idx: (off, ln) for idx, off, ln
-                               in _frame_offsets(data)}
+                    from rakam_api_collector_spark.operators import \
+                        mp4 as _mp4
+
+                    if _mp4.is_mp4(data):
+                        # real container: per-sample stts starts, so
+                        # variable frame durations map exactly — the
+                        # frame at instant t is the last start ≤ t
+                        track = _mp4.demux_video_track(data)
+                        offsets = {k: (o, ln) for k, (o, ln, _s)
+                                   in enumerate(track.samples)}
+                        starts = track.start_ms()
+                        dur = track.duration_ms()
+                        instants = []
+                        j = 0
+                        while j * every_ms < dur:
+                            idx = _mp4.sample_index_at_ms(
+                                starts, j * every_ms)
+                            if idx >= 0:
+                                instants.append((j * every_ms, idx))
+                            j += 1
+                    else:
+                        fps_milli, _, _ = _video_header(data)
+                        if fps_milli is None:
+                            raise ValueError("time sampling needs a "
+                                             "timed (VID1) container")
+                        offsets = {idx: (off, ln) for idx, off, ln
+                                   in _frame_offsets(data)}
+                        instants = _time_sample_indices(
+                            len(offsets), fps_milli, every_ms)
                 except (ValueError, struct.error):
                     if skip_invalid:
                         continue
                     raise
-                instants = _time_sample_indices(len(offsets), fps_milli,
-                                                every_ms)
                 decoded: dict[int, tuple] = {}
                 for _, idx in instants:
                     if idx in decoded:

@@ -1,0 +1,129 @@
+"""ISO BMFF (MP4) demux + the video samplers over real containers.
+
+The VID0/VID1 fixture container stays the oracle-checked path (llm34/
+llm45); these tests pin that the REAL container (operators/mp4.py —
+clean-room ISO/IEC 14496-12 sample tables) resolves identical frame
+offsets and flows through the same samplers: parity between an MP4 and
+a VID container holding the same frames, multi-sample chunks (stsc
+runs), variable frame durations (multi-run stts → exact instant
+mapping), co64 64-bit offsets, and corrupt-stream rejection routed
+through the ST11 skip_invalid accounting."""
+
+from __future__ import annotations
+
+import struct
+
+import pytest
+
+from rakam_api_collector_spark.operators import mp4 as M4
+from rakam_api_collector_spark.operators import multimodal as M
+
+
+def _frames(n, w=3, h=2):
+    return [M.png_encode(bytes((i * 7 + j) % 256
+                               for j in range(w * h)), w, h, 1)
+            for i in range(n)]
+
+
+def test_mux_demux_roundtrip_offsets():
+    frames = _frames(5)
+    data = M4.mux_video_mp4(frames, durations_ticks=[500] * 5)
+    track = M4.demux_video_track(data)
+    assert track.codingname == b"png "
+    assert len(track.samples) == 5
+    for fr, (off, ln, _st) in zip(frames, track.samples):
+        assert data[off:off + ln] == fr          # offsets are absolute
+    assert track.start_ms() == [0, 500, 1000, 1500, 2000]
+    assert track.duration_ms() == 2500
+
+
+def test_multi_sample_chunks_resolve_like_single():
+    """stsc with >1 samples per chunk lays frames back to back inside
+    each chunk — the resolved offsets must equal the contiguous
+    layout."""
+    frames = _frames(7)
+    a = M4.demux_video_track(M4.mux_video_mp4(frames))
+    b = M4.demux_video_track(
+        M4.mux_video_mp4(frames, samples_per_chunk=3))
+    data_b = M4.mux_video_mp4(frames, samples_per_chunk=3)
+    assert [s[1] for s in a.samples] == [s[1] for s in b.samples]
+    for fr, (off, ln, _st) in zip(frames, b.samples):
+        assert data_b[off:off + ln] == fr
+
+
+def test_co64_offsets():
+    frames = _frames(2)
+    data = M4.mux_video_mp4(frames, force_co64=True)
+    track = M4.demux_video_track(data)
+    for fr, (off, ln, _st) in zip(frames, track.samples):
+        assert data[off:off + ln] == fr
+
+
+def test_variable_durations_map_instants_exactly():
+    """Variable stts: frames lasting 100/400/1000 ms — the frame at
+    instant t is the last start ≤ t, by integer bisection."""
+    frames = _frames(3)
+    data = M4.mux_video_mp4(frames, durations_ticks=[100, 400, 1000])
+    track = M4.demux_video_track(data)
+    starts = track.start_ms()
+    assert starts == [0, 100, 500]
+    assert [M4.sample_index_at_ms(starts, t)
+            for t in (0, 99, 100, 499, 500, 1400)] == [0, 0, 1, 1, 2, 2]
+
+
+def test_sampler_parity_mp4_vs_vid(spark):
+    """The same frames through sample_video_frames give identical rows
+    whether packed as VID0 or as a real MP4 — the sampler only sees
+    (idx, offset, length)."""
+    frames = _frames(9)
+    df = spark.createDataFrame(
+        [(1, M.pack_video(frames)), (2, M4.mux_video_mp4(frames))],
+        "vid long, blob binary")
+    out = M.sample_video_frames(df, "vid", every=4).collect()
+    by_id = {}
+    for r in out:
+        by_id.setdefault(r.id, []).append(
+            (r.frame_idx, r.width, r.height, r.px_sum))
+    assert sorted(by_id[1]) == sorted(by_id[2])
+    assert [i for i, *_ in sorted(by_id[2])] == [0, 4, 8]
+
+
+def test_time_sampler_over_mp4(spark):
+    """sample_video_frames_by_time over a variable-duration MP4: one
+    row per instant, indexes from the stts starts, sampling stops at
+    track end."""
+    frames = _frames(3)
+    data = M4.mux_video_mp4(frames, durations_ticks=[100, 400, 1000])
+    df = spark.createDataFrame([(7, data)], "vid long, blob binary")
+    out = sorted((r.sample_ms, r.frame_idx) for r in
+                 M.sample_video_frames_by_time(
+                     df, "vid", every_ms=400).collect())
+    # track is 1500 ms: instants 0,400,800,1200 → frames 0,1,2,2
+    assert out == [(0, 0), (400, 1), (800, 2), (1200, 2)]
+
+
+def test_corrupt_streams_reject_and_skip(spark):
+    frames = _frames(2)
+    good = M4.mux_video_mp4(frames)
+    no_moov = good[:good.index(b"moov") - 4]
+    with pytest.raises(ValueError, match="moov|truncated"):
+        M4.demux_video_track(no_moov)
+    # stsz/stts mismatch: patch the stts run's sample count 2 → 1
+    i = good.index(b"stts") + 4 + 4 + 4      # 4cc, verflags, n_runs
+    bad = good[:i] + struct.pack(">I", 1) + good[i + 4:]
+    with pytest.raises(ValueError, match="stts covers"):
+        M4.demux_video_track(bad)
+    df = spark.createDataFrame(
+        [(1, bytearray(no_moov)), (2, bytearray(good))],
+        "vid long, blob binary")
+    out = M.sample_video_frames(df, "vid", every=1,
+                                skip_invalid=True).collect()
+    assert {r.id for r in out} == {2}            # bad row dropped, counted
+
+
+def test_jpeg_codingname_sniff():
+    """A JPEG payload (SOI marker) muxes as a 'jpeg' sample entry —
+    Motion-JPEG-in-MP4 — without touching our PNG fixtures."""
+    fake_jpeg = b"\xff\xd8\xff\xe0" + b"\x00" * 8   # SOI + stub APP0
+    data = M4.mux_video_mp4([fake_jpeg])
+    assert M4.demux_video_track(data).codingname == b"jpeg"
