@@ -562,17 +562,74 @@ class ManifestedTable:
     # -- write --------------------------------------------------------------
 
     @staticmethod
+    def _zorder_expr(df: DataFrame, cols: list[str], bits: int = 6):
+        """Z-value column: per key, an approx-quantile bucket rank in
+        ``[0, 2^bits)`` (computed once per column — a bounded driver
+        collect of ≤ 2^bits-1 cut points, the same sampling pass
+        Delta's OPTIMIZE ZORDER runs), bit-interleaved across keys so
+        nearby z-values are nearby in EVERY key. Rank-based bucketing
+        (not equal-width) keeps skewed keys from collapsing into one
+        bucket. Numeric, date, and timestamp keys cluster; other types
+        raise — a lexical type has no cheap order-preserving rank here
+        and silently hashing it would destroy the locality the caller
+        asked for."""
+        dtypes = dict(df.dtypes)
+        probs = [i / (1 << bits) for i in range(1, 1 << bits)]
+        buckets = []
+        for c in cols:
+            dt = dtypes[c]
+            if dt == "date":
+                num = F.datediff(F.col(c), F.lit("1970-01-01")) \
+                    .cast("double")
+            elif dt.startswith("timestamp"):
+                num = F.col(c).cast("double")
+            elif dt in ("tinyint", "smallint", "int", "bigint",
+                        "float", "double") or dt.startswith("decimal"):
+                num = F.col(c).cast("double")
+            else:
+                raise ValueError(
+                    f"zorder key {c!r} has type {dt} — only numeric/"
+                    "date/timestamp keys have an order-preserving rank")
+            cuts = df.select(num.alias("_z")) \
+                .approxQuantile("_z", probs, 1.0 / (4 << bits))
+            arr = F.array(*[F.lit(float(b)) for b in sorted(set(cuts))])
+            buckets.append(F.size(F.filter(arr, lambda b: b <= num))
+                           .cast("long"))
+        z = F.lit(0).cast("long")
+        for bit in range(bits):
+            for ci, bucket in enumerate(buckets):
+                pos = bit * len(buckets) + ci
+                z = z.bitwiseOR(F.shiftleft(
+                    F.shiftright(bucket, bit).bitwiseAND(F.lit(1)), pos))
+        return z
+
+    @staticmethod
     def _clustered(df: DataFrame, cluster_by: list[str] | None,
-                   n_files: int | None) -> DataFrame:
-        """Range-partition on the clustering key(s) and sort within
-        partitions: output files carry DISJOINT key ranges, so parquet
-        row-group min/max (and the batch zone map) prune maximally — a
-        key-range scan opens ~1 file instead of all of them. This is
-        the pay-once clustering step behind Delta's OPTIMIZE ZORDER /
-        Raptor's temporal shard organizer, in its 1-D form."""
+                   n_files: int | None,
+                   mode: str = "range") -> DataFrame:
+        """Cluster the batch so its files prune maximally — the
+        pay-once step behind Delta's OPTIMIZE (Z)ORDER / Raptor's
+        temporal shard organizer.
+
+        ``mode="range"``: range-partition + sort on the key tuple —
+        files carry DISJOINT ranges of the FIRST key (a key-range scan
+        opens ~1 file); later keys only break ties.
+        ``mode="zorder"``: range-partition + sort on the interleaved
+        z-value — every file covers a small hyper-rectangle, so
+        single-key predicates on ANY of the keys skip most files (the
+        multi-dimensional trade: no key gets the ~1-file guarantee,
+        every key gets a ~n^(1-1/k) one)."""
         if not cluster_by:
             return df
-        cols = [F.col(c) for c in cluster_by]
+        if mode == "zorder":
+            if len(cluster_by) < 2:
+                raise ValueError("zorder needs ≥ 2 keys — use range "
+                                 "clustering for a single key")
+            cols = [ManifestedTable._zorder_expr(df, cluster_by)]
+        elif mode == "range":
+            cols = [F.col(c) for c in cluster_by]
+        else:
+            raise ValueError(f"unknown cluster mode {mode!r}")
         n = n_files or df.sparkSession.sparkContext.defaultParallelism
         return (df.repartitionByRange(n, *cols)
                 .sortWithinPartitions(*cols))
@@ -580,7 +637,8 @@ class ManifestedTable:
     def write(self, df: DataFrame, batch_id: str | None = None,
               fmt: str = "parquet", partition_by_day: bool = True,
               cluster_by: list[str] | None = None,
-              n_files: int | None = None) -> str:
+              n_files: int | None = None,
+              cluster_mode: str = "range") -> str:
         """Write one batch and commit it atomically. Returns the batch
         id. Re-running with the same ``batch_id`` (an at-least-once
         retry) replaces the batch instead of duplicating it — by
@@ -602,7 +660,7 @@ class ManifestedTable:
         # the window where two concurrent writers both pass a
         # snapshot-time check and commit conflicting types
         self._check_evolution(self.committed(), fields, replacing=bid)
-        out = self._clustered(out, cluster_by, n_files)
+        out = self._clustered(out, cluster_by, n_files, cluster_mode)
         entry = self._write_batch_files(
             out, bid, fmt,
             partition=partition_by_day and "_day" in out.columns)
@@ -991,20 +1049,24 @@ class ManifestedTable:
 
     def compact(self, spark: SparkSession, fmt: str = "parquet",
                 cluster_by: list[str] | None = None,
-                n_files: int | None = None) -> str:
+                n_files: int | None = None,
+                cluster_mode: str = "range") -> str:
         """Rewrite the current live set as ONE batch and publish a
         version swapping inputs for output atomically — readers see the
         old set or the new set, never both (the shard-organizer analog).
         Batches committed concurrently DURING the rewrite survive: the
         swap only removes the inputs it actually read. ``cluster_by``
         makes this the OPTIMIZE step: the rewrite range-clusters the
-        table so the compacted files carry disjoint key ranges."""
+        table so the compacted files carry disjoint key ranges —
+        ``cluster_mode="zorder"`` interleaves ≥2 keys instead so
+        predicates on ANY clustered key skip most files (OPTIMIZE
+        ZORDER)."""
         inputs = self.committed()
         if not inputs:
             raise FileNotFoundError(f"nothing to compact in {self.table_dir}")
         bid = f"compact-{uuid.uuid4().hex}"
         df = self._clustered(self._read_batches(spark, inputs),
-                             cluster_by, n_files)
+                             cluster_by, n_files, cluster_mode)
         entry = self._write_batch_files(df, bid, fmt)
         consumed = {b["batch"]: self._dir_of(b) for b in inputs}
 

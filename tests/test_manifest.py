@@ -422,6 +422,62 @@ def test_clustered_write_and_compact_disjoint_file_ranges(spark, tmp_path):
     assert t2.committed()[0]["stats"]["id"] == [0, 49]
 
 
+def test_zorder_clustering_prunes_on_every_key(spark, tmp_path):
+    """cluster_mode="zorder": files cover small (x, y) hyper-
+    rectangles, so a narrow predicate on EITHER key overlaps only a
+    minority of per-file zone maps — whereas range clustering on
+    (x, y) gives the ~1-file guarantee on x but spreads any y-range
+    across every file. Quantitative pin on the manifest's own file
+    stats (16 files, independent uniform keys, quarter-width probes)."""
+    import itertools
+
+    grid = [(x, y) for x, y in itertools.product(range(32), range(32))]
+    df = spark.createDataFrame(
+        [(x, y, datetime(2024, 3, 1, 10)) for x, y in grid],
+        "x long, y long, _time timestamp")
+
+    def overlapping(table, col, lo, hi):
+        files = table.committed()[0]["files"]
+        assert len(files) >= 12
+        n = 0
+        for f in files:
+            fmin, fmax = f["stats"][col]
+            if not (fmax < lo or fmin > hi):
+                n += 1
+        return n, len(files)
+
+    tz = ManifestedTable(str(tmp_path), "proj", "zorder")
+    tz.write(df, batch_id="b", cluster_by=["x", "y"], n_files=16,
+             cluster_mode="zorder", partition_by_day=False)
+    # sampled z-range boundaries straddle curve cells, so files are
+    # not perfectly grid-aligned — pin "a minority-to-moderate share
+    # overlaps on BOTH keys", and the real teeth are the contrast
+    # with range mode below (second key: 100% useless)
+    for col in ("x", "y"):
+        hit, total = overlapping(tz, col, 0, 7)      # quarter width
+        assert hit <= int(total * 0.7), (col, hit, total)
+
+    tr = ManifestedTable(str(tmp_path), "proj", "ranged")
+    tr.write(df, batch_id="b", cluster_by=["x", "y"], n_files=16,
+             cluster_mode="range", partition_by_day=False)
+    x_hit, total = overlapping(tr, "x", 0, 7)
+    y_hit, _ = overlapping(tr, "y", 0, 7)
+    assert x_hit <= total // 2                       # primary key: tight
+    assert y_hit == total                            # second key: useless
+
+    # correctness unchanged: same rows, zone-map pruned read exact
+    got = tz.read(spark, prune={"y": (0, 7)}) \
+        .filter(F.col("y") <= 7).count()
+    assert got == 32 * 8
+
+    # guard rails
+    with pytest.raises(ValueError, match="zorder needs"):
+        tz.write(df, cluster_by=["x"], cluster_mode="zorder")
+    bad = df.withColumn("s", F.lit("a"))
+    with pytest.raises(ValueError, match="order-preserving"):
+        tz.write(bad, cluster_by=["x", "s"], cluster_mode="zorder")
+
+
 def test_file_level_zone_map_pruning(spark, tmp_path):
     """Per-file zone maps: a clustered batch's key-range read lists
     ONLY the overlapping file(s) into the scan (pinned by
