@@ -147,7 +147,8 @@ def run_maintenance(spark: SparkSession, base: str,
                     keep_versions: int = 2,
                     grace_seconds: float = 3600.0,
                     meta: "MetadataStore | None" = None,
-                    parallelism: int = 8) -> list[dict]:
+                    parallelism: int = 8,
+                    target_rows: int | None = None) -> list[dict]:
     """The shard-organizer sweep (the reference runs this as a periodic
     daemon over its Raptor shard registry): walk every
     ``base/<project>/<collection>`` table, compact any whose live batch
@@ -165,7 +166,15 @@ def run_maintenance(spark: SparkSession, base: str,
     independent): sequential sweeps over a many-collection stream were
     measured at ~1 s/table, long enough for an every-N-epochs daemon
     sweep to outlive the epochs that scheduled it. Reports stay in
-    sorted table order regardless of completion order."""
+    sorted table order regardless of completion order.
+
+    ``target_rows`` turns the sweep into BIN-PACKING (the form that
+    survives 100 TB): only batches below the threshold count toward
+    ``min_batches`` and only THEY rewrite — a batch the sweep already
+    grew past target_rows is never rewritten again, so per-row rewrite
+    cost is O(log) over the table's life instead of once per sweep.
+    Without it, every sweep rewrites the whole table (fine for tests
+    and small tables, quadratic for a stream that never stops)."""
     meta = meta or LocalMetadataStore()
     tables = []
     for proj in sorted(meta.list(base)):
@@ -184,14 +193,21 @@ def run_maintenance(spark: SparkSession, base: str,
         # bad table (corrupt file, bad cluster key, races) starve
         # every table sorting after it
         try:
-            n = len(t.committed())
-            report["batches"] = n
+            live = t.committed()
+            report["batches"] = len(live)
+            if target_rows is not None:
+                n = sum(1 for b in live
+                        if b.get("rows", 0) < target_rows)
+            else:
+                n = len(live)
             if n >= min_batches:
                 keys = (cluster_by or {}).get(
                     f"{proj}/{coll}", (cluster_by or {}).get(coll))
                 try:
-                    report["compacted"] = t.compact(
-                        spark, cluster_by=keys)
+                    out = t.compact(spark, cluster_by=keys,
+                                    max_rows=target_rows)
+                    if out is not None:
+                        report["compacted"] = out
                 except CommitConflict:
                     report["conflict"] = True
             report["gc_removed"] = len(
@@ -236,7 +252,8 @@ class MaintenanceHook:
                  min_batches: int = 8, cluster_by: dict | None = None,
                  keep_versions: int = 2, grace_seconds: float = 3600.0,
                  parallelism: int = 8,
-                 max_reports: int = 64) -> None:
+                 max_reports: int = 64,
+                 target_rows: int | None = None) -> None:
         if every_epochs < 1:
             raise ValueError(f"every_epochs must be >= 1, "
                              f"got {every_epochs}")
@@ -248,7 +265,8 @@ class MaintenanceHook:
                              "cluster_by": cluster_by,
                              "keep_versions": keep_versions,
                              "grace_seconds": grace_seconds,
-                             "parallelism": parallelism}
+                             "parallelism": parallelism,
+                             "target_rows": target_rows}
         self.max_reports = max_reports
         self.reports: list[dict] = []
         self.skipped_overlap = 0
@@ -1050,20 +1068,46 @@ class ManifestedTable:
     def compact(self, spark: SparkSession, fmt: str = "parquet",
                 cluster_by: list[str] | None = None,
                 n_files: int | None = None,
-                cluster_mode: str = "range") -> str:
-        """Rewrite the current live set as ONE batch and publish a
-        version swapping inputs for output atomically — readers see the
-        old set or the new set, never both (the shard-organizer analog).
+                cluster_mode: str = "range",
+                only: list[str] | None = None,
+                max_rows: int | None = None) -> str | None:
+        """Rewrite live batches as ONE batch and publish a version
+        swapping inputs for output atomically — readers see the old
+        set or the new set, never both (the shard-organizer analog).
         Batches committed concurrently DURING the rewrite survive: the
         swap only removes the inputs it actually read. ``cluster_by``
         makes this the OPTIMIZE step: the rewrite range-clusters the
         table so the compacted files carry disjoint key ranges —
         ``cluster_mode="zorder"`` interleaves ≥2 keys instead so
         predicates on ANY clustered key skip most files (OPTIMIZE
-        ZORDER)."""
+        ZORDER).
+
+        By default every live batch rewrites — fine for a table that
+        fits a sweep, quadratic write amplification for one that
+        grows forever. ``max_rows`` selects only batches smaller than
+        the threshold (metadata-only decision — rows live in the
+        manifest), the Raptor/Delta BIN-PACKING form: epoch-accreted
+        small batches merge, outputs that cross the threshold are
+        never rewritten again, so each row is rewritten O(log) times
+        over the table's life instead of once per sweep. ``only``
+        names explicit batch ids instead. Returns the new batch id,
+        or None when fewer than two batches qualify (a one-batch
+        rewrite is pure write amplification)."""
         inputs = self.committed()
         if not inputs:
             raise FileNotFoundError(f"nothing to compact in {self.table_dir}")
+        if only is not None:
+            want = set(only)
+            missing = want - {b["batch"] for b in inputs}
+            if missing:
+                raise ValueError(f"not live, cannot compact: "
+                                 f"{sorted(missing)}")
+            inputs = [b for b in inputs if b["batch"] in want]
+        elif max_rows is not None:
+            inputs = [b for b in inputs
+                      if b.get("rows", 0) < max_rows]
+        if len(inputs) < 2 and (only is not None or max_rows is not None):
+            return None
         bid = f"compact-{uuid.uuid4().hex}"
         df = self._clustered(self._read_batches(spark, inputs),
                              cluster_by, n_files, cluster_mode)

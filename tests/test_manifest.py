@@ -478,6 +478,83 @@ def test_zorder_clustering_prunes_on_every_key(spark, tmp_path):
         tz.write(bad, cluster_by=["x", "s"], cluster_mode="zorder")
 
 
+def test_binpacking_compaction_bounds_write_amplification(spark, tmp_path):
+    """compact(max_rows=) is the form that survives a stream that
+    never stops: only sub-threshold batches rewrite, a batch that
+    crossed the threshold is never touched again (pinned by file
+    mtimes), and a second round of small appends merges WITHOUT
+    rewriting the previous round's output once it outgrew the
+    threshold. One qualifying batch → None (no one-batch rewrites)."""
+    import os
+
+    def mtimes(table, bid):
+        d = next(m["dir"] for m in table.committed()
+                 if m["batch"] == bid)
+        out = {}
+        for root, _, fns in os.walk(f"{table.batches_dir}/{d}"):
+            for fn in fns:
+                p = os.path.join(root, fn)
+                out[p] = os.stat(p).st_mtime_ns
+        return out
+
+    t = ManifestedTable(str(tmp_path), "proj", "events")
+    t.write(_df(spark, range(100)), batch_id="big")
+    for i in range(3):
+        t.write(_df(spark, [1000 + i]), batch_id=f"s{i}")
+    before = mtimes(t, "big")
+
+    out = t.compact(spark, max_rows=50)
+    assert out is not None
+    names = {m["batch"] for m in t.committed()}
+    assert "big" in names and out in names and len(names) == 2
+    assert mtimes(t, "big") == before            # untouched, byte-for-byte
+    assert sorted(r.id for r in t.read(spark).collect()) \
+        == sorted(list(range(100)) + [1000, 1001, 1002])
+
+    # second round: the merged output (3 rows < 50) still qualifies
+    # and re-merges with the new smalls — hierarchical, O(log) rewrites
+    for i in range(3, 5):
+        t.write(_df(spark, [1000 + i]), batch_id=f"s{i}")
+    out2 = t.compact(spark, max_rows=50)
+    assert out2 is not None and mtimes(t, "big") == before
+    assert t.rows() == 105
+
+    # a single qualifying batch is pure write amplification: no-op
+    assert t.compact(spark, max_rows=50) is None
+    with pytest.raises(ValueError, match="not live"):
+        t.compact(spark, only=["nope"])
+
+
+def test_maintenance_target_rows_binpacking(spark, tmp_path):
+    """run_maintenance(target_rows=): the sweep counts and compacts
+    only sub-threshold batches, so the big batch survives sweeps
+    untouched while epoch-accreted smalls stay bounded."""
+    from rakam_api_collector_spark.manifest import run_maintenance
+
+    t = ManifestedTable(str(tmp_path), "proj", "events")
+    t.write(_df(spark, range(200)), batch_id="big")
+    for i in range(4):
+        t.write(_df(spark, [i]), batch_id=f"e{i}")
+    big_dir = next(m["dir"] for m in t.committed()
+                   if m["batch"] == "big")
+
+    reps = run_maintenance(spark, str(tmp_path), min_batches=3,
+                           target_rows=100, grace_seconds=0,
+                           keep_versions=1)
+    assert reps[0].get("compacted")
+    live = {m["batch"]: m for m in t.committed()}
+    assert "big" in live and live["big"]["dir"] == big_dir
+    assert len(live) == 2 and t.rows() == 204
+
+    # below min_batches of smalls → sweep leaves the table alone
+    t.write(_df(spark, [99]), batch_id="e99")
+    v = t.current_version()
+    reps = run_maintenance(spark, str(tmp_path), min_batches=3,
+                           target_rows=100, grace_seconds=0)
+    assert "compacted" not in reps[0]
+    assert t.current_version() == v
+
+
 def test_file_level_zone_map_pruning(spark, tmp_path):
     """Per-file zone maps: a clustered batch's key-range read lists
     ONLY the overlapping file(s) into the scan (pinned by
