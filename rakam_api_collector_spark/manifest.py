@@ -444,6 +444,122 @@ def _footer_stats(path: str, fmt: str, max_cols: int = 32,
     return (batch or None), files
 
 
+def _bloom_build(spark: SparkSession, path: str, fmt: str,
+                 entry: dict, cols: list[str],
+                 bits_per_row: int = 10, k: int = 7) -> None:
+    """Per-file Bloom filters for point-lookup file skipping — the
+    shape zone maps cannot cover: a scattered key (user id in a
+    takedown, string or numeric alike) overlaps every file's [min,
+    max] yet lives in almost none of them. One Spark job per column
+    computes ``pmod(xxhash64(col, seed), m)`` for k seeds, aggregates
+    DISTINCT bit positions per file (map-side partial collect_set, so
+    the shuffle carries ≤ m ints per file regardless of row count),
+    and the driver writes each file's bitset as a sidecar under
+    ``<batch>/_bloom/`` — underscore-prefixed, so Spark's scans never
+    see it, and it travels/dies with the batch dir. The manifest entry
+    stores only {m, k, dt} per column (metadata stays tiny; the bytes
+    live data-adjacent, the Iceberg-puffin shape).
+
+    ``dt`` records the column's Spark type because xxhash64 hashes the
+    TYPED value — a probe must cast its literal to the same type or
+    the hash (and the skip) would be garbage."""
+    files = entry.get("files")
+    if not files:
+        return                  # no per-file granularity to attach to
+    rows = max(1, entry.get("rows", 1))
+    m = max(1024, min(1 << 23, rows * bits_per_row))
+    dts = dict()
+    src = spark.read.option("basePath", path).format(fmt).load(path)
+    for f_ in src.schema.fields:
+        dts[f_.name] = f_.dataType.simpleString()
+    bloom_dir = os.path.join(path, "_bloom")
+    for col in cols:
+        if col not in dts:
+            raise ValueError(f"bloom_for column {col!r} not in batch")
+        pos = F.array(*[
+            F.pmod(F.xxhash64(F.col(col), F.lit(s)), F.lit(m))
+            for s in range(k)])
+        agg = (src.filter(F.col(col).isNotNull())
+               .select(F.input_file_name().alias("_f"),
+                       F.explode(pos).alias("_p"))
+               .groupBy("_f").agg(F.collect_set("_p").alias("ps"))
+               ).collect()
+        by_rel = {}
+        for r in agg:
+            rel = os.path.relpath(r["_f"].removeprefix("file:"), path)
+            by_rel[rel] = r["ps"]
+        os.makedirs(bloom_dir, exist_ok=True)
+        for f in files:
+            bits = bytearray((m + 7) // 8)
+            for p in by_rel.get(f["path"], ()):
+                bits[p >> 3] |= 1 << (p & 7)
+            with open(os.path.join(
+                    bloom_dir, _bloom_name(f["path"], col)), "wb") as fh:
+                fh.write(bytes(bits))
+            f.setdefault("bloom", {})[col] = {
+                "m": m, "k": k, "dt": dts[col]}
+
+
+def _bloom_name(rel: str, col: str) -> str:
+    return rel.replace(os.sep, "__") + "." + col + ".bloom"
+
+
+def _bloom_probe(spark: SparkSession, values: dict[str, tuple],
+                 k_max: int = 7) -> dict[str, list[int]]:
+    """Raw seeded hashes for probe values: {col: [xxhash64(cast(value,
+    dt), seed) for seed in 0..k)]} via a 1-row Spark job, so the JVM's
+    xxhash64 — not a Python reimplementation — produces the bits.
+    ``values`` maps col → (value, dt)."""
+    if not values:
+        return {}
+    exprs = []
+    names = []
+    for col, (v, dt) in values.items():
+        for s in range(k_max):
+            exprs.append(F.xxhash64(F.lit(v).cast(dt), F.lit(s))
+                         .alias(f"{col}__{s}"))
+            names.append((col, s))
+    row = spark.range(1).select(*exprs).first()
+    out: dict[str, list[int]] = {}
+    for (col, _s), val in zip(names, row):
+        out.setdefault(col, []).append(val)
+    return out
+
+
+def _bloom_passes(batch_path: str, f: dict,
+                  probes: dict[str, list[int]]) -> bool:
+    """False only when some probed column's sidecar bloom proves the
+    point value absent from this file. Missing/unreadable sidecars,
+    type mismatches, or absent blooms keep the file — skipping is an
+    optimization, never a correctness filter."""
+    meta = f.get("bloom")
+    if not meta or not probes:
+        return True
+    for col, hashes in probes.items():
+        spec = meta.get(col)
+        if not spec:
+            continue
+        try:
+            with open(os.path.join(batch_path, "_bloom",
+                                   _bloom_name(f["path"], col)),
+                      "rb") as fh:
+                bits = fh.read()
+        except OSError:
+            continue
+        m, k = spec["m"], spec["k"]
+        if len(bits) != (m + 7) // 8:
+            continue
+        hit = True
+        for h in hashes[:k]:
+            p = h % m           # Python % matches pmod for m > 0
+            if not bits[p >> 3] & (1 << (p & 7)):
+                hit = False
+                break
+        if not hit:
+            return False
+    return True
+
+
 def _tz_normalize_prune(spark: SparkSession | None,
                         prune: dict | None) -> dict | None:
     """Normalize a caller's prune bounds to the UTC-instant convention
@@ -518,6 +634,26 @@ def _stats_overlap(stats: dict, prune: dict) -> bool:
 
 def _batch_overlaps(manifest: dict, prune: dict) -> bool:
     return _stats_overlap(manifest.get("stats") or {}, prune)
+
+
+def _point_probes(spark: SparkSession, manifests: list[dict],
+                  prune: dict | None) -> dict[str, list[int]]:
+    """Bloom probe hashes for every pruned column bound that is a
+    POINT (lo == hi) and has a bloom spec somewhere in the scan —
+    empty dict otherwise (zone maps alone)."""
+    if not prune:
+        return {}
+    vals: dict[str, tuple] = {}
+    for col, (lo, hi) in prune.items():
+        if lo is None or hi is None or lo != hi:
+            continue
+        for m in manifests:
+            spec = next((f["bloom"][col] for f in m.get("files") or []
+                         if col in (f.get("bloom") or {})), None)
+            if spec:
+                vals[col] = (lo, spec["dt"])
+                break
+    return _bloom_probe(spark, vals) if vals else {}
 
 
 class ManifestedTable:
@@ -656,7 +792,8 @@ class ManifestedTable:
               fmt: str = "parquet", partition_by_day: bool = True,
               cluster_by: list[str] | None = None,
               n_files: int | None = None,
-              cluster_mode: str = "range") -> str:
+              cluster_mode: str = "range",
+              bloom_for: list[str] | None = None) -> str:
         """Write one batch and commit it atomically. Returns the batch
         id. Re-running with the same ``batch_id`` (an at-least-once
         retry) replaces the batch instead of duplicating it — by
@@ -682,6 +819,10 @@ class ManifestedTable:
         entry = self._write_batch_files(
             out, bid, fmt,
             partition=partition_by_day and "_day" in out.columns)
+        if bloom_for:
+            _bloom_build(df.sparkSession,
+                         f"{self.batches_dir}/{entry['dir']}", fmt,
+                         entry, bloom_for)
 
         def mutate(live):
             self._check_evolution(live, fields, replacing=bid)
@@ -762,10 +903,20 @@ class ManifestedTable:
         kept = rewritten = dropped = removed = 0
         replacements: dict[str, dict | None] = {}
         orig_dirs: dict[str, str] = {}
+        # point bounds probe per-file blooms: a batch none of whose
+        # files may contain the key skips the rewrite entirely (the
+        # scattered-key takedown shape zone maps can't prune)
+        bloom = _point_probes(spark, inputs, prune)
         for m in inputs:
             if prune and not _batch_overlaps(m, prune):
                 kept += 1
                 continue
+            if bloom and m.get("files"):
+                bpath = f"{self.batches_dir}/{self._dir_of(m)}"
+                if not any(_bloom_passes(bpath, f, bloom)
+                           for f in m["files"]):
+                    kept += 1
+                    continue
             src = self._read_batches(spark, [m])
             out = transform(src)
             if out is None:
@@ -872,7 +1023,8 @@ class ManifestedTable:
         return m.get("dir", m["batch"])
 
     def _read_batches(self, spark: SparkSession, manifests: list[dict],
-                      prune: dict | None = None) -> DataFrame | None:
+                      prune: dict | None = None,
+                      bloom: dict | None = None) -> DataFrame | None:
         """Union the batches' scans. A manifest-listed file set is
         AUTHORITATIVE when present: only those files are scanned (the
         DataSource stream writer re-uses one epoch dir across retry
@@ -890,7 +1042,10 @@ class ManifestedTable:
             files = m.get("files")
             if files is not None:
                 keep = [f for f in files
-                        if not prune or _stats_overlap(f["stats"], prune)]
+                        if (not prune
+                            or _stats_overlap(f["stats"], prune))
+                        and (not bloom
+                             or _bloom_passes(path, f, bloom))]
                 if not keep:
                     continue
                 target = [os.path.join(path, f["path"]) for f in keep]
@@ -938,7 +1093,11 @@ class ManifestedTable:
         prune = _tz_normalize_prune(spark, prune)
         if prune:
             kept = [m for m in manifests if _batch_overlaps(m, prune)]
-            got = self._read_batches(spark, kept, prune) if kept else None
+            # point bounds additionally probe per-file blooms (one
+            # 1-row hash job) — the skip zone maps can't make
+            bloom = _point_probes(spark, kept, prune)
+            got = self._read_batches(spark, kept, prune, bloom) \
+                if kept else None
             # union a zero-row frame carrying the version's FULL column
             # set (from manifest-stored schemas — no file access), so
             # the result schema is identical for EVERY prune interval,
@@ -1070,7 +1229,8 @@ class ManifestedTable:
                 n_files: int | None = None,
                 cluster_mode: str = "range",
                 only: list[str] | None = None,
-                max_rows: int | None = None) -> str | None:
+                max_rows: int | None = None,
+                bloom_for: list[str] | None = None) -> str | None:
         """Rewrite live batches as ONE batch and publish a version
         swapping inputs for output atomically — readers see the old
         set or the new set, never both (the shard-organizer analog).
@@ -1112,6 +1272,9 @@ class ManifestedTable:
         df = self._clustered(self._read_batches(spark, inputs),
                              cluster_by, n_files, cluster_mode)
         entry = self._write_batch_files(df, bid, fmt)
+        if bloom_for:
+            _bloom_build(spark, f"{self.batches_dir}/{entry['dir']}",
+                         fmt, entry, bloom_for)
         consumed = {b["batch"]: self._dir_of(b) for b in inputs}
 
         def mutate(live):

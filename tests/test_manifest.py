@@ -555,6 +555,69 @@ def test_maintenance_target_rows_binpacking(spark, tmp_path):
     assert t.current_version() == v
 
 
+def test_bloom_point_lookup_skips_files(spark, tmp_path):
+    """Per-file Bloom sidecars prune the shape zone maps cannot: a
+    scattered STRING key overlaps every [min, max] but lives in one
+    batch. Physical pin: the other batch's dir is deleted from disk —
+    the bloom-pruned point read still succeeds, the full scan fails.
+    delete_where with a point prune leaves bloom-negative batches
+    byte-identical."""
+    import os
+
+    def udf_(spark, lo, n, step):
+        return spark.createDataFrame(
+            [(f"u{i:04d}", i, datetime(2024, 3, 1, 10))
+             for i in range(lo, n, step)],
+            "user string, v long, _time timestamp")
+
+    t = ManifestedTable(str(tmp_path), "proj", "events")
+    t.write(udf_(spark, 0, 400, 2), batch_id="even",
+            bloom_for=["user"], partition_by_day=False)
+    t.write(udf_(spark, 1, 400, 2), batch_id="odd",
+            bloom_for=["user"], partition_by_day=False)
+    ent = {m["batch"]: m for m in t.committed()}
+    # zone maps alone CANNOT separate the batches (ranges interleave)
+    assert ent["even"]["stats"]["user"][0] < ent["odd"]["stats"]["user"][1]
+    assert all("user" in f["bloom"] for f in ent["even"]["files"])
+
+    # membership: every key still found through the bloomed read path
+    got = t.read(spark, prune={"user": ("u0101", "u0101")}) \
+        .filter(F.col("user") == "u0101").collect()
+    assert [(r.user, r.v) for r in got] == [("u0101", 101)]
+
+    # point delete of an even key: odd batch must stay byte-identical
+    def mtimes(bid):
+        d = ent[bid]["dir"]
+        return {p: os.stat(os.path.join(r, p)).st_mtime_ns
+                for r, _, fs in os.walk(f"{t.batches_dir}/{d}")
+                for p in fs}
+
+    odd_before = mtimes("odd")
+    rep = t.delete_where(spark, F.col("user") == "u0100",
+                         prune={"user": ("u0100", "u0100")})
+    assert rep["rows_deleted"] == 1 and mtimes("odd") == odd_before
+    assert rep["kept"] >= 1
+
+    # hard physical pin: delete the odd batch's DATA files (keeping
+    # the _bloom sidecars — an unreadable sidecar conservatively keeps
+    # the file); a bloom-guided point read of an even key never opens
+    # them
+    odd_dir = f"{t.batches_dir}/{ent['odd']['dir']}"
+    for r, _, fs in os.walk(odd_dir):
+        for fn in fs:
+            if fn.endswith(".parquet"):
+                os.remove(os.path.join(r, fn))
+    ok = t.read(spark, prune={"user": ("u0202", "u0202")}) \
+        .filter(F.col("user") == "u0202").collect()
+    assert [r.v for r in ok] == [202]
+    with pytest.raises(Exception):
+        t.read(spark).count()
+
+    # a key that exists nowhere prunes everything (schema-stable empty)
+    none = t.read(spark, prune={"user": ("zzzz", "zzzz")})
+    assert none.count() == 0 and "user" in none.columns
+
+
 def test_file_level_zone_map_pruning(spark, tmp_path):
     """Per-file zone maps: a clustered batch's key-range read lists
     ONLY the overlapping file(s) into the scan (pinned by
