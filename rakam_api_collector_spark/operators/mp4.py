@@ -72,6 +72,8 @@ def _child(data: bytes, start: int, end: int, four: bytes):
 
 def _fullbox(data: bytes, body: int) -> tuple[int, int]:
     """(version, payload_start) of a FullBox."""
+    if body + 4 > len(data):
+        raise ValueError("truncated FullBox header")
     return data[body], body + 4
 
 

@@ -7,6 +7,8 @@ the deterministic fixtures in test_multimodal.py.
 
 from __future__ import annotations
 
+import struct
+
 import numpy as np
 from hypothesis import given, settings
 from hypothesis import strategies as st
@@ -216,3 +218,52 @@ def test_wav_float_int16_equivalence_property(n, ch, bits, ext, seed):
         M.wav_encode_float(f, 8000, ch, bits=bits, extensible=ext))
     assert (rate, c2) == (8000, ch)
     assert np.array_equal(np.frombuffer(pcm, dtype="<i2"), x)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    n=st.integers(1, 12),
+    seed=st.integers(0, 2**31 - 1),
+    spc=st.integers(1, 5),
+    co64=st.booleans(),
+    timescale=st.sampled_from([1000, 90000, 12288]),
+)
+def test_mp4_mux_demux_roundtrip_property(n, seed, spc, co64, timescale):
+    """Any frame sizes / durations / chunk grouping / offset width:
+    the demuxed sample table recovers every frame byte-exactly with
+    monotone start times summing to the stts durations."""
+    from rakam_api_collector_spark.operators import mp4 as M4
+
+    rng = np.random.default_rng(seed)
+    frames = [rng.integers(0, 256, size=int(ln), dtype=np.uint8).tobytes()
+              for ln in rng.integers(1, 200, size=n)]
+    durs = [int(d) for d in rng.integers(1, 5000, size=n)]
+    data = M4.mux_video_mp4(frames, durations_ticks=durs,
+                            timescale=timescale, codingname=b"raw ",
+                            samples_per_chunk=spc, force_co64=co64)
+    track = M4.demux_video_track(data)
+    assert track.timescale == timescale
+    assert [data[o:o + ln] for o, ln, _s in track.samples] == frames
+    starts = [s for _o, _l, s in track.samples]
+    assert starts == sorted(starts) and starts[0] == 0
+    assert track.duration_ticks == sum(durs)
+
+
+@settings(max_examples=120, deadline=None)
+@given(data=st.binary(min_size=0, max_size=400),
+       seed=st.integers(0, 2**31 - 1))
+def test_mp4_demux_never_crashes_on_garbage(data, seed):
+    """Arbitrary bytes — including streams that START like a valid MP4
+    and decay into garbage — must raise a catchable ValueError/struct
+    error (the ST11 contract), never hang, loop, or throw anything
+    uncatchable."""
+    from rakam_api_collector_spark.operators import mp4 as M4
+
+    rng = np.random.default_rng(seed)
+    good = M4.mux_video_mp4([b"xx", b"yyy"], codingname=b"raw ")
+    cut = int(rng.integers(0, len(good)))
+    for blob in (data, good[:cut] + data, good[:cut]):
+        try:
+            M4.demux_video_track(blob)
+        except (ValueError, struct.error):
+            pass
