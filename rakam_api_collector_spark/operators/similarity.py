@@ -524,3 +524,191 @@ def ivf_index_topk(spark, path: str, queries: DataFrame, id_col: str,
     w = Window.partitionBy("q").orderBy(F.desc("cos"), F.asc("neighbor"))
     return (scored.withColumn("rnk", F.row_number().over(w))
             .filter(F.col("rnk") <= k))
+
+
+# ---------------------------------------------------------------------------
+# product quantization: IVF-PQ, the billion-scale memory shape
+
+def train_pq_codebooks(corpus: DataFrame, id_col: str, vec_col: str,
+                       *, m: int = 4, nbits: int = 4,
+                       iters: int = 2) -> "np.ndarray":
+    """(m, 2^nbits, dim/m) PQ codebooks (Jégou et al., "Product
+    quantization for nearest neighbor search", TPAMI 2011): split each
+    UNIT vector into ``m`` subvectors and k-means each subspace
+    independently (``operators/clustering.py`` — deterministic first-k
+    init, so the trained model is reproducible). Driver state is
+    m × 2^nbits × dim/m floats — a model artifact, like IVF centroids.
+
+    Why PQ at 100 TB: a float64 embedding column is dim×8 bytes/row;
+    PQ codes are m bytes/row (dim=16, m=4 → 32× smaller), and ADC
+    scoring needs only the codes — the full vectors never leave the
+    training/encode passes."""
+    from rakam_api_collector_spark.operators.clustering import \
+        kmeans_centroids
+
+    dim = len(corpus.select(_as_double(vec_col).alias("_v"))
+              .first()["_v"])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    k = 1 << nbits
+    unit = _unit(corpus, id_col, "_id", vec_col, "_v")
+    books = []
+    for j in range(m):
+        sub = unit.select("_id",
+                          F.slice("_v", j * dsub + 1, dsub).alias("_s"))
+        init_rows = (sub.orderBy("_id").limit(k)
+                     .select(F.transform(
+                         F.col("_s"),
+                         lambda x: F.round(x, 6)).alias("_s")).collect())
+        init = [list(r["_s"]) for r in init_rows]
+        if len(init) < k:
+            raise ValueError(f"corpus smaller than 2^nbits={k}")
+        books.append(kmeans_centroids(sub, "_id", "_s", init=init,
+                                      iters=iters))
+    return np.asarray(books, dtype=np.float64)
+
+
+def _pq_encode_udf(books: "np.ndarray"):
+    """Vectorized encoder: per Arrow batch, per subspace, argmin
+    distance to the 2^nbits codebook entries."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    m, _k, dsub = books.shape
+
+    def enc(vecs):
+        mat = np.asarray(vecs.tolist(), dtype=np.float64)
+        if mat.size == 0:
+            return pd.Series([])
+        mat = mat / np.maximum(np.linalg.norm(mat, axis=1,
+                                              keepdims=True), 1e-30)
+        codes = np.empty((mat.shape[0], m), dtype=np.int64)
+        for j in range(m):
+            sub = mat[:, j * dsub:(j + 1) * dsub]
+            # ||x - c||² = ||x||² - 2x·c + ||c||²; argmin over c
+            d = -2.0 * sub @ books[j].T \
+                + (books[j] ** 2).sum(axis=1)[None, :]
+            codes[:, j] = d.argmin(axis=1)
+        return pd.Series(list(codes))
+
+    # `from __future__ import annotations` stringifies hints, which
+    # pandas_udf's signature inspection rejects — attach real objects.
+    enc.__annotations__ = {"vecs": pd.Series, "return": pd.Series}
+    return pandas_udf(enc, "array<int>")
+
+
+def pq_encode(corpus: DataFrame, id_col: str, vec_col: str,
+              books: "np.ndarray") -> DataFrame:
+    """(id, codes array<int>) — the m-byte representation ADC scores
+    against. Map-only (one Arrow pass, no shuffle)."""
+    enc = _pq_encode_udf(books)
+    return (corpus.select(F.col(id_col).alias("_id"),
+                          _as_double(vec_col).alias("_v"))
+            .select("_id", enc(F.col("_v")).alias("codes")))
+
+
+def _pq_lut_udf(books: "np.ndarray"):
+    """Per-query ADC lookup table, flattened to m*2^nbits doubles:
+    lut[j*K + c] = q_sub_j · codebook[j][c], so the approximate cosine
+    of a coded neighbor is a pure table-lookup sum."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    m, k, dsub = books.shape
+
+    def lut(vecs):
+        out = []
+        for v in vecs:
+            q = np.asarray(v, dtype=np.float64)
+            q = q / max(np.linalg.norm(q), 1e-30)
+            t = np.empty(m * k)
+            for j in range(m):
+                t[j * k:(j + 1) * k] = \
+                    books[j] @ q[j * dsub:(j + 1) * dsub]
+            out.append(t)
+        return pd.Series(out)
+
+    lut.__annotations__ = {"vecs": pd.Series, "return": pd.Series}
+    return pandas_udf(lut, "array<double>")
+
+
+def ivf_pq_topk(corpus: DataFrame, queries: DataFrame, id_col: str,
+                vec_col: str, k: int = 10, n_cells: int = 16,
+                nprobe: int = 4, m: int = 4, nbits: int = 4,
+                books: "np.ndarray | None" = None,
+                centroids: "np.ndarray | None" = None,
+                exclude_self: bool = True,
+                rerank_factor: int | None = None) -> DataFrame:
+    """IVF-PQ (the FAISS IVFADC layout, Jégou'11 §IV): coarse IVF
+    cells bound WHICH neighbors are scored, PQ codes bound WHAT is
+    read per neighbor, and the asymmetric-distance score is a pure
+    JVM expression — ``aggregate(sequence(0, m-1), ...)`` summing
+    ``element_at(lut, j*K + code_j + 1)`` — so the scoring hot path
+    touches m bytes per candidate, never the vector, with no Python.
+
+    Plan shape (the 100 TB property, same as ivf_topk): ONE corpus
+    scan computes cell + codes; probes broadcast with their per-query
+    LUTs attached; the only exchange is the per-query top-k window.
+    Python appears exactly twice, in bounded places: encoding the
+    corpus (one Arrow pass) and building |queries| LUTs.
+
+    Approximation stacks IVF recall × PQ distance distortion;
+    ``rerank_factor=r`` adds the standard two-stage serve path
+    (FAISS's refine step): ADC keeps the top r·k candidates per
+    query, and ONLY those are scored with the exact cosine against
+    the true vector (carried through the cell join, never shuffled on
+    its own) — boundary exactness at r·k exact scores per query
+    instead of |cell| ones."""
+    if books is None:
+        books = train_pq_codebooks(corpus, id_col, vec_col,
+                                   m=m, nbits=nbits)
+    m, kk, _dsub = books.shape
+    if centroids is None:
+        cents_rows = (corpus.filter(F.col(id_col) < n_cells)
+                      .select(F.col(id_col).alias("_cid"),
+                              _as_double(vec_col).alias("_v"))
+                      .collect())                  # bounded by n_cells
+        centroids = np.asarray([r._v for r in
+                                sorted(cents_rows, key=lambda r: r._cid)])
+    cents = np.asarray(centroids, dtype=np.float64)
+    cents = cents / np.linalg.norm(cents, axis=1, keepdims=True)
+    assign = _cells_udf(cents, 1)
+    probe = _cells_udf(cents, nprobe)
+    enc = _pq_encode_udf(books)
+    lut = _pq_lut_udf(books)
+
+    keep_vec = ["_cv"] if rerank_factor else []
+    corpus_cells = (_unit(corpus, id_col, "neighbor", vec_col, "_cv")
+                    .select("neighbor",
+                            assign(F.col("_cv")).alias("cell"),
+                            enc(F.col("_cv")).alias("_codes"),
+                            *keep_vec))
+    qv = _unit(queries, id_col, "q", vec_col, "_qv")
+    probes = (qv.select("q", lut(F.col("_qv")).alias("_lut"),
+                        *(["_qv"] if rerank_factor else []),
+                        F.explode(probe(F.col("_qv"))).alias("cell")))
+
+    codes, lut_c = F.col("_codes"), F.col("_lut")
+    adc = F.aggregate(
+        F.sequence(F.lit(0), F.lit(int(m) - 1)), F.lit(0.0),
+        lambda acc, j: acc + F.element_at(
+            lut_c, (j * kk + F.element_at(codes, j + 1) + 1)
+            .cast("int")))
+    scored = (corpus_cells.join(F.broadcast(probes), "cell")
+              .filter(F.col("neighbor") != F.col("q") if exclude_self
+                      else F.lit(True))
+              .select("q", "neighbor", adc.alias("score"),
+                      *(["_qv", "_cv"] if rerank_factor else [])))
+    w = Window.partitionBy("q").orderBy(F.desc("score"),
+                                       F.asc("neighbor"))
+    ranked = (scored.withColumn("rnk", F.row_number().over(w)))
+    if not rerank_factor:
+        return ranked.filter(F.col("rnk") <= k).drop("rnk")
+    cand = (ranked.filter(F.col("rnk") <= k * rerank_factor)
+            .select("q", "neighbor",
+                    dot(F.col("_qv"), F.col("_cv")).alias("score")))
+    w2 = Window.partitionBy("q").orderBy(F.desc("score"),
+                                        F.asc("neighbor"))
+    return (cand.withColumn("rnk", F.row_number().over(w2))
+            .filter(F.col("rnk") <= k).drop("rnk"))

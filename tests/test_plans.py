@@ -377,3 +377,32 @@ def test_semantic_dedup_cluster_join_no_cartesian(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "cluster" in plan                 # the join key is the cluster
+
+
+def test_ivf_pq_adc_scores_jvm_side_broadcast_join(spark):
+    """IVF-PQ's 100 TB shape: the cell join broadcasts the tiny probe
+    side (corpus never hash-exchanged for the join), no cartesian, and
+    the ADC score is a pure JVM aggregate over code lookups — the
+    plan's projection carries the aggregate/element_at expression, not
+    a Python eval, so scoring stays in the JVM with m bytes read per
+    candidate."""
+    import numpy as np
+
+    from rakam_api_collector_spark.operators import similarity as S
+
+    emb = load_table(spark, SF, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    books = np.zeros((4, 16, 16))
+    books[:, :, 0] = np.arange(16)[None, :]
+    cents = np.eye(4, 64) + 0.01
+    df = S.ivf_pq_topk(emb, q, "vec_id", "embedding", k=3, n_cells=4,
+                       nprobe=2, m=4, nbits=4, books=books,
+                       centroids=cents)
+    plan = plan_of(df, mode="simple")
+    assert plan.count("BroadcastHashJoin") == 1
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    # the scoring expression is Catalyst (aggregate over element_at
+    # lookups — Catalyst even constant-folds the sequence literal);
+    # the only Python evals are the bounded encode/LUT/cell udfs
+    assert "element_at(_lut" in plan
