@@ -72,6 +72,12 @@ def start(spark: SparkSession, cfg: dict) -> list:
     hist = cfg.get("historical") or {}
     queries = []
 
+    if cfg.get("manifested"):
+        # downstream consumers read the committed tables through
+        # spark.read/readStream.format("manifest") (datasource.py)
+        from rakam_api_collector_spark.datasource import register
+        register(spark)
+
     source_path = None
     source_stream = None
     hist_stream = None

@@ -56,9 +56,12 @@ queries or split the check across rounds explicitly (and say so in
 the README table). Prefer deepening existing queries over adding new
 ones from here. Round 8 chose STOP-GROWTH: zero new queries (new
 capability — progressive JPEG, float WAV, manifest conflict
-detection, maintenance scheduling — landed as pytest-pinned
-deepening of existing surfaces), keeping the registry at 93 and the
-two-round cadence exactly satisfiable.
+detection, maintenance scheduling, the format("manifest") DataSource
+with streaming version-offsets, real ISO-BMFF/MP4 demux, Z-order
+clustering, bin-packing compaction, per-file Bloom sidecars, and
+IVF-PQ with exact rerank — landed as pytest-pinned deepening of
+existing surfaces), keeping the registry at 93 and the two-round
+cadence exactly satisfiable.
 """
 
 from __future__ import annotations

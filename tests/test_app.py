@@ -44,6 +44,37 @@ def test_file_source_end_to_end(spark, tmp_path):
     assert len(rows) == 10 and rows[0] == ("u0", 0.0)
 
 
+def test_manifested_app_registers_datasource(spark, tmp_path):
+    """A manifested app is end-to-end readable through Spark's own
+    reader API: start() registers format("manifest"), the stream's
+    epoch commits land in the version protocol, and the committed
+    table reads back by path with no engine imports on the consumer
+    side."""
+    src = tmp_path / "in"
+    src.mkdir()
+    (src / "batch0.txt").write_text(
+        "\n".join(_envelope(i) for i in range(6)))
+
+    cfg = {
+        "format": "fabric",
+        "source": {"type": "file", "path": str(src)},
+        "target": {"type": "parquet", "base": str(tmp_path / "tables")},
+        "catalog_path": str(tmp_path / "catalog.json"),
+        "checkpoint": str(tmp_path / "ckpt"),
+        "dedup": False,
+        "manifested": True,
+        "shard_time": "2024-01-02 00:00:00",
+        "now": "2024-01-01",
+    }
+    for q in app.start(spark, cfg):
+        q.awaitTermination(120)
+
+    got = (spark.read.format("manifest")
+           .option("path", f"{cfg['target']['base']}/p/ev").load())
+    assert got.count() == 6
+    assert sorted(r["_user"] for r in got.collect())[0] == "u0"
+
+
 def test_bad_config_rejected(spark, tmp_path):
     base = {"source": {"type": "file", "path": str(tmp_path)},
             "target": {"base": str(tmp_path)},
