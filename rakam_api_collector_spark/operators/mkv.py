@@ -1,0 +1,246 @@
+"""Clean-room Matroska (MKV/WebM) demux for the video samplers.
+
+The second real container next to ISO BMFF (`operators/mp4.py`):
+EBML parsing per RFC 8794 (variable-length element IDs and sizes) and
+the Matroska document structure (public spec, matroska.org) —
+``Segment → Info.TimestampScale / Tracks.TrackEntry / Cluster
+{Timestamp, SimpleBlock…}``. The demux resolves the first video track
+(TrackType 1) into absolute ``(offset, size, start_ns)`` triples by
+walking cluster headers and SimpleBlock prefixes only — frame payloads
+are never copied, so samplers slice exactly the frames they decode.
+
+Scope is the same honest shape as mp4.py: payloads decode through the
+repo's container-sniffing image decoders (``V_MJPEG`` / PNG-in-MKV);
+lacing (rarely used for video) raises rather than mis-slicing; a
+libav swap-in would take over at frame decode for real-world codecs.
+The muxer builds one-video-track files for fixtures: explicit cluster
+grouping and per-cluster base timestamps exercise the relative-
+timestamp arithmetic, and non-default TimestampScale exercises the
+ns conversion.
+"""
+
+from __future__ import annotations
+
+import struct
+
+_EBML_HEADER = 0x1A45DFA3
+_SEGMENT = 0x18538067
+_INFO = 0x1549A966
+_TIMESTAMP_SCALE = 0x2AD7B1
+_TRACKS = 0x1654AE6B
+_TRACK_ENTRY = 0xAE
+_TRACK_NUMBER = 0xD7
+_TRACK_TYPE = 0x83
+_CODEC_ID = 0x86
+_CLUSTER = 0x1F43B675
+_CLUSTER_TS = 0xE7
+_SIMPLE_BLOCK = 0xA3
+
+_VIDEO_TRACK_TYPE = 1
+
+
+def is_mkv(data: bytes) -> bool:
+    return data[:4] == b"\x1aE\xdf\xa3"
+
+
+def _read_vint(data: bytes, pos: int, keep_marker: bool) -> tuple[int, int]:
+    """(value, next_pos). EBML varint: leading-zero count of the first
+    byte gives the width; element IDs keep the marker bit (they are
+    compared with it), sizes strip it."""
+    if pos >= len(data):
+        raise ValueError("truncated EBML varint")
+    first = data[pos]
+    if first == 0:
+        raise ValueError("invalid EBML varint (>8 bytes)")
+    width = 8 - first.bit_length() + 1
+    if pos + width > len(data):
+        raise ValueError("truncated EBML varint body")
+    v = first if keep_marker else first & (0xFF >> width)
+    for i in range(1, width):
+        v = (v << 8) | data[pos + i]
+    return v, pos + width
+
+
+def _elements(data: bytes, start: int, end: int):
+    """Yield (element_id, body_start, body_end) for the EBML element
+    sequence in [start, end). Unknown-size elements (all-ones size)
+    extend to the enclosing scope, as the spec allows for Segment."""
+    pos = start
+    while pos < end:
+        eid, p = _read_vint(data, pos, keep_marker=True)
+        size_first = data[p] if p < len(data) else 0
+        size, body = _read_vint(data, p, keep_marker=False)
+        width = 8 - size_first.bit_length() + 1 if size_first else 1
+        if size == (1 << (7 * width)) - 1:      # unknown size
+            yield eid, body, end
+            return
+        if body + size > end:
+            raise ValueError(f"EBML element 0x{eid:X} overruns scope")
+        yield eid, body, body + size
+        pos = body + size
+
+
+def _uint(data: bytes, b: int, e: int) -> int:
+    return int.from_bytes(data[b:e], "big")
+
+
+class MkvTrack:
+    """Resolved video track: ``timestamp_scale`` (ns per tick),
+    ``codec_id``, and ``samples`` — [(abs_offset, size, start_ticks)]
+    in cluster order."""
+
+    __slots__ = ("timestamp_scale", "codec_id", "samples")
+
+    def __init__(self, timestamp_scale: int, codec_id: str,
+                 samples: list[tuple[int, int, int]]) -> None:
+        self.timestamp_scale = timestamp_scale
+        self.codec_id = codec_id
+        self.samples = samples
+
+    def start_ms(self) -> list[int]:
+        s = self.timestamp_scale
+        return [(t * s) // 1_000_000 for _o, _l, t in self.samples]
+
+    def duration_ms(self) -> int:
+        """Matroska's Info.Duration is optional and float-typed, so
+        the pragmatic bound is last start + the last inter-frame gap
+        (one tick for a single frame) — samplers stop strictly before
+        this."""
+        st = self.start_ms()
+        if not st:
+            return 0
+        gap = (st[-1] - st[-2]) if len(st) > 1 else 1
+        return st[-1] + max(gap, 1)
+
+
+def demux_video_track(data: bytes) -> MkvTrack:
+    """Walk Segment → Tracks (first TrackType-1 entry) and every
+    Cluster's SimpleBlocks for that track. Lacing raises (flags bits
+    0x06) — mis-slicing a laced block would corrupt frames silently."""
+    if not is_mkv(data):
+        raise ValueError("not an EBML/Matroska stream")
+    seg = next((elt for elt in _elements(data, 0, len(data))
+                if elt[0] == _SEGMENT), None)
+    if seg is None:
+        raise ValueError("no Segment element")
+    _, sb, se = seg
+
+    scale = 1_000_000                      # spec default: 1 ms ticks
+    video_track = None
+    codec_id = ""
+    samples: list[tuple[int, int, int]] = []
+    for eid, b, e in _elements(data, sb, se):
+        if eid == _INFO:
+            for i2, b2, e2 in _elements(data, b, e):
+                if i2 == _TIMESTAMP_SCALE:
+                    scale = _uint(data, b2, e2)
+        elif eid == _TRACKS:
+            for i2, b2, e2 in _elements(data, b, e):
+                if i2 != _TRACK_ENTRY or video_track is not None:
+                    continue
+                num = ttype = None
+                cid = ""
+                for i3, b3, e3 in _elements(data, b2, e2):
+                    if i3 == _TRACK_NUMBER:
+                        num = _uint(data, b3, e3)
+                    elif i3 == _TRACK_TYPE:
+                        ttype = _uint(data, b3, e3)
+                    elif i3 == _CODEC_ID:
+                        cid = data[b3:e3].decode("ascii", "replace")
+                if ttype == _VIDEO_TRACK_TYPE and num is not None:
+                    video_track, codec_id = num, cid
+        elif eid == _CLUSTER:
+            if video_track is None:
+                raise ValueError("Cluster before a video TrackEntry")
+            cluster_ts = 0
+            for i2, b2, e2 in _elements(data, b, e):
+                if i2 == _CLUSTER_TS:
+                    cluster_ts = _uint(data, b2, e2)
+                elif i2 == _SIMPLE_BLOCK:
+                    tnum, p = _read_vint(data, b2, keep_marker=False)
+                    if tnum != video_track:
+                        continue
+                    if p + 3 > e2:
+                        raise ValueError("truncated SimpleBlock header")
+                    (rel,) = struct.unpack(">h", data[p:p + 2])
+                    flags = data[p + 2]
+                    if flags & 0x06:
+                        raise ValueError(
+                            "laced SimpleBlock unsupported (flags "
+                            f"0x{flags:02x})")
+                    samples.append((p + 3, e2 - (p + 3),
+                                    cluster_ts + rel))
+    if video_track is None:
+        raise ValueError("no video (TrackType 1) track")
+    if scale <= 0:
+        raise ValueError("non-positive TimestampScale")
+    return MkvTrack(scale, codec_id, samples)
+
+
+# -- muxer (fixtures + the write half) ---------------------------------------
+
+
+def _vint(v: int) -> bytes:
+    """Size varint: shortest width whose marker-stripped range holds v
+    (avoiding the all-ones 'unknown size' pattern)."""
+    for width in range(1, 9):
+        if v < (1 << (7 * width)) - 1:
+            return (v | (1 << (7 * width))).to_bytes(width, "big")
+    raise ValueError("EBML size too large")
+
+
+def _elt(eid: int, payload: bytes) -> bytes:
+    return eid.to_bytes((eid.bit_length() + 7) // 8, "big") \
+        + _vint(len(payload)) + payload
+
+
+def _uint_elt(eid: int, v: int) -> bytes:
+    return _elt(eid, v.to_bytes(max(1, (v.bit_length() + 7) // 8), "big"))
+
+
+def mux_video_mkv(frames: list[bytes],
+                  timestamps_ticks: list[int] | None = None,
+                  timestamp_scale: int = 1_000_000,
+                  codec_id: str = "V_MJPEG",
+                  frames_per_cluster: int = 4) -> bytes:
+    """One-video-track Matroska file. ``timestamps_ticks`` gives each
+    frame's absolute timestamp (default: frame index, 1 tick apart);
+    frames group into clusters of ``frames_per_cluster`` whose base
+    timestamp is the first frame's — SimpleBlocks then carry signed
+    16-bit RELATIVE timestamps, exercising the same arithmetic a real
+    muxer emits."""
+    if not frames:
+        raise ValueError("mux needs at least one frame")
+    ts = timestamps_ticks or list(range(len(frames)))
+    if len(ts) != len(frames) or sorted(ts) != list(ts):
+        raise ValueError("need one monotone timestamp per frame")
+    if frames_per_cluster < 1:
+        raise ValueError("frames_per_cluster must be ≥ 1")
+
+    ebml = _elt(_EBML_HEADER,
+                _elt(0x4286, b"\x01")            # EBMLVersion
+                + _elt(0x42F7, b"\x01")          # EBMLReadVersion
+                + _elt(0x4282, b"matroska")      # DocType
+                + _elt(0x4287, b"\x04")          # DocTypeVersion
+                + _elt(0x4285, b"\x02"))         # DocTypeReadVersion
+    info = _elt(_INFO, _uint_elt(_TIMESTAMP_SCALE, timestamp_scale))
+    tracks = _elt(_TRACKS, _elt(_TRACK_ENTRY,
+                                _uint_elt(_TRACK_NUMBER, 1)
+                                + _uint_elt(_TRACK_TYPE, 1)
+                                + _elt(0x73C5, b"\x01")   # TrackUID
+                                + _elt(_CODEC_ID,
+                                       codec_id.encode("ascii"))))
+    clusters = b""
+    for c0 in range(0, len(frames), frames_per_cluster):
+        base = ts[c0]
+        body = _uint_elt(_CLUSTER_TS, base)
+        for i in range(c0, min(c0 + frames_per_cluster, len(frames))):
+            rel = ts[i] - base
+            if not -32768 <= rel <= 32767:
+                raise ValueError("relative timestamp overflows int16 — "
+                                 "use smaller clusters")
+            body += _elt(_SIMPLE_BLOCK,
+                         _vint(1) + struct.pack(">h", rel)
+                         + b"\x80" + frames[i])  # keyframe, no lacing
+        clusters += _elt(_CLUSTER, body)
+    return ebml + _elt(_SEGMENT, info + tracks + clusters)

@@ -1140,16 +1140,32 @@ def _video_header(data: bytes) -> tuple[int | None, int, int]:
     raise ValueError("not a VID0/VID1 container")
 
 
-def _frame_offsets(data: bytes):
-    """Yield (frame_idx, offset, length) lazily — the index walk only
-    reads container metadata (MP4 sample tables / VID length
-    prefixes), never frame payloads, so a sampler slices (copies)
-    exactly the frames it decodes."""
+def _container_track(data: bytes):
+    """Demux a REAL container if the blob is one: (starts_ms, samples
+    [(off, len)], duration_ms) for ISO BMFF or Matroska, else None
+    (the VID fixture layouts handle themselves)."""
+    from rakam_api_collector_spark.operators import mkv as _mkv
     from rakam_api_collector_spark.operators import mp4 as _mp4
 
     if _mp4.is_mp4(data):
-        for idx, (off, ln, _start) in enumerate(
-                _mp4.demux_video_track(data).samples):
+        t = _mp4.demux_video_track(data)
+        return (t.start_ms(), [(o, ln) for o, ln, _s in t.samples],
+                t.duration_ms())
+    if _mkv.is_mkv(data):
+        t = _mkv.demux_video_track(data)
+        return (t.start_ms(), [(o, ln) for o, ln, _s in t.samples],
+                t.duration_ms())
+    return None
+
+
+def _frame_offsets(data: bytes):
+    """Yield (frame_idx, offset, length) lazily — the index walk only
+    reads container metadata (MP4/MKV sample tables / VID length
+    prefixes), never frame payloads, so a sampler slices (copies)
+    exactly the frames it decodes."""
+    track = _container_track(data)
+    if track is not None:
+        for idx, (off, ln) in enumerate(track[1]):
             yield idx, off, ln
         return
     _, n, pos = _video_header(data)
@@ -1276,15 +1292,14 @@ def sample_video_frames_by_time(df: DataFrame, id_col: str,
                     from rakam_api_collector_spark.operators import \
                         mp4 as _mp4
 
-                    if _mp4.is_mp4(data):
-                        # real container: per-sample stts starts, so
-                        # variable frame durations map exactly — the
-                        # frame at instant t is the last start ≤ t
-                        track = _mp4.demux_video_track(data)
-                        offsets = {k: (o, ln) for k, (o, ln, _s)
-                                   in enumerate(track.samples)}
-                        starts = track.start_ms()
-                        dur = track.duration_ms()
+                    track = _container_track(data)
+                    if track is not None:
+                        # real container (MP4/MKV): per-sample starts,
+                        # so variable frame durations map exactly —
+                        # the frame at instant t is the last start ≤ t
+                        starts, sample_list, dur = track
+                        offsets = {k: v for k, v
+                                   in enumerate(sample_list)}
                         instants = []
                         j = 0
                         while j * every_ms < dur:

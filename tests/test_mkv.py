@@ -1,0 +1,97 @@
+"""Matroska (EBML) demux + the video samplers over real MKV files.
+
+The second real container next to MP4 (tests/test_mp4.py): pins the
+EBML varint/element walk, cluster-relative SimpleBlock timestamps,
+non-default TimestampScale conversion, sampler parity with the VID and
+MP4 layouts, and corrupt/laced rejection into the ST11 accounting."""
+
+from __future__ import annotations
+
+import pytest
+
+from rakam_api_collector_spark.operators import mkv as MK
+from rakam_api_collector_spark.operators import mp4 as M4
+from rakam_api_collector_spark.operators import multimodal as M
+
+
+def _frames(n, w=3, h=2):
+    return [M.png_encode(bytes((i * 7 + j) % 256
+                               for j in range(w * h)), w, h, 1)
+            for i in range(n)]
+
+
+def test_mux_demux_roundtrip_offsets():
+    frames = _frames(7)
+    data = MK.mux_video_mkv(frames, frames_per_cluster=3)
+    track = MK.demux_video_track(data)
+    assert track.codec_id == "V_MJPEG"
+    assert len(track.samples) == 7
+    for fr, (off, ln, _t) in zip(frames, track.samples):
+        assert data[off:off + ln] == fr          # offsets are absolute
+    # default scale: 1 tick = 1 ms, timestamps 0..6
+    assert track.start_ms() == list(range(7))
+
+
+def test_timestamp_scale_and_cluster_relative_times():
+    """Non-default TimestampScale (100 µs ticks) and multi-cluster
+    grouping: absolute times reassemble from cluster base + int16
+    relative, then convert to exact ms."""
+    frames = _frames(5)
+    ts = [0, 70, 140, 20000, 20070]              # ticks of 100 µs
+    data = MK.mux_video_mkv(frames, timestamps_ticks=ts,
+                            timestamp_scale=100_000,
+                            frames_per_cluster=3)
+    track = MK.demux_video_track(data)
+    assert track.timestamp_scale == 100_000
+    assert [t for _o, _l, t in track.samples] == ts
+    assert track.start_ms() == [0, 7, 14, 2000, 2007]
+
+
+def test_sampler_parity_vid_mp4_mkv(spark):
+    """The same frames through sample_video_frames give identical rows
+    for all three container formats."""
+    frames = _frames(9)
+    df = spark.createDataFrame(
+        [(1, M.pack_video(frames)), (2, M4.mux_video_mp4(frames)),
+         (3, MK.mux_video_mkv(frames))],
+        "vid long, blob binary")
+    out = M.sample_video_frames(df, "vid", every=4).collect()
+    by_id = {}
+    for r in out:
+        by_id.setdefault(r.id, []).append(
+            (r.frame_idx, r.width, r.height, r.px_sum))
+    assert sorted(by_id[1]) == sorted(by_id[2]) == sorted(by_id[3])
+    assert [i for i, *_ in sorted(by_id[3])] == [0, 4, 8]
+
+
+def test_time_sampler_over_mkv(spark):
+    """Variable inter-frame gaps: instants map by last-start-≤-t over
+    the reassembled absolute timestamps."""
+    frames = _frames(3)
+    data = MK.mux_video_mkv(frames, timestamps_ticks=[0, 100, 500])
+    df = spark.createDataFrame([(7, data)], "vid long, blob binary")
+    out = sorted((r.sample_ms, r.frame_idx) for r in
+                 M.sample_video_frames_by_time(
+                     df, "vid", every_ms=200).collect())
+    # duration bound: 500 + last gap 400 = 900 → instants 0,200,400,
+    # 600, 800 → frames 0,1,1,2,2
+    assert out == [(0, 0), (200, 1), (400, 1), (600, 2), (800, 2)]
+
+
+def test_laced_and_corrupt_reject(spark):
+    frames = _frames(2)
+    good = MK.mux_video_mkv(frames)
+    # flip the SimpleBlock flags byte to EBML lacing (0x06)
+    i = good.index(b"\x80" + frames[0])
+    laced = good[:i] + b"\x86" + good[i + 1:]
+    with pytest.raises(ValueError, match="laced"):
+        MK.demux_video_track(laced)
+    with pytest.raises(ValueError):
+        MK.demux_video_track(good[:20])          # truncated segment
+    # skip_invalid drops the broken row, keeps the good one
+    df = spark.createDataFrame(
+        [(1, bytearray(laced)), (2, bytearray(good))],
+        "vid long, blob binary")
+    out = M.sample_video_frames(df, "vid", every=1,
+                                skip_invalid=True).collect()
+    assert {r.id for r in out} == {2}

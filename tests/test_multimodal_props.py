@@ -267,3 +267,45 @@ def test_mp4_demux_never_crashes_on_garbage(data, seed):
             M4.demux_video_track(blob)
         except (ValueError, struct.error):
             pass
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    n=st.integers(1, 10),
+    seed=st.integers(0, 2**31 - 1),
+    fpc=st.integers(1, 4),
+    scale=st.sampled_from([1_000_000, 100_000, 500_000]),
+)
+def test_mkv_mux_demux_roundtrip_property(n, seed, fpc, scale):
+    """Any frame sizes / monotone timestamps / cluster grouping /
+    timestamp scale: the EBML walk recovers every frame byte-exactly
+    with the original absolute tick times."""
+    from rakam_api_collector_spark.operators import mkv as MK
+
+    rng = np.random.default_rng(seed)
+    frames = [rng.integers(0, 256, size=int(ln), dtype=np.uint8).tobytes()
+              for ln in rng.integers(1, 150, size=n)]
+    gaps = rng.integers(1, 5000, size=n)
+    ts = [int(x) for x in np.cumsum(gaps) - gaps[0]]
+    data = MK.mux_video_mkv(frames, timestamps_ticks=ts,
+                            timestamp_scale=scale,
+                            frames_per_cluster=fpc)
+    track = MK.demux_video_track(data)
+    assert [data[o:o + ln] for o, ln, _t in track.samples] == frames
+    assert [t for _o, _l, t in track.samples] == ts
+
+
+@settings(max_examples=120, deadline=None)
+@given(data=st.binary(min_size=0, max_size=300),
+       seed=st.integers(0, 2**31 - 1))
+def test_mkv_demux_never_crashes_on_garbage(data, seed):
+    from rakam_api_collector_spark.operators import mkv as MK
+
+    rng = np.random.default_rng(seed)
+    good = MK.mux_video_mkv([b"ab", b"cde"])
+    cut = int(rng.integers(0, len(good)))
+    for blob in (data, good[:cut] + data, good[:cut]):
+        try:
+            MK.demux_video_track(blob)
+        except (ValueError, struct.error):
+            pass
