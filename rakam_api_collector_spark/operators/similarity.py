@@ -712,3 +712,116 @@ def ivf_pq_topk(corpus: DataFrame, queries: DataFrame, id_col: str,
                                         F.asc("neighbor"))
     return (cand.withColumn("rnk", F.row_number().over(w2))
             .filter(F.col("rnk") <= k).drop("rnk"))
+
+
+# ---------------------------------------------------------------------------
+# persisted IVF-PQ: cell-partitioned CODES — the layout where both the
+# read fraction (nprobe/n_cells via partition pruning) and the bytes
+# per read row (m codes vs dim×8) shrink
+
+def build_ivf_pq_index(corpus: DataFrame, id_col: str, vec_col: str,
+                       path: str, n_cells: int = 16, m: int = 4,
+                       nbits: int = 4,
+                       centroids: "np.ndarray | None" = None,
+                       books: "np.ndarray | None" = None,
+                       store_vectors: bool = False) -> None:
+    """Materialize the IVFADC layout: PQ codes written as parquet
+    PARTITIONED BY cell, model artifacts (coarse centroids + PQ
+    codebooks) saved beside the data. A search reads nprobe/n_cells of
+    the files AND only m bytes of payload per row — the two
+    compressions multiply. ``store_vectors=True`` additionally keeps
+    the unit vector per row for index-local exact rerank (trading the
+    32× size win for refine locality; the codes-only default is the
+    memory shape that motivates PQ)."""
+    import json
+    import os
+
+    if centroids is None:
+        rows = (corpus.filter(F.col(id_col) < n_cells)
+                .select(F.col(id_col).alias("_cid"),
+                        _as_double(vec_col).alias("_v")).collect())
+        centroids = np.asarray([r._v for r in
+                                sorted(rows, key=lambda r: r._cid)])
+    cents = np.asarray(centroids, dtype=np.float64)
+    if cents.shape[0] != n_cells:
+        raise ValueError(f"centroids rows {cents.shape[0]} != {n_cells}")
+    cents = cents / np.linalg.norm(cents, axis=1, keepdims=True)
+    if books is None:
+        books = train_pq_codebooks(corpus, id_col, vec_col,
+                                   m=m, nbits=nbits)
+    assign = _cells_udf(cents, 1)
+    enc = _pq_encode_udf(books)
+    cols = ["neighbor", "codes", "cell"] + (
+        ["_cv"] if store_vectors else [])
+    (_unit(corpus, id_col, "neighbor", vec_col, "_cv")
+     .withColumn("cell", assign(F.col("_cv")))
+     .withColumn("codes", enc(F.col("_cv")))
+     .select(*cols)
+     .write.mode("overwrite").partitionBy("cell").parquet(path))
+    for name, arr in (("_centroids.json", cents), ("_pq_books.json",
+                                                   books)):
+        tmp = f"{path}/{name}.tmp"
+        with open(tmp, "w") as f:
+            json.dump(np.asarray(arr).tolist(), f)
+        os.replace(tmp, f"{path}/{name}")
+
+
+def ivf_pq_index_topk(spark, path: str, queries: DataFrame,
+                      id_col: str, vec_col: str, k: int = 10,
+                      nprobe: int = 4, exclude_self: bool = True,
+                      rerank_factor: int | None = None) -> DataFrame:
+    """Search a ``build_ivf_pq_index`` table: probed cells become a
+    physical PartitionFilter (unprobed files never open), ADC scoring
+    is the same JVM aggregate-over-lookups as ivf_pq_topk, and
+    ``rerank_factor`` refines against the stored unit vectors (raises
+    if the index was built codes-only — refusing beats silently
+    returning unrefined results under the caller's exactness
+    assumption)."""
+    import json
+
+    with open(f"{path}/_centroids.json") as f:
+        cents = np.asarray(json.load(f), dtype=np.float64)
+    with open(f"{path}/_pq_books.json") as f:
+        books = np.asarray(json.load(f), dtype=np.float64)
+    m, kk, _dsub = books.shape
+    probe = _cells_udf(cents, nprobe)
+    lut = _pq_lut_udf(books)
+    qv = _unit(queries, id_col, "q", vec_col, "_qv")
+    probes = (qv.select("q", lut(F.col("_qv")).alias("_lut"),
+                        *(["_qv"] if rerank_factor else []),
+                        F.explode(probe(F.col("_qv"))).alias("cell")))
+    cells = [r.cell for r in probes.select("cell").distinct().collect()]
+    idx = (spark.read.parquet(path)
+           .filter(F.col("cell").isin(cells)))
+    if rerank_factor and "_cv" not in idx.columns:
+        raise ValueError("index was built codes-only "
+                         "(store_vectors=False) — rerank needs the "
+                         "stored vectors")
+    codes, lut_c = F.col("codes"), F.col("_lut")
+    adc = F.aggregate(
+        F.sequence(F.lit(0), F.lit(int(m) - 1)), F.lit(0.0),
+        lambda acc, j: acc + F.element_at(
+            lut_c, (j * kk + F.element_at(codes, j + 1) + 1)
+            .cast("int")))
+    scored = (idx.join(F.broadcast(probes), "cell")
+              .filter(F.col("neighbor") != F.col("q") if exclude_self
+                      else F.lit(True))
+              .select("q", "neighbor", adc.alias("score"),
+                      *(["_qv", "_cv"] if rerank_factor else []))
+              # at-least-once append retries collapse (same rule as
+              # ivf_index_topk) — identical codes score identically
+              .groupBy("q", "neighbor",
+                       *(["_qv", "_cv"] if rerank_factor else []))
+              .agg(F.max("score").alias("score")))
+    w = Window.partitionBy("q").orderBy(F.desc("score"),
+                                       F.asc("neighbor"))
+    ranked = scored.withColumn("rnk", F.row_number().over(w))
+    if not rerank_factor:
+        return ranked.filter(F.col("rnk") <= k).drop("rnk")
+    cand = (ranked.filter(F.col("rnk") <= k * rerank_factor)
+            .select("q", "neighbor",
+                    dot(F.col("_qv"), F.col("_cv")).alias("score")))
+    w2 = Window.partitionBy("q").orderBy(F.desc("score"),
+                                        F.asc("neighbor"))
+    return (cand.withColumn("rnk", F.row_number().over(w2))
+            .filter(F.col("rnk") <= k).drop("rnk"))

@@ -544,3 +544,53 @@ def test_ivf_pq_adc_recall_and_model_shape(spark):
     # the approximation is honest: k rows per query, unique keys
     counts = got.groupBy("q").count().collect()
     assert all(r["count"] == 5 for r in counts)
+
+
+def test_ivf_pq_index_partition_pruning_and_rerank(spark, tmp_path):
+    """The persisted IVFADC layout: codes-only files carry NO vector
+    column (the 32x memory shape), probed cells are a physical
+    PartitionFilter, ADC results equal the in-memory ivf_pq_topk with
+    the same model artifacts, and rerank (a) raises on a codes-only
+    index instead of silently skipping the refine, (b) works against
+    a store_vectors index."""
+    import re
+
+    import numpy as np
+
+    emb = load_table(spark, SF, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    books = S.train_pq_codebooks(emb, "vec_id", "embedding",
+                                 m=16, nbits=4)
+
+    path = str(tmp_path / "ivfpq")
+    S.build_ivf_pq_index(emb, "vec_id", "embedding", path,
+                         n_cells=16, books=books)
+    assert "_cv" not in spark.read.parquet(path).columns  # codes-only
+
+    got_df = S.ivf_pq_index_topk(spark, path, q, "vec_id", "embedding",
+                                 k=10, nprobe=4)
+    got = {(r.q, r.neighbor) for r in got_df.collect()}
+    mem = {(r.q, r.neighbor) for r in
+           S.ivf_pq_topk(emb, q, "vec_id", "embedding", k=10,
+                         n_cells=16, nprobe=4, m=16, nbits=4,
+                         books=books).collect()}
+    assert got == mem and len(got) == 50
+    plan = got_df._jdf.queryExecution().executedPlan().toString()
+    mtc = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert mtc and "INSET" in mtc.group(1)     # physical cell pruning
+
+    with pytest.raises(ValueError, match="codes-only"):
+        S.ivf_pq_index_topk(spark, path, q, "vec_id", "embedding",
+                            rerank_factor=3).collect()
+
+    path2 = str(tmp_path / "ivfpq_vec")
+    S.build_ivf_pq_index(emb, "vec_id", "embedding", path2,
+                         n_cells=16, books=books, store_vectors=True)
+    refined = S.ivf_pq_index_topk(spark, path2, q, "vec_id",
+                                  "embedding", k=5, nprobe=8,
+                                  rerank_factor=5)
+    exact = {(r.q, r.neighbor) for r in
+             S.cosine_topk(emb, q, "vec_id", "embedding", k=5).collect()}
+    ref = {(r.q, r.neighbor) for r in refined.collect()}
+    recall = len(ref & exact) / len(exact)
+    assert recall >= 0.6, f"refined recall {recall:.2f}"
