@@ -42,11 +42,13 @@ Window history:
   the queries modified in r8 (llm12, whose correctness gate reverts
   to the fold-form cosine for oracle determinism; llm17, whose
   ingest protocol folds the verdict/append actions; llm33/llm36,
-  whose IMA-ADPCM decode gained truncated-final-block support), and
-  heavy regression-prone fill (llm09/10/16).
+  whose IMA-ADPCM decode gained truncated-final-block support;
+  llm45, whose time sampler gained the real MP4/MKV container
+  branch — the VID1 path is unchanged and pinned by three-way
+  parity tests), and heavy regression-prone fill (llm09/10).
   Out-of-window (43 queries, all r7-green, due back in r9):
   dq05/08, dq12-17 (semi+anti), dq29-32, dq34, dq36, dq47,
-  llm01-06, llm11, llm18-28, llm37-45.
+  llm01-06, llm11, llm16, llm18-28, llm37-44.
 
 CAPACITY NOTE for round 8+: with 93 queries and a 50-slot window, 43
 must rotate back each round, leaving only 7 slots for new/modified/
@@ -90,11 +92,15 @@ _WINDOW = [
     "llm29_pack_sequences", "llm30_mixture_sample",
     "llm31_vocab_coverage", "llm32_dedup_keep_best",
     "llm34_video_sample", "llm35_resize_image",
-    # modified in round 8 — must carry fresh evidence
+    # modified in round 8 — must carry fresh evidence (llm45's time
+    # sampler gained the real-container MP4/MKV branch; the VID1
+    # fixture path is unchanged and pinned, but the operator moved,
+    # so it takes a fill slot)
     "llm12_ann_lsh", "llm17_incremental_dedup",
     "llm33_audio_features", "llm36_audio_resample",
-    # regression-prone heavy fill (all r7-green)
-    "llm09_minhash_lsh", "llm10_simhash", "llm16_dedup_clusters",
+    "llm45_video_time_sample",
+    # regression-prone heavy fill (r7-green)
+    "llm09_minhash_lsh", "llm10_simhash",
 ]
 
 assert len(_WINDOW) == 50 and len(set(_WINDOW)) == 50, len(_WINDOW)
