@@ -1207,6 +1207,29 @@ class ManifestedTable:
             return None, cur
         return self._read_batches(spark, fresh), cur
 
+    def restore(self, version: int) -> int:
+        """Make an older snapshot the WRITABLE head (Delta's RESTORE):
+        publish a NEW version whose batch set is ``version``'s —
+        history is never rewritten, the rollback is itself an audited
+        commit, and readers pinned to intermediate versions keep
+        working. Goes through the same OCC CAS as every writer, so a
+        concurrent append either lands before the restore (and is
+        rolled back with everything else) or after (on top of the
+        restored state) — never interleaved. The restored batches'
+        dirs exist as long as ``version`` itself is still retained
+        (gc keeps every dir a retained version references), which the
+        version lookup enforces."""
+        if version not in self._version_numbers():
+            raise FileNotFoundError(
+                f"version {version} not committed (or gc-pruned) "
+                f"under {self.table_dir} — cannot restore")
+        batches = self._read_version(version)["batches"]
+
+        def mutate(live):
+            return list(batches)
+
+        return self._commit(mutate)["version"]
+
     def history(self) -> list[dict]:
         """Commit log, oldest first: (version, parent, committed_at,
         n_batches, rows) per retained version — the audit surface the

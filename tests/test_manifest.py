@@ -478,6 +478,37 @@ def test_zorder_clustering_prunes_on_every_key(spark, tmp_path):
         tz.write(bad, cluster_by=["x", "s"], cluster_mode="zorder")
 
 
+def test_restore_rolls_back_as_a_new_commit(spark, tmp_path):
+    """restore(v) republishes an old snapshot as the writable head:
+    the bad data disappears from head reads, history keeps every
+    intermediate version (the rollback is itself audited), time travel
+    still sees the rolled-back state, appends land on top of the
+    restored set, and the incremental feed treats re-published batches
+    it already delivered as seen."""
+    t = ManifestedTable(str(tmp_path), "proj", "events")
+    t.write(_df(spark, [1, 2]), batch_id="good")        # v1
+    t.write(_df(spark, [666]), batch_id="bad")          # v2
+    _, cur = t.changes_since(spark, 0)                  # cursor at v2
+
+    v = t.restore(1)                                    # v3 = v1's set
+    assert v == 3 and t.current_version() == 3
+    assert sorted(r.id for r in t.read(spark).collect()) == [1, 2]
+    assert sorted(r.id for r in t.read(spark, version=2).collect()) \
+        == [1, 2, 666]                                  # audit intact
+    assert [h["n_batches"] for h in t.history()] == [1, 2, 1]
+
+    t.write(_df(spark, [3]), batch_id="after")          # on top
+    assert sorted(r.id for r in t.read(spark).collect()) == [1, 2, 3]
+
+    # the append feed: 'good' was delivered at v1 and is not fresh at
+    # the restore; only the new append surfaces
+    df, cur = t.changes_since(spark, cur)
+    assert sorted(r.id for r in df.collect()) == [3]
+
+    with pytest.raises(FileNotFoundError, match="restore"):
+        t.restore(99)
+
+
 def test_binpacking_compaction_bounds_write_amplification(spark, tmp_path):
     """compact(max_rows=) is the form that survives a stream that
     never stops: only sub-threshold batches rewrite, a batch that
