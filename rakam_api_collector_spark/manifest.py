@@ -484,10 +484,23 @@ def _bloom_build(spark: SparkSession, path: str, fmt: str,
                        F.explode(pos).alias("_p"))
                .groupBy("_f").agg(F.collect_set("_p").alias("ps"))
                ).collect()
+        from urllib.parse import unquote, urlparse
+
         by_rel = {}
         for r in agg:
-            rel = os.path.relpath(r["_f"].removeprefix("file:"), path)
-            by_rel[rel] = r["ps"]
+            # input_file_name() returns a percent-encoded URI; decode
+            # through urlparse so paths with spaces/special characters
+            # still line up with the manifest's filesystem relpaths
+            # (a mismatch here would write all-zero blooms that skip
+            # every file)
+            fpath = unquote(urlparse(r["_f"]).path) or r["_f"]
+            by_rel[os.path.relpath(fpath, path)] = r["ps"]
+        listed = {f["path"] for f in files}
+        if by_rel and not (set(by_rel) & listed):
+            raise ValueError(
+                "bloom build cannot map scanned files to manifest "
+                f"paths under {path!r} — refusing to write filters "
+                "that would skip everything")
         os.makedirs(bloom_dir, exist_ok=True)
         for f in files:
             bits = bytearray((m + 7) // 8)
@@ -643,9 +656,20 @@ def _point_probes(spark: SparkSession, manifests: list[dict],
     empty dict otherwise (zone maps alone)."""
     if not prune:
         return {}
+    import datetime as _dt
+
     vals: dict[str, tuple] = {}
     for col, (lo, hi) in prune.items():
         if lo is None or hi is None or lo != hi:
+            continue
+        # datetime probes are skipped: the tz-normalized naive bound
+        # would be RE-interpreted in the session zone by F.lit() on
+        # its way to the hash, so the probed bits could differ from
+        # the build-side bits of the true instants — and a false
+        # "definitely absent" silently loses rows. Zone maps already
+        # prune time ranges; blooms are for ids/strings. (date objects
+        # are calendar values, tz-free, and stay probe-able.)
+        if isinstance(lo, _dt.datetime):
             continue
         for m in manifests:
             spec = next((f["bloom"][col] for f in m.get("files") or []
@@ -729,23 +753,29 @@ class ManifestedTable:
         asked for."""
         dtypes = dict(df.dtypes)
         probs = [i / (1 << bits) for i in range(1, 1 << bits)]
-        buckets = []
+        nums = []
         for c in cols:
             dt = dtypes[c]
             if dt == "date":
                 num = F.datediff(F.col(c), F.lit("1970-01-01")) \
                     .cast("double")
-            elif dt.startswith("timestamp"):
-                num = F.col(c).cast("double")
-            elif dt in ("tinyint", "smallint", "int", "bigint",
-                        "float", "double") or dt.startswith("decimal"):
+            elif dt.startswith("timestamp") \
+                    or dt in ("tinyint", "smallint", "int", "bigint",
+                              "float", "double") \
+                    or dt.startswith("decimal"):
                 num = F.col(c).cast("double")
             else:
                 raise ValueError(
                     f"zorder key {c!r} has type {dt} — only numeric/"
                     "date/timestamp keys have an order-preserving rank")
-            cuts = df.select(num.alias("_z")) \
-                .approxQuantile("_z", probs, 1.0 / (4 << bits))
+            nums.append(num)
+        # ONE sampling pass for every key (approxQuantile takes a
+        # column list) — per-key calls would re-scan the input per key
+        names = [f"_z{i}" for i in range(len(nums))]
+        all_cuts = df.select(*[n.alias(a) for n, a in zip(nums, names)]) \
+            .approxQuantile(names, probs, 1.0 / (4 << bits))
+        buckets = []
+        for num, cuts in zip(nums, all_cuts):
             arr = F.array(*[F.lit(float(b)) for b in sorted(set(cuts))])
             buckets.append(F.size(F.filter(arr, lambda b: b <= num))
                            .cast("long"))
@@ -918,6 +948,9 @@ class ManifestedTable:
                     kept += 1
                     continue
             src = self._read_batches(spark, [m])
+            if src is None:          # zero-row commit: nothing to edit
+                kept += 1
+                continue
             out = transform(src)
             if out is None:
                 kept += 1
@@ -1107,7 +1140,14 @@ class ManifestedTable:
             if got is None:
                 return empty
             return got.unionByName(empty, allowMissingColumns=True)
-        return self._read_batches(spark, manifests)
+        got = self._read_batches(spark, manifests)
+        if got is None:
+            # every batch carries an empty authoritative file list
+            # (zero-row commits, e.g. an empty micro-batch through the
+            # DataSource writer) — the schema-stable empty frame, not
+            # None
+            return self._empty_of(spark, manifests)
+        return got
 
     def _empty_of(self, spark: SparkSession,
                   manifests: list[dict]) -> DataFrame:
@@ -1144,7 +1184,13 @@ class ManifestedTable:
         final dir so one result never unions two copies of the same
         batch id. The walk needs each intermediate version retained —
         a gc-pruned gap raises instead of guessing (the same
-        cannot-resume-without-data-loss honesty as a pruned cursor)."""
+        cannot-resume-without-data-loss honesty as a pruned cursor).
+
+        A cursor at 0 (a BRAND-NEW consumer) needs no walk at all:
+        everything it hasn't seen is exactly version ``to_v``'s live
+        set (compact- outputs included — they hold data this consumer
+        never received), so only ``to_v`` itself must be retained and
+        a gc'd early history never strands a fresh subscriber."""
         if to_v == from_v:
             return []
         if from_v > to_v:
@@ -1152,8 +1198,14 @@ class ManifestedTable:
                 f"cursor version {from_v} is ahead of version {to_v} "
                 f"under {self.table_dir}")
         known = set(self._version_numbers())
+        if from_v == 0:
+            if to_v not in known:
+                raise FileNotFoundError(
+                    f"version {to_v} not committed (or gc-pruned) "
+                    f"under {self.table_dir}")
+            return list(self._read_version(to_v)["batches"])
         for v in range(from_v, to_v + 1):
-            if v != 0 and v not in known:
+            if v not in known:
                 raise FileNotFoundError(
                     f"version {v} not committed (or gc-pruned) under "
                     f"{self.table_dir} — incremental read cannot "
@@ -1292,8 +1344,12 @@ class ManifestedTable:
         if len(inputs) < 2 and (only is not None or max_rows is not None):
             return None
         bid = f"compact-{uuid.uuid4().hex}"
-        df = self._clustered(self._read_batches(spark, inputs),
-                             cluster_by, n_files, cluster_mode)
+        df = self._read_batches(spark, inputs)
+        if df is None:
+            # all inputs are zero-row commits: fold them into one
+            # schema-preserving empty batch
+            df = self._empty_of(spark, inputs)
+        df = self._clustered(df, cluster_by, n_files, cluster_mode)
         entry = self._write_batch_files(df, bid, fmt)
         if bloom_for:
             _bloom_build(spark, f"{self.batches_dir}/{entry['dir']}",

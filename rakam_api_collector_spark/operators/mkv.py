@@ -61,10 +61,22 @@ def _read_vint(data: bytes, pos: int, keep_marker: bool) -> tuple[int, int]:
     return v, pos + width
 
 
+# elements that terminate an unknown-size Cluster: the next top-level
+# sibling (another Cluster, or any other Segment-level master)
+_TOP_LEVEL = {_CLUSTER, _INFO, _TRACKS, _SEGMENT, _EBML_HEADER,
+              0x1C53BB6B, 0x1941A469, 0x1043A770, 0x1254C367}
+#             Cues        Attachments  Chapters    Tags
+
+
 def _elements(data: bytes, start: int, end: int):
     """Yield (element_id, body_start, body_end) for the EBML element
-    sequence in [start, end). Unknown-size elements (all-ones size)
-    extend to the enclosing scope, as the spec allows for Segment."""
+    sequence in [start, end). Unknown-size elements (all-ones size):
+    Segment extends to the enclosing scope (the spec's streaming
+    form); an unknown-size CLUSTER — the live-capture shape — ends at
+    the next top-level element, found by walking its children (RFC
+    8794's 'element ends where a non-descendant starts' rule), so
+    sibling clusters after it are NEVER swallowed; anything else
+    unknown-size raises rather than guessing."""
     pos = start
     while pos < end:
         eid, p = _read_vint(data, pos, keep_marker=True)
@@ -72,12 +84,40 @@ def _elements(data: bytes, start: int, end: int):
         size, body = _read_vint(data, p, keep_marker=False)
         width = 8 - size_first.bit_length() + 1 if size_first else 1
         if size == (1 << (7 * width)) - 1:      # unknown size
-            yield eid, body, end
-            return
+            if eid == _SEGMENT:
+                yield eid, body, end
+                return
+            if eid != _CLUSTER:
+                raise ValueError(
+                    f"unknown-size EBML element 0x{eid:X} unsupported")
+            cend = _cluster_end(data, body, end)
+            yield eid, body, cend
+            pos = cend
+            continue
         if body + size > end:
             raise ValueError(f"EBML element 0x{eid:X} overruns scope")
         yield eid, body, body + size
         pos = body + size
+
+
+def _cluster_end(data: bytes, body: int, scope_end: int) -> int:
+    """End offset of an unknown-size Cluster: walk its child elements
+    (all sized — nested unknown sizes inside a cluster raise) until a
+    TOP-LEVEL id appears where a child id should, or the scope ends."""
+    pos = body
+    while pos < scope_end:
+        eid, p = _read_vint(data, pos, keep_marker=True)
+        if eid in _TOP_LEVEL:
+            return pos
+        size, cb = _read_vint(data, p, keep_marker=False)
+        sf = data[p] if p < len(data) else 0
+        width = 8 - sf.bit_length() + 1 if sf else 1
+        if size == (1 << (7 * width)) - 1:
+            raise ValueError("unknown-size element inside a Cluster")
+        if cb + size > scope_end:
+            raise ValueError("Cluster child overruns scope")
+        pos = cb + size
+    return scope_end
 
 
 def _uint(data: bytes, b: int, e: int) -> int:

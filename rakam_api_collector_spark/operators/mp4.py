@@ -162,28 +162,39 @@ def _sample_table(data: bytes, sb: int, se: int):
         raise ValueError("empty stsd")
     codingname = data[p + 8:p + 12]
 
-    # stsz: per-sample sizes (or one constant size)
+    # stsz: per-sample sizes (or one constant size). Counts are
+    # UNTRUSTED 32-bit fields — validate against the stream before any
+    # expansion, so a corrupt count raises ValueError instead of
+    # allocating gigabytes (an OOM would evade the skip_invalid
+    # accounting entirely)
     _, p = _fullbox(data, need[b"stsz"][0])
     const_size, n_samples = struct.unpack(">II", data[p:p + 8])
+    if n_samples > len(data):
+        raise ValueError(
+            f"stsz claims {n_samples} samples in a {len(data)}-byte "
+            "stream")
     if const_size:
         sizes = [const_size] * n_samples
     else:
         sizes = list(struct.unpack(
             f">{n_samples}I", data[p + 8:p + 8 + 4 * n_samples]))
 
-    # stts: decode-time deltas as (count, delta) runs → start ticks
+    # stts: decode-time deltas as (count, delta) runs → start ticks;
+    # run counts validated in total BEFORE expansion (same rationale)
     _, p = _fullbox(data, need[b"stts"][0])
     (n_runs,) = struct.unpack(">I", data[p:p + 4])
+    runs = [struct.unpack(">II", data[p + 4 + 8 * i:][:8])
+            for i in range(n_runs)]
+    if sum(c for c, _d in runs) != n_samples:
+        raise ValueError(
+            f"stts covers {sum(c for c, _d in runs)} samples, "
+            f"stsz has {n_samples}")
     starts: list[int] = []
     t = 0
-    for i in range(n_runs):
-        cnt, delta = struct.unpack(">II", data[p + 4 + 8 * i:][:8])
+    for cnt, delta in runs:
         for _ in range(cnt):
             starts.append(t)
             t += delta
-    if len(starts) != n_samples:
-        raise ValueError(
-            f"stts covers {len(starts)} samples, stsz has {n_samples}")
 
     # stco/co64: chunk offsets
     if b"stco" in need:

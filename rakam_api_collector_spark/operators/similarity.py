@@ -633,6 +633,36 @@ def _pq_lut_udf(books: "np.ndarray"):
     return pandas_udf(lut, "array<double>")
 
 
+def _adc_expr(codes: Column, lut: Column, m: int, kk: int) -> Column:
+    """Asymmetric-distance score: sum over subspaces j of
+    lut[j*kk + code_j] — pure Catalyst (aggregate + element_at), the
+    single definition both the in-memory and persisted searches use
+    so the 1-based index arithmetic can never drift between them."""
+    return F.aggregate(
+        F.sequence(F.lit(0), F.lit(int(m) - 1)), F.lit(0.0),
+        lambda acc, j: acc + F.element_at(
+            lut, (j * kk + F.element_at(codes, j + 1) + 1)
+            .cast("int")))
+
+
+def _topk_with_rerank(scored: DataFrame, k: int,
+                      rerank_factor: int | None) -> DataFrame:
+    """Rank by ADC score; with rerank, keep the top r·k per query and
+    re-rank ONLY those by the exact cosine of the carried vectors."""
+    w = Window.partitionBy("q").orderBy(F.desc("score"),
+                                       F.asc("neighbor"))
+    ranked = scored.withColumn("rnk", F.row_number().over(w))
+    if not rerank_factor:
+        return ranked.filter(F.col("rnk") <= k).drop("rnk")
+    cand = (ranked.filter(F.col("rnk") <= k * rerank_factor)
+            .select("q", "neighbor",
+                    dot(F.col("_qv"), F.col("_cv")).alias("score")))
+    w2 = Window.partitionBy("q").orderBy(F.desc("score"),
+                                        F.asc("neighbor"))
+    return (cand.withColumn("rnk", F.row_number().over(w2))
+            .filter(F.col("rnk") <= k).drop("rnk"))
+
+
 def ivf_pq_topk(corpus: DataFrame, queries: DataFrame, id_col: str,
                 vec_col: str, k: int = 10, n_cells: int = 16,
                 nprobe: int = 4, m: int = 4, nbits: int = 4,
@@ -672,6 +702,11 @@ def ivf_pq_topk(corpus: DataFrame, queries: DataFrame, id_col: str,
         centroids = np.asarray([r._v for r in
                                 sorted(cents_rows, key=lambda r: r._cid)])
     cents = np.asarray(centroids, dtype=np.float64)
+    if cents.ndim != 2 or cents.shape[0] != n_cells:
+        raise ValueError(
+            f"centroids rows {cents.shape[0] if cents.ndim == 2 else 0}"
+            f" != n_cells={n_cells} (corpus ids must cover "
+            f"0..{n_cells - 1} for the deterministic default)")
     cents = cents / np.linalg.norm(cents, axis=1, keepdims=True)
     assign = _cells_udf(cents, 1)
     probe = _cells_udf(cents, nprobe)
@@ -689,29 +724,13 @@ def ivf_pq_topk(corpus: DataFrame, queries: DataFrame, id_col: str,
                         *(["_qv"] if rerank_factor else []),
                         F.explode(probe(F.col("_qv"))).alias("cell")))
 
-    codes, lut_c = F.col("_codes"), F.col("_lut")
-    adc = F.aggregate(
-        F.sequence(F.lit(0), F.lit(int(m) - 1)), F.lit(0.0),
-        lambda acc, j: acc + F.element_at(
-            lut_c, (j * kk + F.element_at(codes, j + 1) + 1)
-            .cast("int")))
+    adc = _adc_expr(F.col("_codes"), F.col("_lut"), m, kk)
     scored = (corpus_cells.join(F.broadcast(probes), "cell")
               .filter(F.col("neighbor") != F.col("q") if exclude_self
                       else F.lit(True))
               .select("q", "neighbor", adc.alias("score"),
                       *(["_qv", "_cv"] if rerank_factor else [])))
-    w = Window.partitionBy("q").orderBy(F.desc("score"),
-                                       F.asc("neighbor"))
-    ranked = (scored.withColumn("rnk", F.row_number().over(w)))
-    if not rerank_factor:
-        return ranked.filter(F.col("rnk") <= k).drop("rnk")
-    cand = (ranked.filter(F.col("rnk") <= k * rerank_factor)
-            .select("q", "neighbor",
-                    dot(F.col("_qv"), F.col("_cv")).alias("score")))
-    w2 = Window.partitionBy("q").orderBy(F.desc("score"),
-                                        F.asc("neighbor"))
-    return (cand.withColumn("rnk", F.row_number().over(w2))
-            .filter(F.col("rnk") <= k).drop("rnk"))
+    return _topk_with_rerank(scored, k, rerank_factor)
 
 
 # ---------------------------------------------------------------------------
@@ -790,19 +809,19 @@ def ivf_pq_index_topk(spark, path: str, queries: DataFrame,
     probes = (qv.select("q", lut(F.col("_qv")).alias("_lut"),
                         *(["_qv"] if rerank_factor else []),
                         F.explode(probe(F.col("_qv"))).alias("cell")))
-    cells = [r.cell for r in probes.select("cell").distinct().collect()]
+    # the distinct-cells collect runs a CHEAP projection (cell udf
+    # only) so the heavier per-query LUT udf evaluates exactly once,
+    # inside the join
+    cells = [r.cell for r in
+             qv.select(F.explode(probe(F.col("_qv"))).alias("cell"))
+             .distinct().collect()]
     idx = (spark.read.parquet(path)
            .filter(F.col("cell").isin(cells)))
     if rerank_factor and "_cv" not in idx.columns:
         raise ValueError("index was built codes-only "
                          "(store_vectors=False) — rerank needs the "
                          "stored vectors")
-    codes, lut_c = F.col("codes"), F.col("_lut")
-    adc = F.aggregate(
-        F.sequence(F.lit(0), F.lit(int(m) - 1)), F.lit(0.0),
-        lambda acc, j: acc + F.element_at(
-            lut_c, (j * kk + F.element_at(codes, j + 1) + 1)
-            .cast("int")))
+    adc = _adc_expr(F.col("codes"), F.col("_lut"), m, kk)
     scored = (idx.join(F.broadcast(probes), "cell")
               .filter(F.col("neighbor") != F.col("q") if exclude_self
                       else F.lit(True))
@@ -813,15 +832,4 @@ def ivf_pq_index_topk(spark, path: str, queries: DataFrame,
               .groupBy("q", "neighbor",
                        *(["_qv", "_cv"] if rerank_factor else []))
               .agg(F.max("score").alias("score")))
-    w = Window.partitionBy("q").orderBy(F.desc("score"),
-                                       F.asc("neighbor"))
-    ranked = scored.withColumn("rnk", F.row_number().over(w))
-    if not rerank_factor:
-        return ranked.filter(F.col("rnk") <= k).drop("rnk")
-    cand = (ranked.filter(F.col("rnk") <= k * rerank_factor)
-            .select("q", "neighbor",
-                    dot(F.col("_qv"), F.col("_cv")).alias("score")))
-    w2 = Window.partitionBy("q").orderBy(F.desc("score"),
-                                        F.asc("neighbor"))
-    return (cand.withColumn("rnk", F.row_number().over(w2))
-            .filter(F.col("rnk") <= k).drop("rnk"))
+    return _topk_with_rerank(scored, k, rerank_factor)

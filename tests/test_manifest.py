@@ -478,6 +478,73 @@ def test_zorder_clustering_prunes_on_every_key(spark, tmp_path):
         tz.write(bad, cluster_by=["x", "s"], cluster_mode="zorder")
 
 
+def test_fresh_cursor_survives_gc_and_compaction(spark, tmp_path):
+    """A brand-new consumer (cursor 0) needs only the CURRENT version:
+    after gc pruned the early history and compaction folded the
+    original batches, changes_since(0) still delivers every live row
+    (the chain walk is for advanced cursors; demanding v1..N retained
+    would permanently strand fresh subscribers of any maintained
+    table)."""
+    t = ManifestedTable(str(tmp_path), "proj", "events")
+    t.write(_df(spark, [1]), batch_id="b1")
+    t.write(_df(spark, [2]), batch_id="b2")
+    t.compact(spark)
+    t.write(_df(spark, [3]), batch_id="b3")
+    t.gc(keep_versions=1, grace_seconds=0)       # only head retained
+
+    df, cur = t.changes_since(spark, 0)
+    assert sorted(r.id for r in df.collect()) == [1, 2, 3]
+    assert cur == t.current_version()
+    # an ADVANCED cursor across the pruned gap still fails fast
+    with pytest.raises(FileNotFoundError, match="gc-pruned"):
+        t.changes_since(spark, 1)
+
+
+def test_zero_row_commits_read_and_compact(spark, tmp_path):
+    """A batch with an empty authoritative file list (a zero-row
+    DataSource-writer commit) reads as the schema-stable empty frame,
+    folds through compaction, and is a no-op for DML — never a None
+    or a crash."""
+    from rakam_api_collector_spark.datasource import ManifestDataSource
+
+    spark.dataSource.register(ManifestDataSource)
+    t = ManifestedTable(str(tmp_path), "proj", "events")
+    (_df(spark, []).write.format("manifest")
+     .option("path", t.table_dir).option("batchId", "empty1")
+     .mode("append").save())
+    got = t.read(spark)
+    assert got.count() == 0 and "id" in got.columns
+
+    (_df(spark, []).write.format("manifest")
+     .option("path", t.table_dir).option("batchId", "empty2")
+     .mode("append").save())
+    assert t.compact(spark) is not None          # folds the empties
+    assert t.read(spark).count() == 0
+    rep = t.delete_where(spark, F.col("id") == 1)
+    assert rep["rows_deleted"] == 0
+
+    t.write(_df(spark, [7]), batch_id="real")
+    assert [r.id for r in t.read(spark).collect()] == [7]
+
+
+def test_bloom_survives_special_characters_in_path(spark, tmp_path):
+    """The bloom build maps executor file URIs back to manifest
+    relpaths through URI decoding — a space in the table path must not
+    produce all-zero filters (which would skip every file)."""
+    base = tmp_path / "my tables"
+    base.mkdir()
+    t = ManifestedTable(str(base), "proj", "events")
+    t.write(spark.createDataFrame(
+        [(f"u{i}", datetime(2024, 3, 1, 10)) for i in range(40)],
+        "user string, _time timestamp"),
+        batch_id="b", bloom_for=["user"], partition_by_day=False)
+    # a present key is found; an absent key prunes everything
+    hit = t.read(spark, prune={"user": ("u7", "u7")}) \
+        .filter(F.col("user") == "u7").count()
+    assert hit == 1
+    assert t.read(spark, prune={"user": ("zz", "zz")}).count() == 0
+
+
 def test_restore_rolls_back_as_a_new_commit(spark, tmp_path):
     """restore(v) republishes an old snapshot as the writable head:
     the bad data disappears from head reads, history keeps every

@@ -95,3 +95,32 @@ def test_laced_and_corrupt_reject(spark):
     out = M.sample_video_frames(df, "vid", every=1,
                                 skip_invalid=True).collect()
     assert {r.id for r in out} == {2}
+
+
+def test_unknown_size_cluster_does_not_swallow_siblings():
+    """Live-captured MKV commonly writes Clusters with the all-ones
+    'unknown size': the demux must end that cluster at the next
+    top-level element (RFC 8794's non-descendant rule) instead of
+    parsing sibling clusters as its children and silently dropping
+    their frames."""
+    frames = _frames(6)
+    good = MK.mux_video_mkv(frames, frames_per_cluster=3)  # 2 clusters
+    # patch cluster 1's size varint to unknown (same 2-byte width:
+    # 0x7FFF is all value-bits set)
+    cid = b"\x1fC\xb6u"
+    i = good.index(cid) + 4
+    width = 8 - good[i].bit_length() + 1
+    assert width == 2                       # fixture small enough
+    patched = good[:i] + b"\x7f\xff" + good[i + 2:]
+    track = MK.demux_video_track(patched)
+    assert [patched[o:o + ln] for o, ln, _t in track.samples] == frames
+
+
+def test_mkv_rejects_other_unknown_size_elements():
+    good = MK.mux_video_mkv(_frames(2))
+    i = good.index(b"\x15I\xa9f") + 4        # Info element's size
+    width = 8 - good[i].bit_length() + 1
+    assert width == 1
+    patched = good[:i] + b"\xff" + good[i + 1:]
+    with pytest.raises(ValueError, match="unknown-size"):
+        MK.demux_video_track(patched)

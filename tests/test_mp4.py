@@ -127,3 +127,21 @@ def test_jpeg_codingname_sniff():
     fake_jpeg = b"\xff\xd8\xff\xe0" + b"\x00" * 8   # SOI + stub APP0
     data = M4.mux_video_mp4([fake_jpeg])
     assert M4.demux_video_track(data).codingname == b"jpeg"
+
+
+def test_corrupt_sample_counts_raise_before_allocation():
+    """stsz/stts counts are untrusted 32-bit fields: a crafted huge
+    count must raise ValueError immediately (routable by skip_invalid)
+    rather than expanding a multi-gigabyte Python list first."""
+    good = M4.mux_video_mp4(_frames(2))
+    # stsz: sample_size(4) const=0, then n_samples — patch to 4B
+    i = good.index(b"stsz") + 4 + 4 + 4
+    huge = good[:i] + struct.pack(">I", 0xFFFFFFFF) + good[i + 4:]
+    with pytest.raises(ValueError, match="claims"):
+        M4.demux_video_track(huge)
+    # stts run count huge while stsz stays small → mismatch, raised
+    # from the unexpanded run totals
+    j = good.index(b"stts") + 4 + 4 + 4
+    bad = good[:j] + struct.pack(">I", 0x7FFFFFFF) + good[j + 4:]
+    with pytest.raises(ValueError, match="stts covers"):
+        M4.demux_video_track(bad)
