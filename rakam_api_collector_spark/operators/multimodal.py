@@ -85,6 +85,10 @@ def image_header_meta(data: bytes) -> tuple[str, int, int, int, int]:
         while pos + 4 <= len(data):
             if data[pos] != 0xFF:
                 raise ValueError("JPEG marker stream desynchronized")
+            # T.81 B.1.1.2: any number of 0xFF fill bytes may precede
+            # a marker
+            while pos + 4 <= len(data) and data[pos + 1] == 0xFF:
+                pos += 1
             marker = data[pos + 1]
             if marker in _JPEG_SOF:
                 if pos + 10 > len(data):

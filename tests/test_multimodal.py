@@ -973,6 +973,10 @@ def test_image_header_meta_reads_headers_only(spark):
     with pytest.raises(ValueError):
         M.image_header_meta(b"not an image at all")
 
+    # T.81 B.1.1.2 fill bytes (0xFF runs before a marker) are legal
+    padded = jpg[:2] + b"\xff\xff\xff" + jpg[2:]
+    assert M.image_header_meta(padded) == ("jpeg", 8, 8, 1, 8)
+
     df = spark.createDataFrame(
         [(1, png8), (2, jpg), (3, b"garbage")],
         "img long, blob binary")
