@@ -1244,11 +1244,18 @@ class ManifestedTable:
         (same id, new dir) reappears in full — the consumer sees the
         post-DML rows again and must be idempotent on the batch id
         (exactly the at-least-once contract the streaming sink's
-        epoch-keyed writes already assume); a compaction's output never
-        reappears (it moves rows an already-walked version presented);
-        rows appended and then fully erased inside one polling window
-        still surface once (the feed reports appends, not deletes — a
-        takedown pipeline consumes snapshots, not this feed).
+        epoch-keyed writes already assume); for an ADVANCED cursor a
+        compaction's output never reappears (it moves rows an
+        already-walked version presented) and rows appended then fully
+        erased inside one polling window still surface once (the feed
+        reports appends, not deletes — a takedown pipeline consumes
+        snapshots, not this feed). A cursor at 0 — a brand-new
+        consumer — receives exactly the CURRENT snapshot: compaction
+        outputs ARE delivered (they hold data it never saw, possibly
+        under compact- batch ids) and rows erased before its first
+        poll are NOT replayed (a new subscriber never receives
+        taken-down data; this also keeps cursor 0 usable after gc
+        prunes the early history).
         Physically this is metadata diff + a pruned union scan — no
         data is read for batches the cursor already covered."""
         cur = self.current_version()

@@ -68,6 +68,19 @@ _TOP_LEVEL = {_CLUSTER, _INFO, _TRACKS, _SEGMENT, _EBML_HEADER,
 #             Cues        Attachments  Chapters    Tags
 
 
+def _element_header(data: bytes, pos: int) -> tuple[int, int | None, int]:
+    """(element_id, size_or_None, body_start) for the single element
+    at ``pos`` — ``None`` size means the all-ones 'unknown size'
+    pattern. The ONE place the id/size/width arithmetic lives."""
+    eid, p = _read_vint(data, pos, keep_marker=True)
+    size_first = data[p] if p < len(data) else 0
+    size, body = _read_vint(data, p, keep_marker=False)
+    width = 8 - size_first.bit_length() + 1
+    if size == (1 << (7 * width)) - 1:
+        return eid, None, body
+    return eid, size, body
+
+
 def _elements(data: bytes, start: int, end: int):
     """Yield (element_id, body_start, body_end) for the EBML element
     sequence in [start, end). Unknown-size elements (all-ones size):
@@ -79,11 +92,8 @@ def _elements(data: bytes, start: int, end: int):
     unknown-size raises rather than guessing."""
     pos = start
     while pos < end:
-        eid, p = _read_vint(data, pos, keep_marker=True)
-        size_first = data[p] if p < len(data) else 0
-        size, body = _read_vint(data, p, keep_marker=False)
-        width = 8 - size_first.bit_length() + 1 if size_first else 1
-        if size == (1 << (7 * width)) - 1:      # unknown size
+        eid, size, body = _element_header(data, pos)
+        if size is None:                        # unknown size
             if eid == _SEGMENT:
                 yield eid, body, end
                 return
@@ -106,13 +116,10 @@ def _cluster_end(data: bytes, body: int, scope_end: int) -> int:
     TOP-LEVEL id appears where a child id should, or the scope ends."""
     pos = body
     while pos < scope_end:
-        eid, p = _read_vint(data, pos, keep_marker=True)
+        eid, size, cb = _element_header(data, pos)
         if eid in _TOP_LEVEL:
             return pos
-        size, cb = _read_vint(data, p, keep_marker=False)
-        sf = data[p] if p < len(data) else 0
-        width = 8 - sf.bit_length() + 1 if sf else 1
-        if size == (1 << (7 * width)) - 1:
+        if size is None:
             raise ValueError("unknown-size element inside a Cluster")
         if cb + size > scope_end:
             raise ValueError("Cluster child overruns scope")

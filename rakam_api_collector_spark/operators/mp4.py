@@ -168,22 +168,32 @@ def _sample_table(data: bytes, sb: int, se: int):
     # allocating gigabytes (an OOM would evade the skip_invalid
     # accounting entirely)
     _, p = _fullbox(data, need[b"stsz"][0])
+    stsz_end = need[b"stsz"][1]
     const_size, n_samples = struct.unpack(">II", data[p:p + 8])
-    if n_samples > len(data):
-        raise ValueError(
-            f"stsz claims {n_samples} samples in a {len(data)}-byte "
-            "stream")
     if const_size:
+        # a plausibility budget: n_samples of const_size bytes cannot
+        # exceed the stream — checked BEFORE the list expansion
+        if n_samples * max(1, const_size) > len(data):
+            raise ValueError(
+                f"stsz claims {n_samples} samples of {const_size} "
+                f"bytes in a {len(data)}-byte stream")
         sizes = [const_size] * n_samples
     else:
-        sizes = list(struct.unpack(
-            f">{n_samples}I", data[p + 8:p + 8 + 4 * n_samples]))
+        if p + 8 + 4 * n_samples > stsz_end:
+            raise ValueError(
+                f"stsz claims {n_samples} samples past its own box "
+                "end")
+        sizes = list(struct.unpack_from(f">{n_samples}I", data, p + 8))
 
     # stts: decode-time deltas as (count, delta) runs → start ticks;
-    # run counts validated in total BEFORE expansion (same rationale)
+    # the run table AND the run totals validate BEFORE any expansion
     _, p = _fullbox(data, need[b"stts"][0])
+    stts_end = need[b"stts"][1]
     (n_runs,) = struct.unpack(">I", data[p:p + 4])
-    runs = [struct.unpack(">II", data[p + 4 + 8 * i:][:8])
+    if p + 4 + 8 * n_runs > stts_end:
+        raise ValueError(f"stts claims {n_runs} runs past its own "
+                         "box end")
+    runs = [struct.unpack_from(">II", data, p + 4 + 8 * i)
             for i in range(n_runs)]
     if sum(c for c, _d in runs) != n_samples:
         raise ValueError(
@@ -196,23 +206,26 @@ def _sample_table(data: bytes, sb: int, se: int):
             starts.append(t)
             t += delta
 
-    # stco/co64: chunk offsets
-    if b"stco" in need:
-        _, p = _fullbox(data, need[b"stco"][0])
-        (n_chunks,) = struct.unpack(">I", data[p:p + 4])
-        offsets = struct.unpack(
-            f">{n_chunks}I", data[p + 4:p + 4 + 4 * n_chunks])
-    else:
-        _, p = _fullbox(data, need[b"co64"][0])
-        (n_chunks,) = struct.unpack(">I", data[p:p + 4])
-        offsets = struct.unpack(
-            f">{n_chunks}Q", data[p + 4:p + 4 + 8 * n_chunks])
+    # stco/co64: chunk offsets (count bounded by the box like the
+    # other tables, so corruption raises ValueError, never expands)
+    four = b"stco" if b"stco" in need else b"co64"
+    width = 4 if four == b"stco" else 8
+    _, p = _fullbox(data, need[four][0])
+    (n_chunks,) = struct.unpack(">I", data[p:p + 4])
+    if p + 4 + width * n_chunks > need[four][1]:
+        raise ValueError(f"{four.decode()} claims {n_chunks} chunks "
+                         "past its own box end")
+    offsets = struct.unpack_from(
+        f">{n_chunks}{'I' if width == 4 else 'Q'}", data, p + 4)
 
     # stsc: (first_chunk, samples_per_chunk, desc_idx) runs — resolve
     # each sample to (absolute offset, size, start)
     _, p = _fullbox(data, need[b"stsc"][0])
     (n_sc,) = struct.unpack(">I", data[p:p + 4])
-    sc = [struct.unpack(">III", data[p + 4 + 12 * i:][:12])
+    if p + 4 + 12 * n_sc > need[b"stsc"][1]:
+        raise ValueError(f"stsc claims {n_sc} entries past its own "
+                         "box end")
+    sc = [struct.unpack_from(">III", data, p + 4 + 12 * i)
           for i in range(n_sc)]
     if sc and sc[0][0] != 1:
         raise ValueError("stsc must start at chunk 1")

@@ -89,6 +89,10 @@ def image_header_meta(data: bytes) -> tuple[str, int, int, int, int]:
             # a marker
             while pos + 4 <= len(data) and data[pos + 1] == 0xFF:
                 pos += 1
+            if data[pos + 1] == 0xFF:
+                # fill run truncated by end-of-buffer: keep the
+                # ValueError-only contract, never struct.error
+                break
             marker = data[pos + 1]
             if marker in _JPEG_SOF:
                 if pos + 10 > len(data):

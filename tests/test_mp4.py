@@ -145,3 +145,9 @@ def test_corrupt_sample_counts_raise_before_allocation():
     bad = good[:j] + struct.pack(">I", 0x7FFFFFFF) + good[j + 4:]
     with pytest.raises(ValueError, match="stts covers"):
         M4.demux_video_track(bad)
+    # n_runs itself corrupted: bounded by the stts box end, ValueError
+    # (not struct.error, not a giant run-table expansion)
+    r = good.index(b"stts") + 4 + 4
+    bad2 = good[:r] + struct.pack(">I", 0x0FFFFFFF) + good[r + 4:]
+    with pytest.raises(ValueError, match="past its own box"):
+        M4.demux_video_track(bad2)
