@@ -478,6 +478,56 @@ def test_zorder_clustering_prunes_on_every_key(spark, tmp_path):
         tz.write(bad, cluster_by=["x", "s"], cluster_mode="zorder")
 
 
+def test_writer_maintenance_and_cdc_consumer_together(spark, tmp_path):
+    """The round's pieces under concurrent load: a writer commits 20
+    batches while the bin-packing sweep compacts sub-threshold ones
+    and a CDC consumer tails changes_since — the consumer reconstructs
+    EXACTLY the written rows (compaction folds are movement, appends
+    are delivered once), and the live batch count stays bounded by the
+    sweep instead of growing one-per-commit."""
+    import threading
+
+    from rakam_api_collector_spark.manifest import run_maintenance
+
+    t = ManifestedTable(str(tmp_path), "proj", "events")
+    N, SIZE = 20, 50
+    seen: set[int] = set()
+    stop = threading.Event()
+    errors: list[str] = []
+
+    def consume():
+        cur = 0
+        try:
+            while True:
+                df, cur = t.changes_since(spark, cur)
+                if df is not None:
+                    seen.update(r.id for r in df.collect())
+                if stop.is_set():
+                    df, cur = t.changes_since(spark, cur)
+                    if df is not None:
+                        seen.update(r.id for r in df.collect())
+                    return
+        except Exception as e:  # noqa: BLE001 — surfaced to the assert
+            errors.append(f"{type(e).__name__}: {e}")
+
+    c = threading.Thread(target=consume, daemon=True)
+    c.start()
+    for b in range(N):
+        t.write(_df(spark, range(b * SIZE, (b + 1) * SIZE)),
+                batch_id=f"b{b:03d}")
+        if b % 5 == 4:
+            run_maintenance(spark, str(tmp_path), min_batches=3,
+                            target_rows=SIZE * 4, keep_versions=50,
+                            grace_seconds=3600)
+    stop.set()
+    c.join(120)
+    assert not errors, errors
+    assert seen == set(range(N * SIZE))          # nothing lost, ever
+    # the sweep kept the table from accreting one batch per commit
+    assert len(t.committed()) < N
+    assert t.rows() == N * SIZE
+
+
 def test_fresh_cursor_survives_gc_and_compaction(spark, tmp_path):
     """A brand-new consumer (cursor 0) needs only the CURRENT version:
     after gc pruned the early history and compaction folded the
