@@ -594,3 +594,41 @@ def test_ivf_pq_index_partition_pruning_and_rerank(spark, tmp_path):
     ref = {(r.q, r.neighbor) for r in refined.collect()}
     recall = len(ref & exact) / len(exact)
     assert recall >= 0.6, f"refined recall {recall:.2f}"
+
+
+def test_remove_boilerplate_lines(spark):
+    """Corpus-frequent long lines vanish from every document, rebuilt
+    text preserves the original line order, short recurring lines
+    (structure) survive, and the removal count is auditable."""
+    from rakam_api_collector_spark.operators.scrub import \
+        remove_boilerplate_lines
+
+    footer = "(c) 2024 ExampleCorp - all rights reserved worldwide"
+    nav = "Home | About | Contact | Privacy | Terms of Service"
+    docs = []
+    for i in range(4):
+        docs.append((i, "\n".join([
+            f"unique opening line of document {i} with detail",
+            footer,
+            "ok",                                  # short, recurring
+            f"unique middle content {i} goes right here",
+            nav,
+            f"unique closing thought {i} wraps it up",
+        ])))
+    docs.append((9, "only doc nine content\nno shared lines here at all"))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    out = {r.doc_id: r for r in
+           remove_boilerplate_lines(df, "doc_id", "text",
+                                    min_docs=3).collect()}
+    for i in range(4):
+        got = out[i].text.split("\n")
+        assert got == [
+            f"unique opening line of document {i} with detail",
+            "ok",
+            f"unique middle content {i} goes right here",
+            f"unique closing thought {i} wraps it up",
+        ]
+        assert out[i].lines_removed == 2
+    assert out[9].lines_removed == 0
+    assert out[9].text == "only doc nine content\nno shared lines here at all"
