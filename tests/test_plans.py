@@ -406,3 +406,19 @@ def test_ivf_pq_adc_scores_jvm_side_broadcast_join(spark):
     # lookups — Catalyst even constant-folds the sequence literal);
     # the only Python evals are the bounded encode/LUT/cell udfs
     assert "element_at(_lut" in plan
+
+
+def test_boilerplate_removal_broadcasts_the_line_set(spark):
+    """remove_boilerplate_lines' 100 TB shape: the (small) boilerplate
+    hash set broadcasts back onto the exploded lines — the corpus-side
+    rows are never hash-exchanged for the join — and reassembly is the
+    one aggregate the output needs anyway."""
+    from rakam_api_collector_spark.operators.scrub import \
+        remove_boilerplate_lines
+
+    docs = load_table(spark, SF, "documents").select("doc_id", "text")
+    plan = plan_of(remove_boilerplate_lines(docs, "doc_id", "text"),
+                   mode="simple")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
