@@ -1448,12 +1448,23 @@ def sample_video_frames_by_time(df: DataFrame, id_col: str,
 def synthesize_video(df: DataFrame, id_col: str, frames_col: str,
                      w_col: str, h_col: str,
                      blob_col: str = "blob",
-                     fps_milli_col: str | None = None) -> DataFrame:
+                     fps_milli_col: str | None = None,
+                     container: str = "vid") -> DataFrame:
     """Deterministic video fixtures: gray PNG frames with
     ``px[f][i] = (id*31 + f*13 + i*7) % 256`` — closed-form per
     (frame, position), SQL-oracle-recomputable. With ``fps_milli_col``
-    the container is the timed VID1 layout (per-row frame rate in
-    milli-fps) so time-based samplers can be exercised."""
+    the container is timed so time-based samplers can be exercised.
+
+    ``container="vid"`` packs the minimal VID0/VID1 layout;
+    ``container="mp4"`` muxes a REAL ISO BMFF file (operators/mp4.py)
+    with timescale = fps_milli and 1000-tick frame durations — frame
+    rate fps_milli/1000 exactly, and every integer-floored sample
+    start/duration coincides with the VID1 closed-form index math at
+    the sampled instants, so the SAME SQL oracle covers both
+    containers while the engine walks real stts/stsc/stsz/stco
+    tables."""
+    if container not in ("vid", "mp4"):
+        raise ValueError(f"unknown container {container!r}")
     out_schema = T.StructType([
         T.StructField("id", T.LongType()),
         T.StructField(blob_col, T.BinaryType()),
@@ -1477,8 +1488,15 @@ def synthesize_video(df: DataFrame, id_col: str, frames_col: str,
                     frames.append(png_encode(px, w, h, 1))
                 # Arrow→pandas renders a null int as NaN (the column
                 # arrives float64), so null-check with isna, not `is None`
-                blob = pack_video(
-                    frames, None if pd.isna(fps) else int(fps))
+                fps_val = None if pd.isna(fps) else int(fps)
+                if container == "mp4":
+                    from rakam_api_collector_spark.operators.mp4 import \
+                        mux_video_mp4
+                    if fps_val is None:
+                        raise ValueError("mp4 fixtures need fps_milli")
+                    blob = mux_video_mp4(frames, timescale=fps_val)
+                else:
+                    blob = pack_video(frames, fps_val)
                 rows.append((i, blob))
             yield pd.DataFrame(rows, columns=["id", blob_col])
 

@@ -49,6 +49,19 @@ Window history:
   Out-of-window (43 queries, all r7-green, due back in r9):
   dq05/08, dq12-17 (semi+anti), dq29-32, dq34, dq36, dq47,
   llm01-06, llm11, llm16, llm18-28, llm37-44.
+- r9 (current): the 43 queries with no r8 row (the full r8 out-list
+  above, due back per the invariant), the FOUR new queries that
+  promote the round-8 operator families to driver-oracle evidence
+  (llm46 SemDeDup semantic dedup, llm47 boilerplate line removal,
+  llm48 BPE merge-table induction, llm49 IVF-PQ recall gate — the
+  registry grows 93 → 97, inside the ≤100 two-round-cadence
+  capacity), the queries modified in r9 (llm45, whose registered
+  input is promoted from the VID1 fixture to a real MP4 container;
+  llm49's trainer was fused this round and llm17 carries its
+  closeout evidence), and heavy regression-prone fill (llm09).
+  Out-of-window (47 queries, all r8-green, due back in r10):
+  dq01-04, dq06/07, dq09-11, dq18-28, dq33, dq35, dq37-46,
+  llm07/08, llm10, llm12-15, llm29-36.
 
 CAPACITY NOTE for round 8+: with 93 queries and a 50-slot window, 43
 must rotate back each round, leaving only 7 slots for new/modified/
@@ -75,32 +88,34 @@ _ALL_ORACLE = {**relational.ORACLE, **llm_ops.ORACLE}
 
 # First 50 = this round's driver-checked window (see docstring history).
 _WINDOW = [
-    # 43 queries with no round-7 driver row — rotate back first
-    "dq01_projection", "dq02_whitelist", "dq03_late_split",
-    "dq04_sink_envelope", "dq06_max_offset", "dq07_zone_map",
-    "dq09_distinct_agg", "dq10_rollup", "dq11_sum_cents",
-    "dq18_topk", "dq19_truncate", "dq20_safe_cast",
-    "dq21_set_ops", "dq22_array_funcs", "dq23_hash",
-    "dq24_scalars", "dq25_udf_shape", "dq26_epoch_conversions",
-    "dq27_json_encode", "dq28_date_format", "dq33_percentile",
-    "dq35_sessionize", "dq37_hash_split", "dq38_cube",
-    "dq39_pivot", "dq40_window_analytics", "dq41_approx_quantile",
-    "dq42_funnel", "dq43_retention", "dq44_grouping_sets",
-    "dq45_range_frame", "dq46_stats_agg",
-    "llm07_exact_dedup", "llm08_jaccard_pairs", "llm13_multimodal_meta",
-    "llm14_decode_features", "llm15_embed_dedup",
-    "llm29_pack_sequences", "llm30_mixture_sample",
-    "llm31_vocab_coverage", "llm32_dedup_keep_best",
-    "llm34_video_sample", "llm35_resize_image",
-    # modified in round 8 — must carry fresh evidence (llm45's time
-    # sampler gained the real-container MP4/MKV branch; the VID1
-    # fixture path is unchanged and pinned, but the operator moved,
-    # so it takes a fill slot)
-    "llm12_ann_lsh", "llm17_incremental_dedup",
-    "llm33_audio_features", "llm36_audio_resample",
-    "llm45_video_time_sample",
-    # regression-prone heavy fill (r7-green)
-    "llm09_minhash_lsh", "llm10_simhash",
+    # 43 queries with no round-8 driver row — rotate back first
+    "dq05_route_fanout", "dq08_hash_agg",
+    "dq12_join_dim", "dq13_multi_join", "dq14_anti_join",
+    "dq14_semi_join", "dq15_outer_join", "dq16_window",
+    "dq17_dedup_first", "dq29_envelope_parse",
+    "dq30_tumbling_window", "dq31_asof_join", "dq32_salted_agg",
+    "dq34_range_join", "dq36_approx_distinct", "dq47_sliding_window",
+    "llm01_token_count", "llm02_ttr", "llm03_avg_token_len",
+    "llm04_lang_id", "llm05_fingerprint", "llm06_quality",
+    "llm11_knn_cosine", "llm16_dedup_clusters", "llm18_bpe_tokens",
+    "llm19_ivf_ann", "llm20_tfidf", "llm21_pii_redact",
+    "llm22_chunk_dedup", "llm23_contamination",
+    "llm24_stratified_split", "llm25_repetition", "llm26_kmeans",
+    "llm27_surprisal", "llm28_quantize", "llm37_bigram_lm",
+    "llm38_training_order", "llm39_curriculum_bins",
+    "llm40_quality_rules", "llm41_head_truncate",
+    "llm42_curation_e2e", "llm43_compression_ratio",
+    "llm44_jpeg_decode",
+    # NEW in round 9: the round-8 operator families promoted to
+    # driver-oracle evidence (VERDICT r8 ask #2)
+    "llm46_semantic_dedup", "llm47_boilerplate_removal",
+    "llm48_bpe_merges", "llm49_ivf_pq_recall",
+    # modified in round 9 — must carry fresh evidence (llm45's
+    # registered input promoted to a real MP4 container; llm17's
+    # perf-closeout round)
+    "llm45_video_time_sample", "llm17_incremental_dedup",
+    # regression-prone heavy fill (r8-green)
+    "llm09_minhash_lsh",
 ]
 
 assert len(_WINDOW) == 50 and len(set(_WINDOW)) == 50, len(_WINDOW)

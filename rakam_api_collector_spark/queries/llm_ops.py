@@ -722,14 +722,18 @@ def llm34_video_sample(spark: SparkSession, sf: str) -> DataFrame:
 
 def llm45_video_time_sample(spark: SparkSession, sf: str) -> DataFrame:
     """TIME-based frame sampling — "one frame every 7 s" — over timed
-    (VID1) videos whose per-doc frame rates differ (0.5/1.0/1.5 fps),
-    the form a training pipeline actually specifies. The sampled frame
-    for instant t is floor(t_ms * fps_milli / 1e6), pure int64
-    arithmetic (operators/multimodal.py sample_video_frames_by_time),
-    so the oracle recomputes the exact indexes and the closed-form
-    pixel stats with no media code. Unsampled frames are skipped by
-    length prefix, never decoded; each distinct frame decodes once
-    even when slow fps repeats it across instants."""
+    videos whose per-doc frame rates differ (0.5/1.0/1.5 fps), the
+    form a training pipeline actually specifies. EVEN doc_ids are
+    real ISO BMFF/MP4 files (operators/mp4.py mux: the engine walks
+    actual stts/stsc/stsz/stco sample tables and bisects integer-ms
+    starts), ODD doc_ids the timed VID1 fixture whose sampled frame
+    for instant t is floor(t_ms * fps_milli / 1e6) — with
+    timescale = fps_milli and 1000-tick durations the two index
+    computations coincide exactly at every 7000 ms instant, so ONE
+    closed-form oracle covers both containers and a demux defect on
+    either path hash-fails. Unsampled frames are skipped by
+    table/prefix offset, never decoded; each distinct frame decodes
+    once even when slow fps repeats it across instants."""
     docs = (load_table(spark, sf, "documents")
             .select("doc_id").filter(F.col("doc_id") < 50))
     spec = docs.select(
@@ -738,8 +742,14 @@ def llm45_video_time_sample(spark: SparkSession, sf: str) -> DataFrame:
         (F.col("doc_id") % 5 + 4).alias("w"),
         (F.col("doc_id") % 4 + 3).alias("h"),
         ((F.col("doc_id") % 3 + 1) * 500).alias("fpsm"))
-    vids = M.synthesize_video(spec, "doc_id", "nf", "w", "h",
-                              fps_milli_col="fpsm")
+    vids = (M.synthesize_video(spec.filter(F.col("doc_id") % 2 == 1),
+                               "doc_id", "nf", "w", "h",
+                               fps_milli_col="fpsm")
+            .unionByName(
+                M.synthesize_video(spec.filter(F.col("doc_id") % 2 == 0),
+                                   "doc_id", "nf", "w", "h",
+                                   fps_milli_col="fpsm",
+                                   container="mp4")))
     frames = M.sample_video_frames_by_time(vids, "id", every_ms=7000)
     return (frames.select(F.col("id").alias("doc_id"), "sample_ms",
                           "frame_idx", "width", "height", "px_sum",
@@ -1060,6 +1070,116 @@ def llm44_jpeg_decode(spark: SparkSession, sf: str) -> DataFrame:
     return docs.mapInPandas(roundtrip, out_t).orderBy("doc_id")
 
 
+# --- round-8 operator families, promoted to driver-oracle queries -----------
+
+def llm46_semantic_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """SemDeDup semantic near-dup pairs (operators/dedup.py:
+    semantic_dedup_pairs, Abbas'23): deterministic 1-iter k-means over
+    the embeddings (k=4, vec_id 0..3 init — the llm26 model), then
+    cosine pairs WITHIN clusters only. The oracle replays the identical
+    unrolled clustering in SQL (the llm26 pattern) and the within-
+    cluster pair filter, so a wrong assignment, a cross-cluster leak,
+    or a cosine defect all hash-fail. Threshold 0.3 matches llm15's
+    (the fixture embeddings are near-isotropic; the operator's 0.92
+    default is the production knob, not the test knob), and the
+    membership test is rounded-THEN-filtered exactly as llm15's so
+    engine FP noise at the boundary cannot flip a pair; the operator
+    threshold is disabled (-2.0) to keep one filter site. Gated to
+    vec_id < 500 (the llm15 convention — the whole table at
+    sf≤0.01): the oracle's job is the semantics, the within-cluster
+    pair-space scaling is measured separately in STRESS.md."""
+    emb = (load_table(spark, sf, "embeddings")
+           .filter(F.col("vec_id") < 500))
+    pairs = D.semantic_dedup_pairs(emb, "vec_id", "embedding",
+                                   threshold=-2.0, k=4, iters=1)
+    return (pairs.select("a", "b", "cluster",
+                         F.round("cos", 4).alias("cos"))
+            .filter(F.col("cos") >= 0.3)
+            .orderBy("a", "b"))
+
+
+def llm47_boilerplate_removal(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus-level boilerplate line removal (operators/scrub.py:
+    remove_boilerplate_lines — the CCNet/RefinedWeb line-dedup step)
+    over a deterministic multi-line synthesis of the documents table:
+    a nav header on every doc, a 5-way rotating copyright footer, a
+    conditional promo banner (doc_id %% 7), a short exempt line
+    ("ok" < min_line_chars), and a unique trailer. The oracle replays
+    the full line-frequency rule in SQL (distinct-doc counts, the
+    min_docs/min_chars thresholds, ordered reassembly), so the output
+    pins which lines drop AND the rebuilt text byte-for-byte."""
+    from rakam_api_collector_spark.operators import scrub
+
+    docs = load_table(spark, sf, "documents")
+    synth = docs.select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.lit("NAVIGATION MENU HOME ABOUT CONTACT"),
+            F.col("text"),
+            F.when(F.col("doc_id") % 7 == 0,
+                   F.lit("PROMO BANNER SUBSCRIBE NOW")),
+            F.concat(F.lit("copyright footer block "),
+                     (F.col("doc_id") % 5).cast("string")),
+            F.lit("ok"),
+            F.concat(F.lit("trailer "), F.col("doc_id").cast("string")),
+        ).alias("text"))
+    out = scrub.remove_boilerplate_lines(synth, "doc_id", "text",
+                                         min_docs=3, min_line_chars=10)
+    return (out.select("doc_id", "text", "lines_removed")
+            .orderBy("doc_id"))
+
+
+_BPE_MERGES, _BPE_MIN_PAIR = 25, 2
+
+
+def llm48_bpe_merges(spark: SparkSession, sf: str) -> DataFrame:
+    """BPE tokenizer induction (operators/bpe.py:learn_bpe, Sennrich
+    ACL'16): ONE Spark pass aggregates the word-frequency table, the
+    merge loop runs driver-side over that bounded state, and the query
+    emits the learned merge table itself — the model artifact. The
+    oracle replays the merge loop in SQL over the same word-frequency
+    table (unrolled stages; the left-to-right non-overlapping rewrite
+    is expressed as string replace over double-space-separated symbol
+    strings, which has identical greedy semantics), so a wrong pair
+    count, tie-break, or rewrite diverges at the first bad merge."""
+    from rakam_api_collector_spark.operators import bpe
+
+    docs = load_table(spark, sf, "documents")
+    merges = bpe.learn_bpe(docs, "text", n_merges=_BPE_MERGES,
+                           min_pair_count=_BPE_MIN_PAIR)
+    rows = [(i + 1, a, b) for i, (a, b) in enumerate(merges)]
+    return (spark.createDataFrame(
+        rows, "merge_rank int, lhs string, rhs string")
+        .orderBy("merge_rank"))
+
+
+def llm49_ivf_pq_recall(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF-PQ with exact rerank (operators/similarity.py:ivf_pq_topk,
+    Jégou'11 IVFADC + FAISS-style refine), gated IN-BAND against the
+    exact brute-force top-10 (the llm12 pattern): ANN output is
+    engine-specific, so the query joins the two-stage IVF-PQ top-10
+    against the exact cosine top-10 and emits per-query result count
+    and a recall boolean the oracle asserts. Measured hits at
+    n_cells=8/nprobe=4/m=16/nbits=4/rerank_factor=5: 7-10 of 10 per
+    query at sf0.001/0.01/0.1 — floored at 5/10, where a broken cell
+    probe, ADC table, or rerank collapses to ~0 and hash-fails."""
+    emb = load_table(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    ann = (S.ivf_pq_topk(emb, queries, "vec_id", "embedding", k=10,
+                         n_cells=8, nprobe=4, m=16, nbits=4,
+                         rerank_factor=5)
+           .select("q", "neighbor"))
+    exact = (S.cosine_topk(emb, queries, "vec_id", "embedding", k=10)
+             .select("q", "neighbor").withColumn("_hit", F.lit(1)))
+    return (ann.join(exact, ["q", "neighbor"], "left")
+            .groupBy("q")
+            .agg(F.count("*").alias("n_pq"),
+                 F.coalesce(F.sum("_hit"), F.lit(0)).alias("_hits"))
+            .select("q", "n_pq", (F.col("_hits") >= 5).alias("recall_ok"))
+            .orderBy("q"))
+
+
 _BOILER = (" copyright license terms apply all rights reserved "
            "worldwide legal notice")
 
@@ -1113,7 +1233,62 @@ QUERIES = {
     "llm43_compression_ratio": llm43_compression_ratio,
     "llm44_jpeg_decode": llm44_jpeg_decode,
     "llm45_video_time_sample": llm45_video_time_sample,
+    "llm46_semantic_dedup": llm46_semantic_dedup,
+    "llm47_boilerplate_removal": llm47_boilerplate_removal,
+    "llm48_bpe_merges": llm48_bpe_merges,
+    "llm49_ivf_pq_recall": llm49_ivf_pq_recall,
 }
+
+
+def _bpe_oracle_sql(n_merges: int, min_pair: int,
+                    max_words: int = 100_000) -> str:
+    """Unrolled SQL replay of learn_bpe's merge loop (operators/bpe.py).
+
+    Vocabulary state is a double-space-separated symbol string with
+    leading/trailing boundary separators (``··a··b··</w>··``); one
+    merge is then plain ``replace(s, ' a  b ', ' ab ')`` — left-to-
+    right and non-overlapping, exactly the driver loop's greedy scan,
+    and adjacent matches stay reachable because each match consumes
+    one space of each shared boundary pair. CTEs are MATERIALIZED:
+    each stage references its predecessor twice (pair counts + the
+    rewrite), so the default inlining would re-expand the chain
+    exponentially."""
+    parts = [f"""
+        WITH w0 AS MATERIALIZED (
+          SELECT w, CAST(count(*) AS BIGINT) AS n FROM (
+            SELECT unnest({_DUCK_TOKS}) AS w FROM documents)
+          GROUP BY w ORDER BY n DESC, w LIMIT {max_words}),
+        v0 AS MATERIALIZED (
+          SELECT '  ' || regexp_replace(w, '(.)', '\\1  ', 'g')
+                 || '</w>  ' AS s, n
+          FROM w0)"""]
+    for i in range(n_merges):
+        parts.append(f""",
+        p{i} AS MATERIALIZED (
+          SELECT pr[1] AS a, pr[2] AS b, sum(n) AS cnt FROM (
+            SELECT unnest([[l[j], l[j+1]]
+                           for j in range(1, len(l))]) AS pr, n
+            FROM (SELECT string_split(trim(s), '  ') AS l, n
+                  FROM v{i}))
+          GROUP BY a, b),
+        b{i} AS MATERIALIZED (
+          SELECT a, b FROM p{i} WHERE cnt >= {min_pair}
+          ORDER BY cnt DESC, a, b LIMIT 1),
+        v{i + 1} AS MATERIALIZED (
+          SELECT CASE WHEN b{i}.a IS NULL THEN s
+                 ELSE replace(s, ' ' || b{i}.a || '  ' || b{i}.b || ' ',
+                              ' ' || b{i}.a || b{i}.b || ' ') END AS s,
+                 n
+          FROM v{i} LEFT JOIN b{i} ON TRUE)""")
+    union = "\n          UNION ALL\n".join(
+        f"          SELECT CAST({i + 1} AS INTEGER) AS merge_rank,"
+        f" a AS lhs, b AS rhs FROM b{i}"
+        for i in range(n_merges))
+    parts.append(f"""
+        SELECT merge_rank, lhs, rhs FROM (
+{union})
+        ORDER BY merge_rank""")
+    return "".join(parts)
 
 _SW = {k: ", ".join(f"'{w}'" for w in v) for k, v in T.STOPWORDS.items()}
 _HITS = {k: f"len(list_filter(t, x -> list_contains([{v}], x)))"
@@ -2083,5 +2258,106 @@ ORACLE = {
         FROM samples
         GROUP BY doc_id, sample_ms, f, w, h
         ORDER BY doc_id, sample_ms
+    """,
+    # Unrolled SemDeDup replay (the llm26 pattern): init = vec_id 0..3
+    # rounded to 6 -> assign -> exact decimal per-dim means rounded to
+    # 6 -> FINAL assignment, then cosine pairs strictly within final
+    # clusters, rounded-then-filtered like llm15.
+    "llm46_semantic_dedup": """
+        WITH e AS (
+          SELECT vec_id,
+                 [CAST(x AS DOUBLE) for x in embedding] AS v
+          FROM embeddings WHERE vec_id < 500),
+        init AS (
+          SELECT vec_id AS cl, [round(x, 6) for x in v] AS c
+          FROM e WHERE vec_id < 4),
+        d0 AS (
+          SELECT e.vec_id, i.cl,
+                 list_sum([(e.v[j] - i.c[j]) * (e.v[j] - i.c[j])
+                           for j in range(1, len(e.v) + 1)]) AS d
+          FROM e CROSS JOIN init i),
+        a0 AS (
+          SELECT vec_id, cl FROM (
+            SELECT vec_id, cl,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY d, cl) AS rn
+            FROM d0) WHERE rn = 1),
+        upd AS (
+          SELECT cl, j,
+                 round(CAST(sum(CAST(val AS DECIMAL(28,12))) AS DOUBLE)
+                       / count(*), 6) AS m
+          FROM (SELECT a0.cl, unnest(e.v) AS val,
+                       generate_subscripts(e.v, 1) AS j
+                FROM a0 JOIN e USING (vec_id))
+          GROUP BY cl, j),
+        c1 AS (SELECT cl, list(m ORDER BY j) AS c FROM upd GROUP BY cl),
+        d1 AS (
+          SELECT e.vec_id, c1.cl,
+                 list_sum([(e.v[j] - c1.c[j]) * (e.v[j] - c1.c[j])
+                           for j in range(1, len(e.v) + 1)]) AS d
+          FROM e CROSS JOIN c1),
+        a1 AS (
+          SELECT vec_id, cl FROM (
+            SELECT vec_id, cl,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY d, cl) AS rn
+            FROM d1) WHERE rn = 1),
+        asg AS (
+          SELECT a1.vec_id, a1.cl, e.v FROM a1 JOIN e USING (vec_id)),
+        pairs AS (
+          SELECT x.vec_id AS a, y.vec_id AS b,
+                 CAST(x.cl AS INTEGER) AS cluster,
+                 round(list_cosine_similarity(x.v, y.v), 4) AS cos
+          FROM asg x JOIN asg y
+            ON x.cl = y.cl AND x.vec_id < y.vec_id)
+        SELECT a, b, cluster, cos FROM pairs
+        WHERE cos >= 0.3 ORDER BY a, b
+    """,
+    # Full line-frequency replay of remove_boilerplate_lines over the
+    # same synthesized multi-line corpus: eligible = trimmed length >=
+    # 10, boilerplate = eligible line in >= 3 DISTINCT docs, rebuild in
+    # position order (empty doc -> '', like array_join).
+    "llm47_boilerplate_removal": """
+        WITH synth AS (
+          SELECT doc_id, concat_ws(chr(10),
+                   'NAVIGATION MENU HOME ABOUT CONTACT',
+                   text,
+                   CASE WHEN doc_id % 7 = 0
+                        THEN 'PROMO BANNER SUBSCRIBE NOW' END,
+                   'copyright footer block '
+                     || CAST(doc_id % 5 AS VARCHAR),
+                   'ok',
+                   'trailer ' || CAST(doc_id AS VARCHAR)) AS text
+          FROM documents),
+        lines AS (
+          SELECT doc_id,
+                 unnest(string_split(text, chr(10))) AS line,
+                 generate_subscripts(string_split(text, chr(10)), 1)
+                   AS pos
+          FROM synth),
+        boiler AS (
+          SELECT line FROM lines
+          WHERE len(trim(line)) >= 10
+          GROUP BY line HAVING count(DISTINCT doc_id) >= 3),
+        marked AS (
+          SELECT l.doc_id, l.pos, l.line,
+                 (b.line IS NOT NULL
+                  AND len(trim(l.line)) >= 10) AS is_bp
+          FROM lines l LEFT JOIN boiler b USING (line))
+        SELECT doc_id,
+               coalesce(string_agg(CASE WHEN NOT is_bp THEN line END,
+                                   chr(10) ORDER BY pos), '') AS text,
+               CAST(sum(CASE WHEN is_bp THEN 1 ELSE 0 END) AS BIGINT)
+                 AS lines_removed
+        FROM marked GROUP BY doc_id ORDER BY doc_id
+    """,
+    "llm48_bpe_merges": _bpe_oracle_sql(_BPE_MERGES, _BPE_MIN_PAIR),
+    # llm49 emits in-band ANN verdicts (the llm12 pattern): IVF-PQ
+    # output is engine-specific, so only the per-query result count and
+    # the recall-vs-exact boolean cross the oracle boundary.
+    "llm49_ivf_pq_recall": """
+        SELECT vec_id AS q, CAST(10 AS BIGINT) AS n_pq,
+               true AS recall_ok
+        FROM embeddings WHERE vec_id < 5 ORDER BY q
     """,
 }
