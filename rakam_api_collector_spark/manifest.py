@@ -141,6 +141,144 @@ class LocalMetadataStore(MetadataStore):
         return os.path.getmtime(path)
 
 
+class ObjectMetadataStore(MetadataStore):
+    """Object-store implementation over an S3-wire-shaped client — the
+    deployable half of the seam the :class:`MetadataStore` docstring
+    maps out. ``client`` is any object speaking the boto3 S3 client
+    subset this class calls (``put_object`` honoring
+    ``IfNoneMatch='*'``, ``get_object``, ``list_objects_v2``,
+    ``head_object``, ``delete_object``/``delete_objects``); a real
+    deployment passes ``boto3.client('s3')`` (S3 has supported
+    conditional writes natively since 2024-08; GCS/Azure expose the
+    same compare-and-swap via if-generation-match / If-None-Match),
+    and :func:`ObjectMetadataStore.for_boto3` builds one behind an
+    import-try so this module never imports boto3 itself.
+
+    Semantics per operation (the docstring contract made concrete):
+
+    - ``put_if_absent`` → ``PutObject`` + ``If-None-Match: *``; a 412
+      PreconditionFailed (or 409 ConditionalRequestConflict under
+      concurrent creates — retried by re-reading, so callers just see
+      False) means another writer won the version.
+    - ``list`` → ``ListObjectsV2`` with ``Delimiter='/'``; immediate
+      children are Contents basenames + CommonPrefixes basenames.
+    - ``is_dir`` → prefix-exists probe (any key under ``path/``).
+    - ``mtime`` → ``LastModified`` epoch seconds, so gc's grace window
+      measures object age exactly as it measures POSIX file age.
+    - ``delete_tree`` → paginated multi-object delete of the prefix.
+
+    Paths arrive as ``{base}/{project}/{collection}/...`` strings; the
+    key mapping strips ``s3://{bucket}/`` (or any configured
+    ``strip_prefix``) and leading slashes, so the SAME base string the
+    Spark/Hadoop data paths use addresses the metadata objects."""
+
+    def __init__(self, client, bucket: str,
+                 strip_prefix: str | None = None) -> None:
+        self.client = client
+        self.bucket = bucket
+        self.strip_prefix = (strip_prefix if strip_prefix is not None
+                             else f"s3://{bucket}/")
+
+    @classmethod
+    def for_boto3(cls, bucket: str, **client_kwargs
+                  ) -> "ObjectMetadataStore":
+        try:
+            import boto3  # optional — never a package-level import
+        except ImportError as e:  # pragma: no cover — env-dependent
+            raise ImportError(
+                "ObjectMetadataStore.for_boto3 needs boto3; pass any "
+                "S3-shaped client to the constructor instead") from e
+        return cls(boto3.client("s3", **client_kwargs), bucket)
+
+    def _key(self, path: str) -> str:
+        if path.startswith(self.strip_prefix):
+            path = path[len(self.strip_prefix):]
+        return path.lstrip("/")
+
+    @staticmethod
+    def _http_status(exc: Exception) -> int | None:
+        resp = getattr(exc, "response", None)
+        if isinstance(resp, dict):
+            return (resp.get("ResponseMetadata") or {}).get(
+                "HTTPStatusCode")
+        return None
+
+    def _list_page(self, **kwargs) -> "Iterator[dict]":
+        token = None
+        while True:
+            if token:
+                kwargs["ContinuationToken"] = token
+            page = self.client.list_objects_v2(Bucket=self.bucket,
+                                               **kwargs)
+            yield page
+            if not page.get("IsTruncated"):
+                return
+            token = page.get("NextContinuationToken")
+
+    def list(self, d: str) -> list[str]:
+        prefix = self._key(d).rstrip("/") + "/"
+        names: list[str] = []
+        for page in self._list_page(Prefix=prefix, Delimiter="/"):
+            names += [c["Key"][len(prefix):]
+                      for c in page.get("Contents", [])
+                      if c["Key"] != prefix]
+            names += [p["Prefix"][len(prefix):].rstrip("/")
+                      for p in page.get("CommonPrefixes", [])]
+        return names
+
+    def is_dir(self, path: str) -> bool:
+        prefix = self._key(path).rstrip("/") + "/"
+        for page in self._list_page(Prefix=prefix, MaxKeys=1):
+            return bool(page.get("KeyCount") or page.get("Contents"))
+        return False
+
+    def read(self, path: str) -> str:
+        body = self.client.get_object(
+            Bucket=self.bucket, Key=self._key(path))["Body"]
+        data = body.read()
+        return data.decode() if isinstance(data, bytes) else data
+
+    def put_if_absent(self, path: str, content: str) -> bool:
+        try:
+            self.client.put_object(Bucket=self.bucket,
+                                   Key=self._key(path),
+                                   Body=content.encode(),
+                                   IfNoneMatch="*")
+            return True
+        except Exception as e:  # noqa: BLE001 — typed by wire status
+            # 412 = key exists; 409 = concurrent conditional creates
+            # collided (S3 docs: one wins, retriers see 409) — either
+            # way this writer must re-read and retry, i.e. False
+            if self._http_status(e) in (409, 412):
+                return False
+            raise
+
+    def delete(self, path: str) -> None:
+        # S3 DeleteObject on a missing key is already a success
+        self.client.delete_object(Bucket=self.bucket,
+                                  Key=self._key(path))
+
+    def delete_tree(self, d: str) -> None:
+        prefix = self._key(d).rstrip("/") + "/"
+        keys = [c["Key"] for page in self._list_page(Prefix=prefix)
+                for c in page.get("Contents", [])]
+        if hasattr(self.client, "delete_objects"):
+            for i in range(0, len(keys), 1000):   # wire-protocol cap
+                self.client.delete_objects(
+                    Bucket=self.bucket,
+                    Delete={"Objects": [{"Key": k}
+                                        for k in keys[i:i + 1000]]})
+        else:
+            for k in keys:
+                self.client.delete_object(Bucket=self.bucket, Key=k)
+
+    def mtime(self, path: str) -> float:
+        head = self.client.head_object(Bucket=self.bucket,
+                                       Key=self._key(path))
+        lm = head["LastModified"]
+        return lm.timestamp() if hasattr(lm, "timestamp") else float(lm)
+
+
 def run_maintenance(spark: SparkSession, base: str,
                     min_batches: int = 8,
                     cluster_by: dict | None = None,
@@ -148,7 +286,9 @@ def run_maintenance(spark: SparkSession, base: str,
                     grace_seconds: float = 3600.0,
                     meta: "MetadataStore | None" = None,
                     parallelism: int = 8,
-                    target_rows: int | None = None) -> list[dict]:
+                    target_rows: int | None = None,
+                    max_tables_per_sweep: int | None = None,
+                    scheduler_pool: str | None = None) -> list[dict]:
     """The shard-organizer sweep (the reference runs this as a periodic
     daemon over its Raptor shard registry): walk every
     ``base/<project>/<collection>`` table, compact any whose live batch
@@ -174,7 +314,19 @@ def run_maintenance(spark: SparkSession, base: str,
     grew past target_rows is never rewritten again, so per-row rewrite
     cost is O(log) over the table's life instead of once per sweep.
     Without it, every sweep rewrites the whole table (fine for tests
-    and small tables, quadratic for a stream that never stops)."""
+    and small tables, quadratic for a stream that never stops).
+
+    ``max_tables_per_sweep`` throttles the COMPACTION WAVE: when a
+    cold start or a cadence beat makes every collection eligible at
+    once (100 collections × ~1 s of rewrite co-resident with a live
+    stream was measured at ~3× a steady trigger interval), a capped
+    sweep compacts only the ``max_tables_per_sweep`` tables with the
+    MOST pending small batches (worst accretors first, name-ordered
+    among ties for determinism) and reports the rest as
+    ``deferred`` — they lead the next sweep, so the per-table bound
+    degrades by at most one cadence interval while no single sweep
+    can flood the executors. gc still runs for every table (metadata-
+    only deletes, no Spark jobs)."""
     meta = meta or LocalMetadataStore()
     tables = []
     for proj in sorted(meta.list(base)):
@@ -185,22 +337,47 @@ def run_maintenance(spark: SparkSession, base: str,
             if meta.is_dir(os.path.join(pdir, coll, "_versions")):
                 tables.append((proj, coll))
 
+    def _pending(key) -> tuple[int, int]:
+        """(live batches, small batches counting toward min_batches) —
+        metadata-only, no Spark jobs."""
+        proj, coll = key
+        t = ManifestedTable(base, proj, coll, meta=meta)
+        live = t.committed()
+        if target_rows is not None:
+            n = sum(1 for b in live if b.get("rows", 0) < target_rows)
+        else:
+            n = len(live)
+        return len(live), n
+
+    counts: dict[tuple[str, str], tuple[int, int]] = {}
+    for key in tables:
+        try:
+            counts[key] = _pending(key)
+        except Exception:  # noqa: BLE001 — sweep_one re-reports it
+            counts[key] = (0, 0)
+    eligible = [k for k in tables if counts[k][1] >= min_batches]
+    if max_tables_per_sweep is not None and max_tables_per_sweep >= 0:
+        eligible.sort(key=lambda k: (-counts[k][1], k))
+        selected = set(eligible[:max_tables_per_sweep])
+    else:
+        selected = set(eligible)
+
     def sweep_one(key):
         proj, coll = key
+        if scheduler_pool is not None:
+            # per-thread (PySpark pinned-thread mode: pool workers do
+            # NOT inherit the caller's local properties, so each
+            # worker claims the pool itself before any Spark action)
+            spark.sparkContext.setLocalProperty(
+                "spark.scheduler.pool", scheduler_pool)
         t = ManifestedTable(base, proj, coll, meta=meta)
         report = {"project": proj, "collection": coll}
         # per-table fault isolation: a daemon sweep must not let one
         # bad table (corrupt file, bad cluster key, races) starve
         # every table sorting after it
         try:
-            live = t.committed()
-            report["batches"] = len(live)
-            if target_rows is not None:
-                n = sum(1 for b in live
-                        if b.get("rows", 0) < target_rows)
-            else:
-                n = len(live)
-            if n >= min_batches:
+            report["batches"] = counts[key][0]
+            if key in selected:
                 keys = (cluster_by or {}).get(
                     f"{proj}/{coll}", (cluster_by or {}).get(coll))
                 try:
@@ -210,6 +387,8 @@ def run_maintenance(spark: SparkSession, base: str,
                         report["compacted"] = out
                 except CommitConflict:
                     report["conflict"] = True
+            elif counts[key][1] >= min_batches:
+                report["deferred"] = True
             report["gc_removed"] = len(
                 t.gc(keep_versions=keep_versions,
                      grace_seconds=grace_seconds))
@@ -253,7 +432,8 @@ class MaintenanceHook:
                  keep_versions: int = 2, grace_seconds: float = 3600.0,
                  parallelism: int = 8,
                  max_reports: int = 64,
-                 target_rows: int | None = None) -> None:
+                 target_rows: int | None = None,
+                 max_tables_per_sweep: int | None = None) -> None:
         if every_epochs < 1:
             raise ValueError(f"every_epochs must be >= 1, "
                              f"got {every_epochs}")
@@ -266,7 +446,17 @@ class MaintenanceHook:
                              "keep_versions": keep_versions,
                              "grace_seconds": grace_seconds,
                              "parallelism": parallelism,
-                             "target_rows": target_rows}
+                             "target_rows": target_rows,
+                             "max_tables_per_sweep":
+                                 max_tables_per_sweep,
+                             # scheduler-pool isolation: inert under
+                             # the default FIFO scheduler; on a
+                             # cluster run with
+                             # spark.scheduler.mode=FAIR and a low-
+                             # weight pool in the allocation file the
+                             # organizer cannot starve trigger-
+                             # interval batches of executor slots
+                             "scheduler_pool": "manifest-maintenance"}
         self.max_reports = max_reports
         self.reports: list[dict] = []
         self.skipped_overlap = 0

@@ -11,8 +11,10 @@ are never copied, so samplers slice exactly the frames they decode.
 
 Scope is the same honest shape as mp4.py: payloads decode through the
 repo's container-sniffing image decoders (``V_MJPEG`` / PNG-in-MKV);
-lacing (rarely used for video) raises rather than mis-slicing; a
-libav swap-in would take over at frame decode for real-world codecs.
+all three lacing modes (Xiph / fixed-size / EBML, RFC 9559 §10)
+decode with bounds-checked size tables — corrupt tables raise rather
+than mis-slice; a libav swap-in would take over at frame decode for
+real-world codecs.
 The muxer builds one-video-track files for fixtures: explicit cluster
 grouping and per-cluster base timestamps exercise the relative-
 timestamp arithmetic, and non-default TimestampScale exercises the
@@ -160,10 +162,79 @@ class MkvTrack:
         return st[-1] + max(gap, 1)
 
 
+def _lace_slices(data: bytes, b: int, e: int,
+                 lace: int) -> list[tuple[int, int]]:
+    """(offset, length) per laced frame in a SimpleBlock body
+    ``data[b:e]`` (RFC 9559 §10: u8 frame-count-minus-1, then the
+    per-mode size table, then the concatenated frames; the LAST
+    frame's size is always the remainder):
+
+    - Xiph (lace 1): each of the first n-1 sizes is a run of 0xFF
+      bytes plus a final <0xFF byte, summed.
+    - fixed (lace 2): no size table — the payload divides evenly.
+    - EBML (lace 3): first size is an unsigned EBML vint; sizes
+      2..n-1 are SIGNED vint deltas from the previous size.
+
+    Every arithmetic result is bounds-checked so a corrupt size table
+    raises instead of mis-slicing (the ST11 accounting contract all
+    the media decoders share)."""
+    if b >= e:
+        raise ValueError("laced block with no lace count")
+    n = data[b] + 1
+    pos = b + 1
+    sizes: list[int] = []
+    if lace == 1:                                    # Xiph
+        for _ in range(n - 1):
+            sz = 0
+            while True:
+                if pos >= e:
+                    raise ValueError("truncated Xiph lace sizes")
+                v = data[pos]
+                pos += 1
+                sz += v
+                if v < 255:
+                    break
+            sizes.append(sz)
+    elif lace == 2:                                  # fixed-size
+        total = e - pos
+        if n < 1 or total % n:
+            raise ValueError("fixed lacing: payload not divisible "
+                             f"into {n} frames")
+        sizes = [total // n] * (n - 1)
+    else:                                            # EBML
+        prev = None
+        for i in range(n - 1):
+            raw, npos = _read_vint(data, pos, keep_marker=False)
+            if npos > e:
+                raise ValueError("truncated EBML lace sizes")
+            if i == 0:
+                prev = raw
+            else:
+                width = npos - pos
+                prev += raw - ((1 << (7 * width - 1)) - 1)
+            if prev < 0:
+                raise ValueError("negative EBML lace size")
+            pos = npos
+            sizes.append(prev)
+    rem = (e - pos) - sum(sizes)
+    if rem < 0:
+        raise ValueError("lace sizes overflow the block")
+    sizes.append(rem)
+    out: list[tuple[int, int]] = []
+    cur = pos
+    for sz in sizes:
+        out.append((cur, sz))
+        cur += sz
+    return out
+
+
 def demux_video_track(data: bytes) -> MkvTrack:
     """Walk Segment → Tracks (first TrackType-1 entry) and every
-    Cluster's SimpleBlocks for that track. Lacing raises (flags bits
-    0x06) — mis-slicing a laced block would corrupt frames silently."""
+    Cluster's SimpleBlocks for that track. Laced blocks (flags bits
+    0x06) expand to one sample per laced frame, all carrying the
+    block's timestamp — the spec gives laced frames no timestamps of
+    their own (players derive spacing from the track default
+    duration, which video lacing in practice never relies on)."""
     if not is_mkv(data):
         raise ValueError("not an EBML/Matroska stream")
     seg = next((elt for elt in _elements(data, 0, len(data))
@@ -211,12 +282,15 @@ def demux_video_track(data: bytes) -> MkvTrack:
                         raise ValueError("truncated SimpleBlock header")
                     (rel,) = struct.unpack(">h", data[p:p + 2])
                     flags = data[p + 2]
-                    if flags & 0x06:
-                        raise ValueError(
-                            "laced SimpleBlock unsupported (flags "
-                            f"0x{flags:02x})")
-                    samples.append((p + 3, e2 - (p + 3),
-                                    cluster_ts + rel))
+                    lace = (flags >> 1) & 0x03
+                    if lace == 0:
+                        samples.append((p + 3, e2 - (p + 3),
+                                        cluster_ts + rel))
+                    else:
+                        for off, ln in _lace_slices(data, p + 3, e2,
+                                                    lace):
+                            samples.append((off, ln,
+                                            cluster_ts + rel))
     if video_track is None:
         raise ValueError("no video (TrackType 1) track")
     if scale <= 0:
@@ -245,17 +319,58 @@ def _uint_elt(eid: int, v: int) -> bytes:
     return _elt(eid, v.to_bytes(max(1, (v.bit_length() + 7) // 8), "big"))
 
 
+def _svint(v: int) -> bytes:
+    """Signed EBML vint (the EBML-lacing delta coding): shortest width
+    whose bias range holds v, encoded as the biased unsigned value."""
+    for width in range(1, 9):
+        bias = (1 << (7 * width - 1)) - 1
+        if -bias <= v <= bias and (v + bias) < (1 << (7 * width)) - 1:
+            return ((v + bias) | (1 << (7 * width))).to_bytes(width,
+                                                              "big")
+    raise ValueError("lace delta too large")
+
+
+def _lace_payload(frames: list[bytes], lacing: str) -> bytes:
+    """SimpleBlock body for laced frames: count byte + size table +
+    concatenated frames (the exact inverse of :func:`_lace_slices`)."""
+    out = bytearray([len(frames) - 1])
+    if lacing == "xiph":
+        for f in frames[:-1]:
+            sz = len(f)
+            out += b"\xff" * (sz // 255) + bytes([sz % 255])
+    elif lacing == "fixed":
+        if len({len(f) for f in frames}) > 1:
+            raise ValueError("fixed lacing needs equal frame sizes")
+    elif lacing == "ebml":
+        prev = None
+        for f in frames[:-1]:
+            if prev is None:
+                out += _vint(len(f))
+            else:
+                out += _svint(len(f) - prev)
+            prev = len(f)
+    else:
+        raise ValueError(f"unknown lacing {lacing!r}")
+    for f in frames:
+        out += f
+    return bytes(out)
+
+
 def mux_video_mkv(frames: list[bytes],
                   timestamps_ticks: list[int] | None = None,
                   timestamp_scale: int = 1_000_000,
                   codec_id: str = "V_MJPEG",
-                  frames_per_cluster: int = 4) -> bytes:
+                  frames_per_cluster: int = 4,
+                  lacing: str | None = None) -> bytes:
     """One-video-track Matroska file. ``timestamps_ticks`` gives each
     frame's absolute timestamp (default: frame index, 1 tick apart);
     frames group into clusters of ``frames_per_cluster`` whose base
     timestamp is the first frame's — SimpleBlocks then carry signed
     16-bit RELATIVE timestamps, exercising the same arithmetic a real
-    muxer emits."""
+    muxer emits. With ``lacing`` ("xiph" | "fixed" | "ebml") each
+    cluster's frames pack into ONE laced SimpleBlock at the cluster
+    base timestamp (lacing carries no per-frame timestamps — the
+    trade a real muxer makes for header compactness)."""
     if not frames:
         raise ValueError("mux needs at least one frame")
     ts = timestamps_ticks or list(range(len(frames)))
@@ -277,17 +392,26 @@ def mux_video_mkv(frames: list[bytes],
                                 + _elt(0x73C5, b"\x01")   # TrackUID
                                 + _elt(_CODEC_ID,
                                        codec_id.encode("ascii"))))
+    lace_flag = {None: 0x00, "xiph": 0x02, "fixed": 0x04,
+                 "ebml": 0x06}[lacing]
     clusters = b""
     for c0 in range(0, len(frames), frames_per_cluster):
         base = ts[c0]
         body = _uint_elt(_CLUSTER_TS, base)
-        for i in range(c0, min(c0 + frames_per_cluster, len(frames))):
-            rel = ts[i] - base
-            if not -32768 <= rel <= 32767:
-                raise ValueError("relative timestamp overflows int16 — "
-                                 "use smaller clusters")
+        group = frames[c0:c0 + frames_per_cluster]
+        if lacing is not None:
             body += _elt(_SIMPLE_BLOCK,
-                         _vint(1) + struct.pack(">h", rel)
-                         + b"\x80" + frames[i])  # keyframe, no lacing
+                         _vint(1) + struct.pack(">h", 0)
+                         + bytes([0x80 | lace_flag])
+                         + _lace_payload(group, lacing))
+        else:
+            for i in range(c0, c0 + len(group)):
+                rel = ts[i] - base
+                if not -32768 <= rel <= 32767:
+                    raise ValueError("relative timestamp overflows "
+                                     "int16 — use smaller clusters")
+                body += _elt(_SIMPLE_BLOCK,
+                             _vint(1) + struct.pack(">h", rel)
+                             + b"\x80" + frames[i])  # keyframe, unlaced
         clusters += _elt(_CLUSTER, body)
     return ebml + _elt(_SEGMENT, info + tracks + clusters)

@@ -147,13 +147,32 @@ def demux_video_track(data: bytes) -> Mp4Track:
 def _sample_table(data: bytes, sb: int, se: int):
     need = {}
     for four, b, e in _boxes(data, sb, se):
-        if four in (b"stsd", b"stts", b"stsc", b"stsz", b"stco", b"co64"):
+        if four in (b"stsd", b"stts", b"stsc", b"stsz", b"stco",
+                    b"co64", b"ctts"):
             need[four] = (b, e)
     for box in (b"stsd", b"stts", b"stsc", b"stsz"):
         if box not in need:
             raise ValueError(f"sample table missing {box!r}")
     if b"stco" not in need and b"co64" not in need:
         raise ValueError("sample table missing stco/co64")
+
+    # ctts (composition offsets): present means decode order ≠
+    # presentation order (B-frames) and the stts-derived starts this
+    # demux returns would mis-time instants. Motion-JPEG/PNG payloads
+    # never carry one; an all-zero table (some muxers emit it
+    # unconditionally) is harmless and accepted. Honest-raise
+    # otherwise — the libav swap-in owns reordering.
+    if b"ctts" in need:
+        _, p = _fullbox(data, need[b"ctts"][0])
+        (n_ctts,) = struct.unpack(">I", data[p:p + 4])
+        p += 4
+        for _ in range(n_ctts):
+            _cnt, off = struct.unpack(">Ii", data[p:p + 8])
+            p += 8
+            if off != 0:
+                raise ValueError(
+                    "ctts with non-zero composition offsets "
+                    "(B-frame reordering) unsupported")
 
     # stsd: the codingname of sample description 1
     _, p = _fullbox(data, need[b"stsd"][0])
@@ -279,7 +298,9 @@ def mux_video_mp4(frames: list[bytes],
                   timescale: int = 1000,
                   codingname: bytes | None = None,
                   samples_per_chunk: int = 1,
-                  force_co64: bool = False) -> bytes:
+                  force_co64: bool = False,
+                  composition_offsets_ticks: list[int] | None = None
+                  ) -> bytes:
     """One-video-track ISO BMFF file around already-encoded frames.
 
     ``durations_ticks`` gives each sample's stts delta (default: 1000
@@ -347,8 +368,25 @@ def mux_video_mp4(frames: list[bytes],
         stco = _fbox(b"stco", 0, 0, struct.pack(">I", len(chunk_offs))
                      + b"".join(struct.pack(">I", o) for o in chunk_offs))
 
+    # ctts (optional, run-length like stts): some muxers emit an
+    # all-zero table unconditionally — the demux accepts that and
+    # honest-raises on any non-zero offset (B-frame reordering)
+    ctts = b""
+    if composition_offsets_ticks is not None:
+        if len(composition_offsets_ticks) != len(frames):
+            raise ValueError("need one composition offset per frame")
+        cruns: list[tuple[int, int]] = []
+        for o in composition_offsets_ticks:
+            if cruns and cruns[-1][1] == o:
+                cruns[-1] = (cruns[-1][0] + 1, o)
+            else:
+                cruns.append((1, o))
+        ctts = _fbox(b"ctts", 1, 0, struct.pack(">I", len(cruns))
+                     + b"".join(struct.pack(">Ii", c, o)
+                                for c, o in cruns))
+
     duration = sum(durs)
-    stbl = _box(b"stbl", stsd + stts + stsc + stsz + stco)
+    stbl = _box(b"stbl", stsd + stts + ctts + stsc + stsz + stco)
     dref = _fbox(b"dref", 0, 0, struct.pack(">I", 1)
                  + _fbox(b"url ", 0, 1, b""))
     dinf = _box(b"dinf", dref)

@@ -108,10 +108,16 @@ def run_json(spark, n: int, n_batches: int, n_coll: int,
     # shard-organizer sweep (background thread, reference-daemon shape)
     # default grace period: gc must never race the stream's in-flight
     # writers (grace 0 is only safe when sweeps run inline). Cadence:
-    # compact when ~4+ small batches accrete, sweep every 3rd epoch —
-    # one compaction wave per ~6 epochs per table, not every sweep
-    # (write amplification vs read amplification, the classic knob).
-    maint = ({"every_epochs": 3, "min_batches": 4} if manifested
+    # compact when ~4+ small batches accrete, sweep every 2nd epoch,
+    # and THROTTLE the wave — at most half the collections compact per
+    # sweep (worst accretors first; the rest defer one sweep) with a
+    # 3-wide pool, so the cold-start beat where all 100 collections
+    # become eligible at once cannot flood the 32 cores the live
+    # trigger batches need (the unthrottled wave was measured at ~3×
+    # a steady trigger interval; see STRESS.md).
+    maint = ({"every_epochs": 2, "min_batches": 4,
+              "max_tables_per_sweep": n_coll // 2,
+              "parallelism": 3} if manifested
              else None)
     q = start_ingest_stream(
         spark, str(src), "fabric", Catalog(),

@@ -1065,6 +1065,43 @@ def test_run_maintenance_shard_organizer_sweep(spark, tmp_path):
     assert run_maintenance(spark, str(tmp_path / "nope")) == []
 
 
+def test_maintenance_sweep_cap_throttles_compaction_wave(spark, tmp_path):
+    """max_tables_per_sweep bounds a compaction wave: only the cap's
+    worth of eligible tables compact (worst accretors first), the rest
+    are reported ``deferred`` and lead the NEXT sweep — so a cold
+    start where every collection is eligible at once cannot flood the
+    executors, and every table still converges within a few sweeps."""
+    from rakam_api_collector_spark.manifest import run_maintenance
+
+    # three eligible tables with different accretion depths + one tiny
+    for coll, n in (("aaa", 3), ("bbb", 5), ("ccc", 4)):
+        t = ManifestedTable(str(tmp_path), "p1", coll)
+        for i in range(n):
+            t.write(_df(spark, [i]), batch_id=f"b{i}")
+    ManifestedTable(str(tmp_path), "p1", "tiny").write(
+        _df(spark, [99]), batch_id="only")
+
+    reps = {r["collection"]: r for r in run_maintenance(
+        spark, str(tmp_path), min_batches=3, max_tables_per_sweep=2,
+        keep_versions=1, grace_seconds=0)}
+    # the two DEEPEST tables compacted, the third deferred, tiny unmarked
+    assert reps["bbb"]["compacted"].startswith("compact-")
+    assert reps["ccc"]["compacted"].startswith("compact-")
+    assert reps["aaa"].get("deferred") is True
+    assert "compacted" not in reps["aaa"]
+    assert "deferred" not in reps["tiny"]
+    # next sweep picks up the deferred table; nothing else re-compacts
+    again = {r["collection"]: r for r in run_maintenance(
+        spark, str(tmp_path), min_batches=3, max_tables_per_sweep=2,
+        keep_versions=1, grace_seconds=0)}
+    assert again["aaa"]["compacted"].startswith("compact-")
+    assert "compacted" not in again["bbb"]
+    assert "deferred" not in again["bbb"]
+    # no rows lost anywhere
+    got = ManifestedTable(str(tmp_path), "p1", "aaa").read(spark)
+    assert sorted(r.id for r in got.collect()) == [0, 1, 2]
+
+
 def test_maintenance_isolates_per_table_failures(spark, tmp_path):
     """A bad cluster key (or any per-table failure) is reported on that
     table and the sweep continues — one sick table must not starve the
@@ -1392,6 +1429,208 @@ def test_metadata_store_seam_object_store_shape(spark, tmp_path):
     assert t._version_numbers() == [8]
     assert sorted(r.id for r in t.read(spark).collect()) == list(range(8))
     # maintenance sweep discovers tables through the seam too
+    from rakam_api_collector_spark.manifest import run_maintenance
+    reps = run_maintenance(spark, str(tmp_path), min_batches=1,
+                           meta=store, grace_seconds=0)
+    assert [r["collection"] for r in reps] == ["events"]
+    assert "compacted" in reps[0]
+
+
+class _FakeS3Client:
+    """In-memory boto3-S3-shaped client: conditional PUT enforced
+    atomically under a lock (what the service does server-side),
+    ListObjectsV2 with Delimiter/ContinuationToken, LastModified
+    heads, multi-object delete — the exact wire subset
+    ObjectMetadataStore calls."""
+
+    PAGE = 2        # tiny page size so pagination is actually exercised
+
+    def __init__(self):
+        import threading
+        self.objects: dict[str, tuple[bytes, float]] = {}
+        self.lock = threading.Lock()
+        self.cas_conflicts = 0
+
+    def put_object(self, Bucket, Key, Body, IfNoneMatch=None):
+        import time as _t
+        with self.lock:
+            if IfNoneMatch == "*" and Key in self.objects:
+                self.cas_conflicts += 1
+                e = RuntimeError("PreconditionFailed")
+                e.response = {"Error": {"Code": "PreconditionFailed"},
+                              "ResponseMetadata": {"HTTPStatusCode": 412}}
+                raise e
+            self.objects[Key] = (Body, _t.time())
+
+    def get_object(self, Bucket, Key):
+        import io
+        with self.lock:
+            body, _ = self.objects[Key]
+        return {"Body": io.BytesIO(body)}
+
+    def head_object(self, Bucket, Key):
+        import datetime
+        with self.lock:
+            _, ts = self.objects[Key]
+        return {"LastModified":
+                datetime.datetime.fromtimestamp(
+                    ts, tz=datetime.timezone.utc)}
+
+    def list_objects_v2(self, Bucket, Prefix="", Delimiter=None,
+                        MaxKeys=None, ContinuationToken=None):
+        with self.lock:
+            keys = sorted(k for k in self.objects
+                          if k.startswith(Prefix))
+        contents, common = [], []
+        for k in keys:
+            if Delimiter:
+                rest = k[len(Prefix):]
+                if Delimiter in rest:
+                    p = Prefix + rest.split(Delimiter)[0] + Delimiter
+                    if p not in common:
+                        common.append(p)
+                    continue
+            contents.append(k)
+        start = 0
+        if ContinuationToken is not None:
+            start = int(ContinuationToken)
+        limit = MaxKeys if MaxKeys is not None else self.PAGE
+        page = contents[start:start + limit]
+        truncated = start + limit < len(contents)
+        return {"Contents": [{"Key": k} for k in page],
+                "CommonPrefixes": ([{"Prefix": p} for p in common]
+                                   if start == 0 else []),
+                "KeyCount": len(page) + (len(common) if start == 0
+                                         else 0),
+                "IsTruncated": truncated,
+                "NextContinuationToken": str(start + limit)}
+
+    def delete_object(self, Bucket, Key):
+        with self.lock:
+            self.objects.pop(Key, None)     # missing key = success
+
+    def delete_objects(self, Bucket, Delete):
+        with self.lock:
+            for o in Delete["Objects"]:
+                self.objects.pop(o["Key"], None)
+
+
+def test_object_metadata_store_ops():
+    """ObjectMetadataStore's six ops against the S3 wire shape:
+    key mapping strips the s3://bucket/ scheme, list is immediate-
+    children-only (Delimiter semantics, paginated), is_dir is the
+    prefix probe, put_if_absent translates 412 to False, delete_tree
+    removes the whole prefix, mtime is LastModified."""
+    from rakam_api_collector_spark.manifest import ObjectMetadataStore
+
+    c = _FakeS3Client()
+    s = ObjectMetadataStore(c, "bkt")
+    base = "s3://bkt/warehouse/proj/events"
+
+    assert s.put_if_absent(f"{base}/_versions/v1.json", '{"v":1}')
+    assert not s.put_if_absent(f"{base}/_versions/v1.json", "loser")
+    assert c.cas_conflicts == 1
+    assert s.read(f"{base}/_versions/v1.json") == '{"v":1}'
+    for i in range(2, 6):
+        assert s.put_if_absent(f"{base}/_versions/v{i}.json", "{}")
+    assert s.put_if_absent(f"{base}/_batches/b0/part-0.parquet", "d")
+    # immediate children only, across pages (PAGE=2 forces pagination)
+    assert sorted(s.list(f"{base}/_versions")) == [
+        f"v{i}.json" for i in range(1, 6)]
+    assert sorted(s.list(base)) == ["_batches", "_versions"]
+    assert s.is_dir(f"{base}/_versions")
+    assert s.is_dir(f"{base}/_batches/b0")
+    assert not s.is_dir(f"{base}/_nope")
+    assert s.mtime(f"{base}/_versions/v1.json") > 0
+    s.delete(f"{base}/_versions/v5.json")
+    s.delete(f"{base}/_versions/v5.json")   # idempotent
+    assert sorted(s.list(f"{base}/_versions")) == [
+        f"v{i}.json" for i in range(1, 5)]
+    s.delete_tree(f"{base}/_batches")
+    assert not s.is_dir(f"{base}/_batches")
+    assert s.is_dir(f"{base}/_versions")
+
+
+def test_object_metadata_store_runs_version_protocol(spark, tmp_path):
+    """The full OCC protocol (racing writers, time travel, gc,
+    maintenance discovery) green against ObjectMetadataStore — the
+    VERSION objects live in the fake S3 service through the REAL
+    adapter (CAS = conditional PUT, 412 → retry), while batch-data
+    paths delegate to POSIX exactly as a deployment delegates them to
+    the Hadoop/Arrow filesystem."""
+    import os
+    from concurrent.futures import ThreadPoolExecutor
+
+    from rakam_api_collector_spark.manifest import (LocalMetadataStore,
+                                                    ObjectMetadataStore)
+
+    client = _FakeS3Client()
+
+    class Hybrid(ObjectMetadataStore):
+        posix = LocalMetadataStore()
+
+        def _is_meta(self, path):
+            return "_versions" in path
+
+        def list(self, d):
+            if self._is_meta(d):
+                return super().list(d)
+            return self.posix.list(d)
+
+        def is_dir(self, path):
+            return (super().is_dir(path) if self._is_meta(path)
+                    else self.posix.is_dir(path))
+
+        def read(self, path):
+            return (super().read(path) if self._is_meta(path)
+                    else self.posix.read(path))
+
+        def put_if_absent(self, path, content):
+            if self._is_meta(path):
+                return super().put_if_absent(path, content)
+            return self.posix.put_if_absent(path, content)
+
+        def delete(self, path):
+            if self._is_meta(path):
+                super().delete(path)
+            else:
+                self.posix.delete(path)
+
+        def delete_tree(self, d):
+            if self._is_meta(d):
+                super().delete_tree(d)
+            else:
+                self.posix.delete_tree(d)
+
+        def mtime(self, path):
+            return (super().mtime(path) if self._is_meta(path)
+                    else self.posix.mtime(path))
+
+    store = Hybrid(client, "bkt", strip_prefix="")
+
+    def write_one(i):
+        ManifestedTable(str(tmp_path), "proj", "events",
+                        meta=store).write(_df(spark, [i]),
+                                          batch_id=f"w{i}")
+
+    with ThreadPoolExecutor(8) as ex:
+        list(ex.map(write_one, range(8)))
+
+    t = ManifestedTable(str(tmp_path), "proj", "events", meta=store)
+    assert t.current_version() == 8
+    assert sorted(r.id for r in t.read(spark).collect()) == list(range(8))
+    # the service-side CAS is what serializes commits: a write to an
+    # already-committed version loses with False (412 translated),
+    # never clobbers (actual mid-race collisions are timing-dependent,
+    # so provoke the loss deterministically instead of asserting one)
+    key = f"{tmp_path}/proj/events/_versions/v{8:010d}.json"
+    assert store.put_if_absent(key, "usurper") is False
+    assert client.cas_conflicts >= 1
+    # version state lives ONLY in the object store
+    assert not os.path.exists(f"{tmp_path}/proj/events/_versions")
+    assert len(t.read(spark, version=3).columns) > 0
+    t.gc(keep_versions=1, grace_seconds=0)
+    assert t._version_numbers() == [8]
     from rakam_api_collector_spark.manifest import run_maintenance
     reps = run_maintenance(spark, str(tmp_path), min_batches=1,
                            meta=store, grace_seconds=0)

@@ -78,19 +78,54 @@ def test_time_sampler_over_mkv(spark):
     assert out == [(0, 0), (200, 1), (400, 1), (600, 2), (800, 2)]
 
 
+@pytest.mark.parametrize("lacing", ["xiph", "fixed", "ebml"])
+def test_lacing_roundtrip(lacing):
+    """All three RFC 9559 lacing modes round-trip: laced SimpleBlocks
+    expand to one sample per frame with byte-identical payloads. Xiph
+    and EBML lace variable sizes (EBML deltas go negative); fixed
+    laces equal sizes; a >255-byte frame exercises the Xiph 0xFF-run
+    coding and the multi-byte EBML first-size vint."""
+    if lacing == "fixed":
+        frames = [bytes([i]) * 10 for i in range(6)]   # equal sizes
+    else:
+        # varied sizes: 300 exercises the Xiph 0xFF-run coding and a
+        # multi-byte EBML first-size vint; 300→4 a negative EBML delta
+        frames = [bytes([i]) * n for i, n in
+                  enumerate([9, 300, 4, 17, 2, 11])]
+    data = MK.mux_video_mkv(frames, frames_per_cluster=3,
+                            lacing=lacing)
+    track = MK.demux_video_track(data)
+    assert len(track.samples) == 6
+    for fr, (off, ln, _t) in zip(frames, track.samples):
+        assert data[off:off + ln] == fr
+    # laced frames share the block timestamp (no per-frame times)
+    assert [t for _o, _l, t in track.samples] == [0, 0, 0, 3, 3, 3]
+
+
 def test_laced_and_corrupt_reject(spark):
     frames = _frames(2)
     good = MK.mux_video_mkv(frames)
-    # flip the SimpleBlock flags byte to EBML lacing (0x06)
+    # flip the SimpleBlock flags byte to EBML lacing (0x06): the PNG
+    # payload now reads as a lace-size table whose sizes overflow the
+    # block — bounds checks must reject, never mis-slice
     i = good.index(b"\x80" + frames[0])
-    laced = good[:i] + b"\x86" + good[i + 1:]
-    with pytest.raises(ValueError, match="laced"):
-        MK.demux_video_track(laced)
+    corrupt = good[:i] + b"\x86" + good[i + 1:]
+    with pytest.raises(ValueError, match="lace"):
+        MK.demux_video_track(corrupt)
+    # a Xiph size byte turned into an unterminated 0xFF run overflows
+    # the block and rejects too
+    laced = MK.mux_video_mkv(frames, lacing="xiph",
+                             frames_per_cluster=2)
+    needle = b"\x81\x00\x00\x82\x01"   # tracknum, rel=0, flags, count
+    j = laced.index(needle) + len(needle)
+    bad_xiph = laced[:j] + b"\xff" + laced[j + 1:]
+    with pytest.raises(ValueError):
+        MK.demux_video_track(bad_xiph)
     with pytest.raises(ValueError):
         MK.demux_video_track(good[:20])          # truncated segment
     # skip_invalid drops the broken row, keeps the good one
     df = spark.createDataFrame(
-        [(1, bytearray(laced)), (2, bytearray(good))],
+        [(1, bytearray(corrupt)), (2, bytearray(good))],
         "vid long, blob binary")
     out = M.sample_video_frames(df, "vid", every=1,
                                 skip_invalid=True).collect()

@@ -151,3 +151,19 @@ def test_corrupt_sample_counts_raise_before_allocation():
     bad2 = good[:r] + struct.pack(">I", 0x0FFFFFFF) + good[r + 4:]
     with pytest.raises(ValueError, match="past its own box"):
         M4.demux_video_track(bad2)
+
+
+def test_ctts_zero_accepted_nonzero_rejected():
+    """ctts guard: an all-zero composition-offset table (emitted
+    unconditionally by some muxers) demuxes identically to no table;
+    any non-zero offset means decode order != presentation order
+    (B-frames) and must honest-raise, never silently mis-time."""
+    frames = _frames(3)
+    plain = M4.demux_video_track(M4.mux_video_mp4(frames))
+    zeroed = M4.demux_video_track(M4.mux_video_mp4(
+        frames, composition_offsets_ticks=[0, 0, 0]))
+    assert zeroed.samples == plain.samples
+    assert zeroed.start_ms() == plain.start_ms()
+    with pytest.raises(ValueError, match="ctts"):
+        M4.demux_video_track(M4.mux_video_mp4(
+            frames, composition_offsets_ticks=[0, 2000, -1000]))
