@@ -574,3 +574,73 @@ def simhash_candidates(docs: DataFrame, id_col: str, text_col: str,
                     F.bit_count(F.col("a._sh").bitwiseXOR(F.col("b._sh")))
                     .alias("hamming"))
             .distinct())
+
+
+def duplicate_span_removal(docs: DataFrame, id_col: str, text_col: str,
+                           k: int = 50) -> DataFrame:
+    """EXACT duplicate-substring removal (Lee et al., ACL 2022,
+    "Deduplicating Training Data Makes Language Models Better",
+    arXiv:2107.06499): any k-token window whose exact token sequence
+    occurs at more than one site in the corpus is a duplicated
+    substring; ONE canonical copy survives (the site with the lowest
+    (doc id, position) — deterministic, SQL-replayable) and every
+    other occurrence is cut from its document. Overlapping duplicated
+    windows merge naturally: a token is removed iff ANY marked window
+    covers it. Returns (id, text, n_tokens_removed, n_tokens_kept) —
+    the cleaned text is the kept tokens re-joined on single spaces
+    (the operator is defined over the token stream, like the packing /
+    truncation operators; the paper's suffix arrays index exactly this
+    normalized stream).
+
+    Spark shape (the paper's suffix array is a single-machine
+    construction; a Spark corpus wants the equivalent by windows):
+    - ONE pass explodes each document into its n-k+1 rolling windows,
+      keyed by ``xxhash64`` of the window's token span — narrow
+      (id, pos, whash) rows, never window text.
+    - One shuffle on whash: a window-function rank over (doc, pos)
+      within each hash marks every NON-canonical site (rank > 1 — a
+      hash with one site is untouched). No distinct-vs-distinct join,
+      no candidate pairs: duplication is a per-key property.
+    - One shuffle back on doc id collects each document's marked
+      positions (small by construction — only duplicated sites
+      travel), then a map-only rebuild: token j survives iff no
+      marked position p has p ≤ j < p+k (an ``exists`` fold over the
+      per-doc marked list, all JVM).
+    At 100 TB the whash shuffle is the cost, and it is the minimal
+    one: every window must meet its duplicates exactly once."""
+    from rakam_api_collector_spark.operators.text import tokens
+
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    base = (docs.select(F.col(id_col).alias("_id"),
+                        tokens(F.col(text_col)).alias("_t"))
+            .withColumn("_n", F.size("_t")))
+    wins = (base.filter(F.col("_n") >= k)
+            .select("_id", "_t", F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(1), F.col("_n") - k + 1),
+                    lambda s: F.xxhash64(
+                        F.concat_ws("\x1f", F.slice(F.col("_t"),
+                                                    s, k)))))
+                .alias("_pos0", "_wh"))
+            .select("_id", (F.col("_pos0") + 1).alias("_pos"), "_wh"))
+    w = Window.partitionBy("_wh").orderBy("_id", "_pos")
+    marked = (wins
+              .withColumn("_rn", F.row_number().over(w))
+              .filter(F.col("_rn") > 1)
+              .groupBy("_id")
+              .agg(F.array_sort(F.collect_list("_pos")).alias("_cut")))
+    covered = lambda j: F.exists(       # noqa: E731 — plan fragment
+        F.col("_cut"), lambda p: (p <= j) & (j < p + k))
+    kept = F.filter(
+        F.transform(F.col("_t"),
+                    lambda t, j: F.when(~covered(j + 1), t)),
+        lambda t: t.isNotNull())
+    return (base.join(marked, "_id", "left")
+            .withColumn("_cut", F.coalesce(
+                F.col("_cut"), F.array().cast("array<int>")))
+            .select(F.col("_id").alias(id_col),
+                    F.array_join(kept, " ").alias(text_col),
+                    (F.col("_n") - F.size(kept))
+                    .alias("n_tokens_removed"),
+                    F.size(kept).alias("n_tokens_kept")))

@@ -1190,6 +1190,35 @@ def llm49_ivf_pq_recall(spark: SparkSession, sf: str) -> DataFrame:
             .orderBy("q"))
 
 
+_SPAN_K = 8
+_SPAN_TAIL = (" the quick brown fox jumps over the lazy dog"
+              " again and again tonight")
+
+
+def llm50_dup_span_removal(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact duplicate-substring removal (operators/dedup.py:
+    duplicate_span_removal, Lee'22 arXiv:2107.06499) at k=8 word
+    tokens over documents whose doc_id % 4 == 0 share an injected
+    13-token tail — so the corpus provably contains cross-document
+    exact spans: the canonical site (lowest doc_id) keeps its copy,
+    every other site loses the whole overlap-merged span, and any
+    k-grams the raw texts share naturally dedup too. The oracle
+    replays the full rule in SQL keyed by the window's token STRING
+    (the engine keys by xxhash64 of the same span — the llm47
+    hash-vs-value precedent), so a wrong window hash, canonical
+    order, or coverage-merge defect all hash-fail."""
+    docs = load_table(spark, sf, "documents")
+    synth = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 4 == 0,
+               F.concat(F.col("text"), F.lit(_SPAN_TAIL)))
+        .otherwise(F.col("text")).alias("text"))
+    out = D.duplicate_span_removal(synth, "doc_id", "text", k=_SPAN_K)
+    return (out.select("doc_id", "text", "n_tokens_removed",
+                       "n_tokens_kept")
+            .orderBy("doc_id"))
+
+
 _BOILER = (" copyright license terms apply all rights reserved "
            "worldwide legal notice")
 
@@ -1247,6 +1276,7 @@ QUERIES = {
     "llm47_boilerplate_removal": llm47_boilerplate_removal,
     "llm48_bpe_merges": llm48_bpe_merges,
     "llm49_ivf_pq_recall": llm49_ivf_pq_recall,
+    "llm50_dup_span_removal": llm50_dup_span_removal,
 }
 
 
@@ -2369,5 +2399,55 @@ ORACLE = {
         SELECT vec_id AS q, CAST(10 AS BIGINT) AS n_pq,
                true AS recall_ok
         FROM embeddings WHERE vec_id < 5 ORDER BY q
+    """,
+    # Full replay of duplicate_span_removal keyed by the window's
+    # token string (engine keys by xxhash64 of the same span): rank
+    # sites per window by (doc, pos), rank>1 marks a cut, token j
+    # survives iff no cut position covers it.
+    "llm50_dup_span_removal": f"""
+        WITH synth AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 4 = 0
+                      THEN text || '{_SPAN_TAIL}'
+                      ELSE text END AS text
+          FROM documents),
+        base AS (
+          SELECT doc_id,
+                 list_filter(regexp_split_to_array(lower(text),
+                                                   '[^a-z0-9]+'),
+                             x -> x <> '') AS t
+          FROM synth),
+        wins AS (
+          SELECT doc_id, s AS pos,
+                 array_to_string(t[s:s + {_SPAN_K} - 1], chr(31))
+                   AS wkey
+          FROM (SELECT doc_id, t,
+                       unnest(range(1, len(t) - {_SPAN_K} + 2)) AS s
+                FROM base WHERE len(t) >= {_SPAN_K})),
+        marked AS (
+          SELECT doc_id, pos FROM (
+            SELECT doc_id, pos,
+                   row_number() OVER (PARTITION BY wkey
+                                      ORDER BY doc_id, pos) AS rn
+            FROM wins) WHERE rn > 1),
+        cuts AS (
+          SELECT doc_id, list(pos ORDER BY pos) AS cut
+          FROM marked GROUP BY doc_id),
+        rebuilt AS (
+          SELECT b.doc_id, b.t,
+                 [b.t[j] for j in range(1, len(b.t) + 1)
+                  if len(list_filter(coalesce(c.cut, []),
+                         p -> p <= j AND j < p + {_SPAN_K})) = 0]
+                   AS kept
+          FROM base b LEFT JOIN cuts c USING (doc_id))
+        SELECT doc_id,
+               -- array_to_string of an empty list is NULL in DuckDB;
+               -- Spark's array_join gives '' — a fully-deduped doc IS
+               -- the empty string (the llm47 empty-doc convention)
+               coalesce(array_to_string(kept, ' '), '') AS text,
+               CAST(len(t) - len(kept) AS INTEGER)
+                 AS n_tokens_removed,
+               CAST(len(kept) AS INTEGER) AS n_tokens_kept
+        FROM rebuilt ORDER BY doc_id
     """,
 }

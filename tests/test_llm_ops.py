@@ -632,3 +632,52 @@ def test_remove_boilerplate_lines(spark):
         assert out[i].lines_removed == 2
     assert out[9].lines_removed == 0
     assert out[9].text == "only doc nine content\nno shared lines here at all"
+
+
+def test_duplicate_span_removal(spark):
+    """Exact duplicate-substring removal (Lee'22): the canonical
+    (lowest doc, lowest pos) copy of a duplicated k-window survives,
+    every other occurrence is cut, overlapping duplicated windows
+    merge into one span, intra-document repeats dedup too, and docs
+    shorter than k are untouched."""
+    from rakam_api_collector_spark.operators.dedup import \
+        duplicate_span_removal
+
+    shared = "alpha bravo charlie delta echo"       # 5 tokens
+    docs = [
+        # doc 0: canonical site of the shared span
+        (0, f"zero opening words {shared} zero closing words"),
+        # doc 1: same span -> cut (span longer than k via overlap):
+        # 'one' tokens around it survive
+        (1, f"one starts here {shared} one ends here"),
+        # doc 2: the span TWICE -> both cut (doc 0 owns the canon)
+        (2, f"two begins {shared} middle bit {shared} two finishes"),
+        # doc 3: shorter than k tokens -> untouched
+        (3, "tiny doc"),
+        # doc 4: no duplicated windows -> untouched
+        (4, "completely unrelated content with its own unique words"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r.doc_id: r for r in
+           duplicate_span_removal(df, "doc_id", "text", k=5).collect()}
+
+    assert out[0].text == ("zero opening words alpha bravo charlie "
+                           "delta echo zero closing words")
+    assert out[0].n_tokens_removed == 0
+    # doc 1: every window covering the 5 shared tokens is duplicated;
+    # windows also straddle into the frame words, so the merged cut
+    # spans [start of first dup window, end of last]
+    assert "alpha" not in out[1].text
+    assert out[1].text.startswith("one starts here") is False \
+        or "bravo" not in out[1].text
+    assert out[1].n_tokens_removed > 0
+    assert out[2].n_tokens_removed > out[1].n_tokens_removed
+    assert "alpha" not in out[2].text
+    assert out[3].text == "tiny doc"
+    assert out[3].n_tokens_removed == 0
+    assert out[4].n_tokens_removed == 0
+    assert out[4].n_tokens_kept == 8
+    # conservation: removed + kept == original token count
+    for r in out.values():
+        assert r.n_tokens_removed + r.n_tokens_kept == \
+            len([t for t in r.text.split() if t]) + r.n_tokens_removed

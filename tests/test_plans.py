@@ -422,3 +422,25 @@ def test_boilerplate_removal_broadcasts_the_line_set(spark):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_duplicate_span_removal_shuffles_only_on_keys(spark):
+    """duplicate_span_removal's 100 TB shape: duplication is a per-key
+    property — one window-rank exchange on the window hash, one
+    aggregate back on doc id — so the plan has NO join of the corpus
+    against itself beyond the final (doc-keyed) cut join, and no
+    cartesian/nested-loop anywhere. The rebuild is pure Catalyst
+    (exists/filter/transform HOFs), no Python in the plan."""
+    from rakam_api_collector_spark.operators.dedup import \
+        duplicate_span_removal
+
+    docs = load_table(spark, SF, "documents").select("doc_id", "text")
+    plan = plan_of(duplicate_span_removal(docs, "doc_id", "text", k=8),
+                   mode="simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "xxhash64" in plan                     # hash-keyed windows
+    assert "row_number" in plan                   # per-key canon rank
+    assert "PythonUDF" not in plan and "ArrowEval" not in plan
+    # exactly one join (cuts back onto docs, keyed by id)
+    assert plan.count("Join") - plan.count("JoinSelection") <= 2
