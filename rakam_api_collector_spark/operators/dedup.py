@@ -450,14 +450,21 @@ def semantic_dedup_pairs(docs: DataFrame, id_col: str, vec_col: str,
             base, "_id", "_v", init=[list(r["_c"]) for r in first],
             iters=iters)
     assigned = C._with_assignment(base, "_id", "_v", centroids)
-    a = assigned.select(F.col("_id").alias("a"), "cluster",
-                        F.col("_v").alias("_va"))
-    b = assigned.select(F.col("_id").alias("b"), "cluster",
-                        F.col("_v").alias("_vb"))
+    # normalize ONCE per row so each pair costs a single dot fold
+    # instead of dot + two norm folds (|pairs| = Σ n_c² ≫ |rows|; the
+    # same amortization _unit gives the similarity operators)
+    unit = (assigned
+            .withColumn("_n", S.l2_norm(F.col("_v")))
+            .withColumn("_u", F.transform(
+                "_v", lambda x: x / F.col("_n"))))
+    a = unit.select(F.col("_id").alias("a"), "cluster",
+                    F.col("_u").alias("_ua"))
+    b = unit.select(F.col("_id").alias("b"), "cluster",
+                    F.col("_u").alias("_ub"))
     return (a.join(b, "cluster")
             .filter(F.col("a") < F.col("b"))
             .select("a", "b", "cluster",
-                    S.cosine(F.col("_va"), F.col("_vb")).alias("cos"))
+                    S.dot(F.col("_ua"), F.col("_ub")).alias("cos"))
             .filter(F.col("cos") >= threshold))
 
 

@@ -194,6 +194,45 @@ def op_ivf_pq(spark, k: int) -> DataFrame:
             .groupBy().agg(F.count("*").alias("hits")))
 
 
+def op_dup_span(spark, k: int) -> DataFrame:
+    """Exact duplicate-substring removal (llm50 shape) over replica-
+    disjoint vocabularies: every window hash is replica-local, so
+    duplicated sites (and the rank exchange feeding them) scale ×K —
+    a super-linear exponent here would expose the window explode or
+    the per-doc coverage rebuild going all-pairs."""
+    docs = amplified(spark, load_table(spark, SF_DIR, "documents"), k,
+                     {"doc_id": 10_000_000})
+    docs = docs.select("doc_id", rep_tokens("text").alias("text"))
+    return (D.duplicate_span_removal(docs, "doc_id", "text", k=8)
+            .groupBy().agg(F.count("*").alias("docs"),
+                           F.sum("n_tokens_removed").alias("cut")))
+
+
+def op_boilerplate(spark, k: int) -> DataFrame:
+    """Corpus-level boilerplate line removal (llm47 shape): replica-
+    suffixed tokens keep recurring lines replica-local, so the
+    distinct-doc line counts and the broadcast set scale ×K."""
+    from rakam_api_collector_spark.operators.scrub import \
+        remove_boilerplate_lines
+
+    docs = amplified(spark, load_table(spark, SF_DIR, "documents"), k,
+                     {"doc_id": 10_000_000})
+    synth = docs.select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.concat(F.lit("navigation menu block replica "),
+                     F.col("_rep").cast("string")),
+            rep_tokens("text"),
+            F.concat(F.lit("copyright footer replica "),
+                     F.col("_rep").cast("string"), F.lit(" variant "),
+                     (F.col("doc_id") % 5).cast("string"))).alias("text"))
+    return (remove_boilerplate_lines(synth, "doc_id", "text",
+                                     min_docs=3)
+            .groupBy().agg(F.count("*").alias("docs"),
+                           F.sum("lines_removed").alias("cut")))
+
+
 OPS = {
     "agg_q1": (op_agg_q1, "lineitem", 600_000),
     "join_orders": (op_join_orders, "lineitem+orders", 750_000),
@@ -203,6 +242,8 @@ OPS = {
     "ann_lsh": (op_ann_lsh, "embeddings", 2_000),
     "exact_topk_blocked": (op_exact_topk_blocked, "embeddings", 2_000),
     "ivf_pq": (op_ivf_pq, "embeddings", 2_000),
+    "dup_span": (op_dup_span, "documents", 5_000),
+    "boilerplate": (op_boilerplate, "documents", 5_000),
 }
 
 
