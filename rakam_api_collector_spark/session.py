@@ -28,6 +28,25 @@ def default_parallelism() -> int:
     return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
 
 
+def fair_scheduler_conf() -> dict[str, str]:
+    """Session confs that fence the shard organizer into a low-weight
+    FAIR pool (the packaged ``fairscheduler.xml``: default 8 :
+    manifest-maintenance 1). ``manifest.run_maintenance`` tags every
+    sweep worker thread with the pool name unconditionally — inert
+    under the default FIFO scheduler, binding the moment a session is
+    built with these confs (``get_spark(extra_conf=
+    fair_scheduler_conf())``), so a compaction wave may soak idle
+    cores but yields slots to trigger-interval batches on demand.
+    Scheduler mode is fixed at SparkContext creation — these cannot be
+    applied to a live session."""
+    here = os.path.dirname(os.path.abspath(__file__))
+    return {
+        "spark.scheduler.mode": "FAIR",
+        "spark.scheduler.allocation.file":
+            os.path.join(here, "fairscheduler.xml"),
+    }
+
+
 def get_spark(app_name: str = "rakam_api_collector_spark",
               cpus: int | None = None,
               extra_conf: dict[str, str] | None = None) -> SparkSession:

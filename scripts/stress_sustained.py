@@ -27,8 +27,15 @@ commit overhead at ~1k keys each; 8 cut the steady batch wall 25-26 s
 to override (0 = leave the session default).
 
 Usage: python scripts/stress_sustained.py \
-           [json|json-grouped|avro|both] \
-           [n_per_batch] [n_batches] [n_collections] [state_partitions]
+           [json|json-grouped|json-manifested[-fair]|avro|both] \
+           [n_per_batch] [n_batches] [n_collections] [state_partitions] \
+           [maint_profile: throttled|wave]
+
+``json-manifested-fair`` rebuilds the session under the FAIR scheduler
+with the packaged low-weight ``manifest-maintenance`` pool
+(session.fair_scheduler_conf) — the cluster-shaped isolation
+measurement; ``wave`` restores the round-8 unthrottled all-collections
+sweep so FAIR's effect can be isolated from the cap's.
 """
 
 from __future__ import annotations
@@ -95,7 +102,8 @@ def _report(name: str, batches: list[dict], n_batches: int,
 def run_json(spark, n: int, n_batches: int, n_coll: int,
              layout: str = "per-table",
              state_partitions: int | None = 4,
-             manifested: bool = False) -> dict:
+             manifested: bool = False,
+             maint_profile: str = "throttled") -> dict:
     work = Path(tempfile.mkdtemp(prefix="stress_sustained_json_"))
     src = work / "src"
     src.mkdir()
@@ -115,10 +123,18 @@ def run_json(spark, n: int, n_batches: int, n_coll: int,
     # become eligible at once cannot flood the 32 cores the live
     # trigger batches need (the unthrottled wave was measured at ~3×
     # a steady trigger interval; see STRESS.md).
-    maint = ({"every_epochs": 2, "min_batches": 4,
-              "max_tables_per_sweep": n_coll // 2,
-              "parallelism": 3} if manifested
-             else None)
+    if not manifested:
+        maint = None
+    elif maint_profile == "wave":
+        # the round-8 unthrottled shape: every collection compacts in
+        # ONE sweep at 8-way parallelism — the worst-case co-residency
+        # burst, kept as the baseline for isolation experiments (FAIR
+        # pool A/B)
+        maint = {"every_epochs": 3, "min_batches": 4}
+    else:
+        maint = {"every_epochs": 2, "min_batches": 4,
+                 "max_tables_per_sweep": n_coll // 2,
+                 "parallelism": 3}
     q = start_ingest_stream(
         spark, str(src), "fabric", Catalog(),
         table_base=str(work / "tables"),
@@ -195,7 +211,15 @@ def main() -> None:
     sp = int(sys.argv[5]) if len(sys.argv) > 5 else 4
     sp = sp if sp > 0 else None
 
-    spark = get_spark("stress_sustained")
+    # *-fair variants rebuild the session under the FAIR scheduler with
+    # the packaged low-weight maintenance pool — the cluster-shaped
+    # isolation run for the organizer co-residency measurement
+    extra = None
+    if mode.endswith("-fair"):
+        from rakam_api_collector_spark.session import fair_scheduler_conf
+        extra = fair_scheduler_conf()
+        mode = mode[:-len("-fair")]
+    spark = get_spark("stress_sustained", extra_conf=extra)
     if mode in ("json", "both"):
         print(json.dumps(run_json(spark, n, n_batches, n_coll,
                                   state_partitions=sp)))
@@ -204,9 +228,11 @@ def main() -> None:
                                   layout="grouped",
                                   state_partitions=sp)))
     if mode in ("json-manifested",):
+        profile = sys.argv[6] if len(sys.argv) > 6 else "throttled"
         print(json.dumps(run_json(spark, n, n_batches, n_coll,
                                   state_partitions=sp,
-                                  manifested=True)))
+                                  manifested=True,
+                                  maint_profile=profile)))
     if mode in ("avro", "both"):
         print(json.dumps(run_avro(spark, n, n_batches, n_coll,
                                   state_partitions=sp)))

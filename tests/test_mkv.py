@@ -159,3 +159,35 @@ def test_mkv_rejects_other_unknown_size_elements():
     patched = good[:i] + b"\xff" + good[i + 1:]
     with pytest.raises(ValueError, match="unknown-size"):
         MK.demux_video_track(patched)
+
+
+def test_lacing_roundtrip_fuzz():
+    """Property fuzz across all three lacing modes: arbitrary frame
+    size lists (including empty frames, >255-byte Xiph runs, and
+    multi-byte EBML deltas in both directions) round-trip
+    byte-identically through mux → demux."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=60, deadline=None)
+    @given(sizes=st.lists(st.integers(min_value=0, max_value=700),
+                          min_size=1, max_size=25),
+           lacing=st.sampled_from(["xiph", "ebml"]),
+           per_cluster=st.integers(min_value=1, max_value=7))
+    def check(sizes, lacing, per_cluster):
+        frames = [bytes([i % 251]) * n for i, n in enumerate(sizes)]
+        data = MK.mux_video_mkv(frames, lacing=lacing,
+                                frames_per_cluster=per_cluster)
+        track = MK.demux_video_track(data)
+        got = [data[o:o + ln] for o, ln, _t in track.samples]
+        assert got == frames
+
+    check()
+    # fixed lacing separately (requires equal sizes)
+    for sz, n, pc in ((0, 5, 2), (13, 9, 4), (300, 3, 3)):
+        frames = [bytes([j]) * sz for j in range(n)]
+        data = MK.mux_video_mkv(frames, lacing="fixed",
+                                frames_per_cluster=pc)
+        track = MK.demux_video_track(data)
+        got = [data[o:o + ln] for o, ln, _t in track.samples]
+        assert got == frames
