@@ -50,19 +50,22 @@ Window history:
   dq05/08, dq12-17 (semi+anti), dq29-32, dq34, dq36, dq47,
   llm01-06, llm11, llm16, llm18-28, llm37-44.
 - r9 (current): the 43 queries with no r8 row (the full r8 out-list
-  above, due back per the invariant), the FIVE new queries — four
+  above, due back per the invariant), the SIX new queries — four
   promoting the round-8 operator families to driver-oracle evidence
   (llm46 SemDeDup semantic dedup, llm47 boilerplate line removal,
   llm48 BPE merge-table induction, llm49 IVF-PQ recall gate) plus
-  llm50 exact duplicate-substring removal (Lee'22) — the registry
-  grows 93 → 98, inside the ≤100 two-round-cadence capacity — and
-  the queries modified in r9 (llm45, whose registered input is
-  promoted from the VID1 fixture to a real MP4 container; llm49's
-  trainer was fused this round and llm17 carries its closeout
-  evidence).
-  Out-of-window (48 queries, all r8-green, due back in r10):
+  llm50 exact duplicate-substring removal (Lee'22) and llm51
+  unigram-LM tokenizer induction (Kudo'18, in-band gates) — the
+  registry grows 93 → 99, the LAST growth under the ≤100
+  two-round-cadence capacity (STOP-GROWTH from r10) — and llm45,
+  modified in r9 (registered input promoted from the VID1 fixture
+  to a real MP4 container). llm17's r9 change is docstring-only
+  (the perf-target closeout), so it yields its slot to llm51 and
+  rotates back in r10.
+  Out-of-window (49 queries, all r8-green, due back in r10 — which
+  leaves exactly 1 slot for r10 modifications):
   dq01-04, dq06/07, dq09-11, dq18-28, dq33, dq35, dq37-46,
-  llm07-10, llm12-15, llm29-36.
+  llm07-10, llm12-15, llm17, llm29-36.
 
 CAPACITY NOTE for round 8+: with 93 queries and a 50-slot window, 43
 must rotate back each round, leaving only 7 slots for new/modified/
@@ -113,11 +116,12 @@ _WINDOW = [
     # family the corpus toolkit lacked)
     "llm46_semantic_dedup", "llm47_boilerplate_removal",
     "llm48_bpe_merges", "llm49_ivf_pq_recall",
-    "llm50_dup_span_removal",
+    "llm50_dup_span_removal", "llm51_unigram_tokenizer",
     # modified in round 9 — must carry fresh evidence (llm45's
     # registered input promoted to a real MP4 container; llm17's
-    # perf-closeout round)
-    "llm45_video_time_sample", "llm17_incremental_dedup",
+    # r9 change is docstring-only — the perf-target closeout — so it
+    # yields its slot to llm51 and rotates back in r10)
+    "llm45_video_time_sample",
 ]
 
 assert len(_WINDOW) == 50 and len(set(_WINDOW)) == 50, len(_WINDOW)

@@ -1190,6 +1190,37 @@ def llm49_ivf_pq_recall(spark: SparkSession, sf: str) -> DataFrame:
             .orderBy("q"))
 
 
+def llm51_unigram_tokenizer(spark: SparkSession, sf: str) -> DataFrame:
+    """Unigram-LM tokenizer induction + encode (operators/unigram.py,
+    Kudo ACL'18 — the SentencePiece model, bpe.py's top-down
+    counterpart): train on a fixed 300-doc slice (driver-side
+    Viterbi-EM over the ONE-pass word table), Viterbi-encode the first
+    200 docs, and emit per-doc in-band gates the oracle asserts (the
+    llm12 pattern — the fitted vocabulary is engine-specific):
+    ``lossless_ok`` (joined pieces == joined tokens byte-for-byte,
+    which a wrong Viterbi table, coverage prune, or logp sign flips)
+    and ``subword_ok`` (piece count within [token count, char count] —
+    segmentation stays within word boundaries and never explodes).
+    ``n_tok`` is the real oracle-computed column anchoring the row."""
+    from rakam_api_collector_spark.operators import unigram as U
+
+    docs = load_table(spark, sf, "documents")
+    model = U.learn_unigram(docs.filter(F.col("doc_id") < 300),
+                            "text", vocab_size=150, seed_size=800)
+    probe = docs.filter(F.col("doc_id") < 200)
+    toks = T.tokens(F.col("text"))
+    units = U.unigram_segment(F.col("text"), model)
+    return (probe.select(
+        "doc_id",
+        F.size(toks).alias("n_tok"),
+        (F.concat_ws("", units) == F.concat_ws("", toks))
+        .alias("lossless_ok"),
+        ((F.size(units) >= F.size(toks))
+         & (F.size(units) <= F.length(F.concat_ws("", toks))))
+        .alias("subword_ok"))
+        .orderBy("doc_id"))
+
+
 _SPAN_K = 8
 _SPAN_TAIL = (" the quick brown fox jumps over the lazy dog"
               " again and again tonight")
@@ -1277,6 +1308,7 @@ QUERIES = {
     "llm48_bpe_merges": llm48_bpe_merges,
     "llm49_ivf_pq_recall": llm49_ivf_pq_recall,
     "llm50_dup_span_removal": llm50_dup_span_removal,
+    "llm51_unigram_tokenizer": llm51_unigram_tokenizer,
 }
 
 
@@ -2449,5 +2481,14 @@ ORACLE = {
                  AS n_tokens_removed,
                CAST(len(kept) AS INTEGER) AS n_tokens_kept
         FROM rebuilt ORDER BY doc_id
+    """,
+    # llm51 emits in-band tokenizer verdicts (the llm12 pattern): the
+    # fitted unigram vocabulary is engine-specific, so only the
+    # lossless-reconstruction and subword-bounds booleans cross the
+    # oracle boundary, anchored by the oracle-computed token count.
+    "llm51_unigram_tokenizer": f"""
+        SELECT doc_id, CAST(len({_DUCK_TOKS}) AS INTEGER) AS n_tok,
+               true AS lossless_ok, true AS subword_ok
+        FROM documents WHERE doc_id < 200 ORDER BY doc_id
     """,
 }
