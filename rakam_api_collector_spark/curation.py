@@ -118,6 +118,28 @@ def semantic_dedup(threshold: float = 0.92, k: int = 16,
     return stage
 
 
+def span_dedup(k: int = 50, id_col: str = "doc_id",
+               text_col: str = "text") -> Stage:
+    """Exact duplicate-substring removal stage (Lee et al. 2022): cut
+    every non-canonical occurrence of any k-token window from the
+    surviving documents' text — the SUB-document complement to the
+    whole-document dedup stages (boilerplate paragraphs, quoted
+    passages, licence blocks survive exact/minhash/semantic dedup
+    because the documents differ; this removes the repeated span
+    itself). Rewrites ``text`` and adds ``n_tokens_removed``."""
+    from rakam_api_collector_spark.operators.dedup import \
+        duplicate_span_removal
+
+    def stage(df: DataFrame) -> DataFrame:
+        cleaned = duplicate_span_removal(df, id_col, text_col, k=k) \
+            .select(id_col, F.col(text_col).alias("_cur_clean"),
+                    "n_tokens_removed")
+        return (df.drop("n_tokens_removed").join(cleaned, id_col)
+                .withColumn(text_col, F.col("_cur_clean"))
+                .drop("_cur_clean"))
+    return stage
+
+
 def head_truncate(max_tokens: int, text_col: str = "text") -> Stage:
     """Token-budget cap: keep the first ``max_tokens`` tokens (row
     local). Rewrites ``text`` as the space-joined kept tokens and adds

@@ -123,3 +123,29 @@ def test_semantic_dedup_stage_and_operator(spark):
     assert all(i in kept for i in range(15))     # min-id survives
     with pytest.raises(ValueError, match="embedding"):
         pipe.run(docs)
+
+
+def test_span_dedup_stage(spark):
+    """The sub-document dedup stage: a licence block pasted into many
+    documents is cut from every non-canonical site while the documents
+    themselves (which differ, so whole-doc dedup keeps them all)
+    survive with their unique content intact; composition with
+    gopher_filter runs as one pipeline."""
+    block = ("this software is provided as is without warranty of "
+             "any kind express or implied")
+    # every non-block 8-token window carries a doc-unique token, so
+    # ONLY the licence block is a duplicated span
+    rows = [(i, f"doc{i} alpha{i} bravo{i} charlie{i} delta{i} "
+                f"sentence number {i} {block} tail{i} echo{i} "
+                f"foxtrot{i} golf{i} hotel{i} india{i}")
+            for i in range(6)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    pipe = C.CurationPipeline([C.span_dedup(k=8)])
+    out = {r.doc_id: r for r in pipe.run(docs).collect()}
+    assert len(out) == 6                      # no documents dropped
+    assert block in out[0].text               # canonical copy survives
+    for i in range(1, 6):
+        assert "without warranty" not in out[i].text
+        assert f"sentence number {i}" in out[i].text
+        assert out[i].n_tokens_removed > 0
+    assert out[0].n_tokens_removed == 0
