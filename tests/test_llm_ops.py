@@ -681,3 +681,49 @@ def test_duplicate_span_removal(spark):
     for r in out.values():
         assert r.n_tokens_removed + r.n_tokens_kept == \
             len([t for t in r.text.split() if t]) + r.n_tokens_removed
+
+
+def test_duplicate_span_removal_fuzz_vs_reference(spark):
+    """Property fuzz: random small corpora from a 6-word vocabulary
+    (maximal window collisions) against an independent pure-Python
+    reference of the rule — every k-window occurring at >1 (doc,pos)
+    site keeps only its (min doc, min pos) copy; a token survives iff
+    no cut window covers it. Catches canonical-order, off-by-one, and
+    overlap-merge defects the hand fixtures can't enumerate."""
+    import random
+
+    from rakam_api_collector_spark.operators.dedup import \
+        duplicate_span_removal
+
+    rng = random.Random(20260814)
+    vocab = ["aa", "bb", "cc", "dd", "ee", "ff"]
+    K = 3
+
+    def reference(corpus: dict[int, list[str]]):
+        sites: dict[tuple, list[tuple[int, int]]] = {}
+        for d in sorted(corpus):
+            t = corpus[d]
+            for p in range(len(t) - K + 1):
+                sites.setdefault(tuple(t[p:p + K]), []).append((d, p))
+        cuts: dict[int, set[int]] = {d: set() for d in corpus}
+        for where in sites.values():
+            for d, p in sorted(where)[1:]:
+                cuts[d].update(range(p, p + K))
+        out = {}
+        for d, t in corpus.items():
+            kept = [tok for j, tok in enumerate(t)
+                    if j not in cuts[d]]
+            out[d] = (" ".join(kept), len(t) - len(kept))
+        return out
+
+    for _ in range(6):
+        corpus = {d: [rng.choice(vocab)
+                      for _ in range(rng.randint(0, 14))]
+                  for d in range(8)}
+        df = spark.createDataFrame(
+            [(d, " ".join(t)) for d, t in corpus.items()],
+            "doc_id long, text string")
+        got = {r.doc_id: (r.text, r.n_tokens_removed)
+               for r in duplicate_span_removal(
+                   df, "doc_id", "text", k=K).collect()}
+        assert got == reference(corpus)
