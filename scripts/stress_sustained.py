@@ -27,7 +27,7 @@ commit overhead at ~1k keys each; 8 cut the steady batch wall 25-26 s
 to override (0 = leave the session default).
 
 Usage: python scripts/stress_sustained.py \
-           [json|json-grouped|json-manifested[-fair]|avro|both] \
+           [json|json-grouped|json-manifested[-fair]|avro|avro-manifested[-fair]|both] \
            [n_per_batch] [n_batches] [n_collections] [state_partitions] \
            [maint_profile: throttled|wave]
 
@@ -169,7 +169,9 @@ def run_json(spark, n: int, n_batches: int, n_coll: int,
 
 
 def run_avro(spark, n: int, n_batches: int, n_coll: int,
-             state_partitions: int | None = 4) -> dict:
+             state_partitions: int | None = 4,
+             manifested: bool = False,
+             maint_profile: str = "throttled") -> dict:
     work = Path(tempfile.mkdtemp(prefix="stress_sustained_avro_"))
     src = work / "src"
     src.mkdir()
@@ -187,6 +189,14 @@ def run_avro(spark, n: int, n_batches: int, n_coll: int,
     feed = (spark.readStream.format("text")
             .option("maxFilesPerTrigger", 1).load(str(src))
             .select(F.unbase64("value").alias("value")))
+    if not manifested:
+        maint = None
+    elif maint_profile == "wave":
+        maint = {"every_epochs": 3, "min_batches": 4}
+    else:
+        maint = {"every_epochs": 2, "min_batches": 4,
+                 "max_tables_per_sweep": n_coll // 2,
+                 "parallelism": 3}
     t0 = time.perf_counter()
     q = start_avro_ingest_stream(
         spark, None, catalog,
@@ -195,10 +205,27 @@ def run_avro(spark, n: int, n_batches: int, n_coll: int,
         project="stress",
         now=NOW, shard_time=SHARD_T, dedup=True,
         trigger={"availableNow": True}, source_stream=feed,
-        state_partitions=state_partitions)
+        state_partitions=state_partitions,
+        manifested=manifested, maintenance=maint)
     q.awaitTermination(1200)
     wall = time.perf_counter() - t0
-    rec = _report("avro", _progress_rows(q), n_batches, wall)
+    name = "avro_manifested" if manifested else "avro"
+    rec = _report(name, _progress_rows(q), n_batches, wall)
+    if manifested and q.maintenance is not None:
+        q.maintenance.wait(120)
+        rec["maintenance_sweeps"] = len(q.maintenance.reports)
+        rec["sweeps_with_compaction"] = sum(
+            1 for rep in q.maintenance.reports
+            for tr in rep.get("tables", []) if "compacted" in tr)
+        from rakam_api_collector_spark.manifest import ManifestedTable
+        counts = []
+        base = work / "tables"
+        for proj in sorted(p.name for p in base.iterdir()):
+            for coll in sorted(c.name for c in (base / proj).iterdir()):
+                counts.append(len(ManifestedTable(
+                    str(base), proj, coll).committed()))
+        rec["max_live_batches_per_collection"] = max(counts)
+        rec["n_collections"] = len(counts)
     shutil.rmtree(work, ignore_errors=True)
     return rec
 
@@ -236,6 +263,12 @@ def main() -> None:
     if mode in ("avro", "both"):
         print(json.dumps(run_avro(spark, n, n_batches, n_coll,
                                   state_partitions=sp)))
+    if mode in ("avro-manifested",):
+        profile = sys.argv[6] if len(sys.argv) > 6 else "throttled"
+        print(json.dumps(run_avro(spark, n, n_batches, n_coll,
+                                  state_partitions=sp,
+                                  manifested=True,
+                                  maint_profile=profile)))
 
 
 if __name__ == "__main__":
