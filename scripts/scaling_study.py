@@ -233,6 +233,29 @@ def op_boilerplate(spark, k: int) -> DataFrame:
                            F.sum("lines_removed").alias("cut")))
 
 
+_UNI_MODEL = None
+
+
+def op_unigram_encode(spark, k: int) -> DataFrame:
+    """Unigram-LM Viterbi encode (llm51's apply half): the model is
+    trained ONCE (a driver-side artifact over the bounded word table),
+    then the ×K corpus is encoded by the Arrow-batched Viterbi UDF —
+    map-only, so wall must scale with the scan."""
+    global _UNI_MODEL
+    from rakam_api_collector_spark.operators import unigram as U
+    if _UNI_MODEL is None:
+        _UNI_MODEL = U.learn_unigram(
+            load_table(spark, SF_DIR, "documents")
+            .filter(F.col("doc_id") < 300), "text",
+            vocab_size=150, seed_size=800)
+    docs = amplified(spark, load_table(spark, SF_DIR, "documents"), k,
+                     {"doc_id": 10_000_000})
+    return (docs.select(F.size(U.unigram_segment(
+        F.col("text"), _UNI_MODEL)).alias("n"))
+        .groupBy().agg(F.sum("n").alias("pieces"),
+                       F.count("*").alias("docs")))
+
+
 OPS = {
     "agg_q1": (op_agg_q1, "lineitem", 600_000),
     "join_orders": (op_join_orders, "lineitem+orders", 750_000),
@@ -244,6 +267,7 @@ OPS = {
     "ivf_pq": (op_ivf_pq, "embeddings", 2_000),
     "dup_span": (op_dup_span, "documents", 5_000),
     "boilerplate": (op_boilerplate, "documents", 5_000),
+    "unigram_encode": (op_unigram_encode, "documents", 5_000),
 }
 
 
