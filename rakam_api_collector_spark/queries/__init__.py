@@ -81,6 +81,18 @@ clustering, bin-packing compaction, per-file Bloom sidecars, and
 IVF-PQ with exact rerank — landed as pytest-pinned deepening of
 existing surfaces), keeping the registry at 93 and the two-round
 cadence exactly satisfiable.
+
+Round 9 spent the last headroom deliberately (93 → 99: the four
+round-8 families promoted to oracle rows plus llm50/llm51) — so
+ROUND 10 RULE: the registry is FROZEN at 99. The r10 window is the
+49 r9-out queries + exactly ONE slot. If r10 modifies more than one
+registered query's behavior, either (a) consolidate two
+near-duplicate queries in the same commit to free a slot (candidates:
+llm33/llm36 share the WAV decode path; dq14 has two rows), or
+(b) declare an explicit one-round split of the check in this
+docstring AND the README cadence table — never silently let a
+modified query ride on stale evidence. Docstring-only edits don't
+take a slot (the llm17 precedent, r9).
 """
 
 from __future__ import annotations
