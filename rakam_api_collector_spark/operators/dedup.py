@@ -604,15 +604,29 @@ def duplicate_span_removal(docs: DataFrame, id_col: str, text_col: str,
     - ONE pass explodes each document into its n-k+1 rolling windows,
       keyed by ``xxhash64`` of the window's token span — narrow
       (id, pos, whash) rows, never window text.
-    - One shuffle on whash: a window-function rank over (doc, pos)
-      within each hash marks every NON-canonical site (rank > 1 — a
-      hash with one site is untouched). No distinct-vs-distinct join,
-      no candidate pairs: duplication is a per-key property.
+    - One TWO-PHASE aggregate on whash — ``min(struct(id, pos))`` +
+      site count — names each duplicated hash's canonical site. Both
+      measures combine map-side, so a hot k-gram (the operator's own
+      target input: a boilerplate span at 10⁴+ sites) reduces to one
+      narrow row per map partition instead of concentrating every
+      site in a single window-sort task, which is exactly what the
+      earlier ``row_number``-over-(doc,pos) formulation did.
+    - The canon rows (duplicated hashes only) join BACK onto the
+      window rows by whash — a shuffled hash join, no per-key sort —
+      and every site ≠ canon is marked. AQE's skew-join split can
+      fan a hot hash's probe rows across tasks; a window rank never
+      could. No distinct-vs-distinct join, no candidate pairs:
+      duplication stays a per-key property.
     - One shuffle back on doc id collects each document's marked
       positions (small by construction — only duplicated sites
       travel), then a map-only rebuild: token j survives iff no
       marked position p has p ≤ j < p+k (an ``exists`` fold over the
       per-doc marked list, all JVM).
+    The window rows are derived twice (canon aggregate + probe side);
+    both derivations are map-only tokenize/hash scans that pipeline
+    with their shuffles, and trading that linear recompute for the
+    map-side-combining aggregate is what removes the hot-key wall —
+    persist the window frame first if the scan dominates.
     At 100 TB the whash shuffle is the cost, and it is the minimal
     one: every window must meet its duplicates exactly once."""
     from rakam_api_collector_spark.operators.text import tokens
@@ -631,10 +645,15 @@ def duplicate_span_removal(docs: DataFrame, id_col: str, text_col: str,
                                                     s, k)))))
                 .alias("_pos0", "_wh"))
             .select("_id", (F.col("_pos0") + 1).alias("_pos"), "_wh"))
-    w = Window.partitionBy("_wh").orderBy("_id", "_pos")
+    canon = (wins.groupBy("_wh")
+             .agg(F.min(F.struct("_id", "_pos")).alias("_canon"),
+                  F.count(F.lit(1)).alias("_sites"))
+             .filter(F.col("_sites") > 1)
+             .select("_wh", "_canon"))
     marked = (wins
-              .withColumn("_rn", F.row_number().over(w))
-              .filter(F.col("_rn") > 1)
+              .join(canon.hint("shuffle_hash"), "_wh")
+              .filter((F.col("_id") != F.col("_canon._id"))
+                      | (F.col("_pos") != F.col("_canon._pos")))
               .groupBy("_id")
               .agg(F.array_sort(F.collect_list("_pos")).alias("_cut")))
     covered = lambda j: F.exists(       # noqa: E731 — plan fragment

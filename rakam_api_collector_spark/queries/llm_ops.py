@@ -1224,26 +1224,37 @@ def llm51_unigram_tokenizer(spark: SparkSession, sf: str) -> DataFrame:
 _SPAN_K = 8
 _SPAN_TAIL = (" the quick brown fox jumps over the lazy dog"
               " again and again tonight")
+# r10: a tail EVERY document shares — its k-grams are the corpus-wide
+# HOT hashes (|docs| sites each), certifying the skew-proof canonical
+# aggregate in-band, not just in the STRESS.md scaling cell.
+_HOT_TAIL = (" pack my box with five dozen liquor jugs"
+             " shouts every single page")
 
 
 def llm50_dup_span_removal(spark: SparkSession, sf: str) -> DataFrame:
     """Exact duplicate-substring removal (operators/dedup.py:
     duplicate_span_removal, Lee'22 arXiv:2107.06499) at k=8 word
     tokens over documents whose doc_id % 4 == 0 share an injected
-    13-token tail — so the corpus provably contains cross-document
-    exact spans: the canonical site (lowest doc_id) keeps its copy,
-    every other site loses the whole overlap-merged span, and any
-    k-grams the raw texts share naturally dedup too. The oracle
-    replays the full rule in SQL keyed by the window's token STRING
-    (the engine keys by xxhash64 of the same span — the llm47
-    hash-vs-value precedent), so a wrong window hash, canonical
-    order, or coverage-merge defect all hash-fail."""
+    13-token tail AND — new in r10 — every document shares a second
+    11-token tail, so the corpus provably contains cross-document
+    exact spans at two skew regimes: |docs|/4 sites per %4-tail
+    k-gram and |docs| sites per hot-tail k-gram (the hot-key shape
+    the r10 two-phase canonical aggregate exists for). The canonical
+    site (lowest (doc_id, pos)) keeps its copy, every other site
+    loses the whole overlap-merged span, and any k-grams the raw
+    texts share naturally dedup too. The oracle replays the full
+    rule in SQL keyed by the window's token STRING (the engine keys
+    by xxhash64 of the same span — the llm47 hash-vs-value
+    precedent), so a wrong window hash, canonical order, or
+    coverage-merge defect all hash-fail."""
     docs = load_table(spark, sf, "documents")
     synth = docs.select(
         "doc_id",
-        F.when(F.col("doc_id") % 4 == 0,
-               F.concat(F.col("text"), F.lit(_SPAN_TAIL)))
-        .otherwise(F.col("text")).alias("text"))
+        F.concat(
+            F.when(F.col("doc_id") % 4 == 0,
+                   F.concat(F.col("text"), F.lit(_SPAN_TAIL)))
+            .otherwise(F.col("text")),
+            F.lit(_HOT_TAIL)).alias("text"))
     out = D.duplicate_span_removal(synth, "doc_id", "text", k=_SPAN_K)
     return (out.select("doc_id", "text", "n_tokens_removed",
                        "n_tokens_kept")
@@ -2439,9 +2450,9 @@ ORACLE = {
     "llm50_dup_span_removal": f"""
         WITH synth AS (
           SELECT doc_id,
-                 CASE WHEN doc_id % 4 = 0
-                      THEN text || '{_SPAN_TAIL}'
-                      ELSE text END AS text
+                 (CASE WHEN doc_id % 4 = 0
+                       THEN text || '{_SPAN_TAIL}'
+                       ELSE text END) || '{_HOT_TAIL}' AS text
           FROM documents),
         base AS (
           SELECT doc_id,

@@ -426,9 +426,14 @@ def test_boilerplate_removal_broadcasts_the_line_set(spark):
 
 def test_duplicate_span_removal_shuffles_only_on_keys(spark):
     """duplicate_span_removal's 100 TB shape: duplication is a per-key
-    property — one window-rank exchange on the window hash, one
-    aggregate back on doc id — so the plan has NO join of the corpus
-    against itself beyond the final (doc-keyed) cut join, and no
+    property — a TWO-PHASE min(struct(id,pos))+count aggregate on the
+    window hash names each duplicated hash's canonical site with
+    map-side combine (a hot k-gram reduces to one row per map
+    partition), the canon rows join back by hash WITHOUT any per-key
+    sort or rank (AQE skew-split can fan a hot hash's probe rows; a
+    window rank concentrates them in one task — the r9 skew finding),
+    and one aggregate back on doc id collects the cuts. No join of
+    the corpus against itself beyond those keyed joins, no
     cartesian/nested-loop anywhere. The rebuild is pure Catalyst
     (exists/filter/transform HOFs), no Python in the plan."""
     from rakam_api_collector_spark.operators.dedup import \
@@ -440,7 +445,9 @@ def test_duplicate_span_removal_shuffles_only_on_keys(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "xxhash64" in plan                     # hash-keyed windows
-    assert "row_number" in plan                   # per-key canon rank
+    # the de-skewed canon step: no per-hash rank/sorted window —
+    # a partial (map-side) min/count pair feeding a hash join-back
+    assert "row_number" not in plan and "Window" not in plan
+    assert "partial_min" in plan and "partial_count" in plan
+    assert "ShuffledHashJoin" in plan
     assert "PythonUDF" not in plan and "ArrowEval" not in plan
-    # exactly one join (cuts back onto docs, keyed by id)
-    assert plan.count("Join") - plan.count("JoinSelection") <= 2
