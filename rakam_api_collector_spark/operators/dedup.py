@@ -414,8 +414,8 @@ def embedding_cosine_pairs(docs: DataFrame, id_col: str, vec_col: str,
 def semantic_dedup_pairs(docs: DataFrame, id_col: str, vec_col: str,
                          threshold: float = 0.92, k: int = 16,
                          iters: int = 2,
-                         centroids: list[list[float]] | None = None
-                         ) -> DataFrame:
+                         centroids: list[list[float]] | None = None,
+                         pair_budget: int | None = None) -> DataFrame:
     """SemDeDup-shaped semantic near-dup pairs (Abbas et al. 2023,
     arXiv:2303.09540, public paper): k-means-cluster the embedding
     space, then compare cosines WITHIN clusters only — pairs (a < b,
@@ -424,7 +424,10 @@ def semantic_dedup_pairs(docs: DataFrame, id_col: str, vec_col: str,
     This is the scale path for semantic dedup at corpus size: the
     cluster id plays the bucket role (one shuffle on a k-ary key; the
     pair space is Σ n_c², bounded by cluster granularity — raise ``k``
-    as the corpus grows, exactly as the paper does at 100 k clusters),
+    as the corpus grows, exactly as the paper does at 100 k clusters.
+    Concretely: for balanced clusters of target size s, Σ n_c² ≈ n·s,
+    so pick ``k ≈ n / s`` with s sized to what one task can pair —
+    s = 10⁴ keeps every cluster's pair block under ~10⁸ dots),
     and the assignment itself is map-only with the k×dim centroid
     literal riding inside the plan (operators/clustering.py). True
     near-duplicates embed near-identically, so they land in the same
@@ -435,7 +438,16 @@ def semantic_dedup_pairs(docs: DataFrame, id_col: str, vec_col: str,
 
     ``centroids`` reuses a trained model (kmeans_centroids /
     the persisted IVF index's cells) instead of re-clustering —
-    the incremental-batch shape."""
+    the incremental-batch shape.
+
+    ``pair_budget`` guards the formula above against adversarial
+    clustering (a mode-collapsed corpus where one cluster swallows
+    everything and the "within-cluster" join degenerates toward n²):
+    when set, ONE extra bounded job (k cluster counts) estimates
+    Σ n_c² after assignment and raises ValueError before the pair
+    join is ever scheduled if it exceeds the budget — the fix is a
+    larger ``k`` or pre-splitting the hot mode, and the error says
+    so. None (default) skips the extra job."""
     from rakam_api_collector_spark.operators import clustering as C
     from rakam_api_collector_spark.operators import similarity as S
 
@@ -450,6 +462,17 @@ def semantic_dedup_pairs(docs: DataFrame, id_col: str, vec_col: str,
             base, "_id", "_v", init=[list(r["_c"]) for r in first],
             iters=iters)
     assigned = C._with_assignment(base, "_id", "_v", centroids)
+    if pair_budget is not None:
+        sizes = assigned.groupBy("cluster").count().collect()  # ≤ k rows
+        est = sum(r["count"] * r["count"] for r in sizes)
+        if est > pair_budget:
+            worst = max(sizes, key=lambda r: r["count"])
+            raise ValueError(
+                f"semantic_dedup_pairs: estimated pair space "
+                f"sum(n_c^2)={est} exceeds pair_budget={pair_budget} "
+                f"(largest cluster {worst['cluster']} has "
+                f"{worst['count']} rows); raise k (~n/target_size) or "
+                f"pre-split the hot mode before the pair join")
     # normalize ONCE per row so each pair costs a single dot fold
     # instead of dot + two norm folds (|pairs| = Σ n_c² ≫ |rows|; the
     # same amortization _unit gives the similarity operators)

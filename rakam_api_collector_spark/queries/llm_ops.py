@@ -1092,16 +1092,27 @@ def llm46_semantic_dedup(spark: SparkSession, sf: str) -> DataFrame:
     or a cosine defect all hash-fail. Threshold 0.3 matches llm15's
     (the fixture embeddings are near-isotropic; the operator's 0.92
     default is the production knob, not the test knob), and the
-    membership test is rounded-THEN-filtered exactly as llm15's so
-    engine FP noise at the boundary cannot flip a pair; the operator
-    threshold is disabled (-2.0) to keep one filter site. Gated to
-    vec_id < 500 (the llm15 convention — the whole table at
-    sf≤0.01): the oracle's job is the semantics, the within-cluster
-    pair-space scaling is measured separately in STRESS.md."""
+    decisive membership test is rounded-THEN-filtered exactly as
+    llm15's so engine FP noise at the boundary cannot flip a pair.
+    r10: the operator's own threshold filter — the production path,
+    uncertified while it sat at -2.0 — now runs live at 0.0, safely
+    below the 0.3 decision boundary (a pair the raw filter drops can
+    never round to ≥ 0.3), and the oracle computes cosine through
+    the ENGINE's association order (unit vectors first, then an
+    index-order dot — list_sum folds in index order like Spark's
+    aggregate, the llm26 precedent) instead of DuckDB's
+    list_cosine_similarity on raw vectors, closing the r9 advice
+    that a last-ulp norm-order difference on a .00005 boundary
+    could cross the hash. Gated to vec_id < 500 (the llm15
+    convention — the whole table at sf≤0.01): the oracle's job is
+    the semantics, the within-cluster pair-space scaling is measured
+    separately in STRESS.md and guarded by the operator's
+    pair_budget knob (tests pin the adversarial single-cluster
+    raise)."""
     emb = (load_table(spark, sf, "embeddings")
            .filter(F.col("vec_id") < 500))
     pairs = D.semantic_dedup_pairs(emb, "vec_id", "embedding",
-                                   threshold=-2.0, k=4, iters=1)
+                                   threshold=0.0, k=4, iters=1)
     return (pairs.select("a", "b", "cluster",
                          F.round("cos", 4).alias("cos"))
             .filter(F.col("cos") >= 0.3)
@@ -2387,11 +2398,24 @@ ORACLE = {
             FROM d1) WHERE rn = 1),
         asg AS (
           SELECT a1.vec_id, a1.cl, e.v FROM a1 JOIN e USING (vec_id)),
+        -- engine association order: normalize each vector first
+        -- (elementwise divide by its own fold-order norm), then an
+        -- index-order dot of the unit vectors; list_sum folds in
+        -- index order, matching Spark's sequential aggregate fold
+        -- (the llm26 precedent) — NOT list_cosine_similarity on raw
+        -- vectors, whose norm-product order differs in the last ulp
+        unitv AS (
+          SELECT vec_id, cl,
+                 list_transform(v, x -> x / sqrt(list_sum(
+                     list_transform(v, y -> y * y)))) AS u
+          FROM asg),
         pairs AS (
           SELECT x.vec_id AS a, y.vec_id AS b,
                  CAST(x.cl AS INTEGER) AS cluster,
-                 round(list_cosine_similarity(x.v, y.v), 4) AS cos
-          FROM asg x JOIN asg y
+                 round(list_sum([x.u[j] * y.u[j]
+                                 for j in range(1, len(x.u) + 1)]), 4)
+                   AS cos
+          FROM unitv x JOIN unitv y
             ON x.cl = y.cl AND x.vec_id < y.vec_id)
         SELECT a, b, cluster, cos FROM pairs
         WHERE cos >= 0.3 ORDER BY a, b

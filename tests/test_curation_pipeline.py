@@ -125,6 +125,36 @@ def test_semantic_dedup_stage_and_operator(spark):
         pipe.run(docs)
 
 
+def test_semantic_dedup_pair_budget_guard(spark):
+    """The pair_budget guard (auto-k guidance made enforceable): an
+    adversarial mode-collapsed corpus — every embedding identical —
+    lands in ONE cluster, so the within-cluster pair space is n² no
+    matter what k says; the guard must estimate sum(n_c^2) from the
+    bounded cluster-count job and raise BEFORE the pair join runs,
+    naming the hot cluster. A healthy corpus under the same budget
+    sails through, and budget=None never runs the extra job."""
+    import pytest
+    from rakam_api_collector_spark.operators import dedup as D
+
+    n = 200
+    one = (spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[F.lit(float(i % 3 + 1)) for i in range(8)])
+        .alias("embedding")))
+    with pytest.raises(ValueError, match="pair_budget"):
+        D.semantic_dedup_pairs(one, "vec_id", "embedding", k=4,
+                               iters=1, pair_budget=n * 50)
+    # spread corpus: k=8 clusters over the real fixture stays under
+    # the same per-cluster-quadratic budget and must NOT raise
+    emb = (load_table(spark, SF, "embeddings")
+           .filter(F.col("vec_id") < 120)
+           .select("vec_id", "embedding"))
+    out = D.semantic_dedup_pairs(emb, "vec_id", "embedding",
+                                 threshold=0.9, k=8,
+                                 pair_budget=120 * 120)
+    assert out.count() >= 0
+
+
 def test_span_dedup_stage(spark):
     """The sub-document dedup stage: a licence block pasted into many
     documents is cut from every non-canonical site while the documents
