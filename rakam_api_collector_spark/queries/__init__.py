@@ -36,7 +36,7 @@ Window history:
   llm44 real JPEG decode gate, llm45 timestamp-based video
   sampling), and heavy regression-prone fill (llm09/10/16/17).
   All 50 green.
-- r8 (current): the 43 queries with no r7 row (dq01-04, dq06/07,
+- r8: the 43 queries with no r7 row (dq01-04, dq06/07,
   dq09-11, dq18-28, dq33, dq35, dq37-46, llm07/08, llm13-15,
   llm29-32, llm34/35 — all r6-green, due back per the invariant),
   the queries modified in r8 (llm12, whose correctness gate reverts
@@ -49,7 +49,7 @@ Window history:
   Out-of-window (43 queries, all r7-green, due back in r9):
   dq05/08, dq12-17 (semi+anti), dq29-32, dq34, dq36, dq47,
   llm01-06, llm11, llm16, llm18-28, llm37-44.
-- r9 (current): the 43 queries with no r8 row (the full r8 out-list
+- r9: the 43 queries with no r8 row (the full r8 out-list
   above, due back per the invariant), the SIX new queries — four
   promoting the round-8 operator families to driver-oracle evidence
   (llm46 SemDeDup semantic dedup, llm47 boilerplate line removal,
@@ -66,6 +66,22 @@ Window history:
   leaves exactly 1 slot for r10 modifications):
   dq01-04, dq06/07, dq09-11, dq18-28, dq33, dq35, dq37-46,
   llm07-10, llm12-15, llm17, llm29-36.
+- r10 (current): the invariant's fifth cycle needed THREE slots for
+  modified queries (llm50's de-skewed canonical aggregate + hot-tail
+  input, llm46's FP-coupled oracle + live production threshold) with
+  only one spare, so r10 exercises the documented escape hatch: the
+  former llm33_audio_features and llm36_audio_resample rows — which
+  certified the same synthesize → decode WAV path — consolidate into
+  ONE merged row, llm33_audio_pipeline, whose wide result joins the
+  raw-decode stats AND the decode → resample → encode → decode stats
+  per clip (the union of both old assertions; registry 99 → 98).
+  Window = the 47 remaining due-back queries (the r9 out-list minus
+  llm33/llm36) + llm33_audio_pipeline (merged ⇒ modified) + llm46 +
+  llm50. Out-of-window (48 queries, all r9-green, due back in r11):
+  dq05/08, dq12-17 (semi+anti), dq29-32, dq34, dq36, dq47,
+  llm01-06, llm11, llm16, llm18-28, llm37-45, llm47-49, llm51.
+  With 98 registered queries the two-round cadence now carries 2
+  spare slots per round (50 - 48).
 
 CAPACITY NOTE for round 8+: with 93 queries and a 50-slot window, 43
 must rotate back each round, leaving only 7 slots for new/modified/
@@ -93,6 +109,22 @@ llm33/llm36 share the WAV decode path; dq14 has two rows), or
 docstring AND the README cadence table — never silently let a
 modified query ride on stale evidence. Docstring-only edits don't
 take a slot (the llm17 precedent, r9).
+
+Round 10 took hatch (a): llm33/llm36 merged into llm33_audio_pipeline
+(registry 99 → 98, window history above). FREEZE still holds — growth
+only via consolidation. Remaining consolidation candidates if a
+future round needs more slots, drafted here so slots are spent from a
+plan, not under pressure:
+- dq14_anti_join + dq14_semi_join → one dq14_semi_anti row emitting
+  both the semi- and anti-join results union-tagged by a 'side'
+  column (asserts both join strategies and their row sets; frees 1).
+- llm34_video_sample + llm45_video_time_sample → one sampler-parity
+  row: llm45 already exercises sampling through the same decode path
+  on real containers; the merged row would emit llm34's every-Nth
+  stats UNION llm45's time-based stats, keyed by mode (frees 1; keep
+  BOTH sampling branches live in the result).
+- llm02_ttr + llm03_avg_token_len → one per-doc lexical-stats row
+  (same tokenize scan, disjoint aggregates; frees 1, weakest win).
 """
 
 from __future__ import annotations
@@ -104,36 +136,34 @@ _ALL_ORACLE = {**relational.ORACLE, **llm_ops.ORACLE}
 
 # First 50 = this round's driver-checked window (see docstring history).
 _WINDOW = [
-    # 43 queries with no round-8 driver row — rotate back first
-    "dq05_route_fanout", "dq08_hash_agg",
-    "dq12_join_dim", "dq13_multi_join", "dq14_anti_join",
-    "dq14_semi_join", "dq15_outer_join", "dq16_window",
-    "dq17_dedup_first", "dq29_envelope_parse",
-    "dq30_tumbling_window", "dq31_asof_join", "dq32_salted_agg",
-    "dq34_range_join", "dq36_approx_distinct", "dq47_sliding_window",
-    "llm01_token_count", "llm02_ttr", "llm03_avg_token_len",
-    "llm04_lang_id", "llm05_fingerprint", "llm06_quality",
-    "llm11_knn_cosine", "llm16_dedup_clusters", "llm18_bpe_tokens",
-    "llm19_ivf_ann", "llm20_tfidf", "llm21_pii_redact",
-    "llm22_chunk_dedup", "llm23_contamination",
-    "llm24_stratified_split", "llm25_repetition", "llm26_kmeans",
-    "llm27_surprisal", "llm28_quantize", "llm37_bigram_lm",
-    "llm38_training_order", "llm39_curriculum_bins",
-    "llm40_quality_rules", "llm41_head_truncate",
-    "llm42_curation_e2e", "llm43_compression_ratio",
-    "llm44_jpeg_decode",
-    # NEW in round 9: the round-8 operator families promoted to
-    # driver-oracle evidence (VERDICT r8 ask #2), plus exact
-    # duplicate-substring removal (Lee'22 — the last classic dedup
-    # family the corpus toolkit lacked)
-    "llm46_semantic_dedup", "llm47_boilerplate_removal",
-    "llm48_bpe_merges", "llm49_ivf_pq_recall",
-    "llm50_dup_span_removal", "llm51_unigram_tokenizer",
-    # modified in round 9 — must carry fresh evidence (llm45's
-    # registered input promoted to a real MP4 container; llm17's
-    # r9 change is docstring-only — the perf-target closeout — so it
-    # yields its slot to llm51 and rotates back in r10)
-    "llm45_video_time_sample",
+    # the 47 due-back queries (no round-9 driver row; the r9 out-list
+    # minus llm33/llm36, consolidated below) — rotate back first
+    "dq01_projection", "dq02_whitelist", "dq03_late_split",
+    "dq04_sink_envelope", "dq06_max_offset", "dq07_zone_map",
+    "dq09_distinct_agg", "dq10_rollup", "dq11_sum_cents",
+    "dq18_topk", "dq19_truncate", "dq20_safe_cast",
+    "dq21_set_ops", "dq22_array_funcs", "dq23_hash",
+    "dq24_scalars", "dq25_udf_shape", "dq26_epoch_conversions",
+    "dq27_json_encode", "dq28_date_format", "dq33_percentile",
+    "dq35_sessionize", "dq37_hash_split", "dq38_cube",
+    "dq39_pivot", "dq40_window_analytics", "dq41_approx_quantile",
+    "dq42_funnel", "dq43_retention", "dq44_grouping_sets",
+    "dq45_range_frame", "dq46_stats_agg",
+    "llm07_exact_dedup", "llm08_jaccard_pairs", "llm09_minhash_lsh",
+    "llm10_simhash", "llm12_ann_lsh", "llm13_multimodal_meta",
+    "llm14_decode_features", "llm15_embed_dedup",
+    "llm17_incremental_dedup", "llm29_pack_sequences",
+    "llm30_mixture_sample", "llm31_vocab_coverage",
+    "llm32_dedup_keep_best", "llm34_video_sample",
+    "llm35_resize_image",
+    # merged in round 10 (the former llm33/llm36 rows, both due back;
+    # the wide result asserts the union of their old assertions)
+    "llm33_audio_pipeline",
+    # modified in round 10 - must carry fresh evidence (llm50's
+    # de-skewed canonical aggregate + corpus-wide hot-tail input;
+    # llm46's FP-coupled fold-form oracle cosine + live production
+    # threshold path)
+    "llm46_semantic_dedup", "llm50_dup_span_removal",
 ]
 
 assert len(_WINDOW) == 50 and len(set(_WINDOW)) == 50, len(_WINDOW)

@@ -432,31 +432,6 @@ def llm14_decode_features(spark: SparkSession, sf: str) -> DataFrame:
             .orderBy("doc_id"))
 
 
-def llm36_audio_resample(spark: SparkSession, sf: str) -> DataFrame:
-    """REAL audio resample, end to end: the llm33 synthetic WAV clips
-    (mixed 8/12/16 kHz) are decoded, zero-order-hold resampled to
-    4 kHz (frame map ``src = (dst*in_rate) // 4000``, interleave
-    preserved — operators/multimodal.py:resample_audio), re-encoded,
-    then decoded AGAIN for stats; the oracle recomputes the resampled
-    sample stream arithmetically through the frame map, certifying
-    decode → resample → encode → decode with no audio code on the
-    oracle side."""
-    docs = (load_table(spark, sf, "documents")
-            .select("doc_id").filter(F.col("doc_id") < 200))
-    spec = docs.select(
-        "doc_id",
-        ((F.col("doc_id") % 3) * 4000 + 8000).alias("rate"),
-        (F.col("doc_id") % 2 + 1).alias("ch"),
-        (F.col("doc_id") % 100 + 50).alias("nf"))
-    blobbed = M.synthesize_wav(spec, "doc_id", "rate", "ch", "nf")
-    resampled = M.resample_audio(blobbed, "id", out_rate=4000)
-    stats = M.decode_audio(resampled, "id")
-    return (stats.select(F.col("id").alias("doc_id"), "sample_rate",
-                         "channels", "n_frames", "amp_sum", "amp_sqsum",
-                         "amp_min", "amp_max")
-            .orderBy("doc_id"))
-
-
 # --- corpus curation ---------------------------------------------------------
 # The fixture corpus is clean by construction, so the curation queries
 # inject their target artifacts deterministically (same expression in
@@ -683,15 +658,24 @@ def llm35_resize_image(spark: SparkSession, sf: str) -> DataFrame:
             .orderBy("doc_id"))
 
 
-def llm33_audio_features(spark: SparkSession, sf: str) -> DataFrame:
-    """REAL audio decode, end to end: per-doc deterministic 16-bit PCM
+def llm33_audio_pipeline(spark: SparkSession, sf: str) -> DataFrame:
+    """REAL audio decode AND resample, end to end — the r10
+    consolidation of the former llm33_audio_features +
+    llm36_audio_resample rows (the registry's documented escape
+    hatch: both certified the same synthesize → decode WAV path, so
+    one row now asserts the union). Per-doc deterministic 16-bit PCM
     WAV clips (``s[i] = ((doc_id*37 + i*11) % 4001) - 2000``, varying
-    rate/channels/length) are written then decoded by the stdlib
-    RIFF/WAVE codec (operators/multimodal.py wav_encode/wav_decode) and
-    the decoded sample statistics come back Arrow-batched. The oracle
-    recomputes the stats from the closed-form sample rule alone, so a
-    codec defect (wrong chunk walk, endianness, interleave) breaks the
-    match. ``amp_sqsum`` is the exact-integer energy term an
+    rate/channels/length) are written then (a) decoded by the stdlib
+    RIFF/WAVE codec (operators/multimodal.py wav_encode/wav_decode)
+    for raw sample statistics, and (b) zero-order-hold resampled to
+    4 kHz (frame map ``src = (dst*in_rate) // 4000``, interleave
+    preserved — resample_audio), re-encoded, decoded AGAIN, the
+    resampled stats joining the raw stats per clip. The oracle
+    recomputes BOTH stat sets from the closed-form sample rule alone
+    (the resampled stream arithmetically through the frame map), so
+    a codec defect (wrong chunk walk, endianness, interleave) or a
+    resampler defect breaks the match with no audio code on the
+    oracle side. ``amp_sqsum`` is the exact-integer energy term an
     audio-quality filter thresholds on."""
     docs = (load_table(spark, sf, "documents")
             .select("doc_id").filter(F.col("doc_id") < 200))
@@ -701,10 +685,19 @@ def llm33_audio_features(spark: SparkSession, sf: str) -> DataFrame:
         (F.col("doc_id") % 2 + 1).alias("ch"),
         (F.col("doc_id") % 100 + 50).alias("nf"))
     blobbed = M.synthesize_wav(spec, "doc_id", "rate", "ch", "nf")
-    stats = M.decode_audio(blobbed, "id")
-    return (stats.select(F.col("id").alias("doc_id"), "sample_rate",
-                         "channels", "n_frames", "amp_sum", "amp_sqsum",
-                         "amp_min", "amp_max")
+    raw = M.decode_audio(blobbed, "id")
+    resampled = M.resample_audio(blobbed, "id", out_rate=4000)
+    rs = M.decode_audio(resampled, "id")
+    return (raw.select(F.col("id").alias("doc_id"), "sample_rate",
+                       "channels", "n_frames", "amp_sum", "amp_sqsum",
+                       "amp_min", "amp_max")
+            .join(rs.select(F.col("id").alias("doc_id"),
+                            F.col("n_frames").alias("rs_frames"),
+                            F.col("amp_sum").alias("rs_amp_sum"),
+                            F.col("amp_sqsum").alias("rs_amp_sqsum"),
+                            F.col("amp_min").alias("rs_amp_min"),
+                            F.col("amp_max").alias("rs_amp_max")),
+                  "doc_id")
             .orderBy("doc_id"))
 
 
@@ -1312,10 +1305,9 @@ QUERIES = {
     "llm30_mixture_sample": llm30_mixture_sample,
     "llm31_vocab_coverage": llm31_vocab_coverage,
     "llm32_dedup_keep_best": llm32_dedup_keep_best,
-    "llm33_audio_features": llm33_audio_features,
+    "llm33_audio_pipeline": llm33_audio_pipeline,
     "llm34_video_sample": llm34_video_sample,
     "llm35_resize_image": llm35_resize_image,
-    "llm36_audio_resample": llm36_audio_resample,
     "llm37_bigram_lm": llm37_bigram_lm,
     "llm38_training_order": llm38_training_order,
     "llm39_curriculum_bins": llm39_curriculum_bins,
@@ -2013,7 +2005,13 @@ ORACLE = {
     # Recomputes decoded WAV sample stats from the closed-form rule
     # s[i] = ((doc_id*37 + i*11) % 4001) - 2000 — no WAV code on this
     # side. Max samples = 149 frames * 2 channels = 298.
-    "llm33_audio_features": """
+    # Raw stats from the closed-form sample rule; resampled stats
+    # recomputed arithmetically through the zero-order-hold frame map
+    # (out sample i: frame f = i // ch, channel c = i % ch, source
+    # sample (f*in_rate // 4000)*ch + c; n_out = ceil(nf*4000/in_rate),
+    # max out samples = ceil(149*4000/8000) * 2 = 150). One row per
+    # clip joins both — the merged llm33+llm36 assertion.
+    "llm33_audio_pipeline": """
         WITH docs AS (
           SELECT doc_id,
                  (doc_id % 3) * 4000 + 8000 AS sample_rate,
@@ -2025,17 +2023,43 @@ ORACLE = {
           SELECT d.doc_id, d.sample_rate, d.channels, d.n_frames,
                  ((d.doc_id * 37 + ser.i * 11) % 4001) - 2000 AS s
           FROM docs d CROSS JOIN ser
-          WHERE ser.i < d.n_frames * d.channels)
-        SELECT doc_id,
-               CAST(sample_rate AS INTEGER) AS sample_rate,
-               CAST(channels AS INTEGER) AS channels,
-               CAST(n_frames AS BIGINT) AS n_frames,
-               CAST(SUM(s) AS BIGINT) AS amp_sum,
-               CAST(SUM(s * s) AS BIGINT) AS amp_sqsum,
-               CAST(MIN(s) AS INTEGER) AS amp_min,
-               CAST(MAX(s) AS INTEGER) AS amp_max
-        FROM samples
-        GROUP BY doc_id, sample_rate, channels, n_frames
+          WHERE ser.i < d.n_frames * d.channels),
+        raw AS (
+          SELECT doc_id,
+                 CAST(sample_rate AS INTEGER) AS sample_rate,
+                 CAST(channels AS INTEGER) AS channels,
+                 CAST(n_frames AS BIGINT) AS n_frames,
+                 CAST(SUM(s) AS BIGINT) AS amp_sum,
+                 CAST(SUM(s * s) AS BIGINT) AS amp_sqsum,
+                 CAST(MIN(s) AS INTEGER) AS amp_min,
+                 CAST(MAX(s) AS INTEGER) AS amp_max
+          FROM samples
+          GROUP BY doc_id, sample_rate, channels, n_frames),
+        d2 AS (
+          SELECT doc_id, sample_rate AS in_rate, channels,
+                 (n_frames * 4000 + sample_rate - 1) // sample_rate
+                   AS n_out
+          FROM docs),
+        rs_samples AS (
+          SELECT d.doc_id, d.n_out,
+                 ((d.doc_id * 37 +
+                   (((ser.i // d.channels) * d.in_rate // 4000)
+                    * d.channels + ser.i % d.channels) * 11) % 4001)
+                 - 2000 AS s
+          FROM d2 d CROSS JOIN ser
+          WHERE ser.i < d.n_out * d.channels),
+        rs AS (
+          SELECT doc_id,
+                 CAST(n_out AS BIGINT) AS rs_frames,
+                 CAST(SUM(s) AS BIGINT) AS rs_amp_sum,
+                 CAST(SUM(s * s) AS BIGINT) AS rs_amp_sqsum,
+                 CAST(MIN(s) AS INTEGER) AS rs_amp_min,
+                 CAST(MAX(s) AS INTEGER) AS rs_amp_max
+          FROM rs_samples
+          GROUP BY doc_id, n_out)
+        SELECT raw.*, rs.rs_frames, rs.rs_amp_sum, rs.rs_amp_sqsum,
+               rs.rs_amp_min, rs.rs_amp_max
+        FROM raw JOIN rs USING (doc_id)
         ORDER BY doc_id
     """,
     # Resized-pixel stats recomputed from the llm14 closed form through
@@ -2070,43 +2094,6 @@ ORACLE = {
                CAST(MAX(px) AS INTEGER) AS px_max
         FROM samples
         GROUP BY doc_id, c
-        ORDER BY doc_id
-    """,
-    # Resampled WAV stats recomputed through the zero-order-hold frame
-    # map: out sample i (interleaved over n_out frames x ch) has frame
-    # f = i // ch, channel c = i % ch, source frame g = (f*in_rate) //
-    # 4000, source sample index g*ch + c, value ((doc_id*37 +
-    # (g*ch+c)*11) % 4001) - 2000. n_out = ceil(nf*4000/in_rate);
-    # max samples = ceil(149*4000/8000) * 2 = 150.
-    "llm36_audio_resample": """
-        WITH docs AS (
-          SELECT doc_id,
-                 (doc_id % 3) * 4000 + 8000 AS in_rate,
-                 doc_id % 2 + 1 AS channels,
-                 doc_id % 100 + 50 AS nf
-          FROM documents WHERE doc_id < 200),
-        d2 AS (
-          SELECT *, (nf * 4000 + in_rate - 1) // in_rate AS n_out
-          FROM docs),
-        ser AS (SELECT unnest(generate_series(0, 149)) AS i),
-        samples AS (
-          SELECT d.doc_id, d.channels, d.n_out,
-                 ((d.doc_id * 37 +
-                   (((ser.i // d.channels) * d.in_rate // 4000)
-                    * d.channels + ser.i % d.channels) * 11) % 4001)
-                 - 2000 AS s
-          FROM d2 d CROSS JOIN ser
-          WHERE ser.i < d.n_out * d.channels)
-        SELECT doc_id,
-               CAST(4000 AS INTEGER) AS sample_rate,
-               CAST(channels AS INTEGER) AS channels,
-               CAST(n_out AS BIGINT) AS n_frames,
-               CAST(SUM(s) AS BIGINT) AS amp_sum,
-               CAST(SUM(s * s) AS BIGINT) AS amp_sqsum,
-               CAST(MIN(s) AS INTEGER) AS amp_min,
-               CAST(MAX(s) AS INTEGER) AS amp_max
-        FROM samples
-        GROUP BY doc_id, channels, n_out
         ORDER BY doc_id
     """,
     # Sampled-frame pixel stats from px[f][i] = (doc_id*31 + f*13 +
