@@ -350,11 +350,16 @@ def run_maintenance(spark: SparkSession, base: str,
         return len(live), n
 
     counts: dict[tuple[str, str], tuple[int, int]] = {}
+    scan_errors: dict[tuple[str, str], Exception] = {}
     for key in tables:
         try:
             counts[key] = _pending(key)
-        except Exception:  # noqa: BLE001 — sweep_one re-reports it
+        except Exception as e:  # noqa: BLE001 — reported by sweep_one
+            # a table whose manifest READ fails is an error row, not a
+            # silently-healthy (0, 0) table: record the exception so
+            # sweep_one reports it even when gc would have succeeded
             counts[key] = (0, 0)
+            scan_errors[key] = e
     eligible = [k for k in tables if counts[k][1] >= min_batches]
     if max_tables_per_sweep is not None and max_tables_per_sweep >= 0:
         eligible.sort(key=lambda k: (-counts[k][1], k))
@@ -372,6 +377,13 @@ def run_maintenance(spark: SparkSession, base: str,
                 "spark.scheduler.pool", scheduler_pool)
         t = ManifestedTable(base, proj, coll, meta=meta)
         report = {"project": proj, "collection": coll}
+        if key in scan_errors:
+            # the pre-scan couldn't read this table's manifest: report
+            # THAT error (the old per-table-committed() behavior) —
+            # attempting gc against unreadable metadata helps nobody
+            e = scan_errors[key]
+            report["error"] = f"{type(e).__name__}: {e}"
+            return report
         # per-table fault isolation: a daemon sweep must not let one
         # bad table (corrupt file, bad cluster key, races) starve
         # every table sorting after it

@@ -166,6 +166,13 @@ def _sample_table(data: bytes, sb: int, se: int):
         _, p = _fullbox(data, need[b"ctts"][0])
         (n_ctts,) = struct.unpack(">I", data[p:p + 4])
         p += 4
+        # the count is an UNTRUSTED 32-bit field like stts/stsz/stco:
+        # bound the entry walk by the ctts box end so a corrupt count
+        # raises here instead of misreading sibling-box bytes as
+        # composition offsets (and dying in struct on a short slice)
+        if p + 8 * n_ctts > need[b"ctts"][1]:
+            raise ValueError(
+                f"ctts claims {n_ctts} entries past its own box end")
         for _ in range(n_ctts):
             _cnt, off = struct.unpack(">Ii", data[p:p + 8])
             p += 8

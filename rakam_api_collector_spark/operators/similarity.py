@@ -562,7 +562,24 @@ def train_pq_codebooks(corpus: DataFrame, id_col: str, vec_col: str,
     training assignment and encoding share ONE argmin definition, so
     a vector can never train into cell A and encode into cell B at an
     FP tie. The means stay JVM-side decimal(28,12)-exact with the
-    clustering.py round-to-6 rule; empty cells keep old centroids."""
+    clustering.py round-to-6 rule; empty cells keep old centroids.
+
+    Determinism contract (r9 advice, documented by design): the model
+    artifact is MACHINE-LOCAL-deterministic. The E-step argmin runs
+    through BLAS (``-2·sub@books.T``), whose SIMD-blocked reduction
+    order is fixed on one platform but may differ across BLAS builds,
+    so a near-tie assignment — and hence the trained codebooks — can
+    diverge in the last ulp across machines; additionally the encoder
+    re-normalizes the already-unit Spark vectors, so assignment sees
+    ulp-different values than the decimal M-step means. Within one
+    session/platform the artifact is bit-stable (pinned by
+    test_similarity's same-session equality), which is what the
+    train-once / persist / encode-many lifecycle needs — recall gates
+    (llm49) certify the INDEX's behavior, never codebook bytes. If a
+    future consumer needs cross-machine byte-parity, swap the E-step
+    to a fixed-order reduction (``((sub[:,None,:]-books[j])**2)
+    .sum(-1)``) and skip the re-normalization for pre-normalized
+    input — at ~k× the encode FLOPs."""
     dim = len(corpus.select(_as_double(vec_col).alias("_v"))
               .first()["_v"])
     if dim % m:

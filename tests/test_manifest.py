@@ -1065,6 +1065,34 @@ def test_run_maintenance_shard_organizer_sweep(spark, tmp_path):
     assert run_maintenance(spark, str(tmp_path / "nope")) == []
 
 
+def test_maintenance_reports_unreadable_table_as_error(spark, tmp_path):
+    """A table whose manifest READ fails in the pre-scan must surface
+    as that table's error report — not be silently treated as a
+    healthy 0-batch table (never eligible, never deferred) with the
+    failure swallowed when gc happens to succeed. Healthy siblings
+    sweep normally in the same pass (r9 advice)."""
+    import pathlib
+
+    from rakam_api_collector_spark.manifest import run_maintenance
+
+    good = ManifestedTable(str(tmp_path), "p1", "good")
+    for i in range(3):
+        good.write(_df(spark, [i]), batch_id=f"b{i}")
+    bad = ManifestedTable(str(tmp_path), "p1", "bad")
+    bad.write(_df(spark, [7]), batch_id="only")
+    vdir = pathlib.Path(bad.versions_dir)
+    for v in vdir.glob("v*.json"):
+        v.write_text("{ not json")
+
+    reps = {r["collection"]: r for r in run_maintenance(
+        spark, str(tmp_path), min_batches=3,
+        keep_versions=1, grace_seconds=0)}
+    assert "error" in reps["bad"], reps["bad"]
+    assert "gc_removed" not in reps["bad"]      # no gc on unreadable
+    assert reps["good"]["compacted"].startswith("compact-")
+    assert "error" not in reps["good"]
+
+
 def test_maintenance_sweep_cap_throttles_compaction_wave(spark, tmp_path):
     """max_tables_per_sweep bounds a compaction wave: only the cap's
     worth of eligible tables compact (worst accretors first), the rest

@@ -167,3 +167,11 @@ def test_ctts_zero_accepted_nonzero_rejected():
     with pytest.raises(ValueError, match="ctts"):
         M4.demux_video_track(M4.mux_video_mp4(
             frames, composition_offsets_ticks=[0, 2000, -1000]))
+    # the entry count is untrusted like stts/stsz/stco: a corrupt
+    # count must raise ValueError bounded by the ctts box end, not
+    # walk into sibling boxes and die in struct on a short slice
+    good = M4.mux_video_mp4(frames, composition_offsets_ticks=[0, 0, 0])
+    c = good.index(b"ctts") + 4 + 4          # fourcc + version/flags
+    bad = good[:c] + struct.pack(">I", 0x0FFFFFFF) + good[c + 4:]
+    with pytest.raises(ValueError, match="past its own box"):
+        M4.demux_video_track(bad)
