@@ -42,6 +42,7 @@ from __future__ import annotations
 
 import json
 import os
+import random
 import time
 import uuid
 
@@ -165,7 +166,14 @@ class ObjectMetadataStore(MetadataStore):
     - ``is_dir`` → prefix-exists probe (any key under ``path/``).
     - ``mtime`` → ``LastModified`` epoch seconds, so gc's grace window
       measures object age exactly as it measures POSIX file age.
-    - ``delete_tree`` → paginated multi-object delete of the prefix.
+    - ``delete_tree`` → paginated multi-object delete of the prefix
+      (1000 keys per DeleteObjects request, the wire-protocol cap).
+    - every call retries 503 SlowDown / 500 InternalError with capped
+      exponential backoff + full jitter (``max_retries``, default 5)
+      — S3 throttles under normal operations and every op here is
+      idempotent or server-side-atomic, so blind retry is safe; all
+      other wire errors propagate unchanged (412/409 keep their CAS
+      meaning in ``put_if_absent``).
 
     Paths arrive as ``{base}/{project}/{collection}/...`` strings; the
     key mapping strips ``s3://{bucket}/`` (or any configured
@@ -173,11 +181,15 @@ class ObjectMetadataStore(MetadataStore):
     Spark/Hadoop data paths use addresses the metadata objects."""
 
     def __init__(self, client, bucket: str,
-                 strip_prefix: str | None = None) -> None:
+                 strip_prefix: str | None = None,
+                 max_retries: int = 5,
+                 sleep=None) -> None:
         self.client = client
         self.bucket = bucket
         self.strip_prefix = (strip_prefix if strip_prefix is not None
                              else f"s3://{bucket}/")
+        self.max_retries = max_retries
+        self._sleep = sleep if sleep is not None else time.sleep
 
     @classmethod
     def for_boto3(cls, bucket: str, **client_kwargs
@@ -203,13 +215,35 @@ class ObjectMetadataStore(MetadataStore):
                 "HTTPStatusCode")
         return None
 
+    # S3 serves 503 SlowDown (and occasional 500 InternalError) as
+    # normal-operations throttling — callers are expected to back off
+    # and retry, and the version-CAS protocol above this store is
+    # retry-safe by construction (conditional PUT is atomic server-
+    # side; reads/lists/deletes are idempotent). Non-retryable wire
+    # errors (403, 404, 412...) propagate to the caller unchanged.
+    _RETRY_STATUSES = frozenset({500, 503})
+
+    def _call(self, op: str, **kwargs):
+        delay = 0.1
+        for attempt in range(self.max_retries + 1):
+            try:
+                return getattr(self.client, op)(Bucket=self.bucket,
+                                                **kwargs)
+            except Exception as e:  # noqa: BLE001 — typed by status
+                if (self._http_status(e) not in self._RETRY_STATUSES
+                        or attempt == self.max_retries):
+                    raise
+                # capped exponential backoff + full jitter (the AWS
+                # SDK envelope; streaming/committer.py uses the same)
+                self._sleep(random.uniform(0.0, min(delay, 2.0)))
+                delay *= 2
+
     def _list_page(self, **kwargs) -> "Iterator[dict]":
         token = None
         while True:
             if token:
                 kwargs["ContinuationToken"] = token
-            page = self.client.list_objects_v2(Bucket=self.bucket,
-                                               **kwargs)
+            page = self._call("list_objects_v2", **kwargs)
             yield page
             if not page.get("IsTruncated"):
                 return
@@ -233,17 +267,14 @@ class ObjectMetadataStore(MetadataStore):
         return False
 
     def read(self, path: str) -> str:
-        body = self.client.get_object(
-            Bucket=self.bucket, Key=self._key(path))["Body"]
+        body = self._call("get_object", Key=self._key(path))["Body"]
         data = body.read()
         return data.decode() if isinstance(data, bytes) else data
 
     def put_if_absent(self, path: str, content: str) -> bool:
         try:
-            self.client.put_object(Bucket=self.bucket,
-                                   Key=self._key(path),
-                                   Body=content.encode(),
-                                   IfNoneMatch="*")
+            self._call("put_object", Key=self._key(path),
+                       Body=content.encode(), IfNoneMatch="*")
             return True
         except Exception as e:  # noqa: BLE001 — typed by wire status
             # 412 = key exists; 409 = concurrent conditional creates
@@ -255,8 +286,7 @@ class ObjectMetadataStore(MetadataStore):
 
     def delete(self, path: str) -> None:
         # S3 DeleteObject on a missing key is already a success
-        self.client.delete_object(Bucket=self.bucket,
-                                  Key=self._key(path))
+        self._call("delete_object", Key=self._key(path))
 
     def delete_tree(self, d: str) -> None:
         prefix = self._key(d).rstrip("/") + "/"
@@ -264,17 +294,15 @@ class ObjectMetadataStore(MetadataStore):
                 for c in page.get("Contents", [])]
         if hasattr(self.client, "delete_objects"):
             for i in range(0, len(keys), 1000):   # wire-protocol cap
-                self.client.delete_objects(
-                    Bucket=self.bucket,
-                    Delete={"Objects": [{"Key": k}
-                                        for k in keys[i:i + 1000]]})
+                self._call("delete_objects",
+                           Delete={"Objects": [{"Key": k}
+                                               for k in keys[i:i + 1000]]})
         else:
             for k in keys:
-                self.client.delete_object(Bucket=self.bucket, Key=k)
+                self._call("delete_object", Key=k)
 
     def mtime(self, path: str) -> float:
-        head = self.client.head_object(Bucket=self.bucket,
-                                       Key=self._key(path))
+        head = self._call("head_object", Key=self._key(path))
         lm = head["LastModified"]
         return lm.timestamp() if hasattr(lm, "timestamp") else float(lm)
 

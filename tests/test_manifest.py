@@ -1579,6 +1579,110 @@ def test_object_metadata_store_ops():
     assert s.is_dir(f"{base}/_versions")
 
 
+class _ThrottlingS3Client(_FakeS3Client):
+    """Fault-injecting fake: serves 503 SlowDown for the first
+    ``fail_first`` calls of each op (the S3 normal-operations
+    throttle), counts every throttle served, and records
+    delete_objects batch sizes so the 1000-key wire cap is pinned."""
+
+    def __init__(self, fail_first=2):
+        super().__init__()
+        self.fail_first = fail_first
+        self.calls: dict[str, int] = {}
+        self.throttles = 0
+        self.delete_batches: list[int] = []
+
+    def _maybe_throttle(self, op):
+        n = self.calls.get(op, 0)
+        self.calls[op] = n + 1
+        if n < self.fail_first:
+            self.throttles += 1
+            e = RuntimeError("SlowDown")
+            e.response = {"Error": {"Code": "SlowDown"},
+                          "ResponseMetadata": {"HTTPStatusCode": 503}}
+            raise e
+
+    def put_object(self, *a, **kw):
+        self._maybe_throttle("put_object")
+        return super().put_object(*a, **kw)
+
+    def get_object(self, *a, **kw):
+        self._maybe_throttle("get_object")
+        return super().get_object(*a, **kw)
+
+    def list_objects_v2(self, *a, **kw):
+        self._maybe_throttle("list_objects_v2")
+        return super().list_objects_v2(*a, **kw)
+
+    def delete_objects(self, Bucket, Delete):
+        self._maybe_throttle("delete_objects")
+        self.delete_batches.append(len(Delete["Objects"]))
+        return super().delete_objects(Bucket, Delete)
+
+
+def test_object_metadata_store_retries_throttling():
+    """503 SlowDown is S3's normal-operations backpressure: every op
+    must retry it (capped backoff + jitter) and still return the
+    right answer; a non-retryable status (403) propagates unchanged;
+    retries exhaust into the final throttle error. The CAS meaning of
+    412 survives throttling — a retried conditional PUT that then
+    hits an existing key still returns False, never raises."""
+    import pytest
+
+    from rakam_api_collector_spark.manifest import ObjectMetadataStore
+
+    c = _ThrottlingS3Client(fail_first=2)
+    naps = []
+    s = ObjectMetadataStore(c, "bkt", max_retries=5,
+                            sleep=naps.append)
+    base = "s3://bkt/wh/p/events"
+    assert s.put_if_absent(f"{base}/_versions/v1.json", "{}")
+    assert s.read(f"{base}/_versions/v1.json") == "{}"
+    assert sorted(s.list(f"{base}/_versions")) == ["v1.json"]
+    assert c.throttles == 6 and len(naps) == 6    # 2 per op, all slept
+    # throttle then CAS-lose: still False, not an exception
+    c.calls["put_object"] = 0
+    assert s.put_if_absent(f"{base}/_versions/v1.json", "x") is False
+    # retries exhaust: the 503 surfaces after max_retries+1 attempts
+    c2 = _ThrottlingS3Client(fail_first=99)
+    s2 = ObjectMetadataStore(c2, "bkt", max_retries=3,
+                             sleep=lambda _t: None)
+    with pytest.raises(RuntimeError, match="SlowDown"):
+        s2.read("s3://bkt/wh/p/events/_versions/v1.json")
+    assert c2.calls["get_object"] == 4
+    # non-retryable wire errors pass through with zero retries
+    c3 = _FakeS3Client()
+
+    def forbidden(**kw):
+        e = RuntimeError("AccessDenied")
+        e.response = {"Error": {"Code": "AccessDenied"},
+                      "ResponseMetadata": {"HTTPStatusCode": 403}}
+        raise e
+    c3.get_object = forbidden
+    s3 = ObjectMetadataStore(c3, "bkt", sleep=lambda _t: None)
+    with pytest.raises(RuntimeError, match="AccessDenied"):
+        s3.read("s3://bkt/wh/p/x")
+
+
+def test_object_metadata_store_delete_tree_wire_cap():
+    """DeleteObjects takes at most 1000 keys per request: a >1000-key
+    tree must split into wire-legal batches that together remove
+    every key — under throttling, since a retried delete batch is
+    idempotent."""
+    from rakam_api_collector_spark.manifest import ObjectMetadataStore
+
+    c = _ThrottlingS3Client(fail_first=1)
+    s = ObjectMetadataStore(c, "bkt", sleep=lambda _t: None)
+    base = "s3://bkt/wh/p/events"
+    with c.lock:
+        for i in range(1005):
+            c.objects[f"wh/p/events/_batches/b/part-{i:05d}"] = (b"", 0)
+    s.delete_tree(f"{base}/_batches")
+    assert c.delete_batches == [1000, 5]
+    assert not s.is_dir(f"{base}/_batches")
+    assert c.throttles >= 2          # list page + delete both retried
+
+
 def test_object_metadata_store_runs_version_protocol(spark, tmp_path):
     """The full OCC protocol (racing writers, time travel, gc,
     maintenance discovery) green against ObjectMetadataStore — the
