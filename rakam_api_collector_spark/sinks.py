@@ -157,6 +157,7 @@ def write_collections(tables: dict[tuple[str, str], DataFrame], base: str,
 def write_collections_grouped(result, base: str, fmt: str = "parquet",
                               partition_by_day: bool = True,
                               max_records_per_file: int = SHARD_MAX_ROWS,
+                              writer_tasks: int | None = 0,
                               ) -> None:
     """Write an ``IngestResult`` as ONE job per (project, schema-group)
     instead of one per collection: the group frame (which carries
@@ -171,7 +172,32 @@ def write_collections_grouped(result, base: str, fmt: str = "parquet",
     still scans only that collection's files. Choose this layout for
     many-small-collections streams; the per-table layout
     (``write_collections``) when downstream consumers expect
-    ``base/project/collection`` directories."""
+    ``base/project/collection`` directories.
+
+    ``writer_tasks`` picks the shuffle that feeds the dynamic-
+    partition write. Without any shuffle every task opens a writer
+    per (_collection, _day) combo it sees — T tasks × P combos file
+    handles and T×P output files. The choice of shuffle is a regime
+    question (r10 measurement):
+
+    - ``writer_tasks=N>0`` → ``repartition(N, keys)``: N-way write
+      fan-out regardless of byte size. This is the MICRO-BATCH
+      regime: a 30k-row batch is far below AQE's advisory partition
+      size, so a rebalance hint coalesces it to ONE post-shuffle
+      task that writes all ~100 partition dirs serially (measured
+      1 task / 2.4-4.1 s vs 32 tasks / 0.8-1.0 s — the whole
+      grouped-layout streaming-budget miss of r8/r9).
+    - ``writer_tasks=None`` → the AQE ``rebalance`` hint: size-
+      targeted partitions that SPLIT a skewed combo across tasks.
+      This is the BULK regime (backfill/compaction) where combos
+      carry enough bytes that advisory sizing engages and a
+      straggling hot combo matters more than task count.
+    - ``writer_tasks=0`` (default) → ``repartition(
+      defaultParallelism, keys)`` — the micro-batch regime with the
+      session's core count.
+
+    Either way each combo lands in a bounded number of tasks, so
+    files scale with #combos and maxRecordsPerFile, not #tasks."""
     for project, _collections, df in result.groups:
         out = df
         if partition_by_day and "_time" in df.columns:
@@ -179,14 +205,12 @@ def write_collections_grouped(result, base: str, fmt: str = "parquet",
             parts = ["_collection", "_day"]
         else:
             parts = ["_collection"]
-        # REBALANCE on the partition keys before the dynamic-partition
-        # write: without it every task opens a writer per (_collection,
-        # _day) combo it sees — T tasks × P combos file handles and
-        # T×P output files. Rebalanced, each combo lands in ~one task
-        # (AQE splits a skewed combo across tasks instead of letting it
-        # straggle, which plain repartition(cols) would not), so files
-        # scale with #combos and maxRecordsPerFile, not #tasks.
-        out = out.hint("rebalance", *parts)
+        if writer_tasks is None:
+            out = out.hint("rebalance", *parts)
+        else:
+            n = (writer_tasks or
+                 df.sparkSession.sparkContext.defaultParallelism)
+            out = out.repartition(n, *parts)
         (out.write.mode("append").format(fmt)
          .option("compression", "snappy")
          .option("maxRecordsPerFile", max_records_per_file)

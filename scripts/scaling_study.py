@@ -208,6 +208,26 @@ def op_dup_span(spark, k: int) -> DataFrame:
                            F.sum("n_tokens_removed").alias("cut")))
 
 
+def op_dup_span_hotkey(spark, k: int) -> DataFrame:
+    """Adversarial HOT-KEY cell (the r9 skew finding): every document
+    in every replica ends with the SAME un-suffixed tail, so a couple
+    of window hashes accumulate 5000×K sites each (~10⁴ at ×4, ~10⁵
+    at ×16 — the operator's own target input: corpus-wide boilerplate
+    spans). The r10 two-phase canonical aggregate must keep this
+    ~linear: partial min/count combine the hot hash map-side and the
+    join-back is AQE-skew-splittable, where the old per-hash
+    row_number rank concentrated every site in one task."""
+    docs = amplified(spark, load_table(spark, SF_DIR, "documents"), k,
+                     {"doc_id": 10_000_000})
+    hot = (" every single replica shares this exact nine token tail")
+    docs = docs.select(
+        "doc_id",
+        F.concat(rep_tokens("text"), F.lit(hot)).alias("text"))
+    return (D.duplicate_span_removal(docs, "doc_id", "text", k=8)
+            .groupBy().agg(F.count("*").alias("docs"),
+                           F.sum("n_tokens_removed").alias("cut")))
+
+
 def op_boilerplate(spark, k: int) -> DataFrame:
     """Corpus-level boilerplate line removal (llm47 shape): replica-
     suffixed tokens keep recurring lines replica-local, so the
@@ -266,6 +286,7 @@ OPS = {
     "exact_topk_blocked": (op_exact_topk_blocked, "embeddings", 2_000),
     "ivf_pq": (op_ivf_pq, "embeddings", 2_000),
     "dup_span": (op_dup_span, "documents", 5_000),
+    "dup_span_hotkey": (op_dup_span_hotkey, "documents", 5_000),
     "boilerplate": (op_boilerplate, "documents", 5_000),
     "unigram_encode": (op_unigram_encode, "documents", 5_000),
 }
