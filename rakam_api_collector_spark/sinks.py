@@ -205,17 +205,28 @@ def write_collections_grouped(result, base: str, fmt: str = "parquet",
             parts = ["_collection", "_day"]
         else:
             parts = ["_collection"]
-        if writer_tasks is None:
-            out = out.hint("rebalance", *parts)
-        else:
-            n = (writer_tasks or
-                 df.sparkSession.sparkContext.defaultParallelism)
-            out = out.repartition(n, *parts)
+        out = _grouped_writer_frame(out, parts, writer_tasks)
         (out.write.mode("append").format(fmt)
          .option("compression", "snappy")
          .option("maxRecordsPerFile", max_records_per_file)
          .partitionBy(*parts)
          .save(f"{base}/{project}"))
+
+
+def _grouped_writer_frame(out: DataFrame, parts: list[str],
+                          writer_tasks: int | None) -> DataFrame:
+    """The shuffle that feeds the grouped dynamic-partition write,
+    exposed so tests can pin its plan shape (test_plans.py): the
+    micro-batch regime MUST be a fixed-N hash repartition on the
+    partition keys — AQE never coalesces a user repartition with an
+    explicit numPartitions — while the bulk regime opts in to the AQE
+    rebalance hint, whose advisory sizing WOULD coalesce a 30k-row
+    micro-batch into one serial writer task (the r8/r9 budget miss)."""
+    if writer_tasks is None:
+        return out.hint("rebalance", *parts)
+    n = (writer_tasks or
+         out.sparkSession.sparkContext.defaultParallelism)
+    return out.repartition(n, *parts)
 
 
 def read_collection_grouped(spark: SparkSession, base: str, project: str,

@@ -451,3 +451,42 @@ def test_duplicate_span_removal_shuffles_only_on_keys(spark):
     assert "partial_min" in plan and "partial_count" in plan
     assert "ShuffledHashJoin" in plan
     assert "PythonUDF" not in plan and "ArrowEval" not in plan
+
+
+def test_grouped_sink_microbatch_writer_fanout_not_coalesced(spark):
+    """The grouped-layout sink's micro-batch shuffle (the r8/r9
+    streaming-budget miss, fixed in r10): a 30k-row micro-batch is far
+    below AQE's advisory partition size, so a `rebalance` hint lets
+    AQEShuffleRead coalesce the writer exchange to ONE task that
+    serializes ~100 partition-dir writes. The default regime
+    (writer_tasks=0 → repartition(defaultParallelism, keys)) must emit
+    a fixed-N REPARTITION_BY_NUM exchange, which AQE never coalesces —
+    pin both regimes so the fix can't silently regress."""
+    from rakam_api_collector_spark.sinks import _grouped_writer_frame
+
+    df = (spark.range(30_000)
+          .select((F.col("id") % 100).cast("string").alias("_collection"),
+                  F.to_date(F.lit("2026-01-01")).alias("_day"),
+                  F.col("id")))
+    parts = ["_collection", "_day"]
+
+    fixed = _grouped_writer_frame(df, parts, 8)
+    fixed.collect()
+    ran = fixed._jdf.queryExecution().executedPlan().toString()
+    assert "REPARTITION_BY_NUM" in ran
+    assert "hashpartitioning(_collection" in ran   # keyed, not round-robin
+    assert "AQEShuffleRead coalesced" not in ran   # N writer tasks survive
+
+    default = _grouped_writer_frame(df, parts, 0)
+    n = spark.sparkContext.defaultParallelism
+    assert f", {n}), REPARTITION_BY_NUM" in \
+        default._jdf.queryExecution().executedPlan().toString()
+
+    bulk = _grouped_writer_frame(df, parts, None)
+    bulk.collect()
+    ran = bulk._jdf.queryExecution().executedPlan().toString()
+    # the bulk regime deliberately opts in to advisory sizing: on a
+    # micro-batch that MUST show up as a coalesced shuffle read —
+    # proof this regime is wrong for streaming and stays opt-in
+    assert "REBALANCE_PARTITIONS_BY_COL" in ran
+    assert "AQEShuffleRead coalesced" in ran
