@@ -838,6 +838,48 @@ def build_ivf_pq_index(corpus: DataFrame, id_col: str, vec_col: str,
         os.replace(tmp, f"{path}/{name}")
 
 
+def append_to_ivf_pq_index(corpus: DataFrame, id_col: str,
+                           vec_col: str, path: str) -> None:
+    """Incremental IVFADC maintenance: encode NEW vectors with the
+    index's PERSISTED model artifacts (coarse centroids + PQ
+    codebooks) and append them partition-wise — the ingest path never
+    re-reads or rewrites existing index files, so the nprobe/n_cells
+    read fraction and the m-byte payload hold over the grown index.
+    Appending never updates the model: that is the standard FAISS
+    add-with-fixed-codebooks contract (Jégou'11 IVFADC) — retrain +
+    rebuild when the corpus distribution drifts, exactly as
+    ``append_to_ivf_index`` documents for the flat layout.
+
+    The appended rows MATCH the built layout: the stored-vector column
+    is introspected from the existing index schema, so a
+    ``store_vectors=True`` index keeps exact-rerank capability over
+    appended rows (a codes-only append into such an index would
+    silently exempt new rows from the refine stage — and break the
+    scan with a ragged schema).
+
+    Appends are at-least-once (plain ``mode("append")``): a retried
+    append lands the same codes twice. ``ivf_pq_index_topk`` collapses
+    duplicate (q, neighbor) pairs before ranking, so retries degrade
+    storage, never result correctness."""
+    import json
+
+    with open(f"{path}/_centroids.json") as f:
+        cents = np.asarray(json.load(f), dtype=np.float64)
+    with open(f"{path}/_pq_books.json") as f:
+        books = np.asarray(json.load(f), dtype=np.float64)
+    store_vectors = "_cv" in corpus.sparkSession.read.parquet(
+        path).columns
+    assign = _cells_udf(cents, 1)
+    enc = _pq_encode_udf(books)
+    cols = ["neighbor", "codes", "cell"] + (
+        ["_cv"] if store_vectors else [])
+    (_unit(corpus, id_col, "neighbor", vec_col, "_cv")
+     .withColumn("cell", assign(F.col("_cv")))
+     .withColumn("codes", enc(F.col("_cv")))
+     .select(*cols)
+     .write.mode("append").partitionBy("cell").parquet(path))
+
+
 def ivf_pq_index_topk(spark, path: str, queries: DataFrame,
                       id_col: str, vec_col: str, k: int = 10,
                       nprobe: int = 4, exclude_self: bool = True,

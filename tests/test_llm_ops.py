@@ -596,6 +596,108 @@ def test_ivf_pq_index_partition_pruning_and_rerank(spark, tmp_path):
     assert recall >= 0.6, f"refined recall {recall:.2f}"
 
 
+def test_ivf_pq_index_incremental_append(spark, tmp_path):
+    """append_to_ivf_pq_index grows the index with the PERSISTED model
+    artifacts (centroids + codebooks) and never rewrites existing
+    files: searching the grown index equals searching a one-shot build
+    of the union corpus with the same model, and an at-least-once
+    retry of the append leaves the top-k unchanged (duplicate pairs
+    collapse before ranking)."""
+    import os
+
+    emb = load_table(spark, SF, "embeddings")
+    first = emb.filter(F.col("vec_id") < 100)
+    rest = emb.filter(F.col("vec_id") >= 100)
+    books = S.train_pq_codebooks(first, "vec_id", "embedding",
+                                 m=16, nbits=4)
+    path = str(tmp_path / "ivfpq")
+    S.build_ivf_pq_index(first, "vec_id", "embedding", path,
+                         n_cells=16, books=books)
+
+    def _files():
+        out = {}
+        for root, _, fns in os.walk(path):
+            for fn in fns:
+                if fn.endswith(".parquet"):
+                    full = os.path.join(root, fn)
+                    out[full] = os.path.getmtime(full)
+        return out
+
+    before = _files()
+    S.append_to_ivf_pq_index(rest, "vec_id", "embedding", path)
+    after = _files()
+    assert set(before) <= set(after) and len(after) > len(before)
+    assert all(after[f] == before[f] for f in before)   # untouched
+
+    q = emb.filter(F.col("vec_id") < 5)
+    got = {(r.q, r.neighbor) for r in
+           S.ivf_pq_index_topk(spark, path, q, "vec_id", "embedding",
+                               k=10, nprobe=4).collect()}
+    # one-shot build of the union with the SAME model = ground truth
+    import numpy as np
+    cents_rows = (first.filter(F.col("vec_id") < 16)
+                  .select("vec_id", "embedding").collect())
+    cents = np.asarray([[float(x) for x in r.embedding] for r in
+                        sorted(cents_rows, key=lambda r: r.vec_id)])
+    full = str(tmp_path / "ivfpq_full")
+    S.build_ivf_pq_index(emb, "vec_id", "embedding", full,
+                         n_cells=16, books=books, centroids=cents)
+    want = {(r.q, r.neighbor) for r in
+            S.ivf_pq_index_topk(spark, full, q, "vec_id", "embedding",
+                                k=10, nprobe=4).collect()}
+    assert got == want and len(got) == 50
+
+    S.append_to_ivf_pq_index(rest, "vec_id", "embedding", path)  # retry
+    dup_rows = S.ivf_pq_index_topk(spark, path, q, "vec_id",
+                                   "embedding", k=10,
+                                   nprobe=4).collect()
+    assert {(r.q, r.neighbor) for r in dup_rows} == got
+    per_q = {}
+    for r in dup_rows:
+        per_q.setdefault(r.q, []).append(r.neighbor)
+    assert all(len(v) == len(set(v)) == 10 for v in per_q.values())
+
+
+def test_ivf_pq_index_append_matches_stored_vector_layout(spark,
+                                                          tmp_path):
+    """The append introspects the built layout: into a
+    store_vectors=True index it carries the unit vector, so exact
+    rerank keeps working over APPENDED rows (k > |built rows in the
+    probed cells| forces rerank to read appended vectors); into a
+    codes-only index it appends codes-only (schema stays rectangular
+    and rerank still raises)."""
+    emb = load_table(spark, SF, "embeddings")
+    first = emb.filter(F.col("vec_id") < 100)
+    rest = emb.filter(F.col("vec_id") >= 100)
+    books = S.train_pq_codebooks(first, "vec_id", "embedding",
+                                 m=16, nbits=4)
+
+    pv = str(tmp_path / "ivfpq_vec")
+    S.build_ivf_pq_index(first, "vec_id", "embedding", pv,
+                         n_cells=16, books=books, store_vectors=True)
+    S.append_to_ivf_pq_index(rest, "vec_id", "embedding", pv)
+    assert "_cv" in spark.read.parquet(pv).columns
+    assert spark.read.parquet(pv).filter(
+        F.col("_cv").isNull()).count() == 0          # appended rows too
+    q = emb.filter(F.col("vec_id") < 5)
+    refined = S.ivf_pq_index_topk(spark, pv, q, "vec_id", "embedding",
+                                  k=5, nprobe=8, rerank_factor=5)
+    exact = {(r.q, r.neighbor) for r in
+             S.cosine_topk(emb, q, "vec_id", "embedding", k=5).collect()}
+    ref = {(r.q, r.neighbor) for r in refined.collect()}
+    recall = len(ref & exact) / len(exact)
+    assert recall >= 0.6, f"refined recall over grown index {recall:.2f}"
+
+    pc = str(tmp_path / "ivfpq_codes")
+    S.build_ivf_pq_index(first, "vec_id", "embedding", pc,
+                         n_cells=16, books=books)
+    S.append_to_ivf_pq_index(rest, "vec_id", "embedding", pc)
+    assert "_cv" not in spark.read.parquet(pc).columns
+    with pytest.raises(ValueError, match="codes-only"):
+        S.ivf_pq_index_topk(spark, pc, q, "vec_id", "embedding",
+                            rerank_factor=3).collect()
+
+
 def test_remove_boilerplate_lines(spark):
     """Corpus-frequent long lines vanish from every document, rebuilt
     text preserves the original line order, short recurring lines
