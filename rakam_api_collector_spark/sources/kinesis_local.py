@@ -1,0 +1,247 @@
+"""File-backed Kinesis wire-model emulator (the local dev/test stream).
+
+``LocalKinesisClient`` implements the subset of the public Kinesis
+Data Streams API the source reader consumes — ``list_shards``,
+``get_shard_iterator``, ``get_records``, plus the producer/admin half
+(``put_records``, ``split_shard``, ``merge_shards``) — with
+boto3-shaped request/response dicts, so the same reader code runs
+against AWS (boto3 client) and against this emulator (the
+kinesalite/LocalStack role). File-backed rather than in-memory
+because PySpark DataSource code executes in Spark's planning/worker
+Python processes, never in the test process — state must survive a
+process hop (the same reason the manifest's OCC suite uses a
+boto3-shaped S3 fake but this one cannot stay in-memory).
+
+Wire-model semantics kept faithful (the parts that shape a consumer):
+
+- per-shard strictly increasing sequence numbers (decimal strings);
+- shard lineage: ``split_shard``/``merge_shards`` CLOSE the parent(s)
+  — ``EndingSequenceNumber`` set, no further writes — and open child
+  shards carrying ``ParentShardId``; a correct consumer drains a
+  parent to its end before starting its children (KCL ordering);
+- iterator types ``TRIM_HORIZON`` / ``LATEST`` /
+  ``AT_SEQUENCE_NUMBER`` / ``AFTER_SEQUENCE_NUMBER``;
+- ``GetRecords`` returns ``NextShardIterator=None`` once a CLOSED
+  shard is fully consumed (the SHARD_END signal); open shards always
+  return a live iterator;
+- iterators expire (5 min on AWS; configurable here so tests can
+  force ``ExpiredIteratorException``).
+
+Layout under ``path/``: ``stream.json`` (atomic-replace metadata:
+shard table + next sequence number) and ``records/<shard>.jsonl``
+(append-only). Single-writer-per-call atomicity is enough for the
+dev/test role; production traffic goes to the real service.
+"""
+
+from __future__ import annotations
+
+import base64
+import json
+import os
+import time
+
+
+class ExpiredIteratorException(Exception):
+    pass
+
+
+class ProvisionedThroughputExceededException(Exception):
+    pass
+
+
+class ResourceNotFoundException(Exception):
+    pass
+
+
+def _load(path: str) -> dict:
+    with open(path) as f:
+        return json.load(f)
+
+
+def _store(path: str, meta: dict) -> None:
+    tmp = f"{path}.tmp.{os.getpid()}"
+    with open(tmp, "w") as f:
+        json.dump(meta, f)
+    os.replace(tmp, path)
+
+
+class LocalKinesisClient:
+    """boto3-``kinesis``-shaped client over a local directory. Pickle-
+    safe (state is the path), so it crosses into Spark's DataSource
+    worker processes intact."""
+
+    iterator_ttl_sec: float = 300.0
+
+    def __init__(self, path: str) -> None:
+        self._path = path
+
+    # -- admin / producer -------------------------------------------------
+
+    def create_stream(self, StreamName: str, ShardCount: int = 1) -> None:
+        os.makedirs(os.path.join(self._path, "records"), exist_ok=True)
+        meta_path = self._meta_path(StreamName)
+        if os.path.exists(meta_path):
+            raise ValueError(f"stream {StreamName} exists")
+        shards = {f"shardId-{i:012d}": {
+            "ShardId": f"shardId-{i:012d}", "Parent": None,
+            "Start": 0, "End": None} for i in range(ShardCount)}
+        _store(meta_path, {"next_seq": 1, "next_shard": ShardCount,
+                           "shards": shards})
+
+    def put_records(self, StreamName: str, Records: list[dict]) -> dict:
+        """Records: [{"Data": bytes, "PartitionKey": str,
+        "ShardId": str (emulator extension — no md5 hash-range
+        routing; tests pick the shard explicitly)}]"""
+        meta_path = self._meta_path(StreamName)
+        meta = self._meta(StreamName)
+        out = []
+        now = time.time()
+        for rec in Records:
+            sid = rec.get("ShardId") or next(
+                s for s, m in sorted(meta["shards"].items())
+                if m["End"] is None)
+            shard = meta["shards"][sid]
+            if shard["End"] is not None:
+                raise ValueError(f"shard {sid} is closed")
+            seq = meta["next_seq"]
+            meta["next_seq"] = seq + 1
+            with open(self._rec_path(sid), "a") as f:
+                f.write(json.dumps({
+                    "seq": seq, "key": rec.get("PartitionKey", ""),
+                    "data": base64.b64encode(rec["Data"]).decode(),
+                    "ts": now}) + "\n")
+            out.append({"SequenceNumber": str(seq), "ShardId": sid})
+        _store(meta_path, meta)
+        return {"Records": out, "FailedRecordCount": 0}
+
+    def split_shard(self, StreamName: str, ShardToSplit: str) -> dict:
+        """Close the parent, open two children (hash-range halving is
+        immaterial to consumption order, so it isn't modeled)."""
+        meta = self._meta(StreamName)
+        parent = meta["shards"][ShardToSplit]
+        if parent["End"] is not None:
+            raise ValueError(f"shard {ShardToSplit} already closed")
+        parent["End"] = meta["next_seq"] - 1   # last written seq
+        kids = []
+        for _ in range(2):
+            sid = f"shardId-{meta['next_shard']:012d}"
+            meta["next_shard"] += 1
+            meta["shards"][sid] = {"ShardId": sid,
+                                   "Parent": ShardToSplit,
+                                   "Start": meta["next_seq"],
+                                   "End": None}
+            kids.append(sid)
+        _store(self._meta_path(StreamName), meta)
+        return {"ChildShards": kids}
+
+    def merge_shards(self, StreamName: str, ShardToMerge: str,
+                     AdjacentShardToMerge: str) -> dict:
+        """Close both parents, open ONE child. AWS records the second
+        parent as AdjacentParentShardId; consumers treat both as
+        parents, so the emulator keeps a single Parent + an Adjacent
+        field with the same drain-before-child meaning."""
+        meta = self._meta(StreamName)
+        for sid in (ShardToMerge, AdjacentShardToMerge):
+            if meta["shards"][sid]["End"] is not None:
+                raise ValueError(f"shard {sid} already closed")
+            meta["shards"][sid]["End"] = meta["next_seq"] - 1
+        child = f"shardId-{meta['next_shard']:012d}"
+        meta["next_shard"] += 1
+        meta["shards"][child] = {"ShardId": child,
+                                 "Parent": ShardToMerge,
+                                 "AdjacentParent": AdjacentShardToMerge,
+                                 "Start": meta["next_seq"], "End": None}
+        _store(self._meta_path(StreamName), meta)
+        return {"ChildShards": [child]}
+
+    # -- consumer ----------------------------------------------------------
+
+    def list_shards(self, StreamName: str) -> dict:
+        meta = self._meta(StreamName)
+        shards = []
+        for sid in sorted(meta["shards"]):
+            m = meta["shards"][sid]
+            rng = {"StartingSequenceNumber": str(m["Start"])}
+            if m["End"] is not None:
+                rng["EndingSequenceNumber"] = str(m["End"])
+            s = {"ShardId": sid, "SequenceNumberRange": rng}
+            if m["Parent"]:
+                s["ParentShardId"] = m["Parent"]
+            if m.get("AdjacentParent"):
+                s["AdjacentParentShardId"] = m["AdjacentParent"]
+            shards.append(s)
+        return {"Shards": shards}
+
+    def get_shard_iterator(self, StreamName: str, ShardId: str,
+                           ShardIteratorType: str,
+                           StartingSequenceNumber: str | None = None,
+                           ) -> dict:
+        meta = self._meta(StreamName)
+        if ShardId not in meta["shards"]:
+            raise ResourceNotFoundException(ShardId)
+        if ShardIteratorType == "TRIM_HORIZON":
+            nxt = 0
+        elif ShardIteratorType == "LATEST":
+            nxt = meta["next_seq"]
+        elif ShardIteratorType == "AT_SEQUENCE_NUMBER":
+            nxt = int(StartingSequenceNumber)
+        elif ShardIteratorType == "AFTER_SEQUENCE_NUMBER":
+            nxt = int(StartingSequenceNumber) + 1
+        else:
+            raise ValueError(ShardIteratorType)
+        return {"ShardIterator": json.dumps(
+            {"stream": StreamName, "sid": ShardId, "next": nxt,
+             "t": time.time()})}
+
+    def get_records(self, ShardIterator: str, Limit: int = 10_000) -> dict:
+        it = json.loads(ShardIterator)
+        if time.time() - it["t"] > self.iterator_ttl_sec:
+            raise ExpiredIteratorException(ShardIterator)
+        meta = self._meta(it["stream"])
+        shard = meta["shards"][it["sid"]]
+        records, nxt = [], it["next"]
+        pending = 0
+        path = self._rec_path(it["sid"])
+        if os.path.exists(path):
+            with open(path) as f:
+                for line in f:
+                    rec = json.loads(line)
+                    if rec["seq"] < nxt:
+                        continue
+                    if len(records) >= Limit:
+                        pending += 1
+                        continue
+                    records.append({
+                        "SequenceNumber": str(rec["seq"]),
+                        "PartitionKey": rec["key"],
+                        "Data": base64.b64decode(rec["data"]),
+                        "ApproximateArrivalTimestamp": rec["ts"]})
+                    nxt = rec["seq"] + 1
+        # SHARD_END: the shard is closed and this fetch consumed its
+        # last remaining record (sequence numbers are stream-global,
+        # so the closed range's upper bound is NOT a per-shard seq —
+        # exhaustion is what ends a shard, as on the wire)
+        closed_drained = shard["End"] is not None and pending == 0
+        return {
+            "Records": records,
+            "NextShardIterator": None if closed_drained else json.dumps(
+                {"stream": it["stream"], "sid": it["sid"], "next": nxt,
+                 "t": time.time()}),
+            "MillisBehindLatest": 0 if not records else max(
+                0, int((time.time() - records[-1]
+                        ["ApproximateArrivalTimestamp"]) * 1000)),
+        }
+
+    # -- internals ---------------------------------------------------------
+
+    def _meta_path(self, stream: str) -> str:
+        return os.path.join(self._path, "stream.json")
+
+    def _rec_path(self, sid: str) -> str:
+        return os.path.join(self._path, "records", f"{sid}.jsonl")
+
+    def _meta(self, stream: str) -> dict:
+        try:
+            return _load(self._meta_path(stream))
+        except FileNotFoundError:
+            raise ResourceNotFoundException(stream) from None
