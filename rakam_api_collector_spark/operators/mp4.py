@@ -156,30 +156,24 @@ def _sample_table(data: bytes, sb: int, se: int):
     if b"stco" not in need and b"co64" not in need:
         raise ValueError("sample table missing stco/co64")
 
-    # ctts (composition offsets): present means decode order ≠
-    # presentation order (B-frames) and the stts-derived starts this
-    # demux returns would mis-time instants. Motion-JPEG/PNG payloads
-    # never carry one; an all-zero table (some muxers emit it
-    # unconditionally) is harmless and accepted. Honest-raise
-    # otherwise — the libav swap-in owns reordering.
+    # ctts (composition offsets): decode order ≠ presentation order
+    # (B-frames). The run table parses here (bounds first — the count
+    # is an UNTRUSTED 32-bit field like stts/stsz/stco, so a corrupt
+    # count raises instead of misreading sibling-box bytes) and
+    # expands against n_samples after stts below; PTS = DTS + offset
+    # (ISO/IEC 14496-12 §8.6.1.3 — version 0 unsigned, version 1
+    # signed offsets).
+    ctts_runs: list[tuple[int, int]] | None = None
     if b"ctts" in need:
-        _, p = _fullbox(data, need[b"ctts"][0])
+        ver, p = _fullbox(data, need[b"ctts"][0])
         (n_ctts,) = struct.unpack(">I", data[p:p + 4])
         p += 4
-        # the count is an UNTRUSTED 32-bit field like stts/stsz/stco:
-        # bound the entry walk by the ctts box end so a corrupt count
-        # raises here instead of misreading sibling-box bytes as
-        # composition offsets (and dying in struct on a short slice)
         if p + 8 * n_ctts > need[b"ctts"][1]:
             raise ValueError(
                 f"ctts claims {n_ctts} entries past its own box end")
-        for _ in range(n_ctts):
-            _cnt, off = struct.unpack(">Ii", data[p:p + 8])
-            p += 8
-            if off != 0:
-                raise ValueError(
-                    "ctts with non-zero composition offsets "
-                    "(B-frame reordering) unsupported")
+        fmt = ">Ii" if ver == 1 else ">II"
+        ctts_runs = [struct.unpack_from(fmt, data, p + 8 * i)
+                     for i in range(n_ctts)]
 
     # stsd: the codingname of sample description 1
     _, p = _fullbox(data, need[b"stsd"][0])
@@ -232,6 +226,28 @@ def _sample_table(data: bytes, sb: int, se: int):
             starts.append(t)
             t += delta
 
+    # apply composition offsets: starts become PRESENTATION times.
+    # Run counts are untrusted — the running total is capped while
+    # expanding, so a bomb count raises before allocating.
+    if ctts_runs is not None:
+        offs: list[int] = []
+        for cnt, off in ctts_runs:
+            if len(offs) + cnt > n_samples:
+                raise ValueError(
+                    f"ctts covers more than stsz's {n_samples} samples")
+            offs.extend([off] * cnt)
+        if len(offs) != n_samples:
+            raise ValueError(
+                f"ctts covers {len(offs)} samples, stsz has "
+                f"{n_samples}")
+        starts = [s + o for s, o in zip(starts, offs)]
+        if starts and min(starts) < 0:
+            # v1 negative offsets may pull PTS before zero when the
+            # matching edit list is absent; edit lists are not
+            # modeled, so honest-raise rather than mis-time
+            raise ValueError("ctts yields negative presentation time "
+                             "(edit lists not modeled)")
+
     # stco/co64: chunk offsets (count bounded by the box like the
     # other tables, so corruption raises ValueError, never expands)
     four = b"stco" if b"stco" in need else b"co64"
@@ -278,6 +294,15 @@ def _sample_table(data: bytes, sb: int, se: int):
     end = max((o + s for o, s, _ in samples), default=0)
     if end > len(data):
         raise ValueError("sample extends past end of stream")
+    # PRESENTATION order (stable sort: decode index breaks PTS ties).
+    # Without ctts this is the identity; with B-frame offsets it is
+    # what makes start_ms() bisectable for instant→frame mapping.
+    # Reordering the byte slices is sound here because every payload
+    # this demux SERVES is independently decodable (MJPEG/PNG — an
+    # AVC/HEVC sample decode raises downstream); a codec with
+    # inter-frame prediction would need decode-order delivery plus a
+    # reorder buffer, which is the libav swap-in's job.
+    samples.sort(key=lambda smp: smp[2])
     return codingname, samples, t
 
 

@@ -82,6 +82,14 @@ Window history:
   llm01-06, llm11, llm16, llm18-28, llm37-45, llm47-49, llm51.
   With 98 registered queries the two-round cadence now carries 2
   spare slots per round (50 - 48).
+  Capability-extension note (the llm17-docstring-precedent extended):
+  r10 also taught the MP4 demux ctts composition offsets (B-frame
+  PTS reordering, operators/mp4.py) — a path that previously
+  honest-RAISED, so no registered input's result can change. The
+  out-of-window llm34/llm45 rows were re-verified bit-identical
+  against their oracles at sf0.01 in-round before committing; both
+  rotate into the r11 window regardless, where the driver
+  re-certifies them.
 
 CAPACITY NOTE for round 8+: with 93 queries and a 50-slot window, 43
 must rotate back each round, leaving only 7 slots for new/modified/

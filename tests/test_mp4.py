@@ -153,20 +153,40 @@ def test_corrupt_sample_counts_raise_before_allocation():
         M4.demux_video_track(bad2)
 
 
-def test_ctts_zero_accepted_nonzero_rejected():
-    """ctts guard: an all-zero composition-offset table (emitted
-    unconditionally by some muxers) demuxes identically to no table;
-    any non-zero offset means decode order != presentation order
-    (B-frames) and must honest-raise, never silently mis-time."""
+def test_ctts_composition_offsets_reorder_to_presentation():
+    """ctts (B-frame composition offsets): an all-zero table demuxes
+    identically to no table; non-zero offsets yield PTS = DTS +
+    offset with samples returned in PRESENTATION order (sound for
+    the independently-decodable payloads this demux serves), so
+    instant→frame mapping picks the frame actually shown."""
     frames = _frames(3)
     plain = M4.demux_video_track(M4.mux_video_mp4(frames))
     zeroed = M4.demux_video_track(M4.mux_video_mp4(
         frames, composition_offsets_ticks=[0, 0, 0]))
     assert zeroed.samples == plain.samples
     assert zeroed.start_ms() == plain.start_ms()
-    with pytest.raises(ValueError, match="ctts"):
+
+    # decode order f0,f1,f2 at DTS 0/1000/2000; offsets swap the
+    # last two in presentation: PTS 0/3000/1000 → f0, f2, f1
+    tr = M4.demux_video_track(M4.mux_video_mp4(
+        frames, composition_offsets_ticks=[0, 2000, -1000]))
+    assert tr.start_ms() == [0, 1000, 3000]          # sorted PTS
+    by_pts = [s[1] for s in tr.samples]              # sizes identify
+    assert by_pts == [len(frames[0]), len(frames[2]), len(frames[1])]
+    # the frame PRESENTED at 1.5 s is f2 (PTS 1000), not decode-f1
+    i = M4.sample_index_at_ms(tr.start_ms(), 1500)
+    assert tr.samples[i][1] == len(frames[2])
+
+    # negative presentation time (edit-list territory) honest-raises
+    with pytest.raises(ValueError, match="negative presentation"):
         M4.demux_video_track(M4.mux_video_mp4(
-            frames, composition_offsets_ticks=[0, 2000, -1000]))
+            frames, composition_offsets_ticks=[-500, 0, 0]))
+    # ctts run coverage must equal stsz's sample count
+    short = M4.mux_video_mp4(frames, composition_offsets_ticks=[0, 0, 0])
+    r = short.index(b"ctts") + 4 + 4 + 4     # fourcc, ver/flags, count
+    short = short[:r] + struct.pack(">Ii", 2, 0) + short[r + 8:]
+    with pytest.raises(ValueError, match="ctts covers"):
+        M4.demux_video_track(short)
     # the entry count is untrusted like stts/stsz/stco: a corrupt
     # count must raise ValueError bounded by the ctts box end, not
     # walk into sibling boxes and die in struct on a short slice
