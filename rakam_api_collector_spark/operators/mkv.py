@@ -136,7 +136,8 @@ def _uint(data: bytes, b: int, e: int) -> int:
 class MkvTrack:
     """Resolved video track: ``timestamp_scale`` (ns per tick),
     ``codec_id``, and ``samples`` — [(abs_offset, size, start_ticks)]
-    in cluster order."""
+    in presentation order (sorted by timestamp, storage order as the
+    tie-break)."""
 
     __slots__ = ("timestamp_scale", "codec_id", "samples")
 
@@ -295,6 +296,15 @@ def demux_video_track(data: bytes) -> MkvTrack:
         raise ValueError("no video (TrackType 1) track")
     if scale <= 0:
         raise ValueError("non-positive TimestampScale")
+    # PRESENTATION order (stable sort: storage order breaks ties).
+    # Block timestamps ARE presentation times in Matroska, but blocks
+    # arrive in STORAGE order — a B-frame muxer interleaves them (and
+    # a negative relative timestamp can reach before the previous
+    # cluster), which would silently mis-map instant→frame through
+    # the bisection in start_ms() consumers. Same contract as the MP4
+    # demux post-ctts: sound because served payloads are
+    # independently decodable.
+    samples.sort(key=lambda smp: smp[2])
     return MkvTrack(scale, codec_id, samples)
 
 
@@ -374,8 +384,10 @@ def mux_video_mkv(frames: list[bytes],
     if not frames:
         raise ValueError("mux needs at least one frame")
     ts = timestamps_ticks or list(range(len(frames)))
-    if len(ts) != len(frames) or sorted(ts) != list(ts):
-        raise ValueError("need one monotone timestamp per frame")
+    if len(ts) != len(frames):
+        raise ValueError("need one timestamp per frame")
+    # non-monotone timestamps are legal (a storage-order muxer
+    # emitting B-frames); the int16 relative bound below still guards
     if frames_per_cluster < 1:
         raise ValueError("frames_per_cluster must be ≥ 1")
 

@@ -47,6 +47,26 @@ def test_timestamp_scale_and_cluster_relative_times():
     assert track.start_ms() == [0, 7, 14, 2000, 2007]
 
 
+def test_storage_order_blocks_return_in_presentation_order():
+    """Matroska block timestamps are PRESENTATION times but blocks
+    arrive in storage order — a B-frame muxer interleaves them. The
+    demux must return samples sorted by timestamp so instant→frame
+    bisection picks the frame actually shown."""
+    from rakam_api_collector_spark.operators.mp4 import \
+        sample_index_at_ms
+
+    frames = _frames(4)
+    data = MK.mux_video_mkv(frames, timestamps_ticks=[0, 30, 10, 20],
+                            frames_per_cluster=2)
+    track = MK.demux_video_track(data)
+    assert track.start_ms() == [0, 10, 20, 30]   # sorted PTS
+    got = [data[o:o + ln] for o, ln, _t in track.samples]
+    assert got == [frames[0], frames[2], frames[3], frames[1]]
+    # the frame presented at 15 ms is storage-frame 2 (PTS 10)
+    i = sample_index_at_ms(track.start_ms(), 15)
+    assert track.samples[i][1] == len(frames[2])
+
+
 def test_sampler_parity_vid_mp4_mkv(spark):
     """The same frames through sample_video_frames give identical rows
     for all three container formats."""
