@@ -140,8 +140,93 @@ def demux_video_track(data: bytes) -> Mp4Track:
         stbl = minf and _child(data, *minf, b"stbl")
         if not stbl:
             raise ValueError("video trak without stbl")
-        return Mp4Track(timescale, *_sample_table(data, *stbl))
+        codingname, samples, dur = _sample_table(data, *stbl)
+        samples, dur = _apply_edit_list(
+            data, moov, (tb, te), timescale, samples, dur)
+        return Mp4Track(timescale, codingname, samples, dur)
     raise ValueError("no video (vide handler) track")
+
+
+def _apply_edit_list(data: bytes, moov: tuple[int, int],
+                     trak: tuple[int, int], timescale: int,
+                     samples: list[tuple[int, int, int]], dur: int):
+    """edts/elst (ISO/IEC 14496-12 §8.6.6), the shapes real muxers
+    emit: an optional leading EMPTY edit (media_time −1 — the
+    presentation starts D movie-timescale ticks of black/silence
+    late) followed by at most one media edit at rate 1 whose
+    ``media_time`` trims the timeline start (phones/HandBrake emit
+    media_time = the first ctts offset so presentation starts at 0).
+    Anything richer — multiple media edits (splice lists), dwell
+    (rate 0), slow/fast motion rates — honest-raises; a sampler that
+    ignored it would mis-time every instant.
+
+    Effects on the already-presentation-ordered samples: PTS' =
+    PTS − media_time + delay (delay converted from MOVIE timescale,
+    mvhd §8.2.2, to media ticks); samples whose shifted PTS fall
+    before 0 are trimmed away (the edit excludes them from
+    presentation); track duration follows the same shift."""
+    edts = _child(data, *trak, b"edts")
+    elst = edts and _child(data, *edts, b"elst")
+    if not elst:
+        return samples, dur
+    ver, p = _fullbox(data, elst[0])
+    (n,) = struct.unpack(">I", data[p:p + 4])
+    p += 4
+    width = 16 if ver == 1 else 8
+    if p + (width + 4) * n > elst[1]:
+        raise ValueError(f"elst claims {n} entries past its own box "
+                         "end")
+    entries = []
+    for i in range(n):
+        base = p + (width + 4) * i
+        if ver == 1:
+            seg_dur, media_t = struct.unpack_from(">Qq", data, base)
+            rate_base = base + 16
+        else:
+            seg_dur, media_t = struct.unpack_from(">Ii", data, base)
+            rate_base = base + 8
+        rate_int, _rate_frac = struct.unpack_from(">hH", data,
+                                                  rate_base)
+        entries.append((seg_dur, media_t, rate_int))
+
+    delay_movie = 0
+    if entries and entries[0][1] == -1:            # leading empty edit
+        delay_movie = entries[0][0]
+        entries = entries[1:]
+    if len(entries) > 1:
+        raise ValueError("elst with multiple media edits (splice "
+                         "list) unsupported")
+    media_time, seg_dur = 0, 0
+    if entries:
+        seg_dur, media_time, rate = entries[0]
+        if rate != 1:
+            raise ValueError(f"elst media rate {rate} (dwell/scaled "
+                             "playback) unsupported")
+        if media_time < 0:
+            raise ValueError("elst media_time < 0 in a media edit")
+
+    # segment durations are in MOVIE timescale (mvhd §8.2.2)
+    mvhd = _child(data, *moov, b"mvhd")
+    if mvhd is None:
+        raise ValueError("elst without mvhd (movie timescale unknown)")
+    mver, mp = _fullbox(data, mvhd[0])
+    movie_ts = struct.unpack(
+        ">I", data[mp + (16 if mver == 1 else 8):][:4])[0]
+    if movie_ts <= 0:
+        raise ValueError("non-positive mvhd timescale")
+    delay_media = (delay_movie * timescale) // movie_ts
+
+    shift = delay_media - media_time
+    shifted = [(o, ln, t + shift) for o, ln, t in samples
+               if t + shift >= 0]                  # trim pre-edit rows
+    # presentation duration = Σ edit segment durations; a zero
+    # segment_duration means "the rest of the media" (spec), i.e. the
+    # media end carried over by the shift
+    if seg_dur:
+        dur = delay_media + (seg_dur * timescale) // movie_ts
+    else:
+        dur = dur + shift
+    return shifted, dur
 
 
 def _sample_table(data: bytes, sb: int, se: int):
@@ -331,7 +416,8 @@ def mux_video_mp4(frames: list[bytes],
                   codingname: bytes | None = None,
                   samples_per_chunk: int = 1,
                   force_co64: bool = False,
-                  composition_offsets_ticks: list[int] | None = None
+                  composition_offsets_ticks: list[int] | None = None,
+                  edit_list: list[tuple[int, int, int]] | None = None,
                   ) -> bytes:
     """One-video-track ISO BMFF file around already-encoded frames.
 
@@ -435,7 +521,16 @@ def mux_video_mp4(frames: list[bytes],
                  + struct.pack(">9i", 0x10000, 0, 0, 0, 0x10000, 0,
                                0, 0, 0x40000000)
                  + struct.pack(">II", 0, 0))
-    trak = _box(b"trak", tkhd + mdia)
+    # edts/elst (optional): v0 entries (segment_duration, media_time,
+    # rate_int) — movie timescale here equals the media timescale, as
+    # in any single-track file this muxer writes
+    edts = b""
+    if edit_list is not None:
+        edts = _box(b"edts", _fbox(
+            b"elst", 0, 0, struct.pack(">I", len(edit_list))
+            + b"".join(struct.pack(">IihH", d, m, r, 0)
+                       for d, m, r in edit_list)))
+    trak = _box(b"trak", tkhd + edts + mdia)
     mvhd = _fbox(b"mvhd", 0, 0, struct.pack(
         ">IIII", 0, 0, timescale, duration)
         + struct.pack(">IH", 0x00010000, 0x0100) + b"\0" * 10

@@ -153,6 +153,53 @@ def test_corrupt_sample_counts_raise_before_allocation():
         M4.demux_video_track(bad2)
 
 
+def test_edit_list_shapes():
+    """edts/elst: the two shapes real muxers emit are honored — a
+    media_time trim (phones/HandBrake: presentation starts at the
+    first ctts offset) and a leading empty edit (delay) — richer
+    splice/rate lists honest-raise."""
+    frames = _frames(3)
+
+    # phone shape: ctts offsets [1000,1000,1000] push PTS to
+    # 1000/2000/3000; elst media_time=1000 trims the timeline back
+    # so presentation starts at 0 again
+    shifted = M4.demux_video_track(M4.mux_video_mp4(
+        frames, composition_offsets_ticks=[1000, 1000, 1000],
+        edit_list=[(3000, 1000, 1)]))
+    plain = M4.demux_video_track(M4.mux_video_mp4(frames))
+    assert shifted.start_ms() == plain.start_ms() == [0, 1000, 2000]
+    assert shifted.duration_ms() == plain.duration_ms()
+
+    # trim INTO the media: media_time=1000 drops the first frame's
+    # presentation slot entirely
+    trimmed = M4.demux_video_track(M4.mux_video_mp4(
+        frames, edit_list=[(2000, 1000, 1)]))
+    assert trimmed.start_ms() == [0, 1000]
+    assert [s[1] for s in trimmed.samples] \
+        == [len(frames[1]), len(frames[2])]
+
+    # leading empty edit: presentation delayed by 500 ticks (movie
+    # timescale == media timescale in this muxer)
+    delayed = M4.demux_video_track(M4.mux_video_mp4(
+        frames, edit_list=[(500, -1, 1), (3000, 0, 1)]))
+    assert delayed.start_ms() == [500, 1500, 2500]
+    assert delayed.duration_ms() == 3500
+
+    # splice lists and non-unit rates honest-raise
+    with pytest.raises(ValueError, match="splice"):
+        M4.demux_video_track(M4.mux_video_mp4(
+            frames, edit_list=[(1000, 0, 1), (1000, 2000, 1)]))
+    with pytest.raises(ValueError, match="rate"):
+        M4.demux_video_track(M4.mux_video_mp4(
+            frames, edit_list=[(3000, 0, 2)]))
+    # corrupt entry count bounded by the box end, like every table
+    good = M4.mux_video_mp4(frames, edit_list=[(3000, 0, 1)])
+    c = good.index(b"elst") + 4 + 4
+    bad = good[:c] + struct.pack(">I", 0x0FFFFFFF) + good[c + 4:]
+    with pytest.raises(ValueError, match="past its own box"):
+        M4.demux_video_track(bad)
+
+
 def test_ctts_composition_offsets_reorder_to_presentation():
     """ctts (B-frame composition offsets): an all-zero table demuxes
     identically to no table; non-zero offsets yield PTS = DTS +
