@@ -309,3 +309,65 @@ def test_mkv_demux_never_crashes_on_garbage(data, seed):
             MK.demux_video_track(blob)
         except (ValueError, struct.error):
             pass
+
+
+@settings(max_examples=60, deadline=None)
+@given(n=st.integers(1, 12), seed=st.integers(0, 2**31 - 1),
+       spc=st.integers(1, 4), use_elst=st.booleans(),
+       delay=st.integers(0, 3000), trim_frames=st.integers(0, 3))
+def test_mp4_timing_model_property(n, seed, spc, use_elst, delay,
+                                   trim_frames):
+    """The full stts×ctts×elst timing model against a brute-force
+    oracle: for ANY durations, valid composition offsets (a random
+    per-file permutation of presentation slots — PTS is a
+    rearrangement of DTS schedule positions, all ≥ 0), and optional
+    edit list (a leading empty-edit delay and/or a media_time trim
+    landing ON a presentation slot), the demuxed samples are exactly
+    the non-trimmed frames in presentation order at shifted times,
+    and sample_index_at_ms agrees with a linear scan at every
+    half-tick probe."""
+    from bisect import bisect_right
+
+    from rakam_api_collector_spark.operators import mp4 as M4
+
+    rng = np.random.default_rng(seed)
+    frames = [rng.integers(0, 256, size=int(ln),
+                           dtype=np.uint8).tobytes()
+              for ln in rng.integers(1, 60, size=n)]
+    durs = [int(d) for d in rng.integers(1, 2000, size=n)]
+    dts = np.cumsum([0] + durs[:-1])
+    # a permutation of the DTS schedule = valid composition offsets
+    perm = rng.permutation(n)
+    pts = [int(dts[perm[i]]) for i in np.argsort(perm)] \
+        if rng.integers(2) else [int(t) for t in dts]
+    # frame i (decode order) presents at pts[i]
+    offsets = [p - int(d) for p, d in zip(pts, dts)]
+
+    trim_frames = min(trim_frames, n - 1)
+    pres_sorted = sorted(pts)
+    media_time = pres_sorted[trim_frames]    # trim lands ON a slot
+    edit = [(0, media_time, 1)] if use_elst else None
+    if use_elst and delay:
+        edit = [(delay, -1, 1)] + edit
+    blob = M4.mux_video_mp4(frames, durations_ticks=durs,
+                            codingname=b"raw ", samples_per_chunk=spc,
+                            composition_offsets_ticks=offsets,
+                            edit_list=edit)
+    track = M4.demux_video_track(blob)
+
+    shift = (delay - media_time) if use_elst else 0
+    want = sorted(((p + shift, i) for i, p in enumerate(pts)
+                   if p + shift >= 0))
+    assert [blob[o:o + ln] for o, ln, _s in track.samples] \
+        == [frames[i] for _p, i in want]
+    assert [s for _o, _l, s in track.samples] == [p for p, _i in want]
+
+    # instant→frame parity with a brute-force scan
+    starts = track.start_ms()
+    for t in range(0, (max(starts) if starts else 0) + 3, 7):
+        linear = -1
+        for j, s in enumerate(starts):
+            if s <= t:
+                linear = j
+        assert M4.sample_index_at_ms(starts, t) == linear
+        assert bisect_right(starts, t) - 1 == linear
