@@ -40,6 +40,25 @@ from rakam_api_collector_spark.operators import text as T
 Stage = Callable[[DataFrame], DataFrame]
 
 
+def html_extract(id_col: str = "doc_id", html_col: str = "html",
+                 max_link_density: float | None = 0.5) -> Stage:
+    """Extraction FRONT stage (web corpora: run before everything —
+    boilerplate/quality/dedup all assume extracted text): HTML →
+    (``text``, ``title``, ``n_links``, ``link_density``) via
+    ``operators.html.html_to_text``, then the classic link-density
+    chrome filter (Kohlschütter'10; ``None`` disables). Other input
+    columns besides ``id_col`` drop — text replaces markup as the
+    document body."""
+    from rakam_api_collector_spark.operators.html import html_to_text
+
+    def stage(df: DataFrame) -> DataFrame:
+        out = html_to_text(df, id_col, html_col)
+        if max_link_density is not None:
+            out = out.filter(F.col("link_density") <= max_link_density)
+        return out
+    return stage
+
+
 def gopher_filter(text_col: str = "text", **thresholds) -> Stage:
     """Row-local hard quality rules (Rae et al. 2021) — the scan-speed
     pre-filter. LITERALLY the battery the llm40/llm42 oracle queries

@@ -179,3 +179,39 @@ def test_span_dedup_stage(spark):
         assert f"sentence number {i}" in out[i].text
         assert out[i].n_tokens_removed > 0
     assert out[0].n_tokens_removed == 0
+
+
+def test_html_extract_front_stage(spark):
+    """Web-corpus entry: html_extract turns markup into the (doc_id,
+    text) frame every later stage assumes, and the link-density
+    filter drops chrome-dominated pages before they pollute quality
+    stats downstream."""
+    from rakam_api_collector_spark.tables import load_table
+
+    docs = (load_table(spark, SF, "documents").limit(12)
+            .select("doc_id", F.concat(
+                F.lit("<html><head><title>T</title></head><body>"
+                      "<nav><a href='/'>Home</a></nav><p>"),
+                F.col("text"),
+                F.lit("</p></body></html>")).alias("html")))
+    linkfarm = spark.createDataFrame(
+        [(9_999, "<html><body>" + "".join(
+            f"<a href='/{i}'>A really long navigation entry {i}</a>"
+            for i in range(30)) + "<p>tiny</p></body></html>")],
+        "doc_id long, html string")
+
+    pipe = C.CurationPipeline([
+        C.html_extract(),
+        C.gopher_filter(min_tokens=1),
+        C.exact_dedup(),
+    ])
+    out = pipe.run(docs.unionByName(linkfarm)).collect()
+    ids = {r.doc_id for r in out}
+    assert 9_999 not in ids                   # link farm filtered
+    assert len(ids) > 0
+    originals = {r.doc_id: r.text for r in
+                 load_table(spark, SF, "documents").limit(12).collect()}
+    for r in out:
+        want = " ".join(originals[r.doc_id].split())
+        assert " ".join(r.text.split("\n")[1].split()) == want
+        assert r.title == "T"
