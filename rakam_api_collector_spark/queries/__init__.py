@@ -83,11 +83,15 @@ Window history:
   With 98 registered queries the two-round cadence now carries 2
   spare slots per round (50 - 48).
   Capability-extension note (the llm17-docstring-precedent extended):
-  r10 also taught the MP4 demux ctts composition offsets (B-frame
-  PTS reordering, operators/mp4.py) — a path that previously
-  honest-RAISED, so no registered input's result can change. The
-  out-of-window llm34/llm45 rows were re-verified bit-identical
-  against their oracles at sf0.01 in-round before committing; both
+  r10 also taught the container demuxes the full presentation-timing
+  model — MP4 ctts composition offsets (B-frame PTS reordering) and
+  edts/elst edit lists (operators/mp4.py), both paths that
+  previously honest-RAISED or were absent from registered inputs,
+  and MKV presentation-order sorting (operators/mkv.py), which is
+  the identity on the monotone-timestamp streams the fixtures emit —
+  so no registered input's result can change. The out-of-window
+  llm34/llm45 rows were re-verified bit-identical against their
+  oracles at sf0.01 in-round after EACH of these commits; both
   rotate into the r11 window regardless, where the driver
   re-certifies them.
 
