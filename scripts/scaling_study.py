@@ -276,6 +276,30 @@ def op_unigram_encode(spark, k: int) -> DataFrame:
                        F.count("*").alias("docs")))
 
 
+def op_html_extract(spark, k: int) -> DataFrame:
+    """HTML → text extraction (operators/html.py shape): a pure
+    per-row Arrow map — the exponent must be ~linear with zero
+    shuffle; replica id baked into the markup so output rows are
+    distinct."""
+    from rakam_api_collector_spark.operators.html import html_to_text
+
+    docs = amplified(spark, load_table(spark, SF_DIR, "documents"), k,
+                     {"doc_id": 10_000_000})
+    pages = docs.select(
+        "doc_id",
+        F.concat(F.lit("<html><head><title>t</title></head><body>"
+                       "<nav><a href='/'>Home</a><a href='/a'>About"
+                       "</a></nav><h1>rep "),
+                 F.col("_rep").cast("string"),
+                 F.lit("</h1><p>"), F.col("text"),
+                 F.lit("</p><footer><a href='/t'>Terms</a></footer>"
+                       "</body></html>")).alias("page"))
+    return (html_to_text(pages, "doc_id", "page")
+            .groupBy().agg(F.count("*").alias("docs"),
+                           F.sum("n_links").alias("links"),
+                           F.sum(F.length("text")).alias("chars")))
+
+
 OPS = {
     "agg_q1": (op_agg_q1, "lineitem", 600_000),
     "join_orders": (op_join_orders, "lineitem+orders", 750_000),
@@ -289,6 +313,7 @@ OPS = {
     "dup_span_hotkey": (op_dup_span_hotkey, "documents", 5_000),
     "boilerplate": (op_boilerplate, "documents", 5_000),
     "unigram_encode": (op_unigram_encode, "documents", 5_000),
+    "html_extract": (op_html_extract, "documents", 5_000),
 }
 
 
