@@ -1,0 +1,132 @@
+"""Perceptual image hashing (pHash) + banded near-dup candidates —
+image-modality dedup, the SimHash-for-pixels the multimodal corpus
+needs (exact byte dedup misses re-encoded / resized / brightness-
+shifted copies; pHash is invariant to exactly those).
+
+The classic DCT pHash (the imagehash/pHash.org construction, public
+domain since Zauner 2010): luma (ITU-R BT.601) → floor-index resize
+to 32×32 (the same exact-integer map as ``multimodal.nn_resize``) →
+orthonormal 2-D DCT-II (two matmuls) → top-left 8×8 low-frequency
+block → bit i = coeff_i > median(block). 64 bits; Hamming distance ≈
+perceptual distance. Uniform brightness/contrast changes move the DC
+coefficient and SCALE the rest, so median-relative bits barely move —
+the invariance the test pins.
+
+Spark shape: signatures are ONE mapInPandas pass over image bytes
+(per-row map, no shuffle); candidate pairs reuse the chunk-pigeonhole
+rule of ``dedup.simhash_candidates`` — equal 16-bit chunk ⇒ candidate
+(complete for Hamming ≤ chunks−1) — as a bucket self-join that only
+ever joins signatures, never pixels. 100 TB: decode cost is the scan,
+the join is |bucket|-bounded like every banded dedup in this repo.
+"""
+
+from __future__ import annotations
+
+from struct import error as struct_error
+from typing import Iterator
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_N, _LOW = 32, 8
+
+
+def _dct_matrix(n: int) -> "np.ndarray":
+    """Orthonormal DCT-II basis: D @ x applies the transform."""
+    k = np.arange(n)[:, None]
+    i = np.arange(n)[None, :]
+    d = np.cos(np.pi * (2 * i + 1) * k / (2 * n)) * np.sqrt(2.0 / n)
+    d[0] /= np.sqrt(2.0)
+    return d
+
+
+_DCT = _dct_matrix(_N)
+
+
+def phash64(width: int, height: int, channels: int,
+            pixels: bytes) -> int:
+    """64-bit pHash of an 8-bit interleaved sample buffer (the
+    ``multimodal.png_decode`` / ``jpeg_decode`` output shape).
+    Signed int64 so the value lives in a Spark LongType column."""
+    if width < 1 or height < 1:
+        raise ValueError("empty image")
+    a = np.frombuffer(pixels, dtype=np.uint8)
+    if len(a) != width * height * channels:
+        raise ValueError(
+            f"pixel buffer {len(a)} != {width}x{height}x{channels}")
+    a = a.reshape(height, width, channels).astype(np.float64)
+    if channels >= 3:
+        gray = (0.299 * a[:, :, 0] + 0.587 * a[:, :, 1]
+                + 0.114 * a[:, :, 2])
+    else:
+        gray = a[:, :, 0]               # gray / gray+alpha: the luma
+    ys = (np.arange(_N) * height) // _N  # exact floor-index resize —
+    xs = (np.arange(_N) * width) // _N   # the nn_resize map
+    small = gray[ys][:, xs]
+    low = (_DCT @ small @ _DCT.T)[:_LOW, :_LOW].ravel()
+    bits = low > np.median(low)
+    return int(np.packbits(bits).view(">u8")[0].astype(np.int64,
+                                                       casting="unsafe"))
+
+
+def phash_signatures(df: DataFrame, id_col: str, image_col: str,
+                     skip_invalid: bool = True) -> DataFrame:
+    """(_id, _ph) per image — ONE Arrow pass, PNG or JPEG bytes
+    sniffed per row (the ``decode_image_stats`` convention). Corrupt
+    images follow the ST11 drop-vs-raise contract."""
+    from rakam_api_collector_spark.operators.jpeg import jpeg_decode
+    from rakam_api_collector_spark.operators.multimodal import \
+        png_decode
+
+    out = T.StructType([T.StructField("_id", T.LongType()),
+                        T.StructField("_ph", T.LongType())])
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+        for pdf in batches:
+            rows = []
+            for rid, raw in zip(pdf["_id"], pdf["_img"]):
+                buf = bytes(raw)
+                try:
+                    if buf[:2] == b"\xff\xd8":
+                        w, h, c, px = jpeg_decode(buf)
+                    else:
+                        w, h, c, px = png_decode(buf)
+                    rows.append([int(rid), phash64(w, h, c, px)])
+                except (ValueError, struct_error):
+                    if not skip_invalid:
+                        raise
+            yield pd.DataFrame(rows, columns=["_id", "_ph"])
+
+    return (df.select(F.col(id_col).cast("long").alias("_id"),
+                      F.col(image_col).alias("_img"))
+            .mapInPandas(run, out))
+
+
+def phash_candidates(df: DataFrame, id_col: str, image_col: str,
+                     chunks: int = 4) -> DataFrame:
+    """Near-dup image candidate pairs: equal 16-bit pHash chunk
+    (pigeonhole-complete for Hamming ≤ chunks−1) ⇒ (a, b, hamming) —
+    the ``simhash_candidates`` join shape over pixel signatures. Rank
+    or threshold on ``hamming`` downstream (≤ 10 is the usual
+    near-dup cut for 64-bit pHash)."""
+    w = 64 // chunks
+    sh = phash_signatures(df, id_col, image_col)
+    chunk_arr = F.array(*[
+        F.struct(F.lit(ci).alias("chunk"),
+                 F.shiftright("_ph", ci * w)
+                 .bitwiseAND(F.lit((1 << w) - 1)).alias("ck"))
+        for ci in range(chunks)])
+    buckets = (sh.select("_id", "_ph", F.explode(chunk_arr).alias("_c"))
+               .select("_id", "_ph", "_c.chunk", "_c.ck")).cache()
+    buckets.count()              # decode runs once, not per join side
+    a, b = buckets.alias("a"), buckets.alias("b")
+    return (a.join(b, (F.col("a.chunk") == F.col("b.chunk"))
+                   & (F.col("a.ck") == F.col("b.ck"))
+                   & (F.col("a._id") < F.col("b._id")))
+            .select(F.col("a._id").alias("a"), F.col("b._id").alias("b"),
+                    F.bit_count(F.col("a._ph").bitwiseXOR(F.col("b._ph")))
+                    .alias("hamming"))
+            .distinct())

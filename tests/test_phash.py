@@ -1,0 +1,107 @@
+"""Perceptual image hashing (operators/phash.py): the invariances
+pHash exists for — re-encode, pixel-double resize, uniform brightness
+shift — keep Hamming distance near 0 while unrelated images land far
+apart; the banded candidate join finds exactly the near-dup pairs.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from rakam_api_collector_spark.operators import multimodal as M
+from rakam_api_collector_spark.operators.phash import (phash64,
+                                                       phash_candidates,
+                                                       phash_signatures)
+
+
+def _gradient(w=32, h=32, seed=0):
+    """A structured image: smooth gradient + a blob, so the DCT
+    low-frequency block carries real signal (noise images hash to
+    coin flips by design)."""
+    rng = np.random.default_rng(seed)
+    y, x = np.mgrid[0:h, 0:w]
+    img = (x * 3 + y * 2) % 256
+    cy, cx = rng.integers(8, 24, size=2)
+    blob = 120 * np.exp(-(((y - cy) ** 2 + (x - cx) ** 2) / 40.0))
+    g = np.clip(img + blob, 0, 255).astype(np.uint8)
+    return np.repeat(g[:, :, None], 3, axis=2)
+
+
+def _ham(a, b):
+    return bin((a ^ b) & (2**64 - 1)).count("1")
+
+
+def test_invariances_and_separation():
+    base = _gradient(seed=1)
+    h0 = phash64(32, 32, 3, base.tobytes())
+
+    # pixel-doubling resize: floor-index downscale recovers the
+    # original exactly → identical hash
+    doubled = np.repeat(np.repeat(base, 2, axis=0), 2, axis=1)
+    assert phash64(64, 64, 3, doubled.tobytes()) == h0
+
+    # uniform brightness shift moves DC, barely the median-relative bits
+    brighter = np.clip(base.astype(int) + 25, 0, 255).astype(np.uint8)
+    assert _ham(phash64(32, 32, 3, brighter.tobytes()), h0) <= 6
+
+    # grayscale of the same luma content matches closely
+    gray = (0.299 * base[:, :, 0] + 0.587 * base[:, :, 1]
+            + 0.114 * base[:, :, 2]).astype(np.uint8)
+    assert _ham(phash64(32, 32, 1, gray.tobytes()), h0) <= 4
+
+    # an unrelated structured image lands far away
+    other = _gradient(seed=2)[::-1, ::-1]
+    assert _ham(phash64(32, 32, 3, other.tobytes()), h0) >= 16
+
+    with pytest.raises(ValueError, match="pixel buffer"):
+        phash64(32, 32, 3, base.tobytes()[:-1])
+
+
+@settings(max_examples=30, deadline=None)
+@given(seed=st.integers(0, 2**31 - 1), shift=st.integers(-30, 30))
+def test_brightness_shift_property(seed, shift):
+    base = _gradient(seed=seed)
+    shifted = np.clip(base.astype(int) + shift, 0, 255).astype(np.uint8)
+    d = _ham(phash64(32, 32, 3, base.tobytes()),
+             phash64(32, 32, 3, shifted.tobytes()))
+    # clipping saturation makes large shifts non-uniform, so a few
+    # median-adjacent bits can flip; the property that matters is
+    # d ≪ the ~32-bit expectation for unrelated images
+    assert d <= 16, f"brightness {shift} moved {d} bits"
+
+
+def test_signatures_and_candidates_over_spark(spark):
+    """PNG-encoded duplicates (one re-encoded at 2× size) pair up at
+    hamming ≤ 2 through the banded join; the unrelated image pairs
+    with neither; a corrupt blob drops (skip) or raises."""
+    base = _gradient(seed=3)
+    doubled = np.repeat(np.repeat(base, 2, axis=0), 2, axis=1)
+    other = _gradient(seed=4)[::-1, ::-1]
+    rows = [
+        (1, M.png_encode(base.tobytes(), 32, 32, 3)),
+        (2, M.png_encode(doubled.tobytes(), 64, 64, 3)),
+        (3, M.png_encode(other.tobytes(), 32, 32, 3)),
+        (4, b"corrupt image bytes"),
+    ]
+    df = spark.createDataFrame(rows, "img_id long, image binary")
+
+    sigs = {r._id: r._ph for r in
+            phash_signatures(df, "img_id", "image").collect()}
+    assert set(sigs) == {1, 2, 3}
+    assert sigs[1] == sigs[2]
+
+    pairs = {(r.a, r.b): r.hamming for r in
+             phash_candidates(df, "img_id", "image").collect()}
+    assert pairs.get((1, 2)) == 0
+    assert all(h <= 2 for (a, b), h in pairs.items()
+               if (a, b) == (1, 2))
+    # the unrelated image may chunk-collide by chance only at high
+    # hamming; assert it never shows as a NEAR dup
+    assert all(h > 10 for (a, b), h in pairs.items() if 3 in (a, b))
+
+    with pytest.raises(Exception, match="PNG|SOI|signature"):
+        phash_signatures(df, "img_id", "image",
+                         skip_invalid=False).collect()
