@@ -71,15 +71,25 @@ def phash64(width: int, height: int, channels: int,
                                                        casting="unsafe"))
 
 
-def phash_signatures(df: DataFrame, id_col: str, image_col: str,
-                     skip_invalid: bool = True) -> DataFrame:
-    """(_id, _ph) per image — ONE Arrow pass, PNG or JPEG bytes
-    sniffed per row (the ``decode_image_stats`` convention). Corrupt
-    images follow the ST11 drop-vs-raise contract."""
+def phash_of_image_bytes(buf: bytes) -> int:
+    """pHash of encoded image bytes — PNG or JPEG sniffed (the
+    ``decode_image_stats`` convention)."""
     from rakam_api_collector_spark.operators.jpeg import jpeg_decode
     from rakam_api_collector_spark.operators.multimodal import \
         png_decode
 
+    if buf[:2] == b"\xff\xd8":
+        w, h, c, px = jpeg_decode(buf)
+    else:
+        w, h, c, px = png_decode(buf)
+    return phash64(w, h, c, px)
+
+
+def phash_signatures(df: DataFrame, id_col: str, image_col: str,
+                     skip_invalid: bool = True) -> DataFrame:
+    """(_id, _ph) per image — ONE Arrow pass, PNG or JPEG bytes
+    sniffed per row. Corrupt images follow the ST11 drop-vs-raise
+    contract."""
     out = T.StructType([T.StructField("_id", T.LongType()),
                         T.StructField("_ph", T.LongType())])
 
@@ -88,13 +98,9 @@ def phash_signatures(df: DataFrame, id_col: str, image_col: str,
         for pdf in batches:
             rows = []
             for rid, raw in zip(pdf["_id"], pdf["_img"]):
-                buf = bytes(raw)
                 try:
-                    if buf[:2] == b"\xff\xd8":
-                        w, h, c, px = jpeg_decode(buf)
-                    else:
-                        w, h, c, px = png_decode(buf)
-                    rows.append([int(rid), phash64(w, h, c, px)])
+                    rows.append([int(rid),
+                                 phash_of_image_bytes(bytes(raw))])
                 except (ValueError, struct_error):
                     if not skip_invalid:
                         raise
@@ -130,3 +136,108 @@ def phash_candidates(df: DataFrame, id_col: str, image_col: str,
                     F.bit_count(F.col("a._ph").bitwiseXOR(F.col("b._ph")))
                     .alias("hamming"))
             .distinct())
+
+
+# -- video near-dup: frame-sampled pHash sequences ----------------------------
+
+
+def video_phash_signatures(df: DataFrame, id_col: str, video_col: str,
+                           n_frames: int = 8,
+                           skip_invalid: bool = True) -> DataFrame:
+    """(_id, _phs array<long>) per video: pHashes of ``n_frames``
+    index-uniform sampled frames (positions ``floor(i·(n−1)/(k−1))``
+    — deterministic, layout-agnostic across MP4 / MKV / VID
+    containers, and aligned between a video and its re-encode as long
+    as frames map 1:1, which re-encoding preserves). Only the sampled
+    frames are sliced and decoded — the index walk reads container
+    tables, never payloads (the ``_frame_offsets`` contract). A video
+    shorter than ``n_frames`` signs every frame."""
+    from rakam_api_collector_spark.operators.multimodal import \
+        _frame_offsets
+
+    out = T.StructType([T.StructField("_id", T.LongType()),
+                        T.StructField("_phs",
+                                      T.ArrayType(T.LongType()))])
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+        for pdf in batches:
+            rows = []
+            for rid, raw in zip(pdf["_id"], pdf["_vid"]):
+                data = bytes(raw)
+                try:
+                    offs = list(_frame_offsets(data))
+                    n = len(offs)
+                    if n == 0:
+                        raise ValueError("video with zero frames")
+                    k = min(n_frames, n)
+                    picks = sorted({(i * (n - 1)) // max(k - 1, 1)
+                                    for i in range(k)})
+                    sig = [phash_of_image_bytes(
+                        data[off:off + ln])
+                        for _idx, off, ln in (offs[p] for p in picks)]
+                    rows.append([int(rid), sig])
+                except (ValueError, struct_error, IndexError):
+                    if not skip_invalid:
+                        raise
+            yield pd.DataFrame(rows, columns=["_id", "_phs"])
+
+    return (df.select(F.col(id_col).cast("long").alias("_id"),
+                      F.col(video_col).alias("_vid"))
+            .mapInPandas(run, out))
+
+
+def video_phash_candidates(df: DataFrame, id_col: str, video_col: str,
+                           n_frames: int = 8, chunks: int = 4,
+                           frame_hamming: int = 10,
+                           min_match_frac: float = 0.5) -> DataFrame:
+    """Near-dup video pairs: two videos are candidates when SOME
+    sampled position's frame hashes share a 16-bit chunk (pigeonhole,
+    as in ``phash_candidates``), and survive when ≥ ``min_match_frac``
+    of compared positions match at Hamming ≤ ``frame_hamming``.
+    Returns (a, b, n_positions, n_matched, mean_hamming). The join is
+    keyed (position, chunk, value) — re-encoded/brightness-shifted
+    copies align position-wise; videos of different lengths compare
+    over the shorter signature. Signatures join, never frames."""
+    w = 64 // chunks
+    sigs = video_phash_signatures(df, id_col, video_col,
+                                  n_frames=n_frames)
+    pos = (sigs.select("_id", F.posexplode("_phs").alias("_p", "_ph")))
+    chunk_arr = F.array(*[
+        F.struct(F.lit(ci).alias("chunk"),
+                 F.shiftright("_ph", ci * w)
+                 .bitwiseAND(F.lit((1 << w) - 1)).alias("ck"))
+        for ci in range(chunks)])
+    buckets = (pos.select("_id", "_p", "_ph",
+                          F.explode(chunk_arr).alias("_c"))
+               .select("_id", "_p", "_ph", "_c.chunk", "_c.ck")).cache()
+    buckets.count()              # decode runs once, not per join side
+    a, b = buckets.alias("a"), buckets.alias("b")
+    pair_frames = (a.join(b, (F.col("a._p") == F.col("b._p"))
+                          & (F.col("a.chunk") == F.col("b.chunk"))
+                          & (F.col("a.ck") == F.col("b.ck"))
+                          & (F.col("a._id") < F.col("b._id")))
+                   .select(F.col("a._id").alias("a"),
+                           F.col("b._id").alias("b"),
+                           F.col("a._p").alias("p"),
+                           F.bit_count(F.col("a._ph")
+                                       .bitwiseXOR(F.col("b._ph")))
+                           .alias("hamming"))
+                   .distinct())
+    n_pos = sigs.select(F.col("_id"),
+                        F.size("_phs").alias("_n"))
+    return (pair_frames
+            .filter(F.col("hamming") <= frame_hamming)
+            .groupBy("a", "b")
+            .agg(F.count("*").alias("n_matched"),
+                 F.avg("hamming").alias("mean_hamming"))
+            .join(n_pos.select(F.col("_id").alias("a"),
+                               F.col("_n").alias("_na")), "a")
+            .join(n_pos.select(F.col("_id").alias("b"),
+                               F.col("_n").alias("_nb")), "b")
+            .withColumn("n_positions", F.least("_na", "_nb"))
+            .filter(F.col("n_matched")
+                    >= F.ceil(F.col("n_positions")
+                              * F.lit(min_match_frac)))
+            .select("a", "b", "n_positions", "n_matched",
+                    F.round("mean_hamming", 4).alias("mean_hamming")))

@@ -105,3 +105,42 @@ def test_signatures_and_candidates_over_spark(spark):
     with pytest.raises(Exception, match="PNG|SOI|signature"):
         phash_signatures(df, "img_id", "image",
                          skip_invalid=False).collect()
+
+
+def test_video_phash_near_dup(spark):
+    """Video near-dup: a re-encoded copy (identical pixels, fresh PNG
+    encode) and a brightness-shifted copy pair with the original at
+    high matched-position fractions; an unrelated video never
+    survives the match threshold; a corrupt blob drops."""
+    from rakam_api_collector_spark.operators.phash import (
+        video_phash_candidates, video_phash_signatures)
+
+    def vid(frames):
+        return M.pack_video([M.png_encode(f.tobytes(), 32, 32, 3)
+                             for f in frames])
+
+    base_frames = [_gradient(seed=s) for s in range(10, 22)]
+    bright = [np.clip(f.astype(int) + 20, 0, 255).astype(np.uint8)
+              for f in base_frames]
+    other = [_gradient(seed=s)[::-1, ::-1] for s in range(40, 52)]
+    rows = [(1, vid(base_frames)),
+            (2, vid(base_frames)),          # re-encode: same pixels
+            (3, vid(bright)),
+            (4, vid(other)),
+            (5, b"not a video")]
+    df = spark.createDataFrame(rows, "vid_id long, video binary")
+
+    sigs = {r._id: r._phs for r in
+            video_phash_signatures(df, "vid_id", "video",
+                                   n_frames=6).collect()}
+    assert set(sigs) == {1, 2, 3, 4}
+    assert sigs[1] == sigs[2] and len(sigs[1]) == 6
+
+    pairs = {(r.a, r.b): r for r in
+             video_phash_candidates(df, "vid_id", "video",
+                                    n_frames=6).collect()}
+    assert (1, 2) in pairs
+    assert pairs[(1, 2)].n_matched == 6
+    assert pairs[(1, 2)].mean_hamming == 0.0
+    assert (1, 3) in pairs and pairs[(1, 3)].n_matched >= 3
+    assert all(4 not in (a, b) for a, b in pairs)
