@@ -241,3 +241,92 @@ def video_phash_candidates(df: DataFrame, id_col: str, video_col: str,
                               * F.lit(min_match_frac)))
             .select("a", "b", "n_positions", "n_matched",
                     F.round("mean_hamming", 4).alias("mean_hamming")))
+
+
+# -- audio near-dup: spectrogram pHash ----------------------------------------
+
+
+def audio_phash64(pcm16: "np.ndarray", sample_rate: int, *,
+                  n_fft: int = 512, hop: int = 256,
+                  n_mels: int = 40) -> int:
+    """64-bit perceptual hash of mono int16 audio — the
+    Haitsma-Kalker band-energy-difference construction (ISMIR 2002,
+    "A Highly Robust Audio Fingerprinting System") at clip
+    granularity: pool the log-mel spectrogram
+    (operators/spectrogram.py) into an 8×9 time×band energy grid,
+    bit(t, b) = E(t, b) > E(t, b+1) — 64 sign-of-difference bits.
+
+    Why differences and not the image pHash: a spectrogram is SPARSE
+    (most bins sit at the log floor), so half the DCT block's
+    coefficients land near zero == near the median, and ±1-quantum
+    re-encode noise flips them — measured 16+ bits on an identical
+    clip. Adjacent-band differences compare structure directly:
+    equal-floor cells tie to a stable 0 and tonal peaks dominate
+    their neighbors by orders of magnitude. Samples peak-normalize
+    first and log compression turns residual gain into a constant
+    both sides of every difference share — gain cancels exactly.
+    Clips shorter than one FFT window raise (no spectrum to hash)."""
+    from rakam_api_collector_spark.operators.spectrogram import \
+        log_mel_frames
+
+    x = np.asarray(pcm16, dtype=np.float64)
+    peak = np.abs(x).max() if len(x) else 0.0
+    if peak > 0:
+        x = x * (32767.0 / peak)
+    feats = log_mel_frames(x, sample_rate, n_fft=n_fft, hop=hop,
+                           n_mels=n_mels)
+    n_t = feats.shape[0]
+    if n_t == 0:
+        raise ValueError("clip shorter than one FFT window")
+    # clamp re-quantization noise 60 dB below the peak, then mean-pool
+    # to the 8×9 grid (floor-index time edges — short clips repeat)
+    feats = np.maximum(feats, feats.max() - 6.0)
+    t_edges = (np.arange(9) * n_t) // 8
+    cols = (np.arange(10) * feats.shape[1]) // 9
+    grid = np.empty((8, 9))
+    for ti in range(8):
+        rows = feats[t_edges[ti]:max(t_edges[ti + 1], t_edges[ti] + 1)]
+        for bi in range(9):
+            grid[ti, bi] = rows[:, cols[bi]:max(cols[bi + 1],
+                                                cols[bi] + 1)].mean()
+    bits = (grid[:, :-1] > grid[:, 1:]).ravel()
+    return int(np.packbits(bits).view(">u8")[0].astype(np.int64,
+                                                       casting="unsafe"))
+
+
+def audio_phash_signatures(df: DataFrame, id_col: str, audio_col: str,
+                           skip_invalid: bool = True,
+                           **spec_kw) -> DataFrame:
+    """(_id, _ph) per WAV clip — decode + spectrogram + pHash in ONE
+    Arrow pass; corrupt/too-short clips follow drop-vs-raise.
+    Candidate pairs: feed this signature frame into the same
+    chunk-pigeonhole join as ``phash_candidates`` (the banding is
+    signature-agnostic)."""
+    from rakam_api_collector_spark.operators.multimodal import \
+        wav_decode
+
+    out = T.StructType([T.StructField("_id", T.LongType()),
+                        T.StructField("_ph", T.LongType())])
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+        for pdf in batches:
+            rows = []
+            for rid, raw in zip(pdf["_id"], pdf["_a"]):
+                try:
+                    rate, ch, pcm = wav_decode(bytes(raw))
+                    x = np.frombuffer(pcm, dtype="<i2")
+                    if ch > 1:
+                        x = x[:len(x) - len(x) % ch] \
+                            .reshape(-1, ch).mean(axis=1)
+                    rows.append([int(rid),
+                                 audio_phash64(np.asarray(x), rate,
+                                               **spec_kw)])
+                except (ValueError, struct_error):
+                    if not skip_invalid:
+                        raise
+            yield pd.DataFrame(rows, columns=["_id", "_ph"])
+
+    return (df.select(F.col(id_col).cast("long").alias("_id"),
+                      F.col(audio_col).alias("_a"))
+            .mapInPandas(run, out))

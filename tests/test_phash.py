@@ -144,3 +144,40 @@ def test_video_phash_near_dup(spark):
     assert pairs[(1, 2)].mean_hamming == 0.0
     assert (1, 3) in pairs and pairs[(1, 3)].n_matched >= 3
     assert all(4 not in (a, b) for a, b in pairs)
+
+
+def test_audio_phash_invariances(spark):
+    """Audio near-dup: gain changes and 8-bit re-encodes keep the
+    spectrogram hash close; a different tone mixture lands far; a
+    too-short clip and a corrupt blob follow drop-vs-raise."""
+    from rakam_api_collector_spark.operators.phash import (
+        audio_phash64, audio_phash_signatures)
+
+    rate = 8000
+    t = np.arange(rate) / rate
+
+    def mix(freqs, amp=0.4):
+        x = sum(np.sin(2 * np.pi * f * t + i) for i, f in
+                enumerate(freqs))
+        return (amp * 32767 * x / len(freqs)).astype("<i2")
+
+    base = mix([440.0, 1200.0, 2500.0])
+    quiet = (base.astype(np.float64) * 0.25).astype("<i2")   # −12 dB
+    other = mix([600.0, 1800.0, 3300.0])
+
+    h0 = audio_phash64(base, rate)
+    assert _ham(audio_phash64(quiet, rate), h0) <= 10        # gain
+    assert _ham(audio_phash64(other, rate), h0) >= 16        # content
+
+    rows = [(1, M.wav_encode(base.tobytes(), rate, 1)),
+            (2, M.wav_encode(quiet.tobytes(), rate, 1)),
+            (3, M.wav_encode(other.tobytes(), rate, 1)),
+            (4, M.wav_encode(base[:100].tobytes(), rate, 1)),  # short
+            (5, b"junk")]
+    df = spark.createDataFrame(rows, "clip_id long, audio binary")
+    sigs = {r._id: r._ph for r in
+            audio_phash_signatures(df, "clip_id", "audio").collect()}
+    assert set(sigs) == {1, 2, 3}
+    assert sigs[1] == h0
+    assert _ham(sigs[1], sigs[2]) <= 10
+    assert _ham(sigs[1], sigs[3]) >= 16
