@@ -102,10 +102,30 @@ def start(spark: SparkSession, cfg: dict) -> list:
             hist_stream = historical_reader(
                 spark, src["brokers"], src["historical_topic"]).load()
     elif kin:
-        from rakam_api_collector_spark.sources.kinesis import kinesis_reader
-        # kinesis_reader raises RuntimeError when no connector is present
-        source_stream = kinesis_reader(
-            spark, src["stream"], src["region"], src["app"]).load()
+        if src.get("connector", "jar") == "python":
+            # the jar-less format("kinesis_py") DataSource — any
+            # boto3-shaped endpoint, incl. the local file-backed
+            # emulator ("local:<dir>"); see sources/kinesis.py for
+            # the driver-side-fetch scale trade
+            from rakam_api_collector_spark.sources.kinesis import \
+                register as _register_kinesis
+            _register_kinesis(spark)
+            reader = (spark.readStream.format("kinesis_py")
+                      .option("streamName", src["stream"]))
+            for opt, key in (("region", "region"),
+                             ("endpoint", "endpoint"),
+                             ("initialPosition", "position"),
+                             ("maxRecordsPerShard",
+                              "max_records_per_shard")):
+                if src.get(key) is not None:
+                    reader = reader.option(opt, str(src[key]))
+            source_stream = reader.load()
+        else:
+            from rakam_api_collector_spark.sources.kinesis import \
+                kinesis_reader
+            # raises RuntimeError when no connector jar is present
+            source_stream = kinesis_reader(
+                spark, src["stream"], src["region"], src["app"]).load()
     else:
         raise ValueError(f"unknown source type {src['type']!r}")
 

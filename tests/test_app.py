@@ -148,3 +148,47 @@ def test_injected_stream_config_wiring(spark, tmp_path, monkeypatch):
     cat = Catalog(cfg["catalog_path"])
     got = read_collection(spark, cfg["target"]["base"], "p", "ev", cat)
     assert got.count() == 5
+
+
+def test_kinesis_python_connector_end_to_end(spark, tmp_path):
+    """source.connector='python' runs the full ServiceStarter analog
+    against the jar-less format('kinesis_py') source and the local
+    emulator: envelopes put to the stream land as typed collection
+    tables, and a second start() from the same checkpoint re-ingests
+    nothing while picking up new records."""
+    from rakam_api_collector_spark.sources.kinesis_local import \
+        LocalKinesisClient
+
+    cl = LocalKinesisClient(str(tmp_path / "kin"))
+    cl.create_stream("events", ShardCount=2)
+    cl.put_records("events", [
+        {"Data": _envelope(i).encode(), "PartitionKey": f"k{i}",
+         "ShardId": f"shardId-{i % 2:012d}"} for i in range(6)])
+
+    cfg = {
+        "format": "fabric",
+        "source": {"type": "kinesis", "stream": "events",
+                   "connector": "python",
+                   "endpoint": f"local:{tmp_path / 'kin'}"},
+        "target": {"type": "parquet", "base": str(tmp_path / "tables")},
+        "catalog_path": str(tmp_path / "catalog.json"),
+        "checkpoint": str(tmp_path / "ckpt"),
+        "dedup": False,
+        "shard_time": "2024-01-02 00:00:00",
+        "now": "2024-01-01",
+    }
+    for q in app.start(spark, cfg):
+        q.awaitTermination(120)
+    cat = Catalog(cfg["catalog_path"])
+    got = read_collection(spark, cfg["target"]["base"], "p", "ev", cat)
+    assert sorted(r["_user"] for r in got.collect()) \
+        == [f"u{i}" for i in range(6)]
+
+    cl.put_records("events", [{"Data": _envelope(9).encode(),
+                               "PartitionKey": "k9",
+                               "ShardId": "shardId-000000000001"}])
+    for q in app.start(spark, cfg):
+        q.awaitTermination(120)
+    rows = sorted(r["_user"] for r in read_collection(
+        spark, cfg["target"]["base"], "p", "ev", cat).collect())
+    assert rows == [f"u{i}" for i in range(6)] + ["u9"]
