@@ -10,7 +10,10 @@ config dict:
       "format": "fabric" | "rakam" | "avro",     # deserializer choice
       "source": {"type": "file", "path": …}      # tested source
               | {"type": "kafka", "brokers": […], "topics": […], …}
-              | {"type": "kinesis", "stream": …, "region": …, "app": …},
+              | {"type": "kinesis", "stream": …, "region": …, "app": …,
+                 "connector": "jar" | "python",  # python = jar-less
+                 "endpoint": …, "position": …,   #   format("kinesis_py")
+                 "max_records_per_shard": …},
       "target": {"type": "parquet" | "orc", "base": …},
       "catalog_path": …,                          # K5 metastore persistence
       "checkpoint": …,                            # ST7
