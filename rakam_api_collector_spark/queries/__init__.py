@@ -130,6 +130,26 @@ plan, not under pressure:
 - dq14_anti_join + dq14_semi_join → one dq14_semi_anti row emitting
   both the semi- and anti-join results union-tagged by a 'side'
   column (asserts both join strategies and their row sets; frees 1).
+
+r11 SPARE-SLOT PLAN (2 slots: 50 − 48 due-backs). The round-10
+second half landed several pytest-only operator families (html_to_text,
+WARC, OCF, pHash image/video/audio dedup, log-mel spectrogram,
+kinesis_py, streaming ANN maintenance); the best driver-oracle
+promotions, drafted here so r11 spends slots from a plan:
+- llm52_html_extract: wrap documents.text in a FIXED page template
+  in-plan, run html_to_text, emit (doc_id, text, n_links,
+  link_density). The oracle is real SQL, not a baked table: with a
+  fixed template the expected text is a deterministic string
+  transform of documents.text (whitespace-normalize via
+  regexp_replace + the template's known chrome lines), and
+  n_links/link_density are constants per row — a genuine
+  hash-matched row for the web-extraction stage.
+- llm53_ocf_roundtrip: write a small OCF file from lineitem rows at
+  setup, read it back with read_avro_ocf, aggregate. Oracle: the
+  same aggregate straight off the lineitem view (the round-trip IS
+  the assertion; DuckDB never needs to parse Avro).
+Weaker candidates (rows-only checks — no SQL for DCT/FFT/wire
+protocols): phash/spectrogram signatures, kinesis_py, ANN stream.
 - llm34_video_sample + llm45_video_time_sample → one sampler-parity
   row: llm45 already exercises sampling through the same decode path
   on real containers; the merged row would emit llm34's every-Nth
