@@ -106,12 +106,18 @@ class MinHashStore:
         return self.spark.read.schema(schema).parquet(
             f"{self.path}/{sub}")
 
-    def stored_sigs(self) -> DataFrame:
+    def stored_sigs(self, exclude_ingest: str | None = None) -> DataFrame:
         """Surviving documents' signatures — the store a new batch
         dedups against (keep=false rows are verdict history, not
-        corpus state)."""
-        return (self._read_or_empty("sigs", _SIGS_SCHEMA)
-                .filter("keep").select("_id", "_sig", "_bands"))
+        corpus state). ``exclude_ingest`` drops one ingest PARTITION
+        from the view (partition-pruned, not row-filtered): the
+        replay-idempotency hook — a re-run of ingest N must not match
+        its documents against their own previous attempt."""
+        df = self._read_or_empty("sigs", _SIGS_SCHEMA)
+        if exclude_ingest is not None:
+            df = df.filter(F.col("_ingest").isNull()
+                           | (F.col("_ingest") != exclude_ingest))
+        return df.filter("keep").select("_id", "_sig", "_bands")
 
     def stored_buckets(self) -> DataFrame:
         if self.bucket_table and self.spark.catalog.tableExists(
@@ -158,7 +164,8 @@ class MinHashStore:
         return (F.aggregate(eq, F.lit(0), lambda acc, x: acc + x)
                 / F.size(a))
 
-    def _matches(self, new_sigs: DataFrame) -> DataFrame:
+    def _matches(self, new_sigs: DataFrame,
+                 exclude_ingest: str | None = None) -> DataFrame:
         """(new_id, matched_id, est_jac): new docs vs the STORE plus new
         docs vs smaller-id docs in the SAME batch (greedy in-batch rule:
         first id of a duplicate group survives). One bucket join: the
@@ -168,7 +175,8 @@ class MinHashStore:
         source."""
         nb = new_sigs.select("_id", F.posexplode("_bands")
                              .alias("band", "bh"))
-        stored = self.stored_sigs()   # ONE store scan build per batch:
+        stored = self.stored_sigs(exclude_ingest)  # ONE store scan
+        # build per batch:
         # both the bucket side and the verify side reference it (each
         # read.parquet costs a driver-side file listing on a growing
         # store — and the plan dedups to one physical scan)
@@ -219,7 +227,7 @@ class MinHashStore:
                 .filter(F.col("est_jac") >= self.threshold))
 
     def ingest(self, docs: DataFrame, id_col: str,
-               text_col: str) -> DataFrame:
+               text_col: str, ingest_id: str | None = None) -> DataFrame:
         """One incremental batch: returns (id, keep, matched_id,
         est_jac) — keep=false rows name the surviving duplicate — and
         persists the batch's signatures + verdict to the store in the
@@ -227,13 +235,27 @@ class MinHashStore:
         materialization (store reads filter ``keep``), replacing the
         previous checkpoint-then-append two-job protocol. The returned
         verdict frame re-reads this ingest's ``_ingest=<id>`` partition
-        — a pruned file scan, never a lineage re-run."""
-        ingest_id = uuid.uuid4().hex
+        — a pruned file scan, never a lineage re-run.
+
+        ``ingest_id`` (default: a fresh uuid) makes a RE-RUN of the
+        same logical batch idempotent — the streaming wrapper's
+        at-least-once hook (streaming/dedupstream.py): the partition
+        overwrites in place, and the match scan EXCLUDES it, so a
+        replayed document can never be marked a duplicate of its own
+        previous attempt. Incompatible with ``bucket_table`` (that
+        table appends non-idempotently; derived buckets re-read the
+        sig partitions, so exclusion covers them)."""
+        if ingest_id is not None and self.bucket_table:
+            raise ValueError(
+                "explicit ingest_id (replay idempotency) requires "
+                "derived buckets — bucket_table appends are not "
+                "replay-safe")
+        ingest_id = ingest_id or uuid.uuid4().hex
         # cache(): the write job references sigs in several DAG branches
         # (its own bucket stream twice, the new-sig side, the union'd
         # verify side) — computed once, read from cache by the rest
         sigs = self.signatures(docs, id_col, text_col).cache()
-        best = (self._matches(sigs)
+        best = (self._matches(sigs, exclude_ingest=ingest_id)
                 .groupBy("_id")
                 .agg(F.max_by("matched_id", "est_jac").alias("matched_id"),
                      F.max("est_jac").alias("est_jac")))

@@ -1,0 +1,82 @@
+"""Streaming corpus dedup: the incremental MinHash signature store
+(operators/sigstore.py) driven by a checkpointed stream — documents
+arrive continuously, each micro-batch dedups against EVERYTHING
+ingested before it (and within itself), and per-batch cost never
+re-reads stored text (signatures persist; the store side of the band
+join is signature rows only).
+
+The at-least-once seam, spelled out: file-source offsets commit AFTER
+``foreachBatch``, so a crash between the store write and the offset
+commit replays the batch. Replay is idempotent end to end because
+every write is keyed by the EPOCH id — ``MinHashStore.ingest`` takes
+``ingest_id=epoch-N`` (its sig/verdict partition overwrites in place
+and the match scan excludes it, so a replayed document can never
+match its own previous attempt), and the verdict/survivor outputs
+overwrite per-epoch directories the same way. This is the
+``start_ann_index_stream`` contract applied to dedup state, and the
+corpus-scale analog of the reference's RocksDB TTL event dedup
+(Deduplicator.java) — its TTL window becomes a persistent store, its
+(collection, user, time) key becomes document content.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from rakam_api_collector_spark.operators.sigstore import MinHashStore
+
+
+def start_corpus_dedup_stream(spark: SparkSession,
+                              source_dir: str | None,
+                              store_path: str, id_col: str,
+                              text_col: str, checkpoint: str, *,
+                              verdicts_dir: str | None = None,
+                              survivors_dir: str | None = None,
+                              trigger: dict | None = None,
+                              max_files_per_trigger: int | None = None,
+                              source_stream: DataFrame | None = None,
+                              **store_kw):
+    """Start the dedup query over a parquet directory of documents
+    (schema frozen from a static read, the annindex convention) or an
+    explicit ``source_stream``. Returns the StreamingQuery.
+
+    Outputs, both optional and both epoch-overwrite-idempotent:
+    ``verdicts_dir`` gets each batch's (id, keep, matched_id,
+    est_jac) under ``_epoch=N``; ``survivors_dir`` gets the batch's
+    KEPT documents (full input columns) — the curated corpus a
+    training pipeline reads downstream.
+
+    ``store_kw`` passes through to :class:`MinHashStore` (num_perm,
+    bands, threshold, …); ``bucket_table`` is rejected there — replay
+    idempotency requires derived buckets."""
+    store = MinHashStore(spark, store_path, **store_kw)
+
+    if source_stream is not None:
+        src = source_stream
+    else:
+        schema = spark.read.parquet(source_dir).schema
+        reader = spark.readStream.schema(schema)
+        if max_files_per_trigger:
+            reader = reader.option("maxFilesPerTrigger",
+                                   max_files_per_trigger)
+        src = reader.parquet(source_dir)
+
+    def process(batch: DataFrame, epoch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        verdict = store.ingest(batch, id_col, text_col,
+                               ingest_id=f"epoch-{epoch_id:012d}")
+        if verdicts_dir is not None:
+            (verdict.write.mode("overwrite")
+             .parquet(f"{verdicts_dir}/_epoch={epoch_id}"))
+        if survivors_dir is not None:
+            kept = verdict.filter("keep").select(id_col)
+            (batch.join(kept, id_col)
+             .write.mode("overwrite")
+             .parquet(f"{survivors_dir}/_epoch={epoch_id}"))
+
+    trig = trigger or {"availableNow": True}
+    return (src.writeStream.foreachBatch(process)
+            .option("checkpointLocation", checkpoint)
+            .trigger(**trig).start())
