@@ -27,7 +27,30 @@ def main() -> None:
     import __spark_entry__ as entry_mod
     qs = entry_mod.queries()
 
+    # Load gate (round-10 lesson): a BENCH artifact recorded on a
+    # loaded box is noise presented as measurement — r10 committed
+    # 103.4 s at loadavg 4.6 where the idle box measures 84.3 s. If
+    # external load exceeds the gate at start, wait (bounded) for the
+    # box to drain; if it never does, REFUSE to emit a number rather
+    # than record a phantom regression. SPARK_GRAFT_BENCH_FORCE=1
+    # overrides for exploratory runs (never for a committed artifact).
+    gate = float(os.environ.get("SPARK_GRAFT_BENCH_MAX_LOAD", "2.0"))
+    forced = os.environ.get("SPARK_GRAFT_BENCH_FORCE") == "1"
     loadavg_start = round(os.getloadavg()[0], 2)
+    if not forced:
+        for _ in range(13):                       # up to ~5 min
+            if loadavg_start <= gate:
+                break
+            print(f"bench: loadavg {loadavg_start} > gate {gate}; "
+                  "waiting for the box to drain", file=sys.stderr)
+            time.sleep(25)
+            loadavg_start = round(os.getloadavg()[0], 2)
+        else:
+            print(f"bench: box still loaded (loadavg {loadavg_start} "
+                  f"> {gate}) after bounded wait — refusing to emit a "
+                  "measurement (set SPARK_GRAFT_BENCH_FORCE=1 to "
+                  "override)", file=sys.stderr)
+            sys.exit(3)
     spark = get_spark("bench")
     # Warm-state benchmarking: pre-warm every fixed cost a query would
     # otherwise absorb exactly once per session — none of this work is

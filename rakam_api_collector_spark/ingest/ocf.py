@@ -238,6 +238,11 @@ def read_avro_ocf(spark: SparkSession, path: str,
         for pdf in batches:
             rows = []
             for fpath, raw in zip(pdf["path"], pdf["content"]):
+                # buffer per file so a mid-decode failure drops the
+                # WHOLE file (including rows already decoded from a
+                # block that later fails the framing check) — the
+                # drop-vs-raise contract is all-or-nothing per file
+                frows: list[list] = []
                 try:
                     sj, _codec, it = parse_ocf(bytes(raw))
                     if json.dumps(json.loads(sj),
@@ -246,10 +251,12 @@ def read_avro_ocf(spark: SparkSession, path: str,
                             f"schema drift in {fpath} vs plan-time "
                             "schema")
                     for vals in it:
-                        rows.append([fpath] + vals)
+                        frows.append([fpath] + vals)
                 except (ValueError, IndexError, struct.error):
                     if not skip_invalid:
                         raise
+                    continue
+                rows.extend(frows)
             out = pd.DataFrame(rows, columns=["_path"] + names)
             for c, unit in units.items():
                 out[c] = pd.to_datetime(out[c], unit=unit)

@@ -160,7 +160,10 @@ class ObjectMetadataStore(MetadataStore):
     - ``put_if_absent`` → ``PutObject`` + ``If-None-Match: *``; a 412
       PreconditionFailed (or 409 ConditionalRequestConflict under
       concurrent creates — retried by re-reading, so callers just see
-      False) means another writer won the version.
+      False) means another writer won the version. A 412 seen AFTER a
+      retried ambiguous 500/503 is disambiguated by reading the key
+      back: our own content means the first attempt landed
+      server-side and the CAS was WON, not lost.
     - ``list`` → ``ListObjectsV2`` with ``Delimiter='/'``; immediate
       children are Contents basenames + CommonPrefixes basenames.
     - ``is_dir`` → prefix-exists probe (any key under ``path/``).
@@ -272,17 +275,40 @@ class ObjectMetadataStore(MetadataStore):
         return data.decode() if isinstance(data, bytes) else data
 
     def put_if_absent(self, path: str, content: str) -> bool:
-        try:
-            self._call("put_object", Key=self._key(path),
-                       Body=content.encode(), IfNoneMatch="*")
-            return True
-        except Exception as e:  # noqa: BLE001 — typed by wire status
-            # 412 = key exists; 409 = concurrent conditional creates
-            # collided (S3 docs: one wins, retriers see 409) — either
-            # way this writer must re-read and retry, i.e. False
-            if self._http_status(e) in (409, 412):
-                return False
-            raise
+        # own retry loop rather than _call: a retried conditional PUT
+        # is NOT blindly idempotent. If attempt 1 succeeded
+        # server-side before an ambiguous 500/503, the retry sees 412
+        # — and reporting False would make the caller believe it LOST
+        # the CAS race it actually won (it would then re-read the
+        # version and duplicate its own commit). After any retried
+        # attempt ends in 412/409, read the key back and compare:
+        # own-content means our write landed (True).
+        key = self._key(path)
+        delay, retried = 0.1, False
+        for attempt in range(self.max_retries + 1):
+            try:
+                self.client.put_object(Bucket=self.bucket, Key=key,
+                                       Body=content.encode(),
+                                       IfNoneMatch="*")
+                return True
+            except Exception as e:  # noqa: BLE001 — typed by status
+                status = self._http_status(e)
+                # 412 = key exists; 409 = concurrent conditional
+                # creates collided (S3 docs: one wins, retriers see
+                # 409) — a FIRST-attempt 412/409 is a genuine loss
+                if status in (409, 412):
+                    if not retried:
+                        return False
+                    try:
+                        return self.read(path) == content
+                    except Exception:  # noqa: BLE001 — lost either way
+                        return False
+                if (status not in self._RETRY_STATUSES
+                        or attempt == self.max_retries):
+                    raise
+                retried = True
+                self._sleep(random.uniform(0.0, min(delay, 2.0)))
+                delay *= 2
 
     def delete(self, path: str) -> None:
         # S3 DeleteObject on a missing key is already a success

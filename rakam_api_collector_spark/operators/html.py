@@ -64,8 +64,16 @@ class _Extractor(HTMLParser):
         self.parts: list[str] = []
         self.title_parts: list[str] = []
         self.skip_depth = 0
+        # skip depth EXCLUDING <head>: the document <title> lives
+        # inside head (a skipped subtree) and must still be captured,
+        # but a <title> inside svg/template/script/... must not —
+        # <svg><title>icon</title></svg> is an accessibility label,
+        # not the page title
+        self.nonhead_skip = 0
         self.anchor_depth = 0
-        self.in_title = False
+        self.in_title = False          # capturing the document title
+        self.in_title_elem = False     # inside ANY <title> element
+        self.title_done = False
         self.n_links = 0
         self.anchor_chars = 0
         self.total_chars = 0
@@ -77,10 +85,17 @@ class _Extractor(HTMLParser):
             return
         if tag in _SKIP_SUBTREES:
             self.skip_depth += 1
+            if tag != "head":
+                self.nonhead_skip += 1
         if tag == "title":
-            # captured even though head is skipped: handle_data
-            # checks in_title BEFORE skip_depth
-            self.in_title = True
+            self.in_title_elem = True
+            if not self.nonhead_skip and not self.title_done:
+                # document title: FIRST <title> outside any non-head
+                # skipped subtree — captured even though head itself
+                # is skipped (handle_data checks in_title BEFORE
+                # skip_depth); any other <title> is metadata (svg
+                # label, stray duplicate) and contributes nothing
+                self.in_title = True
         if tag == "a":
             self.anchor_depth += 1
             self.n_links += 1
@@ -92,8 +107,13 @@ class _Extractor(HTMLParser):
             return
         if tag in _SKIP_SUBTREES and self.skip_depth:
             self.skip_depth -= 1
+            if tag != "head" and self.nonhead_skip:
+                self.nonhead_skip -= 1
         if tag == "title":
+            if self.in_title:
+                self.title_done = True
             self.in_title = False
+            self.in_title_elem = False
         if tag == "a" and self.anchor_depth:
             self.anchor_depth = 0 if self.anchor_depth == 1 \
                 else self.anchor_depth - 1
@@ -104,7 +124,7 @@ class _Extractor(HTMLParser):
         if self.in_title:
             self.title_parts.append(data)
             return
-        if self.skip_depth:
+        if self.in_title_elem or self.skip_depth:
             return
         self.parts.append(data.replace(_BREAK, " "))
         stripped = len("".join(data.split()))

@@ -171,7 +171,10 @@ class _KinesisSimpleStreamReader(SimpleDataSourceStreamReader):
         # only (iterators are not replayable offsets) — a restart
         # before the shard's first record re-evaluates LATEST, the
         # documented edge shared with the jar connectors.
-        self._live_iters: dict[str, str] = {}
+        # value = (iterator, LATEST-evaluation time | None): the time
+        # anchors the AT_TIMESTAMP re-seek when a held iterator
+        # expires between micro-batches (see _drain_shard)
+        self._live_iters: dict[str, tuple[str, float | None]] = {}
 
     def _client(self):
         if self._cl is None:
@@ -222,16 +225,43 @@ class _KinesisSimpleStreamReader(SimpleDataSourceStreamReader):
                      limit: int, stop_seq: int | None = None):
         """Fetch up to ``limit`` records (through ``stop_seq`` when
         replaying). Returns (rows, new_state|None): state is the
-        post-fetch offset entry, None for 'unchanged'."""
+        post-fetch offset entry, None for 'unchanged'.
+
+        Wire realities handled here (real GetRecords, not just the
+        emulator's happy path): an EMPTY Records list does NOT mean
+        caught-up — Kinesis routinely returns empty pages mid-stream
+        (aged-out gaps, internal pagination) with
+        ``MillisBehindLatest > 0`` and a live NextShardIterator, and
+        throttles with ProvisionedThroughputExceededException. The
+        live path follows a bounded number of empty pages and
+        throttle retries per batch (progress resumes next batch); the
+        REPLAY path (``stop_seq`` set) follows empty pages until
+        caught up and retries throttling without bound, because
+        a committed batch must reproduce exactly — truncating on an
+        empty page or a throttle would silently lose committed
+        rows."""
         cl = self._client()
         rows, state = [], offsets.get(sid)
+        latest_birth = None
         if state is None and stop_seq is None \
                 and sid in self._live_iters:
-            it = self._live_iters.pop(sid)
+            it, latest_birth = self._live_iters.pop(sid)
         else:
+            stateless_latest = (state is None and stop_seq is None
+                                and not self._parents(shard)
+                                and self._position == "LATEST")
+            if stateless_latest:
+                # remember when LATEST gets evaluated: if the
+                # iterator later expires, AT_TIMESTAMP(birth) can
+                # re-seek without re-evaluating LATEST (taken BEFORE
+                # the call — earlier only over-delivers)
+                latest_birth = time.time()
             it = self._start_iterator(sid, shard, offsets,
                                       replay=stop_seq is not None)
         reseeked = False
+        throttle_delay = 0.1
+        throttles = 0
+        empty_pages = 0
         while it is not None and len(rows) < limit:
             try:
                 resp = cl.get_records(ShardIterator=it,
@@ -240,17 +270,40 @@ class _KinesisSimpleStreamReader(SimpleDataSourceStreamReader):
             except Exception as e:     # noqa: BLE001 — code-matched below
                 code = _err_code(e)
                 if code == "ExpiredIteratorException" and not reseeked:
-                    # re-seek from the last position we own (KCL
-                    # restart-from-checkpoint behavior) and retry once
                     reseeked = True
-                    it = self._start_iterator(
-                        sid, shard,
-                        {**offsets, **({sid: state} if state else {})},
-                        replay=stop_seq is not None)
+                    if latest_birth is not None and state is None:
+                        # a held/just-made LATEST iterator expired
+                        # (trigger interval > iterator TTL): must NOT
+                        # re-evaluate LATEST — records that arrived in
+                        # the interim would silently vanish. Re-seek
+                        # to the original evaluation time instead:
+                        # at-least-once (boundary records at exactly
+                        # birth over-deliver), never lossy.
+                        it = cl.get_shard_iterator(
+                            StreamName=self._stream, ShardId=sid,
+                            ShardIteratorType="AT_TIMESTAMP",
+                            Timestamp=latest_birth)["ShardIterator"]
+                    else:
+                        # re-seek from the last position we own (KCL
+                        # restart-from-checkpoint behavior), retry once
+                        it = self._start_iterator(
+                            sid, shard,
+                            {**offsets, **({sid: state} if state else {})},
+                            replay=stop_seq is not None)
                     continue
                 if code == "ProvisionedThroughputExceededException":
-                    time.sleep(0.1)    # yield; the next batch resumes
-                    break
+                    throttles += 1
+                    if stop_seq is None and throttles > 3:
+                        break          # yield; the next batch resumes
+                    # back off and retry (the KCL posture). A REPLAY
+                    # never gives up: it must reproduce the committed
+                    # range, and a bounded live retry also breaks
+                    # cadence resonance (a shard whose fetch always
+                    # lands on a throttled slot would otherwise be
+                    # starved across batches).
+                    time.sleep(throttle_delay)
+                    throttle_delay = min(throttle_delay * 2, 2.0)
+                    continue
                 raise
             for rec in resp["Records"]:
                 seq = rec["SequenceNumber"]
@@ -273,9 +326,18 @@ class _KinesisSimpleStreamReader(SimpleDataSourceStreamReader):
                 break
             it = nxt
             if not resp["Records"]:
-                break                   # caught up (or throttled)
+                if (resp.get("MillisBehindLatest") or 0) <= 0:
+                    break               # genuinely caught up
+                # mid-stream empty page: records lie ahead — follow
+                # the iterator (bounded per batch in the live path;
+                # unbounded in replay, which must reach stop_seq)
+                empty_pages += 1
+                if stop_seq is None and empty_pages >= 100:
+                    break
         if state is None and stop_seq is None and it is not None:
-            self._live_iters[sid] = it  # hold the LATEST position
+            # hold the position (and, for LATEST, its evaluation
+            # time — the AT_TIMESTAMP re-seek anchor above)
+            self._live_iters[sid] = (it, latest_birth)
         return rows, state
 
     # -- SimpleDataSourceStreamReader contract ------------------------------

@@ -20,12 +20,24 @@ Wire-model semantics kept faithful (the parts that shape a consumer):
   shards carrying ``ParentShardId``; a correct consumer drains a
   parent to its end before starting its children (KCL ordering);
 - iterator types ``TRIM_HORIZON`` / ``LATEST`` /
-  ``AT_SEQUENCE_NUMBER`` / ``AFTER_SEQUENCE_NUMBER``;
+  ``AT_SEQUENCE_NUMBER`` / ``AFTER_SEQUENCE_NUMBER`` /
+  ``AT_TIMESTAMP`` (first record with arrival time >= Timestamp);
 - ``GetRecords`` returns ``NextShardIterator=None`` once a CLOSED
   shard is fully consumed (the SHARD_END signal); open shards always
   return a live iterator;
 - iterators expire (5 min on AWS; configurable here so tests can
-  force ``ExpiredIteratorException``).
+  force ``ExpiredIteratorException``);
+- OPT-IN fault knobs reproduce the two wire behaviors a happy-path
+  emulator otherwise never shows a consumer: ``fault_empty_every=k``
+  makes every k-th ``get_records`` call (starting with the first)
+  return an EMPTY mid-stream page — live NextShardIterator at the
+  same position, ``MillisBehindLatest > 0`` — exactly what real
+  Kinesis serves over aged-out gaps / internal pagination;
+  ``fault_throttle_every=k`` raises
+  ``ProvisionedThroughputExceededException`` on the same cadence. A
+  correct consumer follows / retries; one that treats empty-or-throttle
+  as caught-up silently truncates (the bug class these knobs exist
+  to catch).
 
 Layout under ``path/``: ``stream.json`` (atomic-replace metadata:
 shard table + next sequence number) and ``records/<shard>.jsonl``
@@ -71,9 +83,13 @@ class LocalKinesisClient:
     worker processes intact."""
 
     iterator_ttl_sec: float = 300.0
+    # fault knobs (module docstring): None = faithful happy path
+    fault_empty_every: int | None = None
+    fault_throttle_every: int | None = None
 
     def __init__(self, path: str) -> None:
         self._path = path
+        self._calls = 0        # get_records counter for fault cadence
 
     # -- admin / producer -------------------------------------------------
 
@@ -175,6 +191,7 @@ class LocalKinesisClient:
     def get_shard_iterator(self, StreamName: str, ShardId: str,
                            ShardIteratorType: str,
                            StartingSequenceNumber: str | None = None,
+                           Timestamp: float | None = None,
                            ) -> dict:
         meta = self._meta(StreamName)
         if ShardId not in meta["shards"]:
@@ -183,6 +200,19 @@ class LocalKinesisClient:
             nxt = 0
         elif ShardIteratorType == "LATEST":
             nxt = meta["next_seq"]
+        elif ShardIteratorType == "AT_TIMESTAMP":
+            # first existing record with arrival ts >= Timestamp; an
+            # empty/no-match shard positions at the tip (records put
+            # later carry later timestamps, so they are still seen)
+            nxt = meta["next_seq"]
+            rec_path = self._rec_path(ShardId)
+            if os.path.exists(rec_path):
+                with open(rec_path) as f:
+                    for line in f:
+                        rec = json.loads(line)
+                        if rec["ts"] >= Timestamp:
+                            nxt = rec["seq"]
+                            break
         elif ShardIteratorType == "AT_SEQUENCE_NUMBER":
             nxt = int(StartingSequenceNumber)
         elif ShardIteratorType == "AFTER_SEQUENCE_NUMBER":
@@ -197,6 +227,11 @@ class LocalKinesisClient:
         it = json.loads(ShardIterator)
         if time.time() - it["t"] > self.iterator_ttl_sec:
             raise ExpiredIteratorException(ShardIterator)
+        self._calls += 1
+        if (self.fault_throttle_every
+                and (self._calls - 1) % self.fault_throttle_every == 0):
+            raise ProvisionedThroughputExceededException(
+                "injected throttle")
         meta = self._meta(it["stream"])
         shard = meta["shards"][it["sid"]]
         records, nxt = [], it["next"]
@@ -217,6 +252,20 @@ class LocalKinesisClient:
                         "Data": base64.b64decode(rec["data"]),
                         "ApproximateArrivalTimestamp": rec["ts"]})
                     nxt = rec["seq"] + 1
+        if (self.fault_empty_every and records
+                and (self._calls - 1) % self.fault_empty_every == 0):
+            # empty MID-STREAM page: same position, live iterator,
+            # MillisBehindLatest > 0 because records ARE pending —
+            # the page shape real Kinesis serves over record gaps
+            return {
+                "Records": [],
+                "NextShardIterator": json.dumps(
+                    {"stream": it["stream"], "sid": it["sid"],
+                     "next": it["next"], "t": time.time()}),
+                "MillisBehindLatest": max(1, int(
+                    (time.time() - records[0]
+                     ["ApproximateArrivalTimestamp"]) * 1000)),
+            }
         # SHARD_END: the shard is closed and this fetch consumed its
         # last remaining record (sequence numbers are stream-global,
         # so the closed range's upper bound is NOT a per-shard seq —

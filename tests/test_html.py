@@ -51,6 +51,27 @@ def test_extraction_rules():
         assert leak not in text
 
 
+def test_title_is_first_document_title_only():
+    """A <title> inside a skipped NON-head subtree (inline
+    <svg><title>icon</title></svg> — an accessibility label — is the
+    common case) must not reach the document title, and the FIRST
+    document-level title wins over later strays."""
+    text, title, _n, _d = _extract_one(
+        '<html><head><title>Real</title></head><body>'
+        '<p>before</p><svg><title>icon</title><circle/></svg>'
+        '<p>after</p><title>stray</title></body></html>')
+    assert title == "Real"
+    assert "icon" not in text and "stray" not in text
+    # svg-title BEFORE head: still skipped, head title still captured
+    _t2, title2, _n2, _d2 = _extract_one(
+        '<body><svg><title>icon</title></svg></body>'
+        '<head><title>Late</title></head>')
+    assert title2 == "Late"
+    # body-level title with no head: first one wins
+    assert _extract_one('<p>x</p><title>A</title><title>B</title>')[1] \
+        == "A"
+
+
 def test_malformed_html_never_raises():
     for bad in ("<p>unclosed <b>bold", "</div></div>no opens",
                 "<a href=>text", "<<<>>>", "", "plain no tags",

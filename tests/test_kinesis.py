@@ -162,6 +162,70 @@ def test_reader_expired_iterator_reseek(tmp_path):
     assert off["shards"][sid]["seq"] == "2"
 
 
+def test_replay_survives_empty_pages_and_throttle(tmp_path):
+    """Real GetRecords returns EMPTY pages mid-stream (aged-out gaps,
+    internal pagination; MillisBehindLatest > 0) and throttles with
+    ProvisionedThroughputExceededException. A committed-range replay
+    must follow the iterator / back off and retry — treating either
+    as caught-up would silently truncate a committed batch on
+    recovery, despite shard data being immutable."""
+    cl = _mk(tmp_path, n_shards=1)
+    sid = "shardId-000000000000"
+    _put(cl, sid, "a", "b", "c")
+    r = _reader(tmp_path)
+    rows1, off1 = r.read(r.initialOffset())
+    assert len(list(rows1)) == 3
+
+    for knob in ("fault_empty_every", "fault_throttle_every"):
+        faulty = LocalKinesisClient(str(tmp_path / "kin"))
+        setattr(faulty, knob, 2)          # 1st, 3rd, ... call faulted
+        r2 = _reader(tmp_path)
+        r2._cl = faulty
+        replay = list(r2.readBetweenOffsets(r.initialOffset(), off1))
+        assert [t[3] for t in replay] == [b"a", b"b", b"c"], knob
+
+
+def test_live_read_follows_mid_stream_empty_pages(tmp_path):
+    """A live batch keeps following NextShardIterator over empty
+    mid-stream pages (records lie ahead) instead of under-delivering
+    the batch."""
+    cl = _mk(tmp_path, n_shards=1)
+    _put(cl, "shardId-000000000000", "a", "b")
+    faulty = LocalKinesisClient(str(tmp_path / "kin"))
+    faulty.fault_empty_every = 2
+    r = _reader(tmp_path)
+    r._cl = faulty
+    rows, _off = r.read(r.initialOffset())
+    assert {t[3] for t in list(rows)} == {b"a", b"b"}
+
+
+def test_expired_live_latest_iterator_does_not_reevaluate_latest(
+        tmp_path):
+    """A held LATEST iterator that expires between micro-batches
+    (trigger interval > iterator TTL) re-seeks AT_TIMESTAMP of the
+    original LATEST evaluation — NOT a fresh LATEST, which would
+    silently drop every record that arrived in the interim."""
+    import time as _time
+
+    cl = _mk(tmp_path, n_shards=1)
+    sid = "shardId-000000000000"
+    _put(cl, sid, "old")
+    _time.sleep(0.01)                     # separate 'old' from birth
+    r = _reader(tmp_path, initialposition="LATEST")
+    rows1, off1 = r.read(r.initialOffset())
+    assert list(rows1) == []              # holds a live LATEST iterator
+    _time.sleep(0.01)
+    _put(cl, sid, "during")               # arrives while held
+
+    held_it, birth = r._live_iters[sid]
+    assert birth is not None
+    # force expiry of exactly the held iterator (TTL elapsed)
+    r._live_iters[sid] = (
+        json.dumps({**json.loads(held_it), "t": 0.0}), birth)
+    rows2, _off2 = r.read(off1)
+    assert [t[3] for t in list(rows2)] == [b"during"]
+
+
 def test_reader_max_records_per_shard_bounds_the_batch(tmp_path):
     cl = _mk(tmp_path, n_shards=1)
     sid = "shardId-000000000000"

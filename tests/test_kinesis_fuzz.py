@@ -31,14 +31,26 @@ _OPS = st.lists(
 
 
 @settings(max_examples=40, deadline=None)
-@given(ops=_OPS, n_shards=st.integers(1, 3))
-def test_any_reshard_interleaving_delivers_exactly_once(ops, n_shards):
+@given(ops=_OPS, n_shards=st.integers(1, 3),
+       fault=st.sampled_from([None, ("fault_empty_every", 2),
+                              ("fault_empty_every", 3),
+                              ("fault_throttle_every", 2),
+                              ("fault_throttle_every", 4)]))
+def test_any_reshard_interleaving_delivers_exactly_once(
+        ops, n_shards, fault):
     work = tempfile.mkdtemp(prefix="kinfuzz_")
     try:
         cl = LocalKinesisClient(work)
         cl.create_stream("s", ShardCount=n_shards)
         reader = _KinesisSimpleStreamReader(
             {"streamname": "s", "endpoint": f"local:{work}"})
+        if fault is not None:
+            # the reader's own client injects wire faults (empty
+            # mid-stream pages / throttles); exactly-once and the
+            # ordering contract must survive ANY such interleaving
+            faulty = LocalKinesisClient(work)
+            setattr(faulty, fault[0], fault[1])
+            reader._cl = faulty
 
         put_payloads: list[bytes] = []
         lineage: dict[str, list[str]] = {}      # child -> its parents
@@ -87,13 +99,15 @@ def test_any_reshard_interleaving_delivers_exactly_once(ops, n_shards):
             elif kind == "read":
                 do_read()
 
-        # final drain: read until two consecutive empty batches
-        empties = 0
-        for _ in range(40):
+        # final drain: read until consecutive empty batches (a
+        # throttled live read legitimately returns 0 rows and
+        # resumes next batch, so faulted runs need a deeper margin)
+        empties, need = 0, 2 if fault is None else 6
+        for _ in range(60):
             before = len(seen_rows)
             do_read()
             empties = empties + 1 if len(seen_rows) == before else 0
-            if empties >= 2:
+            if empties >= need:
                 break
 
         # exactly once, nothing lost

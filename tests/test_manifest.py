@@ -1664,6 +1664,57 @@ def test_object_metadata_store_retries_throttling():
         s3.read("s3://bkt/wh/p/x")
 
 
+def test_put_if_absent_ambiguous_500_disambiguated_by_readback():
+    """A conditional PUT that lands server-side before an ambiguous
+    500 InternalError makes the retry see 412 from the writer's OWN
+    object. put_if_absent must read the key back and report the CAS
+    as WON (True) — returning False would make the committer re-read
+    the version and duplicate its own commit. A retried 500 followed
+    by a GENUINE conflict (another writer's content) is still a
+    loss."""
+    from rakam_api_collector_spark.manifest import ObjectMetadataStore
+
+    class AmbiguousPut(_FakeS3Client):
+        """First put_object applies server-side, then the response is
+        lost to a 500 (the failure mode SDK retry policies exist
+        for); later calls behave normally."""
+
+        def __init__(self, land_first: bool):
+            super().__init__()
+            self.land_first = land_first
+            self.first = True
+
+        def put_object(self, Bucket, Key, Body, IfNoneMatch=None):
+            if self.first:
+                self.first = False
+                if self.land_first:
+                    super().put_object(Bucket, Key, Body,
+                                       IfNoneMatch=IfNoneMatch)
+                else:
+                    # request never reached the store; a rival's
+                    # create wins in the meantime
+                    super().put_object(Bucket, Key, b"rival")
+                e = RuntimeError("InternalError")
+                e.response = {
+                    "Error": {"Code": "InternalError"},
+                    "ResponseMetadata": {"HTTPStatusCode": 500}}
+                raise e
+            return super().put_object(Bucket, Key, Body,
+                                      IfNoneMatch=IfNoneMatch)
+
+    base = "s3://bkt/wh/p/events"
+    won = ObjectMetadataStore(AmbiguousPut(land_first=True), "bkt",
+                              sleep=lambda _t: None)
+    assert won.put_if_absent(f"{base}/_versions/v1.json",
+                             '{"v":1}') is True
+    assert won.read(f"{base}/_versions/v1.json") == '{"v":1}'
+
+    lost = ObjectMetadataStore(AmbiguousPut(land_first=False), "bkt",
+                               sleep=lambda _t: None)
+    assert lost.put_if_absent(f"{base}/_versions/v1.json",
+                              '{"v":1}') is False
+
+
 def test_object_metadata_store_delete_tree_wire_cap():
     """DeleteObjects takes at most 1000 keys per request: a >1000-key
     tree must split into wire-legal batches that together remove

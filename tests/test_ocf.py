@@ -111,6 +111,21 @@ def test_read_avro_ocf_spark(spark, tmp_path):
         read_avro_ocf(spark, str(d), skip_invalid=False).count()
 
 
+def test_read_avro_ocf_no_partial_rows_from_dropped_file(spark, tmp_path):
+    """skip_invalid drops a mid-decode-failing file WHOLE: rows
+    already decoded from its earlier valid blocks must not leak into
+    the output next to the good files' rows (all-or-nothing per
+    file)."""
+    d = tmp_path / "lake"
+    d.mkdir()
+    (d / "good.avro").write_bytes(write_ocf(SCHEMA, ROWS[:1]))
+    # two blocks; truncation breaks block 2 AFTER block 1 (rows with
+    # id 1 and 2) decodes cleanly — those rows must not appear
+    bad = write_ocf(SCHEMA, ROWS, rows_per_block=2)
+    (d / "bad.avro").write_bytes(bad[:-7])
+    assert [r.id for r in read_avro_ocf(spark, str(d)).collect()] == [1]
+
+
 @settings(max_examples=40, deadline=None)
 @given(vals=st.lists(st.tuples(
     st.integers(-2**62, 2**62),
