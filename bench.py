@@ -38,19 +38,24 @@ def main() -> None:
     forced = os.environ.get("SPARK_GRAFT_BENCH_FORCE") == "1"
     loadavg_start = round(os.getloadavg()[0], 2)
     if not forced:
-        for _ in range(13):                       # up to ~5 min
-            if loadavg_start <= gate:
-                break
+        # every reading — including the one after the LAST sleep — is
+        # compared against the gate before refusing (r11 ADVICE: the
+        # old for/else skipped the final comparison, wasting the last
+        # wait and rejecting a box that had just drained)
+        waits_left = 12                           # up to ~5 min
+        while loadavg_start > gate:
+            if waits_left <= 0:
+                print(f"bench: box still loaded (loadavg "
+                      f"{loadavg_start} > {gate}) after bounded wait "
+                      "— refusing to emit a measurement (set "
+                      "SPARK_GRAFT_BENCH_FORCE=1 to override)",
+                      file=sys.stderr)
+                sys.exit(3)
             print(f"bench: loadavg {loadavg_start} > gate {gate}; "
                   "waiting for the box to drain", file=sys.stderr)
             time.sleep(25)
+            waits_left -= 1
             loadavg_start = round(os.getloadavg()[0], 2)
-        else:
-            print(f"bench: box still loaded (loadavg {loadavg_start} "
-                  f"> {gate}) after bounded wait — refusing to emit a "
-                  "measurement (set SPARK_GRAFT_BENCH_FORCE=1 to "
-                  "override)", file=sys.stderr)
-            sys.exit(3)
     spark = get_spark("bench")
     # Warm-state benchmarking: pre-warm every fixed cost a query would
     # otherwise absorb exactly once per session — none of this work is
@@ -216,6 +221,12 @@ def main() -> None:
             "value": round(total, 2),
             "unit": "sec",
             "sf": sf,
+            # provenance: the committed artifact carries the load it
+            # was recorded under (r11 verdict — an artifact whose
+            # provenance can't be audited after the fact is noise)
+            "loadavg_start": loadavg_start,
+            "load_gate": gate,
+            "forced": forced,
         }
         if queries is not None:
             payload["queries"] = queries

@@ -79,6 +79,16 @@ class _Extractor(HTMLParser):
         self.total_chars = 0
 
     def handle_starttag(self, tag, attrs):
+        # <title> is text-only per spec: any other start tag while a
+        # title is open means the </title> was dropped by the author —
+        # close it here so a malformed '<svg><title>icon</svg><p>…'
+        # (or '<title>oops<p>…' in body) can't swallow the rest of
+        # the document (drop-nothing contract for malformed HTML)
+        if self.in_title_elem and tag != "title":
+            if self.in_title:
+                self.title_done = True
+            self.in_title = False
+            self.in_title_elem = False
         if tag in _VOID:
             if tag in _BLOCK:
                 self.parts.append(_BREAK)
@@ -109,6 +119,14 @@ class _Extractor(HTMLParser):
             self.skip_depth -= 1
             if tag != "head" and self.nonhead_skip:
                 self.nonhead_skip -= 1
+            # an open <title> cannot outlive its enclosing subtree:
+            # without this, an unclosed '<svg><title>icon</svg>'
+            # leaves in_title_elem set for the rest of the document
+            if self.in_title_elem:
+                if self.in_title:
+                    self.title_done = True
+                self.in_title = False
+                self.in_title_elem = False
         if tag == "title":
             if self.in_title:
                 self.title_done = True

@@ -82,6 +82,33 @@ def test_malformed_html_never_raises():
     assert _extract_one("<script>x=1; <p>hi</p>")[0] == ""
 
 
+def test_unclosed_title_cannot_swallow_the_document():
+    """r11 ADVICE regression: an unclosed <title> inside a non-head
+    skipped subtree left in_title_elem set forever, silently dropping
+    every later data node. A title is text-only per spec, so (a) the
+    enclosing subtree closing and (b) any non-title start tag both
+    end an open title."""
+    # (a) unclosed svg-title; subtree close must reset title state
+    text, title, _n, _d = _extract_one(
+        '<body><svg><title>icon</svg><p>text</p></body>')
+    assert text == "text"
+    assert title is None  # svg label never becomes the page title
+    # (b) unclosed BODY-level title; next start tag ends it and the
+    # captured-so-far text becomes the document title (first wins)
+    text2, title2, _n2, _d2 = _extract_one(
+        '<body><title>oops<p>body text</p></body>')
+    assert text2 == "body text" and title2 == "oops"
+    # unclosed HEAD title: same rule — </head> (a skip subtree close)
+    # finalizes the title and body text survives
+    text3, title3, _n3, _d3 = _extract_one(
+        '<head><title>Page</head><body><p>hello</p></body>')
+    assert text3 == "hello" and title3 == "Page"
+    # well-formed documents are untouched by the recovery rules
+    t4, ti4, _n4, _d4 = _extract_one(
+        '<head><title>Real</title></head><body><p>x</p></body>')
+    assert t4 == "x" and ti4 == "Real"
+
+
 def test_html_to_text_over_documents(spark):
     """Spark path: documents wrapped in a deterministic page template
     extract back to their own text (whitespace-normalized), with the
