@@ -8,8 +8,9 @@ column aliases are identical on both sides by construction.
 Ordering matters: the driver's correctness gate checks the FIRST 50
 registry entries per round. The registry therefore leads with the
 queries that most need fresh driver evidence this round and rotates the
-rest behind them; every query keeps its entry (bench + pytest run all
-93) — only the position changes round to round.
+rest behind them; every query keeps its entry (bench + pytest run the
+whole registry — 99 as of r12) — only the position changes round to
+round.
 
 Rotation invariant: **every query's driver evidence is at most one
 round old.** With 93 queries and a 50-slot window the cadence is two
@@ -66,7 +67,7 @@ Window history:
   leaves exactly 1 slot for r10 modifications):
   dq01-04, dq06/07, dq09-11, dq18-28, dq33, dq35, dq37-46,
   llm07-10, llm12-15, llm17, llm29-36.
-- r10 (current): the invariant's fifth cycle needed THREE slots for
+- r10: the invariant's fifth cycle needed THREE slots for
   modified queries (llm50's de-skewed canonical aggregate + hot-tail
   input, llm46's FP-coupled oracle + live production threshold) with
   only one spare, so r10 exercises the documented escape hatch: the
@@ -82,6 +83,34 @@ Window history:
   llm01-06, llm11, llm16, llm18-28, llm37-45, llm47-49, llm51.
   With 98 registered queries the two-round cadence now carries 2
   spare slots per round (50 - 48).
+- r11: **UNROTATED — a breach of the invariant, documented honestly.**
+  Round 11 was a short hardening round (Kinesis wire faults, OCF
+  all-or-nothing drop, html title pollution, CAS read-back
+  disambiguation, bench load gate) that never touched this file: the
+  driver re-certified the IDENTICAL r10 window, so the 48 r10-out
+  queries closed the round on r9 evidence — two rounds old, the first
+  breach in six cycles. Mitigating fact (r11 judge concurred): none of
+  r11's changed files back a registered query, so no stale query's
+  code path changed — a cadence breach, not a correctness exposure.
+  The r12 window below leads with all 48 due-backs.
+- r12 (current): the 48 r9-stale due-backs, with the former
+  dq14_semi_join/dq14_anti_join pair consolidated IN this window into
+  dq14_semi_anti (the escape hatch drafted here since r10: one row,
+  union-tagged by a ``side`` column, asserts BOTH the left-semi and
+  left-anti plans and their row sets; registry 98 → 97) — so 46
+  carried rows + the merged row = 47 slots; the r11 SPARE-SLOT PLAN's
+  two promotions executed as drafted (llm52_html_extract — fixed-
+  template wrap of documents.text through operators/html.py with a
+  real string-transform SQL oracle; llm53_ocf_roundtrip — OCF
+  write→read round trip aggregated against the lineitem source;
+  registry 97 → 99) = 49; heavy regression-prone fill llm09 = 50.
+  Note html_to_text itself changed in r12 (unclosed-<title> recovery,
+  the r11 ADVICE item) — llm52's in-window promotion doubles as the
+  fresh driver evidence for that change. Out-of-window (49 queries,
+  all green in r11-or-r10, due back in r13 — leaving 1 spare slot):
+  dq01-04, dq06/07, dq09-11, dq18-28, dq33, dq35, dq37-46,
+  llm07/08, llm10, llm12-15, llm17, llm29-32, llm33_audio_pipeline,
+  llm34/35, llm46, llm50.
   Capability-extension note (the llm17-docstring-precedent extended):
   r10 also taught the container demuxes the full presentation-timing
   model — MP4 ctts composition offsets (B-frame PTS reordering) and
@@ -130,8 +159,10 @@ plan, not under pressure:
 - dq14_anti_join + dq14_semi_join → one dq14_semi_anti row emitting
   both the semi- and anti-join results union-tagged by a 'side'
   column (asserts both join strategies and their row sets; frees 1).
+  [EXECUTED in r12 — see the r12 window-history entry.]
 
-r11 SPARE-SLOT PLAN (2 slots: 50 − 48 due-backs). The round-10
+r11 SPARE-SLOT PLAN (2 slots: 50 − 48 due-backs) — r11 never executed
+it (the breach above); r12 did, exactly as drafted. The round-10
 second half landed several pytest-only operator families (html_to_text,
 WARC, OCF, pHash image/video/audio dedup, log-mel spectrogram,
 kinesis_py, streaming ANN maintenance); the best driver-oracle
@@ -168,34 +199,34 @@ _ALL_ORACLE = {**relational.ORACLE, **llm_ops.ORACLE}
 
 # First 50 = this round's driver-checked window (see docstring history).
 _WINDOW = [
-    # the 47 due-back queries (no round-9 driver row; the r9 out-list
-    # minus llm33/llm36, consolidated below) — rotate back first
-    "dq01_projection", "dq02_whitelist", "dq03_late_split",
-    "dq04_sink_envelope", "dq06_max_offset", "dq07_zone_map",
-    "dq09_distinct_agg", "dq10_rollup", "dq11_sum_cents",
-    "dq18_topk", "dq19_truncate", "dq20_safe_cast",
-    "dq21_set_ops", "dq22_array_funcs", "dq23_hash",
-    "dq24_scalars", "dq25_udf_shape", "dq26_epoch_conversions",
-    "dq27_json_encode", "dq28_date_format", "dq33_percentile",
-    "dq35_sessionize", "dq37_hash_split", "dq38_cube",
-    "dq39_pivot", "dq40_window_analytics", "dq41_approx_quantile",
-    "dq42_funnel", "dq43_retention", "dq44_grouping_sets",
-    "dq45_range_frame", "dq46_stats_agg",
-    "llm07_exact_dedup", "llm08_jaccard_pairs", "llm09_minhash_lsh",
-    "llm10_simhash", "llm12_ann_lsh", "llm13_multimodal_meta",
-    "llm14_decode_features", "llm15_embed_dedup",
-    "llm17_incremental_dedup", "llm29_pack_sequences",
-    "llm30_mixture_sample", "llm31_vocab_coverage",
-    "llm32_dedup_keep_best", "llm34_video_sample",
-    "llm35_resize_image",
-    # merged in round 10 (the former llm33/llm36 rows, both due back;
-    # the wide result asserts the union of their old assertions)
-    "llm33_audio_pipeline",
-    # modified in round 10 - must carry fresh evidence (llm50's
-    # de-skewed canonical aggregate + corpus-wide hot-tail input;
-    # llm46's FP-coupled fold-form oracle cosine + live production
-    # threshold path)
-    "llm46_semantic_dedup", "llm50_dup_span_removal",
+    # the 48 r9-stale due-backs (two rounds overdue after the r11
+    # breach) — rotate back first; the former dq14_semi_join/
+    # dq14_anti_join pair rides as the consolidated dq14_semi_anti
+    "dq05_route_fanout", "dq08_hash_agg",
+    "dq12_join_dim", "dq13_multi_join", "dq14_semi_anti",
+    "dq15_outer_join", "dq16_window", "dq17_dedup_first",
+    "dq29_envelope_parse", "dq30_tumbling_window", "dq31_asof_join",
+    "dq32_salted_agg", "dq34_range_join", "dq36_approx_distinct",
+    "dq47_sliding_window",
+    "llm01_token_count", "llm02_ttr", "llm03_avg_token_len",
+    "llm04_lang_id", "llm05_fingerprint", "llm06_quality",
+    "llm11_knn_cosine", "llm16_dedup_clusters",
+    "llm18_bpe_tokens", "llm19_ivf_ann", "llm20_tfidf",
+    "llm21_pii_redact", "llm22_chunk_dedup", "llm23_contamination",
+    "llm24_stratified_split", "llm25_repetition", "llm26_kmeans",
+    "llm27_surprisal", "llm28_quantize",
+    "llm37_bigram_lm", "llm38_training_order", "llm39_curriculum_bins",
+    "llm40_quality_rules", "llm41_head_truncate", "llm42_curation_e2e",
+    "llm43_compression_ratio", "llm44_jpeg_decode",
+    "llm45_video_time_sample", "llm47_boilerplate_removal",
+    "llm48_bpe_merges", "llm49_ivf_pq_recall",
+    "llm51_unigram_tokenizer",
+    # the r11 spare-slot plan's two promotions, executed in r12
+    # (llm52 also carries the fresh evidence for r12's html_to_text
+    # unclosed-<title> recovery fix)
+    "llm52_html_extract", "llm53_ocf_roundtrip",
+    # heavy regression-prone fill (the llm09/10 precedent)
+    "llm09_minhash_lsh",
 ]
 
 assert len(_WINDOW) == 50 and len(set(_WINDOW)) == 50, len(_WINDOW)

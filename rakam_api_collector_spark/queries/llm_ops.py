@@ -1265,6 +1265,93 @@ def llm50_dup_span_removal(spark: SparkSession, sf: str) -> DataFrame:
             .orderBy("doc_id"))
 
 
+def llm52_html_extract(spark: SparkSession, sf: str) -> DataFrame:
+    """HTML→text extraction (operators/html.py:html_to_text) promoted
+    to a driver-oracle row (the r11 spare-slot plan drafted in the
+    registry docstring).
+
+    Each document's text wraps into a FIXED page template in-plan —
+    head title, a 2-link nav, an h1, the body paragraph, a 1-link
+    footer — so the extractor's whole output is a deterministic
+    string function of (doc_id, text) that real SQL can replay:
+    extracted text = the template's known chrome lines around the
+    whitespace-normalized body (documents.text is already
+    single-spaced, verified property of the generator), title is the
+    head title, n_links = 3 exactly, and link_density =
+    round(16 / (16 + 3 + len(str(doc_id)) + len(text sans spaces)), 6)
+    because the anchor text ("Home"+"About"+"Contact" = 16 chars) and
+    h1 chrome are constants. A wrong skip rule, block-break, title
+    capture, link count, or density denominator all hash-fail.
+    ``concat`` (not format_string) builds the page so body text can
+    never be interpreted as a format directive."""
+    from rakam_api_collector_spark.operators.html import html_to_text
+    docs = load_table(spark, sf, "documents")
+    did = F.col("doc_id").cast("string")
+    page = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit('<html><head><title>Doc '), did,
+            F.lit('</title></head><body>'
+                  '<nav><a href="/">Home</a> <a href="/about">About</a>'
+                  '</nav><h1>Doc '), did,
+            F.lit('</h1><p>'), F.col("text"),
+            F.lit('</p><footer><a href="/contact">Contact</a></footer>'
+                  '</body></html>')).alias("html"))
+    return (html_to_text(page, "doc_id", "html")
+            .orderBy("doc_id"))
+
+
+def llm53_ocf_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    """Avro OCF write→read round trip (ingest/ocf.py) promoted to a
+    driver-oracle row (the r11 spare-slot plan).
+
+    Setup writes ONE small OCF file from a deterministic lineitem
+    sample (l_orderkey % 97 = 0, ~1% of rows — bounded by
+    construction; at 100 TB the write half is the archive sink's job,
+    the distributed READ path is what this row certifies), then
+    ``read_avro_ocf`` scans it back and the query aggregates exact
+    integers per returnflag. The oracle computes the same aggregate
+    straight off the lineitem view — the round trip IS the assertion;
+    DuckDB never parses Avro. Quantities are integral doubles and
+    prices 2-dp, so long casts are exact (the dq11 cents pattern)."""
+    import hashlib
+    import os
+    import tempfile
+
+    from rakam_api_collector_spark.ingest.ocf import (read_avro_ocf,
+                                                      write_ocf)
+    rows = (load_table(spark, sf, "lineitem")
+            .filter(F.col("l_orderkey") % 97 == 0)
+            .select("l_returnflag",
+                    F.col("l_quantity").cast("long").alias("qty"),
+                    F.round(F.col("l_extendedprice") * 100, 0)
+                    .cast("long").alias("price_cents"))
+            .collect())
+    schema_json = (
+        '{"type":"record","name":"li_sample","fields":['
+        '{"name":"l_returnflag","type":"string"},'
+        '{"name":"qty","type":"long"},'
+        '{"name":"price_cents","type":"long"}]}')
+    blob = write_ocf(schema_json,
+                     [[r.l_returnflag, r.qty, r.price_cents]
+                      for r in rows],
+                     rows_per_block=1000)
+    d = os.path.join(
+        tempfile.gettempdir(),
+        "spark_graft_llm53_" + hashlib.md5(sf.encode()).hexdigest()[:10])
+    os.makedirs(d, exist_ok=True)
+    tmp = os.path.join(d, ".data.avro.tmp")
+    with open(tmp, "wb") as fh:
+        fh.write(blob)
+    os.replace(tmp, os.path.join(d, "data.avro"))  # atomic: re-runnable
+    return (read_avro_ocf(spark, d)
+            .groupBy("l_returnflag")
+            .agg(F.count("*").alias("n"),
+                 F.sum("qty").alias("sum_qty"),
+                 F.sum("price_cents").alias("sum_cents"))
+            .orderBy("l_returnflag"))
+
+
 _BOILER = (" copyright license terms apply all rights reserved "
            "worldwide legal notice")
 
@@ -1323,6 +1410,8 @@ QUERIES = {
     "llm49_ivf_pq_recall": llm49_ivf_pq_recall,
     "llm50_dup_span_removal": llm50_dup_span_removal,
     "llm51_unigram_tokenizer": llm51_unigram_tokenizer,
+    "llm52_html_extract": llm52_html_extract,
+    "llm53_ocf_roundtrip": llm53_ocf_roundtrip,
 }
 
 
@@ -2512,5 +2601,33 @@ ORACLE = {
         SELECT doc_id, CAST(len({_DUCK_TOKS}) AS INTEGER) AS n_tok,
                true AS lossless_ok, true AS subword_ok
         FROM documents WHERE doc_id < 200 ORDER BY doc_id
+    """,
+    # llm52: with the fixed page template the whole extractor output is
+    # a deterministic string function of (doc_id, text) — chrome lines
+    # 'Home About' / 'Doc N' / 'Contact' around the ws-normalized body;
+    # anchor chars 16 and h1 chars 3+len(N) fix the density exactly.
+    "llm52_html_extract": """
+        SELECT doc_id,
+               'Home About' || chr(10) || 'Doc ' || doc_id || chr(10)
+                 || trim(regexp_replace(text, '\\s+', ' ', 'g'))
+                 || chr(10) || 'Contact' AS text,
+               'Doc ' || doc_id AS title,
+               CAST(3 AS INTEGER) AS n_links,
+               round(16.0 / (16 + 3 + length(CAST(doc_id AS VARCHAR))
+                     + length(regexp_replace(text, '\\s', '', 'g'))),
+                     6) AS link_density
+        FROM documents ORDER BY doc_id
+    """,
+    # llm53: the oracle aggregates the SOURCE table — the OCF
+    # write→read round trip on the Spark side is the assertion.
+    "llm53_ocf_roundtrip": """
+        SELECT l_returnflag,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT)
+                 AS sum_qty,
+               CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT))
+                 AS BIGINT) AS sum_cents
+        FROM lineitem WHERE l_orderkey % 97 = 0
+        GROUP BY l_returnflag ORDER BY l_returnflag
     """,
 }

@@ -158,22 +158,27 @@ def dq13_multi_join(spark: SparkSession, sf: str) -> DataFrame:
             .orderBy(F.desc("rev"), "o_orderkey").limit(10))
 
 
-def dq14_semi_join(spark: SparkSession, sf: str) -> DataFrame:
-    """Left semi join (IN subquery) (§2.6)."""
+def dq14_semi_anti(spark: SparkSession, sf: str) -> DataFrame:
+    """Left semi + left anti join (IN / NOT IN subquery), union-tagged
+    by ``side`` (§2.6).
+
+    r12 consolidation of the former dq14_semi_join / dq14_anti_join
+    rows (the plan drafted in the registry docstring since r10): both
+    join strategies stay live in ONE result — the union asserts the
+    semi- and anti-row sets partition customer exactly, and each leg
+    still plans as its own join (left_semi / left_anti), so nothing
+    the two old rows certified is lost. o_custkey has no nulls, so
+    NOT IN and anti-join semantics align."""
     customer = load_table(spark, sf, "customer")
     orders = load_table(spark, sf, "orders")
-    return (customer.join(orders, customer.c_custkey == orders.o_custkey,
-                          "left_semi")
-            .agg(F.count("*").alias("n")))
 
+    def leg(how: str, tag: str) -> DataFrame:
+        return (customer.join(orders,
+                              customer.c_custkey == orders.o_custkey, how)
+                .agg(F.count("*").alias("n"))
+                .select(F.lit(tag).alias("side"), "n"))
 
-def dq14_anti_join(spark: SparkSession, sf: str) -> DataFrame:
-    """Left anti join (NOT IN; o_custkey has no nulls so semantics align)."""
-    customer = load_table(spark, sf, "customer")
-    orders = load_table(spark, sf, "orders")
-    return (customer.join(orders, customer.c_custkey == orders.o_custkey,
-                          "left_anti")
-            .agg(F.count("*").alias("n")))
+    return leg("left_semi", "semi").unionAll(leg("left_anti", "anti"))
 
 
 def dq15_outer_join(spark: SparkSession, sf: str) -> DataFrame:
@@ -738,8 +743,7 @@ QUERIES = {
     "dq11_sum_cents": dq11_sum_cents,
     "dq12_join_dim": dq12_join_dim,
     "dq13_multi_join": dq13_multi_join,
-    "dq14_semi_join": dq14_semi_join,
-    "dq14_anti_join": dq14_anti_join,
+    "dq14_semi_anti": dq14_semi_anti,
     "dq15_outer_join": dq15_outer_join,
     "dq16_window": dq16_window,
     "dq17_dedup_first": dq17_dedup_first,
@@ -842,12 +846,11 @@ ORACLE = {
         WHERE c_mktsegment = 'BUILDING'
         GROUP BY o_orderkey ORDER BY rev DESC, o_orderkey LIMIT 10
     """,
-    "dq14_semi_join": """
-        SELECT count(*) AS n FROM customer
+    "dq14_semi_anti": """
+        SELECT 'semi' AS side, count(*) AS n FROM customer
         WHERE c_custkey IN (SELECT o_custkey FROM orders)
-    """,
-    "dq14_anti_join": """
-        SELECT count(*) AS n FROM customer
+        UNION ALL
+        SELECT 'anti' AS side, count(*) AS n FROM customer
         WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
     """,
     "dq15_outer_join": """
