@@ -25,7 +25,7 @@ resharding — a closed parent is drained to its EndingSequenceNumber
 before its children are consumed (KinesisShardSyncer's
 parent-before-child ordering), merge parents both drained first.
 
-Scale note, stated plainly: this source is built on
+Scale note, stated plainly: the DEFAULT reader is built on
 ``SimpleDataSourceStreamReader``, Spark's API for sources whose end
 offsets cannot be enumerated without reading (a Kinesis sequence
 number is only discoverable FROM a record — there is no "latest
@@ -33,9 +33,12 @@ sequence" call), so fetches run in the driver-side source worker and
 Spark's WAL redistributes to executors. Per-batch volume is bounded
 by ``maxRecordsPerShard`` × #shards. That is the right shape for the
 reference's workload (its KCL workers are single-process consumers
-too) and for modest shard counts; a 100 TB firehose belongs on the
-jar connector (``kinesis_reader``) whose executor-side fetch this
-option set already targets.
+too) and for modest shard counts. For a firehose,
+``option("readerMode", "partitioned")`` switches to the
+executor-parallel reader — one input partition per shard, GetRecords
+on executors, arrival-time-windowed offsets (design rationale on
+``_KinesisPartitionedStreamReader``); the jar connector
+(``kinesis_reader``) remains the managed-infrastructure alternative.
 """
 
 from __future__ import annotations
@@ -44,7 +47,9 @@ import time
 from datetime import datetime, timezone
 
 from pyspark.sql import SparkSession
-from pyspark.sql.datasource import DataSource, SimpleDataSourceStreamReader
+from pyspark.sql.datasource import (DataSource, DataSourceStreamReader,
+                                    InputPartition,
+                                    SimpleDataSourceStreamReader)
 from pyspark.sql.streaming import DataStreamReader
 
 TRIM_HORIZON = "TRIM_HORIZON"    # KinesisUtil default in the reference
@@ -116,7 +121,18 @@ def _make_client(options: dict):
     if endpoint and endpoint.startswith("local:"):
         from rakam_api_collector_spark.sources.kinesis_local import \
             LocalKinesisClient
-        return LocalKinesisClient(endpoint[len("local:"):])
+        cl = LocalKinesisClient(endpoint[len("local:"):])
+        # emulator-only knobs, option-carried so they reach clients
+        # built INSIDE executor-side reads (partitioned mode) where a
+        # test cannot reach the instance: wire-fault cadences and the
+        # iterator TTL (kinesis_local module docstring)
+        for opt, attr, conv in (
+                ("localfaultemptyevery", "fault_empty_every", int),
+                ("localfaultthrottleevery", "fault_throttle_every", int),
+                ("localiteratorttlsec", "iterator_ttl_sec", float)):
+            if options.get(opt):
+                setattr(cl, attr, conv(options[opt]))
+        return cl
     try:
         import boto3
     except ImportError:
@@ -384,9 +400,250 @@ class _KinesisSimpleStreamReader(SimpleDataSourceStreamReader):
         pass                    # offsets live in the query checkpoint
 
 
+class _ShardRangePartition(InputPartition):
+    """One shard × one arrival-time window — the executor work unit.
+    Pickles across to the executor-side Python worker with everything
+    ``read`` needs (no driver state)."""
+
+    def __init__(self, shard_id: str, start_ms: int, end_ms: int,
+                 options: dict) -> None:
+        self.shard_id = shard_id
+        self.start_ms = start_ms
+        self.end_ms = end_ms
+        self.options = options
+
+
+class _KinesisPartitionedStreamReader(DataSourceStreamReader):
+    """Executor-parallel mode: one input partition per shard,
+    GetRecords on the executors — the per-shard-processor shape of the
+    reference's KCL workers (KinesisRecordProcessor.java:77-117, one
+    ``IRecordProcessor`` per shard), for streams whose fetch volume
+    outgrows the driver-side Simple reader.
+
+    **Offset design.** Kinesis has no "latest sequence number" API — an
+    end seq is only discoverable FROM a record — so a partitioned
+    planner cannot commit per-shard seq ranges without reading the data
+    on the driver first (which is exactly the Simple mode it exists to
+    replace). Batches are therefore bounded by server-side ARRIVAL
+    TIME: the offset is a single epoch-millis watermark ``ts`` and a
+    batch covers, for EVERY shard, the records with
+    ``start.ts < ApproximateArrivalTimestamp*1000 <= end.ts``. Arrival
+    stamps are assigned by the service at ingestion, are immutable, and
+    are non-decreasing per shard, so the inclusion predicate is a pure
+    function of immutable record attributes: any replay of a committed
+    (start, end] range reproduces the batch exactly — the same
+    determinism the Simple reader's ``readBetweenOffsets`` gets from
+    seq ranges, without a driver-side fetch. Driver cost per batch is
+    ONE ListShards call plus the clock.
+
+    **Exactly-once.** Windows partition the time axis (half-open
+    intervals), so every record belongs to exactly one batch. Two
+    clock caveats, both bounded by options and documented here rather
+    than hidden: (1) ``settleMarginMs`` (default 1500) keeps the
+    window's upper edge behind wall-clock so records stamped just
+    below the bound by a service clock slightly behind ours are
+    already readable when executors scan — the margin must exceed
+    driver-vs-service clock skew; (2) per-shard arrival stamps are
+    treated as non-decreasing (the service assigns them in ingestion
+    order); ``stopSlackMs`` (default 0) lets a deployment scan past
+    the first out-of-window stamp if it distrusts that.
+
+    **Parent-before-child without gating.** The Simple reader
+    sequences a closed parent before its children across micro-batches
+    with drained tombstones. Here the same guarantee is inherent in
+    the data: a child shard only receives records after the reshard
+    instant, and its parent none after it, so parent records carry
+    strictly earlier arrival stamps — time-contiguous global windows
+    mean no batch can contain a child record while an EARLIER-stamped
+    parent record is still unread. (Within one micro-batch a Spark
+    DataFrame is unordered anyway, exactly as a multi-worker KCL fleet
+    processes independent shards concurrently.)
+
+    **Bounded batches for free.** Kinesis caps ingest at 1 MB/s/shard,
+    so a window of W seconds holds at most W MB per shard — per-batch
+    volume is bounded by window length, not by a record cap that would
+    need executor feedback. ``maxWindowMs`` (default 60000) paces
+    catch-up reads into ≤60 MB/shard batches. Two unpaced edges, both
+    deliberate: a TRIM_HORIZON start without ``startTimestampMs``
+    takes the whole retained history as its first window (pacing from
+    epoch 0 would walk 1970→now in 60 s hops — pass startTimestampMs
+    to pace a backfill from a known point), and after a RESTART the
+    first window is unpaced (pacing state lives in driver memory; an
+    offset cannot be clamped after the fact without losing its tail)
+    — the same first-batch posture as the jar connectors.
+
+    **LATEST** anchors to the query-start wall clock (the offset in
+    the checkpoint), i.e. AT_TIMESTAMP(query start) — the same anchor
+    the Simple reader's r11 expired-iterator fix re-seeks to, and
+    restart-safe because it is IN the committed offset, never
+    re-evaluated.
+
+    A shard observed closed at planning time C is pruned from every
+    window that starts at or after C (all its records are stamped
+    before C); the observation times ride in the offset's ``closed``
+    map so pruning survives restarts (until re-observed, an unpruned
+    closed shard costs two API calls and reads empty — never wrong).
+    """
+
+    def __init__(self, options: dict) -> None:
+        self._options = dict(options)
+        self._stream = options.get("streamname")
+        if not self._stream:
+            raise ValueError("kinesis_py requires option 'streamName'")
+        self._position = (options.get("initialposition")
+                          or TRIM_HORIZON).upper()
+        if self._position not in (TRIM_HORIZON, "LATEST"):
+            raise ValueError(f"initialPosition {self._position!r}: "
+                             "expected TRIM_HORIZON or LATEST")
+        self._margin_ms = int(options.get("settlemarginms") or 1500)
+        self._max_window_ms = int(options.get("maxwindowms") or 60_000)
+        # optional paced-backfill anchor: without it a TRIM_HORIZON
+        # start takes the whole retained history as its first window
+        # (pacing from epoch 0 would walk 1970→now in 60 s hops)
+        self._start_ts_ms = int(options.get("starttimestampms") or 0)
+        self._cl = None
+        self._last_planned: int | None = None   # pacing memory
+        self._closed_seen: dict[str, int] = {}
+
+    def _client(self):
+        if self._cl is None:
+            self._cl = _make_client(self._options)
+        return self._cl
+
+    def initialOffset(self) -> dict:
+        anchor = self._start_ts_ms if self._position == TRIM_HORIZON \
+            else int(time.time() * 1000)
+        self._last_planned = anchor
+        return {"v": 1, "ts": anchor, "closed": {}}
+
+    def latestOffset(self) -> dict:
+        now_ms = int(time.time() * 1000)
+        end = now_ms - self._margin_ms
+        if self._last_planned:
+            # pace catch-up into ≤ maxWindowMs slices; never regress.
+            # (Falsy last_planned — restart, or TRIM_HORIZON with no
+            # startTimestampMs — leaves the first window unpaced.)
+            end = max(min(end, self._last_planned + self._max_window_ms),
+                      self._last_planned)
+        self._last_planned = end
+        for s in self._client().list_shards(
+                StreamName=self._stream)["Shards"]:
+            if "EndingSequenceNumber" in s.get("SequenceNumberRange", {}):
+                self._closed_seen.setdefault(s["ShardId"], now_ms)
+        return {"v": 1, "ts": end, "closed": dict(self._closed_seen)}
+
+    def partitions(self, start: dict, end: dict):
+        s_ms, e_ms = int(start["ts"]), int(end["ts"])
+        if e_ms <= s_ms:
+            return []
+        closed = {**start.get("closed", {}), **end.get("closed", {})}
+        parts = []
+        for s in self._client().list_shards(
+                StreamName=self._stream)["Shards"]:
+            sid = s["ShardId"]
+            c = closed.get(sid)
+            if c is not None and int(c) <= s_ms:
+                continue        # every record stamped before the window
+            parts.append(_ShardRangePartition(sid, s_ms, e_ms,
+                                              self._options))
+        return parts
+
+    def read(self, partition: _ShardRangePartition):
+        """Executor-side GetRecords over one shard's window. Pure
+        function of (shard, window) over immutable shard data — wire
+        faults (throttles, mid-stream empty pages, expired iterators)
+        are followed/retried, never allowed to truncate, because a
+        window is a committed range the moment it is planned (the
+        Simple reader's replay posture, applied to every read)."""
+        opts = partition.options
+        sid = partition.shard_id
+        s_ms, e_ms = partition.start_ms, partition.end_ms
+        slack_ms = int(opts.get("stopslackms") or 0)
+        backoff0 = int(opts.get("throttlebackoffms") or 100) / 1000.0
+        stream = opts.get("streamname")
+        cl = _make_client(opts)
+
+        def seek(from_ms: int) -> str:
+            if from_ms <= 0:
+                return cl.get_shard_iterator(
+                    StreamName=stream, ShardId=sid,
+                    ShardIteratorType=TRIM_HORIZON)["ShardIterator"]
+            return cl.get_shard_iterator(
+                StreamName=stream, ShardId=sid,
+                ShardIteratorType="AT_TIMESTAMP",
+                Timestamp=from_ms / 1000.0)["ShardIterator"]
+
+        it = seek(s_ms)
+        last_seq = None          # dedup guard across re-seeks
+        last_ts_ms = s_ms
+        throttle_delay = backoff0
+        while it is not None:
+            try:
+                resp = cl.get_records(ShardIterator=it, Limit=10_000)
+            except Exception as e:  # noqa: BLE001 — code-matched below
+                code = _err_code(e)
+                if code == "ExpiredIteratorException":
+                    # re-seek to the last stamp seen; the seq guard
+                    # below drops anything refetched at the boundary
+                    it = seek(max(s_ms, last_ts_ms))
+                    continue
+                if code == "ProvisionedThroughputExceededException":
+                    # a window must be read fully: back off and retry
+                    # without bound (the KCL posture — a permanently
+                    # throttled shard blocks the batch by design)
+                    time.sleep(throttle_delay)
+                    throttle_delay = min(throttle_delay * 2, 2.0)
+                    continue
+                raise
+            done = False
+            for rec in resp["Records"]:
+                seq = rec["SequenceNumber"]
+                if last_seq is not None and int(seq) <= int(last_seq):
+                    continue
+                ts = rec.get("ApproximateArrivalTimestamp")
+                if isinstance(ts, datetime):
+                    ts_ms = int(ts.timestamp() * 1000)
+                else:
+                    ts_ms = int(float(ts) * 1000)
+                    ts = datetime.fromtimestamp(float(rec.get(
+                        "ApproximateArrivalTimestamp")), tz=timezone.utc)
+                last_seq = seq
+                last_ts_ms = max(last_ts_ms, ts_ms)
+                if ts_ms > e_ms + slack_ms:
+                    done = True          # past the window (monotone)
+                    break
+                if s_ms < ts_ms <= e_ms:
+                    yield (sid, seq, rec.get("PartitionKey"),
+                           bytes(rec["Data"]), ts)
+            if done:
+                return
+            nxt = resp.get("NextShardIterator")
+            if nxt is None:
+                return               # SHARD_END: nothing left, ever
+            it = nxt
+            if not resp["Records"] \
+                    and (resp.get("MillisBehindLatest") or 0) <= 0:
+                return               # true head: the window is drained
+            # mid-stream empty page (MillisBehindLatest > 0): records
+            # lie ahead — follow the iterator unconditionally
+
+    def commit(self, end: dict) -> None:
+        pass                    # offsets live in the query checkpoint
+
+
 class KinesisPyDataSource(DataSource):
     """``spark.dataSource.register(KinesisPyDataSource)`` once per
-    session, then ``spark.readStream.format("kinesis_py")``."""
+    session, then ``spark.readStream.format("kinesis_py")``.
+
+    Two reader modes behind one format:
+
+    - default (no option): the driver-side ``SimpleDataSourceStreamReader``
+      with per-shard SEQ offsets — exact KCL consumption order, the
+      dev/modest-scale path;
+    - ``option("readerMode", "partitioned")``: one input partition per
+      shard, GetRecords on executors, arrival-time-windowed offsets —
+      the firehose path (see ``_KinesisPartitionedStreamReader``).
+    """
 
     @classmethod
     def name(cls) -> str:
@@ -394,6 +651,15 @@ class KinesisPyDataSource(DataSource):
 
     def schema(self) -> str:
         return KINESIS_PY_SCHEMA
+
+    def streamReader(self, schema):
+        if (self.options.get("readermode") or "simple").lower() \
+                == "partitioned":
+            return _KinesisPartitionedStreamReader(self.options)
+        from pyspark.errors import PySparkNotImplementedError
+        raise PySparkNotImplementedError(   # → simpleStreamReader
+            errorClass="NOT_IMPLEMENTED",
+            messageParameters={"feature": "streamReader"})
 
     def simpleStreamReader(self, schema):
         return _KinesisSimpleStreamReader(self.options)

@@ -1,0 +1,322 @@
+"""Executor-parallel ``kinesis_py`` (``readerMode=partitioned``): one
+input partition per shard, GetRecords on executors, arrival-time-
+windowed offsets. The harness tests drive the planner loop the way
+Spark does (initialOffset → latestOffset → partitions → read per
+partition) without a JVM; the e2e test runs a real StreamingQuery.
+
+Contract under test (see ``_KinesisPartitionedStreamReader``):
+exactly-once across ANY put/split/merge/read interleaving and any
+wire-fault cadence, per-shard sequence order, replay determinism of a
+committed (start, end] window, parent-records-never-after-child, and
+closed-shard pruning.
+"""
+
+from __future__ import annotations
+
+import json
+import shutil
+import tempfile
+import time
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+import rakam_api_collector_spark.sources.kinesis as K
+from rakam_api_collector_spark.sources.kinesis import (
+    _KinesisPartitionedStreamReader, register)
+from rakam_api_collector_spark.sources.kinesis_local import (
+    ExpiredIteratorException, LocalKinesisClient)
+
+
+def _reader(work: str, **extra) -> _KinesisPartitionedStreamReader:
+    opts = {"streamname": "s", "endpoint": f"local:{work}",
+            "settlemarginms": "0", "throttlebackoffms": "5"}
+    opts.update({k.lower(): str(v) for k, v in extra.items()})
+    return _KinesisPartitionedStreamReader(opts)
+
+
+def _drain_batch(reader, start):
+    """One planner round, Spark-shaped: plan the end offset, then read
+    every partition. The 2 ms sleep stands in for settleMarginMs=0 in
+    a single-process harness — it guarantees any LATER put gets a
+    strictly later arrival stamp than the committed window edge."""
+    end = reader.latestOffset()
+    time.sleep(0.002)
+    rows, parts = [], reader.partitions(start, end)
+    for p in parts:
+        rows.extend(reader.read(p))
+    return rows, parts, end
+
+
+def test_partitioned_drain_reshard_exactly_once(tmp_path):
+    work = str(tmp_path / "kin")
+    cl = LocalKinesisClient(work)
+    cl.create_stream("s", ShardCount=1)
+    s0 = "shardId-000000000000"
+    cl.put_records("s", [{"Data": b"a", "PartitionKey": "k",
+                          "ShardId": s0},
+                         {"Data": b"b", "PartitionKey": "k",
+                          "ShardId": s0}])
+    reader = _reader(work)
+    off = reader.initialOffset()
+    rows1, parts1, off = _drain_batch(reader, off)
+    assert sorted(r[3] for r in rows1) == [b"a", b"b"]
+
+    # reshard mid-stream; child records must land exactly once, after
+    # every parent record in delivery order
+    kids = cl.split_shard("s", s0)["ChildShards"]
+    cl.put_records("s", [{"Data": b"c", "PartitionKey": "k",
+                          "ShardId": kids[0]}])
+    rows2, _p, off = _drain_batch(reader, off)
+    assert [r[3] for r in rows2] == [b"c"]
+    # nothing re-delivered, nothing pending
+    rows3, _p, off = _drain_batch(reader, off)
+    assert rows3 == []
+
+
+def test_partitioned_replay_of_committed_window_is_deterministic(
+        tmp_path):
+    work = str(tmp_path / "kin")
+    cl = LocalKinesisClient(work)
+    cl.create_stream("s", ShardCount=2)
+    for i in range(6):
+        cl.put_records("s", [{
+            "Data": f"p{i}".encode(), "PartitionKey": "k",
+            "ShardId": f"shardId-{i % 2:012d}"}])
+    reader = _reader(work)
+    start = reader.initialOffset()
+    rows, parts, end = _drain_batch(reader, start)
+    # a replay (recovery path: same start/end dicts, fresh partitions)
+    # must reproduce the batch exactly — even with records appended
+    # AFTER the window committed
+    cl.put_records("s", [{"Data": b"late", "PartitionKey": "k",
+                          "ShardId": "shardId-000000000000"}])
+    replay = []
+    for p in reader.partitions(start, end):
+        replay.extend(reader.read(p))
+    assert sorted(r[1] for r in replay) == sorted(r[1] for r in rows)
+    assert sorted(r[3] for r in replay) == sorted(r[3] for r in rows)
+
+
+def test_partitioned_latest_anchor_and_window_pacing(tmp_path):
+    work = str(tmp_path / "kin")
+    cl = LocalKinesisClient(work)
+    cl.create_stream("s", ShardCount=1)
+    cl.put_records("s", [{"Data": b"old", "PartitionKey": "k"}])
+    time.sleep(0.002)
+    # LATEST: the anchor is the query-start clock, IN the offset —
+    # pre-existing records are excluded, later ones delivered
+    reader = _reader(work, initialPosition="LATEST")
+    off = reader.initialOffset()
+    assert off["ts"] > 0
+    time.sleep(0.002)
+    cl.put_records("s", [{"Data": b"new", "PartitionKey": "k"}])
+    rows, _p, off = _drain_batch(reader, off)
+    assert [r[3] for r in rows] == [b"new"]
+
+    # pacing: with maxWindowMs=1 every subsequent window is ≤1 ms of
+    # stream time — latestOffset must advance in paced slices, never
+    # regress, and never jump past wall-minus-margin
+    paced = _reader(work, maxWindowMs="1")
+    paced.initialOffset()
+    e1 = paced.latestOffset()["ts"]
+    e2 = paced.latestOffset()["ts"]
+    assert 0 <= e2 - e1 <= 1
+
+
+def test_partitioned_closed_shard_pruned_from_later_windows(tmp_path):
+    work = str(tmp_path / "kin")
+    cl = LocalKinesisClient(work)
+    cl.create_stream("s", ShardCount=1)
+    s0 = "shardId-000000000000"
+    cl.put_records("s", [{"Data": b"a", "PartitionKey": "k",
+                          "ShardId": s0}])
+    reader = _reader(work)
+    off = reader.initialOffset()
+    rows, parts, off = _drain_batch(reader, off)
+    assert len(rows) == 1 and {p.shard_id for p in parts} == {s0}
+    cl.split_shard("s", s0)
+    # first window after the close: the parent may still be planned
+    # (its close was only just observed)...
+    _r, _p, off = _drain_batch(reader, off)
+    # ...but every window that STARTS at or after the observed close
+    # time excludes it: 2 child partitions only
+    time.sleep(0.002)
+    _r2, parts3, off = _drain_batch(reader, off)
+    assert s0 not in {p.shard_id for p in parts3}
+    assert len(parts3) == 2
+
+
+def test_partitioned_expired_iterator_reseek_no_dup_no_loss(
+        tmp_path, monkeypatch):
+    work = str(tmp_path / "kin")
+    cl = LocalKinesisClient(work)
+    cl.create_stream("s", ShardCount=1)
+    cl.put_records("s", [{"Data": f"p{i}".encode(), "PartitionKey": "k"}
+                         for i in range(5)])
+
+    calls: dict[str, int] = {}
+
+    class Flaky(LocalKinesisClient):
+        """Expires the iterator on a shard's SECOND get_records (after
+        records were already consumed), forcing the mid-read
+        AT_TIMESTAMP re-seek + the seq dedup guard."""
+
+        def get_records(self, ShardIterator, Limit=10_000):
+            sid = json.loads(ShardIterator)["sid"]
+            calls[sid] = calls.get(sid, 0) + 1
+            if calls[sid] == 2:
+                raise ExpiredIteratorException("forced")
+            return super().get_records(ShardIterator, Limit)
+
+    monkeypatch.setattr(K, "_make_client", lambda opts: Flaky(work))
+    reader = _reader(work)
+    off = reader.initialOffset()
+    rows, _p, off = _drain_batch(reader, off)
+    assert sorted(r[3] for r in rows) \
+        == [f"p{i}".encode() for i in range(5)]
+    assert max(calls.values()) >= 3     # the re-seek actually happened
+
+
+_OPS = st.lists(
+    st.tuples(st.sampled_from(["put", "split", "merge", "read"]),
+              st.integers(0, 10 ** 6)),
+    min_size=1, max_size=20)
+
+
+@settings(max_examples=25, deadline=None)
+@given(ops=_OPS, n_shards=st.integers(1, 3),
+       fault=st.sampled_from([None, ("localfaultemptyevery", 2),
+                              ("localfaultemptyevery", 3),
+                              ("localfaultthrottleevery", 3),
+                              ("localfaultthrottleevery", 4)]))
+def test_partitioned_any_interleaving_exactly_once(ops, n_shards,
+                                                   fault):
+    """The Simple-mode fuzz contract, partitioned mode: ANY
+    put/split/merge/read interleaving (with wire faults injected into
+    the executor-side clients via the local* options) delivers every
+    record exactly once, in per-shard seq order, with no ancestor's
+    record ever delivered after a descendant's."""
+    work = tempfile.mkdtemp(prefix="kinpfuzz_")
+    try:
+        cl = LocalKinesisClient(work)
+        cl.create_stream("s", ShardCount=n_shards)
+        extra = {fault[0]: fault[1]} if fault else {}
+        reader = _reader(work, **extra)
+
+        put_payloads: list[bytes] = []
+        lineage: dict[str, list[str]] = {}
+        seen_rows: list[tuple] = []
+        offset = reader.initialOffset()
+
+        def open_shards():
+            return [s["ShardId"] for s in
+                    cl.list_shards("s")["Shards"]
+                    if "EndingSequenceNumber"
+                    not in s["SequenceNumberRange"]]
+
+        def do_read():
+            nonlocal offset
+            start = offset
+            rows, parts, end = _drain_batch(reader, start)
+            # replay determinism on the committed window
+            replay = []
+            for p in reader.partitions(start, end):
+                replay.extend(reader.read(p))
+            assert sorted(r[1] for r in replay) \
+                == sorted(r[1] for r in rows)
+            seen_rows.extend(rows)
+            offset = end
+
+        counter = 0
+        for kind, n in ops:
+            alive = open_shards()
+            if kind == "put" and alive:
+                counter += 1
+                payload = f"p{counter}".encode()
+                put_payloads.append(payload)
+                cl.put_records("s", [{"Data": payload,
+                                      "PartitionKey": "k",
+                                      "ShardId": alive[n % len(alive)]}])
+            elif kind == "split" and alive:
+                sid = alive[n % len(alive)]
+                for kid in cl.split_shard("s", sid)["ChildShards"]:
+                    lineage[kid] = [sid]
+            elif kind == "merge" and len(alive) >= 2:
+                a = alive[n % len(alive)]
+                b = alive[(n + 1) % len(alive)]
+                if a == b:
+                    continue
+                kid = cl.merge_shards("s", a, b)["ChildShards"][0]
+                lineage[kid] = [a, b]
+            elif kind == "read":
+                do_read()
+
+        for _ in range(4):              # final drain
+            before = len(seen_rows)
+            do_read()
+            if len(seen_rows) == before and len(seen_rows) \
+                    == len(put_payloads):
+                break
+
+        assert sorted(r[3] for r in seen_rows) == sorted(put_payloads)
+        per_shard: dict[str, list[int]] = {}
+        for r in seen_rows:
+            per_shard.setdefault(r[0], []).append(int(r[1]))
+        for seqs in per_shard.values():
+            assert seqs == sorted(seqs)
+        first_at, last_at = {}, {}
+        for i, r in enumerate(seen_rows):
+            first_at.setdefault(r[0], i)
+            last_at[r[0]] = i
+        for child, parents in lineage.items():
+            for parent in parents:
+                if child in first_at and parent in last_at:
+                    assert last_at[parent] < first_at[child]
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def test_partitioned_stream_e2e_checkpointed(spark, tmp_path):
+    """readerMode=partitioned through a real StreamingQuery: executor-
+    side GetRecords, checkpointed time-window offsets, restart picks
+    up new records with no reprocessing and no loss."""
+    work = str(tmp_path / "kin")
+    cl = LocalKinesisClient(work)
+    cl.create_stream("events", ShardCount=2)
+    s0, s1 = "shardId-000000000000", "shardId-000000000001"
+    cl.put_records("events", [
+        {"Data": b'{"v": 1}', "PartitionKey": "a", "ShardId": s0},
+        {"Data": b'{"v": 2}', "PartitionKey": "b", "ShardId": s0},
+        {"Data": b'{"v": 3}', "PartitionKey": "c", "ShardId": s1}])
+    register(spark)
+    out = str(tmp_path / "out")
+
+    def drain():
+        time.sleep(0.01)        # settle: stamps strictly before plan
+        (spark.readStream.format("kinesis_py")
+         .option("streamName", "events")
+         .option("endpoint", f"local:{work}")
+         .option("readerMode", "partitioned")
+         .option("settleMarginMs", "0")
+         .load()
+         .writeStream.format("parquet")
+         .option("path", out)
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start()
+         .awaitTermination(120))
+
+    drain()
+    df = spark.read.parquet(out)
+    assert df.columns == ["shard_id", "sequence_number",
+                          "partition_key", "value", "arrival_time"]
+    assert {r.value for r in df.select("value").collect()} \
+        == {b'{"v": 1}', b'{"v": 2}', b'{"v": 3}'}
+
+    cl.put_records("events", [
+        {"Data": b'{"v": 4}', "PartitionKey": "d", "ShardId": s1}])
+    drain()
+    vals = [r.value for r in
+            spark.read.parquet(out).select("value").collect()]
+    assert sorted(vals) == sorted(
+        [b'{"v": 1}', b'{"v": 2}', b'{"v": 3}', b'{"v": 4}'])
