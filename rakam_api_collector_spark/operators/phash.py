@@ -111,13 +111,73 @@ def phash_signatures(df: DataFrame, id_col: str, image_col: str,
             .mapInPandas(run, out))
 
 
+def _capped_bucket_pairs(buckets: DataFrame, keys: list[str],
+                         max_bucket: int | None) -> DataFrame:
+    """Self-join equal-key buckets into candidate pairs, with the
+    adversarial-bucket guard: a bucket holding > ``max_bucket``
+    members (a mass-duplication flood — thousands of re-uploads of
+    the same near-black thumbnail hash into ONE chunk value) would
+    make the all-pairs self-join O(n²) in that bucket and eat the
+    stage at scale. Such buckets degrade to a STAR join — every
+    member pairs with the bucket's min-id representative, O(n) —
+    which keeps each flood connected (downstream dedup clustering
+    reaches every member through the representative) instead of
+    dropping it. Recall caveat, stated plainly: inside a capped
+    bucket, member↔member pairs whose Hamming would have passed a
+    downstream threshold while both sit far from the representative
+    are not emitted; below the cap behavior is exact. The measured
+    degeneracy and the cap's effect are in STRESS.md (phash_hot
+    cells). Extra cost when the cap is off or nothing exceeds it: one
+    group-count + one join keyed like the pair join itself.
+
+    ``buckets`` must have columns ``keys`` + ``_id`` + ``_ph`` (+ any
+    passthroughs already folded into ``keys``)."""
+    a, b = buckets.alias("a"), buckets.alias("b")
+    key_eq = None
+    for k in keys:
+        eq = F.col(f"a.{k}") == F.col(f"b.{k}")
+        key_eq = eq if key_eq is None else (key_eq & eq)
+
+    def pairs(left, right, cond):
+        return (left.join(right, cond & (F.col("a._id") < F.col("b._id")))
+                .select(F.col("a._id").alias("a"),
+                        F.col("b._id").alias("b"),
+                        *[F.col(f"a.{k}").alias(k) for k in keys
+                          if k.startswith("_")],
+                        F.bit_count(F.col("a._ph")
+                                    .bitwiseXOR(F.col("b._ph")))
+                        .alias("hamming")))
+
+    if max_bucket is None:
+        return pairs(a, b, key_eq)
+    sizes = buckets.groupBy(*keys).agg(F.count("*").alias("_bn"))
+    tagged = buckets.join(sizes, keys)
+    cold = tagged.filter(F.col("_bn") <= max_bucket).drop("_bn")
+    hot = tagged.filter(F.col("_bn") > max_bucket).drop("_bn")
+    ca, cb = cold.alias("a"), cold.alias("b")
+    cold_pairs = pairs(ca, cb, key_eq)
+    # representatives: one row per hot bucket — tiny, broadcast it so
+    # the flood side never shuffles on its own (skewed) key
+    reps = (hot.groupBy(*keys)
+            .agg(F.min_by(F.struct("_id", "_ph"), "_id").alias("_r"))
+            .select(*keys, F.col("_r._id").alias("_id"),
+                    F.col("_r._ph").alias("_ph")))
+    ha, hb = F.broadcast(reps).alias("a"), hot.alias("b")
+    star_pairs = pairs(ha, hb, key_eq)
+    return cold_pairs.unionByName(star_pairs)
+
+
 def phash_candidates(df: DataFrame, id_col: str, image_col: str,
-                     chunks: int = 4) -> DataFrame:
+                     chunks: int = 4,
+                     max_bucket: int | None = 10_000) -> DataFrame:
     """Near-dup image candidate pairs: equal 16-bit pHash chunk
     (pigeonhole-complete for Hamming ≤ chunks−1) ⇒ (a, b, hamming) —
     the ``simhash_candidates`` join shape over pixel signatures. Rank
     or threshold on ``hamming`` downstream (≤ 10 is the usual
-    near-dup cut for 64-bit pHash)."""
+    near-dup cut for 64-bit pHash). Buckets larger than
+    ``max_bucket`` degrade to a star join (``_capped_bucket_pairs``:
+    O(n) per flooded bucket, connectivity preserved through the
+    representative); ``max_bucket=None`` restores exact all-pairs."""
     w = 64 // chunks
     sh = phash_signatures(df, id_col, image_col)
     chunk_arr = F.array(*[
@@ -128,13 +188,8 @@ def phash_candidates(df: DataFrame, id_col: str, image_col: str,
     buckets = (sh.select("_id", "_ph", F.explode(chunk_arr).alias("_c"))
                .select("_id", "_ph", "_c.chunk", "_c.ck")).cache()
     buckets.count()              # decode runs once, not per join side
-    a, b = buckets.alias("a"), buckets.alias("b")
-    return (a.join(b, (F.col("a.chunk") == F.col("b.chunk"))
-                   & (F.col("a.ck") == F.col("b.ck"))
-                   & (F.col("a._id") < F.col("b._id")))
-            .select(F.col("a._id").alias("a"), F.col("b._id").alias("b"),
-                    F.bit_count(F.col("a._ph").bitwiseXOR(F.col("b._ph")))
-                    .alias("hamming"))
+    return (_capped_bucket_pairs(buckets, ["chunk", "ck"], max_bucket)
+            .select("a", "b", "hamming")
             .distinct())
 
 
@@ -190,7 +245,8 @@ def video_phash_signatures(df: DataFrame, id_col: str, video_col: str,
 def video_phash_candidates(df: DataFrame, id_col: str, video_col: str,
                            n_frames: int = 8, chunks: int = 4,
                            frame_hamming: int = 10,
-                           min_match_frac: float = 0.5) -> DataFrame:
+                           min_match_frac: float = 0.5,
+                           max_bucket: int | None = 10_000) -> DataFrame:
     """Near-dup video pairs: two videos are candidates when SOME
     sampled position's frame hashes share a 16-bit chunk (pigeonhole,
     as in ``phash_candidates``), and survive when ≥ ``min_match_frac``
@@ -198,7 +254,9 @@ def video_phash_candidates(df: DataFrame, id_col: str, video_col: str,
     Returns (a, b, n_positions, n_matched, mean_hamming). The join is
     keyed (position, chunk, value) — re-encoded/brightness-shifted
     copies align position-wise; videos of different lengths compare
-    over the shorter signature. Signatures join, never frames."""
+    over the shorter signature. Signatures join, never frames.
+    Flooded (position, chunk, value) buckets past ``max_bucket``
+    degrade to the star join (``_capped_bucket_pairs``)."""
     w = 64 // chunks
     sigs = video_phash_signatures(df, id_col, video_col,
                                   n_frames=n_frames)
@@ -212,17 +270,9 @@ def video_phash_candidates(df: DataFrame, id_col: str, video_col: str,
                           F.explode(chunk_arr).alias("_c"))
                .select("_id", "_p", "_ph", "_c.chunk", "_c.ck")).cache()
     buckets.count()              # decode runs once, not per join side
-    a, b = buckets.alias("a"), buckets.alias("b")
-    pair_frames = (a.join(b, (F.col("a._p") == F.col("b._p"))
-                          & (F.col("a.chunk") == F.col("b.chunk"))
-                          & (F.col("a.ck") == F.col("b.ck"))
-                          & (F.col("a._id") < F.col("b._id")))
-                   .select(F.col("a._id").alias("a"),
-                           F.col("b._id").alias("b"),
-                           F.col("a._p").alias("p"),
-                           F.bit_count(F.col("a._ph")
-                                       .bitwiseXOR(F.col("b._ph")))
-                           .alias("hamming"))
+    pair_frames = (_capped_bucket_pairs(buckets, ["_p", "chunk", "ck"],
+                                        max_bucket)
+                   .select("a", "b", F.col("_p").alias("p"), "hamming")
                    .distinct())
     n_pos = sigs.select(F.col("_id"),
                         F.size("_phs").alias("_n"))

@@ -300,6 +300,113 @@ def op_html_extract(spark, k: int) -> DataFrame:
                            F.sum(F.length("text")).alias("chars")))
 
 
+def _image_corpus(spark, k: int, hot_every: int = 10) -> DataFrame:
+    """(img_id, image) with a PLANTED hot bucket: every ``hot_every``-th
+    id carries the IDENTICAL all-black 32×32 PNG (the mass-duplication
+    flood — one pHash, every chunk bucket saturated), the rest carry
+    per-id seeded noise (uniform pHash spread). Synthesis is in-plan
+    (mapInPandas), so the study scales decode+join, not parquet IO."""
+    from pyspark.sql import types as T_
+
+    docs = amplified(spark,
+                     load_table(spark, SF_DIR, "documents")
+                     .select("doc_id"), k, {"doc_id": 10_000_000})
+    out = T_.StructType([T_.StructField("img_id", T_.LongType()),
+                         T_.StructField("image", T_.BinaryType())])
+
+    def build(batches):
+        import numpy as np
+        import pandas as pd
+
+        from rakam_api_collector_spark.operators.multimodal import \
+            png_encode
+        black = png_encode(bytes(32 * 32), 32, 32, 1)
+        for pdf in batches:
+            rows = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                if i % hot_every == 0:
+                    rows.append((i, black))
+                else:
+                    px = np.random.default_rng(i).integers(
+                        0, 256, 32 * 32, dtype=np.uint8).tobytes()
+                    rows.append((i, png_encode(px, 32, 32, 1)))
+            yield pd.DataFrame(rows, columns=["img_id", "image"])
+
+    return docs.select("doc_id").mapInPandas(build, out)
+
+
+def op_phash_hot_capped(spark, k: int) -> DataFrame:
+    """Image near-dup with the adversarial flood UNDER the bucket cap:
+    the flooded buckets degrade to the O(n) star join
+    (operators/phash.py:_capped_bucket_pairs) — the exponent must stay
+    ~linear even though 10% of the corpus shares one pHash."""
+    from rakam_api_collector_spark.operators.phash import \
+        phash_candidates
+
+    imgs = _image_corpus(spark, k)
+    return (phash_candidates(imgs, "img_id", "image", max_bucket=100)
+            .groupBy().agg(F.count("*").alias("pairs"),
+                           F.sum("hamming").alias("ham_sum")))
+
+
+def op_phash_hot_uncapped(spark, k: int) -> DataFrame:
+    """The SAME flood with the cap off — the measured degeneracy the
+    cap exists for: the flooded bucket's all-pairs join grows O(n²),
+    so the exponent should visibly exceed 1 (documented in STRESS.md
+    as the failure mode, not a regression)."""
+    from rakam_api_collector_spark.operators.phash import \
+        phash_candidates
+
+    imgs = _image_corpus(spark, k)
+    return (phash_candidates(imgs, "img_id", "image", max_bucket=None)
+            .groupBy().agg(F.count("*").alias("pairs"),
+                           F.sum("hamming").alias("ham_sum")))
+
+
+def op_video_phash_hot_capped(spark, k: int) -> DataFrame:
+    """Video near-dup flood under the cap: every hot id is the same
+    2-frame black clip, so every (position, chunk) bucket saturates;
+    the star degradation must hold the exponent ~linear."""
+    from pyspark.sql import types as T_
+
+    from rakam_api_collector_spark.operators.phash import \
+        video_phash_candidates
+
+    docs = amplified(spark,
+                     load_table(spark, SF_DIR, "documents")
+                     .select("doc_id"), k, {"doc_id": 10_000_000})
+    out = T_.StructType([T_.StructField("vid_id", T_.LongType()),
+                         T_.StructField("video", T_.BinaryType())])
+
+    def build(batches):
+        import numpy as np
+        import pandas as pd
+
+        from rakam_api_collector_spark.operators.multimodal import (
+            pack_video, png_encode)
+        black = pack_video([png_encode(bytes(32 * 32), 32, 32, 1)] * 2)
+        for pdf in batches:
+            rows = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                if i % 10 == 0:
+                    rows.append((i, black))
+                else:
+                    rng = np.random.default_rng(i)
+                    frames = [png_encode(
+                        rng.integers(0, 256, 32 * 32,
+                                     dtype=np.uint8).tobytes(),
+                        32, 32, 1) for _ in range(2)]
+                    rows.append((i, pack_video(frames)))
+            yield pd.DataFrame(rows, columns=["vid_id", "video"])
+
+    vids = docs.select("doc_id").mapInPandas(build, out)
+    return (video_phash_candidates(vids, "vid_id", "video",
+                                   n_frames=2, max_bucket=100)
+            .groupBy().agg(F.count("*").alias("pairs")))
+
+
 OPS = {
     "agg_q1": (op_agg_q1, "lineitem", 600_000),
     "join_orders": (op_join_orders, "lineitem+orders", 750_000),
@@ -314,6 +421,10 @@ OPS = {
     "boilerplate": (op_boilerplate, "documents", 5_000),
     "unigram_encode": (op_unigram_encode, "documents", 5_000),
     "html_extract": (op_html_extract, "documents", 5_000),
+    "phash_hot_capped": (op_phash_hot_capped, "documents", 5_000),
+    "phash_hot_uncapped": (op_phash_hot_uncapped, "documents", 5_000),
+    "video_phash_hot_capped": (op_video_phash_hot_capped,
+                               "documents", 5_000),
 }
 
 

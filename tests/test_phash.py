@@ -183,3 +183,35 @@ def test_audio_phash_invariances(spark):
     assert sigs[1] == h0
     assert _ham(sigs[1], sigs[2]) <= 10
     assert _ham(sigs[1], sigs[3]) >= 16
+
+
+def test_hot_bucket_cap_degrades_to_star_join(spark):
+    """Adversarial mass-duplication: N identical all-black thumbnails
+    share ONE pHash, flooding every chunk bucket. Uncapped, the
+    candidate join is O(N²) in the flood; with max_bucket it degrades
+    to the star join — O(N) pairs, all through the min-id
+    representative, every member still CONNECTED for downstream
+    clustering — while pairs outside the flood stay exact."""
+    black = M.png_encode(bytes(32 * 32 * 3), 32, 32, 3)
+    base = _gradient(seed=7)
+    near = np.clip(base.astype(int) + 3, 0, 255).astype(np.uint8)
+    rows = [(i, black) for i in range(100, 120)] + [
+        (1, M.png_encode(base.tobytes(), 32, 32, 3)),
+        (2, M.png_encode(near.tobytes(), 32, 32, 3))]
+    df = spark.createDataFrame(rows, "img_id long, image binary")
+
+    capped = phash_candidates(df, "img_id", "image",
+                              max_bucket=5).collect()
+    flood = [(r.a, r.b) for r in capped if r.a >= 100]
+    # star, not all-pairs: 19 member→rep edges, rep = min id 100
+    assert sorted(flood) == [(100, b) for b in range(101, 120)]
+    assert all(r.hamming == 0 for r in capped if r.a >= 100)
+    # the cold pair is untouched by the cap
+    assert [(r.a, r.b) for r in capped
+            if r.a < 100 and r.hamming <= 10] == [(1, 2)]
+
+    # uncapped reference: the same flood is all-pairs (the O(N²)
+    # degeneracy the cap exists for)
+    uncapped = phash_candidates(df, "img_id", "image",
+                                max_bucket=None).collect()
+    assert len([r for r in uncapped if r.a >= 100]) == 19 * 20 // 2
