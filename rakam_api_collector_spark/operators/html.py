@@ -79,16 +79,25 @@ class _Extractor(HTMLParser):
         self.total_chars = 0
 
     def handle_starttag(self, tag, attrs):
-        # <title> is text-only per spec: any other start tag while a
-        # title is open means the </title> was dropped by the author —
-        # close it here so a malformed '<svg><title>icon</svg><p>…'
-        # (or '<title>oops<p>…' in body) can't swallow the rest of
-        # the document (drop-nothing contract for malformed HTML)
+        # <title> is RCDATA per spec — a browser treats markup inside
+        # it as TEXT, so '<title>Using <canvas> in 2024</title>' is a
+        # legal title and html.parser (which has no RCDATA mode for
+        # title) reports <canvas> as a start tag. Two recovery rules:
+        # a BLOCK tag (p/div/h1/… — never plausible title text) means
+        # the author dropped </title>, so close the title rather than
+        # let it swallow the document (drop-nothing contract); an
+        # inline/unknown tag is kept as literal title text. A stray
+        # non-document title (title_done / in body) closes on ANY
+        # start tag — it is metadata, truncation is harmless, and an
+        # unclosed one must not drop body text.
         if self.in_title_elem and tag != "title":
-            if self.in_title:
-                self.title_done = True
-            self.in_title = False
-            self.in_title_elem = False
+            if self.in_title and tag not in _BLOCK:
+                self.title_parts.append(self.get_starttag_text() or "")
+            else:
+                if self.in_title:
+                    self.title_done = True
+                self.in_title = False
+                self.in_title_elem = False
         if tag in _VOID:
             if tag in _BLOCK:
                 self.parts.append(_BREAK)
@@ -115,6 +124,18 @@ class _Extractor(HTMLParser):
     def handle_endtag(self, tag):
         if tag in _VOID:
             return
+        # mirror of the start-tag RCDATA rule: an inline end tag
+        # inside the open document title is literal title text; a
+        # block end tag is the same missing-</title> signal
+        if self.in_title and tag != "title" \
+                and tag not in _SKIP_SUBTREES:
+            if tag in _BLOCK:
+                self.title_done = True
+                self.in_title = False
+                self.in_title_elem = False
+            else:
+                self.title_parts.append(f"</{tag}>")
+                return
         if tag in _SKIP_SUBTREES and self.skip_depth:
             self.skip_depth -= 1
             if tag != "head" and self.nonhead_skip:

@@ -171,13 +171,16 @@ def phash_candidates(df: DataFrame, id_col: str, image_col: str,
                      chunks: int = 4,
                      max_bucket: int | None = 10_000) -> DataFrame:
     """Near-dup image candidate pairs: equal 16-bit pHash chunk
-    (pigeonhole-complete for Hamming ≤ chunks−1) ⇒ (a, b, hamming) —
-    the ``simhash_candidates`` join shape over pixel signatures. Rank
-    or threshold on ``hamming`` downstream (≤ 10 is the usual
-    near-dup cut for 64-bit pHash). Buckets larger than
-    ``max_bucket`` degrade to a star join (``_capped_bucket_pairs``:
-    O(n) per flooded bucket, connectivity preserved through the
-    representative); ``max_bucket=None`` restores exact all-pairs."""
+    (pigeonhole-complete for Hamming ≤ chunks−1 BELOW the bucket cap)
+    ⇒ (a, b, hamming) — the ``simhash_candidates`` join shape over
+    pixel signatures. Rank or threshold on ``hamming`` downstream
+    (≤ 10 is the usual near-dup cut for 64-bit pHash). Buckets larger
+    than ``max_bucket`` degrade to a star join
+    (``_capped_bucket_pairs``: O(n) per flooded bucket, connectivity
+    preserved through the representative) — a pair whose ONLY shared
+    chunk sits in a capped bucket may be missed unless near the
+    representative; pass ``max_bucket=None`` for exact (unbounded)
+    all-pairs completeness."""
     w = 64 // chunks
     sh = phash_signatures(df, id_col, image_col)
     chunk_arr = F.array(*[

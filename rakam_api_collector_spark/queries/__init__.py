@@ -13,9 +13,10 @@ whole registry — 99 as of r12) — only the position changes round to
 round.
 
 Rotation invariant: **every query's driver evidence is at most one
-round old.** With 93 queries and a 50-slot window the cadence is two
-rounds; each round's window = (all queries without a green row from
-the previous round) + (everything modified this round) + fill.
+round old.** With 99 queries (as of r12) and a 50-slot window the
+cadence is two rounds — 49 due-backs + 1 spare slot per round; each
+round's window = (all queries without a green row from the previous
+round) + (everything modified this round) + fill.
 
 Window history:
 - r4: dq01-dq43 relational family (llm05-17/19/21-28 never yet run).

@@ -460,17 +460,19 @@ class _KinesisPartitionedStreamReader(DataSourceStreamReader):
     processes independent shards concurrently.)
 
     **Bounded batches for free.** Kinesis caps ingest at 1 MB/s/shard,
-    so a window of W seconds holds at most W MB per shard — per-batch
-    volume is bounded by window length, not by a record cap that would
-    need executor feedback. ``maxWindowMs`` (default 60000) paces
-    catch-up reads into ≤60 MB/shard batches. Two unpaced edges, both
-    deliberate: a TRIM_HORIZON start without ``startTimestampMs``
-    takes the whole retained history as its first window (pacing from
-    epoch 0 would walk 1970→now in 60 s hops — pass startTimestampMs
-    to pace a backfill from a known point), and after a RESTART the
-    first window is unpaced (pacing state lives in driver memory; an
-    offset cannot be clamped after the fact without losing its tail)
-    — the same first-batch posture as the jar connectors.
+    so a window of W seconds holds at most W MB per shard — at steady
+    state the window IS the trigger interval, so per-batch volume is
+    bounded by cadence with no record cap needing executor feedback.
+    ``maxWindowMs`` (OPT-IN, no default) additionally paces catch-up
+    reads into fixed slices for processing-time triggers; it is
+    deliberately not on by default because a paced ``latestOffset``
+    under Trigger.AvailableNow is captured once and would end the run
+    after a single slice. Unpaced edges, also deliberate: a
+    TRIM_HORIZON start takes the retained history as its first window
+    (``startTimestampMs`` anchors a paced backfill from a known
+    point), and after a RESTART the first window is unpaced (pacing
+    state lives in driver memory) — the jar connectors' first-batch
+    posture.
 
     **LATEST** anchors to the query-start wall clock (the offset in
     the checkpoint), i.e. AT_TIMESTAMP(query start) — the same anchor
@@ -496,14 +498,32 @@ class _KinesisPartitionedStreamReader(DataSourceStreamReader):
             raise ValueError(f"initialPosition {self._position!r}: "
                              "expected TRIM_HORIZON or LATEST")
         self._margin_ms = int(options.get("settlemarginms") or 1500)
-        self._max_window_ms = int(options.get("maxwindowms") or 60_000)
+        # pacing is OPT-IN: a paced latestOffset under
+        # Trigger.AvailableNow would be captured ONCE and the query
+        # would terminate after a single slice with the backlog
+        # unread. Unpaced (default), steady-state windows equal the
+        # trigger cadence — already volume-bounded by the 1 MB/s/shard
+        # ingest cap — and an AvailableNow drain covers everything.
+        self._max_window_ms = (int(options["maxwindowms"])
+                               if options.get("maxwindowms") else None)
         # optional paced-backfill anchor: without it a TRIM_HORIZON
         # start takes the whole retained history as its first window
         # (pacing from epoch 0 would walk 1970→now in 60 s hops)
         self._start_ts_ms = int(options.get("starttimestampms") or 0)
         self._cl = None
-        self._last_planned: int | None = None   # pacing memory
+        # high-water mark: the largest offset ts this reader has seen
+        # ANYWHERE (planned by it, or observed via partitions/commit
+        # after a restart). latestOffset never returns below it, so a
+        # driver failover onto a machine with a lagging wall clock
+        # cannot commit a regressed offset whose later re-advance
+        # would re-deliver rows. Residual window, stated plainly: the
+        # FIRST latestOffset after a clean restart has no water mark
+        # yet — a clock regression there degrades exactly-once to
+        # at-least-once bounded by the skew (the jar connectors share
+        # this posture); loss is impossible either way.
+        self._last_planned: int | None = None
         self._closed_seen: dict[str, int] = {}
+        self._shards_cache: list | None = None
 
     def _client(self):
         if self._cl is None:
@@ -519,27 +539,38 @@ class _KinesisPartitionedStreamReader(DataSourceStreamReader):
     def latestOffset(self) -> dict:
         now_ms = int(time.time() * 1000)
         end = now_ms - self._margin_ms
-        if self._last_planned:
-            # pace catch-up into ≤ maxWindowMs slices; never regress.
-            # (Falsy last_planned — restart, or TRIM_HORIZON with no
+        if self._max_window_ms and self._last_planned:
+            # opt-in pacing: catch-up in ≤ maxWindowMs slices. (Falsy
+            # last_planned — restart, or TRIM_HORIZON with no
             # startTimestampMs — leaves the first window unpaced.)
-            end = max(min(end, self._last_planned + self._max_window_ms),
-                      self._last_planned)
+            end = min(end, self._last_planned + self._max_window_ms)
+        if self._last_planned:
+            end = max(end, self._last_planned)   # never regress
         self._last_planned = end
-        for s in self._client().list_shards(
-                StreamName=self._stream)["Shards"]:
+        shards = self._client().list_shards(
+            StreamName=self._stream)["Shards"]
+        self._shards_cache = shards     # reused by this batch's
+        for s in shards:                # partitions() call
             if "EndingSequenceNumber" in s.get("SequenceNumberRange", {}):
                 self._closed_seen.setdefault(s["ShardId"], now_ms)
         return {"v": 1, "ts": end, "closed": dict(self._closed_seen)}
 
     def partitions(self, start: dict, end: dict):
         s_ms, e_ms = int(start["ts"]), int(end["ts"])
+        # feed the high-water mark from the authoritative checkpoint
+        # offsets too, so post-restart planning can never re-regress
+        # below a range it has already seen
+        self._last_planned = max(self._last_planned or 0, s_ms, e_ms)
         if e_ms <= s_ms:
             return []
         closed = {**start.get("closed", {}), **end.get("closed", {})}
+        shards = self._shards_cache     # one ListShards per batch:
+        self._shards_cache = None       # use-once, live call on a
+        if shards is None:              # recovery replay
+            shards = self._client().list_shards(
+                StreamName=self._stream)["Shards"]
         parts = []
-        for s in self._client().list_shards(
-                StreamName=self._stream)["Shards"]:
+        for s in shards:
             sid = s["ShardId"]
             c = closed.get(sid)
             if c is not None and int(c) <= s_ms:
@@ -577,6 +608,7 @@ class _KinesisPartitionedStreamReader(DataSourceStreamReader):
         last_seq = None          # dedup guard across re-seeks
         last_ts_ms = s_ms
         throttle_delay = backoff0
+        reseeks = 0
         while it is not None:
             try:
                 resp = cl.get_records(ShardIterator=it, Limit=10_000)
@@ -584,7 +616,14 @@ class _KinesisPartitionedStreamReader(DataSourceStreamReader):
                 code = _err_code(e)
                 if code == "ExpiredIteratorException":
                     # re-seek to the last stamp seen; the seq guard
-                    # below drops anything refetched at the boundary
+                    # below drops anything refetched at the boundary.
+                    # Back off on repeats so a pathological always-
+                    # expiring iterator can't spin a tight loop (the
+                    # retry itself is unbounded — a window must be
+                    # read fully, the throttle posture below)
+                    reseeks += 1
+                    if reseeks > 1:
+                        time.sleep(min(backoff0 * reseeks, 1.0))
                     it = seek(max(s_ms, last_ts_ms))
                     continue
                 if code == "ProvisionedThroughputExceededException":
@@ -628,7 +667,14 @@ class _KinesisPartitionedStreamReader(DataSourceStreamReader):
             # lie ahead — follow the iterator unconditionally
 
     def commit(self, end: dict) -> None:
-        pass                    # offsets live in the query checkpoint
+        # offsets live in the query checkpoint; feed the high-water
+        # mark so a later latestOffset cannot regress below a
+        # committed end
+        try:
+            self._last_planned = max(self._last_planned or 0,
+                                     int(end["ts"]))
+        except (KeyError, TypeError, ValueError):
+            pass
 
 
 class KinesisPyDataSource(DataSource):
@@ -653,9 +699,14 @@ class KinesisPyDataSource(DataSource):
         return KINESIS_PY_SCHEMA
 
     def streamReader(self, schema):
-        if (self.options.get("readermode") or "simple").lower() \
-                == "partitioned":
+        mode = (self.options.get("readermode") or "simple").lower()
+        if mode == "partitioned":
             return _KinesisPartitionedStreamReader(self.options)
+        if mode != "simple":
+            # a typo must not silently route a firehose through the
+            # driver-side fetch path partitioned mode exists to avoid
+            raise ValueError(f"readerMode {mode!r}: expected "
+                             "'simple' or 'partitioned'")
         from pyspark.errors import PySparkNotImplementedError
         raise PySparkNotImplementedError(   # → simpleStreamReader
             errorClass="NOT_IMPLEMENTED",

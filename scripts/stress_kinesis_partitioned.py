@@ -51,7 +51,8 @@ def build_stream(work: str, n_shards: int, n_records: int) -> str:
     return d
 
 
-def drain(spark, kin_dir: str, work: str, mode: str) -> float:
+def drain(spark, kin_dir: str, work: str,
+          mode: str) -> tuple[float, int]:
     out = os.path.join(work, f"out_{mode}_{os.path.basename(kin_dir)}")
     ckpt = os.path.join(work, f"ckpt_{mode}_{os.path.basename(kin_dir)}")
     reader = (spark.readStream.format("kinesis_py")

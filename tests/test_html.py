@@ -85,16 +85,18 @@ def test_malformed_html_never_raises():
 def test_unclosed_title_cannot_swallow_the_document():
     """r11 ADVICE regression: an unclosed <title> inside a non-head
     skipped subtree left in_title_elem set forever, silently dropping
-    every later data node. A title is text-only per spec, so (a) the
-    enclosing subtree closing and (b) any non-title start tag both
-    end an open title."""
+    every later data node. Recovery rules: (a) the enclosing subtree
+    closing ends an open title; (b) a BLOCK tag inside the document
+    title means the </title> was dropped — close it; (c) an INLINE
+    tag inside the document title is RCDATA text, kept verbatim (the
+    browser reading of '<title>Using <canvas> in 2024</title>')."""
     # (a) unclosed svg-title; subtree close must reset title state
     text, title, _n, _d = _extract_one(
         '<body><svg><title>icon</svg><p>text</p></body>')
     assert text == "text"
     assert title is None  # svg label never becomes the page title
-    # (b) unclosed BODY-level title; next start tag ends it and the
-    # captured-so-far text becomes the document title (first wins)
+    # (b) unclosed BODY-level title; the next BLOCK tag ends it and
+    # the captured-so-far text becomes the document title (first wins)
     text2, title2, _n2, _d2 = _extract_one(
         '<body><title>oops<p>body text</p></body>')
     assert text2 == "body text" and title2 == "oops"
@@ -103,6 +105,15 @@ def test_unclosed_title_cannot_swallow_the_document():
     text3, title3, _n3, _d3 = _extract_one(
         '<head><title>Page</head><body><p>hello</p></body>')
     assert text3 == "hello" and title3 == "Page"
+    # (c) RCDATA-faithful: inline markup inside a CLOSED title is
+    # title text, never body text, and nothing leaks or truncates
+    t5, ti5, _n5, _d5 = _extract_one(
+        '<head><title>Using <canvas> in 2024</title></head>'
+        '<body><p>x</p></body>')
+    assert ti5 == "Using <canvas> in 2024" and t5 == "x"
+    t6, ti6, _n6, _d6 = _extract_one(
+        '<head><title>Use <b>bold</b> text</title></head><p>y</p>')
+    assert ti6 == "Use <b>bold</b> text" and t6 == "y"
     # well-formed documents are untouched by the recovery rules
     t4, ti4, _n4, _d4 = _extract_one(
         '<head><title>Real</title></head><body><p>x</p></body>')

@@ -320,3 +320,51 @@ def test_partitioned_stream_e2e_checkpointed(spark, tmp_path):
             spark.read.parquet(out).select("value").collect()]
     assert sorted(vals) == sorted(
         [b'{"v": 1}', b'{"v": 2}', b'{"v": 3}', b'{"v": 4}'])
+
+
+def test_latest_offset_never_regresses_below_seen_offsets(tmp_path):
+    """Clock-regression guard (r12 review): a restarted driver whose
+    wall clock lags the checkpointed offset must not plan an end
+    below it — partitions()/commit() feed the high-water mark, so the
+    next latestOffset clamps up instead of committing a regressed
+    offset whose later re-advance would re-deliver rows."""
+    work = str(tmp_path / "kin")
+    cl = LocalKinesisClient(work)
+    cl.create_stream("s", ShardCount=1)
+    future = int(time.time() * 1000) + 3_600_000   # clock 1h "ahead"
+    reader = _reader(work)
+    reader.partitions({"v": 1, "ts": future, "closed": {}},
+                      {"v": 1, "ts": future + 1000, "closed": {}})
+    assert reader.latestOffset()["ts"] >= future + 1000
+
+    r2 = _reader(work)
+    r2.commit({"v": 1, "ts": future, "closed": {}})
+    assert r2.latestOffset()["ts"] >= future
+
+
+def test_reader_mode_typo_raises():
+    """A readerMode typo must raise, not silently fall back to the
+    driver-side Simple fetch path (the exact bottleneck partitioned
+    mode exists to avoid)."""
+    import pytest as _pytest
+
+    from rakam_api_collector_spark.sources.kinesis import \
+        KinesisPyDataSource
+
+    ds = KinesisPyDataSource(options={"streamname": "s",
+                                      "readermode": "partitoned"})
+    with _pytest.raises(ValueError, match="readerMode"):
+        ds.streamReader(None)
+
+
+def test_pacing_is_opt_in_and_availablenow_safe(tmp_path):
+    """Without maxWindowMs the first planned window reaches now-margin
+    directly (an AvailableNow drain captures latestOffset once, so a
+    paced default would strand the backlog after one slice)."""
+    work = str(tmp_path / "kin")
+    cl = LocalKinesisClient(work)
+    cl.create_stream("s", ShardCount=1)
+    reader = _reader(work)          # no maxWindowMs
+    reader.initialOffset()
+    now_ms = int(time.time() * 1000)
+    assert reader.latestOffset()["ts"] >= now_ms - 5
