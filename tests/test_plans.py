@@ -490,3 +490,23 @@ def test_grouped_sink_microbatch_writer_fanout_not_coalesced(spark):
     # proof this regime is wrong for streaming and stays opt-in
     assert "REBALANCE_PARTITIONS_BY_COL" in ran
     assert "AQEShuffleRead coalesced" in ran
+
+
+def test_phash_hot_bucket_star_broadcasts_representatives(spark):
+    """The capped star join (operators/phash.py:_capped_bucket_pairs)
+    must broadcast the per-bucket representatives so the FLOOD side —
+    whose bucket key is maximally skewed by construction — never
+    shuffles on that key: the plan's star leg is a BroadcastHashJoin,
+    not a SortMergeJoin on (chunk, ck)."""
+    from rakam_api_collector_spark.operators import multimodal as M
+    from rakam_api_collector_spark.operators.phash import \
+        phash_candidates
+
+    black = M.png_encode(bytes(16 * 16), 16, 16, 1)
+    df = spark.createDataFrame([(i, black) for i in range(6)],
+                               "img_id long, image binary")
+    out = phash_candidates(df, "img_id", "image", max_bucket=2)
+    plan = plan_of(out)
+    assert "BroadcastHashJoin" in plan
+    # and it actually took the star path: 5 member→rep pairs, not 15
+    assert out.count() == 5
