@@ -167,33 +167,45 @@ def _capped_bucket_pairs(buckets: DataFrame, keys: list[str],
     return cold_pairs.unionByName(star_pairs)
 
 
-def phash_candidates(df: DataFrame, id_col: str, image_col: str,
-                     chunks: int = 4,
-                     max_bucket: int | None = 10_000) -> DataFrame:
-    """Near-dup image candidate pairs: equal 16-bit pHash chunk
+def signature_candidates(sigs: DataFrame, chunks: int = 4,
+                         max_bucket: int | None = 10_000) -> DataFrame:
+    """Chunk-pigeonhole candidate pairs over ANY ``(_id, _ph)``
+    64-bit-signature frame — the banding is signature-agnostic, so
+    this one join serves image pHash, audio spectrogram pHash, and
+    any future 64-bit perceptual hash: equal 16-bit chunk
     (pigeonhole-complete for Hamming ≤ chunks−1 BELOW the bucket cap)
-    ⇒ (a, b, hamming) — the ``simhash_candidates`` join shape over
-    pixel signatures. Rank or threshold on ``hamming`` downstream
-    (≤ 10 is the usual near-dup cut for 64-bit pHash). Buckets larger
-    than ``max_bucket`` degrade to a star join
+    ⇒ (a, b, hamming). Rank or threshold on ``hamming`` downstream.
+    Buckets larger than ``max_bucket`` degrade to a star join
     (``_capped_bucket_pairs``: O(n) per flooded bucket, connectivity
     preserved through the representative) — a pair whose ONLY shared
     chunk sits in a capped bucket may be missed unless near the
     representative; pass ``max_bucket=None`` for exact (unbounded)
     all-pairs completeness."""
     w = 64 // chunks
-    sh = phash_signatures(df, id_col, image_col)
     chunk_arr = F.array(*[
         F.struct(F.lit(ci).alias("chunk"),
                  F.shiftright("_ph", ci * w)
                  .bitwiseAND(F.lit((1 << w) - 1)).alias("ck"))
         for ci in range(chunks)])
-    buckets = (sh.select("_id", "_ph", F.explode(chunk_arr).alias("_c"))
+    buckets = (sigs.select("_id", "_ph",
+                           F.explode(chunk_arr).alias("_c"))
                .select("_id", "_ph", "_c.chunk", "_c.ck")).cache()
     buckets.count()              # decode runs once, not per join side
     return (_capped_bucket_pairs(buckets, ["chunk", "ck"], max_bucket)
             .select("a", "b", "hamming")
             .distinct())
+
+
+def phash_candidates(df: DataFrame, id_col: str, image_col: str,
+                     chunks: int = 4,
+                     max_bucket: int | None = 10_000) -> DataFrame:
+    """Near-dup image candidate pairs: ``phash_signatures`` (one
+    decode pass) fed through the signature-agnostic
+    ``signature_candidates`` chunk join — see that docstring for the
+    completeness/cap contract."""
+    return signature_candidates(
+        phash_signatures(df, id_col, image_col),
+        chunks=chunks, max_bucket=max_bucket)
 
 
 # -- video near-dup: frame-sampled pHash sequences ----------------------------
@@ -352,9 +364,9 @@ def audio_phash_signatures(df: DataFrame, id_col: str, audio_col: str,
                            **spec_kw) -> DataFrame:
     """(_id, _ph) per WAV clip — decode + spectrogram + pHash in ONE
     Arrow pass; corrupt/too-short clips follow drop-vs-raise.
-    Candidate pairs: feed this signature frame into the same
-    chunk-pigeonhole join as ``phash_candidates`` (the banding is
-    signature-agnostic)."""
+    Candidate pairs: feed this signature frame straight into
+    ``signature_candidates`` (the banding is signature-agnostic, cap
+    included) — see ``audio_phash_candidates``."""
     from rakam_api_collector_spark.operators.multimodal import \
         wav_decode
 
@@ -383,3 +395,16 @@ def audio_phash_signatures(df: DataFrame, id_col: str, audio_col: str,
     return (df.select(F.col(id_col).cast("long").alias("_id"),
                       F.col(audio_col).alias("_a"))
             .mapInPandas(run, out))
+
+
+def audio_phash_candidates(df: DataFrame, id_col: str, audio_col: str,
+                           chunks: int = 4,
+                           max_bucket: int | None = 10_000,
+                           **spec_kw) -> DataFrame:
+    """Near-dup audio candidate pairs: ``audio_phash_signatures`` (one
+    decode + spectrogram pass) through the signature-agnostic
+    ``signature_candidates`` chunk join — audio-modality dedup with
+    the same completeness/cap contract as the image path."""
+    return signature_candidates(
+        audio_phash_signatures(df, id_col, audio_col, **spec_kw),
+        chunks=chunks, max_bucket=max_bucket)

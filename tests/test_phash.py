@@ -215,3 +215,34 @@ def test_hot_bucket_cap_degrades_to_star_join(spark):
     uncapped = phash_candidates(df, "img_id", "image",
                                 max_bucket=None).collect()
     assert len([r for r in uncapped if r.a >= 100]) == 19 * 20 // 2
+
+
+def test_audio_phash_candidates_end_to_end(spark):
+    """Audio-modality near-dup through the shared signature join: the
+    gain-shifted copy pairs with the original at low Hamming; the
+    different tone mixture pairs with neither below the near-dup
+    threshold; corrupt/short clips drop before the join."""
+    from rakam_api_collector_spark.operators.phash import \
+        audio_phash_candidates
+
+    rate = 8000
+    t = np.arange(rate) / rate
+
+    def mix(freqs, amp=0.4):
+        x = sum(np.sin(2 * np.pi * f * t + i) for i, f in
+                enumerate(freqs))
+        return (amp * 32767 * x / len(freqs)).astype("<i2")
+
+    base = mix([440.0, 1200.0, 2500.0])
+    quiet = (base.astype(np.float64) * 0.25).astype("<i2")
+    other = mix([600.0, 1800.0, 3300.0])
+    rows = [(1, M.wav_encode(base.tobytes(), rate, 1)),
+            (2, M.wav_encode(quiet.tobytes(), rate, 1)),
+            (3, M.wav_encode(other.tobytes(), rate, 1)),
+            (4, b"junk")]
+    df = spark.createDataFrame(rows, "clip_id long, audio binary")
+    pairs = {(r.a, r.b): r.hamming for r in
+             audio_phash_candidates(df, "clip_id", "audio").collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)] <= 10
+    assert all(h > 10 for (a, b), h in pairs.items() if 3 in (a, b))
+    assert all(4 not in (a, b) for (a, b) in pairs)
