@@ -189,6 +189,14 @@ protocols): phash/spectrogram signatures, kinesis_py, ANN stream.
   BOTH sampling branches live in the result).
 - llm02_ttr + llm03_avg_token_len → one per-doc lexical-stats row
   (same tokenize scan, disjoint aggregates; frees 1, weakest win).
+
+r13 PLAN (drafted in r12 so the slot is spent from a plan): window =
+the 49 r12-out queries (listed in the r12 history entry above) + 1
+spare. The spare is RESERVED for whatever r13 modifies; if r13
+modifies two or more registered queries, consolidate llm34/llm45 per
+the draft above in the same commit (the dq14 precedent). If r13
+modifies nothing, fill with heavy regression-prone llm10_simhash
+(the llm09/10 precedent — llm09 was the r12 fill).
 """
 
 from __future__ import annotations

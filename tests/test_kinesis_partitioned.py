@@ -368,3 +368,47 @@ def test_pacing_is_opt_in_and_availablenow_safe(tmp_path):
     reader.initialOffset()
     now_ms = int(time.time() * 1000)
     assert reader.latestOffset()["ts"] >= now_ms - 5
+
+
+def test_partitioned_feeds_ingest_pipeline(spark, tmp_path):
+    """The reference's Kinesis → buffer → table path with the
+    EXECUTOR-PARALLEL reader: partitioned source → byte-payload seam →
+    start_ingest_stream → typed collection tables (the Simple-mode
+    integration test's twin, proving both reader modes are drop-in
+    equivalent at the pipeline seam)."""
+    from rakam_api_collector_spark.ingest import Catalog
+    from rakam_api_collector_spark.sinks import read_collection
+    from rakam_api_collector_spark.streaming import start_ingest_stream
+    from tests.test_ingest import fabric
+
+    work = str(tmp_path / "kin")
+    cl = LocalKinesisClient(work)
+    cl.create_stream("events", ShardCount=2)
+    cl.put_records("events", [
+        {"Data": fabric("t", {"_time": "2020-06-01T10:00:00",
+                              "_user": "a", "v": 1}).encode(),
+         "PartitionKey": "a", "ShardId": "shardId-000000000000"},
+        {"Data": fabric("t", {"_time": "2020-06-01T11:00:00",
+                              "_user": "b", "v": 2}).encode(),
+         "PartitionKey": "b", "ShardId": "shardId-000000000001"}])
+    register(spark)
+    time.sleep(0.01)
+    src = (spark.readStream.format("kinesis_py")
+           .option("streamName", "events")
+           .option("endpoint", f"local:{work}")
+           .option("readerMode", "partitioned")
+           .option("settleMarginMs", "0")
+           .load())
+    cat = Catalog(path=str(tmp_path / "cat.json"))
+    start_ingest_stream(
+        spark, source_dir=None, fmt="fabric", catalog=cat,
+        table_base=str(tmp_path / "tables"),
+        checkpoint=str(tmp_path / "ckpt"),
+        now="2020-06-01", shard_time="2020-06-01 00:00:00",
+        dedup=False, source_stream=src).awaitTermination(120)
+
+    df = read_collection(spark, str(tmp_path / "tables"),
+                         "testproject", "t", cat)
+    assert sorted(r["v"] for r in df.collect()) == [1.0, 2.0]
+    assert sorted(r["_user"] for r in df.select(
+        "_user").collect()) == ["a", "b"]
