@@ -70,6 +70,7 @@ class _Extractor(HTMLParser):
         # <svg><title>icon</title></svg> is an accessibility label,
         # not the page title
         self.nonhead_skip = 0
+        self._skip_open: dict[str, int] = {}   # per-tag open counts
         self.anchor_depth = 0
         self.in_title = False          # capturing the document title
         self.in_title_elem = False     # inside ANY <title> element
@@ -82,27 +83,35 @@ class _Extractor(HTMLParser):
         # <title> is RCDATA per spec — a browser treats markup inside
         # it as TEXT, so '<title>Using <canvas> in 2024</title>' is a
         # legal title and html.parser (which has no RCDATA mode for
-        # title) reports <canvas> as a start tag. Two recovery rules:
+        # title) reports <canvas> as a start tag. Recovery rules:
         # a BLOCK tag (p/div/h1/… — never plausible title text) means
         # the author dropped </title>, so close the title rather than
-        # let it swallow the document (drop-nothing contract); an
-        # inline/unknown tag is kept as literal title text. A stray
-        # non-document title (title_done / in body) closes on ANY
-        # start tag — it is metadata, truncation is harmless, and an
-        # unclosed one must not drop body text.
+        # let it swallow the document (drop-nothing contract); any
+        # other tag is kept as literal title text and MUST
+        # short-circuit — falling through would run its side effects
+        # (skip_depth/anchor/CDATA bookkeeping) for text that is part
+        # of the title, and an unclosed side effect (an <svg> never
+        # closed, a <script> flipping the parser into CDATA mode)
+        # would swallow the body. For script/style the parser already
+        # entered CDATA mode before this handler ran — undo it, since
+        # the tag is being treated as text, not as an element. A
+        # stray non-document title (title_done / in body) closes on
+        # ANY start tag — it is metadata, truncation is harmless, and
+        # an unclosed one must not drop body text.
         if self.in_title_elem and tag != "title":
             if self.in_title and tag not in _BLOCK:
                 self.title_parts.append(self.get_starttag_text() or "")
-            else:
-                if self.in_title:
-                    self.title_done = True
-                self.in_title = False
-                self.in_title_elem = False
+                return
+            if self.in_title:
+                self.title_done = True
+            self.in_title = False
+            self.in_title_elem = False
         if tag in _VOID:
             if tag in _BLOCK:
                 self.parts.append(_BREAK)
             return
         if tag in _SKIP_SUBTREES:
+            self._skip_open[tag] = self._skip_open.get(tag, 0) + 1
             self.skip_depth += 1
             if tag != "head":
                 self.nonhead_skip += 1
@@ -136,7 +145,12 @@ class _Extractor(HTMLParser):
             else:
                 self.title_parts.append(f"</{tag}>")
                 return
-        if tag in _SKIP_SUBTREES and self.skip_depth:
+        # only close what THIS tag opened: a stray unmatched </svg>
+        # must not consume a skip level another element (typically
+        # head) owns — that underflow leaked head-only content into
+        # the extracted body text
+        if tag in _SKIP_SUBTREES and self._skip_open.get(tag, 0) > 0:
+            self._skip_open[tag] -= 1
             self.skip_depth -= 1
             if tag != "head" and self.nonhead_skip:
                 self.nonhead_skip -= 1
@@ -170,6 +184,16 @@ class _Extractor(HTMLParser):
         self.total_chars += stripped
         if self.anchor_depth:
             self.anchor_chars += stripped
+
+    def set_cdata_mode(self, elem):
+        # the parser flips into CDATA mode AFTER handle_starttag runs,
+        # so a <script>/<style> that handle_starttag just decided to
+        # treat as literal TITLE TEXT would still swallow everything
+        # up to its (possibly absent) end tag — veto the mode switch
+        # when the tag was text, not an element
+        if self.in_title_elem:
+            return
+        super().set_cdata_mode(elem)
 
 
 def _extract_one(html: str | None) -> tuple:

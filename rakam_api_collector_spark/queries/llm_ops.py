@@ -1340,7 +1340,10 @@ def llm53_ocf_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
         tempfile.gettempdir(),
         "spark_graft_llm53_" + hashlib.md5(sf.encode()).hexdigest()[:10])
     os.makedirs(d, exist_ok=True)
-    tmp = os.path.join(d, ".data.avro.tmp")
+    # pid-suffixed tmp (the kinesis_local._store pattern): two
+    # concurrent runs at the same sf (driver verify + bench) must not
+    # interleave writes into one tmp file and publish a torn blob
+    tmp = os.path.join(d, f".data.avro.tmp.{os.getpid()}")
     with open(tmp, "wb") as fh:
         fh.write(blob)
     os.replace(tmp, os.path.join(d, "data.avro"))  # atomic: re-runnable

@@ -166,3 +166,41 @@ def test_any_text_never_raises_and_is_idempotent_on_tagless(s):
         # (U+E000 is the internal block sentinel, scrubbed to a space
         # on sight, so it is excluded from the identity claim)
         assert text == " ".join(s.split())
+
+
+def test_markup_inside_title_never_swallows_the_body():
+    """r12 review regression pins: a tag kept as literal title text
+    must not run its element side effects — an <svg>/<a>/<script>
+    reported inside the open title previously incremented
+    skip/anchor/CDATA state that nothing ever unwound, dropping the
+    whole body or forcing link_density to 1.0."""
+    # skip-subtree tag as title text: body intact, subtree not opened
+    text, title, _n, _d = _extract_one(
+        '<head><title>Fun with <svg> graphics</title></head>'
+        '<body><p>body text</p></body>')
+    assert text == "body text"
+    assert title == "Fun with <svg> graphics"
+    # anchor inside title: no link counted, density stays honest
+    text2, title2, n2, d2 = _extract_one(
+        '<head><title>Visit <a href="/">x</a></title></head>'
+        '<body><p>plain body words here</p></body>')
+    assert text2 == "plain body words here"
+    assert n2 == 0 and d2 == 0.0
+    # script inside title: CDATA mode undone, title keeps the text,
+    # the body survives
+    text3, title3, _n3, _d3 = _extract_one(
+        '<head><title>use <script> tags</title></head>'
+        '<body><p>still here</p></body>')
+    assert text3 == "still here"
+    assert "use" in title3 and "tags" in title3
+
+
+def test_stray_skip_end_tag_cannot_underflow_head():
+    """r12 review regression pin: an unmatched </svg> must not consume
+    the skip level <head> owns — head-only content (meta text, style)
+    must never leak into the extracted body text."""
+    text, title, _n, _d = _extract_one(
+        '<head><title>My Title</title></svg><meta name=x>leak'
+        '<style>x{}</style></head><body><p>hi</p></body>')
+    assert text == "hi"
+    assert title == "My Title"
