@@ -204,3 +204,62 @@ def test_stray_skip_end_tag_cannot_underflow_head():
         '<style>x{}</style></head><body><p>hi</p></body>')
     assert text == "hi"
     assert title == "My Title"
+
+
+# --- structural property fuzz -------------------------------------------
+
+# element alphabet for the balanced-markup generator: body containers
+# that KEEP text, skip subtrees that DROP it, and the anchor (kept +
+# counted). script/style/title take text-only children: the parser's
+# CDATA/RCDATA handling makes nested markup inside them a tokenizer
+# question, not a tree question (an inner </script> ends the outer
+# element early in every real browser too).
+_KEEP_TAGS = ("p", "div", "b", "i", "span", "a")
+_DROP_TAGS = ("svg", "template", "noscript", "head")
+_TEXT_ONLY = ("script", "style", "title")
+
+
+def _gen_node(draw, depth, counter):
+    kind = draw(st.integers(0, 9))
+    if depth >= 3 or kind < 4:                       # text leaf
+        counter[0] += 1
+        return f"w{counter[0]}", [f"w{counter[0]}"]
+    if kind < 6:                                     # text-only elem
+        tag = draw(st.sampled_from(_TEXT_ONLY))
+        counter[0] += 1
+        return f"<{tag}>t{counter[0]}</{tag}>", []
+    tag = draw(st.sampled_from(_KEEP_TAGS + _DROP_TAGS))
+    html, kept = "", []
+    for _ in range(draw(st.integers(0, 3))):
+        h, k = _gen_node(draw, depth + 1, counter)
+        html += h + " "          # adjacent text leaves must not fuse
+        kept += k
+    if tag in _DROP_TAGS:
+        kept = []
+    return f"<{tag}>{html}</{tag}>", kept
+
+
+@st.composite
+def _balanced_page(draw):
+    counter = [0]
+    html, kept = "", []
+    for _ in range(draw(st.integers(1, 5))):
+        h, k = _gen_node(draw, 0, counter)
+        html += h + " "
+        kept += k
+    return html, kept
+
+
+@settings(max_examples=120, deadline=None)
+@given(_balanced_page())
+def test_balanced_markup_keeps_exactly_the_body_tokens(page):
+    """Ground-truth structural property: for BALANCED markup, the
+    extracted body text is exactly the text outside skip subtrees and
+    title-family elements, in document order — no token ever lost
+    (the r12 review bugs dropped whole bodies via leaked skip/CDATA
+    state; this invariant would have caught both) and no skipped or
+    title token ever leaks in."""
+    html, kept = page
+    text, _title, _n, d = _extract_one(html)
+    assert text.split() == kept
+    assert 0.0 <= d <= 1.0
