@@ -233,7 +233,8 @@ def minhash_lsh_pairs(docs: DataFrame, id_col: str, text_col: str,
                       n: int = 3, threshold: float = 0.5,
                       num_perm: int = 128, bands: int = 64,
                       max_shingle_freq: int | None = 10_000,
-                      broadcast_verify: bool = True) -> DataFrame:
+                      broadcast_verify: bool = True,
+                      max_bucket: int | None = 10_000) -> DataFrame:
     """Near-dup pairs via banded MinHash-LSH + exact verification.
 
     rows-per-band r = num_perm // bands; candidate recall at similarity s
@@ -248,7 +249,20 @@ def minhash_lsh_pairs(docs: DataFrame, id_col: str, text_col: str,
     in cache. ``broadcast_verify`` hints the candidate id/shingle-set
     frames into broadcast joins — right when candidates ≪ corpus (the
     usual case); pass False on a candidate-heavy corpus to let AQE pick
-    the join strategy from runtime sizes."""
+    the join strategy from runtime sizes.
+
+    ``max_bucket`` guards the band-bucket self-join against a
+    mass-duplication flood: N byte-identical documents share EVERY
+    band hash, so each of the 64 band buckets would go O(N²) —
+    flooded buckets degrade to the star join
+    (phash._capped_bucket_pairs): each member pairs with the bucket's
+    min-id representative, and since flood members are (near-)
+    identical the star pairs verify at Jaccard ≈ 1, keeping the whole
+    flood one connected dedup cluster. Below the cap behavior is
+    exact; None restores unbounded all-pairs."""
+    from rakam_api_collector_spark.operators.phash import \
+        _capped_bucket_pairs
+
     # eagerly materialized: both bucket-join sides read it, and a lazy
     # cache would let each side recompute the signature lineage.
     sig = minhash_signatures(docs, id_col, text_col, num_perm, n,
@@ -257,11 +271,9 @@ def minhash_lsh_pairs(docs: DataFrame, id_col: str, text_col: str,
     buckets = (sig.select("_id", F.posexplode("_bands")
                           .alias("band", "bh")))
 
-    a, b = buckets.alias("a"), buckets.alias("b")
-    cand = (a.join(b, (F.col("a.band") == F.col("b.band"))
-                   & (F.col("a.bh") == F.col("b.bh"))
-                   & (F.col("a._id") < F.col("b._id")))
-            .select(F.col("a._id").alias("ia"), F.col("b._id").alias("ib"))
+    cand = (_capped_bucket_pairs(buckets, ["band", "bh"], max_bucket,
+                                 with_hamming=False)
+            .select(F.col("a").alias("ia"), F.col("b").alias("ib"))
             .distinct()
             .cache())
 
@@ -583,9 +595,21 @@ def dedup_verdict_best(docs: DataFrame, id_col: str, score_col: str,
 
 
 def simhash_candidates(docs: DataFrame, id_col: str, text_col: str,
-                       chunks: int = 4) -> DataFrame:
+                       chunks: int = 4,
+                       max_bucket: int | None = 10_000) -> DataFrame:
     """Near-dup candidate pairs = equal 16-bit SimHash chunk (pigeonhole
-    for Hamming ≤ chunks-1); returns (a, b, hamming) for ranking."""
+    for Hamming ≤ chunks-1 BELOW the bucket cap); returns
+    (a, b, hamming) for ranking. A flooded chunk bucket (N identical
+    documents share ONE SimHash — the text twin of the near-black
+    thumbnail flood measured in STRESS.md's phash_hot cells) degrades
+    past ``max_bucket`` to the O(n) star join
+    (phash._capped_bucket_pairs): every member still connects through
+    the bucket's min-id representative for downstream clustering;
+    behavior below the cap is exact, ``max_bucket=None`` restores
+    unbounded all-pairs."""
+    from rakam_api_collector_spark.operators.phash import \
+        _capped_bucket_pairs
+
     w = 64 // chunks
     sh = simhash_signatures(docs, id_col, text_col)
     chunk_arr = F.array(*[
@@ -593,16 +617,12 @@ def simhash_candidates(docs: DataFrame, id_col: str, text_col: str,
                  F.shiftright("_sh", ci * w)
                  .bitwiseAND(F.lit((1 << w) - 1)).alias("ck"))
         for ci in range(chunks)])
-    buckets = (sh.select("_id", "_sh", F.explode(chunk_arr).alias("_c"))
-               .select("_id", "_sh", "_c.chunk", "_c.ck")).cache()
+    buckets = (sh.select("_id", F.col("_sh").alias("_ph"),
+                         F.explode(chunk_arr).alias("_c"))
+               .select("_id", "_ph", "_c.chunk", "_c.ck")).cache()
     buckets.count()   # the 64-aggregate simhash runs once, not per side
-    a, b = buckets.alias("a"), buckets.alias("b")
-    return (a.join(b, (F.col("a.chunk") == F.col("b.chunk"))
-                   & (F.col("a.ck") == F.col("b.ck"))
-                   & (F.col("a._id") < F.col("b._id")))
-            .select(F.col("a._id").alias("a"), F.col("b._id").alias("b"),
-                    F.bit_count(F.col("a._sh").bitwiseXOR(F.col("b._sh")))
-                    .alias("hamming"))
+    return (_capped_bucket_pairs(buckets, ["chunk", "ck"], max_bucket)
+            .select("a", "b", "hamming")
             .distinct())
 
 

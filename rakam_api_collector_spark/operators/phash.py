@@ -112,7 +112,8 @@ def phash_signatures(df: DataFrame, id_col: str, image_col: str,
 
 
 def _capped_bucket_pairs(buckets: DataFrame, keys: list[str],
-                         max_bucket: int | None) -> DataFrame:
+                         max_bucket: int | None,
+                         with_hamming: bool = True) -> DataFrame:
     """Self-join equal-key buckets into candidate pairs, with the
     adversarial-bucket guard: a bucket holding > ``max_bucket``
     members (a mass-duplication flood — thousands of re-uploads of
@@ -130,23 +131,28 @@ def _capped_bucket_pairs(buckets: DataFrame, keys: list[str],
     cells). Extra cost when the cap is off or nothing exceeds it: one
     group-count + one join keyed like the pair join itself.
 
-    ``buckets`` must have columns ``keys`` + ``_id`` + ``_ph`` (+ any
-    passthroughs already folded into ``keys``)."""
+    ``buckets`` must have columns ``keys`` + ``_id`` (+ ``_ph`` when
+    ``with_hamming`` — the banded-MinHash caller has no signature to
+    XOR, only bucket membership) + any passthroughs already folded
+    into ``keys``."""
     a, b = buckets.alias("a"), buckets.alias("b")
     key_eq = None
     for k in keys:
         eq = F.col(f"a.{k}") == F.col(f"b.{k}")
         key_eq = eq if key_eq is None else (key_eq & eq)
+    sig_cols = ["_id", "_ph"] if with_hamming else ["_id"]
 
     def pairs(left, right, cond):
+        out_cols = [F.col("a._id").alias("a"),
+                    F.col("b._id").alias("b")]
+        out_cols += [F.col(f"a.{k}").alias(k) for k in keys
+                     if k.startswith("_")]
+        if with_hamming:
+            out_cols.append(F.bit_count(F.col("a._ph")
+                                        .bitwiseXOR(F.col("b._ph")))
+                            .alias("hamming"))
         return (left.join(right, cond & (F.col("a._id") < F.col("b._id")))
-                .select(F.col("a._id").alias("a"),
-                        F.col("b._id").alias("b"),
-                        *[F.col(f"a.{k}").alias(k) for k in keys
-                          if k.startswith("_")],
-                        F.bit_count(F.col("a._ph")
-                                    .bitwiseXOR(F.col("b._ph")))
-                        .alias("hamming")))
+                .select(*out_cols))
 
     if max_bucket is None:
         return pairs(a, b, key_eq)
@@ -159,9 +165,9 @@ def _capped_bucket_pairs(buckets: DataFrame, keys: list[str],
     # representatives: one row per hot bucket — tiny, broadcast it so
     # the flood side never shuffles on its own (skewed) key
     reps = (hot.groupBy(*keys)
-            .agg(F.min_by(F.struct("_id", "_ph"), "_id").alias("_r"))
-            .select(*keys, F.col("_r._id").alias("_id"),
-                    F.col("_r._ph").alias("_ph")))
+            .agg(F.min_by(F.struct(*sig_cols), "_id").alias("_r"))
+            .select(*keys, *[F.col(f"_r.{c}").alias(c)
+                             for c in sig_cols]))
     ha, hb = F.broadcast(reps).alias("a"), hot.alias("b")
     star_pairs = pairs(ha, hb, key_eq)
     return cold_pairs.unionByName(star_pairs)

@@ -84,6 +84,18 @@ Window history:
   llm01-06, llm11, llm16, llm18-28, llm37-45, llm47-49, llm51.
   With 98 registered queries the two-round cadence now carries 2
   spare slots per round (50 - 48).
+  Capability-extension note (the llm17-docstring-precedent extended):
+  r10 also taught the container demuxes the full presentation-timing
+  model — MP4 ctts composition offsets (B-frame PTS reordering) and
+  edts/elst edit lists (operators/mp4.py), both paths that
+  previously honest-RAISED or were absent from registered inputs,
+  and MKV presentation-order sorting (operators/mkv.py), which is
+  the identity on the monotone-timestamp streams the fixtures emit —
+  so no registered input's result can change. The out-of-window
+  llm34/llm45 rows were re-verified bit-identical against their
+  oracles at sf0.01 in-round after EACH of these commits; both
+  rotate into the r11 window regardless, where the driver
+  re-certifies them.
 - r11: **UNROTATED — a breach of the invariant, documented honestly.**
   Round 11 was a short hardening round (Kinesis wire faults, OCF
   all-or-nothing drop, html title pollution, CAS read-back
@@ -112,18 +124,18 @@ Window history:
   dq01-04, dq06/07, dq09-11, dq18-28, dq33, dq35, dq37-46,
   llm07/08, llm10, llm12-15, llm17, llm29-32, llm33_audio_pipeline,
   llm34/35, llm46, llm50.
-  Capability-extension note (the llm17-docstring-precedent extended):
-  r10 also taught the container demuxes the full presentation-timing
-  model — MP4 ctts composition offsets (B-frame PTS reordering) and
-  edts/elst edit lists (operators/mp4.py), both paths that
-  previously honest-RAISED or were absent from registered inputs,
-  and MKV presentation-order sorting (operators/mkv.py), which is
-  the identity on the monotone-timestamp streams the fixtures emit —
-  so no registered input's result can change. The out-of-window
-  llm34/llm45 rows were re-verified bit-identical against their
-  oracles at sf0.01 in-round after EACH of these commits; both
-  rotate into the r11 window regardless, where the driver
-  re-certifies them.
+  r12 capability-extension note (the established protocol): late in
+  r12 the banded candidate joins (simhash_candidates,
+  minhash_lsh_pairs — and the pHash twins) gained the hot-bucket
+  star-join cap, max_bucket=10_000 — a no-op at every test sf (no
+  corpus exceeds 5 000 docs), engaging only under production-scale
+  mass-duplication floods. Affected registered queries: llm09
+  (IN-window — the driver certifies it fresh this round) and llm10
+  (out-of-window, r11 evidence) — llm10 was re-verified bit-identical
+  against its oracle at sf0.001, sf0.01 AND sf0.1 after the change
+  (llm08/llm16 likewise, though their operators are untouched); it
+  rotates into the r13 window regardless, where the driver
+  re-certifies it.
 
 CAPACITY NOTE for round 8+: with 93 queries and a 50-slot window, 43
 must rotate back each round, leaving only 7 slots for new/modified/

@@ -829,3 +829,43 @@ def test_duplicate_span_removal_fuzz_vs_reference(spark):
                for r in duplicate_span_removal(
                    df, "doc_id", "text", k=K).collect()}
         assert got == reference(corpus)
+
+
+def test_text_flood_buckets_degrade_to_star_join(spark):
+    """r12: the text twins of the phash flood guard. N byte-identical
+    documents share one SimHash (every chunk bucket floods) and every
+    MinHash band hash (all 64 band buckets flood): past max_bucket
+    both joins degrade to member→min-id-representative stars — O(N)
+    pairs, the flood still one connected cluster — while pairs outside
+    the flood stay exact."""
+    flood = [(i, "alpha beta gamma delta epsilon zeta eta theta "
+                 "iota kappa lambda mu") for i in range(100, 115)]
+    base = ("totally different words about columnar storage "
+            "engines and analytical scans pruning projections")
+    # doc 2 = doc 1 repeated: same token distribution -> identical
+    # SimHash (a true near-pair in a COLD bucket), high Jaccard
+    distinct = [(1, base), (2, base + " " + base)]
+    df = spark.createDataFrame(flood + distinct,
+                               "doc_id long, text string")
+
+    # SimHash: star inside the flood, exact outside
+    cand = D.simhash_candidates(df, "doc_id", "text",
+                                max_bucket=5).collect()
+    fl = sorted((r.a, r.b) for r in cand if r.a >= 100)
+    assert fl == [(100, b) for b in range(101, 115)]
+    assert all(r.hamming == 0 for r in cand if r.a >= 100)
+    near = [(r.a, r.b) for r in cand if r.a < 100 and r.hamming <= 3]
+    assert (1, 2) in near
+    # uncapped reference: the same flood is all-pairs
+    un = D.simhash_candidates(df, "doc_id", "text",
+                              max_bucket=None).collect()
+    assert len([r for r in un if r.a >= 100]) == 14 * 15 // 2
+
+    # MinHash-LSH: star candidates verify at Jaccard 1.0 through the
+    # representative; the distinct near-pair still verifies exactly
+    pairs = D.minhash_lsh_pairs(df, "doc_id", "text", n=3,
+                                threshold=0.5, max_bucket=5).collect()
+    fl2 = sorted((r.a, r.b) for r in pairs if r.a >= 100)
+    assert fl2 == [(100, b) for b in range(101, 115)]
+    assert all(abs(r.jac - 1.0) < 1e-9 for r in pairs if r.a >= 100)
+    assert any((r.a, r.b) == (1, 2) and r.jac >= 0.5 for r in pairs)
