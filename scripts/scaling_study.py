@@ -407,6 +407,27 @@ def op_video_phash_hot_capped(spark, k: int) -> DataFrame:
             .groupBy().agg(F.count("*").alias("pairs")))
 
 
+def op_simhash_hot_capped(spark, k: int) -> DataFrame:
+    """Text near-dup flood under the cap (the phash_hot text twin):
+    every 10th document is byte-identical — one SimHash, every chunk
+    bucket flooded — the rest replica-disjoint; the star degradation
+    must hold the exponent ~linear."""
+    import rakam_api_collector_spark.operators.dedup as DD
+
+    docs = amplified(spark, load_table(spark, SF_DIR, "documents"), k,
+                     {"doc_id": 10_000_000})
+    flooded = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 10 == 0,
+               F.lit("alpha beta gamma delta epsilon zeta eta theta "
+                     "iota kappa lambda mu nu xi omicron pi rho"))
+        .otherwise(rep_tokens("text")).alias("text"))
+    return (DD.simhash_candidates(flooded, "doc_id", "text",
+                                  max_bucket=100)
+            .groupBy().agg(F.count("*").alias("pairs"),
+                           F.sum("hamming").alias("ham_sum")))
+
+
 OPS = {
     "agg_q1": (op_agg_q1, "lineitem", 600_000),
     "join_orders": (op_join_orders, "lineitem+orders", 750_000),
@@ -425,6 +446,7 @@ OPS = {
     "phash_hot_uncapped": (op_phash_hot_uncapped, "documents", 5_000),
     "video_phash_hot_capped": (op_video_phash_hot_capped,
                                "documents", 5_000),
+    "simhash_hot_capped": (op_simhash_hot_capped, "documents", 5_000),
 }
 
 
