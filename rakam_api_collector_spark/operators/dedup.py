@@ -380,7 +380,8 @@ def simhash_signatures(docs: DataFrame, id_col: str, text_col: str,
 def embedding_cosine_pairs(docs: DataFrame, id_col: str, vec_col: str,
                            threshold: float = 0.9, bits: int = 8,
                            tables: int = 16, exact: bool = False,
-                           seed: int = 42) -> DataFrame:
+                           seed: int = 42,
+                           max_bucket: int | None = 10_000) -> DataFrame:
     """Semantic near-dup pairs (a < b, cos ≥ threshold) over an
     embedding column.
 
@@ -389,7 +390,15 @@ def embedding_cosine_pairs(docs: DataFrame, id_col: str, vec_col: str,
     space is pruned to bucket-local candidates, never |corpus|².
     ``exact=True`` instead broadcasts one side whole (exact recall,
     usable when the corpus fits the broadcast budget — e.g. the oracle
-    path at fixture scale)."""
+    path at fixture scale).
+
+    ``max_bucket`` guards the bucket self-join against a
+    mass-duplication flood (N identical embeddings share EVERY table
+    signature — the embedding twin of the SimHash/MinHash/pHash
+    floods): flooded buckets degrade to the member→min-id star
+    (phash._capped_bucket_pairs); star pairs verify at cos ≈ 1, so
+    the flood stays one connected cluster. Exact below the cap; None
+    restores unbounded all-pairs."""
     from rakam_api_collector_spark.operators import similarity as S
 
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
@@ -407,13 +416,14 @@ def embedding_cosine_pairs(docs: DataFrame, id_col: str, vec_col: str,
         # narrow bucket join (ids + signature longs only); vectors join
         # back per distinct surviving pair — embeddings never ride
         # through the candidate-dedup shuffle
+        from rakam_api_collector_spark.operators.phash import \
+            _capped_bucket_pairs
+
         sigs = base.select("_id",
                            F.posexplode(sig_udf(F.col("_v")))
                            .alias("tbl", "sig"))
-        sa = sigs.select(F.col("_id").alias("a"), "tbl", "sig")
-        sb = sigs.select(F.col("_id").alias("b"), "tbl", "sig")
-        ids = (sa.join(sb, ["tbl", "sig"])
-               .filter(F.col("a") < F.col("b"))
+        ids = (_capped_bucket_pairs(sigs, ["tbl", "sig"], max_bucket,
+                                    with_hamming=False)
                .select("a", "b").distinct())
         va = base.select(F.col("_id").alias("a"), F.col("_v").alias("_va"))
         vb = base.select(F.col("_id").alias("b"), F.col("_v").alias("_vb"))

@@ -126,16 +126,16 @@ Window history:
   llm34/35, llm46, llm50.
   r12 capability-extension note (the established protocol): late in
   r12 the banded candidate joins (simhash_candidates,
-  minhash_lsh_pairs — and the pHash twins) gained the hot-bucket
-  star-join cap, max_bucket=10_000 — a no-op at every test sf (no
-  corpus exceeds 5 000 docs), engaging only under production-scale
-  mass-duplication floods. Affected registered queries: llm09
-  (IN-window — the driver certifies it fresh this round) and llm10
-  (out-of-window, r11 evidence) — llm10 was re-verified bit-identical
-  against its oracle at sf0.001, sf0.01 AND sf0.1 after the change
-  (llm08/llm16 likewise, though their operators are untouched); it
-  rotates into the r13 window regardless, where the driver
-  re-certifies it.
+  minhash_lsh_pairs, embedding_cosine_pairs — and the pHash twins)
+  gained the hot-bucket star-join cap, max_bucket=10_000 — a no-op at
+  every test sf (no corpus exceeds 5 000 docs / 2 000 vectors),
+  engaging only under production-scale mass-duplication floods.
+  Affected registered queries: llm09 (IN-window — the driver
+  certifies it fresh this round) and llm10/llm15 (out-of-window, r11
+  evidence) — both re-verified bit-identical against their oracles at
+  sf0.001, sf0.01 AND sf0.1 after the change (llm08/llm16 likewise,
+  though their operators are untouched); they rotate into the r13
+  window regardless, where the driver re-certifies them.
 
 CAPACITY NOTE for round 8+: with 93 queries and a 50-slot window, 43
 must rotate back each round, leaving only 7 slots for new/modified/

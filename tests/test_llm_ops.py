@@ -869,3 +869,25 @@ def test_text_flood_buckets_degrade_to_star_join(spark):
     assert fl2 == [(100, b) for b in range(101, 115)]
     assert all(abs(r.jac - 1.0) < 1e-9 for r in pairs if r.a >= 100)
     assert any((r.a, r.b) == (1, 2) and r.jac >= 0.5 for r in pairs)
+
+
+def test_embedding_flood_buckets_degrade_to_star_join(spark):
+    """Embedding twin of the flood guard: N identical vectors share
+    every hyperplane-table signature; past max_bucket the bucket join
+    emits member→min-id star pairs (verified at cos 1.0, one
+    connected cluster) instead of O(N²)."""
+    v = [0.1 * i for i in range(1, 9)]
+    w = list(reversed(v))
+    rows = [(i, v) for i in range(100, 112)] + [(1, w)]
+    emb = spark.createDataFrame(rows,
+                                "vec_id long, embedding array<double>")
+    pairs = {(r.a, r.b): r.cos for r in
+             D.embedding_cosine_pairs(emb, "vec_id", "embedding",
+                                      threshold=0.99,
+                                      max_bucket=5).collect()}
+    assert sorted(pairs) == [(100, b) for b in range(101, 112)]
+    assert all(abs(c - 1.0) < 1e-9 for c in pairs.values())
+    un = D.embedding_cosine_pairs(emb, "vec_id", "embedding",
+                                  threshold=0.99,
+                                  max_bucket=None).collect()
+    assert len(un) == 11 * 12 // 2
