@@ -209,6 +209,37 @@ modifies two or more registered queries, consolidate llm34/llm45 per
 the draft above in the same commit (the dq14 precedent). If r13
 modifies nothing, fill with heavy regression-prone llm10_simhash
 (the llm09/10 precedent — llm09 was the r12 fill).
+
+r13 EXECUTION (current window): the 49 r12-out due-backs, LED by
+llm10_simhash / llm15_embed_dedup / llm08_jaccard_pairs — the banded
+candidate joins whose shared hot-bucket star cap
+(``phash._capped_bucket_pairs``) landed after the r12 window ran, so
+their r13 rows are the driver evidence the r12 verdict scheduled —
+then the remaining 46 due-backs. The spare goes to llm09_minhash_lsh,
+MODIFIED in r13 per plan: the cap's steady-state overhead trim
+(bucket sizes via a ``count(*) over (partition by bucket keys)``
+window on the already-keyed bucket frame instead of a separate
+groupBy+join — one exchange, same key). llm10/llm15 exercise the
+identical changed helper in-window; llm09 takes the spare so all
+three consumers of the changed code carry fresh r13 driver rows.
+Out-of-window (49 queries, all r12-green, due back in r14 — leaving
+1 spare): the entire r12 window minus llm09 (dq05/08, dq12-17
+semi+anti, dq29-32, dq34, dq36, dq47, llm01-06, llm11, llm16,
+llm18-28, llm37-45, llm47-49, llm51-53).
+
+r14 SPARE-SLOT PLAN (drafted in r13): if r14 needs a second slot,
+execute the llm34/llm45 consolidation drafted above (frees 1) and
+spend it on llm54_audio_phash — promoting the audio perceptual
+near-dup family (``operators/phash.py`` Haitsma-Kalker signatures +
+``operators/spectrogram.py`` log-mel) from physics-pin evidence to a
+rows-only driver row (no SQL oracle exists for FFT output; the
+driver's weaker rows-only check is the honest tier for it). r13's
+written decision, per the r12 verdict's item 6: the physics pins
+(synthetic tones with known spectra, shift/noise-invariance
+properties, flood-cap scaling cells) pin MORE of the operator's
+contract than a rows-only driver row would; the promotion is worth
+one slot only when consolidation makes the slot free, not worth
+displacing a due-back.
 """
 
 from __future__ import annotations
@@ -220,33 +251,31 @@ _ALL_ORACLE = {**relational.ORACLE, **llm_ops.ORACLE}
 
 # First 50 = this round's driver-checked window (see docstring history).
 _WINDOW = [
-    # the 48 r9-stale due-backs (two rounds overdue after the r11
-    # breach) — rotate back first; the former dq14_semi_join/
-    # dq14_anti_join pair rides as the consolidated dq14_semi_anti
-    "dq05_route_fanout", "dq08_hash_agg",
-    "dq12_join_dim", "dq13_multi_join", "dq14_semi_anti",
-    "dq15_outer_join", "dq16_window", "dq17_dedup_first",
-    "dq29_envelope_parse", "dq30_tumbling_window", "dq31_asof_join",
-    "dq32_salted_agg", "dq34_range_join", "dq36_approx_distinct",
-    "dq47_sliding_window",
-    "llm01_token_count", "llm02_ttr", "llm03_avg_token_len",
-    "llm04_lang_id", "llm05_fingerprint", "llm06_quality",
-    "llm11_knn_cosine", "llm16_dedup_clusters",
-    "llm18_bpe_tokens", "llm19_ivf_ann", "llm20_tfidf",
-    "llm21_pii_redact", "llm22_chunk_dedup", "llm23_contamination",
-    "llm24_stratified_split", "llm25_repetition", "llm26_kmeans",
-    "llm27_surprisal", "llm28_quantize",
-    "llm37_bigram_lm", "llm38_training_order", "llm39_curriculum_bins",
-    "llm40_quality_rules", "llm41_head_truncate", "llm42_curation_e2e",
-    "llm43_compression_ratio", "llm44_jpeg_decode",
-    "llm45_video_time_sample", "llm47_boilerplate_removal",
-    "llm48_bpe_merges", "llm49_ivf_pq_recall",
-    "llm51_unigram_tokenizer",
-    # the r11 spare-slot plan's two promotions, executed in r12
-    # (llm52 also carries the fresh evidence for r12's html_to_text
-    # unclosed-<title> recovery fix)
-    "llm52_html_extract", "llm53_ocf_roundtrip",
-    # heavy regression-prone fill (the llm09/10 precedent)
+    # lead: the banded-join consumers of the hot-bucket star cap that
+    # landed AFTER the r12 window ran — their rows are the evidence
+    # the r12 verdict scheduled (llm10/llm15), plus adjacent llm08
+    "llm10_simhash", "llm15_embed_dedup", "llm08_jaccard_pairs",
+    # the remaining 46 r12-out due-backs (all r11-green)
+    "dq01_projection", "dq02_whitelist", "dq03_late_split",
+    "dq04_sink_envelope", "dq06_max_offset", "dq07_zone_map",
+    "dq09_distinct_agg", "dq10_rollup", "dq11_sum_cents",
+    "dq18_topk", "dq19_truncate", "dq20_safe_cast",
+    "dq21_set_ops", "dq22_array_funcs", "dq23_hash",
+    "dq24_scalars", "dq25_udf_shape", "dq26_epoch_conversions",
+    "dq27_json_encode", "dq28_date_format", "dq33_percentile",
+    "dq35_sessionize", "dq37_hash_split", "dq38_cube",
+    "dq39_pivot", "dq40_window_analytics", "dq41_approx_quantile",
+    "dq42_funnel", "dq43_retention", "dq44_grouping_sets",
+    "dq45_range_frame", "dq46_stats_agg",
+    "llm07_exact_dedup", "llm12_ann_lsh", "llm13_multimodal_meta",
+    "llm14_decode_features", "llm17_incremental_dedup",
+    "llm29_pack_sequences", "llm30_mixture_sample",
+    "llm31_vocab_coverage", "llm32_dedup_keep_best",
+    "llm33_audio_pipeline", "llm34_video_sample", "llm35_resize_image",
+    "llm46_semantic_dedup", "llm50_dup_span_removal",
+    # spare slot: llm09, MODIFIED in r13 (the cap-overhead trim in the
+    # shared _capped_bucket_pairs helper) — all three registered
+    # consumers of the changed helper are in-window this round
     "llm09_minhash_lsh",
 ]
 
