@@ -19,6 +19,56 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from rakam_api_collector_spark.session import get_spark
 
 
+def _busy_jiffies() -> int | None:
+    """Box-wide busy CPU jiffies (user+nice+system+irq+softirq+steal —
+    idle and iowait excluded) from /proc/stat; None off-Linux."""
+    try:
+        with open("/proc/stat") as fh:
+            parts = fh.readline().split()
+        if parts[0] != "cpu":
+            return None
+        u, n, s, _idle, _iow, irq, sirq, steal = (
+            int(x) for x in (parts[1:9] + ["0"] * 8)[:8])
+        return u + n + s + irq + sirq + steal
+    except (OSError, ValueError, IndexError):
+        return None
+
+
+def _proc_tree_cpu_jiffies() -> int | None:
+    """CPU jiffies consumed so far by THIS process and every live
+    descendant (the Spark driver JVM and its Python workers), plus
+    each one's already-reaped children (cutime/cstime). Used to
+    subtract the bench's own work from the box-wide busy delta, so
+    what remains is EXTERNAL load integrated over the whole run —
+    the signal a start-only (or end-only) loadavg point-sample misses
+    when a neighbor job lands mid-run (the r12 artifact's failure
+    mode: loadavg 1.77 at start, 5.42 by end, headline inflated ~25%)."""
+    try:
+        kids: dict[int, list[int]] = {}
+        cpu: dict[int, int] = {}
+        for pid_s in os.listdir("/proc"):
+            if not pid_s.isdigit():
+                continue
+            try:
+                with open(f"/proc/{pid_s}/stat") as fh:
+                    rest = fh.read().rsplit(")", 1)[1].split()
+                ppid = int(rest[1])
+                own = sum(int(rest[i]) for i in (11, 12, 13, 14))
+            except (OSError, ValueError, IndexError):
+                continue
+            pid = int(pid_s)
+            kids.setdefault(ppid, []).append(pid)
+            cpu[pid] = own
+        total, stack = 0, [os.getpid()]
+        while stack:
+            p = stack.pop()
+            total += cpu.get(p, 0)
+            stack.extend(kids.get(p, []))
+        return total
+    except OSError:
+        return None
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -26,6 +76,13 @@ def main() -> None:
 
     import __spark_entry__ as entry_mod
     qs = entry_mod.queries()
+    # exploratory subset runs (comma-separated name substrings) — the
+    # driver never sets this; a committed artifact must be a full run
+    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
+    if only:
+        pats = [p for p in only.split(",") if p]
+        qs = {k: v for k, v in qs.items()
+              if any(p in k for p in pats)}
 
     # Load gate (round-10 lesson): a BENCH artifact recorded on a
     # loaded box is noise presented as measurement — r10 committed
@@ -56,6 +113,8 @@ def main() -> None:
             time.sleep(25)
             waits_left -= 1
             loadavg_start = round(os.getloadavg()[0], 2)
+    busy0, own0 = _busy_jiffies(), _proc_tree_cpu_jiffies()
+    wall0 = time.perf_counter()
     spark = get_spark("bench")
     # Warm-state benchmarking: pre-warm every fixed cost a query would
     # otherwise absorb exactly once per session — none of this work is
@@ -184,6 +243,30 @@ def main() -> None:
     timings = {k: (round(v, 4) if v == v else None)
                for k, v in timings.items()}
 
+    # End-of-run external-load verdict (r12 lesson: the start-only
+    # gate passed at loadavg 1.77, then a neighbor job inflated the
+    # committed headline ~25% — loadavg 5.42 by end). A point-sample
+    # at end can't arbitrate either (the bench's own 32-core bursts
+    # dominate it), so integrate instead: box-wide busy CPU over the
+    # run minus our own process tree's CPU = external work, expressed
+    # as average busy cores. A committed artifact requires
+    # load_dirty=false; the driver/judge treat dirty numbers as upper
+    # bounds, and the committer must re-record on an idle box.
+    busy1, own1 = _busy_jiffies(), _proc_tree_cpu_jiffies()
+    wall = time.perf_counter() - wall0
+    external_cores = None
+    if None not in (busy0, busy1, own0, own1) and wall > 0:
+        hz = os.sysconf("SC_CLK_TCK") or 100
+        external_cores = round(
+            max(0.0, ((busy1 - busy0) - (own1 - own0)) / hz / wall), 2)
+    load_dirty = (external_cores is None or external_cores > gate) \
+        and not forced
+    if load_dirty and external_cores is not None:
+        print(f"bench: external load averaged {external_cores} busy "
+              f"cores over the run (> gate {gate}) — artifact marked "
+              "load_dirty; re-record on an idle box before committing",
+              file=sys.stderr)
+
     # Full-fidelity per-query timings for the judge (full names, 4
     # decimals, rep counts for the min-of-2 entries).
     detail = {
@@ -202,6 +285,8 @@ def main() -> None:
         # box, not the code
         "loadavg_start": loadavg_start,
         "loadavg_1m": round(os.getloadavg()[0], 2),
+        "external_cores_avg": external_cores,
+        "load_dirty": load_dirty,
     }
     try:
         with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -227,6 +312,13 @@ def main() -> None:
             "loadavg_start": loadavg_start,
             "load_gate": gate,
             "forced": forced,
+            # integrated external load over the WHOLE run (avg busy
+            # cores not ours) + the clean/dirty verdict — a committed
+            # artifact must carry load_dirty=false (r12 lesson: the
+            # start-only gate let a mid-run neighbor job inflate the
+            # committed headline ~25%)
+            "external_cores_avg": external_cores,
+            "load_dirty": load_dirty,
         }
         if queries is not None:
             payload["queries"] = queries

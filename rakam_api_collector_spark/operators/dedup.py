@@ -419,9 +419,15 @@ def embedding_cosine_pairs(docs: DataFrame, id_col: str, vec_col: str,
         from rakam_api_collector_spark.operators.phash import \
             _capped_bucket_pairs
 
+        # eagerly materialized like the simhash/phash/minhash callers:
+        # the capped bucket join references this lineage several times
+        # (size window, cold a/b sides, hot side, representatives) and
+        # an uncached frame would re-run the hyperplane-signature UDF
+        # per reference
         sigs = base.select("_id",
                            F.posexplode(sig_udf(F.col("_v")))
-                           .alias("tbl", "sig"))
+                           .alias("tbl", "sig")).cache()
+        sigs.count()
         ids = (_capped_bucket_pairs(sigs, ["tbl", "sig"], max_bucket,
                                     with_hamming=False)
                .select("a", "b").distinct())

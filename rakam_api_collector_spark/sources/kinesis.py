@@ -444,9 +444,19 @@ class _KinesisPartitionedStreamReader(DataSourceStreamReader):
     below the bound by a service clock slightly behind ours are
     already readable when executors scan — the margin must exceed
     driver-vs-service clock skew; (2) per-shard arrival stamps are
-    treated as non-decreasing (the service assigns them in ingestion
-    order); ``stopSlackMs`` (default 0) lets a deployment scan past
-    the first out-of-window stamp if it distrusts that.
+    ASSUMED non-decreasing — AWS documents ApproximateArrivalTimestamp
+    only as approximate, so this is an assumption about the service's
+    ingestion-order stamping, not a documented guarantee. The scan
+    therefore does NOT stop at the first out-of-window stamp: it keeps
+    reading until a stamp exceeds the window end by ``stopSlackMs``
+    (default 5000), so an in-window record sequenced after a
+    slightly-ahead stamp is still found as long as per-shard stamp
+    jitter stays under the slack. Records scanned in the slack zone
+    but stamped past the end are NOT emitted — the next window's
+    half-open interval picks them up, so the slack trades a bounded
+    extra read per batch for loss-proofing, never duplicates. Set
+    ``stopSlackMs`` to 0 only if you trust strict per-shard stamp
+    monotonicity.
 
     **Parent-before-child without gating.** The Simple reader
     sequences a closed parent before its children across micro-batches
@@ -589,7 +599,11 @@ class _KinesisPartitionedStreamReader(DataSourceStreamReader):
         opts = partition.options
         sid = partition.shard_id
         s_ms, e_ms = partition.start_ms, partition.end_ms
-        slack_ms = int(opts.get("stopslackms") or 0)
+        # non-zero default: arrival stamps are only approximately
+        # monotone per shard (see class docstring) — stopping at the
+        # first out-of-window stamp would permanently lose any
+        # in-window record sequenced after it
+        slack_ms = int(opts.get("stopslackms") or 5000)
         backoff0 = int(opts.get("throttlebackoffms") or 100) / 1000.0
         stream = opts.get("streamname")
         cl = _make_client(opts)
@@ -642,10 +656,18 @@ class _KinesisPartitionedStreamReader(DataSourceStreamReader):
                 ts = rec.get("ApproximateArrivalTimestamp")
                 if isinstance(ts, datetime):
                     ts_ms = int(ts.timestamp() * 1000)
+                elif ts is None:
+                    # arrival-time windows cannot place a stampless
+                    # record in any batch — fail loudly rather than
+                    # crash the task with an opaque float(None)
+                    raise ValueError(
+                        f"shard {sid} record seq={seq} has no "
+                        "ApproximateArrivalTimestamp; the partitioned "
+                        "reader's windowed offsets require it")
                 else:
                     ts_ms = int(float(ts) * 1000)
-                    ts = datetime.fromtimestamp(float(rec.get(
-                        "ApproximateArrivalTimestamp")), tz=timezone.utc)
+                    ts = datetime.fromtimestamp(float(ts),
+                                                tz=timezone.utc)
                 last_seq = seq
                 last_ts_ms = max(last_ts_ms, ts_ms)
                 if ts_ms > e_ms + slack_ms:

@@ -107,7 +107,10 @@ class LocalKinesisClient:
     def put_records(self, StreamName: str, Records: list[dict]) -> dict:
         """Records: [{"Data": bytes, "PartitionKey": str,
         "ShardId": str (emulator extension — no md5 hash-range
-        routing; tests pick the shard explicitly)}]"""
+        routing; tests pick the shard explicitly),
+        "Ts": float (emulator extension — explicit arrival stamp, for
+        tests that model the service's only-approximate per-shard
+        stamp monotonicity)}]"""
         meta_path = self._meta_path(StreamName)
         meta = self._meta(StreamName)
         out = []
@@ -125,7 +128,7 @@ class LocalKinesisClient:
                 f.write(json.dumps({
                     "seq": seq, "key": rec.get("PartitionKey", ""),
                     "data": base64.b64encode(rec["Data"]).decode(),
-                    "ts": now}) + "\n")
+                    "ts": float(rec.get("Ts", now))}) + "\n")
             out.append({"SequenceNumber": str(seq), "ShardId": sid})
         _store(meta_path, meta)
         return {"Records": out, "FailedRecordCount": 0}

@@ -412,3 +412,94 @@ def test_partitioned_feeds_ingest_pipeline(spark, tmp_path):
     assert sorted(r["v"] for r in df.collect()) == [1.0, 2.0]
     assert sorted(r["_user"] for r in df.select(
         "_user").collect()) == ["a", "b"]
+
+
+def test_partitioned_slack_recovers_in_window_record_after_ahead_stamp(
+        tmp_path):
+    """Arrival stamps are only APPROXIMATELY monotone per shard (AWS
+    documents no guarantee): an in-window record sequenced after a
+    slightly-ahead stamp must still be found. The default stopSlackMs
+    keeps scanning past the first out-of-window stamp, and the record
+    scanned-but-not-emitted in the slack zone lands exactly once in
+    the NEXT window."""
+    work = str(tmp_path / "kin")
+    cl = LocalKinesisClient(work)
+    cl.create_stream("s", ShardCount=1)
+    s0 = "shardId-000000000000"
+    t0 = time.time()
+    cl.put_records("s", [
+        {"Data": b"a", "PartitionKey": "k", "ShardId": s0,
+         "Ts": t0 - 5.0},
+        # service stamp jitter: stamped past the window edge (the
+        # first drain's edge is ~wall-clock = ~t0)
+        {"Data": b"ahead", "PartitionKey": "k", "ShardId": s0,
+         "Ts": t0 + 0.5},
+        # in-window but sequenced AFTER the ahead stamp — lost
+        # permanently if the scan stops at the first ahead stamp
+        {"Data": b"b", "PartitionKey": "k", "ShardId": s0,
+         "Ts": t0 - 4.99},
+    ])
+    reader = _reader(work)
+    rows1, _p, off = _drain_batch(reader, reader.initialOffset())
+    assert sorted(r[3] for r in rows1) == [b"a", b"b"]
+    time.sleep(0.6)              # wall clock passes the ahead stamp
+    rows2, _p, off = _drain_batch(reader, off)
+    assert [r[3] for r in rows2] == [b"ahead"]   # exactly once
+    rows3, _p, off = _drain_batch(reader, off)
+    assert rows3 == []
+
+
+def test_partitioned_zero_slack_is_the_documented_monotone_posture(
+        tmp_path):
+    """stopSlackMs=0 opts back into trusting strict per-shard stamp
+    monotonicity: the scan stops at the first ahead stamp and an
+    in-window record sequenced after it is permanently lost — the
+    exact failure mode the non-zero default exists to prevent (pinned
+    here so the trade-off stays visible, not so it's endorsed)."""
+    work = str(tmp_path / "kin")
+    cl = LocalKinesisClient(work)
+    cl.create_stream("s", ShardCount=1)
+    s0 = "shardId-000000000000"
+    t0 = time.time()
+    cl.put_records("s", [
+        {"Data": b"a", "PartitionKey": "k", "ShardId": s0,
+         "Ts": t0 - 5.0},
+        {"Data": b"ahead", "PartitionKey": "k", "ShardId": s0,
+         "Ts": t0 + 0.5},
+        {"Data": b"b", "PartitionKey": "k", "ShardId": s0,
+         "Ts": t0 - 4.99},
+    ])
+    reader = _reader(work, stopSlackMs=0)
+    rows1, _p, off = _drain_batch(reader, reader.initialOffset())
+    assert [r[3] for r in rows1] == [b"a"]       # b never scanned
+    time.sleep(0.6)
+    rows2, _p, off = _drain_batch(reader, off)
+    # the next window's AT_TIMESTAMP re-seek lands past b: only the
+    # ahead record arrives; b is gone (s_ms < ts excludes it forever)
+    assert [r[3] for r in rows2] == [b"ahead"]
+
+
+def test_partitioned_missing_arrival_stamp_raises_descriptive(
+        tmp_path, monkeypatch):
+    """A record with no ApproximateArrivalTimestamp cannot be placed
+    in any arrival-time window: the read fails with a descriptive
+    error, not an opaque float(None) TypeError."""
+    import pytest as _pytest
+
+    work = str(tmp_path / "kin")
+    cl = LocalKinesisClient(work)
+    cl.create_stream("s", ShardCount=1)
+    cl.put_records("s", [{"Data": b"a", "PartitionKey": "k"}])
+
+    class Stampless(LocalKinesisClient):
+        def get_records(self, ShardIterator, Limit=10_000):
+            resp = super().get_records(ShardIterator, Limit)
+            for rec in resp["Records"]:
+                rec.pop("ApproximateArrivalTimestamp", None)
+            return resp
+
+    monkeypatch.setattr(K, "_make_client", lambda opts: Stampless(work))
+    reader = _reader(work)
+    off = reader.initialOffset()
+    with _pytest.raises(ValueError, match="ApproximateArrivalTimestamp"):
+        _drain_batch(reader, off)
