@@ -10,13 +10,23 @@ poll cadence, `maxOffsetsPerTrigger` replaces max.poll.records,
 checkpointLocation replaces commitSync (ST7), and Spark's memory
 manager replaces pause/resume backpressure (ST8).
 
-Requires the ``spark-sql-kafka-0-10`` connector jar on the cluster
-(not shipped in this environment — ``kafka_available`` probes for it).
+The production path requires the ``spark-sql-kafka-0-10`` connector
+jar on the cluster (not shipped in this environment —
+``kafka_available`` probes for it). ``format("kafka_py")`` is the
+jar-free twin: the same schema and offset semantics as the real
+connector, speaking to the file-backed broker emulator
+(sources/kafka_local.py) — the Kinesis pattern
+(sources/kinesis.py) applied to Kafka so ingest pipelines earn
+checkpointed e2e evidence without a broker.
 """
 
 from __future__ import annotations
 
+from datetime import datetime, timezone
+
 from pyspark.sql import SparkSession
+from pyspark.sql.datasource import (DataSource, DataSourceStreamReader,
+                                    InputPartition)
 from pyspark.sql.streaming import DataStreamReader
 
 MAX_POLL_RECORDS = 300_000       # KafkaConfig.java:33
@@ -93,3 +103,191 @@ def historical_producer_options(brokers: list[str],
     ``df.select(value).write.format('kafka').options(**these).save()``."""
     return {"kafka.bootstrap.servers": ",".join(brokers),
             "topic": historical_topic}
+
+
+# -- kafka_py: the jar-free streaming source over the wire emulator ----------
+
+# schema parity with the spark-sql-kafka-0-10 connector, so a pipeline
+# written against format("kafka") runs unchanged against format("kafka_py")
+KAFKA_PY_SCHEMA = ("key binary, value binary, topic string, "
+                   "partition int, offset long, timestamp timestamp, "
+                   "timestampType int")
+
+
+class _TopicRangePartition(InputPartition):
+    """One (topic, partition) × one [start, end) offset range — the
+    executor work unit; dense Kafka offsets make the range replay a
+    pure log slice."""
+
+    def __init__(self, topic: str, partition: int, start: int, end: int,
+                 endpoint: str) -> None:
+        self.topic = topic
+        self.partition = partition
+        self.start = start
+        self.end = end
+        self.endpoint = endpoint
+
+
+class _KafkaPyStreamReader(DataSourceStreamReader):
+    """Executor-parallel reader with the real connector's offset
+    model: the offset is ``{"topic p": next_offset_to_read}`` per
+    topic-partition (dense, server-assigned — Kafka's own coordinates,
+    unlike Kinesis where the partitioned reader had to invent
+    arrival-time windows because no end-offset API exists). Planning
+    cost per batch is one log-end metadata read per partition; fetches
+    run on executors.
+
+    Semantics mirrored from the jar connector:
+    - ``startingOffsets`` earliest|latest anchors the initial offset
+      (latest = log-end at query start, restart-safe because it's IN
+      the checkpoint);
+    - ``maxOffsetsPerTrigger`` caps a batch's TOTAL records, prorated
+      across partitions by their share of the lag;
+    - partitions discovered mid-stream (``create_partitions`` growth)
+      enter at offset 0 — their whole retained history, the jar
+      connector's new-partition posture;
+    - group offsets are never committed: progress lives in the query
+      checkpoint (ST7), so the consumer-group protocol (rebalances,
+      commit fencing) doesn't apply to this path — it is pinned
+      separately against the emulator in tests/test_kafka_local.py,
+      mirroring the reference's own worker loop
+      (KafkaRealTimeWorker.java:169-222, KafkaUtil.java:107-124).
+    """
+
+    def __init__(self, options: dict) -> None:
+        self._options = dict(options)
+        self._endpoint = options.get("endpoint") or ""
+        if not self._endpoint.startswith("local:"):
+            raise ValueError(
+                "kafka_py requires option endpoint=local:<dir> (the "
+                "file-backed emulator); real brokers use format('kafka')")
+        topics = options.get("subscribe") or ""
+        self._topics = [t.strip() for t in topics.split(",") if t.strip()]
+        if not self._topics:
+            raise ValueError("kafka_py requires option 'subscribe'")
+        start = (options.get("startingoffsets") or "latest").lower()
+        if start not in ("latest", "earliest"):
+            raise ValueError(f"startingOffsets {start!r}: expected "
+                             "'latest' or 'earliest'")
+        self._starting = start
+        cap = options.get("maxoffsetspertrigger")
+        self._max_per_trigger = int(cap) if cap else None
+        self._b = None
+        # last offsets THIS reader planned — the proration base. The
+        # engine may call latestOffset() before initialOffset() (and
+        # calls neither with the checkpointed start), so when no base
+        # exists yet the STARTING anchor stands in: earliest → zeros
+        # (a fresh backlog query ramps in capped slices from 0; after
+        # a restart the planned ends that fall below the committed
+        # start read as empty batches until the ramp passes it — slow,
+        # never wrong), latest → current log ends (first batch
+        # uncapped after a restart with backlog — the Kinesis
+        # paced-backfill posture). The cap must clamp latestOffset()
+        # itself: partitions() always reads the FULL committed
+        # [start, end) range, so a clamp there would silently skip
+        # the tail between planned and committed ends.
+        self._last_planned: dict[str, int] | None = None
+
+    def _broker(self):
+        if self._b is None:
+            from rakam_api_collector_spark.sources.kafka_local import \
+                LocalKafkaBroker
+            self._b = LocalKafkaBroker(self._endpoint[len("local:"):])
+        return self._b
+
+    def _ends(self) -> dict[str, int]:
+        b = self._broker()
+        out = {}
+        for t in self._topics:
+            for p, off in b.end_offsets(t).items():
+                out[f"{t} {p}"] = off
+        return out
+
+    def initialOffset(self) -> dict:
+        if self._starting == "earliest":
+            b = self._broker()
+            offs = {f"{t} {p}": 0 for t in self._topics
+                    for p in b.partitions_for(t)}
+        else:
+            offs = self._ends()
+        self._last_planned = dict(offs)
+        return {"v": 1, "offsets": offs}
+
+    def latestOffset(self) -> dict:
+        ends = self._ends()
+        # maxOffsetsPerTrigger: prorate the batch cap by each
+        # partition's share of the lag (the jar connector's rate-limit
+        # shape), clamping the PLANNED end — the unread tail simply
+        # stays in the next batch. Under Trigger.AvailableNow the
+        # clamped offset is captured once, so the cap trades drain
+        # completeness for pacing there (same caveat the Kinesis
+        # reader documents for maxWindowMs — cap is opt-in).
+        if self._max_per_trigger:
+            base = self._last_planned
+            if base is None:
+                base = ({tp: 0 for tp in ends}
+                        if self._starting == "earliest" else dict(ends))
+            lags = {tp: ends[tp] - base.get(tp, 0) for tp in ends
+                    if ends[tp] > base.get(tp, 0)}
+            total = sum(lags.values())
+            if total > self._max_per_trigger:
+                scale = self._max_per_trigger / total
+                for tp, n in lags.items():
+                    ends[tp] = base.get(tp, 0) + max(1, int(n * scale))
+        self._last_planned = dict(ends)
+        return {"v": 1, "offsets": ends}
+
+    def partitions(self, start: dict, end: dict):
+        s, e = start["offsets"], end["offsets"]
+        parts = []
+        for tp, hi in e.items():
+            lo = s.get(tp, 0)      # new partitions enter at offset 0
+            if hi <= lo:
+                continue
+            topic, p = tp.rsplit(" ", 1)
+            parts.append(_TopicRangePartition(topic, int(p), lo, hi,
+                                              self._endpoint))
+        return parts
+
+    def read(self, partition: _TopicRangePartition):
+        from rakam_api_collector_spark.sources.kafka_local import \
+            LocalKafkaBroker
+        b = LocalKafkaBroker(partition.endpoint[len("local:"):])
+        for rec in b.fetch(partition.topic, partition.partition,
+                           partition.start):
+            if rec["offset"] >= partition.end:
+                break
+            yield (rec["key"], rec["value"], rec["topic"],
+                   rec["partition"], rec["offset"],
+                   datetime.fromtimestamp(rec["timestamp"], tz=timezone.utc),
+                   0)   # timestampType 0 = CreateTime
+
+    def commit(self, end: dict) -> None:
+        pass            # progress lives in the query checkpoint (ST7)
+
+
+class KafkaPyDataSource(DataSource):
+    """``spark.dataSource.register(KafkaPyDataSource)`` once per
+    session, then ``spark.readStream.format("kafka_py")`` with options
+    ``endpoint=local:<dir>``, ``subscribe=<topics>``,
+    ``startingOffsets``, ``maxOffsetsPerTrigger``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "kafka_py"
+
+    def schema(self) -> str:
+        return KAFKA_PY_SCHEMA
+
+    def streamReader(self, schema):
+        return _KafkaPyStreamReader(
+            {k.lower(): v for k, v in self.options.items()})
+
+
+def register_kafka_py(spark: SparkSession) -> None:
+    """Idempotent per session."""
+    key = "_kafka_py_registered"
+    if getattr(spark, key, False):
+        return
+    spark.dataSource.register(KafkaPyDataSource)
+    setattr(spark, key, True)

@@ -1,0 +1,414 @@
+"""File-backed Kafka wire-model emulator (the local dev/test broker).
+
+The Kafka twin of ``kinesis_local.py``: ``LocalKafkaBroker`` is the
+admin/producer half, ``LocalKafkaConsumer`` the consumer-group half,
+implementing the subset of the public Kafka consumer contract the
+reference's workers are built on (KafkaRealTimeWorker.java:145-222's
+subscribe/poll/commitSync/pause loop; KafkaUtil.java:107-124's
+commit-max-plus-one) — so those semantics can be pinned by tests in an
+environment with no broker and no connector jar. File-backed rather
+than in-memory because PySpark DataSource code executes in Spark's
+planning/worker Python processes, never the test process — state must
+survive a process hop.
+
+Wire-model semantics kept faithful (the parts that shape a consumer):
+
+- per-(topic, partition) dense offsets starting at 0; a partition is
+  an append-only log; LOG-END offset = next offset to be written;
+- producer partitioning: explicit partition wins, else a stable hash
+  of the key (Kafka's default partitioner routes murmur2(key) % n —
+  modeled here with crc32, stable but not wire-identical, which only
+  matters to tests that assert WHICH partition a key lands on), else
+  round-robin;
+- consumer groups: committed offsets are stored per (group, topic,
+  partition) and mean "next offset to read" — Kafka's convention, and
+  why the reference commits ``max consumed + 1``
+  (KafkaUtil.java:118: ``new OffsetAndMetadata(offset + 1)``);
+- rebalancing: subscribing/closing a member bumps the group
+  GENERATION; every other member discovers the new generation at its
+  next ``poll()``, fires ``on_partitions_revoked`` then
+  ``on_partitions_assigned`` (range assignment over sorted member
+  ids — deterministic), and resumes each newly-assigned partition at
+  the group's committed offset, or per ``auto_offset_reset`` when
+  none exists (the reference logs exactly this resume point in its
+  ConsumerRebalanceListener, KafkaRealTimeWorker.java:158-166);
+- at-least-once by construction: a record polled but not committed
+  before a rebalance moves its partition is re-served to whichever
+  member now owns the partition;
+- ``commit`` from a member whose assignment generation is stale
+  raises ``CommitFailedException`` (the broker refuses commits from
+  fenced members — the guarantee that makes "poll, process, commit"
+  safe across rebalances);
+- ``pause``/``resume`` stop ``poll`` from returning records for a
+  partition without losing the position (the reference's
+  memory-backpressure posture, KafkaRealTimeWorker.java:192-212).
+
+Layout under ``path/``: ``topics/<topic>/meta.json`` (partition
+count), ``topics/<topic>/p<N>.jsonl`` (append-only records), and
+``groups.json`` (atomic-replace: per-group committed offsets, member
+list, generation). Single-writer-per-call atomicity is enough for the
+dev/test role; production traffic goes to a real cluster through the
+``spark-sql-kafka-0-10`` connector (sources/kafka.py).
+"""
+
+from __future__ import annotations
+
+import base64
+import json
+import os
+import time
+import zlib
+
+
+class CommitFailedException(Exception):
+    """Commit attempted by a member fenced by a newer group generation."""
+
+
+class UnknownTopicOrPartitionError(Exception):
+    pass
+
+
+def _load(path: str, default: dict | None = None) -> dict:
+    try:
+        with open(path) as f:
+            return json.load(f)
+    except OSError:
+        if default is not None:
+            return default
+        raise
+
+
+def _store(path: str, doc: dict) -> None:
+    tmp = f"{path}.tmp.{os.getpid()}"
+    with open(tmp, "w") as f:
+        json.dump(doc, f)
+    os.replace(tmp, path)
+
+
+def _tp(topic: str, partition: int) -> str:
+    return f"{topic} {partition}"
+
+
+class LocalKafkaBroker:
+    """Admin + producer half. Pickle-safe (state is the path)."""
+
+    def __init__(self, path: str) -> None:
+        self._path = path
+
+    # -- admin --------------------------------------------------------------
+
+    def _topic_dir(self, topic: str) -> str:
+        return os.path.join(self._path, "topics", topic)
+
+    def _groups_path(self) -> str:
+        return os.path.join(self._path, "groups.json")
+
+    def create_topic(self, topic: str, partitions: int = 1) -> None:
+        d = self._topic_dir(topic)
+        os.makedirs(d, exist_ok=True)
+        meta = os.path.join(d, "meta.json")
+        if os.path.exists(meta):
+            raise ValueError(f"topic {topic} exists")
+        _store(meta, {"partitions": partitions, "rr": 0})
+
+    def partitions_for(self, topic: str) -> list[int]:
+        meta = os.path.join(self._topic_dir(topic), "meta.json")
+        try:
+            return list(range(_load(meta)["partitions"]))
+        except OSError:
+            raise UnknownTopicOrPartitionError(topic) from None
+
+    def create_partitions(self, topic: str, total: int) -> None:
+        """Grow a topic's partition count (Kafka allows growth only)."""
+        meta_path = os.path.join(self._topic_dir(topic), "meta.json")
+        meta = _load(meta_path)
+        if total < meta["partitions"]:
+            raise ValueError("partition count can only grow")
+        meta["partitions"] = total
+        _store(meta_path, meta)
+
+    # -- producer -----------------------------------------------------------
+
+    def produce(self, topic: str, records: list[dict]) -> list[dict]:
+        """records: [{"Value": bytes, "Key": bytes|None,
+        "Partition": int|None}] → [{"partition", "offset"}]."""
+        meta_path = os.path.join(self._topic_dir(topic), "meta.json")
+        meta = _load(meta_path)
+        n = meta["partitions"]
+        out = []
+        now = time.time()
+        for rec in records:
+            if rec.get("Partition") is not None:
+                p = int(rec["Partition"])
+                if not 0 <= p < n:
+                    raise UnknownTopicOrPartitionError(f"{topic}/{p}")
+            elif rec.get("Key") is not None:
+                p = zlib.crc32(bytes(rec["Key"])) % n
+            else:
+                p = meta["rr"] % n
+                meta["rr"] += 1
+            log = os.path.join(self._topic_dir(topic), f"p{p}.jsonl")
+            off = self._end_offset(topic, p)
+            with open(log, "a") as f:
+                f.write(json.dumps({
+                    "offset": off,
+                    "key": (base64.b64encode(bytes(rec["Key"])).decode()
+                            if rec.get("Key") is not None else None),
+                    "value": base64.b64encode(bytes(rec["Value"])).decode(),
+                    "ts": now}) + "\n")
+            out.append({"partition": p, "offset": off})
+        _store(meta_path, meta)
+        return out
+
+    # -- log metadata / fetch (shared with the consumer + DataSource) --------
+
+    def _end_offset(self, topic: str, partition: int) -> int:
+        log = os.path.join(self._topic_dir(topic), f"p{partition}.jsonl")
+        n = 0
+        try:
+            with open(log) as f:
+                for _ in f:
+                    n += 1
+        except OSError:
+            pass
+        return n
+
+    def beginning_offsets(self, topic: str) -> dict[int, int]:
+        return {p: 0 for p in self.partitions_for(topic)}
+
+    def end_offsets(self, topic: str) -> dict[int, int]:
+        return {p: self._end_offset(topic, p)
+                for p in self.partitions_for(topic)}
+
+    def fetch(self, topic: str, partition: int, start: int,
+              max_records: int | None = None) -> list[dict]:
+        """Records with ``offset >= start``, offset-ascending — dense
+        offsets make the committed-range replay a pure slice."""
+        log = os.path.join(self._topic_dir(topic), f"p{partition}.jsonl")
+        out: list[dict] = []
+        try:
+            with open(log) as f:
+                for line in f:
+                    rec = json.loads(line)
+                    if rec["offset"] < start:
+                        continue
+                    if max_records is not None and len(out) >= max_records:
+                        break
+                    out.append({
+                        "topic": topic, "partition": partition,
+                        "offset": rec["offset"],
+                        "key": (base64.b64decode(rec["key"])
+                                if rec["key"] is not None else None),
+                        "value": base64.b64decode(rec["value"]),
+                        "timestamp": rec["ts"]})
+        except OSError:
+            pass
+        return out
+
+    # -- group coordinator half ----------------------------------------------
+
+    def _group(self, group: str) -> dict:
+        doc = _load(self._groups_path(), default={})
+        return doc.get(group) or {"generation": 0, "members": [],
+                                  "committed": {}}
+
+    def _update_group(self, group: str, g: dict) -> None:
+        doc = _load(self._groups_path(), default={})
+        doc[group] = g
+        _store(self._groups_path(), doc)
+
+    def join_group(self, group: str, member_id: str) -> int:
+        g = self._group(group)
+        if member_id not in g["members"]:
+            g["members"] = sorted(g["members"] + [member_id])
+            g["generation"] += 1
+            self._update_group(group, g)
+        return g["generation"]
+
+    def leave_group(self, group: str, member_id: str) -> None:
+        g = self._group(group)
+        if member_id in g["members"]:
+            g["members"] = [m for m in g["members"] if m != member_id]
+            g["generation"] += 1
+            self._update_group(group, g)
+
+    def group_state(self, group: str) -> dict:
+        return self._group(group)
+
+    def commit_offsets(self, group: str, member_id: str, generation: int,
+                       offsets: dict[str, int]) -> None:
+        g = self._group(group)
+        if generation != g["generation"] or member_id not in g["members"]:
+            raise CommitFailedException(
+                f"member {member_id} fenced: commit at generation "
+                f"{generation}, group at {g['generation']}")
+        g["committed"].update({k: int(v) for k, v in offsets.items()})
+        self._update_group(group, g)
+
+    def committed(self, group: str, topic: str,
+                  partition: int) -> int | None:
+        return self._group(group)["committed"].get(_tp(topic, partition))
+
+
+def range_assignment(members: list[str], topic_partitions:
+                     list[tuple[str, int]]) -> dict[str, list[tuple[str, int]]]:
+    """Deterministic range assignment: sorted partitions dealt in
+    contiguous runs over sorted member ids — the shape of Kafka's
+    default RangeAssignor, enough for rebalance-replay tests."""
+    members = sorted(members)
+    tps = sorted(topic_partitions)
+    out: dict[str, list[tuple[str, int]]] = {m: [] for m in members}
+    if not members:
+        return out
+    per, extra = divmod(len(tps), len(members))
+    i = 0
+    for j, m in enumerate(members):
+        take = per + (1 if j < extra else 0)
+        out[m] = tps[i:i + take]
+        i += take
+    return out
+
+
+class LocalKafkaConsumer:
+    """Consumer-group member: subscribe / poll / commit / seek /
+    pause / resume / close over ``LocalKafkaBroker`` state.
+
+    ``poll()`` re-checks the group generation first and runs the
+    rebalance protocol when stale: revoke listener → recompute range
+    assignment → assign listener → position each gained partition at
+    the group's committed offset (or ``auto_offset_reset``). Commits
+    carry the member's generation and are REFUSED once fenced
+    (CommitFailedException) — exactly the contract the reference's
+    poll/flush/commitSync loop assumes."""
+
+    def __init__(self, path: str, group_id: str, member_id: str,
+                 auto_offset_reset: str = "latest") -> None:
+        if auto_offset_reset not in ("latest", "earliest"):
+            raise ValueError(f"auto_offset_reset {auto_offset_reset!r}")
+        self._b = LocalKafkaBroker(path)
+        self._group = group_id
+        self._member = member_id
+        self._reset = auto_offset_reset
+        self._topics: list[str] = []
+        self._listener = None
+        self._generation: int | None = None
+        self._assigned: list[tuple[str, int]] = []
+        self._pos: dict[tuple[str, int], int] = {}
+        self._paused: set[tuple[str, int]] = set()
+
+    # -- membership ----------------------------------------------------------
+
+    def subscribe(self, topics: list[str], listener=None) -> None:
+        self._topics = list(topics)
+        self._listener = listener
+        self._b.join_group(self._group, self._member)
+        # assignment materializes on the first poll (Kafka's shape:
+        # subscribe is lazy, the join completes inside poll)
+
+    def close(self) -> None:
+        self._b.leave_group(self._group, self._member)
+        self._assigned, self._pos = [], {}
+        self._generation = None
+
+    # -- rebalance protocol ----------------------------------------------------
+
+    def _ensure_assignment(self) -> None:
+        g = self._b.group_state(self._group)
+        if self._generation == g["generation"]:
+            return
+        if self._listener is not None and self._assigned:
+            self._listener.on_partitions_revoked(list(self._assigned))
+        tps = [(t, p) for t in self._topics
+               for p in self._b.partitions_for(t)]
+        mine = range_assignment(g["members"], tps).get(self._member, [])
+        self._assigned = mine
+        self._generation = g["generation"]
+        # EAGER rebalance semantics (the classic protocol the range
+        # assignor pairs with): every assigned partition — including
+        # ones this member held before — repositions at the group's
+        # COMMITTED offset, discarding the in-memory position. This is
+        # precisely what redelivers poll-but-not-committed records
+        # after a rebalance (at-least-once), and also the documented
+        # footgun that auto.offset.reset=latest with no commits skips
+        # them instead.
+        pos = {}
+        for (t, p) in mine:
+            committed = g["committed"].get(_tp(t, p))
+            if committed is not None:
+                pos[(t, p)] = committed
+            elif self._reset == "earliest":
+                pos[(t, p)] = 0
+            else:
+                pos[(t, p)] = self._b._end_offset(t, p)
+        self._pos = pos
+        self._paused &= set(mine)
+        if self._listener is not None and mine:
+            self._listener.on_partitions_assigned(list(mine))
+
+    # -- consumption -----------------------------------------------------------
+
+    def poll(self, max_records: int = 500) -> dict[tuple[str, int], list[dict]]:
+        self._ensure_assignment()
+        out: dict[tuple[str, int], list[dict]] = {}
+        budget = max_records
+        for (t, p) in self._assigned:
+            if budget <= 0:
+                break
+            if (t, p) in self._paused:
+                continue
+            recs = self._b.fetch(t, p, self._pos[(t, p)], budget)
+            if recs:
+                out[(t, p)] = recs
+                self._pos[(t, p)] = recs[-1]["offset"] + 1
+                budget -= len(recs)
+        return out
+
+    def assignment(self) -> list[tuple[str, int]]:
+        self._ensure_assignment()
+        return list(self._assigned)
+
+    def position(self, tp: tuple[str, int]) -> int:
+        return self._pos[tp]
+
+    def seek(self, tp: tuple[str, int], offset: int) -> None:
+        if tp not in self._pos:
+            raise UnknownTopicOrPartitionError(str(tp))
+        self._pos[tp] = int(offset)
+
+    def pause(self, tps: list[tuple[str, int]]) -> None:
+        self._paused |= {tuple(tp) for tp in tps}
+
+    def resume(self, tps: list[tuple[str, int]]) -> None:
+        self._paused -= {tuple(tp) for tp in tps}
+
+    # -- offsets -----------------------------------------------------------------
+
+    def commit(self, offsets: dict[tuple[str, int], int]) -> None:
+        """commitSync: ``offsets`` values are NEXT-offset-to-read
+        (Kafka's convention — callers following the reference pass
+        ``max consumed + 1``, see ``commit_sync_max_plus_one``)."""
+        if self._generation is None:
+            self._ensure_assignment()
+        self._b.commit_offsets(
+            self._group, self._member, self._generation,
+            {_tp(t, p): off for (t, p), off in offsets.items()})
+
+    def committed(self, tp: tuple[str, int]) -> int | None:
+        return self._b.committed(self._group, tp[0], tp[1])
+
+
+def commit_sync_max_plus_one(consumer: LocalKafkaConsumer,
+                             polled: dict[tuple[str, int], list[dict]]
+                             ) -> None:
+    """The reference's commit discipline (KafkaUtil.java:90-124):
+    track the MAX offset consumed per (topic, partition) across the
+    flushed batch, commit ``max + 1`` per partition. Applied after the
+    batch is durably flushed — commit-after-flush is what makes the
+    loop at-least-once instead of at-most-once."""
+    latest: dict[tuple[str, int], int] = {}
+    for tp, recs in polled.items():
+        for r in recs:
+            if tp not in latest or r["offset"] > latest[tp]:
+                latest[tp] = r["offset"]
+    if latest:
+        consumer.commit({tp: off + 1 for tp, off in latest.items()})

@@ -1,0 +1,430 @@
+"""Kafka wire-model twin (S1/S2): the consumer-group semantics the
+reference's workers are built on, pinned against the file-backed
+broker emulator, plus the ``format("kafka_py")`` streaming source
+end-to-end through the ingest pipeline.
+
+What the reference assumes of the wire (the behaviors under test):
+- KafkaUtil.java:107-124 — commitSync of ``max consumed offset + 1``
+  per topic-partition; a resuming member reads exactly after it.
+- KafkaRealTimeWorker.java:158-166 — on assignment, resume from the
+  group's committed offset (or auto.offset.reset when none).
+- KafkaRealTimeWorker.java:169-222 — poll → flush → commit loop:
+  commit-after-flush makes the pipeline at-least-once; records polled
+  but not committed before a rebalance are REDELIVERED to the new
+  owner; commits from a fenced (stale-generation) member are refused.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from rakam_api_collector_spark.sources.kafka import register_kafka_py
+from rakam_api_collector_spark.sources.kafka_local import (
+    CommitFailedException, LocalKafkaBroker, LocalKafkaConsumer,
+    commit_sync_max_plus_one)
+
+
+def _mk(tmp_path, topic="t", partitions=2):
+    b = LocalKafkaBroker(str(tmp_path / "kafka"))
+    b.create_topic(topic, partitions)
+    return b
+
+
+def _vals(polled) -> list[bytes]:
+    return [r["value"] for recs in polled.values() for r in recs]
+
+
+# -- producer / log basics ----------------------------------------------------
+
+
+def test_produce_partitioning_and_dense_offsets(tmp_path):
+    b = _mk(tmp_path, partitions=3)
+    # explicit partition wins; keyed routing is stable; dense offsets
+    r1 = b.produce("t", [{"Value": b"a", "Partition": 2}])
+    r2 = b.produce("t", [{"Value": b"b", "Key": b"k1"},
+                         {"Value": b"c", "Key": b"k1"}])
+    assert r1[0]["partition"] == 2 and r1[0]["offset"] == 0
+    assert r2[0]["partition"] == r2[1]["partition"]   # same key
+    assert r2[1]["offset"] == r2[0]["offset"] + 1
+    ends = b.end_offsets("t")
+    assert sum(ends.values()) == 3
+    assert b.beginning_offsets("t") == {0: 0, 1: 0, 2: 0}
+
+
+def test_fetch_is_an_offset_range_slice(tmp_path):
+    b = _mk(tmp_path, partitions=1)
+    b.produce("t", [{"Value": f"v{i}".encode(), "Partition": 0}
+                    for i in range(10)])
+    recs = b.fetch("t", 0, 3, max_records=4)
+    assert [r["offset"] for r in recs] == [3, 4, 5, 6]
+    # replay of the same range is byte-identical (dense immutable log)
+    assert [r["value"] for r in b.fetch("t", 0, 3, 4)] \
+        == [r["value"] for r in recs]
+
+
+# -- the reference's commit discipline ----------------------------------------
+
+
+def test_commit_sync_max_plus_one_resumes_exactly_after(tmp_path):
+    """KafkaUtil.java:107-124: track max offset per partition across
+    the flushed batch, commit max+1; a NEW member in the same group
+    resumes exactly after — nothing redelivered, nothing skipped."""
+    b = _mk(tmp_path, partitions=2)
+    b.produce("t", [{"Value": f"v{i}".encode(), "Partition": i % 2}
+                    for i in range(6)])
+    c1 = LocalKafkaConsumer(str(tmp_path / "kafka"), "g", "m1",
+                            auto_offset_reset="earliest")
+    c1.subscribe(["t"])
+    polled = c1.poll()
+    assert sorted(_vals(polled)) == [f"v{i}".encode() for i in range(6)]
+    commit_sync_max_plus_one(c1, polled)
+    assert c1.committed(("t", 0)) == 3 and c1.committed(("t", 1)) == 3
+    c1.close()
+
+    b.produce("t", [{"Value": b"late", "Partition": 0}])
+    c2 = LocalKafkaConsumer(str(tmp_path / "kafka"), "g", "m2",
+                            auto_offset_reset="earliest")
+    c2.subscribe(["t"])
+    assert _vals(c2.poll()) == [b"late"]      # exactly after the commit
+
+
+def test_auto_offset_reset_latest_vs_earliest(tmp_path):
+    _mk(tmp_path, partitions=1).produce(
+        "t", [{"Value": b"old", "Partition": 0}])
+    c_lat = LocalKafkaConsumer(str(tmp_path / "kafka"), "g1", "m",
+                               auto_offset_reset="latest")
+    c_lat.subscribe(["t"])
+    assert c_lat.poll() == {}                 # latest skips history
+    c_ear = LocalKafkaConsumer(str(tmp_path / "kafka"), "g2", "m",
+                               auto_offset_reset="earliest")
+    c_ear.subscribe(["t"])
+    assert _vals(c_ear.poll()) == [b"old"]
+
+
+# -- rebalance: replay, fencing, at-least-once ---------------------------------
+
+
+class _Listener:
+    def __init__(self):
+        self.revoked, self.assigned = [], []
+
+    def on_partitions_revoked(self, tps):
+        self.revoked.append(sorted(tps))
+
+    def on_partitions_assigned(self, tps):
+        self.assigned.append(sorted(tps))
+
+
+def test_rebalance_redelivers_uncommitted_and_fences_stale_commits(
+        tmp_path):
+    """The at-least-once core: m1 polls everything but commits
+    NOTHING before m2 joins. After the rebalance, m1's commit is
+    refused (fenced), and the union of both members' polls re-covers
+    every record — uncommitted work is redelivered, not lost."""
+    b = _mk(tmp_path, partitions=2)
+    b.produce("t", [{"Value": f"v{i}".encode(), "Partition": i % 2}
+                    for i in range(6)])
+    lis = _Listener()
+    m1 = LocalKafkaConsumer(str(tmp_path / "kafka"), "g", "m1",
+                            auto_offset_reset="earliest")
+    m1.subscribe(["t"], listener=lis)
+    polled1 = m1.poll()
+    assert len(_vals(polled1)) == 6           # owns both partitions
+
+    m2 = LocalKafkaConsumer(str(tmp_path / "kafka"), "g", "m2",
+                            auto_offset_reset="earliest")
+    m2.subscribe(["t"])
+    polled2 = m2.poll()                       # triggers m2's join
+
+    # m1's commit carries the pre-join generation: refused
+    try:
+        commit_sync_max_plus_one(m1, polled1)
+        raised = False
+    except CommitFailedException:
+        raised = True
+    assert raised
+
+    # m1 re-polls: rebalance runs (listener fires), position falls
+    # back to committed=none → earliest on the partition it kept
+    polled1b = m1.poll()
+    assert lis.revoked and lis.assigned
+    got = sorted(_vals(polled1b) + _vals(polled2))
+    assert got == [f"v{i}".encode() for i in range(6)]   # redelivered
+    # exactly one partition each (range assignment over 2 members)
+    assert len(m1.assignment()) == len(m2.assignment()) == 1
+
+
+def test_committed_prefix_never_redelivered_across_rebalance(tmp_path):
+    """Commit-after-flush: what WAS committed before the rebalance is
+    not replayed to the new owner — only the uncommitted tail is."""
+    b = _mk(tmp_path, partitions=1)
+    b.produce("t", [{"Value": f"v{i}".encode(), "Partition": 0}
+                    for i in range(4)])
+    m1 = LocalKafkaConsumer(str(tmp_path / "kafka"), "g", "m1",
+                            auto_offset_reset="earliest")
+    m1.subscribe(["t"])
+    first = m1.poll(max_records=2)
+    commit_sync_max_plus_one(m1, first)       # commit offsets 0-1 → 2
+    m1.poll(max_records=1)                    # consume v2, do NOT commit
+    m1.close()                                # rebalance
+
+    m2 = LocalKafkaConsumer(str(tmp_path / "kafka"), "g", "m2",
+                            auto_offset_reset="earliest")
+    m2.subscribe(["t"])
+    assert _vals(m2.poll()) == [b"v2", b"v3"]  # tail only, v2 redelivered
+
+
+def test_pause_resume_holds_position(tmp_path):
+    b = _mk(tmp_path, partitions=1)
+    b.produce("t", [{"Value": b"x", "Partition": 0}])
+    c = LocalKafkaConsumer(str(tmp_path / "kafka"), "g", "m",
+                           auto_offset_reset="earliest")
+    c.subscribe(["t"])
+    c.pause(c.assignment())
+    assert c.poll() == {}                     # paused: no records
+    c.resume([("t", 0)])
+    assert _vals(c.poll()) == [b"x"]          # position never moved
+
+
+# -- fuzz: any interleaving is at-least-once -----------------------------------
+
+
+_OPS = st.lists(
+    st.tuples(st.sampled_from(
+        ["produce", "poll_commit", "poll_only", "join", "crash"]),
+        st.integers(0, 10 ** 6)),
+    min_size=1, max_size=16)
+
+
+@settings(max_examples=30, deadline=None)
+@given(ops=_OPS, partitions=st.integers(1, 3))
+def test_any_interleaving_is_at_least_once(ops, partitions, tmp_path_factory):
+    """ANY interleaving of produce / poll+commit / poll-without-commit
+    / member join / member crash (close without committing) delivers
+    every produced record to SOME group member at least once, and the
+    at-most-once failure (committed-but-never-polled gaps) never
+    occurs: the final drain covers exactly the records not yet
+    poll+committed."""
+    tmp = tmp_path_factory.mktemp("kfuzz")
+    path = str(tmp / "kafka")
+    b = LocalKafkaBroker(path)
+    b.create_topic("t", partitions)
+    produced: list[bytes] = []
+    delivered: list[bytes] = []
+    committed_delivered: list[bytes] = []
+    members: list[LocalKafkaConsumer] = []
+    n_member = 0
+
+    def new_member():
+        nonlocal n_member
+        n_member += 1
+        c = LocalKafkaConsumer(path, "g", f"m{n_member:03d}",
+                               auto_offset_reset="earliest")
+        c.subscribe(["t"])
+        members.append(c)
+        return c
+
+    new_member()
+    for op, arg in ops:
+        if op == "produce":
+            for i in range(1 + arg % 3):
+                v = f"r{len(produced)}".encode()
+                produced.append(v)
+                b.produce("t", [{"Value": v}])
+        elif op in ("poll_commit", "poll_only") and members:
+            c = members[arg % len(members)]
+            polled = c.poll()
+            delivered.extend(_vals(polled))
+            if op == "poll_commit":
+                try:
+                    commit_sync_max_plus_one(c, polled)
+                    committed_delivered.extend(_vals(polled))
+                except CommitFailedException:
+                    pass     # fenced mid-rebalance: stays uncommitted
+        elif op == "join" and len(members) < 3:
+            new_member()
+        elif op == "crash" and len(members) > 1:
+            members.pop(arg % len(members)).close()
+
+    # final drain: one surviving member consumes everything left
+    survivor = members[0]
+    for c in members[1:]:
+        c.close()
+    for _ in range(4):
+        polled = survivor.poll(max_records=10 ** 6)
+        delivered.extend(_vals(polled))
+        if not polled:
+            break
+    # at-least-once: every produced record was delivered somewhere
+    assert set(produced) <= set(delivered)
+    # no at-most-once hole: anything the group ever committed past
+    # was delivered BEFORE that commit (by construction of
+    # commit_sync_max_plus_one over actually-polled records)
+    assert set(committed_delivered) <= set(delivered)
+
+
+# -- format("kafka_py"): the streaming source ----------------------------------
+
+
+def test_kafka_py_stream_e2e_checkpointed(spark, tmp_path):
+    """kafka_py → ingest pipeline → typed collection tables, then a
+    RESTART from the checkpoint sees only post-restart records — the
+    jar connector's checkpointed-offsets contract (ST7) on the
+    emulator."""
+    from rakam_api_collector_spark.ingest import Catalog
+    from rakam_api_collector_spark.sinks import read_collection
+    from rakam_api_collector_spark.streaming import start_ingest_stream
+    from tests.test_ingest import fabric
+
+    work = str(tmp_path / "kafka")
+    b = LocalKafkaBroker(work)
+    b.create_topic("events", partitions=2)
+    b.produce("events", [
+        {"Value": fabric("t", {"_time": "2020-06-01T10:00:00",
+                               "_user": "a", "v": 1}).encode(),
+         "Partition": 0},
+        {"Value": fabric("t", {"_time": "2020-06-01T11:00:00",
+                               "_user": "b", "v": 2}).encode(),
+         "Partition": 1}])
+    register_kafka_py(spark)
+    src = (spark.readStream.format("kafka_py")
+           .option("endpoint", f"local:{work}")
+           .option("subscribe", "events")
+           .option("startingOffsets", "earliest")
+           .load())
+    cat = Catalog(path=str(tmp_path / "cat.json"))
+    start_ingest_stream(
+        spark, source_dir=None, fmt="fabric", catalog=cat,
+        table_base=str(tmp_path / "tables"),
+        checkpoint=str(tmp_path / "ckpt"),
+        now="2020-06-01", shard_time="2020-06-01 00:00:00",
+        dedup=False, source_stream=src).awaitTermination(120)
+
+    df = read_collection(spark, str(tmp_path / "tables"),
+                         "testproject", "t", cat)
+    assert sorted(r["v"] for r in df.collect()) == [1.0, 2.0]
+
+    # restart: the checkpoint holds the consumed end offsets — only
+    # the record produced after the first run arrives
+    b.produce("events", [
+        {"Value": fabric("t", {"_time": "2020-06-01T12:00:00",
+                               "_user": "c", "v": 3}).encode(),
+         "Partition": 0}])
+    src2 = (spark.readStream.format("kafka_py")
+            .option("endpoint", f"local:{work}")
+            .option("subscribe", "events")
+            .option("startingOffsets", "earliest")
+            .load())
+    start_ingest_stream(
+        spark, source_dir=None, fmt="fabric", catalog=cat,
+        table_base=str(tmp_path / "tables"),
+        checkpoint=str(tmp_path / "ckpt"),
+        now="2020-06-01", shard_time="2020-06-01 00:00:00",
+        dedup=False, source_stream=src2).awaitTermination(120)
+    df = read_collection(spark, str(tmp_path / "tables"),
+                         "testproject", "t", cat)
+    assert sorted(r["v"] for r in df.collect()) == [1.0, 2.0, 3.0]
+
+
+def test_kafka_py_schema_and_metadata_columns(spark, tmp_path):
+    """Schema parity with the jar connector: key/value binary, topic,
+    partition, offset, timestamp, timestampType — so a pipeline
+    written for format('kafka') runs unchanged."""
+    work = str(tmp_path / "kafka")
+    b = LocalKafkaBroker(work)
+    b.create_topic("t", partitions=1)
+    b.produce("t", [{"Value": b"v0", "Key": b"k0", "Partition": 0}])
+    register_kafka_py(spark)
+    src = (spark.readStream.format("kafka_py")
+           .option("endpoint", f"local:{work}")
+           .option("subscribe", "t")
+           .option("startingOffsets", "earliest")
+           .load())
+    assert [f.name for f in src.schema.fields] == [
+        "key", "value", "topic", "partition", "offset", "timestamp",
+        "timestampType"]
+    out = str(tmp_path / "rows")
+    (src.writeStream.format("parquet")
+     .option("path", out)
+     .option("checkpointLocation", str(tmp_path / "ck"))
+     .trigger(availableNow=True).start().awaitTermination(60))
+    rows = spark.read.parquet(out).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert bytes(r["key"]) == b"k0" and bytes(r["value"]) == b"v0"
+    assert r["topic"] == "t" and r["partition"] == 0 and r["offset"] == 0
+
+
+def test_kafka_py_max_offsets_per_trigger_paces_not_loses(spark, tmp_path):
+    """maxOffsetsPerTrigger clamps each planned batch, and the paced
+    batches TOGETHER still deliver every record exactly once (the
+    clamp moves the planned end, never skips a range)."""
+    work = str(tmp_path / "kafka")
+    b = LocalKafkaBroker(work)
+    b.create_topic("t", partitions=2)
+    b.produce("t", [{"Value": f"v{i}".encode(), "Partition": i % 2}
+                    for i in range(20)])
+    register_kafka_py(spark)
+    src = (spark.readStream.format("kafka_py")
+           .option("endpoint", f"local:{work}")
+           .option("subscribe", "t")
+           .option("startingOffsets", "earliest")
+           .option("maxOffsetsPerTrigger", "6")
+           .load())
+    out = str(tmp_path / "rows")
+    q = (src.writeStream.format("parquet")
+         .option("path", out)
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .trigger(processingTime="1 second").start())
+    deadline = time.time() + 90
+    while time.time() < deadline:
+        try:
+            if spark.read.parquet(out).count() >= 20:
+                break
+        except Exception:
+            pass
+        time.sleep(1)
+    q.stop()
+    vals = sorted(bytes(r["value"])
+                  for r in spark.read.parquet(out).collect())
+    assert vals == sorted(f"v{i}".encode() for i in range(20))
+    # pacing actually happened: more than one micro-batch committed
+    import os
+    commits = [f for f in os.listdir(str(tmp_path / "ck" / "commits"))
+               if not f.startswith(".")]
+    assert len(commits) >= 3
+
+
+def test_kafka_py_new_partitions_enter_at_zero(spark, tmp_path):
+    """Topic growth mid-stream: records in partitions created after
+    the query started are still delivered (from their beginning)."""
+    work = str(tmp_path / "kafka")
+    b = LocalKafkaBroker(work)
+    b.create_topic("t", partitions=1)
+    b.produce("t", [{"Value": b"v0", "Partition": 0}])
+    register_kafka_py(spark)
+
+    out = str(tmp_path / "rows")
+
+    def drain():
+        src = (spark.readStream.format("kafka_py")
+               .option("endpoint", f"local:{work}")
+               .option("subscribe", "t")
+               .option("startingOffsets", "earliest")
+               .load())
+        (src.writeStream.format("parquet")
+         .option("path", out)
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .trigger(availableNow=True).start().awaitTermination(60))
+
+    drain()
+    b.create_partitions("t", 2)
+    b.produce("t", [{"Value": b"v1", "Partition": 1}])
+    drain()
+    vals = sorted(bytes(r["value"])
+                  for r in spark.read.parquet(out).collect())
+    assert vals == [b"v0", b"v1"]
