@@ -216,12 +216,17 @@ candidate joins whose shared hot-bucket star cap
 (``phash._capped_bucket_pairs``) landed after the r12 window ran, so
 their r13 rows are the driver evidence the r12 verdict scheduled —
 then the remaining 46 due-backs. The spare goes to llm09_minhash_lsh,
-MODIFIED in r13 per plan: the cap's steady-state overhead trim
-(bucket sizes via a ``count(*) over (partition by bucket keys)``
-window on the already-keyed bucket frame instead of a separate
-groupBy+join — one exchange, same key). llm10/llm15 exercise the
-identical changed helper in-window; llm09 takes the spare so all
-three consumers of the changed code carry fresh r13 driver rows.
+MODIFIED in r13 per plan: the cap's steady-state overhead trim. (The
+verdict sketched a window-count; the landed design is cheaper still —
+a map-side-combined group count plus a driver-side emptiness probe of
+its > max_bucket filter, leaving the exact all-pairs self-join
+untouched when no bucket is hot and splitting via broadcast semi/anti
+joins against the tiny hot-key set only when a flood exists. llm09
+2.98 s at sf0.1, 1.11× its r11 wall; flood cells re-measured flat —
+STRESS.md r13 note.) llm10/llm15 exercise the identical changed
+helper in-window; llm09 takes the spare so all three consumers of the
+changed code carry fresh r13 driver rows; all five adjacent queries
+(llm08/09/10/15/16) re-verified green at sf0.001/0.01/0.1 in-round.
 Out-of-window (49 queries, all r12-green, due back in r14 — leaving
 1 spare): the entire r12 window minus llm09 (dq05/08, dq12-17
 semi+anti, dq29-32, dq34, dq36, dq47, llm01-06, llm11, llm16,

@@ -291,3 +291,36 @@ def register_kafka_py(spark: SparkSession) -> None:
         return
     spark.dataSource.register(KafkaPyDataSource)
     setattr(spark, key, True)
+
+
+def historical_drain_due(lag_records: int, ms_since_last_drain: int,
+                         max_flush_records: int = HISTORICAL_MAX_RECORDS,
+                         max_flush_ms: int = 30 * 60 * 1000,
+                         available_memory_pct: float = 1.0) -> bool:
+    """S2's drain gate (KafkaHistoricalWorker.java:214-219
+    ``shouldFlush``): the historical topic drains only when memory
+    allows AND (the 30-minute cadence elapsed OR the backlog exceeds
+    500k records) — lag-pressure OR staleness, never a hot loop.
+    Pure-predicate twin so the gate is testable and reusable: pair it
+    with ``historical_lag`` and fire a ``Trigger.AvailableNow`` drain
+    query when it returns True (the Spark mapping of the reference's
+    do/while poll burst). ``available_memory_pct`` maps the
+    memoryTracker guard (> 0.3 required); Spark's own memory manager
+    usually makes it moot — pass the default 1.0 unless a caller
+    tracks external pressure."""
+    return available_memory_pct > 0.3 and (
+        ms_since_last_drain > max_flush_ms
+        or lag_records > max_flush_records)
+
+
+def historical_lag(broker, group: str, topic: str) -> int:
+    """Total records between the group's committed offsets and the
+    log end across a topic's partitions — the ``recordsToBeProcessed``
+    input of ``historical_drain_due``. Works against any object with
+    the LocalKafkaBroker metadata surface (``end_offsets`` +
+    ``committed``)."""
+    total = 0
+    for p, end in broker.end_offsets(topic).items():
+        committed = broker.committed(group, topic, p) or 0
+        total += max(0, end - committed)
+    return total

@@ -230,6 +230,87 @@ def run_avro(spark, n: int, n_batches: int, n_coll: int,
     return rec
 
 
+def run_kinesis_partitioned(spark, n: int, n_batches: int, n_coll: int,
+                            n_shards: int = 4,
+                            state_partitions: int | None = 4) -> dict:
+    """The partitioned-Kinesis steady-state trigger cell (r12 verdict
+    item 5): ``n`` records × ``n_batches`` consecutive micro-batches
+    through ``start_ingest_stream`` fed by ``format("kinesis_py")`` in
+    ``readerMode=partitioned`` — executor-parallel GetRecords, the
+    full ingest pipeline (dedup RocksDB state, late split, schema
+    fan-out, day-partitioned sinks) live — with a mid-run RESHARD
+    (one shard split before the 4th batch's records).
+
+    Batch isolation uses the reader's own pacing: every batch's
+    records carry explicit arrival stamps (the emulator's ``Ts``
+    extension) inside one ``maxWindowMs`` slice of a paced backfill
+    anchored at ``startTimestampMs``, so micro-batch b covers exactly
+    window b — the steady-state shape where the window IS the trigger
+    interval. The 15 s budget under test is StreamConfig.java:14-15's
+    poll envelope."""
+    from rakam_api_collector_spark.sources.kinesis import register
+    from rakam_api_collector_spark.sources.kinesis_local import \
+        LocalKinesisClient
+
+    work = Path(tempfile.mkdtemp(prefix="stress_sustained_kin_"))
+    win_ms = 60_000
+    t0_ms = int(time.time() * 1000) - (n_batches + 2) * win_ms
+    cl = LocalKinesisClient(str(work / "stream"))
+    cl.create_stream("events", ShardCount=n_shards)
+    open_shards = [f"shardId-{i:012d}" for i in range(n_shards)]
+
+    def put_batch(b: int) -> None:
+        lines = make_envelopes(n, n_coll, seed=100 + b)
+        stamp = (t0_ms + b * win_ms + win_ms // 2) / 1000.0
+        cl.put_records("events", [
+            {"Data": ln.encode(), "PartitionKey": str(i),
+             "ShardId": open_shards[i % len(open_shards)],
+             "Ts": stamp} for i, ln in enumerate(lines)])
+
+    for b in range(n_batches - 2):
+        put_batch(b)
+    # mid-run reshard: split one shard, later batches land on its
+    # children too — parent-before-child ordering is inherent in the
+    # arrival-time windows (kinesis.py docstring)
+    kids = cl.split_shard("events", open_shards[0])["ChildShards"]
+    open_shards = open_shards[1:] + list(kids)
+    for b in range(n_batches - 2, n_batches):
+        put_batch(b)
+
+    register(spark)
+    src = (spark.readStream.format("kinesis_py")
+           .option("streamName", "events")
+           .option("endpoint", f"local:{work / 'stream'}")
+           .option("readerMode", "partitioned")
+           .option("settleMarginMs", "0")
+           .option("startTimestampMs", str(t0_ms))
+           .option("maxWindowMs", str(win_ms))
+           .load())
+    t0 = time.perf_counter()
+    q = start_ingest_stream(
+        spark, None, "fabric", Catalog(),
+        table_base=str(work / "tables"),
+        checkpoint=str(work / "ckpt"),
+        now=NOW, shard_time=SHARD_T, dedup=True,
+        trigger={"processingTime": "1 second"},
+        state_partitions=state_partitions, source_stream=src)
+    want = n * n_batches
+    deadline = time.time() + 1200
+    while time.time() < deadline:
+        seen = sum(b["rows"] for b in _progress_rows(q))
+        if seen >= want:
+            break
+        time.sleep(2)
+    q.stop()
+    q.awaitTermination(120)
+    wall = time.perf_counter() - t0
+    rec = _report("kinesis_partitioned", _progress_rows(q),
+                  n_batches, wall)
+    rec["n_shards"] = f"{n_shards} (+1 split mid-run)"
+    shutil.rmtree(work, ignore_errors=True)
+    return rec
+
+
 def main() -> None:
     mode = sys.argv[1] if len(sys.argv) > 1 else "both"
     n = int(sys.argv[2]) if len(sys.argv) > 2 else 30_000
@@ -269,6 +350,9 @@ def main() -> None:
                                   state_partitions=sp,
                                   manifested=True,
                                   maint_profile=profile)))
+    if mode in ("kinesis-partitioned",):
+        print(json.dumps(run_kinesis_partitioned(
+            spark, n, n_batches, n_coll, state_partitions=sp)))
 
 
 if __name__ == "__main__":

@@ -428,3 +428,30 @@ def test_kafka_py_new_partitions_enter_at_zero(spark, tmp_path):
     vals = sorted(bytes(r["value"])
                   for r in spark.read.parquet(out).collect())
     assert vals == [b"v0", b"v1"]
+
+
+def test_historical_drain_gate_lag_or_staleness(tmp_path):
+    """S2's shouldFlush twin (KafkaHistoricalWorker.java:214-219):
+    drain fires on EITHER backlog > maxFlushRecords OR cadence
+    elapsed, and never below the memory floor."""
+    from rakam_api_collector_spark.sources.kafka import (
+        historical_drain_due, historical_lag)
+
+    b = _mk(tmp_path, topic="hist", partitions=2)
+    b.produce("hist", [{"Value": f"h{i}".encode()} for i in range(7)])
+    # no commits yet: the whole log is lag
+    assert historical_lag(b, "g", "hist") == 7
+    c = LocalKafkaConsumer(str(tmp_path / "kafka"), "g", "m",
+                           auto_offset_reset="earliest")
+    c.subscribe(["hist"])
+    commit_sync_max_plus_one(c, c.poll(max_records=3))
+    assert historical_lag(b, "g", "hist") == 4
+
+    # lag pressure alone fires; small lag alone does not
+    assert historical_drain_due(500_001, ms_since_last_drain=0)
+    assert not historical_drain_due(4, ms_since_last_drain=0)
+    # staleness alone fires (the 30-min cadence)
+    assert historical_drain_due(4, ms_since_last_drain=30 * 60 * 1000 + 1)
+    # the memory floor vetoes both
+    assert not historical_drain_due(500_001, 10 ** 9,
+                                    available_memory_pct=0.2)
