@@ -259,8 +259,11 @@ def main() -> None:
         hz = os.sysconf("SC_CLK_TCK") or 100
         external_cores = round(
             max(0.0, ((busy1 - busy0) - (own1 - own0)) / hz / wall), 2)
-    load_dirty = (external_cores is None or external_cores > gate) \
-        and not forced
+    # the verdict is about the MEASUREMENT, not the gate override: a
+    # forced run on a box that measured clean is clean; a forced run
+    # under real external load is dirty and says so (the r12 failure
+    # class — noise presented as measurement)
+    load_dirty = external_cores is None or external_cores > gate
     if load_dirty and external_cores is not None:
         print(f"bench: external load averaged {external_cores} busy "
               f"cores over the run (> gate {gate}) — artifact marked "
@@ -287,10 +290,17 @@ def main() -> None:
         "loadavg_1m": round(os.getloadavg()[0], 2),
         "external_cores_avg": external_cores,
         "load_dirty": load_dirty,
+        "forced": forced,
+        "subset": only or None,
     }
     try:
+        # a SPARK_GRAFT_BENCH_ONLY subset run must not overwrite the
+        # committed full-suite artifact with partial numbers — it gets
+        # its own clearly-named side file
+        detail_name = ("BENCH_DETAIL_SUBSET.json" if only
+                       else "BENCH_DETAIL.json")
         with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                               "BENCH_DETAIL.json"), "w") as fh:
+                               detail_name), "w") as fh:
             json.dump(detail, fh, indent=1)
     except OSError:
         pass
@@ -320,6 +330,9 @@ def main() -> None:
             "external_cores_avg": external_cores,
             "load_dirty": load_dirty,
         }
+        if only:
+            # a subset line must never read as a suite wall
+            payload["subset"] = only
         if queries is not None:
             payload["queries"] = queries
         return json.dumps(payload, separators=(",", ":"),

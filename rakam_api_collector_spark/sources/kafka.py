@@ -173,19 +173,22 @@ class _KafkaPyStreamReader(DataSourceStreamReader):
         cap = options.get("maxoffsetspertrigger")
         self._max_per_trigger = int(cap) if cap else None
         self._b = None
-        # last offsets THIS reader planned — the proration base. The
-        # engine may call latestOffset() before initialOffset() (and
-        # calls neither with the checkpointed start), so when no base
-        # exists yet the STARTING anchor stands in: earliest → zeros
-        # (a fresh backlog query ramps in capped slices from 0; after
-        # a restart the planned ends that fall below the committed
-        # start read as empty batches until the ramp passes it — slow,
-        # never wrong), latest → current log ends (first batch
-        # uncapped after a restart with backlog — the Kinesis
-        # paced-backfill posture). The cap must clamp latestOffset()
-        # itself: partitions() always reads the FULL committed
-        # [start, end) range, so a clamp there would silently skip
-        # the tail between planned and committed ends.
+        # last offsets THIS reader planned or observed — the proration
+        # base. None on the very first latestOffset() of a (re)started
+        # query (the engine calls it before initialOffset(), and never
+        # shows planning the checkpointed start): that first batch is
+        # UNCAPPED. Deliberate and load-bearing — a synthesized base
+        # (zeros, the starting anchor…) can clamp the planned end
+        # BELOW the checkpointed offset, Spark commits whatever
+        # latestOffset returns, and the next batch starts at the
+        # regressed offset and re-delivers everything between it and
+        # the old checkpoint. An uncapped now-shaped end can never
+        # regress. partitions() feeds the base from the authoritative
+        # checkpoint offsets, so pacing engages from the second batch
+        # after a restart. The cap must clamp latestOffset() itself:
+        # partitions() always reads the FULL committed [start, end)
+        # range, so a clamp there would silently skip the tail between
+        # planned and committed ends.
         self._last_planned: dict[str, int] | None = None
 
     def _broker(self):
@@ -218,27 +221,53 @@ class _KafkaPyStreamReader(DataSourceStreamReader):
         # maxOffsetsPerTrigger: prorate the batch cap by each
         # partition's share of the lag (the jar connector's rate-limit
         # shape), clamping the PLANNED end — the unread tail simply
-        # stays in the next batch. Under Trigger.AvailableNow the
+        # stays in the next batch. Allocation is largest-remainder so
+        # the batch TOTAL never exceeds the cap even with more lagging
+        # partitions than records allowed (a floor-at-1-each would
+        # overshoot by up to #partitions/cap); partitions allocated 0
+        # this batch rise in priority as served partitions' lag
+        # drains, so none starves. Under Trigger.AvailableNow the
         # clamped offset is captured once, so the cap trades drain
         # completeness for pacing there (same caveat the Kinesis
         # reader documents for maxWindowMs — cap is opt-in).
-        if self._max_per_trigger:
+        if self._max_per_trigger and self._last_planned is not None:
             base = self._last_planned
-            if base is None:
-                base = ({tp: 0 for tp in ends}
-                        if self._starting == "earliest" else dict(ends))
             lags = {tp: ends[tp] - base.get(tp, 0) for tp in ends
                     if ends[tp] > base.get(tp, 0)}
             total = sum(lags.values())
-            if total > self._max_per_trigger:
-                scale = self._max_per_trigger / total
-                for tp, n in lags.items():
-                    ends[tp] = base.get(tp, 0) + max(1, int(n * scale))
+            cap = self._max_per_trigger
+            if total > cap:
+                scale = cap / total
+                floors = {tp: int(n * scale) for tp, n in lags.items()}
+                left = cap - sum(floors.values())
+                # remainder to the largest fractional shares, lag-desc
+                # then name as the deterministic tie-break
+                order = sorted(
+                    lags, key=lambda tp: (-(lags[tp] * scale
+                                            - floors[tp]),
+                                          -lags[tp], tp))
+                for tp in order:
+                    if left <= 0:
+                        break
+                    floors[tp] += 1
+                    left -= 1
+                if sum(floors.values()) == 0:
+                    floors[order[0]] = 1     # guarantee progress
+                for tp in lags:              # 0-alloc partitions wait
+                    ends[tp] = base.get(tp, 0) + floors[tp]
         self._last_planned = dict(ends)
         return {"v": 1, "offsets": ends}
 
     def partitions(self, start: dict, end: dict):
         s, e = start["offsets"], end["offsets"]
+        # feed the proration base from the authoritative checkpoint
+        # offsets (the restart path: the first latestOffset ran blind
+        # and uncapped; from here on pacing has a real base)
+        merged = dict(self._last_planned or {})
+        for src in (s, e):
+            for tp, off in src.items():
+                merged[tp] = max(merged.get(tp, 0), off)
+        self._last_planned = merged
         parts = []
         for tp, hi in e.items():
             lo = s.get(tp, 0)      # new partitions enter at offset 0
@@ -253,8 +282,11 @@ class _KafkaPyStreamReader(DataSourceStreamReader):
         from rakam_api_collector_spark.sources.kafka_local import \
             LocalKafkaBroker
         b = LocalKafkaBroker(partition.endpoint[len("local:"):])
+        # dense offsets make the range size exact — bound the fetch so
+        # a paced drain decodes O(range), not O(backlog), per batch
         for rec in b.fetch(partition.topic, partition.partition,
-                           partition.start):
+                           partition.start,
+                           max_records=partition.end - partition.start):
             if rec["offset"] >= partition.end:
                 break
             yield (rec["key"], rec["value"], rec["topic"],

@@ -59,6 +59,10 @@ import os
 import time
 import zlib
 
+# one atomic-replace JSON persistence idiom across both emulators
+from rakam_api_collector_spark.sources.kinesis_local import (  # noqa: F401
+    _load, _store)
+
 
 class CommitFailedException(Exception):
     """Commit attempted by a member fenced by a newer group generation."""
@@ -66,23 +70,6 @@ class CommitFailedException(Exception):
 
 class UnknownTopicOrPartitionError(Exception):
     pass
-
-
-def _load(path: str, default: dict | None = None) -> dict:
-    try:
-        with open(path) as f:
-            return json.load(f)
-    except OSError:
-        if default is not None:
-            return default
-        raise
-
-
-def _store(path: str, doc: dict) -> None:
-    tmp = f"{path}.tmp.{os.getpid()}"
-    with open(tmp, "w") as f:
-        json.dump(doc, f)
-    os.replace(tmp, path)
 
 
 def _tp(topic: str, partition: int) -> str:
@@ -131,12 +118,20 @@ class LocalKafkaBroker:
 
     def produce(self, topic: str, records: list[dict]) -> list[dict]:
         """records: [{"Value": bytes, "Key": bytes|None,
-        "Partition": int|None}] → [{"partition", "offset"}]."""
+        "Partition": int|None, "Ts": float|None (explicit CreateTime —
+        Kafka lets producers stamp record time)}] →
+        [{"partition", "offset"}]."""
         meta_path = os.path.join(self._topic_dir(topic), "meta.json")
         meta = _load(meta_path)
         n = meta["partitions"]
         out = []
         now = time.time()
+        # end offsets read ONCE per touched partition and appends
+        # buffered per partition — per-record recounts made a B-record
+        # produce O(B²) in line scans; dense offsets only need a
+        # counter
+        next_off: dict[int, int] = {}
+        pending: dict[int, list[str]] = {}
         for rec in records:
             if rec.get("Partition") is not None:
                 p = int(rec["Partition"])
@@ -147,16 +142,21 @@ class LocalKafkaBroker:
             else:
                 p = meta["rr"] % n
                 meta["rr"] += 1
-            log = os.path.join(self._topic_dir(topic), f"p{p}.jsonl")
-            off = self._end_offset(topic, p)
-            with open(log, "a") as f:
-                f.write(json.dumps({
-                    "offset": off,
-                    "key": (base64.b64encode(bytes(rec["Key"])).decode()
-                            if rec.get("Key") is not None else None),
-                    "value": base64.b64encode(bytes(rec["Value"])).decode(),
-                    "ts": now}) + "\n")
+            if p not in next_off:
+                next_off[p] = self._end_offset(topic, p)
+            off = next_off[p]
+            next_off[p] = off + 1
+            pending.setdefault(p, []).append(json.dumps({
+                "offset": off,
+                "key": (base64.b64encode(bytes(rec["Key"])).decode()
+                        if rec.get("Key") is not None else None),
+                "value": base64.b64encode(bytes(rec["Value"])).decode(),
+                "ts": float(rec.get("Ts", now))}))
             out.append({"partition": p, "offset": off})
+        for p, lines in pending.items():
+            log = os.path.join(self._topic_dir(topic), f"p{p}.jsonl")
+            with open(log, "a") as f:
+                f.write("\n".join(lines) + "\n")
         _store(meta_path, meta)
         return out
 

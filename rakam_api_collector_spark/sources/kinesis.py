@@ -549,17 +549,19 @@ class _KinesisPartitionedStreamReader(DataSourceStreamReader):
     def latestOffset(self) -> dict:
         now_ms = int(time.time() * 1000)
         end = now_ms - self._margin_ms
-        if self._max_window_ms and (self._last_planned
-                                    or self._start_ts_ms):
-            # opt-in pacing: catch-up in ≤ maxWindowMs slices. The
-            # startTimestampMs anchor stands in as the base before any
-            # window is planned — the engine may call latestOffset()
-            # ahead of initialOffset(), and a paced backfill whose
-            # FIRST window is the whole backlog defeats the option.
-            # (No base at all — restart, or TRIM_HORIZON without
-            # startTimestampMs — leaves the first window unpaced.)
-            base = self._last_planned or self._start_ts_ms
-            end = min(end, base + self._max_window_ms)
+        if self._max_window_ms and self._last_planned:
+            # opt-in pacing: catch-up in ≤ maxWindowMs slices. Falsy
+            # last_planned — restart, or a fresh query whose FIRST
+            # latestOffset() precedes initialOffset() (the engine's
+            # order) — leaves that first window UNPACED. Deliberate
+            # and load-bearing: a blind paced value anchored at
+            # startTimestampMs can land BELOW the checkpointed offset
+            # after a restart, and Spark commits whatever latestOffset
+            # returns — the regressed offset then re-delivers every
+            # record between it and the old checkpoint (duplicates).
+            # now-anchored unpaced ends can never regress (modulo the
+            # clock-skew caveat the high-water mark note covers).
+            end = min(end, self._last_planned + self._max_window_ms)
         if self._last_planned:
             end = max(end, self._last_planned)   # never regress
         self._last_planned = end

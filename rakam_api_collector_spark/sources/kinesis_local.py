@@ -65,9 +65,16 @@ class ResourceNotFoundException(Exception):
     pass
 
 
-def _load(path: str) -> dict:
-    with open(path) as f:
-        return json.load(f)
+def _load(path: str, default: dict | None = None) -> dict:
+    """Shared by the Kinesis and Kafka emulators (kafka_local.py
+    imports these) — a durability fix here reaches both."""
+    try:
+        with open(path) as f:
+            return json.load(f)
+    except OSError:
+        if default is not None:
+            return default
+        raise
 
 
 def _store(path: str, meta: dict) -> None:

@@ -241,50 +241,38 @@ def run_kinesis_partitioned(spark, n: int, n_batches: int, n_coll: int,
     fan-out, day-partitioned sinks) live — with a mid-run RESHARD
     (one shard split before the 4th batch's records).
 
-    Batch isolation uses the reader's own pacing: every batch's
-    records carry explicit arrival stamps (the emulator's ``Ts``
-    extension) inside one ``maxWindowMs`` slice of a paced backfill
-    anchored at ``startTimestampMs``, so micro-batch b covers exactly
-    window b — the steady-state shape where the window IS the trigger
-    interval. The 15 s budget under test is StreamConfig.java:14-15's
-    poll envelope."""
+    Batch isolation is LIVE PRODUCTION, not backfill: each 30k burst
+    is one ``put_records`` call, so every record in it carries the
+    same arrival stamp and lands in exactly one of the reader's
+    arrival-time windows; the harness produces burst b, waits for the
+    query to consume it, then produces b+1 — the steady-state shape
+    where the window IS the trigger interval. (An earlier draft paced
+    a pre-produced backlog with startTimestampMs+maxWindowMs; review
+    showed a blind paced latestOffset can regress a restarted query's
+    offsets, so pacing stays strictly base-anchored and this cell
+    measures the live shape instead.) The 15 s budget under test is
+    StreamConfig.java:14-15's poll envelope."""
     from rakam_api_collector_spark.sources.kinesis import register
     from rakam_api_collector_spark.sources.kinesis_local import \
         LocalKinesisClient
 
     work = Path(tempfile.mkdtemp(prefix="stress_sustained_kin_"))
-    win_ms = 60_000
-    t0_ms = int(time.time() * 1000) - (n_batches + 2) * win_ms
     cl = LocalKinesisClient(str(work / "stream"))
     cl.create_stream("events", ShardCount=n_shards)
     open_shards = [f"shardId-{i:012d}" for i in range(n_shards)]
 
     def put_batch(b: int) -> None:
         lines = make_envelopes(n, n_coll, seed=100 + b)
-        stamp = (t0_ms + b * win_ms + win_ms // 2) / 1000.0
         cl.put_records("events", [
             {"Data": ln.encode(), "PartitionKey": str(i),
-             "ShardId": open_shards[i % len(open_shards)],
-             "Ts": stamp} for i, ln in enumerate(lines)])
-
-    for b in range(n_batches - 2):
-        put_batch(b)
-    # mid-run reshard: split one shard, later batches land on its
-    # children too — parent-before-child ordering is inherent in the
-    # arrival-time windows (kinesis.py docstring)
-    kids = cl.split_shard("events", open_shards[0])["ChildShards"]
-    open_shards = open_shards[1:] + list(kids)
-    for b in range(n_batches - 2, n_batches):
-        put_batch(b)
+             "ShardId": open_shards[i % len(open_shards)]}
+            for i, ln in enumerate(lines)])
 
     register(spark)
     src = (spark.readStream.format("kinesis_py")
            .option("streamName", "events")
            .option("endpoint", f"local:{work / 'stream'}")
            .option("readerMode", "partitioned")
-           .option("settleMarginMs", "0")
-           .option("startTimestampMs", str(t0_ms))
-           .option("maxWindowMs", str(win_ms))
            .load())
     t0 = time.perf_counter()
     q = start_ingest_stream(
@@ -294,18 +282,41 @@ def run_kinesis_partitioned(spark, n: int, n_batches: int, n_coll: int,
         now=NOW, shard_time=SHARD_T, dedup=True,
         trigger={"processingTime": "1 second"},
         state_partitions=state_partitions, source_stream=src)
-    want = n * n_batches
-    deadline = time.time() + 1200
-    while time.time() < deadline:
-        seen = sum(b["rows"] for b in _progress_rows(q))
-        if seen >= want:
-            break
-        time.sleep(2)
+    # accumulate per-batch progress keyed by batchId — recentProgress
+    # retains only ~100 events, so re-summing it live would silently
+    # drop early batches once empty ticks rotate them out
+    seen: dict[int, dict] = {}
+
+    def consumed() -> int:
+        for p in q.recentProgress:
+            d = p if isinstance(p, dict) else json.loads(p.json)
+            if d.get("numInputRows", 0) > 0:
+                seen[d["batchId"]] = {
+                    "rows": d["numInputRows"],
+                    "wall_sec": round(
+                        d["durationMs"]["triggerExecution"] / 1000.0, 2)}
+        return sum(v["rows"] for v in seen.values())
+
+    deadline = time.time() + 1800
+    for b in range(n_batches):
+        if b == n_batches - 2:
+            # mid-RUN reshard: split a live shard; the next bursts
+            # land on its children too — parent-before-child ordering
+            # is inherent in the arrival-time windows
+            kids = cl.split_shard("events", open_shards[0])["ChildShards"]
+            open_shards = open_shards[1:] + list(kids)
+        put_batch(b)
+        want = n * (b + 1)
+        while time.time() < deadline:
+            if consumed() >= want:
+                break
+            time.sleep(1)
+    consumed()
     q.stop()
     q.awaitTermination(120)
     wall = time.perf_counter() - t0
-    rec = _report("kinesis_partitioned", _progress_rows(q),
-                  n_batches, wall)
+    rec = _report("kinesis_partitioned",
+                  [seen[k] for k in sorted(seen)], n_batches, wall)
     rec["n_shards"] = f"{n_shards} (+1 split mid-run)"
     shutil.rmtree(work, ignore_errors=True)
     return rec

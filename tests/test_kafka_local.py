@@ -362,12 +362,15 @@ def test_kafka_py_schema_and_metadata_columns(spark, tmp_path):
 def test_kafka_py_max_offsets_per_trigger_paces_not_loses(spark, tmp_path):
     """maxOffsetsPerTrigger clamps each planned batch, and the paced
     batches TOGETHER still deliver every record exactly once (the
-    clamp moves the planned end, never skips a range)."""
+    clamp moves the planned end, never skips a range). The backlog is
+    produced AFTER the query starts: the very first latestOffset of a
+    (re)started query runs without a proration base and is
+    deliberately UNCAPPED — a blind synthesized base could regress
+    the committed offsets and re-deliver records (review finding,
+    r13); pacing engages once planning has a real base."""
     work = str(tmp_path / "kafka")
     b = LocalKafkaBroker(work)
     b.create_topic("t", partitions=2)
-    b.produce("t", [{"Value": f"v{i}".encode(), "Partition": i % 2}
-                    for i in range(20)])
     register_kafka_py(spark)
     src = (spark.readStream.format("kafka_py")
            .option("endpoint", f"local:{work}")
@@ -380,6 +383,9 @@ def test_kafka_py_max_offsets_per_trigger_paces_not_loses(spark, tmp_path):
          .option("path", out)
          .option("checkpointLocation", str(tmp_path / "ck"))
          .trigger(processingTime="1 second").start())
+    time.sleep(3)      # let the first (empty) planning rounds set the base
+    b.produce("t", [{"Value": f"v{i}".encode(), "Partition": i % 2}
+                    for i in range(20)])
     deadline = time.time() + 90
     while time.time() < deadline:
         try:
@@ -392,11 +398,12 @@ def test_kafka_py_max_offsets_per_trigger_paces_not_loses(spark, tmp_path):
     vals = sorted(bytes(r["value"])
                   for r in spark.read.parquet(out).collect())
     assert vals == sorted(f"v{i}".encode() for i in range(20))
-    # pacing actually happened: more than one micro-batch committed
+    # pacing actually happened: the 20-record backlog needed >= 4
+    # capped micro-batches (ceil(20/6)), so >= 4 commits exist
     import os
     commits = [f for f in os.listdir(str(tmp_path / "ck" / "commits"))
                if not f.startswith(".")]
-    assert len(commits) >= 3
+    assert len(commits) >= 4
 
 
 def test_kafka_py_new_partitions_enter_at_zero(spark, tmp_path):
@@ -455,3 +462,46 @@ def test_historical_drain_gate_lag_or_staleness(tmp_path):
     # the memory floor vetoes both
     assert not historical_drain_due(500_001, 10 ** 9,
                                     available_memory_pct=0.2)
+
+
+def test_kafka_py_cap_restart_never_regresses_offsets(spark, tmp_path):
+    """The review-finding regression pin: a restarted query with
+    startingOffsets=earliest + maxOffsetsPerTrigger must NOT replan
+    ends below the checkpointed offsets (a zero-anchored proration
+    base did exactly that, re-delivering the whole committed prefix).
+    Stop a capped drain mid-backlog, restart, finish — every record
+    exactly once."""
+    work = str(tmp_path / "kafka")
+    b = LocalKafkaBroker(work)
+    b.create_topic("t", partitions=2)
+    b.produce("t", [{"Value": f"v{i}".encode(), "Partition": i % 2}
+                    for i in range(20)])
+    register_kafka_py(spark)
+    out = str(tmp_path / "rows")
+
+    def run(stop_at: int) -> None:
+        src = (spark.readStream.format("kafka_py")
+               .option("endpoint", f"local:{work}")
+               .option("subscribe", "t")
+               .option("startingOffsets", "earliest")
+               .option("maxOffsetsPerTrigger", "6")
+               .load())
+        q = (src.writeStream.format("parquet")
+             .option("path", out)
+             .option("checkpointLocation", str(tmp_path / "ck"))
+             .trigger(processingTime="1 second").start())
+        deadline = time.time() + 90
+        while time.time() < deadline:
+            try:
+                if spark.read.parquet(out).count() >= stop_at:
+                    break
+            except Exception:
+                pass
+            time.sleep(0.5)
+        q.stop()
+
+    run(stop_at=6)          # partial drain (the first batch is uncapped,
+    run(stop_at=20)         # so >= 6 rows; restart finishes the rest)
+    vals = sorted(bytes(r["value"])
+                  for r in spark.read.parquet(out).collect())
+    assert vals == sorted(f"v{i}".encode() for i in range(20))
