@@ -166,15 +166,18 @@ def _capped_bucket_pairs(buckets: DataFrame, keys: list[str],
 
     if max_bucket is None:
         return pairs(a, b, key_eq)
+    # deliberately NOT cached: the frame is tiny and the flood path
+    # references it lazily past this function's lifetime — a cache
+    # here could never be unpersisted safely and would leak pinned
+    # storage per invocation; recomputing the aggregate reads the
+    # caller-cached buckets frame with map-side combine (cheap)
     hot_keys = (buckets.groupBy(*keys)
                 .agg(F.count(F.lit(1)).alias("_bn"))
                 .filter(F.col("_bn") > max_bucket)
-                .drop("_bn")
-                .cache())
+                .drop("_bn"))
     if not hot_keys.head(1):
         # steady state: no bucket exceeds the cap — the guard costs
         # one tiny aggregate and the exact self-join runs untouched
-        hot_keys.unpersist()
         return pairs(a, b, key_eq)
     cold = buckets.join(F.broadcast(hot_keys), keys, "left_anti")
     hot = buckets.join(F.broadcast(hot_keys), keys, "left_semi")

@@ -190,6 +190,11 @@ class _KafkaPyStreamReader(DataSourceStreamReader):
         # range, so a clamp there would silently skip the tail between
         # planned and committed ends.
         self._last_planned: dict[str, int] | None = None
+        # batches a lagging partition has gone without an allocation —
+        # ages its priority so sustained unequal load cannot starve a
+        # low-lag partition (bounded wait: <= #lagging partitions
+        # batches, see latestOffset)
+        self._skips: dict[str, int] = {}
 
     def _broker(self):
         if self._b is None:
@@ -224,12 +229,18 @@ class _KafkaPyStreamReader(DataSourceStreamReader):
         # stays in the next batch. Allocation is largest-remainder so
         # the batch TOTAL never exceeds the cap even with more lagging
         # partitions than records allowed (a floor-at-1-each would
-        # overshoot by up to #partitions/cap); partitions allocated 0
-        # this batch rise in priority as served partitions' lag
-        # drains, so none starves. Under Trigger.AvailableNow the
-        # clamped offset is captured once, so the cap trades drain
-        # completeness for pacing there (same caveat the Kinesis
-        # reader documents for maxWindowMs — cap is opt-in).
+        # overshoot by up to #partitions/cap — the jar connector's own
+        # posture, traded here for a strict cap). Strictness needs an
+        # anti-starvation rule: under SUSTAINED unequal load a low-lag
+        # partition's fractional share never wins the remainder, so
+        # zero-allocation batches age a partition's priority
+        # (self._skips) until it leads the remainder order — bounded
+        # wait of <= #lagging partitions batches, then it is served or
+        # steals one record from the largest allocation. Under
+        # Trigger.AvailableNow the clamped offset is captured once, so
+        # the cap trades drain completeness for pacing there (same
+        # caveat the Kinesis reader documents for maxWindowMs — cap is
+        # opt-in).
         if self._max_per_trigger and self._last_planned is not None:
             base = self._last_planned
             lags = {tp: ends[tp] - base.get(tp, 0) for tp in ends
@@ -240,12 +251,12 @@ class _KafkaPyStreamReader(DataSourceStreamReader):
                 scale = cap / total
                 floors = {tp: int(n * scale) for tp, n in lags.items()}
                 left = cap - sum(floors.values())
-                # remainder to the largest fractional shares, lag-desc
-                # then name as the deterministic tie-break
+                # remainder order: longest-starved first, then largest
+                # fractional share, then name (deterministic)
                 order = sorted(
-                    lags, key=lambda tp: (-(lags[tp] * scale
-                                            - floors[tp]),
-                                          -lags[tp], tp))
+                    lags, key=lambda tp: (-self._skips.get(tp, 0),
+                                          -(lags[tp] * scale
+                                            - floors[tp]), tp))
                 for tp in order:
                     if left <= 0:
                         break
@@ -253,7 +264,18 @@ class _KafkaPyStreamReader(DataSourceStreamReader):
                     left -= 1
                 if sum(floors.values()) == 0:
                     floors[order[0]] = 1     # guarantee progress
-                for tp in lags:              # 0-alloc partitions wait
+                for tp in order:
+                    if (floors[tp] == 0
+                            and self._skips.get(tp, 0) >= len(lags)):
+                        donor = max(floors, key=floors.get)
+                        if floors[donor] > 1:
+                            floors[donor] -= 1
+                            floors[tp] += 1
+                for tp in lags:              # 0-alloc partitions age
+                    if floors[tp] == 0:
+                        self._skips[tp] = self._skips.get(tp, 0) + 1
+                    else:
+                        self._skips.pop(tp, None)
                     ends[tp] = base.get(tp, 0) + floors[tp]
         self._last_planned = dict(ends)
         return {"v": 1, "offsets": ends}

@@ -157,12 +157,23 @@ class LocalKafkaBroker:
             log = os.path.join(self._topic_dir(topic), f"p{p}.jsonl")
             with open(log, "a") as f:
                 f.write("\n".join(lines) + "\n")
+        ends = meta.setdefault("ends", {})
+        for p, off in next_off.items():
+            ends[str(p)] = off
         _store(meta_path, meta)
         return out
 
     # -- log metadata / fetch (shared with the consumer + DataSource) --------
 
     def _end_offset(self, topic: str, partition: int) -> int:
+        # maintained in topic meta by produce() so the per-second
+        # planning rounds don't line-scan growing logs; line-count
+        # fallback for logs predating the meta field
+        meta = _load(os.path.join(self._topic_dir(topic), "meta.json"),
+                     default={})
+        cached = meta.get("ends", {}).get(str(partition))
+        if cached is not None:
+            return cached
         log = os.path.join(self._topic_dir(topic), f"p{partition}.jsonl")
         n = 0
         try:
@@ -183,17 +194,20 @@ class LocalKafkaBroker:
     def fetch(self, topic: str, partition: int, start: int,
               max_records: int | None = None) -> list[dict]:
         """Records with ``offset >= start``, offset-ascending — dense
-        offsets make the committed-range replay a pure slice."""
+        offsets make the committed-range replay a pure slice, and the
+        offset IS the line number by construction, so the prefix is
+        skipped without decoding (a paced drain stays O(range) in
+        decode work per batch, not O(backlog))."""
         log = os.path.join(self._topic_dir(topic), f"p{partition}.jsonl")
         out: list[dict] = []
         try:
             with open(log) as f:
-                for line in f:
-                    rec = json.loads(line)
-                    if rec["offset"] < start:
+                for i, line in enumerate(f):
+                    if i < start:
                         continue
                     if max_records is not None and len(out) >= max_records:
                         break
+                    rec = json.loads(line)
                     out.append({
                         "topic": topic, "partition": partition,
                         "offset": rec["offset"],
@@ -209,7 +223,7 @@ class LocalKafkaBroker:
 
     def _group(self, group: str) -> dict:
         doc = _load(self._groups_path(), default={})
-        return doc.get(group) or {"generation": 0, "members": [],
+        return doc.get(group) or {"generation": 0, "members": {},
                                   "committed": {}}
 
     def _update_group(self, group: str, g: dict) -> None:
@@ -217,10 +231,18 @@ class LocalKafkaBroker:
         doc[group] = g
         _store(self._groups_path(), doc)
 
-    def join_group(self, group: str, member_id: str) -> int:
+    def join_group(self, group: str, member_id: str,
+                   topics: list[str]) -> int:
+        """``members`` maps member id → its SUBSCRIPTION (topic list):
+        assignment is computed per topic over that topic's subscribers
+        (the RangeAssignor shape), so heterogeneous subscriptions in
+        one group cannot orphan a partition on a non-subscriber. A
+        re-join with a CHANGED subscription bumps the generation too —
+        real Kafka rejoins on subscription change; silently keeping
+        the old assignment would strand the new topics."""
         g = self._group(group)
-        if member_id not in g["members"]:
-            g["members"] = sorted(g["members"] + [member_id])
+        if g["members"].get(member_id) != sorted(topics):
+            g["members"][member_id] = sorted(topics)
             g["generation"] += 1
             self._update_group(group, g)
         return g["generation"]
@@ -228,7 +250,7 @@ class LocalKafkaBroker:
     def leave_group(self, group: str, member_id: str) -> None:
         g = self._group(group)
         if member_id in g["members"]:
-            g["members"] = [m for m in g["members"] if m != member_id]
+            del g["members"][member_id]
             g["generation"] += 1
             self._update_group(group, g)
 
@@ -250,22 +272,27 @@ class LocalKafkaBroker:
         return self._group(group)["committed"].get(_tp(topic, partition))
 
 
-def range_assignment(members: list[str], topic_partitions:
-                     list[tuple[str, int]]) -> dict[str, list[tuple[str, int]]]:
-    """Deterministic range assignment: sorted partitions dealt in
-    contiguous runs over sorted member ids — the shape of Kafka's
-    default RangeAssignor, enough for rebalance-replay tests."""
-    members = sorted(members)
-    tps = sorted(topic_partitions)
-    out: dict[str, list[tuple[str, int]]] = {m: [] for m in members}
-    if not members:
-        return out
-    per, extra = divmod(len(tps), len(members))
-    i = 0
-    for j, m in enumerate(members):
-        take = per + (1 if j < extra else 0)
-        out[m] = tps[i:i + take]
-        i += take
+def range_assignment(subscriptions: dict[str, list[str]],
+                     partitions_by_topic: dict[str, list[int]]
+                     ) -> dict[str, list[tuple[str, int]]]:
+    """Kafka's RangeAssignor shape, PER TOPIC: each topic's sorted
+    partitions are dealt in contiguous runs over the sorted member
+    ids subscribed to THAT topic — so members with different
+    subscriptions coexist in one group without orphaning partitions
+    on non-subscribers. Deterministic."""
+    out: dict[str, list[tuple[str, int]]] = {m: [] for m in subscriptions}
+    for topic in sorted(partitions_by_topic):
+        subs = sorted(m for m, ts in subscriptions.items()
+                      if topic in ts)
+        if not subs:
+            continue
+        tps = [(topic, p) for p in sorted(partitions_by_topic[topic])]
+        per, extra = divmod(len(tps), len(subs))
+        i = 0
+        for j, m in enumerate(subs):
+            take = per + (1 if j < extra else 0)
+            out[m].extend(tps[i:i + take])
+            i += take
     return out
 
 
@@ -301,9 +328,11 @@ class LocalKafkaConsumer:
     def subscribe(self, topics: list[str], listener=None) -> None:
         self._topics = list(topics)
         self._listener = listener
-        self._b.join_group(self._group, self._member)
+        self._b.join_group(self._group, self._member, self._topics)
         # assignment materializes on the first poll (Kafka's shape:
-        # subscribe is lazy, the join completes inside poll)
+        # subscribe is lazy, the join completes inside poll); a
+        # CHANGED subscription bumped the generation above, so the
+        # next poll rebalances onto the new topics
 
     def close(self) -> None:
         self._b.leave_group(self._group, self._member)
@@ -318,9 +347,10 @@ class LocalKafkaConsumer:
             return
         if self._listener is not None and self._assigned:
             self._listener.on_partitions_revoked(list(self._assigned))
-        tps = [(t, p) for t in self._topics
-               for p in self._b.partitions_for(t)]
-        mine = range_assignment(g["members"], tps).get(self._member, [])
+        all_topics = sorted({t for ts in g["members"].values()
+                             for t in ts})
+        pbt = {t: self._b.partitions_for(t) for t in all_topics}
+        mine = range_assignment(g["members"], pbt).get(self._member, [])
         self._assigned = mine
         self._generation = g["generation"]
         # EAGER rebalance semantics (the classic protocol the range

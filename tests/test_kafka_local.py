@@ -505,3 +505,70 @@ def test_kafka_py_cap_restart_never_regresses_offsets(spark, tmp_path):
     vals = sorted(bytes(r["value"])
                   for r in spark.read.parquet(out).collect())
     assert vals == sorted(f"v{i}".encode() for i in range(20))
+
+
+def test_resubscribe_changes_topics_and_rebalances(tmp_path):
+    """A re-subscribe with a different topic list must rejoin (bump
+    the generation) — real Kafka rebalances on subscription change;
+    silently keeping the old assignment strands the new topics."""
+    b = _mk(tmp_path, topic="a", partitions=1)
+    b.create_topic("x", partitions=1)
+    b.produce("a", [{"Value": b"va"}])
+    b.produce("x", [{"Value": b"vx"}])
+    c = LocalKafkaConsumer(str(tmp_path / "kafka"), "g", "m",
+                           auto_offset_reset="earliest")
+    c.subscribe(["a"])
+    assert _vals(c.poll()) == [b"va"]
+    c.subscribe(["x"])
+    assert _vals(c.poll()) == [b"vx"]
+    assert c.assignment() == [("x", 0)]
+
+
+def test_heterogeneous_subscriptions_orphan_no_partition(tmp_path):
+    """Per-topic range assignment: members with different topic lists
+    in ONE group — every partition goes to a subscriber of its topic,
+    none is dealt to a member that will never poll it."""
+    b = _mk(tmp_path, topic="a", partitions=1)
+    b.create_topic("b", partitions=1)
+    b.produce("a", [{"Value": b"va"}])
+    b.produce("b", [{"Value": b"vb"}])
+    m1 = LocalKafkaConsumer(str(tmp_path / "kafka"), "g", "m1",
+                            auto_offset_reset="earliest")
+    m2 = LocalKafkaConsumer(str(tmp_path / "kafka"), "g", "m2",
+                            auto_offset_reset="earliest")
+    m1.subscribe(["a"])
+    m2.subscribe(["b"])
+    assert _vals(m1.poll()) == [b"va"]
+    assert _vals(m2.poll()) == [b"vb"]
+    assert m1.assignment() == [("a", 0)]
+    assert m2.assignment() == [("b", 0)]
+
+
+def test_cap_proration_never_starves_low_lag_partition(tmp_path):
+    """Strict-cap largest-remainder alone starves a 1-record partition
+    while a fat partition stays lagged; the skip-aging rule bounds the
+    wait to <= #lagging partitions batches."""
+    from rakam_api_collector_spark.sources.kafka import \
+        _KafkaPyStreamReader
+
+    work = str(tmp_path / "kafka")
+    b = LocalKafkaBroker(work)
+    b.create_topic("t", partitions=2)
+    b.produce("t", [{"Value": b"small", "Partition": 0}])
+    b.produce("t", [{"Value": f"fat{i}".encode(), "Partition": 1}
+                    for i in range(1000)])
+    r = _KafkaPyStreamReader({"endpoint": f"local:{work}",
+                              "subscribe": "t",
+                              "startingoffsets": "earliest",
+                              "maxoffsetspertrigger": "6"})
+    r.initialOffset()
+    served_small = None
+    for step in range(6):
+        off = r.latestOffset()["offsets"]
+        # keep the fat partition lagged forever
+        b.produce("t", [{"Value": b"more", "Partition": 1}
+                        for _ in range(6)])
+        if off["t 0"] >= 1:
+            served_small = step
+            break
+    assert served_small is not None and served_small <= 2
