@@ -227,6 +227,12 @@ STRESS.md r13 note.) llm10/llm15 exercise the identical changed
 helper in-window; llm09 takes the spare so all three consumers of the
 changed code carry fresh r13 driver rows; all five adjacent queries
 (llm08/09/10/15/16) re-verified green at sf0.001/0.01/0.1 in-round.
+Also modified in r13, both ALREADY in-window as due-backs (no extra
+slot needed): llm31_vocab_coverage (top-k via TakeOrderedAndProject
+instead of ranking the whole vocabulary through one unpartitioned
+window — the r12 verdict's item 7) and no others; the Kafka
+twin/bench/Kinesis-pacing work of r13 touches no registered query.
+Full registry re-verified 99/99 green at sf0.01 in-round.
 Out-of-window (49 queries, all r12-green, due back in r14 — leaving
 1 spare): the entire r12 window minus llm09 (dq05/08, dq12-17
 semi+anti, dq29-32, dq34, dq36, dq47, llm01-06, llm11, llm16,

@@ -79,7 +79,7 @@ def _progress_rows(query) -> list[dict]:
 
 
 def _report(name: str, batches: list[dict], n_batches: int,
-            wall: float) -> dict:
+            wall: float, total_rows: int | None = None) -> dict:
     steady = batches[1:]
     rec = {
         "metric": f"sustained_{name}_batches",
@@ -94,8 +94,15 @@ def _report(name: str, batches: list[dict], n_batches: int,
             "steady_max_wall_sec": max(b["wall_sec"] for b in steady),
             "steady_records_per_sec": round(rows / secs, 1) if secs else None,
         })
-    assert len(batches) == n_batches, \
-        f"expected {n_batches} micro-batches, saw {len(batches)}"
+    if total_rows is not None:
+        # burst sources without atomic batch edges (kafka_py: a
+        # trigger can plan mid-produce and split a burst) assert total
+        # delivery; batch count is reported, not asserted
+        got = sum(b["rows"] for b in batches)
+        assert got == total_rows, f"expected {total_rows} rows, {got}"
+    else:
+        assert len(batches) == n_batches, \
+            f"expected {n_batches} micro-batches, saw {len(batches)}"
     return rec
 
 
@@ -322,6 +329,80 @@ def run_kinesis_partitioned(spark, n: int, n_batches: int, n_coll: int,
     return rec
 
 
+def run_kafka_py(spark, n: int, n_batches: int, n_coll: int,
+                 n_partitions: int = 4,
+                 state_partitions: int | None = 4) -> dict:
+    """The Kafka twin of the partitioned-Kinesis cell: ``n`` records ×
+    ``n_batches`` live 30k bursts through ``start_ingest_stream`` fed
+    by ``format("kafka_py")`` against the file-backed broker emulator
+    — S1's steady-state trigger evidence on the jar-less path. The
+    offset model gives batch isolation for free (each burst advances
+    the log ends; the harness waits for consumption before producing
+    the next), with a mid-run PARTITION GROWTH (Kafka's only reshard:
+    the topic grows partitions; new ones enter at offset 0)."""
+    from rakam_api_collector_spark.sources.kafka import register_kafka_py
+    from rakam_api_collector_spark.sources.kafka_local import \
+        LocalKafkaBroker
+
+    work = Path(tempfile.mkdtemp(prefix="stress_sustained_kafka_"))
+    broker = LocalKafkaBroker(str(work / "kafka"))
+    broker.create_topic("events", partitions=n_partitions)
+    parts = n_partitions
+
+    def put_batch(b: int) -> None:
+        lines = make_envelopes(n, n_coll, seed=100 + b)
+        broker.produce("events", [
+            {"Value": ln.encode(), "Partition": i % parts}
+            for i, ln in enumerate(lines)])
+
+    register_kafka_py(spark)
+    src = (spark.readStream.format("kafka_py")
+           .option("endpoint", f"local:{work / 'kafka'}")
+           .option("subscribe", "events")
+           .option("startingOffsets", "earliest")
+           .load())
+    t0 = time.perf_counter()
+    q = start_ingest_stream(
+        spark, None, "fabric", Catalog(),
+        table_base=str(work / "tables"),
+        checkpoint=str(work / "ckpt"),
+        now=NOW, shard_time=SHARD_T, dedup=True,
+        trigger={"processingTime": "1 second"},
+        state_partitions=state_partitions, source_stream=src)
+    seen: dict[int, dict] = {}
+
+    def consumed() -> int:
+        for p in q.recentProgress:
+            d = p if isinstance(p, dict) else json.loads(p.json)
+            if d.get("numInputRows", 0) > 0:
+                seen[d["batchId"]] = {
+                    "rows": d["numInputRows"],
+                    "wall_sec": round(
+                        d["durationMs"]["triggerExecution"] / 1000.0, 2)}
+        return sum(v["rows"] for v in seen.values())
+
+    deadline = time.time() + 1800
+    for b in range(n_batches):
+        if b == n_batches - 2:
+            broker.create_partitions("events", n_partitions + 2)
+            parts = n_partitions + 2
+        put_batch(b)
+        want = n * (b + 1)
+        while time.time() < deadline:
+            if consumed() >= want:
+                break
+            time.sleep(1)
+    consumed()
+    q.stop()
+    q.awaitTermination(120)
+    wall = time.perf_counter() - t0
+    rec = _report("kafka_py", [seen[k] for k in sorted(seen)],
+                  n_batches, wall, total_rows=n * n_batches)
+    rec["n_partitions"] = f"{n_partitions} (+2 grown mid-run)"
+    shutil.rmtree(work, ignore_errors=True)
+    return rec
+
+
 def main() -> None:
     mode = sys.argv[1] if len(sys.argv) > 1 else "both"
     n = int(sys.argv[2]) if len(sys.argv) > 2 else 30_000
@@ -363,6 +444,9 @@ def main() -> None:
                                   maint_profile=profile)))
     if mode in ("kinesis-partitioned",):
         print(json.dumps(run_kinesis_partitioned(
+            spark, n, n_batches, n_coll, state_partitions=sp)))
+    if mode in ("kafka",):
+        print(json.dumps(run_kafka_py(
             spark, n, n_batches, n_coll, state_partitions=sp)))
 
 
