@@ -122,6 +122,10 @@ class LocalKinesisClient:
         meta = self._meta(StreamName)
         out = []
         now = time.time()
+        # appends buffered per shard (one write per touched shard per
+        # call, not one open/append per record — the same O(B) produce
+        # discipline the Kafka emulator uses)
+        pending: dict[str, list[str]] = {}
         for rec in Records:
             sid = rec.get("ShardId") or next(
                 s for s, m in sorted(meta["shards"].items())
@@ -131,12 +135,14 @@ class LocalKinesisClient:
                 raise ValueError(f"shard {sid} is closed")
             seq = meta["next_seq"]
             meta["next_seq"] = seq + 1
-            with open(self._rec_path(sid), "a") as f:
-                f.write(json.dumps({
-                    "seq": seq, "key": rec.get("PartitionKey", ""),
-                    "data": base64.b64encode(rec["Data"]).decode(),
-                    "ts": float(rec.get("Ts", now))}) + "\n")
+            pending.setdefault(sid, []).append(json.dumps({
+                "seq": seq, "key": rec.get("PartitionKey", ""),
+                "data": base64.b64encode(rec["Data"]).decode(),
+                "ts": float(rec.get("Ts", now))}))
             out.append({"SequenceNumber": str(seq), "ShardId": sid})
+        for sid, lines in pending.items():
+            with open(self._rec_path(sid), "a") as f:
+                f.write("\n".join(lines) + "\n")
         _store(meta_path, meta)
         return {"Records": out, "FailedRecordCount": 0}
 

@@ -572,3 +572,47 @@ def test_cap_proration_never_starves_low_lag_partition(tmp_path):
             served_small = step
             break
     assert served_small is not None and served_small <= 2
+
+
+@settings(max_examples=40, deadline=None)
+@given(lags0=st.lists(st.integers(0, 50), min_size=1, max_size=6),
+       cap=st.integers(1, 20), rounds=st.integers(1, 12))
+def test_cap_proration_invariants_fuzz(lags0, cap, rounds):
+    """Planner-level invariants of maxOffsetsPerTrigger under ANY lag
+    shape and sustained production: (a) planned ends never regress
+    below the base, (b) when clamping engages the batch total never
+    exceeds the cap (strict — the floor-at-1 overshoot class), (c) a
+    continuously-lagging partition is served within ~#partitions
+    batches (the skip-aging bound)."""
+    from rakam_api_collector_spark.sources.kafka import \
+        _KafkaPyStreamReader
+
+    r = _KafkaPyStreamReader({"endpoint": "local:/nonexistent",
+                              "subscribe": "t",
+                              "startingoffsets": "earliest",
+                              "maxoffsetspertrigger": str(cap)})
+    n = len(lags0)
+    log_ends = {f"t {i}": lags0[i] for i in range(n)}
+    r._ends = lambda: dict(log_ends)
+    base = {tp: 0 for tp in log_ends}
+    r._last_planned = dict(base)      # post-initialOffset state
+    waiting = {tp: 0 for tp in log_ends}
+    for _ in range(rounds):
+        planned = r.latestOffset()["offsets"]
+        allocated = {tp: planned[tp] - base[tp] for tp in planned}
+        assert all(v >= 0 for v in allocated.values()), "regression"
+        lagged = {tp for tp in base if log_ends[tp] > base[tp]}
+        if sum(log_ends[tp] - base[tp] for tp in lagged) > cap:
+            assert sum(allocated.values()) <= cap, "cap exceeded"
+        for tp in lagged:
+            if allocated.get(tp, 0) > 0:
+                waiting[tp] = 0
+            else:
+                waiting[tp] += 1
+                assert waiting[tp] <= n + 2, "starved"
+        base = dict(planned)
+        # keep alternating partitions permanently hot (sustained
+        # unequal load — the starvation regime)
+        for i, tp in enumerate(sorted(log_ends)):
+            if i % 2 == 0:
+                log_ends[tp] += 7
