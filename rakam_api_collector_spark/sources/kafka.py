@@ -22,6 +22,8 @@ checkpointed e2e evidence without a broker.
 
 from __future__ import annotations
 
+import json
+import os
 from datetime import datetime, timezone
 
 from pyspark.sql import SparkSession
@@ -365,6 +367,51 @@ def historical_drain_due(lag_records: int, ms_since_last_drain: int,
     return available_memory_pct > 0.3 and (
         ms_since_last_drain > max_flush_ms
         or lag_records > max_flush_records)
+
+
+def checkpointed_offsets(checkpoint: str) -> dict[str, int] | None:
+    """Latest planned per-partition offsets of a ``kafka_py`` query,
+    read from its own checkpoint (``offsets/<max-batch>``). Both the
+    jar connector and kafka_py keep progress in the CHECKPOINT, never
+    in consumer-group commits (ST7), so the reference's "lag since
+    committed" test maps onto checkpoint-vs-log-end here. Returns
+    None before any batch has been planned. File shape: a ``v1``
+    header line, one batch-metadata JSON line, then one offset JSON
+    per source — ours is the line carrying an ``offsets`` map."""
+    d = os.path.join(checkpoint, "offsets")
+    try:
+        batches = sorted(int(f) for f in os.listdir(d) if f.isdigit())
+    except OSError:
+        return None
+    if not batches:
+        return None
+    try:
+        with open(os.path.join(d, str(batches[-1]))) as fh:
+            lines = [ln.strip() for ln in fh if ln.strip()]
+    except OSError:
+        return None
+    for ln in reversed(lines):     # source offsets are the last lines
+        try:
+            doc = json.loads(ln)
+        except ValueError:
+            continue
+        if isinstance(doc, dict) and isinstance(doc.get("offsets"), dict):
+            return {k: int(v) for k, v in doc["offsets"].items()}
+    return None
+
+
+def checkpoint_lag(checkpoint: str, broker, topics: list[str]) -> int:
+    """Records between a kafka_py query's checkpointed offsets and the
+    log ends — the ``recordsToBeProcessed`` input of
+    ``historical_drain_due`` for the Spark-checkpoint path (S2's lag
+    gate over the query's own progress state). An unplanned partition
+    counts its whole log (startingOffsets=earliest drain posture)."""
+    committed = checkpointed_offsets(checkpoint) or {}
+    total = 0
+    for t in topics:
+        for p, end in broker.end_offsets(t).items():
+            total += max(0, end - committed.get(f"{t} {p}", 0))
+    return total
 
 
 def historical_lag(broker, group: str, topic: str) -> int:

@@ -616,3 +616,56 @@ def test_cap_proration_invariants_fuzz(lags0, cap, rounds):
         for i, tp in enumerate(sorted(log_ends)):
             if i % 2 == 0:
                 log_ends[tp] += 7
+
+
+def test_historical_drain_cycle_gate_drain_gate(spark, tmp_path):
+    """S2's full cycle on the Spark-checkpoint path: lag accumulates
+    on the historical topic → the gate fires (lag > maxFlushRecords)
+    → an availableNow drain through the ingest pipeline consumes it →
+    the gate measured against the query's OWN checkpoint reads zero
+    lag and stops firing (until staleness re-arms it)."""
+    from rakam_api_collector_spark.ingest import Catalog
+    from rakam_api_collector_spark.sinks import read_collection
+    from rakam_api_collector_spark.sources.kafka import (
+        checkpoint_lag, historical_drain_due)
+    from rakam_api_collector_spark.streaming import start_ingest_stream
+    from tests.test_ingest import fabric
+
+    work = str(tmp_path / "kafka")
+    b = LocalKafkaBroker(work)
+    b.create_topic("hist", partitions=2)
+    b.produce("hist", [
+        {"Value": fabric("t", {"_time": "2020-06-01T10:00:00",
+                               "_user": f"u{i}", "v": i}).encode()}
+        for i in range(6)])
+    ckpt = str(tmp_path / "ckpt")
+    lag = checkpoint_lag(ckpt, b, ["hist"])
+    assert lag == 6                       # no checkpoint yet: whole log
+    assert historical_drain_due(lag, ms_since_last_drain=0,
+                                max_flush_records=5)
+
+    register_kafka_py(spark)
+    src = (spark.readStream.format("kafka_py")
+           .option("endpoint", f"local:{work}")
+           .option("subscribe", "hist")
+           .option("startingOffsets", "earliest")
+           .load())
+    cat = Catalog(path=str(tmp_path / "cat.json"))
+    start_ingest_stream(
+        spark, source_dir=None, fmt="fabric", catalog=cat,
+        table_base=str(tmp_path / "tables"), checkpoint=ckpt,
+        now="2020-06-01", shard_time="2020-06-01 00:00:00",
+        dedup=False, source_stream=src).awaitTermination(120)
+
+    assert checkpoint_lag(ckpt, b, ["hist"]) == 0     # drained
+    assert not historical_drain_due(0, ms_since_last_drain=0,
+                                    max_flush_records=5)
+    # staleness alone re-arms the gate even at zero lag? No — the
+    # reference drains on EITHER condition, so a 30-min-stale zero-lag
+    # drain runs (and reads nothing); pin the OR shape
+    assert historical_drain_due(0, ms_since_last_drain=31 * 60 * 1000,
+                                max_flush_records=5)
+
+    df = read_collection(spark, str(tmp_path / "tables"),
+                         "testproject", "t", cat)
+    assert df.count() == 6
