@@ -669,3 +669,43 @@ def test_historical_drain_cycle_gate_drain_gate(spark, tmp_path):
     df = read_collection(spark, str(tmp_path / "tables"),
                          "testproject", "t", cat)
     assert df.count() == 6
+
+
+@settings(max_examples=60, deadline=None)
+@given(subs=st.dictionaries(
+    st.sampled_from([f"m{i}" for i in range(4)]),
+    st.lists(st.sampled_from(["a", "b", "c"]), max_size=3,
+             unique=True),
+    min_size=1, max_size=4),
+    parts=st.dictionaries(st.sampled_from(["a", "b", "c"]),
+                          st.integers(1, 5), min_size=1, max_size=3))
+def test_range_assignment_properties(subs, parts):
+    """For ANY member/subscription/partition shape: every partition of
+    a subscribed topic is assigned exactly once, only to a subscriber
+    of that topic, balanced within one partition per topic among that
+    topic's subscribers, and deterministically."""
+    from rakam_api_collector_spark.sources.kafka_local import \
+        range_assignment
+
+    pbt = {t: list(range(n)) for t, n in parts.items()}
+    out = range_assignment(subs, pbt)
+    assert range_assignment(dict(reversed(list(subs.items()))),
+                            pbt) == out      # deterministic
+    seen = [tp for tps in out.values() for tp in tps]
+    assert len(seen) == len(set(seen))       # exactly once
+    for m, tps in out.items():
+        for (t, p) in tps:
+            assert t in subs[m]              # only subscribers
+    for t, ps in pbt.items():
+        owners = {m for m, tps in out.items()
+                  for (tt, _p) in tps if tt == t}
+        t_subs = {m for m, ts in subs.items() if t in ts}
+        covered = {p for m, tps in out.items()
+                   for (tt, p) in tps if tt == t}
+        if t_subs:
+            assert covered == set(ps)        # full coverage
+            counts = [sum(1 for (tt, _p) in out[m] if tt == t)
+                      for m in t_subs]
+            assert max(counts) - min(counts) <= 1   # balanced
+        else:
+            assert not owners                # unsubscribed: unassigned
