@@ -144,7 +144,9 @@ class _KafkaPyStreamReader(DataSourceStreamReader):
       (latest = log-end at query start, restart-safe because it's IN
       the checkpoint);
     - ``maxOffsetsPerTrigger`` caps a batch's TOTAL records, prorated
-      across partitions by their share of the lag;
+      across partitions by their share of the lag (processing-time
+      triggers; an availableNow drain runs complete and unpaced — its
+      only planning call precedes any proration base);
     - partitions discovered mid-stream (``create_partitions`` growth)
       enter at offset 0 — their whole retained history, the jar
       connector's new-partition posture;
@@ -239,10 +241,11 @@ class _KafkaPyStreamReader(DataSourceStreamReader):
         # (self._skips) until it leads the remainder order — bounded
         # wait of <= #lagging partitions batches, then it is served or
         # steals one record from the largest allocation. Under
-        # Trigger.AvailableNow the clamped offset is captured once, so
-        # the cap trades drain completeness for pacing there (same
-        # caveat the Kinesis reader documents for maxWindowMs — cap is
-        # opt-in).
+        # Trigger.AvailableNow the single planning call is the blind
+        # first one, which is UNCAPPED — so an availableNow drain is
+        # complete in one unpaced batch and the cap simply has no
+        # effect there (tested; the cap paces processing-time
+        # triggers, where planning has a base from the prior batch).
         if self._max_per_trigger and self._last_planned is not None:
             base = self._last_planned
             lags = {tp: ends[tp] - base.get(tp, 0) for tp in ends

@@ -474,15 +474,18 @@ class _KinesisPartitionedStreamReader(DataSourceStreamReader):
     state the window IS the trigger interval, so per-batch volume is
     bounded by cadence with no record cap needing executor feedback.
     ``maxWindowMs`` (OPT-IN, no default) additionally paces catch-up
-    reads into fixed slices for processing-time triggers; it is
-    deliberately not on by default because a paced ``latestOffset``
-    under Trigger.AvailableNow is captured once and would end the run
-    after a single slice. Unpaced edges, also deliberate: a
-    TRIM_HORIZON start takes the retained history as its first window
-    (``startTimestampMs`` anchors a paced backfill from a known
-    point), and after a RESTART the first window is unpaced (pacing
-    state lives in driver memory) — the jar connectors' first-batch
-    posture.
+    reads into fixed slices for processing-time triggers. Unpaced
+    FIRST edges, deliberate and load-bearing (r13): the engine calls
+    ``latestOffset()`` before ``initialOffset()`` and never shows
+    planning the checkpointed start, so any synthesized pacing base
+    (including the ``startTimestampMs`` anchor) can plan — and Spark
+    commits — an offset BELOW a restarted query's checkpoint,
+    re-delivering the regressed span. The first window after a
+    (re)start is therefore always now-anchored and unpaced (the jar
+    connectors' first-batch posture), which also means an
+    AvailableNow drain is complete in one unpaced batch regardless of
+    pacing options; pacing engages from the second batch, once
+    planning has a real base.
 
     **LATEST** anchors to the query-start wall clock (the offset in
     the checkpoint), i.e. AT_TIMESTAMP(query start) — the same anchor
@@ -508,12 +511,12 @@ class _KinesisPartitionedStreamReader(DataSourceStreamReader):
             raise ValueError(f"initialPosition {self._position!r}: "
                              "expected TRIM_HORIZON or LATEST")
         self._margin_ms = int(options.get("settlemarginms") or 1500)
-        # pacing is OPT-IN: a paced latestOffset under
-        # Trigger.AvailableNow would be captured ONCE and the query
-        # would terminate after a single slice with the backlog
-        # unread. Unpaced (default), steady-state windows equal the
-        # trigger cadence — already volume-bounded by the 1 MB/s/shard
-        # ingest cap — and an AvailableNow drain covers everything.
+        # pacing is OPT-IN and never applies to the FIRST window after
+        # a (re)start (see class docstring: a blind paced value can
+        # regress a restarted query's committed offsets). Unpaced
+        # (default), steady-state windows equal the trigger cadence —
+        # already volume-bounded by the 1 MB/s/shard ingest cap — and
+        # an AvailableNow drain covers everything in one batch.
         self._max_window_ms = (int(options["maxwindowms"])
                                if options.get("maxwindowms") else None)
         # optional paced-backfill anchor: without it a TRIM_HORIZON
