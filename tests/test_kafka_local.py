@@ -709,3 +709,81 @@ def test_range_assignment_properties(subs, parts):
             assert max(counts) - min(counts) <= 1   # balanced
         else:
             assert not owners                # unsubscribed: unassigned
+
+
+def test_kafka_py_feeds_streaming_corpus_dedup(spark, tmp_path):
+    """The LLM-pipeline integration: documents arriving over the
+    Kafka source stream into the persistent-signature corpus dedup
+    (streaming/dedupstream.py) — a near-duplicate produced in a LATER
+    burst is rejected against the signature store built from the
+    earlier one, across separate micro-batches."""
+    from pyspark.sql import functions as F
+
+    from rakam_api_collector_spark.streaming.dedupstream import \
+        start_corpus_dedup_stream
+
+    work = str(tmp_path / "kafka")
+    b = LocalKafkaBroker(work)
+    b.create_topic("docs", partitions=2)
+    base = ("the quick brown fox jumps over the lazy dog and then "
+            "wanders far away into the quiet hills before dusk")
+
+    def doc(i, text):
+        return json.dumps({"doc_id": i, "text": text}).encode()
+
+    b.produce("docs", [{"Value": doc(1, base)},
+                       {"Value": doc(2, "an entirely different text "
+                                        "about spark streaming and "
+                                        "checkpointed state stores")}])
+    register_kafka_py(spark)
+    src = (spark.readStream.format("kafka_py")
+           .option("endpoint", f"local:{work}")
+           .option("subscribe", "docs")
+           .option("startingOffsets", "earliest")
+           .load()
+           .select(F.col("value").cast("string").alias("_j"))
+           .select(
+               F.get_json_object("_j", "$.doc_id").cast("long")
+               .alias("doc_id"),
+               F.get_json_object("_j", "$.text").alias("text")))
+    q = start_corpus_dedup_stream(
+        spark, None, store_path=str(tmp_path / "store"),
+        id_col="doc_id", text_col="text",
+        checkpoint=str(tmp_path / "ckpt"),
+        verdicts_dir=str(tmp_path / "verdicts"),
+        survivors_dir=str(tmp_path / "survivors"),
+        trigger={"availableNow": True}, source_stream=src)
+    q.awaitTermination(120)
+
+    # burst 2: a near-dup of doc 1 (one word changed) + a fresh doc,
+    # judged by a NEW query against the persisted store
+    b.produce("docs", [{"Value": doc(3, base.replace("dog", "cat"))},
+                       {"Value": doc(4, "completely novel content on "
+                                        "perceptual hashing of media "
+                                        "assets at corpus scale")}])
+    src2 = (spark.readStream.format("kafka_py")
+            .option("endpoint", f"local:{work}")
+            .option("subscribe", "docs")
+            .option("startingOffsets", "earliest")
+            .load()
+            .select(F.col("value").cast("string").alias("_j"))
+            .select(
+                F.get_json_object("_j", "$.doc_id").cast("long")
+                .alias("doc_id"),
+                F.get_json_object("_j", "$.text").alias("text")))
+    q2 = start_corpus_dedup_stream(
+        spark, None, store_path=str(tmp_path / "store"),
+        id_col="doc_id", text_col="text",
+        checkpoint=str(tmp_path / "ckpt"),
+        verdicts_dir=str(tmp_path / "verdicts"),
+        survivors_dir=str(tmp_path / "survivors"),
+        trigger={"availableNow": True}, source_stream=src2)
+    q2.awaitTermination(120)
+
+    survivors = sorted(r["doc_id"] for r in spark.read.parquet(
+        str(tmp_path / "survivors")).select("doc_id").collect())
+    assert survivors == [1, 2, 4]          # 3 deduped against 1
+    verdicts = {r["doc_id"]: r for r in spark.read.parquet(
+        str(tmp_path / "verdicts")).collect()}
+    assert not verdicts[3]["keep"]
+    assert verdicts[3]["matched_id"] == 1
