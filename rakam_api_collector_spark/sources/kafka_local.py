@@ -207,7 +207,12 @@ class LocalKafkaBroker:
                         continue
                     if max_records is not None and len(out) >= max_records:
                         break
-                    rec = json.loads(line)
+                    try:
+                        rec = json.loads(line)
+                    except ValueError:
+                        # torn tail of a concurrent multi-line append —
+                        # not yet readable; a later fetch sees it whole
+                        break
                     out.append({
                         "topic": topic, "partition": partition,
                         "offset": rec["offset"],

@@ -519,9 +519,13 @@ class _KinesisPartitionedStreamReader(DataSourceStreamReader):
         # an AvailableNow drain covers everything in one batch.
         self._max_window_ms = (int(options["maxwindowms"])
                                if options.get("maxwindowms") else None)
-        # optional paced-backfill anchor: without it a TRIM_HORIZON
-        # start takes the whole retained history as its first window
-        # (pacing from epoch 0 would walk 1970→now in 60 s hops)
+        # optional backfill START: a TRIM_HORIZON query's offsets
+        # begin here instead of the whole retained history. It TRIMS
+        # the first window's left edge; it does NOT pace it — the
+        # first window is always unpaced (see class docstring: a
+        # blind paced end can regress a restarted query's committed
+        # offsets), so a backfill takes [startTimestampMs, now] as
+        # batch 1 and maxWindowMs slices engage from batch 2.
         self._start_ts_ms = int(options.get("starttimestampms") or 0)
         self._cl = None
         # high-water mark: the largest offset ts this reader has seen

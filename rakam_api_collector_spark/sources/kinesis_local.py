@@ -225,7 +225,10 @@ class LocalKinesisClient:
             if os.path.exists(rec_path):
                 with open(rec_path) as f:
                     for line in f:
-                        rec = json.loads(line)
+                        try:
+                            rec = json.loads(line)
+                        except ValueError:
+                            break   # torn tail of a concurrent append
                         if rec["ts"] >= Timestamp:
                             nxt = rec["seq"]
                             break
@@ -256,7 +259,15 @@ class LocalKinesisClient:
         if os.path.exists(path):
             with open(path) as f:
                 for line in f:
-                    rec = json.loads(line)
+                    try:
+                        rec = json.loads(line)
+                    except ValueError:
+                        # torn TAIL of a concurrent multi-line append
+                        # (appends are sequential, so only the last
+                        # visible line can be partial): everything at
+                        # and past it is not yet readable — stop; the
+                        # live iterator re-reads it complete next call
+                        break
                     if rec["seq"] < nxt:
                         continue
                     if len(records) >= Limit:

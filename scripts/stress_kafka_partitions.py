@@ -52,14 +52,20 @@ def drain(spark, kdir: str, work: str) -> tuple[float, int]:
     out = os.path.join(work, f"out_{tag}")
     ckpt = os.path.join(work, f"ckpt_{tag}")
     t0 = time.perf_counter()
-    (spark.readStream.format("kafka_py")
-     .option("endpoint", f"local:{kdir}")
-     .option("subscribe", "events")
-     .option("startingOffsets", "earliest")
-     .load()
-     .writeStream.format("parquet")
-     .option("path", out).option("checkpointLocation", ckpt)
-     .trigger(availableNow=True).start().awaitTermination(300))
+    q = (spark.readStream.format("kafka_py")
+         .option("endpoint", f"local:{kdir}")
+         .option("subscribe", "events")
+         .option("startingOffsets", "earliest")
+         .load()
+         .writeStream.format("parquet")
+         .option("path", out).option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    if not q.awaitTermination(300):
+        # never count/delete under a live query: a timed-out drain is
+        # a failed cell, not a number
+        q.stop()
+        q.awaitTermination(60)
+        raise RuntimeError(f"drain of {tag} exceeded 300s")
     wall = time.perf_counter() - t0
     n = spark.read.parquet(out).count()
     shutil.rmtree(out, ignore_errors=True)

@@ -27,9 +27,15 @@ commit overhead at ~1k keys each; 8 cut the steady batch wall 25-26 s
 to override (0 = leave the session default).
 
 Usage: python scripts/stress_sustained.py \
-           [json|json-grouped|json-manifested[-fair]|avro|avro-manifested[-fair]|both] \
+           [json|json-grouped|json-manifested[-fair]|avro|
+            avro-manifested[-fair]|both|kinesis-partitioned|kafka] \
            [n_per_batch] [n_batches] [n_collections] [state_partitions] \
            [maint_profile: throttled|wave]
+
+``kinesis-partitioned`` / ``kafka`` run the r13 live-burst cells:
+the same n×batches workload through format("kinesis_py")
+readerMode=partitioned (mid-run shard split) or format("kafka_py")
+(mid-run partition growth) — see STRESS.md round-13 sections.
 
 ``json-manifested-fair`` rebuilds the session under the FAIR scheduler
 with the packaged low-weight ``manifest-maintenance`` pool
@@ -237,6 +243,39 @@ def run_avro(spark, n: int, n_batches: int, n_coll: int,
     return rec
 
 
+def _drive_bursts(q, put_batch, n: int, n_batches: int,
+                  reshard=None) -> list[dict]:
+    """Produce burst b, wait for the query to consume it, then b+1
+    (with an optional reshard hook before the last two bursts).
+    Progress is accumulated per batchId because recentProgress evicts
+    past ~100 entries — empty ticks between bursts would rotate early
+    batches out of a naive re-sum."""
+    seen: dict[int, dict] = {}
+
+    def consumed() -> int:
+        for p in q.recentProgress:
+            d = p if isinstance(p, dict) else json.loads(p.json)
+            if d.get("numInputRows", 0) > 0:
+                seen[d["batchId"]] = {
+                    "rows": d["numInputRows"],
+                    "wall_sec": round(
+                        d["durationMs"]["triggerExecution"] / 1000.0, 2)}
+        return sum(v["rows"] for v in seen.values())
+
+    deadline = time.time() + 1800
+    for b in range(n_batches):
+        if reshard is not None and b == n_batches - 2:
+            reshard()
+        put_batch(b)
+        want = n * (b + 1)
+        while time.time() < deadline:
+            if consumed() >= want:
+                break
+            time.sleep(1)
+    consumed()
+    return [seen[k] for k in sorted(seen)]
+
+
 def run_kinesis_partitioned(spark, n: int, n_batches: int, n_coll: int,
                             n_shards: int = 4,
                             state_partitions: int | None = 4) -> dict:
@@ -289,41 +328,19 @@ def run_kinesis_partitioned(spark, n: int, n_batches: int, n_coll: int,
         now=NOW, shard_time=SHARD_T, dedup=True,
         trigger={"processingTime": "1 second"},
         state_partitions=state_partitions, source_stream=src)
-    # accumulate per-batch progress keyed by batchId — recentProgress
-    # retains only ~100 events, so re-summing it live would silently
-    # drop early batches once empty ticks rotate them out
-    seen: dict[int, dict] = {}
+    def reshard() -> None:
+        # mid-RUN reshard: split a live shard; the next bursts land on
+        # its children too — parent-before-child ordering is inherent
+        # in the arrival-time windows
+        nonlocal open_shards
+        kids = cl.split_shard("events", open_shards[0])["ChildShards"]
+        open_shards = open_shards[1:] + list(kids)
 
-    def consumed() -> int:
-        for p in q.recentProgress:
-            d = p if isinstance(p, dict) else json.loads(p.json)
-            if d.get("numInputRows", 0) > 0:
-                seen[d["batchId"]] = {
-                    "rows": d["numInputRows"],
-                    "wall_sec": round(
-                        d["durationMs"]["triggerExecution"] / 1000.0, 2)}
-        return sum(v["rows"] for v in seen.values())
-
-    deadline = time.time() + 1800
-    for b in range(n_batches):
-        if b == n_batches - 2:
-            # mid-RUN reshard: split a live shard; the next bursts
-            # land on its children too — parent-before-child ordering
-            # is inherent in the arrival-time windows
-            kids = cl.split_shard("events", open_shards[0])["ChildShards"]
-            open_shards = open_shards[1:] + list(kids)
-        put_batch(b)
-        want = n * (b + 1)
-        while time.time() < deadline:
-            if consumed() >= want:
-                break
-            time.sleep(1)
-    consumed()
+    batches = _drive_bursts(q, put_batch, n, n_batches, reshard=reshard)
     q.stop()
     q.awaitTermination(120)
     wall = time.perf_counter() - t0
-    rec = _report("kinesis_partitioned",
-                  [seen[k] for k in sorted(seen)], n_batches, wall)
+    rec = _report("kinesis_partitioned", batches, n_batches, wall)
     rec["n_shards"] = f"{n_shards} (+1 split mid-run)"
     shutil.rmtree(work, ignore_errors=True)
     return rec
@@ -369,34 +386,18 @@ def run_kafka_py(spark, n: int, n_batches: int, n_coll: int,
         now=NOW, shard_time=SHARD_T, dedup=True,
         trigger={"processingTime": "1 second"},
         state_partitions=state_partitions, source_stream=src)
-    seen: dict[int, dict] = {}
+    def reshard() -> None:
+        # Kafka's only reshard: grow the topic; new partitions enter
+        # at offset 0
+        nonlocal parts
+        broker.create_partitions("events", n_partitions + 2)
+        parts = n_partitions + 2
 
-    def consumed() -> int:
-        for p in q.recentProgress:
-            d = p if isinstance(p, dict) else json.loads(p.json)
-            if d.get("numInputRows", 0) > 0:
-                seen[d["batchId"]] = {
-                    "rows": d["numInputRows"],
-                    "wall_sec": round(
-                        d["durationMs"]["triggerExecution"] / 1000.0, 2)}
-        return sum(v["rows"] for v in seen.values())
-
-    deadline = time.time() + 1800
-    for b in range(n_batches):
-        if b == n_batches - 2:
-            broker.create_partitions("events", n_partitions + 2)
-            parts = n_partitions + 2
-        put_batch(b)
-        want = n * (b + 1)
-        while time.time() < deadline:
-            if consumed() >= want:
-                break
-            time.sleep(1)
-    consumed()
+    batches = _drive_bursts(q, put_batch, n, n_batches, reshard=reshard)
     q.stop()
     q.awaitTermination(120)
     wall = time.perf_counter() - t0
-    rec = _report("kafka_py", [seen[k] for k in sorted(seen)],
+    rec = _report("kafka_py", batches,
                   n_batches, wall, total_rows=n * n_batches)
     rec["n_partitions"] = f"{n_partitions} (+2 grown mid-run)"
     shutil.rmtree(work, ignore_errors=True)
