@@ -212,6 +212,15 @@ class LocalKafkaBroker:
                     except ValueError:
                         # torn tail of a concurrent multi-line append —
                         # not yet readable; a later fetch sees it whole
+                        # (the kinesis_local._complete_json_lines
+                        # policy; this loop keeps its own copy because
+                        # it must SKIP the pre-start prefix by line
+                        # index without parsing it). Harmless here:
+                        # Kafka has no drained signal to corrupt —
+                        # meta end offsets only advance after an
+                        # append completes, so bounded reads never
+                        # reach a tear, and an unbounded poll just
+                        # returns fewer records this round
                         break
                     out.append({
                         "topic": topic, "partition": partition,

@@ -65,6 +65,30 @@ class ResourceNotFoundException(Exception):
     pass
 
 
+def _complete_json_lines(path: str) -> tuple[list[dict], bool]:
+    """(docs, torn): every COMPLETE line parsed, plus whether the final
+    visible line was torn — a concurrent multi-line append observed
+    mid-write (appends are sequential, so only the tail can be
+    partial; a later read sees it whole). The ONE torn-tail policy for
+    both emulators: a reader must treat torn=True as "more data is in
+    flight", NEVER as drained — conflating the two turns an in-flight
+    write into silent loss (a closed shard would report SHARD_END past
+    records hidden by the tear)."""
+    docs: list[dict] = []
+    torn = False
+    try:
+        with open(path) as f:
+            for line in f:
+                try:
+                    docs.append(json.loads(line))
+                except ValueError:
+                    torn = True
+                    break
+    except OSError:
+        pass
+    return docs, torn
+
+
 def _load(path: str, default: dict | None = None) -> dict:
     """Shared by the Kinesis and Kafka emulators (kafka_local.py
     imports these) — a durability fix here reaches both."""
@@ -221,17 +245,11 @@ class LocalKinesisClient:
             # empty/no-match shard positions at the tip (records put
             # later carry later timestamps, so they are still seen)
             nxt = meta["next_seq"]
-            rec_path = self._rec_path(ShardId)
-            if os.path.exists(rec_path):
-                with open(rec_path) as f:
-                    for line in f:
-                        try:
-                            rec = json.loads(line)
-                        except ValueError:
-                            break   # torn tail of a concurrent append
-                        if rec["ts"] >= Timestamp:
-                            nxt = rec["seq"]
-                            break
+            docs, _torn = _complete_json_lines(self._rec_path(ShardId))
+            for rec in docs:
+                if rec["ts"] >= Timestamp:
+                    nxt = rec["seq"]
+                    break
         elif ShardIteratorType == "AT_SEQUENCE_NUMBER":
             nxt = int(StartingSequenceNumber)
         elif ShardIteratorType == "AFTER_SEQUENCE_NUMBER":
@@ -255,30 +273,19 @@ class LocalKinesisClient:
         shard = meta["shards"][it["sid"]]
         records, nxt = [], it["next"]
         pending = 0
-        path = self._rec_path(it["sid"])
-        if os.path.exists(path):
-            with open(path) as f:
-                for line in f:
-                    try:
-                        rec = json.loads(line)
-                    except ValueError:
-                        # torn TAIL of a concurrent multi-line append
-                        # (appends are sequential, so only the last
-                        # visible line can be partial): everything at
-                        # and past it is not yet readable — stop; the
-                        # live iterator re-reads it complete next call
-                        break
-                    if rec["seq"] < nxt:
-                        continue
-                    if len(records) >= Limit:
-                        pending += 1
-                        continue
-                    records.append({
-                        "SequenceNumber": str(rec["seq"]),
-                        "PartitionKey": rec["key"],
-                        "Data": base64.b64decode(rec["data"]),
-                        "ApproximateArrivalTimestamp": rec["ts"]})
-                    nxt = rec["seq"] + 1
+        docs, torn = _complete_json_lines(self._rec_path(it["sid"]))
+        for rec in docs:
+            if rec["seq"] < nxt:
+                continue
+            if len(records) >= Limit:
+                pending += 1
+                continue
+            records.append({
+                "SequenceNumber": str(rec["seq"]),
+                "PartitionKey": rec["key"],
+                "Data": base64.b64decode(rec["data"]),
+                "ApproximateArrivalTimestamp": rec["ts"]})
+            nxt = rec["seq"] + 1
         if (self.fault_empty_every and records
                 and (self._calls - 1) % self.fault_empty_every == 0):
             # empty MID-STREAM page: same position, live iterator,
@@ -296,8 +303,11 @@ class LocalKinesisClient:
         # SHARD_END: the shard is closed and this fetch consumed its
         # last remaining record (sequence numbers are stream-global,
         # so the closed range's upper bound is NOT a per-shard seq —
-        # exhaustion is what ends a shard, as on the wire)
-        closed_drained = shard["End"] is not None and pending == 0
+        # exhaustion is what ends a shard, as on the wire). A torn
+        # tail VETOES the drained verdict: records past the tear are
+        # in flight, and SHARD_END here would tombstone them unread
+        closed_drained = (shard["End"] is not None and pending == 0
+                          and not torn)
         return {
             "Records": records,
             "NextShardIterator": None if closed_drained else json.dumps(

@@ -736,24 +736,28 @@ def test_kafka_py_feeds_streaming_corpus_dedup(spark, tmp_path):
                                         "about spark streaming and "
                                         "checkpointed state stores")}])
     register_kafka_py(spark)
-    src = (spark.readStream.format("kafka_py")
-           .option("endpoint", f"local:{work}")
-           .option("subscribe", "docs")
-           .option("startingOffsets", "earliest")
-           .load()
-           .select(F.col("value").cast("string").alias("_j"))
-           .select(
-               F.get_json_object("_j", "$.doc_id").cast("long")
-               .alias("doc_id"),
-               F.get_json_object("_j", "$.text").alias("text")))
-    q = start_corpus_dedup_stream(
-        spark, None, store_path=str(tmp_path / "store"),
-        id_col="doc_id", text_col="text",
-        checkpoint=str(tmp_path / "ckpt"),
-        verdicts_dir=str(tmp_path / "verdicts"),
-        survivors_dir=str(tmp_path / "survivors"),
-        trigger={"availableNow": True}, source_stream=src)
-    q.awaitTermination(120)
+
+    def run_drain() -> None:
+        src = (spark.readStream.format("kafka_py")
+               .option("endpoint", f"local:{work}")
+               .option("subscribe", "docs")
+               .option("startingOffsets", "earliest")
+               .load()
+               .select(F.col("value").cast("string").alias("_j"))
+               .select(
+                   F.get_json_object("_j", "$.doc_id").cast("long")
+                   .alias("doc_id"),
+                   F.get_json_object("_j", "$.text").alias("text")))
+        q = start_corpus_dedup_stream(
+            spark, None, store_path=str(tmp_path / "store"),
+            id_col="doc_id", text_col="text",
+            checkpoint=str(tmp_path / "ckpt"),
+            verdicts_dir=str(tmp_path / "verdicts"),
+            survivors_dir=str(tmp_path / "survivors"),
+            trigger={"availableNow": True}, source_stream=src)
+        assert q.awaitTermination(120)   # a live q must never overlap q2
+
+    run_drain()
 
     # burst 2: a near-dup of doc 1 (one word changed) + a fresh doc,
     # judged by a NEW query against the persisted store
@@ -761,24 +765,7 @@ def test_kafka_py_feeds_streaming_corpus_dedup(spark, tmp_path):
                        {"Value": doc(4, "completely novel content on "
                                         "perceptual hashing of media "
                                         "assets at corpus scale")}])
-    src2 = (spark.readStream.format("kafka_py")
-            .option("endpoint", f"local:{work}")
-            .option("subscribe", "docs")
-            .option("startingOffsets", "earliest")
-            .load()
-            .select(F.col("value").cast("string").alias("_j"))
-            .select(
-                F.get_json_object("_j", "$.doc_id").cast("long")
-                .alias("doc_id"),
-                F.get_json_object("_j", "$.text").alias("text")))
-    q2 = start_corpus_dedup_stream(
-        spark, None, store_path=str(tmp_path / "store"),
-        id_col="doc_id", text_col="text",
-        checkpoint=str(tmp_path / "ckpt"),
-        verdicts_dir=str(tmp_path / "verdicts"),
-        survivors_dir=str(tmp_path / "survivors"),
-        trigger={"availableNow": True}, source_stream=src2)
-    q2.awaitTermination(120)
+    run_drain()
 
     survivors = sorted(r["doc_id"] for r in spark.read.parquet(
         str(tmp_path / "survivors")).select("doc_id").collect())

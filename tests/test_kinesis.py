@@ -312,3 +312,41 @@ def test_kinesis_py_feeds_ingest_pipeline(spark, tmp_path):
     assert sorted(r["v"] for r in df.collect()) == [1.0, 2.0]
     assert sorted(r["_user"] for r in df.select(
         "_user").collect()) == ["a", "b"]
+
+
+def test_torn_tail_never_reports_shard_end(tmp_path):
+    """A torn tail line (a concurrent multi-line append observed
+    mid-write) must NOT combine with a closed shard into SHARD_END —
+    that would tombstone the in-flight records unread. The iterator
+    stays live until the tail reads complete."""
+    import json as _json
+
+    from rakam_api_collector_spark.sources.kinesis_local import \
+        LocalKinesisClient
+
+    work = str(tmp_path / "kin")
+    cl = LocalKinesisClient(work)
+    cl.create_stream("s", ShardCount=1)
+    s0 = "shardId-000000000000"
+    cl.put_records("s", [{"Data": b"a", "PartitionKey": "k",
+                          "ShardId": s0}])
+    cl.split_shard("s", s0)          # close the shard
+    # simulate the torn tail of an append that raced the close: a
+    # partial JSON line after the complete record
+    with open(cl._rec_path(s0), "a") as f:
+        f.write('{"seq": 2, "key": "k", "da')
+    it = cl.get_shard_iterator("s", s0, "TRIM_HORIZON")["ShardIterator"]
+    resp = cl.get_records(ShardIterator=it)
+    assert [r["Data"] for r in resp["Records"]] == [b"a"]
+    assert resp["NextShardIterator"] is not None    # NOT drained
+    # the write completes: the record is delivered, THEN SHARD_END
+    with open(cl._rec_path(s0), "r+") as f:
+        content = f.read().rsplit("\n", 1)[0]
+        f.seek(0)
+        f.truncate()
+        f.write(content + "\n" + _json.dumps(
+            {"seq": 2, "key": "k",
+             "data": "Yg==", "ts": 0.0}) + "\n")
+    resp2 = cl.get_records(ShardIterator=resp["NextShardIterator"])
+    assert [r["Data"] for r in resp2["Records"]] == [b"b"]
+    assert resp2["NextShardIterator"] is None       # drained now
