@@ -264,7 +264,12 @@ def main() -> None:
     # under real external load is dirty and says so (the r12 failure
     # class — noise presented as measurement)
     load_dirty = external_cores is None or external_cores > gate
-    if load_dirty and external_cores is not None:
+    if external_cores is None:
+        print("bench: external-load accounting unavailable on this "
+              "platform (/proc required) — artifact marked load_dirty "
+              "because its cleanliness cannot be attested; judge it "
+              "by loadavg_start/loadavg_1m instead", file=sys.stderr)
+    elif load_dirty:
         print(f"bench: external load averaged {external_cores} busy "
               f"cores over the run (> gate {gate}) — artifact marked "
               "load_dirty; re-record on an idle box before committing",

@@ -421,9 +421,13 @@ def embedding_cosine_pairs(docs: DataFrame, id_col: str, vec_col: str,
 
         # eagerly materialized like the simhash/phash/minhash callers:
         # the capped bucket join references this lineage several times
-        # (size window, cold a/b sides, hot side, representatives) and
+        # (size probe, cold a/b sides, hot side, representatives) and
         # an uncached frame would re-run the hyperplane-signature UDF
-        # per reference
+        # per reference. Pinned until the session's next clearCache()
+        # — the house trade for EXPENSIVE-to-recompute signature
+        # frames (vs the tiny hot-keys aggregate in phash, which
+        # deliberately does NOT cache); a lazy-composition caller
+        # should unpersist after its terminal action
         sigs = base.select("_id",
                            F.posexplode(sig_udf(F.col("_v")))
                            .alias("tbl", "sig")).cache()

@@ -267,8 +267,8 @@ class _KafkaPyStreamReader(DataSourceStreamReader):
                         break
                     floors[tp] += 1
                     left -= 1
-                if sum(floors.values()) == 0:
-                    floors[order[0]] = 1     # guarantee progress
+                # (no zero-total case exists: largest-remainder
+                # distributes exactly `left`, so floors sum to cap>=1)
                 for tp in order:
                     if (floors[tp] == 0
                             and self._skips.get(tp, 0) >= len(lags)):

@@ -143,15 +143,20 @@ class LocalKafkaBroker:
                 p = meta["rr"] % n
                 meta["rr"] += 1
             if p not in next_off:
-                next_off[p] = self._end_offset(topic, p)
+                # the meta already in hand carries the end offsets —
+                # no re-read; line-count fallback for pre-field logs
+                next_off[p] = meta.get("ends", {}).get(str(p))
+                if next_off[p] is None:
+                    next_off[p] = self._end_offset(topic, p)
             off = next_off[p]
             next_off[p] = off + 1
+            ts = rec.get("Ts")
             pending.setdefault(p, []).append(json.dumps({
                 "offset": off,
                 "key": (base64.b64encode(bytes(rec["Key"])).decode()
                         if rec.get("Key") is not None else None),
                 "value": base64.b64encode(bytes(rec["Value"])).decode(),
-                "ts": float(rec.get("Ts", now))}))
+                "ts": float(ts) if ts is not None else now}))
             out.append({"partition": p, "offset": off})
         for p, lines in pending.items():
             log = os.path.join(self._topic_dir(topic), f"p{p}.jsonl")
@@ -188,8 +193,18 @@ class LocalKafkaBroker:
         return {p: 0 for p in self.partitions_for(topic)}
 
     def end_offsets(self, topic: str) -> dict[int, int]:
-        return {p: self._end_offset(topic, p)
-                for p in self.partitions_for(topic)}
+        # ONE meta read per call (this sits on the per-second planning
+        # path: a per-partition _end_offset would re-parse the same
+        # meta.json #partitions times per round)
+        try:
+            meta = _load(os.path.join(self._topic_dir(topic),
+                                      "meta.json"))
+        except OSError:
+            raise UnknownTopicOrPartitionError(topic) from None
+        ends = meta.get("ends", {})
+        return {p: (ends[str(p)] if str(p) in ends
+                    else self._end_offset(topic, p))
+                for p in range(meta["partitions"])}
 
     def fetch(self, topic: str, partition: int, start: int,
               max_records: int | None = None) -> list[dict]:
@@ -336,6 +351,7 @@ class LocalKafkaConsumer:
         self._assigned: list[tuple[str, int]] = []
         self._pos: dict[tuple[str, int], int] = {}
         self._paused: set[tuple[str, int]] = set()
+        self._poll_rotation = 0
 
     # -- membership ----------------------------------------------------------
 
@@ -395,7 +411,14 @@ class LocalKafkaConsumer:
         self._ensure_assignment()
         out: dict[tuple[str, int], list[dict]] = {}
         budget = max_records
-        for (t, p) in self._assigned:
+        # fetch fairness: rotate which partition is served first each
+        # poll — real Kafka's fetcher does the same, and a fixed order
+        # would let one hot partition exhaust the budget every round
+        # and starve the rest indefinitely
+        n = len(self._assigned)
+        start = self._poll_rotation % n if n else 0
+        self._poll_rotation += 1
+        for (t, p) in self._assigned[start:] + self._assigned[:start]:
             if budget <= 0:
                 break
             if (t, p) in self._paused:

@@ -449,9 +449,12 @@ class _KinesisPartitionedStreamReader(DataSourceStreamReader):
     ingestion-order stamping, not a documented guarantee. The scan
     therefore does NOT stop at the first out-of-window stamp: it keeps
     reading until a stamp exceeds the window end by ``stopSlackMs``
-    (default 5000), so an in-window record sequenced after a
-    slightly-ahead stamp is still found as long as per-shard stamp
-    jitter stays under the slack. Records scanned in the slack zone
+    (default: the window length, clamped to [1 s, 5 s] — slack-zone
+    records are read-and-discarded every batch, so the default bounds
+    read amplification at ~2× while covering a full window of stamp
+    jitter; an explicit option is honored verbatim), so an in-window
+    record sequenced after a slightly-ahead stamp is still found as
+    long as per-shard stamp jitter stays under the slack. Records scanned in the slack zone
     but stamped past the end are NOT emitted — the next window's
     half-open interval picks them up, so the slack trades a bounded
     extra read per batch for loss-proofing, never duplicates. Set
@@ -617,8 +620,20 @@ class _KinesisPartitionedStreamReader(DataSourceStreamReader):
         # non-zero default: arrival stamps are only approximately
         # monotone per shard (see class docstring) — stopping at the
         # first out-of-window stamp would permanently lose any
-        # in-window record sequenced after it
-        slack_ms = int(opts.get("stopslackms") or 5000)
+        # in-window record sequenced after it. The DEFAULT is capped
+        # at the window length: slack-zone records are read-and-
+        # discarded every batch, so slack/window is the read
+        # amplification factor — a 5 s slack on a 1 s window would
+        # re-fetch each record ~6×, and against real Kinesis the
+        # 2 MB/s/shard read cap turns that into unbounded lag. The
+        # cap bounds amplification at 2× while still covering a full
+        # window of stamp jitter (a 1 s floor keeps protection for
+        # sub-second windows); an EXPLICIT stopSlackMs is honored
+        # verbatim — the caller chose their jitter/read trade.
+        if opts.get("stopslackms"):
+            slack_ms = int(opts["stopslackms"])
+        else:
+            slack_ms = min(5000, max(1000, e_ms - s_ms))
         backoff0 = int(opts.get("throttlebackoffms") or 100) / 1000.0
         stream = opts.get("streamname")
         cl = _make_client(opts)

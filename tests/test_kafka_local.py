@@ -774,3 +774,30 @@ def test_kafka_py_feeds_streaming_corpus_dedup(spark, tmp_path):
         str(tmp_path / "verdicts")).collect()}
     assert not verdicts[3]["keep"]
     assert verdicts[3]["matched_id"] == 1
+
+
+def test_poll_rotates_partitions_no_fetch_starvation(tmp_path):
+    """A hot first partition must not exhaust every poll's budget:
+    the fetcher rotates which assigned partition is served first
+    (real Kafka's fairness posture), so a backlogged second partition
+    is served within a bounded number of polls under sustained
+    production into the hot one."""
+    b = _mk(tmp_path, partitions=2)
+    b.produce("t", [{"Value": b"cold", "Partition": 1}])
+    c = LocalKafkaConsumer(str(tmp_path / "kafka"), "g", "m",
+                           auto_offset_reset="earliest")
+    c.subscribe(["t"])
+    served_cold = None
+    for i in range(4):
+        # keep partition 0 hotter than the budget every round
+        b.produce("t", [{"Value": b"hot", "Partition": 0}
+                        for _ in range(8)])
+        polled = c.poll(max_records=5)
+        if any(r["value"] == b"cold" for r in _vals_rows(polled)):
+            served_cold = i
+            break
+    assert served_cold is not None and served_cold <= 1
+
+
+def _vals_rows(polled):
+    return [r for recs in polled.values() for r in recs]
