@@ -69,6 +69,32 @@ def _proc_tree_cpu_jiffies() -> int | None:
         return None
 
 
+def _clean_anchor_queries(candidate_paths: list[str]) -> dict:
+    """Per-query timings from the first candidate artifact that is
+    CLEAN-ATTESTED — parsed payload carries ``load_dirty: false``.
+    Candidates are tried in order (pass newest-round first), so one
+    noisy round no longer weakens the next round's regression
+    detection: r13's rerun rule anchored to r12's convicted-noisy
+    118 s artifact and fired on almost nothing. An artifact whose
+    payload says ``load_dirty: true`` — or carries no attestation at
+    all (pre-r13 rounds) — is skipped, falling back to the newest
+    clean round and finally BENCH_DETAIL.json. Returns {} if no
+    candidate qualifies (every rerun then keys off the always-rerun
+    heavy set only)."""
+    for anchor in candidate_paths:
+        try:
+            with open(anchor) as fh:
+                doc = json.load(fh)
+            payload = doc.get("parsed") or doc
+            if payload.get("load_dirty") is not False:
+                continue
+            return {k: v for k, v in payload["queries"].items()
+                    if isinstance(v, (int, float))}
+        except (OSError, ValueError, KeyError, TypeError, AttributeError):
+            continue
+    return {}
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -208,21 +234,13 @@ def main() -> None:
          and (cur_round is None
               or int(re.search(r"\d+", f).group()) < cur_round)),
         key=lambda f: int(re.search(r"\d+", f).group()))
-    for anchor in ([os.path.join(here, rounds[-1])] if rounds else []) + \
-            [os.path.join(here, "BENCH_DETAIL.json")]:
-        try:
-            with open(anchor) as fh:
-                doc = json.load(fh)
-            by_name = (doc.get("parsed") or doc)["queries"]
-            by_name = {k: v for k, v in by_name.items()
-                       if isinstance(v, (int, float))}
-            prev = {full: by_name[key]
-                    for full in timings
-                    for key in (full.split("_", 1)[0], full)
-                    if key in by_name}
-            break
-        except (OSError, ValueError, KeyError, TypeError):
-            continue
+    candidates = [os.path.join(here, f) for f in reversed(rounds)] + \
+        [os.path.join(here, "BENCH_DETAIL.json")]
+    by_name = _clean_anchor_queries(candidates)
+    prev = {full: by_name[key]
+            for full in timings
+            for key in (full.split("_", 1)[0], full)
+            if key in by_name}
     heavy = sorted((k for k, v in timings.items() if v == v),
                    key=lambda k: -timings[k])[:16]
     # cap keeps the WORST regressions, not alphabetical order

@@ -1148,6 +1148,126 @@ def synthesize_wav(df: DataFrame, id_col: str, rate_col: str,
     return narrow.mapInPandas(build, out_schema)
 
 
+# centers (Hz) of the audio pHash grid's 9 mel-pooled columns at
+# 8 kHz / 40 mels (operators/phash.py:audio_phash64) — each frequency
+# lands in exactly one pooled column, verified empirically
+TONE_COLUMN_HZ = (90, 260, 470, 730, 1040, 1430, 1890, 2460, 3150)
+
+
+@lru_cache(maxsize=256)
+def _staircase_tone_levels(pattern: int, rate: int, nf: int,
+                           freqs: tuple,
+                           step: float = 0.25) -> tuple:
+    """Per-tone log10-amplitudes realizing ``pattern`` as a pooled
+    mel-energy staircase — CLOSED-LOOP: the analysis chain's pooled
+    column response is wildly non-flat (single-tone probes measured a
+    23 dB spread across columns, plus per-column dilution from
+    pooling log-domain bins), so an open-loop ±3 dB amplitude
+    staircase does NOT survive into the pooled grid. Instead iterate:
+    synthesize the mixture, run the SAME public analysis the hash
+    runs (spectrogram.log_mel_frames + audio_phash64's 9-column
+    pooling), nudge each tone toward its pooled target — pooled
+    column c+1 sits ``step`` log10-units (2.5 dB) below column c
+    where pattern bit c is 1, above where 0. Deterministic pure
+    numpy; raises if any realized adjacent difference lands with
+    < 40% of the designed margin (a fixture must fail loudly)."""
+    import numpy as np
+
+    from rakam_api_collector_spark.operators.spectrogram import \
+        log_mel_frames
+
+    n = len(freqs)
+    steps = np.array([-step if (pattern >> c) & 1 else step
+                      for c in range(n - 1)])
+    target = np.concatenate([[0.0], np.cumsum(steps)])
+    target -= target.mean()
+    t = np.arange(nf) / rate
+    waves = [np.sin(2 * np.pi * float(f) * t + c)
+             for c, f in enumerate(freqs)]
+
+    def pooled(x):
+        feats = log_mel_frames(x, rate)
+        # replicate audio_phash64's pre-pooling clamp — pooled column
+        # ORDER differs clamped vs raw (floor bins lift to max-6), so
+        # calibrating against raw pooling converges to the wrong grid
+        feats = np.maximum(feats, feats.max() - 6.0)
+        cols = (np.arange(n + 1) * feats.shape[1]) // n
+        return np.array([
+            feats[:, cols[b]:max(cols[b + 1], cols[b] + 1)].mean()
+            for b in range(n)])
+
+    v = np.zeros(n)
+    for _ in range(24):
+        x = sum(10.0 ** vc * w for vc, w in zip(v, waves))
+        x = x / np.abs(x).max() * 30000.0
+        g = pooled(x)
+        err = target - (g - g.mean())
+        if np.abs(err).max() < 0.01:
+            break
+        v = v + 0.5 * err
+    diffs = np.sign(steps) * (g[1:] - g[:-1])
+    if (np.sign(g[1:] - g[:-1]) != np.sign(steps)).any() or \
+            np.abs(diffs).min() < 0.4 * step:
+        raise ValueError(
+            f"staircase calibration failed for pattern {pattern:#x}: "
+            f"pooled diffs {np.round(g[1:] - g[:-1], 3).tolist()}")
+    return tuple(v.tolist())
+
+
+def synthesize_tone_wav(df: DataFrame, id_col: str, rate_col: str,
+                        frames_col: str, pattern_col: str,
+                        gain_milli_col: str,
+                        freqs: tuple = TONE_COLUMN_HZ,
+                        blob_col: str = "blob") -> DataFrame:
+    """Deterministic TONAL mono WAV fixtures for the perceptual-audio
+    family (``synthesize_wav``'s pseudo-noise stream is spectrally
+    flat, so a spectrogram hash can't distinguish clips): one sine
+    per frequency in ``freqs`` (default: the 9 pHash mel-column
+    centers), levels calibrated closed-loop
+    (``_staircase_tone_levels``) so the POOLED mel-energy profile
+    walks down where bit c of ``pattern`` is 1 and up where it is 0.
+    Every adjacent-column comparison in audio_phash64's grid is then
+    a deliberate ≥1 dB pooled step, never a near-tie between leakage
+    floors (sparse 3-tone mixtures were measured flipping up to 18
+    bits between gain variants), so the hash's 8 identical time rows
+    each spell the pattern byte: same pattern at any gain →
+    identical hash (peak-normalization + log compression cancel gain
+    up to int16 re-quantization noise); different patterns → every
+    16-bit chunk differs. Peak-scaled to ``gain_milli/1000 × 32767``.
+    Arrow-batched, one encode per row, no shuffle; calibration is
+    lru_cached per (pattern, rate, nf)."""
+    out_schema = T.StructType([
+        T.StructField("id", T.LongType()),
+        T.StructField(blob_col, T.BinaryType()),
+    ])
+    freqs = tuple(float(f) for f in freqs)
+
+    def build(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+        for pdf in batches:
+            rows = []
+            for i, rate, nf, pat, gm in zip(
+                    pdf["_id"], pdf["_rate"], pdf["_nf"],
+                    pdf["_pat"], pdf["_gm"]):
+                i, rate, nf, pat = int(i), int(rate), int(nf), int(pat)
+                v = _staircase_tone_levels(pat, rate, nf, freqs)
+                t = np.arange(nf) / rate
+                x = sum(10.0 ** vc * np.sin(2 * np.pi * f * t + c)
+                        for c, (vc, f) in enumerate(zip(v, freqs)))
+                s = (int(gm) / 1000.0 * 32767.0 * x / np.abs(x).max()) \
+                    .astype("<i2").tobytes()
+                rows.append((i, wav_encode(s, rate, 1)))
+            yield pd.DataFrame(rows, columns=["id", blob_col])
+
+    narrow = df.select(F.col(id_col).cast("long").alias("_id"),
+                       F.col(rate_col).cast("int").alias("_rate"),
+                       F.col(frames_col).cast("int").alias("_nf"),
+                       F.col(pattern_col).cast("int").alias("_pat"),
+                       F.col(gain_milli_col).cast("int").alias("_gm"))
+    return narrow.mapInPandas(build, out_schema)
+
+
 def resize_image(df: DataFrame, id_col: str, out_w: int, out_h: int,
                  blob_col: str = "blob") -> DataFrame:
     """Arrow-batched PNG resize (nearest-neighbor): decode → index-map

@@ -251,6 +251,28 @@ properties, flood-cap scaling cells) pin MORE of the operator's
 contract than a rows-only driver row would; the promotion is worth
 one slot only when consolidation makes the slot free, not worth
 displacing a due-back.
+
+r14 EXECUTION (current window): the 49 r13-out due-backs with the
+drafted consolidation executed IN this window (the dq14/llm33
+precedent): llm34_video_sample + llm45_video_time_sample merge into
+llm34_video_sampling — ONE row emitting llm34's every-Nth stats
+UNION llm45's time-based stats, mode-tagged, both sampling branches
+and both container paths (VID1 + real MP4) live, the union of both
+old oracles (registry 99 → 98) — and the freed slot spent exactly
+per the r14 plan above: llm54_audio_phash (registry 98 → 99), the
+audio perceptual family's driver promotion — 120 tonal clips (30
+three-sine mixtures × 4 gain variants, multimodal.synthesize_tone_wav)
+through audio_phash_candidates, aggregated per mixture cell.
+ROWS-ONLY by design: no SQL oracle exists for FFT output; the full
+contract stays pinned by tests/test_phash.py physics pins (the r13
+written decision stands — this row adds driver-run evidence, the
+pins keep the semantics). Window = llm34_video_sampling (merged ⇒
+modified, leads) + llm54_audio_phash (new) + the 48 remaining
+due-backs = 50. Out-of-window (49 queries, all r13-green, due back
+in r15 — leaving 1 spare): the entire r13 window minus
+llm34_video_sample (consolidated): dq01-04, dq06/07, dq09-11,
+dq18-28, dq33, dq35, dq37-46, llm07-10, llm12-15, llm17, llm29-33,
+llm35, llm46, llm50.
 """
 
 from __future__ import annotations
@@ -262,32 +284,30 @@ _ALL_ORACLE = {**relational.ORACLE, **llm_ops.ORACLE}
 
 # First 50 = this round's driver-checked window (see docstring history).
 _WINDOW = [
-    # lead: the banded-join consumers of the hot-bucket star cap that
-    # landed AFTER the r12 window ran — their rows are the evidence
-    # the r12 verdict scheduled (llm10/llm15), plus adjacent llm08
-    "llm10_simhash", "llm15_embed_dedup", "llm08_jaccard_pairs",
-    # the remaining 46 r12-out due-backs (all r11-green)
-    "dq01_projection", "dq02_whitelist", "dq03_late_split",
-    "dq04_sink_envelope", "dq06_max_offset", "dq07_zone_map",
-    "dq09_distinct_agg", "dq10_rollup", "dq11_sum_cents",
-    "dq18_topk", "dq19_truncate", "dq20_safe_cast",
-    "dq21_set_ops", "dq22_array_funcs", "dq23_hash",
-    "dq24_scalars", "dq25_udf_shape", "dq26_epoch_conversions",
-    "dq27_json_encode", "dq28_date_format", "dq33_percentile",
-    "dq35_sessionize", "dq37_hash_split", "dq38_cube",
-    "dq39_pivot", "dq40_window_analytics", "dq41_approx_quantile",
-    "dq42_funnel", "dq43_retention", "dq44_grouping_sets",
-    "dq45_range_frame", "dq46_stats_agg",
-    "llm07_exact_dedup", "llm12_ann_lsh", "llm13_multimodal_meta",
-    "llm14_decode_features", "llm17_incremental_dedup",
-    "llm29_pack_sequences", "llm30_mixture_sample",
-    "llm31_vocab_coverage", "llm32_dedup_keep_best",
-    "llm33_audio_pipeline", "llm34_video_sample", "llm35_resize_image",
-    "llm46_semantic_dedup", "llm50_dup_span_removal",
-    # spare slot: llm09, MODIFIED in r13 (the cap-overhead trim in the
-    # shared _capped_bucket_pairs helper) — all three registered
-    # consumers of the changed helper are in-window this round
-    "llm09_minhash_lsh",
+    # lead: the r14-modified/new rows — the llm34/llm45 consolidation
+    # (merged ⇒ modified; both sampling branches live, mode-tagged)
+    # and the llm54 promotion it freed the slot for (rows-only; the
+    # registry docstring's r14 plan records why no SQL oracle exists)
+    "llm34_video_sampling", "llm54_audio_phash",
+    # the 48 remaining r13-out due-backs (all r12-green)
+    "dq05_route_fanout", "dq08_hash_agg", "dq12_join_dim",
+    "dq13_multi_join", "dq14_semi_anti", "dq15_outer_join",
+    "dq16_window", "dq17_dedup_first", "dq29_envelope_parse",
+    "dq30_tumbling_window", "dq31_asof_join", "dq32_salted_agg",
+    "dq34_range_join", "dq36_approx_distinct", "dq47_sliding_window",
+    "llm01_token_count", "llm02_ttr", "llm03_avg_token_len",
+    "llm04_lang_id", "llm05_fingerprint", "llm06_quality",
+    "llm11_knn_cosine", "llm16_dedup_clusters", "llm18_bpe_tokens",
+    "llm19_ivf_ann", "llm20_tfidf", "llm21_pii_redact",
+    "llm22_chunk_dedup", "llm23_contamination",
+    "llm24_stratified_split", "llm25_repetition", "llm26_kmeans",
+    "llm27_surprisal", "llm28_quantize", "llm37_bigram_lm",
+    "llm38_training_order", "llm39_curriculum_bins",
+    "llm40_quality_rules", "llm41_head_truncate", "llm42_curation_e2e",
+    "llm43_compression_ratio", "llm44_jpeg_decode",
+    "llm47_boilerplate_removal", "llm48_bpe_merges",
+    "llm49_ivf_pq_recall", "llm51_unigram_tokenizer",
+    "llm52_html_extract", "llm53_ocf_roundtrip",
 ]
 
 assert len(_WINDOW) == 50 and len(set(_WINDOW)) == 50, len(_WINDOW)

@@ -701,32 +701,21 @@ def llm33_audio_pipeline(spark: SparkSession, sf: str) -> DataFrame:
             .orderBy("doc_id"))
 
 
-def llm34_video_sample(spark: SparkSession, sf: str) -> DataFrame:
-    """REAL frame sampling over a packed video column: every 10th PNG
-    frame of each per-doc synthetic video decodes to pixel stats;
-    frames between sample points are skipped by length prefix, never
-    decoded (operators/multimodal.py sample_video_frames — the cheap
-    path at scale). Pixels follow a closed form over (frame, position),
-    so the oracle recomputes the sampled-frame stats arithmetically."""
-    docs = (load_table(spark, sf, "documents")
-            .select("doc_id").filter(F.col("doc_id") < 60))
-    spec = docs.select(
-        "doc_id",
-        (F.col("doc_id") % 40 + 20).alias("nf"),
-        (F.col("doc_id") % 5 + 4).alias("w"),
-        (F.col("doc_id") % 4 + 3).alias("h"))
-    vids = M.synthesize_video(spec, "doc_id", "nf", "w", "h")
-    frames = M.sample_video_frames(vids, "id", every=10)
-    return (frames.select(F.col("id").alias("doc_id"), "frame_idx",
-                          "width", "height", "px_sum", "px_min",
-                          "px_max")
-            .orderBy("doc_id", "frame_idx"))
+def llm34_video_sampling(spark: SparkSession, sf: str) -> DataFrame:
+    """BOTH video frame-sampling modes in one sampler-parity row — the
+    r14 consolidation of the former llm34_video_sample +
+    llm45_video_time_sample rows (the registry's documented escape
+    hatch, drafted in r11; both sampling branches stay live in the
+    result, union-tagged by ``mode``).
 
+    ``mode='every_nth'``: every 10th PNG frame of each per-doc
+    synthetic video decodes to pixel stats; frames between sample
+    points are skipped by length prefix, never decoded
+    (operators/multimodal.py sample_video_frames — the cheap path at
+    scale). ``sample_ms`` is -1 (index-based sampling has no instant).
 
-def llm45_video_time_sample(spark: SparkSession, sf: str) -> DataFrame:
-    """TIME-based frame sampling — "one frame every 7 s" — over timed
-    videos whose per-doc frame rates differ (0.5/1.0/1.5 fps), the
-    form a training pipeline actually specifies. EVEN doc_ids are
+    ``mode='time'``: "one frame every 7 s" over timed videos whose
+    per-doc frame rates differ (0.5/1.0/1.5 fps). EVEN doc_ids are
     real ISO BMFF/MP4 files (operators/mp4.py mux: the engine walks
     actual stts/stsc/stsz/stco sample tables and bisects integer-ms
     starts), ODD doc_ids the timed VID1 fixture whose sampled frame
@@ -736,28 +725,110 @@ def llm45_video_time_sample(spark: SparkSession, sf: str) -> DataFrame:
     closed-form oracle covers both containers and a demux defect on
     either path hash-fails. Unsampled frames are skipped by
     table/prefix offset, never decoded; each distinct frame decodes
-    once even when slow fps repeats it across instants."""
-    docs = (load_table(spark, sf, "documents")
-            .select("doc_id").filter(F.col("doc_id") < 50))
-    spec = docs.select(
+    once even when slow fps repeats it across instants.
+
+    Pixels follow the closed form ``px[f][i] = (id*31+f*13+i*7) % 256``
+    over (frame, position), so the oracle recomputes BOTH branches'
+    sampled-frame stats arithmetically."""
+    nth_docs = (load_table(spark, sf, "documents")
+                .select("doc_id").filter(F.col("doc_id") < 60))
+    nth_spec = nth_docs.select(
+        "doc_id",
+        (F.col("doc_id") % 40 + 20).alias("nf"),
+        (F.col("doc_id") % 5 + 4).alias("w"),
+        (F.col("doc_id") % 4 + 3).alias("h"))
+    nth_vids = M.synthesize_video(nth_spec, "doc_id", "nf", "w", "h")
+    nth = (M.sample_video_frames(nth_vids, "id", every=10)
+           .select(F.lit("every_nth").alias("mode"),
+                   F.col("id").alias("doc_id"),
+                   F.lit(-1).cast("long").alias("sample_ms"),
+                   "frame_idx", "width", "height", "px_sum",
+                   "px_min", "px_max"))
+
+    t_docs = (load_table(spark, sf, "documents")
+              .select("doc_id").filter(F.col("doc_id") < 50))
+    t_spec = t_docs.select(
         "doc_id",
         (F.col("doc_id") % 30 + 10).alias("nf"),
         (F.col("doc_id") % 5 + 4).alias("w"),
         (F.col("doc_id") % 4 + 3).alias("h"),
         ((F.col("doc_id") % 3 + 1) * 500).alias("fpsm"))
-    vids = (M.synthesize_video(spec.filter(F.col("doc_id") % 2 == 1),
-                               "doc_id", "nf", "w", "h",
-                               fps_milli_col="fpsm")
-            .unionByName(
-                M.synthesize_video(spec.filter(F.col("doc_id") % 2 == 0),
-                                   "doc_id", "nf", "w", "h",
-                                   fps_milli_col="fpsm",
-                                   container="mp4")))
-    frames = M.sample_video_frames_by_time(vids, "id", every_ms=7000)
-    return (frames.select(F.col("id").alias("doc_id"), "sample_ms",
-                          "frame_idx", "width", "height", "px_sum",
-                          "px_min", "px_max")
-            .orderBy("doc_id", "sample_ms"))
+    t_vids = (M.synthesize_video(t_spec.filter(F.col("doc_id") % 2 == 1),
+                                 "doc_id", "nf", "w", "h",
+                                 fps_milli_col="fpsm")
+              .unionByName(
+                  M.synthesize_video(t_spec.filter(F.col("doc_id") % 2 == 0),
+                                     "doc_id", "nf", "w", "h",
+                                     fps_milli_col="fpsm",
+                                     container="mp4")))
+    timed = (M.sample_video_frames_by_time(t_vids, "id", every_ms=7000)
+             .select(F.lit("time").alias("mode"),
+                     F.col("id").alias("doc_id"),
+                     F.col("sample_ms").cast("long").alias("sample_ms"),
+                     "frame_idx", "width", "height", "px_sum",
+                     "px_min", "px_max"))
+    return (nth.unionByName(timed)
+            .orderBy("mode", "doc_id", "sample_ms", "frame_idx"))
+
+
+def llm54_audio_phash(spark: SparkSession, sf: str) -> DataFrame:
+    """Audio perceptual near-dup candidates end to end — the driver row
+    promoting the Haitsma-Kalker band-energy fingerprint
+    (operators/phash.py:audio_phash64 over
+    operators/spectrogram.py:log_mel_frames) from physics-pin evidence
+    to driver evidence, per the r13 written decision
+    (queries/__init__.py r14 SPARE-SLOT PLAN).
+
+    Input: 120 deterministic tonal clips derived from documents — 30
+    distinct spectral-envelope staircases × 4 gain variants (0.9×,
+    0.45×, 0.225×, 0.1125× — multimodal.synthesize_tone_wav): clip
+    group g carries the 8-bit pattern ``(g*9 + 7) % 256`` as ±3 dB
+    level steps across the hash grid's 9 mel columns, so
+    audio_phash64's sign-of-difference bits ARE the pattern bits —
+    every adjacent-band comparison is a deliberate 3 dB step, never a
+    leakage-floor near-tie (sparse 3-tone mixtures were measured
+    flipping up to 18 bits between gain variants; the staircase flips
+    zero). Gain variants of one pattern are perceptual
+    near-duplicates (peak-normalization + log compression cancel gain
+    exactly up to int16 re-quantization noise); distinct patterns
+    differ in every 16-bit chunk (stationary clip → 8 identical time
+    rows), so the candidate join (audio_phash_candidates: one
+    decode+spectrogram+hash Arrow pass, then the signature-agnostic
+    16-bit-chunk band join) surfaces exactly the same-group pairs.
+    The result aggregates per (grp_a, grp_b) cell: pair count and max
+    Hamming — deterministic, but ROWS-ONLY at the driver: no SQL
+    oracle exists for FFT output, and the registry docstring says so
+    honestly. The full contract (known-spectrum tones, gain/re-encode
+    invariance, drop-vs-raise, flood-cap scaling) stays pinned by
+    tests/test_phash.py and tests/test_spectrogram.py."""
+    from rakam_api_collector_spark.operators.phash import \
+        audio_phash_candidates
+
+    docs = (load_table(spark, sf, "documents")
+            .select("doc_id").filter(F.col("doc_id") < 120))
+    spec = docs.select(
+        "doc_id",
+        F.lit(8000).alias("rate"),
+        F.lit(4000).alias("nf"),
+        (((F.col("doc_id") % 30) * 9 + 7) % 256).cast("int")
+        .alias("pattern"),
+        (F.lit(900) / F.pow(F.lit(2.0),
+                            (F.col("doc_id") / 30).cast("int")))
+        .cast("int").alias("gain_milli"))
+    clips = M.synthesize_tone_wav(spec, "doc_id", "rate", "nf",
+                                  "pattern", "gain_milli")
+    pairs = audio_phash_candidates(clips, "id", "blob")
+    # group = mixture index; near-dup contract: pairs within one
+    # mixture are close, any cross-mixture candidate that survives the
+    # chunk join is flagged by its cell
+    return (pairs.select(
+                (F.col("a") % 30).alias("grp_a"),
+                (F.col("b") % 30).alias("grp_b"),
+                F.col("hamming"))
+            .groupBy("grp_a", "grp_b")
+            .agg(F.count("*").alias("n_pairs"),
+                 F.max("hamming").alias("max_hamming"))
+            .orderBy("grp_a", "grp_b"))
 
 
 # --- packing / mixing / vocabulary ------------------------------------------
@@ -1396,7 +1467,7 @@ QUERIES = {
     "llm31_vocab_coverage": llm31_vocab_coverage,
     "llm32_dedup_keep_best": llm32_dedup_keep_best,
     "llm33_audio_pipeline": llm33_audio_pipeline,
-    "llm34_video_sample": llm34_video_sample,
+    "llm34_video_sampling": llm34_video_sampling,
     "llm35_resize_image": llm35_resize_image,
     "llm37_bigram_lm": llm37_bigram_lm,
     "llm38_training_order": llm38_training_order,
@@ -1406,7 +1477,6 @@ QUERIES = {
     "llm42_curation_e2e": llm42_curation_e2e,
     "llm43_compression_ratio": llm43_compression_ratio,
     "llm44_jpeg_decode": llm44_jpeg_decode,
-    "llm45_video_time_sample": llm45_video_time_sample,
     "llm46_semantic_dedup": llm46_semantic_dedup,
     "llm47_boilerplate_removal": llm47_boilerplate_removal,
     "llm48_bpe_merges": llm48_bpe_merges,
@@ -1415,6 +1485,9 @@ QUERIES = {
     "llm51_unigram_tokenizer": llm51_unigram_tokenizer,
     "llm52_html_extract": llm52_html_extract,
     "llm53_ocf_roundtrip": llm53_ocf_roundtrip,
+    # rows-only driver row (no SQL oracle exists for FFT output — see
+    # the registry docstring's r14 plan); deliberately absent from ORACLE
+    "llm54_audio_phash": llm54_audio_phash,
 }
 
 
@@ -2188,11 +2261,14 @@ ORACLE = {
         GROUP BY doc_id, c
         ORDER BY doc_id
     """,
-    # Sampled-frame pixel stats from px[f][i] = (doc_id*31 + f*13 +
-    # i*7) % 256, frames f % 10 = 0 only (the sampler's contract).
-    # Max frames = 59, max pixels/frame = 8*6 = 48.
-    "llm34_video_sample": """
-        WITH docs AS (
+    # BOTH sampling branches of the consolidated row, union-tagged by
+    # mode. every_nth: px[f][i] = (doc_id*31 + f*13 + i*7) % 256,
+    # frames f % 10 = 0 only, sample_ms = -1 (max frames 59, max
+    # pixels/frame 8*6 = 48). time: instants t = 0, 7000, 14000… ms,
+    # frame shown at t = floor(t * fps_milli / 1e6) (the sampler's
+    # int64 contract); max j: 39 frames / 0.5 fps = 78 s → j ≤ 12.
+    "llm34_video_sampling": """
+        WITH nth_docs AS (
           SELECT doc_id,
                  doc_id % 40 + 20 AS nf,
                  doc_id % 5 + 4 AS w,
@@ -2200,21 +2276,56 @@ ORACLE = {
           FROM documents WHERE doc_id < 60),
         fr AS (SELECT unnest(generate_series(0, 59)) AS f),
         px AS (SELECT unnest(generate_series(0, 47)) AS i),
-        samples AS (
+        nth_samples AS (
           SELECT d.doc_id, fr.f, d.w, d.h,
                  (d.doc_id * 31 + fr.f * 13 + px.i * 7) % 256 AS p
-          FROM docs d CROSS JOIN fr CROSS JOIN px
-          WHERE fr.f < d.nf AND fr.f % 10 = 0 AND px.i < d.w * d.h)
-        SELECT doc_id,
-               CAST(f AS INTEGER) AS frame_idx,
-               CAST(w AS INTEGER) AS width,
-               CAST(h AS INTEGER) AS height,
-               CAST(SUM(p) AS BIGINT) AS px_sum,
-               CAST(MIN(p) AS INTEGER) AS px_min,
-               CAST(MAX(p) AS INTEGER) AS px_max
-        FROM samples
-        GROUP BY doc_id, f, w, h
-        ORDER BY doc_id, frame_idx
+          FROM nth_docs d CROSS JOIN fr CROSS JOIN px
+          WHERE fr.f < d.nf AND fr.f % 10 = 0 AND px.i < d.w * d.h),
+        nth_out AS (
+          SELECT 'every_nth' AS mode, doc_id,
+                 CAST(-1 AS BIGINT) AS sample_ms,
+                 CAST(f AS INTEGER) AS frame_idx,
+                 CAST(w AS INTEGER) AS width,
+                 CAST(h AS INTEGER) AS height,
+                 CAST(SUM(p) AS BIGINT) AS px_sum,
+                 CAST(MIN(p) AS INTEGER) AS px_min,
+                 CAST(MAX(p) AS INTEGER) AS px_max
+          FROM nth_samples
+          GROUP BY doc_id, f, w, h),
+        t_docs AS (
+          SELECT doc_id,
+                 doc_id % 30 + 10 AS nf,
+                 doc_id % 5 + 4 AS w,
+                 doc_id % 4 + 3 AS h,
+                 (doc_id % 3 + 1) * 500 AS fpsm
+          FROM documents WHERE doc_id < 50),
+        js AS (SELECT unnest(generate_series(0, 40)) AS j),
+        inst AS (
+          SELECT d.doc_id, j.j * 7000 AS sample_ms,
+                 (j.j * 7000 * d.fpsm) // 1000000 AS f,
+                 d.w, d.h
+          FROM t_docs d CROSS JOIN js j
+          WHERE (j.j * 7000 * d.fpsm) // 1000000 < d.nf),
+        t_samples AS (
+          SELECT t.doc_id, t.sample_ms, t.f, t.w, t.h,
+                 (t.doc_id * 31 + t.f * 13 + px.i * 7) % 256 AS p
+          FROM inst t CROSS JOIN px
+          WHERE px.i < t.w * t.h),
+        t_out AS (
+          SELECT 'time' AS mode, doc_id,
+                 CAST(sample_ms AS BIGINT) AS sample_ms,
+                 CAST(f AS INTEGER) AS frame_idx,
+                 CAST(w AS INTEGER) AS width,
+                 CAST(h AS INTEGER) AS height,
+                 CAST(SUM(p) AS BIGINT) AS px_sum,
+                 CAST(MIN(p) AS INTEGER) AS px_min,
+                 CAST(MAX(p) AS INTEGER) AS px_max
+          FROM t_samples
+          GROUP BY doc_id, sample_ms, f, w, h)
+        SELECT * FROM nth_out
+        UNION ALL
+        SELECT * FROM t_out
+        ORDER BY mode, doc_id, sample_ms, frame_idx
     """,
     "llm37_bigram_lm": f"""
         WITH docs AS (SELECT doc_id, {_DUCK_TOKS} AS t FROM documents),
@@ -2394,43 +2505,6 @@ ORACLE = {
                     AS INTEGER) AS channels,
                true AS dims_ok, true AS err_ok
         FROM documents WHERE doc_id < 200 ORDER BY doc_id
-    """,
-    # Sample instants t = 0, 7000, 14000… ms; frame shown at t is
-    # floor(t * fps_milli / 1e6) (the sampler's int64 contract); pixel
-    # p[f][i] = (doc_id*31 + f*13 + i*7) % 256. Max j: duration up to
-    # 39 frames / 0.5 fps = 78 s → j ≤ 12; max pixels/frame 8*6 = 48.
-    "llm45_video_time_sample": """
-        WITH docs AS (
-          SELECT doc_id,
-                 doc_id % 30 + 10 AS nf,
-                 doc_id % 5 + 4 AS w,
-                 doc_id % 4 + 3 AS h,
-                 (doc_id % 3 + 1) * 500 AS fpsm
-          FROM documents WHERE doc_id < 50),
-        js AS (SELECT unnest(generate_series(0, 40)) AS j),
-        px AS (SELECT unnest(generate_series(0, 47)) AS i),
-        inst AS (
-          SELECT d.doc_id, j.j * 7000 AS sample_ms,
-                 (j.j * 7000 * d.fpsm) // 1000000 AS f,
-                 d.w, d.h
-          FROM docs d CROSS JOIN js j
-          WHERE (j.j * 7000 * d.fpsm) // 1000000 < d.nf),
-        samples AS (
-          SELECT t.doc_id, t.sample_ms, t.f, t.w, t.h,
-                 (t.doc_id * 31 + t.f * 13 + px.i * 7) % 256 AS p
-          FROM inst t CROSS JOIN px
-          WHERE px.i < t.w * t.h)
-        SELECT doc_id,
-               CAST(sample_ms AS BIGINT) AS sample_ms,
-               CAST(f AS INTEGER) AS frame_idx,
-               CAST(w AS INTEGER) AS width,
-               CAST(h AS INTEGER) AS height,
-               CAST(SUM(p) AS BIGINT) AS px_sum,
-               CAST(MIN(p) AS INTEGER) AS px_min,
-               CAST(MAX(p) AS INTEGER) AS px_max
-        FROM samples
-        GROUP BY doc_id, sample_ms, f, w, h
-        ORDER BY doc_id, sample_ms
     """,
     # Unrolled SemDeDup replay (the llm26 pattern): init = vec_id 0..3
     # rounded to 6 -> assign -> exact decimal per-dim means rounded to

@@ -1,0 +1,80 @@
+"""bench.py's rerun-anchor selection: the prior-round yardstick must
+be CLEAN-ATTESTED (load_dirty: false), skipping dirty or unattested
+artifacts — the r13 lesson: anchoring the ">1.2× vs prior round"
+rerun rule to r12's convicted-noisy 118 s artifact meant almost
+nothing tripped it, so one dirty round weakened the next round's
+regression detection.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+from bench import _clean_anchor_queries
+
+
+def _write(tmp_path, name, payload, wrap_parsed=True):
+    doc = {"parsed": payload} if wrap_parsed else payload
+    p = tmp_path / name
+    p.write_text(json.dumps(doc))
+    return str(p)
+
+
+def test_skips_dirty_and_unattested_rounds(tmp_path):
+    dirty = _write(tmp_path, "BENCH_r12.json",
+                   {"load_dirty": True, "queries": {"q1": 118.0}})
+    unattested = _write(tmp_path, "BENCH_r11.json",
+                        {"queries": {"q1": 90.0}})
+    clean = _write(tmp_path, "BENCH_r10.json",
+                   {"load_dirty": False, "queries": {"q1": 84.0}})
+    # newest-first candidate order, like main() passes them
+    assert _clean_anchor_queries([dirty, unattested, clean]) \
+        == {"q1": 84.0}
+
+
+def test_prefers_newest_clean_round(tmp_path):
+    r13 = _write(tmp_path, "BENCH_r13.json",
+                 {"load_dirty": False, "queries": {"q1": 111.7}})
+    r12 = _write(tmp_path, "BENCH_r12.json",
+                 {"load_dirty": False, "queries": {"q1": 94.5}})
+    assert _clean_anchor_queries([r13, r12]) == {"q1": 111.7}
+
+
+def test_falls_back_to_detail_then_empty(tmp_path):
+    dirty = _write(tmp_path, "BENCH_r12.json",
+                   {"load_dirty": True, "queries": {"q1": 118.0}})
+    detail = _write(tmp_path, "BENCH_DETAIL.json",
+                    {"load_dirty": False,
+                     "queries": {"q1_full_name": 100.4}},
+                    wrap_parsed=False)
+    assert _clean_anchor_queries([dirty, detail]) \
+        == {"q1_full_name": 100.4}
+    assert _clean_anchor_queries([dirty]) == {}
+    assert _clean_anchor_queries([str(tmp_path / "missing.json")]) == {}
+
+
+def test_non_numeric_timings_dropped(tmp_path):
+    p = _write(tmp_path, "BENCH_r13.json",
+               {"load_dirty": False,
+                "queries": {"q1": 1.5, "q2": None, "q3": "x"}})
+    assert _clean_anchor_queries([p]) == {"q1": 1.5}
+
+
+def test_repo_artifacts_resolve_to_a_clean_anchor():
+    """The real repo state this round: r13 is clean-attested, r12 is
+    the convicted-noisy artifact — the picker must land on r13."""
+    import os
+    import re
+    here = "/root/repo"
+    rounds = sorted(
+        (f for f in os.listdir(here)
+         if re.fullmatch(r"BENCH_r\d+\.json", f)),
+        key=lambda f: int(re.search(r"\d+", f).group()))
+    cands = [os.path.join(here, f) for f in reversed(rounds)]
+    got = _clean_anchor_queries(cands)
+    r13 = json.load(open(os.path.join(here, "BENCH_r13.json")))
+    assert got == {k: v for k, v in r13["parsed"]["queries"].items()
+                   if isinstance(v, (int, float))}

@@ -246,3 +246,54 @@ def test_audio_phash_candidates_end_to_end(spark):
     assert (1, 2) in pairs and pairs[(1, 2)] <= 10
     assert all(h > 10 for (a, b), h in pairs.items() if 3 in (a, b))
     assert all(4 not in (a, b) for (a, b) in pairs)
+
+
+def test_tone_staircase_writes_pattern_into_hash(spark):
+    """The llm54 fixture contract (multimodal.synthesize_tone_wav):
+    closed-loop calibration makes every audio_phash64 time row spell
+    the clip's 8-bit pattern exactly (bit b of the MSB-first row byte
+    = pattern bit b), identically at every gain variant — so gain
+    variants of one pattern hash at distance 0 and distinct patterns
+    share no 16-bit chunk (the candidate join surfaces exactly the
+    same-pattern pairs, with zero cross-pattern cells)."""
+    from rakam_api_collector_spark.operators.phash import (
+        audio_phash_candidates, audio_phash_signatures)
+
+    pats = [0x07, 0x10, 0xA9, 0xFA]          # distinct, mixed runs
+    gains = [900, 450, 225, 112]
+    rows = [(len(gains) * pi + gi, 8000, 4000, p, g)
+            for pi, p in enumerate(pats) for gi, g in enumerate(gains)]
+    df = spark.createDataFrame(
+        rows, "clip_id long, rate int, nf int, pattern int, gm int")
+    clips = M.synthesize_tone_wav(df, "clip_id", "rate", "nf",
+                                  "pattern", "gm")
+    sigs = {r._id: r._ph for r in
+            audio_phash_signatures(clips, "id", "blob").collect()}
+    assert len(sigs) == 16
+    for pi, p in enumerate(pats):
+        expect = int(format(p, "08b")[::-1], 2)   # row byte is MSB-first
+        for gi in range(len(gains)):
+            h = sigs[len(gains) * pi + gi] & 0xFFFFFFFFFFFFFFFF
+            assert [(h >> (8 * r)) & 0xFF for r in range(8)] \
+                == [expect] * 8, (p, gi)
+
+    pairs = [(r.a, r.b, r.hamming) for r in
+             audio_phash_candidates(clips, "id", "blob").collect()]
+    assert all(h == 0 and a // 4 == b // 4 for a, b, h in pairs)
+    assert len(pairs) == len(pats) * 6       # C(4,2) per pattern, no cross
+
+
+def test_tone_staircase_calibration_fails_loudly():
+    """A pattern the chain cannot realize must raise, not emit a
+    drifting fixture: with one tone (no adjacent pair) the staircase
+    is fine, but an impossible frequency set (all tones in ONE pooled
+    column — adjacent comparisons are floor ties) cannot hold any
+    margin."""
+    from rakam_api_collector_spark.operators.multimodal import \
+        _staircase_tone_levels
+
+    with pytest.raises(ValueError, match="staircase calibration"):
+        _staircase_tone_levels(0x55, 8000, 4000,
+                               tuple(float(f) for f in
+                                     (1000, 1001, 1002, 1003, 1004,
+                                      1005, 1006, 1007, 1008)))
