@@ -107,6 +107,38 @@ def historical_producer_options(brokers: list[str],
             "topic": historical_topic}
 
 
+def historical_producer_for(endpoint, historical_topic: str):
+    """K3 as a callable for ``start_ingest_stream(historical_producer=
+    ...)``: returns ``frame -> None`` re-publishing a micro-batch's
+    late envelopes to the historical topic
+    (KafkaHistoricalDataHandler.java:41-69).
+
+    ``endpoint``: a broker list → the distributed jar-connector batch
+    write (``df.write.format("kafka")``, value column per record);
+    a ``LocalKafkaBroker`` (or any object with ``produce``) → the
+    emulator twin, which COLLECTS the frame and issues one
+    single-writer ``produce`` call — the emulator log is a
+    single-writer file, so a distributed ``foreachPartition`` append
+    would violate (and now trips) its concurrent-produce guard. The
+    collect is bounded by the late fraction of one micro-batch, the
+    same records the reference buffers in its handler before
+    producing; production-scale late floods belong on the jar path."""
+    if isinstance(endpoint, list):
+        opts = historical_producer_options(endpoint, historical_topic)
+
+        def produce_jar(frame) -> None:
+            (frame.selectExpr("CAST(value AS STRING) AS value")
+             .write.format("kafka").options(**opts).save())
+        return produce_jar
+
+    def produce_local(frame) -> None:
+        rows = [{"Value": str(r["value"]).encode()}
+                for r in frame.collect()]
+        if rows:
+            endpoint.produce(historical_topic, rows)
+    return produce_local
+
+
 # -- kafka_py: the jar-free streaming source over the wire emulator ----------
 
 # schema parity with the spark-sql-kafka-0-10 connector, so a pipeline
@@ -193,6 +225,18 @@ class _KafkaPyStreamReader(DataSourceStreamReader):
         # partitions() always reads the FULL committed [start, end)
         # range, so a clamp there would silently skip the tail between
         # planned and committed ends.
+        # KNOWN DIVERGENCE from the jar connector: spark-sql-kafka's
+        # DSv2 reader receives the checkpointed start offset as
+        # latestOffset(start, limit)'s argument, so it paces even the
+        # restart batch; the Python DataSourceStreamReader API passes
+        # no start, forcing the uncapped-first-batch design above
+        # (safe: no loss, no duplication, no regression — all tested).
+        # Operational implication: restarting onto a DEEP backlog
+        # plans that whole backlog as ONE batch — executor memory and
+        # the batch's wall-clock must absorb it before pacing resumes;
+        # if that bites, drain the backlog with Trigger.AvailableNow
+        # (which is one unpaced batch by contract anyway) before
+        # resuming the paced processing-time query.
         self._last_planned: dict[str, int] | None = None
         # batches a lagging partition has gone without an allocation —
         # ages its priority so sustained unequal load cannot starve a
@@ -372,15 +416,24 @@ def historical_drain_due(lag_records: int, ms_since_last_drain: int,
         or lag_records > max_flush_records)
 
 
-def checkpointed_offsets(checkpoint: str) -> dict[str, int] | None:
+def checkpointed_offsets(checkpoint: str,
+                         source_index: int = 0) -> dict[str, int] | None:
     """Latest planned per-partition offsets of a ``kafka_py`` query,
     read from its own checkpoint (``offsets/<max-batch>``). Both the
     jar connector and kafka_py keep progress in the CHECKPOINT, never
     in consumer-group commits (ST7), so the reference's "lag since
     committed" test maps onto checkpoint-vs-log-end here. Returns
     None before any batch has been planned. File shape: a ``v1``
-    header line, one batch-metadata JSON line, then one offset JSON
-    per source — ours is the line carrying an ``offsets`` map."""
+    header line, one batch-metadata JSON line, then one offset line
+    PER SOURCE in the query's source order — so the line is selected
+    by POSITION (``source_index``, default 0: the single-source
+    case), never by "first line that looks like ours": a second
+    source whose offset JSON also carries an ``offsets`` key (another
+    kafka_py stream, a rate source with a dict payload) would
+    otherwise shadow this one and skew ``checkpoint_lag``. For a
+    multi-source query pass the kafka_py source's position among the
+    query's streaming sources. Returns None if that line is missing
+    or isn't a kafka_py offsets map."""
     d = os.path.join(checkpoint, "offsets")
     try:
         batches = sorted(int(f) for f in os.listdir(d) if f.isdigit())
@@ -393,13 +446,16 @@ def checkpointed_offsets(checkpoint: str) -> dict[str, int] | None:
             lines = [ln.strip() for ln in fh if ln.strip()]
     except OSError:
         return None
-    for ln in reversed(lines):     # source offsets are the last lines
-        try:
-            doc = json.loads(ln)
-        except ValueError:
-            continue
-        if isinstance(doc, dict) and isinstance(doc.get("offsets"), dict):
-            return {k: int(v) for k, v in doc["offsets"].items()}
+    # lines[0] = "v1", lines[1] = batch metadata, lines[2:] = sources
+    idx = 2 + source_index
+    if not 0 <= idx < len(lines):
+        return None
+    try:
+        doc = json.loads(lines[idx])
+    except ValueError:
+        return None
+    if isinstance(doc, dict) and isinstance(doc.get("offsets"), dict):
+        return {k: int(v) for k, v in doc["offsets"].items()}
     return None
 
 

@@ -15,11 +15,12 @@ Wire-model semantics kept faithful (the parts that shape a consumer):
 
 - per-(topic, partition) dense offsets starting at 0; a partition is
   an append-only log; LOG-END offset = next offset to be written;
-- producer partitioning: explicit partition wins, else a stable hash
-  of the key (Kafka's default partitioner routes murmur2(key) % n —
-  modeled here with crc32, stable but not wire-identical, which only
-  matters to tests that assert WHICH partition a key lands on), else
-  round-robin;
+- producer partitioning: explicit partition wins, else Kafka's
+  default partitioner wire-identically —
+  ``toPositive(murmur2(keyBytes)) % numPartitions`` (the public
+  algorithm from org.apache.kafka.common.utils.Utils, pinned against
+  the upstream test vectors), so a test asserting WHICH partition a
+  key lands on holds against a real broker too — else round-robin;
 - consumer groups: committed offsets are stored per (group, topic,
   partition) and mean "next offset to read" — Kafka's convention, and
   why the reference commits ``max consumed + 1``
@@ -57,7 +58,6 @@ import base64
 import json
 import os
 import time
-import zlib
 
 # one atomic-replace JSON persistence idiom across both emulators
 from rakam_api_collector_spark.sources.kinesis_local import (  # noqa: F401
@@ -66,6 +66,49 @@ from rakam_api_collector_spark.sources.kinesis_local import (  # noqa: F401
 
 class CommitFailedException(Exception):
     """Commit attempted by a member fenced by a newer group generation."""
+
+
+class ConcurrentProduceError(Exception):
+    """A partition log grew outside produce()'s read-modify-write of
+    the cached end offsets — a second concurrent producer process (or
+    a produce that crashed between append and meta store) would
+    silently assign duplicate offsets and break the offset ==
+    line-number invariant fetch()'s prefix skip relies on; the
+    emulator is documented single-writer, and a violation must fail
+    loudly, not corrupt."""
+
+
+def murmur2(data: bytes) -> int:
+    """Kafka's partitioner hash — 32-bit MurmurHash2, seed 0x9747b28c
+    (the public algorithm from org.apache.kafka.common.utils
+    .Utils#murmur2), returned as an unsigned 32-bit int;
+    ``murmur2(key) & 0x7FFFFFFF`` equals Java's
+    ``toPositive(murmur2(key))``. Pinned against the upstream
+    UtilsTest vectors in tests/test_kafka_local.py."""
+    length = len(data)
+    m = 0x5BD1E995
+    h = (0x9747B28C ^ length) & 0xFFFFFFFF
+    for i4 in range(length // 4):
+        i = i4 * 4
+        k = (data[i] | (data[i + 1] << 8) | (data[i + 2] << 16)
+             | (data[i + 3] << 24))
+        k = (k * m) & 0xFFFFFFFF
+        k ^= k >> 24
+        k = (k * m) & 0xFFFFFFFF
+        h = (h * m) & 0xFFFFFFFF
+        h ^= k
+    rem, base = length % 4, length & ~3
+    if rem == 3:
+        h ^= data[base + 2] << 16
+    if rem >= 2:
+        h ^= data[base + 1] << 8
+    if rem >= 1:
+        h ^= data[base]
+        h = (h * m) & 0xFFFFFFFF
+    h ^= h >> 13
+    h = (h * m) & 0xFFFFFFFF
+    h ^= h >> 15
+    return h
 
 
 class UnknownTopicOrPartitionError(Exception):
@@ -138,7 +181,7 @@ class LocalKafkaBroker:
                 if not 0 <= p < n:
                     raise UnknownTopicOrPartitionError(f"{topic}/{p}")
             elif rec.get("Key") is not None:
-                p = zlib.crc32(bytes(rec["Key"])) % n
+                p = (murmur2(bytes(rec["Key"])) & 0x7FFFFFFF) % n
             else:
                 p = meta["rr"] % n
                 meta["rr"] += 1
@@ -158,10 +201,29 @@ class LocalKafkaBroker:
                 "value": base64.b64encode(bytes(rec["Value"])).decode(),
                 "ts": float(ts) if ts is not None else now}))
             out.append({"partition": p, "offset": off})
+        sizes = meta.setdefault("bytes", {})
         for p, lines in pending.items():
             log = os.path.join(self._topic_dir(topic), f"p{p}.jsonl")
+            # single-writer guard (cheap O(1) detection, not a lock):
+            # the log's size must equal what the LAST produce left
+            # behind — growth outside this read-modify-write means a
+            # concurrent producer (or a produce that crashed between
+            # append and meta store) whose records would get duplicate
+            # offsets assigned over them
+            try:
+                actual = os.path.getsize(log)
+            except OSError:
+                actual = 0
+            expect = sizes.get(str(p))
+            if expect is not None and actual != expect:
+                raise ConcurrentProduceError(
+                    f"{topic}/p{p}: log is {actual} bytes but the last "
+                    f"produce left {expect} — a second writer appended "
+                    "outside the documented single-writer protocol")
+            payload = "\n".join(lines) + "\n"
             with open(log, "a") as f:
-                f.write("\n".join(lines) + "\n")
+                f.write(payload)
+            sizes[str(p)] = actual + len(payload.encode())
         ends = meta.setdefault("ends", {})
         for p, off in next_off.items():
             ends[str(p)] = off

@@ -129,7 +129,8 @@ def _make_client(options: dict):
         for opt, attr, conv in (
                 ("localfaultemptyevery", "fault_empty_every", int),
                 ("localfaultthrottleevery", "fault_throttle_every", int),
-                ("localiteratorttlsec", "iterator_ttl_sec", float)):
+                ("localiteratorttlsec", "iterator_ttl_sec", float),
+                ("localfetchstatsdir", "fetch_stats_dir", str)):
             if options.get(opt):
                 setattr(cl, attr, conv(options[opt]))
         return cl

@@ -73,7 +73,20 @@ def _complete_json_lines(path: str) -> tuple[list[dict], bool]:
     both emulators: a reader must treat torn=True as "more data is in
     flight", NEVER as drained — conflating the two turns an in-flight
     write into silent loss (a closed shard would report SHARD_END past
-    records hidden by the tear)."""
+    records hidden by the tear).
+
+    KNOWN LIMIT of the detection: a tear observed EXACTLY at a newline
+    boundary mid-append parses clean (torn=False) — mid-line tears are
+    the only detectable kind. Within the emulators' documented
+    single-writer protocol this cannot combine with SHARD_END into
+    loss: the writer closes a shard (split/merge updates stream.json)
+    only AFTER its produce calls return, so by the time any reader can
+    observe the closed state the append is fully flushed — the race
+    requires a second concurrent writer, which the protocol forbids
+    (and kafka_local's produce guard now detects). If the emulators
+    ever grow multi-writer produce, terminate each multi-line append
+    with a record-count sentinel line so boundary tears become
+    detectable too."""
     docs: list[dict] = []
     torn = False
     try:
@@ -117,6 +130,12 @@ class LocalKinesisClient:
     # fault knobs (module docstring): None = faithful happy path
     fault_empty_every: int | None = None
     fault_throttle_every: int | None = None
+    # wire-accounting knob: when set, every get_records appends one
+    # {"n": <records returned>} line to <dir>/<pid>.jsonl (per-pid
+    # files — no cross-process interleaving), so a stress cell can
+    # measure records-FETCHED vs records-DELIVERED (the slack-zone
+    # read-amplification bound documented at kinesis.py read())
+    fetch_stats_dir: str | None = None
 
     def __init__(self, path: str) -> None:
         self._path = path
@@ -308,6 +327,10 @@ class LocalKinesisClient:
         # in flight, and SHARD_END here would tombstone them unread
         closed_drained = (shard["End"] is not None and pending == 0
                           and not torn)
+        if self.fetch_stats_dir:
+            with open(os.path.join(self.fetch_stats_dir,
+                                   f"{os.getpid()}.jsonl"), "a") as f:
+                f.write(json.dumps({"n": len(records)}) + "\n")
         return {
             "Records": records,
             "NextShardIterator": None if closed_drained else json.dumps(

@@ -261,6 +261,7 @@ def start_ingest_stream(spark: SparkSession, source_dir: str, fmt: str,
                         stats=None, error_monitor=None,
                         rocksdb_state: bool = True,
                         source_stream: DataFrame | None = None,
+                        historical_producer=None,
                         errors_dir: str | None = None,
                         manifested: bool = False,
                         layout: str = "per-table",
@@ -366,10 +367,21 @@ def start_ingest_stream(spark: SparkSession, source_dir: str, fmt: str,
             rt, hist = split_late(splittable, time_col="_event_time",
                                   outdated_day_index=outdated_day_index,
                                   now=now)
-            if historical_dir is not None:
-                # K3 historical handoff: raw envelopes spooled for the
-                # slow-cadence worker; written before the hot path commits,
-                # mirroring BatchRecords.java:44-67's gating.
+            if historical_producer is not None:
+                # K3 historical handoff, topic form: late envelopes
+                # re-published to the historical Kafka topic for the
+                # slow-cadence drain worker (KafkaHistoricalDataHandler
+                # .java:41-69) — before the hot path commits, like the
+                # spool branch below. The callable receives the raw
+                # late-envelope frame; see sources/kafka.py:
+                # historical_producer_for for both wire backends.
+                historical_producer(hist.select("value"))
+                hot = rt
+            elif historical_dir is not None:
+                # K3 historical handoff, spool form: raw envelopes
+                # spooled for the slow-cadence worker; written before
+                # the hot path commits, mirroring
+                # BatchRecords.java:44-67's gating.
                 hist.select("value").write.mode("append").text(historical_dir)
                 hot = rt
             else:

@@ -43,7 +43,14 @@ K = 16
 SHIFT = 10_000_000
 FIVE = ["llm49_ivf_pq_recall", "dq41_approx_quantile",
         "llm17_incremental_dedup", "llm46_semantic_dedup",
-        "llm50_dup_span_removal"]
+        "llm50_dup_span_removal",
+        # r14 additions: the two registered queries whose operators
+        # changed since the r10 certification — llm09 (the r13
+        # hot-bucket guard rewrite: map-side group count + driver
+        # emptiness probe, broadcast split only on floods) and llm31
+        # (the r13 TakeOrderedAndProject top-k) — re-certify their
+        # bounded-collect/driver-fit assumptions at ×16
+        "llm09_minhash_lsh", "llm31_vocab_coverage"]
 
 
 def materialize(spark, out: str) -> None:

@@ -24,8 +24,8 @@ from hypothesis import strategies as st
 
 from rakam_api_collector_spark.sources.kafka import register_kafka_py
 from rakam_api_collector_spark.sources.kafka_local import (
-    CommitFailedException, LocalKafkaBroker, LocalKafkaConsumer,
-    commit_sync_max_plus_one)
+    CommitFailedException, ConcurrentProduceError, LocalKafkaBroker,
+    LocalKafkaConsumer, commit_sync_max_plus_one, murmur2)
 
 
 def _mk(tmp_path, topic="t", partitions=2):
@@ -53,6 +53,55 @@ def test_produce_partitioning_and_dense_offsets(tmp_path):
     ends = b.end_offsets("t")
     assert sum(ends.values()) == 3
     assert b.beginning_offsets("t") == {0: 0, 1: 0, 2: 0}
+
+
+def test_murmur2_matches_upstream_kafka_vectors():
+    """Wire-identical key routing: the emulator's murmur2 reproduces
+    the published test vectors of the public algorithm it implements
+    (org.apache.kafka.common.utils.UtilsTest#testMurmur2), so a
+    key→partition assertion against the twin holds against a real
+    broker running the default partitioner."""
+    def signed(h):
+        return h - 2 ** 32 if h >= 2 ** 31 else h
+
+    vectors = {
+        b"21": -973932308,
+        b"foobar": -790332482,
+        b"a-little-bit-long-string": -985981536,
+        b"a-little-bit-longer-string": -1486304829,
+        b"lkjh234lh9fiuh90y23oiuhsafujhadof229phr9h19h89h8": -58897971,
+        b"abc": 479470107,
+    }
+    for key, want in vectors.items():
+        assert signed(murmur2(key)) == want
+    # and the partition formula is toPositive(murmur2(key)) % n
+    assert (murmur2(b"foobar") & 0x7FFFFFFF) % 3 \
+        == (-790332482 + 2 ** 32) % 2 ** 31 % 3
+
+
+def test_keyed_produce_routes_by_default_partitioner(tmp_path):
+    b = _mk(tmp_path, partitions=5)
+    out = b.produce("t", [{"Value": b"v", "Key": k}
+                          for k in (b"21", b"foobar", b"abc")])
+    assert [r["partition"] for r in out] == [
+        (murmur2(k) & 0x7FFFFFFF) % 5
+        for k in (b"21", b"foobar", b"abc")]
+
+
+def test_concurrent_produce_fails_loudly(tmp_path):
+    """Single-writer misuse must raise, not silently assign duplicate
+    offsets: a second writer appending outside produce()'s
+    read-modify-write (here: a raw file append, the torn/foreign-write
+    stand-in) is detected on the next produce."""
+    import pytest
+
+    b = _mk(tmp_path, partitions=1)
+    b.produce("t", [{"Value": b"a", "Partition": 0}])
+    log = tmp_path / "kafka" / "topics" / "t" / "p0.jsonl"
+    with open(log, "a") as f:
+        f.write('{"offset": 99}\n')
+    with pytest.raises(ConcurrentProduceError):
+        b.produce("t", [{"Value": b"b", "Partition": 0}])
 
 
 def test_fetch_is_an_offset_range_slice(tmp_path):
@@ -801,3 +850,94 @@ def test_poll_rotates_partitions_no_fetch_starvation(tmp_path):
 
 def _vals_rows(polled):
     return [r for recs in polled.values() for r in recs]
+
+
+def test_late_data_loop_realtime_to_historical_to_same_table(
+        spark, tmp_path):
+    """The FULL reference late-data loop walked by single records, end
+    to end on the Kafka twin: realtime kafka_py stream → event-time
+    late split (ST3, KafkaRealTimeWorker.java:294-328) → historical
+    producer re-publishing the late envelopes to the historical TOPIC
+    (K3, KafkaHistoricalDataHandler.java:41-69) → drain gate over the
+    drain query's own checkpoint (S2) → availableNow drain (ST5,
+    KafkaHistoricalWorker.java:157-219) → the SAME collection table —
+    asserting exactly-once table parity with the plain batch path.
+    Every stage is individually pinned elsewhere; this test is the
+    one walk-through of all of them."""
+    from rakam_api_collector_spark.ingest import Catalog
+    from rakam_api_collector_spark.ingest.batch import ingest_batch
+    from rakam_api_collector_spark.sinks import read_collection
+    from rakam_api_collector_spark.sources.kafka import (
+        checkpoint_lag, historical_drain_due, historical_producer_for)
+    from rakam_api_collector_spark.streaming import start_ingest_stream
+    from tests.test_ingest import fabric
+
+    work = str(tmp_path / "kafka")
+    b = LocalKafkaBroker(work)
+    b.create_topic("rt", partitions=2)
+    b.create_topic("hist", partitions=2)
+    fresh = [fabric("t", {"_time": f"2020-06-01T10:00:{i:02d}",
+                          "_user": f"u{i}", "v": i}) for i in range(8)]
+    late = [fabric("t", {"_time": f"2020-01-0{i + 1}T10:00:00",
+                         "_user": f"L{i}", "v": 100 + i})
+            for i in range(4)]
+    b.produce("rt", [{"Value": e.encode()} for e in fresh + late])
+
+    register_kafka_py(spark)
+    cat = Catalog(path=str(tmp_path / "cat.json"))
+    tables = str(tmp_path / "tables")
+    ck_hist = str(tmp_path / "ck_hist")
+
+    rt_src = (spark.readStream.format("kafka_py")
+              .option("endpoint", f"local:{work}")
+              .option("subscribe", "rt")
+              .option("startingOffsets", "earliest").load())
+    start_ingest_stream(
+        spark, source_dir=None, fmt="fabric", catalog=cat,
+        table_base=tables, checkpoint=str(tmp_path / "ck_rt"),
+        now="2020-06-01", shard_time="2020-06-01 00:00:00",
+        dedup=False, source_stream=rt_src,
+        historical_producer=historical_producer_for(b, "hist"),
+    ).awaitTermination(120)
+
+    # ST3+K3: the hot path committed only the fresh rows; the late
+    # envelopes sit on the historical topic, verbatim
+    assert read_collection(spark, tables, "testproject", "t",
+                           cat).count() == len(fresh)
+    assert b.end_offsets("hist") != {0: 0, 1: 0}
+    lag = checkpoint_lag(ck_hist, b, ["hist"])
+    assert lag == len(late)
+    assert historical_drain_due(lag, ms_since_last_drain=0,
+                                max_flush_records=3)
+
+    def drain():
+        src = (spark.readStream.format("kafka_py")
+               .option("endpoint", f"local:{work}")
+               .option("subscribe", "hist")
+               .option("startingOffsets", "earliest").load())
+        start_ingest_stream(
+            spark, source_dir=None, fmt="fabric", catalog=cat,
+            table_base=tables, checkpoint=ck_hist,
+            now="2020-06-01", shard_time="2020-06-01 00:00:00",
+            dedup=False, source_stream=src).awaitTermination(120)
+
+    drain()
+    assert checkpoint_lag(ck_hist, b, ["hist"]) == 0
+    assert not historical_drain_due(0, ms_since_last_drain=0,
+                                    max_flush_records=3)
+
+    # exactly-once: a second drain from the same checkpoint reads the
+    # already-committed prefix as planned, re-delivers nothing
+    drain()
+    got = read_collection(spark, tables, "testproject", "t", cat)
+    assert got.count() == len(fresh) + len(late)
+
+    # table parity with the plain batch path over the same envelopes
+    batch = ingest_batch(
+        spark, spark.createDataFrame([(e,) for e in fresh + late],
+                                     "value string"),
+        "fabric", Catalog(path=str(tmp_path / "cat2.json")),
+        shard_time="2020-06-01 00:00:00")[("testproject", "t")]
+    key = lambda r: (r["_user"], r["v"], str(r["_time"]))  # noqa: E731
+    assert sorted(key(r) for r in got.collect()) \
+        == sorted(key(r) for r in batch.collect())
