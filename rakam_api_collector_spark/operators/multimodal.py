@@ -1196,15 +1196,20 @@ def _staircase_tone_levels(pattern: int, rate: int, nf: int,
             feats[:, cols[b]:max(cols[b + 1], cols[b] + 1)].mean()
             for b in range(n)])
 
-    v = np.zeros(n)
-    for _ in range(24):
+    def measure(v):
         x = sum(10.0 ** vc * w for vc, w in zip(v, waves))
-        x = x / np.abs(x).max() * 30000.0
-        g = pooled(x)
+        return pooled(x / np.abs(x).max() * 30000.0)
+
+    v = np.zeros(n)
+    g = measure(v)
+    for _ in range(24):
         err = target - (g - g.mean())
         if np.abs(err).max() < 0.01:
             break
         v = v + 0.5 * err
+        g = measure(v)     # g is ALWAYS the profile of the v we
+        #                    return — the margin check below must
+        #                    never validate a stale iterate
     diffs = np.sign(steps) * (g[1:] - g[:-1])
     if (np.sign(g[1:] - g[:-1]) != np.sign(steps)).any() or \
             np.abs(diffs).min() < 0.4 * step:

@@ -261,8 +261,11 @@ and both container paths (VID1 + real MP4) live, the union of both
 old oracles (registry 99 → 98) — and the freed slot spent exactly
 per the r14 plan above: llm54_audio_phash (registry 98 → 99), the
 audio perceptual family's driver promotion — 120 tonal clips (30
-three-sine mixtures × 4 gain variants, multimodal.synthesize_tone_wav)
-through audio_phash_candidates, aggregated per mixture cell.
+distinct 8-bit patterns realized as closed-loop-calibrated 9-tone
+spectral staircases × 4 gain variants, multimodal.synthesize_tone_wav;
+sparse 3-tone mixtures were REJECTED — measured flipping up to 18
+bits between gain variants) through audio_phash_candidates,
+aggregated per pattern cell.
 ROWS-ONLY by design: no SQL oracle exists for FFT output; the full
 contract stays pinned by tests/test_phash.py physics pins (the r13
 written decision stands — this row adds driver-run evidence, the

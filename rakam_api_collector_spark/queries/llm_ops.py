@@ -782,10 +782,12 @@ def llm54_audio_phash(spark: SparkSession, sf: str) -> DataFrame:
     Input: 120 deterministic tonal clips derived from documents — 30
     distinct spectral-envelope staircases × 4 gain variants (0.9×,
     0.45×, 0.225×, 0.1125× — multimodal.synthesize_tone_wav): clip
-    group g carries the 8-bit pattern ``(g*9 + 7) % 256`` as ±3 dB
-    level steps across the hash grid's 9 mel columns, so
-    audio_phash64's sign-of-difference bits ARE the pattern bits —
-    every adjacent-band comparison is a deliberate 3 dB step, never a
+    group g carries the 8-bit pattern ``(g*9 + 7) % 256`` as
+    closed-loop-calibrated ±2.5 dB POOLED-energy steps across the
+    hash grid's 9 mel columns, so audio_phash64's
+    sign-of-difference bits ARE the pattern bits — every
+    adjacent-band comparison is a deliberate calibrated step (≥1 dB
+    realized margin, asserted), never a
     leakage-floor near-tie (sparse 3-tone mixtures were measured
     flipping up to 18 bits between gain variants; the staircase flips
     zero). Gain variants of one pattern are perceptual

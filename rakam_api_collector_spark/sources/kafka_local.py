@@ -202,28 +202,36 @@ class LocalKafkaBroker:
                 "ts": float(ts) if ts is not None else now}))
             out.append({"partition": p, "offset": off})
         sizes = meta.setdefault("bytes", {})
+        # single-writer guard (cheap O(1) detection, not a lock):
+        # every touched log's size must equal what the LAST produce
+        # left behind — growth outside this read-modify-write means a
+        # concurrent producer (or a produce that crashed between
+        # append and meta store) whose records would get duplicate
+        # offsets assigned over them. Checked for ALL partitions
+        # BEFORE appending to ANY, so a violation on one partition
+        # aborts the whole produce cleanly instead of leaving other
+        # partitions' appends unrecorded in meta (which would poison
+        # them with false positives on the next produce).
+        actual: dict[int, int] = {}
+        for p in pending:
+            log = os.path.join(self._topic_dir(topic), f"p{p}.jsonl")
+            try:
+                actual[p] = os.path.getsize(log)
+            except OSError:
+                actual[p] = 0
+            expect = sizes.get(str(p))
+            if expect is not None and actual[p] != expect:
+                raise ConcurrentProduceError(
+                    f"{topic}/p{p}: log is {actual[p]} bytes but the "
+                    f"last produce left {expect} — a second writer "
+                    "appended outside the documented single-writer "
+                    "protocol")
         for p, lines in pending.items():
             log = os.path.join(self._topic_dir(topic), f"p{p}.jsonl")
-            # single-writer guard (cheap O(1) detection, not a lock):
-            # the log's size must equal what the LAST produce left
-            # behind — growth outside this read-modify-write means a
-            # concurrent producer (or a produce that crashed between
-            # append and meta store) whose records would get duplicate
-            # offsets assigned over them
-            try:
-                actual = os.path.getsize(log)
-            except OSError:
-                actual = 0
-            expect = sizes.get(str(p))
-            if expect is not None and actual != expect:
-                raise ConcurrentProduceError(
-                    f"{topic}/p{p}: log is {actual} bytes but the last "
-                    f"produce left {expect} — a second writer appended "
-                    "outside the documented single-writer protocol")
             payload = "\n".join(lines) + "\n"
             with open(log, "a") as f:
                 f.write(payload)
-            sizes[str(p)] = actual + len(payload.encode())
+            sizes[str(p)] = actual[p] + len(payload.encode())
         ends = meta.setdefault("ends", {})
         for p, off in next_off.items():
             ends[str(p)] = off

@@ -41,7 +41,7 @@ from rakam_api_collector_spark.tables import load_table
 SF_DIR = "/root/testdata/sf0.1"
 K = 16
 SHIFT = 10_000_000
-FIVE = ["llm49_ivf_pq_recall", "dq41_approx_quantile",
+REHEARSED = ["llm49_ivf_pq_recall", "dq41_approx_quantile",
         "llm17_incremental_dedup", "llm46_semantic_dedup",
         "llm50_dup_span_removal",
         # r14 additions: the two registered queries whose operators
@@ -86,7 +86,7 @@ def main() -> None:
 
     from rakam_api_collector_spark.queries import QUERIES
     total = 0.0
-    for name in FIVE:
+    for name in REHEARSED:
         walls = []
         for _ in range(2):
             t0 = time.perf_counter()

@@ -9,9 +9,13 @@ regression detection.
 from __future__ import annotations
 
 import json
+import os
+import re
 import sys
+from pathlib import Path
 
-sys.path.insert(0, "/root/repo")
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
 
 from bench import _clean_anchor_queries
 
@@ -64,17 +68,27 @@ def test_non_numeric_timings_dropped(tmp_path):
 
 
 def test_repo_artifacts_resolve_to_a_clean_anchor():
-    """The real repo state this round: r13 is clean-attested, r12 is
-    the convicted-noisy artifact — the picker must land on r13."""
-    import os
-    import re
-    here = "/root/repo"
+    """Against the REAL committed artifacts: the picker must land on
+    the newest clean-attested round (r13's 111.74 s as of r14 — but
+    resolved dynamically, so a future clean round simply becomes the
+    expected anchor) and must skip every newer dirty/unattested one
+    (r12's convicted-noisy 118 s is the standing example)."""
     rounds = sorted(
-        (f for f in os.listdir(here)
+        (f for f in os.listdir(REPO)
          if re.fullmatch(r"BENCH_r\d+\.json", f)),
-        key=lambda f: int(re.search(r"\d+", f).group()))
-    cands = [os.path.join(here, f) for f in reversed(rounds)]
-    got = _clean_anchor_queries(cands)
-    r13 = json.load(open(os.path.join(here, "BENCH_r13.json")))
-    assert got == {k: v for k, v in r13["parsed"]["queries"].items()
-                   if isinstance(v, (int, float))}
+        key=lambda f: int(re.search(r"\d+", f).group()),
+        reverse=True)
+    expected = None
+    for f in rounds:        # the newest clean one, by the same rule
+        doc = json.load(open(REPO / f))
+        payload = doc.get("parsed") or doc
+        if payload.get("load_dirty") is False:
+            expected = {k: v for k, v in payload["queries"].items()
+                        if isinstance(v, (int, float))}
+            break
+    assert expected is not None, "no clean-attested artifact in repo"
+    got = _clean_anchor_queries([str(REPO / f) for f in rounds])
+    assert got == expected
+    # and the standing dirty example stays skipped: r12 alone never
+    # qualifies
+    assert _clean_anchor_queries([str(REPO / "BENCH_r12.json")]) == {}
