@@ -276,6 +276,18 @@ in r15 — leaving 1 spare): the entire r13 window minus
 llm34_video_sample (consolidated): dq01-04, dq06/07, dq09-11,
 dq18-28, dq33, dq35, dq37-46, llm07-10, llm12-15, llm17, llm29-33,
 llm35, llm46, llm50.
+
+r15 SPARE-SLOT PLAN (drafted in r14): window = the 49 r14-out
+due-backs above + 1 spare, RESERVED for whatever r15 modifies. If
+r15 modifies nothing, fill with heavy regression-prone
+llm50_dup_span_removal (the top non-fixed wall after llm49/llm17,
+and the hot-key-sensitive plan most worth fresh evidence). If r15
+needs a SECOND slot, the remaining drafted consolidation is
+llm02_ttr + llm03_avg_token_len → one per-doc lexical-stats row
+(same tokenize scan, disjoint aggregates — the weakest-win candidate
+left; execute only under real pressure). No promotion candidates
+remain un-promoted: every pytest-only family either has a driver row
+(llm52-54) or a written don't-promote decision.
 """
 
 from __future__ import annotations
