@@ -132,8 +132,15 @@ def historical_producer_for(endpoint, historical_topic: str):
         return produce_jar
 
     def produce_local(frame) -> None:
-        rows = [{"Value": str(r["value"]).encode()}
-                for r in frame.collect()]
+        # mirror the jar branch's CAST(value AS STRING): a binary
+        # value column must decode to its UTF-8 text, never through
+        # str(bytearray) repr; null values (Kafka tombstones — the
+        # envelope pipeline never emits them) are skipped because the
+        # emulator log has no null-payload record shape
+        rows = [{"Value": r["value"].encode()}
+                for r in frame.selectExpr(
+                    "CAST(value AS STRING) AS value").collect()
+                if r["value"] is not None]
         if rows:
             endpoint.produce(historical_topic, rows)
     return produce_local
@@ -443,12 +450,16 @@ def checkpointed_offsets(checkpoint: str,
         return None
     try:
         with open(os.path.join(d, str(batches[-1]))) as fh:
-            lines = [ln.strip() for ln in fh if ln.strip()]
+            # strip newlines but KEEP empty lines: Spark serializes
+            # the metadata line as metadataOpt.getOrElse(""), so a
+            # blank line still occupies its positional slot — dropping
+            # it would shift every source's index by one
+            lines = [ln.strip() for ln in fh]
     except OSError:
         return None
     # lines[0] = "v1", lines[1] = batch metadata, lines[2:] = sources
     idx = 2 + source_index
-    if not 0 <= idx < len(lines):
+    if not 0 <= idx < len(lines) or not lines[idx]:
         return None
     try:
         doc = json.loads(lines[idx])
@@ -459,13 +470,17 @@ def checkpointed_offsets(checkpoint: str,
     return None
 
 
-def checkpoint_lag(checkpoint: str, broker, topics: list[str]) -> int:
+def checkpoint_lag(checkpoint: str, broker, topics: list[str],
+                   source_index: int = 0) -> int:
     """Records between a kafka_py query's checkpointed offsets and the
     log ends — the ``recordsToBeProcessed`` input of
     ``historical_drain_due`` for the Spark-checkpoint path (S2's lag
     gate over the query's own progress state). An unplanned partition
-    counts its whole log (startingOffsets=earliest drain posture)."""
-    committed = checkpointed_offsets(checkpoint) or {}
+    counts its whole log (startingOffsets=earliest drain posture).
+    ``source_index`` passes through to ``checkpointed_offsets`` for
+    queries where the kafka_py source is not the first streaming
+    source."""
+    committed = checkpointed_offsets(checkpoint, source_index) or {}
     total = 0
     for t in topics:
         for p, end in broker.end_offsets(t).items():

@@ -328,9 +328,17 @@ class LocalKinesisClient:
         closed_drained = (shard["End"] is not None and pending == 0
                           and not torn)
         if self.fetch_stats_dir:
-            with open(os.path.join(self.fetch_stats_dir,
-                                   f"{os.getpid()}.jsonl"), "a") as f:
-                f.write(json.dumps({"n": len(records)}) + "\n")
+            # diagnostics must never kill the data path: create the
+            # dir on demand and swallow IO failures (full disk, race
+            # on teardown) — a lost stats line only undercounts
+            try:
+                os.makedirs(self.fetch_stats_dir, exist_ok=True)
+                with open(os.path.join(self.fetch_stats_dir,
+                                       f"{os.getpid()}.jsonl"),
+                          "a") as f:
+                    f.write(json.dumps({"n": len(records)}) + "\n")
+            except OSError:
+                pass
         return {
             "Records": records,
             "NextShardIterator": None if closed_drained else json.dumps(

@@ -279,6 +279,16 @@ def start_ingest_stream(spark: SparkSession, source_dir: str, fmt: str,
     ``trigger`` defaults to availableNow (drain-and-stop, for tests);
     pass {"processingTime": "15 seconds"} for the reference cadence.
 
+    Late records (ST3's event-time split) hand off to the historical
+    path in exactly one of two K3 forms — ``historical_producer``
+    (a ``frame -> None`` callable re-publishing the late envelopes to
+    the historical Kafka topic; build one with
+    ``sources.kafka.historical_producer_for``) or ``historical_dir``
+    (a text spool directory). Passing both raises: a silent
+    precedence would leave the un-chosen channel forever empty while
+    downstream tooling watches it. With neither, late records stay on
+    the hot path (the batch-parity posture tests rely on).
+
     ``errors_dir`` adds a dead-letter spool beyond the reference's
     drop-and-count: envelopes the router/parser would reject (missing
     project/collection/data, collection name empty or >100 chars,
@@ -306,6 +316,10 @@ def start_ingest_stream(spark: SparkSession, source_dir: str, fmt: str,
     if layout not in ("per-table", "grouped"):
         raise ValueError(f"unknown layout {layout!r}: "
                          "expected 'per-table' or 'grouped'")
+    if historical_producer is not None and historical_dir is not None:
+        raise ValueError(
+            "pass historical_producer OR historical_dir, not both — "
+            "late records hand off to exactly one K3 channel")
     if layout == "grouped" and manifested:
         raise ValueError("layout='grouped' and manifested=True are "
                          "incompatible — the manifest commit protocol "

