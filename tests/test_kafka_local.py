@@ -941,3 +941,50 @@ def test_late_data_loop_realtime_to_historical_to_same_table(
     key = lambda r: (r["_user"], r["v"], str(r["_time"]))  # noqa: E731
     assert sorted(key(r) for r in got.collect()) \
         == sorted(key(r) for r in batch.collect())
+
+
+def test_checkpointed_offsets_positional_selection(tmp_path):
+    """The offset-file parser is positional, blank-tolerant, and
+    shape-checked: Spark writes `v1`, a metadata line that MAY be
+    empty (metadataOpt.getOrElse("")), then one line per source in
+    source order — so source_index must index from line 2 without
+    dropping blank lines, and a non-kafka_py source line returns None
+    rather than someone else's offsets."""
+    from rakam_api_collector_spark.sources.kafka import \
+        checkpointed_offsets
+
+    d = tmp_path / "ck" / "offsets"
+    d.mkdir(parents=True)
+    (d / "3").write_text(
+        "v1\n"
+        "\n"                                   # EMPTY metadata line
+        '{"offsets": {"t 0": 7, "t 1": 9}}\n'  # source 0: kafka_py
+        "12345\n"                              # source 1: rate-like
+        '{"offsets": {"u 0": 2}}\n')           # source 2: another one
+    ck = str(tmp_path / "ck")
+    assert checkpointed_offsets(ck) == {"t 0": 7, "t 1": 9}
+    assert checkpointed_offsets(ck, source_index=0) \
+        == {"t 0": 7, "t 1": 9}
+    assert checkpointed_offsets(ck, source_index=1) is None   # not ours
+    assert checkpointed_offsets(ck, source_index=2) == {"u 0": 2}
+    assert checkpointed_offsets(ck, source_index=9) is None   # OOB
+    # highest batch file wins
+    (d / "10").write_text("v1\n\n" '{"offsets": {"t 0": 50}}\n')
+    assert checkpointed_offsets(ck) == {"t 0": 50}
+
+
+def test_historical_producer_and_dir_conflict_raises(spark, tmp_path):
+    """Exactly one K3 channel: passing both the topic producer and the
+    spool dir raises instead of silently preferring one."""
+    import pytest
+
+    from rakam_api_collector_spark.ingest import Catalog
+    from rakam_api_collector_spark.streaming import start_ingest_stream
+
+    with pytest.raises(ValueError, match="not both"):
+        start_ingest_stream(
+            spark, source_dir=str(tmp_path / "src"), fmt="fabric",
+            catalog=Catalog(), table_base=str(tmp_path / "t"),
+            checkpoint=str(tmp_path / "ck"),
+            historical_dir=str(tmp_path / "hist"),
+            historical_producer=lambda df: None)
