@@ -988,3 +988,47 @@ def test_historical_producer_and_dir_conflict_raises(spark, tmp_path):
             checkpoint=str(tmp_path / "ck"),
             historical_dir=str(tmp_path / "hist"),
             historical_producer=lambda df: None)
+
+
+def test_two_kafka_py_sources_offsets_by_position(spark, tmp_path):
+    """Against the ENGINE's own checkpoint writes (not a synthetic
+    file): a union of TWO kafka_py sources produces one offsets line
+    per source in logical-plan order after the v1 header + metadata
+    line, and checkpointed_offsets(ck, i)/checkpoint_lag(..., i)
+    select each source's progress by position — the multi-source case
+    the positional rewrite exists for."""
+    from rakam_api_collector_spark.sources.kafka import (
+        checkpoint_lag, checkpointed_offsets)
+
+    work = str(tmp_path / "kafka")
+    b = LocalKafkaBroker(work)
+    b.create_topic("a", 2)
+    b.create_topic("z", 1)
+    b.produce("a", [{"Value": f"a{i}".encode(), "Partition": i % 2}
+                    for i in range(6)])
+    b.produce("z", [{"Value": f"z{i}".encode(), "Partition": 0}
+                    for i in range(3)])
+    register_kafka_py(spark)
+
+    def src(topic):
+        return (spark.readStream.format("kafka_py")
+                .option("endpoint", f"local:{work}")
+                .option("subscribe", topic)
+                .option("startingOffsets", "earliest").load()
+                .selectExpr("CAST(value AS STRING) AS value"))
+
+    ck = str(tmp_path / "ck")
+    out = str(tmp_path / "out")
+    (src("a").unionByName(src("z"))
+     .writeStream.format("parquet").option("path", out)
+     .option("checkpointLocation", ck)
+     .trigger(availableNow=True).start().awaitTermination(120))
+
+    assert spark.read.parquet(out).count() == 9
+    assert checkpointed_offsets(ck, 0) == {"a 0": 3, "a 1": 3}
+    assert checkpointed_offsets(ck, 1) == {"z 0": 3}
+    assert checkpoint_lag(ck, b, ["a"], source_index=0) == 0
+    assert checkpoint_lag(ck, b, ["z"], source_index=1) == 0
+    # the wrong index against the wrong topic over-counts — exactly
+    # the skew the positional API prevents
+    assert checkpoint_lag(ck, b, ["z"], source_index=0) == 3
