@@ -1186,12 +1186,16 @@ def _staircase_tone_levels(pattern: int, rate: int, nf: int,
              for c, f in enumerate(freqs)]
 
     def pooled(x):
-        feats = log_mel_frames(x, rate)
-        # replicate audio_phash64's pre-pooling clamp — pooled column
-        # ORDER differs clamped vs raw (floor bins lift to max-6), so
-        # calibrating against raw pooling converges to the wrong grid
-        feats = np.maximum(feats, feats.max() - 6.0)
-        cols = (np.arange(n + 1) * feats.shape[1]) // n
+        # the SHARED pre-pooling transform (clamp + column edges) from
+        # phash.clamped_band_columns — pooled column ORDER differs
+        # clamped vs raw (floor bins lift to max-6), so calibrating
+        # against anything but the hash's own pooling converges to
+        # the wrong grid
+        from rakam_api_collector_spark.operators.phash import \
+            clamped_band_columns
+
+        feats, cols = clamped_band_columns(log_mel_frames(x, rate),
+                                           n_cols=n)
         return np.array([
             feats[:, cols[b]:max(cols[b + 1], cols[b] + 1)].mean()
             for b in range(n)])

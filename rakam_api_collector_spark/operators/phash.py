@@ -338,6 +338,19 @@ def video_phash_candidates(df: DataFrame, id_col: str, video_col: str,
 # -- audio near-dup: spectrogram pHash ----------------------------------------
 
 
+def clamped_band_columns(feats: "np.ndarray", n_cols: int = 9,
+                         clamp: float = 6.0):
+    """``audio_phash64``'s pre-pooling transform, shared: clamp the
+    log-mel matrix ``clamp`` units below its peak, return it with the
+    floor-index band-column edges. The llm54 fixture calibration
+    (multimodal._staircase_tone_levels) targets THIS pooling — sharing
+    the transform means a future grid change (clamp depth, column
+    count) cannot silently diverge the calibration from the hash."""
+    feats = np.maximum(feats, feats.max() - clamp)
+    cols = (np.arange(n_cols + 1) * feats.shape[1]) // n_cols
+    return feats, cols
+
+
 def audio_phash64(pcm16: "np.ndarray", sample_rate: int, *,
                   n_fft: int = 512, hop: int = 256,
                   n_mels: int = 40) -> int:
@@ -372,9 +385,8 @@ def audio_phash64(pcm16: "np.ndarray", sample_rate: int, *,
         raise ValueError("clip shorter than one FFT window")
     # clamp re-quantization noise 60 dB below the peak, then mean-pool
     # to the 8×9 grid (floor-index time edges — short clips repeat)
-    feats = np.maximum(feats, feats.max() - 6.0)
+    feats, cols = clamped_band_columns(feats)
     t_edges = (np.arange(9) * n_t) // 8
-    cols = (np.arange(10) * feats.shape[1]) // 9
     grid = np.empty((8, 9))
     for ti in range(8):
         rows = feats[t_edges[ti]:max(t_edges[ti + 1], t_edges[ti] + 1)]

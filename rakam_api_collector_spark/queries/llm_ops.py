@@ -780,8 +780,9 @@ def llm54_audio_phash(spark: SparkSession, sf: str) -> DataFrame:
     (queries/__init__.py r14 SPARE-SLOT PLAN).
 
     Input: 120 deterministic tonal clips derived from documents — 30
-    distinct spectral-envelope staircases × 4 gain variants (0.9×,
-    0.45×, 0.225×, 0.1125× — multimodal.synthesize_tone_wav): clip
+    distinct spectral-envelope staircases × 4 gain variants (900,
+    450, 225, 112 milli — the halving cascade truncates 112.5 to the
+    integer gain_milli — multimodal.synthesize_tone_wav): clip
     group g carries the 8-bit pattern ``(g*9 + 7) % 256`` as
     closed-loop-calibrated ±2.5 dB POOLED-energy steps across the
     hash grid's 9 mel columns, so audio_phash64's

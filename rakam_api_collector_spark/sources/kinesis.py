@@ -116,6 +116,20 @@ def _err_code(e: Exception) -> str:
     return type(e).__name__
 
 
+def default_stop_slack_ms(window_ms: int) -> int:
+    """Default ``stopSlackMs`` for a partitioned-mode window read: the
+    window length clamped to [1 s, 5 s]. Single source of truth —
+    the reader (read()) and the amplification STRESS cell
+    (scripts/stress_kinesis_slack.py) both derive from it, so the
+    cell's documented bound ``1 + slack/window`` can never silently
+    diverge from the reader's actual behavior. Rationale at the read()
+    call site: slack covers approximately-monotone arrival-stamp
+    jitter; the clamp bounds re-read amplification at 2× for ≥1 s
+    windows while keeping a full second of protection under
+    sub-second windows."""
+    return min(5000, max(1000, window_ms))
+
+
 def _make_client(options: dict):
     endpoint = options.get("endpoint")
     if endpoint and endpoint.startswith("local:"):
@@ -634,7 +648,7 @@ class _KinesisPartitionedStreamReader(DataSourceStreamReader):
         if opts.get("stopslackms"):
             slack_ms = int(opts["stopslackms"])
         else:
-            slack_ms = min(5000, max(1000, e_ms - s_ms))
+            slack_ms = default_stop_slack_ms(e_ms - s_ms)
         backoff0 = int(opts.get("throttlebackoffms") or 100) / 1000.0
         stream = opts.get("streamname")
         cl = _make_client(opts)

@@ -30,6 +30,8 @@ the semantics exercised are source-independent.)
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -381,22 +383,34 @@ def start_ingest_stream(spark: SparkSession, source_dir: str, fmt: str,
             rt, hist = split_late(splittable, time_col="_event_time",
                                   outdated_day_index=outdated_day_index,
                                   now=now)
-            if historical_producer is not None:
-                # K3 historical handoff, topic form: late envelopes
+            if historical_producer is not None or historical_dir is not None:
+                # K3 historical handoff — topic form (late envelopes
                 # re-published to the historical Kafka topic for the
-                # slow-cadence drain worker (KafkaHistoricalDataHandler
-                # .java:41-69) — before the hot path commits, like the
-                # spool branch below. The callable receives the raw
-                # late-envelope frame; see sources/kafka.py:
-                # historical_producer_for for both wire backends.
-                historical_producer(hist.select("value"))
-                hot = rt
-            elif historical_dir is not None:
-                # K3 historical handoff, spool form: raw envelopes
-                # spooled for the slow-cadence worker; written before
-                # the hot path commits, mirroring
-                # BatchRecords.java:44-67's gating.
-                hist.select("value").write.mode("append").text(historical_dir)
+                # slow-cadence drain worker, KafkaHistoricalDataHandler
+                # .java:41-69) or spool form (text directory) — before
+                # the hot path commits, mirroring BatchRecords.java:
+                # 44-67's gating. EPOCH-MARKER IDEMPOTENCE: Spark
+                # replays a failed epoch through process() again (e.g.
+                # _commit_tables threw after the handoff succeeded), so
+                # an unguarded handoff would re-publish the same late
+                # envelopes — a marker under the checkpoint skips the
+                # handoff on replay. The crash window between handoff
+                # and marker write remains at-least-once (as is the
+                # reference's Kafka producer), which the drain absorbs
+                # by running WITH dedup (ST6) — the same composition
+                # the reference relies on; a drain without dedup can
+                # see duplicates from that window.
+                marker_dir = os.path.join(checkpoint, "hist_published")
+                os.makedirs(marker_dir, exist_ok=True)
+                marker = os.path.join(marker_dir, str(epoch_id))
+                if not os.path.exists(marker):
+                    if historical_producer is not None:
+                        historical_producer(hist.select("value"))
+                    else:
+                        (hist.select("value").write.mode("append")
+                         .text(historical_dir))
+                    with open(marker, "w"):
+                        pass
                 hot = rt
             else:
                 hot = splittable

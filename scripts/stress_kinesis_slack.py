@@ -98,7 +98,9 @@ def run_cell(spark, work: str, window_ms: int, rate: int,
                     fetched += json.loads(line)["n"]
                 except ValueError:
                     pass
-    slack = min(5000, max(1000, window_ms))
+    from rakam_api_collector_spark.sources.kinesis import \
+        default_stop_slack_ms
+    slack = default_stop_slack_ms(window_ms)
     cell = {
         "window_ms": window_ms,
         "produced": sent_box[0] if sent_box else None,

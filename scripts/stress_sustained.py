@@ -39,7 +39,8 @@ readerMode=partitioned (mid-run shard split) or format("kafka_py")
 (mid-run partition growth) — see STRESS.md round-13 sections.
 ``kafka-loop`` (r14) runs the FULL late-data loop under the same
 bursts: realtime split → historical topic re-publish → availableNow
-drain into the same tables, with total-delivery asserted.
+drain into the same tables, with source-side conservation asserted
+(every envelope ingested via exactly one path).
 
 ``json-manifested-fair`` rebuilds the session under the FAIR scheduler
 with the packaged low-weight ``manifest-maintenance`` pool
@@ -419,11 +420,13 @@ def run_kafka_late_loop(spark, n: int, n_batches: int, n_coll: int,
     (ST3) and re-publishes the late envelopes to the historical TOPIC
     via historical_producer_for (K3) while committing the fresh 90%,
     then one availableNow drain (S2/ST5) consumes the historical
-    topic into the SAME table base. Asserts total delivery across
-    both paths (exactly-once: every record commits exactly one way)
-    and reports the realtime steady wall WITH the split+produce
-    overhead against the same 15 s budget, plus the drain's own
-    wall."""
+    topic into the SAME table base. Asserts source-side conservation
+    — the realtime query consumed every produced envelope AND the
+    drain consumed every re-published one, so each envelope was
+    ingested via exactly one path (the epoch-marker handoff plus
+    drain-side dedup compose to the exactly-once table effect) — and
+    reports the realtime steady wall WITH the split+produce overhead
+    against the same 15 s budget, plus the drain's own wall."""
     from rakam_api_collector_spark.sources.kafka import (
         checkpoint_lag, historical_producer_for, register_kafka_py)
     from rakam_api_collector_spark.sources.kafka_local import \
@@ -469,22 +472,28 @@ def run_kafka_late_loop(spark, n: int, n_batches: int, n_coll: int,
                  .option("subscribe", "hist")
                  .option("startingOffsets", "earliest")
                  .load())
-    start_ingest_stream(
+    # dedup=True: the epoch-marker handoff is idempotent across epoch
+    # replays, but the produce-then-crash window stays at-least-once;
+    # drain-side TTL dedup is the absorbing half of the composition
+    dq = start_ingest_stream(
         spark, None, "fabric", cat,
         table_base=str(work / "tables"), checkpoint=ck_hist,
-        now=NOW, shard_time=SHARD_T, dedup=False,
+        now=NOW, shard_time=SHARD_T, dedup=True,
         state_partitions=state_partitions,
-        source_stream=drain_src).awaitTermination(600)
+        source_stream=drain_src)
+    dq.awaitTermination(600)
     drain_wall = time.perf_counter() - t0
     assert checkpoint_lag(ck_hist, broker, ["hist"]) == 0
+    drain_in = sum(b["rows"] for b in _progress_rows(dq))
 
     rec = _report("kafka_late_loop", batches, n_batches, rt_wall,
                   total_rows=n * n_batches)
-    # exactly-once across the loop: every envelope landed on exactly
-    # one path; the table union carries all surviving records (dedup
-    # on the hot path collapses same-(user,time) keys, so assert via
-    # the source-side conservation: realtime input + drain input ==
-    # produced + re-published)
+    # source-side conservation across the loop: the realtime query
+    # consumed every produced envelope (asserted by _report) and the
+    # drain consumed every re-published one — so each envelope was
+    # INGESTED via exactly one path (what lands in the table after
+    # that is the dedup/router policy, by design)
+    assert drain_in == hist_backlog, (drain_in, hist_backlog)
     rec.update({
         "late_republished": hist_backlog,
         "late_fraction": round(hist_backlog / (n * n_batches), 3),

@@ -915,11 +915,16 @@ def test_late_data_loop_realtime_to_historical_to_same_table(
                .option("endpoint", f"local:{work}")
                .option("subscribe", "hist")
                .option("startingOffsets", "earliest").load())
+        # dedup=True is load-bearing: the handoff's epoch markers make
+        # re-publish idempotent across epoch REPLAYS, but the crash
+        # window between produce and marker write stays at-least-once
+        # — the drain's TTL dedup (ST6) is what absorbs it, the same
+        # composition the reference's Deduplicator provides
         start_ingest_stream(
             spark, source_dir=None, fmt="fabric", catalog=cat,
             table_base=tables, checkpoint=ck_hist,
             now="2020-06-01", shard_time="2020-06-01 00:00:00",
-            dedup=False, source_stream=src).awaitTermination(120)
+            dedup=True, source_stream=src).awaitTermination(120)
 
     drain()
     assert checkpoint_lag(ck_hist, b, ["hist"]) == 0
@@ -1032,3 +1037,69 @@ def test_two_kafka_py_sources_offsets_by_position(spark, tmp_path):
     # the wrong index against the wrong topic over-counts — exactly
     # the skew the positional API prevents
     assert checkpoint_lag(ck, b, ["z"], source_index=0) == 3
+
+
+def test_historical_handoff_idempotent_across_epoch_replay(
+        spark, tmp_path):
+    """Epoch REPLAY must not re-publish late envelopes: a crash
+    injected AFTER the handoff (and after the table commit) fails the
+    query mid-epoch; the restarted query replays the epoch through
+    process(), and the checkpoint's hist_published marker skips the
+    re-publish — the historical topic carries each late envelope
+    exactly once. (The produce-then-crash-before-marker window stays
+    at-least-once by design; the drain's dedup absorbs it — the
+    composition the loop test asserts.)"""
+    import os
+
+    import pyspark.errors
+
+    from rakam_api_collector_spark.ingest import Catalog
+    from rakam_api_collector_spark.sources.kafka import \
+        historical_producer_for
+    from rakam_api_collector_spark.streaming import start_ingest_stream
+    from tests.test_ingest import fabric
+
+    work = str(tmp_path / "kafka")
+    b = LocalKafkaBroker(work)
+    b.create_topic("rt", partitions=1)
+    b.create_topic("hist", partitions=1)
+    b.produce("rt", [{"Value": fabric(
+        "t", {"_time": "2020-06-01T10:00:00", "_user": "u0", "v": 0})
+        .encode()},
+        {"Value": fabric(
+            "t", {"_time": "2020-01-01T10:00:00", "_user": "L0",
+                  "v": 1}).encode()}])
+    register_kafka_py(spark)
+    cat = Catalog(path=str(tmp_path / "cat.json"))
+    flag = str(tmp_path / "crashed_once")
+
+    class FlakyStats:
+        def add(self, project, collection, n):
+            if not os.path.exists(flag):
+                open(flag, "w").close()
+                raise RuntimeError("injected post-handoff crash")
+
+    def run(stats):
+        src = (spark.readStream.format("kafka_py")
+               .option("endpoint", f"local:{work}")
+               .option("subscribe", "rt")
+               .option("startingOffsets", "earliest").load())
+        q = start_ingest_stream(
+            spark, source_dir=None, fmt="fabric", catalog=cat,
+            table_base=str(tmp_path / "tables"),
+            checkpoint=str(tmp_path / "ck"),
+            now="2020-06-01", shard_time="2020-06-01 00:00:00",
+            dedup=False, source_stream=src, stats=stats,
+            historical_producer=historical_producer_for(b, "hist"))
+        q.awaitTermination(120)
+
+    try:
+        run(FlakyStats())
+        raise AssertionError("injected crash did not surface")
+    except pyspark.errors.exceptions.captured.StreamingQueryException:
+        pass
+    assert os.path.exists(flag)
+    assert b.end_offsets("hist") == {0: 1}   # published before crash
+
+    run(None)                                # replay of the epoch
+    assert b.end_offsets("hist") == {0: 1}   # NOT published twice
