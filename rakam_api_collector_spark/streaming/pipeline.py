@@ -193,6 +193,85 @@ def _maintenance_hook(spark: SparkSession, table_base: str,
     return MaintenanceHook(spark, table_base, **maintenance)
 
 
+_EPOCH_FILE_RETAIN = 128
+
+
+def _prune_epoch_files(dirpath: str, epoch_id: int,
+                       retain: int = _EPOCH_FILE_RETAIN) -> None:
+    """Drop per-epoch bookkeeping files older than ``retain`` epochs.
+    Spark replays at most the most recent uncommitted micro-batch, so
+    a marker/clock more than a handful of epochs old can never be
+    consulted again — but without pruning, a 15 s trigger leaves
+    5,760 empty files/day under the checkpoint forever (a small-files
+    leak on the checkpoint store at cluster scale)."""
+    try:
+        names = os.listdir(dirpath)
+    except OSError:
+        return
+    floor = epoch_id - retain
+    for n in names:
+        stem = n[:-4] if n.endswith(".tmp") else n
+        if stem.isdigit() and int(stem) < floor:
+            try:
+                os.remove(os.path.join(dirpath, n))
+            except OSError:
+                pass                   # concurrent prune / replay race
+
+
+def _handoff_once(checkpoint: str, epoch_id: int, publish) -> None:
+    """Run ``publish()`` at most once per (checkpoint, epoch) — the K3
+    idempotence guard shared by the JSON and Avro paths. Spark replays
+    a failed epoch through foreachBatch again (e.g. _commit_tables
+    threw after the handoff succeeded), so an unguarded handoff would
+    re-publish the same late envelopes; a marker under the checkpoint
+    skips it on replay. The crash window between publish and marker
+    write remains at-least-once (as is the reference's Kafka producer,
+    KafkaHistoricalDataHandler.java:41-69), which the drain absorbs by
+    running WITH dedup (ST6) — the composition the reference relies
+    on; a drain without dedup can see duplicates from that window."""
+    marker_dir = os.path.join(checkpoint, "hist_published")
+    os.makedirs(marker_dir, exist_ok=True)
+    marker = os.path.join(marker_dir, str(epoch_id))
+    if not os.path.exists(marker):
+        publish()
+        with open(marker, "w"):
+            pass
+    _prune_epoch_files(marker_dir, epoch_id)
+
+
+def _pinned_epoch_date(spark: SparkSession, checkpoint: str,
+                       epoch_id: int) -> str:
+    """``current_date()`` frozen on the epoch's FIRST attempt
+    ('yyyy-MM-dd', session time zone) and re-read on replay, so ST3's
+    late classification is replay-deterministic. Without it,
+    ``split_late(now=None)`` evaluates current_date() at execution
+    time, and a replay straddling midnight re-partitions boundary-day
+    records — with the ``_handoff_once`` marker already written, a
+    record newly classified late on replay is filtered off the hot
+    path but never published: silent loss, strictly worse than the
+    duplication the marker exists to prevent. Pinned only when a K3
+    channel is configured (without one the split is not applied).
+    Files are pruned on the same schedule as the handoff markers."""
+    clock_dir = os.path.join(checkpoint, "hist_clock")
+    os.makedirs(clock_dir, exist_ok=True)
+    path = os.path.join(clock_dir, str(epoch_id))
+    try:
+        with open(path) as fh:
+            stored = fh.read().strip()
+        if stored:
+            return stored
+    except OSError:
+        pass
+    today = spark.sql(
+        "SELECT date_format(current_date(), 'yyyy-MM-dd')").first()[0]
+    tmp = path + ".tmp"
+    with open(tmp, "w") as fh:
+        fh.write(today)
+    os.replace(tmp, path)
+    _prune_epoch_files(clock_dir, epoch_id)
+    return today
+
+
 def _commit_tables(tables, table_base: str, manifested: bool,
                    checkpoint: str, epoch_id: int,
                    layout: str = "per-table") -> None:
@@ -380,39 +459,38 @@ def start_ingest_stream(spark: SparkSession, source_dir: str, fmt: str,
                 splittable = batch.filter(~bad)
             else:
                 splittable = batch
-            rt, hist = split_late(splittable, time_col="_event_time",
-                                  outdated_day_index=outdated_day_index,
-                                  now=now)
             if historical_producer is not None or historical_dir is not None:
                 # K3 historical handoff — topic form (late envelopes
                 # re-published to the historical Kafka topic for the
                 # slow-cadence drain worker, KafkaHistoricalDataHandler
                 # .java:41-69) or spool form (text directory) — before
                 # the hot path commits, mirroring BatchRecords.java:
-                # 44-67's gating. EPOCH-MARKER IDEMPOTENCE: Spark
-                # replays a failed epoch through process() again (e.g.
-                # _commit_tables threw after the handoff succeeded), so
-                # an unguarded handoff would re-publish the same late
-                # envelopes — a marker under the checkpoint skips the
-                # handoff on replay. The crash window between handoff
-                # and marker write remains at-least-once (as is the
-                # reference's Kafka producer), which the drain absorbs
-                # by running WITH dedup (ST6) — the same composition
-                # the reference relies on; a drain without dedup can
-                # see duplicates from that window.
-                marker_dir = os.path.join(checkpoint, "hist_published")
-                os.makedirs(marker_dir, exist_ok=True)
-                marker = os.path.join(marker_dir, str(epoch_id))
-                if not os.path.exists(marker):
+                # 44-67's gating. The split's classification clock is
+                # pinned to the epoch's first attempt and the publish
+                # is epoch-marker idempotent (_pinned_epoch_date /
+                # _handoff_once): together a replayed epoch sees the
+                # identical realtime/historical partition and never
+                # re-publishes — nor drops — a late record.
+                eff_now = now if now is not None else \
+                    _pinned_epoch_date(spark, checkpoint, epoch_id)
+                rt, hist = split_late(splittable, time_col="_event_time",
+                                      outdated_day_index=outdated_day_index,
+                                      now=eff_now)
+                late = hist.select("value")
+
+                def _publish() -> None:
                     if historical_producer is not None:
-                        historical_producer(hist.select("value"))
+                        historical_producer(late)
                     else:
-                        (hist.select("value").write.mode("append")
-                         .text(historical_dir))
-                    with open(marker, "w"):
-                        pass
+                        late.write.mode("append").text(historical_dir)
+
+                _handoff_once(checkpoint, epoch_id, _publish)
                 hot = rt
             else:
+                # no K3 channel: late records stay on the hot path
+                # (the batch-parity posture tests rely on), and the
+                # split — whose re-promotion rule costs a count() job
+                # per micro-batch — is never planned at all
                 hot = splittable
             tables = ingest_batch(spark, hot.select("value"), fmt, catalog,
                                   shard_time=shard_time,
@@ -639,12 +717,21 @@ def start_avro_ingest_stream(spark: SparkSession, source_dir: str | None,
                 # immediately, AvroMessageEventTransformer.java:87-99),
                 # and corrupt frames stay hot so ST11 accounting sees
                 # them — neither ever enters the spool.
+                # Same replay posture as the JSON path: classification
+                # clock pinned to the epoch's first attempt, spool
+                # append epoch-marker idempotent (_pinned_epoch_date /
+                # _handoff_once) — an unguarded append would re-spool
+                # the same late frames when Spark replays the epoch.
+                eff_now = now if now is not None else \
+                    _pinned_epoch_date(spark, checkpoint, epoch_id)
                 rt, hist = split_late(
                     batch.filter(F.col("_kind") == "stream"),
                     time_col="_event_time",
-                    outdated_day_index=outdated_day_index, now=now)
-                hist.select("value").write.mode("append") \
-                    .parquet(historical_dir)
+                    outdated_day_index=outdated_day_index, now=eff_now)
+                _handoff_once(
+                    checkpoint, epoch_id,
+                    lambda: hist.select("value").write.mode("append")
+                    .parquet(historical_dir))
                 hot = batch.filter(F.col("_kind") != "stream") \
                     .unionByName(rt)
             else:

@@ -432,3 +432,51 @@ def test_avro_decode_groups_by_schema_not_collection(spark, tmp_path):
         assert {r._user for r in tables[("p1", "b")].collect()} == {"u1"}
     finally:
         tables.unpersist()
+
+
+def test_avro_historical_spool_idempotent_across_epoch_replay(
+        spark, tmp_path):
+    """Epoch REPLAY must not re-append late frames to the K3 spool
+    (the Avro twin of the kafka_py topic-form test): a crash injected
+    AFTER the spool write fails the query mid-epoch; the restarted
+    query replays the epoch through process(), and the checkpoint's
+    hist_published marker skips the re-append — the spool carries the
+    late frame exactly once, so a dedup-less historical drain stays
+    duplicate-free on this path too."""
+    import os
+
+    import pyspark.errors
+
+    cat, fields = _mk_catalog(tmp_path / "catalog.json")
+    frames = [
+        _frame(fields, "u0", "2020-06-01T10:00:00", 1.0),
+        _frame(fields, "u1", "2020-05-01T10:00:00", 2.0),  # 31 days late
+    ]
+    src = tmp_path / "src"
+    _write_frames(src, frames)
+    hist_dir = tmp_path / "hist"
+    flag = str(tmp_path / "crashed_once")
+
+    class FlakyStats:
+        def add(self, project, collection, n):
+            if not os.path.exists(flag):
+                open(flag, "w").close()
+                raise RuntimeError("injected post-handoff crash")
+
+    def run(stats):
+        q = start_avro_ingest_stream(
+            spark, str(src), cat, str(tmp_path / "tables"),
+            checkpoint=str(tmp_path / "ckpt"), project="p1",
+            historical_dir=str(hist_dir), now=NOW, shard_time=SHARD_T,
+            stats=stats)
+        q.awaitTermination(120)
+
+    try:
+        run(FlakyStats())
+        raise AssertionError("injected crash did not surface")
+    except pyspark.errors.exceptions.captured.StreamingQueryException:
+        pass
+    assert spark.read.parquet(str(hist_dir)).count() == 1  # pre-crash
+
+    run(None)                              # replay of the epoch
+    assert spark.read.parquet(str(hist_dir)).count() == 1  # not twice

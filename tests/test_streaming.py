@@ -365,3 +365,38 @@ def test_stream_checkpoint_no_reprocessing(spark, tmp_path):
     df = read_collection(spark, str(tmp_path / "tables"),
                          "testproject", "t", cat)
     assert sorted(r["v"] for r in df.collect()) == [1.0, 2.0]
+
+
+def test_handoff_helpers_idempotent_pinned_and_pruned(spark, tmp_path):
+    """The K3 bookkeeping helpers shared by the JSON and Avro paths:
+    _handoff_once runs publish exactly once per (checkpoint, epoch);
+    _pinned_epoch_date stores current_date() on the epoch's first
+    attempt and re-reads it on replay even after a (simulated)
+    midnight rollover — the guard against a replay reclassifying
+    boundary-day records and silently dropping a newly-late one; and
+    _prune_epoch_files bounds both bookkeeping dirs so a 15 s trigger
+    doesn't leak 5,760 checkpoint files/day forever."""
+    from rakam_api_collector_spark.streaming.pipeline import (
+        _handoff_once,
+        _pinned_epoch_date,
+        _prune_epoch_files,
+    )
+
+    ck = str(tmp_path / "ck")
+    calls = []
+    _handoff_once(ck, 7, lambda: calls.append(1))
+    _handoff_once(ck, 7, lambda: calls.append(1))     # replay: skipped
+    assert calls == [1]
+
+    d1 = _pinned_epoch_date(spark, ck, 7)
+    clock = Path(ck) / "hist_clock" / "7"
+    assert clock.read_text() == d1 and len(d1) == 10
+    clock.write_text("1999-12-31")        # simulate midnight rollover
+    assert _pinned_epoch_date(spark, ck, 7) == "1999-12-31"
+
+    mdir = Path(ck) / "hist_published"
+    for e in (0, 1, 500):
+        (mdir / str(e)).write_text("")
+    (mdir / "3.tmp").write_text("")       # torn clock/marker leftover
+    _prune_epoch_files(str(mdir), 500)
+    assert sorted(p.name for p in mdir.iterdir()) == ["500"]
