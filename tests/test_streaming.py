@@ -400,3 +400,54 @@ def test_handoff_helpers_idempotent_pinned_and_pruned(spark, tmp_path):
     (mdir / "3.tmp").write_text("")       # torn clock/marker leftover
     _prune_epoch_files(str(mdir), 500)
     assert sorted(p.name for p in mdir.iterdir()) == ["500"]
+
+
+def test_stream_handoff_replay_pins_classification_clock(spark, tmp_path):
+    """now=None end-to-end: the epoch's classification date is pinned
+    under the checkpoint on the first attempt (hist_clock/<epoch>) and
+    re-read when the crashed epoch replays — the ST3 split stays
+    identical across the replay even if the wall date rolls over
+    mid-crash, so the skip-on-marker guard can never strand a
+    newly-late record — and the K3 spool carries the late envelope
+    exactly once."""
+    import datetime as dt
+    import os
+
+    import pyspark.errors
+
+    today = dt.date.today().isoformat()
+    src = tmp_path / "src"
+    _write_lines(src, [
+        fabric("t", {"_time": f"{today}T10:00:00", "_user": "a", "v": 1}),
+        fabric("t", {"_time": "2000-01-01T10:00:00", "_user": "b",
+                     "v": 2}),
+    ], "one.json")
+    cat = Catalog(path=str(tmp_path / "cat.json"))
+    hist_dir = str(tmp_path / "hist")
+    flag = str(tmp_path / "crashed_once")
+
+    class FlakyStats:
+        def add(self, project, collection, n):
+            if not os.path.exists(flag):
+                open(flag, "w").close()
+                raise RuntimeError("injected post-handoff crash")
+
+    def run(stats):
+        q = start_ingest_stream(
+            spark, str(src), "fabric", cat,
+            table_base=str(tmp_path / "tables"),
+            checkpoint=str(tmp_path / "ckpt"),
+            historical_dir=hist_dir, dedup=False, stats=stats)
+        q.awaitTermination(120)
+
+    try:
+        run(FlakyStats())
+        raise AssertionError("injected crash did not surface")
+    except pyspark.errors.exceptions.captured.StreamingQueryException:
+        pass
+    clock = tmp_path / "ckpt" / "hist_clock" / "0"
+    assert clock.read_text() == today      # pinned on the first attempt
+    assert spark.read.text(hist_dir).count() == 1
+
+    run(None)                              # replay of the epoch
+    assert spark.read.text(hist_dir).count() == 1
