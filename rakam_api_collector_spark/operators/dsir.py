@@ -1,0 +1,195 @@
+"""DSIR-style data selection — importance resampling of a raw corpus
+toward a target distribution (Xie et al., NeurIPS 2023, "Data Selection
+for Language Models via Importance Resampling").
+
+The published construction: featurize every document as hashed n-gram
+counts (the paper uses unigrams + bigrams into 10k buckets), fit two
+bag-of-buckets multinomials — one on the target corpus, one on the raw
+corpus — weight each raw document by the log-likelihood ratio
+``log w(x) = Σ_b c_b(x)·(log p_target(b) − log p_raw(b))``, then sample
+without replacement ∝ w. Sampling uses the Gumbel-top-k identity
+(perturb each log-weight with independent Gumbel noise and take the
+top k — equivalent to sequential sampling ∝ softmax of the scores),
+which turns "weighted sample without replacement over 100 TB" into a
+single ``TakeOrderedAndProject``: no global sort, no sequential draws.
+
+Spark shape (the reason each step scales):
+
+- featurization is per-row HOFs (tokens → k-gram ``transform`` →
+  ``explode``) — no Python, no shuffle;
+- each LM fit collapses the exploded grams straight to ≤ ``buckets``
+  rows (map-side combine absorbs hot grams — a stop-word bucket
+  reduces to one partial row per map partition);
+- the per-document weight path joins the exploded grams against the
+  ONE broadcast (bucket → Δlogp) table and sums per doc — a single
+  shuffle, keyed by doc id (naturally balanced), because
+  ``Σ_b c_b·Δ_b`` equals the per-occurrence sum of Δ;
+- selection is Gumbel-perturbed top-k (bounded by k, never a sort).
+
+Hashing is the md5 bucket shared with ``operators/sampling.py`` — not
+for speed but because selection must be REPRODUCIBLE OUTSIDE SPARK
+(sampling.py module docstring: every engine has md5; xxhash64 seeds
+differ across implementations), and the Gumbel noise is the same
+seeded md5 uniform, so the selected id set is a pure function of
+(corpora, n, buckets, alpha, seed) on any engine.
+
+Reference relation: the reference (rakam-api-collector) has no data-
+selection stage — this extends the LLM-pipeline operator family
+(SURVEY.md §"beyond the reference") alongside dedup/quality/mixture.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from rakam_api_collector_spark.operators.sampling import hash_bucket
+from rakam_api_collector_spark.operators.text import tokens
+
+
+def _kgrams(t: Column, k: int) -> Column:
+    """Space-joined k-grams over an ALREADY MATERIALIZED token array
+    (text.bigrams' no-CSE-inside-HOF rule). Docs with < k tokens yield
+    an empty array — ``sequence`` would otherwise count DOWN from 1
+    and emit phantom grams. Pure per-row map, no shuffle."""
+    n = F.size(t)
+    if k == 1:
+        return t
+    return F.when(
+        n >= k,
+        F.transform(F.sequence(F.lit(1), n - k + 1),
+                    lambda i: F.array_join(F.slice(t, i, k), " "))
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def _bucketed_grams(df: DataFrame, id_col: str, text_col: str,
+                    n: int, buckets: int) -> DataFrame:
+    """One row per gram OCCURRENCE: (id, bucket) for every 1..n-gram.
+    The long format both LM fitting and weighting reduce from — kept
+    per-occurrence (not pre-counted) so each consumer pays exactly one
+    exchange on ITS key instead of an extra (id, bucket) shuffle."""
+    toks = df.select(F.col(id_col).alias("_id"),
+                     tokens(F.col(text_col)).alias("_t"))
+    grams = F.concat(*[_kgrams(F.col("_t"), k) for k in range(1, n + 1)])
+    return toks.select(
+        "_id", F.explode(grams).alias("_g")
+    ).select("_id", hash_bucket(F.col("_g"), buckets).alias("bucket"))
+
+
+def hashed_ngram_counts(df: DataFrame, id_col: str, text_col: str,
+                        n: int = 2, buckets: int = 10_000) -> DataFrame:
+    """Per-document hashed n-gram features: (id, bucket, cnt) for
+    every 1..n-gram, hashed into ``buckets`` via the cross-engine md5
+    bucket. The reusable feature extractor (classifier features,
+    corpus diagnostics); the DSIR weight path below skips the
+    per-(id, bucket) materialization entirely."""
+    return (_bucketed_grams(df, id_col, text_col, n, buckets)
+            .groupBy(F.col("_id").alias(id_col), "bucket")
+            .agg(F.count("*").alias("cnt")))
+
+
+def ngram_bucket_logprobs(spark: SparkSession, df: DataFrame,
+                          id_col: str, text_col: str, n: int = 2,
+                          buckets: int = 10_000,
+                          alpha: float = 1.0) -> DataFrame:
+    """Bag-of-buckets multinomial of a corpus: exactly ``buckets``
+    rows (bucket, logp) under add-``alpha`` smoothing —
+    ``logp_b = log((c_b + α) / (C + α·B))`` — densified via a
+    range(B) left join so unseen buckets carry their smoothed mass
+    explicitly (the weight join must never silently drop a gram that
+    only one corpus saw). One aggregate over the exploded grams;
+    map-side combine collapses to ≤ B rows per map partition before
+    the exchange."""
+    if alpha <= 0:
+        raise ValueError(f"alpha must be > 0 (got {alpha}): unsmoothed "
+                         "zero-count buckets make the likelihood "
+                         "ratio infinite")
+    counts = (_bucketed_grams(df, id_col, text_col, n, buckets)
+              .groupBy("bucket").agg(F.count("*").alias("_c")))
+    total = counts.agg(F.sum("_c").alias("_tot"))
+    return (spark.range(buckets).select(F.col("id").alias("bucket"))
+            .join(F.broadcast(counts), "bucket", "left")
+            .crossJoin(F.broadcast(total))
+            .select("bucket",
+                    (F.log(F.coalesce(F.col("_c"), F.lit(0))
+                           + F.lit(float(alpha)))
+                     - F.log(F.coalesce(F.col("_tot"), F.lit(0))
+                             + F.lit(float(alpha * buckets))))
+                    .alias("logp")))
+
+
+def dsir_log_weights(raw: DataFrame, target_logp: DataFrame,
+                     raw_logp: DataFrame, id_col: str, text_col: str,
+                     n: int = 2, buckets: int = 10_000) -> DataFrame:
+    """(id, logw) for every raw document:
+    ``logw = Σ_b c_b·(logp_target(b) − logp_raw(b))``, computed as the
+    per-occurrence sum of the broadcast Δlogp table (identical by
+    linearity — saves the (id, bucket) pre-aggregation shuffle).
+    Documents with zero grams get logw = 0 (the empty product), kept
+    via the pre-explode frame so selection never silently drops them.
+    Exchanges at scale: the map-side-combined occurrence sum keyed by
+    doc id, plus the ids-only dedup/outer-join that keeps zero-gram
+    docs (rows = ids, no text); the bucket-side joins are all
+    broadcast O(buckets)."""
+    dlp = (target_logp.withColumnRenamed("logp", "_lt")
+           .join(F.broadcast(raw_logp.withColumnRenamed("logp", "_lr")),
+                 "bucket")
+           .select("bucket", (F.col("_lt") - F.col("_lr")).alias("_d")))
+    occ = _bucketed_grams(raw, id_col, text_col, n, buckets)
+    sums = (occ.join(F.broadcast(dlp), "bucket")
+            .groupBy("_id").agg(F.sum("_d").alias("logw")))
+    return (raw.select(F.col(id_col).alias("_id")).distinct()
+            .join(sums, "_id", "left")
+            .select(F.col("_id").alias(id_col),
+                    F.coalesce("logw", F.lit(0.0)).alias("logw")))
+
+
+def gumbel_noise(key: Column, seed: int = 0) -> Column:
+    """Deterministic standard Gumbel draw per key: −log(−log u) with
+    ``u = (md5_32(seed:key) + 0.5) / 2³²`` — the +0.5 keeps u strictly
+    inside (0, 1), so the double log can never hit ±inf. Same
+    cross-engine construction as sampling.uniform_unit, shifted to be
+    open-interval-safe."""
+    h = F.conv(F.substring(
+        F.md5(F.concat_ws(":", F.lit(str(seed)), key.cast("string"))),
+        1, 8), 16, 10).cast("double")
+    u = (h + F.lit(0.5)) / F.lit(float(1 << 32))
+    return -F.log(-F.log(u))
+
+
+def dsir_select(spark: SparkSession, raw: DataFrame, target: DataFrame,
+                id_col: str, text_col: str, k: int, n: int = 2,
+                buckets: int = 10_000, alpha: float = 1.0,
+                seed: int = 0, temperature: float = 1.0) -> DataFrame:
+    """End-to-end DSIR: fit the two bucket LMs, weight every raw
+    document, select k without replacement ∝ w^(1/temperature) via
+    Gumbel-top-k — ``score = logw/temperature + Gumbel(seed, id)``,
+    descending ``orderBy().limit(k)`` (TakeOrderedAndProject: each
+    partition keeps a k-row heap, the driver merges #partitions·k
+    rows — never a global sort). Returns (id, logw, score), highest
+    score first. ``temperature → 0`` approaches deterministic top-k by
+    weight; 1.0 is the paper's sampling. Deterministic for fixed
+    (corpora, n, buckets, alpha, seed, temperature) on any engine —
+    the md5-based hashing and noise are pure functions of the data.
+
+    Cost shape (measured, scripts/scaling_study.py dsir_select): the
+    raw corpus is scanned by three consumers — the raw LM fit, the
+    per-occurrence weight sum, and the ids-only frame — each
+    linear-or-better in isolation (×2.1-3.7 wall over ×4 data at
+    sf0.1×16); at cluster scale, if the featurization dominates,
+    persist ``hashed_ngram_counts`` once and feed both the fit and the
+    weight sum from it instead of re-tokenizing per consumer."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1 (got {k})")
+    if temperature <= 0:
+        raise ValueError(f"temperature must be > 0 (got {temperature})")
+    t_lp = ngram_bucket_logprobs(spark, target, id_col, text_col,
+                                 n, buckets, alpha)
+    r_lp = ngram_bucket_logprobs(spark, raw, id_col, text_col,
+                                 n, buckets, alpha)
+    w = dsir_log_weights(raw, t_lp, r_lp, id_col, text_col, n, buckets)
+    score = (F.col("logw") / F.lit(float(temperature))
+             + gumbel_noise(F.col(id_col), seed))
+    return (w.select(id_col, "logw", score.alias("score"))
+            .orderBy(F.desc("score"), id_col)
+            .limit(k))

@@ -285,9 +285,17 @@ and the hot-key-sensitive plan most worth fresh evidence). If r15
 needs a SECOND slot, the remaining drafted consolidation is
 llm02_ttr + llm03_avg_token_len → one per-doc lexical-stats row
 (same tokenize scan, disjoint aggregates — the weakest-win candidate
-left; execute only under real pressure). No promotion candidates
-remain un-promoted: every pytest-only family either has a driver row
-(llm52-54) or a written don't-promote decision.
+left; execute only under real pressure). ONE promotion candidate now
+exists (late-r14): llm55_dsir_select over operators/dsir.py (DSIR
+importance resampling, landed r14 with exact pure-Python replay
+tests + a scaling cell; the md5 hashing and seeded Gumbel noise are
+cross-engine reproducible BY DESIGN, so a full DuckDB SQL oracle is
+writable — md5/conv/log exist there). Promoting it requires the
+llm02+llm03 consolidation first (the registry must stay ≤99 to keep
+the two-round rotation's spare); that pairing is the designated
+use of the consolidation, superseding "only under real pressure".
+Every other pytest-only family either has a driver row (llm52-54)
+or a written don't-promote decision.
 """
 
 from __future__ import annotations

@@ -428,6 +428,26 @@ def op_simhash_hot_capped(spark, k: int) -> DataFrame:
                            F.sum("hamming").alias("ham_sum")))
 
 
+def op_dsir_select(spark, k: int) -> DataFrame:
+    """DSIR importance-resampling selection end-to-end
+    (operators/dsir.py): two corpus-collapse LM aggregates (map-side
+    combine straight to ≤10k bucket rows), the broadcast Δlogp
+    per-occurrence weight sum (one id-keyed exchange), Gumbel-top-k
+    (TakeOrderedAndProject) — every stage linear-or-better in the raw
+    corpus, so the exponent must hold ~linear as raw grows ×K while
+    the target stays fixed (the production shape: small trusted
+    target, huge raw pool)."""
+    from rakam_api_collector_spark.operators.dsir import dsir_select
+
+    docs = load_table(spark, SF_DIR, "documents")
+    raw = (amplified(spark, docs, k, {"doc_id": 10_000_000})
+           .select("doc_id", "text"))
+    target = (docs.filter(F.col("doc_id") % 7 == 0)
+              .select("doc_id", "text"))
+    return dsir_select(spark, raw, target, "doc_id", "text",
+                       k=1000, n=2, buckets=10_000)
+
+
 OPS = {
     "agg_q1": (op_agg_q1, "lineitem", 600_000),
     "join_orders": (op_join_orders, "lineitem+orders", 750_000),
@@ -447,6 +467,7 @@ OPS = {
     "video_phash_hot_capped": (op_video_phash_hot_capped,
                                "documents", 5_000),
     "simhash_hot_capped": (op_simhash_hot_capped, "documents", 5_000),
+    "dsir_select": (op_dsir_select, "documents", 5_000),
 }
 
 

@@ -1,0 +1,204 @@
+"""DSIR importance resampling (operators/dsir.py; Xie et al. NeurIPS
+2023) — exact pure-Python replay of the full weight math (the md5
+bucketing and seeded Gumbel noise are cross-engine reproducible BY
+DESIGN, so the reference implementation here shares no Spark code),
+plus the selection-semantics properties and the physical-plan pins the
+100 TB shape depends on (broadcast Δlogp join, top-k never a sort)."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from rakam_api_collector_spark.operators.dsir import (
+    dsir_log_weights,
+    dsir_select,
+    gumbel_noise,
+    hashed_ngram_counts,
+    ngram_bucket_logprobs,
+)
+
+RAW = [
+    (0, "the cat sat on the mat"),
+    (1, "stock market prices rose sharply today"),
+    (2, "the dog sat on the log"),
+    (3, "quantum flux capacitors invert the polarity"),
+    (4, "a cat and a dog sat together"),
+    (5, ""),                                   # zero grams: logw = 0
+    (6, "market prices fell"),
+]
+TARGET = [
+    (100, "the cat sat quietly"),
+    (101, "a dog sat on the mat"),
+    (102, "the cat and the dog"),
+]
+B = 64          # small bucket count so collisions are exercised
+N = 2
+ALPHA = 0.5
+
+
+def _toks(text):
+    return [t for t in re.split("[^a-z0-9]+", text.lower()) if t]
+
+
+def _grams(text, n=N):
+    t = _toks(text)
+    out = []
+    for k in range(1, n + 1):
+        out += [" ".join(t[i:i + k]) for i in range(len(t) - k + 1)]
+    return out
+
+
+def _bucket(g, buckets=B):
+    return int(hashlib.md5(g.encode()).hexdigest()[:8], 16) % buckets
+
+
+def _logprobs(corpus, buckets=B, alpha=ALPHA):
+    c = [0] * buckets
+    for _, text in corpus:
+        for g in _grams(text):
+            c[_bucket(g)] += 1
+    tot = sum(c)
+    return [math.log((cb + alpha) / (tot + alpha * buckets)) for cb in c]
+
+
+def _logw(text, lt, lr):
+    return sum(lt[_bucket(g)] - lr[_bucket(g)] for g in _grams(text))
+
+
+def _gumbel(key, seed=0):
+    h = int(hashlib.md5(f"{seed}:{key}".encode()).hexdigest()[:8], 16)
+    return -math.log(-math.log((h + 0.5) / (1 << 32)))
+
+
+@pytest.fixture(scope="module")
+def corpora(spark):
+    raw = spark.createDataFrame(RAW, ["doc_id", "text"])
+    target = spark.createDataFrame(TARGET, ["doc_id", "text"])
+    return raw, target
+
+
+def test_hashed_ngram_counts_exact(spark, corpora):
+    """The feature extractor's (id, bucket, cnt) rows equal the
+    pure-Python featurization exactly — tokenization, 1..n-gram
+    construction, and md5 bucketing all replayed off-Spark."""
+    raw, _ = corpora
+    got = {(r["doc_id"], r["bucket"]): r["cnt"]
+           for r in hashed_ngram_counts(raw, "doc_id", "text",
+                                        N, B).collect()}
+    want: dict = {}
+    for i, text in RAW:
+        for g in _grams(text):
+            key = (i, _bucket(g))
+            want[key] = want.get(key, 0) + 1
+    assert got == want
+
+
+def test_logprobs_densified_and_normalized(spark, corpora):
+    """Every bucket 0..B-1 is present (unseen buckets carry smoothed
+    mass — the weight join must never drop a one-sided gram), the
+    values match the replay, and the probabilities sum to 1 minus the
+    mass the smoothing reserves for nothing (i.e. exactly 1)."""
+    _, target = corpora
+    rows = ngram_bucket_logprobs(spark, target, "doc_id", "text",
+                                 N, B, ALPHA).collect()
+    assert sorted(r["bucket"] for r in rows) == list(range(B))
+    want = _logprobs(TARGET)
+    for r in rows:
+        assert r["logp"] == pytest.approx(want[r["bucket"]], abs=1e-12)
+    assert sum(math.exp(r["logp"]) for r in rows) == pytest.approx(1.0)
+
+
+def test_log_weights_exact_replay(spark, corpora):
+    """logw of every raw doc equals Σ_b c_b·Δlogp_b replayed in pure
+    Python; the empty doc is present with logw 0 (kept via the
+    pre-explode frame, never dropped by the join)."""
+    raw, target = corpora
+    t_lp = ngram_bucket_logprobs(spark, target, "doc_id", "text",
+                                 N, B, ALPHA)
+    r_lp = ngram_bucket_logprobs(spark, raw, "doc_id", "text",
+                                 N, B, ALPHA)
+    got = {r["doc_id"]: r["logw"]
+           for r in dsir_log_weights(raw, t_lp, r_lp, "doc_id", "text",
+                                     N, B).collect()}
+    lt, lr = _logprobs(TARGET), _logprobs(RAW)
+    assert set(got) == {i for i, _ in RAW}
+    for i, text in RAW:
+        assert got[i] == pytest.approx(_logw(text, lt, lr), abs=1e-9)
+    assert got[5] == 0.0
+
+
+def test_weights_rank_on_distribution_docs_higher(spark, corpora):
+    """The semantic contract: raw docs sharing the target's vocabulary
+    (cat/dog/sat) outweigh the off-distribution ones (stock market,
+    quantum) — the reason the operator exists."""
+    raw, target = corpora
+    t_lp = ngram_bucket_logprobs(spark, target, "doc_id", "text",
+                                 N, B, ALPHA)
+    r_lp = ngram_bucket_logprobs(spark, raw, "doc_id", "text", N, B,
+                                 ALPHA)
+    w = {r["doc_id"]: r["logw"]
+         for r in dsir_log_weights(raw, t_lp, r_lp, "doc_id", "text",
+                                   N, B).collect()}
+    assert min(w[0], w[2], w[4]) > max(w[1], w[3], w[6])
+
+
+def test_select_deterministic_and_exact(spark, corpora):
+    """dsir_select returns exactly the top-k of the replayed
+    score = logw/T + Gumbel(seed, id), highest first; same seed →
+    identical selection across runs, different seed → same id
+    universe, independently perturbed order."""
+    raw, target = corpora
+    got = dsir_select(spark, raw, target, "doc_id", "text", k=3,
+                      n=N, buckets=B, alpha=ALPHA, seed=7,
+                      temperature=2.0).collect()
+    lt, lr = _logprobs(TARGET), _logprobs(RAW)
+    scores = sorted(
+        ((_logw(t, lt, lr) / 2.0 + _gumbel(i, 7), i) for i, t in RAW),
+        key=lambda s: (-s[0], s[1]))
+    assert [r["doc_id"] for r in got] == [i for _, i in scores[:3]]
+    for r, (s, _) in zip(got, scores):
+        assert r["score"] == pytest.approx(s, abs=1e-9)
+    again = dsir_select(spark, raw, target, "doc_id", "text", k=3,
+                        n=N, buckets=B, alpha=ALPHA, seed=7,
+                        temperature=2.0).collect()
+    assert [r["doc_id"] for r in again] == [r["doc_id"] for r in got]
+
+
+def test_gumbel_noise_finite_and_seed_keyed(spark):
+    """The +0.5 shift keeps u strictly inside (0,1): noise is finite
+    for adversarial keys, and reseeding re-perturbs every key."""
+    df = spark.range(2000).select(F.col("id").cast("string").alias("k"))
+    rows = df.select(gumbel_noise(F.col("k"), 0).alias("g0"),
+                     gumbel_noise(F.col("k"), 1).alias("g1")).collect()
+    assert all(math.isfinite(r["g0"]) and math.isfinite(r["g1"])
+               for r in rows)
+    assert sum(1 for r in rows if r["g0"] != r["g1"]) > 1900
+
+
+def test_plan_pins_broadcast_and_topk(spark, corpora):
+    """The 100 TB shape: the Δlogp join is a BROADCAST hash join (the
+    corpus scan never shuffles on bucket), and selection plans as
+    TakeOrderedAndProject — a bounded per-partition heap, never a
+    global Sort."""
+    raw, target = corpora
+    sel = dsir_select(spark, raw, target, "doc_id", "text", k=2,
+                      n=N, buckets=B, alpha=ALPHA)
+    plan = sel._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_validation_raises(spark, corpora):
+    raw, target = corpora
+    with pytest.raises(ValueError, match="alpha"):
+        ngram_bucket_logprobs(spark, raw, "doc_id", "text", N, B, 0.0)
+    with pytest.raises(ValueError, match="temperature"):
+        dsir_select(spark, raw, target, "doc_id", "text", k=1,
+                    temperature=0.0)
+    with pytest.raises(ValueError, match="k must"):
+        dsir_select(spark, raw, target, "doc_id", "text", k=0)
