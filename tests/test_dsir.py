@@ -202,3 +202,102 @@ def test_validation_raises(spark, corpora):
                     temperature=0.0)
     with pytest.raises(ValueError, match="k must"):
         dsir_select(spark, raw, target, "doc_id", "text", k=0)
+
+
+DUCKDB_DSIR_SQL = f"""
+WITH
+raw_toks AS (
+  SELECT doc_id, list_filter(
+           regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+           t -> t <> '') AS t FROM raw_docs),
+tgt_toks AS (
+  SELECT doc_id, list_filter(
+           regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+           t -> t <> '') AS t FROM target_docs),
+raw_grams AS (
+  SELECT doc_id, g FROM (
+    SELECT doc_id, unnest(t) AS g FROM raw_toks
+    UNION ALL
+    SELECT doc_id, t[i] || ' ' || t[i + 1] AS g
+    FROM raw_toks, unnest(generate_series(1, len(t) - 1)) AS s(i))),
+tgt_grams AS (
+  SELECT doc_id, g FROM (
+    SELECT doc_id, unnest(t) AS g FROM tgt_toks
+    UNION ALL
+    SELECT doc_id, t[i] || ' ' || t[i + 1] AS g
+    FROM tgt_toks, unnest(generate_series(1, len(t) - 1)) AS s(i))),
+all_buckets AS (
+  SELECT unnest(generate_series(0, {B - 1})) AS bucket),
+raw_c AS (
+  SELECT CAST('0x' || substring(md5(g), 1, 8) AS UBIGINT) % {B}
+           AS bucket, count(*) AS c
+  FROM raw_grams GROUP BY 1),
+tgt_c AS (
+  SELECT CAST('0x' || substring(md5(g), 1, 8) AS UBIGINT) % {B}
+           AS bucket, count(*) AS c
+  FROM tgt_grams GROUP BY 1),
+raw_lp AS (
+  SELECT b.bucket,
+         ln(COALESCE(rc.c, 0) + {ALPHA})
+           - ln((SELECT COALESCE(sum(c), 0) FROM raw_c)
+                + {ALPHA * B}) AS lp
+  FROM all_buckets b LEFT JOIN raw_c rc USING (bucket)),
+tgt_lp AS (
+  SELECT b.bucket,
+         ln(COALESCE(tc.c, 0) + {ALPHA})
+           - ln((SELECT COALESCE(sum(c), 0) FROM tgt_c)
+                + {ALPHA * B}) AS lp
+  FROM all_buckets b LEFT JOIN tgt_c tc USING (bucket)),
+dlp AS (
+  SELECT t.bucket, t.lp - r.lp AS d
+  FROM tgt_lp t JOIN raw_lp r USING (bucket)),
+occ AS (
+  SELECT doc_id,
+         CAST('0x' || substring(md5(g), 1, 8) AS UBIGINT) % {B}
+           AS bucket
+  FROM raw_grams),
+sums AS (
+  SELECT doc_id, sum(d) AS logw
+  FROM occ JOIN dlp USING (bucket) GROUP BY doc_id),
+w AS (
+  SELECT ids.doc_id, COALESCE(s.logw, 0.0) AS logw
+  FROM (SELECT DISTINCT doc_id FROM raw_docs) ids
+  LEFT JOIN sums s USING (doc_id)),
+scored AS (
+  SELECT doc_id, logw,
+         logw / 2.0 + (-ln(-ln(
+           (CAST('0x' || substring(
+              md5('7:' || CAST(doc_id AS VARCHAR)), 1, 8)
+            AS UBIGINT) + 0.5) / 4294967296.0))) AS score
+  FROM w)
+SELECT doc_id, logw, score FROM scored
+ORDER BY score DESC, doc_id LIMIT 5
+"""
+
+
+def test_duckdb_sql_replay_cross_engine(spark, corpora):
+    """The promotion-readiness pin behind the registry's r15 plan: the
+    ENTIRE dsir_select math — tokenization, 1..2-gram construction,
+    md5 bucketing, smoothed LM fits, Δlogp weights, seeded Gumbel
+    noise, top-k — replays as ONE DuckDB SQL statement and selects the
+    same ids in the same order with matching values. Cross-engine
+    reproducibility is the module's design claim (md5 everywhere);
+    this test is the proof, and the SQL is the future driver oracle."""
+    duckdb = pytest.importorskip("duckdb")
+    import pandas as pd
+
+    raw, target = corpora
+    got = dsir_select(spark, raw, target, "doc_id", "text", k=5,
+                      n=N, buckets=B, alpha=ALPHA, seed=7,
+                      temperature=2.0).collect()
+
+    con = duckdb.connect()
+    con.register("raw_docs", pd.DataFrame(RAW, columns=["doc_id", "text"]))
+    con.register("target_docs",
+                 pd.DataFrame(TARGET, columns=["doc_id", "text"]))
+    rows = con.execute(DUCKDB_DSIR_SQL).fetchall()
+
+    assert [r[0] for r in rows] == [r["doc_id"] for r in got]
+    for (_, logw, score), g in zip(rows, got):
+        assert logw == pytest.approx(g["logw"], abs=1e-9)
+        assert score == pytest.approx(g["score"], abs=1e-9)
