@@ -185,6 +185,35 @@ def mixture(weights: dict[str, float], group_col: str = "source",
     return stage
 
 
+def dsir_select(target: DataFrame, k: int, n: int = 2,
+                buckets: int = 10_000, alpha: float = 1.0,
+                seed: int = 0, temperature: float = 1.0,
+                id_col: str = "doc_id", text_col: str = "text") -> Stage:
+    """Target-distribution selection stage (operators/dsir.py, Xie'23
+    importance resampling): keep the k documents sampled without
+    replacement ∝ importance weight toward ``target``. Pipeline
+    position per the paper: after dedup/quality (selection assumes a
+    deduplicated pool — duplicated docs would each draw their own
+    Gumbel and multiply their selection odds), before mixture /
+    truncation / ordering.
+
+    Scale shape: the selection itself is the operator's bounded-heap
+    top-k; the stage then semi-joins the k selected ids back to the
+    corpus so downstream stages see full document rows — Spark
+    broadcasts the id frame when k is under the broadcast threshold,
+    and falls back to a shuffle semi join for billion-row selections
+    (AQE's call — forcing broadcast here would OOM exactly at the
+    corpus sizes DSIR is for)."""
+    from rakam_api_collector_spark.operators import dsir
+
+    def stage(df: DataFrame) -> DataFrame:
+        ids = dsir.dsir_select(
+            df.sparkSession, df, target, id_col, text_col, k, n,
+            buckets, alpha, seed, temperature).select(id_col)
+        return df.join(ids, id_col, "left_semi")
+    return stage
+
+
 def training_order(n_shards: int, seed: int = 0,
                    key_col: str = "doc_id") -> Stage:
     """Deterministic global shuffle + sharding

@@ -215,3 +215,35 @@ def test_html_extract_front_stage(spark):
         want = " ".join(originals[r.doc_id].split())
         assert " ".join(r.text.split("\n")[1].split()) == want
         assert r.title == "T"
+
+
+def test_dsir_select_stage(spark):
+    """The DSIR stage keeps exactly the operator's selected ids as
+    FULL document rows (all input columns survive the semi join), is
+    partitioning-invariant, and composes after dedup: the stage's
+    pool — and therefore its selection — is the deduped corpus."""
+    from rakam_api_collector_spark.operators import dsir
+
+    docs = _docs(spark)
+    target = docs.filter(F.col("doc_id") % 11 == 0)
+
+    stage = C.dsir_select(target, k=9, buckets=256, seed=3)
+    got = stage(docs).collect()
+    want = {r["doc_id"] for r in dsir.dsir_select(
+        spark, docs, target, "doc_id", "text", k=9,
+        buckets=256, seed=3).collect()}
+    assert {r["doc_id"] for r in got} == want and len(got) == 9
+    assert set(got[0].asDict()) == {"doc_id", "text", "source"}
+
+    rep = {r["doc_id"] for r in stage(docs.repartition(7)).collect()}
+    assert rep == want
+
+    pipe = C.CurationPipeline([
+        C.exact_dedup(),
+        C.dsir_select(target, k=9, buckets=256, seed=3),
+    ])
+    deduped = C.exact_dedup()(docs)
+    want_post = {r["doc_id"] for r in dsir.dsir_select(
+        spark, deduped, target, "doc_id", "text", k=9,
+        buckets=256, seed=3).collect()}
+    assert {r["doc_id"] for r in pipe.run(docs).collect()} == want_post
