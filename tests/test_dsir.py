@@ -301,3 +301,45 @@ def test_duckdb_sql_replay_cross_engine(spark, corpora):
     for (_, logw, score), g in zip(rows, got):
         assert logw == pytest.approx(g["logw"], abs=1e-9)
         assert score == pytest.approx(g["score"], abs=1e-9)
+
+
+def test_log_weights_fuzz_vs_python_reference(spark):
+    """Hypothesis fuzz: for arbitrary printable-ASCII corpora (mixed
+    case, digits, punctuation runs, empty and whitespace-only docs,
+    duplicated texts), every logw matches the pure-Python replay —
+    pinning the tokenize → k-gram → md5-bucket → smoothed-LM → Δ-sum
+    chain far beyond the fixed fixture. ASCII alphabet by design: the
+    [^a-z0-9]+ tokenizer contract is ASCII, and non-ASCII lower()
+    edge cases (e.g. U+0130) are engine-locale quicksand the operator
+    deliberately never depends on."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    alphabet = st.sampled_from(list("abcXYZ019 .,!-_\t"))
+
+    @settings(max_examples=10, deadline=None)
+    @given(
+        raw_texts=st.lists(st.text(alphabet, max_size=40),
+                           min_size=1, max_size=8),
+        tgt_texts=st.lists(st.text(alphabet, max_size=40),
+                           min_size=1, max_size=4),
+    )
+    def check(raw_texts, tgt_texts):
+        raw_rows = list(enumerate(raw_texts))
+        tgt_rows = [(100 + i, t) for i, t in enumerate(tgt_texts)]
+        raw = spark.createDataFrame(raw_rows, ["doc_id", "text"])
+        tgt = spark.createDataFrame(tgt_rows, ["doc_id", "text"])
+        t_lp = ngram_bucket_logprobs(spark, tgt, "doc_id", "text",
+                                     N, B, ALPHA)
+        r_lp = ngram_bucket_logprobs(spark, raw, "doc_id", "text",
+                                     N, B, ALPHA)
+        got = {r["doc_id"]: r["logw"]
+               for r in dsir_log_weights(raw, t_lp, r_lp, "doc_id",
+                                         "text", N, B).collect()}
+        lt, lr = _logprobs(tgt_rows), _logprobs(raw_rows)
+        assert set(got) == {i for i, _ in raw_rows}
+        for i, text in raw_rows:
+            assert got[i] == pytest.approx(_logw(text, lt, lr),
+                                           abs=1e-9)
+
+    check()
