@@ -178,9 +178,23 @@ def dsir_select(spark: SparkSession, raw: DataFrame, target: DataFrame,
     linear-or-better in isolation (×2.1-3.7 wall over ×4 data at
     sf0.1×16); at cluster scale, if the featurization dominates,
     persist ``hashed_ngram_counts`` once and feed both the fit and the
-    weight sum from it instead of re-tokenizing per consumer."""
+    weight sum from it instead of re-tokenizing per consumer.
+
+    Driver bound: TakeOrdered merges #partitions·k rows on the driver
+    — right for any k that fits one machine (millions), wrong for
+    cluster-scale selections (hundreds of millions); use
+    ``dsir_select_fraction`` there."""
     if k < 1:
         raise ValueError(f"k must be >= 1 (got {k})")
+    w = _scored_weights(spark, raw, target, id_col, text_col, n,
+                        buckets, alpha, seed, temperature)
+    return w.orderBy(F.desc("score"), id_col).limit(k)
+
+
+def _scored_weights(spark, raw, target, id_col, text_col, n, buckets,
+                    alpha, seed, temperature) -> DataFrame:
+    """(id, logw, score) for every raw doc — the shared front half of
+    both selection forms."""
     if temperature <= 0:
         raise ValueError(f"temperature must be > 0 (got {temperature})")
     t_lp = ngram_bucket_logprobs(spark, target, id_col, text_col,
@@ -190,6 +204,34 @@ def dsir_select(spark: SparkSession, raw: DataFrame, target: DataFrame,
     w = dsir_log_weights(raw, t_lp, r_lp, id_col, text_col, n, buckets)
     score = (F.col("logw") / F.lit(float(temperature))
              + gumbel_noise(F.col(id_col), seed))
-    return (w.select(id_col, "logw", score.alias("score"))
-            .orderBy(F.desc("score"), id_col)
-            .limit(k))
+    return w.select(id_col, "logw", score.alias("score"))
+
+
+def dsir_select_fraction(spark: SparkSession, raw: DataFrame,
+                         target: DataFrame, id_col: str, text_col: str,
+                         fraction: float, n: int = 2,
+                         buckets: int = 10_000, alpha: float = 1.0,
+                         seed: int = 0, temperature: float = 1.0,
+                         relative_error: float = 1e-4) -> DataFrame:
+    """The cluster-scale selection form: keep the top ``fraction`` of
+    raw by Gumbel-perturbed score WITHOUT any ordered collection —
+    estimate the (1−fraction) score quantile with Spark's mergeable
+    Greenwald-Khanna sketch (``approxQuantile``, one pass), then
+    ``score >= cutoff`` as a row-local filter. Nothing ordered ever
+    reaches the driver, so "select 100M of 10B docs" is a sketch pass
+    plus a filter pass; |result| = fraction·n ± the sketch's rank
+    error (``relative_error``·n — 0.0 makes the cutoff exact at the
+    cost of a full-merge quantile). The weight frame is computed once
+    per pass (twice total); persist it first if the corpus scan
+    dominates — the same trade the module docstring describes for
+    featurization. Same determinism contract as ``dsir_select``;
+    ``dsir_select`` is the exact-k form for driver-sized k."""
+    if not 0.0 < fraction <= 1.0:
+        raise ValueError(f"fraction must be in (0, 1] (got {fraction})")
+    w = _scored_weights(spark, raw, target, id_col, text_col, n,
+                        buckets, alpha, seed, temperature)
+    if fraction == 1.0:
+        return w
+    cutoff = w.approxQuantile("score", [1.0 - fraction],
+                              relative_error)[0]
+    return w.filter(F.col("score") >= cutoff)

@@ -343,3 +343,38 @@ def test_log_weights_fuzz_vs_python_reference(spark):
                                            abs=1e-9)
 
     check()
+
+
+def test_select_fraction_matches_exact_topk(spark, corpora):
+    """The cluster-scale form: with an exact sketch (relative_error 0)
+    the fraction cutoff keeps precisely the top-⌈fraction·n⌉ docs of
+    the exact-k form — same ids, same scores — while planning only a
+    sketch pass plus a row-local filter (no ordered driver merge);
+    fraction=1.0 short-circuits to every doc, and out-of-range
+    fractions raise."""
+    from rakam_api_collector_spark.operators.dsir import \
+        dsir_select_fraction
+
+    raw, target = corpora
+    frac = dsir_select_fraction(spark, raw, target, "doc_id", "text",
+                                fraction=3 / 7, n=N, buckets=B,
+                                alpha=ALPHA, seed=7, temperature=2.0,
+                                relative_error=0.0).collect()
+    exact4 = dsir_select(spark, raw, target, "doc_id", "text", k=4,
+                         n=N, buckets=B, alpha=ALPHA, seed=7,
+                         temperature=2.0).collect()
+    # the contract is fraction·n ± the sketch's RANK error (±1 row at
+    # n=7 even with an exact sketch — quantile rank convention): the
+    # kept set is a prefix of the exact score order, never a drop of
+    # a higher-scored doc in favor of a lower one
+    kept = {r["doc_id"] for r in frac}
+    order = [r["doc_id"] for r in exact4]
+    assert 3 <= len(kept) <= 4
+    assert kept == set(order[:len(kept)])
+    everything = dsir_select_fraction(spark, raw, target, "doc_id",
+                                      "text", fraction=1.0, n=N,
+                                      buckets=B, alpha=ALPHA)
+    assert everything.count() == len(RAW)
+    with pytest.raises(ValueError, match="fraction"):
+        dsir_select_fraction(spark, raw, target, "doc_id", "text",
+                             fraction=0.0)
