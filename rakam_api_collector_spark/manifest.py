@@ -1198,7 +1198,7 @@ class ManifestedTable:
                 kept += 1
                 continue
             if bloom and m.get("files"):
-                bpath = f"{self.batches_dir}/{self._dir_of(m)}"
+                bpath = self._batch_path(m)
                 if not any(_bloom_passes(bpath, f, bloom)
                            for f in m["files"]):
                     kept += 1
@@ -1311,6 +1311,14 @@ class ManifestedTable:
     def _dir_of(m: dict) -> str:
         return m.get("dir", m["batch"])
 
+    def _batch_path(self, m: dict) -> str:
+        """Physical directory of a batch: this table's own batches dir
+        or, for manifests carrying a ``base`` (shallow clones —
+        clone_from), the foreign table's. gc()/orphans() deliberately
+        do NOT use this: they list only the LOCAL batches dir, so a
+        clone can never delete its source's files."""
+        return f"{m.get('base', self.batches_dir)}/{self._dir_of(m)}"
+
     def _read_batches(self, spark: SparkSession, manifests: list[dict],
                       prune: dict | None = None,
                       bloom: dict | None = None) -> DataFrame | None:
@@ -1326,7 +1334,7 @@ class ManifestedTable:
         Returns None when pruning leaves nothing."""
         dfs = []
         for m in manifests:
-            path = f"{self.batches_dir}/{self._dir_of(m)}"
+            path = self._batch_path(m)
             target: str | list[str] = path
             files = m.get("files")
             if files is not None:
@@ -1542,6 +1550,54 @@ class ManifestedTable:
 
         def mutate(live):
             return list(batches)
+
+        return self._commit(mutate)["version"]
+
+    def clone_from(self, source: "ManifestedTable",
+                   version: int | None = None) -> int:
+        """SHALLOW CLONE (Delta's CLONE shape): publish THIS table's
+        first version with the source snapshot's batch manifests
+        referencing the source's data files IN PLACE — metadata-only,
+        zero rows copied, committed through the same CAS protocol, so
+        cloning a live table yields a consistent single-version
+        snapshot. Afterwards the tables diverge freely: new writes
+        land in this table's own directories; DML/compaction here
+        rewrite into local dirs (cloned batches progressively
+        localize — ``compact()`` right after cloning is the deep-copy
+        escape); ``gc()`` here lists only the LOCAL batches dir
+        (``_batch_path``) and can never delete source files.
+
+        CAVEAT, same as Delta shallow clones: the SOURCE's gc()/
+        maintenance is not clone-aware — vacuuming source batches a
+        clone still references breaks the clone. Deep-copy when the
+        source's retention is not under your control.
+
+        The target must be empty (no committed batches): cloning is a
+        create-time operation, not a merge. Returns the committed
+        version (1)."""
+        if self.committed():
+            raise ValueError(
+                f"clone_from target {self.table_dir} already has "
+                "committed batches — clone into an empty table")
+        v = source.current_version() if version is None else version
+        if v not in source._version_numbers():
+            raise FileNotFoundError(
+                f"version {v} not committed (or gc-pruned) under "
+                f"{source.table_dir} — cannot clone")
+        foreign = []
+        for m in source._read_version(v)["batches"]:
+            fm = dict(m)
+            # a clone of a clone keeps the ORIGINAL base: the field
+            # names where the files physically live, not the lineage
+            fm.setdefault("base", source.batches_dir)
+            foreign.append(fm)
+
+        def mutate(live):
+            if live:
+                raise CommitConflict(
+                    f"{self.table_dir} grew batches mid-clone — "
+                    "clone into an empty table")
+            return foreign
 
         return self._commit(mutate)["version"]
 

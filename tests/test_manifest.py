@@ -1898,3 +1898,69 @@ def test_maintenance_hook_background_and_overlap(spark, tmp_path):
 
     with pytest.raises(ValueError, match="every_epochs"):
         MaintenanceHook(spark, str(tmp_path), every_epochs=0)
+
+
+def test_shallow_clone_snapshot_divergence_and_gc_safety(spark, tmp_path):
+    """clone_from publishes a metadata-only snapshot referencing the
+    source's files in place (zero data copied), after which the tables
+    diverge: source writes never appear in the clone, clone writes
+    never appear in the source; the clone's gc() lists only its OWN
+    batches dir, so it cannot delete source files; and compact() on
+    the clone localizes every cloned batch, after which the clone
+    survives the source's directories disappearing entirely."""
+    import shutil
+
+    src = ManifestedTable(str(tmp_path), "proj", "events")
+    src.write(_df(spark, [1, 2]), batch_id="b1")
+    src.write(_df(spark, [3]), batch_id="b2")
+
+    cl = ManifestedTable(str(tmp_path), "proj", "events_clone")
+    assert cl.clone_from(src) == 1
+    assert sorted(r.id for r in cl.read(spark).collect()) == [1, 2, 3]
+    # metadata-only: the clone's own batches dir holds no data dirs
+    assert cl.orphans() == [] and not cl.meta.list(cl.batches_dir)
+    assert cl.rows() == 3                    # manifest rows came along
+
+    src.write(_df(spark, [4]), batch_id="b3")      # post-clone append
+    cl.write(_df(spark, [9]), batch_id="c1")       # clone-local write
+    assert sorted(r.id for r in src.read(spark).collect()) == [1, 2, 3, 4]
+    assert sorted(r.id for r in cl.read(spark).collect()) == [1, 2, 3, 9]
+
+    # clone gc: even with zero retention/grace it removes nothing of
+    # the source's (it only ever lists its own batches dir)
+    cl.gc(keep_versions=1, grace_seconds=0)
+    assert sorted(r.id for r in src.read(spark).collect()) == [1, 2, 3, 4]
+    assert sorted(r.id for r in cl.read(spark).collect()) == [1, 2, 3, 9]
+
+    # deep-copy escape: compact localizes the foreign batches...
+    assert cl.compact(spark) is not None
+    assert all("base" not in m for m in cl.committed())
+    cl.gc(keep_versions=1, grace_seconds=0)  # drop pre-compact refs
+    # ...so the clone survives the source vanishing outright
+    shutil.rmtree(src.table_dir)
+    assert sorted(r.id for r in cl.read(spark).collect()) == [1, 2, 3, 9]
+
+
+def test_shallow_clone_pinned_version_and_validation(spark, tmp_path):
+    """Cloning a historical version pins that snapshot; a non-empty
+    target and a gc-pruned source version both refuse loudly; cloning
+    a clone keeps the ORIGINAL physical base."""
+    src = ManifestedTable(str(tmp_path), "proj", "events")
+    src.write(_df(spark, [1]), batch_id="b1")        # v1
+    src.write(_df(spark, [2]), batch_id="b2")        # v2
+
+    old = ManifestedTable(str(tmp_path), "proj", "clone_v1")
+    old.clone_from(src, version=1)
+    assert sorted(r.id for r in old.read(spark).collect()) == [1]
+
+    second = ManifestedTable(str(tmp_path), "proj", "clone_of_clone")
+    second.clone_from(old)
+    assert sorted(r.id for r in second.read(spark).collect()) == [1]
+    assert all(m["base"] == src.batches_dir
+               for m in second.committed())          # original base
+
+    with pytest.raises(ValueError, match="already has committed"):
+        old.clone_from(src)
+    empty = ManifestedTable(str(tmp_path), "proj", "clone_v9")
+    with pytest.raises(FileNotFoundError, match="version 9"):
+        empty.clone_from(src, version=9)
