@@ -1574,7 +1574,13 @@ class ManifestedTable:
 
         The target must be empty (no committed batches): cloning is a
         create-time operation, not a merge. Returns the committed
-        version (1)."""
+        version (1). Note that ``write()``'s batch-id idempotency
+        spans cloned batches — a writer reusing a SOURCE batch id here
+        replaces that cloned batch as a retry would. That is the
+        correct replay semantics when a stream migrates to the clone
+        WITH its checkpoint (its epoch-keyed ids must keep deduping);
+        writers with fresh checkpoints get fresh namespaced ids and
+        never collide."""
         if self.committed():
             raise ValueError(
                 f"clone_from target {self.table_dir} already has "
