@@ -378,3 +378,31 @@ def test_select_fraction_matches_exact_topk(spark, corpora):
     with pytest.raises(ValueError, match="fraction"):
         dsir_select_fraction(spark, raw, target, "doc_id", "text",
                              fraction=0.0)
+
+
+def test_trigram_weights_exact_replay(spark, corpora):
+    """General-k evidence: the n=3 path (uni+bi+tri-grams) matches the
+    pure-Python replay — _kgrams' sequence/slice construction is not
+    bigram-special-cased."""
+    raw, target = corpora
+    t_lp = ngram_bucket_logprobs(spark, target, "doc_id", "text",
+                                 3, B, ALPHA)
+    r_lp = ngram_bucket_logprobs(spark, raw, "doc_id", "text",
+                                 3, B, ALPHA)
+    got = {r["doc_id"]: r["logw"]
+           for r in dsir_log_weights(raw, t_lp, r_lp, "doc_id", "text",
+                                     3, B).collect()}
+
+    def logprobs3(corpus):
+        c = [0] * B
+        for _, text in corpus:
+            for g in _grams(text, n=3):
+                c[_bucket(g)] += 1
+        tot = sum(c)
+        return [math.log((cb + ALPHA) / (tot + ALPHA * B)) for cb in c]
+
+    lt, lr = logprobs3(TARGET), logprobs3(RAW)
+    for i, text in RAW:
+        want = sum(lt[_bucket(g)] - lr[_bucket(g)]
+                   for g in _grams(text, n=3))
+        assert got[i] == pytest.approx(want, abs=1e-9)

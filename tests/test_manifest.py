@@ -1964,3 +1964,20 @@ def test_shallow_clone_pinned_version_and_validation(spark, tmp_path):
     empty = ManifestedTable(str(tmp_path), "proj", "clone_v9")
     with pytest.raises(FileNotFoundError, match="version 9"):
         empty.clone_from(src, version=9)
+
+
+def test_shallow_clone_pruning_and_blooms_cross_base(spark, tmp_path):
+    """Zone-map batch/file skipping and per-file Bloom sidecars keep
+    working THROUGH a clone: the copied manifests' stats prune, and
+    bloom probes resolve sidecars under the source's physical base."""
+    src = ManifestedTable(str(tmp_path), "proj", "events")
+    src.write(_df(spark, [1, 2]), batch_id="lo", bloom_for=["id"])
+    src.write(_df(spark, [100, 200]), batch_id="hi", bloom_for=["id"])
+
+    cl = ManifestedTable(str(tmp_path), "proj", "events_clone")
+    cl.clone_from(src)
+    got = cl.read(spark, prune={"id": (100, 100)})
+    assert sorted(r.id for r in got.collect()) == [100]
+    # the pruned clone scan reads only the matching SOURCE batch dir
+    files = got.inputFiles()
+    assert files and all(f"{src.batches_dir}/hi" in f for f in files)
