@@ -50,6 +50,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+class ConstraintViolation(RuntimeError):
+    """A write carried rows that evaluate a table CHECK constraint to
+    FALSE (ANSI semantics: NULL passes). Raised before any file is
+    written, so a refused batch leaves no orphan."""
+
+
 class CommitConflict(RuntimeError):
     """Raised when the optimistic-concurrency retry budget is exhausted."""
 
@@ -978,15 +984,25 @@ class ManifestedTable:
             f"{self.versions_dir}/v{next_n:010d}.json",
             json.dumps(state))
 
-    def _commit(self, mutate) -> dict:
+    _CORE_STATE = ("version", "parent", "committed_at", "batches")
+
+    def _commit(self, mutate, extra: dict | None = None) -> dict:
         """OCC loop: read current state, apply ``mutate(live_batches) ->
-        new_batches``, try to publish; on a race, re-read and retry."""
+        new_batches``, try to publish; on a race, re-read and retry.
+        Non-core state fields (table properties — e.g. ``constraints``)
+        are carried forward from the current version so every commit
+        path preserves them; ``extra`` overrides/installs fields on
+        top (the property-mutation hook)."""
         for _ in range(self.max_commit_retries):
             n = self.current_version()
-            live = self._read_version(n)["batches"]
-            state = {"version": n + 1, "parent": n,
-                     "committed_at": time.time(),
-                     "batches": mutate(list(live))}
+            cur = self._read_version(n)
+            state = {k: v for k, v in cur.items()
+                     if k not in self._CORE_STATE}
+            if extra:
+                state.update(extra)
+            state.update({"version": n + 1, "parent": n,
+                          "committed_at": time.time(),
+                          "batches": mutate(list(cur["batches"]))})
             if self._try_commit(n + 1, state):
                 return state
         raise CommitConflict(
@@ -1101,6 +1117,7 @@ class ManifestedTable:
         # the window where two concurrent writers both pass a
         # snapshot-time check and commit conflicting types
         self._check_evolution(self.committed(), fields, replacing=bid)
+        self._enforce_constraints(out)
         out = self._clustered(out, cluster_by, n_files, cluster_mode)
         entry = self._write_batch_files(
             out, bid, fmt,
@@ -1553,6 +1570,65 @@ class ManifestedTable:
 
         return self._commit(mutate)["version"]
 
+    @property
+    def constraints(self) -> dict[str, str]:
+        """Current CHECK constraints: {name: boolean SQL expression}."""
+        return dict(self._read_version(self.current_version())
+                    .get("constraints") or {})
+
+    def add_constraint(self, name: str, expr: str,
+                       spark: SparkSession | None = None) -> None:
+        """Install a CHECK constraint (Delta's ALTER TABLE ADD
+        CONSTRAINT shape): every subsequent ``write()`` / ``upsert()``
+        refuses batches carrying a row where ``expr`` evaluates FALSE
+        (ANSI CHECK: NULL passes) — enforcement happens BEFORE any
+        file is written, so a refused batch leaves no orphan. Stored
+        as a table property in the version state, carried across
+        every commit (compaction, restore, DML) and copied by
+        ``clone_from``. Pass ``spark`` to also validate the EXISTING
+        rows (the Delta posture: an ADD CONSTRAINT that current data
+        violates must fail, not create a table that refuses its own
+        contents). Known race, documented: a write that began before
+        the constraint committed enforces the constraint set it read
+        at start."""
+        if not name.isidentifier():
+            raise ValueError(f"constraint name must be an identifier "
+                             f"(got {name!r})")
+        if name in self.constraints:
+            raise ValueError(f"constraint {name!r} already exists — "
+                             "drop_constraint first")
+        if spark is not None:
+            cur = self.read(spark)
+            bad = cur.filter(
+                F.expr(f"not coalesce(({expr}), true)")).count()
+            if bad:
+                raise ConstraintViolation(
+                    f"cannot add {name!r}: {bad} existing rows "
+                    f"violate ({expr})")
+        self._commit(lambda live: live,
+                     extra={"constraints": {**self.constraints,
+                                            name: expr}})
+
+    def drop_constraint(self, name: str) -> None:
+        cons = self.constraints
+        if name not in cons:
+            raise KeyError(f"no constraint {name!r} on {self.table_dir}")
+        del cons[name]
+        self._commit(lambda live: live, extra={"constraints": cons})
+
+    def _enforce_constraints(self, df: DataFrame) -> None:
+        """Refuse the frame if any row evaluates a CHECK constraint to
+        FALSE — one violation-count job per constraint (Delta fuses
+        this into the write job; a separate bounded pre-pass keeps the
+        refused-batch-leaves-no-orphan property instead)."""
+        for name, expr in self.constraints.items():
+            bad = df.filter(
+                F.expr(f"not coalesce(({expr}), true)")).count()
+            if bad:
+                raise ConstraintViolation(
+                    f"{bad} rows violate CHECK {name!r} ({expr}) — "
+                    f"batch refused, nothing written")
+
     def clone_from(self, source: "ManifestedTable",
                    version: int | None = None) -> int:
         """SHALLOW CLONE (Delta's CLONE shape): publish THIS table's
@@ -1605,7 +1681,10 @@ class ManifestedTable:
                     "clone into an empty table")
             return foreign
 
-        return self._commit(mutate)["version"]
+        src_state = source._read_version(v)
+        extra = ({"constraints": src_state["constraints"]}
+                 if src_state.get("constraints") else None)
+        return self._commit(mutate, extra=extra)["version"]
 
     def history(self) -> list[dict]:
         """Commit log, oldest first: (version, parent, committed_at,
@@ -1820,6 +1899,10 @@ class ManifestedTable:
         if "/" in bid or bid.startswith("."):
             raise ValueError(f"invalid batch_id: {bid!r}")
         updates = updates.localCheckpoint()
+        # CHECK constraints gate the merge's incoming rows exactly as
+        # write()'s append path; surviving pre-existing rows were
+        # checked when they landed (rewrites only move them)
+        self._enforce_constraints(updates)
         bounds = updates.agg(
             F.min(F.col(key)).alias("_lo"),
             F.max(F.col(key)).alias("_hi"),

@@ -1981,3 +1981,48 @@ def test_shallow_clone_pruning_and_blooms_cross_base(spark, tmp_path):
     # the pruned clone scan reads only the matching SOURCE batch dir
     files = got.inputFiles()
     assert files and all(f"{src.batches_dir}/hi" in f for f in files)
+
+
+def test_check_constraints_enforced_and_carried(spark, tmp_path):
+    """CHECK constraints (Delta ADD CONSTRAINT shape): a violating
+    write refuses BEFORE any file lands (no orphan), NULL passes (ANSI
+    CHECK), the property survives unrelated commits (compaction,
+    restore), gates upsert's incoming rows, copies through clone_from,
+    and ADD over violating existing data refuses."""
+    from rakam_api_collector_spark.manifest import ConstraintViolation
+
+    t = ManifestedTable(str(tmp_path), "proj", "events")
+    t.write(_df(spark, [1, 2]), batch_id="b1")
+    t.add_constraint("pos_id", "id > 0", spark=spark)
+    assert t.constraints == {"pos_id": "id > 0"}
+
+    with pytest.raises(ConstraintViolation, match="pos_id"):
+        t.write(_df(spark, [-5, 3]), batch_id="bad")
+    assert t.orphans() == []                 # refused before any file
+    assert sorted(r.id for r in t.read(spark).collect()) == [1, 2]
+
+    # NULL passes (ANSI CHECK), and unrelated commits carry the property
+    nulls = spark.createDataFrame(
+        [(None, datetime.fromisoformat("2024-03-01T10:00:00"))],
+        "id long, _time timestamp")
+    t.write(nulls, batch_id="b2")
+    t.write(_df(spark, [7]), batch_id="b3")
+    t.compact(spark)
+    t.restore(t.current_version() - 1)
+    assert t.constraints == {"pos_id": "id > 0"}
+
+    with pytest.raises(ConstraintViolation):
+        t.upsert(spark, _df(spark, [-1]), key="id")
+
+    # clone copies constraints; dropping re-opens the gate
+    cl = ManifestedTable(str(tmp_path), "proj", "events_c")
+    cl.clone_from(t)
+    assert cl.constraints == {"pos_id": "id > 0"}
+    t.drop_constraint("pos_id")
+    t.write(_df(spark, [-5]), batch_id="now_ok")
+    with pytest.raises(ConstraintViolation, match="existing rows"):
+        t.add_constraint("pos_id", "id > 0", spark=spark)
+    with pytest.raises(ValueError, match="identifier"):
+        t.add_constraint("no spaces", "id > 0")
+    with pytest.raises(KeyError):
+        t.drop_constraint("ghost")
