@@ -992,14 +992,19 @@ class ManifestedTable:
         Non-core state fields (table properties — e.g. ``constraints``)
         are carried forward from the current version so every commit
         path preserves them; ``extra`` overrides/installs fields on
-        top (the property-mutation hook)."""
+        top (the property-mutation hook). A callable ``extra`` is
+        re-evaluated against each attempt's CURRENT state — property
+        mutations must derive from in-loop state or two racing
+        add_constraint calls would silently drop one (the same
+        lost-update rule mutate() already follows for batches)."""
         for _ in range(self.max_commit_retries):
             n = self.current_version()
             cur = self._read_version(n)
             state = {k: v for k, v in cur.items()
                      if k not in self._CORE_STATE}
-            if extra:
-                state.update(extra)
+            ext = extra(cur) if callable(extra) else extra
+            if ext:
+                state.update(ext)
             state.update({"version": n + 1, "parent": n,
                           "committed_at": time.time(),
                           "batches": mutate(list(cur["batches"]))})
@@ -1605,16 +1610,29 @@ class ManifestedTable:
                 raise ConstraintViolation(
                     f"cannot add {name!r}: {bad} existing rows "
                     f"violate ({expr})")
-        self._commit(lambda live: live,
-                     extra={"constraints": {**self.constraints,
-                                            name: expr}})
+
+        # the new map derives from each OCC attempt's CURRENT state —
+        # a racing add_constraint lands beside this one, never under it
+        def ext(state: dict) -> dict:
+            cons = dict(state.get("constraints") or {})
+            if name in cons:
+                raise ValueError(f"constraint {name!r} already exists "
+                                 "— drop_constraint first")
+            cons[name] = expr
+            return {"constraints": cons}
+
+        self._commit(lambda live: live, extra=ext)
 
     def drop_constraint(self, name: str) -> None:
-        cons = self.constraints
-        if name not in cons:
+        if name not in self.constraints:
             raise KeyError(f"no constraint {name!r} on {self.table_dir}")
-        del cons[name]
-        self._commit(lambda live: live, extra={"constraints": cons})
+
+        def ext(state: dict) -> dict:
+            cons = dict(state.get("constraints") or {})
+            cons.pop(name, None)         # concurrent drop already won
+            return {"constraints": cons}
+
+        self._commit(lambda live: live, extra=ext)
 
     def _enforce_constraints(self, df: DataFrame) -> None:
         """Refuse the frame if any row evaluates a CHECK constraint to

@@ -2026,3 +2026,29 @@ def test_check_constraints_enforced_and_carried(spark, tmp_path):
         t.add_constraint("no spaces", "id > 0")
     with pytest.raises(KeyError):
         t.drop_constraint("ghost")
+
+
+def test_constraint_mutations_compose_under_occ_race(spark, tmp_path):
+    """Property mutations must derive from each OCC attempt's CURRENT
+    state: a constraint committed by a racer between this add's read
+    and its CAS survives alongside it (a static extra dict would
+    silently drop the racer's — the lost-update shape the batch
+    mutate() hook already guards against)."""
+    t = ManifestedTable(str(tmp_path), "proj", "events")
+    t.write(_df(spark, [1]), batch_id="b1")
+
+    orig = t._try_commit
+    raced = []
+
+    def racing(n, state):
+        if not raced:
+            raced.append(True)
+            r = ManifestedTable(str(tmp_path), "proj", "events")
+            r.add_constraint("from_racer", "id != -999")
+        return orig(n, state)
+
+    t._try_commit = racing
+    t.add_constraint("from_loser", "id != -888")
+    assert set(t.constraints) == {"from_racer", "from_loser"}
+    t.drop_constraint("from_racer")
+    assert set(t.constraints) == {"from_loser"}
