@@ -1377,6 +1377,58 @@ class ManifestedTable:
             df = df.unionByName(d, allowMissingColumns=True)
         return df
 
+    @property
+    def tags(self) -> dict[str, int]:
+        """Named version pins: {tag: version} (Iceberg tag shape)."""
+        return dict(self._read_version(self.current_version())
+                    .get("tags") or {})
+
+    def tag(self, name: str, version: int | None = None) -> int:
+        """Pin a snapshot under a NAME (Iceberg's tag): ``read(spark,
+        version=t.tags["name"])`` — or ``read(version="name")``
+        directly — time-travels to it long after the version number
+        stopped being memorable; ``gc()`` keeps every TAGGED version's
+        files regardless of keep_versions, so a tag is also a
+        retention pin (audit snapshots, reproducibility anchors for a
+        training run's exact input). Stored as a table property and
+        carried across every commit — but NOT copied by clone_from
+        (tag values are version numbers of THIS table's history; in a
+        clone's fresh single-version history they would dangle).
+        Re-tagging an existing name moves it; same lost-update-safe
+        in-loop derivation as the constraint mutators."""
+        if not name or name.isdigit():
+            raise ValueError(f"tag must be a non-numeric, non-empty "
+                             f"name (got {name!r})")
+        v = self.current_version() if version is None else version
+        if v not in self._version_numbers():
+            raise FileNotFoundError(
+                f"version {v} not committed (or gc-pruned) under "
+                f"{self.table_dir} — cannot tag")
+        self._commit(lambda live: live,
+                     extra=lambda cur: {"tags": {**(cur.get("tags")
+                                                    or {}), name: v}})
+        return v
+
+    def drop_tag(self, name: str) -> None:
+        if name not in self.tags:
+            raise KeyError(f"no tag {name!r} on {self.table_dir}")
+
+        def ext(cur: dict) -> dict:
+            tags = dict(cur.get("tags") or {})
+            tags.pop(name, None)          # concurrent drop already won
+            return {"tags": tags}
+
+        self._commit(lambda live: live, extra=ext)
+
+    def _resolve_version(self, version) -> int:
+        if isinstance(version, str):
+            tags = self.tags
+            if version not in tags:
+                raise FileNotFoundError(
+                    f"no tag {version!r} on {self.table_dir}")
+            return tags[version]
+        return version
+
     def read(self, spark: SparkSession,
              version: int | None = None,
              prune: dict | None = None) -> DataFrame:
@@ -1401,10 +1453,12 @@ class ManifestedTable:
         read."""
         if version is None:
             version = self.current_version()
-        elif version not in self._version_numbers():
-            raise FileNotFoundError(
-                f"version {version} not committed (or gc-pruned) "
-                f"under {self.table_dir}")
+        else:
+            version = self._resolve_version(version)
+            if version not in self._version_numbers():
+                raise FileNotFoundError(
+                    f"version {version} not committed (or gc-pruned) "
+                    f"under {self.table_dir}")
         manifests = self._read_version(version)["batches"]
         if not manifests:
             raise FileNotFoundError(
@@ -2007,7 +2061,10 @@ class ManifestedTable:
         writer commits (the same mtime-grace rule Delta/Iceberg vacuum
         applies). Pass 0 only when no writer can be active."""
         ns = self._version_numbers()
-        kept = ns[-keep_versions:] if keep_versions else []
+        kept = set(ns[-keep_versions:] if keep_versions else [])
+        # a TAG is a retention pin: its version (and files) survive
+        # any keep_versions setting until the tag is dropped
+        kept |= {v for v in self.tags.values() if v in ns}
         referenced: set[str] = set()
         for n in kept:
             referenced |= {self._dir_of(b)
@@ -2028,7 +2085,9 @@ class ManifestedTable:
             except FileNotFoundError:
                 continue
             removed.append(d)
-        for n in ns[:-keep_versions] if keep_versions else ns:
+        for n in ns:
+            if n in kept:                    # retention window OR tag
+                continue
             # delete() treats missing as success (concurrent sweep)
             self.meta.delete(f"{self.versions_dir}/v{n:010d}.json")
         return removed

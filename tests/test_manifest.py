@@ -2052,3 +2052,38 @@ def test_constraint_mutations_compose_under_occ_race(spark, tmp_path):
     assert set(t.constraints) == {"from_racer", "from_loser"}
     t.drop_constraint("from_racer")
     assert set(t.constraints) == {"from_loser"}
+
+
+def test_tags_pin_versions_and_survive_gc(spark, tmp_path):
+    """Iceberg-style tags: read(version='name') time-travels to the
+    pinned snapshot; gc keeps a TAGGED version's files and version
+    file regardless of keep_versions; dropping the tag releases the
+    pin; re-tagging moves the name; validation refuses numeric names,
+    unknown versions, ghost drops."""
+    t = ManifestedTable(str(tmp_path), "proj", "events")
+    t.write(_df(spark, [1]), batch_id="b1")            # v1
+    assert t.tag("gold") == 1
+    t.write(_df(spark, [2]), batch_id="b2")
+    t.write(_df(spark, [3]), batch_id="b3")
+
+    assert sorted(r.id for r in
+                  t.read(spark, version="gold").collect()) == [1]
+    t.gc(keep_versions=1, grace_seconds=0)
+    assert sorted(r.id for r in
+                  t.read(spark, version="gold").collect()) == [1]
+    assert sorted(r.id for r in t.read(spark).collect()) == [1, 2, 3]
+
+    moved = t.tag("gold")                              # move to head
+    assert t.tags["gold"] == moved > 1
+    t.drop_tag("gold")
+    t.gc(keep_versions=1, grace_seconds=0)
+    with pytest.raises(FileNotFoundError, match="no tag"):
+        t.read(spark, version="gold")
+    assert sorted(r.id for r in t.read(spark).collect()) == [1, 2, 3]
+
+    with pytest.raises(ValueError, match="non-numeric"):
+        t.tag("123")
+    with pytest.raises(FileNotFoundError, match="version 99"):
+        t.tag("x", version=99)
+    with pytest.raises(KeyError):
+        t.drop_tag("ghost")
