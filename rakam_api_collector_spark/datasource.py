@@ -279,12 +279,23 @@ def _prune_from_filters(pushed: list[Filter]) -> dict | None:
     return out or None
 
 
+def _version_as_of(table, v) -> int:
+    """``versionAsOf`` option → version number: None = current head,
+    digits = that version, anything else = a TAG name (manifest.tag,
+    the Delta/Iceberg named-snapshot read through the same option),
+    resolved at plan time either way."""
+    if v is None:
+        return table.current_version()
+    if str(v).lstrip("-").isdigit():
+        return int(v)
+    return table._resolve_version(str(v))
+
+
 class ManifestReader(DataSourceReader):
     def __init__(self, options, schema: StructType) -> None:
         self._schema = schema
         table = _table_from_options(options)
-        v = options.get("versionasof")
-        version = int(v) if v is not None else table.current_version()
+        version = _version_as_of(table, options.get("versionasof"))
         if version not in table._version_numbers():
             raise FileNotFoundError(
                 f"version {version} not committed (or gc-pruned) under "
@@ -518,8 +529,8 @@ class ManifestDataSource(DataSource):
 
     def schema(self) -> StructType:
         table = _table_from_options(self.options)
-        v = self.options.get("versionasof")
-        version = int(v) if v is not None else table.current_version()
+        version = _version_as_of(table,
+                                 self.options.get("versionasof"))
         manifests = table._read_version(version)["batches"] \
             if version in table._version_numbers() else []
         if not manifests:

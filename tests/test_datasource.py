@@ -73,6 +73,12 @@ def test_version_as_of_time_travel(spark, tmp_path):
     assert [r.id for r in v1.collect()] == [1]
     with pytest.raises(Exception, match="no committed batches"):
         _load(spark, t, versionAsOf="9").collect()
+    # non-numeric versionAsOf resolves as a TAG name (manifest.tag)
+    t.tag("gold", version=1)
+    assert [r.id for r in
+            _load(spark, t, versionAsOf="gold").collect()] == [1]
+    with pytest.raises(Exception, match="no tag"):
+        _load(spark, t, versionAsOf="ghost").collect()
 
 
 def test_pushdown_prunes_files_hard(spark, tmp_path):
