@@ -1115,6 +1115,67 @@ def resample_audio(df: DataFrame, id_col: str, out_rate: int,
     return narrow.mapInPandas(resample, out_schema)
 
 
+def trim_silence(df: DataFrame, id_col: str, threshold: int = 328,
+                 window: int = 512,
+                 blob_col: str = "blob") -> DataFrame:
+    """Arrow-batched leading/trailing silence trim — the audio-corpus
+    pre-step before feature extraction/fingerprinting (recordings
+    padded by capture devices waste decode + spectrogram work and
+    shift time-aligned features). Deterministic INTEGER rule so an
+    oracle can recompute the cut in closed form: the decoded clip is
+    split into non-overlapping ``window``-frame windows (last one
+    partial); a window is silent iff max(|sample|) over all its
+    frames and channels is <= ``threshold`` (int16 units; the default
+    328 ~= -40 dBFS); the kept span runs from the first non-silent
+    window's first frame to the last non-silent window's end,
+    whole-window boundaries. Interior silence is preserved (it is
+    content — pauses carry timing); an all-silent clip emits zero
+    frames. Idempotent: re-trimming a trimmed clip is a no-op.
+    Emits (id, sample_rate, channels, n_frames, start_frame,
+    end_frame, blob); one numpy pass per clip, no shuffle."""
+    if window < 1:
+        raise ValueError(f"window must be >= 1 (got {window})")
+    out_schema = T.StructType([
+        T.StructField("id", T.LongType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("n_frames", T.LongType()),
+        T.StructField("start_frame", T.LongType()),
+        T.StructField("end_frame", T.LongType()),
+        T.StructField(blob_col, T.BinaryType()),
+    ])
+
+    def trim(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+        for pdf in batches:
+            rows = []
+            for i, blob in zip(pdf["_id"], pdf["_blob"]):
+                rate, ch, pcm = wav_decode(bytes(blob))
+                s = np.frombuffer(pcm, dtype="<i2")
+                n = len(s) // ch
+                start = end = 0
+                if n:
+                    frame_max = (np.abs(s[:n * ch].astype(np.int32))
+                                 .reshape(n, ch).max(axis=1))
+                    edges = np.arange(0, n, window)
+                    wmax = np.maximum.reduceat(frame_max, edges)
+                    nz = np.flatnonzero(wmax > threshold)
+                    if nz.size:
+                        start = int(nz[0]) * window
+                        end = min((int(nz[-1]) + 1) * window, n)
+                out = s[start * ch:end * ch].tobytes()
+                rows.append((int(i), rate, ch, end - start, start, end,
+                             wav_encode(out, rate, ch)))
+            yield pd.DataFrame(rows, columns=[
+                "id", "sample_rate", "channels", "n_frames",
+                "start_frame", "end_frame", blob_col])
+
+    narrow = df.select(F.col(id_col).cast("long").alias("_id"),
+                       F.col(blob_col).alias("_blob"))
+    return narrow.mapInPandas(trim, out_schema)
+
+
 def synthesize_wav(df: DataFrame, id_col: str, rate_col: str,
                    ch_col: str, frames_col: str,
                    blob_col: str = "blob") -> DataFrame:

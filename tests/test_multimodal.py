@@ -983,3 +983,69 @@ def test_image_header_meta_reads_headers_only(spark):
     got = {r.id: (r.format, r.width, r.height, r.channels, r.bit_depth)
            for r in M.image_meta(df, "img", skip_invalid=True).collect()}
     assert got == {1: ("png", 8, 8, 1, 8), 2: ("jpeg", 8, 8, 1, 8)}
+
+
+def test_trim_silence_exact_boundaries_and_idempotence(spark):
+    """trim_silence cuts on whole-window boundaries around the loud
+    span (exact integer rule), preserves interior silence, passes an
+    all-loud clip untouched, empties an all-silent clip, handles a
+    partial final window and stereo interleave, and is idempotent."""
+    import numpy as np
+
+    from rakam_api_collector_spark.operators.multimodal import (
+        trim_silence,
+        wav_decode,
+        wav_encode,
+    )
+
+    win = 8
+
+    def pcm(segments, ch=1):
+        # segments: list of (n_frames, amplitude); interleave channels
+        s = np.concatenate([np.full(n * ch, a, dtype="<i2")
+                            for n, a in segments] or
+                           [np.zeros(0, dtype="<i2")])
+        return wav_encode(s.tobytes(), 8000, ch)
+
+    rows = [
+        # id 0: 20 silent + 13 loud + 19 silent frames (mono). Loud
+        # span covers windows 2..4 → frames [16, 40); 40 > 33 clamps
+        # to... nothing: window 4 ends at 40 ≤ 52 total, no clamp.
+        (0, pcm([(20, 0), (13, 2000), (19, 0)])),
+        # id 1: all loud, partial final window (10 frames) — untouched
+        (1, pcm([(10, 900)])),
+        # id 2: all silent → zero frames
+        (2, pcm([(30, 5)])),
+        # id 3: stereo, loud only in the tail's partial window
+        (3, pcm([(16, 0), (3, 1200)], ch=2)),
+        # id 4: interior silence is content — kept
+        (4, pcm([(8, 700), (8, 0), (8, 700)])),
+    ]
+    df = spark.createDataFrame(rows, "id long, blob binary")
+    got = {r["id"]: r for r in
+           trim_silence(df, "id", threshold=328, window=win).collect()}
+
+    assert (got[0]["start_frame"], got[0]["end_frame"]) == (16, 40)
+    assert got[0]["n_frames"] == 24
+    rate, ch, p = wav_decode(bytes(got[0]["blob"]))
+    assert (rate, ch) == (8000, 1)
+    s0 = np.frombuffer(p, dtype="<i2")
+    assert len(s0) == 24 and s0[4] == 2000 and s0[0] == 0  # window pad
+
+    assert (got[1]["start_frame"], got[1]["end_frame"]) == (0, 10)
+    assert got[2]["n_frames"] == 0 == got[2]["start_frame"]
+    assert (got[3]["start_frame"], got[3]["end_frame"]) == (16, 19)
+    assert got[3]["channels"] == 2
+    assert (got[4]["start_frame"], got[4]["end_frame"]) == (0, 24)
+
+    # idempotence: trimming the trimmed clips changes nothing
+    trimmed = spark.createDataFrame(
+        [(r["id"], bytes(r["blob"])) for r in got.values()],
+        "id long, blob binary")
+    again = {r["id"]: r for r in
+             trim_silence(trimmed, "id", threshold=328,
+                          window=win).collect()}
+    for i in got:
+        assert again[i]["n_frames"] == got[i]["n_frames"]
+        assert again[i]["start_frame"] == 0
+        assert bytes(again[i]["blob"]) == bytes(got[i]["blob"])
