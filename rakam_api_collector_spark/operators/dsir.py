@@ -160,7 +160,8 @@ def gumbel_noise(key: Column, seed: int = 0) -> Column:
 def dsir_select(spark: SparkSession, raw: DataFrame, target: DataFrame,
                 id_col: str, text_col: str, k: int, n: int = 2,
                 buckets: int = 10_000, alpha: float = 1.0,
-                seed: int = 0, temperature: float = 1.0) -> DataFrame:
+                seed: int = 0, temperature: float = 1.0,
+                weights: DataFrame | None = None) -> DataFrame:
     """End-to-end DSIR: fit the two bucket LMs, weight every raw
     document, select k without replacement ∝ w^(1/temperature) via
     Gumbel-top-k — ``score = logw/temperature + Gumbel(seed, id)``,
@@ -183,18 +184,31 @@ def dsir_select(spark: SparkSession, raw: DataFrame, target: DataFrame,
     Driver bound: TakeOrdered merges #partitions·k rows on the driver
     — right for any k that fits one machine (millions), wrong for
     cluster-scale selections (hundreds of millions); use
-    ``dsir_select_fraction`` there."""
+    ``dsir_select_fraction`` there.
+
+    ``weights`` short-circuits the whole chain with a pre-computed
+    ``dsir_scored_weights`` frame (id, logw, score) — the
+    pay-the-corpus-scan-once escape when several selections share one
+    weighting."""
     if k < 1:
         raise ValueError(f"k must be >= 1 (got {k})")
-    w = _scored_weights(spark, raw, target, id_col, text_col, n,
-                        buckets, alpha, seed, temperature)
+    w = weights if weights is not None else dsir_scored_weights(
+        spark, raw, target, id_col, text_col, n, buckets, alpha, seed,
+        temperature)
     return w.orderBy(F.desc("score"), id_col).limit(k)
 
 
-def _scored_weights(spark, raw, target, id_col, text_col, n, buckets,
-                    alpha, seed, temperature) -> DataFrame:
+def dsir_scored_weights(spark: SparkSession, raw: DataFrame,
+                        target: DataFrame, id_col: str, text_col: str,
+                        n: int = 2, buckets: int = 10_000,
+                        alpha: float = 1.0, seed: int = 0,
+                        temperature: float = 1.0) -> DataFrame:
     """(id, logw, score) for every raw doc — the shared front half of
-    both selection forms."""
+    both selection forms, public so a caller can materialize it ONCE
+    (persist / write to a table) and feed it to several selections:
+    the weight chain scans the raw corpus three times (raw LM fit,
+    per-occurrence weight sum, ids frame), which at cluster scale is
+    the dominant cost and should be paid once, not per selection."""
     if temperature <= 0:
         raise ValueError(f"temperature must be > 0 (got {temperature})")
     t_lp = ngram_bucket_logprobs(spark, target, id_col, text_col,
@@ -207,12 +221,17 @@ def _scored_weights(spark, raw, target, id_col, text_col, n, buckets,
     return w.select(id_col, "logw", score.alias("score"))
 
 
+_scored_weights = dsir_scored_weights          # internal alias (tests)
+
+
 def dsir_select_fraction(spark: SparkSession, raw: DataFrame,
                          target: DataFrame, id_col: str, text_col: str,
                          fraction: float, n: int = 2,
                          buckets: int = 10_000, alpha: float = 1.0,
                          seed: int = 0, temperature: float = 1.0,
-                         relative_error: float = 1e-4) -> DataFrame:
+                         relative_error: float = 1e-4,
+                         weights: DataFrame | None = None,
+                         persist: bool = False) -> DataFrame:
     """The cluster-scale selection form: keep the top ``fraction`` of
     raw by Gumbel-perturbed score WITHOUT any ordered collection —
     estimate the (1−fraction) score quantile with Spark's mergeable
@@ -221,17 +240,33 @@ def dsir_select_fraction(spark: SparkSession, raw: DataFrame,
     reaches the driver, so "select 100M of 10B docs" is a sketch pass
     plus a filter pass; |result| = fraction·n ± the sketch's rank
     error (``relative_error``·n — 0.0 makes the cutoff exact at the
-    cost of a full-merge quantile). The weight frame is computed once
-    per pass (twice total); persist it first if the corpus scan
-    dominates — the same trade the module docstring describes for
-    featurization. Same determinism contract as ``dsir_select``;
-    ``dsir_select`` is the exact-k form for driver-sized k."""
+    cost of a full-merge quantile). Same determinism contract as
+    ``dsir_select``; ``dsir_select`` is the exact-k form for
+    driver-sized k.
+
+    The cutoff pass and the filter pass both consume the weight frame,
+    and each weight computation scans the raw corpus three times — so
+    by default this function costs ~6 raw-corpus scans. Two escapes:
+    ``persist=True`` caches the weight frame (MEMORY_AND_DISK) so the
+    sketch pass materializes it once and the filter pass reads the
+    cache — 3 corpus scans total, the cache living until the caller
+    unpersists or the session ends; or pass ``weights=`` (a
+    ``dsir_scored_weights`` frame the caller already materialized,
+    e.g. written to a table) and the corpus is never re-read here.
+
+    An EMPTY raw corpus yields an empty weight frame; the sketch
+    returns no quantile and the selection is the empty frame (same
+    contract as ``dsir_select``), never an error."""
     if not 0.0 < fraction <= 1.0:
         raise ValueError(f"fraction must be in (0, 1] (got {fraction})")
-    w = _scored_weights(spark, raw, target, id_col, text_col, n,
-                        buckets, alpha, seed, temperature)
+    w = weights if weights is not None else dsir_scored_weights(
+        spark, raw, target, id_col, text_col, n, buckets, alpha, seed,
+        temperature)
+    if persist and weights is None:
+        w = w.persist()
     if fraction == 1.0:
         return w
-    cutoff = w.approxQuantile("score", [1.0 - fraction],
-                              relative_error)[0]
-    return w.filter(F.col("score") >= cutoff)
+    q = w.approxQuantile("score", [1.0 - fraction], relative_error)
+    if not q:                       # empty corpus → empty selection
+        return w
+    return w.filter(F.col("score") >= q[0])

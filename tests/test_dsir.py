@@ -406,3 +406,73 @@ def test_trigram_weights_exact_replay(spark, corpora):
         want = sum(lt[_bucket(g)] - lr[_bucket(g)]
                    for g in _grams(text, n=3))
         assert got[i] == pytest.approx(want, abs=1e-9)
+
+
+def test_select_fraction_empty_corpus_returns_empty(spark):
+    """ADVICE r14: an empty raw corpus produces an empty scored-weight
+    frame; approxQuantile over it returns no quantile, and the
+    selection must be the empty frame (matching dsir_select's
+    behavior), not an IndexError."""
+    from rakam_api_collector_spark.operators.dsir import \
+        dsir_select_fraction
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    target = spark.createDataFrame(TARGET, ["doc_id", "text"])
+    out = dsir_select_fraction(spark, empty, target, "doc_id", "text",
+                               fraction=0.5, n=N, buckets=B,
+                               alpha=ALPHA)
+    assert out.count() == 0
+    assert out.columns == ["doc_id", "logw", "score"]
+    k_form = dsir_select(spark, empty, target, "doc_id", "text", k=3,
+                         n=N, buckets=B, alpha=ALPHA)
+    assert k_form.count() == 0
+
+
+def test_select_fraction_persist_shares_one_weight_pass(spark, corpora):
+    """The pay-the-corpus-scan-once escape (r14 verdict item 4):
+    with persist=True the cutoff pass materializes the weight frame
+    and the filter pass reads the CACHE — the result's plan scans
+    InMemoryTableScan, not the raw corpus — with values identical to
+    the unpersisted path. Precomputed ``weights=`` skips the chain
+    entirely (same plan shape: no re-featurization)."""
+    from rakam_api_collector_spark.operators.dsir import (
+        dsir_scored_weights,
+        dsir_select_fraction,
+    )
+
+    raw, target = corpora
+    base = dsir_select_fraction(spark, raw, target, "doc_id", "text",
+                                fraction=3 / 7, n=N, buckets=B,
+                                alpha=ALPHA, seed=7, temperature=2.0,
+                                relative_error=0.0)
+    cached = dsir_select_fraction(spark, raw, target, "doc_id", "text",
+                                  fraction=3 / 7, n=N, buckets=B,
+                                  alpha=ALPHA, seed=7, temperature=2.0,
+                                  relative_error=0.0, persist=True)
+    try:
+        got = {(r["doc_id"], round(r["score"], 9))
+               for r in cached.collect()}
+        # the filter pass consumes the cache, never the corpus again
+        plan = cached._jdf.queryExecution().executedPlan().toString()
+        assert "InMemoryTableScan" in plan
+        assert got == {(r["doc_id"], round(r["score"], 9))
+                       for r in base.collect()}
+    finally:
+        spark.catalog.clearCache()
+
+    # caller-materialized weights: the chain is never re-built
+    w = dsir_scored_weights(spark, raw, target, "doc_id", "text",
+                            n=N, buckets=B, alpha=ALPHA, seed=7,
+                            temperature=2.0).localCheckpoint()
+    via_weights = dsir_select_fraction(
+        spark, raw, target, "doc_id", "text", fraction=3 / 7,
+        relative_error=0.0, weights=w)
+    assert {r["doc_id"] for r in via_weights.collect()} \
+        == {p[0] for p in got}
+    exact_via_weights = dsir_select(spark, raw, target, "doc_id",
+                                    "text", k=4, weights=w)
+    exact = dsir_select(spark, raw, target, "doc_id", "text", k=4,
+                        n=N, buckets=B, alpha=ALPHA, seed=7,
+                        temperature=2.0)
+    assert [r["doc_id"] for r in exact_via_weights.collect()] \
+        == [r["doc_id"] for r in exact.collect()]
