@@ -296,6 +296,48 @@ the two-round rotation's spare); that pairing is the designated
 use of the consolidation, superseding "only under real pressure".
 Every other pytest-only family either has a driver row (llm52-54)
 or a written don't-promote decision.
+
+r15 EXECUTION (current window): the 49 r14-out due-backs + the spare
+spent exactly per the drafted promotion pairing: llm02_ttr +
+llm03_avg_token_len consolidated into llm02_lexical_stats (ONE
+documents tokenize scan emitting both per-doc columns — ttr AND
+avg_len — the union of both old oracles; registry 99 → 98), freeing
+the slot for llm55_dsir_select (registry 98 → 99): DSIR importance
+resampling (operators/dsir.py, landed r14) promoted to a driver row
+with a FULL DuckDB oracle — the entire weight chain (tokenize,
+1..2-gram, md5 bucket B=1024, add-0.5-smoothed LM fits with
+target = lang='en' vs raw = all documents, Δlogp occurrence sums,
+seed-7 Gumbel noise at temperature 2, top-100) replayed as one SQL
+statement, the shape tests/test_dsir.py has pinned cross-engine
+since r14.
+
+EVIDENCE-INHERITANCE NOTE (llm02_lexical_stats): unlike the r12 dq14
+and r14 llm34 consolidations (whose constituents were due-backs, so
+the merged row took a window slot naturally), llm02/llm03 were BOTH
+r14-window-green (CORRECTNESS_r14) and are NOT due until r16. The
+merged row is the literal union of the two certified queries over
+the same scan — same expressions, same oracles, one SELECT — so it
+carries its halves' r14 evidence and enters the r16 due-back pool on
+their schedule; spending an r15 slot on it would have pushed a real
+due-back to 2-round-old evidence. The full local gate
+(scripts/check_correctness.py, all 99) certifies the merged row
+in-round regardless of window membership.
+
+Out-of-window (49 queries, all r14-green, due back in r16 — leaving
+1 spare): the entire r14 window minus the consolidated
+llm02_ttr/llm03_avg_token_len (their successor llm02_lexical_stats
+joins this pool carrying their r14 evidence): llm34_video_sampling,
+llm54_audio_phash, dq05/08, dq12-17, dq29-32, dq34, dq36, dq47,
+llm01, llm02_lexical_stats, llm04-06, llm11, llm16, llm18-28,
+llm37-44, llm47-49, llm51-53.
+
+r16 SPARE-SLOT PLAN (drafted in r15): window = the 49 r15-out
+due-backs above + 1 spare, RESERVED for whatever r16 modifies; if
+r16 modifies nothing, fill with heavy regression-prone
+llm49_ivf_pq_recall (the largest standing wall in the due-back
+pool). No consolidation candidates remain drafted; no pytest-only
+family without either a driver row or a written don't-promote
+decision remains — future promotions need a new operator first.
 """
 
 from __future__ import annotations
@@ -307,30 +349,29 @@ _ALL_ORACLE = {**relational.ORACLE, **llm_ops.ORACLE}
 
 # First 50 = this round's driver-checked window (see docstring history).
 _WINDOW = [
-    # lead: the r14-modified/new rows — the llm34/llm45 consolidation
-    # (merged ⇒ modified; both sampling branches live, mode-tagged)
-    # and the llm54 promotion it freed the slot for (rows-only; the
-    # registry docstring's r14 plan records why no SQL oracle exists)
-    "llm34_video_sampling", "llm54_audio_phash",
-    # the 48 remaining r13-out due-backs (all r12-green)
-    "dq05_route_fanout", "dq08_hash_agg", "dq12_join_dim",
-    "dq13_multi_join", "dq14_semi_anti", "dq15_outer_join",
-    "dq16_window", "dq17_dedup_first", "dq29_envelope_parse",
-    "dq30_tumbling_window", "dq31_asof_join", "dq32_salted_agg",
-    "dq34_range_join", "dq36_approx_distinct", "dq47_sliding_window",
-    "llm01_token_count", "llm02_ttr", "llm03_avg_token_len",
-    "llm04_lang_id", "llm05_fingerprint", "llm06_quality",
-    "llm11_knn_cosine", "llm16_dedup_clusters", "llm18_bpe_tokens",
-    "llm19_ivf_ann", "llm20_tfidf", "llm21_pii_redact",
-    "llm22_chunk_dedup", "llm23_contamination",
-    "llm24_stratified_split", "llm25_repetition", "llm26_kmeans",
-    "llm27_surprisal", "llm28_quantize", "llm37_bigram_lm",
-    "llm38_training_order", "llm39_curriculum_bins",
-    "llm40_quality_rules", "llm41_head_truncate", "llm42_curation_e2e",
-    "llm43_compression_ratio", "llm44_jpeg_decode",
-    "llm47_boilerplate_removal", "llm48_bpe_merges",
-    "llm49_ivf_pq_recall", "llm51_unigram_tokenizer",
-    "llm52_html_extract", "llm53_ocf_roundtrip",
+    # lead: the r15 promotion — DSIR as a driver row with a FULL
+    # DuckDB oracle (the slot freed by the llm02+llm03 consolidation;
+    # see the r15 history block and the evidence-inheritance note)
+    "llm55_dsir_select",
+    # the 49 r14-out due-backs (all r13-green)
+    "dq01_projection", "dq02_whitelist", "dq03_late_split",
+    "dq04_sink_envelope", "dq06_max_offset", "dq07_zone_map",
+    "dq09_distinct_agg", "dq10_rollup", "dq11_sum_cents",
+    "dq18_topk", "dq19_truncate", "dq20_safe_cast",
+    "dq21_set_ops", "dq22_array_funcs", "dq23_hash",
+    "dq24_scalars", "dq25_udf_shape", "dq26_epoch_conversions",
+    "dq27_json_encode", "dq28_date_format", "dq33_percentile",
+    "dq35_sessionize", "dq37_hash_split", "dq38_cube",
+    "dq39_pivot", "dq40_window_analytics", "dq41_approx_quantile",
+    "dq42_funnel", "dq43_retention", "dq44_grouping_sets",
+    "dq45_range_frame", "dq46_stats_agg", "llm07_exact_dedup",
+    "llm08_jaccard_pairs", "llm09_minhash_lsh", "llm10_simhash",
+    "llm12_ann_lsh", "llm13_multimodal_meta", "llm14_decode_features",
+    "llm15_embed_dedup", "llm17_incremental_dedup",
+    "llm29_pack_sequences", "llm30_mixture_sample",
+    "llm31_vocab_coverage", "llm32_dedup_keep_best",
+    "llm33_audio_pipeline", "llm35_resize_image",
+    "llm46_semantic_dedup", "llm50_dup_span_removal",
 ]
 
 assert len(_WINDOW) == 50 and len(set(_WINDOW)) == 50, len(_WINDOW)

@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T_
 
 from rakam_api_collector_spark.operators import dedup as D
+from rakam_api_collector_spark.operators.dsir import dsir_select
 from rakam_api_collector_spark.operators import multimodal as M
 from rakam_api_collector_spark.operators import similarity as S
 from rakam_api_collector_spark.operators import text as T
@@ -71,20 +72,46 @@ def llm20_tfidf(spark: SparkSession, sf: str) -> DataFrame:
             .orderBy("doc_id", "rnk"))
 
 
-def llm02_ttr(spark: SparkSession, sf: str) -> DataFrame:
-    """Type-token ratio (lexical diversity) per document."""
+def llm02_lexical_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-document lexical stats — the r15 consolidation of the
+    former llm02_ttr (type-token ratio, lexical diversity) and
+    llm03_avg_token_len (mean token length in chars): the two rows
+    shared one tokenize scan with disjoint per-row aggregates, so one
+    row now emits both columns; the oracle is the union of both old
+    oracles. Both halves were r14-green (CORRECTNESS_r14), and the
+    merged row changes neither computation — it drops one redundant
+    scan from the suite and frees the registry slot the llm55 DSIR
+    promotion spends (registry docstring, r15 history)."""
     return (load_table(spark, sf, "documents")
             .select("doc_id",
-                    F.round(T.type_token_ratio(F.col("text")), 4).alias("ttr"))
-            .orderBy("doc_id").limit(200))
-
-
-def llm03_avg_token_len(spark: SparkSession, sf: str) -> DataFrame:
-    """Mean token length in chars per document (quality signal)."""
-    return (load_table(spark, sf, "documents")
-            .select("doc_id",
+                    F.round(T.type_token_ratio(F.col("text")), 4).alias("ttr"),
                     F.round(T.avg_token_length(F.col("text")), 4).alias("avg_len"))
             .orderBy("doc_id").limit(200))
+
+
+def llm55_dsir_select(spark: SparkSession, sf: str) -> DataFrame:
+    """DSIR importance resampling (operators/dsir.py; Xie et al.
+    NeurIPS 2023) as a driver row — the r15 promotion the registry
+    drafted in r14: select the 100 documents whose hashed-1..2-gram
+    distribution looks most like the ENGLISH subset of the corpus
+    (target = lang='en', raw = everything), k without replacement via
+    Gumbel-top-k. Every stage is cross-engine reproducible BY DESIGN
+    (md5 bucketing, md5-seeded Gumbel noise), so the oracle replays
+    the ENTIRE weight chain — tokenize, gram, bucket, two smoothed
+    LM fits, Δlogp occurrence sums, noise, top-k — as one DuckDB SQL
+    statement (the shape pinned by tests/test_dsir.py's cross-engine
+    test since r14). logw/score are rounded to 3 decimals for the
+    value hash; selection order itself is pinned by the k-cut."""
+    docs = load_table(spark, sf, "documents")
+    raw = docs.select("doc_id", "text")
+    target = (docs.filter(F.col("lang") == "en")
+              .select("doc_id", "text"))
+    sel = dsir_select(spark, raw, target, "doc_id", "text", k=100,
+                      n=2, buckets=1024, alpha=0.5, seed=7,
+                      temperature=2.0)
+    return sel.select("doc_id",
+                      F.round("logw", 3).alias("logw_r"),
+                      F.round("score", 3).alias("score_r"))
 
 
 def llm04_lang_id(spark: SparkSession, sf: str) -> DataFrame:
@@ -1440,8 +1467,8 @@ QUERIES = {
     "llm01_token_count": llm01_token_count,
     "llm18_bpe_tokens": llm18_bpe_tokens,
     "llm20_tfidf": llm20_tfidf,
-    "llm02_ttr": llm02_ttr,
-    "llm03_avg_token_len": llm03_avg_token_len,
+    "llm02_lexical_stats": llm02_lexical_stats,
+    "llm55_dsir_select": llm55_dsir_select,
     "llm04_lang_id": llm04_lang_id,
     "llm05_fingerprint": llm05_fingerprint,
     "llm06_quality": llm06_quality,
@@ -1662,21 +1689,93 @@ ORACLE = {
                CAST(len({_DUCK_TOKS}) AS INTEGER) AS n_ws
         FROM documents ORDER BY doc_id LIMIT 200
     """,
-    "llm02_ttr": f"""
+    "llm02_lexical_stats": f"""
         WITH toks AS (SELECT doc_id, {_DUCK_TOKS} AS t FROM documents)
         SELECT doc_id,
                round(CASE WHEN len(t) > 0
                           THEN CAST(len(list_distinct(t)) AS DOUBLE) / len(t)
-                          ELSE 0.0 END, 4) AS ttr
-        FROM toks ORDER BY doc_id LIMIT 200
-    """,
-    "llm03_avg_token_len": f"""
-        WITH toks AS (SELECT doc_id, {_DUCK_TOKS} AS t FROM documents)
-        SELECT doc_id,
+                          ELSE 0.0 END, 4) AS ttr,
                round(CASE WHEN len(t) > 0
                           THEN CAST(length(array_to_string(t, '')) AS DOUBLE) / len(t)
                           ELSE 0.0 END, 4) AS avg_len
         FROM toks ORDER BY doc_id LIMIT 200
+    """,
+    # the full DSIR weight chain replayed in SQL — tokenize, 1..2-gram,
+    # md5 bucket (B=1024), add-0.5-smoothed LM fits on target (lang=en)
+    # and raw (all docs), per-occurrence Δlogp sums, md5-seeded Gumbel
+    # noise (seed 7, temperature 2), top-100. The same statement shape
+    # tests/test_dsir.py pins cross-engine against dsir_select.
+    "llm55_dsir_select": """
+        WITH
+        raw_docs AS (SELECT doc_id, text FROM documents),
+        target_docs AS (SELECT doc_id, text FROM documents
+                        WHERE lang = 'en'),
+        raw_toks AS (
+          SELECT doc_id, list_filter(
+                   regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                   t -> t <> '') AS t FROM raw_docs),
+        tgt_toks AS (
+          SELECT doc_id, list_filter(
+                   regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                   t -> t <> '') AS t FROM target_docs),
+        raw_grams AS (
+          SELECT doc_id, g FROM (
+            SELECT doc_id, unnest(t) AS g FROM raw_toks
+            UNION ALL
+            SELECT doc_id, t[i] || ' ' || t[i + 1] AS g
+            FROM raw_toks, unnest(generate_series(1, len(t) - 1)) AS s(i))),
+        tgt_grams AS (
+          SELECT doc_id, g FROM (
+            SELECT doc_id, unnest(t) AS g FROM tgt_toks
+            UNION ALL
+            SELECT doc_id, t[i] || ' ' || t[i + 1] AS g
+            FROM tgt_toks, unnest(generate_series(1, len(t) - 1)) AS s(i))),
+        all_buckets AS (
+          SELECT unnest(generate_series(0, 1023)) AS bucket),
+        raw_c AS (
+          SELECT CAST('0x' || substring(md5(g), 1, 8) AS UBIGINT) % 1024
+                   AS bucket, count(*) AS c
+          FROM raw_grams GROUP BY 1),
+        tgt_c AS (
+          SELECT CAST('0x' || substring(md5(g), 1, 8) AS UBIGINT) % 1024
+                   AS bucket, count(*) AS c
+          FROM tgt_grams GROUP BY 1),
+        raw_lp AS (
+          SELECT b.bucket,
+                 ln(COALESCE(rc.c, 0) + 0.5)
+                   - ln((SELECT COALESCE(sum(c), 0) FROM raw_c)
+                        + 512.0) AS lp
+          FROM all_buckets b LEFT JOIN raw_c rc USING (bucket)),
+        tgt_lp AS (
+          SELECT b.bucket,
+                 ln(COALESCE(tc.c, 0) + 0.5)
+                   - ln((SELECT COALESCE(sum(c), 0) FROM tgt_c)
+                        + 512.0) AS lp
+          FROM all_buckets b LEFT JOIN tgt_c tc USING (bucket)),
+        dlp AS (
+          SELECT t.bucket, t.lp - r.lp AS d
+          FROM tgt_lp t JOIN raw_lp r USING (bucket)),
+        occ AS (
+          SELECT doc_id,
+                 CAST('0x' || substring(md5(g), 1, 8) AS UBIGINT) % 1024
+                   AS bucket
+          FROM raw_grams),
+        sums AS (
+          SELECT doc_id, sum(d) AS logw
+          FROM occ JOIN dlp USING (bucket) GROUP BY doc_id),
+        w AS (
+          SELECT ids.doc_id, COALESCE(s.logw, 0.0) AS logw
+          FROM (SELECT DISTINCT doc_id FROM raw_docs) ids
+          LEFT JOIN sums s USING (doc_id)),
+        scored AS (
+          SELECT doc_id, logw,
+                 logw / 2.0 + (-ln(-ln(
+                   (CAST('0x' || substring(
+                      md5('7:' || CAST(doc_id AS VARCHAR)), 1, 8)
+                    AS UBIGINT) + 0.5) / 4294967296.0))) AS score
+          FROM w)
+        SELECT doc_id, round(logw, 3) AS logw_r, round(score, 3) AS score_r
+        FROM scored ORDER BY score DESC, doc_id LIMIT 100
     """,
     "llm04_lang_id": f"""
         WITH toks AS (SELECT {_DUCK_TOKS} AS t FROM documents),
