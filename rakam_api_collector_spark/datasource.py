@@ -283,10 +283,13 @@ def _version_as_of(table, v) -> int:
     """``versionAsOf`` option → version number: None = current head,
     digits = that version, anything else = a TAG name (manifest.tag,
     the Delta/Iceberg named-snapshot read through the same option),
-    resolved at plan time either way."""
+    resolved at plan time either way. Only PLAIN digits parse as a
+    version — mirroring tag()'s ``name.isdigit()`` rejection exactly,
+    so every creatable tag (including '-3': negative versions are
+    never valid) reads back through this option."""
     if v is None:
         return table.current_version()
-    if str(v).lstrip("-").isdigit():
+    if str(v).isdigit():
         return int(v)
     return table._resolve_version(str(v))
 

@@ -40,6 +40,7 @@ inside every batch directory.
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
 import random
@@ -1122,7 +1123,7 @@ class ManifestedTable:
         # the window where two concurrent writers both pass a
         # snapshot-time check and commit conflicting types
         self._check_evolution(self.committed(), fields, replacing=bid)
-        self._enforce_constraints(out)
+        out = self._enforce_constraints(out)
         out = self._clustered(out, cluster_by, n_files, cluster_mode)
         entry = self._write_batch_files(
             out, bid, fmt,
@@ -1656,7 +1657,10 @@ class ManifestedTable:
         if name in self.constraints:
             raise ValueError(f"constraint {name!r} already exists — "
                              "drop_constraint first")
-        if spark is not None:
+        # zero committed rows trivially satisfy any CHECK — the
+        # canonical create-table-then-add-constraint flow must not
+        # trip over read()'s no-committed-batches error
+        if spark is not None and self.committed():
             cur = self.read(spark)
             bad = cur.filter(
                 F.expr(f"not coalesce(({expr}), true)")).count()
@@ -1688,18 +1692,39 @@ class ManifestedTable:
 
         self._commit(lambda live: live, extra=ext)
 
-    def _enforce_constraints(self, df: DataFrame) -> None:
+    def _enforce_constraints(self, df: DataFrame,
+                             pinned: bool = False) -> DataFrame:
         """Refuse the frame if any row evaluates a CHECK constraint to
-        FALSE — one violation-count job per constraint (Delta fuses
-        this into the write job; a separate bounded pre-pass keeps the
-        refused-batch-leaves-no-orphan property instead)."""
-        for name, expr in self.constraints.items():
-            bad = df.filter(
-                F.expr(f"not coalesce(({expr}), true)")).count()
+        FALSE. Returns the frame the caller must WRITE: when
+        constraints exist the input is localCheckpointed first, so the
+        rows checked are exactly the rows persisted — a
+        non-deterministic source (rand(), a re-read external table)
+        must not pass the pre-check and then materialize different,
+        violating rows when the write job re-evaluates the lineage
+        (``pinned=True`` = the caller already checkpointed). All
+        constraints are evaluated in ONE aggregate job (a conditional
+        sum per constraint), so N constraints cost one batch scan, not
+        N — Delta fuses the check into the write job; a single bounded
+        pre-pass keeps the refused-batch-leaves-no-orphan property
+        instead."""
+        cons = self.constraints
+        if not cons:
+            return df
+        if not pinned:
+            df = df.localCheckpoint()
+        names = list(cons)
+        row = df.agg(*[
+            F.sum(F.when(
+                ~F.coalesce(F.expr(f"({cons[nm]})"), F.lit(True)),
+                1).otherwise(0)).alias(f"_v{i}")
+            for i, nm in enumerate(names)]).first()
+        for i, nm in enumerate(names):
+            bad = row[f"_v{i}"] or 0
             if bad:
                 raise ConstraintViolation(
-                    f"{bad} rows violate CHECK {name!r} ({expr}) — "
+                    f"{bad} rows violate CHECK {nm!r} ({cons[nm]}) — "
                     f"batch refused, nothing written")
+        return df
 
     def clone_from(self, source: "ManifestedTable",
                    version: int | None = None) -> int:
@@ -1715,10 +1740,23 @@ class ManifestedTable:
         escape); ``gc()`` here lists only the LOCAL batches dir
         (``_batch_path``) and can never delete source files.
 
-        CAVEAT, same as Delta shallow clones: the SOURCE's gc()/
-        maintenance is not clone-aware — vacuuming source batches a
-        clone still references breaks the clone. Deep-copy when the
-        source's retention is not under your control.
+        SINGLE-METASTORE clones are also registered under the
+        source's metadata dir (``_clones/`` marker, written BEFORE
+        the clone commits so no gc window exists): the source's
+        ``gc()``/``run_maintenance`` reads each registered clone's
+        retained manifests through its own MetadataStore and keeps
+        every local batch dir a clone still references — shortening
+        the source's retention can no longer break a registered
+        clone (the hole Delta shallow clones have). The escapes:
+        ``compact()`` the clone (deep-copy, batches localize) then
+        ``source.unregister_clone(clone.table_dir)``, or unregister
+        alone to accept Delta semantics.
+
+        CAVEAT (narrowed from Delta parity): a CROSS-metastore
+        clone's manifests are invisible to the source's store — its
+        marker reads as deleted and is pruned, so such clones get no
+        gc protection (the original Delta caveat). Deep-copy when
+        the source's metastore is not this one.
 
         The target must be empty (no committed batches): cloning is a
         create-time operation, not a merge. Returns the committed
@@ -1753,10 +1791,82 @@ class ManifestedTable:
                     "clone into an empty table")
             return foreign
 
+        # register FIRST: a marker for a clone that then fails to
+        # commit is stale (no versions) and the source's next gc
+        # prunes it; the reverse order would leave a committed clone
+        # unprotected against a racing source gc
+        source._register_clone(self.table_dir)
         src_state = source._read_version(v)
         extra = ({"constraints": src_state["constraints"]}
                  if src_state.get("constraints") else None)
         return self._commit(mutate, extra=extra)["version"]
+
+    # -- clone registry (the source side of clone_from) ----------------------
+
+    @property
+    def clones_dir(self) -> str:
+        return f"{self.table_dir}/_clones"
+
+    def _register_clone(self, clone_table_dir: str) -> None:
+        """Marker keyed by a digest of the clone's table dir —
+        idempotent for re-clones into the same (emptied) target."""
+        token = hashlib.md5(clone_table_dir.encode()).hexdigest()[:16]
+        self.meta.put_if_absent(
+            f"{self.clones_dir}/{token}.json",
+            json.dumps({"table_dir": clone_table_dir}))
+
+    def registered_clones(self) -> list[str]:
+        """Table dirs of clones registered against this source (stale
+        markers — deleted clones — are pruned by gc, not here)."""
+        out = []
+        for f in sorted(self.meta.list(self.clones_dir)):
+            try:
+                out.append(json.loads(
+                    self.meta.read(f"{self.clones_dir}/{f}"))
+                    ["table_dir"])
+            except (FileNotFoundError, KeyError, ValueError):
+                continue
+        return out
+
+    def unregister_clone(self, clone_table_dir: str) -> None:
+        """Drop a clone's gc protection (after deep-copying via the
+        clone's compact(), or to accept Delta shallow-clone
+        semantics). Missing marker is success."""
+        token = hashlib.md5(clone_table_dir.encode()).hexdigest()[:16]
+        self.meta.delete(f"{self.clones_dir}/{token}.json")
+
+    def _clone_protected_dirs(self) -> set[str]:
+        """Local batch dir names any registered clone's RETAINED
+        versions still reference (``base`` == this table's batches
+        dir). Every retained clone version counts — a clone that
+        compacted away from the source may still time-travel to a
+        pre-compaction version until its own gc prunes it. Markers
+        whose clone has no readable versions (deleted — or
+        cross-metastore, the documented no-protection case) are
+        pruned."""
+        protected: set[str] = set()
+        for f in self.meta.list(self.clones_dir):
+            marker = f"{self.clones_dir}/{f}"
+            try:
+                cdir = json.loads(self.meta.read(marker))["table_dir"]
+            except (FileNotFoundError, KeyError, ValueError):
+                self.meta.delete(marker)
+                continue
+            vdir = f"{cdir}/_versions"
+            vnames = [n for n in self.meta.list(vdir)
+                      if n.startswith("v") and n.endswith(".json")]
+            if not vnames:
+                self.meta.delete(marker)       # clone gone: stale
+                continue
+            for vn in vnames:
+                try:
+                    state = json.loads(self.meta.read(f"{vdir}/{vn}"))
+                except FileNotFoundError:
+                    continue                   # clone's own gc raced us
+                protected |= {self._dir_of(b)
+                              for b in state.get("batches", [])
+                              if b.get("base") == self.batches_dir}
+        return protected
 
     def history(self) -> list[dict]:
         """Commit log, oldest first: (version, parent, committed_at,
@@ -1974,7 +2084,7 @@ class ManifestedTable:
         # CHECK constraints gate the merge's incoming rows exactly as
         # write()'s append path; surviving pre-existing rows were
         # checked when they landed (rewrites only move them)
-        self._enforce_constraints(updates)
+        self._enforce_constraints(updates, pinned=True)
         bounds = updates.agg(
             F.min(F.col(key)).alias("_lo"),
             F.max(F.col(key)).alias("_hi"),
@@ -2069,6 +2179,9 @@ class ManifestedTable:
         for n in kept:
             referenced |= {self._dir_of(b)
                            for b in self._read_version(n)["batches"]}
+        # registered shallow clones pin the local dirs they still
+        # reference (clone_from docstring) — same skip as tags
+        referenced |= self._clone_protected_dirs()
         removed = []
         now = time.time()
         for d in sorted(self.meta.list(self.batches_dir)):

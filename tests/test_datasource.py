@@ -79,6 +79,14 @@ def test_version_as_of_time_travel(spark, tmp_path):
             _load(spark, t, versionAsOf="gold").collect()] == [1]
     with pytest.raises(Exception, match="no tag"):
         _load(spark, t, versionAsOf="ghost").collect()
+    # r14 ADVICE: a creatable tag like '-3' must READ back as a tag —
+    # only PLAIN digits parse as versions (negatives are never valid
+    # versions), matching tag()'s own name.isdigit() rejection
+    t.tag("-3", version=2)
+    assert sorted(r.id for r in
+                  _load(spark, t, versionAsOf="-3").collect()) == [1, 2]
+    with pytest.raises(ValueError, match="tag"):
+        t.tag("7")                           # plain digits stay refused
 
 
 def test_pushdown_prunes_files_hard(spark, tmp_path):

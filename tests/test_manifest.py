@@ -2087,3 +2087,139 @@ def test_tags_pin_versions_and_survive_gc(spark, tmp_path):
         t.tag("x", version=99)
     with pytest.raises(KeyError):
         t.drop_tag("ghost")
+
+
+def test_add_constraint_on_empty_table_trivially_succeeds(spark, tmp_path):
+    """r14 ADVICE: the canonical create-table-then-add-constraint flow
+    — ADD with spark= on a table with no committed batches validates
+    trivially (zero rows satisfy any CHECK) instead of raising
+    read()'s FileNotFoundError, and the constraint then gates the
+    first write."""
+    from rakam_api_collector_spark.manifest import ConstraintViolation
+
+    t = ManifestedTable(str(tmp_path), "proj", "events")
+    t.add_constraint("pos_id", "id > 0", spark=spark)
+    assert t.constraints == {"pos_id": "id > 0"}
+    with pytest.raises(ConstraintViolation, match="pos_id"):
+        t.write(_df(spark, [-1]), batch_id="bad")
+    assert t.orphans() == []
+    t.write(_df(spark, [1]), batch_id="ok")
+    assert [r.id for r in t.read(spark).collect()] == [1]
+
+
+def test_constraint_enforcement_one_job_over_pinned_rows(spark, tmp_path):
+    """r15 (r14 verdict item 3 + ADVICE medium): N CHECK constraints
+    are enforced by ONE aggregate job (statusTracker job-count pin —
+    previously one filter().count() job per constraint), over a
+    localCheckpointed frame, so the rows CHECKED are exactly the rows
+    WRITTEN even when the input's lineage is non-deterministic
+    (rand(), re-read external data): the frame reaching the file
+    writer scans the materialized LogicalRDD, never re-evaluates the
+    source."""
+    t = ManifestedTable(str(tmp_path), "proj", "events")
+    t.write(_df(spark, [1]), batch_id="seed")
+    for i, c in enumerate(["id > 0", "id < 1000", "id != 13"]):
+        t.add_constraint(f"c{i}", c)
+    assert len(t.constraints) == 3
+
+    # job-count pin: enforcement cost is INDEPENDENT of N — the same
+    # number of Spark jobs whether 1 or 3 constraints are installed
+    # (previously one filter().count() job per constraint). AQE may
+    # split the single aggregate into a fixed small number of jobs,
+    # so the pin compares N=3 against N=1 rather than against 1.
+    pinned = _df(spark, [2, 3]).localCheckpoint()
+    sc = spark.sparkContext
+
+    def jobs_for(table, group):
+        sc.setJobGroup(group, "constraint pre-pass")
+        try:
+            out = table._enforce_constraints(pinned, pinned=True)
+        finally:
+            sc.setLocalProperty("spark.jobGroup.id", None)
+        assert out is pinned                 # already-pinned: no rewrap
+        return len(sc.statusTracker().getJobIdsForGroup(group))
+
+    t1 = ManifestedTable(str(tmp_path), "proj", "one_constraint")
+    t1.add_constraint("c0", "id > 0")
+    assert jobs_for(t, "enforce_pin_r15_n3") \
+        == jobs_for(t1, "enforce_pin_r15_n1")
+
+    # pinning: the enforced frame is a materialized LogicalRDD scan,
+    # and write() hands exactly that frame to the file writer
+    seen = {}
+    orig = t._write_batch_files
+
+    def spy(out, bid, fmt, rows=None, partition=None):
+        seen["plan"] = out._jdf.queryExecution().analyzed().toString()
+        return orig(out, bid, fmt, rows=rows, partition=partition)
+
+    t._write_batch_files = spy
+    try:
+        t.write(_df(spark, [5, 6]).withColumn("v", F.rand()),
+                batch_id="nd")
+    finally:
+        t._write_batch_files = orig
+    assert "LogicalRDD" in seen["plan"], seen["plan"]
+    got = t.read(spark).filter("id >= 5").collect()
+    assert sorted(r.id for r in got) == [5, 6]
+    # a violating batch still reports the right constraint + count
+    from rakam_api_collector_spark.manifest import ConstraintViolation
+    with pytest.raises(ConstraintViolation, match="2 rows.*c0"):
+        t.write(_df(spark, [-1, -2, 5]), batch_id="bad2")
+
+
+def test_source_gc_is_clone_aware_single_metastore(spark, tmp_path):
+    """r15 (r14 verdict item 5): a registered shallow clone pins the
+    SOURCE batch dirs it still references across the source's gc /
+    run_maintenance — shortening source retention no longer breaks the
+    clone (the Delta shallow-clone hole, closed for the
+    single-metastore case). Protection follows the clone's RETAINED
+    versions: once the clone compacts (deep-copy escape) and gc's its
+    pre-compaction versions, the source's next gc reclaims the dirs.
+    Stale markers (deleted clones) are pruned; unregister_clone is the
+    accept-Delta-semantics escape."""
+    import shutil
+
+    src = ManifestedTable(str(tmp_path), "proj", "events")
+    src.write(_df(spark, [1, 2]), batch_id="b1")       # v1
+    cl = ManifestedTable(str(tmp_path), "proj", "events_clone")
+    cl.clone_from(src)
+    assert src.registered_clones() == [cl.table_dir]
+
+    # source rewrites itself away from b1 and gc's aggressively:
+    # b1's dir is referenced by NO retained source version, only by
+    # the clone — it must survive
+    src.delete_where(spark, F.col("id") == 2)                  # v2: b1 rewritten
+    removed = src.gc(keep_versions=1, grace_seconds=0)
+    assert not any(d.startswith("b1--") for d in removed), removed
+    assert sorted(r.id for r in cl.read(spark).collect()) == [1, 2]
+    assert sorted(r.id for r in src.read(spark).collect()) == [1]
+
+    # deep-copy escape: clone compacts (localizes), gc's its
+    # pre-compaction version -> no retained clone version references
+    # the source -> the source's next gc reclaims b1's dir
+    cl.compact(spark)
+    cl.gc(keep_versions=1, grace_seconds=0)
+    removed = src.gc(keep_versions=1, grace_seconds=0)
+    assert any(d.startswith("b1--") for d in removed), removed
+    assert sorted(r.id for r in cl.read(spark).collect()) == [1, 2]
+    assert src.registered_clones() == [cl.table_dir]   # marker remains
+
+    # stale marker: delete the clone wholesale -> next gc prunes it
+    shutil.rmtree(cl.table_dir)
+    src.gc(keep_versions=1, grace_seconds=0)
+    assert src.registered_clones() == []
+
+    # unregister escape: a second clone protects until unregistered
+    src.write(_df(spark, [5]), batch_id="b5")
+    cl2 = ManifestedTable(str(tmp_path), "proj", "events_clone2")
+    cl2.clone_from(src)
+    src.delete_where(spark, F.col("id") == 5)
+    assert not any(d.startswith("b5--")
+                   for d in src.gc(keep_versions=1, grace_seconds=0))
+    src.unregister_clone(cl2.table_dir)
+    assert any(d.startswith("b5--")
+               for d in src.gc(keep_versions=1, grace_seconds=0))
+    from pyspark.errors import AnalysisException
+    with pytest.raises(AnalysisException, match="b5--"):
+        cl2.read(spark).collect()                      # Delta semantics
