@@ -448,6 +448,80 @@ def op_dsir_select(spark, k: int) -> DataFrame:
                        k=1000, n=2, buckets=10_000)
 
 
+def op_trim_silence(spark, k: int) -> DataFrame:
+    """trim_silence (multimodal.py) over in-plan-synthesized WAV clips
+    — the r14 operator that re-encodes every kept clip's bytes: each
+    clip is 0.2 s silence + 0.8 s seeded noise + 0.2 s silence at
+    8 kHz mono, so every clip decodes, trims both pads, and re-encodes
+    ~2/3 of its bytes. One numpy pass per clip, no shuffle — the
+    exponent must stay ~linear in clip count."""
+    from pyspark.sql import types as T_
+
+    from rakam_api_collector_spark.operators.multimodal import \
+        trim_silence
+
+    docs = amplified(spark,
+                     load_table(spark, SF_DIR, "documents")
+                     .select("doc_id"), k, {"doc_id": 10_000_000})
+    out = T_.StructType([T_.StructField("id", T_.LongType()),
+                         T_.StructField("blob", T_.BinaryType())])
+
+    def build(batches):
+        import numpy as np
+        import pandas as pd
+
+        from rakam_api_collector_spark.operators.multimodal import \
+            wav_encode
+        sil = np.zeros(1600, dtype="<i2")
+        for pdf in batches:
+            rows = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                body = np.random.default_rng(i).integers(
+                    -12000, 12000, 6400).astype("<i2")
+                samples = np.concatenate([sil, body, sil]).tobytes()
+                rows.append((i, wav_encode(samples, 8000, 1)))
+            yield pd.DataFrame(rows, columns=["id", "blob"])
+
+    clips = docs.select("doc_id").mapInPandas(build, out)
+    return (trim_silence(clips, "id")
+            .groupBy().agg(F.count("*").alias("n"),
+                           F.sum("n_frames").alias("frames"),
+                           F.sum(F.length("blob")).alias("out_bytes")))
+
+
+def op_constraint_write(spark, k: int) -> DataFrame:
+    """ManifestedTable.write with 4 CHECK constraints installed — the
+    r15 fused enforcement path (ONE aggregate pre-pass over a
+    localCheckpointed frame regardless of N) plus the batch file
+    write itself; the exponent must stay ~linear in rows (the
+    pre-r15 shape was N scans per write — constant in N now)."""
+    import shutil
+    import tempfile
+    import uuid as _uuid
+
+    from rakam_api_collector_spark.manifest import ManifestedTable
+
+    li = amplified(spark,
+                   load_table(spark, SF_DIR, "lineitem")
+                   .select("l_orderkey", "l_quantity",
+                           "l_extendedprice"),
+                   k, {"l_orderkey": 100_000_000}).drop("_rep")
+    base = tempfile.mkdtemp(prefix="constraint_cell_")
+    try:
+        t = ManifestedTable(base, "study", "lineitem")
+        for i, c in enumerate(["l_orderkey >= 0", "l_quantity >= 0",
+                               "l_quantity < 1000",
+                               "l_extendedprice >= 0"]):
+            t.add_constraint(f"c{i}", c)
+        t.write(li, batch_id=_uuid.uuid4().hex,
+                partition_by_day=False)
+        rows = t.rows()
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame([(rows,)], "rows long")
+
+
 OPS = {
     "agg_q1": (op_agg_q1, "lineitem", 600_000),
     "join_orders": (op_join_orders, "lineitem+orders", 750_000),
@@ -468,6 +542,8 @@ OPS = {
                                "documents", 5_000),
     "simhash_hot_capped": (op_simhash_hot_capped, "documents", 5_000),
     "dsir_select": (op_dsir_select, "documents", 5_000),
+    "trim_silence": (op_trim_silence, "documents", 5_000),
+    "constraint_write": (op_constraint_write, "lineitem", 600_000),
 }
 
 
