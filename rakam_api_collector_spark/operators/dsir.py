@@ -40,8 +40,13 @@ selection stage — this extends the LLM-pipeline operator family
 
 from __future__ import annotations
 
+import json
+import os
+import uuid
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from rakam_api_collector_spark.operators.sampling import hash_bucket
 from rakam_api_collector_spark.operators.text import tokens
@@ -100,12 +105,21 @@ def ngram_bucket_logprobs(spark: SparkSession, df: DataFrame,
     only one corpus saw). One aggregate over the exploded grams;
     map-side combine collapses to ≤ B rows per map partition before
     the exchange."""
+    counts = (_bucketed_grams(df, id_col, text_col, n, buckets)
+              .groupBy("bucket").agg(F.count("*").alias("_c")))
+    return _smoothed_logprobs(spark, counts, buckets, alpha)
+
+
+def _smoothed_logprobs(spark: SparkSession, counts: DataFrame,
+                       buckets: int, alpha: float) -> DataFrame:
+    """(bucket, logp) for ALL buckets 0..B-1 from a (bucket, _c)
+    occurrence-count frame under add-``alpha`` smoothing — the densify
+    step shared by the from-text fit above and the feature store's
+    incremental-count path below."""
     if alpha <= 0:
         raise ValueError(f"alpha must be > 0 (got {alpha}): unsmoothed "
                          "zero-count buckets make the likelihood "
                          "ratio infinite")
-    counts = (_bucketed_grams(df, id_col, text_col, n, buckets)
-              .groupBy("bucket").agg(F.count("*").alias("_c")))
     total = counts.agg(F.sum("_c").alias("_tot"))
     return (spark.range(buckets).select(F.col("id").alias("bucket"))
             .join(F.broadcast(counts), "bucket", "left")
@@ -270,3 +284,175 @@ def dsir_select_fraction(spark: SparkSession, raw: DataFrame,
     if not q:                       # empty corpus → empty selection
         return w
     return w.filter(F.col("score") >= q[0])
+
+
+def dsir_log_weights_from_features(feats: DataFrame, target_logp: DataFrame,
+                                   raw_logp: DataFrame,
+                                   id_col: str = "_id") -> DataFrame:
+    """(id, logw) from PRE-COMPUTED hashed features instead of text:
+    ``feats`` is (id, bucket, cnt) with one NULL-bucket row per
+    zero-gram document (the DsirFeatureStore layout) — the weight sum
+    becomes ``Σ cnt·Δlogp`` over a broadcast Δlogp join, no
+    tokenization, no text scan. The from-text path
+    (``dsir_log_weights``) and this one agree exactly by linearity."""
+    dlp = (target_logp.withColumnRenamed("logp", "_lt")
+           .join(F.broadcast(raw_logp.withColumnRenamed("logp", "_lr")),
+                 "bucket")
+           .select("bucket", (F.col("_lt") - F.col("_lr")).alias("_d")))
+    sums = (feats.filter(F.col("bucket").isNotNull())
+            .join(F.broadcast(dlp), "bucket")
+            .groupBy(id_col)
+            .agg(F.sum(F.col("cnt") * F.col("_d")).alias("logw")))
+    return (feats.select(id_col).distinct()
+            .join(sums, id_col, "left")
+            .select(id_col,
+                    F.coalesce("logw", F.lit(0.0)).alias("logw")))
+
+
+class DsirFeatureStore:
+    """Persisted hashed-n-gram features + an incrementally-maintained
+    raw-corpus LM — DSIR's ingest-time twin: documents are tokenized
+    and bucketed ONCE, when they arrive; selection later never
+    re-reads text.
+
+    Why this is the 100 TB shape: batch ``dsir_select`` scans the raw
+    TEXT corpus three times (raw LM fit, per-occurrence weight sum,
+    ids frame), and tokenization dominates each scan. With the store,
+    ingestion pays that cost once per document ever —
+    ``ingest(batch)`` appends the batch's pre-aggregated (id, bucket,
+    cnt) features (≤ min(grams, buckets) integer rows per doc) and its
+    B-row bucket-count partial — and ``select(...)`` is then: raw LM =
+    one sum over the O(epochs·B)-row counts table (never the corpus),
+    weights = one broadcast Δlogp join over the integer features,
+    selection = the same Gumbel-top-k / sketch-cutoff tails as the
+    batch forms. Results are IDENTICAL to running ``dsir_select`` over
+    the accumulated corpus (same md5 chain; pinned in test_dsir), and
+    scoring happens at select time against the FULL accumulated LM —
+    streaming introduces no early-document weight drift.
+
+    Layout under ``path`` (the sigstore/annindex conventions):
+    ``feats/_ingest=<id>/`` (id, bucket, cnt; bucket NULL keeps
+    zero-gram docs selectable), ``counts/_ingest=<id>/`` (bucket, _c),
+    ``_meta.json`` freezing (n, buckets) — a mismatched reopen raises
+    (different bucket spaces silently corrupt every weight).
+    Replay idempotency: both writes overwrite their ``_ingest``
+    partition in place, so an at-least-once re-delivery (foreachBatch
+    epoch replay) replaces rather than double-counts — the
+    MinHashStore.ingest contract."""
+
+    _FEATS = T.StructType([
+        T.StructField("_id", T.LongType()),
+        T.StructField("bucket", T.IntegerType()),
+        T.StructField("cnt", T.LongType()),
+        T.StructField("_ingest", T.StringType()),   # hive partition
+    ])
+    _COUNTS = T.StructType([
+        T.StructField("bucket", T.IntegerType()),
+        T.StructField("_c", T.LongType()),
+        T.StructField("_ingest", T.StringType()),
+    ])
+
+    def __init__(self, spark: SparkSession, path: str, *,
+                 n: int = 2, buckets: int = 10_000) -> None:
+        self.spark = spark
+        self.path = path.rstrip("/")
+        meta_path = os.path.join(self.path, "_meta.json")
+        if os.path.exists(meta_path):
+            with open(meta_path) as f:
+                meta = json.load(f)
+            if (meta["n"], meta["buckets"]) != (n, buckets):
+                raise ValueError(
+                    f"store at {self.path} was built with n={meta['n']} "
+                    f"buckets={meta['buckets']} — reopening with "
+                    f"n={n} buckets={buckets} would mix bucket spaces")
+        else:
+            os.makedirs(self.path, exist_ok=True)
+            tmp = f"{meta_path}.tmp.{os.getpid()}"
+            with open(tmp, "w") as f:
+                json.dump({"n": n, "buckets": buckets}, f)
+            os.replace(tmp, meta_path)
+        self.n, self.buckets = n, buckets
+        self._exists: dict[str, bool] = {}
+
+    def _read_or_empty(self, sub: str, schema) -> DataFrame:
+        if not self._exists.get(sub):
+            jvm = self.spark._jvm
+            p = jvm.org.apache.hadoop.fs.Path(f"{self.path}/{sub}")
+            fs = p.getFileSystem(self.spark._jsc.hadoopConfiguration())
+            if not fs.exists(p):
+                return self.spark.createDataFrame([], schema)
+            self._exists[sub] = True
+        return self.spark.read.schema(schema).parquet(
+            f"{self.path}/{sub}")
+
+    def ingest(self, docs: DataFrame, id_col: str, text_col: str,
+               ingest_id: str | None = None) -> int:
+        """Featurize one batch and persist it under ``ingest_id``
+        (overwrite-in-place: replays replace). Returns the number of
+        documents ingested. Ids must be unique ACROSS batches (the
+        upstream pipeline's stable doc id) — re-sending a doc id in a
+        DIFFERENT ingest double-counts it, exactly as re-appending it
+        to a batch corpus would."""
+        iid = ingest_id or uuid.uuid4().hex
+        if "/" in iid or iid.startswith("."):
+            raise ValueError(f"invalid ingest_id: {iid!r}")
+        feats = (docs.select(F.col(id_col).cast("long").alias("_id"))
+                 .distinct()
+                 .join(hashed_ngram_counts(
+                     docs.select(F.col(id_col).cast("long").alias(id_col),
+                                 text_col),
+                     id_col, text_col, self.n, self.buckets)
+                     .select(F.col(id_col).alias("_id"),
+                             F.col("bucket").cast("int").alias("bucket"),
+                             F.col("cnt").cast("long").alias("cnt")),
+                     "_id", "left")
+                 .localCheckpoint())     # counts derive from the SAME rows
+        feats.write.mode("overwrite").parquet(
+            f"{self.path}/feats/_ingest={iid}")
+        (feats.filter(F.col("bucket").isNotNull())
+         .groupBy("bucket").agg(F.sum("cnt").alias("_c"))
+         .write.mode("overwrite")
+         .parquet(f"{self.path}/counts/_ingest={iid}"))
+        return feats.select("_id").distinct().count()
+
+    def feats(self) -> DataFrame:
+        return (self._read_or_empty("feats", self._FEATS)
+                .select("_id", "bucket", "cnt"))
+
+    def raw_logprobs(self, alpha: float = 1.0) -> DataFrame:
+        """The accumulated raw-corpus LM — one aggregate over the
+        O(epochs·B)-row counts table, never a corpus scan."""
+        counts = (self._read_or_empty("counts", self._COUNTS)
+                  .groupBy("bucket").agg(F.sum("_c").alias("_c")))
+        return _smoothed_logprobs(self.spark, counts, self.buckets,
+                                  alpha)
+
+    def scored_weights(self, target: DataFrame, id_col: str,
+                       text_col: str, alpha: float = 1.0, seed: int = 0,
+                       temperature: float = 1.0) -> DataFrame:
+        """(_id, logw, score) for every ingested doc against a target
+        corpus — the ``dsir_scored_weights`` twin fed from the store;
+        feed it to ``dsir_select``/``dsir_select_fraction`` via
+        ``weights=``, or use :meth:`select`."""
+        if temperature <= 0:
+            raise ValueError(
+                f"temperature must be > 0 (got {temperature})")
+        t_lp = ngram_bucket_logprobs(self.spark, target, id_col,
+                                     text_col, self.n, self.buckets,
+                                     alpha)
+        w = dsir_log_weights_from_features(self.feats(), t_lp,
+                                           self.raw_logprobs(alpha))
+        score = (F.col("logw") / F.lit(float(temperature))
+                 + gumbel_noise(F.col("_id"), seed))
+        return w.select("_id", "logw", score.alias("score"))
+
+    def select(self, target: DataFrame, id_col: str, text_col: str,
+               k: int, alpha: float = 1.0, seed: int = 0,
+               temperature: float = 1.0) -> DataFrame:
+        """Gumbel-top-k over the store — identical ids/weights/order
+        to ``dsir_select`` on the accumulated corpus with the same
+        (n, buckets, alpha, seed, temperature)."""
+        return dsir_select(self.spark, None, None, "_id", None, k,
+                           weights=self.scored_weights(
+                               target, id_col, text_col, alpha, seed,
+                               temperature))

@@ -1,0 +1,77 @@
+"""Streaming DSIR featurization: documents are tokenized, gram-hashed,
+and LM-counted ONCE — in the micro-batch that ingests them — so the
+data-selection step later never re-reads text.
+
+Batch ``dsir_select`` scans the raw TEXT corpus three times, and
+tokenization dominates each scan; at 100 TB that triple scan is the
+cost. This stream moves featurization to ingest time: each micro-batch
+appends its pre-aggregated (id, bucket, cnt) features and its B-row
+bucket-count partial to a :class:`~rakam_api_collector_spark.operators
+.dsir.DsirFeatureStore`, after which ``store.select(target, ..., k)``
+is an O(epochs·B) counts aggregate plus one broadcast Δlogp join over
+integer features — identical ids/weights/order to the batch form
+(same md5 chain; equivalence pinned in tests/test_dsir.py). Scoring
+happens at SELECT time against the full accumulated LM, so streaming
+introduces no early-document weight drift by construction.
+
+The at-least-once seam, same as ``start_corpus_dedup_stream``: file-
+source offsets commit AFTER ``foreachBatch``, so a crash between the
+store write and the offset commit replays the batch; both store writes
+are keyed by the EPOCH id and overwrite their ``_ingest`` partition in
+place, so a replay replaces — never double-counts — its previous
+attempt.
+
+Reference relation: the reference has no data-selection stage; this is
+the LLM-pipeline surface (SURVEY §"beyond the reference") given the
+same ingest-time rhythm its buffer→commit middleware applies to table
+shards (middleware/MiddlewareBuffer.java:34-54).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from rakam_api_collector_spark.operators.dsir import DsirFeatureStore
+
+
+def start_dsir_feature_stream(spark: SparkSession,
+                              source_dir: str | None,
+                              store_path: str, id_col: str,
+                              text_col: str, checkpoint: str, *,
+                              n: int = 2, buckets: int = 10_000,
+                              trigger: dict | None = None,
+                              max_files_per_trigger: int | None = None,
+                              source_stream: DataFrame | None = None,
+                              stats=None):
+    """Start the featurization query over a parquet directory of
+    documents (schema frozen from a static read, the annindex
+    convention) or an explicit ``source_stream``. Returns the
+    StreamingQuery; the store is readable (and selectable) while the
+    stream runs — a select sees every fully-committed epoch.
+
+    ``stats`` (optional) is a counter sink with ``.add(n_docs)`` —
+    the committer-metrics shape — called once per non-empty batch."""
+    store = DsirFeatureStore(spark, store_path, n=n, buckets=buckets)
+
+    if source_stream is not None:
+        src = source_stream
+    else:
+        schema = spark.read.parquet(source_dir).schema
+        reader = spark.readStream.schema(schema)
+        if max_files_per_trigger:
+            reader = reader.option("maxFilesPerTrigger",
+                                   max_files_per_trigger)
+        src = reader.parquet(source_dir)
+
+    def process(batch: DataFrame, epoch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        ingested = store.ingest(batch, id_col, text_col,
+                                ingest_id=f"epoch-{epoch_id:012d}")
+        if stats is not None:
+            stats.add(ingested)
+
+    trig = trigger or {"availableNow": True}
+    return (src.writeStream.foreachBatch(process)
+            .option("checkpointLocation", checkpoint)
+            .trigger(**trig).start())

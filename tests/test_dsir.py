@@ -476,3 +476,126 @@ def test_select_fraction_persist_shares_one_weight_pass(spark, corpora):
                         temperature=2.0)
     assert [r["doc_id"] for r in exact_via_weights.collect()] \
         == [r["doc_id"] for r in exact.collect()]
+
+
+def test_feature_store_matches_batch_select_exactly(spark, tmp_path):
+    """The r15 ingest-time twin (DsirFeatureStore): RAW ingested in
+    three chunks, selection from the persisted integer features +
+    incremental LM counts — identical ids, logw, score, and ORDER to
+    dsir_select over the full text corpus (same md5 chain end to end),
+    zero-gram docs included."""
+    from rakam_api_collector_spark.operators.dsir import \
+        DsirFeatureStore
+
+    raw = spark.createDataFrame(RAW, ["doc_id", "text"])
+    target = spark.createDataFrame(TARGET, ["doc_id", "text"])
+
+    store = DsirFeatureStore(spark, str(tmp_path / "store"),
+                             n=N, buckets=B)
+    chunks = [RAW[:3], RAW[3:5], RAW[5:]]      # includes the "" doc
+    for i, chunk in enumerate(chunks):
+        df = spark.createDataFrame(chunk, ["doc_id", "text"])
+        assert store.ingest(df, "doc_id", "text",
+                            ingest_id=f"epoch-{i}") == len(chunk)
+
+    got = store.select(target, "doc_id", "text", k=5, alpha=ALPHA,
+                       seed=7, temperature=2.0).collect()
+    want = dsir_select(spark, raw, target, "doc_id", "text", k=5,
+                       n=N, buckets=B, alpha=ALPHA, seed=7,
+                       temperature=2.0).collect()
+    assert [r["_id"] for r in got] == [r["doc_id"] for r in want]
+    for g, w in zip(got, want):
+        assert g["logw"] == pytest.approx(w["logw"], abs=1e-12)
+        assert g["score"] == pytest.approx(w["score"], abs=1e-12)
+    # the zero-gram doc (id 5) is present and selectable
+    feats_ids = {r["_id"] for r in store.feats().collect()}
+    assert feats_ids == {i for i, _ in RAW}
+
+
+def test_feature_store_replay_idempotent_and_meta_frozen(spark, tmp_path):
+    """At-least-once replay overwrites the ingest partition in place
+    (weights unchanged after a double ingest of the same epoch id);
+    reopening the store with a different bucket space raises; invalid
+    ingest ids are refused before any write."""
+    from rakam_api_collector_spark.operators.dsir import \
+        DsirFeatureStore
+
+    store = DsirFeatureStore(spark, str(tmp_path / "s"), n=N, buckets=B)
+    df = spark.createDataFrame(RAW[:4], ["doc_id", "text"])
+    store.ingest(df, "doc_id", "text", ingest_id="epoch-7")
+    before = {(r["_id"], r["bucket"], r["cnt"])
+              for r in store.feats().collect()}
+    lp_before = {r["bucket"]: r["logp"]
+                 for r in store.raw_logprobs(ALPHA).collect()}
+
+    store.ingest(df, "doc_id", "text", ingest_id="epoch-7")  # replay
+    assert {(r["_id"], r["bucket"], r["cnt"])
+            for r in store.feats().collect()} == before
+    lp_after = {r["bucket"]: r["logp"]
+                for r in store.raw_logprobs(ALPHA).collect()}
+    assert lp_after == pytest.approx(lp_before)
+
+    with pytest.raises(ValueError, match="bucket spaces"):
+        DsirFeatureStore(spark, str(tmp_path / "s"), n=N,
+                         buckets=B * 2)
+    with pytest.raises(ValueError, match="invalid ingest_id"):
+        store.ingest(df, "doc_id", "text", ingest_id="../evil")
+
+
+def test_dsir_feature_stream_e2e(spark, tmp_path):
+    """start_dsir_feature_stream: a checkpointed availableNow drain
+    over a parquet directory featurizes every document once (epoch-
+    keyed, replay-idempotent writes), after which store.select equals
+    the batch dsir_select over the same corpus; a second drain with
+    the same checkpoint ingests nothing new."""
+    from rakam_api_collector_spark.operators.dsir import \
+        DsirFeatureStore
+    from rakam_api_collector_spark.streaming.dsirstream import \
+        start_dsir_feature_stream
+
+    src_dir = tmp_path / "docs"
+    for i, chunk in enumerate([RAW[:4], RAW[4:]]):
+        spark.createDataFrame(chunk, ["doc_id", "text"]) \
+            .write.parquet(str(src_dir / f"part{i}"))
+    # one flat source dir of files
+    files_dir = tmp_path / "flat"
+    files_dir.mkdir()
+    import shutil
+    n_f = 0
+    for sub in sorted(src_dir.iterdir()):
+        for f in sub.glob("*.parquet"):
+            shutil.copy(f, files_dir / f"{n_f}.parquet")
+            n_f += 1
+
+    class Counter:
+        total = 0
+
+        def add(self, n):
+            Counter.total += n
+
+    q = start_dsir_feature_stream(
+        spark, str(files_dir), str(tmp_path / "store"), "doc_id",
+        "text", str(tmp_path / "ckpt"), n=N, buckets=B,
+        max_files_per_trigger=1, stats=Counter())
+    q.awaitTermination(120)
+    assert Counter.total == len(RAW)
+
+    store = DsirFeatureStore(spark, str(tmp_path / "store"),
+                             n=N, buckets=B)
+    raw = spark.createDataFrame(RAW, ["doc_id", "text"])
+    target = spark.createDataFrame(TARGET, ["doc_id", "text"])
+    got = store.select(target, "doc_id", "text", k=4, alpha=ALPHA,
+                       seed=7, temperature=2.0).collect()
+    want = dsir_select(spark, raw, target, "doc_id", "text", k=4,
+                       n=N, buckets=B, alpha=ALPHA, seed=7,
+                       temperature=2.0).collect()
+    assert [r["_id"] for r in got] == [r["doc_id"] for r in want]
+
+    # resumed drain with the same checkpoint: nothing re-ingests
+    q2 = start_dsir_feature_stream(
+        spark, str(files_dir), str(tmp_path / "store"), "doc_id",
+        "text", str(tmp_path / "ckpt"), n=N, buckets=B)
+    q2.awaitTermination(120)
+    assert Counter.total == len(RAW)
+    assert {r["_id"] for r in store.feats().collect()} \
+        == {i for i, _ in RAW}
