@@ -134,7 +134,8 @@ def _smoothed_logprobs(spark: SparkSession, counts: DataFrame,
 
 def dsir_log_weights(raw: DataFrame, target_logp: DataFrame,
                      raw_logp: DataFrame, id_col: str, text_col: str,
-                     n: int = 2, buckets: int = 10_000) -> DataFrame:
+                     n: int = 2, buckets: int = 10_000,
+                     occ: DataFrame | None = None) -> DataFrame:
     """(id, logw) for every raw document:
     ``logw = Σ_b c_b·(logp_target(b) − logp_raw(b))``, computed as the
     per-occurrence sum of the broadcast Δlogp table (identical by
@@ -144,12 +145,16 @@ def dsir_log_weights(raw: DataFrame, target_logp: DataFrame,
     Exchanges at scale: the map-side-combined occurrence sum keyed by
     doc id, plus the ids-only dedup/outer-join that keeps zero-gram
     docs (rows = ids, no text); the bucket-side joins are all
-    broadcast O(buckets)."""
+    broadcast O(buckets). ``occ`` short-circuits the featurization
+    with a pre-built (_id, bucket) occurrence frame — the shared-scan
+    path ``dsir_scored_weights`` uses so the raw LM fit and this sum
+    tokenize once between them."""
     dlp = (target_logp.withColumnRenamed("logp", "_lt")
            .join(F.broadcast(raw_logp.withColumnRenamed("logp", "_lr")),
                  "bucket")
            .select("bucket", (F.col("_lt") - F.col("_lr")).alias("_d")))
-    occ = _bucketed_grams(raw, id_col, text_col, n, buckets)
+    if occ is None:
+        occ = _bucketed_grams(raw, id_col, text_col, n, buckets)
     sums = (occ.join(F.broadcast(dlp), "bucket")
             .groupBy("_id").agg(F.sum("_d").alias("logw")))
     return (raw.select(F.col(id_col).alias("_id")).distinct()
@@ -188,12 +193,14 @@ def dsir_select(spark: SparkSession, raw: DataFrame, target: DataFrame,
     the md5-based hashing and noise are pure functions of the data.
 
     Cost shape (measured, scripts/scaling_study.py dsir_select): the
-    raw corpus is scanned by three consumers — the raw LM fit, the
+    raw corpus has three consumers — the raw LM fit, the
     per-occurrence weight sum, and the ids-only frame — each
     linear-or-better in isolation (×2.1-3.7 wall over ×4 data at
-    sf0.1×16); at cluster scale, if the featurization dominates,
-    persist ``hashed_ngram_counts`` once and feed both the fit and the
-    weight sum from it instead of re-tokenizing per consumer.
+    sf0.1×16). Since r15 the LM fit and the weight sum share ONE
+    tokenization via the persisted occurrence frame
+    (``dsir_scored_weights(share_scan=True)``, the default); the ids
+    frame stays a column-pruned direct read. ``DsirFeatureStore`` is
+    the ingest-time form of the same trade — tokenize once EVER.
 
     Driver bound: TakeOrdered merges #partitions·k rows on the driver
     — right for any k that fits one machine (millions), wrong for
@@ -216,20 +223,40 @@ def dsir_scored_weights(spark: SparkSession, raw: DataFrame,
                         target: DataFrame, id_col: str, text_col: str,
                         n: int = 2, buckets: int = 10_000,
                         alpha: float = 1.0, seed: int = 0,
-                        temperature: float = 1.0) -> DataFrame:
+                        temperature: float = 1.0,
+                        share_scan: bool = True) -> DataFrame:
     """(id, logw, score) for every raw doc — the shared front half of
     both selection forms, public so a caller can materialize it ONCE
-    (persist / write to a table) and feed it to several selections:
-    the weight chain scans the raw corpus three times (raw LM fit,
-    per-occurrence weight sum, ids frame), which at cluster scale is
-    the dominant cost and should be paid once, not per selection."""
+    (persist / write to a table) and feed it to several selections.
+
+    ``share_scan=True`` (default) persists the raw occurrence frame
+    (_id, bucket — two ints per gram, MEMORY_AND_DISK) so the raw LM
+    fit and the per-occurrence weight sum TOKENIZE ONCE between them:
+    tokenization + gram hashing dominate both consumers, and Catalyst
+    does not share a subtree across the two aggregation branches on
+    its own. The trade is storage — the persisted frame is O(corpus
+    gram count); pass ``share_scan=False`` where executor storage is
+    tighter than CPU (each consumer then re-tokenizes its own scan,
+    the pre-r15 shape). The ids-only frame still reads raw directly
+    either way (column-pruned to the id; zero-gram docs must survive).
+    ``DsirFeatureStore`` is the stronger form of the same trade —
+    tokenize once at INGEST, never again."""
     if temperature <= 0:
         raise ValueError(f"temperature must be > 0 (got {temperature})")
     t_lp = ngram_bucket_logprobs(spark, target, id_col, text_col,
                                  n, buckets, alpha)
-    r_lp = ngram_bucket_logprobs(spark, raw, id_col, text_col,
-                                 n, buckets, alpha)
-    w = dsir_log_weights(raw, t_lp, r_lp, id_col, text_col, n, buckets)
+    occ = None
+    if share_scan:
+        occ = _bucketed_grams(raw, id_col, text_col, n, buckets) \
+            .persist()
+        r_lp = _smoothed_logprobs(
+            spark, occ.groupBy("bucket").agg(F.count("*").alias("_c")),
+            buckets, alpha)
+    else:
+        r_lp = ngram_bucket_logprobs(spark, raw, id_col, text_col,
+                                     n, buckets, alpha)
+    w = dsir_log_weights(raw, t_lp, r_lp, id_col, text_col, n, buckets,
+                         occ=occ)
     score = (F.col("logw") / F.lit(float(temperature))
              + gumbel_noise(F.col(id_col), seed))
     return w.select(id_col, "logw", score.alias("score"))

@@ -561,6 +561,12 @@ def main() -> None:
         for k in SCALES:
             best = math.inf
             for _ in range(2):                       # min-of-2 vs noise
+                # ops that persist intermediates (dsir share_scan)
+                # must pay their materialization EVERY rep — the
+                # CacheManager matches canonicalized plans, so rep 2
+                # would otherwise read rep 1's cache and the exponent
+                # would measure only post-cache work
+                spark.catalog.clearCache()
                 t0 = time.perf_counter()
                 fn(spark, k).collect()
                 best = min(best, time.perf_counter() - t0)
