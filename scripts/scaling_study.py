@@ -448,6 +448,35 @@ def op_dsir_select(spark, k: int) -> DataFrame:
                        k=1000, n=2, buckets=10_000)
 
 
+def op_dsir_store_cycle(spark, k: int) -> DataFrame:
+    """DsirFeatureStore end-to-end (r15): ingest the raw corpus
+    (tokenize once → persisted integer features + B-row count
+    partial) then select from the store — the ingest-time twin of
+    op_dsir_select. Ingest is the linear-in-grams write; select never
+    re-reads text, so the cycle's exponent must stay ~linear and its
+    select share shrinks relative to op_dsir_select as K grows."""
+    import shutil
+    import tempfile
+
+    from rakam_api_collector_spark.operators.dsir import \
+        DsirFeatureStore
+
+    docs = load_table(spark, SF_DIR, "documents")
+    raw = (amplified(spark, docs, k, {"doc_id": 10_000_000})
+           .select("doc_id", "text"))
+    target = (docs.filter(F.col("doc_id") % 7 == 0)
+              .select("doc_id", "text"))
+    base = tempfile.mkdtemp(prefix="dsir_store_")
+    try:
+        store = DsirFeatureStore(spark, base, n=2, buckets=10_000)
+        store.ingest(raw, "doc_id", "text", ingest_id="cell")
+        rows = store.select(target, "doc_id", "text",
+                            k=1000).count()
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame([(rows,)], "selected long")
+
+
 def op_trim_silence(spark, k: int) -> DataFrame:
     """trim_silence (multimodal.py) over in-plan-synthesized WAV clips
     — the r14 operator that re-encodes every kept clip's bytes: each
@@ -542,6 +571,7 @@ OPS = {
                                "documents", 5_000),
     "simhash_hot_capped": (op_simhash_hot_capped, "documents", 5_000),
     "dsir_select": (op_dsir_select, "documents", 5_000),
+    "dsir_store_cycle": (op_dsir_store_cycle, "documents", 5_000),
     "trim_silence": (op_trim_silence, "documents", 5_000),
     "constraint_write": (op_constraint_write, "lineitem", 600_000),
 }
