@@ -2169,7 +2169,13 @@ class ManifestedTable:
         younger than the grace is a write() that has not yet published
         its version — deleting it would lose the batch the moment the
         writer commits (the same mtime-grace rule Delta/Iceberg vacuum
-        applies). Pass 0 only when no writer can be active."""
+        applies). Pass 0 only when no writer can be active.
+
+        TAGGED versions' files survive any keep_versions setting, and
+        so do local dirs a REGISTERED shallow clone's retained
+        versions still reference (clone_from / _clone_protected_dirs
+        — the single-metastore close of Delta's shallow-clone
+        retention hole)."""
         ns = self._version_numbers()
         kept = set(ns[-keep_versions:] if keep_versions else [])
         # a TAG is a retention pin: its version (and files) survive

@@ -1753,7 +1753,9 @@ def test_object_metadata_store_runs_version_protocol(spark, tmp_path):
         posix = LocalMetadataStore()
 
         def _is_meta(self, path):
-            return "_versions" in path
+            # version files AND clone markers are manifest-protocol
+            # state — both ride the object-store seam in a deployment
+            return "_versions" in path or "_clones" in path
 
         def list(self, d):
             if self._is_meta(d):
@@ -1819,6 +1821,22 @@ def test_object_metadata_store_runs_version_protocol(spark, tmp_path):
                            meta=store, grace_seconds=0)
     assert [r["collection"] for r in reps] == ["events"]
     assert "compacted" in reps[0]
+
+    # the r15 clone registry rides the SAME seam: markers are objects
+    # in the store (nothing lands on POSIX), and the source's gc
+    # consults them through it
+    cl = ManifestedTable(str(tmp_path), "proj", "events_clone",
+                         meta=store)
+    cl.clone_from(t)
+    assert t.registered_clones() == [cl.table_dir]
+    assert not os.path.exists(f"{tmp_path}/proj/events/_clones")
+    t.compact(spark)                         # source rewrites itself
+    t.gc(keep_versions=1, grace_seconds=0)
+    assert sorted(r.id for r in cl.read(spark).collect()) \
+        == list(range(8))                    # protected through S3 CAS
+    t.unregister_clone(cl.table_dir)
+    assert t.registered_clones() == []
+    assert t.gc(keep_versions=1, grace_seconds=0)  # now reclaimable
 
 
 def test_changes_since_incremental_read(spark, tmp_path):
