@@ -365,7 +365,19 @@ class DsirFeatureStore:
     Replay idempotency: both writes overwrite their ``_ingest``
     partition in place, so an at-least-once re-delivery (foreachBatch
     epoch replay) replaces rather than double-counts — the
-    MinHashStore.ingest contract."""
+    MinHashStore.ingest contract.
+
+    Lifecycle: a long-running stream accretes one partition pair per
+    epoch; ``compact()`` is the maintenance sweep (the run_maintenance
+    rhythm) merging them into one partition each, with the replay
+    contract preserved THROUGH compaction — merged epoch ids are
+    recorded in ``_merged.json`` and a replayed ``ingest`` of a merged
+    id is a NO-OP (its rows already live in the compacted blob).
+    Crash-recoverable: ids enter the merged record only after the
+    compacted partitions are durably written, and any partition whose
+    id is recorded merged is garbage by definition — swept on store
+    open and on the next compact. Single-writer like run_maintenance:
+    run compact() in a window with no concurrent ingest/select."""
 
     _FEATS = T.StructType([
         T.StructField("_id", T.LongType()),
@@ -400,6 +412,156 @@ class DsirFeatureStore:
             os.replace(tmp, meta_path)
         self.n, self.buckets = n, buckets
         self._exists: dict[str, bool] = {}
+        self._recover_compactions()
+        self._sweep_merged_leftovers()
+
+    # -- merged-epoch record (the compaction/replay contract) ----------------
+
+    @property
+    def _merged_path(self) -> str:
+        return os.path.join(self.path, "_merged.json")
+
+    def merged_ids(self) -> set[str]:
+        """Epoch ids whose rows live in a compacted partition — a
+        replayed ingest of one of these is a no-op."""
+        try:
+            with open(self._merged_path) as f:
+                return set(json.load(f)["ids"])
+        except FileNotFoundError:
+            return set()
+
+    def _record_merged(self, ids: set[str]) -> None:
+        out = sorted(self.merged_ids() | ids)
+        tmp = f"{self._merged_path}.tmp.{os.getpid()}"
+        with open(tmp, "w") as f:
+            json.dump({"ids": out}, f)
+        os.replace(tmp, self._merged_path)
+
+    def _recover_compactions(self) -> None:
+        """Converge any compact() that crashed mid-protocol. The
+        compact write order makes every crash state decidable from
+        the filesystem alone (single-writer window — no live ingest
+        can own a dir named as some blob's input):
+
+        - a feats ``_c-*`` blob WITHOUT ``_inputs.json``, or whose
+          counts twin never went live: the compaction never reached
+          its commit point — roll BACK (delete the blob; the input
+          partitions are still intact and consistent);
+        - a feats blob WITH ``_inputs.json`` AND a live counts twin,
+          inputs not yet in the merged record: past the commit point —
+          roll FORWARD (record the inputs; the leftover sweep then
+          deletes their dirs);
+        - ``.staging-*`` dirs: always garbage (hidden from readers,
+          pre-commit) — delete."""
+        import shutil
+
+        feats_base = os.path.join(self.path, "feats")
+        counts_base = os.path.join(self.path, "counts")
+        for base in (feats_base, counts_base):
+            try:
+                for d in os.listdir(base):
+                    if d.startswith(".staging-"):
+                        shutil.rmtree(os.path.join(base, d),
+                                      ignore_errors=True)
+            except FileNotFoundError:
+                pass
+        try:
+            blobs = [d for d in os.listdir(feats_base)
+                     if d.startswith("_ingest=_c-")]
+        except FileNotFoundError:
+            return
+        pending: set[str] = set()
+        merged = self.merged_ids()
+        for d in blobs:
+            inputs_p = os.path.join(feats_base, d, "_inputs.json")
+            counts_twin = os.path.join(counts_base, d)
+            if not os.path.exists(inputs_p) \
+                    or not os.path.isdir(counts_twin):
+                if d.split("=", 1)[1] in merged:
+                    continue      # a live blob from an OLDER compact
+                shutil.rmtree(os.path.join(feats_base, d),
+                              ignore_errors=True)
+                shutil.rmtree(counts_twin, ignore_errors=True)
+                continue
+            with open(inputs_p) as f:
+                pending |= set(json.load(f)["ids"]) - merged
+        if pending:
+            self._record_merged(pending)
+
+    def _sweep_merged_leftovers(self) -> None:
+        """Delete partition dirs whose epoch id is recorded merged —
+        crash leftovers between a compact()'s record step and its
+        delete step. Garbage by definition: their rows live in the
+        compacted blob, and ingest() no-ops on merged ids so no live
+        writer can own them."""
+        merged = self.merged_ids()
+        if not merged:
+            return
+        import shutil
+        for sub in ("feats", "counts"):
+            base = os.path.join(self.path, sub)
+            try:
+                parts = os.listdir(base)
+            except FileNotFoundError:
+                continue
+            for d in parts:
+                if d.startswith("_ingest=") \
+                        and d.split("=", 1)[1] in merged:
+                    shutil.rmtree(os.path.join(base, d),
+                                  ignore_errors=True)
+
+    def compact(self) -> int:
+        """Merge every current partition pair into ONE compacted pair
+        (``_ingest=_c-<hex>``): select-time cost returns to O(B)
+        counts rows and one feats dir regardless of how many epochs
+        the stream has run. Returns the number of partitions merged
+        (0 = nothing to do). Single-writer maintenance window (class
+        docstring). Crash-safe by roll-forward: the blob lands with
+        its ``_inputs.json`` first, inputs are recorded merged second,
+        input dirs are deleted last — a crash anywhere re-converges on
+        the next store open (_recover_compactions + the sweep)."""
+        self._recover_compactions()
+        self._sweep_merged_leftovers()
+        feats_base = os.path.join(self.path, "feats")
+        try:
+            parts = sorted(d.split("=", 1)[1]
+                           for d in os.listdir(feats_base)
+                           if d.startswith("_ingest="))
+        except FileNotFoundError:
+            return 0
+        if len(parts) <= 1:
+            return 0
+        cid = f"_c-{uuid.uuid4().hex[:12]}"
+        counts_base = os.path.join(self.path, "counts")
+        # 1) counts blob to a STAGING dir (dot-prefixed: invisible to
+        #    Spark listings and deleted on recovery if orphaned)
+        (self._read_or_empty("counts", self._COUNTS)
+         .groupBy("bucket").agg(F.sum("_c").alias("_c"))
+         .write.mode("overwrite")
+         .parquet(f"{counts_base}/.staging-_ingest={cid}"))
+        # 2) feats blob + its input manifest (a blob without the
+        #    manifest, or without a live counts twin, rolls BACK)
+        self.feats().write.mode("overwrite").parquet(
+            f"{feats_base}/_ingest={cid}")
+        with open(os.path.join(feats_base, f"_ingest={cid}",
+                               "_inputs.json"), "w") as f:
+            json.dump({"ids": sorted(parts)}, f)
+        # 3) COMMIT POINT: the counts twin goes live in one atomic
+        #    rename — from here recovery rolls forward
+        os.rename(f"{counts_base}/.staging-_ingest={cid}",
+                  f"{counts_base}/_ingest={cid}")
+        # 4) record every input id (real epochs AND prior _c-* blobs —
+        #    their content now lives in the new blob)
+        self._record_merged(set(parts))
+        # 5) delete the inputs (best-effort: recorded ids are swept on
+        #    the next open if a crash lands here)
+        import shutil
+        for sub in ("feats", "counts"):
+            for p in parts:
+                shutil.rmtree(
+                    os.path.join(self.path, sub, f"_ingest={p}"),
+                    ignore_errors=True)
+        return len(parts)
 
     def _read_or_empty(self, sub: str, schema) -> DataFrame:
         if not self._exists.get(sub):
@@ -416,13 +578,17 @@ class DsirFeatureStore:
                ingest_id: str | None = None) -> int:
         """Featurize one batch and persist it under ``ingest_id``
         (overwrite-in-place: replays replace). Returns the number of
-        documents ingested. Ids must be unique ACROSS batches (the
-        upstream pipeline's stable doc id) — re-sending a doc id in a
-        DIFFERENT ingest double-counts it, exactly as re-appending it
-        to a batch corpus would."""
+        documents ingested — 0 for a replay of an id a compact()
+        already merged (its rows live in the compacted blob; the
+        replay contract survives compaction). Ids must be unique
+        ACROSS batches (the upstream pipeline's stable doc id) —
+        re-sending a doc id in a DIFFERENT ingest double-counts it,
+        exactly as re-appending it to a batch corpus would."""
         iid = ingest_id or uuid.uuid4().hex
-        if "/" in iid or iid.startswith("."):
+        if "/" in iid or iid.startswith(".") or iid.startswith("_c-"):
             raise ValueError(f"invalid ingest_id: {iid!r}")
+        if iid in self.merged_ids():
+            return 0              # compacted epoch replayed: no-op
         feats = (docs.select(F.col(id_col).cast("long").alias("_id"))
                  .distinct()
                  .join(hashed_ngram_counts(

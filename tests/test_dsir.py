@@ -599,3 +599,126 @@ def test_dsir_feature_stream_e2e(spark, tmp_path):
     assert Counter.total == len(RAW)
     assert {r["_id"] for r in store.feats().collect()} \
         == {i for i, _ in RAW}
+
+
+def test_feature_store_compact_lifecycle(spark, tmp_path):
+    """compact() merges every epoch partition pair into one blob with
+    results bit-identical (feats rows, LM, selection), the replay
+    contract surviving THROUGH compaction (a replayed merged epoch is
+    a no-op), post-compact epochs landing beside the blob, and a
+    second compact folding blob + new epochs together."""
+    from rakam_api_collector_spark.operators.dsir import \
+        DsirFeatureStore
+
+    store = DsirFeatureStore(spark, str(tmp_path / "s"), n=N, buckets=B)
+    for i, chunk in enumerate([RAW[:3], RAW[3:5], RAW[5:]]):
+        store.ingest(spark.createDataFrame(chunk, ["doc_id", "text"]),
+                     "doc_id", "text", ingest_id=f"epoch-{i}")
+    target = spark.createDataFrame(TARGET, ["doc_id", "text"])
+    feats_before = {(r["_id"], r["bucket"], r["cnt"])
+                    for r in store.feats().collect()}
+    sel_before = [(r["_id"], r["logw"], r["score"]) for r in
+                  store.select(target, "doc_id", "text", k=5,
+                               alpha=ALPHA, seed=7,
+                               temperature=2.0).collect()]
+
+    assert store.compact() == 3
+    import os
+    feats_parts = [d for d in os.listdir(tmp_path / "s" / "feats")
+                   if d.startswith("_ingest=")]
+    counts_parts = [d for d in os.listdir(tmp_path / "s" / "counts")
+                    if d.startswith("_ingest=")]
+    assert len(feats_parts) == 1 and feats_parts == counts_parts
+    assert {(r["_id"], r["bucket"], r["cnt"])
+            for r in store.feats().collect()} == feats_before
+    assert [(r["_id"], r["logw"], r["score"]) for r in
+            store.select(target, "doc_id", "text", k=5, alpha=ALPHA,
+                         seed=7, temperature=2.0).collect()] \
+        == sel_before
+
+    # replay of a merged epoch: no-op, nothing double-counts
+    assert store.ingest(
+        spark.createDataFrame(RAW[:3], ["doc_id", "text"]),
+        "doc_id", "text", ingest_id="epoch-0") == 0
+    assert {(r["_id"], r["bucket"], r["cnt"])
+            for r in store.feats().collect()} == feats_before
+
+    # compact is a no-op on a single partition; a fresh epoch lands
+    # beside the blob and a second compact folds them together
+    assert store.compact() == 0
+    extra = [(100, "the cat sat on the mat")]
+    store.ingest(spark.createDataFrame(extra, ["doc_id", "text"]),
+                 "doc_id", "text", ingest_id="epoch-3")
+    assert store.compact() == 2
+    ids = {r["_id"] for r in store.feats().collect()}
+    assert ids == {i for i, _ in RAW} | {100}
+    with pytest.raises(ValueError, match="invalid ingest_id"):
+        store.ingest(spark.createDataFrame(extra, ["doc_id", "text"]),
+                     "doc_id", "text", ingest_id="_c-fake")
+
+
+def test_feature_store_compact_crash_recovery(spark, tmp_path):
+    """The crash protocol converges from every window: a pre-commit
+    blob (feats written, counts twin never went live) rolls BACK on
+    reopen with inputs intact; orphaned staging dirs are deleted; a
+    post-record leftover input dir (the delete step crashed) is swept;
+    a lost merged record with the blob + twin live rolls FORWARD from
+    the blob's own _inputs manifest."""
+    import json as _json
+    import os
+    import shutil
+
+    from rakam_api_collector_spark.operators.dsir import \
+        DsirFeatureStore
+
+    base = tmp_path / "s"
+    store = DsirFeatureStore(spark, str(base), n=N, buckets=B)
+    for i, chunk in enumerate([RAW[:4], RAW[4:]]):
+        store.ingest(spark.createDataFrame(chunk, ["doc_id", "text"]),
+                     "doc_id", "text", ingest_id=f"epoch-{i}")
+    target = spark.createDataFrame(TARGET, ["doc_id", "text"])
+    want = [(r["_id"], round(r["score"], 9)) for r in
+            store.select(target, "doc_id", "text", k=5, alpha=ALPHA,
+                         seed=7, temperature=2.0).collect()]
+
+    def reopen():
+        return DsirFeatureStore(spark, str(base), n=N, buckets=B)
+
+    def sel(s):
+        return [(r["_id"], round(r["score"], 9)) for r in
+                s.select(target, "doc_id", "text", k=5, alpha=ALPHA,
+                         seed=7, temperature=2.0).collect()]
+
+    # (a) pre-commit crash: feats blob + manifest, NO counts twin
+    dead = base / "feats" / "_ingest=_c-dead"
+    spark.createDataFrame([(1, 2, 3)], "_id long, bucket int, cnt long") \
+        .write.parquet(str(dead))
+    with open(dead / "_inputs.json", "w") as f:
+        _json.dump({"ids": ["epoch-0", "epoch-1"]}, f)
+    (base / "counts" / ".staging-_ingest=_c-dead").mkdir()
+    s2 = reopen()
+    assert not dead.exists()                       # rolled back
+    assert not (base / "counts" / ".staging-_ingest=_c-dead").exists()
+    assert sel(s2) == want                         # inputs intact
+
+    # (b) delete-step crash: re-create a merged input dir post-compact
+    assert s2.compact() == 2
+    blob = [d for d in os.listdir(base / "feats")][0]
+    leftover = base / "feats" / "_ingest=epoch-0"
+    spark.createDataFrame([(1, 2, 3)], "_id long, bucket int, cnt long") \
+        .write.parquet(str(leftover))
+    s3 = reopen()
+    assert not leftover.exists()                   # swept
+    assert sel(s3) == want
+
+    # (c) lost merged record with blob + twin live: rolls FORWARD from
+    # the blob's _inputs manifest (and sweeps the resurrected input)
+    with open(base / "_merged.json", "w") as f:
+        _json.dump({"ids": []}, f)
+    spark.createDataFrame([(1, 2, 3)], "_id long, bucket int, cnt long") \
+        .write.parquet(str(leftover))
+    s4 = reopen()
+    assert {"epoch-0", "epoch-1"} <= s4.merged_ids()
+    assert not leftover.exists()
+    assert sel(s4) == want
+    assert blob in os.listdir(base / "feats")      # blob untouched
