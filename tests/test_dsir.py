@@ -722,3 +722,62 @@ def test_feature_store_compact_crash_recovery(spark, tmp_path):
     assert not leftover.exists()
     assert sel(s4) == want
     assert blob in os.listdir(base / "feats")      # blob untouched
+
+
+def test_feature_store_fuzz_chunked_equals_batch(spark, tmp_path):
+    """Hypothesis fuzz over the store: arbitrary printable-ASCII
+    corpora ingested under ARBITRARY chunkings (including single-doc
+    and whole-corpus chunks, empty/whitespace docs) select identically
+    — ids, logw, score — to batch dsir_select over the same corpus;
+    an EMPTY store selects the empty frame."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from rakam_api_collector_spark.operators.dsir import \
+        DsirFeatureStore
+
+    target = spark.createDataFrame(TARGET, ["doc_id", "text"])
+    empty = DsirFeatureStore(spark, str(tmp_path / "empty"),
+                             n=N, buckets=B)
+    out = empty.select(target, "doc_id", "text", k=3, alpha=ALPHA)
+    assert out.count() == 0
+
+    alphabet = st.sampled_from(list("abcXYZ019 .,!-_\t"))
+    counter = {"i": 0}
+
+    @settings(max_examples=6, deadline=None)
+    @given(
+        raw_texts=st.lists(st.text(alphabet, max_size=40),
+                           min_size=1, max_size=8),
+        cuts=st.lists(st.integers(min_value=1, max_value=7),
+                      max_size=3),
+        data=st.data(),
+    )
+    def check(raw_texts, cuts, data):
+        raw_rows = list(enumerate(raw_texts))
+        bounds = sorted({c for c in cuts if c < len(raw_rows)})
+        chunks, prev = [], 0
+        for b in bounds + [len(raw_rows)]:
+            if b > prev:
+                chunks.append(raw_rows[prev:b])
+                prev = b
+        counter["i"] += 1
+        store = DsirFeatureStore(
+            spark, str(tmp_path / f"s{counter['i']}"), n=N, buckets=B)
+        for j, chunk in enumerate(chunks):
+            store.ingest(
+                spark.createDataFrame(chunk, ["doc_id", "text"]),
+                "doc_id", "text", ingest_id=f"e{j}")
+        k = min(4, len(raw_rows))
+        got = store.select(target, "doc_id", "text", k=k, alpha=ALPHA,
+                           seed=7, temperature=2.0).collect()
+        raw = spark.createDataFrame(raw_rows, ["doc_id", "text"])
+        want = dsir_select(spark, raw, target, "doc_id", "text", k=k,
+                           n=N, buckets=B, alpha=ALPHA, seed=7,
+                           temperature=2.0).collect()
+        assert [r["_id"] for r in got] == [r["doc_id"] for r in want]
+        for g, w in zip(got, want):
+            assert g["logw"] == pytest.approx(w["logw"], abs=1e-9)
+            assert g["score"] == pytest.approx(w["score"], abs=1e-9)
+
+    check()
