@@ -262,8 +262,6 @@ def dsir_scored_weights(spark: SparkSession, raw: DataFrame,
     return w.select(id_col, "logw", score.alias("score"))
 
 
-_scored_weights = dsir_scored_weights          # internal alias (tests)
-
 
 def dsir_select_fraction(spark: SparkSession, raw: DataFrame,
                          target: DataFrame, id_col: str, text_col: str,
