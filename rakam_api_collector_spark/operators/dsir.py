@@ -647,3 +647,18 @@ class DsirFeatureStore:
                            weights=self.scored_weights(
                                target, id_col, text_col, alpha, seed,
                                temperature))
+
+    def select_fraction(self, target: DataFrame, id_col: str,
+                        text_col: str, fraction: float,
+                        alpha: float = 1.0, seed: int = 0,
+                        temperature: float = 1.0,
+                        relative_error: float = 1e-4) -> DataFrame:
+        """The cluster-scale form over the store: sketch-cutoff + a
+        row-local filter (``dsir_select_fraction`` semantics), fed
+        from the persisted features — nothing ordered reaches the
+        driver and text is never re-read."""
+        return dsir_select_fraction(
+            self.spark, None, None, "_id", None, fraction,
+            relative_error=relative_error,
+            weights=self.scored_weights(target, id_col, text_col,
+                                        alpha, seed, temperature))

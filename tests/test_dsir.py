@@ -781,3 +781,26 @@ def test_feature_store_fuzz_chunked_equals_batch(spark, tmp_path):
             assert g["score"] == pytest.approx(w["score"], abs=1e-9)
 
     check()
+
+
+def test_feature_store_select_fraction(spark, tmp_path):
+    """store.select_fraction: the sketch-cutoff form over persisted
+    features keeps exactly the exact-k prefix with an exact sketch —
+    the dsir_select_fraction contract fed from the store."""
+    from rakam_api_collector_spark.operators.dsir import \
+        DsirFeatureStore
+
+    store = DsirFeatureStore(spark, str(tmp_path / "s"), n=N, buckets=B)
+    store.ingest(spark.createDataFrame(RAW, ["doc_id", "text"]),
+                 "doc_id", "text", ingest_id="e0")
+    target = spark.createDataFrame(TARGET, ["doc_id", "text"])
+    frac = store.select_fraction(target, "doc_id", "text",
+                                 fraction=3 / 7, alpha=ALPHA, seed=7,
+                                 temperature=2.0,
+                                 relative_error=0.0).collect()
+    exact = store.select(target, "doc_id", "text", k=4, alpha=ALPHA,
+                         seed=7, temperature=2.0).collect()
+    kept = {r["_id"] for r in frac}
+    order = [r["_id"] for r in exact]
+    assert 3 <= len(kept) <= 4
+    assert kept == set(order[:len(kept)])
