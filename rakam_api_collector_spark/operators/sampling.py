@@ -97,3 +97,87 @@ def training_order(df: DataFrame, key: str, n_shards: int,
     return (df.withColumn("_h", h).withColumn("shard", shard)
             .withColumn("pos", F.row_number().over(w))
             .drop("_h"))
+
+
+def seeded_unit(key: Column, seed: int = 0) -> Column:
+    """Deterministic u ∈ [0,1) keyed by (seed, key) — uniform_unit
+    with a re-seedable permutation (seed = run/epoch number), the
+    training_order seeding convention."""
+    return (F.conv(F.substring(
+        F.md5(F.concat_ws(":", F.lit(str(seed)), key.cast("string"))),
+        1, 8), 16, 10).cast("double") / F.lit(float(1 << 32)))
+
+
+def sample_token_budget(df: DataFrame, key: str, group_col: str,
+                        tokens_col: str, weights: dict[str, float],
+                        budget: int, seed: int = 0,
+                        boundary_buckets: int = 4096) -> DataFrame:
+    """Deterministic TOKEN-budget mixture sampling — the unit a
+    training run actually budgets. For each group g in ``weights``,
+    target_g = w_g·budget tokens; the group's documents are ordered
+    by the seeded uniform hash (u, key) and the PREFIX is kept while
+    the running token total before a document is still under
+    target_g — so the crossing document is included (the take-until-
+    met rule: the sample reaches the target unless the group runs
+    out), the kept set is a pure function of (corpus, weights,
+    budget, seed) on any engine, and growing the budget only ever
+    ADDS documents (a prefix of a longer prefix). Groups absent from
+    ``weights`` drop; null token counts count as 0.
+
+    Scale shape (why this is not a per-group global sort): the
+    canonical order is (u, key), and bucket = ⌊u·B⌋ is monotone in u
+    — so phase A reduces the corpus to a (group, bucket) token-sum
+    table (≤ groups·B rows, map-side combined), finds each group's
+    boundary bucket and remaining token allowance with a window over
+    that TINY table, and phase B is a row-local filter for every
+    bucket strictly inside the cutoff plus an ordered cumsum over
+    ONLY the ~1/B of each group that lands in its boundary bucket.
+    Identical output to the one-window definition (the DuckDB oracle
+    form), at the cost of one tiny aggregate plus a 1/B-sized window
+    instead of ordering whole groups.
+
+    ``mixture_sample`` is the doc-count sibling (keep-rates, no
+    ordering at all); this is the exact-token form."""
+    if budget <= 0:
+        raise ValueError(f"budget must be > 0 (got {budget})")
+    if boundary_buckets < 1:
+        raise ValueError(f"boundary_buckets must be >= 1 "
+                         f"(got {boundary_buckets})")
+    wmap = F.create_map(*[F.lit(x) for kv in weights.items()
+                          for x in kv])
+    cols = df.columns
+    tok = F.coalesce(F.col(tokens_col).cast("long"), F.lit(0))
+    tagged = (df.withColumn("_w", wmap[F.col(group_col)].cast("double"))
+              .filter(F.col("_w").isNotNull())
+              .withColumn("_u", seeded_unit(F.col(key), seed))
+              .withColumn("_b", F.floor(F.col("_u")
+                                        * boundary_buckets).cast("int")))
+    # phase A: boundary bucket + remaining allowance per group, over
+    # the tiny (group, bucket) token-sum table
+    bsum = (tagged.groupBy(group_col, "_b")
+            .agg(F.sum(tok).alias("_tok")))
+    cum = (bsum.withColumn("_cum", F.sum("_tok").over(
+        Window.partitionBy(group_col).orderBy("_b")))
+        .withColumn("_target",
+                    wmap[F.col(group_col)].cast("double")
+                    * F.lit(float(budget))))
+    bound = (cum.filter(F.col("_cum") >= F.col("_target"))
+             .groupBy(group_col)
+             .agg(F.min("_b").alias("_cb"),
+                  F.min_by(F.col("_cum") - F.col("_tok"),
+                           F.col("_b")).alias("_before"),
+                  F.first("_target").alias("_t"))
+             .withColumn("_rem", F.col("_t") - F.col("_before"))
+             .select(group_col, "_cb", "_rem"))
+    sel = tagged.join(F.broadcast(bound), group_col, "left")
+    # phase B: groups that never cross keep everything; inside-cutoff
+    # buckets are a row-local filter; the boundary bucket pays the
+    # only ordered cumsum, over ~1/B of its group
+    full = sel.filter(F.col("_cb").isNull()
+                      | (F.col("_b") < F.col("_cb")))
+    wb = (Window.partitionBy(group_col)
+          .orderBy("_u", F.col(key).cast("string")))
+    edge = (sel.filter(F.col("_b") == F.col("_cb"))
+            .withColumn("_pc", F.sum(tok).over(wb) - tok)
+            .filter(F.col("_pc") < F.col("_rem")))
+    return full.select(*cols).unionByName(edge.select(*cols))

@@ -335,9 +335,23 @@ r16 SPARE-SLOT PLAN (drafted in r15): window = the 49 r15-out
 due-backs above + 1 spare, RESERVED for whatever r16 modifies; if
 r16 modifies nothing, fill with heavy regression-prone
 llm49_ivf_pq_recall (the largest standing wall in the due-back
-pool). No consolidation candidates remain drafted; no pytest-only
-family without either a driver row or a written don't-promote
-decision remains — future promotions need a new operator first.
+pool). ONE promotion candidate exists (late-r15):
+llm56_token_budget over ``sampling.sample_token_budget`` (exact
+token-budget mixture sampling, the unit a training run actually
+budgets: per-group seeded-md5 prefix until w_g·budget tokens,
+crossing doc included; two-phase bucket-cutoff impl pinned exactly
+equal to the one-window canonical form plus a hypothesis fuzz in
+tests/test_packing.py). The DuckDB oracle is the canonical form
+directly — one window: ``sum(n_tok) OVER (PARTITION BY src ORDER BY
+u, CAST(doc_id AS VARCHAR)) - n_tok < w_g * budget`` with
+u = the seeded md5 unit — so the oracle certifies the two-phase
+implementation against the definitional query. Promoting it
+requires a consolidation to keep the registry ≤ 99; the drafted
+pairing is dq27_json_encode + dq28_date_format (both single-scan
+scalar-function rows over the same 100-event slice; union the
+output columns into one dq27_scalar_encode row — the union of both
+oracles). Execute the pairing only WITH the promotion, same rule as
+the r15 llm02+llm03/llm55 pairing.
 """
 
 from __future__ import annotations

@@ -99,3 +99,124 @@ def test_vocab_coverage_monotone_and_consistent(spark):
     direct = (docs.select(F.explode(tokens(F.col("text"))).alias("t"))
               .filter(F.col("t") == top.term).count())
     assert direct == top.n
+
+
+def test_sample_token_budget_exact_prefix_replay(spark):
+    """sample_token_budget == the pure-Python canonical definition
+    (order each group by the seeded md5 uniform, keep the prefix
+    until the running token total reaches w_g·budget, crossing doc
+    included) — exercised with a tiny boundary_buckets so the
+    two-phase cutoff + boundary-bucket window both engage. Plus the
+    contract properties: reached-or-exhausted targets, minimality
+    (dropping the last kept doc falls below target), budget
+    monotonicity, and partitioning invariance."""
+    import hashlib
+
+    from rakam_api_collector_spark.operators.sampling import \
+        sample_token_budget
+
+    rows = [(i, ["web", "code", "news"][i % 3], 10 + (i * 7) % 90)
+            for i in range(120)]
+    docs = spark.createDataFrame(rows, ["doc_id", "src", "n_tok"])
+    weights = {"web": 0.7, "code": 0.3}          # news drops
+    budget, seed = 2_000, 3
+
+    def u(k):
+        h = hashlib.md5(f"{seed}:{k}".encode()).hexdigest()[:8]
+        return int(h, 16) / (1 << 32)
+
+    def canonical():
+        kept = set()
+        for g, w in weights.items():
+            target = w * budget
+            run = 0.0
+            for i, _, t in sorted((r for r in rows if r[1] == g),
+                                  key=lambda r: (u(r[0]), str(r[0]))):
+                if run >= target:
+                    break
+                kept.add(i)
+                run += t
+        return kept
+
+    want = canonical()
+    for buckets in (1, 7, 4096):
+        got = {r["doc_id"] for r in sample_token_budget(
+            docs, "doc_id", "src", "n_tok", weights, budget,
+            seed=seed, boundary_buckets=buckets).collect()}
+        assert got == want, buckets
+
+    # properties on the kept set
+    by_id = {r[0]: r for r in rows}
+    for g, w in weights.items():
+        ks = sorted((i for i in want if by_id[i][1] == g),
+                    key=lambda i: (u(i), str(i)))
+        total = sum(by_id[i][2] for i in ks)
+        assert total >= w * budget               # target reached
+        assert total - by_id[ks[-1]][2] < w * budget   # minimal
+    assert not any(by_id[i][1] == "news" for i in want)
+
+    # monotone in budget: a smaller budget's sample is a subset
+    smaller = {r["doc_id"] for r in sample_token_budget(
+        docs, "doc_id", "src", "n_tok", weights, budget // 2,
+        seed=seed, boundary_buckets=7).collect()}
+    assert smaller <= want
+
+    # partitioning invariance (the module's core contract)
+    re32 = {r["doc_id"] for r in sample_token_budget(
+        docs.repartition(32), "doc_id", "src", "n_tok", weights,
+        budget, seed=seed, boundary_buckets=7).collect()}
+    assert re32 == want
+
+    # exhausted group: a huge budget keeps every weighted doc
+    everything = {r["doc_id"] for r in sample_token_budget(
+        docs, "doc_id", "src", "n_tok", weights, 10**9,
+        seed=seed, boundary_buckets=7).collect()}
+    assert everything == {i for i, g, _ in rows if g in weights}
+    import pytest as _pt
+    with _pt.raises(ValueError, match="budget"):
+        sample_token_budget(docs, "doc_id", "src", "n_tok", weights, 0)
+
+
+def test_sample_token_budget_fuzz(spark):
+    """Hypothesis fuzz: arbitrary token counts (including 0 and
+    null-as-0), group shapes, budgets, and seeds match the canonical
+    prefix replay under a small bucket count."""
+    import hashlib
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from rakam_api_collector_spark.operators.sampling import \
+        sample_token_budget
+
+    @settings(max_examples=8, deadline=None)
+    @given(
+        toks=st.lists(st.integers(min_value=0, max_value=50),
+                      min_size=1, max_size=30),
+        budget=st.integers(min_value=1, max_value=400),
+        seed=st.integers(min_value=0, max_value=5),
+    )
+    def check(toks, budget, seed):
+        rows = [(i, "ab"[i % 2], t) for i, t in enumerate(toks)]
+        docs = spark.createDataFrame(rows, ["doc_id", "src", "n_tok"])
+        weights = {"a": 0.6, "b": 0.4}
+
+        def u(k):
+            h = hashlib.md5(f"{seed}:{k}".encode()).hexdigest()[:8]
+            return int(h, 16) / (1 << 32)
+
+        want = set()
+        for g, w in weights.items():
+            run = 0.0
+            for i, _, t in sorted((r for r in rows if r[1] == g),
+                                  key=lambda r: (u(r[0]), str(r[0]))):
+                if run >= w * budget:
+                    break
+                want.add(i)
+                run += t
+        got = {r["doc_id"] for r in sample_token_budget(
+            docs, "doc_id", "src", "n_tok", weights, budget,
+            seed=seed, boundary_buckets=5).collect()}
+        assert got == want
+
+    check()
