@@ -185,6 +185,25 @@ def mixture(weights: dict[str, float], group_col: str = "source",
     return stage
 
 
+def token_budget(weights: dict[str, float], budget: int,
+                 tokens_col: str = "n_tok",
+                 group_col: str = "source",
+                 key_col: str = "doc_id", seed: int = 0) -> Stage:
+    """Exact token-budget mixture sampling
+    (operators/sampling.py:sample_token_budget, r15) — the unit a
+    training run budgets: per-group seeded-md5 prefix until
+    w_g·budget tokens. ``tokens_col`` must already exist (compute it
+    upstream with text.token_count — curation stages keep one lazy
+    Catalyst plan, so the column folds into the same scan)."""
+    from rakam_api_collector_spark.operators.sampling import (
+        sample_token_budget)
+
+    def stage(df: DataFrame) -> DataFrame:
+        return sample_token_budget(df, key_col, group_col, tokens_col,
+                                   weights, budget, seed=seed)
+    return stage
+
+
 def dsir_select(target: DataFrame, k: int, n: int = 2,
                 buckets: int = 10_000, alpha: float = 1.0,
                 seed: int = 0, temperature: float = 1.0,

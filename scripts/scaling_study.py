@@ -448,6 +448,30 @@ def op_dsir_select(spark, k: int) -> DataFrame:
                        k=1000, n=2, buckets=10_000)
 
 
+def op_token_budget(spark, k: int) -> DataFrame:
+    """sample_token_budget (r15): exact token-budget mixture sampling
+    — phase A is a map-side-combined (group, bucket) token-sum
+    aggregate, phase B a row-local filter plus an ordered window over
+    ~1/B of each group. Budget scales with K so the selection stays a
+    constant fraction; the exponent must stay ~linear (the whole
+    point of the bucket cutoff is never ordering whole groups)."""
+    from rakam_api_collector_spark.operators.sampling import \
+        sample_token_budget
+
+    # inner ×16 base amplification: the operator is column-pruned
+    # integer work, so the raw 5k-row table is fixed-overhead noise —
+    # scale the BASE so compute dominates and ×1/×4/×16 stay relative
+    docs = (amplified(spark, load_table(spark, SF_DIR, "documents"),
+                      k * 16, {"doc_id": 10_000_000})
+            .select("doc_id", "source",
+                    F.col("n_chars").alias("n_tok")))
+    weights = {f"src{i}": 1 / 8 for i in range(8)}
+    out = sample_token_budget(docs, "doc_id", "source", "n_tok",
+                              weights, budget=4_800_000 * k, seed=1)
+    return out.groupBy("source").agg(
+        F.count("*").alias("n"), F.sum("n_tok").alias("tok"))
+
+
 def op_dsir_store_cycle(spark, k: int) -> DataFrame:
     """DsirFeatureStore end-to-end (r15): ingest the raw corpus
     (tokenize once → persisted integer features + B-row count
@@ -572,6 +596,7 @@ OPS = {
     "simhash_hot_capped": (op_simhash_hot_capped, "documents", 5_000),
     "dsir_select": (op_dsir_select, "documents", 5_000),
     "dsir_store_cycle": (op_dsir_store_cycle, "documents", 5_000),
+    "token_budget": (op_token_budget, "documents", 5_000),
     "trim_silence": (op_trim_silence, "documents", 5_000),
     "constraint_write": (op_constraint_write, "lineitem", 600_000),
 }

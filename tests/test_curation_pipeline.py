@@ -247,3 +247,42 @@ def test_dsir_select_stage(spark):
         spark, deduped, target, "doc_id", "text", k=9,
         buckets=256, seed=3).collect()}
     assert {r["doc_id"] for r in pipe.run(docs).collect()} == want_post
+
+
+def test_token_budget_stage(spark):
+    """The token-budget stage (r15) equals the operator over the same
+    frame, composes after a token-count projection inside one
+    pipeline, and each kept group's token total reaches its share of
+    the budget (or exhausts the group)."""
+    from rakam_api_collector_spark.operators.sampling import \
+        sample_token_budget
+    from rakam_api_collector_spark.operators.text import token_count
+
+    docs = _docs(spark).withColumn("n_tok",
+                                   token_count(F.col("text")))
+    weights = {"src0": 0.6, "src1": 0.4}
+    budget = 600
+
+    stage = C.token_budget(weights, budget, seed=2)
+    got = stage(docs).collect()
+    want = {r["doc_id"] for r in sample_token_budget(
+        docs, "doc_id", "source", "n_tok", weights, budget,
+        seed=2).collect()}
+    assert {r["doc_id"] for r in got} == want
+    assert set(got[0].asDict()) == {"doc_id", "text", "source",
+                                    "n_tok"}
+    by_src = {}
+    for r in got:
+        by_src[r["source"]] = by_src.get(r["source"], 0) + r["n_tok"]
+    pool = {r["source"]: r["tot"] for r in docs.groupBy("source")
+            .agg(F.sum("n_tok").alias("tot")).collect()}
+    for g, w in weights.items():
+        assert by_src.get(g, 0) >= min(w * budget, pool.get(g, 0))
+
+    # composes in one pipeline after the projection stage
+    pipe = C.CurationPipeline([
+        lambda df: df.withColumn("n_tok", token_count(F.col("text"))),
+        C.token_budget(weights, budget, seed=2),
+    ])
+    assert {r["doc_id"] for r in pipe.run(_docs(spark)).collect()} \
+        == want
