@@ -1742,10 +1742,14 @@ class ManifestedTable:
 
         SINGLE-METASTORE clones are also registered under the
         source's metadata dir (``_clones/`` marker, written BEFORE
-        the clone commits so no gc window exists): the source's
-        ``gc()``/``run_maintenance`` reads each registered clone's
-        retained manifests through its own MetadataStore and keeps
-        every local batch dir a clone still references — shortening
+        the clone commits; a gc racing the register-to-commit window
+        sees a young manifest-less marker and protects the pinned
+        source version wholesale under the same mtime grace in-flight
+        writers get — so with a sane ``grace_seconds`` no gc window
+        exists): the source's ``gc()``/``run_maintenance`` reads each
+        registered clone's retained manifests through its own
+        MetadataStore and keeps every local batch dir a clone still
+        references — shortening
         the source's retention can no longer break a registered
         clone (the hole Delta shallow clones have). The escapes:
         ``compact()`` the clone (deep-copy, batches localize) then
@@ -1791,11 +1795,13 @@ class ManifestedTable:
                     "clone into an empty table")
             return foreign
 
-        # register FIRST: a marker for a clone that then fails to
-        # commit is stale (no versions) and the source's next gc
-        # prunes it; the reverse order would leave a committed clone
-        # unprotected against a racing source gc
-        source._register_clone(self.table_dir)
+        # register FIRST, with the pinned source version: a gc racing
+        # the register-to-commit window protects that whole snapshot
+        # via the marker's mtime grace (the reverse order would leave
+        # a committed clone unprotected against a racing source gc);
+        # a marker whose clone never commits goes stale past the
+        # grace and the source's next gc prunes it
+        source._register_clone(self.table_dir, v)
         src_state = source._read_version(v)
         extra = ({"constraints": src_state["constraints"]}
                  if src_state.get("constraints") else None)
@@ -1807,13 +1813,18 @@ class ManifestedTable:
     def clones_dir(self) -> str:
         return f"{self.table_dir}/_clones"
 
-    def _register_clone(self, clone_table_dir: str) -> None:
+    def _register_clone(self, clone_table_dir: str,
+                        source_version: int) -> None:
         """Marker keyed by a digest of the clone's table dir —
-        idempotent for re-clones into the same (emptied) target."""
+        idempotent for re-clones into the same (emptied) target. The
+        pinned source version rides along so a gc racing the
+        register-to-commit window can protect the right snapshot
+        before the clone has any manifests of its own."""
         token = hashlib.md5(clone_table_dir.encode()).hexdigest()[:16]
         self.meta.put_if_absent(
             f"{self.clones_dir}/{token}.json",
-            json.dumps({"table_dir": clone_table_dir}))
+            json.dumps({"table_dir": clone_table_dir,
+                        "source_version": source_version}))
 
     def registered_clones(self) -> list[str]:
         """Table dirs of clones registered against this source (stale
@@ -1835,20 +1846,31 @@ class ManifestedTable:
         token = hashlib.md5(clone_table_dir.encode()).hexdigest()[:16]
         self.meta.delete(f"{self.clones_dir}/{token}.json")
 
-    def _clone_protected_dirs(self) -> set[str]:
-        """Local batch dir names any registered clone's RETAINED
-        versions still reference (``base`` == this table's batches
-        dir). Every retained clone version counts — a clone that
-        compacted away from the source may still time-travel to a
-        pre-compaction version until its own gc prunes it. Markers
-        whose clone has no readable versions (deleted — or
-        cross-metastore, the documented no-protection case) are
-        pruned."""
+    def _clone_protection(self, grace_seconds: float
+                          ) -> tuple[set[int], set[str]]:
+        """(pinned source versions, protected local batch dir names)
+        from the registered clones. Protected dirs are everything any
+        clone's RETAINED versions still reference (``base`` == this
+        table's batches dir) — every retained clone version counts: a
+        clone that compacted away from the source may still
+        time-travel to a pre-compaction version until its own gc
+        prunes it. A marker whose clone has NO manifests yet is
+        either a clone_from inside its register-to-commit window or a
+        deleted clone: within ``grace_seconds`` of the marker's mtime
+        the pinned SOURCE version (recorded at register time) is
+        protected wholesale — version file and dirs — so the racing
+        gc cannot break the in-flight clone (the same mtime-grace
+        rule in-flight writers get); past the grace the marker is
+        stale (deleted clone — or cross-metastore, the documented
+        no-protection case) and is pruned."""
+        pinned: set[int] = set()
         protected: set[str] = set()
+        now = time.time()
         for f in self.meta.list(self.clones_dir):
             marker = f"{self.clones_dir}/{f}"
             try:
-                cdir = json.loads(self.meta.read(marker))["table_dir"]
+                info = json.loads(self.meta.read(marker))
+                cdir = info["table_dir"]
             except (FileNotFoundError, KeyError, ValueError):
                 self.meta.delete(marker)
                 continue
@@ -1856,7 +1878,23 @@ class ManifestedTable:
             vnames = [n for n in self.meta.list(vdir)
                       if n.startswith("v") and n.endswith(".json")]
             if not vnames:
-                self.meta.delete(marker)       # clone gone: stale
+                try:
+                    young = (now - self.meta.mtime(marker)
+                             < grace_seconds)
+                except FileNotFoundError:
+                    continue                   # concurrent sweep won
+                if young and "source_version" in info:
+                    # in-flight clone_from: protect its pinned snapshot
+                    v = info["source_version"]
+                    pinned.add(v)
+                    try:
+                        protected |= {
+                            self._dir_of(b)
+                            for b in self._read_version(v)["batches"]}
+                    except FileNotFoundError:
+                        pass                   # already gone pre-register
+                elif not young:
+                    self.meta.delete(marker)   # clone gone: stale
                 continue
             for vn in vnames:
                 try:
@@ -1866,7 +1904,7 @@ class ManifestedTable:
                 protected |= {self._dir_of(b)
                               for b in state.get("batches", [])
                               if b.get("base") == self.batches_dir}
-        return protected
+        return pinned, protected
 
     def history(self) -> list[dict]:
         """Commit log, oldest first: (version, parent, committed_at,
@@ -2181,13 +2219,17 @@ class ManifestedTable:
         # a TAG is a retention pin: its version (and files) survive
         # any keep_versions setting until the tag is dropped
         kept |= {v for v in self.tags.values() if v in ns}
+        # registered shallow clones pin the local dirs they still
+        # reference (clone_from docstring) — same skip as tags; an
+        # in-flight clone_from (marker younger than the grace, no
+        # clone manifests yet) pins its whole source version
+        pinned, clone_dirs = self._clone_protection(grace_seconds)
+        kept |= {v for v in pinned if v in ns}
         referenced: set[str] = set()
         for n in kept:
             referenced |= {self._dir_of(b)
                            for b in self._read_version(n)["batches"]}
-        # registered shallow clones pin the local dirs they still
-        # reference (clone_from docstring) — same skip as tags
-        referenced |= self._clone_protected_dirs()
+        referenced |= clone_dirs
         removed = []
         now = time.time()
         for d in sorted(self.meta.list(self.batches_dir)):

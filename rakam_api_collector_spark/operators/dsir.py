@@ -229,13 +229,19 @@ def dsir_scored_weights(spark: SparkSession, raw: DataFrame,
     both selection forms, public so a caller can materialize it ONCE
     (persist / write to a table) and feed it to several selections.
 
-    ``share_scan=True`` (default) persists the raw occurrence frame
-    (_id, bucket — two ints per gram, MEMORY_AND_DISK) so the raw LM
-    fit and the per-occurrence weight sum TOKENIZE ONCE between them:
-    tokenization + gram hashing dominate both consumers, and Catalyst
-    does not share a subtree across the two aggregation branches on
-    its own. The trade is storage — the persisted frame is O(corpus
-    gram count); pass ``share_scan=False`` where executor storage is
+    ``share_scan=True`` (default) materializes the raw occurrence
+    frame once (_id, bucket — two ints per gram, a lazy
+    ``localCheckpoint``) so the raw LM fit and the per-occurrence
+    weight sum TOKENIZE ONCE between them: tokenization + gram
+    hashing dominate both consumers, and Catalyst does not share a
+    subtree across the two aggregation branches on its own. A lazy
+    localCheckpoint rather than persist() deliberately: its blocks
+    are reclaimed by the ContextCleaner when the frame is
+    garbage-collected, so repeated selections in a long session do
+    not accrete cache entries no caller holds a handle to (persist()
+    entries outlive their DataFrames until an explicit unpersist).
+    The trade is storage while the frame lives — O(corpus gram
+    count); pass ``share_scan=False`` where executor storage is
     tighter than CPU (each consumer then re-tokenizes its own scan,
     the pre-r15 shape). The ids-only frame still reads raw directly
     either way (column-pruned to the id; zero-gram docs must survive).
@@ -248,7 +254,7 @@ def dsir_scored_weights(spark: SparkSession, raw: DataFrame,
     occ = None
     if share_scan:
         occ = _bucketed_grams(raw, id_col, text_col, n, buckets) \
-            .persist()
+            .localCheckpoint(eager=False)
         r_lp = _smoothed_logprobs(
             spark, occ.groupBy("bucket").agg(F.count("*").alias("_c")),
             buckets, alpha)
@@ -394,20 +400,28 @@ class DsirFeatureStore:
         self.spark = spark
         self.path = path.rstrip("/")
         meta_path = os.path.join(self.path, "_meta.json")
-        if os.path.exists(meta_path):
-            with open(meta_path) as f:
-                meta = json.load(f)
-            if (meta["n"], meta["buckets"]) != (n, buckets):
-                raise ValueError(
-                    f"store at {self.path} was built with n={meta['n']} "
-                    f"buckets={meta['buckets']} — reopening with "
-                    f"n={n} buckets={buckets} would mix bucket spaces")
-        else:
+        if not os.path.exists(meta_path):
+            # atomic create-if-absent (the LocalMetadataStore os.link
+            # trick): two concurrent first-openers with different
+            # parameters must not both win a check-then-clobber race —
+            # the loser falls through to the verify below and raises
             os.makedirs(self.path, exist_ok=True)
-            tmp = f"{meta_path}.tmp.{os.getpid()}"
+            tmp = f"{meta_path}.tmp.{uuid.uuid4().hex}"
             with open(tmp, "w") as f:
                 json.dump({"n": n, "buckets": buckets}, f)
-            os.replace(tmp, meta_path)
+            try:
+                os.link(tmp, meta_path)
+            except FileExistsError:
+                pass                       # concurrent creator won
+            finally:
+                os.unlink(tmp)
+        with open(meta_path) as f:
+            meta = json.load(f)
+        if (meta["n"], meta["buckets"]) != (n, buckets):
+            raise ValueError(
+                f"store at {self.path} was built with n={meta['n']} "
+                f"buckets={meta['buckets']} — reopening with "
+                f"n={n} buckets={buckets} would mix bucket spaces")
         self.n, self.buckets = n, buckets
         self._exists: dict[str, bool] = {}
         self._recover_compactions()
@@ -531,9 +545,13 @@ class DsirFeatureStore:
             return 0
         cid = f"_c-{uuid.uuid4().hex[:12]}"
         counts_base = os.path.join(self.path, "counts")
+        # torn counts orphans (ingest crashed pre-commit-point) are
+        # excluded from every read; the maintenance window is the safe
+        # place to reclaim their dirs
+        torn = self._ingest_ids("counts") - self._ingest_ids("feats")
         # 1) counts blob to a STAGING dir (dot-prefixed: invisible to
         #    Spark listings and deleted on recovery if orphaned)
-        (self._read_or_empty("counts", self._COUNTS)
+        (self._counts()
          .groupBy("bucket").agg(F.sum("_c").alias("_c"))
          .write.mode("overwrite")
          .parquet(f"{counts_base}/.staging-_ingest={cid}"))
@@ -552,13 +570,16 @@ class DsirFeatureStore:
         #    their content now lives in the new blob)
         self._record_merged(set(parts))
         # 5) delete the inputs (best-effort: recorded ids are swept on
-        #    the next open if a crash lands here)
+        #    the next open if a crash lands here) + torn counts orphans
         import shutil
         for sub in ("feats", "counts"):
             for p in parts:
                 shutil.rmtree(
                     os.path.join(self.path, sub, f"_ingest={p}"),
                     ignore_errors=True)
+        for p in torn:
+            shutil.rmtree(os.path.join(counts_base, f"_ingest={p}"),
+                          ignore_errors=True)
         return len(parts)
 
     def _read_or_empty(self, sub: str, schema) -> DataFrame:
@@ -598,22 +619,50 @@ class DsirFeatureStore:
                              F.col("cnt").cast("long").alias("cnt")),
                      "_id", "left")
                  .localCheckpoint())     # counts derive from the SAME rows
-        feats.write.mode("overwrite").parquet(
-            f"{self.path}/feats/_ingest={iid}")
+        # counts FIRST, feats SECOND: the epoch's COMMIT POINT is its
+        # feats partition landing — every reader joins counts against
+        # the feats-backed ingest ids (_counts), so a crash between
+        # the two writes leaves an invisible counts orphan (reclaimed
+        # by compact), never a torn epoch whose docs exist without
+        # their LM mass. A retry MUST reuse the ingest_id (the stream
+        # wrapper's epoch key does): a fresh-id retry re-ingests the
+        # documents beside the old partitions and double-counts.
         (feats.filter(F.col("bucket").isNotNull())
          .groupBy("bucket").agg(F.sum("cnt").alias("_c"))
          .write.mode("overwrite")
          .parquet(f"{self.path}/counts/_ingest={iid}"))
+        feats.write.mode("overwrite").parquet(
+            f"{self.path}/feats/_ingest={iid}")
         return feats.select("_id").distinct().count()
 
     def feats(self) -> DataFrame:
         return (self._read_or_empty("feats", self._FEATS)
                 .select("_id", "bucket", "cnt"))
 
+    def _ingest_ids(self, sub: str) -> set[str]:
+        try:
+            return {d.split("=", 1)[1]
+                    for d in os.listdir(os.path.join(self.path, sub))
+                    if d.startswith("_ingest=")}
+        except FileNotFoundError:
+            return set()
+
+    def _counts(self) -> DataFrame:
+        """The COMMITTED counts view: partitions whose epoch never
+        reached its feats commit point (a crash between ingest's two
+        writes) are excluded — their documents are absent from feats,
+        so their gram mass must be absent from the LM."""
+        df = self._read_or_empty("counts", self._COUNTS)
+        torn = sorted(self._ingest_ids("counts")
+                      - self._ingest_ids("feats"))
+        if torn:
+            df = df.filter(~F.col("_ingest").isin(torn))
+        return df
+
     def raw_logprobs(self, alpha: float = 1.0) -> DataFrame:
         """The accumulated raw-corpus LM — one aggregate over the
         O(epochs·B)-row counts table, never a corpus scan."""
-        counts = (self._read_or_empty("counts", self._COUNTS)
+        counts = (self._counts()
                   .groupBy("bucket").agg(F.sum("_c").alias("_c")))
         return _smoothed_logprobs(self.spark, counts, self.buckets,
                                   alpha)

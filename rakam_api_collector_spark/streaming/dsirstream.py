@@ -50,8 +50,25 @@ def start_dsir_feature_stream(spark: SparkSession,
     stream runs — a select sees every fully-committed epoch.
 
     ``stats`` (optional) is a counter sink with ``.add(n_docs)`` —
-    the committer-metrics shape — called once per non-empty batch."""
+    the committer-metrics shape — called once per non-empty batch
+    ATTEMPT: an at-least-once replay that re-ingests an epoch counts
+    again (the store stays exact; the counter counts work done, the
+    committer convention).
+
+    Epoch ingest ids are namespaced by a token of the CHECKPOINT
+    path: Structured Streaming epoch ids restart at 0 under a fresh
+    checkpoint, and un-namespaced ids would silently OVERWRITE a
+    prior run's epochs in a shared store (replace-on-replay is the
+    contract within one checkpoint lineage, data loss across two).
+    The flip side is explicit: rebinding a store to a new checkpoint
+    re-ingests whatever the new stream reads beside the old rows —
+    point a fresh store at a fresh checkpoint, or dedup upstream."""
+    import hashlib
+    import os
+
     store = DsirFeatureStore(spark, store_path, n=n, buckets=buckets)
+    ck_token = hashlib.md5(
+        os.path.abspath(checkpoint).encode()).hexdigest()[:8]
 
     if source_stream is not None:
         src = source_stream
@@ -66,8 +83,9 @@ def start_dsir_feature_stream(spark: SparkSession,
     def process(batch: DataFrame, epoch_id: int) -> None:
         if batch.isEmpty():
             return
-        ingested = store.ingest(batch, id_col, text_col,
-                                ingest_id=f"epoch-{epoch_id:012d}")
+        ingested = store.ingest(
+            batch, id_col, text_col,
+            ingest_id=f"epoch-{ck_token}-{epoch_id:012d}")
         if stats is not None:
             stats.add(ingested)
 

@@ -2241,3 +2241,32 @@ def test_source_gc_is_clone_aware_single_metastore(spark, tmp_path):
     from pyspark.errors import AnalysisException
     with pytest.raises(AnalysisException, match="b5--"):
         cl2.read(spark).collect()                      # Delta semantics
+
+
+def test_clone_register_to_commit_window_protected(spark, tmp_path):
+    """The register-to-commit race (r15 review finding): a gc running
+    between a clone's marker registration and its first commit sees a
+    manifest-less marker — within the grace it must protect the
+    marker's pinned SOURCE version wholesale (dirs AND version file)
+    so the in-flight clone_from still completes; past the grace the
+    manifest-less marker is stale and prunes."""
+    src = ManifestedTable(str(tmp_path), "proj", "events")
+    src.write(_df(spark, [1, 2]), batch_id="b1")       # v1
+    src.delete_where(spark, F.col("id") == 2)          # v2 rewrites b1
+
+    # simulate the in-flight window: registered, not yet committed
+    cl = ManifestedTable(str(tmp_path), "proj", "events_cl")
+    src._register_clone(cl.table_dir, 1)
+    removed = src.gc(keep_versions=1, grace_seconds=3600)
+    assert not any(d.startswith("b1--") for d in removed), removed
+    assert 1 in src._version_numbers()                 # file kept too
+
+    # the clone completes against the still-present snapshot
+    assert cl.clone_from(src, version=1) == 1
+    assert sorted(r.id for r in cl.read(spark).collect()) == [1, 2]
+
+    # past the grace, a manifest-less marker is stale and prunes
+    cl2 = ManifestedTable(str(tmp_path), "proj", "events_cl2")
+    src._register_clone(cl2.table_dir, 2)
+    src.gc(keep_versions=1, grace_seconds=0)
+    assert src.registered_clones() == [cl.table_dir]
