@@ -18,6 +18,13 @@ Layout under ``path/``:
   separate verdict-checkpoint job and survivor-append job folded into
   one (the round-7 llm17 perf debt). The returned verdict re-reads
   this ingest's partition — file scan, no lineage re-run.
+  Lifecycle (r15): a long-running stream accretes one partition per
+  epoch; ``compact()`` merges them into one ``_ingest=_c-*`` blob
+  (original ingest ids carried in ``_orig``) so the store-side scan
+  lists one directory regardless of stream age. The replay contract
+  survives: a replayed MERGED ingest returns its stored verdict from
+  the blob (recomputing would match it against its own previous
+  attempt), and the match exclusion filters ``_orig`` too.
 - ``buckets/`` — one row per KEPT (doc, band): (_id, band, bh), written
   ONLY with ``bucket_table`` set: then it is a catalog table
   ``CLUSTERED BY (bh)`` (``bucketBy`` + ``saveAsTable``) so the store
@@ -42,6 +49,8 @@ band-keyed parquet table.
 
 from __future__ import annotations
 
+import json
+import os
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -59,6 +68,7 @@ _SIGS_SCHEMA = StructType([
     StructField("matched_id", LongType()),
     StructField("est_jac", DoubleType()),
     StructField("keep", BooleanType()),
+    StructField("_orig", StringType()),        # pre-compaction ingest id
     StructField("_ingest", StringType()),      # hive partition column
 ])
 
@@ -86,6 +96,7 @@ class MinHashStore:
         self.bucket_table = bucket_table
         self.num_buckets = num_buckets
         self._exists: dict[str, bool] = {}
+        self._recover_compactions()
 
     # -- storage ------------------------------------------------------------
 
@@ -109,15 +120,120 @@ class MinHashStore:
     def stored_sigs(self, exclude_ingest: str | None = None) -> DataFrame:
         """Surviving documents' signatures — the store a new batch
         dedups against (keep=false rows are verdict history, not
-        corpus state). ``exclude_ingest`` drops one ingest PARTITION
-        from the view (partition-pruned, not row-filtered): the
-        replay-idempotency hook — a re-run of ingest N must not match
-        its documents against their own previous attempt."""
+        corpus state). ``exclude_ingest`` drops one ingest's rows from
+        the view: the replay-idempotency hook — a re-run of ingest N
+        must not match its documents against their own previous
+        attempt. For live partitions the exclusion is the partition
+        value (pruned); for rows a compact() folded into a blob it is
+        the carried ``_orig`` id (row filter over the one blob)."""
         df = self._read_or_empty("sigs", _SIGS_SCHEMA)
         if exclude_ingest is not None:
-            df = df.filter(F.col("_ingest").isNull()
-                           | (F.col("_ingest") != exclude_ingest))
+            df = df.filter(
+                (F.col("_ingest").isNull()
+                 | (F.col("_ingest") != exclude_ingest))
+                & (F.col("_orig").isNull()
+                   | (F.col("_orig") != exclude_ingest)))
         return df.filter("keep").select("_id", "_sig", "_bands")
+
+    # -- compaction (the DsirFeatureStore lifecycle, sig-store form) ---------
+
+    @property
+    def _merged_path(self) -> str:
+        return f"{self.path}/_merged.json"
+
+    def merged_ids(self) -> set[str]:
+        """Ingest ids whose rows live in a compacted blob — a replayed
+        ingest of one of these returns its STORED verdict (recomputing
+        would match the replay against its own previous attempt, now
+        inside the blob, and mark every document a duplicate of
+        itself)."""
+        try:
+            with open(self._merged_path) as f:
+                return set(json.load(f)["ids"])
+        except FileNotFoundError:
+            return set()
+
+    def _record_merged(self, ids: set[str]) -> None:
+        out = sorted(self.merged_ids() | ids)
+        tmp = f"{self._merged_path}.tmp.{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            json.dump({"ids": out}, f)
+        os.replace(tmp, self._merged_path)
+
+    def _recover_compactions(self) -> None:
+        """Converge a crashed compact(): a blob whose ``_inputs.json``
+        ids are not yet recorded rolls FORWARD (record, then sweep) —
+        transient double-presence of blob + input rows is
+        verdict-idempotent here (max-by best-match over duplicated
+        candidates yields the same verdict), so unlike the DSIR
+        store's counts no pre-commit staging is needed; recorded
+        leftovers sweep."""
+        import shutil
+
+        base = f"{self.path}/sigs"
+        try:
+            dirs = os.listdir(base)
+        except FileNotFoundError:
+            return
+        merged = self.merged_ids()
+        pending: set[str] = set()
+        for d in dirs:
+            if not d.startswith("_ingest=_c-"):
+                continue
+            try:
+                with open(os.path.join(base, d, "_inputs.json")) as f:
+                    pending |= set(json.load(f)["ids"]) - merged
+            except FileNotFoundError:
+                if d.split("=", 1)[1] not in merged:
+                    # blob written but its manifest never landed: its
+                    # inputs are intact — roll back
+                    shutil.rmtree(os.path.join(base, d),
+                                  ignore_errors=True)
+        if pending:
+            self._record_merged(pending)
+            merged |= pending
+        if merged:
+            for d in dirs:
+                if d.startswith("_ingest=") \
+                        and d.split("=", 1)[1] in merged:
+                    shutil.rmtree(os.path.join(base, d),
+                                  ignore_errors=True)
+
+    def compact(self) -> int:
+        """Merge every sig partition into ONE blob (``_ingest=_c-*``,
+        original ingest ids carried in ``_orig``): the store side of
+        every future match scan lists one directory instead of one
+        per epoch. Returns the number of partitions merged. Replay
+        contract preserved: ``ingest`` of a merged id returns the
+        blob's stored verdict and the match exclusion also filters on
+        ``_orig``. Single-writer maintenance window, like
+        run_maintenance and the DSIR store's compact."""
+        self._recover_compactions()
+        base = f"{self.path}/sigs"
+        try:
+            parts = sorted(d.split("=", 1)[1] for d in os.listdir(base)
+                           if d.startswith("_ingest="))
+        except FileNotFoundError:
+            return 0
+        if len(parts) <= 1:
+            return 0
+        cid = f"_c-{uuid.uuid4().hex[:12]}"
+        # the write executes immediately (before any delete), so the
+        # read's plan-time file listing is already frozen — no
+        # checkpoint needed
+        (self._read_or_empty("sigs", _SIGS_SCHEMA)
+         .withColumn("_orig", F.coalesce("_orig", "_ingest"))
+         .drop("_ingest")
+         .write.mode("overwrite").parquet(f"{base}/_ingest={cid}"))
+        with open(os.path.join(base, f"_ingest={cid}",
+                               "_inputs.json"), "w") as f:
+            json.dump({"ids": sorted(parts)}, f)
+        self._record_merged(set(parts))
+        import shutil
+        for p in parts:
+            shutil.rmtree(os.path.join(base, f"_ingest={p}"),
+                          ignore_errors=True)
+        return len(parts)
 
     def stored_buckets(self) -> DataFrame:
         if self.bucket_table and self.spark.catalog.tableExists(
@@ -251,6 +367,16 @@ class MinHashStore:
                 "derived buckets — bucket_table appends are not "
                 "replay-safe")
         ingest_id = ingest_id or uuid.uuid4().hex
+        if ingest_id in self.merged_ids():
+            # a compact() folded this ingest into a blob: return its
+            # STORED verdict — recomputing would match the replayed
+            # docs against their own previous attempt (the exclusion
+            # can no longer drop a whole partition) and mark every
+            # document a duplicate of itself
+            return (self._read_or_empty("sigs", _SIGS_SCHEMA)
+                    .filter(F.col("_orig") == ingest_id)
+                    .select(F.col("_id").alias(id_col), "keep",
+                            "matched_id", "est_jac"))
         # cache(): the write job references sigs in several DAG branches
         # (its own bucket stream twice, the new-sig side, the union'd
         # verify side) — computed once, read from cache by the rest

@@ -160,3 +160,93 @@ def test_bucketed_catalog_table_layout(spark, tmp_path):
         assert "Bucket Columns [`bh`]" in desc
     finally:
         spark.sql("DROP TABLE IF EXISTS sigstore_buckets_test")
+
+
+def test_compact_preserves_dedup_and_replay_contract(spark, tmp_path):
+    """compact() (r15): every epoch partition folds into one blob
+    with dedup behavior unchanged — a compacted store gives the SAME
+    verdicts as an uncompacted twin on the next batch — and the
+    replay contract survives: a replayed MERGED ingest returns its
+    stored verdict (it must NOT recompute and match its own previous
+    attempt, which would mark every doc a self-duplicate); post-blob
+    epochs land beside the blob and a second compact folds them."""
+    import os
+
+    a = MinHashStore(spark, str(tmp_path / "a"), threshold=0.5)
+    b = MinHashStore(spark, str(tmp_path / "b"), threshold=0.5)
+    batches = [(_docs(spark, 0, 20), "e0"),
+               (_docs(spark, 20, 40), "e1"),
+               (_perturbed(_docs(spark, 0, 10)), "e2")]
+    verdicts = {}
+    for df, eid in batches:
+        verdicts[eid] = {r.doc_id: (r.keep, r.matched_id) for r in
+                         a.ingest(df, "doc_id", "text",
+                                  ingest_id=eid).collect()}
+        b.ingest(df, "doc_id", "text", ingest_id=eid)
+
+    assert a.compact() == 3
+    sig_dirs = [d for d in os.listdir(tmp_path / "a" / "sigs")
+                if d.startswith("_ingest=")]
+    assert len(sig_dirs) == 1 and sig_dirs[0].startswith("_ingest=_c-")
+    assert a.stored_sigs().count() == b.stored_sigs().count()
+
+    # replayed merged ingest: the STORED verdict, not a recompute
+    replay = {r.doc_id: (r.keep, r.matched_id) for r in
+              a.ingest(batches[2][0], "doc_id", "text",
+                       ingest_id="e2").collect()}
+    assert replay == verdicts["e2"]
+    assert a.stored_sigs().count() == b.stored_sigs().count()
+
+    # the next REAL batch dedups identically against blob vs partitions
+    nxt = _docs(spark, 40, 50).unionByName(_perturbed(_docs(spark, 20, 30)))
+    va = {r.doc_id: (r.keep, r.matched_id)
+          for r in a.ingest(nxt, "doc_id", "text",
+                            ingest_id="e3").collect()}
+    vb = {r.doc_id: (r.keep, r.matched_id)
+          for r in b.ingest(nxt, "doc_id", "text",
+                            ingest_id="e3").collect()}
+    assert va == vb
+    # and a replayed NOT-yet-merged epoch still excludes itself
+    va_replay = {r.doc_id: (r.keep, r.matched_id)
+                 for r in a.ingest(nxt, "doc_id", "text",
+                                   ingest_id="e3").collect()}
+    assert va_replay == va
+
+    # second compact folds blob + the new epochs together
+    assert a.compact() == 2  # blob + e3 (the replay overwrote in place)
+    assert a.stored_sigs().count() == b.stored_sigs().count()
+
+
+def test_compact_crash_recovery(spark, tmp_path):
+    """A blob whose _inputs manifest never landed rolls BACK on
+    reopen (inputs intact); a blob with the manifest but no merged
+    record rolls FORWARD (recorded, inputs swept); recorded leftover
+    dirs sweep — all while dedup results stay identical."""
+    import json as _json
+    import os
+
+    path = tmp_path / "s"
+    store = MinHashStore(spark, str(path), threshold=0.5)
+    store.ingest(_docs(spark, 0, 20), "doc_id", "text", ingest_id="e0")
+    store.ingest(_docs(spark, 20, 40), "doc_id", "text",
+                 ingest_id="e1")
+    n = store.stored_sigs().count()
+
+    # (a) manifest-less blob: roll back
+    dead = path / "sigs" / "_ingest=_c-dead"
+    spark.createDataFrame([(999,)], "_id long").write.parquet(str(dead))
+    s2 = MinHashStore(spark, str(path), threshold=0.5)
+    assert not dead.exists()
+    assert s2.stored_sigs().count() == n
+
+    # (b) blob + manifest, record lost: roll forward from _inputs
+    assert s2.compact() == 2
+    with open(path / "_merged.json", "w") as f:
+        _json.dump({"ids": []}, f)
+    leftover = path / "sigs" / "_ingest=e0"
+    spark.createDataFrame([(999,)], "_id long") \
+        .write.parquet(str(leftover))
+    s3 = MinHashStore(spark, str(path), threshold=0.5)
+    assert {"e0", "e1"} <= s3.merged_ids()
+    assert not leftover.exists()
+    assert s3.stored_sigs().count() == n
