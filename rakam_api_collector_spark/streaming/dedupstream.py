@@ -49,8 +49,22 @@ def start_corpus_dedup_stream(spark: SparkSession,
 
     ``store_kw`` passes through to :class:`MinHashStore` (num_perm,
     bands, threshold, …); ``bucket_table`` is rejected there — replay
-    idempotency requires derived buckets."""
+    idempotency requires derived buckets.
+
+    Epoch ingest ids are namespaced by a token of the CHECKPOINT path
+    (the dsirstream rule, r15): epoch ids restart at 0 under a fresh
+    checkpoint, and un-namespaced ids would silently OVERWRITE a
+    prior run's signature partitions in a shared store — replacing
+    stored corpus state, not replaying it. Rebinding a store to a new
+    checkpoint instead re-dedups whatever the new stream reads
+    against everything stored (the correct semantics: already-stored
+    documents win)."""
+    import hashlib
+    import os as _os
+
     store = MinHashStore(spark, store_path, **store_kw)
+    ck_token = hashlib.md5(
+        _os.path.abspath(checkpoint).encode()).hexdigest()[:8]
 
     if source_stream is not None:
         src = source_stream
@@ -65,8 +79,9 @@ def start_corpus_dedup_stream(spark: SparkSession,
     def process(batch: DataFrame, epoch_id: int) -> None:
         if batch.isEmpty():
             return
-        verdict = store.ingest(batch, id_col, text_col,
-                               ingest_id=f"epoch-{epoch_id:012d}")
+        verdict = store.ingest(
+            batch, id_col, text_col,
+            ingest_id=f"epoch-{ck_token}-{epoch_id:012d}")
         if verdicts_dir is not None:
             (verdict.write.mode("overwrite")
              .parquet(f"{verdicts_dir}/_epoch={epoch_id}"))
