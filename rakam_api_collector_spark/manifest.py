@@ -1815,16 +1815,23 @@ class ManifestedTable:
 
     def _register_clone(self, clone_table_dir: str,
                         source_version: int) -> None:
-        """Marker keyed by a digest of the clone's table dir —
-        idempotent for re-clones into the same (emptied) target. The
+        """Marker keyed by a digest of the clone's table dir. The
         pinned source version rides along so a gc racing the
         register-to-commit window can protect the right snapshot
-        before the clone has any manifests of its own."""
+        before the clone has any manifests of its own. A RE-clone
+        into the same (emptied) target must REFRESH the marker —
+        keeping the old one would carry a stale mtime (no grace
+        protection for the new window) and the old source_version
+        (protecting the wrong snapshot) — so this is delete +
+        create-if-absent; the instant between the two is no wider
+        than the pre-register state the grace already covers."""
         token = hashlib.md5(clone_table_dir.encode()).hexdigest()[:16]
-        self.meta.put_if_absent(
-            f"{self.clones_dir}/{token}.json",
-            json.dumps({"table_dir": clone_table_dir,
-                        "source_version": source_version}))
+        marker = f"{self.clones_dir}/{token}.json"
+        content = json.dumps({"table_dir": clone_table_dir,
+                              "source_version": source_version})
+        if not self.meta.put_if_absent(marker, content):
+            self.meta.delete(marker)
+            self.meta.put_if_absent(marker, content)
 
     def registered_clones(self) -> list[str]:
         """Table dirs of clones registered against this source (stale

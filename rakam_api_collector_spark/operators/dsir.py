@@ -240,10 +240,17 @@ def dsir_scored_weights(spark: SparkSession, raw: DataFrame,
     garbage-collected, so repeated selections in a long session do
     not accrete cache entries no caller holds a handle to (persist()
     entries outlive their DataFrames until an explicit unpersist).
-    The trade is storage while the frame lives — O(corpus gram
-    count); pass ``share_scan=False`` where executor storage is
-    tighter than CPU (each consumer then re-tokenizes its own scan,
-    the pre-r15 shape). The ids-only frame still reads raw directly
+    The trades, stated: storage while the frame lives — O(corpus
+    gram count) — and localCheckpoint's lineage truncation, so an
+    executor lost AFTER materialization (spot/preemptible nodes,
+    aggressive dynamic allocation) fails the downstream action
+    instead of recomputing from lineage as persist() would. Pass
+    ``share_scan=False`` where executor storage is tighter than CPU
+    or executors are preemptible (each consumer then re-tokenizes
+    its own scan, the pre-r15 shape); callers wanting both sharing
+    AND fault re-computation should materialize
+    ``dsir_scored_weights`` themselves (persist + unpersist, or a
+    table) and pass ``weights=``. The ids-only frame still reads raw directly
     either way (column-pruned to the id; zero-gram docs must survive).
     ``DsirFeatureStore`` is the stronger form of the same trade —
     tokenize once at INGEST, never again."""
@@ -397,6 +404,15 @@ class DsirFeatureStore:
 
     def __init__(self, spark: SparkSession, path: str, *,
                  n: int = 2, buckets: int = 10_000) -> None:
+        if "://" in path:
+            # the meta/merged records and compaction listings go
+            # through os.* — a URI would silently create a mangled
+            # local dir; an object-store deployment routes this seam
+            # the way manifest.MetadataStore routes the txn log
+            raise ValueError(
+                f"DsirFeatureStore requires a local filesystem path "
+                f"(got {path!r}): its _meta/_merged records and "
+                f"compaction listings use the local OS seam")
         self.spark = spark
         self.path = path.rstrip("/")
         meta_path = os.path.join(self.path, "_meta.json")

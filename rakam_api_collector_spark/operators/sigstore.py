@@ -208,6 +208,17 @@ class MinHashStore:
         blob's stored verdict and the match exclusion also filters on
         ``_orig``. Single-writer maintenance window, like
         run_maintenance and the DSIR store's compact."""
+        if "://" in self.path:
+            # ingest/stored_sigs work on any Spark-readable path, but
+            # the compaction machinery (listings, merged record,
+            # deletes) uses the local OS seam — refusing loudly beats
+            # os.listdir's FileNotFoundError masquerading as an empty
+            # store and compact() silently returning 0 forever
+            raise ValueError(
+                f"compact() requires a local filesystem store path "
+                f"(got {self.path!r}) — object-store deployments keep "
+                "per-epoch partitions or route this seam like "
+                "manifest.MetadataStore")
         self._recover_compactions()
         base = f"{self.path}/sigs"
         try:

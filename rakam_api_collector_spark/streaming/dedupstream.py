@@ -51,20 +51,26 @@ def start_corpus_dedup_stream(spark: SparkSession,
     bands, threshold, …); ``bucket_table`` is rejected there — replay
     idempotency requires derived buckets.
 
-    Epoch ingest ids are namespaced by a token of the CHECKPOINT path
-    (the dsirstream rule, r15): epoch ids restart at 0 under a fresh
+    Epoch ingest ids — and the per-epoch verdict/survivor output dirs
+    — are namespaced by a token of the CHECKPOINT string (the
+    dsirstream rule, r15): epoch ids restart at 0 under a fresh
     checkpoint, and un-namespaced ids would silently OVERWRITE a
-    prior run's signature partitions in a shared store — replacing
-    stored corpus state, not replaying it. Rebinding a store to a new
-    checkpoint instead re-dedups whatever the new stream reads
-    against everything stored (the correct semantics: already-stored
-    documents win)."""
+    prior run's signature partitions (and epoch outputs) in a shared
+    store — replacing stored corpus state, not replaying it.
+    Rebinding a store to a new checkpoint instead re-dedups whatever
+    the new stream reads against everything stored (the correct
+    semantics: already-stored documents win). The token hashes the
+    checkpoint string AS GIVEN — deliberately not driver-resolved
+    (abspath of a relative path changes with the driver's cwd and
+    mangles URIs); pass the same string on every restart, as the
+    engine itself requires for the checkpoint to resume. Migration
+    note: ids were un-namespaced before r15 — drain an in-flight
+    pre-r15 stream (let its last epoch commit) before upgrading, or
+    its first replayed epoch will not self-exclude."""
     import hashlib
-    import os as _os
 
     store = MinHashStore(spark, store_path, **store_kw)
-    ck_token = hashlib.md5(
-        _os.path.abspath(checkpoint).encode()).hexdigest()[:8]
+    ck_token = hashlib.md5(checkpoint.encode()).hexdigest()[:8]
 
     if source_stream is not None:
         src = source_stream
@@ -84,12 +90,12 @@ def start_corpus_dedup_stream(spark: SparkSession,
             ingest_id=f"epoch-{ck_token}-{epoch_id:012d}")
         if verdicts_dir is not None:
             (verdict.write.mode("overwrite")
-             .parquet(f"{verdicts_dir}/_epoch={epoch_id}"))
+             .parquet(f"{verdicts_dir}/_epoch={ck_token}-{epoch_id}"))
         if survivors_dir is not None:
             kept = verdict.filter("keep").select(id_col)
             (batch.join(kept, id_col)
              .write.mode("overwrite")
-             .parquet(f"{survivors_dir}/_epoch={epoch_id}"))
+             .parquet(f"{survivors_dir}/_epoch={ck_token}-{epoch_id}"))
 
     trig = trigger or {"availableNow": True}
     return (src.writeStream.foreachBatch(process)

@@ -62,13 +62,16 @@ def start_dsir_feature_stream(spark: SparkSession,
     contract within one checkpoint lineage, data loss across two).
     The flip side is explicit: rebinding a store to a new checkpoint
     re-ingests whatever the new stream reads beside the old rows —
-    point a fresh store at a fresh checkpoint, or dedup upstream."""
+    point a fresh store at a fresh checkpoint, or dedup upstream.
+    The token hashes the checkpoint string AS GIVEN — deliberately
+    not driver-resolved (abspath of a relative path changes with the
+    driver's cwd and mangles URIs); pass the same string on every
+    restart, as the engine itself requires for the checkpoint to
+    resume."""
     import hashlib
-    import os
 
     store = DsirFeatureStore(spark, store_path, n=n, buckets=buckets)
-    ck_token = hashlib.md5(
-        os.path.abspath(checkpoint).encode()).hexdigest()[:8]
+    ck_token = hashlib.md5(checkpoint.encode()).hexdigest()[:8]
 
     if source_stream is not None:
         src = source_stream

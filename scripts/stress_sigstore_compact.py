@@ -63,15 +63,25 @@ def main() -> None:
         probe = frame(docs[n_epochs * per:])
 
         def timed_probe(name):
-            t0 = time.perf_counter()
-            v = stores[name].ingest(probe, "doc_id", "text",
-                                    ingest_id="probe")
-            n = v.filter(F.col("keep")).count()
-            return round(time.perf_counter() - t0, 2), n
+            # min-of-2 via a SAME-ID replay (recomputes with
+            # self-exclusion — identical verdict, fresh timing);
+            # verdicts compared in full, not by keep-count
+            best, verdict = None, None
+            for _ in range(2):
+                t0 = time.perf_counter()
+                v = stores[name].ingest(probe, "doc_id", "text",
+                                        ingest_id="probe")
+                verdict = {r.doc_id: (r.keep, r.matched_id)
+                           for r in v.collect()}
+                w = time.perf_counter() - t0
+                best = w if best is None else min(best, w)
+            return round(best, 2), verdict
 
-        frag_wall, frag_keep = timed_probe("frag")
-        blob_wall, blob_keep = timed_probe("blob")
-        assert frag_keep == blob_keep, (frag_keep, blob_keep)
+        # blob first: any residual warm-up bias then works AGAINST
+        # the compaction claim, not for it
+        blob_wall, blob_verdict = timed_probe("blob")
+        frag_wall, frag_verdict = timed_probe("frag")
+        assert frag_verdict == blob_verdict
         print(json.dumps({
             "metric": "sigstore_compact_probe_wall_sec",
             "n_epochs": n_epochs, "docs_per_epoch": per,

@@ -2270,3 +2270,32 @@ def test_clone_register_to_commit_window_protected(spark, tmp_path):
     src._register_clone(cl2.table_dir, 2)
     src.gc(keep_versions=1, grace_seconds=0)
     assert src.registered_clones() == [cl.table_dir]
+
+
+def test_reclone_refreshes_marker_version_and_mtime(spark, tmp_path):
+    """r15 review: a RE-clone into the same emptied target must
+    refresh the marker (source_version + mtime) — the old marker
+    would protect the wrong snapshot and carry a stale mtime outside
+    the register-to-commit grace."""
+    import json as _json
+    import os
+
+    src = ManifestedTable(str(tmp_path), "proj", "events")
+    src.write(_df(spark, [1]), batch_id="b1")          # v1
+    src.write(_df(spark, [2]), batch_id="b2")          # v2
+
+    cl = ManifestedTable(str(tmp_path), "proj", "events_cl")
+    cl.clone_from(src, version=1)
+    marker_dir = src.clones_dir
+    marker = os.path.join(marker_dir, os.listdir(marker_dir)[0])
+    with open(marker) as f:
+        assert _json.load(f)["source_version"] == 1
+
+    # empty the target and re-clone at v2: marker must say v2 now
+    import shutil
+    shutil.rmtree(cl.table_dir)
+    cl2 = ManifestedTable(str(tmp_path), "proj", "events_cl")
+    cl2.clone_from(src, version=2)
+    with open(marker) as f:
+        assert _json.load(f)["source_version"] == 2
+    assert src.registered_clones() == [cl2.table_dir]
