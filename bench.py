@@ -69,6 +69,17 @@ def _proc_tree_cpu_jiffies() -> int | None:
         return None
 
 
+def _load_verdict(external_cores: float | None,
+                  dirty_gate: float) -> bool:
+    """The clean/dirty ATTESTATION (r16): dirty unless the
+    run-integrated external load was both measurable and at-or-under
+    the dirty gate. Deliberately independent of (and much tighter
+    than) the loadavg ADMISSION gate — BENCH_r15 was admitted at
+    loadavg 1.56 < 2.0 yet ran with 0.93 external busy cores and a
+    10%-inflated wall; the attestation must convict that run."""
+    return external_cores is None or external_cores > dirty_gate
+
+
 def _clean_anchor_queries(candidate_paths: list[str]) -> dict:
     """Per-query timings from the first candidate artifact that is
     CLEAN-ATTESTED — parsed payload carries ``load_dirty: false``.
@@ -280,8 +291,18 @@ def main() -> None:
     # the verdict is about the MEASUREMENT, not the gate override: a
     # forced run on a box that measured clean is clean; a forced run
     # under real external load is dirty and says so (the r12 failure
-    # class — noise presented as measurement)
-    load_dirty = external_cores is None or external_cores > gate
+    # class — noise presented as measurement). The DIRTY threshold is
+    # deliberately much tighter than the loadavg admission gate (r16,
+    # VERDICT r15: BENCH_r15 ran with 0.93 external cores — admitted
+    # at loadavg 1.56 < 2.0, but its wall rose 10% and random queries
+    # inflated up to 2× — and was still attested clean because the
+    # verdict reused the 2.0 admission gate. Admission answers "is it
+    # worth starting"; attestation answers "was the number clean",
+    # and ~1 busy external core on a 32-thread box measurably skews
+    # the 32-way stages).
+    dirty_gate = float(os.environ.get(
+        "SPARK_GRAFT_BENCH_MAX_EXTERNAL_CORES", "0.25"))
+    load_dirty = _load_verdict(external_cores, dirty_gate)
     if external_cores is None:
         print("bench: external-load accounting unavailable on this "
               "platform (/proc required) — artifact marked load_dirty "
@@ -289,9 +310,9 @@ def main() -> None:
               "by loadavg_start/loadavg_1m instead", file=sys.stderr)
     elif load_dirty:
         print(f"bench: external load averaged {external_cores} busy "
-              f"cores over the run (> gate {gate}) — artifact marked "
-              "load_dirty; re-record on an idle box before committing",
-              file=sys.stderr)
+              f"cores over the run (> dirty gate {dirty_gate}) — "
+              "artifact marked load_dirty; re-record on an idle box "
+              "before committing", file=sys.stderr)
 
     # Full-fidelity per-query timings for the judge (full names, 4
     # decimals, rep counts for the min-of-2 entries).
@@ -313,6 +334,7 @@ def main() -> None:
         "loadavg_1m": round(os.getloadavg()[0], 2),
         "external_cores_avg": external_cores,
         "load_dirty": load_dirty,
+        "dirty_gate_external_cores": dirty_gate,
         "forced": forced,
         "subset": only or None,
     }

@@ -51,6 +51,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+# Clone markers with no committed manifest are pruned only past this
+# age (seconds), REGARDLESS of how aggressive a gc(grace_seconds=...)
+# call is — the marker may belong to another process's in-flight
+# clone_from (see ManifestedTable._clone_protection).
+_CLONE_MARKER_MIN_AGE = 3600.0
+
+
 class ConstraintViolation(RuntimeError):
     """A write carried rows that evaluate a table CHECK constraint to
     FALSE (ANSI semantics: NULL passes). Raised before any file is
@@ -90,6 +97,31 @@ class MetadataStore:
         """Atomic create-if-absent. True on win; False if the path
         already exists (another writer committed first)."""
         raise NotImplementedError
+
+    def put(self, path: str, content: str) -> None:
+        """Atomic LAST-WRITER-WINS overwrite of one small object —
+        POSIX rename / plain S3 PUT (both atomic per object). For
+        records that are monotone and single-writer by contract (the
+        signature/DSIR stores' ``_merged`` id set) — version-CAS
+        state keeps using :meth:`put_if_absent`."""
+        raise NotImplementedError
+
+    def read_if_exists(self, path: str) -> str | None:
+        """:meth:`read`, with a missing object mapped to ``None``
+        (POSIX FileNotFoundError; S3-wire 404 / NoSuchKey)."""
+        try:
+            return self.read(path)
+        except (FileNotFoundError, KeyError):
+            return None
+        except Exception as e:  # noqa: BLE001 — typed by status below
+            resp = getattr(e, "response", None)
+            if isinstance(resp, dict):
+                status = (resp.get("ResponseMetadata") or {}).get(
+                    "HTTPStatusCode")
+                code = (resp.get("Error") or {}).get("Code")
+                if status == 404 or code in ("NoSuchKey", "404"):
+                    return None
+            raise
 
     def delete(self, path: str) -> None:
         """Remove one file; missing is success (a concurrent sweep
@@ -133,6 +165,14 @@ class LocalMetadataStore(MetadataStore):
             return False
         finally:
             os.unlink(tmp)
+
+    def put(self, path: str, content: str) -> None:
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        tmp = os.path.join(os.path.dirname(path),
+                           f".tmp-{uuid.uuid4().hex}.json")
+        with open(tmp, "w") as f:
+            f.write(content)
+        os.replace(tmp, path)           # atomic overwrite
 
     def delete(self, path: str) -> None:
         try:
@@ -316,6 +356,11 @@ class ObjectMetadataStore(MetadataStore):
                 retried = True
                 self._sleep(random.uniform(0.0, min(delay, 2.0)))
                 delay *= 2
+
+    def put(self, path: str, content: str) -> None:
+        # unconditional PUT — atomic last-writer-wins per object
+        self._call("put_object", Key=self._key(path),
+                   Body=content.encode())
 
     def delete(self, path: str) -> None:
         # S3 DeleteObject on a missing key is already a success
@@ -1885,9 +1930,18 @@ class ManifestedTable:
             vnames = [n for n in self.meta.list(vdir)
                       if n.startswith("v") and n.endswith(".json")]
             if not vnames:
+                # marker PRUNING never rides the caller's writer-grace:
+                # gc(grace_seconds=0) is a legitimate "my own writers
+                # are quiesced" assertion, but a clone_from in ANOTHER
+                # process may be inside its register-to-commit window —
+                # deleting its marker would let the clone commit
+                # unregistered and silently unprotected from every
+                # future source gc. Staleness for markers uses a
+                # conservative floor of its own.
+                horizon = max(grace_seconds, _CLONE_MARKER_MIN_AGE)
                 try:
                     young = (now - self.meta.mtime(marker)
-                             < grace_seconds)
+                             < horizon)
                 except FileNotFoundError:
                     continue                   # concurrent sweep won
                 if young and "source_version" in info:

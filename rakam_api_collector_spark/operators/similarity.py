@@ -928,3 +928,151 @@ def ivf_pq_index_topk(spark, path: str, queries: DataFrame,
                        *(["_qv", "_cv"] if rerank_factor else []))
               .agg(F.max("score").alias("score")))
     return _topk_with_rerank(scored, k, rerank_factor)
+
+
+# ---------------------------------------------------------------------------
+# index maintenance: cell-balance audit + retrain/rebuild (r16)
+
+def ivf_cell_stats(path: str) -> dict:
+    """Cell-balance audit of a persisted IVF / IVF-PQ index from
+    parquet FOOTERS alone — no data pages, no Spark job: per-cell row
+    counts, max, median (over ALL cells, empty ones included), and
+    ``imbalance`` = max/median.
+
+    Why this exists: persisted indexes FREEZE their centroids by
+    design (the Jégou'11 IVFADC contract — re-assigning old vectors on
+    every append would rewrite the index), so at stream scale a
+    drifted corpus silently piles new vectors into a few hot cells.
+    Recall then degrades without any error: nprobe cells no longer
+    cover the distribution, and the probed-cell read fraction grows
+    past nprobe/n_cells. This function turns the documented
+    retrain+rebuild contract into an OPERABLE one — poll it from the
+    maintenance cadence and rebuild when :func:`ivf_needs_rebuild`
+    fires. Cost: one footer read per index file (KBs each).
+    """
+    import json as _json
+    import re as _re
+
+    import pyarrow.dataset as _ds
+
+    try:
+        with open(f"{path}/_centroids.json") as f:
+            n_cells = len(_json.load(f))
+    except (FileNotFoundError, OSError):
+        n_cells = None                    # fall back to observed cells
+    counts: dict[int, int] = {}
+    dataset = _ds.dataset(path, format="parquet", partitioning="hive")
+    for frag in dataset.get_fragments():
+        m = _re.search(r"cell=(\d+)", frag.path)
+        if not m:
+            continue
+        c = int(m.group(1))
+        # count_rows() on an unfiltered parquet fragment is served
+        # from row-group metadata — footer only
+        counts[c] = counts.get(c, 0) + frag.count_rows()
+    if n_cells is None:
+        n_cells = (max(counts) + 1) if counts else 0
+    per = sorted(counts.get(i, 0) for i in range(n_cells))
+    mx = per[-1] if per else 0
+    if not per:
+        median = 0.0
+    elif len(per) % 2:
+        median = float(per[len(per) // 2])
+    else:
+        median = (per[len(per) // 2 - 1] + per[len(per) // 2]) / 2.0
+    if mx == 0:
+        imbalance = 0.0
+    elif median == 0:
+        imbalance = float("inf")          # >half the cells are empty
+    else:
+        imbalance = round(mx / median, 4)
+    return {"n_cells": n_cells, "rows": sum(per), "max": mx,
+            "median": median, "imbalance": imbalance,
+            "empty_cells": sum(1 for v in per if v == 0),
+            "counts": counts}
+
+
+def ivf_needs_rebuild(stats: dict, max_over_median: float = 8.0) -> bool:
+    """The drift trigger: True when the hottest cell holds more than
+    ``max_over_median``× the median cell's rows (or when more than
+    half the cells are empty while data exists — imbalance inf). A
+    balanced index sits near 1; a corpus whose distribution moved
+    after the centroids froze climbs steadily. 8× default: far above
+    natural k-means spread, far below the hot-cell regime where a
+    probe must read a data-sized fraction of the index."""
+    return stats["imbalance"] > max_over_median
+
+
+def rebuild_ivf_index(spark, path: str, dest: str, *,
+                      n_cells: int | None = None,
+                      iters: int = 2) -> None:
+    """Retrain centroids on the index's CURRENT contents and rebuild
+    at ``dest`` — the rebuild half of the drift contract. Every
+    (neighbor, vector) row is preserved (at-least-once append
+    duplicates collapse — the reclamation append_to_ivf_index's
+    docstring promises). Writes to a NEW path: readers switch after
+    the rebuild lands (the manifest swap rule — an in-place overwrite
+    would break concurrent frozen plans).
+
+    Seeding is MASS-PROPORTIONAL, not a warm start from the old
+    centroids: warm-started Lloyd iterations cannot split a hot cell
+    (a tight drifted blob stays nearest to the one centroid that
+    moved into it — the imbalance survives retraining). Instead each
+    old cell gets seeds in proportion to its row count (largest
+    remainder), drawn evenly through the cell by id order — so the
+    drifted mass seeds many centroids and splits, empty cells lose
+    their centroid, and the Lloyd rounds then refine. Deterministic
+    end to end (id-ordered seed picks, the clustering module's
+    fold/rounding rules).
+
+    IVF-PQ indexes rebuild the same way only when built
+    ``store_vectors=True`` (codes alone cannot re-train); a
+    codes-only index re-runs build_ivf_pq_index over the source
+    corpus instead."""
+    import json as _json
+
+    with open(f"{path}/_centroids.json") as f:
+        old = _json.load(f)
+    k = n_cells or len(old)
+    idx = (spark.read.parquet(path)
+           .select("neighbor", "_cv", F.col("cell").cast("int")
+                   .alias("_oldcell"))
+           .dropDuplicates(["neighbor"]))
+    counts = {r["_oldcell"]: r["n"] for r in
+              idx.groupBy("_oldcell").agg(F.count("*").alias("n"))
+              .collect()}                     # ≤ n_cells rows
+    total = sum(counts.values())
+    if total < k:
+        raise ValueError(
+            f"index holds {total} distinct vectors < n_cells={k}")
+    # largest-remainder seat allocation, capped at each cell's rows
+    quota = {c: k * n / total for c, n in counts.items()}
+    seats = {c: min(int(q), counts[c]) for c, q in quota.items()}
+    rema = sorted(counts, key=lambda c: (-(quota[c] - seats[c]), c))
+    i = 0
+    while sum(seats.values()) < k:
+        c = rema[i % len(rema)]
+        if seats[c] < counts[c]:
+            seats[c] += 1
+        i += 1
+    # evenly-spaced picks through each cell (id order): rank targets
+    targets = [(c, int((j + 0.5) * counts[c] / s) + 1)
+               for c, s in seats.items() if s
+               for j in range(s)]
+    w = Window.partitionBy("_oldcell").orderBy("neighbor")
+    tgt = F.array(*[F.lit(f"{c}:{r}") for c, r in targets])
+    seeds = (idx.withColumn("_rn", F.row_number().over(w))
+             .filter(F.array_contains(
+                 tgt, F.concat_ws(":", "_oldcell", "_rn")))
+             .orderBy("_oldcell", "_rn")
+             .select(F.transform(F.col("_cv"),
+                                 lambda x: F.round(x, 6)).alias("_v"))
+             .collect())                      # exactly k rows
+    init = [list(r["_v"]) for r in seeds]
+    from rakam_api_collector_spark.operators.clustering import \
+        kmeans_centroids
+    cents = kmeans_centroids(idx, "neighbor", "_cv", init=init,
+                             iters=iters)
+    build_ivf_index(idx.drop("_oldcell"), "neighbor", "_cv", dest,
+                    n_cells=k,
+                    centroids=np.asarray(cents, dtype=np.float64))

@@ -352,6 +352,36 @@ scalar-function rows over the same 100-event slice; union the
 output columns into one dq27_scalar_encode row — the union of both
 oracles). Execute the pairing only WITH the promotion, same rule as
 the r15 llm02+llm03/llm55 pairing.
+
+r16 EXECUTION (current window): the 49 r15-out due-backs + the spare
+spent exactly per the drafted plan: llm56_token_budget promoted
+(the definitional one-window canonical form as its DuckDB oracle —
+certifying the two-phase bucket-cutoff implementation against the
+query it must equal), paid for by the drafted dq27_json_encode +
+dq28_date_format consolidation into dq27_scalar_encode (ONE
+100-event slice scan emitting js AND basic_iso/iso_ts — the union
+of both r15-certified outputs; registry stays at 99).
+
+EVIDENCE-INHERITANCE NOTE (dq27_scalar_encode): dq27/dq28 were both
+r15-window-green and are NOT due until r17 — the merged row is the
+literal union of the two certified queries over the same slice
+(same expressions, same oracles, one SELECT), so per the r15
+llm02_lexical_stats precedent it carries its halves' r15 evidence,
+enters the r17 due-back pool on their schedule, and is certified
+in-round by the full local gate (scripts/check_correctness.py, all
+99) rather than by a window slot — which all 49 real due-backs
+need. r16 also modified the code under llm17_incremental_dedup and
+llm55_dsir_select (the MetadataStore seam port + the passive-open
+recovery contract); both are r15-window-green (due r17) and are
+certified at the r16 HEAD by the same full local gate, with the
+protocol change itself pinned by the rewritten crash-recovery
+tests + the new object-store suite (tests/test_store_meta.py).
+
+Out-of-window (49 queries, all r15-green, due back in r17 — leaving
+1 spare): llm55_dsir_select, llm17_incremental_dedup, dq01-04,
+dq06/07, dq09-11, dq18-26, dq27_scalar_encode (carrying dq27/dq28's
+r15 evidence), dq33, dq35, dq37-46, llm07-10, llm12-15, llm29-33,
+llm35, llm46, llm50.
 """
 
 from __future__ import annotations
@@ -363,29 +393,34 @@ _ALL_ORACLE = {**relational.ORACLE, **llm_ops.ORACLE}
 
 # First 50 = this round's driver-checked window (see docstring history).
 _WINDOW = [
-    # lead: the r15 promotion — DSIR as a driver row with a FULL
-    # DuckDB oracle (the slot freed by the llm02+llm03 consolidation;
-    # see the r15 history block and the evidence-inheritance note)
-    "llm55_dsir_select",
-    # the 49 r14-out due-backs (all r13-green)
-    "dq01_projection", "dq02_whitelist", "dq03_late_split",
-    "dq04_sink_envelope", "dq06_max_offset", "dq07_zone_map",
-    "dq09_distinct_agg", "dq10_rollup", "dq11_sum_cents",
-    "dq18_topk", "dq19_truncate", "dq20_safe_cast",
-    "dq21_set_ops", "dq22_array_funcs", "dq23_hash",
-    "dq24_scalars", "dq25_udf_shape", "dq26_epoch_conversions",
-    "dq27_json_encode", "dq28_date_format", "dq33_percentile",
-    "dq35_sessionize", "dq37_hash_split", "dq38_cube",
-    "dq39_pivot", "dq40_window_analytics", "dq41_approx_quantile",
-    "dq42_funnel", "dq43_retention", "dq44_grouping_sets",
-    "dq45_range_frame", "dq46_stats_agg", "llm07_exact_dedup",
-    "llm08_jaccard_pairs", "llm09_minhash_lsh", "llm10_simhash",
-    "llm12_ann_lsh", "llm13_multimodal_meta", "llm14_decode_features",
-    "llm15_embed_dedup", "llm17_incremental_dedup",
-    "llm29_pack_sequences", "llm30_mixture_sample",
-    "llm31_vocab_coverage", "llm32_dedup_keep_best",
-    "llm33_audio_pipeline", "llm35_resize_image",
-    "llm46_semantic_dedup", "llm50_dup_span_removal",
+    # lead: the r16 promotion — exact token-budget mixture sampling
+    # with the definitional one-window canonical form as its oracle
+    # (the slot freed by the dq27+dq28 consolidation; see the r16
+    # history block and the evidence-inheritance note)
+    "llm56_token_budget",
+    # the 49 r15-out due-backs (all r14-green)
+    "llm34_video_sampling", "llm54_audio_phash",
+    "dq05_route_fanout", "dq08_hash_agg",
+    "dq12_join_dim", "dq13_multi_join", "dq14_semi_anti",
+    "dq15_outer_join", "dq16_window", "dq17_dedup_first",
+    "dq29_envelope_parse", "dq30_tumbling_window", "dq31_asof_join",
+    "dq32_salted_agg", "dq34_range_join", "dq36_approx_distinct",
+    "dq47_sliding_window",
+    "llm01_token_count", "llm02_lexical_stats",
+    "llm04_lang_id", "llm05_fingerprint", "llm06_quality",
+    "llm11_knn_cosine", "llm16_dedup_clusters",
+    "llm18_bpe_tokens", "llm19_ivf_ann", "llm20_tfidf",
+    "llm21_pii_redact", "llm22_chunk_dedup", "llm23_contamination",
+    "llm24_stratified_split", "llm25_repetition", "llm26_kmeans",
+    "llm27_surprisal", "llm28_quantize",
+    "llm37_bigram_lm", "llm38_training_order",
+    "llm39_curriculum_bins", "llm40_quality_rules",
+    "llm41_head_truncate", "llm42_curation_e2e",
+    "llm43_compression_ratio", "llm44_jpeg_decode",
+    "llm47_boilerplate_removal", "llm48_bpe_merges",
+    "llm49_ivf_pq_recall",
+    "llm51_unigram_tokenizer", "llm52_html_extract",
+    "llm53_ocf_roundtrip",
 ]
 
 assert len(_WINDOW) == 50 and len(set(_WINDOW)) == 50, len(_WINDOW)

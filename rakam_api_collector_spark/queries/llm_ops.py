@@ -895,6 +895,34 @@ def llm30_mixture_sample(spark: SparkSession, sf: str) -> DataFrame:
             .orderBy("lang"))
 
 
+def llm56_token_budget(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact TOKEN-budget mixture sampling (operators/sampling.py:
+    sample_token_budget, landed r15, promoted r16): per group g with
+    weight w_g, keep the (seeded-md5-uniform, id)-ordered PREFIX of
+    documents while the running token total before a document is
+    still under w_g·budget — crossing doc included, groups absent
+    from the weights drop, a group that runs out keeps everything.
+    The token is the unit a training run actually budgets
+    (mixture_sample/llm30 is the doc-count sibling).
+
+    The oracle is the DEFINITIONAL one-window form verbatim — so the
+    driver certifies the two-phase bucket-cutoff implementation
+    (tiny (group,bucket) aggregate + a window over only the boundary
+    bucket's ~1/B slice; NEVER a whole-group sort) against the
+    canonical query it must equal."""
+    from rakam_api_collector_spark.operators.sampling import \
+        sample_token_budget
+
+    docs = (load_table(spark, sf, "documents")
+            .select("doc_id", "lang",
+                    F.size(T.tokens(F.col("text")))
+                    .cast("long").alias("n_tok")))
+    kept = sample_token_budget(docs, "doc_id", "lang", "n_tok",
+                               {"en": 0.5, "zh": 0.3, "es": 0.2},
+                               budget=8000, seed=11)
+    return kept.orderBy("doc_id")
+
+
 def llm31_vocab_coverage(spark: SparkSession, sf: str) -> DataFrame:
     """Top-50 vocabulary with cumulative corpus coverage
     (operators/text.py:vocab_coverage) — the tokenizer-training /
@@ -1494,6 +1522,7 @@ QUERIES = {
     "llm28_quantize": llm28_quantize,
     "llm29_pack_sequences": llm29_pack_sequences,
     "llm30_mixture_sample": llm30_mixture_sample,
+    "llm56_token_budget": llm56_token_budget,
     "llm31_vocab_coverage": llm31_vocab_coverage,
     "llm32_dedup_keep_best": llm32_dedup_keep_best,
     "llm33_audio_pipeline": llm33_audio_pipeline,
@@ -2204,6 +2233,31 @@ ORACLE = {
                CAST(bef // 256 AS BIGINT) AS seq_id,
                CAST(bef % 256 AS BIGINT) AS seq_off
         FROM b ORDER BY doc_id
+    """,
+    # the DEFINITIONAL one-window canonical form (the implementation
+    # is the two-phase bucket cutoff — tests/test_packing.py pins the
+    # equality; this oracle certifies it against the definition).
+    # CAST(wt AS DOUBLE) matches the engine's float weights bit-exactly
+    # (decimal 0.3 -> double == parsing the literal 0.3).
+    "llm56_token_budget": f"""
+        WITH w(lang, wt) AS (VALUES ('en', 0.5), ('zh', 0.3),
+                                    ('es', 0.2)),
+        d AS (SELECT doc_id, lang,
+                     CAST(len({_DUCK_TOKS}) AS BIGINT) AS n_tok
+              FROM documents),
+        u AS (SELECT d.doc_id, d.lang, d.n_tok,
+                     CAST(w.wt AS DOUBLE) AS wt,
+                     CAST('0x' || substring(md5('11:' ||
+                          CAST(d.doc_id AS VARCHAR)), 1, 8) AS UBIGINT)
+                     / 4294967296.0 AS u
+              FROM d JOIN w USING (lang)),
+        c AS (SELECT *, sum(n_tok) OVER (PARTITION BY lang
+                     ORDER BY u, CAST(doc_id AS VARCHAR)) - n_tok
+                     AS bef
+              FROM u)
+        SELECT doc_id, lang, n_tok FROM c
+        WHERE bef < wt * 8000
+        ORDER BY doc_id
     """,
     "llm30_mixture_sample": """
         WITH w(lang, wt) AS (VALUES

@@ -301,27 +301,26 @@ def dq26_epoch_conversions(spark: SparkSession, sf: str) -> DataFrame:
                     .alias("day_diff")))
 
 
-def dq27_json_encode(spark: SparkSession, sf: str) -> DataFrame:
-    """F3 JSON re-encode of nested values (FabricJsonDeserializer.java:
-    424,442,477: non-scalars inside maps/arrays serialize to JSON text).
-    Parse props, re-encode a constructed nested struct deterministically."""
+def dq27_scalar_encode(spark: SparkSession, sf: str) -> DataFrame:
+    """F3+F4 scalar encodes in ONE 100-event slice scan — the r16
+    consolidation of dq27_json_encode + dq28_date_format (both r15-
+    green single-scan scalar rows over the same slice; this row is
+    the literal union of their certified outputs, same expressions,
+    one SELECT — the llm02_lexical_stats precedent):
+    JSON re-encode of a constructed nested struct
+    (FabricJsonDeserializer.java:424,442,477: non-scalars inside
+    maps/arrays serialize to JSON text) and the sink-side
+    BASIC_ISO_DATE / ISO-instant timestamp formats
+    (S3DatabaseHandler.java:72,240-243)."""
     ev = load_table(spark, sf, "events").orderBy("event_id").limit(100)
     k = F.get_json_object("props", "$.k").cast("long")
     return ev.select(
         "event_id",
         F.to_json(F.struct(k.alias("k"),
-                           F.array(k, k + 1).alias("ks"))).alias("js"))
-
-
-def dq28_date_format(spark: SparkSession, sf: str) -> DataFrame:
-    """F4 sink-side timestamp formatting (S3DatabaseHandler.java:72,240-243:
-    BASIC_ISO_DATE object keys + ISO-instant envelope strings)."""
-    return (load_table(spark, sf, "events")
-            .orderBy("event_id").limit(100)
-            .select("event_id",
-                    F.date_format("ts", "yyyyMMdd").alias("basic_iso"),
-                    F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss.SSS")
-                    .alias("iso_ts")))
+                           F.array(k, k + 1).alias("ks"))).alias("js"),
+        F.date_format("ts", "yyyyMMdd").alias("basic_iso"),
+        F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss.SSS")
+        .alias("iso_ts"))
 
 
 def dq29_envelope_parse(spark: SparkSession, sf: str) -> DataFrame:
@@ -756,8 +755,7 @@ QUERIES = {
     "dq24_scalars": dq24_scalars,
     "dq25_udf_shape": dq25_udf_shape,
     "dq26_epoch_conversions": dq26_epoch_conversions,
-    "dq27_json_encode": dq27_json_encode,
-    "dq28_date_format": dq28_date_format,
+    "dq27_scalar_encode": dq27_scalar_encode,
     "dq29_envelope_parse": dq29_envelope_parse,
     "dq30_tumbling_window": dq30_tumbling_window,
     "dq31_asof_join": dq31_asof_join,
@@ -920,19 +918,15 @@ ORACLE = {
                     AS INTEGER) AS day_diff
         FROM events ORDER BY event_id LIMIT 100
     """,
-    "dq27_json_encode": """
+    "dq27_scalar_encode": """
         SELECT event_id,
-               concat('{"k":', k, ',"ks":[', k, ',', k + 1, ']}') AS js
-        FROM (SELECT event_id,
+               concat('{"k":', k, ',"ks":[', k, ',', k + 1, ']}') AS js,
+               strftime(ts, '%Y%m%d') AS basic_iso,
+               strftime(ts, '%Y-%m-%dT%H:%M:%S.%g') AS iso_ts
+        FROM (SELECT event_id, ts,
                      CAST(json_extract(props, '$.k') AS BIGINT) AS k
               FROM events ORDER BY event_id LIMIT 100)
         ORDER BY event_id
-    """,
-    "dq28_date_format": """
-        SELECT event_id,
-               strftime(ts, '%Y%m%d') AS basic_iso,
-               strftime(ts, '%Y-%m-%dT%H:%M:%S.%g') AS iso_ts
-        FROM events ORDER BY event_id LIMIT 100
     """,
     "dq29_envelope_parse": """
         SELECT event_type,

@@ -36,6 +36,7 @@ def start_corpus_dedup_stream(spark: SparkSession,
                               trigger: dict | None = None,
                               max_files_per_trigger: int | None = None,
                               source_stream: DataFrame | None = None,
+                              compact_every_n_epochs: int | None = None,
                               **store_kw):
     """Start the dedup query over a parquet directory of documents
     (schema frozen from a static read, the annindex convention) or an
@@ -63,14 +64,34 @@ def start_corpus_dedup_stream(spark: SparkSession,
     checkpoint string AS GIVEN — deliberately not driver-resolved
     (abspath of a relative path changes with the driver's cwd and
     mangles URIs); pass the same string on every restart, as the
-    engine itself requires for the checkpoint to resume. Migration
-    note: ids were un-namespaced before r15 — drain an in-flight
-    pre-r15 stream (let its last epoch commit) before upgrading, or
-    its first replayed epoch will not self-exclude."""
+    engine itself requires for the checkpoint to resume.
+
+    LEGACY GUARD (r16, ADVICE r15): ids were un-namespaced before r15
+    (``epoch-N``). Resuming a pre-r15 checkpoint against its store
+    would replay its in-flight epoch under the NEW namespaced id —
+    self-exclusion would miss the old partition and every replayed
+    document would be stored twice and marked a duplicate of its own
+    prior attempt. The wrapper snapshots the store's legacy ids at
+    start and RAISES the moment an epoch whose legacy partition
+    exists would ingest (a drained pre-r15 store — legacy partitions
+    present but never replayed — keeps working untouched).
+
+    ``compact_every_n_epochs`` (r16, opt-in) folds the store's epoch
+    partitions into one blob every N committed epochs, FROM INSIDE
+    ``foreachBatch`` — the one place streaming guarantees the store's
+    single-writer window (no concurrent ingest; epochs serialize).
+    Enable it only if nothing else ingests into or compacts this
+    store, and note SELECT-shaped readers outside the stream must
+    tolerate the window too (the store contract). Replays compose:
+    a replayed epoch a prior compact already folded no-ops its ingest
+    and the follow-up compact sees ≤1 partition and returns 0."""
     import hashlib
+    import re
 
     store = MinHashStore(spark, store_path, **store_kw)
     ck_token = hashlib.md5(checkpoint.encode()).hexdigest()[:8]
+    legacy_ids = {i for i in store.ingest_ids()
+                  if re.fullmatch(r"epoch-\d+", i)}
 
     if source_stream is not None:
         src = source_stream
@@ -85,6 +106,16 @@ def start_corpus_dedup_stream(spark: SparkSession,
     def process(batch: DataFrame, epoch_id: int) -> None:
         if batch.isEmpty():
             return
+        if legacy_ids and (f"epoch-{epoch_id}" in legacy_ids
+                           or f"epoch-{epoch_id:012d}" in legacy_ids):
+            raise ValueError(
+                f"store at {store_path!r} holds epoch {epoch_id} "
+                f"under a pre-r15 un-namespaced id — replaying it "
+                f"namespaced would store its documents twice and "
+                f"mark them duplicates of their own prior attempt. "
+                f"Drain the pre-upgrade checkpoint, or rename the "
+                f"store partition to "
+                f"_ingest=epoch-{ck_token}-{epoch_id:012d}")
         verdict = store.ingest(
             batch, id_col, text_col,
             ingest_id=f"epoch-{ck_token}-{epoch_id:012d}")
@@ -96,6 +127,9 @@ def start_corpus_dedup_stream(spark: SparkSession,
             (batch.join(kept, id_col)
              .write.mode("overwrite")
              .parquet(f"{survivors_dir}/_epoch={ck_token}-{epoch_id}"))
+        if compact_every_n_epochs \
+                and (epoch_id + 1) % compact_every_n_epochs == 0:
+            store.compact()
 
     trig = trigger or {"availableNow": True}
     return (src.writeStream.foreachBatch(process)

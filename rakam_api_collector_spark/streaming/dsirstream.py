@@ -42,7 +42,8 @@ def start_dsir_feature_stream(spark: SparkSession,
                               trigger: dict | None = None,
                               max_files_per_trigger: int | None = None,
                               source_stream: DataFrame | None = None,
-                              stats=None):
+                              compact_every_n_epochs: int | None = None,
+                              meta_store=None, stats=None):
     """Start the featurization query over a parquet directory of
     documents (schema frozen from a static read, the annindex
     convention) or an explicit ``source_stream``. Returns the
@@ -67,11 +68,33 @@ def start_dsir_feature_stream(spark: SparkSession,
     not driver-resolved (abspath of a relative path changes with the
     driver's cwd and mangles URIs); pass the same string on every
     restart, as the engine itself requires for the checkpoint to
-    resume."""
-    import hashlib
+    resume.
 
-    store = DsirFeatureStore(spark, store_path, n=n, buckets=buckets)
+    LEGACY GUARD (r16, ADVICE r15 — the dedupstream rule): ids were
+    un-namespaced before r15 (``epoch-N``). Resuming a pre-r15
+    checkpoint would replay its in-flight epoch under the NEW
+    namespaced id — the replay would land BESIDE the old partition
+    and double-count every document. The wrapper snapshots the
+    store's legacy ids at start and raises the moment an epoch whose
+    legacy partition exists would ingest; a drained pre-r15 store
+    keeps working untouched.
+
+    ``compact_every_n_epochs`` (r16, opt-in) folds the store's epoch
+    partition pairs into one blob pair every N committed epochs, from
+    inside ``foreachBatch`` — the one place streaming guarantees the
+    single-writer window (epochs serialize; no concurrent ingest).
+    Enable only if nothing else ingests into or compacts this store,
+    and run selects outside the compaction instants (the store
+    contract). ``meta_store`` passes through to the store — the
+    object-store seam."""
+    import hashlib
+    import re
+
+    store = DsirFeatureStore(spark, store_path, n=n, buckets=buckets,
+                             meta_store=meta_store)
     ck_token = hashlib.md5(checkpoint.encode()).hexdigest()[:8]
+    legacy_ids = {i for i in store.ingest_ids()
+                  if re.fullmatch(r"epoch-\d+", i)}
 
     if source_stream is not None:
         src = source_stream
@@ -86,11 +109,23 @@ def start_dsir_feature_stream(spark: SparkSession,
     def process(batch: DataFrame, epoch_id: int) -> None:
         if batch.isEmpty():
             return
+        if legacy_ids and (f"epoch-{epoch_id}" in legacy_ids
+                           or f"epoch-{epoch_id:012d}" in legacy_ids):
+            raise ValueError(
+                f"store at {store_path!r} holds epoch {epoch_id} "
+                f"under a pre-r15 un-namespaced id — replaying it "
+                f"namespaced would double-count its documents. Drain "
+                f"the pre-upgrade checkpoint, or rename the store "
+                f"partitions to "
+                f"_ingest=epoch-{ck_token}-{epoch_id:012d}")
         ingested = store.ingest(
             batch, id_col, text_col,
             ingest_id=f"epoch-{ck_token}-{epoch_id:012d}")
         if stats is not None:
             stats.add(ingested)
+        if compact_every_n_epochs \
+                and (epoch_id + 1) % compact_every_n_epochs == 0:
+            store.compact()
 
     trig = trigger or {"availableNow": True}
     return (src.writeStream.foreachBatch(process)

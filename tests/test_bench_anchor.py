@@ -92,3 +92,17 @@ def test_repo_artifacts_resolve_to_a_clean_anchor():
     # and the standing dirty example stays skipped: r12 alone never
     # qualifies
     assert _clean_anchor_queries([str(REPO / "BENCH_r12.json")]) == {}
+
+
+def test_load_verdict_is_tighter_than_admission(monkeypatch):
+    """r16 (VERDICT r15 item 5): the clean/dirty attestation gates on
+    the run-integrated external-cores signal with its OWN threshold —
+    the r15 artifact (admitted at loadavg 1.56 < 2.0, 0.93 external
+    cores, 10%-inflated wall) must now be convicted dirty."""
+    from bench import _load_verdict
+
+    assert _load_verdict(0.93, 0.25) is True      # the BENCH_r15 case
+    assert _load_verdict(0.26, 0.25) is True
+    assert _load_verdict(0.25, 0.25) is False     # at the gate: clean
+    assert _load_verdict(0.0, 0.25) is False
+    assert _load_verdict(None, 0.25) is True      # unmeasurable: dirty

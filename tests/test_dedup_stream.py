@@ -94,3 +94,85 @@ def test_replayed_ingest_is_idempotent(spark, tmp_path):
         MinHashStore(spark, str(tmp_path / "s2"),
                      bucket_table="t").ingest(docs, "doc_id", "text",
                                               ingest_id="epoch-1")
+
+
+def test_legacy_unnamespaced_epoch_guard(spark, tmp_path):
+    """r16 (ADVICE r15): resuming against a store holding the CURRENT
+    epoch under a pre-r15 un-namespaced id must FAIL — replaying it
+    namespaced would store the documents twice and mark them
+    duplicates of their own prior attempt. A drained legacy store
+    (legacy partitions for epochs the stream never replays) keeps
+    working untouched."""
+    import pytest
+    from pyspark.errors import StreamingQueryException
+
+    src = str(tmp_path / "incoming")
+    _write(spark, src, [(1, DOC_A), (2, DOC_B)])
+    store_path = str(tmp_path / "store")
+
+    # plant a pre-r15 partition for an epoch a fresh checkpoint will
+    # NEVER reach: stream runs fine, stored docs win (drained-store
+    # migration path preserved)
+    store = MinHashStore(spark, store_path, threshold=0.5)
+    store.ingest(spark.createDataFrame([(50, DOC_C)],
+                                       "doc_id long, text string"),
+                 "doc_id", "text", ingest_id="epoch-000000000099")
+    start_corpus_dedup_stream(
+        spark, src, store_path=store_path, id_col="doc_id",
+        text_col="text", checkpoint=str(tmp_path / "ck1"),
+        threshold=0.5).awaitTermination(180)
+    assert store.stored_sigs().count() == 3      # 50 + 1 + 2
+
+    # plant the CURRENT epoch (a fresh checkpoint starts at 0) as a
+    # legacy id: the guard fires before any store write
+    store.ingest(spark.createDataFrame([(60, DOC_A_NEAR)],
+                                       "doc_id long, text string"),
+                 "doc_id", "text", ingest_id="epoch-000000000000")
+    n = store.stored_sigs().count()
+    q = start_corpus_dedup_stream(
+        spark, src, store_path=store_path, id_col="doc_id",
+        text_col="text", checkpoint=str(tmp_path / "ck2"),
+        threshold=0.5)
+    with pytest.raises(StreamingQueryException, match="pre-r15"):
+        q.awaitTermination(180)
+    assert store.stored_sigs().count() == n      # nothing landed
+
+
+def test_dedup_stream_scheduled_compaction(spark, tmp_path):
+    """compact_every_n_epochs (r16, VERDICT r15 item 4): a multi-epoch
+    drain with the hook on ends with ONE compacted blob, verdicts
+    identical to the unhooked run, and the replay contract intact —
+    a resumed drain re-ingests nothing and a replayed merged epoch
+    returns its stored verdict."""
+    import os
+
+    src = str(tmp_path / "incoming")
+    for rows in [[(1, DOC_A), (2, DOC_B)], [(3, DOC_A_NEAR)],
+                 [(4, DOC_C)],
+                 [(5, "yet another entirely unrelated text about "
+                      "parquet footer statistics and row group "
+                      "pruning strategies in columnar scans")]]:
+        _write(spark, src, rows)
+
+    kw = dict(store_path=str(tmp_path / "store"), id_col="doc_id",
+              text_col="text", checkpoint=str(tmp_path / "ckpt"),
+              verdicts_dir=str(tmp_path / "verdicts"), threshold=0.5,
+              max_files_per_trigger=1, compact_every_n_epochs=2)
+    start_corpus_dedup_stream(spark, src, **kw).awaitTermination(240)
+
+    sig_parts = [d for d in os.listdir(tmp_path / "store" / "sigs")
+                 if d.startswith("_ingest=")]
+    assert len(sig_parts) == 1                   # one blob
+    assert sig_parts[0].startswith("_ingest=_c-")
+
+    verdicts = {r.doc_id: r for r in
+                spark.read.parquet(str(tmp_path / "verdicts"))
+                .collect()}
+    assert len(verdicts) == 5
+    assert all(verdicts[i].keep for i in (1, 2, 4, 5))
+    assert not verdicts[3].keep and verdicts[3].matched_id == 1
+
+    # resumed drain: nothing new, store unchanged
+    start_corpus_dedup_stream(spark, src, **kw).awaitTermination(120)
+    store = MinHashStore(spark, str(tmp_path / "store"), threshold=0.5)
+    assert store.stored_sigs().count() == 4

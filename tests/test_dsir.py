@@ -601,6 +601,91 @@ def test_dsir_feature_stream_e2e(spark, tmp_path):
         == {i for i, _ in RAW}
 
 
+def test_dsir_stream_scheduled_compaction(spark, tmp_path):
+    """compact_every_n_epochs (r16, VERDICT r15 item 4): a multi-epoch
+    drain with the hook on ends with ONE compacted partition pair, the
+    selection identical to the batch form, and the replay contract
+    intact across the mid-stream compactions — a resumed drain with
+    the same checkpoint re-ingests nothing."""
+    import os
+
+    from rakam_api_collector_spark.operators.dsir import \
+        DsirFeatureStore
+    from rakam_api_collector_spark.streaming.dsirstream import \
+        start_dsir_feature_stream
+
+    files_dir = tmp_path / "flat"
+    files_dir.mkdir()
+    chunks = [RAW[:2], RAW[2:4], RAW[4:6], RAW[6:]]
+    for i, chunk in enumerate(chunks):
+        spark.createDataFrame(chunk, ["doc_id", "text"]) \
+            .coalesce(1).write.parquet(str(tmp_path / f"tmp{i}"))
+        import shutil
+        f = next((tmp_path / f"tmp{i}").glob("*.parquet"))
+        shutil.copy(f, files_dir / f"{i}.parquet")
+
+    q = start_dsir_feature_stream(
+        spark, str(files_dir), str(tmp_path / "store"), "doc_id",
+        "text", str(tmp_path / "ckpt"), n=N, buckets=B,
+        max_files_per_trigger=1, compact_every_n_epochs=2)
+    q.awaitTermination(180)
+
+    # one compacted pair, regardless of epoch count
+    feats_parts = [d for d in os.listdir(tmp_path / "store" / "feats")
+                   if d.startswith("_ingest=")]
+    counts_parts = [d for d in os.listdir(tmp_path / "store" / "counts")
+                    if d.startswith("_ingest=")]
+    assert len(feats_parts) == 1 and feats_parts == counts_parts
+    assert feats_parts[0].startswith("_ingest=_c-")
+
+    store = DsirFeatureStore(spark, str(tmp_path / "store"),
+                             n=N, buckets=B)
+    raw = spark.createDataFrame(RAW, ["doc_id", "text"])
+    target = spark.createDataFrame(TARGET, ["doc_id", "text"])
+    got = store.select(target, "doc_id", "text", k=4, alpha=ALPHA,
+                       seed=7, temperature=2.0).collect()
+    want = dsir_select(spark, raw, target, "doc_id", "text", k=4,
+                       n=N, buckets=B, alpha=ALPHA, seed=7,
+                       temperature=2.0).collect()
+    assert [r["_id"] for r in got] == [r["doc_id"] for r in want]
+
+    # replay across the compactions: resumed drain ingests nothing
+    q2 = start_dsir_feature_stream(
+        spark, str(files_dir), str(tmp_path / "store"), "doc_id",
+        "text", str(tmp_path / "ckpt"), n=N, buckets=B,
+        compact_every_n_epochs=2)
+    q2.awaitTermination(120)
+    assert {r["_id"] for r in store.feats().collect()} \
+        == {i for i, _ in RAW}
+
+
+def test_dsir_store_rejects_null_or_non_numeric_ids(spark, tmp_path):
+    """The numeric-id contract (r16, ADVICE r15 medium): ids that are
+    NULL or do not cast to long raise at ingest BEFORE any write —
+    silently collapsing them to one null row would corrupt the store
+    while the batch twin kept working on the raw values."""
+    from rakam_api_collector_spark.operators.dsir import \
+        DsirFeatureStore
+
+    store = DsirFeatureStore(spark, str(tmp_path / "s"), n=N,
+                             buckets=B)
+    bad = spark.createDataFrame([("doc-x", "some text"),
+                                 ("7", "numeric string ok")],
+                                "doc_id string, text string")
+    with pytest.raises(ValueError, match="null or non-numeric"):
+        store.ingest(bad, "doc_id", "text", ingest_id="e0")
+    nullid = spark.createDataFrame([(None, "text")],
+                                   "doc_id long, text string")
+    with pytest.raises(ValueError, match="null or non-numeric"):
+        store.ingest(nullid, "doc_id", "text", ingest_id="e1")
+    # nothing landed
+    assert store.feats().count() == 0
+    # numeric strings cast losslessly and are accepted
+    ok = spark.createDataFrame([("7", "numeric string ok")],
+                               "doc_id string, text string")
+    assert store.ingest(ok, "doc_id", "text", ingest_id="e2") == 1
+
+
 def test_feature_store_compact_lifecycle(spark, tmp_path):
     """compact() merges every epoch partition pair into one blob with
     results bit-identical (feats rows, LM, selection), the replay
@@ -658,15 +743,16 @@ def test_feature_store_compact_lifecycle(spark, tmp_path):
 
 
 def test_feature_store_compact_crash_recovery(spark, tmp_path):
-    """The crash protocol converges from every window: a pre-commit
-    blob (feats written, counts twin never went live) rolls BACK on
-    reopen with inputs intact; orphaned staging dirs are deleted; a
-    post-record leftover input dir (the delete step crashed) is swept;
-    a lost merged record with the blob + twin live rolls FORWARD from
-    the blob's own _inputs manifest."""
+    """r16 contract: store OPENS are passive (an open can never roll
+    back another process's live compaction — ADVICE r15) and READS
+    resolve every crash state from the metadata alone — a pre-commit
+    blob (no counts twin), a resurrected merged-input dir, and a blob
+    whose merged record was lost are all invisible or exactly-once to
+    reads the moment the store opens. The destructive convergence
+    (roll back / roll forward / sweep) runs inside ingest()/compact(),
+    the operations the single-writer window already serializes."""
     import json as _json
     import os
-    import shutil
 
     from rakam_api_collector_spark.operators.dsir import \
         DsirFeatureStore
@@ -689,7 +775,9 @@ def test_feature_store_compact_crash_recovery(spark, tmp_path):
                 s.select(target, "doc_id", "text", k=5, alpha=ALPHA,
                          seed=7, temperature=2.0).collect()]
 
-    # (a) pre-commit crash: feats blob + manifest, NO counts twin
+    # (a) pre-commit crash: feats blob + manifest, NO counts twin —
+    # dead to reads on a passive open; compact() rolls it back (and
+    # sweeps the pre-r16 staging leftover) then folds the epochs
     dead = base / "feats" / "_ingest=_c-dead"
     spark.createDataFrame([(1, 2, 3)], "_id long, bucket int, cnt long") \
         .write.parquet(str(dead))
@@ -697,27 +785,40 @@ def test_feature_store_compact_crash_recovery(spark, tmp_path):
         _json.dump({"ids": ["epoch-0", "epoch-1"]}, f)
     (base / "counts" / ".staging-_ingest=_c-dead").mkdir()
     s2 = reopen()
+    assert dead.exists()                           # open is passive
+    assert sel(s2) == want                         # ...reads resolve
+    assert s2.compact() == 2
     assert not dead.exists()                       # rolled back
     assert not (base / "counts" / ".staging-_ingest=_c-dead").exists()
-    assert sel(s2) == want                         # inputs intact
+    assert sel(s2) == want
 
     # (b) delete-step crash: re-create a merged input dir post-compact
-    assert s2.compact() == 2
+    # — dead to reads immediately; the next compact() sweeps it
     blob = [d for d in os.listdir(base / "feats")][0]
     leftover = base / "feats" / "_ingest=epoch-0"
     spark.createDataFrame([(1, 2, 3)], "_id long, bucket int, cnt long") \
         .write.parquet(str(leftover))
     s3 = reopen()
+    assert leftover.exists()                       # open is passive
+    assert sel(s3) == want                         # ...reads resolve
+    assert s3.compact() == 0                       # sweep only
     assert not leftover.exists()                   # swept
     assert sel(s3) == want
 
-    # (c) lost merged record with blob + twin live: rolls FORWARD from
-    # the blob's _inputs manifest (and sweeps the resurrected input)
+    # (c) lost merged record with blob + twin live: reads derive the
+    # folded set from the blob's own _inputs manifest (resurrected
+    # input stays dead, no double-count); ingest-time recovery
+    # re-records, sweeps, and the replayed merged epoch is a no-op
     with open(base / "_merged.json", "w") as f:
         _json.dump({"ids": []}, f)
     spark.createDataFrame([(1, 2, 3)], "_id long, bucket int, cnt long") \
         .write.parquet(str(leftover))
     s4 = reopen()
+    assert s4.merged_ids() == set()                # record really lost
+    assert sel(s4) == want                         # ...reads resolve
+    assert s4.ingest(
+        spark.createDataFrame(RAW[:4], ["doc_id", "text"]),
+        "doc_id", "text", ingest_id="epoch-0") == 0   # recovery here
     assert {"epoch-0", "epoch-1"} <= s4.merged_ids()
     assert not leftover.exists()
     assert sel(s4) == want

@@ -4,11 +4,15 @@ parquet — atomic visibility, idempotent retries, orphan invisibility
 
 from __future__ import annotations
 
+import json
+import os
+import time
 from datetime import datetime
 
 import pytest
 from pyspark.sql import functions as F
 
+from rakam_api_collector_spark import manifest as manifest_mod
 from rakam_api_collector_spark.manifest import ManifestedTable
 
 
@@ -2223,8 +2227,17 @@ def test_source_gc_is_clone_aware_single_metastore(spark, tmp_path):
     assert sorted(r.id for r in cl.read(spark).collect()) == [1, 2]
     assert src.registered_clones() == [cl.table_dir]   # marker remains
 
-    # stale marker: delete the clone wholesale -> next gc prunes it
+    # stale marker: delete the clone wholesale. gc(grace_seconds=0)
+    # does NOT prune a fresh manifest-less marker (r16: it could be
+    # another process's in-flight clone_from — pruning rides a
+    # conservative age floor, never the caller's writer-grace); once
+    # the marker is older than the floor it prunes.
     shutil.rmtree(cl.table_dir)
+    src.gc(keep_versions=1, grace_seconds=0)
+    assert src.registered_clones() == [cl.table_dir]   # too young
+    marker = os.path.join(src.clones_dir, os.listdir(src.clones_dir)[0])
+    old = time.time() - 2 * manifest_mod._CLONE_MARKER_MIN_AGE
+    os.utime(marker, (old, old))
     src.gc(keep_versions=1, grace_seconds=0)
     assert src.registered_clones() == []
 
@@ -2265,9 +2278,19 @@ def test_clone_register_to_commit_window_protected(spark, tmp_path):
     assert cl.clone_from(src, version=1) == 1
     assert sorted(r.id for r in cl.read(spark).collect()) == [1, 2]
 
-    # past the grace, a manifest-less marker is stale and prunes
+    # a manifest-less marker is stale only past the conservative
+    # marker floor (r16) — gc(grace_seconds=0) mid-window must NOT
+    # prune it (the in-flight clone would commit unregistered)
     cl2 = ManifestedTable(str(tmp_path), "proj", "events_cl2")
     src._register_clone(cl2.table_dir, 2)
+    src.gc(keep_versions=1, grace_seconds=0)
+    assert sorted(src.registered_clones()) == sorted(
+        [cl.table_dir, cl2.table_dir])                 # both survive
+    m2 = next(m for m in os.listdir(src.clones_dir)
+              if json.loads(open(os.path.join(src.clones_dir, m))
+                            .read())["table_dir"] == cl2.table_dir)
+    old = time.time() - 2 * manifest_mod._CLONE_MARKER_MIN_AGE
+    os.utime(os.path.join(src.clones_dir, m2), (old, old))
     src.gc(keep_versions=1, grace_seconds=0)
     assert src.registered_clones() == [cl.table_dir]
 

@@ -218,12 +218,14 @@ def test_compact_preserves_dedup_and_replay_contract(spark, tmp_path):
 
 
 def test_compact_crash_recovery(spark, tmp_path):
-    """A blob whose _inputs manifest never landed rolls BACK on
-    reopen (inputs intact); a blob with the manifest but no merged
-    record rolls FORWARD (recorded, inputs swept); recorded leftover
-    dirs sweep — all while dedup results stay identical."""
+    """r16 contract: store OPENS are passive (an open can never roll
+    back another process's live compaction — ADVICE r15) and READS
+    resolve crash leftovers from the metadata alone: a manifest-less
+    blob and a resurrected merged-input dir are both dead to reads the
+    moment the store is opened, while the destructive convergence
+    (roll back / roll forward / sweep) runs inside ingest()/compact()
+    — the operations the single-writer window already serializes."""
     import json as _json
-    import os
 
     path = tmp_path / "s"
     store = MinHashStore(spark, str(path), threshold=0.5)
@@ -232,21 +234,33 @@ def test_compact_crash_recovery(spark, tmp_path):
                  ingest_id="e1")
     n = store.stored_sigs().count()
 
-    # (a) manifest-less blob: roll back
+    # (a) manifest-less blob: PASSIVE open leaves it on disk but reads
+    # exclude it; compact() rolls it back and folds e0+e1
     dead = path / "sigs" / "_ingest=_c-dead"
     spark.createDataFrame([(999,)], "_id long").write.parquet(str(dead))
     s2 = MinHashStore(spark, str(path), threshold=0.5)
-    assert not dead.exists()
+    assert dead.exists()                           # open is passive
+    assert s2.stored_sigs().count() == n           # ...reads resolve
+    assert s2.compact() == 2
+    assert not dead.exists()                       # rolled back
     assert s2.stored_sigs().count() == n
 
-    # (b) blob + manifest, record lost: roll forward from _inputs
-    assert s2.compact() == 2
+    # (b) record lost + merged input resurrected: reads derive the
+    # folded set from the blob's own _inputs manifest (no doubling on
+    # a passive open); ingest-time recovery re-records and sweeps,
+    # and a replayed MERGED ingest still returns its stored verdict
     with open(path / "_merged.json", "w") as f:
         _json.dump({"ids": []}, f)
     leftover = path / "sigs" / "_ingest=e0"
     spark.createDataFrame([(999,)], "_id long") \
         .write.parquet(str(leftover))
     s3 = MinHashStore(spark, str(path), threshold=0.5)
-    assert {"e0", "e1"} <= s3.merged_ids()
-    assert not leftover.exists()
+    assert s3.merged_ids() == set()                # record really lost
+    assert leftover.exists()                       # open is passive
+    assert s3.stored_sigs().count() == n           # ...reads resolve
+    replay = s3.ingest(_docs(spark, 0, 20), "doc_id", "text",
+                       ingest_id="e0")             # recovery runs here
+    assert replay.count() == _docs(spark, 0, 20).count()
+    assert {"e0", "e1"} <= s3.merged_ids()         # rolled forward
+    assert not leftover.exists()                   # swept
     assert s3.stored_sigs().count() == n

@@ -99,19 +99,63 @@ def test_streaming_curation_to_training_table(spark, tmp_path):
         [(100, "market prices rose and traders expect rates to move"),
          (101, "futures prices fell in the grain market")],
         ["doc_id", "text"])
-    sel = store.select(target, "doc_id", "text", k=5, alpha=ALPHA,
+    sel = store.select(target, "doc_id", "text", k=8, alpha=ALPHA,
                        seed=7, temperature=2.0).collect()
     batch = dsir_select(spark,
                         survivors.select("doc_id", "text"), target,
-                        "doc_id", "text", k=5, n=N, buckets=B,
+                        "doc_id", "text", k=8, n=N, buckets=B,
                         alpha=ALPHA, seed=7, temperature=2.0).collect()
     assert [r["_id"] for r in sel] == [r["doc_id"] for r in batch]
-    picked = {r["_id"] for r in sel}
+    selected = {r["_id"] for r in sel}
+
+    # 3b) the trainer's unit is TOKENS, not documents (r16, VERDICT
+    # r15 item 7): the selected subcorpus is cut to an exact per-group
+    # token budget — seeded-uniform prefix per group, crossing doc
+    # included — before anything lands in the governed table
+    from rakam_api_collector_spark.operators.sampling import \
+        sample_token_budget
+    from rakam_api_collector_spark.operators.text import tokens
+    WEIGHTS, BUDGET, SEED = {"even": 0.5, "odd": 0.5}, 40, 3
+    pool = (survivors.select("doc_id", "text")
+            .filter(F.col("doc_id").isin(list(selected)))
+            .withColumn("src", F.when(F.col("doc_id") % 2 == 0,
+                                      "even").otherwise("odd"))
+            .withColumn("n_tok", F.size(tokens(F.col("text")))
+                        .cast("long")))
+    train = sample_token_budget(pool, "doc_id", "src", "n_tok",
+                                WEIGHTS, BUDGET, seed=SEED)
+    rows = {r["doc_id"]: r for r in train.collect()}
+    picked = set(rows)
+    assert picked <= selected and picked
+
+    # the budget property on the final table's contents: each group
+    # reaches its token target (or ran out of docs), and dropping its
+    # last kept doc falls back under — target + one crossing doc, never
+    # more
+    import hashlib
+    pool_rows = {r["doc_id"]: r for r in pool.collect()}
+
+    def u(k):
+        h = hashlib.md5(f"{SEED}:{k}".encode()).hexdigest()[:8]
+        return int(h, 16) / (1 << 32)
+
+    for g, wt in WEIGHTS.items():
+        target_toks = wt * BUDGET
+        kept_g = sorted((i for i in picked
+                         if rows[i]["src"] == g),
+                        key=lambda i: (u(i), str(i)))
+        total = sum(rows[i]["n_tok"] for i in kept_g)
+        group_all = [i for i, r in pool_rows.items() if r["src"] == g]
+        if set(kept_g) == set(group_all):
+            pass                            # group exhausted: keep all
+        else:
+            assert total >= target_toks     # target reached
+        if kept_g:
+            assert total - rows[kept_g[-1]]["n_tok"] < target_toks
 
     # 4) the training table: constraint-gated before anything lands,
     # tagged for reproducibility, cloned zero-copy for the experiment
-    train = (survivors.select("doc_id", "text")
-             .filter(F.col("doc_id").isin(list(picked))))
+    train = train.select("doc_id", "text")
     t = ManifestedTable(str(tmp_path), "corpus", "train")
     t.add_constraint("nonempty", "length(text) > 0", spark=spark)
     t.write(train, batch_id="sel-1", partition_by_day=False)
