@@ -431,17 +431,52 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, id_col: str,
 # ---------------------------------------------------------------------------
 # persisted IVF index: the cell-partitioned layout the docstrings promise
 
+def _model_meta(path: str, meta_store):
+    """Resolve the MetadataStore for an index's MODEL artifacts
+    (``_centroids.json`` / ``_pq_books.json``) — the manifest seam
+    applied to the persisted ANN indexes (r16, the sigstore/DSIR-store
+    port's sibling): the records ride ``put``/``read_if_exists``, so
+    an object-store index passes an ``ObjectMetadataStore`` and the
+    model lives beside the data (parquet IO already resolves URIs
+    through Spark/pyarrow's own filesystems). Default POSIX; a URI
+    path without an explicit store refuses loudly."""
+    if meta_store is not None:
+        return meta_store
+    if "://" in path:
+        raise ValueError(
+            f"index at {path!r} needs an explicit meta_store (e.g. "
+            "manifest.ObjectMetadataStore) — the default model-"
+            "artifact seam is local-POSIX only")
+    from rakam_api_collector_spark.manifest import LocalMetadataStore
+    return LocalMetadataStore()
+
+
+def _read_model(meta, path: str, name: str) -> "np.ndarray":
+    import json
+
+    raw = meta.read_if_exists(f"{path}/{name}")
+    if raw is None:
+        raise FileNotFoundError(f"{path}/{name}")
+    return np.asarray(json.loads(raw), dtype=np.float64)
+
+
+def _write_model(meta, path: str, name: str, arr) -> None:
+    import json
+
+    meta.put(f"{path}/{name}", json.dumps(np.asarray(arr).tolist()))
+
+
 def build_ivf_index(corpus: DataFrame, id_col: str, vec_col: str,
                     path: str, n_cells: int = 16,
-                    centroids: "np.ndarray | None" = None) -> None:
+                    centroids: "np.ndarray | None" = None,
+                    meta_store=None) -> None:
     """Materialize the IVF-flat layout: unit vectors written as parquet
     PARTITIONED BY cell id, centroids saved beside the data
     (``_centroids.json``). This is the pay-once step that turns probing
     into physical partition pruning — a search for nprobe cells reads
     nprobe/n_cells of the files, enforced by the storage layout rather
     than a runtime filter over everything."""
-    import json
-
+    meta = _model_meta(path, meta_store)
     if centroids is None:
         rows = (corpus.filter(F.col(id_col) < n_cells)
                 .select(F.col(id_col).alias("_cid"),
@@ -456,15 +491,11 @@ def build_ivf_index(corpus: DataFrame, id_col: str, vec_col: str,
     (_unit(corpus, id_col, "neighbor", vec_col, "_cv")
      .withColumn("cell", assign(F.col("_cv")))
      .write.mode("overwrite").partitionBy("cell").parquet(path))
-    import os
-    tmp = f"{path}/_centroids.json.tmp"
-    with open(tmp, "w") as f:
-        json.dump(cents.tolist(), f)
-    os.replace(tmp, f"{path}/_centroids.json")
+    _write_model(meta, path, "_centroids.json", cents)
 
 
 def append_to_ivf_index(corpus: DataFrame, id_col: str, vec_col: str,
-                        path: str) -> None:
+                        path: str, meta_store=None) -> None:
     """Incremental index maintenance: assign NEW vectors to cells with
     the index's PERSISTED centroids and append them partition-wise —
     the ingest path never re-reads or rewrites existing index files
@@ -479,10 +510,8 @@ def append_to_ivf_index(corpus: DataFrame, id_col: str, vec_col: str,
     duplicate (q, neighbor) pairs before ranking so retries degrade
     storage, never result correctness; run periodic rebuilds (or an
     exact-dedup pass on ids) to reclaim the space."""
-    import json
-
-    with open(f"{path}/_centroids.json") as f:
-        cents = np.asarray(json.load(f), dtype=np.float64)
+    cents = _read_model(_model_meta(path, meta_store), path,
+                        "_centroids.json")
     assign = _cells_udf(cents, 1)
     (_unit(corpus, id_col, "neighbor", vec_col, "_cv")
      .withColumn("cell", assign(F.col("_cv")))
@@ -491,16 +520,15 @@ def append_to_ivf_index(corpus: DataFrame, id_col: str, vec_col: str,
 
 def ivf_index_topk(spark, path: str, queries: DataFrame, id_col: str,
                    vec_col: str, k: int = 10, nprobe: int = 4,
-                   exclude_self: bool = True) -> DataFrame:
+                   exclude_self: bool = True,
+                   meta_store=None) -> DataFrame:
     """Search a ``build_ivf_index`` table: probe cells are computed for
     the query batch, their union (bounded by |queries|·nprobe ≤
     n_cells) becomes a PARTITION FILTER on the index scan — unprobed
     cells' files are never opened — and scoring is the same broadcast
     + inline-cosine + top-k window shape as ivf_topk."""
-    import json
-
-    with open(f"{path}/_centroids.json") as f:
-        cents = np.asarray(json.load(f), dtype=np.float64)
+    cents = _read_model(_model_meta(path, meta_store), path,
+                        "_centroids.json")
     probe = _cells_udf(cents, nprobe)
     qv = _unit(queries, id_col, "q", vec_col, "_qv")
     probes = qv.select("q", "_qv",
@@ -796,7 +824,8 @@ def build_ivf_pq_index(corpus: DataFrame, id_col: str, vec_col: str,
                        nbits: int = 4,
                        centroids: "np.ndarray | None" = None,
                        books: "np.ndarray | None" = None,
-                       store_vectors: bool = False) -> None:
+                       store_vectors: bool = False,
+                       meta_store=None) -> None:
     """Materialize the IVFADC layout: PQ codes written as parquet
     PARTITIONED BY cell, model artifacts (coarse centroids + PQ
     codebooks) saved beside the data. A search reads nprobe/n_cells of
@@ -805,9 +834,7 @@ def build_ivf_pq_index(corpus: DataFrame, id_col: str, vec_col: str,
     the unit vector per row for index-local exact rerank (trading the
     32× size win for refine locality; the codes-only default is the
     memory shape that motivates PQ)."""
-    import json
-    import os
-
+    meta = _model_meta(path, meta_store)
     if centroids is None:
         rows = (corpus.filter(F.col(id_col) < n_cells)
                 .select(F.col(id_col).alias("_cid"),
@@ -832,14 +859,12 @@ def build_ivf_pq_index(corpus: DataFrame, id_col: str, vec_col: str,
      .write.mode("overwrite").partitionBy("cell").parquet(path))
     for name, arr in (("_centroids.json", cents), ("_pq_books.json",
                                                    books)):
-        tmp = f"{path}/{name}.tmp"
-        with open(tmp, "w") as f:
-            json.dump(np.asarray(arr).tolist(), f)
-        os.replace(tmp, f"{path}/{name}")
+        _write_model(meta, path, name, arr)
 
 
 def append_to_ivf_pq_index(corpus: DataFrame, id_col: str,
-                           vec_col: str, path: str) -> None:
+                           vec_col: str, path: str,
+                           meta_store=None) -> None:
     """Incremental IVFADC maintenance: encode NEW vectors with the
     index's PERSISTED model artifacts (coarse centroids + PQ
     codebooks) and append them partition-wise — the ingest path never
@@ -861,12 +886,9 @@ def append_to_ivf_pq_index(corpus: DataFrame, id_col: str,
     append lands the same codes twice. ``ivf_pq_index_topk`` collapses
     duplicate (q, neighbor) pairs before ranking, so retries degrade
     storage, never result correctness."""
-    import json
-
-    with open(f"{path}/_centroids.json") as f:
-        cents = np.asarray(json.load(f), dtype=np.float64)
-    with open(f"{path}/_pq_books.json") as f:
-        books = np.asarray(json.load(f), dtype=np.float64)
+    meta = _model_meta(path, meta_store)
+    cents = _read_model(meta, path, "_centroids.json")
+    books = _read_model(meta, path, "_pq_books.json")
     store_vectors = "_cv" in corpus.sparkSession.read.parquet(
         path).columns
     assign = _cells_udf(cents, 1)
@@ -883,7 +905,8 @@ def append_to_ivf_pq_index(corpus: DataFrame, id_col: str,
 def ivf_pq_index_topk(spark, path: str, queries: DataFrame,
                       id_col: str, vec_col: str, k: int = 10,
                       nprobe: int = 4, exclude_self: bool = True,
-                      rerank_factor: int | None = None) -> DataFrame:
+                      rerank_factor: int | None = None,
+                      meta_store=None) -> DataFrame:
     """Search a ``build_ivf_pq_index`` table: probed cells become a
     physical PartitionFilter (unprobed files never open), ADC scoring
     is the same JVM aggregate-over-lookups as ivf_pq_topk, and
@@ -891,12 +914,9 @@ def ivf_pq_index_topk(spark, path: str, queries: DataFrame,
     if the index was built codes-only — refusing beats silently
     returning unrefined results under the caller's exactness
     assumption)."""
-    import json
-
-    with open(f"{path}/_centroids.json") as f:
-        cents = np.asarray(json.load(f), dtype=np.float64)
-    with open(f"{path}/_pq_books.json") as f:
-        books = np.asarray(json.load(f), dtype=np.float64)
+    meta = _model_meta(path, meta_store)
+    cents = _read_model(meta, path, "_centroids.json")
+    books = _read_model(meta, path, "_pq_books.json")
     m, kk, _dsub = books.shape
     probe = _cells_udf(cents, nprobe)
     lut = _pq_lut_udf(books)
@@ -933,7 +953,7 @@ def ivf_pq_index_topk(spark, path: str, queries: DataFrame,
 # ---------------------------------------------------------------------------
 # index maintenance: cell-balance audit + retrain/rebuild (r16)
 
-def ivf_cell_stats(path: str) -> dict:
+def ivf_cell_stats(path: str, meta_store=None) -> dict:
     """Cell-balance audit of a persisted IVF / IVF-PQ index from
     parquet FOOTERS alone — no data pages, no Spark job: per-cell row
     counts, max, median (over ALL cells, empty ones included), and
@@ -955,11 +975,9 @@ def ivf_cell_stats(path: str) -> dict:
 
     import pyarrow.dataset as _ds
 
-    try:
-        with open(f"{path}/_centroids.json") as f:
-            n_cells = len(_json.load(f))
-    except (FileNotFoundError, OSError):
-        n_cells = None                    # fall back to observed cells
+    raw = _model_meta(path, meta_store).read_if_exists(
+        f"{path}/_centroids.json")
+    n_cells = len(_json.loads(raw)) if raw is not None else None
     counts: dict[int, int] = {}
     dataset = _ds.dataset(path, format="parquet", partitioning="hive")
     for frag in dataset.get_fragments():
@@ -1005,7 +1023,7 @@ def ivf_needs_rebuild(stats: dict, max_over_median: float = 8.0) -> bool:
 
 def rebuild_ivf_index(spark, path: str, dest: str, *,
                       n_cells: int | None = None,
-                      iters: int = 2) -> None:
+                      iters: int = 2, meta_store=None) -> None:
     """Retrain centroids on the index's CURRENT contents and rebuild
     at ``dest`` — the rebuild half of the drift contract. Every
     (neighbor, vector) row is preserved (at-least-once append
@@ -1029,10 +1047,8 @@ def rebuild_ivf_index(spark, path: str, dest: str, *,
     ``store_vectors=True`` (codes alone cannot re-train); a
     codes-only index re-runs build_ivf_pq_index over the source
     corpus instead."""
-    import json as _json
-
-    with open(f"{path}/_centroids.json") as f:
-        old = _json.load(f)
+    old = _read_model(_model_meta(path, meta_store), path,
+                      "_centroids.json").tolist()
     k = n_cells or len(old)
     idx = (spark.read.parquet(path)
            .select("neighbor", "_cv", F.col("cell").cast("int")
@@ -1075,4 +1091,5 @@ def rebuild_ivf_index(spark, path: str, dest: str, *,
                              iters=iters)
     build_ivf_index(idx.drop("_oldcell"), "neighbor", "_cv", dest,
                     n_cells=k,
-                    centroids=np.asarray(cents, dtype=np.float64))
+                    centroids=np.asarray(cents, dtype=np.float64),
+                    meta_store=meta_store)

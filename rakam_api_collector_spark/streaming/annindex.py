@@ -31,12 +31,10 @@ index partitions.
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame, SparkSession
 
 from rakam_api_collector_spark.operators.similarity import (
-    append_to_ivf_index, append_to_ivf_pq_index)
+    _model_meta, append_to_ivf_index, append_to_ivf_pq_index)
 
 
 def start_ann_index_stream(spark: SparkSession, source_dir: str | None,
@@ -45,7 +43,7 @@ def start_ann_index_stream(spark: SparkSession, source_dir: str | None,
                            trigger: dict | None = None,
                            max_files_per_trigger: int | None = None,
                            source_stream: DataFrame | None = None,
-                           stats=None):
+                           meta_store=None, stats=None):
     """Start a streaming query appending new embedding rows to the
     persisted ANN index at ``index_path``. Returns the StreamingQuery.
 
@@ -69,11 +67,15 @@ def start_ann_index_stream(spark: SparkSession, source_dir: str | None,
     ``stats`` (optional) is a counter sink with ``.add(n_rows)`` —
     the committer-metrics shape (streaming/committer.py) — called once
     per non-empty micro-batch with the appended row count.
+    ``meta_store`` routes the model-artifact reads (and this
+    introspection) through the manifest seam — the object-store index
+    path (r16, operators/similarity.py:_model_meta).
     """
-    if not os.path.exists(f"{index_path}/_centroids.json"):
+    meta = _model_meta(index_path, meta_store)
+    if meta.read_if_exists(f"{index_path}/_centroids.json") is None:
         raise ValueError(f"no built index at {index_path} — run "
                          "build_ivf_index/build_ivf_pq_index first")
-    pq = os.path.exists(f"{index_path}/_pq_books.json")
+    pq = meta.read_if_exists(f"{index_path}/_pq_books.json") is not None
     append = append_to_ivf_pq_index if pq else append_to_ivf_index
 
     if source_stream is not None:
@@ -90,7 +92,8 @@ def start_ann_index_stream(spark: SparkSession, source_dir: str | None,
     def process(batch: DataFrame, epoch_id: int) -> None:
         if batch.isEmpty():
             return
-        append(batch, id_col, vec_col, index_path)
+        append(batch, id_col, vec_col, index_path,
+               meta_store=meta_store)
         if stats is not None:
             # opt-in extra action per micro-batch, the A2-counter
             # pattern (pipeline.start_ingest_stream's stats kwarg)

@@ -27,7 +27,8 @@ from rakam_api_collector_spark.operators.dsir import DsirFeatureStore
 from rakam_api_collector_spark.operators.sigstore import MinHashStore
 from test_manifest import _FakeS3Client
 
-_META_NAMES = ("_meta.json", "_merged.json", "_inputs.json")
+_META_NAMES = ("_meta.json", "_merged.json", "_inputs.json",
+               "_centroids.json", "_pq_books.json")
 
 
 class _HybridStore(ObjectMetadataStore):
@@ -240,3 +241,54 @@ def test_metadata_store_put_and_read_if_exists(tmp_path):
     with pytest.raises(RuntimeError, match="AccessDenied"):
         ObjectMetadataStore(Shaped403(), "bkt",
                             strip_prefix="").read_if_exists("a/x")
+
+
+def test_ivf_index_model_artifacts_on_object_store(spark, tmp_path):
+    """The persisted ANN indexes ride the same seam (r16): model
+    artifacts (_centroids.json, _pq_books.json) are written/read
+    through the real ObjectMetadataStore adapter against the fake S3
+    service — build, append, search, footer-audit, and the streaming
+    maintainer's introspection all work with NO model JSON on disk —
+    and a URI index path without a meta_store refuses loudly."""
+    from rakam_api_collector_spark.operators import similarity as S
+    from rakam_api_collector_spark.streaming.annindex import \
+        start_ann_index_stream
+
+    client = _FakeS3Client()
+    meta = _HybridStore(client, "bkt", strip_prefix="")
+    rows = [(i, [float((i * 7 + j * 3) % 11) + 0.1 for j in range(8)])
+            for i in range(64)]
+    emb = spark.createDataFrame(rows,
+                                "vec_id long, embedding array<double>")
+    path = str(tmp_path / "ivf")
+    S.build_ivf_index(emb.filter("vec_id < 48"), "vec_id", "embedding",
+                      path, n_cells=4, meta_store=meta)
+    assert not (tmp_path / "ivf" / "_centroids.json").exists()
+    assert any(k.endswith("_centroids.json") for k in client.objects)
+
+    # streaming maintainer introspects + appends through the seam
+    src = tmp_path / "arrivals"
+    emb.filter("vec_id >= 48").coalesce(1) \
+        .write.parquet(str(src / "c0"))
+    flat = tmp_path / "flat"
+    flat.mkdir()
+    import shutil
+    for i, f in enumerate((src / "c0").glob("*.parquet")):
+        shutil.copy(f, flat / f"{i}.parquet")
+    start_ann_index_stream(
+        spark, str(flat), path, "vec_id", "embedding",
+        str(tmp_path / "ckpt"), meta_store=meta).awaitTermination(120)
+
+    got = S.ivf_index_topk(spark, path, emb.filter("vec_id < 2"),
+                           "vec_id", "embedding", k=3, nprobe=4,
+                           meta_store=meta).collect()
+    assert len(got) == 6
+    stats = S.ivf_cell_stats(path, meta_store=meta)
+    assert stats["n_cells"] == 4 and stats["rows"] == 64
+
+    with pytest.raises(ValueError, match="meta_store"):
+        S.ivf_cell_stats("s3://bucket/ivf")
+    with pytest.raises(ValueError, match="meta_store"):
+        start_ann_index_stream(spark, str(flat), "s3://bucket/ivf",
+                               "vec_id", "embedding",
+                               str(tmp_path / "ckpt2"))
