@@ -196,7 +196,29 @@ def _maintenance_hook(spark: SparkSession, table_base: str,
 _EPOCH_FILE_RETAIN = 128
 
 
-def _prune_epoch_files(dirpath: str, epoch_id: int,
+def _ckpt_meta(checkpoint: str, meta_store):
+    """MetadataStore for the per-epoch bookkeeping this module keeps
+    UNDER THE CHECKPOINT (K3 handoff markers, pinned epoch clocks —
+    r16, the stores'/indexes' seam applied here): on a cluster the
+    checkpoint lives on HDFS/S3, where ``os.*`` would silently create
+    mangled LOCAL paths — markers then don't survive a driver
+    relocation (duplicate publishes) and pinned clocks vanish (the
+    midnight-replay silent-loss window the clock exists to close).
+    Default POSIX; a URI checkpoint without an explicit store refuses
+    loudly — and only when a K3 channel actually uses the seam."""
+    if meta_store is not None:
+        return meta_store
+    if "://" in checkpoint:
+        raise ValueError(
+            f"checkpoint {checkpoint!r} is a URI — the K3 epoch "
+            "marker/clock seam needs an explicit meta_store (e.g. "
+            "manifest.ObjectMetadataStore); the default is "
+            "local-POSIX only")
+    from rakam_api_collector_spark.manifest import LocalMetadataStore
+    return LocalMetadataStore()
+
+
+def _prune_epoch_files(meta, dirpath: str, epoch_id: int,
                        retain: int = _EPOCH_FILE_RETAIN) -> None:
     """Drop per-epoch bookkeeping files older than ``retain`` epochs.
     Spark replays at most the most recent uncommitted micro-batch, so
@@ -204,21 +226,15 @@ def _prune_epoch_files(dirpath: str, epoch_id: int,
     consulted again — but without pruning, a 15 s trigger leaves
     5,760 empty files/day under the checkpoint forever (a small-files
     leak on the checkpoint store at cluster scale)."""
-    try:
-        names = os.listdir(dirpath)
-    except OSError:
-        return
     floor = epoch_id - retain
-    for n in names:
+    for n in meta.list(dirpath):
         stem = n[:-4] if n.endswith(".tmp") else n
         if stem.isdigit() and int(stem) < floor:
-            try:
-                os.remove(os.path.join(dirpath, n))
-            except OSError:
-                pass                   # concurrent prune / replay race
+            meta.delete(f"{dirpath}/{n}")   # missing = concurrent win
 
 
-def _handoff_once(checkpoint: str, epoch_id: int, publish) -> None:
+def _handoff_once(checkpoint: str, epoch_id: int, publish,
+                  meta) -> None:
     """Run ``publish()`` at most once per (checkpoint, epoch) — the K3
     idempotence guard shared by the JSON and Avro paths. Spark replays
     a failed epoch through foreachBatch again (e.g. _commit_tables
@@ -229,18 +245,16 @@ def _handoff_once(checkpoint: str, epoch_id: int, publish) -> None:
     KafkaHistoricalDataHandler.java:41-69), which the drain absorbs by
     running WITH dedup (ST6) — the composition the reference relies
     on; a drain without dedup can see duplicates from that window."""
-    marker_dir = os.path.join(checkpoint, "hist_published")
-    os.makedirs(marker_dir, exist_ok=True)
-    marker = os.path.join(marker_dir, str(epoch_id))
-    if not os.path.exists(marker):
+    marker_dir = f"{checkpoint}/hist_published"
+    marker = f"{marker_dir}/{epoch_id}"
+    if meta.read_if_exists(marker) is None:
         publish()
-        with open(marker, "w"):
-            pass
-    _prune_epoch_files(marker_dir, epoch_id)
+        meta.put(marker, "")
+    _prune_epoch_files(meta, marker_dir, epoch_id)
 
 
 def _pinned_epoch_date(spark: SparkSession, checkpoint: str,
-                       epoch_id: int) -> str:
+                       epoch_id: int, meta) -> str:
     """``current_date()`` frozen on the epoch's FIRST attempt
     ('yyyy-MM-dd', session time zone) and re-read on replay, so ST3's
     late classification is replay-deterministic. Without it,
@@ -252,23 +266,18 @@ def _pinned_epoch_date(spark: SparkSession, checkpoint: str,
     duplication the marker exists to prevent. Pinned only when a K3
     channel is configured (without one the split is not applied).
     Files are pruned on the same schedule as the handoff markers."""
-    clock_dir = os.path.join(checkpoint, "hist_clock")
-    os.makedirs(clock_dir, exist_ok=True)
-    path = os.path.join(clock_dir, str(epoch_id))
-    try:
-        with open(path) as fh:
-            stored = fh.read().strip()
-        if stored:
-            return stored
-    except OSError:
-        pass
+    clock_dir = f"{checkpoint}/hist_clock"
+    path = f"{clock_dir}/{epoch_id}"
+    stored = meta.read_if_exists(path)
+    if stored and stored.strip():
+        return stored.strip()
     today = spark.sql(
         "SELECT date_format(current_date(), 'yyyy-MM-dd')").first()[0]
-    tmp = path + ".tmp"
-    with open(tmp, "w") as fh:
-        fh.write(today)
-    os.replace(tmp, path)
-    _prune_epoch_files(clock_dir, epoch_id)
+    if not meta.put_if_absent(path, today):
+        # CAS lost (can only happen if another attempt of THIS epoch
+        # raced us): the first writer's clock is the pinned one
+        today = meta.read(path).strip()
+    _prune_epoch_files(meta, clock_dir, epoch_id)
     return today
 
 
@@ -347,9 +356,17 @@ def start_ingest_stream(spark: SparkSession, source_dir: str, fmt: str,
                         manifested: bool = False,
                         layout: str = "per-table",
                         maintenance: dict | None = None,
-                        state_partitions: int | None = None):
+                        state_partitions: int | None = None,
+                        meta_store=None):
     """Start the real-time ingestion query over a source of envelope JSON
     lines. Returns the StreamingQuery.
+
+    ``meta_store`` routes the K3 per-epoch bookkeeping (handoff
+    markers, pinned clocks — files kept UNDER THE CHECKPOINT) through
+    the manifest MetadataStore seam, so an object-store checkpoint
+    keeps its markers durable beside the offsets (r16,
+    ``_ckpt_meta``). Default POSIX; only consulted when a K3 channel
+    is configured.
 
     The default source is a text-file directory (``source_dir``); pass
     ``source_stream`` (any streaming DataFrame with a ``value`` column —
@@ -471,8 +488,10 @@ def start_ingest_stream(spark: SparkSession, source_dir: str, fmt: str,
                 # _handoff_once): together a replayed epoch sees the
                 # identical realtime/historical partition and never
                 # re-publishes — nor drops — a late record.
+                meta = _ckpt_meta(checkpoint, meta_store)
                 eff_now = now if now is not None else \
-                    _pinned_epoch_date(spark, checkpoint, epoch_id)
+                    _pinned_epoch_date(spark, checkpoint, epoch_id,
+                                       meta)
                 rt, hist = split_late(splittable, time_col="_event_time",
                                       outdated_day_index=outdated_day_index,
                                       now=eff_now)
@@ -484,7 +503,7 @@ def start_ingest_stream(spark: SparkSession, source_dir: str, fmt: str,
                     else:
                         late.write.mode("append").text(historical_dir)
 
-                _handoff_once(checkpoint, epoch_id, _publish)
+                _handoff_once(checkpoint, epoch_id, _publish, meta)
                 hot = rt
             else:
                 # no K3 channel: late records stay on the hot path
@@ -643,7 +662,8 @@ def start_avro_ingest_stream(spark: SparkSession, source_dir: str | None,
                              errors_dir: str | None = None,
                              manifested: bool = False,
                              maintenance: dict | None = None,
-                             state_partitions: int | None = None):
+                             state_partitions: int | None = None,
+                             meta_store=None):
     """Avro twin of ``start_ingest_stream`` — the reference's per-config
     deserializer selection (KafkaStreamSourceModule.java:26-60 binds
     AVRO vs JSON; KafkaAvroMessageTransformer.java:33-57 is the Avro
@@ -722,8 +742,10 @@ def start_avro_ingest_stream(spark: SparkSession, source_dir: str | None,
                 # append epoch-marker idempotent (_pinned_epoch_date /
                 # _handoff_once) — an unguarded append would re-spool
                 # the same late frames when Spark replays the epoch.
+                meta = _ckpt_meta(checkpoint, meta_store)
                 eff_now = now if now is not None else \
-                    _pinned_epoch_date(spark, checkpoint, epoch_id)
+                    _pinned_epoch_date(spark, checkpoint, epoch_id,
+                                       meta)
                 rt, hist = split_late(
                     batch.filter(F.col("_kind") == "stream"),
                     time_col="_event_time",
@@ -731,7 +753,7 @@ def start_avro_ingest_stream(spark: SparkSession, source_dir: str | None,
                 _handoff_once(
                     checkpoint, epoch_id,
                     lambda: hist.select("value").write.mode("append")
-                    .parquet(historical_dir))
+                    .parquet(historical_dir), meta)
                 hot = batch.filter(F.col("_kind") != "stream") \
                     .unionByName(rt)
             else:

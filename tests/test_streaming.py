@@ -376,30 +376,41 @@ def test_handoff_helpers_idempotent_pinned_and_pruned(spark, tmp_path):
     boundary-day records and silently dropping a newly-late one; and
     _prune_epoch_files bounds both bookkeeping dirs so a 15 s trigger
     doesn't leak 5,760 checkpoint files/day forever."""
+    from rakam_api_collector_spark.manifest import LocalMetadataStore
     from rakam_api_collector_spark.streaming.pipeline import (
+        _ckpt_meta,
         _handoff_once,
         _pinned_epoch_date,
         _prune_epoch_files,
     )
 
     ck = str(tmp_path / "ck")
+    meta = LocalMetadataStore()
     calls = []
-    _handoff_once(ck, 7, lambda: calls.append(1))
-    _handoff_once(ck, 7, lambda: calls.append(1))     # replay: skipped
+    _handoff_once(ck, 7, lambda: calls.append(1), meta)
+    _handoff_once(ck, 7, lambda: calls.append(1), meta)  # replay: skip
     assert calls == [1]
 
-    d1 = _pinned_epoch_date(spark, ck, 7)
+    d1 = _pinned_epoch_date(spark, ck, 7, meta)
     clock = Path(ck) / "hist_clock" / "7"
     assert clock.read_text() == d1 and len(d1) == 10
     clock.write_text("1999-12-31")        # simulate midnight rollover
-    assert _pinned_epoch_date(spark, ck, 7) == "1999-12-31"
+    assert _pinned_epoch_date(spark, ck, 7, meta) == "1999-12-31"
 
     mdir = Path(ck) / "hist_published"
     for e in (0, 1, 500):
         (mdir / str(e)).write_text("")
     (mdir / "3.tmp").write_text("")       # torn clock/marker leftover
-    _prune_epoch_files(str(mdir), 500)
+    _prune_epoch_files(meta, str(mdir), 500)
     assert sorted(p.name for p in mdir.iterdir()) == ["500"]
+
+    # r16 seam: a URI checkpoint refuses unless a store is passed —
+    # os.* under s3://... would silently keep markers on LOCAL disk
+    # (duplicate publishes after a driver relocation)
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="meta_store"):
+        _ckpt_meta("s3://bucket/ck", None)
+    assert _ckpt_meta("s3://bucket/ck", meta) is meta
 
 
 def test_stream_handoff_replay_pins_classification_clock(spark, tmp_path):
