@@ -12,7 +12,6 @@ is append-only and the *returned* order is authoritative.
 from __future__ import annotations
 
 import json
-import os
 
 from pyspark.sql import types as T
 
@@ -31,17 +30,33 @@ class Catalog:
     """Append-only schema registry keyed by (project, collection)."""
 
     def __init__(self, path: str | None = None,
-                 user_type: T.DataType | None = None) -> None:
+                 user_type: T.DataType | None = None,
+                 meta_store=None) -> None:
+        """``meta_store`` (r16) routes the registry JSON through the
+        manifest MetadataStore seam — the reference keeps this state
+        in MySQL; a cluster deployment keeps it on the object store
+        (pass an ``ObjectMetadataStore``). Default POSIX; a URI path
+        without an explicit store refuses loudly."""
         self._tables: dict[tuple[str, str], list[T.StructField]] = {}
         self._path = path
         self._user_type = user_type
-        if path and os.path.exists(path):
-            with open(path) as fh:
-                for key, cols in json.load(fh).items():
-                    p, c = key.split(".", 1)
-                    self._tables[(p, c)] = [
-                        T.StructField(n, T._parse_datatype_string(d))
-                        for n, d in cols]
+        if path and "://" in path and meta_store is None:
+            raise ValueError(
+                f"catalog path {path!r} is a URI — pass a meta_store "
+                "(e.g. manifest.ObjectMetadataStore); the default "
+                "persistence seam is local-POSIX only")
+        if meta_store is None:
+            from rakam_api_collector_spark.manifest import \
+                LocalMetadataStore
+            meta_store = LocalMetadataStore()
+        self._meta = meta_store
+        raw = self._meta.read_if_exists(path) if path else None
+        if raw is not None:
+            for key, cols in json.loads(raw).items():
+                p, c = key.split(".", 1)
+                self._tables[(p, c)] = [
+                    T.StructField(n, T._parse_datatype_string(d))
+                    for n, d in cols]
 
     def tables(self) -> list[tuple[str, str]]:
         return sorted(self._tables)
@@ -80,7 +95,6 @@ class Catalog:
             return
         blob = {f"{p}.{c}": [[f.name, f.dataType.simpleString()] for f in cols]
                 for (p, c), cols in self._tables.items()}
-        tmp = self._path + ".tmp"
-        with open(tmp, "w") as fh:
-            json.dump(blob, fh)
-        os.replace(tmp, self._path)
+        # atomic last-writer-wins object put (the add-only registry is
+        # single-writer per pipeline, the reference's MySQL posture)
+        self._meta.put(self._path, json.dumps(blob))

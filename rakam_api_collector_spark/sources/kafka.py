@@ -424,7 +424,8 @@ def historical_drain_due(lag_records: int, ms_since_last_drain: int,
 
 
 def checkpointed_offsets(checkpoint: str,
-                         source_index: int = 0) -> dict[str, int] | None:
+                         source_index: int = 0,
+                         meta_store=None) -> dict[str, int] | None:
     """Latest planned per-partition offsets of a ``kafka_py`` query,
     read from its own checkpoint (``offsets/<max-batch>``). Both the
     jar connector and kafka_py keep progress in the CHECKPOINT, never
@@ -440,23 +441,33 @@ def checkpointed_offsets(checkpoint: str,
     otherwise shadow this one and skew ``checkpoint_lag``. For a
     multi-source query pass the kafka_py source's position among the
     query's streaming sources. Returns None if that line is missing
-    or isn't a kafka_py offsets map."""
-    d = os.path.join(checkpoint, "offsets")
-    try:
-        batches = sorted(int(f) for f in os.listdir(d) if f.isdigit())
-    except OSError:
-        return None
+    or isn't a kafka_py offsets map.
+
+    ``meta_store`` (r16) routes the checkpoint listing/read through
+    the manifest MetadataStore seam — on a cluster the checkpoint
+    lives on HDFS/S3, where the POSIX default can only report "no
+    progress yet"; a URI checkpoint without an explicit store raises
+    so a drain gate can't silently read lag-from-zero forever."""
+    if meta_store is None and "://" in checkpoint:
+        raise ValueError(
+            f"checkpoint {checkpoint!r} is a URI — pass a meta_store "
+            "(e.g. manifest.ObjectMetadataStore) to read its offsets")
+    if meta_store is None:
+        from rakam_api_collector_spark.manifest import LocalMetadataStore
+        meta_store = LocalMetadataStore()
+    d = f"{checkpoint}/offsets"
+    batches = sorted(int(f) for f in meta_store.list(d)
+                     if f.isdigit())
     if not batches:
         return None
-    try:
-        with open(os.path.join(d, str(batches[-1]))) as fh:
-            # strip newlines but KEEP empty lines: Spark serializes
-            # the metadata line as metadataOpt.getOrElse(""), so a
-            # blank line still occupies its positional slot — dropping
-            # it would shift every source's index by one
-            lines = [ln.strip() for ln in fh]
-    except OSError:
+    raw = meta_store.read_if_exists(f"{d}/{batches[-1]}")
+    if raw is None:
         return None
+    # strip newlines but KEEP empty lines: Spark serializes the
+    # metadata line as metadataOpt.getOrElse(""), so a blank line
+    # still occupies its positional slot — dropping it would shift
+    # every source's index by one
+    lines = [ln.strip() for ln in raw.splitlines()]
     # lines[0] = "v1", lines[1] = batch metadata, lines[2:] = sources
     idx = 2 + source_index
     if not 0 <= idx < len(lines) or not lines[idx]:
@@ -471,16 +482,17 @@ def checkpointed_offsets(checkpoint: str,
 
 
 def checkpoint_lag(checkpoint: str, broker, topics: list[str],
-                   source_index: int = 0) -> int:
+                   source_index: int = 0, meta_store=None) -> int:
     """Records between a kafka_py query's checkpointed offsets and the
     log ends — the ``recordsToBeProcessed`` input of
     ``historical_drain_due`` for the Spark-checkpoint path (S2's lag
     gate over the query's own progress state). An unplanned partition
     counts its whole log (startingOffsets=earliest drain posture).
-    ``source_index`` passes through to ``checkpointed_offsets`` for
-    queries where the kafka_py source is not the first streaming
-    source."""
-    committed = checkpointed_offsets(checkpoint, source_index) or {}
+    ``source_index`` and ``meta_store`` pass through to
+    ``checkpointed_offsets`` (the latter for object-store
+    checkpoints)."""
+    committed = checkpointed_offsets(checkpoint, source_index,
+                                     meta_store) or {}
     total = 0
     for t in topics:
         for p, end in broker.end_offsets(t).items():

@@ -292,3 +292,47 @@ def test_ivf_index_model_artifacts_on_object_store(spark, tmp_path):
         start_ann_index_stream(spark, str(flat), "s3://bucket/ivf",
                                "vec_id", "embedding",
                                str(tmp_path / "ckpt2"))
+
+
+def test_catalog_and_checkpoint_offsets_on_object_store(spark, tmp_path):
+    """K5's schema registry and S2's checkpoint-lag reader ride the
+    seam too (r16): the catalog JSON persists through the real adapter
+    into the fake service and reloads from it; checkpointed_offsets
+    lists/reads a checkpoint living entirely in the service; both
+    refuse URI paths without an explicit store."""
+    from pyspark.sql import types as T
+
+    from rakam_api_collector_spark.ingest.catalog import Catalog
+    from rakam_api_collector_spark.sources.kafka import (
+        checkpoint_lag, checkpointed_offsets)
+
+    client = _FakeS3Client()
+    meta = ObjectMetadataStore(client, "bkt", strip_prefix="")
+
+    cat = Catalog("s3://bkt/cat.json".replace("s3://bkt/", ""),
+                  meta_store=meta)
+    cat.create_table("proj", "pages",
+                     [T.StructField("url", T.StringType())])
+    assert "cat.json" in client.objects          # persisted to service
+    cat2 = Catalog("cat.json", meta_store=meta)  # reloads from service
+    assert [f.name for f in cat2.get_columns("proj", "pages")] \
+        == [f.name for f in cat.get_columns("proj", "pages")]
+    with pytest.raises(ValueError, match="meta_store"):
+        Catalog("s3://bucket/cat.json")
+
+    # a checkpoint whose offsets live only in the service
+    ck = "ckpts/q1"
+    meta.put(f"{ck}/offsets/0", 'v1\n{"batchTimestampMs":1}\n'
+             '{"offsets": {"t 0": 3}}')
+    meta.put(f"{ck}/offsets/1", 'v1\n{"batchTimestampMs":2}\n'
+             '{"offsets": {"t 0": 7, "t 1": 9}}')
+    assert checkpointed_offsets(ck, meta_store=meta) \
+        == {"t 0": 7, "t 1": 9}
+
+    class _B:
+        def end_offsets(self, t):
+            return {0: 10, 1: 9}
+
+    assert checkpoint_lag(ck, _B(), ["t"], meta_store=meta) == 3
+    with pytest.raises(ValueError, match="meta_store"):
+        checkpointed_offsets("s3://bucket/ck")
