@@ -19,9 +19,14 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from rakam_api_collector_spark.session import get_spark
 
 
-def _busy_jiffies() -> int | None:
-    """Box-wide busy CPU jiffies (user+nice+system+irq+softirq+steal —
-    idle and iowait excluded) from /proc/stat; None off-Linux."""
+def _busy_jiffies() -> tuple[int, int] | None:
+    """(busy, steal) box-wide CPU jiffies from /proc/stat — busy =
+    user+nice+system+irq+softirq+steal (idle and iowait excluded);
+    steal reported separately so the attestation can say whether
+    "external load" was a neighbor PROCESS on this guest or the
+    HYPERVISOR running other guests (a VM with bursty steal inflates
+    walls just the same, but the operator's remedy differs: wait out
+    the burst vs. kill the neighbor). None off-Linux."""
     try:
         with open("/proc/stat") as fh:
             parts = fh.readline().split()
@@ -29,7 +34,7 @@ def _busy_jiffies() -> int | None:
             return None
         u, n, s, _idle, _iow, irq, sirq, steal = (
             int(x) for x in (parts[1:9] + ["0"] * 8)[:8])
-        return u + n + s + irq + sirq + steal
+        return u + n + s + irq + sirq + steal, steal
     except (OSError, ValueError, IndexError):
         return None
 
@@ -283,11 +288,13 @@ def main() -> None:
     # bounds, and the committer must re-record on an idle box.
     busy1, own1 = _busy_jiffies(), _proc_tree_cpu_jiffies()
     wall = time.perf_counter() - wall0
-    external_cores = None
+    external_cores = steal_cores = None
     if None not in (busy0, busy1, own0, own1) and wall > 0:
         hz = os.sysconf("SC_CLK_TCK") or 100
         external_cores = round(
-            max(0.0, ((busy1 - busy0) - (own1 - own0)) / hz / wall), 2)
+            max(0.0, ((busy1[0] - busy0[0]) - (own1 - own0))
+                / hz / wall), 2)
+        steal_cores = round((busy1[1] - busy0[1]) / hz / wall, 2)
     # the verdict is about the MEASUREMENT, not the gate override: a
     # forced run on a box that measured clean is clean; a forced run
     # under real external load is dirty and says so (the r12 failure
@@ -310,9 +317,10 @@ def main() -> None:
               "by loadavg_start/loadavg_1m instead", file=sys.stderr)
     elif load_dirty:
         print(f"bench: external load averaged {external_cores} busy "
-              f"cores over the run (> dirty gate {dirty_gate}) — "
-              "artifact marked load_dirty; re-record on an idle box "
-              "before committing", file=sys.stderr)
+              f"cores over the run (> dirty gate {dirty_gate}; "
+              f"{steal_cores} of it hypervisor steal) — artifact "
+              "marked load_dirty; re-record on an idle box before "
+              "committing", file=sys.stderr)
 
     # Full-fidelity per-query timings for the judge (full names, 4
     # decimals, rep counts for the min-of-2 entries).
@@ -333,6 +341,7 @@ def main() -> None:
         "loadavg_start": loadavg_start,
         "loadavg_1m": round(os.getloadavg()[0], 2),
         "external_cores_avg": external_cores,
+        "steal_cores_avg": steal_cores,
         "load_dirty": load_dirty,
         "dirty_gate_external_cores": dirty_gate,
         "forced": forced,

@@ -25,6 +25,13 @@ Layout under ``path/``:
   survives: a replayed MERGED ingest returns its stored verdict from
   the blob (recomputing would match it against its own previous
   attempt), and the match exclusion filters ``_orig`` too.
+  r16: the store's PROTOCOL state (the ``_merged`` record, blob
+  ``_inputs.json`` commit markers, listings, maintenance deletes)
+  rides the manifest ``MetadataStore`` seam — pass an
+  ``ObjectMetadataStore`` and the store, compaction included, lives
+  on S3/GCS; opens are PASSIVE and reads resolve crash leftovers
+  from the metadata alone (``_dead_ids``), so only ingest()/compact()
+  — inside the single-writer window — ever delete anything.
 - ``buckets/`` — one row per KEPT (doc, band): (_id, band, bh), written
   ONLY with ``bucket_table`` set: then it is a catalog table
   ``CLUSTERED BY (bh)`` (``bucketBy`` + ``saveAsTable``) so the store

@@ -382,6 +382,16 @@ Out-of-window (49 queries, all r15-green, due back in r17 — leaving
 dq06/07, dq09-11, dq18-26, dq27_scalar_encode (carrying dq27/dq28's
 r15 evidence), dq33, dq35, dq37-46, llm07-10, llm12-15, llm29-33,
 llm35, llm46, llm50.
+
+r17 SPARE-SLOT PLAN (drafted in r16): window = the 49 r16-out
+due-backs above + 1 spare, RESERVED for whatever r17 modifies; if
+r17 modifies nothing, fill with llm56_token_budget (the newest row
+— one round of driver evidence — and the natural regression watch
+for its two-phase cutoff). No promotion candidate is pending as of
+r16 close: every operator family in SURVEY §2 and the LLM-pipeline
+tier has a driver row or a documented rows-only/pytest pin, and the
+registry sits at the 99-row ceiling — a future promotion needs a
+consolidation pairing drafted WITH it (the llm55/llm56 rule).
 """
 
 from __future__ import annotations
