@@ -43,7 +43,9 @@ def start_ann_index_stream(spark: SparkSession, source_dir: str | None,
                            trigger: dict | None = None,
                            max_files_per_trigger: int | None = None,
                            source_stream: DataFrame | None = None,
-                           meta_store=None, stats=None):
+                           meta_store=None, stats=None,
+                           audit_every_n_epochs: int | None = None,
+                           on_drift=None):
     """Start a streaming query appending new embedding rows to the
     persisted ANN index at ``index_path``. Returns the StreamingQuery.
 
@@ -70,6 +72,18 @@ def start_ann_index_stream(spark: SparkSession, source_dir: str | None,
     ``meta_store`` routes the model-artifact reads (and this
     introspection) through the manifest seam — the object-store index
     path (r16, operators/similarity.py:_model_meta).
+
+    ``audit_every_n_epochs`` (r16, opt-in) runs the footer-only
+    cell-balance audit (``similarity.ivf_cell_stats``) every N
+    committed epochs and, when the max/median drift trigger fires
+    (``ivf_needs_rebuild``), calls ``on_drift(stats)`` — the operable
+    half of the frozen-centroid contract: the stream itself cannot
+    rebuild (readers must switch to the rebuilt path — the manifest
+    swap rule), but it can tell the operator the moment appends have
+    made a rebuild due instead of leaving recall to degrade silently.
+    ``on_drift`` defaults to raising RuntimeError (fail loud beats
+    quiet recall loss; pass a callback to alert instead). The audit
+    reads parquet footers only — KBs per file, no Spark job.
     """
     meta = _model_meta(index_path, meta_store)
     if meta.read_if_exists(f"{index_path}/_centroids.json") is None:
@@ -98,6 +112,22 @@ def start_ann_index_stream(spark: SparkSession, source_dir: str | None,
             # opt-in extra action per micro-batch, the A2-counter
             # pattern (pipeline.start_ingest_stream's stats kwarg)
             stats.add(batch.count())
+        if audit_every_n_epochs \
+                and (epoch_id + 1) % audit_every_n_epochs == 0:
+            from rakam_api_collector_spark.operators.similarity import (
+                ivf_cell_stats, ivf_needs_rebuild)
+            cell_stats = ivf_cell_stats(index_path,
+                                        meta_store=meta_store)
+            if ivf_needs_rebuild(cell_stats):
+                if on_drift is not None:
+                    on_drift(cell_stats)
+                else:
+                    raise RuntimeError(
+                        f"IVF index at {index_path} drifted: "
+                        f"imbalance {cell_stats['imbalance']} "
+                        f"(max {cell_stats['max']} / median "
+                        f"{cell_stats['median']}) — rebuild due "
+                        "(similarity.rebuild_ivf_index)")
 
     trig = trigger or {"availableNow": True}
     return (src.writeStream.foreachBatch(process)

@@ -126,3 +126,59 @@ def test_ann_stream_refuses_unbuilt_index(spark, tmp_path):
             index_path=str(tmp_path / "nope"), id_col="vec_id",
             vec_col="embedding", checkpoint=str(tmp_path / "ckpt"))
     assert not os.path.exists(str(tmp_path / "nope"))
+
+
+def test_ann_stream_drift_audit_fires_on_hot_cell(spark, tmp_path):
+    """audit_every_n_epochs (r16): the stream polls the footer-only
+    cell audit and surfaces drift the moment appends make a rebuild
+    due — on_drift receives the stats; without a callback the query
+    fails loud instead of letting recall degrade silently. A balanced
+    stream never fires."""
+    import numpy as np
+    from pyspark.errors import StreamingQueryException
+
+    emb = load_table(spark, SF, "embeddings")
+    path = str(tmp_path / "ivf")
+    S.build_ivf_index(emb, "vec_id", "embedding", path, n_cells=16)
+
+    # hot blob: 600 near-identical vectors -> one or two hot cells,
+    # imbalance far past the 8x trigger either way
+    rng = np.random.default_rng(11)
+    base = rng.normal(size=64)
+    base /= np.linalg.norm(base)
+    src = tmp_path / "hot"
+    spark.createDataFrame(
+        [(20_000 + i, (base + 0.005 * rng.normal(size=64)).tolist())
+         for i in range(600)],
+        "vec_id long, embedding array<double>") \
+        .coalesce(1).write.parquet(str(src))
+
+    fired = []
+    start_ann_index_stream(
+        spark, str(src), path, "vec_id", "embedding",
+        str(tmp_path / "ck1"), audit_every_n_epochs=1,
+        on_drift=fired.append).awaitTermination(120)
+    assert fired and fired[0]["max"] >= 400
+    assert S.ivf_needs_rebuild(fired[0])
+
+    # default (no callback): the query itself fails loud on replayed
+    # drift — a fresh checkpoint re-appends the same hot file
+    q = start_ann_index_stream(
+        spark, str(src), path, "vec_id", "embedding",
+        str(tmp_path / "ck2"), audit_every_n_epochs=1)
+    with pytest.raises(StreamingQueryException, match="drifted"):
+        q.awaitTermination(120)
+
+    # balanced growth never fires: a fresh balanced index streamed
+    # with the audit on completes cleanly
+    path2 = str(tmp_path / "ivf2")
+    S.build_ivf_index(emb.filter("vec_id < 250"), "vec_id",
+                      "embedding", path2, n_cells=16)
+    src2 = tmp_path / "rest"
+    emb.filter("vec_id >= 250").coalesce(1).write.parquet(str(src2))
+    calls = []
+    start_ann_index_stream(
+        spark, str(src2), path2, "vec_id", "embedding",
+        str(tmp_path / "ck3"), audit_every_n_epochs=1,
+        on_drift=calls.append).awaitTermination(120)
+    assert calls == []
