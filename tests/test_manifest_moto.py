@@ -150,3 +150,50 @@ def test_version_protocol_against_moto(spark, tmp_path, s3):
     key = f"{tmp_path}/proj/events/_versions/v{8:010d}.json"
     assert store.put_if_absent(key, "usurper") is False
     assert store.read(key) != "usurper"
+
+
+def test_put_and_read_if_exists_against_moto(s3):
+    """The r16 seam additions against real wire semantics: ``put`` is
+    an unconditional overwrite (plain S3 PUT), and ``read_if_exists``
+    maps the REAL botocore NoSuchKey ClientError (status 404 in the
+    response dict) to None — the shape the in-repo fake can only
+    imitate."""
+    s = ObjectMetadataStore(s3, "bkt")
+    assert s.read_if_exists("s3://bkt/a/rec.json") is None  # real 404
+    s.put("s3://bkt/a/rec.json", "v1")
+    s.put("s3://bkt/a/rec.json", "v2")       # overwrite, no condition
+    assert s.read_if_exists("s3://bkt/a/rec.json") == "v2"
+
+
+def test_minhash_store_compact_cycle_against_moto(spark, s3, tmp_path):
+    """The signature store's full compact/replay protocol with its
+    JSON records served by moto's actual S3 REST semantics through
+    the real adapter (the test_store_meta Hybrid, fake swapped for
+    moto): ingest x2, compact to one blob, merged-replay returns the
+    stored verdict, and no protocol JSON ever touches disk."""
+    from rakam_api_collector_spark.operators.sigstore import \
+        MinHashStore
+    from test_store_meta import _HybridStore, DOC_A, DOC_A_NEAR, DOC_B
+
+    class MotoHybrid(_HybridStore):
+        pass
+
+    meta = MotoHybrid(s3, "bkt", strip_prefix="")
+    path = str(tmp_path / "s")
+    store = MinHashStore(spark, path, threshold=0.5, meta_store=meta)
+
+    def docs(rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    store.ingest(docs([(1, DOC_A), (2, DOC_B)]), "doc_id", "text",
+                 ingest_id="e0")
+    v = store.ingest(docs([(3, DOC_A_NEAR)]), "doc_id", "text",
+                     ingest_id="e1").collect()[0]
+    assert not v.keep and v.matched_id == 1
+    assert store.compact() == 2
+    assert not (tmp_path / "s" / "_merged.json").exists()
+    assert store.merged_ids() == {"e0", "e1"}     # served by moto
+    rep = store.ingest(docs([(3, DOC_A_NEAR)]), "doc_id", "text",
+                       ingest_id="e1").collect()[0]
+    assert not rep.keep and rep.matched_id == 1
+    assert store.stored_sigs().count() == 2
