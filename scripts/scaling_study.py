@@ -501,6 +501,36 @@ def op_dsir_store_cycle(spark, k: int) -> DataFrame:
     return spark.createDataFrame([(rows,)], "selected long")
 
 
+def op_ivf_rebuild_cycle(spark, k: int) -> DataFrame:
+    """IVF index maintenance cycle (r16): build the cell-partitioned
+    index over the xK corpus, footer-audit it (ivf_cell_stats — one
+    footer read per file, never data pages), and REBUILD it with the
+    mass-proportional reseeding (one distinct pass + a seat-pick
+    window over cell-local ranks + 2 Lloyd rounds + one partitioned
+    rewrite). Every stage is one-or-two corpus passes with k x dim
+    driver state, so the cycle's exponent must stay ~linear — the
+    claim behind "rebuild when the drift trigger fires" being an
+    operable contract at 100 TB rather than a luxury."""
+    import shutil
+    import tempfile
+
+    from rakam_api_collector_spark.operators import similarity as S
+
+    corpus, _q = _embedding_workload(spark, k)
+    base = tempfile.mkdtemp(prefix="ivf_rebuild_")
+    try:
+        S.build_ivf_index(corpus, "vec_id", "embedding",
+                          f"{base}/ivf", n_cells=16)
+        stats = S.ivf_cell_stats(f"{base}/ivf")
+        S.rebuild_ivf_index(spark, f"{base}/ivf", f"{base}/ivf2")
+        s2 = S.ivf_cell_stats(f"{base}/ivf2")
+        rows = s2["rows"]
+        assert rows == stats["rows"]
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame([(rows,)], "indexed long")
+
+
 def op_trim_silence(spark, k: int) -> DataFrame:
     """trim_silence (multimodal.py) over in-plan-synthesized WAV clips
     — the r14 operator that re-encodes every kept clip's bytes: each
@@ -597,6 +627,7 @@ OPS = {
     "dsir_select": (op_dsir_select, "documents", 5_000),
     "dsir_store_cycle": (op_dsir_store_cycle, "documents", 5_000),
     "token_budget": (op_token_budget, "documents", 5_000),
+    "ivf_rebuild_cycle": (op_ivf_rebuild_cycle, "embeddings", 2_000),
     "trim_silence": (op_trim_silence, "documents", 5_000),
     "constraint_write": (op_constraint_write, "lineitem", 600_000),
 }
