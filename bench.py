@@ -136,25 +136,48 @@ def main() -> None:
     gate = float(os.environ.get("SPARK_GRAFT_BENCH_MAX_LOAD", "2.0"))
     forced = os.environ.get("SPARK_GRAFT_BENCH_FORCE") == "1"
     loadavg_start = round(os.getloadavg()[0], 2)
+
+    def _steal_probe(secs: float = 5.0) -> float | None:
+        """Average hypervisor-steal cores over a short window —
+        loadavg can't see steal (the vCPU isn't runnable-local), but
+        a steal burst at start predicts a dirty run just as surely as
+        a neighbor process (r16: four consecutive runs convicted
+        dirty with the ENTIRE external signal being steal)."""
+        a = _busy_jiffies()
+        if a is None:
+            return None
+        time.sleep(secs)
+        b = _busy_jiffies()
+        hz = os.sysconf("SC_CLK_TCK") or 100
+        return (b[1] - a[1]) / hz / secs
+
     if not forced:
         # every reading — including the one after the LAST sleep — is
         # compared against the gate before refusing (r11 ADVICE: the
         # old for/else skipped the final comparison, wasting the last
-        # wait and rejecting a box that had just drained)
+        # wait and rejecting a box that had just drained). The steal
+        # probe rides the same bounded budget: a quarter-core of
+        # steal at start has produced >8% wall inflation (r16 runs).
+        steal_gate = float(os.environ.get(
+            "SPARK_GRAFT_BENCH_MAX_START_STEAL", "0.25"))
         waits_left = 12                           # up to ~5 min
-        while loadavg_start > gate:
+        steal = _steal_probe()
+        while loadavg_start > gate or (steal or 0.0) > steal_gate:
             if waits_left <= 0:
                 print(f"bench: box still loaded (loadavg "
-                      f"{loadavg_start} > {gate}) after bounded wait "
+                      f"{loadavg_start} vs {gate}, steal "
+                      f"{steal} vs {steal_gate}) after bounded wait "
                       "— refusing to emit a measurement (set "
                       "SPARK_GRAFT_BENCH_FORCE=1 to override)",
                       file=sys.stderr)
                 sys.exit(3)
-            print(f"bench: loadavg {loadavg_start} > gate {gate}; "
-                  "waiting for the box to drain", file=sys.stderr)
-            time.sleep(25)
+            print(f"bench: loadavg {loadavg_start} (gate {gate}), "
+                  f"steal {steal} (gate {steal_gate}); waiting for "
+                  "the box to drain", file=sys.stderr)
+            time.sleep(20)
             waits_left -= 1
             loadavg_start = round(os.getloadavg()[0], 2)
+            steal = _steal_probe()
     busy0, own0 = _busy_jiffies(), _proc_tree_cpu_jiffies()
     wall0 = time.perf_counter()
     spark = get_spark("bench")
