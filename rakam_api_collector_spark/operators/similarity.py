@@ -1021,6 +1021,28 @@ def ivf_needs_rebuild(stats: dict, max_over_median: float = 8.0) -> bool:
     return stats["imbalance"] > max_over_median
 
 
+def compact_ivf_index(spark, path: str, dest: str, *,
+                      meta_store=None) -> None:
+    """The FILE-compaction half of index maintenance (r16): rewrite
+    the index at ``dest`` with the SAME centroids — cell membership
+    unchanged (assignment is deterministic in the model), every id
+    preserved, at-least-once append duplicates collapsed — so a
+    month of per-epoch streaming appends (≥1 small file per touched
+    cell per epoch) folds back to one file set per cell without
+    retraining anything. ``rebuild_ivf_index`` is the RETRAIN form
+    (drift response); this is the run_maintenance rhythm. Writes to a
+    new path (the manifest swap rule). IVF-flat only — a PQ index
+    compacts the same way only when built ``store_vectors=True``."""
+    meta = _model_meta(path, meta_store)
+    cents = _read_model(meta, path, "_centroids.json")
+    idx = (spark.read.parquet(path)
+           .select("neighbor", "_cv")
+           .dropDuplicates(["neighbor"]))
+    build_ivf_index(idx, "neighbor", "_cv", dest,
+                    n_cells=cents.shape[0], centroids=cents,
+                    meta_store=meta_store)
+
+
 def rebuild_ivf_index(spark, path: str, dest: str, *,
                       n_cells: int | None = None,
                       iters: int = 2, meta_store=None) -> None:

@@ -182,3 +182,36 @@ def test_ann_stream_drift_audit_fires_on_hot_cell(spark, tmp_path):
         str(tmp_path / "ck3"), audit_every_n_epochs=1,
         on_drift=calls.append).awaitTermination(120)
     assert calls == []
+
+
+def test_compact_ivf_index_folds_stream_files(spark, tmp_path):
+    """compact_ivf_index (r16): a multi-epoch streamed index's
+    accreted small files fold to one set per cell with the SAME
+    centroids — search results identical, every id preserved, file
+    count strictly down."""
+    emb, first, src = _split_embeddings(spark, tmp_path,
+                                        cuts=(100, 150, 200, 250))
+    path = str(tmp_path / "ivf")
+    S.build_ivf_index(first, "vec_id", "embedding", path, n_cells=16)
+    start_ann_index_stream(
+        spark, src, path, "vec_id", "embedding",
+        str(tmp_path / "ckpt"),
+        max_files_per_trigger=1).awaitTermination(120)
+
+    def _n_files(p):
+        return sum(1 for root, _, fns in os.walk(p)
+                   for f in fns if f.endswith(".parquet"))
+
+    q = emb.filter(F.col("vec_id") < 5)
+    before = {(r.q, r.neighbor, r.rnk) for r in
+              S.ivf_index_topk(spark, path, q, "vec_id", "embedding",
+                               k=10, nprobe=4).collect()}
+    n0 = _n_files(path)
+    dest = str(tmp_path / "ivf_c")
+    S.compact_ivf_index(spark, path, dest)
+    assert _n_files(dest) < n0
+    assert spark.read.parquet(dest).count() == emb.count()
+    after = {(r.q, r.neighbor, r.rnk) for r in
+             S.ivf_index_topk(spark, dest, q, "vec_id", "embedding",
+                              k=10, nprobe=4).collect()}
+    assert after == before
