@@ -148,6 +148,8 @@ def main() -> None:
             return None
         time.sleep(secs)
         b = _busy_jiffies()
+        if b is None:
+            return None
         hz = os.sysconf("SC_CLK_TCK") or 100
         return (b[1] - a[1]) / hz / secs
 

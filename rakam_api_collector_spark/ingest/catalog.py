@@ -40,16 +40,9 @@ class Catalog:
         self._tables: dict[tuple[str, str], list[T.StructField]] = {}
         self._path = path
         self._user_type = user_type
-        if path and "://" in path and meta_store is None:
-            raise ValueError(
-                f"catalog path {path!r} is a URI — pass a meta_store "
-                "(e.g. manifest.ObjectMetadataStore); the default "
-                "persistence seam is local-POSIX only")
-        if meta_store is None:
-            from rakam_api_collector_spark.manifest import \
-                LocalMetadataStore
-            meta_store = LocalMetadataStore()
-        self._meta = meta_store
+        from rakam_api_collector_spark.manifest import resolve_meta_store
+        self._meta = resolve_meta_store(path or "", meta_store,
+                                        "catalog")
         raw = self._meta.read_if_exists(path) if path else None
         if raw is not None:
             for key, cols in json.loads(raw).items():

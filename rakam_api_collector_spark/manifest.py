@@ -135,6 +135,24 @@ class MetadataStore:
         raise NotImplementedError
 
 
+def resolve_meta_store(path: str, meta_store, what: str
+                       ) -> "MetadataStore":
+    """The one seam-resolution rule every protocol-state surface
+    shares (r16): an explicit store wins; otherwise default POSIX —
+    unless the path is a URI, where ``os.*`` would silently create
+    mangled local paths, so refuse loudly and name the escape hatch.
+    ``what`` names the surface in the error (store / index model /
+    checkpoint bookkeeping / catalog / checkpoint offsets)."""
+    if meta_store is not None:
+        return meta_store
+    if "://" in path:
+        raise ValueError(
+            f"{what} at {path!r} is a URI — pass a meta_store (e.g. "
+            "manifest.ObjectMetadataStore); the default metadata "
+            "seam is local-POSIX only")
+    return LocalMetadataStore()
+
+
 class LocalMetadataStore(MetadataStore):
     """POSIX implementation (the default): create-if-absent rides
     ``os.link``'s EEXIST semantics."""
@@ -153,7 +171,8 @@ class LocalMetadataStore(MetadataStore):
             return f.read()
 
     def put_if_absent(self, path: str, content: str) -> bool:
-        os.makedirs(os.path.dirname(path), exist_ok=True)
+        # dirname('') for a bare relative name: makedirs('') raises
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
         tmp = os.path.join(os.path.dirname(path),
                            f".tmp-{uuid.uuid4().hex}.json")
         with open(tmp, "w") as f:
@@ -167,7 +186,7 @@ class LocalMetadataStore(MetadataStore):
             os.unlink(tmp)
 
     def put(self, path: str, content: str) -> None:
-        os.makedirs(os.path.dirname(path), exist_ok=True)
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
         tmp = os.path.join(os.path.dirname(path),
                            f".tmp-{uuid.uuid4().hex}.json")
         with open(tmp, "w") as f:

@@ -424,14 +424,9 @@ class DsirFeatureStore:
         during a live ``compact()`` can no longer roll it back; reads
         resolve crash leftovers from the metadata (``_dead_ids``)
         instead of requiring a destructive sweep first."""
-        if "://" in path and meta_store is None:
-            raise ValueError(
-                f"DsirFeatureStore at {path!r} needs an explicit "
-                "meta_store (e.g. manifest.ObjectMetadataStore) — the "
-                "default metadata seam is local-POSIX only")
-        from rakam_api_collector_spark.manifest import LocalMetadataStore
-        self.meta = meta_store if meta_store is not None \
-            else LocalMetadataStore()
+        from rakam_api_collector_spark.manifest import resolve_meta_store
+        self.meta = resolve_meta_store(path, meta_store,
+                                       "DsirFeatureStore")
         self.spark = spark
         self.path = path.rstrip("/")
         meta_path = f"{self.path}/_meta.json"
@@ -573,16 +568,18 @@ class DsirFeatureStore:
         # excluded from every read; the maintenance window is the safe
         # place to reclaim their dirs
         torn = self._ingest_ids("counts") - self._ingest_ids("feats")
+        # post-recovery, one exclusion resolution serves both reads
+        dead_f, dead_c = self._dead_ids()
         # 1) counts blob under its FINAL name: uncommitted, it is a
         #    counts orphan with no committed feats twin — excluded
         #    from every read and reclaimed like any torn dir
-        (self._counts()
+        (self._counts(dead_c)
          .groupBy("bucket").agg(F.sum("_c").alias("_c"))
          .write.mode("overwrite")
          .parquet(f"{counts_base}/_ingest={cid}"))
         # 2) feats blob (without its marker it rolls BACK, inputs
         #    intact)
-        self.feats().write.mode("overwrite").parquet(
+        self.feats(dead_f).write.mode("overwrite").parquet(
             f"{feats_base}/_ingest={cid}")
         # 3) COMMIT POINT: one atomic object create
         self.meta.put_if_absent(
@@ -732,26 +729,32 @@ class DsirFeatureStore:
         return (sorted(feats_ids - live_f),
                 sorted(i for i in counts_ids if i not in live_f))
 
-    def feats(self) -> DataFrame:
+    def feats(self, _dead: list[str] | None = None) -> DataFrame:
+        """``_dead`` lets one operation resolve ``_dead_ids()`` ONCE
+        and share it across its feats/counts views (select does) —
+        never cache it across operations: a concurrent process's
+        compact() can commit a blob between two operations and a
+        stale dead list would wrongly exclude it."""
         df = self._read_or_empty("feats", self._FEATS)
-        dead, _ = self._dead_ids()
+        dead = self._dead_ids()[0] if _dead is None else _dead
         if dead:
             df = df.filter(~F.col("_ingest").isin(dead))
         return df.select("_id", "bucket", "cnt")
 
-    def _counts(self) -> DataFrame:
+    def _counts(self, _dead: list[str] | None = None) -> DataFrame:
         """The COMMITTED counts view: torn epochs, uncommitted blobs,
         and merged leftovers are excluded (``_dead_ids``)."""
         df = self._read_or_empty("counts", self._COUNTS)
-        _, dead = self._dead_ids()
+        dead = self._dead_ids()[1] if _dead is None else _dead
         if dead:
             df = df.filter(~F.col("_ingest").isin(dead))
         return df
 
-    def raw_logprobs(self, alpha: float = 1.0) -> DataFrame:
+    def raw_logprobs(self, alpha: float = 1.0,
+                     _dead: list[str] | None = None) -> DataFrame:
         """The accumulated raw-corpus LM — one aggregate over the
         O(epochs·B)-row counts table, never a corpus scan."""
-        counts = (self._counts()
+        counts = (self._counts(_dead)
                   .groupBy("bucket").agg(F.sum("_c").alias("_c")))
         return _smoothed_logprobs(self.spark, counts, self.buckets,
                                   alpha)
@@ -769,8 +772,12 @@ class DsirFeatureStore:
         t_lp = ngram_bucket_logprobs(self.spark, target, id_col,
                                      text_col, self.n, self.buckets,
                                      alpha)
-        w = dsir_log_weights_from_features(self.feats(), t_lp,
-                                           self.raw_logprobs(alpha))
+        # resolve crash-leftover exclusions ONCE for both views (on an
+        # object store each resolution is a LIST + per-blob GET)
+        dead_f, dead_c = self._dead_ids()
+        w = dsir_log_weights_from_features(
+            self.feats(dead_f), t_lp,
+            self.raw_logprobs(alpha, _dead=dead_c))
         score = (F.col("logw") / F.lit(float(temperature))
                  + gumbel_noise(F.col("_id"), seed))
         return w.select("_id", "logw", score.alias("score"))

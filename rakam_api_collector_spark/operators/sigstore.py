@@ -65,8 +65,8 @@ from pyspark.sql.types import (ArrayType, BooleanType, DoubleType,
                                LongType, StringType, StructField,
                                StructType)
 
-from rakam_api_collector_spark.manifest import (LocalMetadataStore,
-                                                MetadataStore)
+from rakam_api_collector_spark.manifest import (MetadataStore,
+                                                resolve_meta_store)
 
 from rakam_api_collector_spark.operators.dedup import minhash_signatures
 
@@ -115,13 +115,8 @@ class MinHashStore:
         of requiring a destructive sweep first (``_dead_ids``)."""
         self.spark = spark
         self.path = path.rstrip("/")
-        if "://" in self.path and meta_store is None:
-            raise ValueError(
-                f"MinHashStore at {self.path!r} needs an explicit "
-                "meta_store (e.g. manifest.ObjectMetadataStore) — the "
-                "default metadata seam is local-POSIX only")
-        self.meta = meta_store if meta_store is not None \
-            else LocalMetadataStore()
+        self.meta = resolve_meta_store(self.path, meta_store,
+                                       "MinHashStore")
         self.num_perm, self.n, self.bands = num_perm, n, bands
         self.threshold = threshold
         self.max_shingle_freq = max_shingle_freq

@@ -440,15 +440,8 @@ def _model_meta(path: str, meta_store):
     model lives beside the data (parquet IO already resolves URIs
     through Spark/pyarrow's own filesystems). Default POSIX; a URI
     path without an explicit store refuses loudly."""
-    if meta_store is not None:
-        return meta_store
-    if "://" in path:
-        raise ValueError(
-            f"index at {path!r} needs an explicit meta_store (e.g. "
-            "manifest.ObjectMetadataStore) — the default model-"
-            "artifact seam is local-POSIX only")
-    from rakam_api_collector_spark.manifest import LocalMetadataStore
-    return LocalMetadataStore()
+    from rakam_api_collector_spark.manifest import resolve_meta_store
+    return resolve_meta_store(path, meta_store, "index model")
 
 
 def _read_model(meta, path: str, name: str) -> "np.ndarray":
@@ -981,10 +974,13 @@ def ivf_cell_stats(path: str, meta_store=None) -> dict:
     counts: dict[int, int] = {}
     dataset = _ds.dataset(path, format="parquet", partitioning="hive")
     for frag in dataset.get_fragments():
-        m = _re.search(r"cell=(\d+)", frag.path)
-        if not m:
+        # segment-anchored, LAST match: a 'cell=N' substring in an
+        # ancestor directory of the index path must not shadow the
+        # real partition dir
+        ms = _re.findall(r"(?:^|/)cell=(\d+)(?=/|$)", frag.path)
+        if not ms:
             continue
-        c = int(m.group(1))
+        c = int(ms[-1])
         # count_rows() on an unfiltered parquet fragment is served
         # from row-group metadata — footer only
         counts[c] = counts.get(c, 0) + frag.count_rows()
@@ -1021,26 +1017,54 @@ def ivf_needs_rebuild(stats: dict, max_over_median: float = 8.0) -> bool:
     return stats["imbalance"] > max_over_median
 
 
+def _index_vectors(spark, path: str, meta) -> "tuple":
+    """(rows, books) for a maintenance rewrite: the deduplicated
+    (neighbor, _cv) rows plus the PQ codebooks when the index is
+    IVFADC. A codes-only PQ index cannot be rewritten from itself
+    (codes are not invertible) — refuse loudly instead of silently
+    writing an index the PQ search path can no longer read."""
+    import json
+
+    raw = meta.read_if_exists(f"{path}/_pq_books.json")
+    books = (np.asarray(json.loads(raw), dtype=np.float64)
+             if raw is not None else None)
+    idx = spark.read.parquet(path)
+    if books is not None and "_cv" not in idx.columns:
+        raise ValueError(
+            f"IVF-PQ index at {path} was built codes-only "
+            "(store_vectors=False): its vectors cannot be recovered "
+            "from the codes — re-run build_ivf_pq_index over the "
+            "source corpus instead")
+    return (idx.select("neighbor", "_cv")
+            .dropDuplicates(["neighbor"]), books)
+
+
 def compact_ivf_index(spark, path: str, dest: str, *,
                       meta_store=None) -> None:
     """The FILE-compaction half of index maintenance (r16): rewrite
-    the index at ``dest`` with the SAME centroids — cell membership
+    the index at ``dest`` with the SAME model — cell membership
     unchanged (assignment is deterministic in the model), every id
     preserved, at-least-once append duplicates collapsed — so a
     month of per-epoch streaming appends (≥1 small file per touched
     cell per epoch) folds back to one file set per cell without
     retraining anything. ``rebuild_ivf_index`` is the RETRAIN form
     (drift response); this is the run_maintenance rhythm. Writes to a
-    new path (the manifest swap rule). IVF-flat only — a PQ index
-    compacts the same way only when built ``store_vectors=True``."""
+    new path (the manifest swap rule). An IVF-PQ index built
+    ``store_vectors=True`` compacts too (codes re-encoded with the
+    SAME codebooks — bit-identical); codes-only refuses."""
     meta = _model_meta(path, meta_store)
     cents = _read_model(meta, path, "_centroids.json")
-    idx = (spark.read.parquet(path)
-           .select("neighbor", "_cv")
-           .dropDuplicates(["neighbor"]))
-    build_ivf_index(idx, "neighbor", "_cv", dest,
-                    n_cells=cents.shape[0], centroids=cents,
-                    meta_store=meta_store)
+    idx, books = _index_vectors(spark, path, meta)
+    if books is not None:
+        build_ivf_pq_index(idx, "neighbor", "_cv", dest,
+                           n_cells=cents.shape[0],
+                           m=books.shape[0],
+                           centroids=cents, books=books,
+                           store_vectors=True, meta_store=meta_store)
+    else:
+        build_ivf_index(idx, "neighbor", "_cv", dest,
+                        n_cells=cents.shape[0], centroids=cents,
+                        meta_store=meta_store)
 
 
 def rebuild_ivf_index(spark, path: str, dest: str, *,
@@ -1065,12 +1089,14 @@ def rebuild_ivf_index(spark, path: str, dest: str, *,
     end to end (id-ordered seed picks, the clustering module's
     fold/rounding rules).
 
-    IVF-PQ indexes rebuild the same way only when built
-    ``store_vectors=True`` (codes alone cannot re-train); a
-    codes-only index re-runs build_ivf_pq_index over the source
-    corpus instead."""
-    old = _read_model(_model_meta(path, meta_store), path,
-                      "_centroids.json").tolist()
+    An IVF-PQ index built ``store_vectors=True`` rebuilds too — the
+    coarse centroids retrain, the PQ codebooks carry over (they
+    quantize vectors, not cells) and every row's codes re-encode;
+    codes-only refuses (codes alone cannot re-train)."""
+    meta = _model_meta(path, meta_store)
+    old = _read_model(meta, path, "_centroids.json").tolist()
+    # validates codes-only early + surfaces the PQ codebooks
+    _, books = _index_vectors(spark, path, meta)
     k = n_cells or len(old)
     idx = (spark.read.parquet(path)
            .select("neighbor", "_cv", F.col("cell").cast("int")
@@ -1111,7 +1137,13 @@ def rebuild_ivf_index(spark, path: str, dest: str, *,
         kmeans_centroids
     cents = kmeans_centroids(idx, "neighbor", "_cv", init=init,
                              iters=iters)
-    build_ivf_index(idx.drop("_oldcell"), "neighbor", "_cv", dest,
-                    n_cells=k,
-                    centroids=np.asarray(cents, dtype=np.float64),
-                    meta_store=meta_store)
+    cents = np.asarray(cents, dtype=np.float64)
+    if books is not None:
+        build_ivf_pq_index(idx.drop("_oldcell"), "neighbor", "_cv",
+                           dest, n_cells=k, m=books.shape[0],
+                           centroids=cents, books=books,
+                           store_vectors=True, meta_store=meta_store)
+    else:
+        build_ivf_index(idx.drop("_oldcell"), "neighbor", "_cv", dest,
+                        n_cells=k, centroids=cents,
+                        meta_store=meta_store)

@@ -448,19 +448,21 @@ def checkpointed_offsets(checkpoint: str,
     lives on HDFS/S3, where the POSIX default can only report "no
     progress yet"; a URI checkpoint without an explicit store raises
     so a drain gate can't silently read lag-from-zero forever."""
-    if meta_store is None and "://" in checkpoint:
-        raise ValueError(
-            f"checkpoint {checkpoint!r} is a URI — pass a meta_store "
-            "(e.g. manifest.ObjectMetadataStore) to read its offsets")
-    if meta_store is None:
-        from rakam_api_collector_spark.manifest import LocalMetadataStore
-        meta_store = LocalMetadataStore()
+    from rakam_api_collector_spark.manifest import resolve_meta_store
+    meta_store = resolve_meta_store(checkpoint, meta_store,
+                                    "checkpoint offsets")
     d = f"{checkpoint}/offsets"
-    batches = sorted(int(f) for f in meta_store.list(d)
-                     if f.isdigit())
-    if not batches:
+    try:
+        batches = sorted(int(f) for f in meta_store.list(d)
+                         if f.isdigit())
+        if not batches:
+            return None
+        raw = meta_store.read_if_exists(f"{d}/{batches[-1]}")
+    except OSError:
+        # the documented contract: an unreadable checkpoint reads as
+        # "no progress yet" (NotADirectoryError, PermissionError, ...)
+        # — the drain-gate poll degrades instead of crashing
         return None
-    raw = meta_store.read_if_exists(f"{d}/{batches[-1]}")
     if raw is None:
         return None
     # strip newlines but KEEP empty lines: Spark serializes the

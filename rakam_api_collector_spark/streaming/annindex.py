@@ -103,31 +103,46 @@ def start_ann_index_stream(spark: SparkSession, source_dir: str | None,
         src = reader.parquet(source_dir)
     src = src.select(id_col, vec_col)
 
+    def _audit_fire():
+        from rakam_api_collector_spark.operators.similarity import (
+            ivf_cell_stats, ivf_needs_rebuild)
+        cell_stats = ivf_cell_stats(index_path, meta_store=meta_store)
+        if not ivf_needs_rebuild(cell_stats):
+            return
+        if on_drift is not None:
+            on_drift(cell_stats)
+        else:
+            raise RuntimeError(
+                f"IVF index at {index_path} drifted: imbalance "
+                f"{cell_stats['imbalance']} (max {cell_stats['max']}"
+                f" / median {cell_stats['median']}) — rebuild due "
+                "(similarity.rebuild_ivf_index)")
+
     def process(batch: DataFrame, epoch_id: int) -> None:
         if batch.isEmpty():
             return
+        audit_due = (audit_every_n_epochs
+                     and (epoch_id + 1) % audit_every_n_epochs == 0)
+        if audit_due and on_drift is None:
+            # fail-loud path audits BEFORE the append: the raise
+            # leaves the epoch uncommitted, and a replay re-audits
+            # the same pre-append state and raises again WITHOUT
+            # appending — raising after the append would re-append
+            # the batch into the already-drifted index on every
+            # retry/restart (duplicates growing the hot cell). The
+            # cost is one audited epoch of lag on the epoch that
+            # itself introduces the drift.
+            _audit_fire()
         append(batch, id_col, vec_col, index_path,
                meta_store=meta_store)
         if stats is not None:
             # opt-in extra action per micro-batch, the A2-counter
             # pattern (pipeline.start_ingest_stream's stats kwarg)
             stats.add(batch.count())
-        if audit_every_n_epochs \
-                and (epoch_id + 1) % audit_every_n_epochs == 0:
-            from rakam_api_collector_spark.operators.similarity import (
-                ivf_cell_stats, ivf_needs_rebuild)
-            cell_stats = ivf_cell_stats(index_path,
-                                        meta_store=meta_store)
-            if ivf_needs_rebuild(cell_stats):
-                if on_drift is not None:
-                    on_drift(cell_stats)
-                else:
-                    raise RuntimeError(
-                        f"IVF index at {index_path} drifted: "
-                        f"imbalance {cell_stats['imbalance']} "
-                        f"(max {cell_stats['max']} / median "
-                        f"{cell_stats['median']}) — rebuild due "
-                        "(similarity.rebuild_ivf_index)")
+        if audit_due and on_drift is not None:
+            # callback path audits the POST-append state (no replay
+            # hazard: the callback mutates nothing in the index)
+            _audit_fire()
 
     trig = trigger or {"availableNow": True}
     return (src.writeStream.foreachBatch(process)

@@ -206,16 +206,9 @@ def _ckpt_meta(checkpoint: str, meta_store):
     midnight-replay silent-loss window the clock exists to close).
     Default POSIX; a URI checkpoint without an explicit store refuses
     loudly — and only when a K3 channel actually uses the seam."""
-    if meta_store is not None:
-        return meta_store
-    if "://" in checkpoint:
-        raise ValueError(
-            f"checkpoint {checkpoint!r} is a URI — the K3 epoch "
-            "marker/clock seam needs an explicit meta_store (e.g. "
-            "manifest.ObjectMetadataStore); the default is "
-            "local-POSIX only")
-    from rakam_api_collector_spark.manifest import LocalMetadataStore
-    return LocalMetadataStore()
+    from rakam_api_collector_spark.manifest import resolve_meta_store
+    return resolve_meta_store(checkpoint, meta_store,
+                              "K3 checkpoint bookkeeping")
 
 
 def _prune_epoch_files(meta, dirpath: str, epoch_id: int,
@@ -228,6 +221,12 @@ def _prune_epoch_files(meta, dirpath: str, epoch_id: int,
     leak on the checkpoint store at cluster scale)."""
     floor = epoch_id - retain
     for n in meta.list(dirpath):
+        if n.startswith(".tmp-"):
+            # crash-leaked LocalMetadataStore put() temp: the live
+            # writer's temp can't be seen here — this prune runs in
+            # the same single thread AFTER its own write completed
+            meta.delete(f"{dirpath}/{n}")
+            continue
         stem = n[:-4] if n.endswith(".tmp") else n
         if stem.isdigit() and int(stem) < floor:
             meta.delete(f"{dirpath}/{n}")   # missing = concurrent win
@@ -274,9 +273,15 @@ def _pinned_epoch_date(spark: SparkSession, checkpoint: str,
     today = spark.sql(
         "SELECT date_format(current_date(), 'yyyy-MM-dd')").first()[0]
     if not meta.put_if_absent(path, today):
-        # CAS lost (can only happen if another attempt of THIS epoch
-        # raced us): the first writer's clock is the pinned one
-        today = meta.read(path).strip()
+        # CAS lost (another attempt of THIS epoch raced us): the
+        # first writer's clock is the pinned one — unless the file is
+        # EMPTY (a torn pre-r16 write): self-heal with today, the old
+        # overwrite behavior, rather than pinning now=''
+        stored = meta.read(path).strip()
+        if stored:
+            today = stored
+        else:
+            meta.put(path, today)
     _prune_epoch_files(meta, clock_dir, epoch_id)
     return today
 

@@ -161,13 +161,17 @@ def test_ann_stream_drift_audit_fires_on_hot_cell(spark, tmp_path):
     assert fired and fired[0]["max"] >= 400
     assert S.ivf_needs_rebuild(fired[0])
 
-    # default (no callback): the query itself fails loud on replayed
-    # drift — a fresh checkpoint re-appends the same hot file
+    # default (no callback): the query fails loud BEFORE appending —
+    # a fresh checkpoint pointed at the drifted index raises without
+    # landing a duplicate copy of the batch (replay-idempotent: every
+    # retry re-audits the same pre-append state)
+    n_before = spark.read.parquet(path).count()
     q = start_ann_index_stream(
         spark, str(src), path, "vec_id", "embedding",
         str(tmp_path / "ck2"), audit_every_n_epochs=1)
     with pytest.raises(StreamingQueryException, match="drifted"):
         q.awaitTermination(120)
+    assert spark.read.parquet(path).count() == n_before  # no append
 
     # balanced growth never fires: a fresh balanced index streamed
     # with the audit on completes cleanly
@@ -215,3 +219,38 @@ def test_compact_ivf_index_folds_stream_files(spark, tmp_path):
              S.ivf_index_topk(spark, dest, q, "vec_id", "embedding",
                               k=10, nprobe=4).collect()}
     assert after == before
+
+
+def test_compact_ivf_pq_index_preserves_model(spark, tmp_path):
+    """r16 review fix: compacting a store_vectors=True IVF-PQ index
+    carries the PQ model through (codes re-encoded with the SAME
+    codebooks — search results identical at dest) instead of silently
+    downgrading to IVF-flat; a codes-only PQ index refuses loudly
+    (codes are not invertible)."""
+    emb = load_table(spark, SF, "embeddings")
+    books = S.train_pq_codebooks(emb, "vec_id", "embedding",
+                                 m=16, nbits=4)
+    path = str(tmp_path / "pq")
+    S.build_ivf_pq_index(emb, "vec_id", "embedding", path, n_cells=16,
+                         books=books, store_vectors=True)
+    q = emb.filter(F.col("vec_id") < 5)
+    before = {(r.q, r.neighbor) for r in
+              S.ivf_pq_index_topk(spark, path, q, "vec_id",
+                                  "embedding", k=5, nprobe=8,
+                                  rerank_factor=5).collect()}
+    dest = str(tmp_path / "pq_c")
+    S.compact_ivf_index(spark, path, dest)
+    after = {(r.q, r.neighbor) for r in
+             S.ivf_pq_index_topk(spark, dest, q, "vec_id",
+                                 "embedding", k=5, nprobe=8,
+                                 rerank_factor=5).collect()}
+    assert after == before and len(after) == 25
+
+    codes_only = str(tmp_path / "pq_co")
+    S.build_ivf_pq_index(emb, "vec_id", "embedding", codes_only,
+                         n_cells=16, books=books, store_vectors=False)
+    with pytest.raises(ValueError, match="codes-only"):
+        S.compact_ivf_index(spark, codes_only,
+                            str(tmp_path / "nope"))
+    with pytest.raises(ValueError, match="codes-only"):
+        S.rebuild_ivf_index(spark, codes_only, str(tmp_path / "nope2"))
