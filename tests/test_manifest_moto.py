@@ -11,6 +11,7 @@ against. Skips cleanly where moto is absent.
 
 from __future__ import annotations
 
+import threading
 from datetime import datetime
 
 import pytest
@@ -106,9 +107,21 @@ def test_version_protocol_against_moto(spark, tmp_path, s3):
             return (super().read(path) if self._is_meta(path)
                     else self.posix.read(path))
 
+        # moto's in-process request handler is NOT thread-atomic for
+        # conditional PUT (two racing writers can both observe
+        # key-absent inside its pure-Python read-check-write) — real
+        # S3 enforces the condition server-side, and the in-repo
+        # _FakeS3Client suite covers true-concurrency CAS under a
+        # lock. Serialize the moto call so this test stays about the
+        # WIRE SEMANTICS per request, not about moto's threading
+        # (pre-r16 the race window was just narrow enough to flake
+        # only on a contended box).
+        _cas_lock = threading.Lock()
+
         def put_if_absent(self, path, content):
             if self._is_meta(path):
-                return super().put_if_absent(path, content)
+                with self._cas_lock:
+                    return super().put_if_absent(path, content)
             return self.posix.put_if_absent(path, content)
 
         def delete(self, path):
