@@ -430,12 +430,20 @@ class DsirFeatureStore:
         self.spark = spark
         self.path = path.rstrip("/")
         meta_path = f"{self.path}/_meta.json"
-        # atomic create-if-absent: two concurrent first-openers with
-        # different parameters must not both win a check-then-clobber
-        # race — the loser falls through to the verify below and raises
-        self.meta.put_if_absent(meta_path,
-                                json.dumps({"n": n, "buckets": buckets}))
-        meta = json.loads(self.meta.read(meta_path))
+        # read-first (ADVICE r16): reopening an existing store is a
+        # pure GET — a read-only role can open it, and a reader
+        # pointed at the wrong path fails on the create instead of
+        # silently making a store. Only a genuine first-opener falls
+        # through to the atomic create-if-absent, which still settles
+        # the two-concurrent-first-openers race: the loser's
+        # put_if_absent returns False and the verify below raises on
+        # a parameter mismatch
+        raw = self.meta.read_if_exists(meta_path)
+        if raw is None:
+            self.meta.put_if_absent(
+                meta_path, json.dumps({"n": n, "buckets": buckets}))
+            raw = self.meta.read(meta_path)
+        meta = json.loads(raw)
         if (meta["n"], meta["buckets"]) != (n, buckets):
             raise ValueError(
                 f"store at {self.path} was built with n={meta['n']} "

@@ -463,6 +463,17 @@ def checkpointed_offsets(checkpoint: str,
         # "no progress yet" (NotADirectoryError, PermissionError, ...)
         # — the drain-gate poll degrades instead of crashing
         return None
+    except Exception as e:  # noqa: BLE001 — typed by wire status
+        from rakam_api_collector_spark.manifest import \
+            ObjectMetadataStore
+        if ObjectMetadataStore._http_status(e) is not None:
+            # the object-store shape of the same contract (ADVICE
+            # r16): a non-404 ClientError — 403, throttling past the
+            # adapter's retries — degrades to "no progress yet"
+            # exactly as a POSIX PermissionError does; 404s already
+            # return None via read_if_exists
+            return None
+        raise
     if raw is None:
         return None
     # strip newlines but KEEP empty lines: Spark serializes the

@@ -66,15 +66,19 @@ def start_corpus_dedup_stream(spark: SparkSession,
     mangles URIs); pass the same string on every restart, as the
     engine itself requires for the checkpoint to resume.
 
-    LEGACY GUARD (r16, ADVICE r15): ids were un-namespaced before r15
-    (``epoch-N``). Resuming a pre-r15 checkpoint against its store
-    would replay its in-flight epoch under the NEW namespaced id —
-    self-exclusion would miss the old partition and every replayed
-    document would be stored twice and marked a duplicate of its own
-    prior attempt. The wrapper snapshots the store's legacy ids at
-    start and RAISES the moment an epoch whose legacy partition
-    exists would ingest (a drained pre-r15 store — legacy partitions
-    present but never replayed — keeps working untouched).
+    LEGACY GUARD (r16, ADVICE r15; scoped to real lineage in r17): ids
+    were un-namespaced before r15 (``epoch-N``). Resuming a pre-r15
+    checkpoint against its store would replay its in-flight epoch
+    under the NEW namespaced id — self-exclusion would miss the old
+    partition and every replayed document would be stored twice and
+    marked a duplicate of its own prior attempt. The wrapper arms the
+    guard ONLY for that lineage — a checkpoint with committed
+    progress and no namespaced ids in the store
+    (``streaming/_guards.py``) — and then RAISES the moment an epoch
+    whose legacy partition exists would ingest. A FRESH checkpoint
+    against a drained pre-r15 store starts clean: its epoch numbers
+    coincide with legacy partitions by arithmetic, not lineage, and
+    the namespaced ids cannot collide (ADVICE r16).
 
     ``compact_every_n_epochs`` (r16, opt-in) folds the store's epoch
     partitions into one blob every N committed epochs, FROM INSIDE
@@ -86,12 +90,17 @@ def start_corpus_dedup_stream(spark: SparkSession,
     a replayed epoch a prior compact already folded no-ops its ingest
     and the follow-up compact sees ≤1 partition and returns 0."""
     import hashlib
-    import re
+
+    from rakam_api_collector_spark.streaming._guards import \
+        legacy_replay_ids
 
     store = MinHashStore(spark, store_path, **store_kw)
     ck_token = hashlib.md5(checkpoint.encode()).hexdigest()[:8]
-    legacy_ids = {i for i in store.ingest_ids()
-                  if re.fullmatch(r"epoch-\d+", i)}
+    # non-empty ONLY for a resumed pre-r15 checkpoint whose replay
+    # window is still open — a fresh checkpoint against a drained
+    # legacy store starts clean (see streaming/_guards.py)
+    legacy_ids = legacy_replay_ids(store.ingest_ids(), checkpoint,
+                                   ck_token)
 
     if source_stream is not None:
         src = source_stream
@@ -113,9 +122,12 @@ def start_corpus_dedup_stream(spark: SparkSession,
                 f"under a pre-r15 un-namespaced id — replaying it "
                 f"namespaced would store its documents twice and "
                 f"mark them duplicates of their own prior attempt. "
-                f"Drain the pre-upgrade checkpoint, or rename the "
+                f"Drain the pre-upgrade checkpoint, rename the "
                 f"store partition to "
-                f"_ingest=epoch-{ck_token}-{epoch_id:012d}")
+                f"_ingest=epoch-{ck_token}-{epoch_id:012d}, or "
+                f"restart under a FRESH checkpoint (new path) — a "
+                f"fresh lineage cannot replay legacy epochs and "
+                f"starts unguarded")
         verdict = store.ingest(
             batch, id_col, text_col,
             ingest_id=f"epoch-{ck_token}-{epoch_id:012d}")

@@ -70,14 +70,18 @@ def start_dsir_feature_stream(spark: SparkSession,
     restart, as the engine itself requires for the checkpoint to
     resume.
 
-    LEGACY GUARD (r16, ADVICE r15 — the dedupstream rule): ids were
-    un-namespaced before r15 (``epoch-N``). Resuming a pre-r15
-    checkpoint would replay its in-flight epoch under the NEW
-    namespaced id — the replay would land BESIDE the old partition
-    and double-count every document. The wrapper snapshots the
-    store's legacy ids at start and raises the moment an epoch whose
-    legacy partition exists would ingest; a drained pre-r15 store
-    keeps working untouched.
+    LEGACY GUARD (r16, ADVICE r15 — the dedupstream rule; scoped to
+    real lineage in r17): ids were un-namespaced before r15
+    (``epoch-N``). Resuming a pre-r15 checkpoint would replay its
+    in-flight epoch under the NEW namespaced id — the replay would
+    land BESIDE the old partition and double-count every document.
+    The wrapper arms the guard ONLY for that lineage — a checkpoint
+    with committed progress and no namespaced ids in the store
+    (``streaming/_guards.py``) — and then raises the moment an epoch
+    whose legacy partition exists would ingest. A FRESH checkpoint
+    against a drained pre-r15 store starts clean: its epoch numbers
+    coincide with legacy partitions by arithmetic, not lineage
+    (ADVICE r16).
 
     ``compact_every_n_epochs`` (r16, opt-in) folds the store's epoch
     partition pairs into one blob pair every N committed epochs, from
@@ -88,13 +92,18 @@ def start_dsir_feature_stream(spark: SparkSession,
     contract). ``meta_store`` passes through to the store — the
     object-store seam."""
     import hashlib
-    import re
+
+    from rakam_api_collector_spark.streaming._guards import \
+        legacy_replay_ids
 
     store = DsirFeatureStore(spark, store_path, n=n, buckets=buckets,
                              meta_store=meta_store)
     ck_token = hashlib.md5(checkpoint.encode()).hexdigest()[:8]
-    legacy_ids = {i for i in store.ingest_ids()
-                  if re.fullmatch(r"epoch-\d+", i)}
+    # non-empty ONLY for a resumed pre-r15 checkpoint whose replay
+    # window is still open — a fresh checkpoint against a drained
+    # legacy store starts clean (see streaming/_guards.py)
+    legacy_ids = legacy_replay_ids(store.ingest_ids(), checkpoint,
+                                   ck_token)
 
     if source_stream is not None:
         src = source_stream
@@ -115,9 +124,12 @@ def start_dsir_feature_stream(spark: SparkSession,
                 f"store at {store_path!r} holds epoch {epoch_id} "
                 f"under a pre-r15 un-namespaced id — replaying it "
                 f"namespaced would double-count its documents. Drain "
-                f"the pre-upgrade checkpoint, or rename the store "
+                f"the pre-upgrade checkpoint, rename the store "
                 f"partitions to "
-                f"_ingest=epoch-{ck_token}-{epoch_id:012d}")
+                f"_ingest=epoch-{ck_token}-{epoch_id:012d}, or "
+                f"restart under a FRESH checkpoint (new path) — a "
+                f"fresh lineage cannot replay legacy epochs and "
+                f"starts unguarded")
         ingested = store.ingest(
             batch, id_col, text_col,
             ingest_id=f"epoch-{ck_token}-{epoch_id:012d}")

@@ -96,13 +96,15 @@ def test_replayed_ingest_is_idempotent(spark, tmp_path):
                                               ingest_id="epoch-1")
 
 
-def test_legacy_unnamespaced_epoch_guard(spark, tmp_path):
-    """r16 (ADVICE r15): resuming against a store holding the CURRENT
-    epoch under a pre-r15 un-namespaced id must FAIL — replaying it
-    namespaced would store the documents twice and mark them
-    duplicates of their own prior attempt. A drained legacy store
-    (legacy partitions for epochs the stream never replays) keeps
-    working untouched."""
+def test_legacy_guard_scoped_to_resumed_lineage(spark, tmp_path):
+    """r17 (ADVICE r16): the pre-r15 legacy-id guard fires ONLY on the
+    lineage that can actually replay — a resumed checkpoint with
+    committed progress and no namespaced ids in the store. A FRESH
+    checkpoint against a store holding legacy partitions (even for
+    epoch 0, which always collides numerically) starts clean: its
+    namespaced ids cannot collide and no replay hazard exists."""
+    import os
+
     import pytest
     from pyspark.errors import StreamingQueryException
 
@@ -110,32 +112,87 @@ def test_legacy_unnamespaced_epoch_guard(spark, tmp_path):
     _write(spark, src, [(1, DOC_A), (2, DOC_B)])
     store_path = str(tmp_path / "store")
 
-    # plant a pre-r15 partition for an epoch a fresh checkpoint will
-    # NEVER reach: stream runs fine, stored docs win (drained-store
-    # migration path preserved)
+    # a drained pre-r15 store: legacy partitions for epochs 0 AND 99
     store = MinHashStore(spark, store_path, threshold=0.5)
-    store.ingest(spark.createDataFrame([(50, DOC_C)],
-                                       "doc_id long, text string"),
-                 "doc_id", "text", ingest_id="epoch-000000000099")
+    for did, doc, eid in [(50, DOC_C, "epoch-000000000099"),
+                          (60, DOC_A_NEAR, "epoch-000000000000")]:
+        store.ingest(spark.createDataFrame([(did, doc)],
+                                           "doc_id long, text string"),
+                     "doc_id", "text", ingest_id=eid)
+    # FRESH checkpoint: epoch 0 collides with 'epoch-0' by number
+    # only — pre-r17 this raised (the ADVICE false positive); now it
+    # ingests namespaced, stored docs winning matches as usual
     start_corpus_dedup_stream(
         spark, src, store_path=store_path, id_col="doc_id",
         text_col="text", checkpoint=str(tmp_path / "ck1"),
         threshold=0.5).awaitTermination(180)
-    assert store.stored_sigs().count() == 3      # 50 + 1 + 2
+    # doc 1 (DOC_A) deduped against the planted legacy doc 60
+    # (DOC_A_NEAR) — stored docs win; doc 2 ingested namespaced
+    assert store.stored_sigs().count() == 3      # 50 + 60 + 2
 
-    # plant the CURRENT epoch (a fresh checkpoint starts at 0) as a
-    # legacy id: the guard fires before any store write
-    store.ingest(spark.createDataFrame([(60, DOC_A_NEAR)],
-                                       "doc_id long, text string"),
-                 "doc_id", "text", ingest_id="epoch-000000000000")
-    n = store.stored_sigs().count()
-    q = start_corpus_dedup_stream(
-        spark, src, store_path=store_path, id_col="doc_id",
-        text_col="text", checkpoint=str(tmp_path / "ck2"),
-        threshold=0.5)
+    # resumed PRE-R15 lineage: drain one epoch under ck2, then
+    # rewrite its committed partition to the un-namespaced id
+    # pre-r15 code would have used, and plant store state for the
+    # NEXT epoch (the crash-before-offset-commit leftover). Resuming
+    # ck2 replays epoch 1 against a store with commits-but-no-
+    # namespaced-ids: the genuine double-ingest hazard — guard fires
+    # BEFORE any store write.
+    store2_path = str(tmp_path / "store2")
+    src2 = str(tmp_path / "incoming2")
+    _write(spark, src2, [(1, DOC_A)])
+    kw = dict(store_path=store2_path, id_col="doc_id",
+              text_col="text", checkpoint=str(tmp_path / "ck2"),
+              threshold=0.5, max_files_per_trigger=1)
+    start_corpus_dedup_stream(spark, src2, **kw).awaitTermination(180)
+    sigs = f"{store2_path}/sigs"
+    [tokened] = os.listdir(sigs)
+    os.rename(f"{sigs}/{tokened}",
+              f"{sigs}/_ingest=epoch-000000000000")
+    store2 = MinHashStore(spark, store2_path, threshold=0.5)
+    store2.ingest(spark.createDataFrame([(70, DOC_B)],
+                                        "doc_id long, text string"),
+                  "doc_id", "text", ingest_id="epoch-000000000001")
+    n = store2.stored_sigs().count()
+    _write(spark, src2, [(3, DOC_C)])            # makes epoch 1 fire
+    q = start_corpus_dedup_stream(spark, src2, **kw)
     with pytest.raises(StreamingQueryException, match="pre-r15"):
         q.awaitTermination(180)
-    assert store.stored_sigs().count() == n      # nothing landed
+    assert MinHashStore(spark, store2_path, threshold=0.5) \
+        .stored_sigs().count() == n              # nothing landed
+
+
+def test_legacy_replay_ids_branches(tmp_path):
+    """The guard-arming decision table (streaming/_guards.py), pure:
+    no legacy ids → off; namespaced ids for this token present → off
+    (replay window already cleared); fresh checkpoint → off; resumed
+    checkpoint without namespaced ids → ON; unprobeable URI
+    checkpoint → conservative ON."""
+    import os
+
+    from rakam_api_collector_spark.streaming._guards import \
+        legacy_replay_ids
+
+    ck = str(tmp_path / "ck")
+    os.makedirs(f"{ck}/commits")
+    legacy = {"epoch-000000000000", "epoch-000000000007"}
+
+    assert legacy_replay_ids(set(), ck, "abcd1234") == set()
+    # fresh checkpoint (commits dir empty)
+    assert legacy_replay_ids(legacy, ck, "abcd1234") == set()
+    # truly fresh (no checkpoint dir at all)
+    assert legacy_replay_ids(legacy, str(tmp_path / "nope"),
+                             "abcd1234") == set()
+    with open(f"{ck}/commits/0", "w") as f:
+        f.write("v1")
+    # resumed, no namespaced ids: armed
+    assert legacy_replay_ids(legacy, ck, "abcd1234") == legacy
+    # resumed but this token already committed post-r15: cleared
+    assert legacy_replay_ids(
+        legacy | {"epoch-abcd1234-000000000002"}, ck,
+        "abcd1234") == set()
+    # URI checkpoint: unprobeable, conservative
+    assert legacy_replay_ids(legacy, "s3://bkt/ck",
+                             "abcd1234") == legacy
 
 
 def test_dedup_stream_scheduled_compaction(spark, tmp_path):

@@ -336,3 +336,63 @@ def test_catalog_and_checkpoint_offsets_on_object_store(spark, tmp_path):
     assert checkpoint_lag(ck, _B(), ["t"], meta_store=meta) == 3
     with pytest.raises(ValueError, match="meta_store"):
         checkpointed_offsets("s3://bucket/ck")
+
+
+def test_checkpoint_offsets_degrade_on_wire_errors(tmp_path):
+    """r17 (ADVICE r16): the documented "unreadable checkpoint reads
+    as no-progress-yet" contract covers the OBJECT-STORE error shape
+    too — a non-404 ClientError (403 AccessDenied, throttling past the
+    adapter's retries) degrades to None exactly as a POSIX
+    PermissionError does, while a non-wire bug still propagates."""
+    from rakam_api_collector_spark.sources.kafka import \
+        checkpointed_offsets
+
+    class _Wire(Exception):
+        def __init__(self, status):
+            self.response = {"Error": {"Code": "AccessDenied"},
+                             "ResponseMetadata":
+                                 {"HTTPStatusCode": status}}
+
+    class _Denied(LocalMetadataStore):
+        def list(self, d):
+            raise _Wire(403)
+
+    class _Buggy(LocalMetadataStore):
+        def list(self, d):
+            raise KeyError("not a wire error")
+
+    assert checkpointed_offsets(str(tmp_path / "ck"),
+                                meta_store=_Denied()) is None
+    with pytest.raises(KeyError):
+        checkpointed_offsets(str(tmp_path / "ck"),
+                             meta_store=_Buggy())
+
+
+def test_dsir_store_reopen_is_read_only(spark, tmp_path):
+    """r17 (ADVICE r16): opening an EXISTING DsirFeatureStore is a
+    pure GET — no conditional PUT on every open, so a read-only IAM
+    role can open it; and a reader pointed at an empty/wrong path
+    fails on the create instead of silently making a store."""
+    class _ReadOnly(LocalMetadataStore):
+        puts = 0
+
+        def put(self, path, content):
+            _ReadOnly.puts += 1
+            raise PermissionError("read-only role")
+
+        def put_if_absent(self, path, content):
+            _ReadOnly.puts += 1
+            raise PermissionError("read-only role")
+
+    path = str(tmp_path / "dstore")
+    DsirFeatureStore(spark, path, n=2, buckets=64)   # creates
+    ro = _ReadOnly()
+    st = DsirFeatureStore(spark, path, n=2, buckets=64, meta_store=ro)
+    assert _ReadOnly.puts == 0                       # pure GET open
+    assert (st.n, st.buckets) == (2, 64)
+    with pytest.raises(ValueError, match="n=2"):
+        # parameter-mismatch verify still fires on a read-only reopen
+        DsirFeatureStore(spark, path, n=3, buckets=64, meta_store=ro)
+    with pytest.raises(PermissionError):
+        DsirFeatureStore(spark, str(tmp_path / "nope"), n=2,
+                         buckets=64, meta_store=ro)  # no silent create
