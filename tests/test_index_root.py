@@ -1,0 +1,260 @@
+"""Versioned atomic index publish (operators/indexroot.py, r17 —
+VERDICT r16 item 1): persisted IVF/IVF-PQ indexes get a manifest-style
+CAS version pointer, so rebuild/compact land as one atomic swap that
+searchers and the streaming maintainer follow automatically; appends
+a swap overtook refuse instead of feeding a dead generation; old
+generations are gc-able under a retention rule; and index health rides
+the run_maintenance sweep.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from rakam_api_collector_spark.manifest import CommitConflict
+from rakam_api_collector_spark.operators import similarity as S
+from rakam_api_collector_spark.operators.indexroot import (
+    StaleAppend, VersionedIndex)
+from rakam_api_collector_spark.tables import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def _emb(spark):
+    return load_table(spark, SF, "embeddings")
+
+
+def _published_root(spark, tmp_path, upto=100, n_cells=16):
+    emb = _emb(spark)
+    root = VersionedIndex(str(tmp_path / "idx"))
+    gen = root.new_generation_path()
+    S.build_ivf_index(emb.filter(F.col("vec_id") < upto), "vec_id",
+                      "embedding", gen, n_cells=n_cells)
+    root.publish(gen)
+    return emb, root
+
+
+def test_publish_resolve_append_search(spark, tmp_path):
+    """The base protocol: build into new_generation_path, publish via
+    CAS, search through the pointer; appends bump the version and the
+    grown index equals in-memory search; an unpublished root refuses
+    both search and stream use; publishing a non-index refuses."""
+    emb, root = _published_root(spark, tmp_path)
+    assert root.current_version() == 1
+    root.append(emb.filter(F.col("vec_id") >= 100), "vec_id",
+                "embedding")
+    assert root.current_version() == 2
+    assert spark.read.parquet(root.current_path()).count() \
+        == emb.count()
+
+    q = emb.filter(F.col("vec_id") < 5)
+    got = {(r.q, r.neighbor) for r in
+           root.topk(spark, q, "vec_id", "embedding", k=10,
+                     nprobe=16).collect()}
+    cents = S._read_model(root.meta, root.current_path(),
+                          "_centroids.json")
+    want = {(r.q, r.neighbor) for r in
+            S.ivf_topk(emb, q, "vec_id", "embedding", k=10, nprobe=16,
+                       centroids=cents).collect()}
+    assert got == want
+
+    empty = VersionedIndex(str(tmp_path / "none"))
+    with pytest.raises(FileNotFoundError, match="no published"):
+        empty.current_path()
+    with pytest.raises(ValueError, match="no built index"):
+        empty.publish(str(tmp_path / "not_an_index"))
+    # flat generations reject the PQ-only rerank knob loudly
+    with pytest.raises(ValueError, match="IVF-flat"):
+        root.topk(spark, q, "vec_id", "embedding", rerank_factor=3)
+
+
+def test_version_cas_races(spark, tmp_path):
+    """8 concurrent publishers through the OCC loop: every version CAS
+    has exactly one winner, all 8 commits land (versions 2..9), every
+    committed state is readable and names a real generation, and a
+    direct usurper put on a committed version loses — the
+    ManifestedTable race suite applied to the index pointer. (The
+    pointer CAS is the racing surface; concurrent PHYSICAL appends to
+    one generation are excluded by the single-maintainer contract —
+    module docstring.)"""
+    from concurrent.futures import ThreadPoolExecutor
+
+    emb, root = _published_root(spark, tmp_path)
+    gen2 = root.new_generation_path()
+    S.build_ivf_index(emb.filter(F.col("vec_id") < 50), "vec_id",
+                      "embedding", gen2, n_cells=16)
+    gen1 = root._read_version(1)["index_path"]
+
+    def one(i):
+        VersionedIndex(root.root).publish(gen2 if i % 2 else gen1)
+
+    with ThreadPoolExecutor(8) as ex:
+        list(ex.map(one, range(8)))
+    assert root.current_version() == 9
+    assert root._version_numbers() == list(range(1, 10))
+    for n in range(1, 10):
+        st = root._read_version(n)
+        assert st["version"] == n and st["parent"] == n - 1
+        assert st["index_path"] in {gen1, gen2}
+    assert not root.meta.put_if_absent(
+        f"{root.versions_dir}/v{9:010d}.json", "usurper")
+    assert root._read_version(9) != "usurper"
+
+
+def test_rebuild_swap_catches_up_concurrent_appends(spark, tmp_path):
+    """The swap CAS is conditioned on the version it caught up to: an
+    append landing between the rebuild's snapshot and its publish
+    forces a catch-up round (id anti-join), so the swapped-in
+    generation holds EVERY id — nothing a concurrent appender wrote
+    is lost — and the searcher flips to it atomically."""
+    emb, root = _published_root(spark, tmp_path)
+    extra = emb.filter((F.col("vec_id") >= 100)
+                       & (F.col("vec_id") < 160))
+
+    class Race(VersionedIndex):
+        injected = 0
+
+        def _try_commit(self, n, state):
+            if state["action"] == "rebuild" and Race.injected == 0:
+                Race.injected = 1
+                # a concurrent appender sneaks in version n first
+                VersionedIndex(self.root).append(
+                    extra, "vec_id", "embedding")
+            return super()._try_commit(n, state)
+
+    racer = Race(str(tmp_path / "idx"))
+    st = racer.rebuild(spark)
+    assert Race.injected == 1 and st["action"] == "rebuild"
+    # the rebuild's first CAS lost to the append, the catch-up folded
+    # the appended rows into the new generation before the swap won
+    assert st["version"] == 3                  # publish, append, swap
+    live = spark.read.parquet(root.current_path())
+    assert live.select("neighbor").distinct().count() == 160
+    got = root.topk(spark, emb.filter("vec_id = 120"), "vec_id",
+                    "embedding", k=1, nprobe=16).collect()
+    assert got and got[0].neighbor != 120      # appended rows searchable
+
+
+def test_stale_append_refuses_and_replays_to_live_gen(spark, tmp_path):
+    """An append a swap overtook mid-flight must NOT commit a version
+    bump (its rows went to the superseded generation): StaleAppend
+    raises, and the caller's replay lands the rows in the live
+    generation — at-least-once, never lost, never silently dead."""
+    emb, root = _published_root(spark, tmp_path)
+    batch = emb.filter((F.col("vec_id") >= 100)
+                       & (F.col("vec_id") < 150))
+
+    class Hooked(VersionedIndex):
+        swapped = 0
+
+        def _append_fn(self, path):
+            fn = super()._append_fn(path)
+
+            def wrapped(df, i, v, p, meta_store=None):
+                if Hooked.swapped == 0:
+                    # the overtaking swap lands while this append is
+                    # still physically writing: its snapshot excludes
+                    # the in-flight rows
+                    Hooked.swapped = 1
+                    VersionedIndex(self.root).compact(df.sparkSession)
+                fn(df, i, v, p, meta_store=meta_store)
+            return wrapped
+
+    hooked = Hooked(str(tmp_path / "idx"))
+    with pytest.raises(StaleAppend, match="superseded"):
+        hooked.append(batch, "vec_id", "embedding")
+    live = root.current_path()
+    assert root.current()["action"] == "compact"
+    # the swap snapshotted BEFORE the stale rows landed: replaying the
+    # batch (what the streaming epoch retry does) lands them live
+    assert spark.read.parquet(live).count() == 100
+    root.append(batch, "vec_id", "embedding")
+    assert spark.read.parquet(root.current_path()).count() == 150
+
+
+def test_gc_retention(spark, tmp_path):
+    """Superseded generations are reclaimed under keep_versions +
+    grace; the live one survives; an in-flight build dir (no model
+    artifact yet) is never touched; version files whose generation
+    was reclaimed are pruned."""
+    emb, root = _published_root(spark, tmp_path)
+    root.compact(spark)
+    root.compact(spark)
+    gens = sorted(d for d in os.listdir(root.root)
+                  if d.startswith("gen-"))
+    assert len(gens) == 3
+    os.makedirs(f"{root.root}/gen-999999")        # mid-flight build
+    assert root.gc(keep_versions=2, grace_seconds=1e6) == []
+    removed = root.gc(keep_versions=1, grace_seconds=0.0)
+    assert removed == [f"{root.root}/gen-000001",
+                       f"{root.root}/gen-000002"]
+    assert os.path.isdir(f"{root.root}/gen-999999")
+    assert root._version_numbers() == [3]
+    assert spark.read.parquet(root.current_path()).count() == 100
+
+
+def test_replace_refuses_concurrent_swap(spark, tmp_path):
+    """Two maintenance swaps racing: the loser sees the pointer moved
+    off its source generation and raises CommitConflict instead of
+    publishing a generation built from a superseded snapshot."""
+    emb, root = _published_root(spark, tmp_path)
+
+    class Race(VersionedIndex):
+        swapped = 0
+
+        def _try_commit(self, n, state):
+            if state["action"] == "compact" and Race.swapped == 0:
+                Race.swapped = 1
+                VersionedIndex(self.root).rebuild(
+                    spark)                     # the winning swap
+            return super()._try_commit(n, state)
+
+    with pytest.raises(CommitConflict, match="concurrent swap"):
+        Race(str(tmp_path / "idx")).compact(spark)
+    assert root.current()["action"] == "rebuild"
+
+
+def test_run_maintenance_reports_index_health(spark, tmp_path):
+    """VERDICT r16 item 6: one cadence owns all maintenance — the
+    shard-organizer sweep reports index health (imbalance, drift
+    trigger, last-full-build age) beside table compaction, and
+    isolates a broken root as an error row."""
+    from datetime import datetime
+
+    from rakam_api_collector_spark.manifest import (ManifestedTable,
+                                                    run_maintenance)
+
+    base = str(tmp_path / "warehouse")
+    t = ManifestedTable(base, "proj", "events")
+    t.write(spark.createDataFrame(
+        [(1, datetime.fromisoformat("2024-03-01T10:00:00"))],
+        "id long, _time timestamp"), batch_id="b0")
+
+    _, root = _published_root(spark, tmp_path)
+    reports = run_maintenance(
+        spark, base, min_batches=8,
+        index_roots=[root, str(tmp_path / "broken")])
+    assert reports[0]["collection"] == "events"
+    idx = reports[1]
+    assert idx["index"] == root.root
+    assert idx["rows"] == 100 and idx["n_cells"] == 16
+    assert idx["rebuild_due"] is False
+    assert idx["last_full_build_age"] >= 0
+    assert "error" in reports[2]
+
+
+def test_cell_stats_spark_path_matches_footer_walk(spark, tmp_path):
+    """ivf_cell_stats' distributed branch (r17, VERDICT r16 "what's
+    wrong" #2): above the file-count threshold the counts come from a
+    partition-column-only Spark scan — identical stats to the serial
+    footer walk."""
+    emb, root = _published_root(spark, tmp_path, upto=300)
+    path = root.current_path()
+    serial = S.ivf_cell_stats(path)
+    dist = S.ivf_cell_stats(path, spark=spark, parallel_threshold=0)
+    assert dist == serial
+    # and by default (below threshold) spark= is a no-op
+    assert S.ivf_cell_stats(path, spark=spark) == serial
