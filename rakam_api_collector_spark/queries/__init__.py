@@ -392,6 +392,34 @@ r16 close: every operator family in SURVEY §2 and the LLM-pipeline
 tier has a driver row or a documented rows-only/pytest pin, and the
 registry sits at the 99-row ceiling — a future promotion needs a
 consolidation pairing drafted WITH it (the llm55/llm56 rule).
+
+r17 EXECUTION (current window): the 49 r16-out due-backs + the spare
+spent per the draft on llm56_token_budget — r17's changes (the
+versioned atomic index publish, operators/indexroot.py; the rebuild
+seed-pick broadcast join; the legacy-guard lineage scoping; the
+DsirFeatureStore read-first open) touch NO registered query's plan:
+the llm55/llm17 store-protocol surfaces changed, but both queries
+are already in the due-back pool (they LEAD the window), and
+rebuild/cell-stats/indexroot are maintenance surfaces outside the
+registry, pinned by tests/test_index_root.py, the new
+test_ann_stream root/drift/compact tests, and the test_plans
+seed-pick pin.
+
+Out-of-window (49 queries, all r16-green, due back in r18 — leaving
+1 spare): llm34_video_sampling, llm54_audio_phash, dq05/08,
+dq12-17, dq29-32, dq34, dq36, dq47, llm01, llm02_lexical_stats,
+llm04-06, llm11, llm16, llm18-28, llm37-44, llm47-49, llm51-53.
+
+r18 SPARE-SLOT PLAN (drafted in r17): window = the 49 r17-out
+due-backs above + 1 spare, RESERVED for whatever r18 modifies; if
+r18 modifies nothing, fill with heavy regression-prone
+llm09_minhash_lsh (the perennial heaviest wall in the due-back
+pool). No promotion candidate is pending as of r17 close — the
+registry sits at the 99-row ceiling; a future promotion needs a
+consolidation pairing drafted WITH it (the llm55/llm56 rule). The
+versioned-index surfaces (indexroot publish/append/swap/gc) are
+protocol state machines with no SQL-expressible oracle — they stay
+pytest-pinned by design, like the manifest's own version log.
 """
 
 from __future__ import annotations
@@ -403,34 +431,31 @@ _ALL_ORACLE = {**relational.ORACLE, **llm_ops.ORACLE}
 
 # First 50 = this round's driver-checked window (see docstring history).
 _WINDOW = [
-    # lead: the r16 promotion — exact token-budget mixture sampling
-    # with the definitional one-window canonical form as its oracle
-    # (the slot freed by the dq27+dq28 consolidation; see the r16
-    # history block and the evidence-inheritance note)
+    # leads: due-backs whose underlying store protocol changed in r17
+    # (DsirFeatureStore read-first open rides llm55's path; llm17's
+    # MinHashStore backs the lineage-scoped dedup-stream guard)
+    "llm55_dsir_select", "llm17_incremental_dedup",
+    # the 47 remaining r16-out due-backs (all r15-green)
+    "dq01_projection", "dq02_whitelist", "dq03_late_split",
+    "dq04_sink_envelope", "dq06_max_offset", "dq07_zone_map",
+    "dq09_distinct_agg", "dq10_rollup", "dq11_sum_cents",
+    "dq18_topk", "dq19_truncate", "dq20_safe_cast", "dq21_set_ops",
+    "dq22_array_funcs", "dq23_hash", "dq24_scalars",
+    "dq25_udf_shape", "dq26_epoch_conversions", "dq27_scalar_encode",
+    "dq33_percentile", "dq35_sessionize", "dq37_hash_split",
+    "dq38_cube", "dq39_pivot", "dq40_window_analytics",
+    "dq41_approx_quantile", "dq42_funnel", "dq43_retention",
+    "dq44_grouping_sets", "dq45_range_frame", "dq46_stats_agg",
+    "llm07_exact_dedup", "llm08_jaccard_pairs", "llm09_minhash_lsh",
+    "llm10_simhash", "llm12_ann_lsh", "llm13_multimodal_meta",
+    "llm14_decode_features", "llm15_embed_dedup",
+    "llm29_pack_sequences", "llm30_mixture_sample",
+    "llm31_vocab_coverage", "llm32_dedup_keep_best",
+    "llm33_audio_pipeline", "llm35_resize_image",
+    "llm46_semantic_dedup", "llm50_dup_span_removal",
+    # spare (per the r16 draft): r17 modified no registered query
+    # outside the due-back pool, so the newest row takes the slot
     "llm56_token_budget",
-    # the 49 r15-out due-backs (all r14-green)
-    "llm34_video_sampling", "llm54_audio_phash",
-    "dq05_route_fanout", "dq08_hash_agg",
-    "dq12_join_dim", "dq13_multi_join", "dq14_semi_anti",
-    "dq15_outer_join", "dq16_window", "dq17_dedup_first",
-    "dq29_envelope_parse", "dq30_tumbling_window", "dq31_asof_join",
-    "dq32_salted_agg", "dq34_range_join", "dq36_approx_distinct",
-    "dq47_sliding_window",
-    "llm01_token_count", "llm02_lexical_stats",
-    "llm04_lang_id", "llm05_fingerprint", "llm06_quality",
-    "llm11_knn_cosine", "llm16_dedup_clusters",
-    "llm18_bpe_tokens", "llm19_ivf_ann", "llm20_tfidf",
-    "llm21_pii_redact", "llm22_chunk_dedup", "llm23_contamination",
-    "llm24_stratified_split", "llm25_repetition", "llm26_kmeans",
-    "llm27_surprisal", "llm28_quantize",
-    "llm37_bigram_lm", "llm38_training_order",
-    "llm39_curriculum_bins", "llm40_quality_rules",
-    "llm41_head_truncate", "llm42_curation_e2e",
-    "llm43_compression_ratio", "llm44_jpeg_decode",
-    "llm47_boilerplate_removal", "llm48_bpe_merges",
-    "llm49_ivf_pq_recall",
-    "llm51_unigram_tokenizer", "llm52_html_extract",
-    "llm53_ocf_roundtrip",
 ]
 
 assert len(_WINDOW) == 50 and len(set(_WINDOW)) == 50, len(_WINDOW)
