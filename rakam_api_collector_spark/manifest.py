@@ -153,6 +153,44 @@ def resolve_meta_store(path: str, meta_store, what: str
     return LocalMetadataStore()
 
 
+class VersionLog:
+    """The shared version-file protocol (r17, review): monotonically
+    numbered ``v%010d.json`` states under a ``_versions`` dir, each
+    committed by create-if-absent through the :class:`MetadataStore`
+    CAS — one writer wins each number, losers re-read and retry. Both
+    versioned stores speak it — :class:`ManifestedTable` (batch sets)
+    and :class:`~rakam_api_collector_spark.operators.indexroot.
+    VersionedIndex` (ANN generations) — so filename-convention or
+    parse fixes land once."""
+
+    def __init__(self, versions_dir: str, meta: MetadataStore) -> None:
+        self.versions_dir = versions_dir
+        self.meta = meta
+
+    def path_of(self, n: int) -> str:
+        return f"{self.versions_dir}/v{n:010d}.json"
+
+    def numbers(self) -> list[int]:
+        names = self.meta.list(self.versions_dir)   # [] when absent
+        return sorted(int(x[1:-5]) for x in names
+                      if x.startswith("v") and x.endswith(".json"))
+
+    def latest(self) -> int:
+        ns = self.numbers()
+        return ns[-1] if ns else 0
+
+    def read(self, n: int) -> dict:
+        return json.loads(self.meta.read(self.path_of(n)))
+
+    def try_commit(self, n: int, state: dict) -> bool:
+        """Atomic create-if-absent of version ``n``. True on win;
+        False if another writer committed it first (POSIX os.link
+        EEXIST / object-store conditional-put compare-and-swap,
+        behind MetadataStore.put_if_absent)."""
+        return self.meta.put_if_absent(self.path_of(n),
+                                       json.dumps(state))
+
+
 class LocalMetadataStore(MetadataStore):
     """POSIX implementation (the default): create-if-absent rides
     ``os.link``'s EEXIST semantics."""
@@ -556,6 +594,12 @@ def run_maintenance(spark: SparkSession, base: str,
         with ThreadPoolExecutor(min(parallelism, len(tables))) as pool:
             reports = list(pool.map(sweep_one, tables))
 
+    if index_roots and scheduler_pool is not None:
+        # health() can launch a Spark job (the distributed cell count
+        # above the file threshold) — it rides the organizer's pool
+        # like every sweep job, not the default pool
+        spark.sparkContext.setLocalProperty("spark.scheduler.pool",
+                                            scheduler_pool)
     for root in index_roots or []:
         from rakam_api_collector_spark.operators.indexroot import \
             VersionedIndex
@@ -599,7 +643,9 @@ class MaintenanceHook:
                  parallelism: int = 8,
                  max_reports: int = 64,
                  target_rows: int | None = None,
-                 max_tables_per_sweep: int | None = None) -> None:
+                 max_tables_per_sweep: int | None = None,
+                 meta: "MetadataStore | None" = None,
+                 index_roots: list | None = None) -> None:
         if every_epochs < 1:
             raise ValueError(f"every_epochs must be >= 1, "
                              f"got {every_epochs}")
@@ -622,7 +668,12 @@ class MaintenanceHook:
                              # weight pool in the allocation file the
                              # organizer cannot starve trigger-
                              # interval batches of executor slots
-                             "scheduler_pool": "manifest-maintenance"}
+                             "scheduler_pool": "manifest-maintenance",
+                             # r17: the daemon cadence owns index
+                             # health too, and sweeps object-store
+                             # bases through an explicit store
+                             "meta": meta,
+                             "index_roots": index_roots}
         self.max_reports = max_reports
         self.reports: list[dict] = []
         self.skipped_overlap = 0
@@ -1050,33 +1101,24 @@ class ManifestedTable:
         # through here (MetadataStore docstring maps each op to its
         # object-store equivalent); Spark/pyarrow data paths do not
         self.meta = meta or LocalMetadataStore()
+        self._log = VersionLog(self.versions_dir, self.meta)
 
-    # -- version protocol ---------------------------------------------------
+    # -- version protocol (the shared VersionLog, batch-set states) ----------
 
     def _version_numbers(self) -> list[int]:
-        names = self.meta.list(self.versions_dir)
-        return sorted(int(n[1:-5]) for n in names
-                      if n.startswith("v") and n.endswith(".json"))
+        return self._log.numbers()
 
     def current_version(self) -> int:
         """Highest committed version; 0 = empty table."""
-        ns = self._version_numbers()
-        return ns[-1] if ns else 0
+        return self._log.latest()
 
     def _read_version(self, n: int) -> dict:
         if n == 0:
             return {"version": 0, "batches": []}
-        return json.loads(
-            self.meta.read(f"{self.versions_dir}/v{n:010d}.json"))
+        return self._log.read(n)
 
     def _try_commit(self, next_n: int, state: dict) -> bool:
-        """Atomic create-if-absent of version ``next_n``. True on win;
-        False if another writer committed it first (the POSIX os.link
-        EEXIST / object-store conditional-put compare-and-swap, behind
-        MetadataStore.put_if_absent)."""
-        return self.meta.put_if_absent(
-            f"{self.versions_dir}/v{next_n:010d}.json",
-            json.dumps(state))
+        return self._log.try_commit(next_n, state)
 
     _CORE_STATE = ("version", "parent", "committed_at", "batches")
 

@@ -48,12 +48,12 @@ clobbered files the winner read, so don't.
 
 from __future__ import annotations
 
-import json
 import time
 
 from pyspark.sql import DataFrame, SparkSession
 
 from rakam_api_collector_spark.manifest import (CommitConflict,
+                                                VersionLog,
                                                 resolve_meta_store)
 
 
@@ -77,28 +77,23 @@ class VersionedIndex:
         self.versions_dir = f"{self.root}/_versions"
         self.meta = resolve_meta_store(self.root, meta_store,
                                        "index root")
+        self._log = VersionLog(self.versions_dir, self.meta)
         self.max_commit_retries = max_commit_retries
 
-    # -- version protocol (the ManifestedTable file convention) ----------
+    # -- version protocol (manifest.VersionLog — shared with the table) --
 
     def _version_numbers(self) -> list[int]:
-        names = self.meta.list(self.versions_dir)   # [] when absent
-        return sorted(int(n[1:-5]) for n in names
-                      if n.startswith("v") and n.endswith(".json"))
+        return self._log.numbers()
 
     def current_version(self) -> int:
         """Highest committed version; 0 = nothing published yet."""
-        ns = self._version_numbers()
-        return ns[-1] if ns else 0
+        return self._log.latest()
 
     def _read_version(self, n: int) -> dict:
-        return json.loads(
-            self.meta.read(f"{self.versions_dir}/v{n:010d}.json"))
+        return self._log.read(n)
 
     def _try_commit(self, next_n: int, state: dict) -> bool:
-        return self.meta.put_if_absent(
-            f"{self.versions_dir}/v{next_n:010d}.json",
-            json.dumps(state))
+        return self._log.try_commit(next_n, state)
 
     def current(self) -> dict:
         """Full state of the live version. Raises if nothing has been
@@ -117,19 +112,18 @@ class VersionedIndex:
     # -- generations ------------------------------------------------------
 
     def new_generation_path(self) -> str:
-        """A fresh generation directory for the NEXT build: named after
-        the version that would publish it, bumped past any leftover
-        from a crashed build (builds overwrite their own retries; a
-        COMMITTED generation is never reused)."""
-        ns = self._version_numbers()
-        referenced = {self._read_version(n)["index_path"] for n in ns}
-        n = (ns[-1] if ns else 0) + 1
-        while True:
-            cand = f"{self.root}/gen-{n:06d}"
-            if cand not in referenced and self.meta.read_if_exists(
-                    f"{cand}/_centroids.json") is None:
-                return cand
-            n += 1
+        """A fresh generation directory for the NEXT build: one past
+        the max of (existing ``gen-*`` dirs, latest version) — TWO
+        listings, never a per-version read (r17 review: reading every
+        version state made each scheduled compact O(stream age)).
+        Crashed-build leftovers count as existing (they're listed), so
+        a retry never clobbers a committed generation; the one name a
+        dangling version could still claim is one gc already removed
+        and was about to prune — unreadable either way."""
+        gens = [int(d[4:]) for d in self.meta.list(self.root)
+                if d.startswith("gen-") and d[4:].isdigit()]
+        n = max(gens + [self._log.latest()]) + 1
+        return f"{self.root}/gen-{n:06d}"
 
     def _state(self, parent: dict | None, index_path: str,
                action: str) -> dict:
@@ -337,11 +331,15 @@ class VersionedIndex:
                 if now - last_ref[p] < grace_seconds:
                     continue
             else:
-                try:
-                    m = self.meta.mtime(f"{p}/_centroids.json")
-                except (FileNotFoundError, OSError):
+                # existence probed via read_if_exists, which maps the
+                # object-store 404 shape to None (a bare mtime would
+                # raise a ClientError no except-clause here should
+                # have to name — r17 review)
+                if self.meta.read_if_exists(
+                        f"{p}/_centroids.json") is None:
                     continue                  # mid-build or torn
-                if now - m < grace_seconds:
+                if now - self.meta.mtime(
+                        f"{p}/_centroids.json") < grace_seconds:
                     continue
             self.meta.delete_tree(p)
             removed.append(p)

@@ -172,9 +172,12 @@ def start_ann_index_stream(spark: SparkSession, source_dir: str | None,
         from rakam_api_collector_spark.operators.similarity import (
             ivf_cell_stats, ivf_needs_rebuild)
         path = root.current_path() if root is not None else index_path
+        # spark enables the distributed footer branch — the streaming
+        # path is exactly where per-epoch accretion grows the file
+        # count past the serial walk's comfort (r17 review)
         cell_stats = ivf_cell_stats(
             path, meta_store=root.meta if root is not None
-            else meta_store)
+            else meta_store, spark=spark)
         if not ivf_needs_rebuild(cell_stats):
             return
         if on_drift == "rebuild":

@@ -305,9 +305,11 @@ def test_ann_stream_follows_versioned_root(spark, tmp_path):
         [(9_000 + i, [float(i % 7) + 0.1] * 64) for i in range(20)],
         "vec_id long, embedding array<float>")   # the table's type
     extra.coalesce(1).write.mode("append").parquet(src)
-    # ...the resumed stream (same checkpoint) follows the pointer
+    # ...the resumed stream (same checkpoint) follows the pointer:
+    # the new epoch's append version names the REBUILT generation
     start_ann_index_stream(spark, src, **kw).awaitTermination(180)
-    assert root.current_path() != rebuilt or True  # may compact again
+    st = root.current()
+    assert st["action"] == "append" and st["index_path"] == rebuilt
     live = spark.read.parquet(root.current_path())
     assert live.filter(F.col("neighbor") >= 9_000).count() == 20
     assert live.count() >= n_before + 20

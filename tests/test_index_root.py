@@ -245,6 +245,15 @@ def test_run_maintenance_reports_index_health(spark, tmp_path):
     assert idx["last_full_build_age"] >= 0
     assert "error" in reports[2]
 
+    # the DAEMON cadence owns index health too (r17 review): the
+    # MaintenanceHook plumbs index_roots through to every sweep
+    from rakam_api_collector_spark.manifest import MaintenanceHook
+    hook = MaintenanceHook(spark, base, every_epochs=1, inline=True,
+                           min_batches=99, index_roots=[root])
+    hook.after_epoch(0)
+    assert hook.reports[-1]["tables"][-1]["index"] == root.root
+    assert hook.reports[-1]["tables"][-1]["rebuild_due"] is False
+
 
 def test_cell_stats_spark_path_matches_footer_walk(spark, tmp_path):
     """ivf_cell_stats' distributed branch (r17, VERDICT r16 "what's
