@@ -306,8 +306,18 @@ class VersionedIndex:
         its scan, the manifest gc rule). Unreferenced ``gen-*`` dirs
         (crashed builds) are reclaimed on the same grace via their
         model artifact's mtime; a dir with no artifact yet is left
-        alone (a build may be mid-flight). Version files older than
-        the keep window whose generation was reclaimed are pruned."""
+        alone (a build may be mid-flight).
+
+        The version LOG is bounded too (r17 review): out-of-window
+        version files prune when their generation was reclaimed OR
+        when a newer version references the same generation (append
+        history — one version per streamed epoch — is redundant once
+        superseded: searchers resolve only the current state, and
+        ``last_full_build`` rides forward in every commit). What
+        survives is the keep window plus the NEWEST reference to each
+        still-on-disk generation — that newest reference carries the
+        ``committed_at`` the grace rule needs — so the log is
+        O(generations + keep_versions) regardless of stream age."""
         ns = self._version_numbers()
         if not ns:
             return []
@@ -344,11 +354,15 @@ class VersionedIndex:
             self.meta.delete_tree(p)
             removed.append(p)
         gone = set(removed)
+        newest_ref = {}                     # path -> newest version n
+        for n in ns:                        # ascending: ends newest
+            newest_ref[states[n]["index_path"]] = n
         for n in ns:
             if n in kept_ns:
                 continue
-            if states[n]["index_path"] in gone:
-                self.meta.delete(f"{self.versions_dir}/v{n:010d}.json")
+            p = states[n]["index_path"]
+            if p in gone or n != newest_ref[p]:
+                self.meta.delete(self._log.path_of(n))
         return removed
 
     # -- health (the run_maintenance report row) ------------------------------

@@ -969,20 +969,33 @@ def ivf_cell_stats(path: str, meta_store=None, spark=None,
     VERDICT r16). Pass ``spark`` to switch to a DISTRIBUTED count
     above ``parallel_threshold`` files: a scan projected to the
     partition column alone reads zero data columns (row counts come
-    from the same footers, read executor-parallel).
+    from the same footers, read executor-parallel). A URI index path
+    (``s3://…``) uses the Spark branch unconditionally — Spark
+    resolves its own filesystems there, where the local pyarrow walk
+    would need separately-configured credentials.
     """
     import json as _json
     import re as _re
-
-    import pyarrow.dataset as _ds
 
     raw = _model_meta(path, meta_store).read_if_exists(
         f"{path}/_centroids.json")
     n_cells = len(_json.loads(raw)) if raw is not None else None
     counts: dict[int, int] = {}
-    dataset = _ds.dataset(path, format="parquet", partitioning="hive")
-    frags = list(dataset.get_fragments())
-    if spark is not None and len(frags) > parallel_threshold:
+    if "://" in path:
+        if spark is None:
+            raise ValueError(
+                f"index at {path!r} is a URI — pass spark= so the "
+                "cell audit can run through Spark's filesystems")
+        frags = []
+        use_spark = True
+    else:
+        import pyarrow.dataset as _ds
+        dataset = _ds.dataset(path, format="parquet",
+                              partitioning="hive")
+        frags = list(dataset.get_fragments())
+        use_spark = (spark is not None
+                     and len(frags) > parallel_threshold)
+    if use_spark:
         from pyspark.sql import functions as _F
         counts = {int(r["cell"]): r["n"] for r in
                   spark.read.parquet(path)

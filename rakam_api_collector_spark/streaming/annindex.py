@@ -55,6 +55,8 @@ def start_ann_index_stream(spark: SparkSession, source_dir: str | None,
                            meta_store=None, stats=None,
                            audit_every_n_epochs: int | None = None,
                            compact_every_n_epochs: int | None = None,
+                           gc_keep_versions: int | None = None,
+                           gc_grace_seconds: float = 3600.0,
                            on_drift=None):
     """Start a streaming query appending new embedding rows to a
     persisted ANN index. Returns the StreamingQuery.
@@ -106,6 +108,15 @@ def start_ann_index_stream(spark: SparkSession, source_dir: str | None,
     ids, identical top-k; the superseded generation stays readable for
     in-flight searches until :meth:`VersionedIndex.gc`.
 
+    ``gc_keep_versions`` (opt-in, ``index_root`` only) runs that gc
+    right after every swap this stream performs (compact cadence or
+    ``on_drift="rebuild"``), with ``gc_grace_seconds`` protecting
+    generations in-flight searchers may still be scanning (default
+    1 h) — so a stream that compacts also RECLAIMS, and neither the
+    superseded generations nor the per-epoch version log grow with
+    stream age. Leave None when an external maintenance window owns
+    retention.
+
     ``audit_every_n_epochs`` (r16, opt-in) runs the footer-only
     cell-balance audit (``similarity.ivf_cell_stats``) every N
     committed epochs and, when the max/median drift trigger fires
@@ -131,6 +142,19 @@ def start_ann_index_stream(spark: SparkSession, source_dir: str | None,
         raise ValueError("pass exactly one of index_path / index_root")
     if checkpoint is None:
         raise ValueError("checkpoint is required")
+    # root-only knobs refuse BEFORE any index introspection: a knob
+    # misuse is a caller bug regardless of what's on disk
+    if compact_every_n_epochs and index_root is None:
+        raise ValueError("compact_every_n_epochs needs index_root — "
+                         "the compaction swap is followable only "
+                         "through the version pointer")
+    if gc_keep_versions is not None and index_root is None:
+        raise ValueError("gc_keep_versions needs index_root — "
+                         "retention is a property of the version log")
+    if on_drift == "rebuild" and index_root is None:
+        raise ValueError('on_drift="rebuild" needs index_root — the '
+                         "rebuild swap is followable only through "
+                         "the version pointer")
     root = None
     if index_root is not None:
         from rakam_api_collector_spark.operators.indexroot import \
@@ -148,14 +172,6 @@ def start_ann_index_stream(spark: SparkSession, source_dir: str | None,
         pq = meta.read_if_exists(
             f"{index_path}/_pq_books.json") is not None
         append = append_to_ivf_pq_index if pq else append_to_ivf_index
-    if compact_every_n_epochs and root is None:
-        raise ValueError("compact_every_n_epochs needs index_root — "
-                         "the compaction swap is followable only "
-                         "through the version pointer")
-    if on_drift == "rebuild" and root is None:
-        raise ValueError('on_drift="rebuild" needs index_root — the '
-                         "rebuild swap is followable only through "
-                         "the version pointer")
 
     if source_stream is not None:
         src = source_stream
@@ -185,6 +201,9 @@ def start_ann_index_stream(spark: SparkSession, source_dir: str | None,
             # only appender, so the swap CAS wins without catch-up
             # contention; the NEXT epoch follows the new pointer
             root.rebuild(spark)
+            if gc_keep_versions is not None:
+                root.gc(keep_versions=gc_keep_versions,
+                        grace_seconds=gc_grace_seconds)
         elif on_drift is not None:
             on_drift(cell_stats)
         else:
@@ -230,6 +249,9 @@ def start_ann_index_stream(spark: SparkSession, source_dir: str | None,
         if compact_every_n_epochs \
                 and (epoch_id + 1) % compact_every_n_epochs == 0:
             root.compact(spark)
+            if gc_keep_versions is not None:
+                root.gc(keep_versions=gc_keep_versions,
+                        grace_seconds=gc_grace_seconds)
 
     trig = trigger or {"availableNow": True}
     return (src.writeStream.foreachBatch(process)

@@ -388,3 +388,43 @@ def test_ann_stream_root_knob_validation(spark, tmp_path):
         start_ann_index_stream(spark, path,
                                index_root=str(tmp_path / "empty"),
                                **common)
+
+
+def test_ann_stream_gc_cadence_reclaims_superseded_gens(spark,
+                                                        tmp_path):
+    """gc_keep_versions (r17): a stream that compacts also RECLAIMS —
+    after the drain, only the live generation remains on disk, the
+    version log is bounded (keep window + newest per-gen reference),
+    and search is unaffected."""
+    from rakam_api_collector_spark.operators.indexroot import \
+        VersionedIndex
+
+    emb, first, src = _split_embeddings(spark, tmp_path,
+                                        cuts=(100, 150, 200, 250))
+    root = VersionedIndex(str(tmp_path / "idx"))
+    gen1 = root.new_generation_path()
+    S.build_ivf_index(first, "vec_id", "embedding", gen1, n_cells=16)
+    root.publish(gen1)
+
+    start_ann_index_stream(
+        spark, src, index_root=root, id_col="vec_id",
+        vec_col="embedding", checkpoint=str(tmp_path / "ck"),
+        max_files_per_trigger=1, compact_every_n_epochs=2,
+        gc_keep_versions=1,
+        gc_grace_seconds=0.0).awaitTermination(180)
+
+    gens = [d for d in os.listdir(root.root) if d.startswith("gen-")]
+    assert gens == [root.current_path().rsplit("/", 1)[-1]]
+    assert root._version_numbers() == [root.current_version()]
+    live = spark.read.parquet(root.current_path())
+    assert live.select("neighbor").distinct().count() == emb.count()
+    q = emb.filter(F.col("vec_id") < 5)
+    assert root.topk(spark, q, "vec_id", "embedding", k=10,
+                     nprobe=16).count() == 50
+
+    # retention is a version-log property: without a root it refuses
+    with pytest.raises(ValueError, match="gc_keep_versions"):
+        start_ann_index_stream(
+            spark, src, index_path=gen1, id_col="vec_id",
+            vec_col="embedding", checkpoint=str(tmp_path / "ck2"),
+            gc_keep_versions=1)

@@ -267,3 +267,39 @@ def test_cell_stats_spark_path_matches_footer_walk(spark, tmp_path):
     assert dist == serial
     # and by default (below threshold) spark= is a no-op
     assert S.ivf_cell_stats(path, spark=spark) == serial
+
+
+def test_gc_bounds_the_version_log(spark, tmp_path):
+    """r17 review: append history (one version per streamed epoch) is
+    redundant once superseded — gc prunes out-of-window versions whose
+    generation is reclaimed OR re-referenced by a newer version, so
+    the log is O(generations + keep window) regardless of stream age;
+    the newest reference to each still-on-disk generation survives to
+    carry the grace clock."""
+    emb, root = _published_root(spark, tmp_path)
+    for lo in (100, 150, 200):
+        root.append(emb.filter((F.col("vec_id") >= lo)
+                               & (F.col("vec_id") < lo + 50)),
+                    "vec_id", "embedding")
+    assert root._version_numbers() == [1, 2, 3, 4]
+    # nothing reclaimed (gen-000001 is live), but the append history
+    # collapses to the keep window + the newest per-gen reference
+    assert root.gc(keep_versions=1, grace_seconds=0.0) == []
+    assert root._version_numbers() == [4]
+    assert spark.read.parquet(root.current_path()).count() == 250
+    st = root.current()
+    assert st["last_full_build"]["version"] == 1   # rides forward
+
+
+def test_cell_stats_uri_path_needs_spark(tmp_path):
+    """A URI index path audits through Spark's filesystems — without
+    spark= the local pyarrow walk would need separately-configured
+    credentials, so refuse loudly (and the no-store refusal still
+    fires first)."""
+    from rakam_api_collector_spark.manifest import LocalMetadataStore
+
+    with pytest.raises(ValueError, match="meta_store"):
+        S.ivf_cell_stats("s3://bkt/ivf")
+    with pytest.raises(ValueError, match="pass spark="):
+        S.ivf_cell_stats("s3://bkt/ivf",
+                         meta_store=LocalMetadataStore())
