@@ -194,13 +194,33 @@ class VersionedIndex:
     def topk(self, spark: SparkSession, queries: DataFrame,
              id_col: str, vec_col: str, k: int = 10, nprobe: int = 4,
              exclude_self: bool = True,
-             rerank_factor: int | None = None) -> DataFrame:
+             rerank_factor: int | None = None,
+             version: int | None = None) -> DataFrame:
         """Search the LIVE generation — pointer resolved once, so the
         whole search reads one consistent generation (never a mix of
         pre- and post-swap files). Dispatches flat vs IVFADC by the
-        generation's own artifacts."""
+        generation's own artifacts.
+
+        ``version`` time-travels the search to an older committed
+        state (the manifest versionAsOf rule): the operational use is
+        A/B-ing a rebuild's recall against the generation it replaced
+        BEFORE gc reclaims it. Raises if the version (or its
+        generation) was already pruned/reclaimed."""
         from rakam_api_collector_spark.operators import similarity as S
-        path = self.current_path()
+        if version is None:
+            path = self.current_path()
+        else:
+            if version not in self._log.numbers():
+                raise FileNotFoundError(
+                    f"version {version} of {self.root} is not in the "
+                    "log (never committed, or pruned by gc)")
+            path = self._read_version(version)["index_path"]
+            if self.meta.read_if_exists(
+                    f"{path}/_centroids.json") is None:
+                raise FileNotFoundError(
+                    f"generation {path} (version {version}) was "
+                    "reclaimed by gc — raise keep_versions/grace to "
+                    "retain A/B windows")
         if self.meta.read_if_exists(f"{path}/_pq_books.json") is None:
             if rerank_factor is not None:
                 raise ValueError("rerank_factor applies to IVF-PQ "

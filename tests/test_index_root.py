@@ -303,3 +303,35 @@ def test_cell_stats_uri_path_needs_spark(tmp_path):
     with pytest.raises(ValueError, match="pass spark="):
         S.ivf_cell_stats("s3://bkt/ivf",
                          meta_store=LocalMetadataStore())
+
+
+def test_topk_time_travel_to_pre_swap_generation(spark, tmp_path):
+    """version= (r17): search an OLDER committed state — the A/B
+    window for judging a rebuild's recall before gc reclaims the
+    superseded generation; pruned/reclaimed versions refuse with the
+    retention remedy named."""
+    emb, root = _published_root(spark, tmp_path)
+    q = emb.filter(F.col("vec_id") < 5)
+    before = {(r.q, r.neighbor) for r in
+              root.topk(spark, q, "vec_id", "embedding", k=10,
+                        nprobe=16).collect()}
+    root.rebuild(spark)
+    # the superseded generation still answers identically at v1...
+    old = {(r.q, r.neighbor) for r in
+           root.topk(spark, q, "vec_id", "embedding", k=10,
+                     nprobe=16, version=1).collect()}
+    assert old == before
+    # ...and the live one matches exact search over the same corpus
+    live = {(r.q, r.neighbor) for r in
+            root.topk(spark, q, "vec_id", "embedding", k=10,
+                      nprobe=16).collect()}
+    exact = {(r.q, r.neighbor) for r in
+             S.cosine_topk(emb.filter(F.col("vec_id") < 100), q,
+                           "vec_id", "embedding", k=10).collect()}
+    assert live == exact                       # full-probe == exact
+    with pytest.raises(FileNotFoundError, match="not in the log"):
+        root.topk(spark, q, "vec_id", "embedding", version=99)
+    root.gc(keep_versions=1, grace_seconds=0.0)
+    with pytest.raises(FileNotFoundError, match="not in the log"):
+        # v1's generation was reclaimed AND its version file pruned
+        root.topk(spark, q, "vec_id", "embedding", version=1)
