@@ -586,32 +586,47 @@ def run_maintenance(spark: SparkSession, base: str,
             report["error"] = f"{type(e).__name__}: {e}"
         return report
 
-    if len(tables) <= 1 or parallelism <= 1:
-        reports = [sweep_one(k) for k in tables]
-    else:
-        from concurrent.futures import ThreadPoolExecutor
+    # pool tagging is a THREAD-LOCAL property: the serial branch and
+    # the index-health loop run on the CALLER's thread (which for an
+    # inline MaintenanceHook is the stream-execution thread), so the
+    # property is saved and restored — leaking it would run every
+    # subsequent production micro-batch in the organizer's low-weight
+    # pool, inverting the isolation (r17 review). Pool-executor worker
+    # threads need no restore: they die with the executor.
+    prior_pool = (spark.sparkContext.getLocalProperty(
+        "spark.scheduler.pool") if scheduler_pool is not None else None)
+    try:
+        if len(tables) <= 1 or parallelism <= 1:
+            reports = [sweep_one(k) for k in tables]
+        else:
+            from concurrent.futures import ThreadPoolExecutor
 
-        with ThreadPoolExecutor(min(parallelism, len(tables))) as pool:
-            reports = list(pool.map(sweep_one, tables))
+            with ThreadPoolExecutor(min(parallelism,
+                                        len(tables))) as pool:
+                reports = list(pool.map(sweep_one, tables))
 
-    if index_roots and scheduler_pool is not None:
-        # health() can launch a Spark job (the distributed cell count
-        # above the file threshold) — it rides the organizer's pool
-        # like every sweep job, not the default pool
-        spark.sparkContext.setLocalProperty("spark.scheduler.pool",
-                                            scheduler_pool)
-    for root in index_roots or []:
-        from rakam_api_collector_spark.operators.indexroot import \
-            VersionedIndex
-        vi = (root if isinstance(root, VersionedIndex)
-              else VersionedIndex(root, meta_store=meta))
-        row = {"index": vi.root}
-        try:
-            row.update(vi.health(spark))
-        except Exception as e:  # noqa: BLE001 — reported, not fatal
-            row["error"] = f"{type(e).__name__}: {e}"
-        reports.append(row)
-    return reports
+        if index_roots and scheduler_pool is not None:
+            # health() can launch a Spark job (the distributed cell
+            # count above the file threshold) — it rides the
+            # organizer's pool like every sweep job
+            spark.sparkContext.setLocalProperty(
+                "spark.scheduler.pool", scheduler_pool)
+        for root in index_roots or []:
+            from rakam_api_collector_spark.operators.indexroot import \
+                VersionedIndex
+            vi = (root if isinstance(root, VersionedIndex)
+                  else VersionedIndex(root, meta_store=meta))
+            row = {"index": vi.root}
+            try:
+                row.update(vi.health(spark))
+            except Exception as e:  # noqa: BLE001 — reported row
+                row["error"] = f"{type(e).__name__}: {e}"
+            reports.append(row)
+        return reports
+    finally:
+        if scheduler_pool is not None:
+            spark.sparkContext.setLocalProperty("spark.scheduler.pool",
+                                                prior_pool)
 
 
 class MaintenanceHook:

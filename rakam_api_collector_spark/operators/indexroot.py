@@ -125,6 +125,16 @@ class VersionedIndex:
         n = max(gens + [self._log.latest()]) + 1
         return f"{self.root}/gen-{n:06d}"
 
+    @staticmethod
+    def _missing(exc: Exception) -> bool:
+        """True when ``exc`` is the POSIX or object-store shape of
+        "no such object" (FileNotFoundError / wire 404)."""
+        if isinstance(exc, FileNotFoundError):
+            return True
+        from rakam_api_collector_spark.manifest import \
+            ObjectMetadataStore
+        return ObjectMetadataStore._http_status(exc) == 404
+
     def _state(self, parent: dict | None, index_path: str,
                action: str) -> dict:
         n = (parent or {"version": 0})["version"]
@@ -206,21 +216,30 @@ class VersionedIndex:
         A/B-ing a rebuild's recall against the generation it replaced
         BEFORE gc reclaims it. Raises if the version (or its
         generation) was already pruned/reclaimed."""
+        import json as _json
+
         from rakam_api_collector_spark.operators import similarity as S
         if version is None:
             path = self.current_path()
         else:
-            if version not in self._log.numbers():
+            # one GET resolves committed-vs-pruned (no log LIST)
+            raw = self.meta.read_if_exists(self._log.path_of(version))
+            if raw is None:
                 raise FileNotFoundError(
                     f"version {version} of {self.root} is not in the "
                     "log (never committed, or pruned by gc)")
-            path = self._read_version(version)["index_path"]
-            if self.meta.read_if_exists(
-                    f"{path}/_centroids.json") is None:
+            path = _json.loads(raw)["index_path"]
+            try:
+                # existence probe = one HEAD-shaped mtime, not a
+                # full-body model GET the search would re-read anyway
+                self.meta.mtime(f"{path}/_centroids.json")
+            except Exception as e:  # noqa: BLE001 — typed below
+                if not self._missing(e):
+                    raise
                 raise FileNotFoundError(
                     f"generation {path} (version {version}) was "
                     "reclaimed by gc — raise keep_versions/grace to "
-                    "retain A/B windows")
+                    "retain A/B windows") from None
         if self.meta.read_if_exists(f"{path}/_pq_books.json") is None:
             if rerank_factor is not None:
                 raise ValueError("rerank_factor applies to IVF-PQ "
@@ -257,11 +276,21 @@ class VersionedIndex:
                                   meta_store=self.meta)
         return got
 
+    def _marker(self, dest: str) -> str:
+        """The in-flight-build marker for a generation this root is
+        building — OUTSIDE the generation dir, because the build's
+        ``mode("overwrite")`` write clears the dir itself. gc uses the
+        marker's age to reclaim a crashed build's data (r17 review:
+        without it every crash leaked a full index copy, forever)."""
+        return f"{self.root}/_building/{dest.rsplit('/', 1)[-1]}.json"
+
     def _replace(self, spark: SparkSession, worker, action: str,
                  max_catchup: int = 8) -> dict:
         st0 = self.current()
         src = st0["index_path"]
         dest = self.new_generation_path()
+        self.meta.put(self._marker(dest),
+                      '{"action": "%s"}' % action)
         worker(src, dest)
         base_v = st0["version"]
         for _ in range(max_catchup):
@@ -278,6 +307,10 @@ class VersionedIndex:
                 self._catchup(spark, src, dest)
                 base_v = n
             if self._try_commit(n + 1, self._state(cur, dest, action)):
+                # committed: the generation is now version-referenced,
+                # so the in-flight marker has done its job (a crash
+                # HERE leaves a stale marker gc cleans on sight)
+                self.meta.delete(self._marker(dest))
                 return self._read_version(n + 1)
         raise CommitConflict(
             f"{action} under {self.root} could not win the swap CAS "
@@ -324,9 +357,15 @@ class VersionedIndex:
         ``grace_seconds`` (an in-flight reader resolved the pointer at
         most moments before the swap that superseded it — grace covers
         its scan, the manifest gc rule). Unreferenced ``gen-*`` dirs
-        (crashed builds) are reclaimed on the same grace via their
-        model artifact's mtime; a dir with no artifact yet is left
-        alone (a build may be mid-flight).
+        (crashed or abandoned builds) are reclaimed on the same grace:
+        via the model artifact's mtime when one landed, else via the
+        ``_building/`` marker rebuild/compact stamp before writing
+        (r17 review — a crash between the data write and the artifact
+        put used to leak a full index copy forever). A dir with
+        neither (a manual build in progress) is left alone; stale
+        markers whose generation committed or vanished are cleaned,
+        and a version file whose root-local generation vanished (a
+        crash between delete_tree and the prune) is pruned too.
 
         The version LOG is bounded too (r17 review): out-of-window
         version files prune when their generation was reclaimed OR
@@ -351,29 +390,50 @@ class VersionedIndex:
                               st["committed_at"])
         now = time.time()
         removed: list[str] = []
-        for d in sorted(self.meta.list(self.root)):
-            if not d.startswith("gen-"):
-                continue
-            p = f"{self.root}/{d}"
+        listing = sorted(self.meta.list(self.root))
+        on_disk = {f"{self.root}/{d}" for d in listing
+                   if d.startswith("gen-")}
+        markers = {m[:-5] for m in
+                   self.meta.list(f"{self.root}/_building")
+                   if m.endswith(".json")}
+
+        def _age_or_none(path: str) -> float | None:
+            """mtime guarded against the probe-to-read race and the
+            object-store 404 shape (r17 review) — None = vanished."""
+            try:
+                return now - self.meta.mtime(path)
+            except Exception as e:  # noqa: BLE001 — typed below
+                if self._missing(e):
+                    return None
+                raise
+
+        for p in sorted(on_disk):
             if p in keep_paths:
                 continue
             if p in last_ref:
                 if now - last_ref[p] < grace_seconds:
                     continue
             else:
-                # existence probed via read_if_exists, which maps the
-                # object-store 404 shape to None (a bare mtime would
-                # raise a ClientError no except-clause here should
-                # have to name — r17 review)
-                if self.meta.read_if_exists(
-                        f"{p}/_centroids.json") is None:
-                    continue                  # mid-build or torn
-                if now - self.meta.mtime(
-                        f"{p}/_centroids.json") < grace_seconds:
+                age = _age_or_none(f"{p}/_centroids.json")
+                if age is None:
+                    # no artifact: reclaimable only with an aged
+                    # in-flight marker (a crashed _replace build);
+                    # a marker-less dir may be a manual build mid-write
+                    name = p.rsplit("/", 1)[-1]
+                    if name not in markers:
+                        continue
+                    age = _age_or_none(self._marker(p))
+                if age is None or age < grace_seconds:
                     continue
             self.meta.delete_tree(p)
             removed.append(p)
         gone = set(removed)
+        for name in markers:
+            p = f"{self.root}/{name}"
+            if p in gone or p not in on_disk or p in last_ref:
+                # marker outlived its build (committed, reclaimed, or
+                # the dir never materialized) — clean it
+                self.meta.delete(self._marker(p))
         newest_ref = {}                     # path -> newest version n
         for n in ns:                        # ascending: ends newest
             newest_ref[states[n]["index_path"]] = n
@@ -381,7 +441,9 @@ class VersionedIndex:
             if n in kept_ns:
                 continue
             p = states[n]["index_path"]
-            if p in gone or n != newest_ref[p]:
+            vanished = (p.startswith(f"{self.root}/gen-")
+                        and p not in on_disk)
+            if p in gone or vanished or n != newest_ref[p]:
                 self.meta.delete(self._log.path_of(n))
         return removed
 

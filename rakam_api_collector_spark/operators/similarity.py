@@ -970,9 +970,10 @@ def ivf_cell_stats(path: str, meta_store=None, spark=None,
     above ``parallel_threshold`` files: a scan projected to the
     partition column alone reads zero data columns (row counts come
     from the same footers, read executor-parallel). A URI index path
-    (``s3://…``) uses the Spark branch unconditionally — Spark
-    resolves its own filesystems there, where the local pyarrow walk
-    would need separately-configured credentials.
+    (``s3://…``) prefers the Spark branch whenever ``spark`` is given
+    — Spark resolves its own filesystems there; without it the walk
+    falls to pyarrow's native filesystem support (which needs its own
+    credentials configured).
     """
     import json as _json
     import re as _re
@@ -981,11 +982,7 @@ def ivf_cell_stats(path: str, meta_store=None, spark=None,
         f"{path}/_centroids.json")
     n_cells = len(_json.loads(raw)) if raw is not None else None
     counts: dict[int, int] = {}
-    if "://" in path:
-        if spark is None:
-            raise ValueError(
-                f"index at {path!r} is a URI — pass spark= so the "
-                "cell audit can run through Spark's filesystems")
+    if "://" in path and spark is not None:
         frags = []
         use_spark = True
     else:

@@ -291,18 +291,28 @@ def test_gc_bounds_the_version_log(spark, tmp_path):
     assert st["last_full_build"]["version"] == 1   # rides forward
 
 
-def test_cell_stats_uri_path_needs_spark(tmp_path):
-    """A URI index path audits through Spark's filesystems — without
-    spark= the local pyarrow walk would need separately-configured
-    credentials, so refuse loudly (and the no-store refusal still
-    fires first)."""
+def test_cell_stats_uri_path_routes_through_spark(spark, tmp_path):
+    """A URI index path with spark= audits through SPARK's
+    filesystems (never the local pyarrow walk, whose credentials are
+    configured separately) — pinned end to end on a real file:// URI:
+    identical stats to the POSIX footer walk. The no-store URI
+    refusal still fires first."""
     from rakam_api_collector_spark.manifest import LocalMetadataStore
 
     with pytest.raises(ValueError, match="meta_store"):
         S.ivf_cell_stats("s3://bkt/ivf")
-    with pytest.raises(ValueError, match="pass spark="):
-        S.ivf_cell_stats("s3://bkt/ivf",
-                         meta_store=LocalMetadataStore())
+
+    class _FileUri(LocalMetadataStore):
+        def read_if_exists(self, path):
+            return super().read_if_exists(
+                path.replace("file://", "", 1))
+
+    _, root = _published_root(spark, tmp_path)
+    posix = root.current_path()
+    serial = S.ivf_cell_stats(posix)
+    via_spark = S.ivf_cell_stats(f"file://{posix}",
+                                 meta_store=_FileUri(), spark=spark)
+    assert via_spark == serial
 
 
 def test_topk_time_travel_to_pre_swap_generation(spark, tmp_path):
@@ -335,3 +345,66 @@ def test_topk_time_travel_to_pre_swap_generation(spark, tmp_path):
     with pytest.raises(FileNotFoundError, match="not in the log"):
         # v1's generation was reclaimed AND its version file pruned
         root.topk(spark, q, "vec_id", "embedding", version=1)
+
+
+def test_gc_reclaims_crashed_builds_and_dangling_versions(spark,
+                                                          tmp_path):
+    """r17 review closures: (a) a _replace build that crashed between
+    its data write and its artifact put (marker present, no
+    _centroids.json) reclaims after grace — it used to leak a full
+    index copy forever; (b) a marker-less artifact-less dir (manual
+    build in progress) stays untouchable; (c) a version file whose
+    generation vanished (crash between delete_tree and the prune)
+    prunes on the next sweep."""
+    import json as _json
+    import shutil
+
+    emb, root = _published_root(spark, tmp_path)
+    root.compact(spark)                        # v2 -> gen-000002 live
+    assert not os.path.isdir(f"{root.root}/_building") or \
+        not os.listdir(f"{root.root}/_building")   # markers cleaned
+
+    # (a) crashed build: data landed, artifact + commit never did
+    crashed = f"{root.root}/gen-000007"
+    emb.limit(5).write.parquet(crashed)
+    root.meta.put(root._marker(crashed), "{}")
+    # (b) manual build in progress: same shape, no marker
+    manual = f"{root.root}/gen-000008"
+    emb.limit(5).write.parquet(manual)
+
+    assert root.gc(keep_versions=2, grace_seconds=1e6) == []
+    assert os.path.isdir(crashed)              # grace protects it
+    removed = root.gc(keep_versions=2, grace_seconds=0.0)
+    assert removed == [crashed]
+    assert not os.path.exists(root._marker(crashed))
+    assert os.path.isdir(manual)               # untouchable, forever
+
+    # (c) dangling version: gen deleted, version file survived a crash
+    root.compact(spark)                        # v3 -> gen-000009 live
+    gen2 = root._read_version(2)["index_path"]
+    shutil.rmtree(gen2)
+    assert root.gc(keep_versions=1, grace_seconds=1e6) == []
+    assert 2 not in root._version_numbers()    # pruned though not gone
+    st = _json.loads(root.meta.read(root._log.path_of(
+        root.current_version())))
+    assert st["index_path"] != gen2
+
+
+def test_run_maintenance_restores_scheduler_pool(spark, tmp_path):
+    """r17 review: pool tagging is thread-local — an inline hook runs
+    the sweep on the stream-execution thread, so run_maintenance must
+    restore the caller's pool or every later production micro-batch
+    inherits the organizer's low-weight pool."""
+    from rakam_api_collector_spark.manifest import run_maintenance
+
+    sc = spark.sparkContext
+    sc.setLocalProperty("spark.scheduler.pool", "production")
+    try:
+        _, root = _published_root(spark, tmp_path)
+        run_maintenance(spark, str(tmp_path / "none"), min_batches=99,
+                        scheduler_pool="manifest-maintenance",
+                        index_roots=[root], parallelism=1)
+        assert sc.getLocalProperty("spark.scheduler.pool") \
+            == "production"
+    finally:
+        sc.setLocalProperty("spark.scheduler.pool", None)
