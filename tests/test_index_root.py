@@ -408,3 +408,73 @@ def test_run_maintenance_restores_scheduler_pool(spark, tmp_path):
             == "production"
     finally:
         sc.setLocalProperty("spark.scheduler.pool", None)
+
+
+def test_versioned_index_protocol_fuzz(spark, tmp_path):
+    """Seeded random interleavings of the whole protocol surface —
+    append / compact / rebuild / gc / reopen — under the
+    single-maintainer contract, with the invariants asserted after
+    every op: the pointer always resolves to a searchable generation,
+    every ingested id is present exactly once among the live distinct
+    ids, full-probe top-1 equals brute-force cosine, and after any gc
+    the version log stays within its documented bound (the fuzz tier
+    the repo's other protocols carry — kafka interleavings, avro wire,
+    DSIR chunking)."""
+    import random
+
+    emb = _emb(spark)
+
+    for seed in (3, 11):
+        rng = random.Random(seed)
+        root = VersionedIndex(str(tmp_path / f"fz{seed}"))
+        gen = root.new_generation_path()
+        base = emb.filter(F.col("vec_id") < 60)
+        S.build_ivf_index(base, "vec_id", "embedding", gen,
+                          n_cells=8)
+        root.publish(gen)
+        expected = set(range(60))
+        next_lo = 60
+        n_gc = 0
+
+        for step in range(8):
+            op = rng.choice(["append", "append", "compact",
+                             "rebuild", "gc", "reopen"])
+            if op == "append":
+                hi = min(next_lo + rng.choice([20, 40]), 500)
+                if hi == next_lo:
+                    continue
+                batch = emb.filter((F.col("vec_id") >= next_lo)
+                                   & (F.col("vec_id") < hi))
+                root.append(batch, "vec_id", "embedding")
+                expected |= set(range(next_lo, hi))
+                next_lo = hi
+            elif op == "compact":
+                root.compact(spark)
+            elif op == "rebuild":
+                root.rebuild(spark)
+            elif op == "gc":
+                root.gc(keep_versions=rng.choice([1, 2]),
+                        grace_seconds=0.0)
+                n_gc += 1
+                ns = root._version_numbers()
+                gens = sum(1 for d in os.listdir(root.root)
+                           if d.startswith("gen-"))
+                assert len(ns) <= gens + 2      # the documented bound
+            else:
+                root = VersionedIndex(root.root)   # reopen, no state
+
+            live = spark.read.parquet(root.current_path())
+            ids = [r.neighbor for r in
+                   live.select("neighbor").distinct().collect()]
+            assert set(ids) == expected, (seed, step, op)
+            # one searchable probe: full-probe top-1 == brute force
+            q = emb.filter(F.col("vec_id") == min(expected))
+            got = root.topk(spark, q, "vec_id", "embedding", k=1,
+                            nprobe=8).collect()
+            pool = emb.filter(F.col("vec_id")
+                              .isin([int(i) for i in expected]))
+            want = S.cosine_topk(pool, q, "vec_id", "embedding",
+                                 k=1).collect()
+            assert got[0].neighbor == want[0].neighbor, (seed, step,
+                                                         op)
+        assert n_gc == 0 or root._version_numbers()
