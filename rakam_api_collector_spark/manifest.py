@@ -68,6 +68,23 @@ class CommitConflict(RuntimeError):
     """Raised when the optimistic-concurrency retry budget is exhausted."""
 
 
+def is_missing_error(exc: Exception) -> bool:
+    """True when ``exc`` is any store's shape of "no such object":
+    POSIX FileNotFoundError, a mapping KeyError, or the S3-wire
+    404 / NoSuchKey ClientError. The ONE place the shape is encoded
+    (r17 review: ``read_if_exists`` and the index root's probes each
+    carried a partial copy)."""
+    if isinstance(exc, (FileNotFoundError, KeyError)):
+        return True
+    resp = getattr(exc, "response", None)
+    if isinstance(resp, dict):
+        status = (resp.get("ResponseMetadata") or {}).get(
+            "HTTPStatusCode")
+        code = (resp.get("Error") or {}).get("Code")
+        return status == 404 or code in ("NoSuchKey", "404")
+    return False
+
+
 class MetadataStore:
     """Filesystem seam for the manifest PROTOCOL — version files,
     directory listings, and gc deletes (the reference keeps this state
@@ -111,16 +128,9 @@ class MetadataStore:
         (POSIX FileNotFoundError; S3-wire 404 / NoSuchKey)."""
         try:
             return self.read(path)
-        except (FileNotFoundError, KeyError):
-            return None
-        except Exception as e:  # noqa: BLE001 — typed by status below
-            resp = getattr(e, "response", None)
-            if isinstance(resp, dict):
-                status = (resp.get("ResponseMetadata") or {}).get(
-                    "HTTPStatusCode")
-                code = (resp.get("Error") or {}).get("Code")
-                if status == 404 or code in ("NoSuchKey", "404"):
-                    return None
+        except Exception as e:  # noqa: BLE001 — typed by shape below
+            if is_missing_error(e):
+                return None
             raise
 
     def delete(self, path: str) -> None:

@@ -54,6 +54,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from rakam_api_collector_spark.manifest import (CommitConflict,
                                                 VersionLog,
+                                                is_missing_error,
                                                 resolve_meta_store)
 
 
@@ -124,16 +125,6 @@ class VersionedIndex:
                 if d.startswith("gen-") and d[4:].isdigit()]
         n = max(gens + [self._log.latest()]) + 1
         return f"{self.root}/gen-{n:06d}"
-
-    @staticmethod
-    def _missing(exc: Exception) -> bool:
-        """True when ``exc`` is the POSIX or object-store shape of
-        "no such object" (FileNotFoundError / wire 404)."""
-        if isinstance(exc, FileNotFoundError):
-            return True
-        from rakam_api_collector_spark.manifest import \
-            ObjectMetadataStore
-        return ObjectMetadataStore._http_status(exc) == 404
 
     def _state(self, parent: dict | None, index_path: str,
                action: str) -> dict:
@@ -234,7 +225,7 @@ class VersionedIndex:
                 # full-body model GET the search would re-read anyway
                 self.meta.mtime(f"{path}/_centroids.json")
             except Exception as e:  # noqa: BLE001 — typed below
-                if not self._missing(e):
+                if not is_missing_error(e):
                     raise
                 raise FileNotFoundError(
                     f"generation {path} (version {version}) was "
@@ -363,9 +354,12 @@ class VersionedIndex:
         (r17 review — a crash between the data write and the artifact
         put used to leak a full index copy forever). A dir with
         neither (a manual build in progress) is left alone; stale
-        markers whose generation committed or vanished are cleaned,
-        and a version file whose root-local generation vanished (a
-        crash between delete_tree and the prune) is pruned too.
+        markers whose generation committed or vanished are cleaned
+        (marker age grace-gated, so an in-flight build keeps its
+        marker), and a version file whose root-local generation
+        vanished (a crash between delete_tree and the prune) is
+        pruned too. Size ``grace_seconds`` above the longest expected
+        build/search: it is the one clock protecting in-flight work.
 
         The version LOG is bounded too (r17 review): out-of-window
         version files prune when their generation was reclaimed OR
@@ -390,8 +384,8 @@ class VersionedIndex:
                               st["committed_at"])
         now = time.time()
         removed: list[str] = []
-        listing = sorted(self.meta.list(self.root))
-        on_disk = {f"{self.root}/{d}" for d in listing
+        on_disk = {f"{self.root}/{d}"
+                   for d in self.meta.list(self.root)
                    if d.startswith("gen-")}
         markers = {m[:-5] for m in
                    self.meta.list(f"{self.root}/_building")
@@ -403,7 +397,7 @@ class VersionedIndex:
             try:
                 return now - self.meta.mtime(path)
             except Exception as e:  # noqa: BLE001 — typed below
-                if self._missing(e):
+                if is_missing_error(e):
                     return None
                 raise
 
@@ -430,10 +424,19 @@ class VersionedIndex:
         gone = set(removed)
         for name in markers:
             p = f"{self.root}/{name}"
-            if p in gone or p not in on_disk or p in last_ref:
-                # marker outlived its build (committed, reclaimed, or
-                # the dir never materialized) — clean it
+            if p in gone or p in last_ref:
+                # marker outlived its build (reclaimed this run, or
+                # committed and the post-commit delete crashed)
                 self.meta.delete(self._marker(p))
+            elif p not in on_disk:
+                # no dir YET: either a build that crashed before its
+                # first object landed, or one whose Spark write is
+                # still materializing — the marker's own age decides
+                # (an unaged delete here would re-open the crash-leak
+                # hole for a build that dies later — r17 review #3)
+                age = _age_or_none(self._marker(p))
+                if age is not None and age >= grace_seconds:
+                    self.meta.delete(self._marker(p))
         newest_ref = {}                     # path -> newest version n
         for n in ns:                        # ascending: ends newest
             newest_ref[states[n]["index_path"]] = n

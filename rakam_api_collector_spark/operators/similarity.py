@@ -970,10 +970,13 @@ def ivf_cell_stats(path: str, meta_store=None, spark=None,
     above ``parallel_threshold`` files: a scan projected to the
     partition column alone reads zero data columns (row counts come
     from the same footers, read executor-parallel). A URI index path
-    (``s3://…``) prefers the Spark branch whenever ``spark`` is given
-    — Spark resolves its own filesystems there; without it the walk
-    falls to pyarrow's native filesystem support (which needs its own
-    credentials configured).
+    prefers the Spark branch whenever ``spark`` is given — Spark
+    resolves its own filesystems there. Without it, schemes pyarrow
+    understands natively (``s3://``, ``gs://``, ``file://``) fall to
+    its filesystem support (own credentials required); Spark-ONLY
+    schemes (``s3a://``, ``abfss://``, ``wasbs://``, …) refuse with
+    the remedy named — handing them to pyarrow would surface an
+    opaque "unrecognized filesystem" where "pass spark=" is the fix.
     """
     import json as _json
     import re as _re
@@ -982,9 +985,16 @@ def ivf_cell_stats(path: str, meta_store=None, spark=None,
         f"{path}/_centroids.json")
     n_cells = len(_json.loads(raw)) if raw is not None else None
     counts: dict[int, int] = {}
-    if "://" in path and spark is not None:
+    scheme = path.split("://", 1)[0] if "://" in path else None
+    if scheme is not None and spark is not None:
         frags = []
         use_spark = True
+    elif scheme in ("s3a", "s3n", "abfs", "abfss", "wasb", "wasbs",
+                    "oss", "cosn"):
+        raise ValueError(
+            f"index at {path!r} uses the Spark-only scheme "
+            f"{scheme}:// — pass spark= so the cell audit runs "
+            "through Spark's filesystems")
     else:
         import pyarrow.dataset as _ds
         dataset = _ds.dataset(path, format="parquet",
