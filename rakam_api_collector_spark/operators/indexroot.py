@@ -28,27 +28,43 @@ implements with its CAS version pointer) — applied to the ANN index:
   (gc reclaims them with it) and the streaming replay re-appends to
   the live one;
 - :meth:`rebuild` / :meth:`compact` build a new generation from a
-  snapshot, CATCH UP any rows appended meanwhile (id anti-join, each
-  round O(delta)), and publish with a CAS conditioned on the version
-  they caught up to — the swap is atomic, and a racing append either
-  serializes before it (caught up) or after it (follows the new
-  pointer);
+  snapshot, CATCH UP any rows appended meanwhile, and publish with a
+  CAS conditioned on the version they caught up to — the swap is
+  atomic, and a racing append either serializes before it (caught up)
+  or after it (follows the new pointer). Catch-up is O(delta), truly
+  (r18, VERDICT r17 item 1): every :meth:`append` records the data
+  files it added in its version state, so a catch-up round reads
+  EXACTLY the files of the versions committed since its snapshot —
+  never a scan (let alone a shuffle) of the live generation. A log
+  whose states predate the recording (pre-r18) falls back to an
+  ids-only anti-join (id columns through the shuffle, vectors
+  semi-joined back for just the delta), materialized once per round;
 - :meth:`gc` reclaims superseded generations under a keep-versions +
   grace retention rule, manifest-style.
 
 Single-MAINTAINER contract (the store-compaction rule,
 operators/sigstore.py): any number of searchers and ONE appender or
 maintenance operation at a time per root. Concurrent appends from one
-streaming maintainer serialize by construction (epochs); two
-concurrent rebuilds would share a destination directory and are
-unsupported — the pointer CAS still keeps the published index
-consistent (one swap wins, the loser raises), but the loser may have
-clobbered files the winner read, so don't.
+streaming maintainer serialize by construction (epochs). Two
+concurrent rebuild/compact operations are REFUSED MECHANICALLY (r18,
+VERDICT r17 item 2): a maintenance op holds a CAS lease
+(``root/_maintenance.json``, ``put_if_absent`` — the clone-marker
+pattern, manifest.py) for its whole run, refreshed at every progress
+point, so the second op raises :class:`MaintenanceBusy` BEFORE
+writing anything; a crashed maintainer's lease expires after
+``lease_ttl_seconds`` measured from the store's own mtime of the
+lease (writer clocks never enter the expiry decision) and is stolen.
+Lease-stealing is best-effort by nature (read-then-delete); the
+pointer CAS remains the correctness backstop — a swap built from a
+superseded snapshot still loses and raises.
 """
 
 from __future__ import annotations
 
+import json
 import time
+import uuid
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -66,6 +82,15 @@ class StaleAppend(RuntimeError):
     in the dead one are reclaimed by gc with it)."""
 
 
+class MaintenanceBusy(RuntimeError):
+    """A rebuild/compact found the maintenance lease held by another
+    live maintainer and refused BEFORE writing anything — the
+    single-maintainer contract enforced mechanically (r18, VERDICT
+    r17 item 2). A lease whose store mtime is older than its
+    ``ttl_seconds`` belongs to a crashed maintainer and is stolen
+    instead."""
+
+
 class VersionedIndex:
     """Manifest-style version pointer over persisted IVF / IVF-PQ
     generations under ``root``. See module docstring for the
@@ -73,13 +98,20 @@ class VersionedIndex:
     explicit :class:`ObjectMetadataStore`)."""
 
     def __init__(self, root: str, meta_store=None,
-                 max_commit_retries: int = 20) -> None:
+                 max_commit_retries: int = 20,
+                 lease_ttl_seconds: float = 3600.0) -> None:
         self.root = root.rstrip("/")
         self.versions_dir = f"{self.root}/_versions"
         self.meta = resolve_meta_store(self.root, meta_store,
                                        "index root")
         self._log = VersionLog(self.versions_dir, self.meta)
         self.max_commit_retries = max_commit_retries
+        # the maintenance-lease expiry clock: measured from the
+        # store's mtime of the lease, which is REFRESHED at every
+        # progress point of a rebuild/compact — so size this above
+        # the longest expected gap BETWEEN progress points (one
+        # build/catch-up Spark job), not above the whole operation
+        self.lease_ttl_seconds = lease_ttl_seconds
 
     # -- version protocol (manifest.VersionLog — shared with the table) --
 
@@ -127,7 +159,8 @@ class VersionedIndex:
         return f"{self.root}/gen-{n:06d}"
 
     def _state(self, parent: dict | None, index_path: str,
-               action: str) -> dict:
+               action: str,
+               appended_files: list[str] | None = None) -> dict:
         n = (parent or {"version": 0})["version"]
         # last_full_build rides every version so health() never walks
         # the log: appends carry it forward, full builds reset it
@@ -135,9 +168,32 @@ class VersionedIndex:
             lfb = (parent or {}).get("last_full_build")
         else:
             lfb = {"version": n + 1, "committed_at": time.time()}
-        return {"version": n + 1, "parent": n,
-                "committed_at": time.time(), "index_path": index_path,
-                "action": action, "last_full_build": lfb}
+        st = {"version": n + 1, "parent": n,
+              "committed_at": time.time(), "index_path": index_path,
+              "action": action, "last_full_build": lfb}
+        if action == "append":
+            # generation-relative paths of the data files THIS append
+            # added — what makes catch-up O(delta) (module docstring)
+            st["appended_files"] = appended_files or []
+        return st
+
+    def _data_files(self, path: str) -> set[str]:
+        """Generation-relative paths of every data file under
+        ``path`` — the ``cell=N/part-*`` leaves; metadata (``_``/
+        ``.``-prefixed: model artifacts, _SUCCESS, crc sidecars) is
+        skipped. Metadata-only LISTs (one per cell dir), never a data
+        read: the per-append before/after diff costs O(files in the
+        generation) list entries, which scheduled compaction keeps
+        bounded — versus the O(index) scan+shuffle per CATCH-UP round
+        it replaces (ADVICE r17)."""
+        files: set[str] = set()
+        for d in self.meta.list(path):
+            if not d.startswith("cell="):
+                continue
+            for f in self.meta.list(f"{path}/{d}"):
+                if not f.startswith(("_", ".")):
+                    files.add(f"{d}/{f}")
+        return files
 
     # -- publish / append --------------------------------------------------
 
@@ -170,11 +226,23 @@ class VersionedIndex:
         the annindex rule), then commit the version bump — unless a
         swap landed mid-append, where :class:`StaleAppend` raises so
         the caller's replay re-appends to the live generation.
-        Returns the path appended to."""
+        Returns the path appended to.
+
+        The committed state records the data files this append added
+        (a before/after listing diff — sound because appends are
+        single-writer by contract), so a rebuild/compact catch-up
+        reads exactly them. An append that crashes between its
+        physical write and its commit leaves unrecorded files: the
+        fast catch-up path misses them BY DESIGN — the uncommitted
+        epoch replays through the pointer into whatever generation is
+        live then, the same exactly-once-at-the-table composition as
+        everywhere else."""
         st = self.current()
         path = st["index_path"]
+        before = self._data_files(path)
         self._append_fn(path)(df, id_col, vec_col, path,
                               meta_store=self.meta)
+        added = sorted(self._data_files(path) - before)
         for _ in range(self.max_commit_retries):
             n = self.current_version()
             cur = self._read_version(n)
@@ -183,8 +251,8 @@ class VersionedIndex:
                     f"generation {path} was superseded by "
                     f"{cur['index_path']} during the append — replay "
                     "the batch against the live generation")
-            if self._try_commit(n + 1, self._state(cur, path,
-                                                   "append")):
+            if self._try_commit(n + 1, self._state(
+                    cur, path, "append", appended_files=added)):
                 return path
         raise CommitConflict(
             f"lost {self.max_commit_retries} consecutive version "
@@ -246,21 +314,149 @@ class VersionedIndex:
                                    rerank_factor=rerank_factor,
                                    meta_store=self.meta)
 
+    # -- maintenance lease (VERDICT r17 item 2) -------------------------------
+
+    def _lease_path(self) -> str:
+        return f"{self.root}/_maintenance.json"
+
+    @contextmanager
+    def _maintenance_lease(self, action: str):
+        """Hold ``root/_maintenance.json`` for the duration of a
+        rebuild/compact: ``put_if_absent`` CAS to acquire, so a second
+        maintenance op raises :class:`MaintenanceBusy` before writing
+        anything. Expiry is the store's mtime of the lease against
+        its recorded ``ttl_seconds`` (writer clocks never enter the
+        decision — the gc clock-provenance rule); an expired lease
+        (crashed maintainer) is deleted and re-acquired. Release
+        deletes only OUR lease (holder-checked), so a stealer's lease
+        survives our late exit."""
+        path = self._lease_path()
+        holder = uuid.uuid4().hex
+        body = json.dumps({"holder": holder, "action": action,
+                           "ttl_seconds": self.lease_ttl_seconds,
+                           "acquired_at": time.time()})
+        for _ in range(3):          # absent → steal-expired → retry
+            if self.meta.put_if_absent(path, body):
+                break
+            raw = self.meta.read_if_exists(path)
+            if raw is None:
+                continue            # released between CAS and read
+            try:
+                held = json.loads(raw)
+            except ValueError:
+                held = {}
+            ttl = held.get("ttl_seconds", self.lease_ttl_seconds)
+            try:
+                age = time.time() - self.meta.mtime(path)
+            except Exception as e:  # noqa: BLE001 — typed below
+                if is_missing_error(e):
+                    continue        # vanished mid-probe — re-acquire
+                raise
+            if age < ttl:
+                raise MaintenanceBusy(
+                    f"{action} under {self.root} refused: maintenance "
+                    f"lease held by {held.get('holder', '?')} "
+                    f"({held.get('action', '?')}, {age:.0f}s ago, "
+                    f"ttl {ttl:.0f}s) — one rebuild/compact at a "
+                    "time per root")
+            # expired: a crashed maintainer — steal (delete + retry
+            # the CAS; two stealers racing here is why release below
+            # is holder-checked, and the pointer CAS backstops all)
+            self.meta.delete(path)
+        else:
+            raise MaintenanceBusy(
+                f"{action} under {self.root} could not acquire the "
+                "maintenance lease in 3 attempts")
+        try:
+            yield lambda: self._refresh_lease(path, holder, action)
+        finally:
+            raw = self.meta.read_if_exists(path)
+            if raw is not None:
+                try:
+                    mine = json.loads(raw).get("holder") == holder
+                except ValueError:
+                    mine = False
+                if mine:
+                    self.meta.delete(path)
+
+    def _refresh_lease(self, path: str, holder: str,
+                       action: str) -> None:
+        """Re-put the lease so its store mtime (the expiry clock)
+        measures time since last PROGRESS, not since acquisition. A
+        holder mismatch means the lease was stolen past its ttl —
+        abort loudly rather than keep building over the stealer."""
+        raw = self.meta.read_if_exists(path)
+        if raw is None or json.loads(raw).get("holder") != holder:
+            raise MaintenanceBusy(
+                f"maintenance lease under {self.root} was stolen "
+                f"mid-{action} (stalled past ttl "
+                f"{self.lease_ttl_seconds:.0f}s) — this operation "
+                "aborts; the stealer owns the root now")
+        self.meta.put(path, json.dumps(
+            {"holder": holder, "action": action,
+             "ttl_seconds": self.lease_ttl_seconds,
+             "refreshed_at": time.time()}))
+
     # -- maintenance: rebuild / compact as atomic swaps ----------------------
 
-    def _catchup(self, spark: SparkSession, src: str,
-                 dest: str) -> int:
-        """Append to ``dest`` every id present in ``src`` but not yet
-        in ``dest`` — the rows appended to ``src`` after the rebuild/
-        compact snapshot. O(delta) per round (the anti-join's src side
-        prunes to ids only; at-least-once duplicates collapse at
-        search). Requires stored vectors, which every rebuildable
+    def _delta_files(self, src: str, base_v: int,
+                     n: int) -> list[str] | None:
+        """Generation-relative paths of the files versions
+        ``(base_v, n]`` appended to ``src`` — the EXACT delta a
+        catch-up round must fold into the new generation. ``None``
+        when any version in the range predates file recording
+        (pre-r18 log), isn't an append on ``src``, or was pruned —
+        the caller falls back to the anti-join."""
+        rels: list[str] = []
+        for v in range(base_v + 1, n + 1):
+            try:
+                st = self._read_version(v)
+            except Exception as e:  # noqa: BLE001 — typed below
+                if is_missing_error(e):
+                    return None
+                raise
+            if (st.get("action") != "append"
+                    or st.get("index_path") != src
+                    or "appended_files" not in st):
+                return None
+            rels += st["appended_files"]
+        return rels
+
+    def _catchup(self, spark: SparkSession, src: str, dest: str,
+                 base_v: int, n: int) -> int:
+        """Fold into ``dest`` the rows appended to ``src`` by versions
+        ``(base_v, n]`` — O(delta), truly (r18, VERDICT r17 item 1):
+        the version log names the exact files those appends added, so
+        this reads ONLY them (``basePath``-rooted parquet read of the
+        named files — no scan, no shuffle of the live generation).
+        Rounds never overlap (the caller advances ``base_v`` to ``n``
+        each round), and within-delta duplicates from append replays
+        collapse here (and again at search). A log without recorded
+        files (pre-r18 states) falls back to the ids-only anti-join —
+        id columns through the shuffle, vectors semi-joined back for
+        just the delta (ADVICE r17) — and either way the delta plan
+        is materialized ONCE per round (``localCheckpoint``), never
+        recomputed between the count and the append (VERDICT r17
+        item 5). Requires stored vectors, which every rebuildable
         generation has (codes-only refuses upstream)."""
-        src_rows = (spark.read.parquet(src)
-                    .select("neighbor", "_cv")
-                    .dropDuplicates(["neighbor"]))
-        dest_ids = spark.read.parquet(dest).select("neighbor")
-        delta = src_rows.join(dest_ids, "neighbor", "left_anti")
+        rels = self._delta_files(src, base_v, n)
+        if rels is not None:
+            if not rels:
+                return 0
+            delta = (spark.read.option("basePath", src)
+                     .parquet(*[f"{src}/{r}" for r in rels])
+                     .select("neighbor", "_cv")
+                     .dropDuplicates(["neighbor"]))
+        else:
+            src_ids = spark.read.parquet(src).select("neighbor")
+            dest_ids = spark.read.parquet(dest).select("neighbor")
+            delta_ids = (src_ids.dropDuplicates(["neighbor"])
+                         .join(dest_ids, "neighbor", "left_anti"))
+            delta = (spark.read.parquet(src)
+                     .select("neighbor", "_cv")
+                     .join(delta_ids, "neighbor", "left_semi")
+                     .dropDuplicates(["neighbor"]))
+        delta = delta.localCheckpoint(eager=True)
         got = delta.count()
         if got:
             self._append_fn(dest)(delta, "neighbor", "_cv", dest,
@@ -272,41 +468,56 @@ class VersionedIndex:
         building — OUTSIDE the generation dir, because the build's
         ``mode("overwrite")`` write clears the dir itself. gc uses the
         marker's age to reclaim a crashed build's data (r17 review:
-        without it every crash leaked a full index copy, forever)."""
+        without it every crash leaked a full index copy, forever).
+        The marker is RE-PUT at every progress point (ADVICE r17), so
+        its mtime-derived age measures time since last progress — a
+        legitimate build whose Spark jobs outlast ``grace_seconds``
+        keeps its generation."""
         return f"{self.root}/_building/{dest.rsplit('/', 1)[-1]}.json"
 
     def _replace(self, spark: SparkSession, worker, action: str,
                  max_catchup: int = 8) -> dict:
-        st0 = self.current()
-        src = st0["index_path"]
-        dest = self.new_generation_path()
-        self.meta.put(self._marker(dest),
-                      '{"action": "%s"}' % action)
-        worker(src, dest)
-        base_v = st0["version"]
-        for _ in range(max_catchup):
-            n = self.current_version()
-            cur = self._read_version(n)
-            if cur["index_path"] != src:
-                raise CommitConflict(
-                    f"{action} of {src} lost to a concurrent swap to "
-                    f"{cur['index_path']} — single-maintainer "
-                    "contract violated or retried stale")
-            if n > base_v:
-                # appends landed since the snapshot/last catch-up:
-                # fold their rows into dest before trying to swap
-                self._catchup(spark, src, dest)
-                base_v = n
-            if self._try_commit(n + 1, self._state(cur, dest, action)):
-                # committed: the generation is now version-referenced,
-                # so the in-flight marker has done its job (a crash
-                # HERE leaves a stale marker gc cleans on sight)
-                self.meta.delete(self._marker(dest))
-                return self._read_version(n + 1)
-        raise CommitConflict(
-            f"{action} under {self.root} could not win the swap CAS "
-            f"in {max_catchup} catch-up rounds — pause the appender "
-            "or raise max_catchup")
+        with self._maintenance_lease(action) as refresh:
+            st0 = self.current()
+            src = st0["index_path"]
+            dest = self.new_generation_path()
+            marker = '{"action": "%s"}' % action
+            self.meta.put(self._marker(dest), marker)
+            worker(src, dest)
+            # progress points: the build finished, and each catch-up
+            # round — both clocks (gc marker grace, lease ttl) now
+            # measure time since last progress, not since start
+            self.meta.put(self._marker(dest), marker)
+            refresh()
+            base_v = st0["version"]
+            for _ in range(max_catchup):
+                n = self.current_version()
+                cur = self._read_version(n)
+                if cur["index_path"] != src:
+                    raise CommitConflict(
+                        f"{action} of {src} lost to a concurrent "
+                        f"swap to {cur['index_path']} — "
+                        "single-maintainer contract violated or "
+                        "retried stale")
+                if n > base_v:
+                    # appends landed since the snapshot/last catch-up:
+                    # fold exactly their files into dest (O(delta))
+                    self._catchup(spark, src, dest, base_v, n)
+                    base_v = n
+                    self.meta.put(self._marker(dest), marker)
+                    refresh()
+                if self._try_commit(n + 1,
+                                    self._state(cur, dest, action)):
+                    # committed: the generation is version-referenced,
+                    # so the in-flight marker has done its job (a
+                    # crash HERE leaves a stale marker gc cleans on
+                    # sight)
+                    self.meta.delete(self._marker(dest))
+                    return self._read_version(n + 1)
+            raise CommitConflict(
+                f"{action} under {self.root} could not win the swap "
+                f"CAS in {max_catchup} catch-up rounds — pause the "
+                "appender or raise max_catchup")
 
     def rebuild(self, spark: SparkSession, *,
                 n_cells: int | None = None, iters: int = 2,
@@ -359,7 +570,10 @@ class VersionedIndex:
         marker), and a version file whose root-local generation
         vanished (a crash between delete_tree and the prune) is
         pruned too. Size ``grace_seconds`` above the longest expected
-        build/search: it is the one clock protecting in-flight work.
+        search and the longest single build/catch-up job: it is the
+        one clock protecting in-flight work, and since r18 the marker
+        is re-put at every progress point (ADVICE r17), so a live
+        build is measured from its LAST progress, never its start.
 
         The version LOG is bounded too (r17 review): out-of-window
         version files prune when their generation was reclaimed OR
@@ -368,28 +582,19 @@ class VersionedIndex:
         superseded: searchers resolve only the current state, and
         ``last_full_build`` rides forward in every commit). What
         survives is the keep window plus the NEWEST reference to each
-        still-on-disk generation — that newest reference carries the
-        ``committed_at`` the grace rule needs — so the log is
-        O(generations + keep_versions) regardless of stream age."""
+        still-on-disk generation — the store mtime of that newest
+        version file is the grace clock (r18: store-observed age,
+        like the marker path, so a skewed writer clock can't undercut
+        the window; ``committed_at`` is informational) — so the log
+        is O(generations + keep_versions) regardless of stream
+        age."""
         ns = self._version_numbers()
         if not ns:
             return []
         states = {n: self._read_version(n) for n in ns}
         kept_ns = ns[-keep_versions:] if keep_versions > 0 else ns[-1:]
         keep_paths = {states[n]["index_path"] for n in kept_ns}
-        last_ref: dict[str, float] = {}
-        for st in states.values():
-            p = st["index_path"]
-            last_ref[p] = max(last_ref.get(p, 0.0),
-                              st["committed_at"])
         now = time.time()
-        removed: list[str] = []
-        on_disk = {f"{self.root}/{d}"
-                   for d in self.meta.list(self.root)
-                   if d.startswith("gen-")}
-        markers = {m[:-5] for m in
-                   self.meta.list(f"{self.root}/_building")
-                   if m.endswith(".json")}
 
         def _age_or_none(path: str) -> float | None:
             """mtime guarded against the probe-to-read race and the
@@ -400,6 +605,30 @@ class VersionedIndex:
                 if is_missing_error(e):
                     return None
                 raise
+
+        # newest referencing version per generation; its age comes
+        # from the STORE's mtime of that version file, not the
+        # writer-stamped committed_at (r18, VERDICT r17 item 6: the
+        # grace window must not be undercut by a maintainer whose
+        # clock runs behind the store's — same provenance rule as the
+        # _building marker path). committed_at stays in the state for
+        # health()/humans. One HEAD per live generation reference;
+        # the log is bounded, so this is O(generations).
+        newest_ref: dict[str, int] = {}
+        for n in ns:                            # ascending: ends newest
+            newest_ref[states[n]["index_path"]] = n
+        last_ref: dict[str, float] = {}
+        for p, nv in newest_ref.items():
+            age = _age_or_none(self._log.path_of(nv))
+            last_ref[p] = (now - age if age is not None
+                           else states[nv]["committed_at"])
+        removed: list[str] = []
+        on_disk = {f"{self.root}/{d}"
+                   for d in self.meta.list(self.root)
+                   if d.startswith("gen-")}
+        markers = {m[:-5] for m in
+                   self.meta.list(f"{self.root}/_building")
+                   if m.endswith(".json")}
 
         for p in sorted(on_disk):
             if p in keep_paths:
@@ -437,9 +666,6 @@ class VersionedIndex:
                 age = _age_or_none(self._marker(p))
                 if age is not None and age >= grace_seconds:
                     self.meta.delete(self._marker(p))
-        newest_ref = {}                     # path -> newest version n
-        for n in ns:                        # ascending: ends newest
-            newest_ref[states[n]["index_path"]] = n
         for n in ns:
             if n in kept_ns:
                 continue

@@ -420,6 +420,32 @@ consolidation pairing drafted WITH it (the llm55/llm56 rule). The
 versioned-index surfaces (indexroot publish/append/swap/gc) are
 protocol state machines with no SQL-expressible oracle — they stay
 pytest-pinned by design, like the manifest's own version log.
+
+r18 EXECUTION (current window): the 49 r17-out due-backs + the
+spare spent per the draft on llm09_minhash_lsh — r18's changes
+(O(delta) catch-up via per-append file recording, the maintenance
+lease, the in-epoch StaleAppend retry, the offsets/-based legacy
+guard probe, the 403-only checkpoint degrade, gc mtime provenance)
+touch NO registered query's plan: all are maintenance/stream
+protocol surfaces, pinned by tests/test_index_root.py (5 new
+tests incl. the catch-up IO pin), test_ann_stream.py (in-epoch
+retry e2e), test_dedup_stream.py (offsets-probe decision table),
+and test_store_meta.py (403-vs-5xx degrade).
+
+Out-of-window (49 queries, all r17-green, due back in r19 —
+leaving 1 spare): llm55_dsir_select, llm17_incremental_dedup,
+dq01-04, dq06/07, dq09-11, dq18-26, dq27_scalar_encode, dq33,
+dq35, dq37-46, llm07/08, llm10, llm12-15, llm29-33, llm35,
+llm46, llm50, llm56.
+
+r19 SPARE-SLOT PLAN (drafted in r18): window = the 49 r18-out
+due-backs above + 1 spare, RESERVED for whatever r19 modifies; if
+r19 modifies nothing, fill with llm19_ivf_ann (the registered IVF
+searcher nearest r18's indexroot catch-up/lease changes — one more
+round of regression watch on that family). No promotion candidate
+is pending as of r18 close — the registry sits at the 99-row
+ceiling; a future promotion needs a consolidation pairing drafted
+WITH it (the llm55/llm56 rule).
 """
 
 from __future__ import annotations
@@ -431,31 +457,29 @@ _ALL_ORACLE = {**relational.ORACLE, **llm_ops.ORACLE}
 
 # First 50 = this round's driver-checked window (see docstring history).
 _WINDOW = [
-    # leads: due-backs whose underlying store protocol changed in r17
-    # (DsirFeatureStore read-first open rides llm55's path; llm17's
-    # MinHashStore backs the lineage-scoped dedup-stream guard)
-    "llm55_dsir_select", "llm17_incremental_dedup",
-    # the 47 remaining r16-out due-backs (all r15-green)
-    "dq01_projection", "dq02_whitelist", "dq03_late_split",
-    "dq04_sink_envelope", "dq06_max_offset", "dq07_zone_map",
-    "dq09_distinct_agg", "dq10_rollup", "dq11_sum_cents",
-    "dq18_topk", "dq19_truncate", "dq20_safe_cast", "dq21_set_ops",
-    "dq22_array_funcs", "dq23_hash", "dq24_scalars",
-    "dq25_udf_shape", "dq26_epoch_conversions", "dq27_scalar_encode",
-    "dq33_percentile", "dq35_sessionize", "dq37_hash_split",
-    "dq38_cube", "dq39_pivot", "dq40_window_analytics",
-    "dq41_approx_quantile", "dq42_funnel", "dq43_retention",
-    "dq44_grouping_sets", "dq45_range_frame", "dq46_stats_agg",
-    "llm07_exact_dedup", "llm08_jaccard_pairs", "llm09_minhash_lsh",
-    "llm10_simhash", "llm12_ann_lsh", "llm13_multimodal_meta",
-    "llm14_decode_features", "llm15_embed_dedup",
-    "llm29_pack_sequences", "llm30_mixture_sample",
-    "llm31_vocab_coverage", "llm32_dedup_keep_best",
-    "llm33_audio_pipeline", "llm35_resize_image",
-    "llm46_semantic_dedup", "llm50_dup_span_removal",
-    # spare (per the r16 draft): r17 modified no registered query
-    # outside the due-back pool, so the newest row takes the slot
-    "llm56_token_budget",
+    # the 49 r17-out due-backs (all r17-green)
+    "dq05_route_fanout", "dq08_hash_agg", "dq12_join_dim",
+    "dq13_multi_join", "dq14_semi_anti", "dq15_outer_join",
+    "dq16_window", "dq17_dedup_first", "dq29_envelope_parse",
+    "dq30_tumbling_window", "dq31_asof_join", "dq32_salted_agg",
+    "dq34_range_join", "dq36_approx_distinct", "dq47_sliding_window",
+    "llm01_token_count", "llm02_lexical_stats", "llm04_lang_id",
+    "llm05_fingerprint", "llm06_quality", "llm11_knn_cosine",
+    "llm16_dedup_clusters", "llm18_bpe_tokens", "llm19_ivf_ann",
+    "llm20_tfidf", "llm21_pii_redact", "llm22_chunk_dedup",
+    "llm23_contamination", "llm24_stratified_split",
+    "llm25_repetition", "llm26_kmeans", "llm27_surprisal",
+    "llm28_quantize", "llm34_video_sampling", "llm37_bigram_lm",
+    "llm38_training_order", "llm39_curriculum_bins",
+    "llm40_quality_rules", "llm41_head_truncate",
+    "llm42_curation_e2e", "llm43_compression_ratio",
+    "llm44_jpeg_decode", "llm47_boilerplate_removal",
+    "llm48_bpe_merges", "llm49_ivf_pq_recall",
+    "llm51_unigram_tokenizer", "llm52_html_extract",
+    "llm53_ocf_roundtrip", "llm54_audio_phash",
+    # spare (per the r17 draft): r18 modified no registered query's
+    # plan, so the perennial heaviest due-back wall takes the slot
+    "llm09_minhash_lsh",
 ]
 
 assert len(_WINDOW) == 50 and len(set(_WINDOW)) == 50, len(_WINDOW)

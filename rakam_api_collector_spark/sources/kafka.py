@@ -466,12 +466,15 @@ def checkpointed_offsets(checkpoint: str,
     except Exception as e:  # noqa: BLE001 — typed by wire status
         from rakam_api_collector_spark.manifest import \
             ObjectMetadataStore
-        if ObjectMetadataStore._http_status(e) is not None:
+        if ObjectMetadataStore._http_status(e) == 403:
             # the object-store shape of the same contract (ADVICE
-            # r16): a non-404 ClientError — 403, throttling past the
-            # adapter's retries — degrades to "no progress yet"
-            # exactly as a POSIX PermissionError does; 404s already
-            # return None via read_if_exists
+            # r16, narrowed in r18 per ADVICE r17): a 403
+            # AccessDenied degrades to "no progress yet" exactly as
+            # the POSIX PermissionError it mirrors; 404s already
+            # return None via read_if_exists. Anything else — a 5xx
+            # that survived the adapter's capped retries, a wire
+            # 400 — PROPAGATES: a drain-gate poll must see a store
+            # failure, not wait forever on a silent None
             return None
         raise
     if raw is None:

@@ -30,9 +30,15 @@ def legacy_replay_ids(store_ids: "set[str]", checkpoint: str,
       checkpoint has committed under post-r15 code before, so its
       replay window has already cleared the legacy era — collisions
       are coincidental;
-    - the checkpoint has no committed batches (probed via its
-      ``commits/`` dir): a fresh checkpoint, epoch numbers restart at
-      0 with no lineage to the legacy partitions;
+    - the checkpoint has no PLANNED batches (probed via its
+      ``offsets/`` dir — ADVICE r17: Spark writes ``offsets/N``
+      BEFORE running batch N and ``commits/N`` only after
+      ``foreachBatch`` returns, so a pre-r15 run that ingested epoch
+      0 and crashed before its commit marker leaves offsets-but-no-
+      commits; a commits-based probe misreads exactly that replayable
+      checkpoint as fresh): a truly fresh checkpoint has neither, and
+      its epoch numbers restart at 0 with no lineage to the legacy
+      partitions;
     - otherwise: a resumed checkpoint with committed progress that
       never wrote a namespaced id — the genuine pre-r15 upgrade
       resume, where the replayed epoch's data IS the legacy
@@ -50,7 +56,7 @@ def legacy_replay_ids(store_ids: "set[str]", checkpoint: str,
     if any(i.startswith(f"epoch-{ck_token}-") for i in store_ids):
         return set()
     if "://" not in checkpoint:
-        d = os.path.join(checkpoint, "commits")
+        d = os.path.join(checkpoint, "offsets")
         if not (os.path.isdir(d) and os.listdir(d)):
             return set()
     return legacy

@@ -72,8 +72,14 @@ def start_ann_index_stream(spark: SparkSession, source_dir: str | None,
       through :meth:`VersionedIndex.append` — so a rebuild/compact
       swap (from this stream or an external maintenance window) is
       followed automatically on the next epoch, and an append a swap
-      overtook mid-flight fails its epoch and replays against the new
-      generation instead of silently feeding a dead one.
+      overtook mid-flight is RETRIED IN-EPOCH against the new
+      generation (r18, VERDICT r17 item 4: up to 3 bounded attempts —
+      ``StaleAppend`` re-resolves the pointer on each retry, the rows
+      in the superseded generation are reclaimed with it by gc, and
+      duplicates from the at-least-once retry collapse at search), so
+      an external maintenance swap never costs the stream a failed
+      epoch or a restart; only swaps landing 3 times within one
+      append fail the epoch, and the checkpoint replay then lands it.
 
     The index layout is INTROSPECTED, not configured: a
     ``_pq_books.json`` beside the data means IVFADC (PQ codes are
@@ -157,8 +163,8 @@ def start_ann_index_stream(spark: SparkSession, source_dir: str | None,
                          "the version pointer")
     root = None
     if index_root is not None:
-        from rakam_api_collector_spark.operators.indexroot import \
-            VersionedIndex
+        from rakam_api_collector_spark.operators.indexroot import (
+            StaleAppend, VersionedIndex)
         root = (index_root if isinstance(index_root, VersionedIndex)
                 else VersionedIndex(index_root, meta_store=meta_store))
         root.current()            # unpublished root refuses at start
@@ -232,7 +238,18 @@ def start_ann_index_stream(spark: SparkSession, source_dir: str | None,
             # itself introduces the drift.
             _audit_fire()
         if root is not None:
-            root.append(batch, id_col, vec_col)
+            # an external rebuild/compact can swap the pointer while
+            # this epoch's physical append runs: retry in-epoch —
+            # append() re-resolves the live generation each attempt,
+            # the dead generation's rows gc with it, and replay
+            # duplicates collapse at search (module docstring)
+            for attempt in range(3):
+                try:
+                    root.append(batch, id_col, vec_col)
+                    break
+                except StaleAppend:
+                    if attempt == 2:
+                        raise
         else:
             append(batch, id_col, vec_col, index_path,
                    meta_store=meta_store)

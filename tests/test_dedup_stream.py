@@ -165,26 +165,36 @@ def test_legacy_replay_ids_branches(tmp_path):
     """The guard-arming decision table (streaming/_guards.py), pure:
     no legacy ids → off; namespaced ids for this token present → off
     (replay window already cleared); fresh checkpoint → off; resumed
-    checkpoint without namespaced ids → ON; unprobeable URI
-    checkpoint → conservative ON."""
+    checkpoint without namespaced ids → ON (including the ADVICE r17
+    crash shape: offsets/0 written, commits/0 never — the replayable
+    in-flight epoch a commits-based probe misread as fresh);
+    unprobeable URI checkpoint → conservative ON."""
     import os
 
     from rakam_api_collector_spark.streaming._guards import \
         legacy_replay_ids
 
     ck = str(tmp_path / "ck")
-    os.makedirs(f"{ck}/commits")
+    os.makedirs(f"{ck}/offsets")
     legacy = {"epoch-000000000000", "epoch-000000000007"}
 
     assert legacy_replay_ids(set(), ck, "abcd1234") == set()
-    # fresh checkpoint (commits dir empty)
+    # fresh checkpoint (offsets dir empty — nothing ever planned)
     assert legacy_replay_ids(legacy, ck, "abcd1234") == set()
     # truly fresh (no checkpoint dir at all)
     assert legacy_replay_ids(legacy, str(tmp_path / "nope"),
                              "abcd1234") == set()
+    # ADVICE r17: offsets/0 exists, commits/ does not — a pre-r15 run
+    # that planned (and possibly half-ingested) epoch 0 and crashed
+    # before its commit marker. Structured Streaming WILL replay
+    # epoch 0 on resume, so the guard must arm.
+    with open(f"{ck}/offsets/0", "w") as f:
+        f.write("v1")
+    assert legacy_replay_ids(legacy, ck, "abcd1234") == legacy
+    # resumed with committed progress, no namespaced ids: armed
+    os.makedirs(f"{ck}/commits")
     with open(f"{ck}/commits/0", "w") as f:
         f.write("v1")
-    # resumed, no namespaced ids: armed
     assert legacy_replay_ids(legacy, ck, "abcd1234") == legacy
     # resumed but this token already committed post-r15: cleared
     assert legacy_replay_ids(

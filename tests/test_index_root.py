@@ -197,10 +197,16 @@ def test_gc_retention(spark, tmp_path):
 
 
 def test_replace_refuses_concurrent_swap(spark, tmp_path):
-    """Two maintenance swaps racing: the loser sees the pointer moved
-    off its source generation and raises CommitConflict instead of
-    publishing a generation built from a superseded snapshot."""
+    """The pointer-CAS backstop behind the lease: a swap that lands
+    through the lease-free escape hatch (publish — the operator's
+    wholesale replacement) while a compact is mid-flight moves the
+    pointer off the compact's source generation, and the compact
+    raises CommitConflict instead of publishing a generation built
+    from a superseded snapshot."""
     emb, root = _published_root(spark, tmp_path)
+    gen2 = root.new_generation_path()
+    S.build_ivf_index(emb.filter(F.col("vec_id") < 50), "vec_id",
+                      "embedding", gen2, n_cells=16)
 
     class Race(VersionedIndex):
         swapped = 0
@@ -208,13 +214,70 @@ def test_replace_refuses_concurrent_swap(spark, tmp_path):
         def _try_commit(self, n, state):
             if state["action"] == "compact" and Race.swapped == 0:
                 Race.swapped = 1
-                VersionedIndex(self.root).rebuild(
-                    spark)                     # the winning swap
+                VersionedIndex(self.root).publish(
+                    gen2)                      # the winning swap
             return super()._try_commit(n, state)
 
     with pytest.raises(CommitConflict, match="concurrent swap"):
         Race(str(tmp_path / "idx")).compact(spark)
-    assert root.current()["action"] == "rebuild"
+    assert root.current()["action"] == "publish"
+    assert root.current_path() == gen2
+    # the loser's finally released the lease: the root is maintainable
+    root.compact(spark)
+    assert root.current()["action"] == "compact"
+
+
+def test_maintenance_lease_refuses_and_expires(spark, tmp_path):
+    """VERDICT r17 item 2: the single-maintainer contract is
+    mechanical — a rebuild/compact racing a HELD lease raises
+    MaintenanceBusy BEFORE writing anything (no generation dir, no
+    marker), and a crashed maintainer's lease (store mtime older than
+    its ttl) is stolen so the root never wedges."""
+    import json as _json
+
+    from rakam_api_collector_spark.operators.indexroot import \
+        MaintenanceBusy
+
+    emb, root = _published_root(spark, tmp_path)
+    lease = root._lease_path()
+    root.meta.put(lease, _json.dumps(
+        {"holder": "other-maintainer", "action": "rebuild",
+         "ttl_seconds": 3600.0}))
+    gens_before = sorted(d for d in os.listdir(root.root)
+                         if d.startswith("gen-"))
+    with pytest.raises(MaintenanceBusy, match="one rebuild/compact"):
+        root.compact(spark)
+    with pytest.raises(MaintenanceBusy, match="one rebuild/compact"):
+        root.rebuild(spark)
+    # the loser raised BEFORE writing: no new generation, no marker
+    assert sorted(d for d in os.listdir(root.root)
+                  if d.startswith("gen-")) == gens_before
+    assert not os.path.exists(f"{root.root}/_building") or \
+        not os.listdir(f"{root.root}/_building")
+    assert os.path.exists(lease)               # holder's lease intact
+
+    # crashed maintainer: age the lease past its ttl (store mtime is
+    # the expiry clock) — the next op steals it and completes
+    os.utime(lease, (0, 0))
+    root.compact(spark)
+    assert root.current()["action"] == "compact"
+    assert not os.path.exists(lease)           # released after
+
+
+def test_maintenance_lease_released_on_failure(spark, tmp_path):
+    """A rebuild/compact that dies mid-build releases its lease on
+    the way out (finally) — a failed maintenance op never wedges the
+    root until ttl expiry."""
+    emb, root = _published_root(spark, tmp_path)
+
+    def worker(src, dest):
+        raise RuntimeError("mid-build crash")
+
+    with pytest.raises(RuntimeError, match="mid-build crash"):
+        root._replace(spark, worker, "compact")
+    assert not os.path.exists(root._lease_path())
+    root.compact(spark)                        # immediately retryable
+    assert root.current()["action"] == "compact"
 
 
 def test_run_maintenance_reports_index_health(spark, tmp_path):
@@ -478,3 +541,177 @@ def test_versioned_index_protocol_fuzz(spark, tmp_path):
             assert got[0].neighbor == want[0].neighbor, (seed, step,
                                                          op)
         assert n_gc == 0 or root._version_numbers()
+
+
+def test_append_records_files_and_catchup_reads_only_them(spark,
+                                                          tmp_path):
+    """VERDICT r17 item 1 — catch-up is O(delta), truly: every append
+    commits the exact data files it added (before/after listing diff,
+    sound under the single-appender contract), and a rebuild's
+    catch-up round reads ONLY those files — pinned at the reader API
+    boundary: every DataFrameReader.parquet call inside _catchup
+    names exactly the recorded delta files, never the live
+    generation's path (the pre-r18 full scan+shuffle)."""
+    from pyspark.sql.readwriter import DataFrameReader
+
+    emb, root = _published_root(spark, tmp_path)
+    src = root.current_path()
+
+    # (a) appends record exactly the on-disk diff, disjointly
+    pre = root._data_files(src)
+    root.append(emb.filter((F.col("vec_id") >= 100)
+                           & (F.col("vec_id") < 130)),
+                "vec_id", "embedding")                       # v2
+    mid = root._data_files(src)
+    root.append(emb.filter((F.col("vec_id") >= 130)
+                           & (F.col("vec_id") < 150)),
+                "vec_id", "embedding")                       # v3
+    post = root._data_files(src)
+    v2 = root._read_version(2)
+    v3 = root._read_version(3)
+    assert set(v2["appended_files"]) == mid - pre != set()
+    assert set(v3["appended_files"]) == post - mid != set()
+    assert root._delta_files(src, 1, 3) \
+        == v2["appended_files"] + v3["appended_files"]
+
+    # (b) the IO pin: a rebuild racing one more append catches up by
+    # reading exactly that append's recorded files
+    extra = emb.filter((F.col("vec_id") >= 150)
+                       & (F.col("vec_id") < 180))
+
+    class Spy(VersionedIndex):
+        injected = 0
+        reads: list[tuple] = []
+
+        def _try_commit(self, n, state):
+            if state["action"] == "rebuild" and Spy.injected == 0:
+                Spy.injected = 1
+                VersionedIndex(self.root).append(
+                    extra, "vec_id", "embedding")            # v4
+            return super()._try_commit(n, state)
+
+        def _catchup(self, spark_, src_, dest_, base_v, n):
+            real = DataFrameReader.parquet
+
+            def spy(rself, *paths, **kw):
+                Spy.reads.append(tuple(paths))
+                return real(rself, *paths, **kw)
+            DataFrameReader.parquet = spy
+            try:
+                return super()._catchup(spark_, src_, dest_,
+                                        base_v, n)
+            finally:
+                DataFrameReader.parquet = real
+
+    st = Spy(str(tmp_path / "idx")).rebuild(spark)
+    assert Spy.injected == 1 and st["action"] == "rebuild"
+    delta = sorted(f"{src}/{r}" for r in
+                   root._read_version(4)["appended_files"])
+    assert sorted(p for tup in Spy.reads for p in tup) == delta
+    live = spark.read.parquet(root.current_path())
+    assert live.select("neighbor").distinct().count() == 180
+    got = root.topk(spark, emb.filter("vec_id = 160"), "vec_id",
+                    "embedding", k=1, nprobe=16).collect()
+    assert got and got[0].neighbor != 160      # caught-up, searchable
+
+
+def test_catchup_fallback_on_pre_r18_log(spark, tmp_path):
+    """A version state that predates file recording (pre-r18 append)
+    can't drive the fast path: _delta_files returns None and catch-up
+    falls back to the ids-only anti-join — nothing a concurrent
+    appender wrote is lost either way."""
+    import json as _json
+
+    emb, root = _published_root(spark, tmp_path)
+    src = root.current_path()
+    extra = emb.filter((F.col("vec_id") >= 100)
+                       & (F.col("vec_id") < 160))
+
+    class Race(VersionedIndex):
+        injected = 0
+
+        def _try_commit(self, n, state):
+            if state["action"] == "rebuild" and Race.injected == 0:
+                Race.injected = 1
+                inner = VersionedIndex(self.root)
+                inner.append(extra, "vec_id", "embedding")   # v2
+                # strip the recording — a pre-r18 append state
+                st = inner._read_version(2)
+                st.pop("appended_files")
+                inner.meta.put(inner._log.path_of(2),
+                               _json.dumps(st))
+            return super()._try_commit(n, state)
+
+    st = Race(str(tmp_path / "idx")).rebuild(spark)
+    assert Race.injected == 1 and st["action"] == "rebuild"
+    assert root._delta_files(src, 1, 2) is None   # fast path refused
+    live = spark.read.parquet(root.current_path())
+    assert live.select("neighbor").distinct().count() == 160
+
+
+def test_gc_grace_measures_store_mtime_not_writer_clock(spark,
+                                                        tmp_path):
+    """VERDICT r17 item 6: the gc grace clock is the STORE's mtime of
+    the newest referencing version file — a maintainer whose clock
+    runs arbitrarily behind (committed_at stamped in the past) cannot
+    undercut the window protecting in-flight readers; the same object
+    ages out naturally."""
+    import json as _json
+
+    emb, root = _published_root(spark, tmp_path)
+    root.compact(spark)                      # v2 live, gen-000001 old
+    gen1 = f"{root.root}/gen-000001"
+    # a skewed writer stamped its commit in 1970
+    st = root._read_version(1)
+    st["committed_at"] = 0.0
+    root.meta.put(root._log.path_of(1), _json.dumps(st))
+    assert root.gc(keep_versions=1, grace_seconds=3600.0) == []
+    assert os.path.isdir(gen1)               # grace held (fresh mtime)
+    os.utime(root._log.path_of(1), (0, 0))   # now genuinely old
+    assert root.gc(keep_versions=1, grace_seconds=3600.0) == [gen1]
+
+
+def test_marker_and_lease_refresh_on_progress(spark, tmp_path):
+    """ADVICE r17: the in-flight-build marker (gc's crash clock) and
+    the maintenance lease (the single-maintainer clock) are RE-PUT at
+    every progress point — build done, each catch-up round — so both
+    expiry windows measure time since last progress, never time since
+    the build started; a long build can no longer be reclaimed or
+    stolen mid-flight by a window sized for one job."""
+    from rakam_api_collector_spark.manifest import LocalMetadataStore
+
+    class Counting(LocalMetadataStore):
+        def __init__(self):
+            self.puts: dict[str, int] = {}
+
+        def put(self, path, content):
+            self.puts[path] = self.puts.get(path, 0) + 1
+            super().put(path, content)
+
+    meta = Counting()
+    emb = _emb(spark)
+    root = VersionedIndex(str(tmp_path / "idx"), meta_store=meta)
+    gen = root.new_generation_path()
+    S.build_ivf_index(emb.filter(F.col("vec_id") < 100), "vec_id",
+                      "embedding", gen, n_cells=16, meta_store=meta)
+    root.publish(gen)
+    extra = emb.filter((F.col("vec_id") >= 100)
+                       & (F.col("vec_id") < 140))
+
+    class Race(VersionedIndex):
+        injected = 0
+
+        def _try_commit(self, n, state):
+            if state["action"] == "rebuild" and Race.injected == 0:
+                Race.injected = 1
+                VersionedIndex(self.root, meta_store=meta).append(
+                    extra, "vec_id", "embedding")
+            return super()._try_commit(n, state)
+
+    Race(str(tmp_path / "idx"), meta_store=meta).rebuild(spark)
+    marker = f"{root.root}/_building/gen-000002.json"
+    # start + post-build + one catch-up round
+    assert meta.puts.get(marker, 0) >= 3
+    # post-build + post-catch-up refreshes (acquire is put_if_absent)
+    assert meta.puts.get(root._lease_path(), 0) >= 2
+    assert not os.path.exists(root._lease_path())   # released

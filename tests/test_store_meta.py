@@ -339,17 +339,19 @@ def test_catalog_and_checkpoint_offsets_on_object_store(spark, tmp_path):
 
 
 def test_checkpoint_offsets_degrade_on_wire_errors(tmp_path):
-    """r17 (ADVICE r16): the documented "unreadable checkpoint reads
-    as no-progress-yet" contract covers the OBJECT-STORE error shape
-    too — a non-404 ClientError (403 AccessDenied, throttling past the
-    adapter's retries) degrades to None exactly as a POSIX
-    PermissionError does, while a non-wire bug still propagates."""
+    """r17 (ADVICE r16), narrowed r18 (ADVICE r17): the documented
+    "unreadable checkpoint reads as no-progress-yet" contract covers
+    EXACTLY the object-store permission shape — a 403 AccessDenied
+    degrades to None as the POSIX PermissionError it mirrors — while
+    a 5xx that survived the adapter's capped retries PROPAGATES (a
+    drain-gate poll must see a persistent store failure, not wait
+    forever on a silent None), as does a non-wire bug."""
     from rakam_api_collector_spark.sources.kafka import \
         checkpointed_offsets
 
     class _Wire(Exception):
-        def __init__(self, status):
-            self.response = {"Error": {"Code": "AccessDenied"},
+        def __init__(self, status, code="AccessDenied"):
+            self.response = {"Error": {"Code": code},
                              "ResponseMetadata":
                                  {"HTTPStatusCode": status}}
 
@@ -357,12 +359,19 @@ def test_checkpoint_offsets_degrade_on_wire_errors(tmp_path):
         def list(self, d):
             raise _Wire(403)
 
+    class _Down(LocalMetadataStore):
+        def list(self, d):
+            raise _Wire(500, "InternalError")
+
     class _Buggy(LocalMetadataStore):
         def list(self, d):
             raise KeyError("not a wire error")
 
     assert checkpointed_offsets(str(tmp_path / "ck"),
                                 meta_store=_Denied()) is None
+    with pytest.raises(_Wire):
+        checkpointed_offsets(str(tmp_path / "ck"),
+                             meta_store=_Down())
     with pytest.raises(KeyError):
         checkpointed_offsets(str(tmp_path / "ck"),
                              meta_store=_Buggy())
