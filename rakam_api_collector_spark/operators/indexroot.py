@@ -146,15 +146,24 @@ class VersionedIndex:
 
     def new_generation_path(self) -> str:
         """A fresh generation directory for the NEXT build: one past
-        the max of (existing ``gen-*`` dirs, latest version) — TWO
-        listings, never a per-version read (r17 review: reading every
-        version state made each scheduled compact O(stream age)).
-        Crashed-build leftovers count as existing (they're listed), so
-        a retry never clobbers a committed generation; the one name a
-        dangling version could still claim is one gc already removed
-        and was about to prune — unreadable either way."""
+        the max of (existing ``gen-*`` dirs, in-flight ``_building``
+        markers, latest version) — THREE listings, never a
+        per-version read (r17 review: reading every version state
+        made each scheduled compact O(stream age)). Crashed-build
+        leftovers count as existing (they're listed), so a retry
+        never clobbers a committed generation; in-flight markers
+        count too (r18 review: a builder whose Spark write hasn't
+        committed an object yet has NO dir on an object store — a
+        lease stolen from it must not pick the same name and
+        interleave two builds' files under one prefix); the one name
+        a dangling version could still claim is one gc already
+        removed and was about to prune — unreadable either way."""
         gens = [int(d[4:]) for d in self.meta.list(self.root)
                 if d.startswith("gen-") and d[4:].isdigit()]
+        gens += [int(m[4:-5]) for m in
+                 self.meta.list(f"{self.root}/_building")
+                 if m.startswith("gen-") and m.endswith(".json")
+                 and m[4:-5].isdigit()]
         n = max(gens + [self._log.latest()]) + 1
         return f"{self.root}/gen-{n:06d}"
 
@@ -383,10 +392,20 @@ class VersionedIndex:
                        action: str) -> None:
         """Re-put the lease so its store mtime (the expiry clock)
         measures time since last PROGRESS, not since acquisition. A
-        holder mismatch means the lease was stolen past its ttl —
-        abort loudly rather than keep building over the stealer."""
+        holder mismatch (or an unreadable body) means the lease was
+        stolen past its ttl — abort loudly rather than keep building
+        over the stealer. Detection is best-effort: the read-then-put
+        here is not atomic, so a steal landing exactly between them
+        is overwritten and only caught at the NEXT refresh (or by the
+        pointer CAS / distinct generation names, which keep data safe
+        regardless — module docstring)."""
         raw = self.meta.read_if_exists(path)
-        if raw is None or json.loads(raw).get("holder") != holder:
+        try:
+            mine = (raw is not None
+                    and json.loads(raw).get("holder") == holder)
+        except ValueError:
+            mine = False
+        if not mine:
             raise MaintenanceBusy(
                 f"maintenance lease under {self.root} was stolen "
                 f"mid-{action} (stalled past ttl "
@@ -423,7 +442,8 @@ class VersionedIndex:
         return rels
 
     def _catchup(self, spark: SparkSession, src: str, dest: str,
-                 base_v: int, n: int) -> int:
+                 base_v: int, n: int,
+                 exclude: "set[str] | None" = None) -> int:
         """Fold into ``dest`` the rows appended to ``src`` by versions
         ``(base_v, n]`` — O(delta), truly (r18, VERDICT r17 item 1):
         the version log names the exact files those appends added, so
@@ -431,16 +451,31 @@ class VersionedIndex:
         named files — no scan, no shuffle of the live generation).
         Rounds never overlap (the caller advances ``base_v`` to ``n``
         each round), and within-delta duplicates from append replays
-        collapse here (and again at search). A log without recorded
-        files (pre-r18 states) falls back to the ids-only anti-join —
-        id columns through the shuffle, vectors semi-joined back for
-        just the delta (ADVICE r17) — and either way the delta plan
-        is materialized ONCE per round (``localCheckpoint``), never
-        recomputed between the count and the append (VERDICT r17
-        item 5). Requires stored vectors, which every rebuildable
-        generation has (codes-only refuses upstream)."""
+        collapse here (and again at search).
+
+        ``exclude`` is the caller's pre-build snapshot of src's data
+        files (r18 review): an append whose PHYSICAL files landed
+        before the worker's scan but whose version committed after
+        the snapshot version was already baked into dest by the build
+        — its recorded files are subtracted so catch-up doesn't bake
+        it twice. The snapshot listing is taken moments before the
+        worker plans its own; a file landing inside that gap is
+        re-appended (a harmless at-least-once duplicate that
+        collapses at search — the same cost class as a replayed
+        append), never lost.
+
+        A log without recorded files (pre-r18 states) falls back to
+        the ids-only anti-join — id columns through the shuffle,
+        vectors semi-joined back for just the delta (ADVICE r17) —
+        and either way the delta plan is materialized ONCE per round
+        (``localCheckpoint``), never recomputed between the count and
+        the append (VERDICT r17 item 5). Requires stored vectors,
+        which every rebuildable generation has (codes-only refuses
+        upstream)."""
         rels = self._delta_files(src, base_v, n)
         if rels is not None:
+            if exclude:
+                rels = [r for r in rels if r not in exclude]
             if not rels:
                 return 0
             delta = (spark.read.option("basePath", src)
@@ -477,16 +512,50 @@ class VersionedIndex:
 
     def _replace(self, spark: SparkSession, worker, action: str,
                  max_catchup: int = 8) -> dict:
+        import threading
+
         with self._maintenance_lease(action) as refresh:
             st0 = self.current()
             src = st0["index_path"]
             dest = self.new_generation_path()
             marker = '{"action": "%s"}' % action
             self.meta.put(self._marker(dest), marker)
-            worker(src, dest)
+            # pre-build snapshot of src's files: what the worker's own
+            # scan will (at least) read — catch-up subtracts it so an
+            # append committing mid-build isn't baked twice
+            snap = self._data_files(src)
+            # heartbeat THROUGH the build (r18 review): worker() is
+            # the dominant phase, so both progress clocks — the gc
+            # marker and the lease — are re-put on a cadence while it
+            # runs (≤ 60 s, and well inside ttl/4), making "age =
+            # time since last progress" true for the build itself,
+            # not just the rounds after it. A steal detected by the
+            # heartbeat surfaces after the worker returns.
+            stop = threading.Event()
+            beat_err: list[Exception] = []
+            interval = max(1.0, min(self.lease_ttl_seconds / 4.0,
+                                    60.0))
+
+            def _beat() -> None:
+                while not stop.wait(interval):
+                    try:
+                        self.meta.put(self._marker(dest), marker)
+                        refresh()
+                    except Exception as e:  # noqa: BLE001 — re-raised
+                        beat_err.append(e)
+                        return
+
+            beater = threading.Thread(target=_beat, daemon=True)
+            beater.start()
+            try:
+                worker(src, dest)
+            finally:
+                stop.set()
+                beater.join()
+            if beat_err:
+                raise beat_err[0]
             # progress points: the build finished, and each catch-up
-            # round — both clocks (gc marker grace, lease ttl) now
-            # measure time since last progress, not since start
+            # round
             self.meta.put(self._marker(dest), marker)
             refresh()
             base_v = st0["version"]
@@ -502,7 +571,8 @@ class VersionedIndex:
                 if n > base_v:
                     # appends landed since the snapshot/last catch-up:
                     # fold exactly their files into dest (O(delta))
-                    self._catchup(spark, src, dest, base_v, n)
+                    self._catchup(spark, src, dest, base_v, n,
+                                  exclude=snap)
                     base_v = n
                     self.meta.put(self._marker(dest), marker)
                     refresh()

@@ -49,6 +49,14 @@ def legacy_replay_ids(store_ids: "set[str]", checkpoint: str,
     double-ingest does not. Pre-r15 checkpoints are POSIX in practice
     (the namespacing shipped before any object-store checkpoint
     support), so the conservative branch is theoretical.
+
+    Known conservative false-arm (the price of the offsets probe): a
+    POST-r15-created checkpoint that planned batch 0 and crashed
+    before its first store ingest is indistinguishable from the
+    pre-r15 upgrade resume (offsets present, no namespaced ids) and
+    arms the guard even though its lineage cannot double-count. The
+    raise's remediations all apply — renaming the legacy partition
+    to the namespaced id is the no-data-loss one here.
     """
     legacy = {i for i in store_ids if re.fullmatch(r"epoch-\d+", i)}
     if not legacy:

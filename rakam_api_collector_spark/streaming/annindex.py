@@ -112,7 +112,12 @@ def start_ann_index_stream(spark: SparkSession, source_dir: str | None,
     ``foreachBatch`` — this stream IS the single appender, so the
     single-maintainer window holds by construction. Same model, same
     ids, identical top-k; the superseded generation stays readable for
-    in-flight searches until :meth:`VersionedIndex.gc`.
+    in-flight searches until :meth:`VersionedIndex.gc`. If an
+    EXTERNAL maintenance window holds the root's lease when the
+    cadence fires, the compact (or an ``on_drift="rebuild"``
+    response) is DEFERRED to its next firing instead of failing the
+    epoch (r18) — the epoch's own append has already committed and
+    is never at stake.
 
     ``gc_keep_versions`` (opt-in, ``index_root`` only) runs that gc
     right after every swap this stream performs (compact cadence or
@@ -164,7 +169,7 @@ def start_ann_index_stream(spark: SparkSession, source_dir: str | None,
     root = None
     if index_root is not None:
         from rakam_api_collector_spark.operators.indexroot import (
-            StaleAppend, VersionedIndex)
+            MaintenanceBusy, StaleAppend, VersionedIndex)
         root = (index_root if isinstance(index_root, VersionedIndex)
                 else VersionedIndex(index_root, meta_store=meta_store))
         root.current()            # unpublished root refuses at start
@@ -205,8 +210,16 @@ def start_ann_index_stream(spark: SparkSession, source_dir: str | None,
         if on_drift == "rebuild":
             # retrain-and-swap inside the epoch: this stream is the
             # only appender, so the swap CAS wins without catch-up
-            # contention; the NEXT epoch follows the new pointer
-            root.rebuild(spark)
+            # contention; the NEXT epoch follows the new pointer.
+            # An EXTERNAL maintenance window holding the lease defers
+            # this response to the next audit (r18 review: failing
+            # the epoch over a sanctioned concurrent rebuild is the
+            # exact outcome the pointer exists to avoid — and that
+            # external op is likely already fixing the drift)
+            try:
+                root.rebuild(spark)
+            except MaintenanceBusy:
+                return
             if gc_keep_versions is not None:
                 root.gc(keep_versions=gc_keep_versions,
                         grace_seconds=gc_grace_seconds)
@@ -265,7 +278,14 @@ def start_ann_index_stream(spark: SparkSession, source_dir: str | None,
             _audit_fire()
         if compact_every_n_epochs \
                 and (epoch_id + 1) % compact_every_n_epochs == 0:
-            root.compact(spark)
+            try:
+                root.compact(spark)
+            except MaintenanceBusy:
+                # an external maintenance window holds the lease:
+                # defer — the cadence fires again N epochs on, and
+                # the epoch's append (already committed above) is
+                # never at stake
+                return
             if gc_keep_versions is not None:
                 root.gc(keep_versions=gc_keep_versions,
                         grace_seconds=gc_grace_seconds)

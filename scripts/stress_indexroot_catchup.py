@@ -6,7 +6,7 @@ files each concurrent append added and `_catchup` reads only them.
 Measured head-to-head against the pre-r18 shape (a version state
 WITHOUT `appended_files`, which forces the anti-join fallback that
 scans and shuffles the whole live generation): same src index at
-×1/×8/×32 the sf0.1 embeddings, same fixed 20k-row concurrent
+×1/×32/×256 the sf0.1 embeddings, same fixed one-table concurrent
 append, one catch-up round into an equivalently-built dest.
 
 Usage: python scripts/stress_indexroot_catchup.py

@@ -473,3 +473,45 @@ def test_ann_stream_retries_stale_append_in_epoch(spark, tmp_path,
     got = root.topk(spark, emb.filter("vec_id = 120"), "vec_id",
                     "embedding", k=1, nprobe=16).collect()
     assert got and got[0].neighbor != 120
+
+
+def test_ann_stream_defers_compact_when_lease_held(spark, tmp_path):
+    """r18 review: the cadence compact (and the on_drift="rebuild"
+    response) defers when an EXTERNAL maintenance window holds the
+    root's lease — the epoch completes (its append is never at
+    stake), the external holder's lease survives, and once the lease
+    is free the next cadence compacts as usual."""
+    from rakam_api_collector_spark.operators.indexroot import \
+        VersionedIndex
+
+    emb, first, src = _split_embeddings(spark, tmp_path,
+                                        cuts=(100, 150))
+    root = VersionedIndex(str(tmp_path / "idx"))
+    gen1 = root.new_generation_path()
+    S.build_ivf_index(first, "vec_id", "embedding", gen1, n_cells=16)
+    root.publish(gen1)
+    root.meta.put(root._lease_path(),
+                  '{"holder": "external-window", "ttl_seconds": 3600}')
+
+    kw = dict(index_root=root, id_col="vec_id", vec_col="embedding",
+              checkpoint=str(tmp_path / "ckpt"),
+              max_files_per_trigger=1, compact_every_n_epochs=1)
+    start_ann_index_stream(spark, src, **kw).awaitTermination(120)
+    # both epochs appended; every compact deferred; lease intact
+    actions = [root._read_version(n)["action"]
+               for n in root._version_numbers()]
+    assert actions == ["publish", "append", "append"]
+    import json as _json
+    assert _json.loads(root.meta.read(
+        root._lease_path()))["holder"] == "external-window"
+
+    # lease released: the next cadence compacts again
+    root.meta.delete(root._lease_path())
+    (emb.filter(F.col("vec_id") < 5)
+     .select((F.col("vec_id") + 500_000).alias("vec_id"), "embedding")
+     .coalesce(1).write.mode("append").parquet(src))
+    start_ann_index_stream(spark, src, **kw).awaitTermination(120)
+    assert root.current()["action"] == "compact"
+    live = spark.read.parquet(root.current_path())
+    assert live.select("neighbor").distinct().count() \
+        == emb.count() + 5

@@ -715,3 +715,111 @@ def test_marker_and_lease_refresh_on_progress(spark, tmp_path):
     # post-build + post-catch-up refreshes (acquire is put_if_absent)
     assert meta.puts.get(root._lease_path(), 0) >= 2
     assert not os.path.exists(root._lease_path())   # released
+
+
+def test_new_generation_path_respects_inflight_markers(spark,
+                                                       tmp_path):
+    """r18 review: a builder whose Spark write hasn't committed an
+    object yet has NO gen dir on an object store — only its
+    _building marker. new_generation_path must count the marker, or
+    a lease stolen from a live-but-stalled builder would pick the
+    SAME name and interleave two builds' files under one prefix."""
+    emb, root = _published_root(spark, tmp_path)
+    root.meta.put(root._marker(f"{root.root}/gen-000002"),
+                  '{"action": "rebuild"}')
+    assert root.new_generation_path() == f"{root.root}/gen-000003"
+
+
+def test_mid_build_committed_append_not_baked_twice(spark, tmp_path):
+    """r18 review: an append whose PHYSICAL files landed before the
+    rebuild's scan but whose version committed after the snapshot
+    version is already in the built generation — catch-up must
+    subtract the pre-build file snapshot, or every one of its rows
+    is published twice (TOTAL row count, not just distinct ids)."""
+    emb, root = _published_root(spark, tmp_path)
+    src = root.current_path()
+    extra = emb.filter((F.col("vec_id") >= 100)
+                       & (F.col("vec_id") < 160))
+    before = root._data_files(src)
+    S.append_to_ivf_index(extra, "vec_id", "embedding", src)
+    added = sorted(root._data_files(src) - before)
+
+    class Tricky(VersionedIndex):
+        injected = 0
+
+        def _try_commit(self, n, state):
+            if state["action"] == "rebuild" and Tricky.injected == 0:
+                Tricky.injected = 1
+                # the append's version commit lands only NOW — after
+                # the build already read its files from disk
+                inner = VersionedIndex(self.root)
+                st = inner._state(inner._read_version(1), src,
+                                  "append", appended_files=added)
+                assert inner._log.try_commit(2, st)
+            return super()._try_commit(n, state)
+
+    st = Tricky(str(tmp_path / "idx")).rebuild(spark)
+    assert Tricky.injected == 1 and st["version"] == 3
+    live = spark.read.parquet(root.current_path())
+    assert live.count() == 160                 # no double-bake
+    assert live.select("neighbor").distinct().count() == 160
+
+
+def test_heartbeat_keeps_clocks_alive_through_long_build(spark,
+                                                         tmp_path):
+    """r18 review: worker() is the dominant phase — the heartbeat
+    re-puts the marker AND the lease on a cadence while it runs, so
+    a build longer than the lease ttl (or gc grace) is measured from
+    its last heartbeat, not its start; and a lease stolen mid-build
+    aborts the operation right after the build instead of publishing
+    over the stealer."""
+    import time as _time
+
+    from rakam_api_collector_spark.manifest import LocalMetadataStore
+    from rakam_api_collector_spark.operators.indexroot import \
+        MaintenanceBusy
+    from rakam_api_collector_spark.operators.similarity import \
+        compact_ivf_index
+
+    class Counting(LocalMetadataStore):
+        def __init__(self):
+            self.puts: dict[str, int] = {}
+
+        def put(self, path, content):
+            self.puts[path] = self.puts.get(path, 0) + 1
+            super().put(path, content)
+
+    meta = Counting()
+    emb = _emb(spark)
+    root = VersionedIndex(str(tmp_path / "idx"), meta_store=meta,
+                          lease_ttl_seconds=2.0)   # heartbeat = 1 s
+    gen = root.new_generation_path()
+    S.build_ivf_index(emb.filter(F.col("vec_id") < 100), "vec_id",
+                      "embedding", gen, n_cells=16, meta_store=meta)
+    root.publish(gen)
+
+    def slow_worker(src, dest):
+        _time.sleep(2.5)                       # > ttl: would expire
+        compact_ivf_index(spark, src, dest, meta_store=meta)
+
+    st = root._replace(spark, slow_worker, "compact")
+    assert st["action"] == "compact"
+    # ≥2 heartbeats fired during the 2.5 s build (interval 1 s), on
+    # both clocks, on top of the start/post-build progress puts
+    marker = f"{root.root}/_building/gen-000002.json"
+    assert meta.puts.get(marker, 0) >= 4
+    assert meta.puts.get(root._lease_path(), 0) >= 3
+
+    # stolen mid-build: the heartbeat detects it and the operation
+    # aborts AFTER the build, before publishing over the stealer
+    def thief_worker(src, dest):
+        meta.delete(root._lease_path())
+        meta.put(root._lease_path(),
+                 '{"holder": "thief", "ttl_seconds": 3600}')
+        _time.sleep(1.5)                       # one heartbeat fires
+
+    with pytest.raises(MaintenanceBusy, match="stolen"):
+        root._replace(spark, thief_worker, "compact")
+    import json as _json
+    assert _json.loads(meta.read(
+        root._lease_path()))["holder"] == "thief"   # thief's survives
