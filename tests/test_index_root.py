@@ -590,7 +590,8 @@ def test_append_records_files_and_catchup_reads_only_them(spark,
                     extra, "vec_id", "embedding")            # v4
             return super()._try_commit(n, state)
 
-        def _catchup(self, spark_, src_, dest_, base_v, n):
+        def _catchup(self, spark_, src_, dest_, base_v, n,
+                     exclude=None):
             real = DataFrameReader.parquet
 
             def spy(rself, *paths, **kw):
@@ -599,7 +600,7 @@ def test_append_records_files_and_catchup_reads_only_them(spark,
             DataFrameReader.parquet = spy
             try:
                 return super()._catchup(spark_, src_, dest_,
-                                        base_v, n)
+                                        base_v, n, exclude=exclude)
             finally:
                 DataFrameReader.parquet = real
 
