@@ -82,6 +82,19 @@ class StaleAppend(RuntimeError):
     in the dead one are reclaimed by gc with it)."""
 
 
+def _parse_lease(raw: str) -> dict:
+    """Lease body → dict; any unreadable shape (truncated JSON, or
+    valid JSON that isn't an object) reads as an empty lease — the
+    holder check then fails closed (r18 review: a ValueError-only
+    guard let a JSON array raise AttributeError past the typed
+    MaintenanceBusy surface)."""
+    try:
+        doc = json.loads(raw)
+    except ValueError:
+        return {}
+    return doc if isinstance(doc, dict) else {}
+
+
 class MaintenanceBusy(RuntimeError):
     """A rebuild/compact found the maintenance lease held by another
     live maintainer and refused BEFORE writing anything — the
@@ -350,10 +363,7 @@ class VersionedIndex:
             raw = self.meta.read_if_exists(path)
             if raw is None:
                 continue            # released between CAS and read
-            try:
-                held = json.loads(raw)
-            except ValueError:
-                held = {}
+            held = _parse_lease(raw)
             ttl = held.get("ttl_seconds", self.lease_ttl_seconds)
             try:
                 age = time.time() - self.meta.mtime(path)
@@ -380,13 +390,9 @@ class VersionedIndex:
             yield lambda: self._refresh_lease(path, holder, action)
         finally:
             raw = self.meta.read_if_exists(path)
-            if raw is not None:
-                try:
-                    mine = json.loads(raw).get("holder") == holder
-                except ValueError:
-                    mine = False
-                if mine:
-                    self.meta.delete(path)
+            if raw is not None and \
+                    _parse_lease(raw).get("holder") == holder:
+                self.meta.delete(path)
 
     def _refresh_lease(self, path: str, holder: str,
                        action: str) -> None:
@@ -400,11 +406,8 @@ class VersionedIndex:
         pointer CAS / distinct generation names, which keep data safe
         regardless — module docstring)."""
         raw = self.meta.read_if_exists(path)
-        try:
-            mine = (raw is not None
-                    and json.loads(raw).get("holder") == holder)
-        except ValueError:
-            mine = False
+        mine = (raw is not None
+                and _parse_lease(raw).get("holder") == holder)
         if not mine:
             raise MaintenanceBusy(
                 f"maintenance lease under {self.root} was stolen "
@@ -517,9 +520,25 @@ class VersionedIndex:
         with self._maintenance_lease(action) as refresh:
             st0 = self.current()
             src = st0["index_path"]
-            dest = self.new_generation_path()
             marker = '{"action": "%s"}' % action
-            self.meta.put(self._marker(dest), marker)
+            # the generation name is CLAIMED by a put_if_absent of its
+            # marker (r18 review): a maintainer stalled between
+            # picking the name and stamping it is invisible to a
+            # lease stealer, so a plain put could interleave two
+            # builds under one prefix — on a claim conflict, fail
+            # fast on a stolen lease (refresh raises) and re-pick
+            for _ in range(3):
+                dest = self.new_generation_path()
+                if self.meta.put_if_absent(self._marker(dest),
+                                           marker):
+                    break
+                refresh()
+            else:
+                raise CommitConflict(
+                    f"{action} under {self.root} could not claim a "
+                    "generation name in 3 attempts — markers are "
+                    "being created faster than new_generation_path "
+                    "observes them")
             # pre-build snapshot of src's files: what the worker's own
             # scan will (at least) read — catch-up subtracts it so an
             # append committing mid-build isn't baked twice
@@ -527,23 +546,30 @@ class VersionedIndex:
             # heartbeat THROUGH the build (r18 review): worker() is
             # the dominant phase, so both progress clocks — the gc
             # marker and the lease — are re-put on a cadence while it
-            # runs (≤ 60 s, and well inside ttl/4), making "age =
-            # time since last progress" true for the build itself,
-            # not just the rounds after it. A steal detected by the
-            # heartbeat surfaces after the worker returns.
+            # runs (≤ 60 s and ≤ ttl/4), making "age = time since
+            # last progress" true for the build itself, not just the
+            # rounds after it. Only a STOLEN lease aborts (surfaced
+            # after the worker returns); a transient store error
+            # skips that beat and retries on the next — one blip must
+            # not silently kill freshness for the rest of a
+            # multi-hour build, nor discard the build itself (a
+            # persistently broken store still surfaces at the
+            # post-build progress refresh, on the main thread).
             stop = threading.Event()
             beat_err: list[Exception] = []
-            interval = max(1.0, min(self.lease_ttl_seconds / 4.0,
-                                    60.0))
+            interval = min(max(0.2, self.lease_ttl_seconds / 4.0),
+                           60.0)
 
             def _beat() -> None:
                 while not stop.wait(interval):
                     try:
                         self.meta.put(self._marker(dest), marker)
                         refresh()
-                    except Exception as e:  # noqa: BLE001 — re-raised
+                    except MaintenanceBusy as e:
                         beat_err.append(e)
                         return
+                    except Exception:  # noqa: BLE001 — transient
+                        continue
 
             beater = threading.Thread(target=_beat, daemon=True)
             beater.start()

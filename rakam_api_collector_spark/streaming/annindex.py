@@ -38,7 +38,11 @@ index partitions, with the registered-shard visibility rule
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import DataFrame, SparkSession
+
+_log = logging.getLogger(__name__)
 
 from rakam_api_collector_spark.operators.similarity import (
     _model_meta, append_to_ivf_index, append_to_ivf_pq_index)
@@ -218,7 +222,12 @@ def start_ann_index_stream(spark: SparkSession, source_dir: str | None,
             # external op is likely already fixing the drift)
             try:
                 root.rebuild(spark)
-            except MaintenanceBusy:
+            except MaintenanceBusy as e:
+                # deferred, not dropped: the audit cadence fires
+                # again; the message distinguishes lease-held-at-
+                # acquire from stolen-mid-operation
+                _log.warning("ann-index drift rebuild deferred: %s",
+                             e)
                 return
             if gc_keep_versions is not None:
                 root.gc(keep_versions=gc_keep_versions,
@@ -280,11 +289,13 @@ def start_ann_index_stream(spark: SparkSession, source_dir: str | None,
                 and (epoch_id + 1) % compact_every_n_epochs == 0:
             try:
                 root.compact(spark)
-            except MaintenanceBusy:
+            except MaintenanceBusy as e:
                 # an external maintenance window holds the lease:
                 # defer — the cadence fires again N epochs on, and
                 # the epoch's append (already committed above) is
                 # never at stake
+                _log.warning("ann-index compact cadence deferred: "
+                             "%s", e)
                 return
             if gc_keep_versions is not None:
                 root.gc(keep_versions=gc_keep_versions,

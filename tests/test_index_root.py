@@ -689,6 +689,12 @@ def test_marker_and_lease_refresh_on_progress(spark, tmp_path):
             self.puts[path] = self.puts.get(path, 0) + 1
             super().put(path, content)
 
+        def put_if_absent(self, path, content):
+            # the marker's initial CLAIM rides the CAS (r18 review:
+            # a plain put could clobber a stalled builder's claim)
+            self.puts[path] = self.puts.get(path, 0) + 1
+            return super().put_if_absent(path, content)
+
     meta = Counting()
     emb = _emb(spark)
     root = VersionedIndex(str(tmp_path / "idx"), meta_store=meta)
@@ -824,3 +830,70 @@ def test_heartbeat_keeps_clocks_alive_through_long_build(spark,
     import json as _json
     assert _json.loads(meta.read(
         root._lease_path()))["holder"] == "thief"   # thief's survives
+
+
+def test_heartbeat_survives_transient_store_blips(spark, tmp_path):
+    """r18 review: one transient store error must not kill the
+    heartbeat (silently freezing both freshness clocks for the rest
+    of a long build) nor discard the build — the beat skips and
+    retries on its next interval; only a STOLEN lease aborts."""
+    import time as _time
+
+    from rakam_api_collector_spark.manifest import LocalMetadataStore
+    from rakam_api_collector_spark.operators.similarity import \
+        compact_ivf_index
+
+    class Flaky(LocalMetadataStore):
+        fail_next = 0
+        beat_puts = 0
+
+        def put(self, path, content):
+            if "_building" in path:
+                if Flaky.fail_next > 0:
+                    Flaky.fail_next -= 1
+                    raise ConnectionError("transient blip")
+                Flaky.beat_puts += 1
+            super().put(path, content)
+
+    meta = Flaky()
+    emb = _emb(spark)
+    root = VersionedIndex(str(tmp_path / "idx"), meta_store=meta,
+                          lease_ttl_seconds=1.0)  # heartbeat 0.25 s
+    gen = root.new_generation_path()
+    S.build_ivf_index(emb.filter(F.col("vec_id") < 100), "vec_id",
+                      "embedding", gen, n_cells=16, meta_store=meta)
+    root.publish(gen)
+
+    def slow_worker(src, dest):
+        Flaky.fail_next = 1                    # first beat blips
+        _time.sleep(1.2)
+        compact_ivf_index(spark, src, dest, meta_store=meta)
+
+    st = root._replace(spark, slow_worker, "compact")
+    assert st["action"] == "compact"           # build not discarded
+    assert Flaky.beat_puts >= 2                # later beats resumed
+
+
+def test_generation_claim_conflict_repicks(spark, tmp_path):
+    """r18 review: the generation name is claimed by put_if_absent of
+    its marker — a name another (stalled) builder claimed in the
+    pick-to-stamp gap is re-picked, never clobbered."""
+    emb, root = _published_root(spark, tmp_path)
+    taken = f"{root.root}/gen-000042"
+    root.meta.put(root._marker(taken), '{"action": "rebuild"}')
+
+    class Collide(VersionedIndex):
+        picks = 0
+
+        def new_generation_path(self):
+            Collide.picks += 1
+            if Collide.picks == 1:
+                return taken            # the stalled builder's name
+            return super().new_generation_path()
+
+    st = Collide(str(tmp_path / "idx")).compact(spark)
+    assert st["action"] == "compact"
+    assert st["index_path"] != taken           # re-picked
+    # the stalled builder's claim survives untouched
+    assert root.meta.read(root._marker(taken)) \
+        == '{"action": "rebuild"}'
