@@ -542,7 +542,9 @@ def connected_components(pairs: DataFrame, a: str = "a", b: str = "b",
     edges = (pairs.select(F.col(a).alias("s"), F.col(b).alias("d"))
              .unionByName(
                  pairs.select(F.col(b).alias("s"), F.col(a).alias("d")))
-             .localCheckpoint())
+             .localCheckpoint(eager=False))   # materializes in round 1's
+    #            join job — an eager checkpoint was one extra sequential
+    #            job before any propagation work (guide §2.4)
     # initial labels stay LAZY and undeduplicated — the first round's
     # min-agg absorbs both (an extra distinct + checkpoint here costs a
     # full materialization for nothing)
@@ -557,9 +559,13 @@ def connected_components(pairs: DataFrame, a: str = "a", b: str = "b",
     for _ in range(max_iter):
         msgs = (edges.join(labels, edges["s"] == labels["node"])
                 .select(F.col("d").alias("node"), "label"))
+        # lazy checkpoint: the label-sum action below materializes the
+        # round's labels AND computes the convergence probe in ONE job
+        # (eager checkpoint + separate sum was 2 sequential jobs per
+        # round — guide §2.4; at scale, one fewer pass per round)
         labels = (msgs.unionByName(labels)
                   .groupBy("node").agg(F.min("label").alias("label"))
-                  .localCheckpoint())
+                  .localCheckpoint(eager=False))
         cur_sum = labels.agg(
             F.sum(F.col("label").cast("decimal(38,0)"))).first()[0]
         if cur_sum == prev_sum:

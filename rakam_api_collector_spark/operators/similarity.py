@@ -601,11 +601,6 @@ def train_pq_codebooks(corpus: DataFrame, id_col: str, vec_col: str,
     to a fixed-order reduction (``((sub[:,None,:]-books[j])**2)
     .sum(-1)``) and skip the re-normalization for pre-normalized
     input — at ~k× the encode FLOPs."""
-    dim = len(corpus.select(_as_double(vec_col).alias("_v"))
-              .first()["_v"])
-    if dim % m:
-        raise ValueError(f"dim {dim} not divisible by m={m}")
-    dsub = dim // m
     k = 1 << nbits
     unit = _unit(corpus, id_col, "_id", vec_col, "_v")
     init_rows = (unit.orderBy("_id").limit(k)
@@ -614,6 +609,12 @@ def train_pq_codebooks(corpus: DataFrame, id_col: str, vec_col: str,
                      lambda x: F.round(x, 6)).alias("_v")).collect())
     if len(init_rows) < k:
         raise ValueError(f"corpus smaller than 2^nbits={k}")
+    # dim comes from the init collect itself — a separate first() probe
+    # was one more sequential driver job / corpus pass (guide §2.4)
+    dim = len(init_rows[0]["_v"])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
     # slicing the rounded full vector == rounding the slice: round is
     # elementwise, so this init is bit-identical to the per-subspace
     # orderBy/limit/round collect it replaces

@@ -28,7 +28,7 @@ from rakam_api_collector_spark.operators.dsir import dsir_select
 from rakam_api_collector_spark.operators import multimodal as M
 from rakam_api_collector_spark.operators import similarity as S
 from rakam_api_collector_spark.operators import text as T
-from rakam_api_collector_spark.tables import load_table
+from rakam_api_collector_spark.tables import load_table, spread
 
 # DuckDB-side tokenizer expression (must mirror operators/text.py exactly)
 _DUCK_TOKS = "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')"
@@ -256,23 +256,36 @@ def llm10_simhash(spark: SparkSession, sf: str) -> DataFrame:
     candidate pairs, not an all-pairs blow-up (≤ 20 per true pair vs
     28k possible). A hash-family, banding-join, or Hamming-filter
     regression flips a boolean and hash-fails the driver gate.
-    Pair-level determinism stays pinned in tests/test_llm_ops.py."""
+    Pair-level determinism stays pinned in tests/test_llm_ops.py.
+
+    r18: the three gate counts (n_true, the semi-join hit count, the
+    candidate count) compute in ONE fused plan — a cross join of three
+    single-row aggregates over the lazily-checkpointed candidate set —
+    instead of three sequential driver count() round-trips (guide §2.4:
+    at 100 TB each count was its own pass over the candidate lineage;
+    measured 2.29 → 1.83 s at sf0.1, identical row). int(n*0.75) ==
+    cast-to-int truncation for non-negative counts, so the recall
+    boolean is unchanged."""
     corpus = _perturbed_corpus(spark, sf)
     cands = (D.simhash_candidates(corpus, "doc_id", "text")
              .filter(F.col("hamming") <= 16)
-             .select("a", "b").cache())
+             .select("a", "b").localCheckpoint(eager=False))
     true_pairs = (load_table(spark, sf, "documents")
                   .filter(F.col("doc_id") < _PERTURB_LIMIT)
                   .select(F.col("doc_id").alias("a"),
-                          (F.col("doc_id") + 10000).alias("b")))
-    n_true = true_pairs.count()          # 120 by construction
-    n_found = true_pairs.join(cands, ["a", "b"], "left_semi").count()
-    n_cand = cands.count()
-    return spark.createDataFrame(
-        [(n_true,
-          n_found >= int(n_true * 0.75),
-          n_cand <= n_true * 20)],
-        "n_true bigint, recall_ok boolean, fanout_ok boolean")
+                          (F.col("doc_id") + 10000).alias("b"))
+                  .localCheckpoint(eager=False))
+    n_true = true_pairs.agg(F.count("*").alias("n_true"))
+    n_found = (true_pairs.join(cands, ["a", "b"], "left_semi")
+               .agg(F.count("*").alias("n_found")))
+    n_cand = cands.agg(F.count("*").alias("n_cand"))
+    return (n_true.crossJoin(n_found).crossJoin(n_cand)
+            .select("n_true",
+                    (F.col("n_found")
+                     >= (F.col("n_true") * 0.75).cast("int"))
+                    .alias("recall_ok"),
+                    (F.col("n_cand") <= F.col("n_true") * 20)
+                    .alias("fanout_ok")))
 
 
 def llm15_embed_dedup(spark: SparkSession, sf: str) -> DataFrame:
@@ -390,8 +403,12 @@ def llm12_ann_lsh(spark: SparkSession, sf: str) -> DataFrame:
     # form (sequential summation, same as llm11's oracle-hashed path);
     # cosine_topk_blocked stays the measured scale path (pytest parity
     # test + scaling study)
-    exact = (S.cosine_topk(emb, queries, "vec_id", "embedding", k=10)
-             .select("q", "neighbor").withColumn("_hit", F.lit(1)))
+    # broadcast: the exact side is ≤ |q|·k rows behind a window whose
+    # size estimate defeats the auto threshold — without the hint this
+    # gate join planned as SortMergeJoin (guide §3.1)
+    exact = F.broadcast(
+        S.cosine_topk(emb, queries, "vec_id", "embedding", k=10)
+        .select("q", "neighbor").withColumn("_hit", F.lit(1)))
     # single reference to the ANN subtree: the left join marks exact
     # hits on each ANN row, so one groupBy produces both n_ann and the
     # hit count (the old two-groupBy shape executed the whole LSH
@@ -1313,8 +1330,13 @@ def llm49_ivf_pq_recall(spark: SparkSession, sf: str) -> DataFrame:
                          n_cells=8, nprobe=4, m=16, nbits=4,
                          rerank_factor=5)
            .select("q", "neighbor"))
-    exact = (S.cosine_topk(emb, queries, "vec_id", "embedding", k=10)
-             .select("q", "neighbor").withColumn("_hit", F.lit(1)))
+    # broadcast the ≤|q|·k exact side: the recall-gate join was a
+    # SortMergeJoin (2 exchanges + sorts) between two tiny top-k
+    # frames whose size estimates AQE can't see past the windows
+    # (guide §3.1; measured −0.4 s at sf0.1)
+    exact = F.broadcast(
+        S.cosine_topk(emb, queries, "vec_id", "embedding", k=10)
+        .select("q", "neighbor").withColumn("_hit", F.lit(1)))
     return (ann.join(exact, ["q", "neighbor"], "left")
             .groupBy("q")
             .agg(F.count("*").alias("n_pq"),
@@ -1379,15 +1401,20 @@ def llm50_dup_span_removal(spark: SparkSession, sf: str) -> DataFrame:
     rule in SQL keyed by the window's token STRING (the engine keys
     by xxhash64 of the same span — the llm47 hash-vs-value
     precedent), so a wrong window hash, canonical order, or
-    coverage-merge defect all hash-fail."""
+    coverage-merge defect all hash-fail.
+
+    ``spread`` fans the tokenize + per-window xxhash64 work (derived
+    twice — canon aggregate + probe side) out of the single-task
+    fixture scan (guide §2.5; measured 2.39 → 1.80 s at sf0.1,
+    identical rows)."""
     docs = load_table(spark, sf, "documents")
-    synth = docs.select(
+    synth = spread(docs.select(
         "doc_id",
         F.concat(
             F.when(F.col("doc_id") % 4 == 0,
                    F.concat(F.col("text"), F.lit(_SPAN_TAIL)))
             .otherwise(F.col("text")),
-            F.lit(_HOT_TAIL)).alias("text"))
+            F.lit(_HOT_TAIL)).alias("text")), "doc_id")
     out = D.duplicate_span_removal(synth, "doc_id", "text", k=_SPAN_K)
     return (out.select("doc_id", "text", "n_tokens_removed",
                        "n_tokens_kept")
@@ -1412,9 +1439,14 @@ def llm52_html_extract(spark: SparkSession, sf: str) -> DataFrame:
     h1 chrome are constants. A wrong skip rule, block-break, title
     capture, link count, or density denominator all hash-fail.
     ``concat`` (not format_string) builds the page so body text can
-    never be interpreted as a format directive."""
+    never be interpreted as a format directive.
+
+    ``spread`` fans the pure-Python extractor out of the single-task
+    fixture scan (guide §2.5/§4 — the ArrowEvalPython pass ran on one
+    core; measured 1.54 → 1.04 s at sf0.1, identical rows)."""
     from rakam_api_collector_spark.operators.html import html_to_text
-    docs = load_table(spark, sf, "documents")
+    docs = spread(load_table(spark, sf, "documents")
+                  .select("doc_id", "text"), "doc_id")
     did = F.col("doc_id").cast("string")
     page = docs.select(
         "doc_id",

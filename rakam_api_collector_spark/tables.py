@@ -38,6 +38,36 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def spread(df: DataFrame, *key: str) -> DataFrame:
+    """Redistribute a scan whose INPUT LAYOUT under-parallelizes the
+    session (guide §2.5 "input skew: one huge unsplittable file …
+    repartition immediately after the read"): the local fixtures are
+    single-row-group parquet files, so every scan — and all narrow
+    work above it (tokenize, shingle, Python decode, partial
+    aggregation) — runs as ONE task regardless of cores. Hash-
+    repartition on a stable key fans that work out.
+
+    Adaptive, not a local[32] constant: when the scan already carries
+    at least half the session's default parallelism — the 100 TB case,
+    where a table is thousands of row groups — this returns the input
+    unchanged, so no extra exchange ever rides a well-laid-out input.
+    The partition count is ``defaultParallelism`` (scales with the
+    session), and partitioning is HASH on a data key (never
+    round-robin): the row→partition mapping is a pure function of the
+    data, so retries/speculation reproduce it (SPARK-38388 class of
+    bugs cannot apply) and results stay deterministic.
+
+    Use only where the downstream per-row work dominates the one
+    narrow exchange this adds — CPU-heavy pipelines, not sub-100 ms
+    projections.
+    """
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() >= max(target // 2, 1):
+        return df
+    return df.repartition(target, *[F.col(k) for k in key])
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every fixture table as a temp view for spark.sql use."""
     for name in TABLES:
