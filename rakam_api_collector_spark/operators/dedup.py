@@ -263,11 +263,17 @@ def minhash_lsh_pairs(docs: DataFrame, id_col: str, text_col: str,
     from rakam_api_collector_spark.operators.phash import \
         _capped_bucket_pairs
 
-    # eagerly materialized: both bucket-join sides read it, and a lazy
-    # cache would let each side recompute the signature lineage.
+    # cached: both bucket-join sides read it, and a lazy cache would
+    # let each side recompute the signature lineage. With the bucket
+    # cap armed, the hot-key probe inside _capped_bucket_pairs is the
+    # materializing action (its pre-shuffle aggregate reads EVERY sig
+    # partition, filling the cache) — an explicit count() first was
+    # one more sequential job over the same rows (guide §2.4). Only
+    # the uncapped path still needs the count.
     sig = minhash_signatures(docs, id_col, text_col, num_perm, n,
                              bands, max_shingle_freq).cache()
-    sig.count()
+    if max_bucket is None:
+        sig.count()
     buckets = (sig.select("_id", F.posexplode("_bands")
                           .alias("band", "bh")))
 
@@ -431,7 +437,10 @@ def embedding_cosine_pairs(docs: DataFrame, id_col: str, vec_col: str,
         sigs = base.select("_id",
                            F.posexplode(sig_udf(F.col("_v")))
                            .alias("tbl", "sig")).cache()
-        sigs.count()
+        if max_bucket is None:
+            # with the cap armed the hot-key probe materializes the
+            # cache (guide §2.4); only the uncapped path counts first
+            sigs.count()
         ids = (_capped_bucket_pairs(sigs, ["tbl", "sig"], max_bucket,
                                     with_hamming=False)
                .select("a", "b").distinct())
@@ -646,7 +655,11 @@ def simhash_candidates(docs: DataFrame, id_col: str, text_col: str,
     buckets = (sh.select("_id", F.col("_sh").alias("_ph"),
                          F.explode(chunk_arr).alias("_c"))
                .select("_id", "_ph", "_c.chunk", "_c.ck")).cache()
-    buckets.count()   # the 64-aggregate simhash runs once, not per side
+    if max_bucket is None:
+        # the simhash UDF must run once, not per join side; with the
+        # cap armed the hot-key probe materializes the cache instead
+        # (its aggregate reads every partition — guide §2.4)
+        buckets.count()
     return (_capped_bucket_pairs(buckets, ["chunk", "ck"], max_bucket)
             .select("a", "b", "hamming")
             .distinct())

@@ -217,7 +217,10 @@ def signature_candidates(sigs: DataFrame, chunks: int = 4,
     buckets = (sigs.select("_id", "_ph",
                            F.explode(chunk_arr).alias("_c"))
                .select("_id", "_ph", "_c.chunk", "_c.ck")).cache()
-    buckets.count()              # decode runs once, not per join side
+    if max_bucket is None:
+        # decode must run once, not per join side; with the cap armed
+        # the hot-key probe materializes the cache instead (guide §2.4)
+        buckets.count()
     return (_capped_bucket_pairs(buckets, ["chunk", "ck"], max_bucket)
             .select("a", "b", "hamming")
             .distinct())
