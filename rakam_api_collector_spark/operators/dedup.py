@@ -516,11 +516,17 @@ def semantic_dedup_pairs(docs: DataFrame, id_col: str, vec_col: str,
                 f"pre-split the hot mode before the pair join")
     # normalize ONCE per row so each pair costs a single dot fold
     # instead of dot + two norm folds (|pairs| = Σ n_c² ≫ |rows|; the
-    # same amortization _unit gives the similarity operators)
+    # same amortization _unit gives the similarity operators).
+    # Materialized once (lazy localCheckpoint, r18): both sides of the
+    # within-cluster self-join read this frame, and without it each
+    # side replayed the scan + k-way assignment + normalization —
+    # two full assignment passes for one clustering (guide §2.4)
     unit = (assigned
             .withColumn("_n", S.l2_norm(F.col("_v")))
             .withColumn("_u", F.transform(
-                "_v", lambda x: x / F.col("_n"))))
+                "_v", lambda x: x / F.col("_n")))
+            .select("_id", "cluster", "_u")
+            .localCheckpoint(eager=False))
     a = unit.select(F.col("_id").alias("a"), "cluster",
                     F.col("_u").alias("_ua"))
     b = unit.select(F.col("_id").alias("b"), "cluster",

@@ -46,6 +46,7 @@ import uuid
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+from pyspark.sql.window import Window
 
 from rakam_api_collector_spark.operators.sampling import hash_bucket
 from rakam_api_collector_spark.operators.text import tokens
@@ -114,15 +115,25 @@ def _smoothed_logprobs(spark: SparkSession, counts: DataFrame,
     """(bucket, logp) for ALL buckets 0..B-1 from a (bucket, _c)
     occurrence-count frame under add-``alpha`` smoothing — the densify
     step shared by the from-text fit above and the feature store's
-    incremental-count path below."""
+    incremental-count path below.
+
+    The corpus total C rides an unpartitioned window over the
+    ALREADY-DENSIFIED frame (≤ ``buckets`` rows — bounded by the
+    parameter, so the single-partition window is fine) instead of a
+    separate ``counts.agg(sum)`` broadcast: the agg's broadcast build
+    recomputed the whole ``counts`` lineage — for the from-text fit
+    that was a SECOND full tokenize+explode pass over the corpus per
+    LM fit (guide §2.4: one pass, not two; the window sums the same
+    longs, exactly)."""
     if alpha <= 0:
         raise ValueError(f"alpha must be > 0 (got {alpha}): unsmoothed "
                          "zero-count buckets make the likelihood "
                          "ratio infinite")
-    total = counts.agg(F.sum("_c").alias("_tot"))
+    w_all = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
     return (spark.range(buckets).select(F.col("id").alias("bucket"))
             .join(F.broadcast(counts), "bucket", "left")
-            .crossJoin(F.broadcast(total))
+            .withColumn("_tot", F.sum("_c").over(w_all))
             .select("bucket",
                     (F.log(F.coalesce(F.col("_c"), F.lit(0))
                            + F.lit(float(alpha)))

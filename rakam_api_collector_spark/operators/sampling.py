@@ -55,7 +55,13 @@ def mixture_sample(df: DataFrame, key: str, group_col: str,
     Scale: one group-count aggregate (rows = #groups) broadcast back;
     the keep predicate is row-local, so at 100 TB this is a scan +
     filter with NO data shuffle — the canonical mixture-reweighting
-    step before sequence packing."""
+    step before sequence packing. T = min_g(n_g / w_g) is a separate
+    ``counts.agg(min)`` broadcast: although its build shares the
+    group-count lineage, AQE reuses the identical hash-partitioned
+    exchange at runtime, so the corpus is scanned once (measured r18:
+    replacing it with an unpartitioned window over the count table
+    was 0.65 -> 0.86 s at sf0.1 — the window's single-partition
+    exchange costs more than the already-reused aggregate)."""
     wmap = F.create_map(*[F.lit(x) for kv in weights.items() for x in kv])
     counts = (df.groupBy(group_col).agg(F.count("*").alias("_n"))
               .withColumn("_w", wmap[F.col(group_col)].cast("double"))
@@ -147,11 +153,18 @@ def sample_token_budget(df: DataFrame, key: str, group_col: str,
                           for x in kv])
     cols = df.columns
     tok = F.coalesce(F.col(tokens_col).cast("long"), F.lit(0))
+    # materialized once (lazy localCheckpoint): three consumers read
+    # this frame — the phase-A bucket sums plus BOTH union branches of
+    # phase B — and without it each branch replayed the full upstream
+    # lineage (scan + the caller's tokenize for the token counts):
+    # three corpus passes for one sampling pass (guide §2.4). Lazy, so
+    # the phase-A aggregate is the materializing job, not an extra one.
     tagged = (df.withColumn("_w", wmap[F.col(group_col)].cast("double"))
               .filter(F.col("_w").isNotNull())
               .withColumn("_u", seeded_unit(F.col(key), seed))
               .withColumn("_b", F.floor(F.col("_u")
-                                        * boundary_buckets).cast("int")))
+                                        * boundary_buckets).cast("int"))
+              .localCheckpoint(eager=False))
     # phase A: boundary bucket + remaining allowance per group, over
     # the tiny (group, bucket) token-sum table
     bsum = (tagged.groupBy(group_col, "_b")

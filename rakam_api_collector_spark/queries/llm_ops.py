@@ -589,17 +589,21 @@ def llm27_surprisal(spark: SparkSession, sf: str) -> DataFrame:
 
     Scale shape: one explode + one vocab-sized aggregate; the frequency
     table joins back BROADCAST (a vocabulary is ≪ corpus); the total-
-    token scalar rides the plan as a 1-row broadcast cross join. Per-
-    token ln() values are cast to DECIMAL(18,9) before the per-doc sum
-    so engine libm noise (≤1 ulp) and shuffle order cannot move the
-    rounded result."""
+    token scalar t = Σc rides an unpartitioned window over the
+    vocab-sized frequency table inside the same broadcast (r18: the
+    separate ``toks.agg(count)`` broadcast build re-ran the whole
+    tokenize+explode pass — guide §2.4: two corpus passes, not three;
+    the window sums the same longs exactly). Per-token ln() values are
+    cast to DECIMAL(18,9) before the per-doc sum so engine libm noise
+    (≤1 ulp) and shuffle order cannot move the rounded result."""
     docs = (load_table(spark, sf, "documents")
             .select("doc_id", T.tokens(F.col("text")).alias("_tk")))
     toks = docs.select("doc_id", F.explode("_tk").alias("tok"))
-    freq = toks.groupBy("tok").agg(F.count("*").alias("c"))
-    tot = toks.agg(F.count("*").alias("t"))
+    w_all = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+    freq = (toks.groupBy("tok").agg(F.count("*").alias("c"))
+            .withColumn("t", F.sum("c").over(w_all)))
     per_tok = (toks.join(F.broadcast(freq), "tok")
-               .crossJoin(F.broadcast(tot))
                .select("doc_id",
                        (-F.log(F.col("c").cast("double") / F.col("t")))
                        .cast("decimal(18,9)").alias("s")))
@@ -973,7 +977,11 @@ def llm37_bigram_lm(spark: SparkSession, sf: str) -> DataFrame:
     # consumers (the eval join, the head marginals, and V), and without
     # a checkpoint each one would replay the corpus scan + explode —
     # the in-plan analog of persisting the trained model to storage
-    # (operators/sigstore.py does exactly that for MinHash signatures)
+    # (operators/sigstore.py does exactly that for MinHash signatures).
+    # Eager on purpose: a lazy checkpoint was measured 1.02 -> 1.15 s
+    # at sf0.1 (r18) — materializing inside the first consumer's job
+    # serializes the model build with that consumer's whole stage graph
+    # instead of overlapping the three consumers against a done blob.
     c12 = (bg.filter(F.col("doc_id") % 5 != 0)
            .groupBy("bg").agg(F.count("*").alias("c12"))
            .withColumn("w1", F.split_part(F.col("bg"), F.lit(" "),
