@@ -26,7 +26,8 @@ from pyspark.sql import functions as F
 def asof_join(left: DataFrame, right: DataFrame, key_cols: list[str],
               ts_col: str, value_cols: list[str],
               direction: str = "backward",
-              strict: bool = False) -> DataFrame:
+              strict: bool = False,
+              tie_cols: list[str] | None = None) -> DataFrame:
     """Left as-of join: every left row, plus ``value_cols`` from the
     right row with the greatest ``ts_col`` ≤ left's (per ``key_cols``);
     unmatched left rows keep nulls. ``direction="forward"`` matches the
@@ -36,10 +37,21 @@ def asof_join(left: DataFrame, right: DataFrame, key_cols: list[str],
     Right-side ``value_cols`` must not collide with left column names
     (alias before calling). Rows of the right side sharing (key, ts)
     should be pre-deduplicated — which one wins is otherwise unspecified
-    (last in union order), as in other engines.
-    """
+    (last in union order), as in other engines — UNLESS ``tie_cols``
+    names right-side columns (⊆ ``value_cols``): then the row with the
+    greatest ``tie_cols`` value among equal-(key, ts) right rows wins,
+    equivalent to pre-deduplicating with ``row_number() over (partition
+    by key, ts order by tie desc)`` but WITHOUT that window's separate
+    (key, ts) exchange+sort — the tie-break rides the one as-of window
+    (r18, guide §2.2: dq31 dropped an Exchange this way; all carried
+    ``value_cols`` come from the same winning row because every right
+    row is non-null in all of them and ``last(ignorenulls)`` lands on
+    the ordering's final right row)."""
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward: {direction}")
+    if tie_cols and not set(tie_cols) <= set(value_cols):
+        raise ValueError(f"tie_cols must be right-side value_cols "
+                         f"(got {tie_cols} vs {value_cols})")
 
     lcols = left.columns
     l_tag = left.select(
@@ -59,11 +71,17 @@ def asof_join(left: DataFrame, right: DataFrame, key_cols: list[str],
     # strict flips the tie order so an equal-ts right row is not yet
     # visible. forward mirrors with a reversed frame.
     tie = F.asc("_side") if not strict else F.desc("_side")
+    # among equal-(key, ts) right rows the LAST in order is the one
+    # last(ignorenulls) carries, so ascending tie_cols ⇒ greatest wins;
+    # left rows are all-null in tie_cols and already separated by _side
+    order_tail = [F.asc(c) for c in (tie_cols or [])]
     if direction == "backward":
-        w = (Window.partitionBy(*key_cols).orderBy(F.asc(ts_col), tie)
+        w = (Window.partitionBy(*key_cols)
+             .orderBy(F.asc(ts_col), tie, *order_tail)
              .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     else:
-        w = (Window.partitionBy(*key_cols).orderBy(F.desc(ts_col), tie)
+        w = (Window.partitionBy(*key_cols)
+             .orderBy(F.desc(ts_col), tie, *order_tail)
              .rowsBetween(Window.unboundedPreceding, Window.currentRow))
 
     carried = [F.last(c, ignorenulls=True).over(w).alias(c)

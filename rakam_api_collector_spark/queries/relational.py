@@ -387,23 +387,22 @@ def dq47_sliding_window(spark: SparkSession, sf: str) -> DataFrame:
 def dq31_asof_join(spark: SparkSession, sf: str) -> DataFrame:
     """As-of join (operators/temporal.py): each click event picks up the
     latest prior-or-equal view by the same user — one window pass over a
-    union, single shuffle on user_id, no range-join explosion. Right
-    side deduped to unique (user_id, ts) keeping the max event_id so
-    ties are deterministic in both engines."""
+    union, single shuffle on user_id, no range-join explosion. Equal-
+    (user_id, ts) view ties resolve to the max event_id INSIDE the as-of
+    window (``tie_cols`` — r18): the former row_number pre-dedup was a
+    second window with its own (user_id, ts) exchange+sort for the same
+    deterministic winner."""
     from rakam_api_collector_spark.operators.temporal import asof_join
 
     ev = load_table(spark, sf, "events")
     clicks = (ev.filter(F.col("event_type") == "click")
               .select("event_id", "user_id", "ts"))
-    w = Window.partitionBy("user_id", "ts").orderBy(F.desc("view_id"))
     views = (ev.filter(F.col("event_type") == "view")
              .select("user_id", "ts",
                      F.col("event_id").alias("view_id"),
-                     F.col("value").alias("view_value"))
-             .withColumn("_rn", F.row_number().over(w))
-             .filter(F.col("_rn") == 1).drop("_rn"))
+                     F.col("value").alias("view_value")))
     return (asof_join(clicks, views, ["user_id"], "ts",
-                      ["view_id", "view_value"])
+                      ["view_id", "view_value"], tie_cols=["view_id"])
             .select("event_id", "user_id", "view_id",
                     F.round("view_value", 4).alias("view_value"))
             .orderBy("event_id"))

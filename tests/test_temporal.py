@@ -62,6 +62,41 @@ def test_left_row_count_and_null_values(spark):
     assert by_id[1].rv == 1.0
 
 
+def test_tie_cols_pick_greatest_right_row(spark):
+    """tie_cols resolves equal-(key, ts) right duplicates to the row
+    with the greatest tie value — equivalent to the row_number pre-dedup
+    it replaces (dq31), and ALL carried value_cols come from that same
+    winning row."""
+    left = spark.createDataFrame(
+        [(1, "u", _t("2024-01-01T10:00")),
+         (2, "u", _t("2024-01-01T12:00"))],
+        "lid long, k string, ts timestamp")
+    right = spark.createDataFrame(
+        [("u", _t("2024-01-01T09:30"), 100, 1.0),
+         ("u", _t("2024-01-01T09:30"), 150, 1.5),   # same ts, higher rid
+         ("u", _t("2024-01-01T09:30"), 120, 1.2),   # same ts, mid rid
+         ("u", _t("2024-01-01T12:00"), 200, 2.0)],
+        "k string, ts timestamp, rid long, rv double")
+    out = {r.lid: (r.rid, r.rv) for r in
+           asof_join(left, right, ["k"], "ts", ["rid", "rv"],
+                     tie_cols=["rid"]).collect()}
+    assert out == {1: (150, 1.5), 2: (200, 2.0)}
+    # strict mode: lid=2 must NOT see the equal-ts 12:00 row, and the
+    # 09:30 tie still resolves to the greatest rid
+    out_s = {r.lid: r.rid for r in
+             asof_join(left, right, ["k"], "ts", ["rid", "rv"],
+                       strict=True, tie_cols=["rid"]).collect()}
+    assert out_s == {1: 150, 2: 150}
+
+
+def test_tie_cols_must_be_value_cols(spark):
+    import pytest
+    left, right = _fixtures(spark)
+    with pytest.raises(ValueError, match="tie_cols"):
+        asof_join(left, right, ["k"], "ts", ["rid", "rv"],
+                  tie_cols=["nope"])
+
+
 def test_single_shuffle_no_join(spark):
     """The plan is union + one window exchange — no Join operator, no
     range-join explosion."""
