@@ -552,7 +552,9 @@ def ivf_index_topk(spark, path: str, queries: DataFrame, id_col: str,
 
 def train_pq_codebooks(corpus: DataFrame, id_col: str, vec_col: str,
                        *, m: int = 4, nbits: int = 4,
-                       iters: int = 2) -> "np.ndarray":
+                       iters: int = 2,
+                       init_vecs: "list[list[float]] | None" = None
+                       ) -> "np.ndarray":
     """(m, 2^nbits, dim/m) PQ codebooks (Jégou et al., "Product
     quantization for nearest neighbor search", TPAMI 2011): split each
     UNIT vector into ``m`` subvectors and k-means each subspace
@@ -603,23 +605,30 @@ def train_pq_codebooks(corpus: DataFrame, id_col: str, vec_col: str,
     input — at ~k× the encode FLOPs."""
     k = 1 << nbits
     unit = _unit(corpus, id_col, "_id", vec_col, "_v")
-    init_rows = (unit.orderBy("_id").limit(k)
-                 .select(F.transform(
-                     F.col("_v"),
-                     lambda x: F.round(x, 6)).alias("_v")).collect())
-    if len(init_rows) < k:
+    if init_vecs is None:
+        init_rows = (unit.orderBy("_id").limit(k)
+                     .select(F.transform(
+                         F.col("_v"),
+                         lambda x: F.round(x, 6)).alias("_v")).collect())
+        init_vecs = [list(r["_v"]) for r in init_rows]
+    else:
+        # pre-collected first-k rounded unit vectors (callers that also
+        # need coarse centroids fuse both reads into ONE head collect —
+        # ivf_pq_topk; guide §2.4: one fewer sequential driver job)
+        init_vecs = [list(v) for v in init_vecs[:k]]
+    if len(init_vecs) < k:
         raise ValueError(f"corpus smaller than 2^nbits={k}")
     # dim comes from the init collect itself — a separate first() probe
     # was one more sequential driver job / corpus pass (guide §2.4)
-    dim = len(init_rows[0]["_v"])
+    dim = len(init_vecs[0])
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m={m}")
     dsub = dim // m
     # slicing the rounded full vector == rounding the slice: round is
     # elementwise, so this init is bit-identical to the per-subspace
     # orderBy/limit/round collect it replaces
-    books = [[list(r["_v"])[j * dsub:(j + 1) * dsub]
-              for r in init_rows] for j in range(m)]
+    books = [[v[j * dsub:(j + 1) * dsub]
+              for v in init_vecs] for j in range(m)]
     for _ in range(iters):
         enc = _pq_encode_udf(np.asarray(books, dtype=np.float64))
         assigned = unit.select(enc(F.col("_v")).alias("_codes"), "_v")
@@ -765,6 +774,28 @@ def ivf_pq_topk(corpus: DataFrame, queries: DataFrame, id_col: str,
     the true vector (carried through the cell join, never shuffled on
     its own) — boundary exactness at r·k exact scores per query
     instead of |cell| ones."""
+    if books is None and centroids is None:
+        # both defaults read the same corpus head (first 2^nbits rows by
+        # id for PQ init, ids < n_cells for coarse centroids): ONE
+        # bounded head collect serves both instead of two sequential
+        # driver jobs over the corpus (guide §2.4). The rounded unit
+        # expression round(x/_n, 6) is value-identical to the nested
+        # transform(unit)∘round the separate init collect computed.
+        kk0 = 1 << nbits
+        head = (corpus.select(F.col(id_col).alias("_cid"),
+                              _as_double(vec_col).alias("_v"))
+                .withColumn("_n", l2_norm(F.col("_v")))
+                .select("_cid", "_v",
+                        F.transform("_v",
+                                    lambda x: F.round(x / F.col("_n"), 6))
+                        .alias("_u"))
+                .orderBy("_cid").limit(max(kk0, n_cells)).collect())
+        head = sorted(head, key=lambda r: r._cid)
+        books = train_pq_codebooks(
+            corpus, id_col, vec_col, m=m, nbits=nbits,
+            init_vecs=[list(r._u) for r in head])
+        cents_rows = [r for r in head if r._cid < n_cells]
+        centroids = np.asarray([r._v for r in cents_rows])
     if books is None:
         books = train_pq_codebooks(corpus, id_col, vec_col,
                                    m=m, nbits=nbits)
@@ -829,6 +860,25 @@ def build_ivf_pq_index(corpus: DataFrame, id_col: str, vec_col: str,
     32× size win for refine locality; the codes-only default is the
     memory shape that motivates PQ)."""
     meta = _model_meta(path, meta_store)
+    if centroids is None and books is None:
+        # one bounded head collect serves both model defaults — the
+        # same fusion as ivf_pq_topk (guide §2.4: one fewer sequential
+        # driver job on the rebuild path)
+        kk0 = 1 << nbits
+        head = (corpus.select(F.col(id_col).alias("_cid"),
+                              _as_double(vec_col).alias("_v"))
+                .withColumn("_n", l2_norm(F.col("_v")))
+                .select("_cid", "_v",
+                        F.transform("_v",
+                                    lambda x: F.round(x / F.col("_n"), 6))
+                        .alias("_u"))
+                .orderBy("_cid").limit(max(kk0, n_cells)).collect())
+        head = sorted(head, key=lambda r: r._cid)
+        books = train_pq_codebooks(
+            corpus, id_col, vec_col, m=m, nbits=nbits,
+            init_vecs=[list(r._u) for r in head])
+        centroids = np.asarray(
+            [r._v for r in head if r._cid < n_cells])
     if centroids is None:
         rows = (corpus.filter(F.col(id_col) < n_cells)
                 .select(F.col(id_col).alias("_cid"),

@@ -373,7 +373,10 @@ def dq47_sliding_window(spark: SparkSession, sf: str) -> DataFrame:
     math (epoch-aligned starts, inclusive-exclusive bounds) against a
     generate_series replay in the oracle. Scale shape: the 4× row
     expansion happens map-side inside the window generator, then ONE
-    map-side-combine aggregate — never a self-join of shifted copies."""
+    map-side-combine aggregate — never a self-join of shifted copies.
+    ``spread`` measured here (r18): 0.52 → 0.98 s REGRESSION — the ×4
+    generate + count/decimal-sum partial agg is cheap JVM work, so the
+    spread exchange costs more than the single-task map side."""
     ev = load_table(spark, sf, "events")
     return (ev.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"))
             .agg(F.count("*").alias("n"),

@@ -546,6 +546,43 @@ def test_ivf_pq_adc_recall_and_model_shape(spark):
     assert all(r["count"] == 5 for r in counts)
 
 
+def test_ivf_pq_fused_head_collect_trains_identical_model(spark):
+    """ivf_pq_topk's default-model path fuses the PQ-init and coarse-
+    centroid reads into ONE head collect (r18, guide §2.4). The fused
+    init must be VALUE-IDENTICAL to the separate init collect (the
+    trained codebooks are bit-stable within a session), and the
+    default-model result must equal the result with books/centroids
+    computed the pre-fusion way."""
+    import numpy as np
+
+    emb = load_table(spark, SF, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3)
+
+    # the pre-fusion model path: separate train + separate centroid
+    # collect (exactly what the old code ran)
+    books = S.train_pq_codebooks(emb, "vec_id", "embedding",
+                                 m=16, nbits=4)
+    cents_rows = (emb.filter(F.col("vec_id") < 8)
+                  .selectExpr("vec_id as _cid",
+                              "transform(embedding, x -> cast(x as double)) as _v")
+                  .collect())
+    centroids = np.asarray([r._v for r in
+                            sorted(cents_rows, key=lambda r: r._cid)])
+
+    explicit = S.ivf_pq_topk(emb, queries, "vec_id", "embedding", k=5,
+                             n_cells=8, nprobe=4, m=16, nbits=4,
+                             books=books, centroids=centroids,
+                             rerank_factor=5)
+    fused = S.ivf_pq_topk(emb, queries, "vec_id", "embedding", k=5,
+                          n_cells=8, nprobe=4, m=16, nbits=4,
+                          rerank_factor=5)
+    want = sorted((r.q, r.neighbor, round(r.score, 9))
+                  for r in explicit.collect())
+    got = sorted((r.q, r.neighbor, round(r.score, 9))
+                 for r in fused.collect())
+    assert got == want
+
+
 def test_ivf_pq_index_partition_pruning_and_rerank(spark, tmp_path):
     """The persisted IVFADC layout: codes-only files carry NO vector
     column (the 32x memory shape), probed cells are a physical
