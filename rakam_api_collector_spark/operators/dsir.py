@@ -676,11 +676,18 @@ class DsirFeatureStore:
                              F.col("cnt").cast("long").alias("cnt")),
                      "_id", "left")
                  .localCheckpoint())     # counts derive from the SAME rows
-        # numeric-id contract enforced on the already-checkpointed rows
-        # (a cheap probe, no extra corpus scan): any null _id means a
-        # null or non-castable id in the batch — refuse BEFORE any
-        # write lands, so the store is untouched
-        if not feats.filter(F.col("_id").isNull()).isEmpty():
+        # numeric-id contract probe and the returned doc count, ONE
+        # aggregate over the checkpointed rows (r18, guide §2.4): the
+        # previous isEmpty(null-filter) probe plus the post-write
+        # distinct().count() were two extra sequential driver jobs per
+        # epoch; count_distinct ignores nulls, but the raise below
+        # fires on any null before a write lands, so on the success
+        # path it equals the old distinct-id count exactly
+        probe = feats.agg(
+            F.count_distinct("_id").alias("n"),
+            F.count(F.when(F.col("_id").isNull(), 1)).alias("bad")
+        ).first()
+        if probe.bad:
             raise ValueError(
                 f"ingest {iid!r}: the id column {id_col!r} contains "
                 "null or non-numeric values — DsirFeatureStore ids "
@@ -700,7 +707,7 @@ class DsirFeatureStore:
          .parquet(f"{self.path}/counts/_ingest={iid}"))
         feats.write.mode("overwrite").parquet(
             f"{self.path}/feats/_ingest={iid}")
-        return feats.select("_id").distinct().count()
+        return probe.n
 
     def _ingest_ids(self, sub: str) -> set[str]:
         return {d.split("=", 1)[1]

@@ -392,8 +392,14 @@ class MinHashStore:
             cand = store_cand.unionByName(batch_cand).distinct()
         else:
             # derived store buckets (a plain parquet scan with no
-            # useful partitioning): one tagged union join scans and
-            # shuffles the batch's bucket stream once
+            # useful partitioning): one tagged union join. The BATCH
+            # side broadcasts (r18, guide §3.1): it is bounded by the
+            # micro-batch contract (maxFilesPerTrigger /
+            # maxOffsetsPerTrigger upstream), while the union side
+            # grows with the STORE — a shuffle join would re-shuffle
+            # every stored (id, band, bh) row per batch, O(store)
+            # network each epoch; with the batch side broadcast the
+            # store is scanned, never shuffled
             right = (stored
                      .select("_id", F.posexplode("_bands")
                              .alias("band", "bh"))
@@ -402,17 +408,25 @@ class MinHashStore:
                      .unionByName(nb.select(F.col("_id").alias("_old"),
                                             "band", "bh")
                                   .withColumn("_stored", F.lit(False))))
-            cand = (nb.join(right, ["band", "bh"])
+            cand = (F.broadcast(nb).join(right, ["band", "bh"])
                     .filter(F.col("_stored")
                             | (F.col("_old") < F.col("_id")))
                     .select("_id", "_old").distinct())
 
+        # verify side, same asymmetry (r18): the candidate pairs and
+        # the batch signatures are O(batch)-bounded, sig_all is
+        # O(store) and 1 KB/row (the full _sig array) — broadcasting
+        # the bounded probe set keeps the store side a pure scan
+        # instead of shuffling every stored signature per batch. The
+        # est_jac value per (new, old) pair is plan-independent, so
+        # verdicts are unchanged.
         sig_all = (stored.select("_id", "_sig")
                    .unionByName(new_sigs.select("_id", "_sig"))
                    .select(F.col("_id").alias("_old"),
                            F.col("_sig").alias("_so")))
         sig_new = new_sigs.select("_id", F.col("_sig").alias("_sn"))
-        return (cand.join(sig_new, "_id").join(sig_all, "_old")
+        return (F.broadcast(cand.join(F.broadcast(sig_new), "_id"))
+                .join(sig_all, "_old")
                 .select("_id", F.col("_old").alias("matched_id"),
                         self._est_jac(F.col("_sn"), F.col("_so"))
                         .alias("est_jac"))
@@ -468,7 +482,9 @@ class MinHashStore:
                 .groupBy("_id")
                 .agg(F.max_by("matched_id", "est_jac").alias("matched_id"),
                      F.max("est_jac").alias("est_jac")))
-        out = (sigs.join(best, "_id", "left")
+        # best is ≤ one row per batch doc — broadcast it so the
+        # verdict join never shuffles the batch signatures (r18)
+        out = (sigs.join(F.broadcast(best), "_id", "left")
                .withColumn("keep", F.col("matched_id").isNull()))
         # the ONE action of the batch; overwrite of a fresh uuid dir is
         # also retry-idempotent per ingest call

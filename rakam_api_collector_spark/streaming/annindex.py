@@ -41,6 +41,7 @@ from __future__ import annotations
 import logging
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 _log = logging.getLogger(__name__)
 
@@ -247,6 +248,20 @@ def start_ann_index_stream(spark: SparkSession, source_dir: str | None,
     def process(batch: DataFrame, epoch_id: int) -> None:
         if batch.isEmpty():
             return
+        obs = None
+        if stats is not None:
+            # ride the append's own action (r18, guide §2.4): the
+            # previous stats.add(batch.count()) was a SEPARATE job
+            # re-reading the whole micro-batch from the source after
+            # the append — one extra pass per epoch at any scale. A
+            # CollectMetrics node under the append's write collects
+            # the row count for free; on a StaleAppend retry the
+            # observation keeps the first attempt's value, and every
+            # attempt appends the same batch, so the count is the
+            # same either way.
+            from pyspark.sql import Observation
+            obs = Observation()
+            batch = batch.observe(obs, F.count(F.lit(1)).alias("n"))
         audit_due = (audit_every_n_epochs
                      and (epoch_id + 1) % audit_every_n_epochs == 0)
         if audit_due and on_drift is None:
@@ -276,9 +291,10 @@ def start_ann_index_stream(spark: SparkSession, source_dir: str | None,
             append(batch, id_col, vec_col, index_path,
                    meta_store=meta_store)
         if stats is not None:
-            # opt-in extra action per micro-batch, the A2-counter
-            # pattern (pipeline.start_ingest_stream's stats kwarg)
-            stats.add(batch.count())
+            # the A2-counter pattern (pipeline.start_ingest_stream's
+            # stats kwarg); Observation.get blocks until the append's
+            # action — already completed above — reports metrics
+            stats.add(obs.get["n"])
         if audit_due and on_drift is not None:
             # callback/rebuild path audits the POST-append state (a
             # replay after the rebuild re-appends into the rebuilt

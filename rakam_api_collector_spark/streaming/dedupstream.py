@@ -135,8 +135,13 @@ def start_corpus_dedup_stream(spark: SparkSession,
             (verdict.write.mode("overwrite")
              .parquet(f"{verdicts_dir}/_epoch={ck_token}-{epoch_id}"))
         if survivors_dir is not None:
+            # kept is ≤ one id per batch doc (a pruned scan of the
+            # just-written verdict partition) — broadcast it so the
+            # survivor join re-reads the batch without shuffling it
+            # (r18, guide §3.1; the batch side is micro-batch-bounded
+            # but still the big side here)
             kept = verdict.filter("keep").select(id_col)
-            (batch.join(kept, id_col)
+            (batch.join(F.broadcast(kept), id_col)
              .write.mode("overwrite")
              .parquet(f"{survivors_dir}/_epoch={ck_token}-{epoch_id}"))
         if compact_every_n_epochs \

@@ -530,3 +530,35 @@ def test_rebuild_seed_pick_is_broadcast_join_not_literal_array(spark):
     assert "array_contains" not in plan
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_sigstore_match_dag_never_shuffles_the_store(spark):
+    """r18 (guide §3.1): MinHashStore._matches on the derived-bucket
+    path — the streaming-dedup scale path, where bucket_table is
+    unavailable by the replay contract — must broadcast the bounded
+    batch side in BOTH store-sized joins (band-candidate join and
+    signature-verify join), so the store is scanned, never shuffled,
+    per micro-batch. Pinned with auto-broadcast off: only the
+    explicit hints can produce the BroadcastHashJoins, so the pin
+    fails if the hints are dropped and the planner falls back to
+    shuffling O(store) rows per epoch."""
+    import tempfile
+
+    from rakam_api_collector_spark.operators.sigstore import MinHashStore
+
+    docs = (load_table(spark, SF, "documents")
+            .select("doc_id", "text").limit(40))
+    store = MinHashStore(spark, tempfile.mkdtemp(prefix="sigplan_"))
+    store.ingest(docs.filter(F.col("doc_id") < 20), "doc_id", "text",
+                 ingest_id="e0")
+    thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        sigs = store.signatures(
+            docs.filter(F.col("doc_id") >= 20), "doc_id", "text")
+        plan = plan_of(store._matches(sigs, exclude_ingest="e1"))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+    assert "SortMergeJoin" not in plan
+    assert "ShuffledHashJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2
