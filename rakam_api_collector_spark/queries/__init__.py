@@ -446,6 +446,20 @@ round of regression watch on that family). No promotion candidate
 is pending as of r18 close — the registry sits at the 99-row
 ceiling; a future promotion needs a consolidation pairing drafted
 WITH it (the llm55/llm56 rule).
+
+r19 EXECUTION (current window): the 49 r18-out due-backs — led by
+the ~10 queries whose plans r18 changed but whose driver
+certification the rotation deferred (dq41, dq46, llm10, llm12,
+llm32, llm46, llm50, llm55, llm56, llm17, plus the llm09-family
+dedup.py sharers llm15 — the r18 verdict's gate carryover, item 1)
+— + the spare spent per the draft on llm19_ivf_ann (regression
+watch on the indexroot family after the r18 catch-up/lease
+changes). r19 is the second OPTIMIZATION round: every
+plan-affecting change re-proves result equality against the DuckDB
+oracle locally (scripts/check_correctness.py at sf0.001 + sf0.01)
+before landing, exactly as in r18; queries optimized in r19 that
+sit outside this pre-committed window (e.g. llm49) ride on that
+full local gate and rotate into the next window as due-backs.
 """
 
 from __future__ import annotations
@@ -457,29 +471,32 @@ _ALL_ORACLE = {**relational.ORACLE, **llm_ops.ORACLE}
 
 # First 50 = this round's driver-checked window (see docstring history).
 _WINDOW = [
-    # the 49 r17-out due-backs (all r17-green)
-    "dq05_route_fanout", "dq08_hash_agg", "dq12_join_dim",
-    "dq13_multi_join", "dq14_semi_anti", "dq15_outer_join",
-    "dq16_window", "dq17_dedup_first", "dq29_envelope_parse",
-    "dq30_tumbling_window", "dq31_asof_join", "dq32_salted_agg",
-    "dq34_range_join", "dq36_approx_distinct", "dq47_sliding_window",
-    "llm01_token_count", "llm02_lexical_stats", "llm04_lang_id",
-    "llm05_fingerprint", "llm06_quality", "llm11_knn_cosine",
-    "llm16_dedup_clusters", "llm18_bpe_tokens", "llm19_ivf_ann",
-    "llm20_tfidf", "llm21_pii_redact", "llm22_chunk_dedup",
-    "llm23_contamination", "llm24_stratified_split",
-    "llm25_repetition", "llm26_kmeans", "llm27_surprisal",
-    "llm28_quantize", "llm34_video_sampling", "llm37_bigram_lm",
-    "llm38_training_order", "llm39_curriculum_bins",
-    "llm40_quality_rules", "llm41_head_truncate",
-    "llm42_curation_e2e", "llm43_compression_ratio",
-    "llm44_jpeg_decode", "llm47_boilerplate_removal",
-    "llm48_bpe_merges", "llm49_ivf_pq_recall",
-    "llm51_unigram_tokenizer", "llm52_html_extract",
-    "llm53_ocf_roundtrip", "llm54_audio_phash",
-    # spare (per the r17 draft): r18 modified no registered query's
-    # plan, so the perennial heaviest due-back wall takes the slot
-    "llm09_minhash_lsh",
+    # the 49 r18-out due-backs (all r18-or-r17 green), led by the
+    # queries whose plans r18 optimized out-of-window (the r18
+    # verdict's gate-carryover item 1: certify them first)
+    "dq41_approx_quantile", "dq46_stats_agg", "llm10_simhash",
+    "llm12_ann_lsh", "llm32_dedup_keep_best", "llm46_semantic_dedup",
+    "llm50_dup_span_removal", "llm55_dsir_select",
+    "llm56_token_budget", "llm17_incremental_dedup",
+    "llm15_embed_dedup",
+    # the remaining due-backs
+    "dq01_projection", "dq02_whitelist", "dq03_late_split",
+    "dq04_sink_envelope", "dq06_max_offset", "dq07_zone_map",
+    "dq09_distinct_agg", "dq10_rollup", "dq11_sum_cents",
+    "dq18_topk", "dq19_truncate", "dq20_safe_cast", "dq21_set_ops",
+    "dq22_array_funcs", "dq23_hash", "dq24_scalars",
+    "dq25_udf_shape", "dq26_epoch_conversions", "dq27_scalar_encode",
+    "dq33_percentile", "dq35_sessionize", "dq37_hash_split",
+    "dq38_cube", "dq39_pivot", "dq40_window_analytics",
+    "dq42_funnel", "dq43_retention", "dq44_grouping_sets",
+    "dq45_range_frame", "llm07_exact_dedup", "llm08_jaccard_pairs",
+    "llm13_multimodal_meta", "llm14_decode_features",
+    "llm29_pack_sequences", "llm30_mixture_sample",
+    "llm31_vocab_coverage", "llm33_audio_pipeline",
+    "llm35_resize_image",
+    # spare (per the r18 draft): regression watch on the indexroot
+    # family after the r18 catch-up/lease changes
+    "llm19_ivf_ann",
 ]
 
 assert len(_WINDOW) == 50 and len(set(_WINDOW)) == 50, len(_WINDOW)
