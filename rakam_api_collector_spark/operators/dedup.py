@@ -277,11 +277,21 @@ def minhash_lsh_pairs(docs: DataFrame, id_col: str, text_col: str,
     buckets = (sig.select("_id", F.posexplode("_bands")
                           .alias("band", "bh")))
 
+    # EAGER localCheckpoint, not cache() (r19): cand feeds the ids
+    # broadcast build AND the final verify probe, sets feeds the sa and
+    # sb broadcast builds — and broadcast-build jobs are submitted
+    # CONCURRENTLY, so a lazy cache let each build recompute the whole
+    # candidate chain (bucket join + semi-join + tokenize + shingle)
+    # before any cache block landed (measured on llm09: the 66-task
+    # sets stage ran 3× per query, resubmitted within 10 ms of each
+    # other). One eager job per frame materializes it once; every
+    # consumer reads checkpoint blocks. Shingle sets and candidate
+    # pairs are pure functions of the docs, so results are unchanged.
     cand = (_capped_bucket_pairs(buckets, ["band", "bh"], max_bucket,
                                  with_hamming=False)
             .select(F.col("a").alias("ia"), F.col("b").alias("ib"))
             .distinct()
-            .cache())
+            .localCheckpoint())
 
     ids = (cand.select(F.explode(F.array("ia", "ib")).alias("_id"))
            .distinct())
@@ -293,7 +303,7 @@ def minhash_lsh_pairs(docs: DataFrame, id_col: str, text_col: str,
     sets = (need.select("_id", tokens(F.col("_t")).alias("_tk"))
             .select("_id", shingles_from_tokens(F.col("_tk"), n)
                     .alias("_shset"))
-            .cache())
+            .localCheckpoint())
 
     sa = sets.select(F.col("_id").alias("ia"), F.col("_shset").alias("_seta"))
     sb = sets.select(F.col("_id").alias("ib"), F.col("_shset").alias("_setb"))

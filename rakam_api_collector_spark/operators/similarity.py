@@ -629,6 +629,16 @@ def train_pq_codebooks(corpus: DataFrame, id_col: str, vec_col: str,
     # orderBy/limit/round collect it replaces
     books = [[v[j * dsub:(j + 1) * dsub]
               for v in init_vecs] for j in range(m)]
+    # materialize the normalized frame ONCE for the Lloyd iterations
+    # (r19, guide §2.4/§5): each iteration re-ran scan + normalize
+    # from lineage — ``iters`` corpus passes where one suffices. Lazy:
+    # iteration 1's aggregate is the materializing job (no extra
+    # sequential job); placed AFTER the init collect so the default
+    # path's bounded orderBy/limit head read stays on raw lineage
+    # (a checkpoint below a limit would materialize the whole corpus
+    # to serve k rows). Local wall flat at sf0.1 (min-of-3 4.15 vs
+    # 4.12 s in-suite) — kept for the at-scale scan-count reduction.
+    unit = unit.localCheckpoint(eager=False)
     for _ in range(iters):
         enc = _pq_encode_udf(np.asarray(books, dtype=np.float64))
         assigned = unit.select(enc(F.col("_v")).alias("_codes"), "_v")

@@ -1333,8 +1333,17 @@ def llm49_ivf_pq_recall(spark: SparkSession, sf: str) -> DataFrame:
     query at sf0.001/0.01/0.1 — floored at 5/10, where a broken cell
     probe, ADC table, or rerank collapses to ~0 and hash-fails."""
     emb = load_table(spark, sf, "embeddings")
+    # spread the CORPUS side (r19, guide §2.5): the single-row-group
+    # fixture scan ran the whole PQ pipeline — encode UDF, ADC
+    # scoring, rerank, and the exact-side dot products — as ONE task
+    # per stage (measured: the main scored stage was a 1.0 s
+    # single-task job). Hash-spread on vec_id fans it out; every
+    # downstream step is per-row or an exact/decimal aggregate, so
+    # the result is partitioning-invariant (verified identical at
+    # sf0.001/0.01/0.1). Queries stay un-spread: 5 rows.
+    corpus = spread(emb, "vec_id")
     queries = emb.filter(F.col("vec_id") < 5)
-    ann = (S.ivf_pq_topk(emb, queries, "vec_id", "embedding", k=10,
+    ann = (S.ivf_pq_topk(corpus, queries, "vec_id", "embedding", k=10,
                          n_cells=8, nprobe=4, m=16, nbits=4,
                          rerank_factor=5)
            .select("q", "neighbor"))
@@ -1343,7 +1352,7 @@ def llm49_ivf_pq_recall(spark: SparkSession, sf: str) -> DataFrame:
     # frames whose size estimates AQE can't see past the windows
     # (guide §3.1; measured −0.4 s at sf0.1)
     exact = F.broadcast(
-        S.cosine_topk(emb, queries, "vec_id", "embedding", k=10)
+        S.cosine_topk(corpus, queries, "vec_id", "embedding", k=10)
         .select("q", "neighbor").withColumn("_hit", F.lit(1)))
     return (ann.join(exact, ["q", "neighbor"], "left")
             .groupBy("q")
