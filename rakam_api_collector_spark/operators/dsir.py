@@ -68,17 +68,29 @@ def _kgrams(t: Column, k: int) -> Column:
 
 
 def _bucketed_grams(df: DataFrame, id_col: str, text_col: str,
-                    n: int, buckets: int) -> DataFrame:
+                    n: int, buckets: int,
+                    flag: Column | None = None) -> DataFrame:
     """One row per gram OCCURRENCE: (id, bucket) for every 1..n-gram.
     The long format both LM fitting and weighting reduce from — kept
     per-occurrence (not pre-counted) so each consumer pays exactly one
-    exchange on ITS key instead of an extra (id, bucket) shuffle."""
-    toks = df.select(F.col(id_col).alias("_id"),
-                     tokens(F.col(text_col)).alias("_t"))
+    exchange on ITS key instead of an extra (id, bucket) shuffle.
+
+    ``flag`` (r19) tags every occurrence with a boolean ``_tgt``
+    evaluated on the INPUT row before the explode — one cheap column
+    riding the gram stream, which is what lets a subset-target DSIR
+    fit both LMs from one tokenization (``dsir_scored_weights``
+    ``target_pred``)."""
+    sel = [F.col(id_col).alias("_id"),
+           tokens(F.col(text_col)).alias("_t")]
+    out_keys = ["_id"]
+    if flag is not None:
+        sel.append(flag.cast("boolean").alias("_tgt"))
+        out_keys.append("_tgt")
+    toks = df.select(*sel)
     grams = F.concat(*[_kgrams(F.col("_t"), k) for k in range(1, n + 1)])
     return toks.select(
-        "_id", F.explode(grams).alias("_g")
-    ).select("_id", hash_bucket(F.col("_g"), buckets).alias("bucket"))
+        *out_keys, F.explode(grams).alias("_g")
+    ).select(*out_keys, hash_bucket(F.col("_g"), buckets).alias("bucket"))
 
 
 def hashed_ngram_counts(df: DataFrame, id_col: str, text_col: str,
@@ -186,11 +198,13 @@ def gumbel_noise(key: Column, seed: int = 0) -> Column:
     return -F.log(-F.log(u))
 
 
-def dsir_select(spark: SparkSession, raw: DataFrame, target: DataFrame,
+def dsir_select(spark: SparkSession, raw: DataFrame,
+                target: DataFrame | None,
                 id_col: str, text_col: str, k: int, n: int = 2,
                 buckets: int = 10_000, alpha: float = 1.0,
                 seed: int = 0, temperature: float = 1.0,
-                weights: DataFrame | None = None) -> DataFrame:
+                weights: DataFrame | None = None,
+                target_pred: Column | None = None) -> DataFrame:
     """End-to-end DSIR: fit the two bucket LMs, weight every raw
     document, select k without replacement ∝ w^(1/temperature) via
     Gumbel-top-k — ``score = logw/temperature + Gumbel(seed, id)``,
@@ -220,21 +234,32 @@ def dsir_select(spark: SparkSession, raw: DataFrame, target: DataFrame,
     ``weights`` short-circuits the whole chain with a pre-computed
     ``dsir_scored_weights`` frame (id, logw, score) — the
     pay-the-corpus-scan-once escape when several selections share one
-    weighting."""
+    weighting.
+
+    ``target_pred`` (r19): when the target corpus is a row-subset of
+    ``raw`` (the common in-domain-selection case — e.g. lang='en'),
+    pass the membership predicate instead of a separate ``target``
+    frame: both LM fits then reduce from ONE tokenization of raw (a
+    boolean tag rides the shared occurrence stream), removing the
+    whole target tokenize+gram pass (guide §2.4). Equivalent by
+    construction — the tagged occurrences of raw.filter(pred) ARE the
+    grams of the target corpus. Mutually exclusive with ``target``."""
     if k < 1:
         raise ValueError(f"k must be >= 1 (got {k})")
     w = weights if weights is not None else dsir_scored_weights(
         spark, raw, target, id_col, text_col, n, buckets, alpha, seed,
-        temperature)
+        temperature, target_pred=target_pred)
     return w.orderBy(F.desc("score"), id_col).limit(k)
 
 
 def dsir_scored_weights(spark: SparkSession, raw: DataFrame,
-                        target: DataFrame, id_col: str, text_col: str,
+                        target: DataFrame | None,
+                        id_col: str, text_col: str,
                         n: int = 2, buckets: int = 10_000,
                         alpha: float = 1.0, seed: int = 0,
                         temperature: float = 1.0,
-                        share_scan: bool = True) -> DataFrame:
+                        share_scan: bool = True,
+                        target_pred: Column | None = None) -> DataFrame:
     """(id, logw, score) for every raw doc — the shared front half of
     both selection forms, public so a caller can materialize it ONCE
     (persist / write to a table) and feed it to several selections.
@@ -266,6 +291,28 @@ def dsir_scored_weights(spark: SparkSession, raw: DataFrame,
     tokenize once at INGEST, never again."""
     if temperature <= 0:
         raise ValueError(f"temperature must be > 0 (got {temperature})")
+    if (target is None) == (target_pred is None):
+        raise ValueError("pass exactly one of target / target_pred")
+    if target_pred is not None:
+        # subset target (r19, guide §2.4): ONE tokenization serves
+        # both LM fits — the occurrence stream carries a boolean
+        # membership tag, the target fit reduces from the tagged rows.
+        # Occurrences of raw.filter(pred) ≡ grams of the target
+        # corpus, so t_lp is value-identical to a separate fit.
+        occ_t = (_bucketed_grams(raw, id_col, text_col, n, buckets,
+                                 flag=target_pred)
+                 .localCheckpoint(eager=False))
+        t_lp = _smoothed_logprobs(
+            spark, occ_t.filter("_tgt").groupBy("bucket")
+            .agg(F.count("*").alias("_c")), buckets, alpha)
+        r_lp = _smoothed_logprobs(
+            spark, occ_t.groupBy("bucket").agg(F.count("*").alias("_c")),
+            buckets, alpha)
+        w = dsir_log_weights(raw, t_lp, r_lp, id_col, text_col, n,
+                             buckets, occ=occ_t.select("_id", "bucket"))
+        score = (F.col("logw") / F.lit(float(temperature))
+                 + gumbel_noise(F.col(id_col), seed))
+        return w.select(id_col, "logw", score.alias("score"))
     t_lp = ngram_bucket_logprobs(spark, target, id_col, text_col,
                                  n, buckets, alpha)
     occ = None

@@ -103,12 +103,17 @@ def llm55_dsir_select(spark: SparkSession, sf: str) -> DataFrame:
     test since r14). logw/score are rounded to 3 decimals for the
     value hash; selection order itself is pinned by the k-cut."""
     docs = load_table(spark, sf, "documents")
-    raw = docs.select("doc_id", "text")
-    target = (docs.filter(F.col("lang") == "en")
-              .select("doc_id", "text"))
-    sel = dsir_select(spark, raw, target, "doc_id", "text", k=100,
+    # target = the en subset OF raw, so the subset-predicate form fits
+    # (r19, guide §2.4): both LM fits reduce from ONE tokenization of
+    # the corpus — the separate target tokenize+gram pass is gone
+    # (scans 4 → 3 in the declared plan). The weight chain the oracle
+    # replays is unchanged: tagged occurrences of lang='en' rows ARE
+    # the target corpus's grams.
+    raw = docs.select("doc_id", "text", "lang")
+    sel = dsir_select(spark, raw, None, "doc_id", "text", k=100,
                       n=2, buckets=1024, alpha=0.5, seed=7,
-                      temperature=2.0)
+                      temperature=2.0,
+                      target_pred=F.col("lang") == "en")
     return sel.select("doc_id",
                       F.round("logw", 3).alias("logw_r"),
                       F.round("score", 3).alias("score_r"))
