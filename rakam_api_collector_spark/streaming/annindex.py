@@ -293,7 +293,15 @@ def start_ann_index_stream(spark: SparkSession, source_dir: str | None,
         if stats is not None:
             # the A2-counter pattern (pipeline.start_ingest_stream's
             # stats kwarg); Observation.get blocks until the append's
-            # action — already completed above — reports metrics
+            # action — already completed above — reports metrics.
+            # INVARIANT (ADVICE r18): append()/root.append() MUST have
+            # executed a Spark action over the observed `batch` plan
+            # before this line — both implementations unconditionally
+            # write the batch (StaleAppend retries re-run the write),
+            # so the metric is always reported. A future append that
+            # can return WITHOUT acting on the batch (no-op/early-out)
+            # would make obs.get block forever: give it an explicit
+            # "wrote nothing" signal and skip the read instead.
             stats.add(obs.get["n"])
         if audit_due and on_drift is not None:
             # callback/rebuild path audits the POST-append state (a

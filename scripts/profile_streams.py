@@ -9,6 +9,12 @@ the batch queries). Job counts come from the driver's own REST API
 (localhost UI) — job boundaries are attributed to epochs by
 timestamps captured around each foreachBatch call.
 
+r19 (ADVICE r18): every cell drives the REAL wrapper
+(start_corpus_dedup_stream / start_dsir_feature_stream /
+start_ann_index_stream) through a scoped foreachBatch intercept, so
+the measured jobs/epoch come from the shipped code path and cannot
+silently drift from it as the wrappers evolve.
+
 Usage: python scripts/profile_streams.py [dedup|dsir|ann]...
 Prints one JSON line per cell.
 """
@@ -66,64 +72,59 @@ def _split_source(df, work: str, n: int, name: str = "src") -> str:
     return src
 
 
+def _clocked_start(session, starter, **kw):
+    """Drive the REAL stream wrapper: a scoped
+    DataStreamWriter.foreachBatch intercept wraps whatever process fn
+    the wrapper installs with the EpochClock. The intercept lives only
+    for the duration of the starter call; the returned query runs the
+    wrapper's own closure, clocked."""
+    from pyspark.sql.streaming import DataStreamWriter
+
+    captured: dict = {}
+    orig = DataStreamWriter.foreachBatch
+
+    def patched(writer, fn):
+        clock = EpochClock(session, fn)
+        captured["clock"] = clock
+        return orig(writer, clock)
+
+    DataStreamWriter.foreachBatch = patched
+    try:
+        q = starter(**kw)
+    finally:
+        DataStreamWriter.foreachBatch = orig
+    return q, captured["clock"]
+
+
 def profile_dedup(spark, work: str) -> None:
-    from rakam_api_collector_spark.operators.sigstore import MinHashStore
     from rakam_api_collector_spark.streaming.dedupstream import \
         start_corpus_dedup_stream
     docs = (load_table(spark, SF_DIR, "documents")
             .select("doc_id", "text").limit(2000))
     src = _split_source(docs, work, N_EPOCHS, "src_dedup")
-    store_path = f"{work}/sigstore"
-    # run through the wrapper but intercept process via monkey-graft:
-    # simplest faithful harness is to re-implement the wrapper's
-    # process loop with the same store calls, clocked per epoch.
-    store = MinHashStore(spark, store_path)
-    clock = None
-
-    def process(batch, epoch_id):
-        if batch.isEmpty():
-            return
-        verdict = store.ingest(batch, "doc_id", "text",
-                               ingest_id=f"epoch-prof-{epoch_id:012d}")
-        (verdict.write.mode("overwrite")
-         .parquet(f"{work}/verdicts/_epoch={epoch_id}"))
-        kept = verdict.filter("keep").select("doc_id")
-        (batch.join(F.broadcast(kept), "doc_id")
-         .write.mode("overwrite")
-         .parquet(f"{work}/survivors/_epoch={epoch_id}"))
-
-    clock = EpochClock(spark, process)
-    schema = spark.read.parquet(src).schema
-    q = (spark.readStream.schema(schema)
-         .option("maxFilesPerTrigger", 1).parquet(src)
-         .writeStream.foreachBatch(clock)
-         .option("checkpointLocation", f"{work}/ckpt_dedup")
-         .trigger(availableNow=True).start())
+    q, clock = _clocked_start(
+        spark, start_corpus_dedup_stream, spark=spark, source_dir=src,
+        store_path=f"{work}/sigstore", id_col="doc_id", text_col="text",
+        checkpoint=f"{work}/ckpt_dedup",
+        verdicts_dir=f"{work}/verdicts",
+        survivors_dir=f"{work}/survivors",
+        max_files_per_trigger=1)
     q.awaitTermination(600)
     print(json.dumps({"cell": "dedupstream", "epochs": clock.rows}),
           flush=True)
 
 
 def profile_dsir(spark, work: str) -> None:
-    from rakam_api_collector_spark.operators.dsir import DsirFeatureStore
+    from rakam_api_collector_spark.streaming.dsirstream import \
+        start_dsir_feature_stream
     docs = (load_table(spark, SF_DIR, "documents")
             .select("doc_id", "text").limit(2000))
     src = _split_source(docs, work, N_EPOCHS, "src_dsir")
-    store = DsirFeatureStore(spark, f"{work}/dsirstore")
-
-    def process(batch, epoch_id):
-        if batch.isEmpty():
-            return
-        store.ingest(batch, "doc_id", "text",
-                     ingest_id=f"epoch-prof-{epoch_id:012d}")
-
-    clock = EpochClock(spark, process)
-    schema = spark.read.parquet(src).schema
-    q = (spark.readStream.schema(schema)
-         .option("maxFilesPerTrigger", 1).parquet(src)
-         .writeStream.foreachBatch(clock)
-         .option("checkpointLocation", f"{work}/ckpt_dsir")
-         .trigger(availableNow=True).start())
+    q, clock = _clocked_start(
+        spark, start_dsir_feature_stream, spark=spark, source_dir=src,
+        store_path=f"{work}/dsirstore", id_col="doc_id",
+        text_col="text", checkpoint=f"{work}/ckpt_dsir",
+        max_files_per_trigger=1)
     q.awaitTermination(600)
     print(json.dumps({"cell": "dsirstream", "epochs": clock.rows}),
           flush=True)
@@ -133,6 +134,8 @@ def profile_ann(spark, work: str) -> None:
     import rakam_api_collector_spark.operators.similarity as S
     from rakam_api_collector_spark.operators.indexroot import \
         VersionedIndex
+    from rakam_api_collector_spark.streaming.annindex import \
+        start_ann_index_stream
 
     emb = load_table(spark, SF_DIR, "embeddings")
     src = _split_source(
@@ -150,23 +153,11 @@ def profile_ann(spark, work: str) -> None:
             self.total += n
 
     stats = Stats()
-
-    def process(batch, epoch_id):
-        if batch.isEmpty():
-            return
-        from pyspark.sql import Observation
-        obs = Observation()
-        batch = batch.observe(obs, F.count(F.lit(1)).alias("n"))
-        root.append(batch, "vec_id", "embedding")
-        stats.add(obs.get["n"])
-
-    clock = EpochClock(spark, process)
-    schema = spark.read.parquet(src).schema
-    q = (spark.readStream.schema(schema)
-         .option("maxFilesPerTrigger", 1).parquet(src)
-         .writeStream.foreachBatch(clock)
-         .option("checkpointLocation", f"{work}/ckpt_ann")
-         .trigger(availableNow=True).start())
+    q, clock = _clocked_start(
+        spark, start_ann_index_stream, spark=spark, source_dir=src,
+        id_col="vec_id", vec_col="embedding",
+        checkpoint=f"{work}/ckpt_ann", index_root=root, stats=stats,
+        max_files_per_trigger=1)
     q.awaitTermination(600)
     print(json.dumps({"cell": "annstream_root",
                       "stats_total": stats.total,

@@ -564,6 +564,36 @@ def test_sigstore_match_dag_never_shuffles_the_store(spark):
     assert plan.count("BroadcastHashJoin") >= 2
 
 
+def test_dq41_quantile_gate_partitioning_invariant(spark):
+    """r19 (VERDICT r18 item 9): dq41's spread() correctness argument
+    — the exact percentile is order-independent and the approx sketch
+    has ~100× tolerance margin — pinned as a test: the declared
+    (p50_exact, within_1pct) rows must be IDENTICAL under forced
+    repartition(2/32/256), so sketch-merge-order drift at any
+    parallelism can never cross the gate."""
+    li = (load_table(spark, SF, "lineitem")
+          .select("l_linestatus", "l_extendedprice", "l_orderkey"))
+
+    def gate(df):
+        out = (df.groupBy("l_linestatus")
+               .agg(F.expr("percentile(l_extendedprice, 0.5)")
+                    .alias("_ex"),
+                    F.expr("approx_percentile(l_extendedprice, 0.5,"
+                           " 10000)").alias("_ap"))
+               .select("l_linestatus",
+                       F.round("_ex", 4).alias("p50_exact"),
+                       (F.abs(F.col("_ap") - F.col("_ex"))
+                        <= F.greatest(F.col("_ex") * 0.01, F.lit(0.01)))
+                       .alias("within_1pct"))
+               .orderBy("l_linestatus"))
+        return [tuple(r) for r in out.collect()]
+
+    base = gate(li)
+    assert base and all(r[2] for r in base)
+    for n in (2, 32, 256):
+        assert gate(li.repartition(n, "l_orderkey")) == base, n
+
+
 def test_sigstore_broadcast_guard_degrades_to_shuffle_join(spark):
     """r19 (ADVICE r18 / VERDICT r18 item 6): when the batch side's
     Catalyst size ESTIMATE exceeds ``broadcast_guard_bytes``, the
