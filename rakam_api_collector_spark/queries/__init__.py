@@ -452,14 +452,22 @@ the ~10 queries whose plans r18 changed but whose driver
 certification the rotation deferred (dq41, dq46, llm10, llm12,
 llm32, llm46, llm50, llm55, llm56, llm17, plus the llm09-family
 dedup.py sharers llm15 — the r18 verdict's gate carryover, item 1)
-— + the spare spent per the draft on llm19_ivf_ann (regression
-watch on the indexroot family after the r18 catch-up/lease
-changes). r19 is the second OPTIMIZATION round: every
-plan-affecting change re-proves result equality against the DuckDB
-oracle locally (scripts/check_correctness.py at sf0.001 + sf0.01)
-before landing, exactly as in r18; queries optimized in r19 that
-sit outside this pre-committed window (e.g. llm49) ride on that
-full local gate and rotate into the next window as due-backs.
+— + the spare. The spare goes to llm54_audio_phash, MODIFIED in
+r19: it gains a full DuckDB oracle (the llm12 in-band-gate pattern
+— the declared cells/counts/max-hamming are deterministic
+consequences of the calibrated fixture physics, derivable from the
+documents relation; verified hash-green at sf0.001/0.01/0.1),
+closing the one permanently non-green gate cell (VERDICT r18
+item 7). The reserved-for-modifications rule outranks the drafted
+llm19_ivf_ann fill (VERDICT item 10): llm19 is unmodified and
+r18-green, while a modified query must never ride on stale
+evidence; llm19 rotates back next window. r19 is the second
+OPTIMIZATION round: every plan-affecting change re-proves result
+equality against the DuckDB oracle locally
+(scripts/check_correctness.py at sf0.001 + sf0.01) before landing,
+exactly as in r18; queries optimized in r19 that sit outside this
+pre-committed window (e.g. llm49, llm09, llm16) ride on that full
+local gate and rotate into the next window as due-backs.
 """
 
 from __future__ import annotations
@@ -494,9 +502,10 @@ _WINDOW = [
     "llm29_pack_sequences", "llm30_mixture_sample",
     "llm31_vocab_coverage", "llm33_audio_pipeline",
     "llm35_resize_image",
-    # spare (per the r18 draft): regression watch on the indexroot
-    # family after the r18 catch-up/lease changes
-    "llm19_ivf_ann",
+    # spare: llm54 gains its DuckDB oracle in r19 (modified ⇒ takes
+    # the reserved slot; the drafted llm19 fill yields — see the r19
+    # EXECUTION history entry)
+    "llm54_audio_phash",
 ]
 
 assert len(_WINDOW) == 50 and len(set(_WINDOW)) == 50, len(_WINDOW)

@@ -2917,4 +2917,29 @@ ORACLE = {
         FROM lineitem WHERE l_orderkey % 97 = 0
         GROUP BY l_returnflag ORDER BY l_returnflag
     """,
+    # llm54 (r19, VERDICT r18 item 7): the llm12 in-band-gate pattern
+    # applied to the audio perceptual family — FFT internals are
+    # engine-specific, but the query's DECLARED output is a
+    # deterministic consequence of the calibrated fixture physics the
+    # pytest pins assert (tests/test_phash.py / test_spectrogram.py):
+    # (a) gain variants of one staircase pattern hash IDENTICALLY
+    # (max_hamming = 0 — peak-normalization + log compression cancel
+    # gain, the ±2.5 dB steps keep ≥1 dB realized sign margins), (b)
+    # every same-group pair survives the 16-bit-chunk candidate join
+    # (n_pairs = C(group size, 2)), and (c) distinct patterns differ
+    # in every chunk, so NO cross-group cell exists (diagonal only).
+    # The oracle derives the cells and group sizes from the documents
+    # relation itself (doc_id < 120, %30), so a broken decode,
+    # spectrogram, hash, band join, or flood cap diverges — previously
+    # this row was rows-only (err: no_oracle), the one permanently
+    # non-green gate cell.
+    "llm54_audio_phash": """
+        SELECT CAST(grp AS BIGINT) AS grp_a,
+               CAST(grp AS BIGINT) AS grp_b,
+               CAST(n * (n - 1) // 2 AS BIGINT) AS n_pairs,
+               CAST(0 AS INTEGER) AS max_hamming
+        FROM (SELECT doc_id % 30 AS grp, count(*) AS n
+              FROM documents WHERE doc_id < 120 GROUP BY doc_id % 30)
+        ORDER BY grp_a
+    """,
 }
