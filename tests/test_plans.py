@@ -424,7 +424,7 @@ def test_boilerplate_removal_broadcasts_the_line_set(spark):
     assert "CartesianProduct" not in plan
 
 
-def test_duplicate_span_removal_shuffles_only_on_keys(spark):
+def test_duplicate_span_removal_shuffles_only_on_keys(spark, monkeypatch):
     """duplicate_span_removal's 100 TB shape: duplication is a per-key
     property — a TWO-PHASE min(struct(id,pos))+count aggregate on the
     window hash names each duplicated hash's canonical site with
@@ -435,13 +435,28 @@ def test_duplicate_span_removal_shuffles_only_on_keys(spark):
     and one aggregate back on doc id collects the cuts. No join of
     the corpus against itself beyond those keyed joins, no
     cartesian/nested-loop anywhere. The rebuild is pure Catalyst
-    (exists/filter/transform HOFs), no Python in the plan."""
+    (exists/filter/transform HOFs), no Python in the plan.
+
+    The shipped operator localCheckpoints base/wins (each has 2-3
+    concurrent consumers — r19), which hides the upstream lineage
+    behind ExistingRDD scans; neutralize it here so the FULL logical
+    shape stays pinned, then separately pin that the real path does
+    materialize."""
+    from pyspark.sql.classic.dataframe import DataFrame
+
     from rakam_api_collector_spark.operators.dedup import \
         duplicate_span_removal
 
     docs = load_table(spark, SF, "documents").select("doc_id", "text")
+    monkeypatch.setattr(DataFrame, "localCheckpoint",
+                        lambda self, eager=True: self)
     plan = plan_of(duplicate_span_removal(docs, "doc_id", "text", k=8),
                    mode="simple")
+    monkeypatch.undo()
+    # real path: tokenize+hash materialize once, consumers read blocks
+    real = plan_of(duplicate_span_removal(docs, "doc_id", "text", k=8),
+                   mode="simple")
+    assert "ExistingRDD" in real and "Scan parquet" not in real
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "xxhash64" in plan                     # hash-keyed windows
