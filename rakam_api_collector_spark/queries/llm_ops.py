@@ -1348,17 +1348,34 @@ def llm49_ivf_pq_recall(spark: SparkSession, sf: str) -> DataFrame:
     # sf0.001/0.01/0.1). Queries stay un-spread: 5 rows.
     corpus = spread(emb, "vec_id")
     queries = emb.filter(F.col("vec_id") < 5)
-    ann = (S.ivf_pq_topk(corpus, queries, "vec_id", "embedding", k=10,
-                         n_cells=8, nprobe=4, m=16, nbits=4,
-                         rerank_factor=5)
-           .select("q", "neighbor"))
-    # broadcast the ≤|q|·k exact side: the recall-gate join was a
-    # SortMergeJoin (2 exchanges + sorts) between two tiny top-k
-    # frames whose size estimates AQE can't see past the windows
-    # (guide §3.1; measured −0.4 s at sf0.1)
-    exact = F.broadcast(
-        S.cosine_topk(corpus, queries, "vec_id", "embedding", k=10)
-        .select("q", "neighbor").withColumn("_hit", F.lit(1)))
+    # overlap the exact-side gate with PQ training (r19, guide §2.6):
+    # cosine_topk is independent of the trained model, while
+    # ivf_pq_topk's build serializes the driver through its head
+    # collect + 2 Lloyd-iteration collects. A background thread
+    # materializes the ≤|q|·k exact rows into executor blocks while
+    # the training collects run, back-filling the idle cores; the
+    # final action then broadcast-scans the materialized rows instead
+    # of replaying the exact-side window. Same rows — localCheckpoint
+    # is exact materialization of the identical frame.
+    from concurrent.futures import ThreadPoolExecutor
+
+    from pyspark import inheritable_thread_target
+
+    exact_lazy = (S.cosine_topk(corpus, queries, "vec_id", "embedding",
+                                k=10)
+                  .select("q", "neighbor").withColumn("_hit", F.lit(1)))
+    with ThreadPoolExecutor(max_workers=1) as pool:
+        fut = pool.submit(
+            inheritable_thread_target(spark)(exact_lazy.localCheckpoint))
+        ann = (S.ivf_pq_topk(corpus, queries, "vec_id", "embedding",
+                             k=10, n_cells=8, nprobe=4, m=16, nbits=4,
+                             rerank_factor=5)
+               .select("q", "neighbor"))
+        # broadcast the ≤|q|·k exact side: the recall-gate join was a
+        # SortMergeJoin (2 exchanges + sorts) between two tiny top-k
+        # frames whose size estimates AQE can't see past the windows
+        # (guide §3.1; measured −0.4 s at sf0.1)
+        exact = F.broadcast(fut.result())
     return (ann.join(exact, ["q", "neighbor"], "left")
             .groupBy("q")
             .agg(F.count("*").alias("n_pq"),
