@@ -169,16 +169,24 @@ def test_multimodal_chain_no_intermediate_shuffle(spark):
     assert plan.count("Exchange (") <= 1
 
 
-def test_minhash_signature_table_is_narrow(spark):
+def test_minhash_signature_table_is_narrow(spark, monkeypatch):
     # the signature table that rides shuffles / persists at scale must
     # carry only (_id, _bands) — shingle sets stay out of it; exact
-    # verification semi-joins the source docs down to candidates instead
+    # verification semi-joins the source docs down to candidates instead.
+    # The shipped operator eagerly localCheckpoints cand/sets (r19 —
+    # concurrent broadcast builds stampeded the lazy cache), which hides
+    # the semi-join behind ExistingRDD scans in the final plan;
+    # neutralize it here so the full verify lineage stays pinned.
+    from pyspark.sql.classic.dataframe import DataFrame
+
     from rakam_api_collector_spark.operators.dedup import (
         minhash_lsh_pairs, minhash_signatures)
     docs = (load_table(spark, SF, "documents")
             .filter(F.col("doc_id") < 40).select("doc_id", "text"))
     assert minhash_signatures(docs, "doc_id", "text").columns == \
         ["_id", "_bands"]
+    monkeypatch.setattr(DataFrame, "localCheckpoint",
+                        lambda self, eager=True: self)
     plan = plan_of(minhash_lsh_pairs(docs, "doc_id", "text"))
     assert "CartesianProduct" not in plan
     assert "LeftSemi" in plan               # verify path prunes to cands
