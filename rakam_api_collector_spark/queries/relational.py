@@ -1032,7 +1032,12 @@ ORACLE = {
     "dq35_sessionize": """
         WITH g AS (
           SELECT user_id, event_id, ts,
-                 CASE WHEN epoch(ts) - lag(epoch(ts)) OVER
+                 -- floored seconds, matching Spark's cast(ts as long)
+                 -- truncation (same latent boundary class as dq45: a
+                 -- fractional-second gap of 1800.x must not compare
+                 -- differently across engines)
+                 CASE WHEN CAST(floor(epoch(ts)) AS BIGINT)
+                        - lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER
                         (PARTITION BY user_id ORDER BY ts, event_id)
                         > 1800
                       OR lag(ts) OVER
@@ -1169,7 +1174,12 @@ ORACLE = {
     "dq45_range_frame": """
         WITH ev AS (
           SELECT user_id, ts, value,
-                 CAST(epoch(ts) AS BIGINT) AS _sec
+                 -- floor, not CAST: Spark's unix_timestamp TRUNCATES
+                 -- fractional seconds while DuckDB's CAST(double AS
+                 -- BIGINT) rounds half-up — an event at x.7s rounded
+                 -- to x+1 flipped membership of an exactly-3600s-away
+                 -- window boundary at sf0.1 (user 638, 2024-01-14)
+                 CAST(floor(epoch(ts)) AS BIGINT) AS _sec
           FROM events WHERE user_id % 29 = 0)
         SELECT user_id, ts,
                CAST(count(*) OVER w AS BIGINT) AS n_1h,
