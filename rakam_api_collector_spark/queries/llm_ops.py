@@ -364,7 +364,12 @@ def llm11_knn_cosine(spark: SparkSession, sf: str) -> DataFrame:
     nested-loop + JVM fold dot product (operators/similarity.py)."""
     emb = load_table(spark, sf, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
-    return (S.cosine_topk(emb, queries, "vec_id", "embedding", k=10)
+    # spread the CORPUS side (r19, guide §2.5, the llm49/llm19 pattern):
+    # the single-row-group scan ran unit-normalization + the 2000×5
+    # fold dots as ONE task; fold dots are sequential per pair, so the
+    # cosine VALUES are partitioning-invariant (oracle green at 3 SFs)
+    corpus = spread(emb, "vec_id")
+    return (S.cosine_topk(corpus, queries, "vec_id", "embedding", k=10)
             .select("q", "neighbor", "rnk",
                     F.round("cos", 4).alias("cos"))
             .orderBy("q", "rnk"))
@@ -397,7 +402,13 @@ def llm12_ann_lsh(spark: SparkSession, sf: str) -> DataFrame:
     overhead-bound per the round-7 verdict's own criterion."""
     emb = load_table(spark, sf, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
-    ann = (S.ann_lsh_topk(emb, queries, "vec_id", "embedding",
+    # spread the CORPUS side (r19, guide §2.5, the llm49/llm19 pattern)
+    # for BOTH the ANN signature scan and the exact fold-dot gate side —
+    # each ran single-task over the one-row-group scan. Signatures hash
+    # per row from the vector and fold dots accumulate per pair, so
+    # both sides are partitioning-invariant (oracle green at 3 SFs).
+    corpus = spread(emb, "vec_id")
+    ann = (S.ann_lsh_topk(corpus, queries, "vec_id", "embedding",
                           k=10, bits=6, tables=8, dim=64,
                           probe_bits=3)
            .select("q", "neighbor"))
@@ -412,7 +423,7 @@ def llm12_ann_lsh(spark: SparkSession, sf: str) -> DataFrame:
     # size estimate defeats the auto threshold — without the hint this
     # gate join planned as SortMergeJoin (guide §3.1)
     exact = F.broadcast(
-        S.cosine_topk(emb, queries, "vec_id", "embedding", k=10)
+        S.cosine_topk(corpus, queries, "vec_id", "embedding", k=10)
         .select("q", "neighbor").withColumn("_hit", F.lit(1)))
     # single reference to the ANN subtree: the left join marks exact
     # hits on each ANN row, so one groupBy produces both n_ann and the
@@ -433,7 +444,14 @@ def llm19_ivf_ann(spark: SparkSession, sf: str) -> DataFrame:
     oracle-checkable (unlike the randomized-recall LSH path)."""
     emb = load_table(spark, sf, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
-    return (S.ivf_topk(emb, queries, "vec_id", "embedding",
+    # spread the CORPUS side (r19, guide §2.5, the llm49 pattern): the
+    # single-row-group embeddings scan ran the unit+cell-assign Arrow
+    # UDF, the probe join and the cosine dots as ONE task. Hash-spread
+    # on vec_id fans it out; scores and the top-k window are exact and
+    # partitioning-invariant (oracle green at all 3 SFs). Queries stay
+    # un-spread: 5 rows, broadcast.
+    corpus = spread(emb, "vec_id")
+    return (S.ivf_topk(corpus, queries, "vec_id", "embedding",
                        k=10, n_cells=16, nprobe=4)
             .select("q", "neighbor", "rnk",
                     F.round("cos", 4).alias("cos"))
