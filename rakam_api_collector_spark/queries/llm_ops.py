@@ -299,8 +299,11 @@ def llm15_embed_dedup(spark: SparkSession, sf: str) -> DataFrame:
     the LSH-bucketed scale path shares the operator and is recall-pinned
     in tests/test_llm_ops.py. Rounded-then-filtered so engine FP noise
     at the threshold cannot flip membership."""
-    emb = (load_table(spark, sf, "embeddings")
-           .filter(F.col("vec_id") < 150))
+    # spread (r19, guide §2.5): the exact path's broadcast-probe side —
+    # 150 rows × 150 fold dot products each — ran as ONE task over the
+    # one-row-group scan; per-pair fold dots are partitioning-invariant
+    emb = spread(load_table(spark, sf, "embeddings")
+                 .filter(F.col("vec_id") < 150), "vec_id")
     pairs = D.embedding_cosine_pairs(emb, "vec_id", "embedding",
                                      threshold=0.0, exact=True)
     return (pairs.select("a", "b", F.round("cos", 4).alias("cos"))
@@ -646,7 +649,11 @@ def llm28_quantize(spark: SparkSession, sf: str) -> DataFrame:
     from rakam_api_collector_spark.operators.similarity import (
         dequantize, quantize_int8)
 
-    emb = load_table(spark, sf, "embeddings")
+    # spread (r19, guide §2.5): the per-row quantize + L1/error
+    # higher-order-function math ran as ONE task over the one-row-group
+    # scan; the L1 sums are integers and the error sums decimal, so the
+    # grouped result is order- and partitioning-invariant
+    emb = spread(load_table(spark, sf, "embeddings"), "vec_id")
     qs = (emb.select("label",
                      F.transform("embedding",
                                  lambda x: x.cast("double")).alias("_v"),
