@@ -122,7 +122,10 @@ def llm55_dsir_select(spark: SparkSession, sf: str) -> DataFrame:
 def llm04_lang_id(spark: SparkSession, sf: str) -> DataFrame:
     """Stopword-argmax language heuristic (operators/text.py:62): counts
     of docs per predicted language."""
-    return (load_table(spark, sf, "documents")
+    # spread (r19, guide §2.5): the per-row stopword-argmax heuristic
+    # ran as ONE task over the one-row-group scan; count-by-group is
+    # partitioning-invariant
+    return (spread(load_table(spark, sf, "documents"), "doc_id")
             .select(T.lang_id(F.col("text")).alias("lang_pred"))
             .groupBy("lang_pred").agg(F.count("*").alias("n"))
             .orderBy("lang_pred"))
@@ -592,7 +595,10 @@ def llm25_repetition(spark: SparkSession, sf: str) -> DataFrame:
     """Within-doc repeated-bigram ratio (Gopher-style repetition
     signal, operators/text.py:repetition_ratio) aggregated per source.
     Decimal-summed mean so the result is shuffle-order-independent."""
-    docs = load_table(spark, sf, "documents")
+    # spread (r19, guide §2.5): tokenize + the repetition-ratio HOF ran
+    # as ONE task over the one-row-group scan; the per-source decimal
+    # sum / max / count aggregate is partitioning-invariant
+    docs = spread(load_table(spark, sf, "documents"), "doc_id")
     # two-step: materialize the token array, THEN the ratio — no CSE
     # inside HOF lambdas (see operators/chunks.py docstring)
     per_doc = (docs.select("source", "doc_id",
