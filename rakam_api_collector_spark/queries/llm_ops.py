@@ -1068,7 +1068,11 @@ def llm39_curriculum_bins(spark: SparkSession, sf: str) -> DataFrame:
     what keeps the plan scalable; a very skewed domain would range-split
     via the same salting used in dq32). Ordering ties break on doc_id,
     making bin assignment fully deterministic cross-engine."""
-    docs = load_table(spark, sf, "documents")
+    # spread (r19, guide §2.5): the per-row lang_id + stopword + token
+    # scoring ran as ONE task over the one-row-group scan; ntile's
+    # (lang)-window and the grouped stats are deterministic under any
+    # input partitioning (ties break on doc_id)
+    docs = spread(load_table(spark, sf, "documents"), "doc_id")
     ntok = T.token_count(F.col("text"))
     scored = docs.select(
         "doc_id", T.lang_id(F.col("text")).alias("lang"),
