@@ -1005,7 +1005,11 @@ def llm37_bigram_lm(spark: SparkSession, sf: str) -> DataFrame:
     corpus — AQE broadcasts them when they fit); per-bigram ln() is
     DECIMAL-summed per doc (llm27 rule) so shuffle order cannot move
     the rounded mean."""
-    docs = (load_table(spark, sf, "documents")
+    # spread (r19, guide §2.5): tokenize + bigram explode ran as ONE
+    # task over the one-row-group scan on BOTH the train and eval
+    # branches; every aggregate downstream is a count or decimal sum,
+    # so the result is partitioning-invariant
+    docs = (spread(load_table(spark, sf, "documents"), "doc_id")
             .select("doc_id", T.tokens(F.col("text")).alias("_tk")))
     bg = docs.select("doc_id", F.explode(T.bigrams(F.col("_tk")))
               .alias("bg"))
