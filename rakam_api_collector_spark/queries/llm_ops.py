@@ -82,7 +82,9 @@ def llm02_lexical_stats(spark: SparkSession, sf: str) -> DataFrame:
     merged row changes neither computation — it drops one redundant
     scan from the suite and frees the registry slot the llm55 DSIR
     promotion spends (registry docstring, r15 history)."""
-    return (load_table(spark, sf, "documents")
+    # spread (r19, guide §2.5): both row-local stats ran as ONE task
+    # over the one-row-group scan; output order is a total order
+    return (spread(load_table(spark, sf, "documents"), "doc_id")
             .select("doc_id",
                     F.round(T.type_token_ratio(F.col("text")), 4).alias("ttr"),
                     F.round(T.avg_token_length(F.col("text")), 4).alias("avg_len"))
@@ -1124,6 +1126,9 @@ def llm40_quality_rules(spark: SparkSession, sf: str) -> DataFrame:
     map over the scan (no shuffle but the final order-for-display) —
     at 100 TB this is a scan-speed filter that typically removes
     10-30% of raw web text before any expensive stage."""
+    # spread measured FLAT here (0.73 -> 0.72 s, r19): the rule battery
+    # parallelizes but the added exchange + the orderBy's own shuffle
+    # give it back — left at the minimal two-job shape
     docs = load_table(spark, sf, "documents")
     return (_gopher_rules(docs)
             .select("doc_id", "ok_len", "ok_word_len", "ok_symbols",
@@ -1203,6 +1208,9 @@ def llm43_compression_ratio(spark: SparkSession, sf: str) -> DataFrame:
     hash-fails the gate. One mapInPandas-free pandas_udf stage, two
     row-local ratio columns, one aggregate — no shuffle beyond it."""
     ratio = T.compression_ratio_udf()
+    # spread measured as a 0.70 -> 0.81 s REGRESSION here (r19): the
+    # zlib pandas-UDF's per-task Arrow/worker init × 32 tasks exceeds
+    # the fan-out win on this corpus — the r18 multimodal criterion
     docs = load_table(spark, sf, "documents").select(
         "source", "text", F.length("text").alias("_len"))
     scored = docs.select(
