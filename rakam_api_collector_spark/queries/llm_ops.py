@@ -1308,8 +1308,13 @@ def llm46_semantic_dedup(spark: SparkSession, sf: str) -> DataFrame:
     separately in STRESS.md and guarded by the operator's
     pair_budget knob (tests pin the adversarial single-cluster
     raise)."""
-    emb = (load_table(spark, sf, "embeddings")
-           .filter(F.col("vec_id") < 500))
+    # spread (r19, guide §2.5): assignment, unit-normalization and the
+    # within-cluster pair dots ran single-task over the one-row-group
+    # scan; kmeans' centroid update sums decimal(28,12) (order-
+    # independent) and pair cosines fold per pair, so the result is
+    # partitioning-invariant
+    emb = spread(load_table(spark, sf, "embeddings")
+                 .filter(F.col("vec_id") < 500), "vec_id")
     pairs = D.semantic_dedup_pairs(emb, "vec_id", "embedding",
                                    threshold=0.0, k=4, iters=1)
     return (pairs.select("a", "b", "cluster",
