@@ -694,6 +694,10 @@ def llm26_kmeans(spark: SparkSession, sf: str) -> DataFrame:
     folds run in index order in both engines."""
     from rakam_api_collector_spark.operators.clustering import kmeans
 
+    # spread measured as a REGRESSION here (r19: 1.26 -> 1.57 s
+    # min-of-6, two pairs): the k=4 dim-64 assignment is light per
+    # row, the wall is the Lloyd driver-loop collects, and the init's
+    # orderBy-limit over a spread input pays an extra exchange
     emb = load_table(spark, sf, "embeddings")
     res = kmeans(emb, "vec_id", "embedding", k=4, iters=1)
     return (res.groupBy("cluster")

@@ -338,7 +338,10 @@ def dq29_envelope_parse(spark: SparkSession, sf: str) -> DataFrame:
     field out of a JSON-string column with safe-cast semantics and
     aggregate it (the per-record parse the envelope readers do,
     RakamJsonDeserializer.java:107-160)."""
-    ev = load_table(spark, sf, "events")
+    # spread (r19, guide §2.5): the 100k-row per-event JSON parse ran
+    # as ONE task over the one-row-group scan; the long sum/count/
+    # min/max aggregate is partitioning-invariant
+    ev = spread(load_table(spark, sf, "events"), "event_id")
     k = F.get_json_object("props", "$.k").try_cast("long")
     return (ev.select("event_type", k.alias("k"))
             .groupBy("event_type")
